@@ -1,0 +1,49 @@
+"""SparkSession factory tuned for the panel workload.
+
+Defaults are sized for local[N] testing but every knob is the one that
+matters on a real cluster: AQE for runtime re-planning (skewed entities),
+Arrow for the pandas-UDF tier, and shuffle partition count tracking
+cores. On a 1000-executor cluster the same settings apply — only
+`shuffle.partitions` should scale with total cores (AQE coalesces the
+excess automatically).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(
+    app_name: str = "functime-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(cpus, 32)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # parquet pushdown is on by default; pin it so a misconfigured
+        # cluster profile can't silently disable the scan-level filters
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.ts is parquet TIMESTAMP(NANOS): read as long,
+        # converted to micros timestamp in the events loader
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

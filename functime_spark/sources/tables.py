@@ -1,0 +1,92 @@
+"""Table loaders over the driver-generated TPC-H-ish testdata.
+
+All reads go through `spark.read.parquet` so predicate pushdown, column
+pruning, and partition discovery stay with the DataSource V2 scan. At
+100 TB the same call reads a hive-partitioned directory tree; nothing
+here assumes single files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def read_panel(
+    spark: SparkSession,
+    path: str,
+    entity: str,
+    time: str,
+    values: list,
+) -> DataFrame:
+    """Read parquet and project into panel column order (entity, time, values).
+
+    The projection narrows the scan: Catalyst pushes ReadSchema down so
+    only the named columns are read from parquet.
+    """
+    return spark.read.parquet(path).select(entity, time, *values)
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts normalized to a microsecond timestamp.
+
+    The parquet stores TIMESTAMP(NANOS); with
+    `spark.sql.legacy.parquet.nanosAsLong` the scan yields epoch-nanos
+    longs, converted here (floor-truncated to micros, matching how
+    DuckDB narrows ns → its us-precision TIMESTAMP).
+    """
+    df = load_table(spark, sf_dir, "events")
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def events_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a panel: entity=user_id, time=ts, y=value."""
+    return load_events(spark, sf_dir).select("user_id", "ts", "value")
+
+
+def lineitem_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem as a panel: entity=l_suppkey, time=l_shipdate, y=l_extendedprice."""
+    return read_panel(
+        spark,
+        os.path.join(sf_dir, "lineitem.parquet"),
+        "l_suppkey",
+        "l_shipdate",
+        ["l_extendedprice"],
+    )
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list | None = None, mode: str = "overwrite") -> None:
+    """Parquet sink; hive-style partition dirs when partition_cols given."""
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
