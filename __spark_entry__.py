@@ -1,38 +1,372 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship panel pipeline on sf0.001;
+`queries()` exposes every implemented operator as (spark, sf_dir) ->
+DataFrame; `oracle_sql()` pairs each with DuckDB SQL over the same
+parquet views. Floats are rounded to 6 decimals on both sides.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from functime_spark.functions.features import FEATURES, extract_features
+from functime_spark.oracles import ROUND, feature_oracles
+from functime_spark.sources.tables import events_panel, load_events, load_table
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _round_floats(df: DataFrame, nd: int = ROUND) -> DataFrame:
+    from pyspark.sql.types import DoubleType, FloatType
+
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (DoubleType, FloatType)):
+            # +1e-9 mirrors the oracle-side tie-nudge (see oracles._r)
+            cols.append(
+                F.round(F.col(f.name).cast("double") + F.lit(1e-9), nd).alias(f.name)
+            )
+        else:
+            cols.append(F.col(f.name))
+    return df.select(cols)
+
+
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship pipeline (smoke check, sf0.001)
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """events panel → daily resample → naive forecast → per-entity smape."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.cross_validation import train_test_split
+    from functime_spark.operators.metrics import smape
+    from functime_spark.forecasting.naive import naive
+
+    y = events_panel(spark, "/root/testdata/sf0.001")
+    from functime_spark.operators.preprocessing import resample
+
+    daily = resample("1d", "sum", "ffill").transform(y)
+    train, test = train_test_split(daily, test_size=7)
+    fc = naive(freq="1d").fit(train)
+    y_pred = fc.predict(7)
+    return smape(test, y_pred)
+
+
+# ---------------------------------------------------------------------------
+# feature queries — one per native extractor, fused framework
+# ---------------------------------------------------------------------------
+
+_STRUCT_FLATTEN = {
+    "linear_trend": ["slope", "intercept", "rss"],
+    "change_quantiles": ["n", "mean", "std"],
+    "streak_length_stats": ["min", "max", "mean", "std", "p10", "median", "p90", "mode"],
+}
+
+
+def _feature_query(name: str) -> Callable:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_nanos_conf(spark)
+        df = events_panel(spark, sf_dir)
+        out = extract_features(df, [name])
+        if name in _STRUCT_FLATTEN:
+            fields = _STRUCT_FLATTEN[name]
+            out = out.select(
+                "user_id", *[F.col(f"{name}.{f}").alias(f) for f in fields]
+            )
+        elif name == "energy_ratios":
+            out = out.select(
+                "user_id",
+                *[F.col(name)[k].alias(f"er_{k}") for k in range(10)],
+            )
+        return _round_floats(out).orderBy("user_id")
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# preprocessing / metrics / cv / seasonality / forecasting queries
+# ---------------------------------------------------------------------------
+
+
+def q_preproc_lag(spark, sf_dir):
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.preprocessing import lag
+
+    df = events_panel(spark, sf_dir)
+    return _round_floats(lag([1, 2, 3]).transform(df)).orderBy("user_id", "ts")
+
+
+def q_preproc_diff(spark, sf_dir):
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.preprocessing import diff
+
+    df = events_panel(spark, sf_dir)
+    return _round_floats(diff(order=1).transform(df)).orderBy("user_id", "ts")
+
+
+def q_preproc_scale(spark, sf_dir):
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.preprocessing import scale
+
+    df = events_panel(spark, sf_dir)
+    return _round_floats(scale().transform(df)).orderBy("user_id", "ts")
+
+
+def q_preproc_time_to_arange(spark, sf_dir):
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.preprocessing import time_to_arange
+
+    df = events_panel(spark, sf_dir)
+    return _round_floats(time_to_arange().transform(df)).orderBy("user_id", "ts")
+
+
+def q_preproc_trim(spark, sf_dir):
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.preprocessing import trim
+
+    df = events_panel(spark, sf_dir)
+    return _round_floats(trim("both").transform(df)).orderBy("user_id", "ts")
+
+
+def q_preproc_detrend(spark, sf_dir):
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.preprocessing import detrend
+
+    df = events_panel(spark, sf_dir)
+    return _round_floats(detrend("linear").transform(df)).orderBy("user_id", "ts")
+
+
+def q_preproc_fractional_diff(spark, sf_dir):
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.preprocessing import fractional_diff
+
+    df = events_panel(spark, sf_dir)
+    return _round_floats(
+        fractional_diff(0.5, window_size=9).transform(df)
+    ).orderBy("user_id", "ts")
+
+
+def q_preproc_resample_1d(spark, sf_dir):
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.preprocessing import resample
+
+    df = events_panel(spark, sf_dir)
+    out = resample("1d", "sum", "ffill").transform(df)
+    return _round_floats(out).orderBy("user_id", "ts")
+
+
+def q_fourier_terms(spark, sf_dir):
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.seasonality import add_fourier_terms
+
+    df = events_panel(spark, sf_dir)
+    return _round_floats(add_fourier_terms(df, sp=7, K=2)).orderBy("user_id", "ts")
+
+
+def q_calendar_effects(spark, sf_dir):
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.seasonality import add_calendar_effects
+
+    df = events_panel(spark, sf_dir)
+    return _round_floats(
+        add_calendar_effects(df, ["hour", "day", "weekday", "month", "year"])
+    ).orderBy("user_id", "ts")
+
+
+def q_cv_train_test_split(spark, sf_dir):
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.cross_validation import train_test_split
+
+    df = events_panel(spark, sf_dir)
+    train, _ = train_test_split(df, test_size=0.25)
+    return _round_floats(train).orderBy("user_id", "ts")
+
+
+def q_cv_expanding_window(spark, sf_dir):
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.cross_validation import expanding_window_split
+
+    df = events_panel(spark, sf_dir)
+    splits = expanding_window_split(df, test_size=4, n_splits=3, step_size=4)
+    # last split's test block — exercises the cutoff arithmetic
+    _, test = splits[2]
+    return _round_floats(test).orderBy("user_id", "ts")
+
+
+def _naive_pred_frames(spark, sf_dir):
+    df = events_panel(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    y_pred = df.select(
+        "user_id", "ts", F.lag("value").over(w).alias("value")
+    ).na.drop()
+    return df, y_pred
+
+
+def q_metrics_point(spark, sf_dir):
+    """All point metrics vs an in-sample one-step-naive prediction."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.metrics import score_forecast
+
+    y_true, y_pred = _naive_pred_frames(spark, sf_dir)
+    return _round_floats(score_forecast(y_true, y_pred, y_true)).orderBy("user_id")
+
+
+def q_forecast_naive(spark, sf_dir):
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.naive import naive
+
+    df = events_panel(spark, sf_dir)
+    fc = naive(freq="1h").fit(df)
+    return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
+
+
+def q_forecast_snaive(spark, sf_dir):
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.naive import snaive
+
+    df = events_panel(spark, sf_dir)
+    fc = snaive(freq="1h", sp=7).fit(df)
+    return _round_floats(fc.predict(10)).orderBy("user_id", "ts")
+
+
+def q_forecast_linear(spark, sf_dir):
+    """MLlib-backed global AR linear model — rows-only check (no SQL)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.linear import linear_model
+
+    df = events_panel(spark, sf_dir)
+    fc = linear_model(freq="1h", lags=8).fit(df)
+    return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline queries
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup on documents.text: keep min doc_id per distinct text."""
+    _ensure_nanos_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+def q_text_stats(spark, sf_dir):
+    """Word-level text stats per document (token counting tier)."""
+    _ensure_nanos_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return _round_floats(
+        docs.select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            F.size(words).alias("n_words"),
+            F.size(F.array_distinct(words)).alias("n_unique_words"),
+            (
+                F.size(F.array_distinct(words)) / F.size(words)
+            ).alias("ttr"),
+        )
+    ).orderBy("doc_id")
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbours of vec_id 0 (exact baseline)."""
+    _ensure_nanos_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    cand = emb.filter(F.col("vec_id") != 0)
+    joined = cand.crossJoin(F.broadcast(qvec))
+    a = F.col("embedding").cast("array<double>")
+    b = F.col("qv").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    norm = lambda v: F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    sim = dot / (norm(a) * norm(b))
+    return (
+        joined.select("vec_id", F.round(sim, ROUND).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+_SKIP_FEATURES: set = set()  # features temporarily excluded from the gate
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable] = {}
+    for name in FEATURES:
+        if name in _SKIP_FEATURES:
+            continue
+        q[f"feat_{name}"] = _feature_query(name)
+    q.update(
+        {
+            "preproc_lag": q_preproc_lag,
+            "preproc_diff": q_preproc_diff,
+            "preproc_scale": q_preproc_scale,
+            "preproc_time_to_arange": q_preproc_time_to_arange,
+            "preproc_trim": q_preproc_trim,
+            "preproc_detrend": q_preproc_detrend,
+            "preproc_fractional_diff": q_preproc_fractional_diff,
+            "preproc_resample_1d": q_preproc_resample_1d,
+            "fourier_terms": q_fourier_terms,
+            "calendar_effects": q_calendar_effects,
+            "cv_train_test_split": q_cv_train_test_split,
+            "cv_expanding_window": q_cv_expanding_window,
+            "metrics_point": q_metrics_point,
+            "forecast_naive": q_forecast_naive,
+            "forecast_snaive": q_forecast_snaive,
+            "forecast_linear": q_forecast_linear,
+            "dedup_exact": q_dedup_exact,
+            "text_stats": q_text_stats,
+            "ann_cosine_topk": q_ann_cosine_topk,
+        }
+    )
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    for name, sql in feature_oracles().items():
+        if name in _SKIP_FEATURES:
+            continue
+        o[f"feat_{name}"] = sql
+
+    from functime_spark.oracles import operator_oracles
+
+    o.update(operator_oracles())
+    return o

@@ -1,0 +1,180 @@
+"""Autoregressive reduction machinery: global-model forecasting.
+
+Mirrors functime forecasting/_ar.py + _reduction.py with a Spark-first
+split of responsibilities:
+
+- the lag design matrix stays distributed (window lags, one shuffle:
+  ref make_reduction at _reduction.py:21-41);
+- the global linear fit is a distributed MLlib `LinearRegression`
+  (normal-equations / L-BFGS over executors — the reference collects
+  to a single-node sklearn matrix at conversion.py:105-135);
+- recursive multi-step prediction runs as ONE Arrow pass
+  (`mapInPandas`): each batch of entities carries its lag buffer and
+  the loop over fh happens vectorized in numpy with the broadcast
+  coefficients. The reference's per-step Python loop over Spark jobs
+  (_ar.py:216-270) would pay fh job launches; this pays one.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from functime_spark.operators.preprocessing import lag as lag_transform
+from functime_spark.panel import panel_cols
+
+
+def make_reduction(y: DataFrame, lags: int, X: DataFrame | None = None) -> DataFrame:
+    """(entity, time, y, y__lag_1..y__lag_lags) — valid rows only.
+
+    Ref _reduction.py:21-41."""
+    p = panel_cols(y)
+    lagged = lag_transform(list(range(1, lags + 1))).transform(y)
+    out = lagged.join(y, on=[p.entity, p.time], how="inner").select(
+        p.entity, p.time, p.target, *[c for c in lagged.columns[2:]]
+    )
+    if X is not None:
+        out = out.join(X, on=[p.entity, p.time], how="inner")
+    return out
+
+
+def make_y_lag(y: DataFrame, max_lag: int) -> DataFrame:
+    """Per-entity ascending array of the last `max_lag` target values.
+
+    The recursion state (ref make_y_lag _reduction.py:66-77)."""
+    p = panel_cols(y)
+    cw = (
+        Window.partitionBy(p.entity)
+        .orderBy(p.time)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tail = F.slice(F.collect_list(p.target).over(cw), -max_lag, max_lag)
+    rn_desc = F.row_number().over(
+        Window.partitionBy(p.entity).orderBy(F.desc(p.time))
+    )
+    return (
+        y.withColumn("__buf", tail)
+        .withColumn("__rn", rn_desc)
+        .filter(F.col("__rn") == 1)
+        .select(p.entity, "__buf")
+    )
+
+
+class LinearBackend:
+    """Distributed MLlib linear fit → plain (coef, intercept) arrays.
+
+    regParam/elasticNetParam map the reference's sklearn
+    linear/lasso/ridge/elastic_net family (linear.py:10-203) onto one
+    MLlib estimator."""
+
+    def __init__(self, reg_param: float = 0.0, elastic_net_param: float = 0.0, fit_intercept: bool = True):
+        self.reg_param = reg_param
+        self.elastic_net_param = elastic_net_param
+        self.fit_intercept = fit_intercept
+
+    def fit(self, df: DataFrame, feature_cols: list, target_col: str):
+        from pyspark.ml.feature import VectorAssembler
+        from pyspark.ml.regression import LinearRegression
+
+        assembled = VectorAssembler(
+            inputCols=feature_cols, outputCol="__features", handleInvalid="skip"
+        ).transform(df)
+        lr = LinearRegression(
+            featuresCol="__features",
+            labelCol=target_col,
+            regParam=self.reg_param,
+            elasticNetParam=self.elastic_net_param,
+            fitIntercept=self.fit_intercept,
+        )
+        model = lr.fit(assembled)
+        return np.asarray(model.coefficients.toArray(), dtype="float64"), float(
+            model.intercept
+        )
+
+
+def predict_recursive_linear(
+    y_lag: DataFrame, coef: np.ndarray, intercept: float, fh: int, lags: int
+) -> DataFrame:
+    """One distributed Arrow pass: per-batch numpy recursion over fh.
+
+    coef[j] multiplies lag_{j+1} (lag_1 = most recent). Output:
+    (entity, step, yhat), step 0-based. Ref predict_recursive
+    _ar.py:216-270."""
+    entity = y_lag.columns[0]
+    entity_dtype = dict(y_lag.dtypes)[entity]
+    spark = y_lag.sparkSession
+    b_coef = spark.sparkContext.broadcast((coef, intercept))
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        w, b = b_coef.value
+        k = len(w)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ents = pdf[entity].to_numpy()
+            # state matrix: most recent last; columns = buffer
+            buf = np.stack(
+                [np.asarray(v, dtype="float64")[-k:] for v in pdf["__buf"]]
+            )
+            preds = np.empty((len(ents), fh), dtype="float64")
+            for h in range(fh):
+                # features: lag_1 = buf[:, -1], lag_2 = buf[:, -2], ...
+                feats = buf[:, ::-1][:, :k]
+                yhat = feats @ w + b
+                preds[:, h] = yhat
+                buf = np.concatenate([buf[:, 1:], yhat[:, None]], axis=1)
+            out = pd.DataFrame(
+                {
+                    entity: np.repeat(ents, fh),
+                    "step": np.tile(np.arange(fh), len(ents)),
+                    "yhat": preds.ravel(),
+                }
+            )
+            yield out
+
+    schema = f"{entity} {entity_dtype}, step int, yhat double"
+    return y_lag.mapInPandas(run, schema=schema)
+
+
+def predict_direct_linear(
+    y_lag: DataFrame, models: list, fh: int, lags: int
+) -> DataFrame:
+    """Direct strategy: horizon h uses model_h on the last `lags`
+    observed values (no recursion). Ref predict_direct _ar.py:277-330."""
+    entity = y_lag.columns[0]
+    entity_dtype = dict(y_lag.dtypes)[entity]
+    spark = y_lag.sparkSession
+    b_models = spark.sparkContext.broadcast(models)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        ms = b_models.value
+        use_fh = min(fh, len(ms))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ents = pdf[entity].to_numpy()
+            buf = np.stack([np.asarray(v, dtype="float64") for v in pdf["__buf"]])
+            feats = buf[:, ::-1][:, :lags]  # lag_1..lag_lags
+            preds = np.empty((len(ents), fh), dtype="float64")
+            for h in range(fh):
+                w, b = ms[min(h, use_fh - 1)]
+                preds[:, h] = feats @ w + b
+            out = pd.DataFrame(
+                {
+                    entity: np.repeat(ents, fh),
+                    "step": np.tile(np.arange(fh), len(ents)),
+                    "yhat": preds.ravel(),
+                }
+            )
+            yield out
+
+    schema = f"{entity} {entity_dtype}, step int, yhat double"
+    return y_lag.mapInPandas(run, schema=schema)

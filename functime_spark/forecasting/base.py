@@ -1,0 +1,137 @@
+"""Forecaster base class: fit / predict / backtest / conformalize.
+
+Mirrors functime base/forecaster.py:88-361. State is a small bundle of
+driver-held DataFrames: `cutoffs` (entity, low = max time — ref
+forecaster.py:196-199) plus whatever the concrete forecaster stores
+(last values, lag buffers, fitted model params).
+
+The reference's entity string-cache (model.py:10-44) is skipped:
+Tungsten handles string group keys natively (SURVEY §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from functime_spark.panel import panel_cols
+
+
+class Forecaster:
+    def __init__(self, freq: str, lags: int = 1, target_transform=None):
+        self.freq = freq
+        self.lags = lags
+        self.target_transform = target_transform
+        self.state: dict = {}
+
+    # -- lifecycle ----------------------------------------------------
+    def fit(self, y: DataFrame, X: DataFrame | None = None):
+        p = panel_cols(y)
+        if len(p.values) != 1:
+            raise ValueError(f"y must have exactly 3 columns, got {y.columns}")
+        if self.target_transform is not None:
+            y = self.target_transform.transform(y)
+        self.state["panel"] = p
+        self.state["cutoffs"] = (
+            y.groupBy(p.entity).agg(F.max(p.time).alias("low"))
+        )
+        self._fit(y, X)
+        return self
+
+    def predict(self, fh: int, X: DataFrame | None = None) -> DataFrame:
+        y_pred = self._predict(fh, X)
+        if self.target_transform is not None:
+            y_pred = self.target_transform.invert(y_pred)
+        return y_pred
+
+    def __call__(self, y: DataFrame, fh: int, X: DataFrame | None = None, X_future: DataFrame | None = None) -> DataFrame:
+        return self.fit(y, X).predict(fh, X_future)
+
+    # -- subclass hooks ----------------------------------------------
+    def _fit(self, y: DataFrame, X: DataFrame | None = None):  # pragma: no cover
+        raise NotImplementedError
+
+    def _predict(self, fh: int, X: DataFrame | None = None) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError
+
+    # -- evaluation --------------------------------------------------
+    def backtest(
+        self,
+        y: DataFrame,
+        test_size: int = 1,
+        step_size: int = 1,
+        n_splits: int = 5,
+        window_size: int | None = None,
+    ) -> DataFrame:
+        """Expanding/sliding-window refit-and-predict; returns stacked
+        predictions with a `split` column. Ref backtesting.py:108-250."""
+        from functime_spark.operators.cross_validation import _window_split
+
+        splits = _window_split(y, test_size, n_splits, step_size, window_size)
+        preds = []
+        for i, (train, _test) in splits.items():
+            train = train.persist()
+            y_pred = type(self)(**self._init_kwargs()).fit(train).predict(test_size)
+            preds.append(y_pred.withColumn("split", F.lit(i)))
+            train.unpersist()
+        out = preds[0]
+        for nxt in preds[1:]:
+            out = out.unionByName(nxt)
+        return out
+
+    def conformalize(
+        self,
+        y: DataFrame,
+        fh: int,
+        alphas: list | None = None,
+        test_size: int = 1,
+        n_splits: int = 3,
+    ) -> DataFrame:
+        """ENBPI-style conformal intervals: per-entity backtest-residual
+        quantiles added to the point forecast. Ref conformal.py:6-74."""
+        alphas = alphas or [0.1]
+        p = panel_cols(y)
+        y_preds = self.backtest(y, test_size=test_size, n_splits=n_splits)
+        target = y_preds.columns[2]
+        actual = y.withColumnRenamed(p.target, "__actual")
+        resid = (
+            y_preds.join(actual, on=[p.entity, p.time], how="inner")
+            .withColumn("__resid", F.col(target) - F.col("__actual"))
+        )
+        q_aggs = []
+        for a in alphas:
+            q_aggs.append(
+                F.percentile("__resid", F.lit(a / 2)).alias(f"__qlo_{_akey(a)}")
+            )
+            q_aggs.append(
+                F.percentile("__resid", F.lit(1 - a / 2)).alias(f"__qhi_{_akey(a)}")
+            )
+        quantiles = resid.groupBy(p.entity).agg(*q_aggs)
+        y_point = self.fit(y).predict(fh)
+        out = y_point.join(F.broadcast(quantiles), on=p.entity, how="left")
+        rows = []
+        for a in alphas:
+            lo = out.select(
+                p.entity,
+                p.time,
+                (F.col(target) + F.col(f"__qlo_{_akey(a)}")).alias(target),
+                F.lit(a / 2).alias("quantile"),
+            )
+            hi = out.select(
+                p.entity,
+                p.time,
+                (F.col(target) + F.col(f"__qhi_{_akey(a)}")).alias(target),
+                F.lit(1 - a / 2).alias("quantile"),
+            )
+            rows.extend([lo, hi])
+        res = rows[0]
+        for nxt in rows[1:]:
+            res = res.unionByName(nxt)
+        return res
+
+    def _init_kwargs(self) -> dict:
+        return {"freq": self.freq}
+
+
+def _akey(a: float) -> str:
+    return str(a).replace(".", "_")

@@ -319,7 +319,7 @@ def energy_ratios(c: PanelCtx, n_chunks: int = 10) -> Column:
     total = F.sum(c.x * c.x)
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_chunks - 1)),
-        lambda i: F.coalesce(F.element_at(m, i + 1), F.lit(0.0)) / total,
+        lambda i: F.coalesce(F.element_at(m, i), F.lit(0.0)) / total,
     )
 
 

@@ -1,0 +1,119 @@
+"""Seasonality features: Fourier terms, calendar attributes, holidays.
+
+Mirrors functime seasonality/fourier.py + seasonality/calendar.py.
+All pure Column expressions except the holiday table, which (like the
+reference, calendar.py:77-90) is generated driver-side and broadcast
+left-joined.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from functime_spark.panel import ordered_window, panel_cols
+
+
+def add_fourier_terms(df: DataFrame, sp: int, K: int) -> DataFrame:
+    """sin/cos of 2*pi*k*((rank mod sp)/sp). Ref fourier.py:10-49."""
+    if K > sp:
+        raise ValueError("`K` must be less than `sp`")
+    p = panel_cols(df)
+    rank = F.row_number().over(ordered_window(p.entity, p.time)) - 1
+    coef = (rank % sp) / F.lit(float(sp))
+    out = df.withColumn("fourier_coef", coef)
+    cols = {}
+    for k in range(1, K + 1):
+        cols[f"cos_{sp}_{k}"] = F.cos(2 * math.pi * k * F.col("fourier_coef"))
+        cols[f"sin_{sp}_{k}"] = F.sin(2 * math.pi * k * F.col("fourier_coef"))
+    return out.withColumns(cols).drop("fourier_coef")
+
+
+_CALENDAR_EXPRS = {
+    "minute": lambda t: F.minute(t),
+    "hour": lambda t: F.hour(t),
+    "day": lambda t: F.dayofmonth(t),
+    # Polars weekday: Monday=1..Sunday=7 → shift Spark's dayofweek (Sun=1)
+    "weekday": lambda t: ((F.dayofweek(t) + 5) % 7) + 1,
+    "week": lambda t: F.weekofyear(t),
+    "month": lambda t: F.month(t),
+    "quarter": lambda t: F.quarter(t),
+    "year": lambda t: F.year(t),
+}
+
+
+def add_calendar_effects(df: DataFrame, attrs: list, as_dummies: bool = False) -> DataFrame:
+    """Calendar attribute columns (as strings, mirroring the reference's
+    categorical cast). Ref calendar.py:13-53."""
+    p = panel_cols(df)
+    t = F.col(p.time)
+    bad = set(attrs) - set(_CALENDAR_EXPRS)
+    if bad:
+        raise ValueError(f"unsupported calendar attrs: {bad}")
+    out = df.withColumns(
+        {a: _CALENDAR_EXPRS[a](t).cast("string") for a in attrs}
+    )
+    if as_dummies:
+        from functime_spark.operators.preprocessing import one_hot_encode
+
+        # dummy-encode just the new attr columns
+        enc = one_hot_encode()
+        keep = [c for c in out.columns if c not in attrs]
+        enc.categories = {
+            a: [r[0] for r in out.select(a).distinct().orderBy(a).collect()]
+            for a in attrs
+        }
+        out = enc._encode(out, strict=False)
+    return out
+
+
+def add_holiday_effects(
+    df: DataFrame, country_codes: list, as_dummies: bool = False
+) -> DataFrame:
+    """Attach holiday-name columns per country via a driver-generated
+    broadcast table. Ref calendar.py:56-113.
+
+    Requires the `holidays` package; if unavailable the transformer
+    raises ImportError (the container ships without it — plumbing is
+    real, the table source is pluggable)."""
+    try:
+        import holidays as _holidays
+    except ImportError as exc:  # pragma: no cover
+        raise ImportError(
+            "the `holidays` package is required for add_holiday_effects"
+        ) from exc
+
+    p = panel_cols(df)
+    spark = df.sparkSession
+    years_row = df.agg(
+        F.min(F.year(p.time)).alias("lo"), F.max(F.year(p.time)).alias("hi")
+    ).first()
+    years = list(range(years_row["lo"], years_row["hi"] + 1))
+    out = df
+    for code in country_codes:
+        cal = _holidays.country_holidays(code, years=years)
+        rows = [
+            (d, name.lower().replace(" ", "_").replace("'", ""))
+            for d, name in cal.items()
+        ]
+        col = f"holiday__{code.lower()}"
+        tbl = spark.createDataFrame(rows, schema=f"__hdate date, {col} string")
+        out = out.join(
+            F.broadcast(tbl), on=F.to_date(F.col(p.time)) == F.col("__hdate"), how="left"
+        ).drop("__hdate")
+    if as_dummies:
+        from functime_spark.operators.preprocessing import one_hot_encode
+
+        holiday_cols = [f"holiday__{c.lower()}" for c in country_codes]
+        enc = one_hot_encode()
+        enc.categories = {
+            c: [
+                r[0]
+                for r in out.select(c).distinct().filter(F.col(c).isNotNull()).orderBy(c).collect()
+            ]
+            for c in holiday_cols
+        }
+        out = enc._encode(out, strict=False)
+    return out

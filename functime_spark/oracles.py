@@ -1,0 +1,552 @@
+"""DuckDB oracle SQL for the driver's correctness gate.
+
+Each SQL string recomputes the same feature/operator as the Spark
+query it is paired with in ``__spark_entry__``, over the
+pre-registered DuckDB views (events, lineitem, documents, ...).
+Floats are rounded to 6 decimals on BOTH sides so engine-order
+summation differences can't flip the value hash.
+
+The panel used by feature oracles: events with entity=user_id,
+time=ts, x=value.
+"""
+
+from __future__ import annotations
+
+ROUND = 6
+
+# Shared CTE: per-row panel with window helpers. Kept minimal per
+# query (DuckDB evaluates only referenced columns anyway).
+_P = "SELECT user_id AS e, ts AS t, value AS x FROM events"
+_W = "WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
+
+
+def _agg(expr: str, name: str, extra_cte: str = "", src: str = "p") -> str:
+    return (
+        f"WITH p AS ({_P}){extra_cte} "
+        f"SELECT e AS user_id, {expr} AS {name} FROM {src} GROUP BY e ORDER BY user_id"
+    )
+
+
+def _r(expr: str) -> str:
+    # +1e-9 nudges exact half-boundaries (common with 2-decimal input
+    # data) off the tie so Spark HALF_UP and DuckDB rounding agree
+    return f"ROUND(CAST({expr} AS DOUBLE) + 1e-9, {ROUND})"
+
+
+# CTE attaching ordered-window helpers onto the panel
+_LAGS = (
+    ", q AS (SELECT user_id AS e, ts AS t, value AS x, "
+    "lag(value) OVER w AS xl1, lead(value) OVER w AS xf1, lead(value, 2) OVER w AS xf2, "
+    "row_number() OVER w - 1 AS i, "
+    "count(*) OVER (PARTITION BY user_id) AS n, "
+    "avg(value) OVER (PARTITION BY user_id) AS mu, "
+    "min(value) OVER (PARTITION BY user_id) AS mn, "
+    "max(value) OVER (PARTITION BY user_id) AS mx "
+    f"FROM events {_W})"
+)
+
+
+def feature_oracles() -> dict:
+    o: dict[str, str] = {}
+
+    o["absolute_energy"] = _agg(_r("SUM(x*x)"), "absolute_energy")
+    o["absolute_maximum"] = _agg(
+        _r("GREATEST(ABS(MIN(x)), ABS(MAX(x)))"), "absolute_maximum"
+    )
+    o["root_mean_square"] = _agg(_r("SQRT(SUM(x*x)/COUNT(x))"), "root_mean_square")
+    o["count_above"] = _agg(
+        _r("100.0 * COUNT(CASE WHEN x >= 0.0 THEN 1 END) / COUNT(x)"), "count_above"
+    )
+    o["count_below"] = _agg(
+        _r("100.0 * COUNT(CASE WHEN x <= 0.0 THEN 1 END) / COUNT(x)"), "count_below"
+    )
+    o["variation_coefficient"] = _agg(
+        _r("stddev_pop(x)/AVG(x)"), "variation_coefficient"
+    )
+    o["harmonic_mean"] = _agg(_r("COUNT(x)/SUM(1.0/x)"), "harmonic_mean")
+    o["range_over_mean"] = _agg(_r("(MAX(x)-MIN(x))/AVG(x)"), "range_over_mean")
+    o["range_change"] = _agg(_r("MAX(x)/MIN(x) - 1.0"), "range_change")
+    o["var_gt_std"] = _agg("var_samp(x) >= 1", "var_gt_std")
+    o["large_standard_deviation"] = _agg(
+        "stddev_samp(x) > 0.25*(MAX(x)-MIN(x))", "large_standard_deviation"
+    )
+    o["symmetry_looking"] = _agg(
+        "ABS(AVG(x) - median(x)) < 0.25*(MAX(x)-MIN(x))", "symmetry_looking"
+    )
+    o["has_duplicate"] = _agg("COUNT(x) != COUNT(DISTINCT x)", "has_duplicate")
+    o["ratio_n_unique_to_length"] = _agg(
+        _r("COUNT(DISTINCT x)/CAST(COUNT(x) AS DOUBLE)"), "ratio_n_unique_to_length"
+    )
+    o["range_count"] = _agg(
+        "CAST(COUNT(CASE WHEN x >= 0.0 AND x < 1.0 THEN 1 END) AS BIGINT)",
+        "range_count",
+    )
+    o["ratio_beyond_r_sigma"] = (
+        f"WITH p AS ({_P}), s AS ("
+        "SELECT e, x, AVG(x) OVER (PARTITION BY e) AS mu, "
+        "stddev_pop(x) OVER (PARTITION BY e) AS sd FROM p) "
+        f"SELECT e AS user_id, {_r('COUNT(CASE WHEN x < mu - 0.25*sd OR x > mu + 0.25*sd THEN 1 END) / CAST(COUNT(x) AS DOUBLE)')} "
+        "AS ratio_beyond_r_sigma FROM s GROUP BY e ORDER BY user_id"
+    )
+    o["count_above_mean"] = (
+        f"WITH p AS ({_P}), s AS (SELECT e, x, AVG(x) OVER (PARTITION BY e) mu FROM p) "
+        "SELECT e AS user_id, CAST(COUNT(CASE WHEN x > mu THEN 1 END) AS BIGINT) AS count_above_mean "
+        "FROM s GROUP BY e ORDER BY user_id"
+    )
+    o["count_below_mean"] = (
+        f"WITH p AS ({_P}), s AS (SELECT e, x, AVG(x) OVER (PARTITION BY e) mu FROM p) "
+        "SELECT e AS user_id, CAST(COUNT(CASE WHEN x < mu THEN 1 END) AS BIGINT) AS count_below_mean "
+        "FROM s GROUP BY e ORDER BY user_id"
+    )
+    o["has_duplicate_max"] = (
+        f"WITH p AS ({_P}), s AS (SELECT e, x, MAX(x) OVER (PARTITION BY e) mx FROM p) "
+        "SELECT e AS user_id, COUNT(CASE WHEN x = mx THEN 1 END) > 1 AS has_duplicate_max "
+        "FROM s GROUP BY e ORDER BY user_id"
+    )
+    o["has_duplicate_min"] = (
+        f"WITH p AS ({_P}), s AS (SELECT e, x, MIN(x) OVER (PARTITION BY e) mn FROM p) "
+        "SELECT e AS user_id, COUNT(CASE WHEN x = mn THEN 1 END) > 1 AS has_duplicate_min "
+        "FROM s GROUP BY e ORDER BY user_id"
+    )
+
+    # --- diff/lag-based -------------------------------------------------
+    lagcte = (
+        f"WITH q AS (SELECT user_id AS e, value AS x, "
+        f"lag(value) OVER w AS xl1, lead(value) OVER w AS xf1, lead(value,2) OVER w AS xf2, "
+        f"lag(value,1) OVER w AS xb1, "
+        f"row_number() OVER w - 1 AS i, count(*) OVER (PARTITION BY user_id) AS n, "
+        f"avg(value) OVER (PARTITION BY user_id) AS mu, "
+        f"min(value) OVER (PARTITION BY user_id) AS mn, "
+        f"max(value) OVER (PARTITION BY user_id) AS mx, "
+        f"stddev_pop(value) OVER (PARTITION BY user_id) AS sdp "
+        f"FROM events {_W}) "
+    )
+
+    def lag_agg(expr: str, name: str) -> str:
+        return (
+            lagcte
+            + f"SELECT e AS user_id, {expr} AS {name} FROM q GROUP BY e ORDER BY user_id"
+        )
+
+    o["absolute_sum_of_changes"] = lag_agg(
+        _r("SUM(ABS(x - xl1))"), "absolute_sum_of_changes"
+    )
+    o["mean_abs_change"] = lag_agg(_r("AVG(ABS(x - xl1))"), "mean_abs_change")
+    o["max_abs_change"] = lag_agg(_r("MAX(ABS(x - xl1))"), "max_abs_change")
+    o["cid_ce"] = lag_agg(_r("SQRT(SUM((x - xl1)*(x - xl1)))"), "cid_ce")
+    o["autocorrelation"] = lag_agg(
+        _r("SUM((x - mu)*(xl1 - mu)) / (var_pop(x) * (COUNT(x) - 1))"),
+        "autocorrelation",
+    )
+    o["c3"] = lag_agg(_r("SUM(x * xf1 * xf2) / (COUNT(x) - 2)"), "c3")
+    o["time_reversal_asymmetry_statistic"] = lag_agg(
+        _r("AVG(xf1 * (xf2 + x) * (xf2 - x))"), "time_reversal_asymmetry_statistic"
+    )
+    o["mean_change"] = lag_agg(
+        _r(
+            "CASE WHEN COUNT(x) > 1 THEN (max_by(x, i) - min_by(x, i)) / (COUNT(x) - 1) ELSE 0.0 END"
+        ),
+        "mean_change",
+    )
+    o["number_peaks"] = lag_agg(
+        "CAST(COUNT(CASE WHEN COALESCE(x > xf1 AND x > xl1, FALSE) THEN 1 END) AS BIGINT)",
+        "number_peaks",
+    )
+    o["mean_second_derivative_central"] = lag_agg(
+        _r(
+            "(MAX(CASE WHEN i = n-1 THEN x END) - MAX(CASE WHEN i = n-2 THEN x END)"
+            " - MAX(CASE WHEN i = 1 THEN x END) + MAX(CASE WHEN i = 0 THEN x END))"
+            " / (2.0 * (COUNT(x) - 2))"
+        ),
+        "mean_second_derivative_central",
+    )
+    o["first_location_of_maximum"] = lag_agg(
+        _r("MIN(CASE WHEN x = mx THEN i END) / CAST(COUNT(x) AS DOUBLE)"),
+        "first_location_of_maximum",
+    )
+    o["first_location_of_minimum"] = lag_agg(
+        _r("MIN(CASE WHEN x = mn THEN i END) / CAST(COUNT(x) AS DOUBLE)"),
+        "first_location_of_minimum",
+    )
+    o["last_location_of_maximum"] = lag_agg(
+        _r("(MAX(CASE WHEN x = mx THEN i END) + 1) / CAST(COUNT(x) AS DOUBLE)"),
+        "last_location_of_maximum",
+    )
+    o["last_location_of_minimum"] = lag_agg(
+        _r("(MAX(CASE WHEN x = mn THEN i END) + 1) / CAST(COUNT(x) AS DOUBLE)"),
+        "last_location_of_minimum",
+    )
+    o["number_crossings"] = (
+        f"WITH f AS (SELECT user_id AS e, value > 0.0 AS ab, "
+        f"lag(value > 0.0) OVER w AS abl FROM events {_W}) "
+        "SELECT e AS user_id, CAST(SUM(CASE WHEN ab != abl THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS number_crossings FROM f GROUP BY e ORDER BY user_id"
+    )
+
+    # linear_trend: same closed-form as the Spark expression
+    o["linear_trend"] = (
+        lagcte
+        + "SELECT e AS user_id, "
+        + _r("covar_samp(i, x)/var_samp(i)")
+        + " AS slope, "
+        + _r("AVG(x) - (covar_samp(i, x)/var_samp(i)) * (COUNT(x)-1)/2.0")
+        + " AS intercept, "
+        + _r(
+            "SUM(x*x) - 2*(covar_samp(i,x)/var_samp(i))*SUM(x*i)"
+            " - 2*(AVG(x) - (covar_samp(i,x)/var_samp(i))*(COUNT(x)-1)/2.0)*SUM(x)"
+            " + (covar_samp(i,x)/var_samp(i))*(covar_samp(i,x)/var_samp(i))*SUM(i*i)"
+            " + 2*(AVG(x) - (covar_samp(i,x)/var_samp(i))*(COUNT(x)-1)/2.0)*(covar_samp(i,x)/var_samp(i))*SUM(i)"
+            " + COUNT(x)*(AVG(x) - (covar_samp(i,x)/var_samp(i))*(COUNT(x)-1)/2.0)"
+            "*(AVG(x) - (covar_samp(i,x)/var_samp(i))*(COUNT(x)-1)/2.0)"
+        )
+        + " AS rss FROM q GROUP BY e ORDER BY user_id"
+    )
+
+    # --- value-count based ---------------------------------------------
+    vccte = (
+        f"WITH p AS ({_P}), v AS ("
+        "SELECT e, x, COUNT(*) OVER (PARTITION BY e, x) AS vc, "
+        "COUNT(*) OVER (PARTITION BY e) AS n FROM p) "
+    )
+    o["percent_reoccurring_points"] = (
+        vccte
+        + f"SELECT e AS user_id, {_r('1.0 - COUNT(CASE WHEN vc = 1 THEN 1 END)/CAST(COUNT(x) AS DOUBLE)')} "
+        "AS percent_reoccurring_points FROM v GROUP BY e ORDER BY user_id"
+    )
+    o["percent_reoccurring_values"] = (
+        vccte
+        + f"SELECT e AS user_id, {_r('COUNT(DISTINCT CASE WHEN vc > 1 THEN x END)/CAST(COUNT(DISTINCT x) AS DOUBLE)')} "
+        "AS percent_reoccurring_values FROM v GROUP BY e ORDER BY user_id"
+    )
+    o["sum_reoccurring_points"] = (
+        vccte
+        + f"SELECT e AS user_id, {_r('COALESCE(SUM(CASE WHEN vc > 1 THEN x END), 0.0)')} "
+        "AS sum_reoccurring_points FROM v GROUP BY e ORDER BY user_id"
+    )
+    o["sum_reoccurring_values"] = (
+        vccte
+        + f"SELECT e AS user_id, {_r('COALESCE(SUM(DISTINCT CASE WHEN vc > 1 THEN x END), 0.0)')} "
+        "AS sum_reoccurring_values FROM v GROUP BY e ORDER BY user_id"
+    )
+
+    # --- entropy family -------------------------------------------------
+    o["binned_entropy"] = (
+        f"WITH p AS ({_P}), s AS ("
+        "SELECT e, x, MIN(x) OVER (PARTITION BY e) mn, MAX(x) OVER (PARTITION BY e) mx, "
+        "COUNT(*) OVER (PARTITION BY e) n FROM p), "
+        "b AS (SELECT e, n, FLOOR((x - mn)/(1e-12 + (mx - mn)/10.0)) AS bin FROM s), "
+        "c AS (SELECT e, ANY_VALUE(n) AS n, COUNT(*) AS cnt FROM b GROUP BY e, bin) "
+        f"SELECT e AS user_id, {_r('-SUM((cnt/CAST(n AS DOUBLE)) * LN(cnt/CAST(n AS DOUBLE)))')} "
+        "AS binned_entropy FROM c GROUP BY e ORDER BY user_id"
+    )
+    o["permutation_entropy"] = (
+        f"WITH q AS (SELECT user_id AS e, value AS x, "
+        f"lead(value) OVER w AS x1, lead(value,2) OVER w AS x2, "
+        f"row_number() OVER w - 1 AS i, count(*) OVER (PARTITION BY user_id) AS n "
+        f"FROM events {_W}), "
+        "r AS (SELECT e, "
+        "(CASE WHEN x1 < x THEN 1 ELSE 0 END) + (CASE WHEN x2 < x THEN 1 ELSE 0 END) AS r0, "
+        "(CASE WHEN x < x1 OR x = x1 THEN 1 ELSE 0 END) + (CASE WHEN x2 < x1 THEN 1 ELSE 0 END) AS r1, "
+        "(CASE WHEN x < x2 OR x = x2 THEN 1 ELSE 0 END) + (CASE WHEN x1 < x2 OR x1 = x2 THEN 1 ELSE 0 END) AS r2 "
+        "FROM q WHERE i <= n - 3), "
+        "c AS (SELECT e, r0 + r1*3 + r2*9 AS pat, COUNT(*) AS cnt FROM r GROUP BY e, pat), "
+        "t AS (SELECT e, SUM(cnt) AS tot FROM c GROUP BY e) "
+        f"SELECT c.e AS user_id, {_r('-SUM((cnt/CAST(tot AS DOUBLE)) * LN(cnt/CAST(tot AS DOUBLE)))')} "
+        "AS permutation_entropy FROM c JOIN t ON c.e = t.e GROUP BY c.e, tot ORDER BY user_id"
+    )
+
+    # --- cumulative / positional ---------------------------------------
+    o["index_mass_quantile"] = (
+        f"WITH q AS (SELECT user_id AS e, ABS(value) AS ax, "
+        f"SUM(ABS(value)) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+        "SUM(ABS(value)) OVER (PARTITION BY user_id) AS tot, "
+        f"row_number() OVER w - 1 AS i, count(*) OVER (PARTITION BY user_id) AS n "
+        f"FROM events {_W}) "
+        f"SELECT e AS user_id, {_r('(MIN(CASE WHEN cum >= 0.5*tot THEN i END) + 1) / CAST(COUNT(*) AS DOUBLE)')} "
+        "AS index_mass_quantile FROM q GROUP BY e ORDER BY user_id"
+    )
+    o["energy_ratios"] = (
+        f"WITH q AS (SELECT user_id AS e, value AS x, "
+        f"row_number() OVER w - 1 AS i, count(*) OVER (PARTITION BY user_id) AS n "
+        f"FROM events {_W}), "
+        "b AS (SELECT e, FLOOR(i / CEIL(n/10.0)) AS chunk, x*x AS x2 FROM q), "
+        "c AS (SELECT e, chunk, SUM(x2) AS s FROM b GROUP BY e, chunk), "
+        "t AS (SELECT e, SUM(s) AS tot FROM c GROUP BY e) "
+        "SELECT c.e AS user_id, "
+        + ", ".join(
+            _r(f"COALESCE(MAX(CASE WHEN chunk = {k} THEN s END)/tot, 0.0)")
+            + f" AS er_{k}"
+            for k in range(10)
+        )
+        + " FROM c JOIN t ON c.e = t.e GROUP BY c.e, tot ORDER BY user_id"
+    )
+    o["mean_n_absolute_max"] = (
+        f"WITH p AS ({_P}), r AS ("
+        "SELECT e, ABS(x) AS a, row_number() OVER (PARTITION BY e ORDER BY ABS(x) DESC) AS rn FROM p) "
+        f"SELECT e AS user_id, {_r('AVG(a)')} AS mean_n_absolute_max "
+        "FROM r WHERE rn <= 3 GROUP BY e ORDER BY user_id"
+    )
+
+    # --- corridor (change_quantiles) -----------------------------------
+    o["change_quantiles"] = (
+        f"WITH p AS (SELECT user_id AS e, ts AS t, value AS x FROM events), "
+        "qq AS (SELECT e, quantile_cont(x, 0.1) AS ql, quantile_cont(x, 0.9) AS qh FROM p GROUP BY e), "
+        "f AS (SELECT p.e, t, x, x BETWEEN ql AND qh AS inside FROM p JOIN qq ON p.e = qq.e), "
+        "g AS (SELECT e, x - lag(x) OVER w AS dx, inside, "
+        "COALESCE(lag(inside) OVER w, FALSE) AS pinside FROM f WINDOW w AS (PARTITION BY e ORDER BY t)) "
+        "SELECT e AS user_id, "
+        "CAST(COUNT(CASE WHEN inside AND pinside THEN dx END) AS BIGINT) AS n, "
+        + _r("AVG(CASE WHEN inside AND pinside THEN ABS(dx) END)")
+        + " AS mean, "
+        + _r("stddev_samp(CASE WHEN inside AND pinside THEN ABS(dx) END)")
+        + " AS std FROM g GROUP BY e ORDER BY user_id"
+    )
+
+    # --- streaks (gaps and islands) ------------------------------------
+    def streak_sql(flag_expr: str, name: str, agg: str) -> str:
+        return (
+            f"WITH d AS (SELECT user_id AS e, ts AS t, "
+            f"value - lag(value) OVER w AS dx FROM events {_W}), "
+            f"f AS (SELECT e, t, CASE WHEN dx IS NULL THEN NULL ELSE ({flag_expr}) END AS flag FROM d), "
+            "g AS (SELECT e, t, flag, CASE WHEN flag IS DISTINCT FROM lag(flag) OVER (PARTITION BY e ORDER BY t) THEN 1 ELSE 0 END AS chg FROM f), "
+            "h AS (SELECT e, t, flag, SUM(chg) OVER (PARTITION BY e ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM g), "
+            "runs AS (SELECT e, grp, COUNT(*) AS len FROM h WHERE flag GROUP BY e, grp) "
+            f"SELECT e AS user_id, {agg} AS {name} FROM runs GROUP BY e ORDER BY user_id"
+        )
+
+    # NOTE: entities where no run exists at all would drop out of the
+    # oracle but appear with 0 in Spark; with dense panels every entity
+    # has at least one diff>=0 run. longest_streak_* below guard this
+    # with a left join against the entity list.
+    def streak_sql_full(flag_expr: str, name: str) -> str:
+        inner = streak_sql(flag_expr, name, "CAST(MAX(len) AS BIGINT)")
+        return (
+            f"WITH ents AS (SELECT DISTINCT user_id FROM events), r AS ({inner}) "
+            f"SELECT ents.user_id, COALESCE(r.{name}, 0) AS {name} FROM ents "
+            f"LEFT JOIN r ON ents.user_id = r.user_id ORDER BY ents.user_id"
+        )
+
+    o["longest_streak_above"] = streak_sql_full("dx >= 0.0", "longest_streak_above")
+    o["longest_streak_below"] = streak_sql_full("dx <= 0.0", "longest_streak_below")
+    o["longest_winning_streak"] = streak_sql_full("dx >= 0.0", "longest_winning_streak")
+    o["longest_losing_streak"] = streak_sql_full("dx <= 0.0", "longest_losing_streak")
+
+    def mean_streak_sql(cmp: str, name: str) -> str:
+        return (
+            f"WITH p AS ({_P}), s AS ("
+            "SELECT e, t, x, AVG(x) OVER (PARTITION BY e) AS mu FROM p), "
+            f"f AS (SELECT e, t, x {cmp} mu AS flag FROM s), "
+            "g AS (SELECT e, t, flag, CASE WHEN flag IS DISTINCT FROM lag(flag) OVER (PARTITION BY e ORDER BY t) THEN 1 ELSE 0 END AS chg FROM f), "
+            "h AS (SELECT e, flag, SUM(chg) OVER (PARTITION BY e ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM g), "
+            "runs AS (SELECT e, grp, COUNT(*) AS len FROM h WHERE flag GROUP BY e, grp), "
+            "ents AS (SELECT DISTINCT user_id AS e FROM events) "
+            f"SELECT ents.e AS user_id, CAST(COALESCE(MAX(len), 0) AS BIGINT) AS {name} "
+            "FROM ents LEFT JOIN runs ON ents.e = runs.e GROUP BY ents.e ORDER BY user_id"
+        )
+
+    o["longest_streak_above_mean"] = mean_streak_sql(">", "longest_streak_above_mean")
+    o["longest_streak_below_mean"] = mean_streak_sql("<", "longest_streak_below_mean")
+
+    o["streak_length_stats"] = (
+        f"WITH d AS (SELECT user_id AS e, ts AS t, value - lag(value) OVER w AS dx FROM events {_W}), "
+        "f AS (SELECT e, t, CASE WHEN dx IS NULL THEN NULL ELSE (dx >= 0.0) END AS flag FROM d), "
+        "g AS (SELECT e, t, flag, CASE WHEN flag IS DISTINCT FROM lag(flag) OVER (PARTITION BY e ORDER BY t) THEN 1 ELSE 0 END AS chg FROM f), "
+        "h AS (SELECT e, t, flag, SUM(chg) OVER (PARTITION BY e ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM g), "
+        "runs AS (SELECT e, grp, COUNT(*) AS len FROM h WHERE flag GROUP BY e, grp), "
+        "m AS (SELECT e, len, COUNT(*) AS c FROM runs GROUP BY e, len), "
+        "md AS (SELECT e, len AS mode_len, row_number() OVER (PARTITION BY e ORDER BY c DESC, len ASC) AS rn FROM m) "
+        "SELECT runs.e AS user_id, "
+        "CAST(GREATEST(MIN(len), 0) AS BIGINT) AS min, CAST(MAX(len) AS BIGINT) AS max, "
+        + _r("AVG(len)")
+        + " AS mean, "
+        + _r("stddev_samp(len)")
+        + " AS std, "
+        + _r("quantile_cont(len, 0.1)")
+        + " AS p10, "
+        + _r("quantile_cont(len, 0.5)")
+        + " AS median, "
+        + _r("quantile_cont(len, 0.9)")
+        + " AS p90, "
+        "CAST(ANY_VALUE(mode_len) AS BIGINT) AS mode "
+        "FROM runs JOIN (SELECT e, mode_len FROM md WHERE rn = 1) mm ON runs.e = mm.e "
+        "GROUP BY runs.e ORDER BY user_id"
+    )
+
+    return o
+
+
+def operator_oracles() -> dict:
+    """Oracles for the preprocessing / metrics / cv / forecasting /
+    pipeline queries in __spark_entry__."""
+    o: dict[str, str] = {}
+
+    o["preproc_lag"] = (
+        f"WITH q AS (SELECT user_id, ts, "
+        "lag(value, 1) OVER w AS value__lag_1, lag(value, 2) OVER w AS value__lag_2, "
+        f"lag(value, 3) OVER w AS value__lag_3, row_number() OVER w AS rn FROM events {_W}) "
+        "SELECT user_id, ts, "
+        + ", ".join(
+            _r(f"value__lag_{k}") + f" AS value__lag_{k}" for k in (1, 2, 3)
+        )
+        + " FROM q WHERE rn > 3 ORDER BY user_id, ts"
+    )
+
+    o["preproc_diff"] = (
+        f"SELECT user_id, ts, {_r('value - lag(value) OVER w')} AS value "
+        f"FROM events {_W} ORDER BY user_id, ts"
+    )
+
+    o["preproc_scale"] = (
+        "WITH s AS (SELECT user_id, ts, value, AVG(value) OVER (PARTITION BY user_id) AS mu, "
+        "stddev_samp(value) OVER (PARTITION BY user_id) AS sd FROM events) "
+        f"SELECT user_id, ts, {_r('(value - mu)/sd')} AS value FROM s ORDER BY user_id, ts"
+    )
+
+    o["preproc_time_to_arange"] = (
+        f"SELECT user_id, CAST(row_number() OVER w - 1 AS BIGINT) AS ts, "
+        f"{_r('value')} AS value FROM events {_W} ORDER BY user_id, ts"
+    )
+
+    o["preproc_trim"] = (
+        "WITH b AS (SELECT MAX(mn) AS s, MIN(mx) AS e FROM "
+        "(SELECT MIN(ts) AS mn, MAX(ts) AS mx FROM events GROUP BY user_id)) "
+        f"SELECT user_id, ts, {_r('value')} AS value FROM events, b "
+        "WHERE ts >= s AND ts <= e ORDER BY user_id, ts"
+    )
+
+    o["preproc_detrend"] = (
+        f"WITH q AS (SELECT user_id, ts, value, row_number() OVER w - 1 AS i FROM events {_W}), "
+        "p AS (SELECT user_id, covar_samp(i, value)/var_samp(i) AS beta, "
+        "AVG(value) - covar_samp(i, value)/var_samp(i)*(COUNT(*)-1)/2.0 AS alpha "
+        "FROM q GROUP BY user_id) "
+        f"SELECT q.user_id, ts, {_r('value - beta*i - alpha')} AS value "
+        "FROM q JOIN p ON q.user_id = p.user_id ORDER BY q.user_id, ts"
+    )
+
+    # weights must match functime_spark.operators.preprocessing._ffd_weights
+    from functime_spark.operators.preprocessing import _ffd_weights
+
+    ws = _ffd_weights(0.5, None, 9)
+    terms = [f"({ws[0]!r}) * value"] + [
+        f"({w!r}) * lag(value, {j}) OVER w" for j, w in enumerate(ws[1:], start=1)
+    ]
+    o["preproc_fractional_diff"] = (
+        f"SELECT user_id, ts, {_r(' + '.join(terms))} AS value "
+        f"FROM events {_W} ORDER BY user_id, ts"
+    )
+
+    o["preproc_resample_1d"] = (
+        "WITH b AS (SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS ts, "
+        "SUM(value) AS value FROM events GROUP BY 1, 2), "
+        "days AS (SELECT DISTINCT ts FROM b), users AS (SELECT DISTINCT user_id FROM b), "
+        "grid AS (SELECT user_id, ts FROM users CROSS JOIN days), "
+        "j AS (SELECT g.user_id, g.ts, b.value FROM grid g "
+        "LEFT JOIN b ON g.user_id = b.user_id AND g.ts = b.ts), "
+        "f AS (SELECT user_id, ts, COALESCE(value, last_value(value IGNORE NULLS) "
+        "OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS v FROM j) "
+        f"SELECT user_id, ts, {_r('COALESCE(v, 0.0)')} AS value FROM f ORDER BY user_id, ts"
+    )
+
+    fourier_cols = []
+    for k in (1, 2):
+        fourier_cols.append(_r(f"cos(2*pi()*{k}*fc)") + f" AS cos_7_{k}")
+        fourier_cols.append(_r(f"sin(2*pi()*{k}*fc)") + f" AS sin_7_{k}")
+    o["fourier_terms"] = (
+        f"WITH q AS (SELECT user_id, ts, value, "
+        f"((row_number() OVER w - 1) % 7)/7.0 AS fc FROM events {_W}) "
+        f"SELECT user_id, ts, {_r('value')} AS value, "
+        + ", ".join(fourier_cols)
+        + " FROM q ORDER BY user_id, ts"
+    )
+
+    o["calendar_effects"] = (
+        f"SELECT user_id, ts, {_r('value')} AS value, "
+        "CAST(hour(ts) AS VARCHAR) AS hour, CAST(day(ts) AS VARCHAR) AS day, "
+        "CAST(isodow(ts) AS VARCHAR) AS weekday, CAST(month(ts) AS VARCHAR) AS month, "
+        "CAST(year(ts) AS VARCHAR) AS year FROM events ORDER BY user_id, ts"
+    )
+
+    o["cv_train_test_split"] = (
+        f"WITH q AS (SELECT user_id, ts, value, row_number() OVER w - 1 AS i, "
+        f"COUNT(*) OVER (PARTITION BY user_id) AS n FROM events {_W}) "
+        f"SELECT user_id, ts, {_r('value')} AS value FROM q "
+        "WHERE i < CAST(FLOOR(n * 0.75) AS BIGINT) ORDER BY user_id, ts"
+    )
+
+    o["cv_expanding_window"] = (
+        f"WITH q AS (SELECT user_id, ts, value, row_number() OVER w - 1 AS i, "
+        f"COUNT(*) OVER (PARTITION BY user_id) AS n FROM events {_W}) "
+        f"SELECT user_id, ts, {_r('value')} AS value FROM q "
+        "WHERE i >= n - 4 ORDER BY user_id, ts"
+    )
+
+    o["metrics_point"] = (
+        f"WITH j AS (SELECT user_id, value AS actual, lag(value) OVER w AS pred FROM events {_W}), "
+        "a AS (SELECT user_id, AVG(ABS(pred - actual)) AS mae_, "
+        "AVG((pred - actual)*(pred - actual)) AS mse_, "
+        "SUM(CASE WHEN pred > actual THEN pred END) AS over_, "
+        "SUM(CASE WHEN pred < actual THEN pred END) AS under_, "
+        "SUM(ABS(pred - actual))/SUM(pred + actual) AS smape_ "
+        "FROM j GROUP BY user_id), "
+        f"nv AS (SELECT user_id, AVG(ABS(d)) AS nb, AVG(d*d) AS nq FROM "
+        f"(SELECT user_id, value - lag(value) OVER w AS d FROM events {_W}) GROUP BY user_id) "
+        "SELECT a.user_id, "
+        + _r("mae_")
+        + " AS mae, "
+        + _r("mae_/nb")
+        + " AS mase, "
+        + _r("mse_")
+        + " AS mse, "
+        + _r("over_")
+        + " AS overforecast, "
+        + _r("SQRT(mse_)")
+        + " AS rmse, "
+        + _r("SQRT(mse_/nq)")
+        + " AS rmsse, "
+        + _r("smape_")
+        + " AS smape, "
+        + _r("under_")
+        + " AS underforecast "
+        "FROM a JOIN nv ON a.user_id = nv.user_id ORDER BY a.user_id"
+    )
+
+    o["forecast_naive"] = (
+        "WITH c AS (SELECT user_id, MAX(ts) AS low, max_by(value, ts) AS v "
+        "FROM events GROUP BY user_id) "
+        f"SELECT user_id, low + i * INTERVAL '1 hour' AS ts, {_r('v')} AS value "
+        "FROM c, generate_series(1, 4) AS g(i) ORDER BY user_id, ts"
+    )
+
+    o["forecast_snaive"] = (
+        "WITH c AS (SELECT user_id, MAX(ts) AS low, list(value ORDER BY ts) AS vs "
+        "FROM events GROUP BY user_id), "
+        "c2 AS (SELECT user_id, low, CASE WHEN len(vs) >= 7 THEN vs[-7:] ELSE vs END AS tail FROM c) "
+        f"SELECT user_id, low + (s + 1) * INTERVAL '1 hour' AS ts, "
+        f"{_r('tail[(s % len(tail)) + 1]')} AS value "
+        "FROM c2, generate_series(0, 9) AS g(s) ORDER BY user_id, ts"
+    )
+
+    o["dedup_exact"] = (
+        "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies "
+        "FROM documents GROUP BY text ORDER BY doc_id"
+    )
+
+    o["text_stats"] = (
+        "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents) "
+        "SELECT doc_id, CAST(length(text) AS INT) AS n_chars, "
+        "CAST(len(words) AS INT) AS n_words, "
+        "CAST(len(list_distinct(words)) AS INT) AS n_unique_words, "
+        + _r("len(list_distinct(words)) / CAST(len(words) AS DOUBLE)")
+        + " AS ttr FROM t ORDER BY doc_id"
+    )
+
+    o["ann_cosine_topk"] = (
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) "
+        "SELECT vec_id, "
+        + _r("list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv)")
+        + " AS cosine FROM embeddings, q WHERE vec_id != 0 "
+        "ORDER BY cosine DESC, vec_id LIMIT 5"
+    )
+
+    return o

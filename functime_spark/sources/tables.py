@@ -62,9 +62,9 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     df = load_table(spark, sf_dir, "events")
     if dict(df.dtypes)["ts"] == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integer division — float division of int64 nanos loses
+        # precision (double has 53 mantissa bits) and shifts ts by ~1us
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
