@@ -1,0 +1,148 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(d: str) -> float:
+    name = Path(d).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from functime_spark.session import get_session
+
+    spark = get_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyspark.sql import functions as F
+
+    from functime_spark.functions.features import extract_features
+    from functime_spark.forecasting.linear import linear_model
+    from functime_spark.forecasting.naive import naive
+    from functime_spark.operators.cross_validation import train_test_split
+    from functime_spark.operators.metrics import score_forecast, smape
+    from functime_spark.operators.preprocessing import resample, scale, lag
+    from functime_spark.sources.tables import events_panel, load_table
+
+    timings: dict[str, float] = {}
+
+    def bench(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # q1: fused extraction of ALL native features over the events panel
+    y = events_panel(spark, SF_DIR)
+    bench("features_all", lambda: extract_features(y).count())
+
+    # q2: preprocessing chain: scale -> lag matrix
+    def _q2():
+        out = lag([1, 2, 3, 7, 14]).transform(scale().transform(y))
+        out.count()
+
+    bench("preproc_scale_lag", _q2)
+
+    # q3: resample to 1d + naive forecast + smape
+    def _q3():
+        daily = resample("1d", "sum", "ffill").transform(y)
+        train, test = train_test_split(daily, test_size=7)
+        y_pred = naive(freq="1d").fit(train).predict(7)
+        smape(test, y_pred).count()
+
+    bench("resample_naive_smape", _q3)
+
+    # q4: global AR linear model, fit + recursive 14-step forecast
+    def _q4():
+        fc = linear_model(freq="1h", lags=12).fit(y)
+        fc.predict(14).count()
+
+    bench("linear_forecast", _q4)
+
+    # q5: metrics fused aggregate vs in-sample naive prediction
+    def _q5():
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts")
+        y_pred = y.select(
+            "user_id", "ts", F.lag("value").over(w).alias("value")
+        ).na.drop()
+        score_forecast(y, y_pred, y).count()
+
+    bench("metrics_fused", _q5)
+
+    # q6: document pipeline: exact dedup + text stats
+    def _q6():
+        docs = load_table(spark, SF_DIR, "documents")
+        docs.groupBy("text").agg(
+            F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n")
+        ).count()
+        words = F.split(F.col("text"), " ")
+        docs.select(
+            "doc_id",
+            F.size(words).alias("n_words"),
+            F.size(F.array_distinct(words)).alias("n_uniq"),
+        ).agg(F.sum("n_words")).collect()
+
+    bench("doc_pipeline", _q6)
+
+    # q7: brute-force cosine top-k over embeddings
+    def _q7():
+        emb = load_table(spark, SF_DIR, "embeddings")
+        qvec = emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv")
+        )
+        a = F.col("embedding").cast("array<double>")
+        b = F.col("qv").cast("array<double>")
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, v: x * v), F.lit(0.0), lambda acc, v: acc + v
+        )
+        nrm = lambda v: F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+            )
+        )
+        (
+            emb.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(qvec))
+            .select("vec_id", (dot / (nrm(a) * nrm(b))).alias("cos"))
+            .orderBy(F.desc("cos"))
+            .limit(10)
+            .collect()
+        )
+
+    bench("ann_topk", _q7)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -24,18 +24,24 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from functime_spark.operators.preprocessing import lag as lag_transform
 from functime_spark.panel import panel_cols
 
 
 def make_reduction(y: DataFrame, lags: int, X: DataFrame | None = None) -> DataFrame:
     """(entity, time, y, y__lag_1..y__lag_lags) — valid rows only.
 
-    Ref _reduction.py:21-41."""
+    Ref _reduction.py:21-41 lags then self-joins the target back; here
+    target and lags come out of ONE window pass (no join, one shuffle).
+    """
     p = panel_cols(y)
-    lagged = lag_transform(list(range(1, lags + 1))).transform(y)
-    out = lagged.join(y, on=[p.entity, p.time], how="inner").select(
-        p.entity, p.time, p.target, *[c for c in lagged.columns[2:]]
+    w = Window.partitionBy(p.entity).orderBy(p.time)
+    cols = [F.col(p.entity), F.col(p.time), F.col(p.target)]
+    for k in range(1, lags + 1):
+        cols.append(F.lag(p.target, k).over(w).alias(f"{p.target}__lag_{k}"))
+    out = (
+        y.select(*cols, (F.row_number().over(w) - 1).alias("__idx"))
+        .filter(F.col("__idx") >= lags)
+        .drop("__idx")
     )
     if X is not None:
         out = out.join(X, on=[p.entity, p.time], how="inner")
@@ -65,11 +71,17 @@ def make_y_lag(y: DataFrame, max_lag: int) -> DataFrame:
 
 
 class LinearBackend:
-    """Distributed MLlib linear fit → plain (coef, intercept) arrays.
+    """Distributed linear fit → plain (coef, intercept) arrays.
 
     regParam/elasticNetParam map the reference's sklearn
-    linear/lasso/ridge/elastic_net family (linear.py:10-203) onto one
-    MLlib estimator."""
+    linear/lasso/ridge/elastic_net family (linear.py:10-203).
+
+    OLS and ridge (elastic_net_param == 0) solve the normal equations:
+    X'X / X'y are accumulated in ONE native aggregate pass (k(k+1)/2 +
+    k sums, whole-stage codegen) and the kxk solve happens on the
+    driver — no MLlib iteration, no vector assembly, exact solution.
+    L1 paths (lasso/elastic-net) fall back to MLlib's coordinate
+    solver."""
 
     def __init__(self, reg_param: float = 0.0, elastic_net_param: float = 0.0, fit_intercept: bool = True):
         self.reg_param = reg_param
@@ -77,6 +89,41 @@ class LinearBackend:
         self.fit_intercept = fit_intercept
 
     def fit(self, df: DataFrame, feature_cols: list, target_col: str):
+        if self.elastic_net_param == 0.0 or self.reg_param == 0.0:
+            return self._fit_normal(df, feature_cols, target_col)
+        return self._fit_mllib(df, feature_cols, target_col)
+
+    def _fit_normal(self, df: DataFrame, feature_cols: list, target_col: str):
+        k = len(feature_cols)
+        cols = list(feature_cols) + ([] if not self.fit_intercept else [None])
+        aggs = []
+        # upper triangle of X'X (with intercept column of ones)
+        def col_of(i):
+            return F.lit(1.0) if cols[i] is None else F.col(cols[i])
+
+        m = len(cols)
+        for i in range(m):
+            for j in range(i, m):
+                aggs.append(F.sum(col_of(i) * col_of(j)).alias(f"xx_{i}_{j}"))
+            aggs.append(F.sum(col_of(i) * F.col(target_col)).alias(f"xy_{i}"))
+        row = df.na.drop(subset=feature_cols).agg(*aggs).first()
+        xtx = np.zeros((m, m))
+        xty = np.zeros(m)
+        for i in range(m):
+            for j in range(i, m):
+                xtx[i, j] = xtx[j, i] = row[f"xx_{i}_{j}"]
+            xty[i] = row[f"xy_{i}"]
+        if self.reg_param > 0:  # ridge: do not penalize the intercept
+            reg = np.eye(m) * self.reg_param
+            if self.fit_intercept:
+                reg[m - 1, m - 1] = 0.0
+            xtx = xtx + reg
+        theta = np.linalg.solve(xtx, xty)
+        if self.fit_intercept:
+            return theta[:k], float(theta[k])
+        return theta, 0.0
+
+    def _fit_mllib(self, df: DataFrame, feature_cols: list, target_col: str):
         from pyspark.ml.feature import VectorAssembler
         from pyspark.ml.regression import LinearRegression
 
