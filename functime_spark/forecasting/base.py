@@ -44,14 +44,32 @@ class Forecaster:
             y_pred = self.target_transform.invert(y_pred)
         return y_pred
 
+    def _predict(self, fh: int, X: DataFrame | None = None) -> DataFrame:
+        """Default: stitch per-step values onto freq-generated future
+        timestamps. Subclasses implement `_predict_values`."""
+        from functime_spark.forecasting.ranges import (
+            explode_future_ranges,
+            make_future_ranges,
+        )
+
+        p = self.state["panel"]
+        futures = make_future_ranges(self.state["cutoffs"], fh, self.freq, p.time)
+        rows = explode_future_ranges(futures)
+        vals = self._predict_values(fh, X)
+        return rows.join(vals, on=[p.entity, "step"], how="inner").select(
+            p.entity, p.time, F.col("__yhat").alias(p.target)
+        )
+
+    def _predict_values(self, fh: int, X: DataFrame | None = None) -> DataFrame:
+        """(entity, step, __yhat) with step 0-based — timestamp-free
+        predictions, used by both predict() and backtest()."""
+        raise NotImplementedError
+
     def __call__(self, y: DataFrame, fh: int, X: DataFrame | None = None, X_future: DataFrame | None = None) -> DataFrame:
         return self.fit(y, X).predict(fh, X_future)
 
     # -- subclass hooks ----------------------------------------------
     def _fit(self, y: DataFrame, X: DataFrame | None = None):  # pragma: no cover
-        raise NotImplementedError
-
-    def _predict(self, fh: int, X: DataFrame | None = None) -> DataFrame:  # pragma: no cover
         raise NotImplementedError
 
     # -- evaluation --------------------------------------------------
@@ -64,14 +82,29 @@ class Forecaster:
         window_size: int | None = None,
     ) -> DataFrame:
         """Expanding/sliding-window refit-and-predict; returns stacked
-        predictions with a `split` column. Ref backtesting.py:108-250."""
+        predictions with a `split` column. Ref backtesting.py:108-250.
+
+        Predictions are aligned to the ACTUAL test timestamps (per-entity
+        step join), so irregular panels backtest correctly — the
+        reference assumes freq-regular series here."""
+        from pyspark.sql import Window
+
         from functime_spark.operators.cross_validation import _window_split
 
+        p = panel_cols(y)
         splits = _window_split(y, test_size, n_splits, step_size, window_size)
         preds = []
-        for i, (train, _test) in splits.items():
+        for i, (train, test) in splits.items():
             train = train.persist()
-            y_pred = type(self)(**self._init_kwargs()).fit(train).predict(test_size)
+            fitted = type(self)(**self._init_kwargs()).fit(train)
+            vals = fitted._predict_values(test_size)
+            step = (
+                F.row_number().over(Window.partitionBy(p.entity).orderBy(p.time)) - 1
+            )
+            test_idx = test.withColumn("step", step)
+            y_pred = test_idx.join(vals, on=[p.entity, "step"], how="inner").select(
+                p.entity, p.time, F.col("__yhat").alias(p.target)
+            )
             preds.append(y_pred.withColumn("split", F.lit(i)))
             train.unpersist()
         out = preds[0]

@@ -19,7 +19,6 @@ from functime_spark.forecasting._ar import (
     predict_recursive_linear,
 )
 from functime_spark.forecasting.base import Forecaster
-from functime_spark.forecasting.ranges import explode_future_ranges, make_future_ranges
 
 
 class linear_model(Forecaster):
@@ -85,8 +84,7 @@ class linear_model(Forecaster):
         max_buf = self.lags + (self.max_horizons or 1) - 1
         self.state["y_lag"] = make_y_lag(y, max(self.lags, max_buf)).persist()
 
-    def _predict(self, fh: int, X: DataFrame | None = None) -> DataFrame:
-        p = self.state["panel"]
+    def _predict_values(self, fh: int, X: DataFrame | None = None) -> DataFrame:
         y_lag = self.state["y_lag"]
         preds = None
         if self.strategy in ("recursive", "ensemble"):
@@ -105,12 +103,7 @@ class linear_model(Forecaster):
                     .join(d.withColumnRenamed("yhat", "__d"), on=[e, "step"])
                     .select(e, "step", ((F.col("__r") + F.col("__d")) / 2).alias("yhat"))
                 )
-        futures = make_future_ranges(self.state["cutoffs"], fh, self.freq, p.time)
-        rows = explode_future_ranges(futures)
-        return (
-            rows.join(preds, on=[p.entity, "step"], how="inner")
-            .select(p.entity, p.time, F.col("yhat").alias(p.target))
-        )
+        return preds.withColumnRenamed("yhat", "__yhat")
 
 
 class lasso(linear_model):

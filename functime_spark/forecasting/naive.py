@@ -12,7 +12,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from functime_spark.forecasting.base import Forecaster
-from functime_spark.forecasting.ranges import explode_future_ranges, make_future_ranges
 
 
 class naive(Forecaster):
@@ -24,13 +23,12 @@ class naive(Forecaster):
             F.max_by(p.target, p.time).alias("__last")
         )
 
-    def _predict(self, fh: int, X: DataFrame | None = None) -> DataFrame:
+    def _predict_values(self, fh: int, X: DataFrame | None = None) -> DataFrame:
         p = self.state["panel"]
-        futures = make_future_ranges(self.state["cutoffs"], fh, self.freq, p.time)
-        rows = explode_future_ranges(futures)
-        return (
-            rows.join(F.broadcast(self.state["y_last"]), on=p.entity, how="left")
-            .select(p.entity, p.time, F.col("__last").alias(p.target))
+        return self.state["y_last"].select(
+            p.entity,
+            F.explode(F.sequence(F.lit(0), F.lit(fh - 1))).alias("step"),
+            F.col("__last").alias("__yhat"),
         )
 
 
@@ -52,10 +50,8 @@ class snaive(Forecaster):
             .orderBy(p.time)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        tail = F.slice(
-            F.collect_list(p.target).over(ow), -self.sp, self.sp
-        )
-        lasts = (
+        tail = F.slice(F.collect_list(p.target).over(ow), -self.sp, self.sp)
+        self.state["y_tail"] = (
             y.withColumn("__tail", tail)
             .withColumn(
                 "__rn",
@@ -66,16 +62,12 @@ class snaive(Forecaster):
             .filter(F.col("__rn") == 1)
             .select(p.entity, "__tail")
         )
-        self.state["y_tail"] = lasts
 
-    def _predict(self, fh: int, X: DataFrame | None = None) -> DataFrame:
+    def _predict_values(self, fh: int, X: DataFrame | None = None) -> DataFrame:
         p = self.state["panel"]
-        futures = make_future_ranges(self.state["cutoffs"], fh, self.freq, p.time)
-        rows = explode_future_ranges(futures)
+        step = F.explode(F.sequence(F.lit(0), F.lit(fh - 1))).alias("step")
+        rows = self.state["y_tail"].select(p.entity, step, "__tail")
         val = F.element_at(
             F.col("__tail"), (F.col("step") % F.size("__tail") + 1).cast("int")
         )
-        return (
-            rows.join(F.broadcast(self.state["y_tail"]), on=p.entity, how="left")
-            .select(p.entity, p.time, val.alias(p.target))
-        )
+        return rows.select(p.entity, "step", val.alias("__yhat"))

@@ -432,18 +432,24 @@ class diff(Transformer):
         self.order = order
         self.sp = sp
         self.fill_strategy = fill_strategy
-        self.heads: DataFrame | None = None
-        self.lasts: DataFrame | None = None
+        self.seeds: list = []  # seed rows captured before each diff level
 
     def transform(self, df: DataFrame) -> DataFrame:
         p = panel_cols(df)
         cols = numeric_cols(df, exclude=(p.entity, p.time))
         ow = ordered_window(p.entity, p.time)
         rn = F.row_number().over(ow)
-        n_seed = self.sp * self.order
-        self.heads = df.withColumn("__rn", rn).filter(F.col("__rn") <= n_seed).drop("__rn")
+        self.seeds = []
         out = df
-        for _ in range(self.order):
+        for level in range(self.order):
+            # level k's first non-null rows per phase sit at positions
+            # [k*sp, (k+1)*sp) — those seed the inversion of level k
+            lo, hi = level * self.sp, (level + 1) * self.sp
+            self.seeds.append(
+                out.withColumn("__rn", rn - 1)
+                .filter((F.col("__rn") >= lo) & (F.col("__rn") < hi))
+                .drop("__rn")
+            )
             out = out.withColumns(
                 {c: F.col(c) - F.lag(c, self.sp).over(ow) for c in cols}
             )
@@ -452,28 +458,33 @@ class diff(Transformer):
         return out
 
     def invert(self, df: DataFrame) -> DataFrame:
-        """Prepend stored seed rows, cumulative-sum `order` times per
-        seasonal phase, then keep only the input's (entity, time) keys."""
-        if self.heads is None:
+        """Undo each diff level in reverse: restore that level's seed
+        values at the (null) seed positions, then cumulative-sum per
+        seasonal phase. Deterministic — no duplicate-arbitration."""
+        if not self.seeds:
             raise RuntimeError("call transform() first")
         p = panel_cols(df)
         cols = [c for c in numeric_cols(df, exclude=(p.entity, p.time))]
-        merged = df.unionByName(
-            self.heads.select(df.columns), allowMissingColumns=False
-        ).dropDuplicates([p.entity, p.time])
         ow = ordered_window(p.entity, p.time)
-        phase = (F.row_number().over(ow) - 1) % self.sp
-        merged = merged.withColumn("__phase", phase)
-        pw = (
-            Window.partitionBy(p.entity, "__phase")
-            .orderBy(p.time)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        out = merged
-        for _ in range(self.order):
-            out = out.withColumns({c: F.sum(c).over(pw) for c in cols})
-        out = out.drop("__phase")
-        return df.select(p.entity, p.time).join(out, on=[p.entity, p.time], how="left")
+        out = df
+        for seeds in reversed(self.seeds):
+            seed_renamed = seeds.select(
+                p.entity,
+                p.time,
+                *[F.col(c).alias(f"__seed_{c}") for c in cols],
+            )
+            out = out.join(seed_renamed, on=[p.entity, p.time], how="left")
+            out = out.withColumns(
+                {c: F.coalesce(f"__seed_{c}", c) for c in cols}
+            ).drop(*[f"__seed_{c}" for c in cols])
+            out = out.withColumn("__phase", (F.row_number().over(ow) - 1) % self.sp)
+            pw = (
+                Window.partitionBy(p.entity, "__phase")
+                .orderBy(p.time)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            out = out.withColumns({c: F.sum(c).over(pw) for c in cols}).drop("__phase")
+        return out
 
 
 class log1p(Transformer):

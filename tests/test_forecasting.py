@@ -1,0 +1,154 @@
+"""Forecasters: shape contracts, semantics vs hand-rolled numpy, and
+backtest/conformal plumbing (mirrors reference tests/test_forecasting.py)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _pdf(df, cols=("user_id", "ts")):
+    return df.toPandas().sort_values(list(cols)).reset_index(drop=True)
+
+
+def test_naive(events, events_pdf):
+    from functime_spark.forecasting.naive import naive
+
+    fc = naive(freq="1h").fit(events)
+    pred = _pdf(fc.predict(3))
+    n_entities = events_pdf["user_id"].nunique()
+    assert len(pred) == 3 * n_entities
+    lasts = events_pdf.sort_values("ts").groupby("user_id")["value"].last()
+    for uid, grp in pred.groupby("user_id"):
+        assert (grp["value"] == lasts[uid]).all()
+
+
+def test_snaive(events, events_pdf):
+    from functime_spark.forecasting.naive import snaive
+
+    sp = 4
+    fc = snaive(freq="1h", sp=sp).fit(events)
+    pred = _pdf(fc.predict(6))
+    tails = events_pdf.sort_values("ts").groupby("user_id")["value"].apply(
+        lambda s: s.iloc[-sp:].to_list()
+    )
+    for uid, grp in pred.groupby("user_id"):
+        want = [tails[uid][i % sp] for i in range(6)]
+        np.testing.assert_allclose(grp["value"].to_numpy(), want)
+
+
+def test_future_ranges_calendar(spark):
+    from functime_spark.forecasting.ranges import make_future_ranges
+
+    cutoffs = spark.createDataFrame(
+        [("a", "2024-01-31")], "entity string, low string"
+    ).select("entity", F.col("low").cast("timestamp"))
+    out = make_future_ranges(cutoffs, 3, "1mo", "t").collect()[0]["t"]
+    assert [str(t.date()) for t in out] == ["2024-02-29", "2024-03-31", "2024-04-30"]
+
+
+def test_future_ranges_integer(spark):
+    from functime_spark.forecasting.ranges import make_future_ranges
+
+    cutoffs = spark.createDataFrame([("a", 10)], "entity string, low long")
+    out = make_future_ranges(cutoffs, 4, "1i", "t").collect()[0]["t"]
+    assert out == [11, 12, 13, 14]
+
+
+def test_linear_model_recovers_ar_process(spark):
+    """A pure AR(2) process must be forecast near-exactly."""
+    from functime_spark.forecasting.linear import linear_model
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for ent in ["a", "b"]:
+        x = [1.0, 2.0]
+        for t in range(200):
+            x.append(0.6 * x[-1] + 0.3 * x[-2] + 0.01)
+        for t, v in enumerate(x):
+            rows.append((ent, t, float(v)))
+    y = spark.createDataFrame(rows, "entity string, time long, value double")
+    fc = linear_model(freq="1i", lags=2).fit(y)
+    coef, b = fc.state["recursive_model"]
+    np.testing.assert_allclose(coef, [0.6, 0.3], atol=1e-6)
+    pred = fc.predict(3).toPandas().sort_values(["entity", "time"])
+    # continue the recursion by hand for entity a
+    xa = [r[2] for r in rows if r[0] == "a"]
+    want = []
+    buf = xa[:]
+    for _ in range(3):
+        nxt = 0.6 * buf[-1] + 0.3 * buf[-2] + 0.01
+        want.append(nxt)
+        buf.append(nxt)
+    got = pred[pred.entity == "a"]["value"].to_numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_linear_strategies(events):
+    from functime_spark.forecasting.linear import linear_model
+
+    for strategy in ("direct", "ensemble"):
+        fc = linear_model(freq="1h", lags=4, strategy=strategy, max_horizons=3).fit(events)
+        pred = fc.predict(3)
+        assert pred.count() == 3 * events.select("user_id").distinct().count()
+
+
+def test_backtest_and_conformal(events):
+    from functime_spark.forecasting.naive import naive
+
+    fc = naive(freq="1h")
+    bt = fc.backtest(events, test_size=2, n_splits=2)
+    assert set(bt.columns) == {"user_id", "ts", "value", "split"}
+    assert bt.select("split").distinct().count() == 2
+
+    ci = naive(freq="1h").conformalize(events, fh=2, alphas=[0.2], n_splits=2)
+    pdf = ci.toPandas()
+    assert set(pdf["quantile"].unique()) == {0.1, 0.9}
+    lo = pdf[pdf["quantile"] == 0.1].sort_values(["user_id", "ts"])["value"].to_numpy()
+    hi = pdf[pdf["quantile"] == 0.9].sort_values(["user_id", "ts"])["value"].to_numpy()
+    assert (lo <= hi).all()
+
+
+def test_metrics(spark):
+    from functime_spark.operators import metrics as M
+
+    y_true = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 5.0)],
+        "entity string, time int, value double",
+    )
+    y_pred = spark.createDataFrame(
+        [("a", 1, 12.0), ("a", 2, 18.0), ("b", 1, 5.0)],
+        "entity string, time int, value double",
+    )
+    mae = {r["entity"]: r["mae"] for r in M.mae(y_true, y_pred).collect()}
+    assert mae == {"a": 2.0, "b": 0.0}
+    smape = {r["entity"]: r["smape"] for r in M.smape(y_true, y_pred).collect()}
+    assert smape["a"] == pytest.approx(4.0 / 60.0)
+    rmse = {r["entity"]: r["rmse"] for r in M.rmse(y_true, y_pred).collect()}
+    assert rmse["a"] == pytest.approx(2.0)
+    scores = M.score_forecast(y_true, y_pred, y_true)
+    assert set(scores.columns) == {
+        "entity", "mae", "mase", "mse", "overforecast", "rmse", "rmsse", "smape", "underforecast",
+    }
+
+
+def test_cv_splits(events, events_pdf):
+    from functime_spark.operators.cross_validation import (
+        expanding_window_split,
+        sliding_window_split,
+        train_test_split,
+    )
+
+    train, test = train_test_split(events, test_size=5)
+    counts = test.groupBy("user_id").count().collect()
+    assert all(r["count"] == 5 for r in counts)
+    assert train.count() + test.count() == len(events_pdf)
+
+    splits = expanding_window_split(events, test_size=3, n_splits=2, step_size=3)
+    (tr0, te0), (tr1, te1) = splits[0], splits[1]
+    assert te0.count() == te1.count()
+    assert tr0.count() < tr1.count()
+
+    s = sliding_window_split(events, test_size=3, n_splits=2, step_size=3, window_size=10)
+    tr, te = s[1]
+    per_entity = tr.groupBy("user_id").count().collect()
+    assert all(r["count"] <= 10 for r in per_entity)

@@ -1,0 +1,165 @@
+"""Preprocessing transformers: shape, semantics, and invertibility
+(mirrors the reference's sklearn/scipy-equivalence strategy,
+tests/test_preprocessing.py)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _pdf(df):
+    return df.toPandas().sort_values(["user_id", "ts"]).reset_index(drop=True)
+
+
+def test_scale_roundtrip(events):
+    from functime_spark.operators.preprocessing import scale
+
+    t = scale()
+    scaled = t.transform(events)
+    stats = _pdf(scaled).groupby("user_id")["value"].agg(["mean", "std"])
+    np.testing.assert_allclose(stats["mean"], 0, atol=1e-9)
+    np.testing.assert_allclose(stats["std"], 1, atol=1e-9)
+    back = _pdf(t.invert(scaled))
+    orig = _pdf(events)
+    np.testing.assert_allclose(back["value"], orig["value"], atol=1e-9)
+
+
+def test_diff_invert(events):
+    from functime_spark.operators.preprocessing import diff
+
+    t = diff(order=1)
+    d = t.transform(events)
+    back = _pdf(t.invert(d))
+    orig = _pdf(events)
+    np.testing.assert_allclose(back["value"], orig["value"], atol=1e-9)
+
+
+def test_diff_seasonal_invert(events):
+    from functime_spark.operators.preprocessing import diff
+
+    t = diff(order=1, sp=3)
+    back = _pdf(t.invert(t.transform(events)))
+    orig = _pdf(events)
+    np.testing.assert_allclose(back["value"], orig["value"], atol=1e-9)
+
+
+def test_log1p_roundtrip(events):
+    from functime_spark.operators.preprocessing import log1p
+
+    t = log1p()
+    back = _pdf(t.invert(t.transform(events)))
+    np.testing.assert_allclose(back["value"], _pdf(events)["value"], rtol=1e-12)
+
+
+def test_lag_matches_pandas(events, events_pdf):
+    from functime_spark.operators.preprocessing import lag
+
+    out = _pdf(lag([1, 2]).transform(events))
+    g = events_pdf.groupby("user_id")["value"]
+    want = events_pdf.assign(l1=g.shift(1), l2=g.shift(2)).groupby("user_id").apply(
+        lambda d: d.iloc[2:], include_groups=False
+    )
+    np.testing.assert_allclose(out["value__lag_1"], want["l1"].to_numpy())
+    np.testing.assert_allclose(out["value__lag_2"], want["l2"].to_numpy())
+
+
+def test_boxcox_roundtrip(events):
+    from functime_spark.operators.preprocessing import boxcox
+
+    t = boxcox()
+    out = t.transform(events)
+    back = _pdf(t.invert(out))
+    np.testing.assert_allclose(back["value"], _pdf(events)["value"], rtol=1e-6)
+
+
+def test_yeojohnson_roundtrip(events):
+    from functime_spark.operators.preprocessing import yeojohnson
+
+    t = yeojohnson()
+    back = _pdf(t.invert(t.transform(events)))
+    np.testing.assert_allclose(back["value"], _pdf(events)["value"], rtol=1e-6)
+
+
+def test_detrend_linear(events):
+    from functime_spark.operators.preprocessing import detrend
+
+    t = detrend("linear")
+    out = _pdf(t.transform(events))
+    # residuals per entity are orthogonal to the time index
+    for uid, grp in out.groupby("user_id"):
+        r = grp["value"].to_numpy()
+        i = np.arange(len(r))
+        assert abs(np.polyfit(i, r, 1)[0]) < 1e-8
+    back = _pdf(t.invert(t.transform(events)))
+    np.testing.assert_allclose(back["value"], _pdf(events)["value"], atol=1e-8)
+
+
+def test_impute_ffill(spark):
+    from functime_spark.operators.preprocessing import impute
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, None), ("a", 3, 3.0), ("b", 1, None), ("b", 2, 5.0)],
+        "entity string, time int, value double",
+    )
+    out = impute("ffill").transform(df).orderBy("entity", "time").collect()
+    assert [r["value"] for r in out] == [1.0, 1.0, 3.0, None, 5.0]
+    out = impute("bfill").transform(df).orderBy("entity", "time").collect()
+    assert [r["value"] for r in out] == [1.0, 3.0, 3.0, 5.0, 5.0]
+
+
+def test_impute_interpolate(spark):
+    from functime_spark.operators.preprocessing import impute
+
+    df = spark.createDataFrame(
+        [("a", 1, 0.0), ("a", 2, None), ("a", 3, None), ("a", 4, 3.0)],
+        "entity string, time int, value double",
+    )
+    out = impute("interpolate").transform(df).orderBy("time").collect()
+    assert [r["value"] for r in out] == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_fractional_diff_weights():
+    from functime_spark.operators.preprocessing import _ffd_weights
+
+    w = _ffd_weights(0.5, None, 5)
+    # w_k = -w_{k-1} (d - k + 1)/k with d = 0.5
+    assert w[0] == 1.0
+    assert w[1] == pytest.approx(-0.5)
+    assert w[2] == pytest.approx(-0.125)
+
+
+def test_resample_daily(events):
+    from functime_spark.operators.preprocessing import resample
+
+    out = _pdf(resample("1d", "sum", "ffill").transform(events))
+    # grid is complete: every entity has every day
+    counts = out.groupby("user_id")["ts"].count()
+    assert counts.nunique() == 1
+    assert out["value"].notna().all()
+
+
+def test_trim(events, events_pdf):
+    from functime_spark.operators.preprocessing import trim
+
+    out = _pdf(trim("both").transform(events))
+    starts = events_pdf.groupby("user_id")["ts"].min()
+    ends = events_pdf.groupby("user_id")["ts"].max()
+    assert out["ts"].min() >= starts.max()
+    assert out["ts"].max() <= ends.min()
+
+
+def test_one_hot_encode(spark):
+    from functime_spark.operators.preprocessing import one_hot_encode
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0, "x"), ("a", 2, 2.0, "y"), ("b", 1, 3.0, "x")],
+        "entity string, time int, value double, cat string",
+    )
+    enc = one_hot_encode()
+    out = enc.transform(df)
+    assert "cat__x" in out.columns and "cat__y" in out.columns
+    with pytest.raises(ValueError):
+        df_new = spark.createDataFrame(
+            [("a", 3, 1.0, "z")], "entity string, time int, value double, cat string"
+        )
+        enc.transform_new(df_new).collect()
