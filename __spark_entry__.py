@@ -320,6 +320,136 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs (inverted-index join)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, threshold=0.1)
+    return _round_floats(out).orderBy("id_a", "id_b")
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup pipeline — rows-only (xxhash64 signatures
+    have no DuckDB twin)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.dedup import minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _round_floats(minhash_dedup(docs, threshold=0.3)).orderBy("id_a", "id_b")
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash banded near-dup candidates — rows-only."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.dedup import simhash_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, max_hamming=12).orderBy("id_a", "id_b")
+
+
+def q_text_language_id(spark, sf_dir):
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.text import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _round_floats(language_id(docs)).orderBy("doc_id")
+
+
+def q_text_quality(spark, sf_dir):
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.text import quality_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _round_floats(quality_scores(docs)).orderBy("doc_id")
+
+
+def q_text_token_counts(spark, sf_dir):
+    """Whitespace/punct/BPE-ish token counts — rows-only (lookaround
+    regex is not RE2-expressible)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.text import token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_counts(docs).orderBy("doc_id")
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints — rows-only (xxhash64)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs).orderBy("doc_id")
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed approximate top-k — rows-only (probe subset)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.similarity import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ivf = IVFIndex(n_cells=8).fit(emb)
+    assigned = ivf.assign(emb.filter(F.col("vec_id") != 0))
+    return _round_floats(ivf.search(assigned, list(qvec), k=5, n_probe=3))
+
+
+def q_feat_udf_scalar(spark, sf_dir):
+    """UDF-tier scalar features (entropy family, ADF, LZ) — rows-only."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.functions.features_udf import extract_features_udf
+
+    df = events_panel(spark, sf_dir)
+    out = extract_features_udf(
+        df,
+        [
+            "approximate_entropy",
+            "sample_entropy",
+            "lempel_ziv_complexity",
+            "augmented_dickey_fuller",
+            "fourier_entropy",
+            "spkt_welch_density",
+        ],
+    )
+    return _round_floats(out).orderBy("user_id")
+
+
+def q_cusum_events(spark, sf_dir):
+    """CUSUM changepoint events (stateful sequential kernel) — rows-only."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.functions.features_udf import cusum
+
+    df = events_panel(spark, sf_dir)
+    return cusum(df, threshold=3.0, warmup_period=10).orderBy("user_id", "ts")
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload → deterministic stub
+    features via mapInPandas — rows-only."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.multimodal import attach_payload, extract_features_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_payload(docs, "doc_id", "text")
+    feats = extract_features_media(media, dim=16)
+    return feats.select(
+        "media_id", F.size("feature").alias("dim")
+    ).orderBy("media_id")
+
+
+def q_forecast_backtest_naive(spark, sf_dir):
+    """Naive backtest over 2 expanding splits, step-aligned to actual
+    test timestamps."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.naive import naive
+
+    df = events_panel(spark, sf_dir)
+    out = naive(freq="1h").backtest(df, test_size=4, n_splits=2, step_size=4)
+    return _round_floats(out).orderBy("user_id", "ts", "split")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -354,6 +484,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_exact": q_dedup_exact,
             "text_stats": q_text_stats,
             "ann_cosine_topk": q_ann_cosine_topk,
+            "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+            "dedup_minhash": q_dedup_minhash,
+            "dedup_simhash": q_dedup_simhash,
+            "text_language_id": q_text_language_id,
+            "text_quality": q_text_quality,
+            "text_token_counts": q_text_token_counts,
+            "text_fingerprint": q_text_fingerprint,
+            "ann_ivf_topk": q_ann_ivf_topk,
+            "feat_udf_scalar": q_feat_udf_scalar,
+            "cusum_events": q_cusum_events,
+            "media_features": q_media_features,
+            "forecast_backtest_naive": q_forecast_backtest_naive,
         }
     )
     return q

@@ -1,0 +1,362 @@
+"""UDF-tier feature extractors: sequential / numerical kernels.
+
+The Spark analogue of the reference's Rust-plugin + eager-NumPy escape
+hatches (SURVEY §2.9). Each kernel is a per-series numpy function; the
+distribution strategy is `groupBy(entity).applyInPandas` — Arrow
+batches, embarrassingly parallel across entities, one shuffle total
+when fused via `extract_features_udf`.
+
+All kernels are scipy-free (the container ships numpy only): Chebyshev
+ball counts are brute-force O(n^2) per series (fine at per-entity
+lengths; the cross-entity axis is what scales), Welch PSD and the
+Ricker wavelet are re-derived from their definitions.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from functime_spark.panel import panel_cols
+
+__all__ = [
+    "UDF_FEATURES",
+    "extract_features_udf",
+    "cusum",
+]
+
+
+# ---------------------------------------------------------------------------
+# numpy kernels (x: 1-D float64 array, time-ordered)
+# ---------------------------------------------------------------------------
+
+
+def _embed(x: np.ndarray, m: int) -> np.ndarray:
+    """Sliding windows of length m: shape (n-m+1, m)."""
+    n = len(x) - m + 1
+    return np.lib.stride_tricks.sliding_window_view(x, m)[:n]
+
+
+def _chebyshev_counts(mat: np.ndarray, r: float) -> np.ndarray:
+    """#points within Chebyshev distance r of each row (incl. self)."""
+    d = np.abs(mat[:, None, :] - mat[None, :, :]).max(axis=2)
+    return (d <= r).sum(axis=1)
+
+
+def approximate_entropy(
+    x: np.ndarray, run_length: int = 2, filtering_level: float = 0.2, scale_by_std: bool = True
+) -> float:
+    """|phi_m - phi_{m+1}| with Chebyshev radius r. Ref
+    feature_extractors.py:111-177."""
+    if filtering_level <= 0:
+        raise ValueError("filtering_level must be positive")
+    r = filtering_level * x.std(ddof=1) if scale_by_std else filtering_level
+    m = run_length
+    if len(x) < m + 1:
+        return 0.0
+    data_m = _embed(x, m)[: len(x) - m + 1]
+    phi_m = np.log(_chebyshev_counts(data_m, r) / len(data_m)).sum() / len(data_m)
+    data_m1 = _embed(x, m + 1)
+    phi_m1 = np.log(_chebyshev_counts(data_m1, r) / len(data_m1)).sum() / len(data_m1)
+    return float(abs(phi_m - phi_m1))
+
+
+def sample_entropy(x: np.ndarray, ratio: float = 0.2, m: int = 2) -> float:
+    """ln(B/A) with Chebyshev radius ratio*std_pop. Ref :1478-1528."""
+    if len(x) < m + 1:
+        return float("nan")
+    r = ratio * x.std(ddof=0)
+    mat = _embed(x, m)
+    b = _chebyshev_counts(mat, r).sum() - mat.shape[0]
+    mat1 = _embed(x, m + 1)
+    a = _chebyshev_counts(mat1, r).sum() - mat1.shape[0]
+    if a == 0 or b == 0:
+        return float("nan")
+    return float(np.log(b / a))
+
+
+def lempel_ziv_complexity(
+    x: np.ndarray, threshold: float, as_ratio: bool = True
+) -> float:
+    """Distinct-substring count of the binarized series.
+
+    Ref feature_extractors.py:918-953 + rust kernel
+    src/feature_extraction/feature_extractor.rs:9-35 (same two-pointer
+    hash-set scan)."""
+    bits = (x > threshold).astype(np.uint8).tobytes()
+    ind, inc = 0, 1
+    subs = set()
+    n = len(bits)
+    while ind + inc <= n:
+        sub = bits[ind : ind + inc]
+        if sub in subs:
+            inc += 1
+        else:
+            subs.add(sub)
+            ind += inc
+            inc = 1
+    c = len(subs)
+    return float(c / len(x)) if as_ratio else float(c)
+
+
+def augmented_dickey_fuller(x: np.ndarray, n_lags: int = 1) -> float:
+    """ADF t-statistic (no constant-model selection). Ref :184-228."""
+    y = np.nan_to_num(x, nan=0.0)
+    length = len(y) - n_lags - 1
+    if length <= n_lags + 3:
+        return float("nan")
+    dy = np.diff(y)
+    cols = [y[n_lags : n_lags + length]]
+    for i in range(0, n_lags + 1):
+        cols.append(dy[n_lags - i : n_lags - i + length])
+    X = np.column_stack(cols[:1] + cols[2:] + [np.ones(length)])
+    target = cols[1]
+    coeffs, resids, *_ = np.linalg.lstsq(X, target, rcond=None)
+    resid = target - X @ coeffs
+    mse = (resid @ resid) / (length - X.shape[1])
+    ys = X[:, 0] - X[:, 0].mean()
+    stderr = math.sqrt(mse / (ys @ ys))
+    return float(coeffs[0] / stderr)
+
+
+def autoregressive_coefficients(x: np.ndarray, n_lags: int = 4) -> list:
+    """AR(n) least-squares coefficients (+ intercept last). Ref :262-300."""
+    y = np.nan_to_num(x, nan=0.0)
+    length = len(y) - n_lags
+    if length <= n_lags + 1:
+        return [float("nan")] * (n_lags + 1)
+    X = np.column_stack(
+        [y[n_lags - i : n_lags - i + length] for i in range(1, n_lags + 1)]
+        + [np.ones(length)]
+    )
+    target = y[n_lags:]
+    coeffs, *_ = np.linalg.lstsq(X, target, rcond=None)
+    return [float(c) for c in coeffs]
+
+
+def friedrich_coefficients(
+    x: np.ndarray, polynomial_order: int = 3, n_quantiles: int = 30
+) -> list:
+    """Polyfit of mean(delta) vs mean(signal) over quantile bins. Ref :725-772."""
+    if len(x) <= n_quantiles:
+        return [float("nan")] * (polynomial_order + 1)
+    delta = np.diff(x)
+    sig = x[:-1]
+    edges = np.quantile(x, np.linspace(0, 1, n_quantiles + 1))
+    which = np.clip(np.searchsorted(edges[1:-1], sig, side="left"), 0, n_quantiles - 1)
+    xs, ys = [], []
+    for q in range(n_quantiles):
+        mask = which == q
+        if mask.any():
+            xs.append(sig[mask].mean())
+            ys.append(delta[mask].mean())
+    return [float(c) for c in np.polyfit(xs, ys, deg=polynomial_order)]
+
+
+def fft_coefficients(x: np.ndarray, n_coefficients: int = 8) -> dict:
+    """First n rFFT coefficients. Ref :1911-1935 (full list there; we
+    truncate to a fixed width for a stable distributed schema)."""
+    f = np.fft.rfft(x)[:n_coefficients]
+    pad = n_coefficients - len(f)
+    real = np.pad(f.real, (0, pad), constant_values=np.nan)
+    imag = np.pad(f.imag, (0, pad), constant_values=np.nan)
+    angle = np.arctan2(real, imag) * 180 / np.pi
+    return {
+        "real": [float(v) for v in real],
+        "imag": [float(v) for v in imag],
+        "angle": [float(v) for v in angle],
+    }
+
+
+def _ricker(points: int, a: float) -> np.ndarray:
+    A = 2 / (math.sqrt(3 * a) * (math.pi**0.25))
+    vec = np.arange(0, points) - (points - 1.0) / 2
+    wsq = a**2
+    return A * (1 - vec**2 / wsq) * np.exp(-(vec**2) / (2 * wsq))
+
+
+def cwt_coefficients(
+    x: np.ndarray, widths: tuple = (2, 5, 10, 20), n_coefficients: int = 14
+) -> list:
+    """Ricker-wavelet CWT coefficients, flattened over widths. Ref :589-625."""
+    out = []
+    for w in widths:
+        points = min(10 * w, len(x))
+        conv = np.convolve(x, _ricker(points, w), mode="same")
+        out.extend(float(v) for v in conv[:n_coefficients])
+    return out
+
+
+def _welch_psd(x: np.ndarray, nperseg: int = 256) -> np.ndarray:
+    """Welch power spectral density, hann window, 50% overlap,
+    constant detrend, one-sided — numpy re-derivation of the standard
+    method (scipy.signal.welch defaults)."""
+    n = len(x)
+    nperseg = min(n, nperseg)
+    noverlap = nperseg // 2
+    step = nperseg - noverlap
+    win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(nperseg) / nperseg)
+    scale = 1.0 / (win * win).sum()
+    n_freqs = nperseg // 2 + 1
+    psd = np.zeros(n_freqs)
+    n_seg = 0
+    for start in range(0, n - nperseg + 1, step):
+        seg = x[start : start + nperseg]
+        seg = (seg - seg.mean()) * win
+        spec = np.fft.rfft(seg)
+        p = (spec.real**2 + spec.imag**2) * scale
+        if nperseg % 2 == 0:
+            p[1:-1] *= 2
+        else:
+            p[1:] *= 2
+        psd += p
+        n_seg += 1
+    return psd / max(n_seg, 1)
+
+
+def fourier_entropy(x: np.ndarray, n_bins: int = 10) -> float:
+    """Binned entropy of the normalized Welch PSD. Ref :695-722."""
+    if len(x) < 2:
+        return float("nan")
+    pxx = _welch_psd(x)
+    pxx = pxx / pxx.max()
+    b = np.floor((pxx - pxx.min()) / (1e-12 + (pxx.max() - pxx.min()) / n_bins))
+    _, counts = np.unique(b, return_counts=True)
+    p = counts / len(pxx)
+    return float(-(p * np.log(p)).sum())
+
+
+def spkt_welch_density(x: np.ndarray, coeff: int = 5) -> float:
+    """Welch PSD value at a frequency index. Ref :1532-1561."""
+    pxx = _welch_psd(x)
+    if coeff >= len(pxx):
+        return float("nan")
+    return float(pxx[coeff])
+
+
+#: name -> (kernel, default params, spark output type)
+UDF_FEATURES: dict = {
+    "approximate_entropy": (approximate_entropy, {"run_length": 2, "filtering_level": 0.2}, "double"),
+    "sample_entropy": (sample_entropy, {"ratio": 0.2, "m": 2}, "double"),
+    "lempel_ziv_complexity": (lempel_ziv_complexity, {"threshold": 0.0, "as_ratio": True}, "double"),
+    "augmented_dickey_fuller": (augmented_dickey_fuller, {"n_lags": 1}, "double"),
+    "autoregressive_coefficients": (autoregressive_coefficients, {"n_lags": 4}, "array<double>"),
+    "friedrich_coefficients": (friedrich_coefficients, {"polynomial_order": 3, "n_quantiles": 30}, "array<double>"),
+    "cwt_coefficients": (cwt_coefficients, {"widths": (2, 5, 10, 20), "n_coefficients": 14}, "array<double>"),
+    "fourier_entropy": (fourier_entropy, {"n_bins": 10}, "double"),
+    "spkt_welch_density": (spkt_welch_density, {"coeff": 5}, "double"),
+    "fft_coefficients": (
+        fft_coefficients,
+        {"n_coefficients": 8},
+        "struct<real:array<double>,imag:array<double>,angle:array<double>>",
+    ),
+}
+
+
+def extract_features_udf(
+    df: DataFrame,
+    feats: dict | list | None = None,
+    entity: str | None = None,
+    time: str | None = None,
+    value: str | None = None,
+) -> DataFrame:
+    """Fused per-entity UDF extraction: ONE grouped-map pass computes
+    every requested kernel over each (sorted) series."""
+    import pandas as pd
+
+    p = panel_cols(df)
+    entity = entity or p.entity
+    time = time or p.time
+    value = value or p.target
+
+    if feats is None:
+        feats = list(UDF_FEATURES.keys())
+    if isinstance(feats, list):
+        feats = {name: UDF_FEATURES[name][1] for name in feats}
+
+    specs = [
+        (name, UDF_FEATURES[name][0], params, UDF_FEATURES[name][2])
+        for name, params in feats.items()
+    ]
+    entity_dtype = dict(df.dtypes)[entity]
+    schema = f"{entity} {entity_dtype}, " + ", ".join(
+        f"`{name}` {dtype}" for name, _, _, dtype in specs
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time)
+        x = pdf[value].to_numpy(dtype="float64")
+        row: dict = {entity: [pdf[entity].iloc[0]]}
+        for name, fn, params, _ in specs:
+            row[name] = [fn(x, **params)]
+        return pd.DataFrame(row)
+
+    return df.select(entity, time, value).groupBy(entity).applyInPandas(run, schema=schema)
+
+
+def cusum(
+    df: DataFrame,
+    threshold: float = 5.0,
+    drift: float = 0.0,
+    warmup_period: int = 30,
+    entity: str | None = None,
+    time: str | None = None,
+    value: str | None = None,
+) -> DataFrame:
+    """CUSUM changepoint filter with state resets — per-row events.
+
+    Ref feature_extractors.py:2761-2804 + rust kernel
+    src/changepoint_detection/cusum.rs:32-93 (same warm-up/reset state
+    machine, incl. recomputing mu/sigma after each trigger)."""
+    import pandas as pd
+
+    p = panel_cols(df)
+    entity = entity or p.entity
+    time = time or p.time
+    value = value or p.target
+    entity_dtype = dict(df.dtypes)[entity]
+    time_dtype = dict(df.dtypes)[time]
+    schema = f"{entity} {entity_dtype}, {time} {time_dtype}, event int"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time)
+        vals = pdf[value].to_numpy(dtype="float64")
+        events = np.zeros(len(vals), dtype="int32")
+        s_pos = s_neg = 0.0
+        t = 0
+        mu = sigma = 0.0
+        obs: list = []
+        for i, v in enumerate(vals):
+            if t < warmup_period:
+                if not np.isnan(v):
+                    obs.append(v)
+                events[i] = 0
+                t += 1
+                continue
+            if t == warmup_period:
+                arr = np.asarray(obs)
+                mu = arr.mean()
+                sigma = arr.std()
+                t += 1
+            if np.isnan(v) or sigma == 0:
+                events[i] = 0
+                continue
+            z = (v - mu) / sigma
+            s_pos = max(s_pos + z - drift, 0.0)
+            s_neg = min(s_neg + z + drift, 0.0)
+            if s_pos > threshold or s_neg < -threshold:
+                events[i] = 1
+                s_pos = s_neg = 0.0
+                t = 0
+                obs = []
+            else:
+                events[i] = 0
+        return pd.DataFrame(
+            {entity: pdf[entity], time: pdf[time], "event": events}
+        )
+
+    return df.select(entity, time, value).groupBy(entity).applyInPandas(run, schema=schema)

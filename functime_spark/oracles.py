@@ -541,6 +541,89 @@ def operator_oracles() -> dict:
         + " AS ttr FROM t ORDER BY doc_id"
     )
 
+    o["dedup_ngram_jaccard"] = (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+        "g0 AS (SELECT doc_id, list_distinct([array_to_string(ws[i:i+2], ' ') "
+        "FOR i IN range(1, greatest(len(ws)-2, 1)+1)]) AS grams FROM w), "
+        "g AS (SELECT doc_id, unnest(grams) AS gm FROM g0), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id), "
+        "shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS sh "
+        "FROM g a JOIN g b ON a.gm = b.gm AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        f"SELECT id_a, id_b, {_r('sh/CAST(na.n + nb.n - sh AS DOUBLE)')} AS jaccard "
+        "FROM shared JOIN sizes na ON shared.id_a = na.doc_id "
+        "JOIN sizes nb ON shared.id_b = nb.doc_id "
+        "WHERE sh/CAST(na.n + nb.n - sh AS DOUBLE) >= 0.1 ORDER BY id_a, id_b"
+    )
+
+    from functime_spark.pipeline.text import LANG_LEXICONS
+
+    def _lex_sql(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in LANG_LEXICONS[lang])
+        return (
+            f"len(list_filter(ws, x -> list_contains([{words}], x)))"
+            "/CAST(len(ws) AS DOUBLE)"
+        )
+
+    langs_sorted = sorted(LANG_LEXICONS)
+    score_sel = ", ".join(f"{_lex_sql(lg)} AS score_{lg}" for lg in LANG_LEXICONS)
+    # replicate the fold in text.language_id: seed with the first sorted
+    # language, then CASE-chain strictly-greater updates
+    fold = [
+        f"s AS (SELECT doc_id, {score_sel} FROM w)",
+        f"p0 AS (SELECT *, score_{langs_sorted[0]} AS b0, "
+        f"CASE WHEN score_{langs_sorted[0]} > 0 THEN '{langs_sorted[0]}' ELSE 'und' END AS l0 FROM s)",
+    ]
+    for i, lg in enumerate(langs_sorted[1:], start=1):
+        fold.append(
+            f"p{i} AS (SELECT *, CASE WHEN score_{lg} > b{i-1} THEN '{lg}' ELSE l{i-1} END AS l{i}, "
+            f"GREATEST(score_{lg}, b{i-1}) AS b{i} FROM p{i-1})"
+        )
+    last = len(langs_sorted) - 1
+    o["text_language_id"] = (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+        + ", ".join(fold)
+        + " SELECT doc_id, "
+        + ", ".join(f"{_r(f'score_{lg}')} AS score_{lg}" for lg in LANG_LEXICONS)
+        + f", l{last} AS pred_lang FROM p{last} ORDER BY doc_id"
+    )
+
+    en_words = ", ".join(f"'{w}'" for w in LANG_LEXICONS["en"])
+    o["text_quality"] = (
+        "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents) "
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        "CAST(len(ws) AS BIGINT) AS n_words, "
+        + _r("length(text)/CAST(len(ws) AS DOUBLE)")
+        + " AS mean_word_len, "
+        + _r("len(list_distinct(ws))/CAST(len(ws) AS DOUBLE)")
+        + " AS type_token_ratio, "
+        + _r(
+            f"len(list_filter(ws, x -> list_contains([{en_words}], x)))/CAST(len(ws) AS DOUBLE)"
+        )
+        + " AS stopword_ratio, "
+        + _r(
+            r"(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))"
+            "/CAST(length(text) AS DOUBLE)"
+        )
+        + " AS punct_ratio, "
+        + _r(
+            "(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))"
+            "/CAST(length(text) AS DOUBLE)"
+        )
+        + " AS digit_ratio FROM t ORDER BY doc_id"
+    )
+
+    o["forecast_backtest_naive"] = (
+        f"WITH q AS (SELECT user_id, ts, value, row_number() OVER w - 1 AS i, "
+        f"COUNT(*) OVER (PARTITION BY user_id) AS n FROM events {_W}), "
+        "splits(s, cutoff) AS (VALUES (0, 8), (1, 4)), "
+        "lt AS (SELECT q.user_id, s.s AS split, q.value AS pred FROM q, splits s "
+        "WHERE q.i = q.n - s.cutoff - 1) "
+        f"SELECT q.user_id, q.ts, {_r('lt.pred')} AS value, lt.split "
+        "FROM q JOIN splits s ON q.i >= q.n - s.cutoff AND q.i < q.n - s.cutoff + 4 "
+        "JOIN lt ON lt.user_id = q.user_id AND lt.split = s.s "
+        "ORDER BY q.user_id, q.ts, lt.split"
+    )
+
     o["ann_cosine_topk"] = (
         "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) "
         "SELECT vec_id, "

@@ -1,0 +1,282 @@
+"""Deduplication operators over a (doc_id, text) corpus.
+
+Scale design: every variant is shuffle-bounded —
+
+- exact: one hash-aggregate on the text (or its md5 at 100 TB to
+  shrink shuffle payloads).
+- MinHash-LSH: shingle explode → per-doc signature aggregate (one
+  shuffle) → band explode → bucket aggregate (second shuffle); only
+  same-bucket pairs are candidates, so the quadratic verify step
+  touches a vanishing fraction of pairs.
+- SimHash: per-token 64-bit hash, per-bit weighted vote as 64 native
+  aggregates, Hamming-band bucketing for candidates.
+- n-gram Jaccard: exact verify on candidate pairs (or full self-join
+  on small corpora).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per distinct text; report copy counts."""
+    return (
+        docs.groupBy(text_col)
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, "n_copies")
+    )
+
+
+def shingles(text_col, n: int = 3):
+    """Word n-gram array (distinct) from a text column."""
+    words = F.split(text_col, r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig array<bigint>): k permutation-free min-hashes, where
+    hash_i(s) = xxhash64(i, s). One explode + one grouped aggregate."""
+    exploded = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = exploded.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 8
+) -> DataFrame:
+    """Band the signature; docs sharing any band-hash are candidate
+    near-duplicate pairs (id_a < id_b)."""
+    n_hashes = None  # derived from the array at runtime
+    sig = F.col("sig")
+    r = F.floor(F.size(sig) / bands).cast("int")
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(F.concat_ws(",", F.transform(
+                    F.slice(sig, b * r + 1, r), lambda v: v.cast("string")
+                ))),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signatures → banded
+    candidates → signature-similarity verify → (id_a, id_b, est_jaccard)."""
+    sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_n)
+    cands = minhash_lsh_candidates(sigs, id_col, bands)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    ) / F.size("sig_a")
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard over co-shingled pairs (id_a < id_b).
+
+    The gram-equi-join prunes pairs with zero overlap, so the shuffle
+    carries only (gram, doc) postings — the classic
+    inverted-index-join formulation."""
+    grams = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("g")
+    )
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col(id_col).alias("id_a"), "g")
+    b = grams.select(F.col(id_col).alias("id_b"), "g")
+    shared = (
+        a.join(b, ["g"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        shared.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash: per-token xxhash64, per-bit majority vote.
+
+    One explode + one aggregate of `bits` native sums — no UDF."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("__tok"),
+    ).withColumn("__h", F.xxhash64("__tok"))
+    votes = [
+        F.sum(
+            (F.shiftright("__h", i).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Candidate pairs sharing any 16-bit simhash band, verified by
+    exact Hamming distance <= max_hamming."""
+    sigs = simhash(docs, text_col, id_col)
+    n_bands = 64 // band_bits
+    banded = sigs.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", i * band_bits).bitwiseAND(
+                        F.lit((1 << band_bits) - 1)
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-duplicates via random-hyperplane LSH buckets +
+    exact verify inside buckets."""
+    import numpy as np
+
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    dim = first["d"]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    v = F.col(vec_col).cast("array<double>")
+
+    def dot_plane(p) -> F.Column:
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        return F.aggregate(
+            F.zip_with(v, arr, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        bucket = bucket + F.when(dot_plane(p) > 0, F.lit(2**i)).otherwise(0)
+    norm = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    hashed = emb.select(
+        F.col(id_col), (v).alias("__v"), bucket.alias("__bkt"), norm.alias("__n")
+    )
+    a = hashed.alias("a")
+    b = hashed.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.__v", "b.__v", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.__n") * F.col("b.__n"))
+    return (
+        a.join(
+            b,
+            (F.col("a.__bkt") == F.col("b.__bkt"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

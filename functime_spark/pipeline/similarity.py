@@ -1,0 +1,122 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: exact brute-force cosine top-k (one broadcast of the query,
+one narrow pass — the scan parallelizes across executors). Scale path:
+IVF-style coarse quantization — k-means-ish centroids assign each
+vector to a cell; queries probe only the nearest cells, cutting the
+scanned fraction to n_probe/n_cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col(vec_col).cast("array<double>")
+    cos = _dot(v, q) / (_norm(v) * _norm(q))
+    return (
+        emb.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+class IVFIndex:
+    """Inverted-file ANN index: driver-side k-means centroids, cell
+    assignment as a native expression, probe-limited search.
+
+    At 100 TB the cell assignment is a one-pass projection persisted
+    next to the vectors (or a partition column), and a query scans
+    only n_probe/n_cells of the data.
+    """
+
+    def __init__(self, n_cells: int = 16, n_iter: int = 5, seed: int = 42):
+        self.n_cells = n_cells
+        self.n_iter = n_iter
+        self.seed = seed
+        self.centroids: np.ndarray | None = None
+
+    def fit(self, emb: DataFrame, vec_col: str = "embedding", sample: int = 10000):
+        """Lloyd iterations on a driver-side sample (centroid count is
+        small; the assignment pass stays distributed)."""
+        rows = emb.select(vec_col).limit(sample).collect()
+        X = np.asarray([r[0] for r in rows], dtype="float64")
+        rng = np.random.default_rng(self.seed)
+        idx = rng.choice(len(X), size=min(self.n_cells, len(X)), replace=False)
+        C = X[idx].copy()
+        for _ in range(self.n_iter):
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(len(C)):
+                mask = assign == c
+                if mask.any():
+                    C[c] = X[mask].mean(axis=0)
+        self.centroids = C
+        return self
+
+    def _cell_expr(self, vec_col: str):
+        v = F.col(vec_col).cast("array<double>")
+        best_cell = F.lit(0)
+        best_d = None
+        for c, cen in enumerate(self.centroids):
+            arr = F.array(*[F.lit(float(x)) for x in cen])
+            d = F.aggregate(
+                F.zip_with(v, arr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            if best_d is None:
+                best_d = d
+                best_cell = F.lit(c)
+            else:
+                best_cell = F.when(d < best_d, F.lit(c)).otherwise(best_cell)
+                best_d = F.least(d, best_d)
+        return best_cell
+
+    def assign(self, emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        return emb.withColumn("__cell", self._cell_expr(vec_col))
+
+    def search(
+        self,
+        assigned: DataFrame,
+        query_vec: list,
+        k: int = 10,
+        n_probe: int = 4,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """Probe the n_probe nearest cells, exact cosine within them."""
+        q = np.asarray(query_vec, dtype="float64")
+        d = ((self.centroids - q) ** 2).sum(axis=1)
+        cells = [int(c) for c in np.argsort(d)[:n_probe]]
+        return cosine_topk(
+            assigned.filter(F.col("__cell").isin(cells)),
+            query_vec,
+            k=k,
+            vec_col=vec_col,
+            id_col=id_col,
+        )

@@ -1,0 +1,126 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting. All pure Column expressions —
+whole-stage codegen over the corpus, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: minimal stopword lexicons for the n-gram/stopword-hit language
+#: heuristic (top function words per language)
+LANG_LEXICONS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"],
+    "fr": ["le", "la", "les", "et", "un", "une", "est", "de", "du", "que"],
+    "es": ["el", "la", "los", "las", "y", "un", "una", "es", "de", "que"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+
+def tokens(text_col) -> F.Column:
+    return F.split(text_col, r"\s+")
+
+
+def language_id(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-hit language scoring: per language, the fraction of
+    tokens found in its lexicon; predicted = argmax (ties break by
+    language code order)."""
+    toks = tokens(F.col(text_col))
+    out = docs.select(F.col(id_col), toks.alias("__toks"))
+    scores = {}
+    for lang, lex in LANG_LEXICONS.items():
+        lex_arr = F.array(*[F.lit(w) for w in lex])
+        hits = F.size(F.filter("__toks", lambda t: F.array_contains(lex_arr, t)))
+        scores[lang] = (hits / F.size("__toks")).alias(f"score_{lang}")
+    out = out.select(id_col, *scores.values())
+    best = None
+    best_lang = F.lit("und")
+    for lang in sorted(LANG_LEXICONS):
+        s = F.col(f"score_{lang}")
+        if best is None:
+            best, best_lang = s, F.when(s > 0, F.lit(lang)).otherwise(F.lit("und"))
+        else:
+            best_lang = F.when(s > best, F.lit(lang)).otherwise(best_lang)
+            best = F.greatest(s, best)
+    return out.withColumn("pred_lang", best_lang)
+
+
+def quality_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic quality features: lengths, ratios, repetition.
+
+    The standard pre-training quality-filter signals (length, symbol
+    ratios, stopword density, type-token ratio)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_words = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    en_lex = F.array(*[F.lit(w) for w in LANG_LEXICONS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(en_lex, x)))
+    punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    digits = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    return docs.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        (n_chars / n_words).alias("mean_word_len"),
+        (n_uniq / n_words).alias("type_token_ratio"),
+        (stop_hits / n_words).alias("stopword_ratio"),
+        (punct / n_chars).alias("punct_ratio"),
+        (digits / n_chars).alias("digit_ratio"),
+    )
+
+
+def token_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate.
+
+    The subword count splits on whitespace, punctuation boundaries,
+    and ~4-char chunks — a deterministic stand-in for a real BPE
+    vocab (the usual chars/4 heuristic, exact per document)."""
+    t = F.col(text_col)
+    ws = F.size(tokens(t))
+    pieces = F.size(
+        F.filter(
+            F.split(t, r"(\s+|(?=[^\w\s])|(?<=[^\w\s]))"), lambda x: F.length(x) > 0
+        )
+    )
+    subword_est = F.aggregate(
+        tokens(t),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"),
+    )
+    return docs.select(
+        F.col(id_col),
+        ws.cast("long").alias("n_whitespace_tokens"),
+        pieces.cast("long").alias("n_punct_split_tokens"),
+        subword_est.alias("n_subword_est"),
+    )
+
+
+def fingerprint(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+) -> DataFrame:
+    """Winnowing-style document fingerprint: min/max of the rolling
+    hash over all `window`-char substrings (order-robust identity for
+    near-exact matching)."""
+    t = F.col(text_col)
+    n = F.length(t)
+    starts = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
+    hashes = F.transform(starts, lambda i: F.xxhash64(F.substring(t, i, window)))
+    return docs.select(
+        F.col(id_col),
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+        F.xxhash64(t).alias("fp_full"),
+    )

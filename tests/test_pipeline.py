@@ -1,0 +1,196 @@
+"""Pipeline operators: dedup, similarity, text analysis, multimodal."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from functime_spark.sources.tables import load_table
+
+    return load_table(spark, SF, "documents").persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from functime_spark.sources.tables import load_table
+
+    return load_table(spark, SF, "embeddings").persist()
+
+
+def test_exact_dedup_finds_planted_dup(spark):
+    from functime_spark.pipeline.dedup import exact_dedup
+
+    d = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["n_copies"] for r in exact_dedup(d).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_detects_near_dup(spark):
+    from functime_spark.pipeline.dedup import minhash_dedup
+
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" for i in range(59)) + " zzz"
+    far = " ".join(f"q{i}" for i in range(60))
+    d = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = minhash_dedup(d, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_ngram_jaccard_exact(spark):
+    from functime_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x"), (3, "p q r s t")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(d, threshold=0.1).collect()}
+    # doc1 grams: {abc, bcd, cde}; doc2: {abc, bcd, cdx}; shared 2 of 4
+    assert pairs == {(1, 2): pytest.approx(0.5)}
+
+
+def test_simhash_identical_distance_zero(spark):
+    from functime_spark.pipeline.dedup import simhash_near_dups
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zz yy xx ww")],
+        "doc_id long, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_dups(d, max_hamming=2).collect()}
+    assert out.get((1, 2)) == 0
+    assert (1, 3) not in out
+
+
+def test_cosine_topk_matches_numpy(emb):
+    from functime_spark.pipeline.similarity import cosine_topk
+
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype="float64") for r in rows}
+    q = vecs[0]
+    sims = {
+        vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for vid, v in vecs.items()
+        if vid != 0
+    }
+    want = [vid for vid, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]]
+    got = [
+        r["vec_id"]
+        for r in cosine_topk(emb.filter("vec_id != 0"), list(q), 5).collect()
+    ]
+    assert got == want
+
+
+def test_ivf_recall(emb):
+    from functime_spark.pipeline.similarity import IVFIndex, cosine_topk
+
+    q = list(emb.filter("vec_id = 0").first()["embedding"])
+    exact = {r["vec_id"] for r in cosine_topk(emb.filter("vec_id != 0"), q, 5).collect()}
+    ivf = IVFIndex(n_cells=4).fit(emb)
+    assigned = ivf.assign(emb.filter("vec_id != 0"))
+    approx = {r["vec_id"] for r in ivf.search(assigned, q, 5, n_probe=2).collect()}
+    assert len(exact & approx) >= 3  # probe half the cells → high recall
+
+
+def test_language_id_and_quality(spark):
+    from functime_spark.pipeline.text import language_id, quality_scores
+
+    d = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is a test of the system"),
+            (2, "der hund und die katze ist ein tier von der stadt"),
+        ],
+        "doc_id long, text string",
+    )
+    langs = {r["doc_id"]: r["pred_lang"] for r in language_id(d).collect()}
+    assert langs == {1: "en", 2: "de"}
+    q = {r["doc_id"]: r for r in quality_scores(d).collect()}
+    assert q[1]["n_words"] == 14
+    assert q[1]["stopword_ratio"] > 0.3
+
+
+def test_token_counts(spark):
+    from functime_spark.pipeline.text import token_counts
+
+    d = spark.createDataFrame([(1, "hello world, extraordinary!")], "doc_id long, text string")
+    r = token_counts(d).first()
+    assert r["n_whitespace_tokens"] == 3
+    # hello(2) + world,(2) + extraordinary!(4) chunks of <=4 chars
+    assert r["n_subword_est"] >= 7
+    assert r["n_punct_split_tokens"] >= 5  # punctuation split out
+
+
+def test_fingerprint_stability(docs):
+    from functime_spark.pipeline.text import fingerprint
+
+    a = fingerprint(docs).orderBy("doc_id").collect()
+    b = fingerprint(docs).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_media_plumbing(spark, docs):
+    from functime_spark.pipeline.multimodal import (
+        attach_payload,
+        extract_features_media,
+    )
+
+    media = attach_payload(docs, "doc_id", "text")
+    feats = extract_features_media(media, dim=8)
+    rows = feats.limit(3).collect()
+    assert all(len(r["feature"]) == 8 for r in rows)
+    # deterministic: same payload → same features
+    again = extract_features_media(media, dim=8).limit(3).collect()
+    assert [r["feature"] for r in rows] == [r["feature"] for r in again]
+    with pytest.raises(NotImplementedError):
+        extract_features_media(media, decoder="pil")
+
+
+def test_udf_features_sanity(events):
+    from functime_spark.functions.features_udf import extract_features_udf
+
+    out = {r["user_id"]: r for r in extract_features_udf(events).collect()}
+    for uid, r in out.items():
+        assert r["approximate_entropy"] >= 0
+        assert np.isfinite(r["sample_entropy"])
+        assert 0 < r["lempel_ziv_complexity"] <= 1
+        assert len(r["autoregressive_coefficients"]) == 5
+        assert len(r["friedrich_coefficients"]) == 4
+        assert r["fourier_entropy"] > 0
+
+
+def test_sample_entropy_known_value(spark):
+    """Regular alternating series has low sample entropy; random has
+    higher — and the exact value matches a hand-rolled numpy check."""
+    from functime_spark.functions.features_udf import sample_entropy
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(200)
+    got = sample_entropy(x)
+    # independent implementation: count template matches
+    m, r = 2, 0.2 * x.std()
+
+    def count(mm):
+        mat = np.lib.stride_tricks.sliding_window_view(x, mm)
+        d = np.abs(mat[:, None, :] - mat[None, :, :]).max(axis=2)
+        return (d <= r).sum() - mat.shape[0]
+
+    want = np.log(count(m) / count(m + 1))
+    assert got == pytest.approx(float(want), rel=1e-9)
+
+
+def test_cusum_detects_level_shift(spark):
+    from functime_spark.functions.features_udf import cusum
+
+    vals = [0.0] * 50 + [10.0] * 10
+    rows = [("a", i, v + 0.01 * (i % 3)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "entity string, time long, value double")
+    out = cusum(df, threshold=4.0, warmup_period=20).orderBy("time").collect()
+    events = [r["event"] for r in out]
+    assert sum(events[:50]) == 0
+    assert sum(events[50:]) >= 1
