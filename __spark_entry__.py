@@ -439,6 +439,91 @@ def q_media_features(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def q_preproc_roll(spark, sf_dir):
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.preprocessing import roll
+
+    df = events_panel(spark, sf_dir)
+    out = roll(window_sizes=[4], stats=["mean", "max", "sum", "std"]).transform(df)
+    return _round_floats(out).orderBy("user_id", "ts")
+
+
+def q_preproc_impute_mean(spark, sf_dir):
+    """Daily aggregate → grid completion → per-entity mean imputation."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.preprocessing import impute, reindex
+
+    df = events_panel(spark, sf_dir)
+    daily = (
+        df.groupBy("user_id", F.date_trunc("day", "ts").alias("ts"))
+        .agg(F.sum("value").alias("value"))
+    )
+    gridded = reindex().transform(daily)
+    return _round_floats(impute("mean").transform(gridded)).orderBy("user_id", "ts")
+
+
+def q_conversion_roundtrip(spark, sf_dir):
+    """long → wide (pivot) → long (unpivot) recovers the panel."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.conversion import long_to_wide, wide_to_long
+
+    df = events_panel(spark, sf_dir)
+    wide = long_to_wide(df)
+    back = wide_to_long(wide, "user_id", "ts").na.drop()
+    return _round_floats(back).orderBy("user_id", "ts")
+
+
+def q_eval_acf(spark, sf_dir):
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.evaluation import acf
+
+    df = events_panel(spark, sf_dir)
+    return _round_floats(acf(df, max_lags=5)).orderBy("user_id", "lag")
+
+
+def q_eval_ljung_box(spark, sf_dir):
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.evaluation import ljung_box_test
+
+    df = events_panel(spark, sf_dir)
+    return _round_floats(ljung_box_test(df, max_lags=5)).orderBy("user_id", "lag")
+
+
+def q_eval_normality(spark, sf_dir):
+    """D'Agostino K^2 per entity — rows-only (UDF-tier numerics)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.evaluation import normality_test
+
+    df = events_panel(spark, sf_dir)
+    return _round_floats(normality_test(df)).orderBy("user_id")
+
+
+def q_eval_rank_fva(spark, sf_dir):
+    """FVA of a lag-2 'model' vs the one-step-naive benchmark."""
+    _ensure_nanos_conf(spark)
+    from pyspark.sql import Window
+
+    from functime_spark.operators.evaluation import rank_fva
+
+    df = events_panel(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    y_pred = df.select(
+        "user_id", "ts", F.lag("value", 2).over(w).alias("value")
+    ).na.drop()
+    return _round_floats(rank_fva(df, y_pred)).orderBy("user_id")
+
+
+def q_preproc_boxcox_lambdas(spark, sf_dir):
+    """Per-entity Box-Cox MLE lambdas — rows-only (Brent search)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.preprocessing import boxcox
+
+    df = events_panel(spark, sf_dir)
+    t = boxcox()
+    t.transform(df)
+    return _round_floats(t.lmbds).orderBy("user_id")
+
+
 def q_forecast_backtest_naive(spark, sf_dir):
     """Naive backtest over 2 expanding splits, step-aligned to actual
     test timestamps."""
@@ -496,6 +581,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cusum_events": q_cusum_events,
             "media_features": q_media_features,
             "forecast_backtest_naive": q_forecast_backtest_naive,
+            "preproc_roll": q_preproc_roll,
+            "preproc_impute_mean": q_preproc_impute_mean,
+            "preproc_boxcox_lambdas": q_preproc_boxcox_lambdas,
+            "conversion_roundtrip": q_conversion_roundtrip,
+            "eval_acf": q_eval_acf,
+            "eval_ljung_box": q_eval_ljung_box,
+            "eval_normality": q_eval_normality,
+            "eval_rank_fva": q_eval_rank_fva,
         }
     )
     return q

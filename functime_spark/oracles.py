@@ -624,6 +624,82 @@ def operator_oracles() -> dict:
         "ORDER BY q.user_id, q.ts, lt.split"
     )
 
+    o["preproc_roll"] = (
+        "SELECT user_id, ts, "
+        + ", ".join(
+            _r(f"{fn}(value) OVER f") + f" AS value__rolling_{name}_4"
+            for name, fn in [
+                ("mean", "AVG"),
+                ("max", "MAX"),
+                ("sum", "SUM"),
+                ("std", "stddev_samp"),
+            ]
+        )
+        + " FROM events WINDOW f AS (PARTITION BY user_id ORDER BY ts "
+        "ROWS BETWEEN 7 PRECEDING AND 4 PRECEDING) ORDER BY user_id, ts"
+    )
+
+    o["preproc_impute_mean"] = (
+        "WITH b AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts, "
+        "SUM(value) AS value FROM events GROUP BY 1, 2), "
+        "users AS (SELECT DISTINCT user_id FROM b), days AS (SELECT DISTINCT ts FROM b), "
+        "grid AS (SELECT user_id, ts FROM users CROSS JOIN days), "
+        "j AS (SELECT g.user_id, g.ts, b.value FROM grid g "
+        "LEFT JOIN b ON g.user_id = b.user_id AND g.ts = b.ts), "
+        "m AS (SELECT user_id, AVG(value) AS mu FROM j GROUP BY user_id) "
+        f"SELECT j.user_id, j.ts, {_r('COALESCE(j.value, m.mu)')} AS value "
+        "FROM j JOIN m ON j.user_id = m.user_id ORDER BY 1, 2"
+    )
+
+    o["conversion_roundtrip"] = (
+        f"SELECT CAST(user_id AS VARCHAR) AS user_id, ts, {_r('value')} AS value "
+        "FROM events ORDER BY 1, 2"
+    )
+
+    from functime_spark.operators.evaluation import _norm_ppf
+
+    ppf = repr(_norm_ppf(0.975))
+    lag_sel = ", ".join(f"lag(value, {i}) OVER w AS x{i}" for i in range(1, 6))
+    corr_sel = ", ".join(f"corr(x, x{i}) AS a{i}" for i in range(1, 6))
+    acf_rows = [f"SELECT user_id, 0 AS lag, 1.0 AS acf, 0.0 AS itv FROM a"]
+    for k in range(1, 6):
+        if k == 1:
+            itv = f"({ppf})*sqrt(1.0/n)"
+        else:
+            sq = " + ".join(f"a{i}*a{i}" for i in range(1, k))
+            itv = f"({ppf})*sqrt((1 + 2*({sq}))/n)"
+        acf_rows.append(f"SELECT user_id, {k}, a{k}, {itv} FROM a")
+    o["eval_acf"] = (
+        f"WITH l AS (SELECT user_id, value AS x, {lag_sel} FROM events {_W}), "
+        f"a AS (SELECT user_id, {corr_sel}, count(x) AS n FROM l GROUP BY user_id) "
+        f"SELECT user_id, lag, {_r('acf')} AS acf, {_r('acf - itv')} AS confint_lower, "
+        f"{_r('acf + itv')} AS confint_upper FROM ("
+        + " UNION ALL ".join(acf_rows)
+        + ") ORDER BY user_id, lag"
+    )
+
+    lb_rows = []
+    for k in range(1, 6):
+        terms = " + ".join(f"a{i}*a{i}/(n - {i})" for i in range(1, k + 1))
+        lb_rows.append(f"SELECT user_id, {k} AS lag, n*(n + 2)*({terms}) AS q FROM a")
+    o["eval_ljung_box"] = (
+        f"WITH l AS (SELECT user_id, value AS x, {lag_sel} FROM events {_W}), "
+        f"a AS (SELECT user_id, {corr_sel}, count(x) AS n FROM l GROUP BY user_id) "
+        f"SELECT user_id, lag, {_r('q')} AS qstat FROM ("
+        + " UNION ALL ".join(lb_rows)
+        + ") ORDER BY user_id, lag"
+    )
+
+    o["eval_rank_fva"] = (
+        f"WITH p AS (SELECT user_id, value AS actual, lag(value) OVER w AS bench, "
+        f"lag(value, 2) OVER w AS model FROM events {_W}), "
+        "s AS (SELECT user_id, "
+        "SUM(ABS(model - actual))/SUM(model + actual) AS sm, "
+        "SUM(ABS(bench - actual))/SUM(bench + actual) AS sb FROM p GROUP BY user_id) "
+        f"SELECT user_id, {_r('sm')} AS smape_model, {_r('sb')} AS smape_bench, "
+        f"{_r('sb - sm')} AS fva FROM s ORDER BY user_id"
+    )
+
     o["ann_cosine_topk"] = (
         "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) "
         "SELECT vec_id, "
