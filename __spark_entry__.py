@@ -473,6 +473,17 @@ def q_conversion_roundtrip(spark, sf_dir):
     return _round_floats(back).orderBy("user_id", "ts")
 
 
+def q_preproc_deseasonalize(spark, sf_dir):
+    """Per-entity Fourier deseasonalization (sp=7, K=1): OLS residual."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.preprocessing import deseasonalize_fourier
+
+    df = events_panel(spark, sf_dir)
+    t = deseasonalize_fourier(sp=7, K=1)
+    out = t.transform(df)
+    return _round_floats(out).orderBy("user_id", "ts")
+
+
 def q_eval_acf(spark, sf_dir):
     _ensure_nanos_conf(spark)
     from functime_spark.operators.evaluation import acf
@@ -584,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "preproc_roll": q_preproc_roll,
             "preproc_impute_mean": q_preproc_impute_mean,
             "preproc_boxcox_lambdas": q_preproc_boxcox_lambdas,
+            "preproc_deseasonalize": q_preproc_deseasonalize,
             "conversion_roundtrip": q_conversion_roundtrip,
             "eval_acf": q_eval_acf,
             "eval_ljung_box": q_eval_ljung_box,

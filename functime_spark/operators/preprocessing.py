@@ -796,3 +796,155 @@ class fractional_diff(Transformer):
                 acc = acc + F.lit(self.weights[j]) * F.lag(x, j).over(ow)
             upd[c] = acc
         return df.withColumns(upd)
+
+
+class deseasonalize_fourier(Transformer):
+    """Per-entity OLS on Fourier terms; residual = deseasonalized.
+
+    Ref preprocessing.py:940-1079. The reference fits a sklearn
+    regressor per entity and stores it pickled in a column; here the
+    fit is a per-entity numpy lstsq inside ``applyInPandas`` that
+    returns only the (2K+1) coefficients, and every transform /
+    invert / transform_new is a native broadcast-join + sin/cos dot
+    product (whole-stage codegen, no Python on the hot path).
+
+    ``robust=True`` uses Huber IRLS instead of plain OLS (the
+    reference's ``robust`` maps to Theil-Sen but its default-arg bug
+    at preprocessing.py:960-963 routes it to LinearRegression anyway;
+    we pick a sane robust estimator and document the divergence).
+
+    State: ``self.betas`` — an n_entities-row DataFrame
+    (entity, __n, __b0, __bs1.., __bc1..); ``self._seasonal`` — the
+    lazy per-row seasonal component for exact inversion of fit rows.
+    Future rows (beyond each entity's cutoff) get rank = n + offset,
+    matching the reference's continued Fourier index.
+    """
+
+    def __init__(self, sp: int, K: int, robust: bool = False):
+        self.sp = sp
+        self.K = K
+        self.robust = robust
+        self.betas: DataFrame | None = None
+        self._seasonal: DataFrame | None = None
+        self._target: str | None = None
+
+    def _design(self, rank):
+        import math
+
+        coef = (rank % self.sp) / float(self.sp)
+        terms = []
+        for k in range(1, self.K + 1):
+            terms.append(F.sin(2 * math.pi * k * coef))
+        for k in range(1, self.K + 1):
+            terms.append(F.cos(2 * math.pi * k * coef))
+        return terms
+
+    def _seasonal_expr(self, rank):
+        terms = self._design(rank)
+        acc = F.col("__b0")
+        for k in range(1, self.K + 1):
+            acc = acc + F.col(f"__bs{k}") * terms[k - 1]
+            acc = acc + F.col(f"__bc{k}") * terms[self.K + k - 1]
+        return acc
+
+    def _fit(self, df: DataFrame) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        p = panel_cols(df)
+        v = self._target
+        sp, K, robust = self.sp, self.K, self.robust
+        entity_dtype = dict(df.dtypes)[p.entity]
+        beta_cols = (
+            ["__b0"]
+            + [f"__bs{k}" for k in range(1, K + 1)]
+            + [f"__bc{k}" for k in range(1, K + 1)]
+        )
+        schema = (
+            f"{p.entity} {entity_dtype}, __n long, "
+            + ", ".join(f"{c} double" for c in beta_cols)
+        )
+
+        def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(p.time)
+            y = pdf[v].to_numpy(dtype="float64")
+            n = len(y)
+            rank = np.arange(n)
+            coef = (rank % sp) / float(sp)
+            X = np.column_stack(
+                [np.ones(n)]
+                + [np.sin(2 * np.pi * k * coef) for k in range(1, K + 1)]
+                + [np.cos(2 * np.pi * k * coef) for k in range(1, K + 1)]
+            )
+            beta = np.linalg.lstsq(X, y, rcond=None)[0]
+            if robust:
+                for _ in range(20):  # Huber IRLS, delta = 1.345*sigma
+                    r = y - X @ beta
+                    s = np.median(np.abs(r)) / 0.6745 or 1.0
+                    w = np.clip(1.345 * s / np.maximum(np.abs(r), 1e-12), None, 1.0)
+                    beta_new = np.linalg.lstsq(X * w[:, None], y * w, rcond=None)[0]
+                    if np.allclose(beta_new, beta, atol=1e-10):
+                        beta = beta_new
+                        break
+                    beta = beta_new
+            row = {p.entity: [pdf[p.entity].iloc[0]], "__n": [n]}
+            for c, b in zip(beta_cols, beta):
+                row[c] = [float(b)]
+            return pd.DataFrame(row)
+
+        return df.groupBy(p.entity).applyInPandas(fit, schema=schema)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        p = panel_cols(df)
+        if len(df.columns) != 3:
+            raise ValueError("deseasonalize_fourier expects a 3-column (entity, time, target) panel")
+        self._target = p.target
+        self.betas = self._fit(df)
+        rank = F.row_number().over(ordered_window(p.entity, p.time)) - 1
+        joined = df.join(F.broadcast(self.betas), on=p.entity, how="left")
+        seasonal = self._seasonal_expr(rank)
+        out = joined.withColumn("__seasonal", seasonal)
+        self._seasonal = out.select(p.entity, p.time, "__seasonal")
+        return out.withColumn(p.target, F.col(p.target) - F.col("__seasonal")).select(
+            *df.columns
+        )
+
+    def _seasonal_for(self, df: DataFrame) -> DataFrame:
+        """(entity, time, __seasonal) for arbitrary rows: exact join for
+        fit rows, continued rank n + offset for future rows."""
+        p = panel_cols(df)
+        base = df.select(p.entity, p.time).join(
+            self._seasonal, on=[p.entity, p.time], how="left"
+        )
+        future = base.filter(F.col("__seasonal").isNull()).drop("__seasonal")
+        if future.isEmpty():
+            return base
+        rank = (
+            F.row_number().over(ordered_window(p.entity, p.time))
+            - 1
+            + F.col("__n")
+        )
+        fut = (
+            future.join(F.broadcast(self.betas), on=p.entity, how="left")
+            .withColumn("__seasonal", self._seasonal_expr(rank))
+            .select(p.entity, p.time, "__seasonal")
+        )
+        return base.filter(F.col("__seasonal").isNotNull()).unionByName(fut)
+
+    def invert(self, df: DataFrame) -> DataFrame:
+        if self.betas is None:
+            raise RuntimeError("call transform() first")
+        p = panel_cols(df)
+        out = df.join(self._seasonal_for(df), on=[p.entity, p.time], how="left")
+        return out.withColumn(
+            p.target, F.col(p.target) + F.col("__seasonal")
+        ).select(*df.columns)
+
+    def transform_new(self, df: DataFrame) -> DataFrame:
+        if self.betas is None:
+            raise RuntimeError("call transform() first")
+        p = panel_cols(df)
+        out = df.join(self._seasonal_for(df), on=[p.entity, p.time], how="left")
+        return out.withColumn(
+            p.target, F.col(p.target) - F.col("__seasonal")
+        ).select(*df.columns)

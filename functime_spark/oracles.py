@@ -656,6 +656,27 @@ def operator_oracles() -> dict:
         "FROM events ORDER BY 1, 2"
     )
 
+    # deseasonalize_fourier sp=7 K=1: 3-param OLS per entity solved in
+    # closed form (Cramer's rule over the normal-equation aggregates).
+    o["preproc_deseasonalize"] = (
+        "WITH r AS (SELECT user_id, ts, value, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS rk FROM events), "
+        "f AS (SELECT user_id, ts, value, "
+        "sin(2*pi()*((rk % 7)/7.0)) AS s, cos(2*pi()*((rk % 7)/7.0)) AS c FROM r), "
+        "a AS (SELECT user_id, count(*)::DOUBLE AS n, sum(s) AS ss, sum(c) AS sc, "
+        "sum(s*s) AS sss, sum(c*c) AS scc, sum(s*c) AS ssc, sum(value) AS sy, "
+        "sum(value*s) AS sys, sum(value*c) AS syc FROM f GROUP BY user_id), "
+        "b AS (SELECT user_id, "
+        "(n*(sss*scc - ssc*ssc) - ss*(ss*scc - ssc*sc) + sc*(ss*ssc - sss*sc)) AS det, "
+        "(sy*(sss*scc - ssc*ssc) - ss*(sys*scc - ssc*syc) + sc*(sys*ssc - sss*syc)) AS det0, "
+        "(n*(sys*scc - ssc*syc) - sy*(ss*scc - ssc*sc) + sc*(ss*syc - sys*sc)) AS det1, "
+        "(n*(sss*syc - sys*ssc) - ss*(ss*syc - sys*sc) + sy*(ss*ssc - sss*sc)) AS det2 "
+        "FROM a) "
+        f"SELECT f.user_id, f.ts, "
+        f"{_r('f.value - (b.det0/b.det + b.det1/b.det*f.s + b.det2/b.det*f.c)')} AS value "
+        "FROM f JOIN b ON f.user_id = b.user_id ORDER BY 1, 2"
+    )
+
     from functime_spark.operators.evaluation import _norm_ppf
 
     ppf = repr(_norm_ppf(0.975))
