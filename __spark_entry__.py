@@ -257,6 +257,47 @@ def q_forecast_linear(spark, sf_dir):
     return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
 
 
+def q_forecast_zero_inflated(spark, sf_dir):
+    """Censored/zero-inflated forecaster (MLlib logistic gate x linear
+    regressors, one-pass Arrow recursion) — rows-only check."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.censored import zero_inflated_model
+
+    df = events_panel(spark, sf_dir)
+    fc = zero_inflated_model(freq="1h", lags=8).fit(df)
+    return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
+
+
+def q_forecast_knn(spark, sf_dir):
+    """Recursive kNN over the broadcast lag matrix — rows-only check."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.knn import knn
+
+    df = events_panel(spark, sf_dir)
+    fc = knn(freq="1h", lags=8, n_neighbors=5).fit(df)
+    return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
+
+
+def q_forecast_gbt(spark, sf_dir):
+    """Distributed MLlib GBT autoregressor — rows-only check."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.tree import gradient_boosted_model
+
+    df = events_panel(spark, sf_dir)
+    fc = gradient_boosted_model(freq="1h", lags=8, max_iter=5).fit(df)
+    return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
+
+
+def q_forecast_elite(spark, sf_dir):
+    """Per-entity model-selection ensemble — rows-only check."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.elite import elite
+
+    df = events_panel(spark, sf_dir)
+    fc = elite(freq="1h", lags=8, sp=24, test_size=4, n_splits=2).fit(df)
+    return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline queries
 # ---------------------------------------------------------------------------
@@ -409,6 +450,7 @@ def q_feat_udf_scalar(spark, sf_dir):
             "sample_entropy",
             "lempel_ziv_complexity",
             "augmented_dickey_fuller",
+            "number_cwt_peaks",
             "fourier_entropy",
             "spkt_welch_density",
         ],
@@ -577,6 +619,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "forecast_naive": q_forecast_naive,
             "forecast_snaive": q_forecast_snaive,
             "forecast_linear": q_forecast_linear,
+            "forecast_zero_inflated": q_forecast_zero_inflated,
+            "forecast_knn": q_forecast_knn,
+            "forecast_gbt": q_forecast_gbt,
+            "forecast_elite": q_forecast_elite,
             "dedup_exact": q_dedup_exact,
             "text_stats": q_text_stats,
             "ann_cosine_topk": q_ann_cosine_topk,

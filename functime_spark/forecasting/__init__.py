@@ -9,3 +9,24 @@ from functime_spark.forecasting.linear import (  # noqa: F401
 )
 from functime_spark.forecasting.naive import naive, snaive  # noqa: F401
 from functime_spark.forecasting.ranges import make_future_ranges  # noqa: F401
+from functime_spark.forecasting.censored import (  # noqa: F401
+    censored_model,
+    zero_inflated_model,
+)
+from functime_spark.forecasting.knn import ann, knn  # noqa: F401
+from functime_spark.forecasting.tree import (  # noqa: F401
+    catboost,
+    gradient_boosted_model,
+    lightgbm,
+    random_forest_model,
+    xgboost,
+)
+from functime_spark.forecasting.automl import (  # noqa: F401
+    auto_elastic_net,
+    auto_knn,
+    auto_lasso,
+    auto_lightgbm,
+    auto_linear_model,
+    auto_ridge,
+)
+from functime_spark.forecasting.elite import elite  # noqa: F401

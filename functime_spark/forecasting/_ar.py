@@ -118,7 +118,12 @@ class LinearBackend:
             if self.fit_intercept:
                 reg[m - 1, m - 1] = 0.0
             xtx = xtx + reg
-        theta = np.linalg.solve(xtx, xty)
+        try:
+            theta = np.linalg.solve(xtx, xty)
+        except np.linalg.LinAlgError:
+            # rank-deficient design (e.g. constant/duplicated lags):
+            # minimum-norm solution, like sklearn's lstsq path
+            theta = np.linalg.lstsq(xtx, xty, rcond=None)[0]
         if self.fit_intercept:
             return theta[:k], float(theta[k])
         return theta, 0.0

@@ -1,0 +1,245 @@
+"""k-nearest-neighbour and approximate-NN autoregressive forecasters.
+
+Mirrors functime forecasting/knn.py (sklearn KNeighborsRegressor over
+the global lag matrix) and forecasting/lance.py:16-113 (`ann`: Lance
+IVF_PQ index over lag vectors, nearest-centroid probing).
+
+Spark-first design
+------------------
+The training lag matrix is built distributed (one window pass,
+`make_reduction`), then sampled to a broadcast-able reference set
+(`max_train_rows`, uniform per-partition sampling — at 100 TB the
+training matrix cannot live on one node, and kNN quality degrades
+gracefully under uniform sampling). Queries stay fully distributed:
+each Arrow batch of entities scans the broadcast matrix vectorized in
+numpy — embarrassingly parallel across entities, no shuffle at predict
+time.
+
+`ann` replaces the exact scan with an IVF coarse quantizer (k-means
+centroids trained driver-side on the broadcast sample, ref
+lance.py:60-67's IVF_PQ): queries probe the `n_probe` nearest
+centroid buckets only, cutting the scan factor to ~n_probe/n_cells.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from functime_spark.forecasting._ar import make_reduction, make_y_lag
+from functime_spark.forecasting.base import Forecaster
+
+
+def _kmeans(X: np.ndarray, k: int, iters: int = 10, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    cents = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = X[m].mean(0)
+    return cents
+
+
+def _brute_knn_step(ref_payload):
+    """fn(feats[E,k]) -> yhat[E] over the broadcast reference matrix."""
+    feats_ref, targs_ref, k = ref_payload
+
+    def step(q: np.ndarray) -> np.ndarray:
+        # ||q - r||^2 = q.q - 2 q.r + r.r ; argpartition for top-k
+        d = (
+            (q * q).sum(1)[:, None]
+            - 2.0 * (q @ feats_ref.T)
+            + (feats_ref * feats_ref).sum(1)[None, :]
+        )
+        kk = min(k, feats_ref.shape[0])
+        idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+        return targs_ref[idx].mean(1)
+
+    return step
+
+
+class knn(Forecaster):
+    """Recursive kNN regression on lag vectors. Ref knn.py:10-34."""
+
+    def __init__(
+        self,
+        freq: str,
+        lags: int = 12,
+        n_neighbors: int = 5,
+        max_train_rows: int = 100_000,
+        target_transform=None,
+    ):
+        super().__init__(freq=freq, lags=lags, target_transform=target_transform)
+        self.n_neighbors = n_neighbors
+        self.max_train_rows = max_train_rows
+
+    def _init_kwargs(self) -> dict:
+        return {
+            "freq": self.freq,
+            "lags": self.lags,
+            "n_neighbors": self.n_neighbors,
+            "max_train_rows": self.max_train_rows,
+        }
+
+    def _collect_train(self, y: DataFrame, X: DataFrame | None):
+        p = self.state["panel"]
+        design = make_reduction(y, self.lags, X)
+        n = design.count()
+        if n > self.max_train_rows:
+            design = design.sample(
+                fraction=min(1.0, self.max_train_rows / n * 1.05), seed=7
+            ).limit(self.max_train_rows)
+        feature_cols = [f"{p.target}__lag_{k}" for k in range(1, self.lags + 1)]
+        pdf = design.select(*feature_cols, p.target).toPandas()
+        feats = pdf[feature_cols].to_numpy(dtype="float64")
+        targs = pdf[p.target].to_numpy(dtype="float64")
+        return feats, targs
+
+    def _fit(self, y: DataFrame, X: DataFrame | None = None):
+        self.state["train"] = self._collect_train(y, X)
+        self.state["y_lag"] = make_y_lag(y, self.lags).persist()
+
+    def _predict_values(self, fh: int, X: DataFrame | None = None) -> DataFrame:
+        y_lag = self.state["y_lag"]
+        entity = y_lag.columns[0]
+        entity_dtype = dict(y_lag.dtypes)[entity]
+        lags = self.lags
+        spark = y_lag.sparkSession
+        feats_ref, targs_ref = self.state["train"]
+        b = spark.sparkContext.broadcast((feats_ref, targs_ref, self.n_neighbors))
+
+        def run(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            step_fn = _brute_knn_step(b.value)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ents = pdf[entity].to_numpy()
+                buf = np.stack(
+                    [np.asarray(v, dtype="float64")[-lags:] for v in pdf["__buf"]]
+                )
+                preds = np.empty((len(ents), fh), dtype="float64")
+                for h in range(fh):
+                    q = buf[:, ::-1][:, :lags]
+                    yhat = step_fn(q)
+                    preds[:, h] = yhat
+                    buf = np.concatenate([buf[:, 1:], yhat[:, None]], axis=1)
+                yield pd.DataFrame(
+                    {
+                        entity: np.repeat(ents, fh),
+                        "step": np.tile(np.arange(fh), len(ents)),
+                        "__yhat": preds.ravel(),
+                    }
+                )
+
+        schema = f"{entity} {entity_dtype}, step int, __yhat double"
+        return y_lag.mapInPandas(run, schema=schema)
+
+
+class ann(knn):
+    """IVF-probed approximate kNN. Ref lance.py:16-113 (IVF_PQ)."""
+
+    def __init__(
+        self,
+        freq: str,
+        lags: int = 12,
+        n_neighbors: int = 5,
+        n_cells: int = 64,
+        n_probe: int = 4,
+        max_train_rows: int = 100_000,
+        target_transform=None,
+    ):
+        super().__init__(
+            freq=freq,
+            lags=lags,
+            n_neighbors=n_neighbors,
+            max_train_rows=max_train_rows,
+            target_transform=target_transform,
+        )
+        self.n_cells = n_cells
+        self.n_probe = n_probe
+
+    def _init_kwargs(self) -> dict:
+        kw = super()._init_kwargs()
+        kw.update({"n_cells": self.n_cells, "n_probe": self.n_probe})
+        return kw
+
+    def _fit(self, y: DataFrame, X: DataFrame | None = None):
+        feats, targs = self._collect_train(y, X)
+        cents = _kmeans(feats, self.n_cells)
+        assign = (
+            ((feats[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
+        )
+        order = np.argsort(assign, kind="stable")
+        bounds = np.searchsorted(assign[order], np.arange(len(cents) + 1))
+        self.state["train"] = (feats[order], targs[order], cents, bounds)
+        self.state["y_lag"] = make_y_lag(y, self.lags).persist()
+
+    def _predict_values(self, fh: int, X: DataFrame | None = None) -> DataFrame:
+        # re-pack broadcast payload for the IVF step function
+        y_lag = self.state["y_lag"]
+        entity = y_lag.columns[0]
+        entity_dtype = dict(y_lag.dtypes)[entity]
+        lags = self.lags
+        spark = y_lag.sparkSession
+        feats_s, targs_s, cents, bounds = self.state["train"]
+        b = spark.sparkContext.broadcast(
+            (feats_s, targs_s, cents, bounds, self.n_neighbors, self.n_probe)
+        )
+
+        def run(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            feats_ref, targs_ref, C, bd, k, n_probe = b.value
+
+            def step_fn(q: np.ndarray) -> np.ndarray:
+                dc = (
+                    (q * q).sum(1)[:, None]
+                    - 2.0 * (q @ C.T)
+                    + (C * C).sum(1)[None, :]
+                )
+                probes = np.argsort(dc, axis=1)[:, :n_probe]
+                out = np.empty(len(q))
+                for i in range(len(q)):
+                    idxs = np.concatenate(
+                        [np.arange(bd[c], bd[c + 1]) for c in probes[i]]
+                    )
+                    if len(idxs) == 0:
+                        idxs = np.arange(len(feats_ref))
+                    d = ((feats_ref[idxs] - q[i]) ** 2).sum(1)
+                    kk = min(k, len(idxs))
+                    near = np.argpartition(d, kk - 1)[:kk]
+                    out[i] = targs_ref[idxs[near]].mean()
+                return out
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ents = pdf[entity].to_numpy()
+                buf = np.stack(
+                    [np.asarray(v, dtype="float64")[-lags:] for v in pdf["__buf"]]
+                )
+                preds = np.empty((len(ents), fh), dtype="float64")
+                for h in range(fh):
+                    q = buf[:, ::-1][:, :lags]
+                    yhat = step_fn(q)
+                    preds[:, h] = yhat
+                    buf = np.concatenate([buf[:, 1:], yhat[:, None]], axis=1)
+                yield pd.DataFrame(
+                    {
+                        entity: np.repeat(ents, fh),
+                        "step": np.tile(np.arange(fh), len(ents)),
+                        "__yhat": preds.ravel(),
+                    }
+                )
+
+        schema = f"{entity} {entity_dtype}, step int, __yhat double"
+        return y_lag.mapInPandas(run, schema=schema)

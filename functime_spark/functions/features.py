@@ -202,6 +202,46 @@ def autocorrelation(c: PanelCtx, n_lags: int = 1) -> Column:
     return F.sum(prod) / (F.var_pop(c.x) * (F.count(c.x) - F.lit(n_lags)))
 
 
+def benford_correlation(c: PanelCtx) -> Column:
+    """Pearson corr of first-digit counts vs Benford's law. Ref
+    feature_extractors.py:303-346.
+
+    The first significant digit is representation-independent (the
+    mantissa's leading digit), so it is extracted natively as the first
+    [1-9] character of the value's string form — equivalent to the
+    reference's strip_chars_start("-0.") + slice(0,1) for numeric
+    strings, including scientific notation. The reference seeds each
+    digit with one occurrence and correlates (counts - 1) with
+    log10(1+1/d); Pearson is shift-invariant, so we correlate the
+    seeded counts directly via the closed form over nine conditional
+    counts — a pure aggregate, no extra shuffle and no UDF.
+    """
+    digit = c.expr_helper(
+        "__benford_digit",
+        lambda: F.regexp_extract(c.x.cast("string"), "[1-9]", 0),
+        0,
+    )
+    ben = [math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+    cnts = [
+        F.sum((digit == str(d)).cast("double")) + F.lit(1.0) for d in range(1, 10)
+    ]
+    k = 9.0
+    s_c = cnts[0]
+    for cd in cnts[1:]:
+        s_c = s_c + cd
+    s_c2 = cnts[0] * cnts[0]
+    for cd in cnts[1:]:
+        s_c2 = s_c2 + cd * cd
+    s_cb = cnts[0] * F.lit(ben[0])
+    for cd, bd in zip(cnts[1:], ben[1:]):
+        s_cb = s_cb + cd * F.lit(bd)
+    s_b = sum(ben)
+    s_b2 = sum(b * b for b in ben)
+    num = F.lit(k) * s_cb - s_c * F.lit(s_b)
+    den = F.sqrt((F.lit(k) * s_c2 - s_c * s_c) * F.lit(k * s_b2 - s_b * s_b))
+    return num / den
+
+
 def binned_entropy(c: PanelCtx, bin_count: int = 10) -> Column:
     """Entropy of equal-width histogram counts. Ref :380-408.
 
@@ -691,6 +731,7 @@ FEATURES: dict = {
     "absolute_maximum": (absolute_maximum, {}),
     "absolute_sum_of_changes": (absolute_sum_of_changes, {}),
     "autocorrelation": (autocorrelation, {"n_lags": 1}),
+    "benford_correlation": (benford_correlation, {}),
     "binned_entropy": (binned_entropy, {"bin_count": 10}),
     "c3": (c3, {"n_lags": 1}),
     "change_quantiles": (change_quantiles, {"q_low": 0.1, "q_high": 0.9, "is_abs": True}),

@@ -191,6 +191,67 @@ def cwt_coefficients(
     return out
 
 
+def number_cwt_peaks(x: np.ndarray, max_width: int = 5) -> float:
+    """Count of ricker-CWT ridge-line peaks. Ref :1187-1221
+    (scipy.signal.find_peaks_cwt there); numpy re-derivation of the
+    same ridge algorithm: local maxima per scale, ridge lines tracked
+    coarse-to-fine with gap tolerance 2 and per-scale matching
+    distance width/4, kept if length >= n_scales/4 and SNR >= 1
+    against the 10th percentile of |CWT| at the finest scale.
+    """
+    n = len(x)
+    if n < 3:
+        return 0.0
+    widths = list(range(1, max_width + 1))
+    mat = np.vstack(
+        [np.convolve(x, _ricker(min(10 * w, n), w), mode="same") for w in widths]
+    )
+    # strict local maxima per scale (order=1, clipped edges)
+    maxima = []
+    for r in range(len(widths)):
+        row = mat[r]
+        left = np.empty(n)
+        left[0], left[1:] = -np.inf, row[:-1]
+        right = np.empty(n)
+        right[-1], right[:-1] = -np.inf, row[1:]
+        maxima.append(np.flatnonzero((row > left) & (row > right)))
+    gap_thresh = 2
+    ridges: list = []  # [last_row, last_col, length, gap, best_row0_col]
+    for r in range(len(widths) - 1, -1, -1):
+        max_dist = widths[r] / 4.0
+        cols = list(maxima[r])
+        for ridge in ridges:
+            if ridge[3] > gap_thresh:
+                continue
+            best, best_d = None, max_dist + 1
+            for c in cols:
+                d = abs(c - ridge[1])
+                if d < best_d:
+                    best, best_d = c, d
+            if best is not None and best_d <= max_dist:
+                ridge[0], ridge[1] = r, best
+                ridge[2] += 1
+                ridge[3] = 0
+                if r == 0:
+                    ridge[4] = best
+                cols.remove(best)
+            else:
+                ridge[3] += 1
+        for c in cols:
+            ridges.append([r, c, 1, 0, c if r == 0 else None])
+    noise = np.percentile(np.abs(mat[0]), 10)
+    count = 0
+    for _, _, length, _, col0 in ridges:
+        if length < max(len(widths) / 4.0, 1):
+            continue
+        if col0 is None:
+            continue
+        if noise > 0 and mat[0, col0] / noise < 1.0:
+            continue
+        count += 1
+    return float(count)
+
+
 def _welch_psd(x: np.ndarray, nperseg: int = 256) -> np.ndarray:
     """Welch power spectral density, hann window, 50% overlap,
     constant detrend, one-sided — numpy re-derivation of the standard
@@ -247,6 +308,7 @@ UDF_FEATURES: dict = {
     "autoregressive_coefficients": (autoregressive_coefficients, {"n_lags": 4}, "array<double>"),
     "friedrich_coefficients": (friedrich_coefficients, {"polynomial_order": 3, "n_quantiles": 30}, "array<double>"),
     "cwt_coefficients": (cwt_coefficients, {"widths": (2, 5, 10, 20), "n_coefficients": 14}, "array<double>"),
+    "number_cwt_peaks": (number_cwt_peaks, {"max_width": 5}, "double"),
     "fourier_entropy": (fourier_entropy, {"n_bins": 10}, "double"),
     "spkt_welch_density": (spkt_welch_density, {"coeff": 5}, "double"),
     "fft_coefficients": (

@@ -12,6 +12,8 @@ time=ts, x=value.
 
 from __future__ import annotations
 
+import math
+
 ROUND = 6
 
 # Shared CTE: per-row panel with window helpers. Kept minimal per
@@ -48,6 +50,26 @@ _LAGS = (
 
 def feature_oracles() -> dict:
     o: dict[str, str] = {}
+
+    # benford: nine seeded conditional counts + closed-form Pearson
+    _bd = [math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+    _bc = [
+        f"(COUNT(CASE WHEN regexp_extract(CAST(x AS VARCHAR), '[1-9]') = '{d}' "
+        f"THEN 1 END) + 1.0)"
+        for d in range(1, 10)
+    ]
+    _sc = " + ".join(_bc)
+    _sc2 = " + ".join(f"{c}*{c}" for c in _bc)
+    _scb = " + ".join(f"{c}*{b!r}" for c, b in zip(_bc, _bd))
+    _sb = sum(_bd)
+    _sb2 = sum(b * b for b in _bd)
+    o["benford_correlation"] = _agg(
+        _r(
+            f"(9.0*({_scb}) - ({_sc})*{_sb!r}) / "
+            f"SQRT((9.0*({_sc2}) - ({_sc})*({_sc})) * {9.0 * _sb2 - _sb * _sb!r})"
+        ),
+        "benford_correlation",
+    )
 
     o["absolute_energy"] = _agg(_r("SUM(x*x)"), "absolute_energy")
     o["absolute_maximum"] = _agg(

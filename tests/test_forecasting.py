@@ -152,3 +152,109 @@ def test_cv_splits(events, events_pdf):
     tr, te = s[1]
     per_entity = tr.groupBy("user_id").count().collect()
     assert all(r["count"] <= 10 for r in per_entity)
+
+
+def test_zero_inflated_on_sparse_series(spark):
+    """A series that is mostly zeros with occasional constant spikes:
+    the blend must land strictly between 0 and the spike value and the
+    zero-threshold path must not engage the below-regressor."""
+    from functime_spark.forecasting.censored import zero_inflated_model
+
+    rows = [
+        ("a", t, 10.0 if t % 4 == 0 else 0.0) for t in range(1, 61)
+    ]
+    y = spark.createDataFrame(rows, "entity string, t long, y double")
+    pred = zero_inflated_model(freq="1i", lags=4).fit(y).predict(4).toPandas()
+    assert len(pred) == 4
+    assert (pred["y"] >= -1.0).all() and (pred["y"] <= 11.0).all()
+
+
+def test_censored_model_two_regimes(spark):
+    from functime_spark.forecasting.censored import censored_model
+
+    rows = [("a", t, 100.0 + (t % 3) if t % 2 == 0 else 1.0) for t in range(1, 81)]
+    y = spark.createDataFrame(rows, "entity string, t long, y double")
+    pred = censored_model(freq="1i", lags=4, threshold=50.0).fit(y).predict(3).toPandas()
+    assert len(pred) == 3
+    assert pred["y"].between(-5, 110).all()
+
+
+def test_knn_constant_series(spark):
+    """kNN on constant series must predict the constant."""
+    from functime_spark.forecasting.knn import knn
+
+    rows = [(e, t, float(v)) for e, v in [("a", 5.0), ("b", 9.0)] for t in range(1, 31)]
+    y = spark.createDataFrame(rows, "entity string, t long, y double")
+    pred = knn(freq="1i", lags=3, n_neighbors=2).fit(y).predict(3).toPandas()
+    for ent, want in [("a", 5.0), ("b", 9.0)]:
+        np.testing.assert_allclose(
+            pred[pred["entity"] == ent]["y"].to_numpy(), want
+        )
+
+
+def test_ann_matches_knn_when_probing_all_cells(spark):
+    from functime_spark.forecasting.knn import ann, knn
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (f"e{e}", t, float(50 + 10 * np.sin(t / 3) + rng.randn()))
+        for e in range(4)
+        for t in range(1, 41)
+    ]
+    y = spark.createDataFrame(rows, "entity string, t long, y double")
+    exact = knn(freq="1i", lags=4, n_neighbors=3).fit(y).predict(2).toPandas()
+    approx = (
+        ann(freq="1i", lags=4, n_neighbors=3, n_cells=2, n_probe=2)
+        .fit(y)
+        .predict(2)
+        .toPandas()
+    )
+    m = exact.merge(approx, on=["entity", "t"], suffixes=("_k", "_a"))
+    np.testing.assert_allclose(m["y_k"], m["y_a"], rtol=1e-9)
+
+
+def test_gbt_forecaster_runs(spark):
+    from functime_spark.forecasting.tree import gradient_boosted_model
+
+    rows = [("a", t, float(t % 7)) for t in range(1, 61)]
+    y = spark.createDataFrame(rows, "entity string, t long, y double")
+    pred = (
+        gradient_boosted_model(freq="1i", lags=7, max_iter=5)
+        .fit(y)
+        .predict(7)
+        .toPandas()
+    )
+    assert len(pred) == 7
+    assert pred["y"].between(-1, 7).all()
+
+
+def test_elite_prefers_snaive_on_seasonal_data(spark):
+    """On a strictly periodic panel the snaive candidate backtests to
+    ~0 smape and must dominate the blend."""
+    from functime_spark.forecasting.elite import elite
+
+    rows = [("a", t, float((t % 5) * 2 + 1)) for t in range(1, 81)]
+    y = spark.createDataFrame(rows, "entity string, t long, y double")
+    fc = elite(freq="1i", lags=5, sp=5, top_k=1, test_size=5, n_splits=2).fit(y)
+    pred = fc.predict(5).toPandas().sort_values("t")
+    want = [float((t % 5) * 2 + 1) for t in range(81, 86)]
+    np.testing.assert_allclose(pred["y"].to_numpy(), want)
+
+
+def test_auto_linear_picks_a_config(spark):
+    from functime_spark.forecasting.automl import auto_linear_model
+
+    rng = np.random.RandomState(0)
+    rows = []
+    for e in range(3):
+        x = [10.0, 11.0]
+        for t in range(1, 61):
+            x.append(0.6 * x[-1] + 0.3 * x[-2] + rng.randn() * 0.1)
+            rows.append((f"e{e}", t, x[-1]))
+    y = spark.createDataFrame(rows, "entity string, t long, y double")
+    fc = auto_linear_model(
+        freq="1i", min_lags=2, max_lags=6, test_size=4, n_splits=2
+    ).fit(y)
+    assert fc.best_params_["lags"] in (2, 4, 6)
+    pred = fc.predict(3).toPandas()
+    assert len(pred) == 9
