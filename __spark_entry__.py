@@ -257,6 +257,71 @@ def q_forecast_linear(spark, sf_dir):
     return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
 
 
+def q_preproc_log1p(spark, sf_dir):
+    """log1p transform on |value| (ref preprocessing.py:738-768)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.preprocessing import log1p
+    from functime_spark.sources.tables import load_events
+
+    df = load_events(spark, sf_dir).select(
+        "user_id", "ts", F.abs("value").alias("value")
+    )
+    return _round_floats(log1p().transform(df)).orderBy("user_id", "ts")
+
+
+def q_preproc_one_hot(spark, sf_dir):
+    """Dummy-encode event_type (ref preprocessing.py:212-253)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.preprocessing import one_hot_encode
+    from functime_spark.sources.tables import load_events
+
+    df = load_events(spark, sf_dir).select("user_id", "ts", "value", "event_type")
+    out = one_hot_encode().transform(df)
+    return _round_floats(out).orderBy("user_id", "ts")
+
+
+def q_cv_sliding_window(spark, sf_dir):
+    """First sliding-window split's train block (ref :204-250)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.cross_validation import sliding_window_split
+
+    df = events_panel(spark, sf_dir)
+    train, _test = sliding_window_split(
+        df, test_size=4, n_splits=2, step_size=4, window_size=8
+    )[0]
+    return _round_floats(train).orderBy("user_id", "ts")
+
+
+def q_metrics_interval(spark, sf_dir):
+    """Interval coverage + Winkler score on lag-pred ± per-entity std."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.metrics import interval_coverage, winkler_score
+
+    y_true, y_pred = _naive_pred_frames(spark, sf_dir)
+    sd = y_true.groupBy("user_id").agg(F.stddev_samp("value").alias("__sd"))
+    interval = (
+        y_pred.join(F.broadcast(sd), on="user_id")
+        .select(
+            "user_id",
+            "ts",
+            (F.col("value") - F.col("__sd")).alias("lower"),
+            (F.col("value") + F.col("__sd")).alias("upper"),
+        )
+    )
+    cov = interval_coverage(y_true, interval)
+    wink = winkler_score(y_true, interval, alpha=0.1)
+    return _round_floats(cov.join(wink, on="user_id")).orderBy("user_id")
+
+
+def q_metrics_crps(spark, sf_dir):
+    """Gaussian closed-form CRPS (erf: no DuckDB equivalent) — rows-only."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.metrics import crps
+
+    y_true, y_pred = _naive_pred_frames(spark, sf_dir)
+    return _round_floats(crps(y_true, y_pred)).orderBy("user_id")
+
+
 def q_forecast_zero_inflated(spark, sf_dir):
     """Censored/zero-inflated forecaster (MLlib logistic gate x linear
     regressors, one-pass Arrow recursion) — rows-only check."""
@@ -619,6 +684,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "forecast_naive": q_forecast_naive,
             "forecast_snaive": q_forecast_snaive,
             "forecast_linear": q_forecast_linear,
+            "preproc_log1p": q_preproc_log1p,
+            "preproc_one_hot": q_preproc_one_hot,
+            "cv_sliding_window": q_cv_sliding_window,
+            "metrics_interval": q_metrics_interval,
+            "metrics_crps": q_metrics_crps,
             "forecast_zero_inflated": q_forecast_zero_inflated,
             "forecast_knn": q_forecast_knn,
             "forecast_gbt": q_forecast_gbt,

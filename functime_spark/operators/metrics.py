@@ -156,17 +156,20 @@ def crps(y_true, y_pred, y_pred_std=None):
     Needs Phi/phi; Spark lacks erf, so the normal CDF runs in an
     Arrow-vectorized pandas UDF (the one Python crossing here).
     """
-    import pandas as pd
     from pyspark.sql.types import DoubleType
 
-    @F.pandas_udf(DoubleType())
-    def _crps_gauss(z: pd.Series) -> pd.Series:
+    def _crps_kernel(z):
         import numpy as np
+        import pandas as pd
 
         erf = np.vectorize(math.erf)
         cdf = 0.5 * (1.0 + erf(z / np.sqrt(2.0)))
         pdf = np.exp(-0.5 * z * z) / np.sqrt(2 * np.pi)
         return pd.Series(z * (2 * cdf - 1) + 2 * pdf - 1 / np.sqrt(np.pi))
+
+    # plain-function form: `from __future__ import annotations` turns
+    # hints into strings, which pandas_udf's hint parser rejects
+    _crps_gauss = F.pandas_udf(_crps_kernel, DoubleType())
 
     j, e = _joined(y_true, y_pred)
     t = y_true.columns[1]

@@ -503,6 +503,46 @@ def operator_oracles() -> dict:
         "WHERE i >= n - 4 ORDER BY user_id, ts"
     )
 
+    o["preproc_log1p"] = (
+        f"SELECT user_id, ts, {_r('LN(1 + ABS(value))')} AS value "
+        "FROM events ORDER BY user_id, ts"
+    )
+
+    _etypes = ["click", "error", "purchase", "signup", "view"]
+    o["preproc_one_hot"] = (
+        f"SELECT user_id, ts, {_r('value')} AS value, "
+        + ", ".join(
+            f"CAST(event_type = '{v}' AS TINYINT) AS event_type__{v}"
+            for v in _etypes
+        )
+        + " FROM events ORDER BY user_id, ts"
+    )
+
+    # split 0 of sliding_window_split(test=4, n_splits=2, step=4, window=8):
+    # cutoff = test + step = 8; train i in [n-16, n-8)
+    o["cv_sliding_window"] = (
+        f"WITH q AS (SELECT user_id, ts, value, row_number() OVER w - 1 AS i, "
+        f"COUNT(*) OVER (PARTITION BY user_id) AS n FROM events {_W}) "
+        f"SELECT user_id, ts, {_r('value')} AS value FROM q "
+        "WHERE i >= n - 16 AND i < n - 8 ORDER BY user_id, ts"
+    )
+
+    o["metrics_interval"] = (
+        f"WITH p AS (SELECT user_id, ts, value AS actual, "
+        f"lag(value) OVER w AS pred FROM events {_W}), "
+        "sd AS (SELECT user_id, stddev_samp(value) AS s FROM events GROUP BY user_id), "
+        "j AS (SELECT p.user_id, actual, pred - s AS lo, pred + s AS hi "
+        "FROM p JOIN sd ON p.user_id = sd.user_id WHERE pred IS NOT NULL) "
+        "SELECT user_id, "
+        + _r("AVG(CASE WHEN actual >= lo AND actual <= hi THEN 1.0 ELSE 0.0 END)")
+        + " AS coverage, "
+        + _r(
+            "AVG((hi - lo) + CASE WHEN actual < lo THEN (lo - actual) * 20.0 "
+            "WHEN actual > hi THEN (actual - hi) * 20.0 ELSE 0.0 END)"
+        )
+        + " AS winkler FROM j GROUP BY user_id ORDER BY user_id"
+    )
+
     o["metrics_point"] = (
         f"WITH j AS (SELECT user_id, value AS actual, lag(value) OVER w AS pred FROM events {_W}), "
         "a AS (SELECT user_id, AVG(ABS(pred - actual)) AS mae_, "
