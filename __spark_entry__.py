@@ -322,6 +322,27 @@ def q_metrics_crps(spark, sf_dir):
     return _round_floats(crps(y_true, y_pred)).orderBy("user_id")
 
 
+def q_future_calendar(spark, sf_dir):
+    """Calendar effects over the generated future index (ref
+    calendar.py:119-134)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.seasonality import make_future_calendar_effects
+
+    df = events_panel(spark, sf_dir)
+    out = make_future_calendar_effects(df, ["hour", "weekday", "month"], 4, "1h")
+    return out.orderBy("user_id", "ts")
+
+
+def q_stream_resample(spark, sf_dir):
+    """Watermark-compatible windowed resample (batch/stream symmetric
+    code path from functime_spark.streaming)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.streaming import stream_resample
+
+    df = events_panel(spark, sf_dir)
+    return _round_floats(stream_resample(df, "1d", "sum")).orderBy("user_id", "ts")
+
+
 def q_forecast_zero_inflated(spark, sf_dir):
     """Censored/zero-inflated forecaster (MLlib logistic gate x linear
     regressors, one-pass Arrow recursion) — rows-only check."""
@@ -689,6 +710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cv_sliding_window": q_cv_sliding_window,
             "metrics_interval": q_metrics_interval,
             "metrics_crps": q_metrics_crps,
+            "stream_resample": q_stream_resample,
+            "future_calendar": q_future_calendar,
             "forecast_zero_inflated": q_forecast_zero_inflated,
             "forecast_knn": q_forecast_knn,
             "forecast_gbt": q_forecast_gbt,

@@ -46,9 +46,11 @@ _CALENDAR_EXPRS = {
 
 def add_calendar_effects(df: DataFrame, attrs: list, as_dummies: bool = False) -> DataFrame:
     """Calendar attribute columns (as strings, mirroring the reference's
-    categorical cast). Ref calendar.py:13-53."""
-    p = panel_cols(df)
-    t = F.col(p.time)
+    categorical cast). Ref calendar.py:13-53.
+
+    Accepts a bare (entity, time) index frame too — the reference's
+    future-effects path feeds exactly that (calendar.py:126-133)."""
+    t = F.col(df.columns[1])
     bad = set(attrs) - set(_CALENDAR_EXPRS)
     if bad:
         raise ValueError(f"unsupported calendar attrs: {bad}")
@@ -117,3 +119,40 @@ def add_holiday_effects(
         }
         out = enc._encode(out, strict=False)
     return out
+
+
+def make_future_calendar_effects(
+    df: DataFrame, attrs: list, fh: int, freq: str
+) -> DataFrame:
+    """Calendar attrs over the per-entity future index. Ref
+    calendar.py:119-134."""
+    from functime_spark.forecasting.ranges import (
+        explode_future_ranges,
+        make_future_ranges,
+    )
+
+    p = panel_cols(df)
+    cutoffs = df.groupBy(p.entity).agg(F.max(p.time).alias("low"))
+    future = explode_future_ranges(
+        make_future_ranges(cutoffs, fh, freq, p.time)
+    ).select(p.entity, p.time)
+    return add_calendar_effects(future, attrs)
+
+
+def make_future_holiday_effects(
+    df: DataFrame, country_codes: list, fh: int, freq: str
+) -> DataFrame:
+    """Holiday columns over the per-entity future index. Ref
+    calendar.py:137-152. Needs the `holidays` package (see
+    add_holiday_effects)."""
+    from functime_spark.forecasting.ranges import (
+        explode_future_ranges,
+        make_future_ranges,
+    )
+
+    p = panel_cols(df)
+    cutoffs = df.groupBy(p.entity).agg(F.max(p.time).alias("low"))
+    future = explode_future_ranges(
+        make_future_ranges(cutoffs, fh, freq, p.time)
+    ).select(p.entity, p.time)
+    return add_holiday_effects(future, country_codes)

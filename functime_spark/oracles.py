@@ -543,6 +543,21 @@ def operator_oracles() -> dict:
         + " AS winkler FROM j GROUP BY user_id ORDER BY user_id"
     )
 
+    o["future_calendar"] = (
+        "WITH c AS (SELECT user_id, MAX(ts) AS low FROM events GROUP BY user_id) "
+        "SELECT user_id, low + i * INTERVAL '1 hour' AS ts, "
+        "CAST(hour(low + i * INTERVAL '1 hour') AS VARCHAR) AS hour, "
+        "CAST(isodow(low + i * INTERVAL '1 hour') AS VARCHAR) AS weekday, "
+        "CAST(month(low + i * INTERVAL '1 hour') AS VARCHAR) AS month "
+        "FROM c, generate_series(1, 4) AS g(i) ORDER BY user_id, ts"
+    )
+
+    o["stream_resample"] = (
+        "SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS ts, "
+        f"{_r('SUM(value)')} AS value FROM events "
+        "GROUP BY user_id, time_bucket(INTERVAL '1 day', ts) ORDER BY user_id, ts"
+    )
+
     o["metrics_point"] = (
         f"WITH j AS (SELECT user_id, value AS actual, lag(value) OVER w AS pred FROM events {_W}), "
         "a AS (SELECT user_id, AVG(ABS(pred - actual)) AS mae_, "

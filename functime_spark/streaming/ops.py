@@ -1,0 +1,163 @@
+"""Streaming panel operators: watermarked resample, sliding-window
+stats, stateful CUSUM.
+
+Batch/stream symmetry: each function only uses operations legal in
+Structured Streaming append/update modes (`F.window` time buckets,
+grouped aggregations, applyInPandasWithState), so the SAME code path
+serves both `spark.read` and `spark.readStream` inputs. On a stream,
+late data beyond the watermark is dropped by Spark; in batch mode the
+watermark call is a no-op.
+
+At scale: the windowed aggregations shuffle once on (entity, window)
+— the streaming state store keys on the same pair, so a 1000-executor
+cluster shards state horizontally by entity, the same
+embarrassingly-parallel axis as the batch engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from functime_spark.panel import panel_cols
+
+#: resample freq alias -> F.window duration string
+_DURATIONS = {
+    "s": "seconds",
+    "m": "minutes",
+    "h": "hours",
+    "d": "days",
+    "w": "weeks",
+}
+
+
+def _duration(freq: str) -> str:
+    n = "".join(ch for ch in freq if ch.isdigit()) or "1"
+    unit = freq[len(n):].lower()
+    if unit not in _DURATIONS:
+        raise ValueError(f"streaming resample supports s/m/h/d/w, got {freq!r}")
+    return f"{n} {_DURATIONS[unit]}"
+
+
+def stream_resample(
+    df: DataFrame,
+    freq: str,
+    agg: str = "sum",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Watermarked time-bucket aggregation (streaming `resample`).
+
+    Batch twin: operators/preprocessing.resample (ref
+    preprocessing.py:94-133) without the impute step — a stream can't
+    impute gaps it hasn't seen yet. Output: (entity, bucket_start, y).
+    """
+    p = panel_cols(df)
+    agg_fn = {"sum": F.sum, "mean": F.avg, "median": F.median,
+              "min": F.min, "max": F.max, "count": F.count}[agg]
+    src = df
+    if df.isStreaming:
+        src = df.withWatermark(p.time, watermark)
+    return (
+        src.groupBy(p.entity, F.window(p.time, _duration(freq)).alias("__w"))
+        .agg(agg_fn(p.target).alias(p.target))
+        .select(p.entity, F.col("__w.start").alias(p.time), p.target)
+    )
+
+
+def stream_rolling_stats(
+    df: DataFrame,
+    window: str,
+    slide: str | None = None,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Sliding-window panel stats (streaming `roll`, ref
+    preprocessing.py:256-336): mean/min/max/sum/std per (entity,
+    window). Overlapping windows via F.window(slide) — each row lands
+    in window/slide buckets, aggregated incrementally in the state
+    store (no per-row window-function shuffle, streaming-legal).
+    """
+    p = panel_cols(df)
+    src = df
+    if df.isStreaming:
+        src = df.withWatermark(p.time, watermark)
+    win = F.window(p.time, _duration(window), _duration(slide or window))
+    return (
+        src.groupBy(p.entity, win.alias("__w"))
+        .agg(
+            F.avg(p.target).alias("mean"),
+            F.min(p.target).alias("min"),
+            F.max(p.target).alias("max"),
+            F.sum(p.target).alias("sum"),
+            F.stddev_samp(p.target).alias("std"),
+            F.count(p.target).alias("n"),
+        )
+        .select(
+            p.entity,
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            "mean", "min", "max", "sum", "std", "n",
+        )
+    )
+
+
+def stream_cusum(
+    df: DataFrame,
+    threshold: float = 5.0,
+    drift: float = 0.0,
+    warmup: int = 30,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Stateful streaming CUSUM changepoints (streaming twin of
+    functions/features_udf.cusum; ref cusum.rs:32-93).
+
+    Per-entity state = (n, mean, M2, s_pos, s_neg) carried across
+    micro-batches in the Spark state store via applyInPandasWithState
+    — Welford moments during warmup, tabular CUSUM with reset after.
+    Emits one row per detected changepoint (append mode).
+    """
+    import pandas as pd
+
+    p = panel_cols(df)
+    entity_dtype = dict(df.dtypes)[p.entity]
+    time_dtype = dict(df.dtypes)[p.time]
+    out_schema = (
+        f"{p.entity} {entity_dtype}, {p.time} {time_dtype}, "
+        "direction string, stat double"
+    )
+    state_schema = "n long, mean double, m2 double, spos double, sneg double"
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n, mean, m2, spos, sneg = state.get
+        else:
+            n, mean, m2, spos, sneg = 0, 0.0, 0.0, 0.0, 0.0
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(p.time)
+            for t, x in zip(pdf[p.time], pdf[p.target]):
+                x = float(x)
+                n += 1
+                d = x - mean
+                mean += d / n
+                m2 += d * (x - mean)
+                if n <= warmup or m2 <= 0:
+                    continue
+                sd = (m2 / (n - 1)) ** 0.5
+                z = (x - mean) / sd
+                spos = max(0.0, spos + z - drift)
+                sneg = min(0.0, sneg + z + drift)
+                if spos > threshold:
+                    rows.append((key[0], t, "up", spos))
+                    spos, sneg = 0.0, 0.0
+                elif sneg < -threshold:
+                    rows.append((key[0], t, "down", sneg))
+                    spos, sneg = 0.0, 0.0
+        state.update((n, mean, m2, spos, sneg))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[p.entity, p.time, "direction", "stat"]
+            )
+
+    return df.groupBy(p.entity).applyInPandasWithState(
+        update, out_schema, state_schema, "append", timeout
+    )

@@ -1,0 +1,111 @@
+"""Structured Streaming operators: batch/stream symmetry and real
+streaming execution through a file source + memory sink."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    """Small panel parquet dir to stream from."""
+    rows = [
+        (e, f"2024-01-01 {h:02d}:{m:02d}:00", float(10 * e + h))
+        for e in range(3)
+        for h in range(6)
+        for m in (0, 30)
+    ]
+    df = spark.createDataFrame(
+        rows, "entity int, ts string, y double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "panel")
+    df.repartition(2).write.parquet(path)
+    yield path, df
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _run_stream(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+def test_stream_resample_matches_batch(spark, stream_dir):
+    from functime_spark.streaming import stream_resample
+
+    path, batch_df = stream_dir
+    batch = stream_resample(batch_df, "1h", "sum").toPandas()
+
+    src = spark.readStream.schema(batch_df.schema).parquet(path)
+    out = stream_resample(src, "1h", "sum", watermark="10 minutes")
+    # complete mode: append would hold back the newest window until the
+    # watermark passes it (correct streaming semantics, but this test
+    # wants the full history to compare against batch)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("resample_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = spark.table("resample_t").toPandas()
+
+    b = batch.sort_values(["entity", "ts"]).reset_index(drop=True)
+    s = streamed.sort_values(["entity", "ts"]).reset_index(drop=True)
+    assert len(b) == len(s) == 3 * 6
+    assert (b["y"].to_numpy() == s["y"].to_numpy()).all()
+
+
+def test_stream_rolling_stats_overlapping_windows(spark, stream_dir):
+    from functime_spark.streaming import stream_rolling_stats
+
+    _path, batch_df = stream_dir
+    out = stream_rolling_stats(batch_df, "2h", "1h").toPandas()
+    one = out[(out["entity"] == 0)].sort_values("window_start")
+    # 2h windows sliding 1h over 6 hours of data -> 7 windows
+    assert len(one) == 7
+    mid = one.iloc[2]
+    assert mid["n"] == 4  # two rows/hour x 2h window
+
+
+def test_stream_cusum_detects_level_shift(spark, tmp_path):
+    from functime_spark.streaming import stream_cusum
+
+    rows = [("a", t, 0.0 + (t % 3) * 0.1 if t <= 60 else 30.0) for t in range(1, 81)]
+    df = spark.createDataFrame(rows, "entity string, t long, y double")
+    path = str(tmp_path / "cusum_src")
+    df.write.parquet(path)
+
+    src = spark.readStream.schema(df.schema).parquet(path)
+    out = stream_cusum(src, threshold=5.0, warmup=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cusum_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    cps = spark.table("cusum_t").toPandas()
+    assert len(cps) >= 1
+    assert (cps["direction"] == "up").any()
+    assert cps["t"].min() > 60  # fires only after the level shift
+
+    # batch twin (features_udf.cusum) agrees on the shift location
+    from functime_spark.functions.features_udf import cusum
+
+    batch_cp = cusum(df, threshold=5.0, warmup_period=30).toPandas()
+    fired = batch_cp[batch_cp["event"] != 0]
+    assert (fired["event"] == 1).any()
+    assert fired["t"].min() > 60
