@@ -21,7 +21,10 @@ single plan:
                partitioning, no second shuffle.
 
 At 100 TB this means feature extraction costs one shuffle of the panel
-regardless of how many features are requested; entities are the
+for any number of moment/lag/run-length features, plus at most two
+keyed repartitions when value-count (`val_cnt`) or histogram-bin
+helpers are requested — bounded at three exchanges total for the full
+55-feature set (pinned by tests/test_plans.py). Entities are the
 embarrassingly-parallel axis. No Python is involved at run time —
 everything below compiles to Catalyst expressions inside whole-stage
 codegen.
