@@ -51,23 +51,22 @@ def make_reduction(y: DataFrame, lags: int, X: DataFrame | None = None) -> DataF
 def make_y_lag(y: DataFrame, max_lag: int) -> DataFrame:
     """Per-entity ascending array of the last `max_lag` target values.
 
-    The recursion state (ref make_y_lag _reduction.py:66-77)."""
+    The recursion state (ref make_y_lag _reduction.py:66-77). One
+    hash aggregate: collect (time, value) structs, sort in-expression,
+    slice the tail — no window pass building an O(n) list per ROW
+    (the previous formulation churned n lists per entity and kept 1).
+    """
     p = panel_cols(y)
-    cw = (
-        Window.partitionBy(p.entity)
-        .orderBy(p.time)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sorted_vals = F.transform(
+        F.array_sort(F.collect_list(F.struct(p.time, p.target))),
+        lambda s: s[p.target],
     )
-    tail = F.slice(F.collect_list(p.target).over(cw), -max_lag, max_lag)
-    rn_desc = F.row_number().over(
-        Window.partitionBy(p.entity).orderBy(F.desc(p.time))
-    )
-    return (
-        y.withColumn("__buf", tail)
-        .withColumn("__rn", rn_desc)
-        .filter(F.col("__rn") == 1)
-        .select(p.entity, "__buf")
-    )
+    # Python [-k:] semantics: series shorter than max_lag keep all
+    # rows (Spark's slice(-k) returns [] when |start| > length)
+    tail = F.when(
+        F.size(sorted_vals) <= max_lag, sorted_vals
+    ).otherwise(F.slice(sorted_vals, -max_lag, max_lag))
+    return y.groupBy(p.entity).agg(tail.alias("__buf"))
 
 
 class LinearBackend:

@@ -45,23 +45,16 @@ class snaive(Forecaster):
 
     def _fit(self, y: DataFrame, X: DataFrame | None = None):
         p = self.state["panel"]
-        ow = (
-            Window.partitionBy(p.entity)
-            .orderBy(p.time)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        # one hash aggregate (collect + in-expression sort + tail
+        # slice) instead of a window pass building a list per row
+        sorted_vals = F.transform(
+            F.array_sort(F.collect_list(F.struct(p.time, p.target))),
+            lambda s: s[p.target],
         )
-        tail = F.slice(F.collect_list(p.target).over(ow), -self.sp, self.sp)
-        self.state["y_tail"] = (
-            y.withColumn("__tail", tail)
-            .withColumn(
-                "__rn",
-                F.row_number().over(
-                    Window.partitionBy(p.entity).orderBy(F.desc(p.time))
-                ),
-            )
-            .filter(F.col("__rn") == 1)
-            .select(p.entity, "__tail")
-        )
+        tail = F.when(
+            F.size(sorted_vals) <= self.sp, sorted_vals
+        ).otherwise(F.slice(sorted_vals, -self.sp, self.sp))
+        self.state["y_tail"] = y.groupBy(p.entity).agg(tail.alias("__tail"))
 
     def _predict_values(self, fh: int, X: DataFrame | None = None) -> DataFrame:
         p = self.state["panel"]
