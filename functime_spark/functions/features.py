@@ -20,14 +20,15 @@ single plan:
   final        groupBy(entity).agg(f1, ..., fN) — reuses the same
                partitioning, no second shuffle.
 
-At 100 TB this means feature extraction costs one shuffle of the panel
-for any number of moment/lag/run-length features, plus at most two
-keyed repartitions when value-count (`val_cnt`) or histogram-bin
-helpers are requested — bounded at three exchanges total for the full
-55-feature set (pinned by tests/test_plans.py). Entities are the
-embarrassingly-parallel axis. No Python is involved at run time —
-everything below compiles to Catalyst expressions inside whole-stage
-codegen.
+At 100 TB this means feature extraction costs ONE shuffle of the panel
+regardless of how many features are requested (pinned by
+tests/test_plans.py): the up-front entity repartition satisfies every
+window spec — including subkey (entity, value)/(entity, bin) windows,
+which only add in-partition sorts — and the final groupBy; distinct-
+counting features are expressed expand-free via first-occurrence
+windows instead of countDistinct. Entities are the embarrassingly-
+parallel axis. No Python is involved at run time — everything below
+compiles to Catalyst expressions inside whole-stage codegen.
 
 Null convention: series are assumed dense (no null target values),
 matching the reference's test fixtures; aggregates use F.count(x) = n.
@@ -128,6 +129,25 @@ class PanelCtx:
         return self.helper(
             "__val_cnt",
             lambda: F.count(self.x).over(Window.partitionBy(self.entity, self.value)),
+            0,
+        )
+
+    def first_occ(self) -> Column:
+        """True on the first row (time order) of each distinct value.
+
+        Lets distinct-counting features stay in the fused single-pass
+        plan: Spark's countDistinct/sum_distinct trigger the
+        expand+gid two-phase aggregate (two extra shuffles); counting
+        first occurrences is an exact, expand-free equivalent. The
+        (entity, value) window reuses the entity hash partitioning —
+        only an extra in-partition sort.
+        """
+        return self.helper(
+            "__first_occ",
+            lambda: F.row_number().over(
+                Window.partitionBy(self.entity, self.value).orderBy(self.time)
+            )
+            == 1,
             0,
         )
 
@@ -388,7 +408,7 @@ def last_location_of_minimum(c: PanelCtx) -> Column:
 
 def has_duplicate(c: PanelCtx) -> Column:
     """Any value occurring more than once. Ref :775-788."""
-    return F.count(c.x) != F.countDistinct(c.x)
+    return F.max(c.val_cnt()) > 1
 
 
 def has_duplicate_max(c: PanelCtx) -> Column:
@@ -521,8 +541,8 @@ def percent_reoccurring_points(c: PanelCtx) -> Column:
 
 def percent_reoccurring_values(c: PanelCtx) -> Column:
     """#distinct values with count>1 / #distinct. Ref :1252-1273."""
-    vc = c.val_cnt()
-    return F.countDistinct(F.when(vc > 1, c.x)) / F.countDistinct(c.x)
+    vc, fo = c.val_cnt(), c.first_occ()
+    return F.count(F.when(fo & (vc > 1), 1)) / F.count(F.when(fo, 1))
 
 
 def permutation_entropy(c: PanelCtx, tau: int = 1, n_dims: int = 3) -> Column:
@@ -594,8 +614,8 @@ def ratio_beyond_r_sigma(c: PanelCtx, ratio: float = 0.25) -> Column:
 
 
 def ratio_n_unique_to_length(c: PanelCtx) -> Column:
-    """countDistinct / n. Ref :1428-1441."""
-    return F.countDistinct(c.x) / F.count(c.x)
+    """countDistinct / n (expand-free). Ref :1428-1441."""
+    return F.count(F.when(c.first_occ(), 1)) / F.count(c.x)
 
 
 def root_mean_square(c: PanelCtx) -> Column:
@@ -609,8 +629,10 @@ def sum_reoccurring_points(c: PanelCtx) -> Column:
 
 
 def sum_reoccurring_values(c: PanelCtx) -> Column:
-    """Sum over distinct reoccurring values. Ref :1586-1611."""
-    return F.coalesce(F.sum_distinct(F.when(c.val_cnt() > 1, c.x)), F.lit(0.0))
+    """Sum over distinct reoccurring values (expand-free). Ref
+    :1586-1611."""
+    vc, fo = c.val_cnt(), c.first_occ()
+    return F.coalesce(F.sum(F.when(fo & (vc > 1), c.x)), F.lit(0.0))
 
 
 def symmetry_looking(c: PanelCtx, ratio: float = 0.25) -> Column:
@@ -821,7 +843,12 @@ def extract_features(
             builder, params = FEATURES[name][0], spec
         aggs.append(builder(ctx, **params).alias(name))
 
-    out = df.select(entity, time, value)
+    # pin the single shuffle up front: hashpartitioning(entity)
+    # satisfies every window spec below (entity-only AND subkey
+    # (entity, value)/(entity, bin) specs — subset rule) and the final
+    # groupBy, so the planner's window ordering can never introduce a
+    # second exchange
+    out = df.select(entity, time, value).repartition(F.col(entity))
     for stage_cols in ctx.stages:
         if stage_cols:
             out = out.withColumns(stage_cols)

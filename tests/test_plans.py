@@ -19,13 +19,15 @@ def test_single_feature_is_one_shuffle(events):
         assert python_eval_nodes(out) == []  # native tier stays JVM-side
 
 
-def test_fused_native_features_bounded_shuffles(events):
-    """55 fused features: one entity shuffle + two keyed-helper
-    repartitions (value-counts, histogram bins) — never more."""
+def test_fused_native_features_single_shuffle(events):
+    """The full 55-feature fusion is ONE shuffle: the up-front entity
+    repartition satisfies every window spec (subkey windows included)
+    and the final groupBy; distinct-aggregate features are expressed
+    expand-free via first-occurrence windows."""
     from functime_spark.functions.features import extract_features
     from functime_spark.plans import assert_max_exchanges
 
-    assert_max_exchanges(extract_features(events), 3)
+    assert_max_exchanges(extract_features(events), 1)
 
 
 def test_preprocessing_single_shuffle(events):
