@@ -637,6 +637,31 @@ def q_eval_normality(spark, sf_dir):
     return _round_floats(normality_test(df)).orderBy("user_id")
 
 
+def q_eval_rank_forecasts(spark, sf_dir):
+    """rank_point_forecasts by prediction coefficient-of-variation."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.evaluation import rank_point_forecasts
+
+    y_true, y_pred = _naive_pred_frames(spark, sf_dir)
+    out = rank_point_forecasts(y_true, y_pred, sort_by="cv")
+    return _round_floats(out).orderBy("user_id")
+
+
+def q_eval_rank_residuals(spark, sf_dir):
+    """rank_residuals by absolute bias of one-step-naive residuals."""
+    _ensure_nanos_conf(spark)
+    from pyspark.sql import Window
+
+    from functime_spark.operators.evaluation import rank_residuals
+
+    df = events_panel(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    resid = df.select(
+        "user_id", "ts", (F.col("value") - F.lag("value").over(w)).alias("residual")
+    ).na.drop()
+    return _round_floats(rank_residuals(resid, sort_by="abs_bias")).orderBy("user_id")
+
+
 def q_eval_rank_fva(spark, sf_dir):
     """FVA of a lag-2 'model' vs the one-step-naive benchmark."""
     _ensure_nanos_conf(spark)
@@ -740,6 +765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "eval_ljung_box": q_eval_ljung_box,
             "eval_normality": q_eval_normality,
             "eval_rank_fva": q_eval_rank_fva,
+            "eval_rank_forecasts": q_eval_rank_forecasts,
+            "eval_rank_residuals": q_eval_rank_residuals,
         }
     )
     return q

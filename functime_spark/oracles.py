@@ -552,6 +552,20 @@ def operator_oracles() -> dict:
         "FROM c, generate_series(1, 4) AS g(i) ORDER BY user_id, ts"
     )
 
+    o["eval_rank_forecasts"] = (
+        f"WITH p AS (SELECT user_id, lag(value) OVER w AS pred FROM events {_W}) "
+        "SELECT user_id, "
+        + _r("stddev_samp(pred)/AVG(pred)")
+        + " AS cv FROM p WHERE pred IS NOT NULL GROUP BY user_id ORDER BY user_id"
+    )
+
+    o["eval_rank_residuals"] = (
+        f"WITH p AS (SELECT user_id, value - lag(value) OVER w AS r FROM events {_W}) "
+        "SELECT user_id, "
+        + _r("ABS(AVG(r))")
+        + " AS abs_bias FROM p WHERE r IS NOT NULL GROUP BY user_id ORDER BY user_id"
+    )
+
     o["stream_resample"] = (
         "SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS ts, "
         f"{_r('SUM(value)')} AS value FROM events "

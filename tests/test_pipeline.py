@@ -194,3 +194,28 @@ def test_cusum_detects_level_shift(spark):
     events = [r["event"] for r in out]
     assert sum(events[:50]) == 0
     assert sum(events[50:]) >= 1
+
+
+def test_llm_analyze_prompt_assembly(events):
+    """Offline: the prompt is assembled from a distributed pivot;
+    a stub client receives it."""
+    from functime_spark.pipeline.llm import analyze, compare
+
+    received = {}
+
+    def stub(prompt):
+        received["p"] = prompt
+        return "ok"
+
+    out = analyze(events, basket=[0, 1], context="unit test", client=stub)
+    assert out == "ok"
+    assert "unit test" in received["p"]
+    assert "Analyze" in received["p"]
+
+    p = compare(events, basket=[0], other_basket=[1], _return_prompt=True)
+    assert "Basket A" in p and "Basket B" in p
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        analyze(events, basket=[99999], _return_prompt=True)
