@@ -29,3 +29,43 @@ def long_to_wide(df: DataFrame) -> DataFrame:
     the reference's eager pivot)."""
     e, t, v = df.columns[:3]
     return df.groupBy(t).pivot(e).agg(F.first(v))
+
+
+def X_to_numpy(df: DataFrame) -> "object":
+    """Collect feature columns to a Float32 matrix: NaN/inf scrubbed to
+    null, then per-column mean-imputed. Ref conversion.py:100-135.
+
+    Driver-bound by design (feeds single-node ML fits, exactly like the
+    reference); at cluster scale prefer the distributed MLlib paths in
+    forecasting/ that never materialize the matrix.
+    """
+    import numpy as np
+
+    feat_cols = df.columns[2:]
+    cleaned = df.select(
+        *[
+            F.when(
+                F.isnan(F.col(c).cast("double")) | F.col(c).cast("double").isin(
+                    float("inf"), float("-inf")
+                ),
+                None,
+            )
+            .otherwise(F.col(c).cast("double"))
+            .alias(c)
+            for c in feat_cols
+        ]
+    )
+    pdf = cleaned.toPandas()
+    mat = pdf.to_numpy(dtype="float64")
+    means = np.nanmean(mat, axis=0)
+    idx = np.where(np.isnan(mat))
+    mat[idx] = np.take(means, idx[1])
+    return mat.astype("float32")
+
+
+def y_to_numpy(df: DataFrame) -> "object":
+    """Target column as a Float32 vector (NaN/inf -> mean), same
+    contract as X_to_numpy. Ref conversion.py:100-136."""
+    e, t = df.columns[:2]
+    v = df.columns[-1]
+    return X_to_numpy(df.select(e, t, v)).ravel()

@@ -219,3 +219,46 @@ def test_llm_analyze_prompt_assembly(events):
 
     with _pytest.raises(ValueError):
         analyze(events, basket=[99999], _return_prompt=True)
+
+
+def test_plotting_prepare_layers(events, spark):
+    """prepare_* run distributed sampling/joins and return bounded
+    pandas slices; plot_* needs plotly (absent here)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from functime_spark import plotting
+
+    pdf = plotting.prepare_entities(events, n_series=3)
+    assert pdf["user_id"].nunique() == 3
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    y_pred = events.select(
+        "user_id", "ts", F.lag("value").over(w).alias("value")
+    ).na.drop()
+    fc = plotting.prepare_forecasts(events, y_pred, n_series=2)
+    assert set(fc["__kind"]) == {"actual", "forecast"}
+
+    fva = plotting.prepare_fva(events, y_pred, y_pred)
+    assert (fva["fva"].abs() < 1e-12).all()  # model == bench -> fva 0
+
+    with _pytest.raises(ImportError):
+        plotting.plot_entities(events)
+
+
+def test_conversion_numpy_matrix(spark):
+    import numpy as np
+
+    from functime_spark.operators.conversion import X_to_numpy, y_to_numpy
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0, float("nan")), ("a", 2, float("inf"), 4.0), ("b", 1, 3.0, 6.0)],
+        "e string, t long, f1 double, f2 double",
+    )
+    X = X_to_numpy(df)
+    assert X.dtype == np.float32 and X.shape == (3, 2)
+    np.testing.assert_allclose(X[:, 0], [1.0, 2.0, 3.0])  # inf -> mean(1,3)=2
+    np.testing.assert_allclose(X[:, 1], [5.0, 4.0, 6.0])  # nan -> mean(4,6)=5
+    y = y_to_numpy(df.select("e", "t", "f2"))
+    np.testing.assert_allclose(y, [5.0, 4.0, 6.0])
