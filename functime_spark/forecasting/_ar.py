@@ -147,16 +147,57 @@ class LinearBackend:
         )
 
 
+def attach_future_x(
+    y_lag: DataFrame, X_future: DataFrame, x_cols: list, fh: int
+) -> DataFrame:
+    """Join per-entity exogenous futures onto the recursion state.
+
+    X_future is a panel (entity, time, x feats...); each feature is
+    collected into an fh-long time-sorted array column `__x_<name>`
+    (ref predict drops the time column and passes per-entity lists,
+    _ar.py:212-214). Broadcast-joined: X_future has n_entities*fh rows.
+    """
+    entity = y_lag.columns[0]
+    e, t = X_future.columns[:2]
+    aggs = []
+    for c in x_cols:
+        sorted_vals = F.transform(
+            F.array_sort(F.collect_list(F.struct(t, c))), lambda s: s[c]
+        )
+        aggs.append(F.slice(sorted_vals, 1, fh).alias(f"__x_{c}"))
+    xf = X_future.groupBy(F.col(e).alias(entity)).agg(*aggs)
+    return y_lag.join(xf, on=entity, how="left")
+
+
+def _x_matrix(pdf, x_cols: list, fh: int, n_rows: int):
+    """(rows, fh, n_x) exogenous tensor from the __x_ array columns."""
+    out = np.zeros((n_rows, fh, len(x_cols)), dtype="float64")
+    for j, c in enumerate(x_cols):
+        col = pdf[f"__x_{c}"]
+        for i, arr in enumerate(col):
+            a = np.asarray(arr, dtype="float64") if arr is not None else np.zeros(0)
+            m = min(fh, len(a))
+            out[i, :m, j] = a[:m]
+    return out
+
+
 def predict_recursive_linear(
-    y_lag: DataFrame, coef: np.ndarray, intercept: float, fh: int, lags: int
+    y_lag: DataFrame,
+    coef: np.ndarray,
+    intercept: float,
+    fh: int,
+    lags: int,
+    n_x: int = 0,
 ) -> DataFrame:
     """One distributed Arrow pass: per-batch numpy recursion over fh.
 
-    coef[j] multiplies lag_{j+1} (lag_1 = most recent). Output:
-    (entity, step, yhat), step 0-based. Ref predict_recursive
-    _ar.py:216-270."""
+    coef[:lags][j] multiplies lag_{j+1} (lag_1 = most recent);
+    coef[lags:] multiplies the exogenous features at the predicted
+    step. Output: (entity, step, yhat), step 0-based. Ref
+    predict_recursive _ar.py:216-270."""
     entity = y_lag.columns[0]
     entity_dtype = dict(y_lag.dtypes)[entity]
+    x_names = [c[len("__x_"):] for c in y_lag.columns if c.startswith("__x_")]
     spark = y_lag.sparkSession
     b_coef = spark.sparkContext.broadcast((coef, intercept))
 
@@ -164,20 +205,23 @@ def predict_recursive_linear(
         import pandas as pd
 
         w, b = b_coef.value
-        k = len(w)
+        w_lag, w_x = w[:lags], w[lags:]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             ents = pdf[entity].to_numpy()
             # state matrix: most recent last; columns = buffer
             buf = np.stack(
-                [np.asarray(v, dtype="float64")[-k:] for v in pdf["__buf"]]
+                [np.asarray(v, dtype="float64")[-lags:] for v in pdf["__buf"]]
             )
+            xs = _x_matrix(pdf, x_names, fh, len(ents)) if n_x else None
             preds = np.empty((len(ents), fh), dtype="float64")
             for h in range(fh):
                 # features: lag_1 = buf[:, -1], lag_2 = buf[:, -2], ...
-                feats = buf[:, ::-1][:, :k]
-                yhat = feats @ w + b
+                feats = buf[:, ::-1][:, :lags]
+                yhat = feats @ w_lag + b
+                if n_x:
+                    yhat = yhat + xs[:, h, :] @ w_x
                 preds[:, h] = yhat
                 buf = np.concatenate([buf[:, 1:], yhat[:, None]], axis=1)
             out = pd.DataFrame(
@@ -194,12 +238,13 @@ def predict_recursive_linear(
 
 
 def predict_direct_linear(
-    y_lag: DataFrame, models: list, fh: int, lags: int
+    y_lag: DataFrame, models: list, fh: int, lags: int, n_x: int = 0
 ) -> DataFrame:
     """Direct strategy: horizon h uses model_h on the last `lags`
     observed values (no recursion). Ref predict_direct _ar.py:277-330."""
     entity = y_lag.columns[0]
     entity_dtype = dict(y_lag.dtypes)[entity]
+    x_names = [c[len("__x_"):] for c in y_lag.columns if c.startswith("__x_")]
     spark = y_lag.sparkSession
     b_models = spark.sparkContext.broadcast(models)
 
@@ -214,10 +259,14 @@ def predict_direct_linear(
             ents = pdf[entity].to_numpy()
             buf = np.stack([np.asarray(v, dtype="float64") for v in pdf["__buf"]])
             feats = buf[:, ::-1][:, :lags]  # lag_1..lag_lags
+            xs = _x_matrix(pdf, x_names, fh, len(ents)) if n_x else None
             preds = np.empty((len(ents), fh), dtype="float64")
             for h in range(fh):
                 w, b = ms[min(h, use_fh - 1)]
-                preds[:, h] = feats @ w + b
+                w_lag, w_x = w[:lags], w[lags:]
+                preds[:, h] = feats @ w_lag + b
+                if n_x:
+                    preds[:, h] += xs[:, h, :] @ w_x
             out = pd.DataFrame(
                 {
                     entity: np.repeat(ents, fh),

@@ -66,9 +66,15 @@ class linear_model(Forecaster):
     def _fit(self, y: DataFrame, X: DataFrame | None = None):
         p = self.state["panel"]
         backend = self._backend()
+        # exogenous feature columns ride along in the design matrix
+        # (ref make_reduction _reduction.py:32-34 keeps X columns)
+        x_cols = list(X.columns[2:]) if X is not None else []
+        self.state["x_cols"] = x_cols
         if self.strategy in ("recursive", "ensemble"):
             design = make_reduction(y, self.lags, X).persist()
-            feature_cols = [f"{p.target}__lag_{k}" for k in range(1, self.lags + 1)]
+            feature_cols = [
+                f"{p.target}__lag_{k}" for k in range(1, self.lags + 1)
+            ] + x_cols
             self.state["recursive_model"] = backend.fit(design, feature_cols, p.target)
             design.unpersist()
         if self.strategy in ("direct", "ensemble"):
@@ -77,7 +83,9 @@ class linear_model(Forecaster):
             design = make_reduction(y, self.lags + self.max_horizons - 1, X).persist()
             models = []
             for h in range(1, self.max_horizons + 1):
-                cols = [f"{p.target}__lag_{j}" for j in range(h, self.lags + h)]
+                cols = [
+                    f"{p.target}__lag_{j}" for j in range(h, self.lags + h)
+                ] + x_cols
                 models.append(backend.fit(design, cols, p.target))
             self.state["direct_models"] = models
             design.unpersist()
@@ -85,14 +93,25 @@ class linear_model(Forecaster):
         self.state["y_lag"] = make_y_lag(y, max(self.lags, max_buf)).persist()
 
     def _predict_values(self, fh: int, X: DataFrame | None = None) -> DataFrame:
+        from functime_spark.forecasting._ar import attach_future_x
+
         y_lag = self.state["y_lag"]
+        x_cols = self.state.get("x_cols") or []
+        if x_cols:
+            if X is None:
+                raise ValueError(
+                    "forecaster was fit with exogenous X; predict needs X_future"
+                )
+            y_lag = attach_future_x(y_lag, X, x_cols, fh)
         preds = None
         if self.strategy in ("recursive", "ensemble"):
             coef, b = self.state["recursive_model"]
-            preds = predict_recursive_linear(y_lag, coef, b, fh, self.lags)
+            preds = predict_recursive_linear(
+                y_lag, coef, b, fh, self.lags, n_x=len(x_cols)
+            )
         if self.strategy in ("direct", "ensemble"):
             d = predict_direct_linear(
-                y_lag, self.state["direct_models"], fh, self.lags
+                y_lag, self.state["direct_models"], fh, self.lags, n_x=len(x_cols)
             )
             if preds is None:
                 preds = d

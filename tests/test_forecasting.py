@@ -258,3 +258,44 @@ def test_auto_linear_picks_a_config(spark):
     assert fc.best_params_["lags"] in (2, 4, 6)
     pred = fc.predict(3).toPandas()
     assert len(pred) == 9
+
+
+def test_linear_model_with_exogenous(spark):
+    """y_t = 0.5*y_{t-1} + 2*x_t must be recovered exactly when the
+    future x is supplied."""
+    from functime_spark.forecasting.linear import linear_model
+
+    rows_y, rows_x = [], []
+    for e in ("a", "b"):
+        y_prev = 10.0
+        for t in range(1, 61):
+            x = float((t * 7 + (0 if e == "a" else 3)) % 5)
+            y = 0.5 * y_prev + 2.0 * x
+            rows_y.append((e, t, y))
+            rows_x.append((e, t, x))
+            y_prev = y
+    y = spark.createDataFrame(rows_y, "entity string, t long, y double")
+    X = spark.createDataFrame(rows_x, "entity string, t long, x double")
+
+    fc = linear_model(freq="1i", lags=1).fit(y, X)
+    # future x for t = 61..63
+    fut = [
+        (e, t, float((t * 7 + (0 if e == "a" else 3)) % 5))
+        for e in ("a", "b")
+        for t in range(61, 64)
+    ]
+    X_fut = spark.createDataFrame(fut, "entity string, t long, x double")
+    pred = fc.predict(3, X_fut).toPandas().sort_values(["entity", "t"])
+
+    want = {}
+    for e in ("a", "b"):
+        y_prev = [r[2] for r in rows_y if r[0] == e][-1]
+        vals = []
+        for t in range(61, 64):
+            x = float((t * 7 + (0 if e == "a" else 3)) % 5)
+            y_prev = 0.5 * y_prev + 2.0 * x
+            vals.append(y_prev)
+        want[e] = vals
+    for e in ("a", "b"):
+        got = pred[pred["entity"] == e]["y"].to_numpy()
+        np.testing.assert_allclose(got, want[e], rtol=1e-6)
