@@ -1,0 +1,115 @@
+"""Property-based invariants (hypothesis): transformer round-trips and
+feature semantics vs numpy on generated series — the reference's
+randomized-parametrization strategy (SURVEY §5), upgraded to real
+property testing."""
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SERIES = st.lists(
+    st.floats(
+        min_value=-1e4, max_value=1e4, allow_nan=False, allow_infinity=False
+    ),
+    min_size=6,
+    max_size=40,
+)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _panel(spark, values):
+    rows = [("e", t + 1, float(v)) for t, v in enumerate(values)]
+    return spark.createDataFrame(rows, "entity string, t long, y double")
+
+
+@settings(**_SETTINGS)
+@given(values=_SERIES, order=st.integers(min_value=1, max_value=2))
+def test_diff_invert_roundtrip(spark, values, order):
+    from functime_spark.operators.preprocessing import diff
+
+    if len(values) <= order + 1:
+        return
+    df = _panel(spark, values)
+    tf = diff(order=order)
+    back = (
+        tf.invert(tf.transform(df))
+        .toPandas()
+        .sort_values("t")["y"]
+        .to_numpy()
+    )
+    np.testing.assert_allclose(back, np.asarray(values), rtol=1e-9, atol=1e-6)
+
+
+@settings(**_SETTINGS)
+@given(values=_SERIES)
+def test_scale_invert_roundtrip(spark, values):
+    from functime_spark.operators.preprocessing import scale
+
+    if np.std(values) == 0:
+        return
+    df = _panel(spark, values)
+    tf = scale()
+    back = (
+        tf.invert(tf.transform(df)).toPandas().sort_values("t")["y"].to_numpy()
+    )
+    np.testing.assert_allclose(back, np.asarray(values), rtol=1e-9, atol=1e-6)
+
+
+@settings(**_SETTINGS)
+@given(values=_SERIES)
+def test_log1p_invert_roundtrip(spark, values):
+    from functime_spark.operators.preprocessing import log1p
+
+    vals = [abs(v) for v in values]
+    df = _panel(spark, vals)
+    tf = log1p()
+    back = (
+        tf.invert(tf.transform(df)).toPandas().sort_values("t")["y"].to_numpy()
+    )
+    np.testing.assert_allclose(back, np.asarray(vals), rtol=1e-9, atol=1e-6)
+
+
+@settings(**_SETTINGS)
+@given(values=_SERIES)
+def test_feature_semantics_vs_numpy(spark, values):
+    from functime_spark.functions.features import extract_features
+
+    df = _panel(spark, values)
+    out = extract_features(
+        df, ["absolute_energy", "mean_abs_change", "root_mean_square"]
+    ).first()
+    x = np.asarray(values)
+    np.testing.assert_allclose(
+        out["absolute_energy"], (x * x).sum(), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        out["mean_abs_change"], np.abs(np.diff(x)).mean(), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        out["root_mean_square"], np.sqrt((x * x).mean()), rtol=1e-9
+    )
+
+
+@settings(**_SETTINGS)
+@given(
+    values=_SERIES,
+    test_size=st.integers(min_value=1, max_value=3),
+)
+def test_train_test_split_partition(spark, values, test_size):
+    """Train + test = original panel, disjoint, test is the tail."""
+    from functime_spark.operators.cross_validation import train_test_split
+
+    df = _panel(spark, values)
+    train, test = train_test_split(df, test_size=test_size)
+    tr = train.toPandas().sort_values("t")
+    te = test.toPandas().sort_values("t")
+    assert len(tr) + len(te) == len(values)
+    assert len(te) == min(test_size, len(values))
+    if len(tr):
+        assert tr["t"].max() < te["t"].min()
