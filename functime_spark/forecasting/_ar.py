@@ -147,6 +147,18 @@ class LinearBackend:
         )
 
 
+def mean_ensemble(a: DataFrame, b: DataFrame) -> DataFrame:
+    """ensemble strategy = mean of recursive + direct predictions
+    (ref predict_autoreg _ar.py:357-371). Inputs: (entity, step,
+    __yhat)."""
+    e = a.columns[0]
+    return (
+        a.withColumnRenamed("__yhat", "__r")
+        .join(b.withColumnRenamed("__yhat", "__d"), on=[e, "step"])
+        .select(e, "step", ((F.col("__r") + F.col("__d")) / 2).alias("__yhat"))
+    )
+
+
 def attach_future_x(
     y_lag: DataFrame, X_future: DataFrame, x_cols: list, fh: int
 ) -> DataFrame:

@@ -58,56 +58,102 @@ class censored_model(Forecaster):
         freq: str,
         lags: int = 12,
         threshold: float = 0.0,
+        strategy: str = "recursive",
+        max_horizons: int | None = None,
         target_transform=None,
     ):
         super().__init__(freq=freq, lags=lags, target_transform=target_transform)
         self.threshold = threshold
+        self.strategy = strategy
+        self.max_horizons = max_horizons
+        if strategy in ("direct", "ensemble") and max_horizons is None:
+            raise ValueError("direct/ensemble strategy requires max_horizons")
 
     def _init_kwargs(self) -> dict:
-        return {"freq": self.freq, "lags": self.lags, "threshold": self.threshold}
+        return {
+            "freq": self.freq,
+            "lags": self.lags,
+            "threshold": self.threshold,
+            "strategy": self.strategy,
+            "max_horizons": self.max_horizons,
+        }
 
-    def _fit(self, y: DataFrame, X: DataFrame | None = None):
-        p = self.state["panel"]
+    def _fit_blend(self, design: DataFrame, feature_cols: list, target: str):
+        """One (classifier, above-reg, below-reg) triple."""
         thr = float(self.threshold)
-        design = make_reduction(y, self.lags, X).persist()
-        feature_cols = [f"{p.target}__lag_{k}" for k in range(1, self.lags + 1)]
-
         labeled = design.withColumn(
-            "__above", (F.col(p.target) > F.lit(thr)).cast("double")
+            "__above", (F.col(target) > F.lit(thr)).cast("double")
         )
-        self.state["clf"] = _fit_logistic(labeled, feature_cols, "__above")
-
+        clf = _fit_logistic(labeled, feature_cols, "__above")
         backend = LinearBackend()
-        above = design.filter(F.col(p.target) > F.lit(thr))
-        self.state["reg_above"] = backend.fit(above, feature_cols, p.target)
+        above = design.filter(F.col(target) > F.lit(thr))
+        reg_above = backend.fit(above, feature_cols, target)
         if abs(thr) > 0:
-            below = design.filter(F.col(p.target) <= F.lit(thr))
-            self.state["reg_below"] = backend.fit(below, feature_cols, p.target)
+            below = design.filter(F.col(target) <= F.lit(thr))
+            reg_below = backend.fit(below, feature_cols, target)
         else:
             # zero-inflated: below-regime contributes 0 (ref
             # _regressors.py:124-132, 144-148)
-            self.state["reg_below"] = None
-        design.unpersist()
+            reg_below = None
+        return clf, reg_above, reg_below
+
+    def _fit(self, y: DataFrame, X: DataFrame | None = None):
+        p = self.state["panel"]
+        if self.strategy in ("recursive", "ensemble"):
+            design = make_reduction(y, self.lags, X).persist()
+            cols = [f"{p.target}__lag_{k}" for k in range(1, self.lags + 1)]
+            self.state["blend"] = self._fit_blend(design, cols, p.target)
+            design.unpersist()
+        if self.strategy in ("direct", "ensemble"):
+            design = make_reduction(y, self.lags + self.max_horizons - 1, X).persist()
+            blends = []
+            for h in range(1, self.max_horizons + 1):
+                cols = [f"{p.target}__lag_{j}" for j in range(h, self.lags + h)]
+                blends.append(self._fit_blend(design, cols, p.target))
+            self.state["direct_blends"] = blends
+            design.unpersist()
         self.state["y_lag"] = make_y_lag(y, self.lags).persist()
 
+    @staticmethod
+    def _apply_blend(feats, blend, thr):
+        (wc, bc), (wa, ba), below = blend
+        z = feats @ wc + bc
+        prob = 1.0 / (1.0 + np.exp(-np.clip(z, -500, 500)))
+        yhat = prob * (feats @ wa + ba)
+        if below is not None:
+            wb, bb = below
+            yhat = yhat + (1.0 - prob) * (feats @ wb + bb)
+        return yhat
+
     def _predict_values(self, fh: int, X: DataFrame | None = None) -> DataFrame:
+        from functime_spark.forecasting._ar import mean_ensemble
+
+        if self.strategy == "recursive":
+            return self._predict_blend(fh, recursive=True)
+        if self.strategy == "direct":
+            return self._predict_blend(fh, recursive=False)
+        return mean_ensemble(
+            self._predict_blend(fh, recursive=True),
+            self._predict_blend(fh, recursive=False),
+        )
+
+    def _predict_blend(self, fh: int, recursive: bool) -> DataFrame:
         y_lag = self.state["y_lag"]
         entity = y_lag.columns[0]
         entity_dtype = dict(y_lag.dtypes)[entity]
         lags = self.lags
         spark = y_lag.sparkSession
+        thr = float(self.threshold)
         payload = (
-            self.state["clf"],
-            self.state["reg_above"],
-            self.state["reg_below"],
-            float(self.threshold),
+            self.state["blend"] if recursive else self.state["direct_blends"]
         )
-        b = spark.sparkContext.broadcast(payload)
+        b = spark.sparkContext.broadcast((payload, thr, recursive))
+        apply_blend = censored_model._apply_blend
 
         def run(batches: Iterator) -> Iterator:
             import pandas as pd
 
-            (wc, bc), (wa, ba), below, thr = b.value
+            blend_state, t, rec = b.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -118,14 +164,13 @@ class censored_model(Forecaster):
                 preds = np.empty((len(ents), fh), dtype="float64")
                 for h in range(fh):
                     feats = buf[:, ::-1][:, :lags]
-                    z = feats @ wc + bc
-                    prob = 1.0 / (1.0 + np.exp(-np.clip(z, -500, 500)))
-                    yhat = prob * (feats @ wa + ba)
-                    if below is not None:
-                        wb, bb = below
-                        yhat = yhat + (1.0 - prob) * (feats @ wb + bb)
-                    preds[:, h] = yhat
-                    buf = np.concatenate([buf[:, 1:], yhat[:, None]], axis=1)
+                    if rec:
+                        yhat = apply_blend(feats, blend_state, t)
+                        preds[:, h] = yhat
+                        buf = np.concatenate([buf[:, 1:], yhat[:, None]], axis=1)
+                    else:
+                        blend = blend_state[min(h, len(blend_state) - 1)]
+                        preds[:, h] = apply_blend(feats, blend, t)
                 yield pd.DataFrame(
                     {
                         entity: np.repeat(ents, fh),
@@ -141,10 +186,27 @@ class censored_model(Forecaster):
 class zero_inflated_model(censored_model):
     """censored_model fixed at threshold=0. Ref censored.py:121-139."""
 
-    def __init__(self, freq: str, lags: int = 12, target_transform=None):
+    def __init__(
+        self,
+        freq: str,
+        lags: int = 12,
+        strategy: str = "recursive",
+        max_horizons: int | None = None,
+        target_transform=None,
+    ):
         super().__init__(
-            freq=freq, lags=lags, threshold=0.0, target_transform=target_transform
+            freq=freq,
+            lags=lags,
+            threshold=0.0,
+            strategy=strategy,
+            max_horizons=max_horizons,
+            target_transform=target_transform,
         )
 
     def _init_kwargs(self) -> dict:
-        return {"freq": self.freq, "lags": self.lags}
+        return {
+            "freq": self.freq,
+            "lags": self.lags,
+            "strategy": self.strategy,
+            "max_horizons": self.max_horizons,
+        }

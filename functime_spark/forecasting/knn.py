@@ -66,7 +66,10 @@ def _brute_knn_step(ref_payload):
 
 
 class knn(Forecaster):
-    """Recursive kNN regression on lag vectors. Ref knn.py:10-34."""
+    """kNN regression on lag vectors. Ref knn.py:10-34. Strategies:
+    recursive (default), direct (per-horizon reference-column slices
+    of one shared broadcast matrix — no extra collects), ensemble.
+    """
 
     def __init__(
         self,
@@ -74,11 +77,17 @@ class knn(Forecaster):
         lags: int = 12,
         n_neighbors: int = 5,
         max_train_rows: int = 100_000,
+        strategy: str = "recursive",
+        max_horizons: int | None = None,
         target_transform=None,
     ):
         super().__init__(freq=freq, lags=lags, target_transform=target_transform)
         self.n_neighbors = n_neighbors
         self.max_train_rows = max_train_rows
+        self.strategy = strategy
+        self.max_horizons = max_horizons
+        if strategy in ("direct", "ensemble") and max_horizons is None:
+            raise ValueError("direct/ensemble strategy requires max_horizons")
 
     def _init_kwargs(self) -> dict:
         return {
@@ -86,17 +95,25 @@ class knn(Forecaster):
             "lags": self.lags,
             "n_neighbors": self.n_neighbors,
             "max_train_rows": self.max_train_rows,
+            "strategy": self.strategy,
+            "max_horizons": self.max_horizons,
         }
+
+    def _design_width(self) -> int:
+        if self.strategy in ("direct", "ensemble"):
+            return self.lags + self.max_horizons - 1
+        return self.lags
 
     def _collect_train(self, y: DataFrame, X: DataFrame | None):
         p = self.state["panel"]
-        design = make_reduction(y, self.lags, X)
+        width = self._design_width()
+        design = make_reduction(y, width, X)
         n = design.count()
         if n > self.max_train_rows:
             design = design.sample(
                 fraction=min(1.0, self.max_train_rows / n * 1.05), seed=7
             ).limit(self.max_train_rows)
-        feature_cols = [f"{p.target}__lag_{k}" for k in range(1, self.lags + 1)]
+        feature_cols = [f"{p.target}__lag_{k}" for k in range(1, width + 1)]
         pdf = design.select(*feature_cols, p.target).toPandas()
         feats = pdf[feature_cols].to_numpy(dtype="float64")
         targs = pdf[p.target].to_numpy(dtype="float64")
@@ -107,13 +124,73 @@ class knn(Forecaster):
         self.state["y_lag"] = make_y_lag(y, self.lags).persist()
 
     def _predict_values(self, fh: int, X: DataFrame | None = None) -> DataFrame:
+        from functime_spark.forecasting._ar import mean_ensemble
+
+        if self.strategy == "recursive":
+            return self._predict_recursive(fh)
+        if self.strategy == "direct":
+            return self._predict_direct(fh)
+        return mean_ensemble(self._predict_recursive(fh), self._predict_direct(fh))
+
+    def _predict_direct(self, fh: int) -> DataFrame:
+        """Horizon h scans reference columns h-1 .. h-1+lags (the
+        direct design slice); query features are the last observed
+        lags for every horizon. Ref predict_direct _ar.py:277-330."""
+        y_lag = self.state["y_lag"]
+        entity = y_lag.columns[0]
+        entity_dtype = dict(y_lag.dtypes)[entity]
+        lags, mh = self.lags, self.max_horizons
+        spark = y_lag.sparkSession
+        feats_ref, targs_ref = self.state["train"]
+        b = spark.sparkContext.broadcast(
+            (feats_ref, targs_ref, self.n_neighbors)
+        )
+
+        def run(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            wide, targs, k = b.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ents = pdf[entity].to_numpy()
+                buf = np.stack(
+                    [np.asarray(v, dtype="float64")[-lags:] for v in pdf["__buf"]]
+                )
+                q = buf[:, ::-1][:, :lags]
+                preds = np.empty((len(ents), fh), dtype="float64")
+                for h in range(fh):
+                    lo = min(h, mh - 1)
+                    step_fn = _brute_knn_step(
+                        (np.ascontiguousarray(wide[:, lo : lo + lags]), targs, k)
+                    )
+                    preds[:, h] = step_fn(q)
+                yield pd.DataFrame(
+                    {
+                        entity: np.repeat(ents, fh),
+                        "step": np.tile(np.arange(fh), len(ents)),
+                        "__yhat": preds.ravel(),
+                    }
+                )
+
+        schema = f"{entity} {entity_dtype}, step int, __yhat double"
+        return y_lag.mapInPandas(run, schema=schema)
+
+    def _predict_recursive(self, fh: int) -> DataFrame:
         y_lag = self.state["y_lag"]
         entity = y_lag.columns[0]
         entity_dtype = dict(y_lag.dtypes)[entity]
         lags = self.lags
         spark = y_lag.sparkSession
         feats_ref, targs_ref = self.state["train"]
-        b = spark.sparkContext.broadcast((feats_ref, targs_ref, self.n_neighbors))
+        # recursive scan always uses the first `lags` reference columns
+        b = spark.sparkContext.broadcast(
+            (
+                np.ascontiguousarray(feats_ref[:, :lags]),
+                targs_ref,
+                self.n_neighbors,
+            )
+        )
 
         def run(batches: Iterator) -> Iterator:
             import pandas as pd

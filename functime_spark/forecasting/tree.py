@@ -48,6 +48,8 @@ class gradient_boosted_model(Forecaster):
         max_depth: int = 5,
         step_size: float = 0.1,
         num_trees: int = 20,
+        strategy: str = "recursive",
+        max_horizons: int | None = None,
         target_transform=None,
         **_ignored,
     ):
@@ -56,6 +58,10 @@ class gradient_boosted_model(Forecaster):
         self.max_depth = max_depth
         self.step_size = step_size
         self.num_trees = num_trees
+        self.strategy = strategy
+        self.max_horizons = max_horizons
+        if strategy in ("direct", "ensemble") and max_horizons is None:
+            raise ValueError("direct/ensemble strategy requires max_horizons")
 
     def _init_kwargs(self) -> dict:
         return {
@@ -65,6 +71,8 @@ class gradient_boosted_model(Forecaster):
             "max_depth": self.max_depth,
             "step_size": self.step_size,
             "num_trees": self.num_trees,
+            "strategy": self.strategy,
+            "max_horizons": self.max_horizons,
         }
 
     def _regressor(self):
@@ -91,16 +99,77 @@ class gradient_boosted_model(Forecaster):
         from pyspark.ml.feature import VectorAssembler
 
         p = self.state["panel"]
-        design = make_reduction(y, self.lags, X).persist()
-        feature_cols = [f"{p.target}__lag_{k}" for k in range(1, self.lags + 1)]
-        assembled = VectorAssembler(
-            inputCols=feature_cols, outputCol="__features", handleInvalid="skip"
-        ).transform(design)
-        self.state["model"] = self._regressor().fit(assembled)
-        design.unpersist()
+        if self.strategy in ("recursive", "ensemble"):
+            design = make_reduction(y, self.lags, X).persist()
+            feature_cols = [f"{p.target}__lag_{k}" for k in range(1, self.lags + 1)]
+            assembled = VectorAssembler(
+                inputCols=feature_cols, outputCol="__features", handleInvalid="skip"
+            ).transform(design)
+            self.state["model"] = self._regressor().fit(assembled)
+            design.unpersist()
+        if self.strategy in ("direct", "ensemble"):
+            # per-horizon models on shifted lag slices (fit_direct
+            # _ar.py:53-80) — each fit is a full distributed GBT job
+            design = make_reduction(y, self.lags + self.max_horizons - 1, X).persist()
+            models = []
+            for h in range(1, self.max_horizons + 1):
+                cols = [f"{p.target}__lag_{j}" for j in range(h, self.lags + h)]
+                assembled = VectorAssembler(
+                    inputCols=cols, outputCol="__features", handleInvalid="skip"
+                ).transform(design)
+                models.append(self._regressor().fit(assembled))
+            self.state["direct_models"] = models
+            design.unpersist()
         self.state["y_lag"] = make_y_lag(y, self.lags).persist()
 
     def _predict_values(self, fh: int, X: DataFrame | None = None) -> DataFrame:
+        from functime_spark.forecasting._ar import mean_ensemble
+
+        if self.strategy == "direct":
+            return self._predict_direct(fh)
+        if self.strategy == "ensemble":
+            return mean_ensemble(
+                self._predict_recursive(fh), self._predict_direct(fh)
+            )
+        return self._predict_recursive(fh)
+
+    def _predict_direct(self, fh: int) -> DataFrame:
+        """Direct: every horizon scores the same observed-lag features
+        with its own model — no recursion, fh distributed transforms
+        over one cached feature frame."""
+        from pyspark.ml.feature import VectorAssembler
+
+        p = self.state["panel"]
+        models = self.state["direct_models"]
+        lags = self.lags
+        state = self.state["y_lag"]
+        feat_cols = [
+            F.element_at("__buf", -k).alias(f"__f_{k}") for k in range(1, lags + 1)
+        ]
+        assembler = VectorAssembler(
+            inputCols=[f"__f_{k}" for k in range(1, lags + 1)],
+            outputCol="__features",
+            handleInvalid="keep",
+        )
+        featd = assembler.transform(
+            state.select(p.entity, *feat_cols)
+        ).persist()
+        steps = []
+        for h in range(fh):
+            model = models[min(h, len(models) - 1)]
+            steps.append(
+                model.transform(featd).select(
+                    p.entity,
+                    F.lit(h).alias("step"),
+                    F.col("prediction").alias("__yhat"),
+                )
+            )
+        out = steps[0]
+        for nxt in steps[1:]:
+            out = out.unionByName(nxt)
+        return out
+
+    def _predict_recursive(self, fh: int) -> DataFrame:
         from pyspark.ml.feature import VectorAssembler
 
         p = self.state["panel"]

@@ -299,3 +299,38 @@ def test_linear_model_with_exogenous(spark):
     for e in ("a", "b"):
         got = pred[pred["entity"] == e]["y"].to_numpy()
         np.testing.assert_allclose(got, want[e], rtol=1e-6)
+
+
+def test_direct_and_ensemble_strategies_all_forecasters(spark):
+    """Strategy parity: direct/ensemble must run and produce sane
+    output for knn, censored, zero-inflated, and tree forecasters."""
+    from functime_spark.forecasting.censored import zero_inflated_model
+    from functime_spark.forecasting.knn import knn
+    from functime_spark.forecasting.tree import gradient_boosted_model
+
+    rng = np.random.RandomState(1)
+    rows = [
+        (f"e{e}", t, float(20 + 5 * np.sin(t / 4) + rng.randn() * 0.5))
+        for e in range(3)
+        for t in range(1, 51)
+    ]
+    y = spark.createDataFrame(rows, "entity string, t long, y double")
+
+    makers = [
+        lambda s: knn(freq="1i", lags=4, n_neighbors=3, strategy=s, max_horizons=3),
+        lambda s: zero_inflated_model(freq="1i", lags=4, strategy=s, max_horizons=3),
+        lambda s: gradient_boosted_model(
+            freq="1i", lags=4, max_iter=3, strategy=s, max_horizons=3
+        ),
+    ]
+    for maker in makers:
+        preds = {}
+        for s in ("recursive", "direct", "ensemble"):
+            pred = maker(s)(y, fh=3).toPandas().sort_values(["entity", "t"])
+            assert len(pred) == 9
+            assert pred["y"].between(0, 50).all()
+            preds[s] = pred["y"].to_numpy()
+        # ensemble is the mean of the other two strategies
+        np.testing.assert_allclose(
+            preds["ensemble"], (preds["recursive"] + preds["direct"]) / 2, rtol=1e-9
+        )
