@@ -364,6 +364,21 @@ def q_forecast_knn(spark, sf_dir):
     return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
 
 
+def q_forecast_knn_direct(spark, sf_dir):
+    """Direct-strategy kNN: per-horizon column slices of the shared
+    broadcast lag matrix. Deterministic (no sampling at this scale),
+    so the WHOLE forecast has a SQL oracle: per-horizon brute-force
+    top-k scan via rank-over-distance."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.knn import knn
+
+    df = events_panel(spark, sf_dir)
+    fc = knn(
+        freq="1h", lags=8, n_neighbors=5, strategy="direct", max_horizons=4
+    ).fit(df)
+    return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
+
+
 def q_forecast_gbt(spark, sf_dir):
     """Distributed MLlib GBT autoregressor — rows-only check."""
     _ensure_nanos_conf(spark)
@@ -493,8 +508,8 @@ def q_text_quality(spark, sf_dir):
 
 
 def q_text_token_counts(spark, sf_dir):
-    """Whitespace/punct/BPE-ish token counts — rows-only (lookaround
-    regex is not RE2-expressible)."""
+    """Whitespace/punct/BPE-ish token counts (oracle: the lookaround
+    split re-expressed as word-runs + punct-char counts)."""
     _ensure_nanos_conf(spark)
     from functime_spark.pipeline.text import token_counts
 
@@ -629,7 +644,7 @@ def q_eval_ljung_box(spark, sf_dir):
 
 
 def q_eval_normality(spark, sf_dir):
-    """D'Agostino K^2 per entity — rows-only (UDF-tier numerics)."""
+    """D'Agostino K^2 per entity (oracle: closed-form moments SQL)."""
     _ensure_nanos_conf(spark)
     from functime_spark.operators.evaluation import normality_test
 
@@ -739,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "future_calendar": q_future_calendar,
             "forecast_zero_inflated": q_forecast_zero_inflated,
             "forecast_knn": q_forecast_knn,
+            "forecast_knn_direct": q_forecast_knn_direct,
             "forecast_gbt": q_forecast_gbt,
             "forecast_elite": q_forecast_elite,
             "dedup_exact": q_dedup_exact,

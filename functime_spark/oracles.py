@@ -812,6 +812,83 @@ def operator_oracles() -> dict:
         f"{_r('sb - sm')} AS fva FROM s ORDER BY user_id"
     )
 
+    # forecast_knn_direct: kNN is deterministic (no sampling at gate
+    # scale), so the full direct-strategy forecast is SQL: horizon h
+    # scans lag columns h..h+lags-1 of the global design, rank by L2.
+    _KL, _KMH, _KK = 8, 4, 5
+    _klag = ", ".join(
+        f"lag(value, {j}) OVER w AS l{j}" for j in range(1, _KL + _KMH)
+    )
+
+    def _kdist(h: int) -> str:
+        lo = min(h - 1, _KMH - 1)
+        return " + ".join(
+            f"pow(q.vs[{j + 1}] - t.l{lo + j + 1}, 2)" for j in range(_KL)
+        )
+
+    _kunions = " UNION ALL ".join(
+        f"SELECT q.user_id, {h} AS step, t.y, {_kdist(h)} AS dist FROM q, train t"
+        for h in range(1, _KMH + 1)
+    )
+    o["forecast_knn_direct"] = (
+        "WITH q AS (SELECT user_id, list(value ORDER BY ts DESC) AS vs, "
+        "MAX(ts) AS low FROM events GROUP BY user_id), "
+        f"train0 AS (SELECT value AS y, {_klag}, row_number() OVER w - 1 AS i "
+        f"FROM events {_W}), "
+        f"train AS (SELECT * FROM train0 WHERE i >= {_KL + _KMH - 1}), "
+        f"d AS ({_kunions}), "
+        "r AS (SELECT user_id, step, y, row_number() OVER "
+        "(PARTITION BY user_id, step ORDER BY dist) AS rk FROM d), "
+        f"pred AS (SELECT user_id, step, AVG(y) AS v FROM r WHERE rk <= {_KK} "
+        "GROUP BY 1, 2) "
+        "SELECT p.user_id, q.low + p.step * INTERVAL '1 hour' AS ts, "
+        f"{_r('p.v')} AS value "
+        "FROM pred p JOIN q ON p.user_id = q.user_id ORDER BY 1, 2"
+    )
+
+    o["text_token_counts"] = (
+        r"SELECT doc_id, "
+        r"CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_whitespace_tokens, "
+        r"CAST(len(regexp_extract_all(text, '\w+')) "
+        r"+ (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) AS BIGINT) "
+        "AS n_punct_split_tokens, "
+        r"CAST(coalesce(list_sum(list_transform(regexp_split_to_array(text, '\s+'), "
+        r"w -> CAST(ceil(length(w)/4.0) AS BIGINT))), 0) AS BIGINT) AS n_subword_est "
+        "FROM documents ORDER BY doc_id"
+    )
+
+    # D'Agostino-Pearson K^2: the scipy.stats.normaltest closed form
+    # (skew z + kurtosis z) over per-entity central moments — pure
+    # elementary math, staged through CTEs.
+    o["eval_normality"] = (
+        "WITH p AS (SELECT user_id AS e, value AS x FROM events), "
+        "m AS (SELECT e, CAST(count(*) AS DOUBLE) AS n, avg(x) AS mu FROM p GROUP BY e), "
+        "mo AS (SELECT p.e, any_value(m.n) AS n, "
+        "avg(pow(p.x-m.mu,2)) AS m2, avg(pow(p.x-m.mu,3)) AS m3, avg(pow(p.x-m.mu,4)) AS m4 "
+        "FROM p JOIN m ON p.e=m.e GROUP BY p.e), "
+        "s1 AS (SELECT e, n, m2, m3, m4, "
+        "(m3/pow(m2,1.5)) * sqrt(((n+1)*(n+3))/(6.0*(n-2))) AS y0, "
+        "3.0*(n*n+27*n-70)*(n+1)*(n+3)/((n-2)*(n+5)*(n+7)*(n+9)) AS beta2, "
+        "m4/(m2*m2) AS b2, 3.0*(n-1)/(n+1) AS e_b2, "
+        "24.0*n*(n-2)*(n-3)/(pow(n+1,2)*(n+3)*(n+5)) AS var_b2, "
+        "6.0*(n*n-5*n+2)/((n+7)*(n+9)) * sqrt((6.0*(n+3)*(n+5))/(n*(n-2)*(n-3))) AS sqrtbeta1 "
+        "FROM mo), "
+        "s2 AS (SELECT e, n, CASE WHEN y0 = 0 THEN 1.0 ELSE y0 END AS y, "
+        "-1 + sqrt(2*(beta2-1)) AS w2, b2, e_b2, var_b2, "
+        "6.0 + 8.0/sqrtbeta1*(2.0/sqrtbeta1 + sqrt(1+4.0/(sqrtbeta1*sqrtbeta1))) AS a "
+        "FROM s1), "
+        "s3 AS (SELECT e, n, a, "
+        "(1.0/sqrt(0.5*ln(w2))) * ln(y/sqrt(2.0/(w2-1)) + sqrt(pow(y/sqrt(2.0/(w2-1)),2)+1)) AS z_s, "
+        "(b2-e_b2)/sqrt(var_b2) AS xx FROM s2), "
+        "s4 AS (SELECT e, n, z_s, "
+        "((1-2/(9.0*a)) - sign(1 + xx*sqrt(2/(a-4.0))) "
+        "* pow(abs((1-2.0/a)/(1 + xx*sqrt(2/(a-4.0)))), 1.0/3.0)) "
+        "/ sqrt(2/(9.0*a)) AS z_k FROM s3) "
+        "SELECT e AS user_id, CASE WHEN n < 8 THEN CAST('nan' AS DOUBLE) "
+        f"ELSE {_r('z_s*z_s + z_k*z_k')} END AS normal_test "
+        "FROM s4 ORDER BY user_id"
+    )
+
     o["ann_cosine_topk"] = (
         "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) "
         "SELECT vec_id, "
