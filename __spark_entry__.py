@@ -257,6 +257,19 @@ def q_forecast_linear(spark, sf_dir):
     return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
 
 
+def q_forecast_linear_ar2(spark, sf_dir):
+    """AR(2) global OLS — small enough that the exact normal-equation
+    solve has a Cramer's-rule SQL oracle, with the 4-step recursion
+    unrolled as chained CTEs. Value-verifies the linear forecaster's
+    whole fit+recursive-predict path."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.linear import linear_model
+
+    df = events_panel(spark, sf_dir)
+    fc = linear_model(freq="1h", lags=2).fit(df)
+    return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
+
+
 def q_preproc_log1p(spark, sf_dir):
     """log1p transform on |value| (ref preprocessing.py:738-768)."""
     _ensure_nanos_conf(spark)
@@ -489,6 +502,18 @@ def q_dedup_simhash(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_dups(docs, max_hamming=12).orderBy("id_a", "id_b")
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Random-hyperplane LSH cosine near-dups (seeded planes) — the
+    oracle regenerates the same numpy planes and replays bucket+verify
+    in SQL, so the whole LSH pipeline is value-checked."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.dedup import embedding_near_dups
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_near_dups(emb, threshold=0.25)
+    return _round_floats(out).orderBy("id_a", "id_b")
 
 
 def q_text_language_id(spark, sf_dir):
@@ -745,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "forecast_naive": q_forecast_naive,
             "forecast_snaive": q_forecast_snaive,
             "forecast_linear": q_forecast_linear,
+            "forecast_linear_ar2": q_forecast_linear_ar2,
             "preproc_log1p": q_preproc_log1p,
             "preproc_one_hot": q_preproc_one_hot,
             "cv_sliding_window": q_cv_sliding_window,
@@ -763,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
             "dedup_minhash": q_dedup_minhash,
             "dedup_simhash": q_dedup_simhash,
+            "dedup_embedding": q_dedup_embedding,
             "text_language_id": q_text_language_id,
             "text_quality": q_text_quality,
             "text_token_counts": q_text_token_counts,

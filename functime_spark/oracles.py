@@ -812,6 +812,36 @@ def operator_oracles() -> dict:
         f"{_r('sb - sm')} AS fva FROM s ORDER BY user_id"
     )
 
+    # forecast_linear_ar2: the AR(2) OLS fit solved exactly via
+    # Cramer's rule over the pooled normal-equation aggregates, with
+    # the recursive 4-step prediction unrolled as chained CTEs.
+    o["forecast_linear_ar2"] = (
+        "WITH t0 AS (SELECT user_id, value AS y, "
+        "lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2, "
+        f"row_number() OVER w - 1 AS i FROM events {_W}), "
+        "tr AS (SELECT * FROM t0 WHERE i >= 2), "
+        "a AS (SELECT sum(l1*l1) AS a11, sum(l1*l2) AS a12, sum(l1) AS a13, "
+        "sum(l2*l2) AS a22, sum(l2) AS a23, CAST(count(*) AS DOUBLE) AS a33, "
+        "sum(l1*y) AS b1, sum(l2*y) AS b2, sum(y) AS b3 FROM tr), "
+        "s AS (SELECT "
+        "(a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13) + a13*(a12*a23 - a22*a13)) AS det, "
+        "(b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3) + a13*(b2*a23 - a22*b3)) AS d1, "
+        "(a11*(b2*a33 - a23*b3) - b1*(a12*a33 - a23*a13) + a13*(a12*b3 - b2*a13)) AS d2, "
+        "(a11*(a22*b3 - b2*a23) - a12*(a12*b3 - b2*a13) + b1*(a12*a23 - a22*a13)) AS d3 "
+        "FROM a), "
+        "w AS (SELECT d1/det AS w1, d2/det AS w2, d3/det AS b FROM s), "
+        "q AS (SELECT user_id, MAX(ts) AS low, max_by(value, ts) AS yT, "
+        "list(value ORDER BY ts DESC)[2] AS yT1 FROM events GROUP BY user_id), "
+        "p AS (SELECT q.user_id, q.low, w.w1*q.yT + w.w2*q.yT1 + w.b AS p1 FROM q, w), "
+        "p2 AS (SELECT p.user_id, p.low, p.p1, w.w1*p.p1 + w.w2*q.yT + w.b AS p2 "
+        "FROM p JOIN q USING (user_id), w), "
+        "p3 AS (SELECT user_id, low, p1, p2, w.w1*p2 + w.w2*p1 + w.b AS p3 FROM p2, w), "
+        "p4 AS (SELECT user_id, low, p1, p2, p3, w.w1*p3 + w.w2*p2 + w.b AS p4 FROM p3, w) "
+        "SELECT user_id, low + s.step * INTERVAL '1 hour' AS ts, "
+        + _r("CASE s.step WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3 ELSE p4 END")
+        + " AS value FROM p4, (VALUES (1),(2),(3),(4)) AS s(step) ORDER BY 1, 2"
+    )
+
     # forecast_knn_direct: kNN is deterministic (no sampling at gate
     # scale), so the full direct-strategy forecast is SQL: horizon h
     # scans lag columns h..h+lags-1 of the global design, rank by L2.
@@ -887,6 +917,33 @@ def operator_oracles() -> dict:
         "SELECT e AS user_id, CASE WHEN n < 8 THEN CAST('nan' AS DOUBLE) "
         f"ELSE {_r('z_s*z_s + z_k*z_k')} END AS normal_test "
         "FROM s4 ORDER BY user_id"
+    )
+
+    # dedup_embedding: regenerate the SAME seeded hyperplanes the
+    # Spark operator uses and replay bucket-assignment + exact cosine
+    # verify in SQL (plane constants inlined as list literals).
+    import numpy as np
+
+    _erng = np.random.default_rng(42)
+    _planes = _erng.standard_normal((12, 64))
+
+    def _plane_lit(p) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    _ebkt = " + ".join(
+        f"(CASE WHEN list_inner_product(v, {_plane_lit(p)}) > 0 "
+        f"THEN {2 ** i} ELSE 0 END)"
+        for i, p in enumerate(_planes)
+    )
+    o["dedup_embedding"] = (
+        f"WITH h AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, ({_ebkt}) AS bkt, "
+        "sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), "
+        "CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), "
+        "pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "list_inner_product(a.v, b.v)/(a.nrm*b.nrm) AS cosine "
+        "FROM h a JOIN h b ON a.bkt = b.bkt AND a.vec_id < b.vec_id) "
+        f"SELECT id_a, id_b, {_r('cosine')} AS cosine "
+        "FROM pairs WHERE cosine >= 0.25 ORDER BY id_a, id_b"
     )
 
     o["ann_cosine_topk"] = (
