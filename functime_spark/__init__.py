@@ -19,5 +19,6 @@ columns = target/features.
 
 __version__ = "0.1.0"
 
+from functime_spark.backtesting import backtest  # noqa: F401
 from functime_spark.panel import Panel  # noqa: F401
 from functime_spark.session import get_session  # noqa: F401

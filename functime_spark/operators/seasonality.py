@@ -16,6 +16,30 @@ from pyspark.sql import functions as F
 from functime_spark.panel import ordered_window, panel_cols
 
 
+#: seasonal periods per offset alias (ref offsets.py:44-56, after
+#: Hyndman's seasonal-periods table)
+_SEASONAL_PERIODS = {
+    "1s": [60, 3_600, 86_400, 604_800, 31_557_600],
+    "1m": [60, 1_440, 10_080, 525_960],
+    "30m": [48, 336, 17_532],
+    "1h": [24, 168, 8_766],
+    "1d": [7, 365],
+    "1w": [52],
+    "1mo": [12],
+    "1q": [4],
+    "3mo": [4],
+    "1y": [1],
+}
+
+
+def freq_to_sp(freq: str) -> list[int]:
+    """Seasonal periods for an offset alias (ref offsets.py:19-62)."""
+    try:
+        return _SEASONAL_PERIODS[freq]
+    except KeyError as exc:
+        raise ValueError(f"Offset {freq!r} not supported") from exc
+
+
 def add_fourier_terms(df: DataFrame, sp: int, K: int) -> DataFrame:
     """sin/cos of 2*pi*k*((rank mod sp)/sp). Ref fourier.py:10-49."""
     if K > sp:

@@ -63,6 +63,52 @@ def prepare_forecasts(
     )
 
 
+def prepare_panel(
+    df: DataFrame,
+    n_series: int = DEFAULT_N_SERIES,
+    n_points: int | None = None,
+    seed: int = 42,
+):
+    """Sampled entities, optionally trimmed to the last `n_points`
+    observations each (ref plot_panel plotting.py:65-118). The tail
+    trim runs distributed (rank-from-the-end window) so only the
+    plotted slice is collected."""
+    p = panel_cols(df)
+    out = _sample_entities(df, n_series, seed)
+    if n_points is not None:
+        w = Window.partitionBy(p.entity).orderBy(F.col(p.time).desc())
+        out = (
+            out.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= n_points)
+            .drop("__rk")
+        )
+    return out.orderBy(p.entity, p.time).toPandas()
+
+
+def prepare_backtests(
+    y_true: DataFrame,
+    y_preds: DataFrame,
+    n_series: int = DEFAULT_N_SERIES,
+    seed: int = 42,
+):
+    """Actuals + per-split backtest predictions, sampled consistently
+    (ref plot_backtests plotting.py:197-227). `y_preds` is the
+    Forecaster.backtest output (entity, time, value, split)."""
+    p = panel_cols(y_true)
+    hist = (
+        _sample_entities(y_true, n_series, seed)
+        .select(p.entity, p.time, p.target)
+        .withColumn("__split", F.lit(-1))
+    )
+    split_col = y_preds.columns[-1]
+    pred = _sample_entities(
+        y_preds.withColumnRenamed(split_col, "__split"), n_series, seed
+    ).select(p.entity, p.time, y_preds.columns[2], "__split")
+    return (
+        hist.unionByName(pred).orderBy(p.entity, "__split", p.time).toPandas()
+    )
+
+
 def prepare_residuals(y_resids: DataFrame, n_series: int = DEFAULT_N_SERIES, seed: int = 42):
     """Residual traces + per-entity mean bar (ref plot_residuals
     plotting.py:230-280)."""
@@ -132,6 +178,43 @@ def plot_forecasts(y: DataFrame, y_pred: DataFrame, n_series: int = DEFAULT_N_SE
                 y=grp[v],
                 name=f"{ent} ({kind})",
                 line={"dash": "dot"} if kind == "forecast" else {},
+                **kwargs,
+            )
+        )
+    return fig
+
+
+def plot_panel(
+    df: DataFrame,
+    n_series: int = DEFAULT_N_SERIES,
+    n_points: int | None = None,
+    **kwargs,
+):
+    go = _require_plotly()
+    pdf = prepare_panel(df, n_series, n_points)
+    e, t, v = pdf.columns[:3]
+    fig = go.Figure()
+    for ent, grp in pdf.groupby(e):
+        fig.add_trace(go.Scatter(x=grp[t], y=grp[v], name=str(ent), **kwargs))
+    return fig
+
+
+def plot_backtests(
+    y_true: DataFrame, y_preds: DataFrame, n_series: int = DEFAULT_N_SERIES, **kwargs
+):
+    go = _require_plotly()
+    pdf = prepare_backtests(y_true, y_preds, n_series)
+    e, t = pdf.columns[:2]
+    v = pdf.columns[2]
+    fig = go.Figure()
+    for (ent, split), grp in pdf.groupby([e, "__split"]):
+        name = f"{ent} (actual)" if split == -1 else f"{ent} (split {split})"
+        fig.add_trace(
+            go.Scatter(
+                x=grp[t],
+                y=grp[v],
+                name=name,
+                line={} if split == -1 else {"dash": "dot"},
                 **kwargs,
             )
         )

@@ -247,6 +247,40 @@ def test_plotting_prepare_layers(events, spark):
         plotting.plot_entities(events)
 
 
+def test_plotting_panel_and_backtests(events, spark):
+    """prepare_panel tail-trims per entity; prepare_backtests stacks
+    actuals (split -1) with per-split predictions."""
+    from functime_spark import backtest, plotting
+    from functime_spark.forecasting.naive import naive
+
+    pdf = plotting.prepare_panel(events, n_series=3, n_points=5)
+    assert pdf["user_id"].nunique() == 3
+    assert (pdf.groupby("user_id").size() == 5).all()
+    # tail semantics: each entity's slice is its most recent points
+    full = plotting.prepare_panel(events, n_series=3)
+    for uid, grp in full.groupby("user_id"):
+        want = grp.sort_values("ts")["ts"].iloc[-5:].tolist()
+        got = sorted(pdf[pdf["user_id"] == uid]["ts"])
+        assert got == want
+
+    bt = backtest(naive(freq="1h"), events, test_size=4, n_splits=2, step_size=4)
+    pb = plotting.prepare_backtests(events, bt, n_series=2)
+    assert set(pb["__split"]) == {-1, 0, 1}
+    assert pb["user_id"].nunique() == 2
+
+
+def test_freq_to_sp():
+    import pytest as _pytest
+
+    from functime_spark.operators.seasonality import freq_to_sp
+
+    assert freq_to_sp("1d") == [7, 365]
+    assert freq_to_sp("1h") == [24, 168, 8_766]
+    assert freq_to_sp("3mo") == [4]
+    with _pytest.raises(ValueError):
+        freq_to_sp("2d")
+
+
 def test_conversion_numpy_matrix(spark):
     import numpy as np
 
