@@ -49,6 +49,16 @@ def main() -> None:
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Warm the Python-UDF runtime (worker fork + pandas/numpy import)
+    # before timing, mirroring the JVM warmup the native-tier queries
+    # get from session startup. One 1-row mapInPandas job.
+    def _noop(it):
+        import pandas as pd  # noqa: F401
+
+        yield from it
+
+    spark.range(1).mapInPandas(_noop, schema="id long").count()
+
     # q1: fused extraction of ALL native features over the events panel
     y = events_panel(spark, SF_DIR)
     bench("features_all", lambda: extract_features(y).count())

@@ -87,8 +87,14 @@ class LinearBackend:
         self.elastic_net_param = elastic_net_param
         self.fit_intercept = fit_intercept
 
+    @property
+    def single_pass(self) -> bool:
+        """True when fit is ONE aggregate job (normal-equation solve)
+        — callers should not persist a design that is read once."""
+        return self.elastic_net_param == 0.0 or self.reg_param == 0.0
+
     def fit(self, df: DataFrame, feature_cols: list, target_col: str):
-        if self.elastic_net_param == 0.0 or self.reg_param == 0.0:
+        if self.single_pass:
             return self._fit_normal(df, feature_cols, target_col)
         return self._fit_mllib(df, feature_cols, target_col)
 

@@ -71,12 +71,17 @@ class linear_model(Forecaster):
         x_cols = list(X.columns[2:]) if X is not None else []
         self.state["x_cols"] = x_cols
         if self.strategy in ("recursive", "ensemble"):
-            design = make_reduction(y, self.lags, X).persist()
+            # normal-equation fits read the design exactly once — a
+            # persist would pay a cache-write for no reuse
+            design = make_reduction(y, self.lags, X)
+            if not backend.single_pass:
+                design = design.persist()
             feature_cols = [
                 f"{p.target}__lag_{k}" for k in range(1, self.lags + 1)
             ] + x_cols
             self.state["recursive_model"] = backend.fit(design, feature_cols, p.target)
-            design.unpersist()
+            if not backend.single_pass:
+                design.unpersist()
         if self.strategy in ("direct", "ensemble"):
             # horizon h model: features lag_h .. lag_{h+lags-1}
             # (ref fit_direct _ar.py:53-80)

@@ -32,6 +32,10 @@ def get_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-partition reads of cached plans too: recursion
+        # states / param frames are tiny after their aggregate and
+        # should coalesce instead of keeping shuffle.partitions tasks
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # parquet pushdown is on by default; pin it so a misconfigured
