@@ -585,7 +585,8 @@ def q_feat_udf_scalar(spark, sf_dir):
 
 
 def q_cusum_events(spark, sf_dir):
-    """CUSUM changepoint events (stateful sequential kernel) — rows-only."""
+    """CUSUM changepoint events (oracle: the stateful reset machine
+    replayed as a DuckDB recursive CTE)."""
     _ensure_nanos_conf(spark)
     from functime_spark.functions.features_udf import cusum
 

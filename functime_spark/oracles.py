@@ -919,6 +919,60 @@ def operator_oracles() -> dict:
         "FROM s4 ORDER BY user_id"
     )
 
+    # cusum_events: the stateful reset-on-trigger CUSUM machine
+    # replayed as a recursive CTE — all entities advance one row per
+    # iteration (depth = longest series), state rides the recursion
+    # (t/mu/sigma/s_pos/s_neg/obs-list), events accumulate as a list
+    # unnested at the end. Exactly mirrors features_udf.cusum
+    # (threshold=3, drift=0, warmup=10).
+    o["cusum_events"] = r"""
+WITH RECURSIVE
+r AS (SELECT user_id, ts, CAST(value AS DOUBLE) AS value,
+      row_number() OVER (PARTITION BY user_id ORDER BY ts) AS i FROM events),
+nn AS (SELECT user_id, max(i) AS n FROM r GROUP BY user_id),
+step AS (
+  SELECT user_id, 0 AS i, 0 AS t, CAST(0 AS DOUBLE) AS mu,
+         CAST(0 AS DOUBLE) AS sigma, CAST(0 AS DOUBLE) AS s_pos,
+         CAST(0 AS DOUBLE) AS s_neg,
+         CAST([] AS DOUBLE[]) AS obs, CAST([] AS INT[]) AS events
+  FROM nn
+  UNION ALL
+  SELECT user_id, i,
+    CASE WHEN warm OR sig2 = 0 THEN t0 WHEN trig THEN 0 ELSE t0 END AS t,
+    mu2 AS mu, sig2 AS sigma,
+    CASE WHEN warm OR sig2 = 0 THEN s_pos WHEN trig THEN 0.0 ELSE sp END AS s_pos,
+    CASE WHEN warm OR sig2 = 0 THEN s_neg WHEN trig THEN 0.0 ELSE sn END AS s_neg,
+    CASE WHEN warm THEN list_append(obs, v)
+         WHEN sig2 = 0 THEN obs
+         WHEN trig THEN CAST([] AS DOUBLE[]) ELSE obs END AS obs,
+    list_append(events,
+      CASE WHEN NOT warm AND sig2 != 0 AND trig THEN 1 ELSE 0 END) AS events
+  FROM (
+    SELECT u1.*, (sp > 3.0 OR sn < -3.0) AS trig FROM (
+      SELECT u0.*,
+        CASE WHEN warm OR sig2 = 0 THEN 0.0
+             ELSE greatest(s_pos + (v - mu2)/nullif(sig2, 0), 0.0) END AS sp,
+        CASE WHEN warm OR sig2 = 0 THEN 0.0
+             ELSE least(s_neg + (v - mu2)/nullif(sig2, 0), 0.0) END AS sn
+      FROM (
+        SELECT s.user_id, r.i, s.t, s.s_pos, s.s_neg, s.obs, s.events,
+          r.value AS v, s.t < 10 AS warm,
+          CASE WHEN s.t < 10 THEN s.t + 1 WHEN s.t = 10 THEN 11 ELSE s.t END AS t0,
+          CASE WHEN s.t = 10 THEN list_aggregate(s.obs, 'avg') ELSE s.mu END AS mu2,
+          CASE WHEN s.t = 10 THEN coalesce(list_aggregate(s.obs, 'stddev_pop'), 0.0)
+               ELSE s.sigma END AS sig2
+        FROM step s JOIN r ON r.user_id = s.user_id AND r.i = s.i + 1
+      ) u0
+    ) u1
+  ) u
+),
+fin AS (SELECT s.user_id, s.events FROM step s
+        JOIN nn ON s.user_id = nn.user_id AND s.i = nn.n)
+SELECT f.user_id, r.ts, f.events[r.i] AS event
+FROM fin f JOIN r ON r.user_id = f.user_id
+ORDER BY 1, 2
+"""
+
     # dedup_embedding: regenerate the SAME seeded hyperplanes the
     # Spark operator uses and replay bucket-assignment + exact cosine
     # verify in SQL (plane constants inlined as list literals).
