@@ -356,6 +356,18 @@ def q_stream_resample(spark, sf_dir):
     return _round_floats(stream_resample(df, "1d", "sum")).orderBy("user_id", "ts")
 
 
+def q_stream_sliding_stats(spark, sf_dir):
+    """Sliding-window (2d window / 1d slide) panel stats from the
+    batch/stream-symmetric streaming module (oracle: rows exploded
+    into their epoch-aligned window buckets in SQL)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.streaming import stream_rolling_stats
+
+    df = events_panel(spark, sf_dir)
+    out = stream_rolling_stats(df, "2d", "1d")
+    return _round_floats(out).orderBy("user_id", "window_start")
+
+
 def q_forecast_zero_inflated(spark, sf_dir):
     """Censored/zero-inflated forecaster (MLlib logistic gate x linear
     regressors, one-pass Arrow recursion) — rows-only check."""
@@ -778,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "metrics_interval": q_metrics_interval,
             "metrics_crps": q_metrics_crps,
             "stream_resample": q_stream_resample,
+            "stream_sliding_stats": q_stream_sliding_stats,
             "future_calendar": q_future_calendar,
             "forecast_zero_inflated": q_forecast_zero_inflated,
             "forecast_knn": q_forecast_knn,

@@ -919,6 +919,21 @@ def operator_oracles() -> dict:
         "FROM s4 ORDER BY user_id"
     )
 
+    # stream_sliding_stats: F.window(2d, 1d) assigns each row to its
+    # two epoch-aligned day buckets — replicated by exploding rows
+    # against (VALUES (0),(1)) day shifts.
+    o["stream_sliding_stats"] = (
+        "WITH e AS (SELECT user_id, ts, CAST(value AS DOUBLE) AS value, "
+        "date_trunc('day', ts) - (g.k * INTERVAL '1 day') AS wstart "
+        "FROM events, (VALUES (0),(1)) AS g(k)) "
+        "SELECT user_id, CAST(wstart AS TIMESTAMP) AS window_start, "
+        "CAST(wstart + INTERVAL '2 days' AS TIMESTAMP) AS window_end, "
+        f"{_r('min(value)')} AS min, {_r('max(value)')} AS max, "
+        f"count(value) AS n, {_r('avg(value)')} AS mean, "
+        f"{_r('sum(value)')} AS sum, {_r('stddev_samp(value)')} AS std "
+        "FROM e GROUP BY 1, 2, 3 ORDER BY 1, 2"
+    )
+
     # cusum_events: the stateful reset-on-trigger CUSUM machine
     # replayed as a recursive CTE — all entities advance one row per
     # iteration (depth = longest series), state rides the recursion
