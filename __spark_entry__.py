@@ -380,7 +380,8 @@ def q_forecast_zero_inflated(spark, sf_dir):
 
 
 def q_forecast_knn(spark, sf_dir):
-    """Recursive kNN over the broadcast lag matrix — rows-only check."""
+    """Recursive kNN over the broadcast lag matrix (oracle: four
+    chained top-k scans, prediction shifted into the query vector)."""
     _ensure_nanos_conf(spark)
     from functime_spark.forecasting.knn import knn
 

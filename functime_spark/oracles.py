@@ -842,6 +842,48 @@ def operator_oracles() -> dict:
         + " AS value FROM p4, (VALUES (1),(2),(3),(4)) AS s(step) ORDER BY 1, 2"
     )
 
+    # forecast_knn (recursive): each step rescans the SAME l1..l8
+    # reference columns with a query vector that shifts the previous
+    # prediction in — four chained top-k CTEs.
+    _RL, _RK, _RFH = 8, 5, 4
+    _rdist = " + ".join(f"pow(q.q{j} - t.l{j}, 2)" for j in range(1, _RL + 1))
+    _rlag = ", ".join(f"lag(value, {j}) OVER w AS l{j}" for j in range(1, _RL + 1))
+    _rctes = [
+        "q0 AS (SELECT user_id, MAX(ts) AS low, "
+        + ", ".join(
+            f"list(CAST(value AS DOUBLE) ORDER BY ts DESC)[{j}] AS q{j}"
+            for j in range(1, _RL + 1)
+        )
+        + " FROM events GROUP BY user_id)",
+        f"train0 AS (SELECT CAST(value AS DOUBLE) AS y, {_rlag}, "
+        f"row_number() OVER w - 1 AS i FROM events {_W})",
+        f"train AS (SELECT * FROM train0 WHERE i >= {_RL})",
+    ]
+    for h in range(1, _RFH + 1):
+        _rctes.append(
+            f"s{h} AS (SELECT user_id, avg(y) AS p{h} FROM ("
+            f"SELECT q.user_id, t.y, row_number() OVER "
+            f"(PARTITION BY q.user_id ORDER BY {_rdist}) AS rk "
+            f"FROM q{h - 1} q, train t) WHERE rk <= {_RK} GROUP BY user_id)"
+        )
+        if h < _RFH:
+            _rshift = ", ".join(f"q.q{j} AS q{j + 1}" for j in range(1, _RL))
+            _rctes.append(
+                f"q{h} AS (SELECT q.user_id, q.low, s.p{h} AS q1, {_rshift} "
+                f"FROM q{h - 1} q JOIN s{h} s USING (user_id))"
+            )
+    _rsteps = " UNION ALL ".join(
+        f"SELECT user_id, {h} AS step, p{h} AS v FROM s{h}"
+        for h in range(1, _RFH + 1)
+    )
+    o["forecast_knn"] = (
+        "WITH " + ", ".join(_rctes)
+        + f", allp AS ({_rsteps}) "
+        "SELECT a.user_id, q0.low + a.step * INTERVAL '1 hour' AS ts, "
+        + _r("a.v")
+        + " AS value FROM allp a JOIN q0 ON a.user_id = q0.user_id ORDER BY 1, 2"
+    )
+
     # forecast_knn_direct: kNN is deterministic (no sampling at gate
     # scale), so the full direct-strategy forecast is SQL: horizon h
     # scans lag columns h..h+lags-1 of the global design, rank by L2.
