@@ -742,6 +742,20 @@ def q_preproc_boxcox_lambdas(spark, sf_dir):
     return _round_floats(t.lmbds).orderBy("user_id")
 
 
+def q_forecast_conformal(spark, sf_dir):
+    """ENBPI conformal intervals on the naive forecaster (ref
+    conformal.py:6-74): backtest-residual quantiles per entity added to
+    the point forecast — oracled via quantile_cont over the replayed
+    expanding-split residuals."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.naive import naive
+
+    out = naive(freq="1h").conformalize(
+        events_panel(spark, sf_dir), fh=4, alphas=[0.2], test_size=4, n_splits=2
+    )
+    return _round_floats(out).orderBy("user_id", "ts", "quantile")
+
+
 def q_forecast_backtest_naive(spark, sf_dir):
     """Naive backtest over 2 expanding splits, step-aligned to actual
     test timestamps."""
@@ -814,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cusum_events": q_cusum_events,
             "media_features": q_media_features,
             "forecast_backtest_naive": q_forecast_backtest_naive,
+            "forecast_conformal": q_forecast_conformal,
             "preproc_roll": q_preproc_roll,
             "preproc_impute_mean": q_preproc_impute_mean,
             "preproc_boxcox_lambdas": q_preproc_boxcox_lambdas,
