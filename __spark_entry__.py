@@ -327,7 +327,8 @@ def q_metrics_interval(spark, sf_dir):
 
 
 def q_metrics_crps(spark, sf_dir):
-    """Gaussian closed-form CRPS (erf: no DuckDB equivalent) — rows-only."""
+    """Gaussian closed-form CRPS (oracle: erf rebuilt in DuckDB as a
+    clamped Horner-nested hypergeometric series)."""
     _ensure_nanos_conf(spark)
     from functime_spark.operators.metrics import crps
 

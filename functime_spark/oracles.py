@@ -602,6 +602,33 @@ def operator_oracles() -> dict:
         "FROM a JOIN nv ON a.user_id = nv.user_id ORDER BY a.user_id"
     )
 
+    # metrics_crps: DuckDB has no erf, so evaluate it as the
+    # all-positive-term confluent-hypergeometric series
+    #   erf(x) = 2/sqrt(pi) * exp(-x^2) * sum_k x^(2k+1) * 2^k/(2k+1)!!
+    # Horner-nested in v = x^2, clamped to sign(x) at |x| >= 4
+    # (erfc(4) = 1.5e-8, far below the gate's 6-decimal rounding).
+    _ck, _c = [], 1.0
+    for _k in range(55):
+        if _k:
+            _c *= 2.0 / (2 * _k + 1)
+        _ck.append(_c)
+    _horner = repr(_ck[-1])
+    for _c in reversed(_ck[:-1]):
+        _horner = f"({_c!r} + v*{_horner})"
+    o["metrics_crps"] = (
+        f"WITH j AS (SELECT user_id, value AS actual, lag(value) OVER w AS pred "
+        f"FROM events {_W}), "
+        "zt AS (SELECT user_id, actual - pred AS z FROM j WHERE pred IS NOT NULL), "
+        "xt AS (SELECT user_id, z, z/1.4142135623730951 AS x, z*z/2.0 AS v FROM zt), "
+        "et AS (SELECT user_id, z, CASE WHEN abs(x) >= 4.0 THEN "
+        "(CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END) ELSE "
+        f"1.1283791670955126 * exp(-v) * x * {_horner} END AS erfv FROM xt), "
+        "r AS (SELECT user_id, z*erfv + 2.0*exp(-0.5*z*z)/2.5066282746310002 "
+        "- 0.5641895835477563 AS cr FROM et) "
+        f"SELECT user_id, {_r('AVG(cr)')} AS crps FROM r "
+        "GROUP BY user_id ORDER BY user_id"
+    )
+
     o["forecast_naive"] = (
         "WITH c AS (SELECT user_id, MAX(ts) AS low, max_by(value, ts) AS v "
         "FROM events GROUP BY user_id) "
