@@ -631,6 +631,21 @@ def q_preproc_roll(spark, sf_dir):
     return _round_floats(out).orderBy("user_id", "ts")
 
 
+def q_preproc_roll_freq(spark, sf_dir):
+    """Time-based roll (freq='1h'): RANGE frames over epoch micros —
+    the stat covers values with ts in [t - (2w-1)h, t - w*1h] (w=4),
+    i.e. the reference's group_by_dynamic(period=w*freq) + shift(w)
+    leakage guard, made time-correct on the irregular events panel."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.preprocessing import roll
+
+    df = events_panel(spark, sf_dir)
+    out = roll(
+        window_sizes=[4], stats=["mean", "max", "sum", "std"], freq="1h"
+    ).transform(df)
+    return _round_floats(out).orderBy("user_id", "ts")
+
+
 def q_preproc_impute_mean(spark, sf_dir):
     """Daily aggregate → grid completion → per-entity mean imputation."""
     _ensure_nanos_conf(spark)
@@ -745,16 +760,18 @@ def q_preproc_boxcox_lambdas(spark, sf_dir):
 
 def q_forecast_conformal(spark, sf_dir):
     """ENBPI conformal intervals on the naive forecaster (ref
-    conformal.py:6-74): backtest-residual quantiles per entity added to
-    the point forecast — oracled via quantile_cont over the replayed
-    expanding-split residuals."""
+    conformal.py:6-74): per-entity backtest-residual quantiles
+    (residual = actual - pred, one row per alpha labeled alpha*100)
+    added to the future forecast AND the backtest predictions —
+    oracled via quantile_cont over the replayed expanding-split
+    residuals."""
     _ensure_nanos_conf(spark)
     from functime_spark.forecasting.naive import naive
 
     out = naive(freq="1h").conformalize(
-        events_panel(spark, sf_dir), fh=4, alphas=[0.2], test_size=4, n_splits=2
+        events_panel(spark, sf_dir), fh=4, alphas=[0.1, 0.9], test_size=4, n_splits=2
     )
-    return _round_floats(out).orderBy("user_id", "ts", "quantile")
+    return _round_floats(out).orderBy("user_id", "ts", "quantile", "value")
 
 
 def q_forecast_backtest_naive(spark, sf_dir):
@@ -776,11 +793,11 @@ _SKIP_FEATURES: set = set()  # features temporarily excluded from the gate
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Risk-first ordering: forecasters, metrics, dedup, streaming and
+    # the other composite queries come BEFORE the 54 feat_* entries so
+    # a driver that truncates its correctness window at ~50 still
+    # covers the high-risk surface (round-1 verdict item 5).
     q: dict[str, Callable] = {}
-    for name in FEATURES:
-        if name in _SKIP_FEATURES:
-            continue
-        q[f"feat_{name}"] = _feature_query(name)
     q.update(
         {
             "preproc_lag": q_preproc_lag,
@@ -831,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "forecast_backtest_naive": q_forecast_backtest_naive,
             "forecast_conformal": q_forecast_conformal,
             "preproc_roll": q_preproc_roll,
+            "preproc_roll_freq": q_preproc_roll_freq,
             "preproc_impute_mean": q_preproc_impute_mean,
             "preproc_boxcox_lambdas": q_preproc_boxcox_lambdas,
             "preproc_deseasonalize": q_preproc_deseasonalize,
@@ -843,6 +861,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "eval_rank_residuals": q_eval_rank_residuals,
         }
     )
+    for name in FEATURES:
+        if name in _SKIP_FEATURES:
+            continue
+        q[f"feat_{name}"] = _feature_query(name)
     return q
 
 

@@ -69,6 +69,21 @@ def make_y_lag(y: DataFrame, max_lag: int) -> DataFrame:
     return y.groupBy(p.entity).agg(tail.alias("__buf"))
 
 
+def stack_buffers(bufs, lags: int) -> np.ndarray:
+    """(n, lags) state matrix from per-entity lag buffers, most recent
+    last. Buffers shorter than `lags` (entities with < lags rows —
+    make_y_lag keeps [-k:] semantics) are LEFT-padded with their first
+    value (edge padding) instead of crashing np.stack on ragged input."""
+    out = np.empty((len(bufs), lags), dtype="float64")
+    for i, v in enumerate(bufs):
+        a = np.asarray(v, dtype="float64")[-lags:]
+        if len(a) < lags:
+            fill = a[0] if len(a) else np.nan
+            a = np.concatenate([np.full(lags - len(a), fill), a])
+        out[i] = a
+    return out
+
+
 class LinearBackend:
     """Distributed linear fit → plain (coef, intercept) arrays.
 
@@ -229,9 +244,7 @@ def predict_recursive_linear(
                 continue
             ents = pdf[entity].to_numpy()
             # state matrix: most recent last; columns = buffer
-            buf = np.stack(
-                [np.asarray(v, dtype="float64")[-lags:] for v in pdf["__buf"]]
-            )
+            buf = stack_buffers(pdf["__buf"], lags)
             xs = _x_matrix(pdf, x_names, fh, len(ents)) if n_x else None
             preds = np.empty((len(ents), fh), dtype="float64")
             for h in range(fh):
@@ -275,7 +288,7 @@ def predict_direct_linear(
             if len(pdf) == 0:
                 continue
             ents = pdf[entity].to_numpy()
-            buf = np.stack([np.asarray(v, dtype="float64") for v in pdf["__buf"]])
+            buf = stack_buffers(pdf["__buf"], lags)
             feats = buf[:, ::-1][:, :lags]  # lag_1..lag_lags
             xs = _x_matrix(pdf, x_names, fh, len(ents)) if n_x else None
             preds = np.empty((len(ents), fh), dtype="float64")

@@ -96,7 +96,12 @@ class Forecaster:
         preds = []
         for i, (train, test) in splits.items():
             train = train.persist()
-            fitted = type(self)(**self._init_kwargs()).fit(train)
+            # refits share self.target_transform (fit-on-transform
+            # resets its state each split; the loop is sequential, so
+            # each split's invert sees that split's fitted params)
+            fitted = type(self)(**self._init_kwargs())
+            fitted.target_transform = self.target_transform
+            fitted.fit(train)
             vals = fitted._predict_values(test_size)
             step = (
                 F.row_number().over(Window.partitionBy(p.entity).orderBy(p.time)) - 1
@@ -105,6 +110,8 @@ class Forecaster:
             y_pred = test_idx.join(vals, on=[p.entity, "step"], how="inner").select(
                 p.entity, p.time, F.col("__yhat").alias(p.target)
             )
+            if fitted.target_transform is not None:
+                y_pred = fitted.target_transform.invert(y_pred)
             preds.append(y_pred.withColumn("split", F.lit(i)))
             train.unpersist()
         out = preds[0]
@@ -120,43 +127,45 @@ class Forecaster:
         test_size: int = 1,
         n_splits: int = 3,
     ) -> DataFrame:
-        """ENBPI-style conformal intervals: per-entity backtest-residual
-        quantiles added to the point forecast. Ref conformal.py:6-74."""
-        alphas = alphas or [0.1]
+        """ENBPI-style conformal intervals. Reference semantics
+        (conformal.py:6-74): residual = actual - pred (backtesting.py:36
+        ``y_train - y_pred``), each alpha is a DIRECT residual-quantile
+        level — one output row per alpha, labeled ``int(alpha*100)``
+        (conformal.py:70-72) — and quantile-adjusted rows cover BOTH
+        the future point forecast and the backtest predictions
+        (conformal.py:52-63). Documented divergence: residuals are
+        out-of-sample backtest residuals (the reference replays
+        in-sample refit residuals); quantiles interpolate linearly
+        (the reference's Polars default is nearest)."""
+        alphas = alphas or [0.1, 0.9]
         p = panel_cols(y)
         y_preds = self.backtest(y, test_size=test_size, n_splits=n_splits)
         target = y_preds.columns[2]
         actual = y.withColumnRenamed(p.target, "__actual")
         resid = (
             y_preds.join(actual, on=[p.entity, p.time], how="inner")
-            .withColumn("__resid", F.col(target) - F.col("__actual"))
+            .withColumn("__resid", F.col("__actual") - F.col(target))
         )
-        q_aggs = []
-        for a in alphas:
-            q_aggs.append(
-                F.percentile("__resid", F.lit(a / 2)).alias(f"__qlo_{_akey(a)}")
-            )
-            q_aggs.append(
-                F.percentile("__resid", F.lit(1 - a / 2)).alias(f"__qhi_{_akey(a)}")
-            )
+        q_aggs = [
+            F.percentile("__resid", F.lit(a)).alias(f"__q_{_akey(a)}")
+            for a in alphas
+        ]
         quantiles = resid.groupBy(p.entity).agg(*q_aggs)
         y_point = self.fit(y).predict(fh)
-        out = y_point.join(F.broadcast(quantiles), on=p.entity, how="left")
+        combined = y_point.select(p.entity, p.time, target).unionByName(
+            y_preds.select(p.entity, p.time, target)
+        )
+        out = combined.join(F.broadcast(quantiles), on=p.entity, how="left")
         rows = []
         for a in alphas:
-            lo = out.select(
-                p.entity,
-                p.time,
-                (F.col(target) + F.col(f"__qlo_{_akey(a)}")).alias(target),
-                F.lit(a / 2).alias("quantile"),
+            rows.append(
+                out.select(
+                    p.entity,
+                    p.time,
+                    (F.col(target) + F.col(f"__q_{_akey(a)}")).alias(target),
+                    F.lit(int(round(a * 100))).alias("quantile"),
+                )
             )
-            hi = out.select(
-                p.entity,
-                p.time,
-                (F.col(target) + F.col(f"__qhi_{_akey(a)}")).alias(target),
-                F.lit(1 - a / 2).alias("quantile"),
-            )
-            rows.extend([lo, hi])
         res = rows[0]
         for nxt in rows[1:]:
             res = res.unionByName(nxt)

@@ -28,7 +28,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from functime_spark.forecasting._ar import LinearBackend, make_reduction, make_y_lag
+from functime_spark.forecasting._ar import LinearBackend, make_reduction, make_y_lag, stack_buffers
 from functime_spark.forecasting.base import Forecaster
 
 
@@ -158,9 +158,7 @@ class censored_model(Forecaster):
                 if len(pdf) == 0:
                     continue
                 ents = pdf[entity].to_numpy()
-                buf = np.stack(
-                    [np.asarray(v, dtype="float64")[-lags:] for v in pdf["__buf"]]
-                )
+                buf = stack_buffers(pdf["__buf"], lags)
                 preds = np.empty((len(ents), fh), dtype="float64")
                 for h in range(fh):
                     feats = buf[:, ::-1][:, :lags]

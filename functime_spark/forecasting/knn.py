@@ -30,7 +30,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from functime_spark.forecasting._ar import make_reduction, make_y_lag
+from functime_spark.forecasting._ar import make_reduction, make_y_lag, stack_buffers
 from functime_spark.forecasting.base import Forecaster
 
 
@@ -154,9 +154,7 @@ class knn(Forecaster):
                 if len(pdf) == 0:
                     continue
                 ents = pdf[entity].to_numpy()
-                buf = np.stack(
-                    [np.asarray(v, dtype="float64")[-lags:] for v in pdf["__buf"]]
-                )
+                buf = stack_buffers(pdf["__buf"], lags)
                 q = buf[:, ::-1][:, :lags]
                 preds = np.empty((len(ents), fh), dtype="float64")
                 for h in range(fh):
@@ -200,9 +198,7 @@ class knn(Forecaster):
                 if len(pdf) == 0:
                     continue
                 ents = pdf[entity].to_numpy()
-                buf = np.stack(
-                    [np.asarray(v, dtype="float64")[-lags:] for v in pdf["__buf"]]
-                )
+                buf = stack_buffers(pdf["__buf"], lags)
                 preds = np.empty((len(ents), fh), dtype="float64")
                 for h in range(fh):
                     q = buf[:, ::-1][:, :lags]
@@ -301,9 +297,7 @@ class ann(knn):
                 if len(pdf) == 0:
                     continue
                 ents = pdf[entity].to_numpy()
-                buf = np.stack(
-                    [np.asarray(v, dtype="float64")[-lags:] for v in pdf["__buf"]]
-                )
+                buf = stack_buffers(pdf["__buf"], lags)
                 preds = np.empty((len(ents), fh), dtype="float64")
                 for h in range(fh):
                     q = buf[:, ::-1][:, :lags]

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from functime_spark.panel import (
+    entity_window,
     numeric_cols,
     ordered_window,
     panel_cols,
@@ -265,29 +266,91 @@ class roll(Transformer):
     """Trailing rolling stats per window size, shifted to avoid leakage.
 
     Ref preprocessing.py:256-336: for each window size w computes
-    stats over the trailing w rows, then shifts by w (the reference's
-    leakage guard at :317-319). Expressed as row-frame windows —
-    every window size shares one sort, no joins needed (the reference
-    self-joins per window size; Spark window frames make that free).
+    stats over a trailing window, then shifts by w (the reference's
+    leakage guard at :317-319).
+
+    Window frames:
+    - ``freq=None`` → ROW frames (trailing w rows shifted by w rows).
+    - ``freq`` given (e.g. ``"1h"``, ``"2i"``) → TIME-based RANGE
+      frames: the stat covers values with timestamps in
+      ``[t - (w-1+shift)·u, t - shift·u]`` (u = one freq step), which
+      equals the reference's ``group_by_dynamic(period=w*freq)`` +
+      ``shift(w)`` on a freq-regular panel and stays time-correct on
+      irregular/gappy panels (the reference's row-shift drifts there).
+
+    Both variants are window frames over ONE (entity, time) sort — no
+    per-window-size self-joins (the reference joins once per w).
+
+    ``fill_strategy`` ∈ {forward, backward, mean, zero} fills null
+    rolling outputs; divergence from the reference documented: fills
+    are per-entity (Polars' global fill_null would leak values across
+    entity boundaries at a partition edge).
     """
 
     STATS = ("mean", "min", "max", "mlm", "sum", "std", "cv")
+    _UNIT_US = {
+        "s": 1_000_000,
+        "m": 60 * 1_000_000,
+        "h": 3600 * 1_000_000,
+        "d": 86400 * 1_000_000,
+        "w": 7 * 86400 * 1_000_000,
+    }
 
-    def __init__(self, window_sizes: list, stats: list, freq: str | None = None, shift: int | None = None):
+    def __init__(
+        self,
+        window_sizes: list,
+        stats: list,
+        freq: str | None = None,
+        shift: int | None = None,
+        fill_strategy: str | None = None,
+    ):
         bad = set(stats) - set(self.STATS)
         if bad:
             raise ValueError(f"unsupported roll stats: {bad}")
+        if fill_strategy not in (None, "forward", "backward", "mean", "zero"):
+            raise ValueError(f"unsupported fill_strategy: {fill_strategy}")
         self.window_sizes = window_sizes
         self.stats = stats
+        self.freq = freq
         self.shift = shift  # None → shift by w, mirroring the reference
+        self.fill_strategy = fill_strategy
+
+    def _step(self, df: DataFrame, p) -> tuple:
+        """(ordering column, units-per-step) for RANGE frames, or
+        (None, None) for row frames."""
+        if self.freq is None:
+            return None, None
+        from functime_spark.forecasting.ranges import strip_freq_alias
+
+        n, unit = strip_freq_alias(self.freq)
+        dtype = dict(df.dtypes)[p.time]
+        if unit == "i":
+            if not dtype.startswith(("int", "bigint", "long", "smallint")):
+                raise ValueError("integer freq requires an integer time column")
+            return F.col(p.time).cast("long"), n
+        if unit not in self._UNIT_US:
+            raise ValueError(f"unsupported roll freq: {self.freq}")
+        if dtype == "date":
+            return F.unix_date(F.col(p.time)).cast("long"), (
+                n * self._UNIT_US[unit]
+            ) // self._UNIT_US["d"]
+        return F.unix_micros(F.col(p.time)), n * self._UNIT_US[unit]
 
     def transform(self, df: DataFrame) -> DataFrame:
         p = panel_cols(df)
-        ow = ordered_window(p.entity, p.time)
+        order_col, step = self._step(df, p)
+        if order_col is None:
+            ow = ordered_window(p.entity, p.time)
+        else:
+            ow = Window.partitionBy(p.entity).orderBy(order_col)
         cols = [F.col(p.entity), F.col(p.time)]
+        out_names = []
         for w_size in self.window_sizes:
             shift = self.shift if self.shift is not None else w_size
-            frame = ow.rowsBetween(-(w_size - 1) - shift, -shift)
+            if order_col is None:
+                frame = ow.rowsBetween(-(w_size - 1) - shift, -shift)
+            else:
+                frame = ow.rangeBetween(-(w_size - 1 + shift) * step, -shift * step)
             for v in p.values:
                 x = F.col(v)
                 exprs = {
@@ -300,8 +363,36 @@ class roll(Transformer):
                     "cv": F.stddev_samp(x).over(frame) / F.avg(x).over(frame),
                 }
                 for s in self.stats:
-                    cols.append(exprs[s].alias(f"{v}__rolling_{s}_{w_size}"))
-        return df.select(*cols)
+                    name = f"{v}__rolling_{s}_{w_size}"
+                    cols.append(exprs[s].alias(name))
+                    out_names.append(name)
+        out = df.select(*cols)
+        if self.fill_strategy:
+            ow_full = ordered_window(p.entity, p.time)
+            upd = {}
+            for c in out_names:
+                if self.fill_strategy == "forward":
+                    upd[c] = F.coalesce(
+                        F.col(c),
+                        F.last(c, ignorenulls=True).over(
+                            ow_full.rowsBetween(Window.unboundedPreceding, 0)
+                        ),
+                    )
+                elif self.fill_strategy == "backward":
+                    upd[c] = F.coalesce(
+                        F.col(c),
+                        F.first(c, ignorenulls=True).over(
+                            ow_full.rowsBetween(0, Window.unboundedFollowing)
+                        ),
+                    )
+                elif self.fill_strategy == "mean":
+                    upd[c] = F.coalesce(
+                        F.col(c), F.avg(c).over(entity_window(p.entity))
+                    )
+                else:  # zero
+                    upd[c] = F.coalesce(F.col(c), F.lit(0.0))
+            out = out.withColumns(upd)
+        return out
 
 
 class scale(Transformer):

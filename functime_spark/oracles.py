@@ -744,29 +744,31 @@ def operator_oracles() -> dict:
 
     # forecast_conformal: replay the expanding backtest (test_size=4,
     # n_splits=2, step_size=1 -> cutoffs 5,4), take per-entity
-    # quantile_cont(pred - actual) at alpha/2 and 1-alpha/2, and add
-    # them to the last-value point forecast.
+    # quantile_cont(actual - pred) at each alpha, and add it to both
+    # the last-value point forecast and the backtest predictions
+    # (ref conformal.py:52-72 semantics).
     o["forecast_conformal"] = (
         f"WITH q AS (SELECT user_id, ts, value, row_number() OVER w - 1 AS i, "
         f"COUNT(*) OVER (PARTITION BY user_id) AS n FROM events {_W}), "
         "splits(s, cutoff) AS (VALUES (0, 5), (1, 4)), "
         "lt AS (SELECT q.user_id, s.s AS split, q.value AS pred FROM q, splits s "
         "WHERE q.i = q.n - s.cutoff - 1), "
-        "resid AS (SELECT q.user_id, lt.pred - q.value AS r "
+        "bt AS (SELECT q.user_id, q.ts, q.value AS actual, lt.pred "
         "FROM q JOIN splits s ON q.i >= q.n - s.cutoff AND q.i < q.n - s.cutoff + 4 "
         "JOIN lt ON lt.user_id = q.user_id AND lt.split = s.s), "
-        "qs AS (SELECT user_id, quantile_cont(r, 0.1) AS qlo, "
-        "quantile_cont(r, 0.9) AS qhi FROM resid GROUP BY user_id), "
+        "qs AS (SELECT user_id, quantile_cont(actual - pred, 0.1) AS qlo, "
+        "quantile_cont(actual - pred, 0.9) AS qhi FROM bt GROUP BY user_id), "
         "c AS (SELECT user_id, MAX(ts) AS low, max_by(value, ts) AS v "
         "FROM events GROUP BY user_id), "
         "pts AS (SELECT c.user_id, c.low + i * INTERVAL '1 hour' AS ts, c.v "
-        "FROM c, generate_series(1, 4) AS g(i)) "
+        "FROM c, generate_series(1, 4) AS g(i) "
+        "UNION ALL SELECT user_id, ts, pred AS v FROM bt) "
         f"SELECT p.user_id, p.ts, {_r('p.v + q.qlo')} AS value, "
-        "CAST(0.1 AS DOUBLE) AS quantile FROM pts p JOIN qs q USING (user_id) "
+        "CAST(10 AS INTEGER) AS quantile FROM pts p JOIN qs q USING (user_id) "
         "UNION ALL "
         f"SELECT p.user_id, p.ts, {_r('p.v + q.qhi')} AS value, "
-        "CAST(0.9 AS DOUBLE) AS quantile FROM pts p JOIN qs q USING (user_id) "
-        "ORDER BY 1, 2, 4"
+        "CAST(90 AS INTEGER) AS quantile FROM pts p JOIN qs q USING (user_id) "
+        "ORDER BY 1, 2, 4, 3"
     )
 
     o["preproc_roll"] = (
@@ -782,6 +784,24 @@ def operator_oracles() -> dict:
         )
         + " FROM events WINDOW f AS (PARTITION BY user_id ORDER BY ts "
         "ROWS BETWEEN 7 PRECEDING AND 4 PRECEDING) ORDER BY user_id, ts"
+    )
+
+    # Time-based roll: RANGE frame on epoch micros, trailing 4h window
+    # shifted 4h back -> [t - 7h, t - 4h] inclusive.
+    o["preproc_roll_freq"] = (
+        "SELECT user_id, ts, "
+        + ", ".join(
+            _r(f"{fn}(value) OVER f") + f" AS value__rolling_{name}_4"
+            for name, fn in [
+                ("mean", "AVG"),
+                ("max", "MAX"),
+                ("sum", "SUM"),
+                ("std", "stddev_samp"),
+            ]
+        )
+        + " FROM events WINDOW f AS (PARTITION BY user_id ORDER BY epoch_us(ts) "
+        "RANGE BETWEEN 25200000000 PRECEDING AND 14400000000 PRECEDING) "
+        "ORDER BY user_id, ts"
     )
 
     o["preproc_impute_mean"] = (

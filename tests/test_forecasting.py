@@ -100,12 +100,35 @@ def test_backtest_and_conformal(events):
     assert set(bt.columns) == {"user_id", "ts", "value", "split"}
     assert bt.select("split").distinct().count() == 2
 
-    ci = naive(freq="1h").conformalize(events, fh=2, alphas=[0.2], n_splits=2)
+    ci = naive(freq="1h").conformalize(events, fh=2, alphas=[0.1, 0.9], n_splits=2)
     pdf = ci.toPandas()
-    assert set(pdf["quantile"].unique()) == {0.1, 0.9}
-    lo = pdf[pdf["quantile"] == 0.1].sort_values(["user_id", "ts"])["value"].to_numpy()
-    hi = pdf[pdf["quantile"] == 0.9].sort_values(["user_id", "ts"])["value"].to_numpy()
+    # one row per alpha, labeled alpha*100 (ref conformal.py:70-72)
+    assert set(pdf["quantile"].unique()) == {10, 90}
+    lo = pdf[pdf["quantile"] == 10].sort_values(["user_id", "ts"])["value"].to_numpy()
+    hi = pdf[pdf["quantile"] == 90].sort_values(["user_id", "ts"])["value"].to_numpy()
     assert (lo <= hi).all()
+
+
+def test_conformal_biased_forecaster_interval_side(spark):
+    """Naive on a strictly-trending series: residuals (actual - pred)
+    are all positive, so BOTH conformal bounds must sit above the
+    point forecast. A sign-flipped residual (pred - actual) would
+    mirror the interval below it — the bug flagged in round-1 advice."""
+    from datetime import datetime, timedelta
+
+    from functime_spark.forecasting.naive import naive
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("a", t0 + timedelta(hours=i), float(i)) for i in range(20)]
+    y = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    fc = naive(freq="1h")
+    ci = fc.conformalize(y, fh=2, alphas=[0.1, 0.9], test_size=2, n_splits=2)
+    pdf = ci.toPandas()
+    point = fc.fit(y).predict(2).toPandas().rename(columns={"value": "pred"})
+    merged = pdf.merge(point, on=["user_id", "ts"], how="inner")
+    assert len(merged) > 0
+    # slope-1 series: every backtest residual >= 1 > 0
+    assert (merged["value"] > merged["pred"]).all()
 
 
 def test_metrics(spark):
