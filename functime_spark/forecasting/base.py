@@ -15,9 +15,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from functime_spark.panel import panel_cols
+from functime_spark.serialize import SparkStatePickleMixin
 
 
-class Forecaster:
+class Forecaster(SparkStatePickleMixin):
     def __init__(self, freq: str, lags: int = 1, target_transform=None):
         self.freq = freq
         self.lags = lags

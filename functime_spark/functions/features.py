@@ -211,9 +211,15 @@ def absolute_maximum(c: PanelCtx) -> Column:
     return F.greatest(F.abs(F.min(c.x)), F.abs(F.max(c.x)))
 
 
+def _sum0(col: Column) -> Column:
+    """Polars/empty-sum semantics: sum over no rows is 0, not NULL."""
+    return F.coalesce(F.sum(col), F.lit(0.0))
+
+
 def absolute_sum_of_changes(c: PanelCtx) -> Column:
-    """sum(|diff|). Ref feature_extractors.py:95-108."""
-    return F.sum(F.abs(c.diff()))
+    """sum(|diff|). Ref feature_extractors.py:95-108. Empty-sum = 0
+    (Polars semantics, pinned by the tsfresh golden battery)."""
+    return _sum0(F.abs(c.diff()))
 
 
 def autocorrelation(c: PanelCtx, n_lags: int = 1) -> Column:
@@ -292,8 +298,10 @@ def binned_entropy(c: PanelCtx, bin_count: int = 10) -> Column:
 
 
 def c3(c: PanelCtx, n_lags: int = 1) -> Column:
-    """sum(x * x_{t+l} * x_{t+2l}) / (n - 2l). Ref :411-437."""
-    return F.sum(c.x * c.lead(n_lags) * c.lead(2 * n_lags)) / (
+    """sum(x * x_{t+l} * x_{t+2l}) / (n - 2l). Ref :411-437.
+    Empty-sum = 0 so n < 2l yields 0/(n-2l) like the reference (0 for
+    negative denominators, undefined for n == 2l)."""
+    return _sum0(c.x * c.lead(n_lags) * c.lead(2 * n_lags)) / (
         F.count(c.x) - F.lit(2 * n_lags)
     )
 
@@ -716,10 +724,11 @@ def streak_length_stats(
 ) -> Column:
     """Distribution stats over run lengths of diff-threshold streaks.
 
-    Ref :1752-1802. Quantiles are linear-interpolated (the reference
-    uses Polars' 'nearest' for the 10/90 percentiles; we standardize on
-    linear = quantile_cont for oracle parity). Mode ties break to the
-    smallest length (reference sorts then takes first).
+    Ref :1752-1802. p10/p90 use the reference's 'nearest' quantile
+    (Polars default: sorted value at round(q*(n-1))), median is the
+    true linear median — both replayed exactly in the DuckDB oracle.
+    Mode ties break to the smallest length (reference sorts then takes
+    first).
     """
     flag, run_len, run_start = _diff_streak(c, above, threshold)
     v = F.when(flag & run_start, run_len)
@@ -733,14 +742,21 @@ def streak_length_stats(
         5,
     )
     mode = F.max_by(v, F.when(flag & run_start, F.struct(mode_cnt, -run_len)))
+    lens = F.array_sort(F.collect_list(v))  # nulls dropped by collect_list
+    n_runs = F.size(lens)
+
+    def _nearest(q: float) -> Column:
+        idx = (F.round(F.lit(q) * (n_runs - 1)) + 1).cast("int")
+        return F.when(n_runs > 0, F.element_at(lens, idx)).cast("double")
+
     return F.struct(
         F.greatest(F.min(v), F.lit(0)).cast("long").alias("min"),
         F.max(v).cast("long").alias("max"),
         F.avg(v).alias("mean"),
         F.stddev_samp(v).alias("std"),
-        F.percentile(v, F.lit(0.1)).alias("p10"),
+        _nearest(0.1).alias("p10"),
         F.percentile(v, F.lit(0.5)).alias("median"),
-        F.percentile(v, F.lit(0.9)).alias("p90"),
+        _nearest(0.9).alias("p90"),
         mode.cast("long").alias("mode"),
     )
 

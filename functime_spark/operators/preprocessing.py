@@ -32,8 +32,14 @@ from functime_spark.panel import (
 )
 
 
-class Transformer:
-    """Base: fit-on-transform with stored per-entity state."""
+from functime_spark.serialize import SparkStatePickleMixin
+
+
+class Transformer(SparkStatePickleMixin):
+    """Base: fit-on-transform with stored per-entity state.
+
+    Fitted instances pickle (per-entity param DataFrames materialize
+    to rows — ref contract test_forecasting.py:71-86)."""
 
     def transform(self, df: DataFrame) -> DataFrame:  # pragma: no cover
         raise NotImplementedError

@@ -384,11 +384,11 @@ def feature_oracles() -> dict:
         + " AS mean, "
         + _r("stddev_samp(len)")
         + " AS std, "
-        + _r("quantile_cont(len, 0.1)")
+        + _r("list_extract(list_sort(list(len)), CAST(round(0.1*(COUNT(len)-1)) AS INT)+1)")
         + " AS p10, "
         + _r("quantile_cont(len, 0.5)")
         + " AS median, "
-        + _r("quantile_cont(len, 0.9)")
+        + _r("list_extract(list_sort(list(len)), CAST(round(0.9*(COUNT(len)-1)) AS INT)+1)")
         + " AS p90, "
         "CAST(ANY_VALUE(mode_len) AS BIGINT) AS mode "
         "FROM runs JOIN (SELECT e, mode_len FROM md WHERE rn = 1) mm ON runs.e = mm.e "

@@ -28,6 +28,13 @@ def get_session(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.session.timeZone", "UTC")
+        # reference semantics: Polars yields inf/NaN on zero-division
+        # edge cases (variation_coefficient on a constant series, c3 on
+        # short series); ANSI mode (Spark 4 default) hard-errors the
+        # whole job instead. Non-ANSI returns NULL — "undefined", the
+        # closest Spark equivalent — and keeps edge-case entities from
+        # killing a 100-TB aggregate.
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,460 @@
+"""Golden-value battery: the reference's tsfresh-derived pins replayed
+against functime_spark features.
+
+Expected values are transcribed from the reference test suite
+(/root/reference/tests/test_tsfresh.py — hardcoded tsfresh/wikipedia/
+aptech-derived numbers on edge-case int/float/negative/inf inputs), so
+these tests pin our features to the REFERENCE's numerics, not to our
+own DuckDB oracles (round-1 verdict item 1).
+
+Representation notes (documented, not silent):
+- empty-series cases are omitted: a panel cannot hold a zero-row
+  entity (the reference tests eager Series there).
+- the reference's random-noise linear_trend case is omitted: its
+  expected value depends on global np.random seed-consumption order
+  at collection time, not on a pinned literal.
+- change_quantiles: the reference returns the raw corridor-change
+  list; our feature returns struct(n, mean, std) of the same multiset
+  (deviation documented in the feature docstring), so list pins are
+  compared through those summary stats.
+- permutation_entropy: reference pins one case in base 2; ours is
+  natural-log, so the expectation is scaled by ln(2).
+- where the reference pins NaN from a 0/0 or zero-variance corr,
+  Spark/DuckDB may produce NULL instead of NaN; both mean "undefined"
+  and either is accepted for NAN expectations.
+
+A single fused extract_features call evaluates every (feature, params)
+combo over every case-entity in ONE Spark job; per-case asserts then
+read the collected map.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from functime_spark.functions.features import FEATURES, extract_features
+
+INF = float("inf")
+NAN = float("nan")
+
+# --------------------------------------------------------------------------
+# (feature, params, xs, expected) — expected: scalar, bool, or dict for
+# struct features. Values transcribed from reference test_tsfresh.py.
+# --------------------------------------------------------------------------
+
+CASES = [
+    # -- streak_length_stats (ref :71-161) --
+    ("streak_length_stats", {"above": True, "threshold": 0.0}, [0, 0, 0],
+     {"min": 2, "max": 2, "mean": 2.0, "std": None, "p10": 2.0, "median": 2.0, "p90": 2.0, "mode": 2}),
+    ("streak_length_stats", {"above": False, "threshold": 0.0}, [0, 0, 0],
+     {"min": 2, "max": 2, "mean": 2.0, "std": None, "p10": 2.0, "median": 2.0, "p90": 2.0, "mode": 2}),
+    ("streak_length_stats", {"above": False, "threshold": 1.0}, [0, 0, 0],
+     {"min": 2, "max": 2, "mean": 2.0, "std": None, "p10": 2.0, "median": 2.0, "p90": 2.0, "mode": 2}),
+    ("streak_length_stats", {"above": True, "threshold": 1.0}, [0, 0, 0],
+     {"min": 0, "max": None, "mean": None, "std": None, "p10": None, "median": None, "p90": None, "mode": None}),
+    ("streak_length_stats", {"above": True, "threshold": 0.0}, [0, 1, 1, 0, 2, 2, 2],
+     {"min": 2, "max": 3, "mean": 2.5, "std": 0.707107, "p10": 2.0, "median": 2.5, "p90": 3.0, "mode": 2}),
+    ("streak_length_stats", {"above": True, "threshold": 0.0}, [0.0, 1.5, 1.5, 0, 2.5, 2.5, 2.5],
+     {"min": 2, "max": 3, "mean": 2.5, "std": 0.707107, "p10": 2.0, "median": 2.5, "p90": 3.0, "mode": 2}),
+    ("streak_length_stats", {"above": False, "threshold": 0.0}, [0.0, -1.5, -1.5, 0, -2.5, -2.5, -2.5],
+     {"min": 2, "max": 3, "mean": 2.5, "std": 0.707107, "p10": 2.0, "median": 2.5, "p90": 3.0, "mode": 2}),
+    # -- mean_abs_change (ref :164-194) --
+    ("mean_abs_change", {}, [0, 0, 0], 0.0),
+    ("mean_abs_change", {}, [0, 1, 2], 1.0),
+    ("mean_abs_change", {}, [2, 1, 0], 1.0),
+    ("mean_abs_change", {}, [0.0, 1.5, 2, 2.5], 5 / 6),
+    ("mean_abs_change", {}, [2.5, 2, 1.5, 0], 5 / 6),
+    ("mean_abs_change", {}, [-1, 2, 3, 4], 5 / 3),
+    ("mean_abs_change", {}, [-1.0, 1, 2, INF], INF),
+    ("mean_abs_change", {}, [-1.0, 1, 2, -INF], INF),
+    ("mean_abs_change", {}, [INF, -1, 1, 2], INF),
+    # -- mean_change (ref :197-226) --
+    ("mean_change", {}, [0, 0, 0], 0.0),
+    ("mean_change", {}, [0, 1, 2], 1.0),
+    ("mean_change", {}, [0.0, 1.5, 2, 2.5], 5 / 6),
+    ("mean_change", {}, [2.5, 2, 1.5, 0], -5 / 6),
+    ("mean_change", {}, [-1, 2, 3, 4], 5 / 3),
+    ("mean_change", {}, [-1.0, 1.3, 5.3, 4.5], 11 / 6),
+    ("mean_change", {}, [-1.0, 1, 2, INF], INF),
+    ("mean_change", {}, [-1.0, 1, 2, -INF], -INF),
+    ("mean_change", {}, [1], 0.0),
+    # -- var_gt_std (ref :229-250) --
+    ("var_gt_std", {}, [0, 0, 0], False),
+    ("var_gt_std", {}, [0, 1, 2], True),
+    ("var_gt_std", {}, [0.0, 1.5, 2, 2.5, 50], True),
+    ("var_gt_std", {}, [-1, 2, 3, 4], True),
+    ("var_gt_std", {}, [-1.0, 1.3, 5.3, 4.5], True),
+    # -- large_standard_deviation (ref :253-271) --
+    ("large_standard_deviation", {}, [0, 0, 0], False),
+    ("large_standard_deviation", {}, [0, 1, 2], True),
+    ("large_standard_deviation", {}, [0.0, 1.5, 2, 2.5, 50], True),
+    ("large_standard_deviation", {}, [-1, 2, 3, 4], True),
+    ("large_standard_deviation", {}, [-1.0, 1.3, 5.3, 4.5], True),
+    # -- variation_coefficient (ref :274-297) --
+    ("variation_coefficient", {}, [0, 0, 0], NAN),
+    ("variation_coefficient", {}, [0.0, 0.0, 0.0], NAN),
+    ("variation_coefficient", {}, [-1.0, 1.0, 1.0, -1.0], INF),
+    ("variation_coefficient", {}, [0, 1, 2], 0.816497),
+    ("variation_coefficient", {}, [9, 7, 10000], 1.410825),
+    ("variation_coefficient", {}, [-1, 2, 3, 4], 0.93541434),
+    ("variation_coefficient", {}, [-1.0, 1.3, 5.3, 4.5], 1.00049),
+    # -- range_count(0, 5.5) (ref :300-322) --
+    ("range_count", {"lower": 0.0, "upper": 5.5, "closed": "left"}, [-5, 0, 1], 2),
+    ("range_count", {"lower": 0.0, "upper": 5.5, "closed": "left"}, [0], 1),
+    ("range_count", {"lower": 0.0, "upper": 5.5, "closed": "left"}, [-1, 2, 3, 4], 3),
+    ("range_count", {"lower": 0.0, "upper": 5.5, "closed": "left"}, [-1.0, 1.3], 1),
+    ("range_count", {"lower": 0.0, "upper": 5.5, "closed": "left"}, [1.0, INF], 1),
+    ("range_count", {"lower": 0.0, "upper": 5.5, "closed": "left"}, [1, None], 1),
+    # -- linear_trend (ref :325-382) --
+    ("linear_trend", {}, [0, 0, 0, 0, 0], {"slope": 0.0, "intercept": 0.0, "rss": 0.0}),
+    ("linear_trend", {}, [1, 1, 1, 1, 1], {"slope": 0.0, "intercept": 1.0, "rss": 0.0}),
+    ("linear_trend", {}, [-1, -1, -1, -1, -1], {"slope": 0.0, "intercept": -1.0, "rss": 0.0}),
+    ("linear_trend", {}, [1, 2, 3, 4, 5], {"slope": 1.0, "intercept": 1.0, "rss": 0.0}),
+    ("linear_trend", {}, list(np.linspace(2, 102, num=51)), {"slope": 2.0, "intercept": 2.0, "rss": 0.0}),
+    ("linear_trend", {}, list(np.linspace(0, 49, 99)), {"slope": 0.5, "intercept": 0.0, "rss": 0.0}),
+    ("linear_trend", {}, [-1, -2, -3, -4, -5], {"slope": -1.0, "intercept": -1.0, "rss": 0.0}),
+    # -- absolute_energy (ref :385-404) --
+    ("absolute_energy", {}, [-5, 0, 1], 26.0),
+    ("absolute_energy", {}, [0], 0.0),
+    ("absolute_energy", {}, [-1, 2, -3], 14.0),
+    ("absolute_energy", {}, [-1.0, 1.3], 2.6900000000000004),
+    ("absolute_energy", {}, [1], 1.0),
+    # -- absolute_maximum (ref :407-424) --
+    ("absolute_maximum", {}, [-5, 0, 1], 5.0),
+    ("absolute_maximum", {}, [0], 0.0),
+    ("absolute_maximum", {}, [-1.0, 2.0, -3.0], 3.0),
+    # -- absolute_sum_of_changes (ref :427-439) --
+    ("absolute_sum_of_changes", {}, [1, 1, 1, 1, 2, 1], 2.0),
+    ("absolute_sum_of_changes", {}, [1.4, -1.3, 1.7, -1.2], 8.6),
+    ("absolute_sum_of_changes", {}, [1], 0.0),
+    # -- autocorrelation (ref :475-510) --
+    ("autocorrelation", {"n_lags": 1}, [1, 2, 1, 2, 1, 2], -1.0),
+    ("autocorrelation", {"n_lags": 2}, [1, 2, 1, 2, 1, 2], 1.0),
+    ("autocorrelation", {"n_lags": 4}, [1, 2, 1, 2, 1, 2], 1.0),
+    ("autocorrelation", {"n_lags": 2}, [0, 1, 2, 0, 1, 2], -0.75),
+    ("autocorrelation", {"n_lags": 0}, [1, 2, 1, 2, 1, 2], 1.0),
+    # -- binned_entropy (ref :513-535) --
+    ("binned_entropy", {"bin_count": 10}, [10] * 100, 0.0),
+    ("binned_entropy", {"bin_count": 10}, [10] * 10 + [1], 0.30463609734923813),
+    ("binned_entropy", {"bin_count": 100}, list(range(10)), 2.302585092994046),
+    # -- c3 (ref :538-571) --
+    ("c3", {"n_lags": 1}, [1, 2, -3, 4], -15.0),
+    ("c3", {"n_lags": 1}, [1] * 10, 1.0),
+    ("c3", {"n_lags": 2}, [1] * 10, 1.0),
+    ("c3", {"n_lags": 3}, [1] * 10, 1.0),
+    ("c3", {"n_lags": 2}, [1, 2, -3, 4], NAN),
+    ("c3", {"n_lags": 3}, [1, 2, -3, 4], 0.0),
+    # -- change_quantiles (ref :574-600; list pins → n/mean/std) --
+    ("change_quantiles", {"q_low": 0.1, "q_high": 0.9, "is_abs": True}, [0, 1, -9, 0, 0, 1, 0],
+     {"n": 4, "mean": 0.75, "std": 0.5}),
+    ("change_quantiles", {"q_low": 0.1, "q_high": 0.9, "is_abs": False}, [0, 1, -9, 0, 0, 1, 0],
+     {"n": 4, "mean": 0.25, "std": 0.9574271077563381}),
+    ("change_quantiles", {"q_low": 0.25, "q_high": 0.75, "is_abs": True}, list(range(10)),
+     {"n": 3, "mean": 1.0, "std": 0.0}),
+    # -- cid_ce (ref :603-638) --
+    ("cid_ce", {"normalize": False}, [1, 1, 1], 0.0),
+    ("cid_ce", {"normalize": True}, [0, 4], 2.0),
+    ("cid_ce", {"normalize": True}, [100, 104], 2.0),
+    ("cid_ce", {"normalize": False}, [-4.33, -1.33, 2.67], 5.0),
+    ("cid_ce", {"normalize": True}, [1, 1, 1], NAN),
+    # -- count_above / count_below (ref :641-684) --
+    ("count_above", {"threshold": 0.2}, [0.1, 0.2, 0.3] * 3, 200 / 3),
+    ("count_above", {"threshold": 1.0}, [1] * 10, 100.0),
+    ("count_above", {"threshold": 0.0}, list(range(10)), 100.0),
+    ("count_above", {"threshold": 5.0}, list(range(10)), 50.0),
+    ("count_below", {"threshold": 0.2}, [0.1, 0.2, 0.3] * 3, 200 / 3),
+    ("count_below", {"threshold": 1.0}, [1] * 10, 100.0),
+    ("count_below", {"threshold": 5.0}, list(range(10)), 60.0),
+    ("count_below", {"threshold": 0.0}, list(range(10)), 10.0),
+    # -- count_above_mean / count_below_mean (ref :687-716) --
+    ("count_above_mean", {}, [1, 2, 1, 2, 1, 2], 3),
+    ("count_above_mean", {}, [1, 1, 1, 1, 1, 2], 1),
+    ("count_above_mean", {}, [1, 1, 1, 1, 1], 0),
+    ("count_below_mean", {}, [1, 2, 1, 2, 1, 2], 3),
+    ("count_below_mean", {}, [1, 1, 1, 1, 1, 2], 5),
+    ("count_below_mean", {}, [1, 1, 1, 1, 1], 0),
+    # -- first/last location of max/min (ref :719-758, :839-878) --
+    ("first_location_of_maximum", {}, [1, 2, 1, 2, 1], 0.2),
+    ("first_location_of_maximum", {}, [1.5, 2.6, 1.8, 2.1, 1.0], 0.2),
+    ("first_location_of_maximum", {}, [2, 1, 1, 1, 1], 0.0),
+    ("first_location_of_maximum", {}, [1, 1, 1, 1, 1], 0.0),
+    ("first_location_of_minimum", {}, [1, 2, 1, 2, 1], 0.0),
+    ("first_location_of_minimum", {}, [2, 1, 1, 1, 2], 0.2),
+    ("first_location_of_minimum", {}, [2.7, 1.05, 1.2, 1.068, 2.3], 0.2),
+    ("first_location_of_minimum", {}, [1, 1, 1, 1, 1], 0.0),
+    ("last_location_of_minimum", {}, [1, 2, 1, 2, 1], 1.0),
+    ("last_location_of_minimum", {}, [1, 2, 1, 2, 2], 0.6),
+    ("last_location_of_minimum", {}, [2.7, 1.05, 1.2, 1.068, 2.3], 0.4),
+    ("last_location_of_minimum", {}, [2, 1, 1, 1, 2], 0.8),
+    ("last_location_of_maximum", {}, [1, 2, 1, 2, 1], 0.8),
+    ("last_location_of_maximum", {}, [1, 2, 1, 1, 2], 1.0),
+    ("last_location_of_maximum", {}, [2.7, 1.05, 1.2, 1.068, 2.3], 0.19999999999999996),
+    ("last_location_of_maximum", {}, [2, 1, 1, 1, 1], 0.19999999999999996),
+    # -- has_duplicate / _min / _max (ref :761-815) --
+    ("has_duplicate", {}, [2.1, 0, 0, 2.1, 1.1], True),
+    ("has_duplicate", {}, [2.1, 0, 4, 2, 1.1], False),
+    ("has_duplicate_min", {}, [-2.1, 0, 0, -2.1, 1.1], True),
+    ("has_duplicate_min", {}, [2.1, 0, -1, 2, 1.1], False),
+    ("has_duplicate_min", {}, [1, 1, 1, 1], True),
+    ("has_duplicate_min", {}, [0], False),
+    ("has_duplicate_max", {}, [2.1, 0, 0, 2.1, 1.1], True),
+    ("has_duplicate_max", {}, [2.1, 0, 0, 2, 1.1], False),
+    ("has_duplicate_max", {}, [1, 1, 1, 1], True),
+    ("has_duplicate_max", {}, [0], False),
+    # -- index_mass_quantile (ref :818-836) --
+    ("index_mass_quantile", {"q": 0.5}, [1] * 101, 0.504950495049505),
+    ("index_mass_quantile", {"q": 0.3}, [0, 1, 1, 0, 0, 1, 0, 0], 0.25),
+    ("index_mass_quantile", {"q": 0.6}, [0, 1, 1, 0, 0, 1, 0, 0], 0.375),
+    ("index_mass_quantile", {"q": 0.9}, [0, 1, 1, 0, 0, 1, 0, 0], 0.75),
+    # -- benford_correlation (ref :881-927) --
+    ("benford_correlation", {}, [1, 2, 3, 4, 5, 6, 7, 8, 9], NAN),
+    ("benford_correlation", {}, [26.24, 3.03, -2.92, 3.5, -0.07, 0.35, 0.10, 0.51, -0.43],
+     0.39753280229716703),
+    ("benford_correlation", {}, [0, 1] + [0] * 48, 0.9959632739083689),  # placeholder → fib below
+    # -- longest_streak_below/above_mean (ref :930-979) --
+    ("longest_streak_below_mean", {}, [1, 2, 1, 1, 1, 2, 2, 2], 3),
+    ("longest_streak_below_mean", {}, [1, 2, 3, 4, 5, 6], 3),
+    ("longest_streak_below_mean", {}, [1, 2, 3, 4, 5], 2),
+    ("longest_streak_below_mean", {}, [1, 2, 1], 1),
+    ("longest_streak_below_mean", {}, [1, 1, 1], 0),
+    ("longest_streak_above_mean", {}, [1, 2, 1, 2, 1, 2, 2, 1], 2),
+    ("longest_streak_above_mean", {}, [1, 2, 3, 4, 5, 6], 3),
+    ("longest_streak_above_mean", {}, [1, 2, 3, 4, 5], 2),
+    ("longest_streak_above_mean", {}, [1, 2, 1], 1),
+    ("longest_streak_above_mean", {}, [1, 1, 1], 0),
+    # -- ratio_beyond_r_sigma (ref :982-1001) --
+    ("ratio_beyond_r_sigma", {"ratio": 1.0}, [0, 1] * 10 + [10, 20, -30], 3.0 / 23.0),
+    ("ratio_beyond_r_sigma", {"ratio": 2.0}, [0, 1] * 10 + [10, 20, -30], 2.0 / 23.0),
+    ("ratio_beyond_r_sigma", {"ratio": 3.0}, [0, 1] * 10 + [10, 20, -30], 1.0 / 23.0),
+    # -- ratio_n_unique_to_length (ref :1020-1038) --
+    ("ratio_n_unique_to_length", {}, [1, 1, 2, 3, 4], 0.8),
+    ("ratio_n_unique_to_length", {}, [1.0, 1.5, 2, 3], 1.0),
+    ("ratio_n_unique_to_length", {}, [1], 1.0),
+    ("ratio_n_unique_to_length", {}, [1.111, -2.45, 1.111, 2.45], 0.75),
+    # -- root_mean_square (ref :1055-1074) --
+    ("root_mean_square", {}, [1, 1, 1, 2, 2], 1.4832396974191326),
+    ("root_mean_square", {}, [1.0, 1.0, 1.0, 2.0, 2.0], 1.4832396974191326),
+    ("root_mean_square", {}, [0], 0.0),
+    ("root_mean_square", {}, [1], 1.0),
+    ("root_mean_square", {}, [-1], 1.0),
+    # -- mean_n_absolute_max (ref :1090-1112) --
+    ("mean_n_absolute_max", {"n_maxima": 10}, [12, 3], 7.5),
+    ("mean_n_absolute_max", {"n_maxima": 3}, [-1, -5, 4, 10], 6.333333),
+    ("mean_n_absolute_max", {"n_maxima": 2}, [0, -5, -9], 7.0),
+    ("mean_n_absolute_max", {"n_maxima": 1}, [0, 0, 0], 0.0),
+    # -- percent/sum reoccurring (ref :1122-1204) --
+    ("percent_reoccurring_values", {}, [1, 1, 2, 3, 4], 0.25),
+    ("percent_reoccurring_values", {}, [1.0, 1.5, 2, 3], 0.0),
+    ("percent_reoccurring_values", {}, [1], 0.0),
+    ("percent_reoccurring_values", {}, [1.111, -2.45, 1.111, 2.45], 1.0 / 3.0),
+    ("sum_reoccurring_points", {}, [1, 1, 2, 3, 4, 4], 10.0),
+    ("sum_reoccurring_points", {}, [1.0, 1.5, 2, 3], 0.0),
+    ("sum_reoccurring_points", {}, [1], 0.0),
+    ("sum_reoccurring_points", {}, [1.111, -2.45, 1.111, 2.45], 2.222),
+    ("sum_reoccurring_values", {}, [1, 1, 2, 3, 4, 4], 5.0),
+    ("sum_reoccurring_values", {}, [1.0, 1.5, 2, 3], 0.0),
+    ("sum_reoccurring_values", {}, [1], 0.0),
+    ("sum_reoccurring_values", {}, [1.111, -2.45, 1.111, 2.45], 1.111),
+    ("percent_reoccurring_points", {}, [1, 1, 2, 3, 4], 0.4),
+    ("percent_reoccurring_points", {}, [1.0, 1.5, 2, 3], 0.0),
+    ("percent_reoccurring_points", {}, [1], 0.0),
+    ("percent_reoccurring_points", {}, [1.111, -2.45, 1.111, 2.45], 0.5),
+    # -- number_peaks (ref :1207-1226) --
+    ("number_peaks", {"support": 1}, [0, 5, 2, 3, 0, 1, 2, 3, 4, 5, 4, 3, 2, 1], 3),
+    ("number_peaks", {"support": 2}, [0, 1, 2, 3, 0, 1, 2, 3, 4, 5, 4, 3, 2, 1], 2),
+    ("number_peaks", {"support": 3}, [0, 1, 2, 3, 0, 1, 2, 3, 4, 5, 4, 3, 2, 1], 2),
+    ("number_peaks", {"support": 4}, [0, 1, 2, 3, 0, 1, 2, 3, 4, 5, 4, 3, 2, 1], 1),
+    # -- mean_second_derivative_central (ref :1309-1329) --
+    ("mean_second_derivative_central", {}, list(range(10)), 0.0),
+    ("mean_second_derivative_central", {}, [1, 3, 5], 0.0),
+    ("mean_second_derivative_central", {}, [1, 3, 7, -3], -3.0),
+    # -- symmetry_looking (ref :1332-1349) --
+    ("symmetry_looking", {"ratio": 0.05}, [-1, -1, 1, 1], True),
+    ("symmetry_looking", {"ratio": 0.05}, [-2, -1, 0, 1, 1], False),
+    ("symmetry_looking", {"ratio": 0.1}, [-2, -1, 0, 1, 1], True),
+    # -- time_reversal_asymmetry_statistic (ref :1352-1356) --
+    ("time_reversal_asymmetry_statistic", {"n_lags": 0}, [1] * 10, 0.0),
+    ("time_reversal_asymmetry_statistic", {"n_lags": 1}, [1, 2, -3, 4], -10.0),
+    # -- longest_streak_above/below (ref :1446-1509) --
+    ("longest_streak_above", {"threshold": 0.0}, list(range(100)), 99),
+    ("longest_streak_above", {"threshold": 0.0}, [0, 0, 0, 0, -1, 2, -3, 1], 3),
+    ("longest_streak_above", {"threshold": 0.0}, list(range(100, 0, -1)), 0),
+    ("longest_streak_below", {"threshold": 0.0}, list(range(100)), 0),
+    ("longest_streak_below", {"threshold": 0.0}, [0, 0, 0, 0, -1, 2, -3, 1], 4),
+    ("longest_streak_below", {"threshold": 0.0}, list(range(100, 0, -1)), 99),
+    # -- max_abs_change (ref :1512-1531) --
+    ("max_abs_change", {}, list(range(100)), 1.0),
+    ("max_abs_change", {}, [0, -100, 1, 2, 3, 4, 5, 6, 7, 8, 9], 101.0),
+    ("max_abs_change", {}, [-50, -100, 200, 3, 9, 12], 300.0),
+    # -- range_over_mean / range_change (ref :1534-1566) --
+    ("range_over_mean", {}, [1, 1, 1, 1, 1], 0.0),
+    ("range_over_mean", {}, [1, 2, 3, 4, 5, 6, 7], 1.5),
+    ("range_over_mean", {}, [1], 0.0),
+    ("range_over_mean", {}, [0.1, 0.2, 0.8, 0.9], 1.6),
+    ("range_change", {"percentage": False}, [1, 1, 1, 1, 1], 0.0),
+    ("range_change", {"percentage": False}, [1, 2, 3, 4, 5, 6, 7], 6.0),
+    ("range_change", {"percentage": False}, [1], 0.0),
+    ("range_change", {"percentage": False}, [0.1, 0.2, 0.8, 0.9], 0.8),
+    ("range_change", {"percentage": True}, [1, 1, 1, 1, 1], 0.0),
+    ("range_change", {"percentage": True}, [1, 2, 3, 4, 5, 6, 7], 6.0),
+    ("range_change", {"percentage": True}, [1], 0.0),
+    ("range_change", {"percentage": True}, [0.1, 0.2, 0.8, 0.9], 0.8 / 0.1),
+    # -- number_crossings (ref :1569-1591) --
+    ("number_crossings", {"crossing_value": 0.0}, [10, -10, 10, -10], 3),
+    ("number_crossings", {"crossing_value": 10.0}, [10, -10, 10, -10], 0),
+    ("number_crossings", {"crossing_value": 0.0}, [10, 20, 20, 30], 0),
+    ("number_crossings", {"crossing_value": 15.0}, [10, 20, 20, 30], 1),
+    ("number_crossings", {"crossing_value": 10.0}, [-10.0, 10.1, -10, 10.1, -10], 4),
+    ("number_crossings", {"crossing_value": 10.5}, [10, 11, 12, 10, 11], 3),
+    # -- permutation_entropy (ref :1594-1623; base-2 pin scaled to nats) --
+    ("permutation_entropy", {"tau": 1, "n_dims": 3}, [4, 7, 9, 10, 6, 11, 3],
+     1.5219281 * math.log(2)),
+    ("permutation_entropy", {"tau": 1, "n_dims": 3}, list(range(10)), 0.0),
+    ("permutation_entropy", {"tau": 1, "n_dims": 3}, [10] * 10, 0.0),
+]
+
+# Fibonacci series for the benford pin (ref :893-895)
+_fib = [0, 1]
+for _i in range(2, 50):
+    _fib.append(_fib[_i - 1] + _fib[_i - 2])
+for _j, _case in enumerate(CASES):
+    if _case[0] == "benford_correlation" and _case[2] and _case[2][0] == 0:
+        CASES[_j] = (_case[0], _case[1], _fib, _case[3])
+
+
+def _combo_key(feature: str, params: dict) -> str:
+    tag = "_".join(f"{k}{v}" for k, v in sorted(params.items()))
+    return f"{feature}__{tag}" if tag else feature
+
+
+@pytest.fixture(scope="module")
+def golden(spark):
+    """One fused extract_features job over every case-entity."""
+    rows = []
+    for i, (_feat, _params, xs, _exp) in enumerate(CASES):
+        ent = f"case{i:03d}"
+        for t, v in enumerate(xs):
+            rows.append((ent, t, None if v is None else float(v)))
+    df = spark.createDataFrame(rows, "entity string, t int, x double")
+    combos = {}
+    for feat, params, _xs, _exp in CASES:
+        key = _combo_key(feat, params)
+        combos[key] = (FEATURES[feat][0], params)
+    out = extract_features(df, combos).collect()
+    return {r["entity"]: r.asDict() for r in out}
+
+
+def _assert_scalar(got, exp, label):
+    if exp is None:
+        assert got is None or (isinstance(got, float) and math.isnan(got)), label
+    elif isinstance(exp, bool):
+        assert got == exp, f"{label}: got {got!r}, want {exp!r}"
+    elif isinstance(exp, float) and math.isnan(exp):
+        assert got is None or (isinstance(got, float) and math.isnan(got)), (
+            f"{label}: got {got!r}, want NaN/undefined"
+        )
+    elif isinstance(exp, float) and math.isinf(exp):
+        # inf propagated through aggregates stays inf in Spark; inf
+        # PRODUCED by x/0 is NULL (non-ANSI division) where Polars
+        # yields ±inf — accept either as "unbounded/undefined"
+        assert got is None or (math.isinf(got) and (got > 0) == (exp > 0)), (
+            f"{label}: got {got!r}, want {exp!r}"
+        )
+    else:
+        assert got is not None, f"{label}: got None, want {exp!r}"
+        assert got == pytest.approx(exp, rel=2e-5, abs=1e-6), (
+            f"{label}: got {got!r}, want {exp!r}"
+        )
+
+
+@pytest.mark.parametrize(
+    "idx", range(len(CASES)), ids=[f"{c[0]}_{i}" for i, c in enumerate(CASES)]
+)
+def test_golden_native(golden, idx):
+    feat, params, _xs, exp = CASES[idx]
+    row = golden[f"case{idx:03d}"]
+    got = row[_combo_key(feat, params)]
+    if isinstance(exp, dict):
+        got_d = got.asDict() if got is not None else {}
+        for field, fexp in exp.items():
+            _assert_scalar(got_d.get(field), fexp, f"{feat}[{idx}].{field}")
+    else:
+        _assert_scalar(got, exp, f"{feat}[{idx}]")
+
+
+# --------------------------------------------------------------------------
+# UDF-tier kernels: pure numpy functions, pinned directly (no Spark).
+# Expected values from reference test_tsfresh.py :442-472, :1440-1443,
+# :1626-1656.
+# --------------------------------------------------------------------------
+
+
+def test_golden_approximate_entropy():
+    from functime_spark.functions.features_udf import approximate_entropy
+
+    pins = [
+        ([1], 0.0, 2, 0.5, False),
+        ([12, 13, 15, 16, 17] * 10, 0.282456191276673, 2, 0.9, True),
+        ([1.4, -1.3, 1.7, -1.2], 0.0566330122651324, 2, 0.5, False),
+        ([0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1], 0.002223871246127107, 2, 0.5, False),
+        ([0, 1, 0, 0, 1, 0, 1, 0, 0, 1, 1, 1, 1, 0, 0, 1], 0.47133806162842484, 2, 0.5, False),
+        ([85, 80, 89] * 17, 1.099654110658932e-05, 2, 3.0, False),
+        ([85, 80, 89] * 17, 0.0, 2, 3.0, True),
+    ]
+    for xs, exp, m, r, scale in pins:
+        got = approximate_entropy(
+            np.asarray(xs, dtype="float64"), run_length=m,
+            filtering_level=r, scale_by_std=scale,
+        )
+        assert got == pytest.approx(exp, rel=1e-9, abs=1e-12), (xs[:5], m, r, scale)
+
+
+def test_golden_sample_entropy():
+    from functime_spark.functions.features_udf import sample_entropy
+
+    pins = [
+        (list(range(100)), 0.010471299867295437),
+        (list(np.sin(2 * np.pi * np.arange(3000) / 100)), 0.16367903754688098),
+        ([1], NAN),
+    ]
+    for xs, exp in pins:
+        got = sample_entropy(np.asarray(xs, dtype="float64"))
+        if math.isnan(exp):
+            assert math.isnan(got)
+        else:
+            assert got == pytest.approx(exp, rel=1e-9, abs=1e-12)
+
+
+def test_golden_fourier_entropy():
+    from functime_spark.functions.features_udf import fourier_entropy
+
+    pins = [
+        (list(range(300)), 0.04539477814685819),
+        (list(np.sin(2 * np.pi * np.arange(300) / 100)), 0.09072899366212879),
+        ([1, 2], 0.0),
+        ([1], NAN),
+    ]
+    for xs, exp in pins:
+        got = fourier_entropy(np.asarray(xs, dtype="float64"))
+        if math.isnan(exp):
+            assert math.isnan(got)
+        else:
+            assert got == pytest.approx(exp, rel=1e-6, abs=1e-9), xs[:5]
+
+
+def test_golden_lempel_ziv():
+    from functime_spark.functions.features_udf import lempel_ziv_complexity
+
+    pins = [
+        ([1, 0, 0, 1, 1, 1, 1, 0, 1, 1, 0, 0, 0, 0, 1, 0], 8),
+        ([1, 0, 0, 1, 1, 1, 1, 0, 1, 1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 1, 0], 9),
+        ([1, 0, 0, 1, 1, 1, 1, 0, 1, 1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 1, 0, 1, 0], 10),
+    ]
+    for xs, exp in pins:
+        got = lempel_ziv_complexity(
+            np.asarray(xs, dtype="float64"), threshold=0.0, as_ratio=False
+        )
+        assert got == exp, xs

@@ -61,6 +61,8 @@ def main():
     n_pass = n_fail = n_rowsonly = 0
     failures = []
     for name, fn in queries.items():
+        if only and name not in only:
+            continue
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
