@@ -663,7 +663,11 @@ def operator_oracles() -> dict:
         "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
         "g0 AS (SELECT doc_id, list_distinct([array_to_string(ws[i:i+2], ' ') "
         "FOR i IN range(1, greatest(len(ws)-2, 1)+1)]) AS grams FROM w), "
-        "g AS (SELECT doc_id, unnest(grams) AS gm FROM g0), "
+        "g1 AS (SELECT doc_id, unnest(grams) AS gm FROM g0), "
+        # high-DF gram cutoff: drop grams in > max(2, 0.5*n_docs) docs
+        "hot AS (SELECT gm FROM g1 GROUP BY gm HAVING COUNT(*) > "
+        "GREATEST(2, CAST(FLOOR(0.5 * (SELECT COUNT(*) FROM documents)) AS INT))), "
+        "g AS (SELECT * FROM g1 WHERE gm NOT IN (SELECT gm FROM hot)), "
         "sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id), "
         "shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS sh "
         "FROM g a JOIN g b ON a.gm = b.gm AND a.doc_id < b.doc_id GROUP BY 1, 2) "

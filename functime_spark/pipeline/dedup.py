@@ -21,9 +21,14 @@ from pyspark.sql import functions as F
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the smallest id per distinct text; report copy counts."""
+    """Keep the smallest id per distinct text; report copy counts.
+
+    Groups by md5(text), not the text itself: the shuffle carries a
+    16-byte key instead of the full document (~100x smaller exchange
+    at corpus scale; collision probability is negligible at any
+    realistic corpus size)."""
     return (
-        docs.groupBy(text_col)
+        docs.groupBy(F.md5(F.col(text_col)).alias("__k"))
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
         .select(id_col, "n_copies")
     )
@@ -61,12 +66,34 @@ def minhash_signatures(
     )
 
 
+def _cap_buckets(banded: DataFrame, keys: list, max_bucket_size: int) -> DataFrame:
+    """Drop buckets larger than max_bucket_size before the self-join.
+
+    One pathological bucket (empty/boilerplate docs that all hash
+    identically) would otherwise emit O(b^2) candidate pairs and a
+    straggler task at corpus scale. Oversized buckets are dominated by
+    EXACT duplicates, which exact_dedup already catches with a linear
+    hash-aggregate — dropping them here loses only near-dups hiding
+    inside a crowd of exact dups. The count window shares the
+    self-join's hash partitioning, so the guard adds no extra
+    shuffle."""
+    w = Window.partitionBy(*keys)
+    return (
+        banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+
+
 def minhash_lsh_candidates(
-    sigs: DataFrame, id_col: str = "doc_id", bands: int = 8
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    max_bucket_size: int = 512,
 ) -> DataFrame:
     """Band the signature; docs sharing any band-hash are candidate
-    near-duplicate pairs (id_a < id_b)."""
-    n_hashes = None  # derived from the array at runtime
+    near-duplicate pairs (id_a < id_b). Buckets larger than
+    `max_bucket_size` are dropped (see _cap_buckets)."""
     sig = F.col("sig")
     r = F.floor(F.size(sig) / bands).cast("int")
     banded = sigs.select(
@@ -80,6 +107,7 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_hash"),
     )
+    banded = _cap_buckets(banded, ["band", "band_hash"], max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -130,15 +158,30 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.2,
+    max_df_frac: float = 0.5,
 ) -> DataFrame:
     """Exact n-gram Jaccard over co-shingled pairs (id_a < id_b).
 
     The gram-equi-join prunes pairs with zero overlap, so the shuffle
     carries only (gram, doc) postings — the classic
-    inverted-index-join formulation."""
+    inverted-index-join formulation.
+
+    Grams with document frequency above ``max_df_frac`` of the corpus
+    (stopword/boilerplate shingles) are dropped BEFORE the postings
+    join — a near-universal gram contributes ~n_docs^2 join rows while
+    carrying no discriminative signal. Jaccard is computed over the
+    surviving gram space (sizes recomputed post-filter), the standard
+    high-DF-cutoff semantics."""
     grams = docs.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("g")
     )
+    if max_df_frac is not None:
+        n_docs = docs.count()
+        df_cap = max(2, int(max_df_frac * n_docs))
+        dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+        grams = (
+            grams.join(dfreq.filter(F.col("__df") > df_cap), on="g", how="left_anti")
+        )
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = grams.select(F.col(id_col).alias("id_a"), "g")
     b = grams.select(F.col(id_col).alias("id_b"), "g")
@@ -186,9 +229,11 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     band_bits: int = 16,
+    max_bucket_size: int = 512,
 ) -> DataFrame:
     """Candidate pairs sharing any 16-bit simhash band, verified by
-    exact Hamming distance <= max_hamming."""
+    exact Hamming distance <= max_hamming. Buckets larger than
+    `max_bucket_size` are dropped (see _cap_buckets)."""
     sigs = simhash(docs, text_col, id_col)
     n_bands = 64 // band_bits
     banded = sigs.select(
@@ -205,6 +250,7 @@ def simhash_near_dups(
             )
         ).alias("band", "band_val"),
     )
+    banded = _cap_buckets(banded, ["band", "band_val"], max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

@@ -56,6 +56,39 @@ def test_ngram_jaccard_exact(spark):
     assert pairs == {(1, 2): pytest.approx(0.5)}
 
 
+def test_lsh_bucket_cap_bounds_skew(spark):
+    """A 10k-copy document (the pathological hot bucket) must not go
+    quadratic: with the bucket-size cap its buckets are dropped, the
+    candidate count stays bounded, and genuine near-dup pairs among
+    the distinct docs are still found. Exact duplicates remain
+    exact_dedup's job (linear hash-aggregate)."""
+    from functime_spark.pipeline.dedup import (
+        exact_dedup,
+        minhash_dedup,
+        simhash_near_dups,
+    )
+
+    boiler = " ".join(f"tpl{i % 7}" for i in range(40))
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" for i in range(59)) + " zzz"
+    rows = [(i, boiler) for i in range(10_000)]
+    rows += [(10_000, base), (10_001, near)]
+    rows += [(10_002 + j, " ".join(f"u{j}_{i}" for i in range(40))) for j in range(20)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = minhash_dedup(d, threshold=0.5).collect()
+    keys = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (10_000, 10_001) in keys
+    # bounded: no quadratic blowup from the 10k-copy bucket
+    assert len(pairs) < 1_000
+
+    sh = simhash_near_dups(d.filter(F.col("doc_id") >= 9_990), max_hamming=2)
+    assert sh.count() < 1_000
+
+    ex = {r["doc_id"]: r["n_copies"] for r in exact_dedup(d).collect()}
+    assert ex[0] == 10_000  # the crowd is still caught, linearly
+
+
 def test_simhash_identical_distance_zero(spark):
     from functime_spark.pipeline.dedup import simhash_near_dups
 
