@@ -347,6 +347,19 @@ def q_future_calendar(spark, sf_dir):
     return out.orderBy("user_id", "ts")
 
 
+def q_future_holidays(spark, sf_dir):
+    """US + DE holiday columns over a 400-day future index (ref
+    calendar.py:56-152) from the vendored calendars — the span covers
+    every fixed, nth-weekday, and Easter-computus rule, each replayed
+    independently in the DuckDB oracle."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.seasonality import make_future_holiday_effects
+
+    df = events_panel(spark, sf_dir)
+    out = make_future_holiday_effects(df, ["US", "DE"], fh=400, freq="1d")
+    return out.orderBy("user_id", "ts")
+
+
 def q_stream_resample(spark, sf_dir):
     """Watermark-compatible windowed resample (batch/stream symmetric
     code path from functime_spark.streaming)."""
@@ -825,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stream_resample": q_stream_resample,
             "stream_sliding_stats": q_stream_sliding_stats,
             "future_calendar": q_future_calendar,
+            "future_holidays": q_future_holidays,
             "forecast_zero_inflated": q_forecast_zero_inflated,
             "forecast_knn": q_forecast_knn,
             "forecast_knn_direct": q_forecast_knn_direct,

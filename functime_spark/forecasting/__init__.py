@@ -28,5 +28,9 @@ from functime_spark.forecasting.automl import (  # noqa: F401
     auto_lightgbm,
     auto_linear_model,
     auto_ridge,
+    elastic_net_cv,
+    flaml_lightgbm,
+    lasso_cv,
+    ridge_cv,
 )
 from functime_spark.forecasting.elite import elite  # noqa: F401

@@ -160,3 +160,76 @@ class auto_lightgbm(_auto_base):
             {"max_iter": 10, "max_depth": 3},
             {"max_iter": 20, "max_depth": 5},
         ]
+
+
+class _fixed_lag_cv(_auto_base):
+    """Regularization-only CV at a FIXED lag count — the analog of the
+    reference's sklearn *CV regressors (linear.py:10-203: LassoCV /
+    RidgeCV / ElasticNetCV choose alpha internally; lags are a user
+    parameter there, not searched)."""
+
+    def __init__(
+        self,
+        freq: str,
+        lags: int = 3,
+        test_size: int = 4,
+        n_splits: int = 2,
+        target_transform=None,
+        **family_kwargs,
+    ):
+        super().__init__(
+            freq=freq,
+            min_lags=lags,
+            max_lags=lags,
+            test_size=test_size,
+            n_splits=n_splits,
+            target_transform=target_transform,
+            **family_kwargs,
+        )
+
+    def _init_kwargs(self) -> dict:
+        return {
+            "freq": self.freq,
+            "lags": self.min_lags,
+            "test_size": self.test_size,
+            "n_splits": self.n_splits,
+            **self.family_kwargs,
+        }
+
+
+class lasso_cv(_fixed_lag_cv):
+    """Ref forecasting/linear.py:161-178 (LassoCV)."""
+
+    _family = lasso
+
+    def _space(self) -> list:
+        return [{"alpha": a} for a in (0.01, 0.1, 1.0)]
+
+
+class ridge_cv(_fixed_lag_cv):
+    """Ref forecasting/linear.py (RidgeCV)."""
+
+    _family = ridge
+
+    def _space(self) -> list:
+        return [{"alpha": a} for a in (0.01, 0.1, 1.0)]
+
+
+class elastic_net_cv(_fixed_lag_cv):
+    """Ref forecasting/linear.py (ElasticNetCV)."""
+
+    _family = elastic_net
+
+    def _space(self) -> list:
+        return [
+            {"alpha": a, "l1_ratio": r}
+            for a in (0.1, 1.0)
+            for r in (0.25, 0.75)
+        ]
+
+
+class flaml_lightgbm(auto_lightgbm):
+    """Ref forecasting/lightgbm.py:80-137: FLAML-tuned LightGBM.
+    FLAML/LightGBM are absent in this environment; the deterministic
+    grid-CV over the GBT backbone covers the same contract (searchable
+    boosted-tree forecaster behind the reference's export name)."""

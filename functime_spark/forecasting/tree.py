@@ -220,35 +220,55 @@ class random_forest_model(gradient_boosted_model):
     _algo = "rf"
 
 
-def _native_or_mllib(native_probe: str):
-    """Class factory: native lib if importable, else MLlib GBT."""
+class xgboost(gradient_boosted_model):
+    """Ref xgboost.py:36-77. Uses the NATIVE distributed integration
+    `xgboost.spark.SparkXGBRegressor` when the package is importable
+    (its fitted model also emits a `prediction` column, so the
+    recursive/direct predict paths are backend-agnostic); MLlib GBT
+    fallback otherwise. Param mapping: n_estimators←max_iter,
+    learning_rate←step_size, max_depth←max_depth."""
 
-    class _model(gradient_boosted_model):
-        _native = native_probe
+    def _native_params(self) -> dict:
+        return {
+            "features_col": "__features",
+            "label_col": self.state["panel"].target,
+            "n_estimators": self.max_iter,
+            "max_depth": self.max_depth,
+            "learning_rate": self.step_size,
+        }
 
-        def _fit(self, y: DataFrame, X: DataFrame | None = None):
-            try:  # pragma: no cover - native libs absent in this env
-                __import__(self._native)
-            except ImportError:
-                pass
-            # Native distributed integrations (xgboost.spark, SynapseML
-            # lightgbm) would slot in here; the MLlib GBT backbone is
-            # used whenever the package is unavailable.
-            super()._fit(y, X)
-
-    return _model
-
-
-class lightgbm(_native_or_mllib("lightgbm")):
-    """Ref lightgbm.py:51-137; MLlib GBT fallback (num_iterations→
-    maxIter, learning_rate→stepSize, max_depth bound)."""
-
-
-class xgboost(_native_or_mllib("xgboost")):
-    """Ref xgboost.py:36-77; `xgboost.spark.SparkXGBRegressor` when
-    installed, MLlib GBT fallback otherwise."""
+    def _regressor(self):
+        try:  # pragma: no cover - package absent in this container
+            from xgboost.spark import SparkXGBRegressor
+        except ImportError:
+            return super()._regressor()
+        return SparkXGBRegressor(**self._native_params())  # pragma: no cover
 
 
-class catboost(_native_or_mllib("catboost")):
+class lightgbm(gradient_boosted_model):
+    """Ref lightgbm.py:51-137. Uses SynapseML's distributed
+    `LightGBMRegressor` when importable (transform is
+    prediction-column compatible); MLlib GBT fallback otherwise.
+    Param mapping: numIterations←max_iter, learningRate←step_size,
+    maxDepth←max_depth."""
+
+    def _native_params(self) -> dict:
+        return {
+            "featuresCol": "__features",
+            "labelCol": self.state["panel"].target,
+            "numIterations": self.max_iter,
+            "learningRate": self.step_size,
+            "maxDepth": self.max_depth,
+        }
+
+    def _regressor(self):
+        try:  # pragma: no cover - package absent in this container
+            from synapse.ml.lightgbm import LightGBMRegressor
+        except ImportError:
+            return super()._regressor()
+        return LightGBMRegressor(**self._native_params())  # pragma: no cover
+
+
+class catboost(gradient_boosted_model):
     """Ref catboost.py:28-69; single-node CatBoost has no distributed
-    story — MLlib GBT fallback."""
+    story — MLlib GBT backbone (documented)."""

@@ -1,0 +1,91 @@
+"""Minimal vendored holiday calendars (US federal, DE national).
+
+The reference's add_holiday_effects (calendar.py:56-113) builds its
+holiday table from the `holidays` PyPI package, which is not installed
+in this environment. These generators reproduce the same (date, name)
+rows for two common country codes from first principles — fixed-date
+rules, nth-weekday rules, and the standard Anonymous Gregorian
+computus for Easter-based holidays — so the operator is runnable and
+gate-testable here. When the `holidays` package IS importable it is
+preferred (full country coverage); this module is the fallback.
+
+Names are normalized the same way the operator normalizes package
+output: lowercase, spaces->underscores, apostrophes stripped.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+
+def _easter(year: int) -> _dt.date:
+    """Anonymous Gregorian computus (public algorithm)."""
+    a = year % 19
+    b, c = divmod(year, 100)
+    d, e = divmod(b, 4)
+    f = (b + 8) // 25
+    g = (b - f + 1) // 3
+    h = (19 * a + b - d - g + 15) % 30
+    i, k = divmod(c, 4)
+    l = (32 + 2 * e + 2 * i - h - k) % 7
+    m = (a + 11 * h + 22 * l) // 451
+    month, day = divmod(h + l - 7 * m + 114, 31)
+    return _dt.date(year, month, day + 1)
+
+
+def _nth_weekday(year: int, month: int, weekday: int, n: int) -> _dt.date:
+    """n-th (1-based) `weekday` (Mon=0) of a month; n=-1 for last."""
+    if n > 0:
+        first = _dt.date(year, month, 1)
+        off = (weekday - first.weekday()) % 7
+        return first + _dt.timedelta(days=off + 7 * (n - 1))
+    nxt = _dt.date(year + (month == 12), month % 12 + 1, 1)
+    last = nxt - _dt.timedelta(days=1)
+    off = (last.weekday() - weekday) % 7
+    return last - _dt.timedelta(days=off)
+
+
+def _us(year: int) -> list:
+    e = []
+    e.append((_dt.date(year, 1, 1), "new_years_day"))
+    e.append((_nth_weekday(year, 1, 0, 3), "martin_luther_king_jr._day"))
+    e.append((_nth_weekday(year, 2, 0, 3), "washingtons_birthday"))
+    e.append((_nth_weekday(year, 5, 0, -1), "memorial_day"))
+    if year >= 2021:
+        e.append((_dt.date(year, 6, 19), "juneteenth_national_independence_day"))
+    e.append((_dt.date(year, 7, 4), "independence_day"))
+    e.append((_nth_weekday(year, 9, 0, 1), "labor_day"))
+    e.append((_nth_weekday(year, 10, 0, 2), "columbus_day"))
+    e.append((_dt.date(year, 11, 11), "veterans_day"))
+    e.append((_nth_weekday(year, 11, 3, 4), "thanksgiving"))
+    e.append((_dt.date(year, 12, 25), "christmas_day"))
+    return e
+
+
+def _de(year: int) -> list:
+    easter = _easter(year)
+    d = _dt.timedelta
+    return [
+        (_dt.date(year, 1, 1), "neujahr"),
+        (easter - d(2), "karfreitag"),
+        (easter + d(1), "ostermontag"),
+        (_dt.date(year, 5, 1), "erster_mai"),
+        (easter + d(39), "christi_himmelfahrt"),
+        (easter + d(50), "pfingstmontag"),
+        (_dt.date(year, 10, 3), "tag_der_deutschen_einheit"),
+        (_dt.date(year, 12, 25), "erster_weihnachtstag"),
+        (_dt.date(year, 12, 26), "zweiter_weihnachtstag"),
+    ]
+
+
+_COUNTRIES = {"US": _us, "DE": _de}
+
+
+def vendored_holidays(country_code: str, years) -> list:
+    """[(date, normalized_name)] for the given years, or raise KeyError
+    for an unvendored country."""
+    gen = _COUNTRIES[country_code.upper()]
+    out = []
+    for y in years:
+        out.extend(gen(y))
+    return out

@@ -101,33 +101,38 @@ def add_holiday_effects(
     """Attach holiday-name columns per country via a driver-generated
     broadcast table. Ref calendar.py:56-113.
 
-    Requires the `holidays` package; if unavailable the transformer
-    raises ImportError (the container ships without it — plumbing is
-    real, the table source is pluggable)."""
-    try:
+    The table source is pluggable: the `holidays` package when
+    importable (full country coverage), else the vendored US/DE
+    calendars (holidays_vendored.py) so the operator is runnable —
+    and oracle-gated — in environments without the package."""
+    try:  # pragma: no cover - package absent in this container
         import holidays as _holidays
-    except ImportError as exc:  # pragma: no cover
-        raise ImportError(
-            "the `holidays` package is required for add_holiday_effects"
-        ) from exc
+    except ImportError:
+        _holidays = None
 
-    p = panel_cols(df)
+    from functime_spark.operators.holidays_vendored import vendored_holidays
+
+    # (entity, time) suffices — future frames carry no value column
+    entity_col, time_col = df.columns[:2]
     spark = df.sparkSession
     years_row = df.agg(
-        F.min(F.year(p.time)).alias("lo"), F.max(F.year(p.time)).alias("hi")
+        F.min(F.year(time_col)).alias("lo"), F.max(F.year(time_col)).alias("hi")
     ).first()
     years = list(range(years_row["lo"], years_row["hi"] + 1))
     out = df
     for code in country_codes:
-        cal = _holidays.country_holidays(code, years=years)
-        rows = [
-            (d, name.lower().replace(" ", "_").replace("'", ""))
-            for d, name in cal.items()
-        ]
+        if _holidays is not None:  # pragma: no cover
+            cal = _holidays.country_holidays(code, years=years)
+            rows = [
+                (d, name.lower().replace(" ", "_").replace("'", ""))
+                for d, name in cal.items()
+            ]
+        else:
+            rows = vendored_holidays(code, years)
         col = f"holiday__{code.lower()}"
         tbl = spark.createDataFrame(rows, schema=f"__hdate date, {col} string")
         out = out.join(
-            F.broadcast(tbl), on=F.to_date(F.col(p.time)) == F.col("__hdate"), how="left"
+            F.broadcast(tbl), on=F.to_date(F.col(time_col)) == F.col("__hdate"), how="left"
         ).drop("__hdate")
     if as_dummies:
         from functime_spark.operators.preprocessing import one_hot_encode

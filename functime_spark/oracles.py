@@ -775,6 +775,67 @@ def operator_oracles() -> dict:
         "ORDER BY 1, 2, 4, 3"
     )
 
+    # future_holidays: rebuild BOTH vendored calendars in pure SQL —
+    # fixed dates, nth-weekday rules (isodow arithmetic), and the
+    # Anonymous Gregorian computus for the DE Easter-based holidays —
+    # over the replayed 400-day future index.
+    _computus = (
+        "easter AS (SELECT y, make_date(y, CAST((h + l - 7*m + 114) // 31 AS INT), "
+        "CAST((h + l - 7*m + 114) % 31 + 1 AS INT)) AS e FROM ("
+        "SELECT y, a, b, c, d, ee, f, g, h, i, k, "
+        "(32 + 2*ee + 2*i - h - k) % 7 AS l, "
+        "(a + 11*h + 22*((32 + 2*ee + 2*i - h - k) % 7)) // 451 AS m FROM ("
+        "SELECT y, y % 19 AS a, y // 100 AS b, y % 100 AS c, "
+        "(y // 100) // 4 AS d, (y // 100) % 4 AS ee, ((y // 100) + 8) // 25 AS f, "
+        "((y // 100) - ((y // 100) + 8) // 25 + 1) // 3 AS g, "
+        "(19*(y % 19) + (y // 100) - (y // 100) // 4 "
+        "- ((y // 100) - ((y // 100) + 8) // 25 + 1) // 3 + 15) % 30 AS h, "
+        "(y % 100) // 4 AS i, (y % 100) % 4 AS k FROM yrs)))"
+    )
+    _us_rules = (
+        "SELECT make_date(y,1,1) AS d, 'new_years_day' AS nm FROM yrs "
+        "UNION ALL SELECT make_date(y,1,1) + to_days(CAST((8 - isodow(make_date(y,1,1))) % 7 + 14 AS INT)), "
+        "'martin_luther_king_jr._day' FROM yrs "
+        "UNION ALL SELECT make_date(y,2,1) + to_days(CAST((8 - isodow(make_date(y,2,1))) % 7 + 14 AS INT)), "
+        "'washingtons_birthday' FROM yrs "
+        "UNION ALL SELECT make_date(y,5,31) - to_days(CAST((isodow(make_date(y,5,31)) - 1) % 7 AS INT)), "
+        "'memorial_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,6,19), 'juneteenth_national_independence_day' "
+        "FROM yrs WHERE y >= 2021 "
+        "UNION ALL SELECT make_date(y,7,4), 'independence_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,9,1) + to_days(CAST((8 - isodow(make_date(y,9,1))) % 7 AS INT)), "
+        "'labor_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,10,1) + to_days(CAST((8 - isodow(make_date(y,10,1))) % 7 + 7 AS INT)), "
+        "'columbus_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,11,11), 'veterans_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,11,1) + to_days(CAST((11 - isodow(make_date(y,11,1))) % 7 + 21 AS INT)), "
+        "'thanksgiving' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'christmas_day' FROM yrs"
+    )
+    _de_rules = (
+        "SELECT make_date(y,1,1) AS d, 'neujahr' AS nm FROM yrs "
+        "UNION ALL SELECT e - to_days(2), 'karfreitag' FROM easter "
+        "UNION ALL SELECT e + to_days(1), 'ostermontag' FROM easter "
+        "UNION ALL SELECT make_date(y,5,1), 'erster_mai' FROM yrs "
+        "UNION ALL SELECT e + to_days(39), 'christi_himmelfahrt' FROM easter "
+        "UNION ALL SELECT e + to_days(50), 'pfingstmontag' FROM easter "
+        "UNION ALL SELECT make_date(y,10,3), 'tag_der_deutschen_einheit' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'erster_weihnachtstag' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,26), 'zweiter_weihnachtstag' FROM yrs"
+    )
+    o["future_holidays"] = (
+        "WITH c AS (SELECT user_id, MAX(ts) AS low FROM events GROUP BY user_id), "
+        "fut AS (SELECT c.user_id, c.low + i * INTERVAL '1 day' AS ts "
+        "FROM c, generate_series(1, 400) AS g(i)), "
+        "yrs AS (SELECT DISTINCT year(ts) AS y FROM fut), "
+        f"{_computus}, "
+        f"us AS ({_us_rules}), de AS ({_de_rules}) "
+        "SELECT f.user_id, f.ts, us.nm AS holiday__us, de.nm AS holiday__de "
+        "FROM fut f LEFT JOIN us ON CAST(f.ts AS DATE) = us.d "
+        "LEFT JOIN de ON CAST(f.ts AS DATE) = de.d "
+        "ORDER BY user_id, ts"
+    )
+
     o["preproc_roll"] = (
         "SELECT user_id, ts, "
         + ", ".join(

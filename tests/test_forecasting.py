@@ -1,6 +1,8 @@
 """Forecasters: shape contracts, semantics vs hand-rolled numpy, and
 backtest/conformal plumbing (mirrors reference tests/test_forecasting.py)."""
 
+import importlib.util
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -281,6 +283,65 @@ def test_auto_linear_picks_a_config(spark):
     assert fc.best_params_["lags"] in (2, 4, 6)
     pred = fc.predict(3).toPandas()
     assert len(pred) == 9
+
+
+def test_cv_named_exports_fit(spark):
+    """lasso_cv / ridge_cv / elastic_net_cv / flaml_lightgbm are
+    importable from the package root (ref forecasting/__init__.py
+    surface) and fit-predict end to end."""
+    from functime_spark.forecasting import (
+        elastic_net_cv,
+        flaml_lightgbm,
+        lasso_cv,
+        ridge_cv,
+    )
+
+    rng = np.random.RandomState(1)
+    rows = []
+    for e in range(2):
+        x = [5.0, 6.0]
+        for t in range(1, 41):
+            x.append(0.7 * x[-1] + 0.2 * x[-2] + rng.randn() * 0.1)
+            rows.append((f"e{e}", t, x[-1]))
+    y = spark.createDataFrame(rows, "entity string, t long, y double")
+
+    for cls in (lasso_cv, ridge_cv, elastic_net_cv):
+        fc = cls(freq="1i", lags=3, test_size=3, n_splits=2).fit(y)
+        assert "alpha" in fc.best_params_
+        assert fc.predict(2).count() == 4
+    fc = flaml_lightgbm(freq="1i", min_lags=3, max_lags=3, test_size=3, n_splits=2).fit(y)
+    assert fc.predict(2).count() == 4
+
+
+def test_native_tree_param_mapping(spark, events):
+    """The native-integration param maps are exercised without the
+    packages: values must mirror the MLlib config they replace."""
+    from functime_spark.forecasting.tree import lightgbm, xgboost
+    from functime_spark.panel import panel_cols
+
+    fc = xgboost(freq="1h", lags=4, max_iter=7, max_depth=3, step_size=0.2)
+    fc.state["panel"] = panel_cols(events)
+    p = fc._native_params()
+    assert p["n_estimators"] == 7 and p["max_depth"] == 3
+    assert p["learning_rate"] == 0.2 and p["label_col"] == "value"
+
+    fc = lightgbm(freq="1h", lags=4, max_iter=9, max_depth=4, step_size=0.05)
+    fc.state["panel"] = panel_cols(events)
+    p = fc._native_params()
+    assert p["numIterations"] == 9 and p["maxDepth"] == 4
+    assert p["learningRate"] == 0.05 and p["labelCol"] == "value"
+
+
+@pytest.mark.skipif(
+    importlib.util.find_spec("xgboost") is None, reason="xgboost not installed"
+)
+def test_native_xgboost_path(spark, events):  # pragma: no cover
+    """Live only where xgboost.spark is installed: the native path
+    must fit and predict through the shared recursion machinery."""
+    from functime_spark.forecasting.tree import xgboost
+
+    fc = xgboost(freq="1h", lags=4, max_iter=5).fit(events)
+    assert fc.predict(2).count() > 0
 
 
 def test_linear_model_with_exogenous(spark):
