@@ -659,6 +659,23 @@ def operator_oracles() -> dict:
         + " AS ttr FROM t ORDER BY doc_id"
     )
 
+    # text_fingerprint: the polynomial codepoint fold replayed with
+    # list_reduce over each 16-char substring (unnested to rows).
+    _POLY = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "[CAST(ascii(c) AS BIGINT) FOR c IN string_split({s}, '')]), "
+        "(a, b) -> (a * 131 + b) % 2147483647)"
+    )
+    o["text_fingerprint"] = (
+        "WITH subs AS (SELECT doc_id, text, unnest([substr(text, i, 16) "
+        "FOR i IN range(1, greatest(length(text) - 15, 1) + 1)]) AS sub "
+        "FROM documents), "
+        f"h AS (SELECT doc_id, {_POLY.format(s='sub')} AS hh FROM subs), "
+        "mm AS (SELECT doc_id, MIN(hh) AS fp_min, MAX(hh) AS fp_max FROM h GROUP BY doc_id) "
+        f"SELECT d.doc_id, mm.fp_min, mm.fp_max, {_POLY.format(s='d.text')} AS fp_full "
+        "FROM documents d JOIN mm USING (doc_id) ORDER BY doc_id"
+    )
+
     o["dedup_ngram_jaccard"] = (
         "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
         "g0 AS (SELECT doc_id, list_distinct([array_to_string(ws[i:i+2], ' ') "
@@ -979,6 +996,127 @@ def operator_oracles() -> dict:
         "SELECT user_id, low + s.step * INTERVAL '1 hour' AS ts, "
         + _r("CASE s.step WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3 ELSE p4 END")
         + " AS value FROM p4, (VALUES (1),(2),(3),(4)) AS s(step) ORDER BY 1, 2"
+    )
+
+    # forecast_conformal_linear: ENBPI over the AR(2) forecaster.
+    # Each expanding split refits OLS on its truncated panel (Cramer's
+    # rule per split, GROUP BY s), recursion unrolls 4 steps from the
+    # split's last two train values; residual = actual - pred; the
+    # full-fit future forecast reuses the same machinery over all rows
+    # (cutoff 0 pseudo-split, excluded from residuals).
+    _cram = (
+        "(a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13) + a13*(a12*a23 - a22*a13)) AS det, "
+        "(b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3) + a13*(b2*a23 - a22*b3)) AS d1, "
+        "(a11*(b2*a33 - a23*b3) - b1*(a12*a33 - a23*a13) + a13*(a12*b3 - b2*a13)) AS d2, "
+        "(a11*(a22*b3 - b2*a23) - a12*(a12*b3 - b2*a13) + b1*(a12*a23 - a22*a13)) AS d3 "
+    )
+    o["forecast_conformal_linear"] = (
+        "WITH t0 AS (SELECT user_id, ts, value AS y, "
+        "lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2, "
+        "row_number() OVER w - 1 AS i, "
+        f"COUNT(*) OVER (PARTITION BY user_id) AS n FROM events {_W}), "
+        "splits(s, cutoff) AS (VALUES (0, 5), (1, 4), (2, 0)), "
+        "tr AS (SELECT t0.*, s.s FROM t0, splits s "
+        "WHERE t0.i >= 2 AND t0.i < t0.n - s.cutoff), "
+        "a AS (SELECT s, sum(l1*l1) AS a11, sum(l1*l2) AS a12, sum(l1) AS a13, "
+        "sum(l2*l2) AS a22, sum(l2) AS a23, CAST(count(*) AS DOUBLE) AS a33, "
+        "sum(l1*y) AS b1, sum(l2*y) AS b2, sum(y) AS b3 FROM tr GROUP BY s), "
+        f"sf AS (SELECT s, {_cram} FROM a), "
+        "w AS (SELECT s, d1/det AS w1, d2/det AS w2, d3/det AS b FROM sf), "
+        "st AS (SELECT t0.user_id, sp.s, sp.cutoff, "
+        "MAX(CASE WHEN t0.i = t0.n - sp.cutoff - 1 THEN t0.y END) AS yT, "
+        "MAX(CASE WHEN t0.i = t0.n - sp.cutoff - 2 THEN t0.y END) AS yT1, "
+        "MAX(CASE WHEN t0.i = t0.n - sp.cutoff - 1 THEN t0.ts END) AS low "
+        "FROM t0, splits sp GROUP BY 1, 2, 3), "
+        "p1 AS (SELECT st.*, w.w1*st.yT + w.w2*st.yT1 + w.b AS p1 "
+        "FROM st JOIN w USING (s)), "
+        "p2 AS (SELECT p1.*, w.w1*p1.p1 + w.w2*p1.yT + w.b AS p2 "
+        "FROM p1 JOIN w USING (s)), "
+        "p3 AS (SELECT p2.*, w.w1*p2.p2 + w.w2*p2.p1 + w.b AS p3 "
+        "FROM p2 JOIN w USING (s)), "
+        "p4 AS (SELECT p3.*, w.w1*p3.p3 + w.w2*p3.p2 + w.b AS p4 "
+        "FROM p3 JOIN w USING (s)), "
+        "bt AS (SELECT t0.user_id, t0.ts, t0.y AS actual, "
+        "CASE t0.i - (t0.n - p4.cutoff) + 1 WHEN 1 THEN p4.p1 WHEN 2 THEN p4.p2 "
+        "WHEN 3 THEN p4.p3 ELSE p4.p4 END AS pred "
+        "FROM t0 JOIN p4 ON t0.user_id = p4.user_id AND p4.s < 2 "
+        "AND t0.i >= t0.n - p4.cutoff AND t0.i < t0.n - p4.cutoff + 4), "
+        "qs AS (SELECT user_id, quantile_cont(actual - pred, 0.1) AS qlo, "
+        "quantile_cont(actual - pred, 0.9) AS qhi FROM bt GROUP BY user_id), "
+        "pts AS (SELECT user_id, low + k * INTERVAL '1 hour' AS ts, "
+        "CASE k WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3 ELSE p4 END AS v "
+        "FROM p4, generate_series(1, 4) AS g(k) WHERE s = 2 "
+        "UNION ALL SELECT user_id, ts, pred AS v FROM bt) "
+        f"SELECT p.user_id, p.ts, {_r('p.v + q.qlo')} AS value, "
+        "CAST(10 AS INTEGER) AS quantile FROM pts p JOIN qs q USING (user_id) "
+        "UNION ALL "
+        f"SELECT p.user_id, p.ts, {_r('p.v + q.qhi')} AS value, "
+        "CAST(90 AS INTEGER) AS quantile FROM pts p JOIN qs q USING (user_id) "
+        "ORDER BY 1, 2, 4, 3"
+    )
+
+    # feat_udf_entropy_pair: approximate/sample entropy (m=2) from
+    # first principles — per-entity self-joins counting window pairs
+    # within Chebyshev radius r (r = 0.2*std_samp for ApEn incl. self,
+    # 0.2*std_pop for SampEn excl. self, matching the kernels).
+    o["feat_udf_entropy_pair"] = (
+        f"WITH q AS (SELECT user_id, CAST(value AS DOUBLE) AS x, "
+        "lead(value, 1) OVER w AS x1, lead(value, 2) OVER w AS x2, "
+        "row_number() OVER w - 1 AS i, "
+        f"COUNT(*) OVER (PARTITION BY user_id) AS n FROM events {_W}), "
+        "r AS (SELECT user_id, 0.2*stddev_samp(value) AS ra, "
+        "0.2*stddev_pop(value) AS rs FROM events GROUP BY user_id), "
+        "m2 AS (SELECT * FROM q WHERE i <= n - 2), "
+        "m3 AS (SELECT * FROM q WHERE i <= n - 3), "
+        "c2 AS (SELECT a.user_id, a.i, a.n, COUNT(*) AS c FROM m2 a "
+        "JOIN m2 b ON a.user_id = b.user_id JOIN r ON r.user_id = a.user_id "
+        "WHERE greatest(abs(a.x - b.x), abs(a.x1 - b.x1)) <= r.ra GROUP BY 1, 2, 3), "
+        "c3 AS (SELECT a.user_id, a.i, a.n, COUNT(*) AS c FROM m3 a "
+        "JOIN m3 b ON a.user_id = b.user_id JOIN r ON r.user_id = a.user_id "
+        "WHERE greatest(abs(a.x - b.x), abs(a.x1 - b.x1), abs(a.x2 - b.x2)) <= r.ra "
+        "GROUP BY 1, 2, 3), "
+        "phi AS (SELECT c2.user_id, "
+        "(SELECT AVG(ln(c / CAST(n - 1 AS DOUBLE))) FROM c2 x WHERE x.user_id = c2.user_id) AS p2, "
+        "(SELECT AVG(ln(c / CAST(n - 2 AS DOUBLE))) FROM c3 x WHERE x.user_id = c2.user_id) AS p3 "
+        "FROM c2 GROUP BY c2.user_id), "
+        "s2 AS (SELECT a.user_id, COUNT(*) AS b FROM m2 a "
+        "JOIN m2 b ON a.user_id = b.user_id AND a.i <> b.i "
+        "JOIN r ON r.user_id = a.user_id "
+        "WHERE greatest(abs(a.x - b.x), abs(a.x1 - b.x1)) <= r.rs GROUP BY 1), "
+        "s3 AS (SELECT a.user_id, COUNT(*) AS a FROM m3 a "
+        "JOIN m3 b ON a.user_id = b.user_id AND a.i <> b.i "
+        "JOIN r ON r.user_id = a.user_id "
+        "WHERE greatest(abs(a.x - b.x), abs(a.x1 - b.x1), abs(a.x2 - b.x2)) <= r.rs "
+        "GROUP BY 1) "
+        f"SELECT phi.user_id, {_r('abs(phi.p2 - phi.p3)')} AS approximate_entropy, "
+        # undefined (no matching pairs) -> NULL: the kernel's NaN
+        # arrives as null through the Arrow batch boundary
+        + _r(
+            "CASE WHEN s2.b > 0 AND s3.a > 0 THEN ln(s2.b / CAST(s3.a AS DOUBLE)) "
+            "ELSE NULL END"
+        )
+        + " AS sample_entropy FROM phi "
+        "LEFT JOIN s2 ON phi.user_id = s2.user_id "
+        "LEFT JOIN s3 ON phi.user_id = s3.user_id ORDER BY phi.user_id"
+    )
+
+    # feat_udf_ar2: per-entity AR(2) OLS via Cramer's rule.
+    o["feat_udf_ar2"] = (
+        "WITH t0 AS (SELECT user_id, CAST(value AS DOUBLE) AS y, "
+        "lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2, "
+        f"row_number() OVER w - 1 AS i FROM events {_W}), "
+        "a AS (SELECT user_id, sum(l1*l1) AS a11, sum(l1*l2) AS a12, sum(l1) AS a13, "
+        "sum(l2*l2) AS a22, sum(l2) AS a23, CAST(count(*) AS DOUBLE) AS a33, "
+        "sum(l1*y) AS b1, sum(l2*y) AS b2, sum(y) AS b3 "
+        "FROM t0 WHERE i >= 2 GROUP BY user_id), "
+        "s AS (SELECT user_id, "
+        "(a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13) + a13*(a12*a23 - a22*a13)) AS det, "
+        "(b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3) + a13*(b2*a23 - a22*b3)) AS d1, "
+        "(a11*(b2*a33 - a23*b3) - b1*(a12*a33 - a23*a13) + a13*(a12*b3 - b2*a13)) AS d2, "
+        "(a11*(a22*b3 - b2*a23) - a12*(a12*b3 - b2*a13) + b1*(a12*a23 - a22*a13)) AS d3 "
+        "FROM a) "
+        f"SELECT user_id, {_r('d1/det')} AS ar_w1, {_r('d2/det')} AS ar_w2, "
+        f"{_r('d3/det')} AS ar_b FROM s ORDER BY user_id"
     )
 
     # forecast_knn (recursive): each step rescans the SAME l1..l8

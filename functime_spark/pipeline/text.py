@@ -113,14 +113,31 @@ def fingerprint(
 ) -> DataFrame:
     """Winnowing-style document fingerprint: min/max of the rolling
     hash over all `window`-char substrings (order-robust identity for
-    near-exact matching)."""
+    near-exact matching).
+
+    The hash is a polynomial codepoint fold mod 2^31-1 — pure native
+    arithmetic (whole-stage codegen, engine-portable, value-verified
+    against a DuckDB replay). 31 bits of space is ample for winnowing
+    identity; swap in xxhash64 if a larger space is ever needed."""
+
+    def poly_hash(scol):
+        codes = F.transform(
+            F.filter(F.split(scol, ""), lambda ch: ch != F.lit("")),
+            lambda ch: F.ascii(ch).cast("long"),
+        )
+        return F.aggregate(
+            codes,
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * 131 + x) % F.lit(2147483647),
+        )
+
     t = F.col(text_col)
     n = F.length(t)
     starts = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
-    hashes = F.transform(starts, lambda i: F.xxhash64(F.substring(t, i, window)))
+    hashes = F.transform(starts, lambda i: poly_hash(F.substring(t, i, window)))
     return docs.select(
         F.col(id_col),
         F.array_min(hashes).alias("fp_min"),
         F.array_max(hashes).alias("fp_max"),
-        F.xxhash64(t).alias("fp_full"),
+        poly_hash(t).alias("fp_full"),
     )
