@@ -49,12 +49,16 @@ def make_reduction(y: DataFrame, lags: int, X: DataFrame | None = None) -> DataF
 
 
 def make_y_lag(y: DataFrame, max_lag: int) -> DataFrame:
-    """Per-entity ascending array of the last `max_lag` target values.
+    """(entity, __buf, low): per-entity ascending array of the last
+    `max_lag` target values + the series cutoff (max time).
 
     The recursion state (ref make_y_lag _reduction.py:66-77). One
     hash aggregate: collect (time, value) structs, sort in-expression,
     slice the tail — no window pass building an O(n) list per ROW
     (the previous formulation churned n lists per entity and kept 1).
+    `low` rides in the SAME aggregate so predict's future-range
+    generation reads the persisted n_entities-row state instead of
+    re-scanning and re-aggregating the full panel.
     """
     p = panel_cols(y)
     sorted_vals = F.transform(
@@ -66,7 +70,9 @@ def make_y_lag(y: DataFrame, max_lag: int) -> DataFrame:
     tail = F.when(
         F.size(sorted_vals) <= max_lag, sorted_vals
     ).otherwise(F.slice(sorted_vals, -max_lag, max_lag))
-    return y.groupBy(p.entity).agg(tail.alias("__buf"))
+    return y.groupBy(p.entity).agg(
+        tail.alias("__buf"), F.max(p.time).alias("low")
+    )
 
 
 def stack_buffers(bufs, lags: int) -> np.ndarray:

@@ -73,6 +73,13 @@ class Forecaster(SparkStatePickleMixin):
     def _fit(self, y: DataFrame, X: DataFrame | None = None):  # pragma: no cover
         raise NotImplementedError
 
+    def _cutoffs_from_y_lag(self) -> None:
+        """Serve cutoffs from the persisted recursion state (make_y_lag
+        carries `low`) so predict's future ranges read n_entities
+        cached rows instead of re-aggregating the full panel."""
+        yl = self.state["y_lag"]
+        self.state["cutoffs"] = yl.select(yl.columns[0], "low")
+
     # -- evaluation --------------------------------------------------
     def backtest(
         self,

@@ -113,6 +113,7 @@ class censored_model(Forecaster):
             self.state["direct_blends"] = blends
             design.unpersist()
         self.state["y_lag"] = make_y_lag(y, self.lags).persist()
+        self._cutoffs_from_y_lag()
 
     @staticmethod
     def _apply_blend(feats, blend, thr):

@@ -122,6 +122,7 @@ class knn(Forecaster):
     def _fit(self, y: DataFrame, X: DataFrame | None = None):
         self.state["train"] = self._collect_train(y, X)
         self.state["y_lag"] = make_y_lag(y, self.lags).persist()
+        self._cutoffs_from_y_lag()
 
     def _predict_values(self, fh: int, X: DataFrame | None = None) -> DataFrame:
         from functime_spark.forecasting._ar import mean_ensemble
@@ -255,6 +256,7 @@ class ann(knn):
         bounds = np.searchsorted(assign[order], np.arange(len(cents) + 1))
         self.state["train"] = (feats[order], targs[order], cents, bounds)
         self.state["y_lag"] = make_y_lag(y, self.lags).persist()
+        self._cutoffs_from_y_lag()
 
     def _predict_values(self, fh: int, X: DataFrame | None = None) -> DataFrame:
         # re-pack broadcast payload for the IVF step function

@@ -96,6 +96,7 @@ class linear_model(Forecaster):
             design.unpersist()
         max_buf = self.lags + (self.max_horizons or 1) - 1
         self.state["y_lag"] = make_y_lag(y, max(self.lags, max_buf)).persist()
+        self._cutoffs_from_y_lag()
 
     def _predict_values(self, fh: int, X: DataFrame | None = None) -> DataFrame:
         from functime_spark.forecasting._ar import attach_future_x

@@ -19,9 +19,13 @@ class naive(Forecaster):
 
     def _fit(self, y: DataFrame, X: DataFrame | None = None):
         p = self.state["panel"]
+        # cutoff rides in the same aggregate: predict's future ranges
+        # read this n_entities-row frame, not a second full-panel agg
         self.state["y_last"] = y.groupBy(p.entity).agg(
-            F.max_by(p.target, p.time).alias("__last")
+            F.max_by(p.target, p.time).alias("__last"),
+            F.max(p.time).alias("low"),
         )
+        self.state["cutoffs"] = self.state["y_last"].select(p.entity, "low")
 
     def _predict_values(self, fh: int, X: DataFrame | None = None) -> DataFrame:
         p = self.state["panel"]
@@ -54,7 +58,10 @@ class snaive(Forecaster):
         tail = F.when(
             F.size(sorted_vals) <= self.sp, sorted_vals
         ).otherwise(F.slice(sorted_vals, -self.sp, self.sp))
-        self.state["y_tail"] = y.groupBy(p.entity).agg(tail.alias("__tail"))
+        self.state["y_tail"] = y.groupBy(p.entity).agg(
+            tail.alias("__tail"), F.max(p.time).alias("low")
+        )
+        self.state["cutoffs"] = self.state["y_tail"].select(p.entity, "low")
 
     def _predict_values(self, fh: int, X: DataFrame | None = None) -> DataFrame:
         p = self.state["panel"]

@@ -121,6 +121,7 @@ class gradient_boosted_model(Forecaster):
             self.state["direct_models"] = models
             design.unpersist()
         self.state["y_lag"] = make_y_lag(y, self.lags).persist()
+        self._cutoffs_from_y_lag()
 
     def _predict_values(self, fh: int, X: DataFrame | None = None) -> DataFrame:
         from functime_spark.forecasting._ar import mean_ensemble
