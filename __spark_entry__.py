@@ -514,22 +514,30 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash+LSH near-dup pipeline — rows-only (xxhash64 signatures
-    have no DuckDB twin)."""
+    """MinHash+LSH near-dup pipeline, run with the md5 hash variant so
+    the 60-bit signatures, band buckets, and est-jaccard verify are all
+    byte-exactly replayed by the DuckDB oracle (production default
+    stays xxhash64)."""
     _ensure_nanos_conf(spark)
     from functime_spark.pipeline.dedup import minhash_dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    return _round_floats(minhash_dedup(docs, threshold=0.3)).orderBy("id_a", "id_b")
+    return _round_floats(
+        minhash_dedup(docs, threshold=0.3, hash_fn="md5")
+    ).orderBy("id_a", "id_b")
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash banded near-dup candidates — rows-only."""
+    """SimHash banded near-dups, md5 hash variant — per-bit votes,
+    band buckets, and Hamming verify replayed exactly in the oracle."""
     _ensure_nanos_conf(spark)
     from functime_spark.pipeline.dedup import simhash_near_dups
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_dups(docs, max_hamming=12).orderBy("id_a", "id_b")
+    out = simhash_near_dups(docs, max_hamming=12, hash_fn="md5")
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("id_a", "id_b")
 
 
 def q_dedup_embedding(spark, sf_dir):

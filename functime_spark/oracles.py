@@ -694,6 +694,68 @@ def operator_oracles() -> dict:
         "WHERE sh/CAST(na.n + nb.n - sh AS DOUBLE) >= 0.1 ORDER BY id_a, id_b"
     )
 
+    # dedup_minhash / dedup_simhash: the gate queries run the md5 hash
+    # variant (dedup._hash64), whose 60-bit bigints — first 15 hex chars
+    # of md5('{seed}:' || s) — are byte-exactly reproducible here, so the
+    # full signature → band-bucket → verify pipelines are value-checked.
+    def _h64(s: str, seed=None) -> str:
+        inner = s if seed is None else f"'{seed}:' || {s}"
+        return f"('0x' || substr(md5({inner}), 1, 15))::BIGINT"
+
+    _N_HASH, _BANDS, _R_ROWS = 32, 8, 4
+    sig_exprs = ", ".join(
+        f"list_min([{_h64('gm', i)} FOR gm IN grams]) AS h{i}"
+        for i in range(_N_HASH)
+    )
+    sig_list = "[" + ", ".join(f"h{i}" for i in range(_N_HASH)) + "]"
+    band_payload = (
+        f"array_to_string(sig[(band*{_R_ROWS}+1):(band*{_R_ROWS}+{_R_ROWS})], ',')"
+    )
+    o["dedup_minhash"] = (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+        "g AS (SELECT doc_id, list_distinct([array_to_string(ws[i:i+2], ' ') "
+        "FOR i IN range(1, greatest(len(ws)-2, 1)+1)]) AS grams FROM w), "
+        f"s0 AS (SELECT doc_id, {sig_exprs} FROM g), "
+        f"sig AS (SELECT doc_id, {sig_list} AS sig FROM s0), "
+        f"banded AS (SELECT doc_id, t.band, {_h64(band_payload)} AS band_hash "
+        f"FROM sig, (SELECT unnest(range(0, {_BANDS})) AS band) t), "
+        "capped AS (SELECT * FROM (SELECT *, COUNT(*) OVER (PARTITION BY band, band_hash) AS bsz "
+        "FROM banded) WHERE bsz <= 512), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM capped a "
+        "JOIN capped b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id), "
+        "est AS (SELECT id_a, id_b, "
+        f"len(list_filter(range(1, {_N_HASH}+1), k -> sa.sig[k] = sb.sig[k])) / {_N_HASH}.0 AS ej "
+        "FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id) "
+        f"SELECT id_a, id_b, {_r('ej')} AS est_jaccard FROM est "
+        "WHERE ej >= 0.3 ORDER BY id_a, id_b"
+    )
+
+    # simhash: md5 hashes are < 2^60, so bits 60..63 never win the vote
+    # and only bits 0..59 can contribute to the signature.
+    vote_exprs = ", ".join(
+        f"SUM(((h >> {i}) & 1) * 2 - 1) AS b{i}" for i in range(60)
+    )
+    sig_sum = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END"
+        for i in range(60)
+    )
+    o["dedup_simhash"] = (
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), "
+        f"h AS (SELECT doc_id, {_h64('tok')} AS h FROM toks), "
+        f"votes AS (SELECT doc_id, {vote_exprs} FROM h GROUP BY doc_id), "
+        f"sig AS (SELECT doc_id, {sig_sum} AS simhash FROM votes), "
+        "banded AS (SELECT doc_id, simhash, t.band, "
+        "(simhash >> (t.band * 16)) & 65535 AS band_val "
+        "FROM sig, (SELECT unnest(range(0, 4)) AS band) t), "
+        "capped AS (SELECT * FROM (SELECT *, COUNT(*) OVER (PARTITION BY band, band_val) AS bsz "
+        "FROM banded) WHERE bsz <= 512), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming "
+        "FROM capped a JOIN capped b ON a.band = b.band AND a.band_val = b.band_val "
+        "AND a.doc_id < b.doc_id) "
+        "SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 12 ORDER BY id_a, id_b"
+    )
+
     from functime_spark.pipeline.text import LANG_LEXICONS
 
     def _lex_sql(lang: str) -> str:

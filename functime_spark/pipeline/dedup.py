@@ -34,6 +34,24 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def _hash64(col, seed=None, hash_fn: str = "xxhash64"):
+    """64-bit hash of a string column.
+
+    ``xxhash64`` (default): Spark's JVM-native xxHash — the fast path
+    for production corpora. ``md5``: a 60-bit bigint from the first 15
+    hex chars of md5(seed || ':' || s) — slower (crypto hash) but
+    byte-exactly replayable in any engine with md5(), which is how the
+    DuckDB correctness oracles value-verify the MinHash/SimHash
+    pipelines end-to-end."""
+    if hash_fn == "xxhash64":
+        args = ([F.lit(seed)] if seed is not None else []) + [col]
+        return F.xxhash64(*args)
+    if hash_fn != "md5":
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    s = col if seed is None else F.concat_ws(":", F.lit(str(seed)), col)
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
 def shingles(text_col, n: int = 3):
     """Word n-gram array (distinct) from a text column."""
     words = F.split(text_col, r"\s+")
@@ -50,14 +68,15 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_hashes: int = 32,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig array<bigint>): k permutation-free min-hashes, where
-    hash_i(s) = xxhash64(i, s). One explode + one grouped aggregate."""
+    hash_i(s) = hash64(i, s). One explode + one grouped aggregate."""
     exploded = docs.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh")
     )
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"h{i}")
+        F.min(_hash64(F.col("__sh"), seed=i, hash_fn=hash_fn)).alias(f"h{i}")
         for i in range(n_hashes)
     ]
     sig = exploded.groupBy(id_col).agg(*aggs)
@@ -90,6 +109,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     bands: int = 8,
     max_bucket_size: int = 512,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Band the signature; docs sharing any band-hash are candidate
     near-duplicate pairs (id_a < id_b). Buckets larger than
@@ -101,9 +121,12 @@ def minhash_lsh_candidates(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(F.concat_ws(",", F.transform(
-                    F.slice(sig, b * r + 1, r), lambda v: v.cast("string")
-                ))),
+                lambda b: _hash64(
+                    F.concat_ws(",", F.transform(
+                        F.slice(sig, b * r + 1, r), lambda v: v.cast("string")
+                    )),
+                    hash_fn=hash_fn,
+                ),
             )
         ).alias("band", "band_hash"),
     )
@@ -132,11 +155,12 @@ def minhash_dedup(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures → banded
     candidates → signature-similarity verify → (id_a, id_b, est_jaccard)."""
-    sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_n)
-    cands = minhash_lsh_candidates(sigs, id_col, bands)
+    sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_n, hash_fn)
+    cands = minhash_lsh_candidates(sigs, id_col, bands, hash_fn=hash_fn)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.size(
@@ -202,14 +226,20 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash: per-token xxhash64, per-bit majority vote.
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """64-bit SimHash: per-token 64-bit hash, per-bit majority vote.
 
     One explode + one aggregate of `bits` native sums — no UDF."""
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("__tok"),
-    ).withColumn("__h", F.xxhash64("__tok"))
+    ).withColumn("__h", _hash64(F.col("__tok"), hash_fn=hash_fn))
     votes = [
         F.sum(
             (F.shiftright("__h", i).bitwiseAND(F.lit(1)) * 2 - 1)
@@ -230,11 +260,12 @@ def simhash_near_dups(
     max_hamming: int = 8,
     band_bits: int = 16,
     max_bucket_size: int = 512,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate pairs sharing any 16-bit simhash band, verified by
     exact Hamming distance <= max_hamming. Buckets larger than
     `max_bucket_size` are dropped (see _cap_buckets)."""
-    sigs = simhash(docs, text_col, id_col)
+    sigs = simhash(docs, text_col, id_col, hash_fn=hash_fn)
     n_bands = 64 // band_bits
     banded = sigs.select(
         F.col(id_col),
