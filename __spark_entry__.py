@@ -385,12 +385,28 @@ def q_stream_sliding_stats(spark, sf_dir):
 
 def q_forecast_zero_inflated(spark, sf_dir):
     """Censored/zero-inflated forecaster (MLlib logistic gate x linear
-    regressors, one-pass Arrow recursion) — rows-only check."""
+    regressor, one-pass Arrow recursion) on a genuinely zero-inflated
+    target (greatest(value - 50, 0) — ~63% zeros). lags=2 + exact-MLE
+    classifier config so the DuckDB oracle can replay the WHOLE fit:
+    logistic via Newton-IRLS in a recursive CTE, above-regime OLS via
+    Cramer 3x3, and the 4-step sigmoid-blend recursion unrolled."""
     _ensure_nanos_conf(spark)
     from functime_spark.forecasting.censored import zero_inflated_model
 
-    df = events_panel(spark, sf_dir)
-    fc = zero_inflated_model(freq="1h", lags=8).fit(df)
+    df = events_panel(spark, sf_dir).withColumn(
+        "value", F.greatest(F.col("value") - 50, F.lit(0.0))
+    )
+    fc = zero_inflated_model(
+        freq="1h",
+        lags=2,
+        clf_params={
+            "regParam": 0.0,
+            "standardization": False,
+            "tol": 1e-12,
+            "maxIter": 200,
+            "polish_newton": 2,
+        },
+    ).fit(df)
     return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
 
 

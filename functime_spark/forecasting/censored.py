@@ -32,22 +32,69 @@ from functime_spark.forecasting._ar import LinearBackend, make_reduction, make_y
 from functime_spark.forecasting.base import Forecaster
 
 
-def _fit_logistic(design: DataFrame, feature_cols: list, label_col: str):
-    """Distributed logistic fit -> (coef, intercept) numpy arrays."""
+def _fit_logistic(
+    design: DataFrame,
+    feature_cols: list,
+    label_col: str,
+    clf_params: dict | None = None,
+):
+    """Distributed logistic fit -> (coef, intercept) numpy arrays.
+
+    `clf_params` overrides the MLlib LogisticRegression config. The
+    default (regParam=1e-6) is the robust production choice; the
+    correctness gate passes regParam=0, standardization=False,
+    tol=1e-12 so the optimum is the exact MLE — which the DuckDB
+    oracle recomputes independently via Newton-IRLS in a recursive
+    CTE and matches to ~1e-10."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
 
     assembled = VectorAssembler(
         inputCols=feature_cols, outputCol="__features", handleInvalid="skip"
     ).transform(design)
+    params = {"regParam": 1e-6, **(clf_params or {})}
+    polish = int(params.pop("polish_newton", 0))
     lr = LogisticRegression(
-        featuresCol="__features", labelCol=label_col, regParam=1e-6
+        featuresCol="__features", labelCol=label_col, **params
     )
     model = lr.fit(assembled)
-    return (
-        np.asarray(model.coefficients.toArray(), dtype="float64"),
-        float(model.intercept),
-    )
+    coef = np.asarray(model.coefficients.toArray(), dtype="float64")
+    intercept = float(model.intercept)
+    for _ in range(polish):
+        coef, intercept = _newton_step(design, feature_cols, label_col, coef, intercept)
+    return coef, intercept
+
+
+def _newton_step(design, feature_cols, label_col, coef, intercept):
+    """One exact Newton step on the UNregularized logistic loss:
+    gradient X'(p-y) and Hessian X'WX accumulated as native Spark
+    aggregates (one pass, map-side combined), (k+1)x(k+1) solve on the
+    driver. L-BFGS stops at its tolerance (~1e-10 coefficient error);
+    two polish steps land on the exact MLE to machine precision, which
+    is what lets the DuckDB oracle replay the fit value-for-value."""
+    cols = [F.col(c).cast("double") for c in feature_cols] + [F.lit(1.0)]
+    z = F.lit(float(intercept))
+    for w, c in zip(coef, cols):
+        z = z + F.lit(float(w)) * c
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    resid = p - F.col(label_col).cast("double")
+    wvar = p * (F.lit(1.0) - p)
+    k = len(cols)
+    aggs = [F.sum(resid * cols[i]).alias(f"g{i}") for i in range(k)]
+    aggs += [
+        F.sum(wvar * cols[i] * cols[j]).alias(f"h{i}_{j}")
+        for i in range(k)
+        for j in range(i, k)
+    ]
+    row = design.agg(*aggs).first()
+    g = np.array([row[f"g{i}"] for i in range(k)])
+    H = np.zeros((k, k))
+    for i in range(k):
+        for j in range(i, k):
+            H[i, j] = H[j, i] = row[f"h{i}_{j}"]
+    step = np.linalg.solve(H, g)
+    new = np.concatenate([coef, [intercept]]) - step
+    return new[:-1], float(new[-1])
 
 
 class censored_model(Forecaster):
@@ -61,11 +108,13 @@ class censored_model(Forecaster):
         strategy: str = "recursive",
         max_horizons: int | None = None,
         target_transform=None,
+        clf_params: dict | None = None,
     ):
         super().__init__(freq=freq, lags=lags, target_transform=target_transform)
         self.threshold = threshold
         self.strategy = strategy
         self.max_horizons = max_horizons
+        self.clf_params = clf_params
         if strategy in ("direct", "ensemble") and max_horizons is None:
             raise ValueError("direct/ensemble strategy requires max_horizons")
 
@@ -76,6 +125,7 @@ class censored_model(Forecaster):
             "threshold": self.threshold,
             "strategy": self.strategy,
             "max_horizons": self.max_horizons,
+            "clf_params": self.clf_params,
         }
 
     def _fit_blend(self, design: DataFrame, feature_cols: list, target: str):
@@ -84,7 +134,7 @@ class censored_model(Forecaster):
         labeled = design.withColumn(
             "__above", (F.col(target) > F.lit(thr)).cast("double")
         )
-        clf = _fit_logistic(labeled, feature_cols, "__above")
+        clf = _fit_logistic(labeled, feature_cols, "__above", self.clf_params)
         backend = LinearBackend()
         above = design.filter(F.col(target) > F.lit(thr))
         reg_above = backend.fit(above, feature_cols, target)
@@ -192,6 +242,7 @@ class zero_inflated_model(censored_model):
         strategy: str = "recursive",
         max_horizons: int | None = None,
         target_transform=None,
+        clf_params: dict | None = None,
     ):
         super().__init__(
             freq=freq,
@@ -200,6 +251,7 @@ class zero_inflated_model(censored_model):
             strategy=strategy,
             max_horizons=max_horizons,
             target_transform=target_transform,
+            clf_params=clf_params,
         )
 
     def _init_kwargs(self) -> dict:
@@ -208,4 +260,5 @@ class zero_inflated_model(censored_model):
             "lags": self.lags,
             "strategy": self.strategy,
             "max_horizons": self.max_horizons,
+            "clf_params": self.clf_params,
         }

@@ -1117,6 +1117,73 @@ def operator_oracles() -> dict:
         "ORDER BY 1, 2, 4, 3"
     )
 
+    # forecast_zero_inflated: the full censored fit replayed — the
+    # exact-MLE logistic gate (regParam=0 on the Spark side) recomputed
+    # by Newton-IRLS inside a recursive CTE (12 Newton steps, each one
+    # aggregate pass over the lag design + a Cramer 3x3 solve; matches
+    # L-BFGS at tol=1e-12 to ~1e-10), the above-regime OLS via Cramer,
+    # and the 4-step recursion yhat = sigmoid(wc.f) * (wa.f) unrolled
+    # with the blended prediction shifting into the lag buffer.
+    _zi_y = "GREATEST(value - 50, 0)"
+    _newton = (
+        "SELECT it.k, it.w1, it.w2, it.b, tr.l1, tr.l2, "
+        "CASE WHEN tr.y > 0 THEN 1.0 ELSE 0.0 END AS lab, "
+        "1/(1 + exp(-(it.w1*tr.l1 + it.w2*tr.l2 + it.b))) AS pp "
+        "FROM it, tr WHERE it.k < 12"
+    )
+    _hagg = (
+        "SELECT k, w1, w2, b, "
+        "SUM((pp - lab)*l1) AS g1, SUM((pp - lab)*l2) AS g2, SUM(pp - lab) AS g3, "
+        "SUM(pp*(1-pp)*l1*l1) AS h11, SUM(pp*(1-pp)*l1*l2) AS h12, "
+        "SUM(pp*(1-pp)*l1) AS h13, SUM(pp*(1-pp)*l2*l2) AS h22, "
+        "SUM(pp*(1-pp)*l2) AS h23, SUM(pp*(1-pp)) AS h33 "
+        f"FROM ({_newton}) rr GROUP BY 1, 2, 3, 4"
+    )
+    _cram3 = (
+        "(g1*(h22*h33 - h23*h23) - h12*(g2*h33 - h23*g3) + h13*(g2*h23 - h22*g3)) AS d1, "
+        "(h11*(g2*h33 - h23*g3) - g1*(h12*h33 - h23*h13) + h13*(h12*g3 - g2*h13)) AS d2, "
+        "(h11*(h22*g3 - g2*h23) - h12*(h12*g3 - g2*h13) + g1*(h12*h23 - h22*h13)) AS d3, "
+        "(h11*(h22*h33 - h23*h23) - h12*(h12*h33 - h23*h13) + h13*(h12*h23 - h22*h13)) AS det"
+    )
+    _zi_prob = "1/(1 + exp(-(c.w1*{f1} + c.w2*{f2} + c.b)))"
+    _zi_pred = f"({_zi_prob}) * (a.w1*{{f1}} + a.w2*{{f2}} + a.b)"
+    o["forecast_zero_inflated"] = (
+        "WITH RECURSIVE "
+        f"t0 AS (SELECT user_id, ts, {_zi_y} AS y, "
+        f"lag({_zi_y}, 1) OVER w AS l1, lag({_zi_y}, 2) OVER w AS l2, "
+        f"row_number() OVER w - 1 AS i FROM events {_W}), "
+        "tr AS (SELECT * FROM t0 WHERE i >= 2), "
+        "it AS (SELECT 0 AS k, CAST(0 AS DOUBLE) AS w1, "
+        "CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS b "
+        "UNION ALL SELECT k + 1, w1 - d1/det, w2 - d2/det, b - d3/det "
+        f"FROM (SELECT k, w1, w2, b, {_cram3} FROM ({_hagg}) hh) ss), "
+        "c AS (SELECT w1, w2, b FROM it ORDER BY k DESC LIMIT 1), "
+        "aa AS (SELECT sum(l1*l1) AS a11, sum(l1*l2) AS a12, sum(l1) AS a13, "
+        "sum(l2*l2) AS a22, sum(l2) AS a23, CAST(count(*) AS DOUBLE) AS a33, "
+        "sum(l1*y) AS b1, sum(l2*y) AS b2, sum(y) AS b3 FROM tr WHERE y > 0), "
+        "sv AS (SELECT "
+        "(a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13) + a13*(a12*a23 - a22*a13)) AS det, "
+        "(b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3) + a13*(b2*a23 - a22*b3)) AS d1, "
+        "(a11*(b2*a33 - a23*b3) - b1*(a12*a33 - a23*a13) + a13*(a12*b3 - b2*a13)) AS d2, "
+        "(a11*(a22*b3 - b2*a23) - a12*(a12*b3 - b2*a13) + b1*(a12*a23 - a22*a13)) AS d3 "
+        "FROM aa), "
+        "a AS (SELECT d1/det AS w1, d2/det AS w2, d3/det AS b FROM sv), "
+        "q AS (SELECT user_id, MAX(ts) AS low, "
+        f"max_by({_zi_y}, ts) AS yT, list({_zi_y} ORDER BY ts DESC)[2] AS yT1 "
+        "FROM events GROUP BY user_id), "
+        f"p1 AS (SELECT q.user_id, q.low, q.yT, "
+        f"{_zi_pred.format(f1='q.yT', f2='q.yT1')} AS p1 FROM q, c, a), "
+        f"p2 AS (SELECT p1.*, {_zi_pred.format(f1='p1.p1', f2='p1.yT')} AS p2 "
+        "FROM p1, c, a), "
+        f"p3 AS (SELECT p2.*, {_zi_pred.format(f1='p2.p2', f2='p2.p1')} AS p3 "
+        "FROM p2, c, a), "
+        f"p4 AS (SELECT p3.*, {_zi_pred.format(f1='p3.p3', f2='p3.p2')} AS p4 "
+        "FROM p3, c, a) "
+        "SELECT user_id, low + s.step * INTERVAL '1 hour' AS ts, "
+        + _r("CASE s.step WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3 ELSE p4 END")
+        + " AS value FROM p4, (VALUES (1),(2),(3),(4)) AS s(step) ORDER BY 1, 2"
+    )
+
     # feat_udf_entropy_pair: approximate/sample entropy (m=2) from
     # first principles — per-entity self-joins counting window pairs
     # within Chebyshev radius r (r = 0.2*std_samp for ApEn incl. self,
