@@ -410,6 +410,20 @@ def q_forecast_zero_inflated(spark, sf_dir):
     return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
 
 
+def q_forecast_stumps(spark, sf_dir):
+    """Exact-greedy depth-1 boosted stumps (4 rounds, lr=0.5, lags=2).
+    Unlike binned GBTs, every split is the exact SSE argmax over
+    distinct feature values, so the DuckDB oracle replays the entire
+    greedy selection (per-value residual aggregates + window cumsums,
+    4 unrolled boosting rounds) and the recursion value-for-value."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.tree import boosted_stumps
+
+    df = events_panel(spark, sf_dir)
+    fc = boosted_stumps(freq="1h", lags=2, n_iter=4, learning_rate=0.5).fit(df)
+    return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
+
+
 def q_forecast_knn(spark, sf_dir):
     """Recursive kNN over the broadcast lag matrix (oracle: four
     chained top-k scans, prediction shifted into the query vector)."""
@@ -957,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "future_calendar": q_future_calendar,
             "future_holidays": q_future_holidays,
             "forecast_zero_inflated": q_forecast_zero_inflated,
+            "forecast_stumps": q_forecast_stumps,
             "forecast_knn": q_forecast_knn,
             "forecast_knn_direct": q_forecast_knn_direct,
             "forecast_gbt": q_forecast_gbt,

@@ -1184,6 +1184,75 @@ def operator_oracles() -> dict:
         + " AS value FROM p4, (VALUES (1),(2),(3),(4)) AS s(step) ORDER BY 1, 2"
     )
 
+    # forecast_stumps: the exact-greedy depth-1 booster replayed — per
+    # boosting round, residuals against the stumps-so-far aggregate per
+    # distinct feature value, window cumsums give left/right sufficient
+    # stats, and the SSE argmax (gain DESC, feat ASC, v ASC) is the
+    # identical greedy pick; the 4-step recursion is unrolled with the
+    # stump ensemble re-evaluated on the shifting lag buffer.
+    _ST_M, _ST_LR = 4, 0.5
+
+    def _stump_f(m: int, f1: str = "l1", f2: str = "l2") -> str:
+        """Ensemble prediction expr after m stumps."""
+        e = "f0.f0"
+        for i in range(1, m + 1):
+            e += (
+                f" + CASE WHEN b{i}.feat = 1 THEN "
+                f"CASE WHEN {f1} <= b{i}.v THEN b{i}.dl ELSE b{i}.dr END "
+                f"ELSE CASE WHEN {f2} <= b{i}.v THEN b{i}.dl ELSE b{i}.dr END END"
+            )
+        return e
+
+    _st_iter = []
+    for m in range(1, _ST_M + 1):
+        prior = "".join(f", b{i}" for i in range(1, m))
+        _st_iter.append(
+            f"r{m} AS (SELECT l1, l2, y - ({_stump_f(m - 1)}) AS r "
+            f"FROM tr, f0{prior})"
+        )
+        for j in (1, 2):
+            _st_iter.append(
+                f"a{m}f{j} AS (SELECT l{j} AS v, SUM(r) AS s, COUNT(*) AS c "
+                f"FROM r{m} GROUP BY 1)"
+            )
+            _st_iter.append(
+                f"s{m}f{j} AS (SELECT {j} AS feat, v, "
+                "SUM(s) OVER wv AS sl, SUM(c) OVER wv AS cl, "
+                "SUM(s) OVER () AS st, SUM(c) OVER () AS ct "
+                f"FROM a{m}f{j} WINDOW wv AS (ORDER BY v "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
+            )
+        _st_iter.append(
+            f"b{m} AS (SELECT feat, v, {_ST_LR} * sl/cl AS dl, "
+            f"{_ST_LR} * (st-sl)/(ct-cl) AS dr "
+            f"FROM (SELECT * FROM s{m}f1 UNION ALL SELECT * FROM s{m}f2) u "
+            "WHERE ct > cl "
+            "ORDER BY sl*sl/cl + (st-sl)*(st-sl)/(ct-cl) DESC, feat ASC, v ASC "
+            "LIMIT 1)"
+        )
+    _st_all_b = "".join(f", b{i}" for i in range(1, _ST_M + 1))
+    o["forecast_stumps"] = (
+        "WITH t0 AS (SELECT user_id, value AS y, "
+        "lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2, "
+        f"row_number() OVER w - 1 AS i FROM events {_W}), "
+        "tr AS (SELECT * FROM t0 WHERE i >= 2), "
+        "f0 AS (SELECT AVG(y) AS f0 FROM tr), "
+        + ", ".join(_st_iter)
+        + ", q AS (SELECT user_id, MAX(ts) AS low, max_by(value, ts) AS yT, "
+        "list(value ORDER BY ts DESC)[2] AS yT1 FROM events GROUP BY user_id), "
+        f"p1 AS (SELECT q.user_id, q.low, q.yT, "
+        f"{_stump_f(_ST_M, 'q.yT', 'q.yT1')} AS p1 FROM q, f0{_st_all_b}), "
+        f"p2 AS (SELECT p1.*, {_stump_f(_ST_M, 'p1.p1', 'p1.yT')} AS p2 "
+        f"FROM p1, f0{_st_all_b}), "
+        f"p3 AS (SELECT p2.*, {_stump_f(_ST_M, 'p2.p2', 'p2.p1')} AS p3 "
+        f"FROM p2, f0{_st_all_b}), "
+        f"p4 AS (SELECT p3.*, {_stump_f(_ST_M, 'p3.p3', 'p3.p2')} AS p4 "
+        f"FROM p3, f0{_st_all_b}) "
+        "SELECT user_id, low + s.step * INTERVAL '1 hour' AS ts, "
+        + _r("CASE s.step WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3 ELSE p4 END")
+        + " AS value FROM p4, (VALUES (1),(2),(3),(4)) AS s(step) ORDER BY 1, 2"
+    )
+
     # feat_udf_entropy_pair: approximate/sample entropy (m=2) from
     # first principles — per-entity self-joins counting window pairs
     # within Chebyshev radius r (r = 0.2*std_samp for ApEn incl. self,

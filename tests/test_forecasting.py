@@ -418,3 +418,49 @@ def test_direct_and_ensemble_strategies_all_forecasters(spark):
         np.testing.assert_allclose(
             preds["ensemble"], (preds["recursive"] + preds["direct"]) / 2, rtol=1e-9
         )
+
+
+def test_boosted_stumps_exact_splits(spark):
+    """Exact-greedy stumps reduce training SSE monotonically and the
+    fitted splits reproduce a numpy re-computation of the same greedy
+    selection."""
+    import numpy as np
+
+    from functime_spark.forecasting.tree import boosted_stumps
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for e in ("a", "b"):
+        vals = np.abs(rng.normal(10, 5, 40)).round(2)
+        rows += [(e, int(t), float(v)) for t, v in enumerate(vals)]
+    y = spark.createDataFrame(rows, "entity string, t long, y double")
+    fc = boosted_stumps(freq="1i", lags=2, n_iter=3, learning_rate=0.5).fit(y)
+    assert len(fc.state["stumps"]) == 3
+
+    # numpy replay of the same exact-greedy loop over the lag design
+    pdf = y.toPandas().sort_values(["entity", "t"])
+    design = []
+    for _, g in pdf.groupby("entity"):
+        v = g["y"].to_numpy()
+        for i in range(2, len(v)):
+            design.append((v[i], v[i - 1], v[i - 2]))
+    d = np.array(design)
+    f = np.full(len(d), d[:, 0].mean())
+    assert abs(fc.state["f0"] - d[:, 0].mean()) < 1e-9
+    for (feat_idx, v, dl, dr) in fc.state["stumps"]:
+        r = d[:, 0] - f
+        best = None
+        for j in (1, 2):
+            for cand in np.unique(d[:, j])[:-1]:
+                m = d[:, j] <= cand
+                gain = r[m].sum() ** 2 / m.sum() + r[~m].sum() ** 2 / (~m).sum()
+                key = (-gain, j - 1, cand)
+                if best is None or key < best:
+                    best = key
+        assert best[1] == feat_idx and abs(best[2] - v) < 1e-12
+        m = d[:, feat_idx + 1] <= v
+        assert abs(0.5 * (d[:, 0] - f)[m].mean() - dl) < 1e-9
+        f = f + np.where(m, dl, dr)
+
+    pred = fc.predict(3).toPandas()
+    assert len(pred) == 6 and pred["y"].notna().all()
