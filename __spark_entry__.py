@@ -838,7 +838,11 @@ def q_eval_rank_fva(spark, sf_dir):
 
 
 def q_preproc_boxcox_lambdas(spark, sf_dir):
-    """Per-entity Box-Cox MLE lambdas — rows-only (Brent search)."""
+    """Per-entity Box-Cox MLE lambdas. The search (81-point grid seed +
+    15 Newton steps on the profile-likelihood gradient) iterates to a
+    fixed point, so the DuckDB oracle's identical replay (grid argmax +
+    Newton in a recursive CTE) matches to the last bit — bracketing
+    searches can't do this (branch decisions amplify float noise)."""
     _ensure_nanos_conf(spark)
     from functime_spark.operators.preprocessing import boxcox
 

@@ -107,14 +107,19 @@ class knn(Forecaster):
     def _collect_train(self, y: DataFrame, X: DataFrame | None):
         p = self.state["panel"]
         width = self._design_width()
-        design = make_reduction(y, width, X)
-        n = design.count()
-        if n > self.max_train_rows:
-            design = design.sample(
+        feature_cols = [f"{p.target}__lag_{k}" for k in range(1, width + 1)]
+        cached = (
+            make_reduction(y, width, X).select(*feature_cols, p.target).persist()
+        )
+        n = cached.count()  # materializes the cache; the collect below re-reads it
+        self.state["sampled"] = n > self.max_train_rows
+        design = cached
+        if self.state["sampled"]:
+            design = cached.sample(
                 fraction=min(1.0, self.max_train_rows / n * 1.05), seed=7
             ).limit(self.max_train_rows)
-        feature_cols = [f"{p.target}__lag_{k}" for k in range(1, width + 1)]
-        pdf = design.select(*feature_cols, p.target).toPandas()
+        pdf = design.toPandas()
+        cached.unpersist()
         feats = pdf[feature_cols].to_numpy(dtype="float64")
         targs = pdf[p.target].to_numpy(dtype="float64")
         return feats, targs

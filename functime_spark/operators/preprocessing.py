@@ -703,26 +703,49 @@ def _brent_bounded(fun, lo: float, hi: float, tol: float = 1e-12, maxiter: int =
 
 
 def _boxcox_lmbd(x) -> float:
-    """MLE lambda for Box-Cox (maximizes the profile log-likelihood)."""
+    """MLE lambda for Box-Cox: coarse-grid seed + Newton on the
+    profile-likelihood gradient.
+
+    Deliberately NOT a bracketing search: golden-section/Brent take
+    branch decisions on near-equal likelihood values near convergence,
+    which amplifies float-summation noise into ~1e-8 lambda wobble
+    between engines. Newton iterates to a fixed point (the gradient
+    root), which is engine-independent to ~1e-12 — that is what lets
+    the DuckDB oracle replay this exact computation (grid argmax +
+    15 Newton steps in a recursive CTE) and value-match at 6 decimals.
+    The optimum is the same MLE a bounded Brent search finds.
+    """
     import numpy as np
 
     x = np.asarray(x, dtype="float64")
     x = x[~np.isnan(x)]
     n = len(x)
-    logx = np.log(x)
-    sum_logx = logx.sum()
+    m = np.log(x)
+    s_log = m.sum()
 
     def neg_llf(lmb: float) -> float:
-        if abs(lmb) < 1e-19:
-            y = logx
-        else:
-            y = (np.power(x, lmb) - 1) / lmb
+        y = m if abs(lmb) < 1e-19 else (np.power(x, lmb) - 1) / lmb
         var = y.var()
         if var <= 0:
             return np.inf
-        return -((lmb - 1) * sum_logx - n / 2 * np.log(var))
+        return -((lmb - 1) * s_log - n / 2 * np.log(var))
 
-    return _brent_bounded(neg_llf, -2.0, 2.0)
+    lam = min((-2.0 + 0.05 * i for i in range(81)), key=lambda l: (neg_llf(l), l))
+    if lam == 0.0:  # Newton form divides by lambda; start just off 0
+        lam = 0.025
+    for _ in range(15):
+        xl = np.power(x, lam)
+        y = (xl - 1) / lam
+        yp = (m * xl) / lam - y / lam
+        ypp = (m * m * xl) / lam - 2 * (m * xl) / lam**2 + 2 * y / lam**2
+        my, myp, mypp = y.mean(), yp.mean(), ypp.mean()
+        v = (y * y).mean() - my * my
+        vp = 2 * ((y * yp).mean() - my * myp)
+        vpp = 2 * ((yp * yp).mean() + (y * ypp).mean() - myp * myp - my * mypp)
+        g = -s_log + n / 2 * vp / v
+        gp = n / 2 * (vpp * v - vp * vp) / (v * v)
+        lam = min(2.0, max(-2.0, lam - g / gp))
+    return lam
 
 
 def _yeojohnson_lmbd(x) -> float:

@@ -1184,6 +1184,46 @@ def operator_oracles() -> dict:
         + " AS value FROM p4, (VALUES (1),(2),(3),(4)) AS s(step) ORDER BY 1, 2"
     )
 
+    # preproc_boxcox_lambdas: the per-entity Box-Cox MLE replayed. The
+    # Spark side seeds lambda from an 81-point grid argmax of the
+    # profile log-likelihood and runs 15 Newton steps on its gradient
+    # (preprocessing._boxcox_lmbd). Newton iterates to a FIXED POINT,
+    # so cross-engine float noise does not accumulate (a bracketing
+    # search would amplify it through branch decisions); the replay
+    # below — same grid, same Newton update in a recursive CTE —
+    # lands on the same root to ~1e-12.
+    _bc_y = "CASE WHEN abs(l) < 1e-19 THEN ln(x) ELSE (POWER(x, l) - 1) / l END"
+    o["preproc_boxcox_lambdas"] = (
+        "WITH RECURSIVE "
+        "grid AS (SELECT e, CAST(i AS DOUBLE) * CAST(0.05 AS DOUBLE) - 2 AS l "
+        "FROM (SELECT DISTINCT user_id AS e FROM events), range(0, 81) t(i)), "
+        "gs AS (SELECT grid.e, grid.l, "
+        f"-((grid.l - 1) * SUM(ln(ev.value)) - COUNT(*) / 2.0 * "
+        "ln(var_pop(CASE WHEN abs(grid.l) < 1e-19 THEN ln(ev.value) "
+        "ELSE (POWER(ev.value, grid.l) - 1) / grid.l END))) AS nll "
+        "FROM grid JOIN events ev ON ev.user_id = grid.e GROUP BY 1, 2), "
+        "seed AS (SELECT e, CASE WHEN l = 0 THEN CAST(0.025 AS DOUBLE) ELSE l END AS l FROM "
+        "(SELECT e, l, row_number() OVER (PARTITION BY e ORDER BY nll ASC, l ASC) "
+        "AS rn FROM gs) WHERE rn = 1), "
+        "it AS (SELECT e, 0 AS k, l FROM seed "
+        "UNION ALL SELECT e, k + 1, "
+        "GREATEST(-2, LEAST(2, l - (-slog + n / 2 * vp / v) / "
+        "(n / 2 * (vpp * v - vp * vp) / (v * v)))) FROM ("
+        "SELECT e, k, l, CAST(COUNT(*) AS DOUBLE) AS n, SUM(m) AS slog, "
+        "AVG(y) AS my, AVG(yp) AS myp, AVG(ypp) AS mypp, "
+        "AVG(y*y) - AVG(y)*AVG(y) AS v, "
+        "2 * (AVG(y*yp) - AVG(y)*AVG(yp)) AS vp, "
+        "2 * (AVG(yp*yp) + AVG(y*ypp) - AVG(yp)*AVG(yp) - AVG(y)*AVG(ypp)) AS vpp "
+        "FROM (SELECT e, k, l, m, y, (m * xl) / l - y / l AS yp, "
+        "(m * m * xl) / l - 2 * (m * xl) / (l * l) + 2 * y / (l * l) AS ypp "
+        "FROM (SELECT it.e, it.k, it.l, ln(ev.value) AS m, "
+        "POWER(ev.value, it.l) AS xl, (POWER(ev.value, it.l) - 1) / it.l AS y "
+        "FROM it JOIN events ev ON ev.user_id = it.e WHERE it.k < 15) z1) z2 "
+        "GROUP BY 1, 2, 3) s) "
+        f"SELECT e AS user_id, {_r('l')} AS value__lmbd "
+        "FROM it WHERE k = 15 ORDER BY user_id"
+    )
+
     # forecast_stumps: the exact-greedy depth-1 booster replayed — per
     # boosting round, residuals against the stumps-so-far aggregate per
     # distinct feature value, window cumsums give left/right sufficient
