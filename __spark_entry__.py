@@ -668,6 +668,19 @@ def q_feat_udf_entropy_pair(spark, sf_dir):
     return _round_floats(out).orderBy("user_id")
 
 
+def q_feat_udf_adf(spark, sf_dir):
+    """augmented_dickey_fuller (n_lags=1): the regression
+    dy_t = rho*y_{t-1} + phi*dy_{t-1} + c and its simple-stderr
+    t-stat replayed per entity via Cramer's rule in SQL — upgrades
+    the ADF kernel from rows-only to value-verified."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.functions.features_udf import extract_features_udf
+
+    df = events_panel(spark, sf_dir)
+    out = extract_features_udf(df, {"augmented_dickey_fuller": {"n_lags": 1}})
+    return _round_floats(out).orderBy("user_id")
+
+
 def q_feat_udf_ar2(spark, sf_dir):
     """autoregressive_coefficients at n_lags=2: the per-entity lstsq
     replayed exactly via per-entity Cramer's rule in SQL."""
@@ -995,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "feat_udf_scalar": q_feat_udf_scalar,
             "feat_udf_entropy_pair": q_feat_udf_entropy_pair,
             "feat_udf_ar2": q_feat_udf_ar2,
+            "feat_udf_adf": q_feat_udf_adf,
             "cusum_events": q_cusum_events,
             "media_features": q_media_features,
             "forecast_backtest_naive": q_forecast_backtest_naive,

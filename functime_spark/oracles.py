@@ -1293,6 +1293,36 @@ def operator_oracles() -> dict:
         + " AS value FROM p4, (VALUES (1),(2),(3),(4)) AS s(step) ORDER BY 1, 2"
     )
 
+    # feat_udf_adf: ADF(n_lags=1) — dy_t = rho*y_{t-1} + phi*dy_{t-1}
+    # + c fit by Cramer 3x3 per entity, then the kernel's simple
+    # standard error (mse over centered y_lag sum of squares, not the
+    # full covariance matrix — features_udf.py:106-123) and t = rho/se.
+    o["feat_udf_adf"] = (
+        "WITH q AS (SELECT user_id, value AS x, "
+        "lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2, "
+        f"row_number() OVER w - 1 AS i FROM events {_W}), "
+        "d AS (SELECT user_id, x - l1 AS t, l1 AS yl, l1 - l2 AS dl "
+        "FROM q WHERE i >= 2), "
+        "a AS (SELECT user_id, sum(yl*yl) AS a11, sum(yl*dl) AS a12, "
+        "sum(yl) AS a13, sum(dl*dl) AS a22, sum(dl) AS a23, "
+        "CAST(count(*) AS DOUBLE) AS a33, "
+        "sum(yl*t) AS b1, sum(dl*t) AS b2, sum(t) AS b3 "
+        "FROM d GROUP BY user_id), "
+        "s AS (SELECT user_id, a13 / a33 AS myl, a33 AS n, "
+        "(a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13) + a13*(a12*a23 - a22*a13)) AS det, "
+        "(b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3) + a13*(b2*a23 - a22*b3)) AS d1, "
+        "(a11*(b2*a33 - a23*b3) - b1*(a12*a33 - a23*a13) + a13*(a12*b3 - b2*a13)) AS d2, "
+        "(a11*(a22*b3 - b2*a23) - a12*(a12*b3 - b2*a13) + b1*(a12*a23 - a22*a13)) AS d3 "
+        "FROM a), "
+        "w AS (SELECT user_id, myl, n, d1/det AS rho, d2/det AS phi, d3/det AS c FROM s), "
+        "r AS (SELECT d.user_id, w.rho, w.n, "
+        "SUM(POWER(d.t - (w.rho*d.yl + w.phi*d.dl + w.c), 2)) AS sse, "
+        "SUM(POWER(d.yl - w.myl, 2)) AS sys "
+        "FROM d JOIN w USING (user_id) GROUP BY 1, 2, 3) "
+        f"SELECT user_id, {_r('rho / sqrt((sse / (n - 3)) / sys)')} "
+        "AS augmented_dickey_fuller FROM r ORDER BY user_id"
+    )
+
     # feat_udf_entropy_pair: approximate/sample entropy (m=2) from
     # first principles — per-entity self-joins counting window pairs
     # within Chebyshev radius r (r = 0.2*std_samp for ApEn incl. self,
