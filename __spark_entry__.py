@@ -461,12 +461,24 @@ def q_forecast_gbt(spark, sf_dir):
 
 
 def q_forecast_elite(spark, sf_dir):
-    """Per-entity model-selection ensemble — rows-only check."""
+    """Per-entity model-selection ensemble over a fully SQL-replayable
+    bank (naive / snaive(24) / linear AR2): the oracle re-runs every
+    candidate's 2-split expanding backtest, the per-entity sum-ratio
+    smape ranking (model name tie-break), the top-2 mean blend, and
+    the 4-step future forecasts — so backtest x ranking x blending is
+    value-checked end-to-end, not just each piece."""
     _ensure_nanos_conf(spark)
     from functime_spark.forecasting.elite import elite
+    from functime_spark.forecasting.linear import linear_model
+    from functime_spark.forecasting.naive import naive, snaive
 
     df = events_panel(spark, sf_dir)
-    fc = elite(freq="1h", lags=8, sp=24, test_size=4, n_splits=2).fit(df)
+    bank = {
+        "linear": lambda: linear_model(freq="1h", lags=2),
+        "naive": lambda: naive(freq="1h"),
+        "snaive": lambda: snaive(freq="1h", sp=24),
+    }
+    fc = elite(freq="1h", lags=2, sp=24, test_size=4, n_splits=2, bank=bank).fit(df)
     return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
 
 

@@ -80,7 +80,9 @@ class elite(Forecaster):
 
         # per-entity top-k by smape; entities with no finite score get
         # the naive fallback (ref elite.py:376-387)
-        rank_w = Window.partitionBy(p.entity).orderBy("smape")
+        # model name as secondary sort: equal-smape ties must resolve
+        # the same way on every run (and in the correctness oracle)
+        rank_w = Window.partitionBy(p.entity).orderBy("smape", "__model")
         selection = (
             scores.filter(F.col("smape").isNotNull() & ~F.isnan("smape"))
             .withColumn("__rank", F.row_number().over(rank_w))

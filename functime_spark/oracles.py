@@ -1293,6 +1293,92 @@ def operator_oracles() -> dict:
         + " AS value FROM p4, (VALUES (1),(2),(3),(4)) AS s(step) ORDER BY 1, 2"
     )
 
+    # forecast_elite: the model-selection ensemble replayed end-to-end
+    # over its SQL-able bank — per-split AR2 refits (Cramer, GROUP BY
+    # s) + naive/snaive backtests, per-entity sum-ratio smape, rank
+    # top-2 (model-name tie-break), mean blend of the full-fit future
+    # forecasts. Steps 1..4 map to low + step hours as everywhere.
+    _EL_PRED = (
+        "CASE t0.i - (t0.n - p.cutoff) + 1 WHEN 1 THEN p.p1 "
+        "WHEN 2 THEN p.p2 WHEN 3 THEN p.p3 ELSE p.p4 END"
+    )
+    o["forecast_elite"] = (
+        "WITH t0 AS (SELECT user_id, ts, value AS y, "
+        "lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2, "
+        "row_number() OVER w - 1 AS i, "
+        f"COUNT(*) OVER (PARTITION BY user_id) AS n FROM events {_W}), "
+        "sp AS (SELECT * FROM (VALUES (0, 5), (1, 4)) AS v(s, cutoff)), "
+        "ltr AS (SELECT t0.*, sp.s FROM t0, sp "
+        "WHERE t0.i >= 2 AND t0.i < t0.n - sp.cutoff), "
+        "la AS (SELECT s, sum(l1*l1) AS a11, sum(l1*l2) AS a12, sum(l1) AS a13, "
+        "sum(l2*l2) AS a22, sum(l2) AS a23, CAST(count(*) AS DOUBLE) AS a33, "
+        "sum(l1*y) AS b1, sum(l2*y) AS b2, sum(y) AS b3 FROM ltr GROUP BY s), "
+        f"lsf AS (SELECT s, {_cram} FROM la), "
+        "lw AS (SELECT s, d1/det AS w1, d2/det AS w2, d3/det AS b FROM lsf), "
+        "lst AS (SELECT t0.user_id, sp.s, sp.cutoff, "
+        "MAX(CASE WHEN t0.i = t0.n - sp.cutoff - 1 THEN t0.y END) AS yT, "
+        "MAX(CASE WHEN t0.i = t0.n - sp.cutoff - 2 THEN t0.y END) AS yT1 "
+        "FROM t0, sp GROUP BY 1, 2, 3), "
+        "lp1 AS (SELECT lst.*, w.w1*lst.yT + w.w2*lst.yT1 + w.b AS p1 "
+        "FROM lst JOIN lw w USING (s)), "
+        "lp2 AS (SELECT lp1.*, w.w1*lp1.p1 + w.w2*lp1.yT + w.b AS p2 "
+        "FROM lp1 JOIN lw w USING (s)), "
+        "lp3 AS (SELECT lp2.*, w.w1*lp2.p2 + w.w2*lp2.p1 + w.b AS p3 "
+        "FROM lp2 JOIN lw w USING (s)), "
+        "lp4 AS (SELECT lp3.*, w.w1*lp3.p3 + w.w2*lp3.p2 + w.b AS p4 "
+        "FROM lp3 JOIN lw w USING (s)), "
+        f"lbt AS (SELECT t0.user_id, t0.y AS a, {_EL_PRED} AS pr, "
+        "'linear' AS model FROM t0 JOIN lp4 p ON t0.user_id = p.user_id "
+        "AND t0.i >= t0.n - p.cutoff AND t0.i < t0.n - p.cutoff + 4), "
+        "nbt AS (SELECT t0.user_id, t0.y AS a, p.yT AS pr, 'naive' AS model "
+        "FROM t0 JOIN lst p ON t0.user_id = p.user_id "
+        "AND t0.i >= t0.n - p.cutoff AND t0.i < t0.n - p.cutoff + 4), "
+        "sbt AS (SELECT t.user_id, t.y AS a, src.y AS pr, 'snaive' AS model "
+        "FROM t0 t CROSS JOIN sp JOIN t0 src ON src.user_id = t.user_id "
+        "AND src.i = (t.n - sp.cutoff) - LEAST(24, t.n - sp.cutoff) "
+        "+ ((t.i - (t.n - sp.cutoff)) % LEAST(24, t.n - sp.cutoff)) "
+        "WHERE t.i >= t.n - sp.cutoff AND t.i < t.n - sp.cutoff + 4), "
+        "bt AS (SELECT * FROM lbt UNION ALL SELECT * FROM nbt "
+        "UNION ALL SELECT * FROM sbt), "
+        "sc AS (SELECT user_id, model, SUM(ABS(pr - a)) / SUM(pr + a) AS smape "
+        "FROM bt GROUP BY 1, 2), "
+        "sel AS (SELECT user_id, model FROM (SELECT user_id, model, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY smape ASC, model ASC) "
+        "AS rn FROM sc WHERE smape IS NOT NULL AND NOT isnan(smape)) WHERE rn <= 2), "
+        "fa AS (SELECT sum(l1*l1) AS a11, sum(l1*l2) AS a12, sum(l1) AS a13, "
+        "sum(l2*l2) AS a22, sum(l2) AS a23, CAST(count(*) AS DOUBLE) AS a33, "
+        "sum(l1*y) AS b1, sum(l2*y) AS b2, sum(y) AS b3 FROM t0 WHERE i >= 2), "
+        "fsf AS (SELECT "
+        "(a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13) + a13*(a12*a23 - a22*a13)) AS det, "
+        "(b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3) + a13*(b2*a23 - a22*b3)) AS d1, "
+        "(a11*(b2*a33 - a23*b3) - b1*(a12*a33 - a23*a13) + a13*(a12*b3 - b2*a13)) AS d2, "
+        "(a11*(a22*b3 - b2*a23) - a12*(a12*b3 - b2*a13) + b1*(a12*a23 - a22*a13)) AS d3 "
+        "FROM fa), "
+        "fw AS (SELECT d1/det AS w1, d2/det AS w2, d3/det AS b FROM fsf), "
+        "fq AS (SELECT user_id, MAX(ts) AS low, COUNT(*) AS n, "
+        "list(y ORDER BY ts DESC) AS dl FROM t0 GROUP BY user_id), "
+        "fp1 AS (SELECT fq.user_id, fq.dl[1] AS yT, "
+        "fw.w1*fq.dl[1] + fw.w2*fq.dl[2] + fw.b AS p1 FROM fq, fw), "
+        "fp2 AS (SELECT fp1.*, fw.w1*fp1.p1 + fw.w2*fp1.yT + fw.b AS p2 FROM fp1, fw), "
+        "fp3 AS (SELECT fp2.*, fw.w1*fp2.p2 + fw.w2*fp2.p1 + fw.b AS p3 FROM fp2, fw), "
+        "fp4 AS (SELECT fp3.*, fw.w1*fp3.p3 + fw.w2*fp3.p2 + fw.b AS p4 FROM fp3, fw), "
+        "steps AS (SELECT * FROM (VALUES (1),(2),(3),(4)) AS g(step)), "
+        "fut AS (SELECT user_id, g.step, "
+        "CASE g.step WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3 ELSE p4 END AS pred, "
+        "'linear' AS model FROM fp4, steps g "
+        "UNION ALL SELECT user_id, g.step, dl[1] AS pred, 'naive' AS model "
+        "FROM fq, steps g "
+        "UNION ALL SELECT user_id, g.step, "
+        "dl[LEAST(24, n) - ((g.step - 1) % LEAST(24, n))] AS pred, "
+        "'snaive' AS model FROM fq, steps g), "
+        "bl AS (SELECT f.user_id, f.step, AVG(f.pred) AS v FROM fut f "
+        "JOIN sel ON f.user_id = sel.user_id AND f.model = sel.model "
+        "GROUP BY 1, 2) "
+        "SELECT bl.user_id, fq.low + bl.step * INTERVAL '1 hour' AS ts, "
+        + _r("bl.v")
+        + " AS value FROM bl JOIN fq USING (user_id) ORDER BY 1, 2"
+    )
+
     # feat_udf_adf: ADF(n_lags=1) — dy_t = rho*y_{t-1} + phi*dy_{t-1}
     # + c fit by Cramer 3x3 per entity, then the kernel's simple
     # standard error (mse over centered y_lag sum of squares, not the
