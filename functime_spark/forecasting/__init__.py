@@ -15,6 +15,7 @@ from functime_spark.forecasting.censored import (  # noqa: F401
 )
 from functime_spark.forecasting.knn import ann, knn  # noqa: F401
 from functime_spark.forecasting.tree import (  # noqa: F401
+    boosted_stumps,
     catboost,
     gradient_boosted_model,
     lightgbm,
