@@ -61,3 +61,46 @@ def test_metrics_join_broadcasts_param_table(events):
     out = scale().transform(events)
     plan = explain_str(out, "simple")
     assert "BroadcastHashJoin" in plan or count_exchanges(out) <= 1
+
+
+def test_md5_dedup_variant_stays_native_single_shuffle(spark):
+    """The oracle-replayable md5 hash variant must not change the plan
+    shape: signatures stay one explode+hash-aggregate shuffle with no
+    Python evaluation (md5/conv are JVM expressions)."""
+    from functime_spark.pipeline.dedup import minhash_signatures, simhash
+    from functime_spark.plans import assert_max_exchanges, python_eval_nodes
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    for hash_fn in ("xxhash64", "md5"):
+        sigs = minhash_signatures(docs, n_hashes=8, hash_fn=hash_fn)
+        assert_max_exchanges(sigs, 1)
+        assert python_eval_nodes(sigs) == []
+        sh = simhash(docs, hash_fn=hash_fn)
+        assert_max_exchanges(sh, 1)
+        assert python_eval_nodes(sh) == []
+
+
+def test_newton_polish_aggregate_is_native(events):
+    """The exact-MLE logistic polish accumulates gradient/Hessian as
+    ONE native aggregate pass over the lag design — no Python nodes,
+    no extra shuffle beyond the design's window partition."""
+    from functime_spark.forecasting._ar import make_reduction
+    from functime_spark.plans import python_eval_nodes
+    from functime_spark.plans.checks import count_exchanges
+    from pyspark.sql import functions as F2
+
+    design = make_reduction(events, 2).withColumn(
+        "__above", (F2.col("value") > 50).cast("double")
+    )
+    cols = [F2.col(c).cast("double") for c in ["value__lag_1", "value__lag_2"]]
+    z = F2.lit(0.1) + F2.lit(0.2) * cols[0] + F2.lit(0.3) * cols[1]
+    p = F2.lit(1.0) / (F2.lit(1.0) + F2.exp(-z))
+    agg = design.agg(
+        F2.sum((p - F2.col("__above")) * cols[0]).alias("g0"),
+        F2.sum(p * (F2.lit(1.0) - p) * cols[0] * cols[1]).alias("h01"),
+    )
+    assert python_eval_nodes(agg) == []
+    assert count_exchanges(agg) <= 2  # design window partition + final agg
