@@ -290,10 +290,15 @@ class boosted_stumps(Forecaster):
     no binned GBT can offer.
 
     Scale note: the candidate table per iteration is one row per
-    distinct feature value. For continuous 100 TB features, pre-round
-    the feature (or pre-bin to quantiles) to bound candidate
-    cardinality; the aggregates themselves are plain hash-aggregates
-    that scale horizontally.
+    distinct feature value — the residual aggregates are plain
+    hash-aggregates that scale horizontally, and only the cumsum
+    window runs single-partition over candidate rows (fine up to
+    ~1e6 distinct values). For truly continuous features at corpus
+    scale, pass `max_candidates`: split candidates are then snapped to
+    that many approximate quantile edges (one approxQuantile pass at
+    fit start, native array-search assignment), bounding candidate
+    cardinality regardless of data size. The default (None) keeps
+    exact splits — which is what the correctness oracle replays.
     """
 
     def __init__(
@@ -302,11 +307,13 @@ class boosted_stumps(Forecaster):
         lags: int = 2,
         n_iter: int = 4,
         learning_rate: float = 0.5,
+        max_candidates: int | None = None,
         target_transform=None,
     ):
         super().__init__(freq=freq, lags=lags, target_transform=target_transform)
         self.n_iter = n_iter
         self.learning_rate = learning_rate
+        self.max_candidates = max_candidates
 
     def _init_kwargs(self) -> dict:
         return {
@@ -314,6 +321,7 @@ class boosted_stumps(Forecaster):
             "lags": self.lags,
             "n_iter": self.n_iter,
             "learning_rate": self.learning_rate,
+            "max_candidates": self.max_candidates,
         }
 
     def _stump_expr(self, stumps, cols):
@@ -332,6 +340,29 @@ class boosted_stumps(Forecaster):
         design = make_reduction(y, self.lags).persist()
         feat_names = [f"{p.target}__lag_{k}" for k in range(1, self.lags + 1)]
         cols = [F.col(c).cast("double") for c in feat_names]
+        if self.max_candidates is not None:
+            # snap each feature to approx-quantile edges: candidate
+            # cardinality is bounded at max_candidates regardless of
+            # data size (one approxQuantile pass; assignment is a
+            # native array search, no Python)
+            probs = [
+                i / self.max_candidates for i in range(1, self.max_candidates)
+            ]
+            all_edges = design.stat.approxQuantile(feat_names, probs, 0.001)
+            snapped = []
+            self.state["snap_edges"] = []
+            for c, edges in zip(cols, all_edges):
+                uniq = sorted(set(edges))
+                self.state["snap_edges"].append(uniq)
+                arr = F.array(*[F.lit(float(v)) for v in uniq])
+                below = F.filter(arr, lambda e: e <= c)
+                snap = F.when(
+                    F.size(below) > 0, F.element_at(below, -1)
+                ).otherwise(F.lit(float(uniq[0])))
+                snapped.append(snap)
+            cols = snapped
+        else:
+            self.state["snap_edges"] = None
         self.state["f0"] = float(
             design.agg(F.avg(F.col(p.target)).alias("m")).first()["m"]
         )
@@ -397,12 +428,14 @@ class boosted_stumps(Forecaster):
         entity_dtype = dict(y_lag.dtypes)[entity]
         lags = self.lags
         spark = y_lag.sparkSession
-        b = spark.sparkContext.broadcast((self.state["f0"], self.state["stumps"]))
+        b = spark.sparkContext.broadcast(
+            (self.state["f0"], self.state["stumps"], self.state["snap_edges"])
+        )
 
         def run(batches: Iterator) -> Iterator:
             import pandas as pd
 
-            f0, stumps = b.value
+            f0, stumps, snap_edges = b.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -411,6 +444,21 @@ class boosted_stumps(Forecaster):
                 preds = np.empty((len(ents), fh), dtype="float64")
                 for h in range(fh):
                     feats = buf[:, ::-1][:, :lags]
+                    if snap_edges is not None:
+                        # same snap-down rule as training: largest
+                        # edge <= x (values below all edges -> edge 0)
+                        feats = np.column_stack(
+                            [
+                                np.asarray(e)[
+                                    np.clip(
+                                        np.searchsorted(e, feats[:, j], "right") - 1,
+                                        0,
+                                        None,
+                                    )
+                                ]
+                                for j, e in enumerate(snap_edges)
+                            ]
+                        )
                     yhat = np.full(len(ents), f0)
                     for j, v, dl, dr in stumps:
                         yhat = yhat + np.where(feats[:, j] <= v, dl, dr)

@@ -464,3 +464,28 @@ def test_boosted_stumps_exact_splits(spark):
 
     pred = fc.predict(3).toPandas()
     assert len(pred) == 6 and pred["y"].notna().all()
+
+
+def test_boosted_stumps_binned_mode(spark):
+    """max_candidates bounds split candidates to quantile edges; the
+    fitted thresholds come from the edge set and predict applies the
+    same snap-down rule."""
+    import numpy as np
+
+    from functime_spark.forecasting.tree import boosted_stumps
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for e in ("a", "b", "c"):
+        vals = np.abs(rng.normal(20, 8, 60))
+        rows += [(e, int(t), float(v)) for t, v in enumerate(vals)]
+    y = spark.createDataFrame(rows, "entity string, t long, y double")
+    fc = boosted_stumps(
+        freq="1i", lags=2, n_iter=3, learning_rate=0.5, max_candidates=8
+    ).fit(y)
+    edges = fc.state["snap_edges"]
+    assert edges is not None and all(len(e) <= 7 for e in edges)
+    for j, v, dl, dr in fc.state["stumps"]:
+        assert any(abs(v - e) < 1e-12 for e in edges[j])
+    pred = fc.predict(3).toPandas()
+    assert len(pred) == 9 and pred["y"].notna().all()
