@@ -163,3 +163,33 @@ def test_one_hot_encode(spark):
             [("a", 3, 1.0, "z")], "entity string, time int, value double, cat string"
         )
         enc.transform_new(df_new).collect()
+
+
+def test_boxcox_newton_matches_bracketing_search():
+    """The grid+Newton lambda search (engine-stable fixed point) must
+    find the same MLE the golden-section bounded search does."""
+    import numpy as np
+
+    from functime_spark.operators.preprocessing import (
+        _boxcox_lmbd,
+        _brent_bounded,
+    )
+
+    rng = np.random.default_rng(3)
+    for _ in range(6):
+        x = np.abs(rng.normal(rng.uniform(1, 50), rng.uniform(0.5, 20), 80)) + 0.01
+        n = len(x)
+        logx = np.log(x)
+        s = logx.sum()
+
+        def neg_llf(lmb):
+            y = logx if abs(lmb) < 1e-19 else (np.power(x, lmb) - 1) / lmb
+            v = y.var()
+            return np.inf if v <= 0 else -((lmb - 1) * s - n / 2 * np.log(v))
+
+        golden = _brent_bounded(neg_llf, -2.0, 2.0)
+        newton = _boxcox_lmbd(x)
+        if abs(golden) >= 1.999:  # optimum at the bound: both clamp
+            assert abs(newton) >= 1.98
+        else:
+            assert abs(newton - golden) < 1e-6, (newton, golden)
