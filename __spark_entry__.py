@@ -630,13 +630,16 @@ def q_text_fingerprint(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-bucketed approximate top-k — rows-only (probe subset)."""
+    """IVF-bucketed approximate top-k with spread (deterministic)
+    k-means init: the oracle replays the ENTIRE index build — 5 Lloyd
+    iterations over list-typed centroids, cell assignment (first-min
+    tie rule), 3-cell probe, in-probe cosine top-5 — in pure SQL."""
     _ensure_nanos_conf(spark)
     from functime_spark.pipeline.similarity import IVFIndex
 
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    ivf = IVFIndex(n_cells=8).fit(emb)
+    ivf = IVFIndex(n_cells=8, init="spread").fit(emb)
     assigned = ivf.assign(emb.filter(F.col("vec_id") != 0))
     return _round_floats(ivf.search(assigned, list(qvec), k=5, n_probe=3))
 

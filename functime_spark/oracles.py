@@ -1696,4 +1696,58 @@ ORDER BY 1, 2
         "ORDER BY cosine DESC, vec_id LIMIT 5"
     )
 
+    # ann_ivf_topk: the whole IVF index build replayed — spread
+    # (deterministic) centroid init at evenly-spaced positions of the
+    # id-ordered sample, 5 unrolled Lloyd iterations with LIST-typed
+    # centroids (assignment = first minimum, matching both numpy argmin
+    # and the Spark when-chain), empty cells keep their previous
+    # centroid, then the 3-nearest-cell probe and in-probe cosine
+    # top-5. Lloyd is iterate-to-fixed-point, so cross-engine float
+    # noise does not drift assignments (ties are measure-zero).
+    def _ivf_d2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, 65), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    _ivf = [
+        "smp AS (SELECT CAST(embedding AS DOUBLE[]) AS emb, "
+        "row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM embeddings)",
+        "c0 AS (SELECT list(emb ORDER BY rn) AS C FROM smp WHERE rn IN "
+        "(SELECT CAST(FLOOR(t.c * (SELECT COUNT(*) FROM smp) / 8.0) AS BIGINT) "
+        "FROM range(0, 8) t(c)))",
+    ]
+    for m in range(5):
+        _ivf.append(
+            f"a{m} AS (SELECT rn, emb, list_position(dd, list_min(dd)) - 1 AS cell "
+            f"FROM (SELECT s.rn, s.emb, list_transform(c.C, cc -> "
+            f"{_ivf_d2('s.emb', 'cc')}) AS dd FROM smp s, c{m} c) z)"
+        )
+        _ivf.append(
+            f"pc{m} AS (SELECT cell, list(av ORDER BY dim) AS cen FROM "
+            f"(SELECT cell, t.i AS dim, AVG(emb[t.i]) AS av FROM a{m}, "
+            "range(1, 65) t(i) GROUP BY cell, t.i) zz GROUP BY cell)"
+        )
+        _ivf.append(
+            f"c{m + 1} AS (SELECT list(COALESCE(pc.cen, prev.C[cv.c + 1]) "
+            f"ORDER BY cv.c) AS C FROM c{m} prev CROSS JOIN range(0, 8) cv(c) "
+            f"LEFT JOIN pc{m} pc ON pc.cell = cv.c)"
+        )
+    o["ann_ivf_topk"] = (
+        "WITH "
+        + ", ".join(_ivf)
+        + ", qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings "
+        "WHERE vec_id = 0), "
+        "probe AS (SELECT cv.c AS cell FROM c5, qv, range(0, 8) cv(c) "
+        f"ORDER BY {_ivf_d2('qv.q', 'c5.C[cv.c + 1]')}, cv.c LIMIT 3), "
+        "asn AS (SELECT vec_id, emb, list_position(dd, list_min(dd)) - 1 AS cell "
+        "FROM (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, "
+        f"list_transform(c.C, cc -> {_ivf_d2('CAST(e.embedding AS DOUBLE[])', 'cc')}) AS dd "
+        "FROM embeddings e, c5 c WHERE e.vec_id != 0) z) "
+        "SELECT vec_id, "
+        + _r("list_cosine_similarity(emb, qv.q)")
+        + " AS cosine FROM asn, qv WHERE cell IN (SELECT cell FROM probe) "
+        "ORDER BY list_cosine_similarity(emb, qv.q) DESC, vec_id LIMIT 5"
+    )
+
     return o

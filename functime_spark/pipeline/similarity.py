@@ -54,19 +54,49 @@ class IVFIndex:
     only n_probe/n_cells of the data.
     """
 
-    def __init__(self, n_cells: int = 16, n_iter: int = 5, seed: int = 42):
+    def __init__(
+        self,
+        n_cells: int = 16,
+        n_iter: int = 5,
+        seed: int = 42,
+        init: str = "random",
+    ):
         self.n_cells = n_cells
         self.n_iter = n_iter
         self.seed = seed
+        if init not in ("random", "spread"):
+            raise ValueError(f"init must be random|spread, got {init}")
+        self.init = init
         self.centroids: np.ndarray | None = None
 
-    def fit(self, emb: DataFrame, vec_col: str = "embedding", sample: int = 10000):
+    def fit(
+        self,
+        emb: DataFrame,
+        vec_col: str = "embedding",
+        sample: int = 10000,
+        id_col: str = "vec_id",
+    ):
         """Lloyd iterations on a driver-side sample (centroid count is
-        small; the assignment pass stays distributed)."""
-        rows = emb.select(vec_col).limit(sample).collect()
+        small; the assignment pass stays distributed).
+
+        init='spread' seeds centroids at evenly-spaced positions of the
+        id-ordered sample instead of seeded-rng picks — fully
+        deterministic and SQL-expressible, which is what lets the
+        correctness oracle replay the whole k-means + probe + top-k
+        pipeline (TakeOrdered keeps the ordered sample cheap)."""
+        if self.init == "spread":
+            rows = emb.orderBy(id_col).select(vec_col).limit(sample).collect()
+        else:
+            rows = emb.select(vec_col).limit(sample).collect()
         X = np.asarray([r[0] for r in rows], dtype="float64")
-        rng = np.random.default_rng(self.seed)
-        idx = rng.choice(len(X), size=min(self.n_cells, len(X)), replace=False)
+        k = min(self.n_cells, len(X))
+        if self.init == "spread":
+            idx = np.array(
+                [int(np.floor(i * len(X) / k)) for i in range(k)], dtype=int
+            )
+        else:
+            rng = np.random.default_rng(self.seed)
+            idx = rng.choice(len(X), size=k, replace=False)
         C = X[idx].copy()
         for _ in range(self.n_iter):
             d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
@@ -112,7 +142,7 @@ class IVFIndex:
         """Probe the n_probe nearest cells, exact cosine within them."""
         q = np.asarray(query_vec, dtype="float64")
         d = ((self.centroids - q) ** 2).sum(axis=1)
-        cells = [int(c) for c in np.argsort(d)[:n_probe]]
+        cells = [int(c) for c in np.argsort(d, kind="stable")[:n_probe]]
         return cosine_topk(
             assigned.filter(F.col("__cell").isin(cells)),
             query_vec,
