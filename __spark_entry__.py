@@ -249,7 +249,9 @@ def q_forecast_snaive(spark, sf_dir):
 
 
 def q_forecast_linear(spark, sf_dir):
-    """MLlib-backed global AR linear model — rows-only check (no SQL)."""
+    """Global AR(8) linear model — value-verified: the 9x9 SPD
+    normal-equation solve replays as generated pivotless Gaussian
+    elimination in SQL, the 4-step recursion unrolls as CTEs."""
     _ensure_nanos_conf(spark)
     from functime_spark.forecasting.linear import linear_model
 
@@ -716,6 +718,67 @@ def q_feat_udf_ar2(spark, sf_dir):
     return _round_floats(out).orderBy("user_id")
 
 
+def q_feat_udf_fft(spark, sf_dir):
+    """fft_coefficients (first 3 rFFT bins): the kernel's numpy rfft
+    replayed in the oracle as explicit DFT sums
+    Re_k = sum x_t cos(2*pi*k*t/N), Im_k = -sum x_t sin(2*pi*k*t/N),
+    angle = degrees(atan2(re, im)) — upgrades the FFT kernel from
+    rows-only to value-verified. Ref feature_extractors.py:1911-1935."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.functions.features_udf import extract_features_udf
+
+    df = events_panel(spark, sf_dir)
+    out = extract_features_udf(df, {"fft_coefficients": {"n_coefficients": 3}})
+    s = F.col("fft_coefficients")
+    cols = [F.col("user_id")]
+    for k in range(3):
+        cols.append(F.element_at(s["real"], k + 1).alias(f"fft_re_{k}"))
+        cols.append(F.element_at(s["imag"], k + 1).alias(f"fft_im_{k}"))
+        cols.append(F.element_at(s["angle"], k + 1).alias(f"fft_ang_{k}"))
+    return _round_floats(out.select(*cols)).orderBy("user_id")
+
+
+def q_feat_udf_welch(spark, sf_dir):
+    """spkt_welch_density(coeff=5) + fourier_entropy(n_bins=10): at
+    gate scale every series is shorter than nperseg=256, so Welch is a
+    single hann-windowed mean-detrended periodogram — the oracle
+    rebuilds the full one-sided PSD per entity as explicit DFT sums
+    and replays the normalize/bin/entropy chain in SQL. Upgrades both
+    Welch-family kernels from rows-only to value-verified.
+    Ref feature_extractors.py:1532-1561, :695-722."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.functions.features_udf import extract_features_udf
+
+    df = events_panel(spark, sf_dir)
+    out = extract_features_udf(
+        df,
+        {"spkt_welch_density": {"coeff": 5}, "fourier_entropy": {"n_bins": 10}},
+    )
+    return _round_floats(out).orderBy("user_id")
+
+
+def q_feat_udf_cwt(spark, sf_dir):
+    """cwt_coefficients (ricker wavelet, widths (2,5,10,20), first 14
+    per width): np.convolve(x, ricker, mode='same') is a closed-form
+    double sum — the oracle regenerates the wavelet analytically
+    (A*(1-v^2/a^2)*exp(-v^2/2a^2)) and replays the 'same'-aligned
+    convolution per (entity, width, position) in SQL. Upgrades the
+    CWT kernel from rows-only to value-verified. Ref :589-625."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.functions.features_udf import extract_features_udf
+
+    df = events_panel(spark, sf_dir)
+    out = extract_features_udf(
+        df, {"cwt_coefficients": {"widths": (2, 5, 10, 20), "n_coefficients": 14}}
+    )
+    arr = F.col("cwt_coefficients")
+    cols = [F.col("user_id")]
+    for wi, w in enumerate((2, 5, 10, 20)):
+        for j in range(14):
+            cols.append(F.element_at(arr, wi * 14 + j + 1).alias(f"cwt_{w}_{j}"))
+    return _round_floats(out.select(*cols)).orderBy("user_id")
+
+
 def q_cusum_events(spark, sf_dir):
     """CUSUM changepoint events (oracle: the stateful reset machine
     replayed as a DuckDB recursive CTE)."""
@@ -914,9 +977,12 @@ def q_m4_smape(spark, sf_dir):
     """End-to-end accuracy on REAL data: global linear AR(12) on the
     M4-weekly competition panel (359 series), mean SMAPE vs the held-
     out test horizon. The reference's own gate asserts < 0.3
-    (test_forecasting.py:115-118); we measure ~0.05. Rows-only by
-    design (a 13-lag OLS over 367k rows has no closed-form SQL
-    replay); tests/test_m4_m5.py asserts the threshold."""
+    (test_forecasting.py:115-118); we measure ~0.05. Value-verified:
+    the oracle refits the 13x13 normal-equation system by generated
+    pivotless Gaussian elimination over the same parquet, unrolls the
+    13-step recursion, and replays the sum-ratio SMAPE — the full
+    competition gate in SQL. tests/test_m4_m5.py asserts the
+    threshold."""
     from pyspark.sql import functions as PF
 
     from functime_spark.forecasting.linear import linear_model
@@ -1024,6 +1090,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "feat_udf_entropy_pair": q_feat_udf_entropy_pair,
             "feat_udf_ar2": q_feat_udf_ar2,
             "feat_udf_adf": q_feat_udf_adf,
+            "feat_udf_fft": q_feat_udf_fft,
+            "feat_udf_welch": q_feat_udf_welch,
+            "feat_udf_cwt": q_feat_udf_cwt,
             "cusum_events": q_cusum_events,
             "media_features": q_media_features,
             "forecast_backtest_naive": q_forecast_backtest_naive,

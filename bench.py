@@ -98,12 +98,12 @@ def main() -> None:
 
     bench("metrics_fused", _q5)
 
-    # q6: document pipeline: exact dedup + text stats
+    # q6: document pipeline: exact dedup (md5-keyed shuffle) + text stats
     def _q6():
+        from functime_spark.pipeline.dedup import exact_dedup
+
         docs = load_table(spark, SF_DIR, "documents")
-        docs.groupBy("text").agg(
-            F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n")
-        ).count()
+        exact_dedup(docs).count()
         words = F.split(F.col("text"), " ")
         docs.select(
             "doc_id",
