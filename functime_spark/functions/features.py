@@ -37,6 +37,8 @@ matching the reference's test fixtures; aggregates use F.count(x) = n.
 from __future__ import annotations
 
 import math
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame, Window
@@ -62,6 +64,10 @@ class PanelCtx:
         self.value = value
         self.stages: list[dict] = []
         self._registered: dict[str, int] = {}
+        # extract_features builds feature expressions from a thread
+        # pool (overlapping py4j round-trips); registration is the
+        # only shared mutation
+        self._lock = threading.RLock()  # helpers build nested helpers
 
     # -- windows -----------------------------------------------------
     @property
@@ -80,11 +86,12 @@ class PanelCtx:
     def helper(self, name: str, builder: Callable[[], Column], stage: int) -> Column:
         # dots/dashes in a column name would parse as struct paths
         name = name.replace(".", "_").replace("-", "m")
-        if name not in self._registered:
-            while len(self.stages) <= stage:
-                self.stages.append({})
-            self.stages[stage][name] = builder()
-            self._registered[name] = stage
+        with self._lock:
+            if name not in self._registered:
+                while len(self.stages) <= stage:
+                    self.stages.append({})
+                self.stages[stage][name] = builder()
+                self._registered[name] = stage
         return F.col(name)
 
     # -- base columns ------------------------------------------------
@@ -849,7 +856,7 @@ def extract_features(
         feats = {name: FEATURES[name] for name in feats}
 
     ctx = PanelCtx(entity, time, value)
-    aggs = []
+    specs = []
     for name, spec in feats.items():
         if isinstance(spec, tuple):
             builder, params = spec
@@ -857,7 +864,22 @@ def extract_features(
             builder, params = spec, {}
         else:  # params dict for a registry feature
             builder, params = FEATURES[name][0], spec
-        aggs.append(builder(ctx, **params).alias(name))
+        specs.append((name, builder, params))
+
+    # Expression construction is py4j-round-trip bound (~10k JVM calls
+    # for the full registry): build features concurrently so the
+    # socket latencies overlap. ex.map keeps output order; Column
+    # construction is pure JVM object creation (thread-safe), and the
+    # shared ctx registration is serialized by PanelCtx._lock.
+    def _build(item):
+        name, builder, params = item
+        return builder(ctx, **params).alias(name)
+
+    if len(specs) > 4:
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            aggs = list(ex.map(_build, specs))
+    else:
+        aggs = [_build(s) for s in specs]
 
     # pin the single shuffle up front: hashpartitioning(entity)
     # satisfies every window spec below (entity-only AND subkey
