@@ -88,13 +88,25 @@ class Forecaster(SparkStatePickleMixin):
         step_size: int = 1,
         n_splits: int = 5,
         window_size: int | None = None,
+        materialize: bool = True,
     ) -> DataFrame:
         """Expanding/sliding-window refit-and-predict; returns stacked
         predictions with a `split` column. Ref backtesting.py:108-250.
 
         Predictions are aligned to the ACTUAL test timestamps (per-entity
         step join), so irregular panels backtest correctly — the
-        reference assumes freq-regular series here."""
+        reference assumes freq-regular series here.
+
+        The stacked result is localCheckpoint-ed by default: it is tiny
+        (n_splits x n_entities x test_size rows) while its lineage embeds
+        n_splits window-split + refit subtrees. Materializing cuts every
+        downstream plan (conformalize / rank / elite) from ~20 re-scans
+        of the source panel to zero, and pins the values: re-executions
+        of the un-truncated lineage tripped a false broadcast-exchange
+        reuse in the deep union-of-joins plan (session-sticky row
+        duplication — every output row matched a second, column-swapped
+        quantile row; spark.sql.exchange.reuse=false confirmed the
+        diagnosis). Pass materialize=False to keep the lazy plan."""
         from pyspark.sql import Window
 
         from functime_spark.operators.cross_validation import _window_split
@@ -102,8 +114,10 @@ class Forecaster(SparkStatePickleMixin):
         p = panel_cols(y)
         splits = _window_split(y, test_size, n_splits, step_size, window_size)
         preds = []
+        trains = []
         for i, (train, test) in splits.items():
             train = train.persist()
+            trains.append(train)
             # refits share self.target_transform (fit-on-transform
             # resets its state each split; the loop is sequential, so
             # each split's invert sees that split's fitted params)
@@ -121,10 +135,14 @@ class Forecaster(SparkStatePickleMixin):
             if fitted.target_transform is not None:
                 y_pred = fitted.target_transform.invert(y_pred)
             preds.append(y_pred.withColumn("split", F.lit(i)))
-            train.unpersist()
         out = preds[0]
         for nxt in preds[1:]:
             out = out.unionByName(nxt)
+        if materialize:
+            # eager: runs while the split train frames are still cached
+            out = out.localCheckpoint()
+        for train in trains:
+            train.unpersist()
         return out
 
     def conformalize(
@@ -147,6 +165,10 @@ class Forecaster(SparkStatePickleMixin):
         (the reference's Polars default is nearest)."""
         alphas = alphas or [0.1, 0.9]
         p = panel_cols(y)
+        # backtest() localCheckpoints its (tiny) result; quantiles and the
+        # point forecast are likewise n_entities-scale, so materializing
+        # them keeps the final plan free of the panel-rescanning lineage
+        # (and of the false-exchange-reuse duplication — see backtest()).
         y_preds = self.backtest(y, test_size=test_size, n_splits=n_splits)
         target = y_preds.columns[2]
         actual = y.withColumnRenamed(p.target, "__actual")
@@ -158,26 +180,28 @@ class Forecaster(SparkStatePickleMixin):
             F.percentile("__resid", F.lit(a)).alias(f"__q_{_akey(a)}")
             for a in alphas
         ]
-        quantiles = resid.groupBy(p.entity).agg(*q_aggs)
-        y_point = self.fit(y).predict(fh)
+        quantiles = resid.groupBy(p.entity).agg(*q_aggs).localCheckpoint()
+        y_point = self.fit(y).predict(fh).localCheckpoint()
         combined = y_point.select(p.entity, p.time, target).unionByName(
             y_preds.select(p.entity, p.time, target)
         )
         out = combined.join(F.broadcast(quantiles), on=p.entity, how="left")
-        rows = []
-        for a in alphas:
-            rows.append(
-                out.select(
-                    p.entity,
-                    p.time,
-                    (F.col(target) + F.col(f"__q_{_akey(a)}")).alias(target),
-                    F.lit(int(round(a * 100))).alias("quantile"),
-                )
+        # one posexplode pass, not an n_alphas-way self-union: a single
+        # scan of `out` emits every (quantile-adjusted value, label) pair
+        pairs = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col(target) + F.col(f"__q_{_akey(a)}")).alias(target),
+                        F.lit(int(round(a * 100))).alias("quantile"),
+                    )
+                    for a in alphas
+                ]
             )
-        res = rows[0]
-        for nxt in rows[1:]:
-            res = res.unionByName(nxt)
-        return res
+        ).alias("__pair")
+        return out.select(p.entity, p.time, pairs).select(
+            p.entity, p.time, f"__pair.{target}", "__pair.quantile"
+        )
 
     def _init_kwargs(self) -> dict:
         return {"freq": self.freq}

@@ -340,7 +340,13 @@ class roll(Transformer):
             return F.unix_date(F.col(p.time)).cast("long"), (
                 n * self._UNIT_US[unit]
             ) // self._UNIT_US["d"]
-        return F.unix_micros(F.col(p.time)), n * self._UNIT_US[unit]
+        col = F.col(p.time)
+        if dtype == "timestamp_ntz":
+            # unix_micros rejects TIMESTAMP_NTZ (AnalysisException);
+            # reinterpret in the session zone (UTC for this engine) so
+            # RANGE frames get plain epoch-micros arithmetic
+            col = col.cast("timestamp_ltz")
+        return F.unix_micros(col), n * self._UNIT_US[unit]
 
     def transform(self, df: DataFrame) -> DataFrame:
         p = panel_cols(df)

@@ -7,6 +7,7 @@ from functime_spark.plans.checks import (  # noqa: F401
     assert_max_exchanges,
     codegen_spans,
     count_exchanges,
+    count_file_scans,
     explain_str,
     pushed_filters,
     python_eval_nodes,

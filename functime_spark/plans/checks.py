@@ -100,3 +100,11 @@ def python_eval_nodes(df: DataFrame) -> list:
     -tier operators must return []."""
     plan = explain_str(df, "simple")
     return [n for n in _PY_EVAL_NODES if n in plan]
+
+
+def count_file_scans(df: DataFrame) -> int:
+    """FileScan operators in the physical plan. A tiny result frame
+    whose plan re-scans the source parquet N times (un-materialized
+    backtest lineage) is an N-fold read amplification at 100 TB."""
+    plan = explain_str(df, "simple")
+    return len(re.findall(r"FileScan", plan))

@@ -61,10 +61,18 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB narrows ns → its us-precision TIMESTAMP).
     """
     df = load_table(spark, sf_dir, "events")
-    if dict(df.dtypes)["ts"] == "bigint":
+    dtype = dict(df.dtypes)["ts"]
+    if dtype == "bigint":
         # integer division — float division of int64 nanos loses
-        # precision (double has 53 mantissa bits) and shifts ts by ~1us
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # precision (double has 53 mantissa bits) and shifts ts by ~1us.
+        # cast to NTZ (session tz is UTC) so every Spark version yields
+        # the same canonical panel time dtype.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    elif dtype == "timestamp":
+        # defensive: some reader configs yield LTZ; canonicalize to NTZ
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 

@@ -489,3 +489,24 @@ def test_boosted_stumps_binned_mode(spark):
         assert any(abs(v - e) < 1e-12 for e in edges[j])
     pred = fc.predict(3).toPandas()
     assert len(pred) == 9 and pred["y"].notna().all()
+
+
+def test_conformal_deterministic_and_materialized(events):
+    """Regression for the r2 session-sticky row duplication: the
+    un-materialized backtest lineage tripped a false broadcast-exchange
+    reuse (~half of sessions returned every row twice, the duplicate
+    carrying the OTHER alpha's quantile). backtest/conformalize now
+    localCheckpoint their n_entities-scale intermediates, so (a)
+    count == collect length == the closed-form row count and (b) the
+    final plan re-scans the source parquet ZERO times (was 22)."""
+    from functime_spark.forecasting.naive import naive
+    from functime_spark.plans import count_file_scans
+
+    n_entities = events.select("user_id").distinct().count()
+    fh, test_size, n_splits = 3, 2, 2
+    ci = naive(freq="1h").conformalize(
+        events, fh=fh, alphas=[0.1, 0.9], test_size=test_size, n_splits=n_splits
+    )
+    expected = n_entities * (fh + test_size * n_splits) * 2
+    assert ci.count() == len(ci.collect()) == expected
+    assert count_file_scans(ci) <= 6

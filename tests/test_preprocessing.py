@@ -193,3 +193,42 @@ def test_boxcox_newton_matches_bracketing_search():
             assert abs(newton) >= 1.98
         else:
             assert abs(newton - golden) < 1e-6, (newton, golden)
+
+
+def test_roll_freq_on_loaded_events_parquet(events):
+    """roll(freq=...) must run on the events parquet as LOADED
+    (TIMESTAMP_NTZ ts — unix_micros rejects NTZ without the cast
+    branch; regression for the r2 AnalysisException). Values checked
+    against a brute-force pandas replay of the RANGE frame
+    [t-(w-1+shift)*u, t-shift*u]."""
+    from functime_spark.operators.preprocessing import roll
+
+    assert dict(events.dtypes)["ts"] == "timestamp_ntz"
+    w = 4
+    out = roll(window_sizes=[w], stats=["mean", "sum"], freq="1h").transform(events)
+    assert out.count() == events.count()
+
+    pdf = out.toPandas().sort_values(["user_id", "ts"]).reset_index(drop=True)
+    uid = pdf["user_id"].iloc[0]
+    ent = pdf[pdf["user_id"] == uid]
+    src = (
+        events.filter(F.col("user_id") == int(uid))
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    hour = np.timedelta64(3600, "s")
+    shift = w
+    for _, row in ent.iterrows():
+        lo = row["ts"] - np.timedelta64((w - 1 + shift) * 3600, "s")
+        hi = row["ts"] - np.timedelta64(shift * 3600, "s")
+        mask = (src["ts"] >= lo) & (src["ts"] <= hi)
+        vals = src.loc[mask, "value"]
+        got_mean = row[f"value__rolling_mean_{w}"]
+        got_sum = row[f"value__rolling_sum_{w}"]
+        if len(vals) == 0:
+            assert got_mean is None or np.isnan(got_mean)
+            assert got_sum is None or np.isnan(got_sum)
+        else:
+            assert np.isclose(got_mean, vals.mean())
+            assert np.isclose(got_sum, vals.sum())
