@@ -309,9 +309,13 @@ def embedding_near_dups(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 42,
+    max_bucket_size: int = 512,
 ) -> DataFrame:
     """Cosine near-duplicates via random-hyperplane LSH buckets +
-    exact verify inside buckets."""
+    exact verify inside buckets. Buckets larger than `max_bucket_size`
+    are dropped (see _cap_buckets) — a degenerate bucket (duplicate-
+    heavy or all-zero vectors, which every hyperplane sends to the
+    same side) would otherwise emit O(b^2) verify pairs."""
     import numpy as np
 
     first = emb.select(F.size(vec_col).alias("d")).first()
@@ -336,6 +340,7 @@ def embedding_near_dups(
     hashed = emb.select(
         F.col(id_col), (v).alias("__v"), bucket.alias("__bkt"), norm.alias("__n")
     )
+    hashed = _cap_buckets(hashed, ["__bkt"], max_bucket_size)
     a = hashed.alias("a")
     b = hashed.alias("b")
     dot = F.aggregate(

@@ -108,27 +108,38 @@ class IVFIndex:
         self.centroids = C
         return self
 
-    def _cell_expr(self, vec_col: str):
+    def assign(self, emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        """Nearest-centroid cell id as ONE narrow projection.
+
+        The centroid matrix rides in a broadcast single-row frame, not
+        in the expression tree: a literal when-chain (one branch per
+        centroid) is fine at 8 cells but blows up plan construction and
+        codegen at the 256-1024 cells a 100 TB index needs. The
+        broadcast join adds one row-free hash relation (n_cells x dim
+        doubles); distances + argmin are array expressions evaluated
+        per input row, so plan size is O(1) in n_cells and the big side
+        never shuffles. Ties take the lowest cell index (array_position
+        returns the first match), matching the oracle's replay."""
+        spark = emb.sparkSession
+        cens = spark.createDataFrame(
+            [([[float(x) for x in cen] for cen in self.centroids],)],
+            "__cens array<array<double>>",
+        )
         v = F.col(vec_col).cast("array<double>")
-        best_cell = F.lit(0)
-        best_d = None
-        for c, cen in enumerate(self.centroids):
-            arr = F.array(*[F.lit(float(x)) for x in cen])
-            d = F.aggregate(
-                F.zip_with(v, arr, lambda a, b: (a - b) * (a - b)),
+        dists = F.transform(
+            F.col("__cens"),
+            lambda cen: F.aggregate(
+                F.zip_with(v, cen, lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
-            )
-            if best_d is None:
-                best_d = d
-                best_cell = F.lit(c)
-            else:
-                best_cell = F.when(d < best_d, F.lit(c)).otherwise(best_cell)
-                best_d = F.least(d, best_d)
-        return best_cell
-
-    def assign(self, emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
-        return emb.withColumn("__cell", self._cell_expr(vec_col))
+            ),
+        )
+        cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        return (
+            emb.crossJoin(F.broadcast(cens))
+            .withColumn("__cell", cell)
+            .drop("__cens")
+        )
 
     def search(
         self,

@@ -120,24 +120,60 @@ def fingerprint(
     against a DuckDB replay). 31 bits of space is ample for winnowing
     identity; swap in xxhash64 if a larger space is ever needed."""
 
-    def poly_hash(scol):
-        codes = F.transform(
+    P = 2147483647
+    Bw = pow(131, window, P)  # 131^w mod p, precomputed driver-side
+
+    def codepoints(scol):
+        return F.transform(
             F.filter(F.split(scol, ""), lambda ch: ch != F.lit("")),
             lambda ch: F.ascii(ch).cast("long"),
         )
-        return F.aggregate(
-            codes,
-            F.lit(0).cast("long"),
-            lambda acc, x: (acc * 131 + x) % F.lit(2147483647),
-        )
 
     t = F.col(text_col)
-    n = F.length(t)
-    starts = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
-    hashes = F.transform(starts, lambda i: poly_hash(F.substring(t, i, window)))
+    # materialize the codepoint array ONCE per row: referencing the
+    # raw codepoints(t) expression inside the aggregate lambda would
+    # re-run split+filter+transform for every element_at probe (O(n^2))
+    docs = docs.withColumn("__codes", codepoints(t))
+    codes = F.col("__codes")
+    n = F.size(codes)
+    # O(n) rolling recurrence (was O(n*w): re-hashing every substring):
+    # H after char i = hash of the last min(i, w) chars;
+    #   H' = pmod(H*131 + c_i - [i > w] * c_{i-w} * 131^w, p).
+    # The window hashes are H at i in [w, n] (or i = n for short docs);
+    # only their running min/max is carried — O(1) state, no array
+    # build-up. Values are bit-identical to the per-substring fold (each
+    # step is a residue mod p), so the DuckDB oracle replay still
+    # matches. |H*131 + c - c*Bw| < 2^62 — no long overflow.
+    idx = F.sequence(F.lit(1), F.greatest(n, F.lit(1)))
+    init = F.struct(
+        F.lit(0).cast("long").alias("h"),
+        F.lit(None).cast("long").alias("mn"),
+        F.lit(None).cast("long").alias("mx"),
+    )
+
+    def step(acc, i):
+        c_in = F.coalesce(F.element_at(codes, i), F.lit(0).cast("long"))
+        c_out = F.when(
+            i > window, F.element_at(codes, (i - window).cast("int")) * F.lit(Bw)
+        ).otherwise(F.lit(0).cast("long"))
+        h = F.pmod(acc["h"] * 131 + c_in - c_out, F.lit(P))
+        active = i >= F.least(F.lit(window), n)
+        return F.struct(
+            h.alias("h"),
+            F.when(active, F.least(acc["mn"], h)).otherwise(acc["mn"]).alias("mn"),
+            F.when(active, F.greatest(acc["mx"], h)).otherwise(acc["mx"]).alias("mx"),
+        )
+
+    full = F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, x: (acc * 131 + x) % F.lit(P)
+    )
+    # one column per aggregate: struct-field access re-evaluates its
+    # base expression, so reading mn/mx straight off F.aggregate(...)
+    # would run the whole scan once per field
+    docs = docs.withColumn("__rolled", F.aggregate(idx, init, step))
     return docs.select(
         F.col(id_col),
-        F.array_min(hashes).alias("fp_min"),
-        F.array_max(hashes).alias("fp_max"),
-        poly_hash(t).alias("fp_full"),
+        F.coalesce(F.col("__rolled.mn"), F.lit(0).cast("long")).alias("fp_min"),
+        F.coalesce(F.col("__rolled.mx"), F.lit(0).cast("long")).alias("fp_max"),
+        full.alias("fp_full"),
     )

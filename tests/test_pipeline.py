@@ -329,3 +329,59 @@ def test_conversion_numpy_matrix(spark):
     np.testing.assert_allclose(X[:, 1], [5.0, 4.0, 6.0])  # nan -> mean(4,6)=5
     y = y_to_numpy(df.select("e", "t", "f2"))
     np.testing.assert_allclose(y, [5.0, 4.0, 6.0])
+
+
+def test_embedding_lsh_bucket_cap_bounds_skew(spark):
+    """10k identical vectors all land in ONE hyperplane bucket — without
+    the cap that is ~5*10^7 verify pairs. The capped path drops the hot
+    bucket (bounded output, fast) while still pairing the distinct
+    near-dup vectors planted outside it."""
+    import random
+
+    from functime_spark.pipeline.dedup import embedding_near_dups
+
+    random.seed(7)
+    hot = [1.0, 2.0, 3.0, 4.0]
+    rows = [(i, hot) for i in range(10_000)]
+    # two near-identical distinct vectors, far from `hot`'s bucket side
+    a = [-1.0, 5.0, -2.0, 0.5]
+    b = [-1.01, 5.02, -1.98, 0.5]
+    rows += [(10_000, a), (10_001, b)]
+    rows += [
+        (10_002 + j, [random.uniform(-1, 1) for _ in range(4)]) for j in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_near_dups(emb, threshold=0.99).collect()
+    keys = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (10_000, 10_001) in keys
+    assert len(pairs) < 1_000
+
+
+def test_ivf_assign_scales_to_many_cells(emb):
+    """The cell assignment must stay a broadcast-join + array argmin:
+    at n_cells=256 the old literal when-chain took unbounded plan-build
+    time and produced a 256-branch expression tree. Pin: plan builds
+    fast and contains no per-centroid CASE WHEN cascade."""
+    import time
+
+    import numpy as np
+
+    from functime_spark.pipeline.similarity import IVFIndex
+    from functime_spark.plans import explain_str
+
+    dim = len(emb.first()["embedding"])
+    ivf = IVFIndex(n_cells=256)
+    rng = np.random.default_rng(0)
+    ivf.centroids = rng.standard_normal((256, dim))
+    t0 = time.monotonic()
+    assigned = ivf.assign(emb)
+    build_s = time.monotonic() - t0
+    assert build_s < 1.0, f"assign() plan build took {build_s:.2f}s"
+    plan = explain_str(assigned, "simple")
+    assert plan.count("CASE WHEN") < 10
+    # correctness at many cells: argmin matches numpy on a sample
+    rows = assigned.limit(20).collect()
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype="float64")
+        want = int(((ivf.centroids - v) ** 2).sum(axis=1).argmin())
+        assert r["__cell"] == want
