@@ -351,7 +351,7 @@ def q_future_calendar(spark, sf_dir):
 
 
 def q_future_holidays(spark, sf_dir):
-    """US + DE holiday columns over a 400-day future index (ref
+    """US + DE + GB holiday columns over a 400-day future index (ref
     calendar.py:56-152) from the vendored calendars — the span covers
     every fixed, nth-weekday, and Easter-computus rule, each replayed
     independently in the DuckDB oracle."""
@@ -359,7 +359,7 @@ def q_future_holidays(spark, sf_dir):
     from functime_spark.operators.seasonality import make_future_holiday_effects
 
     df = events_panel(spark, sf_dir)
-    out = make_future_holiday_effects(df, ["US", "DE"], fh=400, freq="1d")
+    out = make_future_holiday_effects(df, ["US", "DE", "GB"], fh=400, freq="1d")
     return out.orderBy("user_id", "ts")
 
 

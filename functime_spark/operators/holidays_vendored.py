@@ -89,3 +89,77 @@ def vendored_holidays(country_code: str, years) -> list:
     for y in years:
         out.extend(gen(y))
     return out
+
+
+def _gb(year: int) -> list:
+    """England & Wales bank holidays (standard public rules; one-off
+    royal-event holidays and substitute days are not modeled)."""
+    easter = _easter(year)
+    d = _dt.timedelta
+    return [
+        (_dt.date(year, 1, 1), "new_years_day"),
+        (easter - d(2), "good_friday"),
+        (easter + d(1), "easter_monday"),
+        (_nth_weekday(year, 5, 0, 1), "may_day"),
+        (_nth_weekday(year, 5, 0, -1), "spring_bank_holiday"),
+        (_nth_weekday(year, 8, 0, -1), "summer_bank_holiday"),
+        (_dt.date(year, 12, 25), "christmas_day"),
+        (_dt.date(year, 12, 26), "boxing_day"),
+    ]
+
+
+def _fr(year: int) -> list:
+    easter = _easter(year)
+    d = _dt.timedelta
+    return [
+        (_dt.date(year, 1, 1), "jour_de_lan"),
+        (easter + d(1), "lundi_de_paques"),
+        (_dt.date(year, 5, 1), "fete_du_travail"),
+        (_dt.date(year, 5, 8), "armistice_1945"),
+        (easter + d(39), "ascension"),
+        (easter + d(50), "lundi_de_pentecote"),
+        (_dt.date(year, 7, 14), "fete_nationale"),
+        (_dt.date(year, 8, 15), "assomption"),
+        (_dt.date(year, 11, 1), "toussaint"),
+        (_dt.date(year, 11, 11), "armistice_1918"),
+        (_dt.date(year, 12, 25), "noel"),
+    ]
+
+
+def _jp_equinox(year: int, vernal: bool) -> _dt.date:
+    """Standard astronomical approximation for Japan's equinox
+    holidays, valid 1980-2099 (public formula)."""
+    base = 20.8431 if vernal else 23.2488
+    day = int(base + 0.242194 * (year - 1980) - (year - 1980) // 4)
+    return _dt.date(year, 3 if vernal else 9, day)
+
+
+def _jp(year: int) -> list:
+    """Japan national holidays, current-law rules (substitute-holiday
+    shifts not modeled)."""
+    e = [
+        (_dt.date(year, 1, 1), "ganjitsu"),
+        (_dt.date(year, 2, 11), "kenkoku_kinen_no_hi"),
+        (_jp_equinox(year, True), "shunbun_no_hi"),
+        (_dt.date(year, 4, 29), "showa_no_hi"),
+        (_dt.date(year, 5, 3), "kenpo_kinenbi"),
+        (_dt.date(year, 5, 4), "midori_no_hi"),
+        (_dt.date(year, 5, 5), "kodomo_no_hi"),
+        (_jp_equinox(year, False), "shubun_no_hi"),
+        (_dt.date(year, 11, 3), "bunka_no_hi"),
+        (_dt.date(year, 11, 23), "kinro_kansha_no_hi"),
+    ]
+    if year >= 2000:
+        e.append((_nth_weekday(year, 1, 0, 2), "seijin_no_hi"))
+        e.append((_nth_weekday(year, 10, 0, 2), "supotsu_no_hi"))
+    if year >= 2003:
+        e.append((_nth_weekday(year, 7, 0, 3), "umi_no_hi"))
+        e.append((_nth_weekday(year, 9, 0, 3), "keiro_no_hi"))
+    if year >= 2016:
+        e.append((_dt.date(year, 8, 11), "yama_no_hi"))
+    if year >= 2020:
+        e.append((_dt.date(year, 2, 23), "tenno_tanjobi"))
+    return e
+
+
+_COUNTRIES.update({"GB": _gb, "FR": _fr, "JP": _jp})

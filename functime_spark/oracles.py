@@ -984,16 +984,31 @@ def operator_oracles() -> dict:
         "UNION ALL SELECT make_date(y,12,25), 'erster_weihnachtstag' FROM yrs "
         "UNION ALL SELECT make_date(y,12,26), 'zweiter_weihnachtstag' FROM yrs"
     )
+    _gb_rules = (
+        "SELECT make_date(y,1,1) AS d, 'new_years_day' AS nm FROM yrs "
+        "UNION ALL SELECT e - to_days(2), 'good_friday' FROM easter "
+        "UNION ALL SELECT e + to_days(1), 'easter_monday' FROM easter "
+        "UNION ALL SELECT make_date(y,5,1) + to_days(CAST((8 - isodow(make_date(y,5,1))) % 7 AS INT)), "
+        "'may_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,5,31) - to_days(CAST((isodow(make_date(y,5,31)) - 1) % 7 AS INT)), "
+        "'spring_bank_holiday' FROM yrs "
+        "UNION ALL SELECT make_date(y,8,31) - to_days(CAST((isodow(make_date(y,8,31)) - 1) % 7 AS INT)), "
+        "'summer_bank_holiday' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'christmas_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,26), 'boxing_day' FROM yrs"
+    )
     o["future_holidays"] = (
         "WITH c AS (SELECT user_id, MAX(ts) AS low FROM events GROUP BY user_id), "
         "fut AS (SELECT c.user_id, c.low + i * INTERVAL '1 day' AS ts "
         "FROM c, generate_series(1, 400) AS g(i)), "
         "yrs AS (SELECT DISTINCT year(ts) AS y FROM fut), "
         f"{_computus}, "
-        f"us AS ({_us_rules}), de AS ({_de_rules}) "
-        "SELECT f.user_id, f.ts, us.nm AS holiday__us, de.nm AS holiday__de "
+        f"us AS ({_us_rules}), de AS ({_de_rules}), gb AS ({_gb_rules}) "
+        "SELECT f.user_id, f.ts, us.nm AS holiday__us, de.nm AS holiday__de, "
+        "gb.nm AS holiday__gb "
         "FROM fut f LEFT JOIN us ON CAST(f.ts AS DATE) = us.d "
         "LEFT JOIN de ON CAST(f.ts AS DATE) = de.d "
+        "LEFT JOIN gb ON CAST(f.ts AS DATE) = gb.d "
         "ORDER BY user_id, ts"
     )
 

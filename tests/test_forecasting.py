@@ -510,3 +510,61 @@ def test_conformal_deterministic_and_materialized(events):
     expected = n_entities * (fh + test_size * n_splits) * 2
     assert ci.count() == len(ci.collect()) == expected
     assert count_file_scans(ci) <= 6
+
+
+def test_lasso_ic_recovers_sparse_weights():
+    """The numpy L1-path + AIC stacker (the LassoLarsIC stand-in) must
+    recover a sparse blend: y = 2*x1 + 0*x2 + noise → coef on x2 ~ 0."""
+    import numpy as np
+
+    from functime_spark.forecasting.elite import _lasso_ic
+
+    rng = np.random.default_rng(3)
+    x1 = rng.standard_normal(400)
+    x2 = rng.standard_normal(400)
+    y = 2.0 * x1 + 0.01 * rng.standard_normal(400) + 1.5
+    b0, coefs = _lasso_ic(np.column_stack([x1, x2]), y)
+    assert abs(coefs[0] - 2.0) < 0.05
+    assert abs(coefs[1]) < 0.05
+    assert abs(b0 - 1.5) < 0.05
+
+
+def test_elite_lasso_stacking_beats_mean_blend(spark):
+    """On a pure linear-trend panel the AR linear forecaster is
+    near-exact while naive lags one level behind; the lasso stacker
+    should weight linear ~1 (ref elite.py ensemble_strategy='lasso'),
+    beating the naive+linear mean blend."""
+    import datetime
+
+    import numpy as np
+
+    from functime_spark.forecasting.elite import elite
+    from functime_spark.forecasting.linear import linear_model
+    from functime_spark.forecasting.naive import naive
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for e in range(6):
+        for i in range(40):
+            rows.append((e, t0 + datetime.timedelta(hours=i), 10.0 * e + 2.0 * i))
+    y = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, value double")
+    bank = {
+        "naive": lambda: naive(freq="1h"),
+        "linear": lambda: linear_model(freq="1h", lags=2),
+    }
+    fh = 4
+
+    def mae_of(fc):
+        pred = fc.fit(y).predict(fh).toPandas()
+        err = []
+        for r in pred.itertuples():
+            i = 40 + (r.ts - t0).total_seconds() / 3600 - 40
+            truth = 10.0 * r.user_id + 2.0 * ((r.ts - t0).total_seconds() / 3600)
+            err.append(abs(r.value - truth))
+        return float(np.mean(err))
+
+    kw = dict(freq="1h", lags=2, top_k=2, test_size=4, n_splits=2, bank=bank)
+    mae_mean = mae_of(elite(ensemble_strategy="mean", **kw))
+    mae_lasso = mae_of(elite(ensemble_strategy="lasso", **kw))
+    assert mae_lasso < mae_mean * 0.5, (mae_lasso, mae_mean)
+    assert mae_lasso < 0.2

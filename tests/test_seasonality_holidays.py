@@ -34,3 +34,33 @@ def test_add_holiday_effects_flags_rows(spark):
     assert out[1] == "new_years_day"
     assert out[2] is None
     assert out[15] == "martin_luther_king_jr._day"
+
+
+def test_gb_fr_jp_known_dates():
+    """Spot-check the round-3 vendored calendars against well-known
+    published dates (2024): UK bank holidays, French jours feries,
+    and Japan's equinox-formula holidays."""
+    import datetime as dt
+
+    from functime_spark.operators.holidays_vendored import vendored_holidays
+
+    gb = dict((n, d) for d, n in vendored_holidays("GB", [2024]))
+    assert gb["good_friday"] == dt.date(2024, 3, 29)
+    assert gb["may_day"] == dt.date(2024, 5, 6)
+    assert gb["spring_bank_holiday"] == dt.date(2024, 5, 27)
+    assert gb["summer_bank_holiday"] == dt.date(2024, 8, 26)
+
+    fr = dict((n, d) for d, n in vendored_holidays("FR", [2024]))
+    assert fr["lundi_de_paques"] == dt.date(2024, 4, 1)
+    assert fr["ascension"] == dt.date(2024, 5, 9)
+    assert fr["lundi_de_pentecote"] == dt.date(2024, 5, 20)
+
+    jp = dict((n, d) for d, n in vendored_holidays("JP", [2024]))
+    assert jp["shunbun_no_hi"] == dt.date(2024, 3, 20)
+    assert jp["shubun_no_hi"] == dt.date(2024, 9, 22)
+    assert jp["seijin_no_hi"] == dt.date(2024, 1, 8)
+    assert jp["umi_no_hi"] == dt.date(2024, 7, 15)
+    assert jp["supotsu_no_hi"] == dt.date(2024, 10, 14)
+    # pre-2016 has no Mountain Day; pre-2020 no Feb 23 Emperor birthday
+    jp15 = dict((n, d) for d, n in vendored_holidays("JP", [2015]))
+    assert "yama_no_hi" not in jp15 and "tenno_tanjobi" not in jp15
