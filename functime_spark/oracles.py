@@ -1996,4 +1996,30 @@ ORDER BY 1, 2
         "ORDER BY list_cosine_similarity(emb, qv.q) DESC, vec_id LIMIT 5"
     )
 
+    # feat_udf_lempel_ziv: the LZ76 two-pointer distinct-substring scan
+    # (features_udf.py:82-104) replayed as a recursive CTE: state =
+    # (ind, inc, seen-substring list) over the binarized series; one
+    # recursion step per scan step (<= 2n), terminal row = the first
+    # state with ind + inc > n. as_ratio divides by series length.
+    o["feat_udf_lempel_ziv"] = (
+        "WITH RECURSIVE bits AS ("
+        "SELECT user_id, string_agg(CASE WHEN value > 50.0 THEN '1' ELSE '0' END, "
+        "'' ORDER BY ts) AS b, COUNT(*) AS n FROM events GROUP BY user_id), "
+        "lz AS ("
+        "SELECT user_id, b, n, 0 AS ind, 1 AS inc, "
+        "CAST([] AS VARCHAR[]) AS subs FROM bits "
+        "UNION ALL "
+        "SELECT user_id, b, n, "
+        "CASE WHEN hit THEN ind ELSE ind + inc END, "
+        "CASE WHEN hit THEN inc + 1 ELSE 1 END, "
+        "CASE WHEN hit THEN subs ELSE list_append(subs, sub) END "
+        "FROM (SELECT *, substr(b, ind + 1, inc) AS sub, "
+        "list_contains(subs, substr(b, ind + 1, inc)) AS hit "
+        "FROM lz WHERE ind + inc <= n)) "
+        "SELECT user_id, "
+        + _r("len(subs) / CAST(n AS DOUBLE)")
+        + " AS lempel_ziv_complexity FROM lz WHERE ind + inc > n "
+        "ORDER BY user_id"
+    )
+
     return o
