@@ -121,18 +121,22 @@ class LinearBackend:
 
     def _fit_normal(self, df: DataFrame, feature_cols: list, target_col: str):
         k = len(feature_cols)
-        cols = list(feature_cols) + ([] if not self.fit_intercept else [None])
-        aggs = []
-        # upper triangle of X'X (with intercept column of ones)
-        def col_of(i):
-            return F.lit(1.0) if cols[i] is None else F.col(cols[i])
-
-        m = len(cols)
+        # upper triangle of X'X (with intercept column of ones).
+        # The k(k+1)/2 aggregate expressions are built as ONE SQL
+        # string list: constructing them as Column objects costs one
+        # py4j round-trip per node (~0.6 s of driver time at lags=12),
+        # while selectExpr ships the whole batch in a single call and
+        # parses JVM-side.
+        names = [f"`{c}`" for c in feature_cols] + (
+            ["1.0"] if self.fit_intercept else []
+        )
+        m = len(names)
+        exprs = []
         for i in range(m):
             for j in range(i, m):
-                aggs.append(F.sum(col_of(i) * col_of(j)).alias(f"xx_{i}_{j}"))
-            aggs.append(F.sum(col_of(i) * F.col(target_col)).alias(f"xy_{i}"))
-        row = df.na.drop(subset=feature_cols).agg(*aggs).first()
+                exprs.append(f"sum({names[i]} * {names[j]}) AS xx_{i}_{j}")
+            exprs.append(f"sum({names[i]} * `{target_col}`) AS xy_{i}")
+        row = df.na.drop(subset=feature_cols).selectExpr(*exprs).first()
         xtx = np.zeros((m, m))
         xty = np.zeros(m)
         for i in range(m):
