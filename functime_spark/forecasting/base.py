@@ -109,15 +109,20 @@ class Forecaster(SparkStatePickleMixin):
         diagnosis). Pass materialize=False to keep the lazy plan."""
         from pyspark.sql import Window
 
-        from functime_spark.operators.cross_validation import _window_split
+        from functime_spark.operators.cross_validation import _annotate, _window_split
 
         p = panel_cols(y)
-        splits = _window_split(y, test_size, n_splits, step_size, window_size)
+        # annotate (per-entity row index + length) ONCE and cache it:
+        # every split's train AND test is a cheap filter on this frame,
+        # so the whole backtest pays one window+shuffle pass over the
+        # panel instead of 2*n_splits.
+        ann = _annotate(y)
+        annotated = (ann[0].persist(), ann[1])
+        splits = _window_split(
+            y, test_size, n_splits, step_size, window_size, annotated=annotated
+        )
         preds = []
-        trains = []
         for i, (train, test) in splits.items():
-            train = train.persist()
-            trains.append(train)
             # refits share self.target_transform (fit-on-transform
             # resets its state each split; the loop is sequential, so
             # each split's invert sees that split's fitted params)
@@ -139,10 +144,9 @@ class Forecaster(SparkStatePickleMixin):
         for nxt in preds[1:]:
             out = out.unionByName(nxt)
         if materialize:
-            # eager: runs while the split train frames are still cached
+            # eager: runs while the annotated frame is still cached
             out = out.localCheckpoint()
-        for train in trains:
-            train.unpersist()
+        annotated[0].unpersist()
         return out
 
     def conformalize(

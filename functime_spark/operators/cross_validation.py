@@ -49,13 +49,19 @@ def train_test_split(df: DataFrame, test_size=0.25):
     return train, test
 
 
-def _window_split(df: DataFrame, test_size: int, n_splits: int, step_size: int, window_size=None):
+def _window_split(df: DataFrame, test_size: int, n_splits: int, step_size: int, window_size=None, annotated=None):
     """Shared slicing engine. Ref cross_validation.py:253-289.
 
     cutoffs (rows back from the end where each test block starts) =
     reversed [test_size, test_size + step, ..., test_size + (n_splits-1)*step].
-    """
-    ann, e = _annotate(df)
+
+    Pass `annotated` (the `_annotate(df)` result) to share ONE
+    row-index window pass across every split — callers that persist it
+    (backtest) turn 2*n_splits window+shuffle passes into one."""
+    if annotated is not None:
+        ann, e = annotated
+    else:
+        ann, e = _annotate(df)
     cutoffs = [test_size + i * step_size for i in range(n_splits)][::-1]
     splits = {}
     for i, cutoff in enumerate(cutoffs):
