@@ -958,6 +958,21 @@ def q_preproc_boxcox_lambdas(spark, sf_dir):
     return _round_floats(t.lmbds).orderBy("user_id")
 
 
+def q_preproc_yeojohnson_lambdas(spark, sf_dir):
+    """Per-entity Yeo-Johnson MLE lambdas on the MEAN-SHIFTED events
+    panel (value - 50 → mixed signs, exercising BOTH YJ branches).
+    Same fixed-point design as the Box-Cox gate: 81-point grid seed +
+    15 Newton steps, replayed identically in a recursive CTE (the
+    negative branch is the Box-Cox form in mu = 2 - lambda)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.preprocessing import yeojohnson
+
+    df = events_panel(spark, sf_dir).withColumn("value", F.col("value") - 50.0)
+    t = yeojohnson()
+    t.transform(df)
+    return _round_floats(t.lmbds).orderBy("user_id")
+
+
 def q_forecast_conformal(spark, sf_dir):
     """ENBPI conformal intervals on the naive forecaster (ref
     conformal.py:6-74): per-entity backtest-residual quantiles
@@ -1119,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "preproc_roll_freq": q_preproc_roll_freq,
             "preproc_impute_mean": q_preproc_impute_mean,
             "preproc_boxcox_lambdas": q_preproc_boxcox_lambdas,
+            "preproc_yeojohnson_lambdas": q_preproc_yeojohnson_lambdas,
             "preproc_deseasonalize": q_preproc_deseasonalize,
             "conversion_roundtrip": q_conversion_roundtrip,
             "eval_acf": q_eval_acf,
@@ -1147,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preproc_roll",
         "m4_smape",
         "preproc_boxcox_lambdas",
+        "preproc_yeojohnson_lambdas",
         "preproc_deseasonalize",
         "cusum_events",
         "feat_udf_cwt",

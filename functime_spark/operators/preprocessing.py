@@ -755,23 +755,29 @@ def _boxcox_lmbd(x) -> float:
 
 
 def _yeojohnson_lmbd(x) -> float:
-    """MLE lambda for Yeo-Johnson."""
+    """MLE lambda for Yeo-Johnson: coarse-grid seed + Newton on the
+    profile-likelihood gradient — the same fixed-point design as
+    `_boxcox_lmbd` (see its docstring for why Newton, not bracketing:
+    engine-exact replayability). The negative branch is the Box-Cox
+    form in mu = 2 - lambda of (1 - x): y = -g(mu), so
+    dy/dlambda = +g'(mu) and d2y/dlambda2 = -g''(mu)."""
     import numpy as np
 
     x = np.asarray(x, dtype="float64")
     x = x[~np.isnan(x)]
     n = len(x)
-    sign_sum = (np.sign(x) * np.log1p(np.abs(x))).sum()
+    pos = x >= 0
+    m = np.log1p(np.abs(x))  # log(1+x) for pos, log(1-x) for neg
+    sign_sum = (np.where(pos, m, -m)).sum()
 
     def _yj(lmb: float):
         y = np.empty_like(x)
-        pos = x >= 0
         if abs(lmb) < 1e-19:
-            y[pos] = np.log1p(x[pos])
+            y[pos] = m[pos]
         else:
             y[pos] = (np.power(x[pos] + 1, lmb) - 1) / lmb
         if abs(lmb - 2) < 1e-19:
-            y[~pos] = -np.log1p(-x[~pos])
+            y[~pos] = -m[~pos]
         else:
             y[~pos] = -(np.power(-x[~pos] + 1, 2 - lmb) - 1) / (2 - lmb)
         return y
@@ -782,7 +788,45 @@ def _yeojohnson_lmbd(x) -> float:
             return np.inf
         return -(-n / 2 * np.log(var) + (lmb - 1) * sign_sum)
 
-    return _brent_bounded(neg_llf, -2.0, 2.0)
+    lam = min((-2.0 + 0.05 * i for i in range(81)), key=lambda l: (neg_llf(l), l))
+    if lam == 0.0:  # pos-branch Newton form divides by lambda
+        lam = 0.025
+    if lam == 2.0:  # neg-branch divides by mu = 2 - lambda
+        lam = 1.975
+    for _ in range(15):
+        y = np.empty_like(x)
+        yp = np.empty_like(x)
+        ypp = np.empty_like(x)
+        # pos: boxcox derivatives in lambda on (1 + x)
+        xl = np.power(x[pos] + 1, lam)
+        y[pos] = (xl - 1) / lam
+        yp[pos] = (m[pos] * xl) / lam - y[pos] / lam
+        ypp[pos] = (
+            (m[pos] * m[pos] * xl) / lam
+            - 2 * (m[pos] * xl) / lam**2
+            + 2 * y[pos] / lam**2
+        )
+        # neg: boxcox derivatives in mu on (1 - x), chain-ruled
+        mu = 2.0 - lam
+        z = np.power(-x[~pos] + 1, mu)
+        gg = (z - 1) / mu
+        gp = (m[~pos] * z) / mu - gg / mu
+        gpp = (
+            (m[~pos] * m[~pos] * z) / mu
+            - 2 * (m[~pos] * z) / mu**2
+            + 2 * gg / mu**2
+        )
+        y[~pos] = -gg
+        yp[~pos] = gp
+        ypp[~pos] = -gpp
+        my, myp, mypp = y.mean(), yp.mean(), ypp.mean()
+        v = (y * y).mean() - my * my
+        vp = 2 * ((y * yp).mean() - my * myp)
+        vpp = 2 * ((yp * yp).mean() + (y * ypp).mean() - myp * myp - my * mypp)
+        g = -sign_sum + n / 2 * vp / v
+        gp_ = n / 2 * (vpp * v - vp * vp) / (v * v)
+        lam = min(1.975, max(-2.0, lam - g / gp_))
+    return lam
 
 
 class _power_transform(Transformer):

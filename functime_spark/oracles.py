@@ -1364,6 +1364,60 @@ def operator_oracles() -> dict:
         "FROM it WHERE k = 15 ORDER BY user_id"
     )
 
+    # preproc_yeojohnson_lambdas: the YJ MLE replayed like the Box-Cox
+    # gate (same grid argmax + 15-step Newton recursive CTE). Both
+    # sign branches are exercised (the query shifts values by -50);
+    # the negative branch is the Box-Cox form in mu = 2 - lambda of
+    # (1 - x), chain-ruled: y = -g, y' = +g', y'' = -g''.
+    def _yj_y(l: str) -> str:
+        return (
+            "CASE WHEN xs >= 0 THEN "
+            f"CASE WHEN abs({l}) < 1e-19 THEN ln(1 + xs) "
+            f"ELSE (POWER(1 + xs, {l}) - 1) / {l} END "
+            f"ELSE CASE WHEN abs({l} - 2) < 1e-19 THEN -ln(1 - xs) "
+            f"ELSE -(POWER(1 - xs, 2 - {l}) - 1) / (2 - {l}) END END"
+        )
+
+    o["preproc_yeojohnson_lambdas"] = (
+        "WITH RECURSIVE "
+        "xs0 AS (SELECT user_id AS e, value - 50 AS xs FROM events), "
+        "grid AS (SELECT e, CAST(i AS DOUBLE) * CAST(0.05 AS DOUBLE) - 2 AS l "
+        "FROM (SELECT DISTINCT e FROM xs0), range(0, 81) t(i)), "
+        "gs AS (SELECT grid.e, grid.l, "
+        "-((grid.l - 1) * SUM(CASE WHEN xs >= 0 THEN ln(1 + xs) ELSE -ln(1 - xs) END) "
+        "- COUNT(*) / 2.0 * ln(var_pop(" + _yj_y("grid.l") + "))) AS nll "
+        "FROM grid JOIN xs0 ON xs0.e = grid.e GROUP BY 1, 2), "
+        "seed AS (SELECT e, CASE WHEN l = 0 THEN CAST(0.025 AS DOUBLE) "
+        "WHEN l = 2 THEN CAST(1.975 AS DOUBLE) ELSE l END AS l FROM "
+        "(SELECT e, l, row_number() OVER (PARTITION BY e ORDER BY nll ASC, l ASC) "
+        "AS rn FROM gs) WHERE rn = 1), "
+        "it AS (SELECT e, 0 AS k, l FROM seed "
+        "UNION ALL SELECT e, k + 1, "
+        "GREATEST(-2, LEAST(1.975, l - (-slog + n / 2 * vp / v) / "
+        "(n / 2 * (vpp * v - vp * vp) / (v * v)))) FROM ("
+        "SELECT e, k, l, CAST(COUNT(*) AS DOUBLE) AS n, SUM(sm) AS slog, "
+        "AVG(y*y) - AVG(y)*AVG(y) AS v, "
+        "2 * (AVG(y*yp) - AVG(y)*AVG(yp)) AS vp, "
+        "2 * (AVG(yp*yp) + AVG(y*ypp) - AVG(yp)*AVG(yp) - AVG(y)*AVG(ypp)) AS vpp "
+        "FROM (SELECT e, k, l, "
+        "CASE WHEN xs >= 0 THEN m ELSE -m END AS sm, "
+        "CASE WHEN xs >= 0 THEN gg ELSE -gg END AS y, "
+        "CASE WHEN xs >= 0 THEN (m * w) / l - gg / l "
+        "ELSE (m * w) / mu - gg / mu END AS yp, "
+        "CASE WHEN xs >= 0 THEN (m*m*w) / l - 2*(m*w)/(l*l) + 2*gg/(l*l) "
+        "ELSE -((m*m*w) / mu - 2*(m*w)/(mu*mu) + 2*gg/(mu*mu)) END AS ypp "
+        "FROM (SELECT *, CASE WHEN xs >= 0 THEN (w - 1) / l ELSE (w - 1) / mu END AS gg "
+        "FROM (SELECT *, CASE WHEN xs >= 0 THEN POWER(1 + xs, l) "
+        "ELSE POWER(1 - xs, mu) END AS w "
+        "FROM (SELECT it.e, it.k, it.l, xs0.xs, "
+        "CASE WHEN xs0.xs >= 0 THEN ln(1 + xs0.xs) ELSE ln(1 - xs0.xs) END AS m, "
+        "2 - it.l AS mu "
+        "FROM it JOIN xs0 ON xs0.e = it.e WHERE it.k < 15) z1) z2) z3) z4 "
+        "GROUP BY 1, 2, 3) s) "
+        f"SELECT e AS user_id, {_r('l')} AS value__lmbd "
+        "FROM it WHERE k = 15 ORDER BY user_id"
+    )
+
     # forecast_stumps: the exact-greedy depth-1 booster replayed — per
     # boosting round, residuals against the stumps-so-far aggregate per
     # distinct feature value, window cumsums give left/right sufficient

@@ -232,3 +232,59 @@ def test_roll_freq_on_loaded_events_parquet(events):
         else:
             assert np.isclose(got_mean, vals.mean())
             assert np.isclose(got_sum, vals.sum())
+
+
+def test_yeojohnson_newton_matches_bracketing_search():
+    """The YJ grid+Newton fixed-point search (SQL-replayable) must land
+    on the same MLE the bounded golden-section search finds — mirrors
+    the Box-Cox guard. Boundary-clamped optima (|l| near the clamp)
+    only need to agree on saturation."""
+    import numpy as np
+
+    from functime_spark.operators.preprocessing import (
+        _brent_bounded,
+        _yeojohnson_lmbd,
+    )
+
+    def brent_yj(x):
+        x = np.asarray(x, dtype="float64")
+        x = x[~np.isnan(x)]
+        n = len(x)
+        pos = x >= 0
+        m = np.log1p(np.abs(x))
+        sign_sum = (np.where(pos, m, -m)).sum()
+
+        def _yj(lmb):
+            y = np.empty_like(x)
+            if abs(lmb) < 1e-19:
+                y[pos] = m[pos]
+            else:
+                y[pos] = (np.power(x[pos] + 1, lmb) - 1) / lmb
+            if abs(lmb - 2) < 1e-19:
+                y[~pos] = -m[~pos]
+            else:
+                y[~pos] = -(np.power(-x[~pos] + 1, 2 - lmb) - 1) / (2 - lmb)
+            return y
+
+        def nll(l):
+            var = _yj(l).var()
+            return np.inf if var <= 0 else -(-n / 2 * np.log(var) + (l - 1) * sign_sum)
+
+        return _brent_bounded(nll, -2.0, 2.0)
+
+    rng = np.random.default_rng(11)
+    for i in range(24):
+        kind = i % 4
+        if kind == 0:
+            x = rng.gamma(2, 3, 80) - 5
+        elif kind == 1:
+            x = rng.standard_normal(80) * 10
+        elif kind == 2:
+            x = np.exp(rng.standard_normal(80)) - 0.5
+        else:
+            x = -np.exp(rng.standard_normal(80)) + 0.5
+        newton, golden = _yeojohnson_lmbd(x), brent_yj(x)
+        if abs(golden) >= 1.95:
+            assert abs(newton) >= 1.95
+        else:
+            assert abs(newton - golden) < 1e-5, (i, newton, golden)
