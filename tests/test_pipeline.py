@@ -385,3 +385,31 @@ def test_ivf_assign_scales_to_many_cells(emb):
         v = np.asarray(r["embedding"], dtype="float64")
         want = int(((ivf.centroids - v) ** 2).sum(axis=1).argmin())
         assert r["__cell"] == want
+
+
+def test_ivf_written_index_prunes_partitions(emb, spark, tmp_path):
+    """A stored IVF index is a hive tree partitioned by __cell; a probe
+    must reach the scan as a PartitionFilter (only n_probe/n_cells of
+    the files open) and return the same rows as the in-memory path."""
+    from functime_spark.pipeline.similarity import IVFIndex
+    from functime_spark.plans import explain_str
+
+    ivf = IVFIndex(n_cells=4, init="spread").fit(emb)
+    assigned = ivf.assign(emb.filter("vec_id != 0"))
+    q = list(emb.filter("vec_id = 0").first()["embedding"])
+    want = [(r["vec_id"], round(r["cosine"], 9)) for r in
+            ivf.search(assigned, q, 5, n_probe=2).collect()]
+
+    path = str(tmp_path / "ivf_index")
+    ivf.write_index(assigned, path)
+    loaded = IVFIndex.load_index(spark, path)
+    res = ivf.search(loaded, q, 5, n_probe=2)
+    got = [(r["vec_id"], round(r["cosine"], 9)) for r in res.collect()]
+    assert got == want
+
+    plan = explain_str(res, "formatted")
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "__cell" in pf and pf.strip() != ""
