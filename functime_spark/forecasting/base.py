@@ -73,6 +73,19 @@ class Forecaster(SparkStatePickleMixin):
     def _fit(self, y: DataFrame, X: DataFrame | None = None):  # pragma: no cover
         raise NotImplementedError
 
+    def _materialize_state(self) -> None:
+        """localCheckpoint every DataFrame in the fitted state.
+
+        All state frames are n_entities-scale aggregates (last values,
+        seasonal tails, lag buffers, cutoffs); materializing them cuts
+        downstream prediction plans from re-deriving each aggregate off
+        the full panel to reading a cached block. Ensemble callers
+        (elite) use this so a bank of k models doesn't re-scan the
+        panel k times per predict."""
+        for key, val in self.state.items():
+            if isinstance(val, DataFrame):
+                self.state[key] = val.localCheckpoint()
+
     def _cutoffs_from_y_lag(self) -> None:
         """Serve cutoffs from the persisted recursion state (make_y_lag
         carries `low`) so predict's future ranges read n_entities

@@ -163,6 +163,12 @@ class elite(Forecaster):
         self.state["fitted_bank"] = {
             name: maker().fit(y) for name, maker in bank.items()
         }
+        # materialize each member's n_entities-scale state while y is
+        # still cached: predict then unions k tiny checkpointed frames
+        # instead of re-scanning the panel once per bank member
+        for fc in self.state["fitted_bank"].values():
+            fc._materialize_state()
+        self._materialize_state()  # own selection + cutoffs frames
         y.unpersist()
 
     def _fit_stacker(self, y: DataFrame, all_preds: DataFrame, ranked: DataFrame, p):
