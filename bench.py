@@ -70,12 +70,18 @@ def main() -> None:
 
     bench("preproc_scale_lag", _q2)
 
-    # q3: resample to 1d + naive forecast + smape
+    # q3: resample to 1d + naive forecast + smape. The resampled panel
+    # is consumed by train (fit), test (smape) and the cutoff ranges —
+    # persisting it is the intended pattern (one window pass instead of
+    # re-deriving the resample per consumer; 9 source scans → 1).
     def _q3():
-        daily = resample("1d", "sum", "ffill").transform(y)
-        train, test = train_test_split(daily, test_size=7)
-        y_pred = naive(freq="1d").fit(train).predict(7)
-        smape(test, y_pred).count()
+        daily = resample("1d", "sum", "ffill").transform(y).persist()
+        try:
+            train, test = train_test_split(daily, test_size=7)
+            y_pred = naive(freq="1d").fit(train).predict(7)
+            smape(test, y_pred).count()
+        finally:
+            daily.unpersist()
 
     bench("resample_naive_smape", _q3)
 
