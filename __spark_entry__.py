@@ -273,6 +273,19 @@ def q_forecast_linear_ar2(spark, sf_dir):
     return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
 
 
+def q_forecast_ridge_ar2(spark, sf_dir):
+    """AR(2) ridge (sklearn-default alpha=1.0): the SAME Cramer oracle
+    as the OLS gate with lambda added to the non-intercept diagonal of
+    X'X — value-verifies the regularized normal-equation path shared
+    by ridge/ridge_cv (L2, exact solve; L1 stays MLlib-iterative)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.linear import ridge
+
+    df = events_panel(spark, sf_dir)
+    fc = ridge(freq="1h", lags=2).fit(df)
+    return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
+
+
 def q_preproc_log1p(spark, sf_dir):
     """log1p transform on |value| (ref preprocessing.py:738-768)."""
     _ensure_nanos_conf(spark)
@@ -1089,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "forecast_snaive": q_forecast_snaive,
             "forecast_linear": q_forecast_linear,
             "forecast_linear_ar2": q_forecast_linear_ar2,
+            "forecast_ridge_ar2": q_forecast_ridge_ar2,
             "preproc_log1p": q_preproc_log1p,
             "preproc_one_hot": q_preproc_one_hot,
             "cv_sliding_window": q_cv_sliding_window,
@@ -1164,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_smape",
         "preproc_boxcox_lambdas",
         "preproc_yeojohnson_lambdas",
+        "forecast_ridge_ar2",
         "preproc_deseasonalize",
         "cusum_events",
         "feat_udf_cwt",

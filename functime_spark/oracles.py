@@ -1157,6 +1157,37 @@ def operator_oracles() -> dict:
         + " AS value FROM p4, (VALUES (1),(2),(3),(4)) AS s(step) ORDER BY 1, 2"
     )
 
+    # forecast_ridge_ar2: identical to the OLS AR(2) replay with the
+    # ridge lambda (sklearn default alpha=1.0) added to the
+    # NON-INTERCEPT diagonal of X'X (LinearBackend._fit_normal zeroes
+    # the intercept's penalty), value-verifying the L2 exact-solve path.
+    o["forecast_ridge_ar2"] = (
+        "WITH t0 AS (SELECT user_id, value AS y, "
+        "lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2, "
+        f"row_number() OVER w - 1 AS i FROM events {_W}), "
+        "tr AS (SELECT * FROM t0 WHERE i >= 2), "
+        "a AS (SELECT sum(l1*l1) + 1.0 AS a11, sum(l1*l2) AS a12, sum(l1) AS a13, "
+        "sum(l2*l2) + 1.0 AS a22, sum(l2) AS a23, CAST(count(*) AS DOUBLE) AS a33, "
+        "sum(l1*y) AS b1, sum(l2*y) AS b2, sum(y) AS b3 FROM tr), "
+        "s AS (SELECT "
+        "(a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13) + a13*(a12*a23 - a22*a13)) AS det, "
+        "(b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3) + a13*(b2*a23 - a22*b3)) AS d1, "
+        "(a11*(b2*a33 - a23*b3) - b1*(a12*a33 - a23*a13) + a13*(a12*b3 - b2*a13)) AS d2, "
+        "(a11*(a22*b3 - b2*a23) - a12*(a12*b3 - b2*a13) + b1*(a12*a23 - a22*a13)) AS d3 "
+        "FROM a), "
+        "w AS (SELECT d1/det AS w1, d2/det AS w2, d3/det AS b FROM s), "
+        "q AS (SELECT user_id, MAX(ts) AS low, max_by(value, ts) AS yT, "
+        "list(value ORDER BY ts DESC)[2] AS yT1 FROM events GROUP BY user_id), "
+        "p AS (SELECT q.user_id, q.low, w.w1*q.yT + w.w2*q.yT1 + w.b AS p1 FROM q, w), "
+        "p2 AS (SELECT p.user_id, p.low, p.p1, w.w1*p.p1 + w.w2*q.yT + w.b AS p2 "
+        "FROM p JOIN q USING (user_id), w), "
+        "p3 AS (SELECT user_id, low, p1, p2, w.w1*p2 + w.w2*p1 + w.b AS p3 FROM p2, w), "
+        "p4 AS (SELECT user_id, low, p1, p2, p3, w.w1*p3 + w.w2*p2 + w.b AS p4 FROM p3, w) "
+        "SELECT user_id, low + s.step * INTERVAL '1 hour' AS ts, "
+        + _r("CASE s.step WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3 ELSE p4 END")
+        + " AS value FROM p4, (VALUES (1),(2),(3),(4)) AS s(step) ORDER BY 1, 2"
+    )
+
     # forecast_linear: AR(8)+intercept. The pooled 9x9 normal-equation
     # system is symmetric positive-definite, so pivotless Gaussian
     # elimination is numerically stable and replayable as generated
