@@ -746,6 +746,27 @@ def q_feat_udf_ar2(spark, sf_dir):
     return _round_floats(out).orderBy("user_id")
 
 
+def q_feat_udf_ar4(spark, sf_dir):
+    """autoregressive_coefficients at the kernel default n_lags=4: the
+    per-entity 5x5 lstsq replayed via generated per-entity Gaussian
+    elimination (SPD normal equations), upgrading the AR feature's
+    default configuration from rows-only."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.functions.features_udf import extract_features_udf
+
+    df = events_panel(spark, sf_dir)
+    out = extract_features_udf(
+        df, {"autoregressive_coefficients": {"n_lags": 4}}
+    )
+    arr = F.col("autoregressive_coefficients")
+    out = out.select(
+        "user_id",
+        *[F.element_at(arr, i + 1).alias(f"ar4_w{i + 1}") for i in range(4)],
+        F.element_at(arr, 5).alias("ar4_b"),
+    )
+    return _round_floats(out).orderBy("user_id")
+
+
 def q_feat_udf_fft(spark, sf_dir):
     """fft_coefficients (first 3 rFFT bins): the kernel's numpy rfft
     replayed in the oracle as explicit DFT sums
@@ -1133,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "feat_udf_scalar": q_feat_udf_scalar,
             "feat_udf_entropy_pair": q_feat_udf_entropy_pair,
             "feat_udf_ar2": q_feat_udf_ar2,
+            "feat_udf_ar4": q_feat_udf_ar4,
             "feat_udf_adf": q_feat_udf_adf,
             "feat_udf_fft": q_feat_udf_fft,
             "feat_udf_welch": q_feat_udf_welch,
@@ -1183,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_events",
         "feat_udf_cwt",
         "feat_udf_lempel_ziv",
+        "feat_udf_ar4",
         "media_features",
         "forecast_backtest_naive",
         "preproc_impute_mean",

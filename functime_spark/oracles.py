@@ -117,6 +117,64 @@ def _ar_gauss_ctes(lags: int, fh: int) -> list:
     return ctes
 
 
+def _gauss_per_entity_ctes(lags: int) -> list:
+    """PER-ENTITY AR(lags)+intercept OLS via the same generated
+    pivotless Gaussian elimination as `_ar_gauss_ctes`, with `e` in
+    every GROUP BY/row: one normal-equation system per entity, solved
+    columnwise. Emits x0..x{lags-1} (lag coefs) and x{lags}
+    (intercept) per entity in CTE `s0`. Replays
+    features_udf.autoregressive_coefficients' np.linalg.lstsq (the
+    SPD system agrees with SVD lstsq to ~1e-10 at panel scale)."""
+    m = lags + 1
+
+    def col(i):
+        return f"l{i + 1}" if i < lags else None
+
+    aggs = []
+    for i in range(m):
+        for j in range(i, m):
+            ci, cj = col(i), col(j)
+            if ci is None and cj is None:
+                aggs.append(f"CAST(count(*) AS DOUBLE) AS a0_{i}_{j}")
+            elif cj is None:
+                aggs.append(f"sum({ci}) AS a0_{i}_{j}")
+            else:
+                aggs.append(f"sum({ci}*{cj}) AS a0_{i}_{j}")
+        aggs.append((f"sum({col(i)}*y)" if col(i) else "sum(y)") + f" AS b0_{i}")
+    ctes = [
+        "t0 AS (SELECT user_id AS e, CAST(value AS DOUBLE) AS y, "
+        + ", ".join(f"lag(value, {k}) OVER wv AS l{k}" for k in range(1, m))
+        + ", row_number() OVER wv - 1 AS i FROM events "
+        "WINDOW wv AS (PARTITION BY user_id ORDER BY ts))",
+        f"e0 AS (SELECT e, " + ", ".join(aggs) + f" FROM t0 WHERE i >= {lags} GROUP BY e)",
+    ]
+    for k in range(m - 1):
+        upd = []
+        for i in range(k + 1, m):
+            for j in range(i, m):
+                upd.append(
+                    f"a{k}_{i}_{j} - a{k}_{k}_{i} * a{k}_{k}_{j} / a{k}_{k}_{k} "
+                    f"AS a{k + 1}_{i}_{j}"
+                )
+            upd.append(
+                f"b{k}_{i} - a{k}_{k}_{i} * b{k}_{k} / a{k}_{k}_{k} AS b{k + 1}_{i}"
+            )
+        ctes.append(f"e{k + 1} AS (SELECT *, " + ", ".join(upd) + f" FROM e{k})")
+    last = m - 1
+    ctes.append(
+        f"s{last} AS (SELECT *, b{last}_{last} / a{last}_{last}_{last} "
+        f"AS x{last} FROM e{last})"
+    )
+    for i in range(m - 2, -1, -1):
+        terms = " - ".join(
+            [f"b{i}_{i}"] + [f"a{i}_{i}_{j} * x{j}" for j in range(i + 1, m)]
+        )
+        ctes.append(
+            f"s{i} AS (SELECT *, ({terms}) / a{i}_{i}_{i} AS x{i} FROM s{i + 1})"
+        )
+    return ctes
+
+
 # CTE attaching ordered-window helpers onto the panel
 _LAGS = (
     ", q AS (SELECT user_id AS e, ts AS t, value AS x, "
@@ -1155,6 +1213,18 @@ def operator_oracles() -> dict:
         "SELECT user_id, low + s.step * INTERVAL '1 hour' AS ts, "
         + _r("CASE s.step WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3 ELSE p4 END")
         + " AS value FROM p4, (VALUES (1),(2),(3),(4)) AS s(step) ORDER BY 1, 2"
+    )
+
+    # feat_udf_ar4: the default n_lags=4 autoregressive_coefficients
+    # kernel — one 5x5 normal-equation system PER ENTITY, solved by
+    # generated per-entity Gaussian elimination (Cramer's 120-term 5x5
+    # determinant expansion would lose ~8 digits to cancellation).
+    o["feat_udf_ar4"] = (
+        "WITH "
+        + ", ".join(_gauss_per_entity_ctes(4))
+        + " SELECT e AS user_id, "
+        + ", ".join(f"{_r(f'x{i}')} AS ar4_w{i + 1}" for i in range(4))
+        + f", {_r('x4')} AS ar4_b FROM s0 ORDER BY user_id"
     )
 
     # forecast_ridge_ar2: identical to the OLS AR(2) replay with the
