@@ -160,6 +160,11 @@ def minhash_dedup(
     """Full MinHash+LSH near-dup pipeline: signatures → banded
     candidates → signature-similarity verify → (id_a, id_b, est_jaccard)."""
     sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_n, hash_fn)
+    # one row per doc (n_hashes longs) but its lineage is the shingle
+    # explode + min-hash aggregate — the expensive pass over the corpus.
+    # The self-join consumes sigs on BOTH sides plus the verify joins;
+    # materializing runs that pass once instead of 4x.
+    sigs = sigs.localCheckpoint()
     cands = minhash_lsh_candidates(sigs, id_col, bands, hash_fn=hash_fn)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -206,6 +211,12 @@ def ngram_jaccard_pairs(
         grams = (
             grams.join(dfreq.filter(F.col("__df") > df_cap), on="g", how="left_anti")
         )
+    # the filtered postings feed the size aggregate AND both sides of
+    # the inverted-index join; cache spills to disk if the gram table
+    # outgrows memory (3 explode+anti-join re-runs otherwise)
+    from pyspark import StorageLevel
+
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = grams.select(F.col(id_col).alias("id_a"), "g")
     b = grams.select(F.col(id_col).alias("id_b"), "g")
@@ -265,7 +276,9 @@ def simhash_near_dups(
     """Candidate pairs sharing any 16-bit simhash band, verified by
     exact Hamming distance <= max_hamming. Buckets larger than
     `max_bucket_size` are dropped (see _cap_buckets)."""
-    sigs = simhash(docs, text_col, id_col, hash_fn=hash_fn)
+    # n_docs rows; materialize so the token explode + 64-bit-vote
+    # aggregate runs once, not once per self-join side
+    sigs = simhash(docs, text_col, id_col, hash_fn=hash_fn).localCheckpoint()
     n_bands = 64 // band_bits
     banded = sigs.select(
         F.col(id_col),
