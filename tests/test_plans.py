@@ -104,3 +104,17 @@ def test_newton_polish_aggregate_is_native(events):
     )
     assert python_eval_nodes(agg) == []
     assert count_exchanges(agg) <= 2  # design window partition + final agg
+
+
+def test_dedup_signature_materialization_pins_scan_count(spark):
+    """MinHash/SimHash signature frames are localCheckpoint-ed, so the
+    final near-dup plan reads materialized blocks — zero source scans
+    (the shingle/token explode+aggregate corpus pass runs exactly once,
+    not once per self-join side)."""
+    from functime_spark.pipeline.dedup import minhash_dedup, simhash_near_dups
+    from functime_spark.plans.checks import count_file_scans
+    from functime_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    assert count_file_scans(minhash_dedup(docs)) == 0
+    assert count_file_scans(simhash_near_dups(docs)) == 0
