@@ -273,6 +273,23 @@ def q_forecast_linear_ar2(spark, sf_dir):
     return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
 
 
+def q_forecast_auto_linear(spark, sf_dir):
+    """auto_linear_model end-to-end: the grid-CV search (lags in
+    {3,7,12}, expanding 2-split backtest, per-entity sum-ratio SMAPE,
+    AVG score, argmin) AND the winner's full refit + 4-step recursion,
+    all replayed in one generated SQL oracle — the automl family's
+    selection logic value-verified, not just its plumbing."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.automl import auto_linear_model
+
+    df = events_panel(spark, sf_dir)
+    fc = auto_linear_model(
+        freq="1h", min_lags=3, max_lags=12, test_size=4, n_splits=2
+    )
+    fc.fit(df)
+    return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
+
+
 def q_forecast_ridge_ar2(spark, sf_dir):
     """AR(2) ridge (sklearn-default alpha=1.0): the SAME Cramer oracle
     as the OLS gate with lambda added to the non-intercept diagonal of
@@ -1127,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "forecast_linear": q_forecast_linear,
             "forecast_linear_ar2": q_forecast_linear_ar2,
             "forecast_ridge_ar2": q_forecast_ridge_ar2,
+            "forecast_auto_linear": q_forecast_auto_linear,
             "preproc_log1p": q_preproc_log1p,
             "preproc_one_hot": q_preproc_one_hot,
             "cv_sliding_window": q_cv_sliding_window,
@@ -1204,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preproc_boxcox_lambdas",
         "preproc_yeojohnson_lambdas",
         "forecast_ridge_ar2",
+        "forecast_auto_linear",
         "preproc_deseasonalize",
         "cusum_events",
         "feat_udf_cwt",

@@ -175,6 +175,146 @@ def _gauss_per_entity_ctes(lags: int) -> list:
     return ctes
 
 
+def _auto_linear_replay(rnd) -> str:
+    """The ENTIRE auto_linear_model grid search replayed: for each lag
+    candidate {3, 7, 12}, two expanding-split pooled refits (cutoffs
+    5, 4 — the backtest defaults) via generated Gaussian elimination,
+    4-step recursions from each split tail, per-entity sum-ratio SMAPE
+    over the stacked backtest rows, candidate score = AVG over
+    entities; argmin (ties → smaller lags) picks the winner, whose
+    full-panel refit + recursion is emitted. Replays automl._auto_base
+    ._fit + _cv_score end-to-end."""
+    LAGS = [3, 7, 12]
+    CUTS = {"s5": 5, "s4": 4, "s0": 0}
+    ctes = []
+    ctes.append(
+        "t0 AS (SELECT user_id AS e, ts AS t, CAST(value AS DOUBLE) AS y, "
+        + ", ".join(f"lag(value, {k}) OVER wv AS l{k}" for k in range(1, 13))
+        + ", row_number() OVER wv - 1 AS i, "
+        "COUNT(*) OVER (PARTITION BY user_id) AS n FROM events "
+        "WINDOW wv AS (PARTITION BY user_id ORDER BY ts))"
+    )
+    for sname, c in CUTS.items():
+        cols = ", ".join(
+            f"MAX(CASE WHEN i = n - {c} - {j} THEN y END) AS q{j}"
+            for j in range(1, 13)
+        )
+        extra = ", MAX(t) AS low" if c == 0 else ""
+        ctes.append(f"tail_{sname} AS (SELECT e, {cols}{extra} FROM t0 GROUP BY e)")
+
+    for L in LAGS:
+        m = L + 1
+
+        def col(i):
+            return f"l{i + 1}" if i < L else None
+
+        for sname, c in CUTS.items():
+            P = f"c{L}{sname}"
+            aggs = []
+            for i in range(m):
+                for j in range(i, m):
+                    ci, cj = col(i), col(j)
+                    if ci is None and cj is None:
+                        aggs.append(f"CAST(count(*) AS DOUBLE) AS a0_{i}_{j}")
+                    elif cj is None:
+                        aggs.append(f"sum({ci}) AS a0_{i}_{j}")
+                    else:
+                        aggs.append(f"sum({ci}*{cj}) AS a0_{i}_{j}")
+                aggs.append(
+                    (f"sum({col(i)}*y)" if col(i) else "sum(y)") + f" AS b0_{i}"
+                )
+            ctes.append(
+                f"e0_{P} AS (SELECT " + ", ".join(aggs)
+                + f" FROM t0 WHERE i >= {L} AND i < n - {c})"
+            )
+            for k in range(m - 1):
+                upd = []
+                for i in range(k + 1, m):
+                    for j in range(i, m):
+                        upd.append(
+                            f"a{k}_{i}_{j} - a{k}_{k}_{i} * a{k}_{k}_{j} / a{k}_{k}_{k} "
+                            f"AS a{k + 1}_{i}_{j}"
+                        )
+                    upd.append(
+                        f"b{k}_{i} - a{k}_{k}_{i} * b{k}_{k} / a{k}_{k}_{k} AS b{k + 1}_{i}"
+                    )
+                ctes.append(
+                    f"e{k + 1}_{P} AS (SELECT *, " + ", ".join(upd) + f" FROM e{k}_{P})"
+                )
+            last = m - 1
+            ctes.append(
+                f"sx{last}_{P} AS (SELECT *, b{last}_{last} / a{last}_{last}_{last} "
+                f"AS x{last} FROM e{last}_{P})"
+            )
+            for i in range(m - 2, -1, -1):
+                terms = " - ".join(
+                    [f"b{i}_{i}"] + [f"a{i}_{i}_{j} * x{j}" for j in range(i + 1, m)]
+                )
+                ctes.append(
+                    f"sx{i}_{P} AS (SELECT *, ({terms}) / a{i}_{i}_{i} AS x{i} "
+                    f"FROM sx{i + 1}_{P})"
+                )
+
+            def pred(buf):
+                return f"x{L} + " + " + ".join(f"x{k} * {buf[k]}" for k in range(L))
+
+            buf = [f"q{j}" for j in range(1, L + 1)]
+            low_col = ", low" if c == 0 else ""
+            ctes.append(
+                f"p1_{P} AS (SELECT e{low_col}, "
+                + ", ".join(f"q{j}" for j in range(1, L + 1))
+                + ", "
+                + ", ".join(f"x{k}" for k in range(L + 1))
+                + f", {pred(buf)} AS p1 FROM tail_{sname}, sx0_{P})"
+            )
+            for h in range(2, 5):
+                buf = [f"p{h - 1}"] + buf[:-1]
+                ctes.append(
+                    f"p{h}_{P} AS (SELECT *, {pred(buf)} AS p{h} FROM p{h - 1}_{P})"
+                )
+        uni = []
+        for sname, c in (("s5", 5), ("s4", 4)):
+            P = f"c{L}{sname}"
+            uni.append(
+                f"SELECT t0.e, t0.y AS actual, "
+                f"CASE t0.i - (t0.n - {c}) + 1 WHEN 1 THEN p.p1 WHEN 2 THEN p.p2 "
+                f"WHEN 3 THEN p.p3 ELSE p.p4 END AS pred "
+                f"FROM t0 JOIN p4_{P} p ON p.e = t0.e "
+                f"AND t0.i >= t0.n - {c} AND t0.i < t0.n - {c} + 4"
+            )
+        ctes.append(f"bt_c{L} AS (" + " UNION ALL ".join(uni) + ")")
+        ctes.append(
+            f"sm_c{L} AS (SELECT e, SUM(ABS(pred - actual)) / SUM(pred + actual) AS s "
+            f"FROM bt_c{L} GROUP BY e)"
+        )
+        ctes.append(f"sc_c{L} AS (SELECT {L} AS lags, AVG(s) AS score FROM sm_c{L})")
+    ctes.append(
+        "win AS (SELECT lags FROM ("
+        + " UNION ALL ".join(f"SELECT * FROM sc_c{L}" for L in LAGS)
+        + ") ORDER BY score ASC, lags ASC LIMIT 1)"
+    )
+
+    def case_p(h):
+        return (
+            "CASE win.lags "
+            + " ".join(f"WHEN {L} THEN f{L}.p{h}" for L in LAGS)
+            + " END"
+        )
+
+    joins = " ".join(f"JOIN p4_c{L}s0 f{L} ON f{L}.e = f3.e" for L in LAGS[1:])
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT f3.e AS user_id, f3.low + g.step * INTERVAL '1 hour' AS ts, "
+        + rnd(
+            "CASE g.step WHEN 1 THEN " + case_p(1) + " WHEN 2 THEN " + case_p(2)
+            + " WHEN 3 THEN " + case_p(3) + " ELSE " + case_p(4) + " END"
+        )
+        + " AS value "
+        f"FROM p4_c3s0 f3 {joins}, win, (VALUES (1),(2),(3),(4)) AS g(step) "
+        "ORDER BY 1, 2"
+    )
+
+
 # CTE attaching ordered-window helpers onto the panel
 _LAGS = (
     ", q AS (SELECT user_id AS e, ts AS t, value AS x, "
@@ -1214,6 +1354,8 @@ def operator_oracles() -> dict:
         + _r("CASE s.step WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3 ELSE p4 END")
         + " AS value FROM p4, (VALUES (1),(2),(3),(4)) AS s(step) ORDER BY 1, 2"
     )
+
+    o["forecast_auto_linear"] = _auto_linear_replay(_r)
 
     # feat_udf_ar4: the default n_lags=4 autoregressive_coefficients
     # kernel — one 5x5 normal-equation system PER ENTITY, solved by
