@@ -290,6 +290,33 @@ def q_forecast_auto_linear(spark, sf_dir):
     return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
 
 
+def q_forecast_linear_direct(spark, sf_dir):
+    """Direct strategy (lags=3, max_horizons=4): four per-horizon OLS
+    models, each trained on time-shifted lag features and applied to
+    the last observed values — every horizon's pooled elimination
+    replayed in SQL."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.linear import linear_model
+
+    df = events_panel(spark, sf_dir)
+    fc = linear_model(freq="1h", lags=3, strategy="direct", max_horizons=4).fit(df)
+    return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
+
+
+def q_forecast_linear_ensemble(spark, sf_dir):
+    """Ensemble strategy = mean of recursive and direct predictions
+    (ref predict_autoreg _ar.py:357-371) — both strategies' full
+    replays averaged in the oracle."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.linear import linear_model
+
+    df = events_panel(spark, sf_dir)
+    fc = linear_model(
+        freq="1h", lags=3, strategy="ensemble", max_horizons=4
+    ).fit(df)
+    return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
+
+
 def q_forecast_ridge_ar2(spark, sf_dir):
     """AR(2) ridge (sklearn-default alpha=1.0): the SAME Cramer oracle
     as the OLS gate with lambda added to the non-intercept diagonal of
@@ -1145,6 +1172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "forecast_linear_ar2": q_forecast_linear_ar2,
             "forecast_ridge_ar2": q_forecast_ridge_ar2,
             "forecast_auto_linear": q_forecast_auto_linear,
+            "forecast_linear_direct": q_forecast_linear_direct,
+            "forecast_linear_ensemble": q_forecast_linear_ensemble,
             "preproc_log1p": q_preproc_log1p,
             "preproc_one_hot": q_preproc_one_hot,
             "cv_sliding_window": q_cv_sliding_window,
@@ -1223,6 +1252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preproc_yeojohnson_lambdas",
         "forecast_ridge_ar2",
         "forecast_auto_linear",
+        "forecast_linear_direct",
+        "forecast_linear_ensemble",
         "preproc_deseasonalize",
         "cusum_events",
         "feat_udf_cwt",

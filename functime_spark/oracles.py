@@ -175,6 +175,80 @@ def _gauss_per_entity_ctes(lags: int) -> list:
     return ctes
 
 
+def _direct_linear_ctes(L: int, H: int, pfx: str = "d") -> list:
+    """Per-horizon pooled OLS of the DIRECT strategy (ref fit_direct
+    _ar.py:53-80): model h trains on features lag_h..lag_{h+L-1}
+    (rows i >= L+H-1) but predicts from the LAST L observed values
+    (the direct-forecast time shift — predict_direct_linear applies
+    model h's coefficients to lag_1..lag_L). Emits per-entity
+    predictions in CTEs {pfx}p1..{pfx}pH."""
+    m = L + 1
+    maxlag = L + H - 1
+    ctes = [
+        f"{pfx}t0 AS (SELECT user_id AS e, ts AS t, CAST(value AS DOUBLE) AS y, "
+        + ", ".join(f"lag(value, {k}) OVER wv AS l{k}" for k in range(1, maxlag + 1))
+        + ", row_number() OVER wv - 1 AS i FROM events "
+        "WINDOW wv AS (PARTITION BY user_id ORDER BY ts))",
+        f"{pfx}tail AS (SELECT e, MAX(t) AS low, "
+        + ", ".join(f"list(y ORDER BY t DESC)[{j}] AS q{j}" for j in range(1, L + 1))
+        + f" FROM {pfx}t0 GROUP BY e)",
+    ]
+    for h in range(1, H + 1):
+        P = f"{pfx}h{h}"
+
+        def col(i):
+            return f"l{h + i}" if i < L else None
+
+        aggs = []
+        for i in range(m):
+            for j in range(i, m):
+                ci, cj = col(i), col(j)
+                if ci is None and cj is None:
+                    aggs.append(f"CAST(count(*) AS DOUBLE) AS a0_{i}_{j}")
+                elif cj is None:
+                    aggs.append(f"sum({ci}) AS a0_{i}_{j}")
+                else:
+                    aggs.append(f"sum({ci}*{cj}) AS a0_{i}_{j}")
+            aggs.append((f"sum({col(i)}*y)" if col(i) else "sum(y)") + f" AS b0_{i}")
+        ctes.append(
+            f"e0_{P} AS (SELECT " + ", ".join(aggs)
+            + f" FROM {pfx}t0 WHERE i >= {maxlag})"
+        )
+        for k in range(m - 1):
+            upd = []
+            for i in range(k + 1, m):
+                for j in range(i, m):
+                    upd.append(
+                        f"a{k}_{i}_{j} - a{k}_{k}_{i} * a{k}_{k}_{j} / a{k}_{k}_{k} "
+                        f"AS a{k + 1}_{i}_{j}"
+                    )
+                upd.append(
+                    f"b{k}_{i} - a{k}_{k}_{i} * b{k}_{k} / a{k}_{k}_{k} AS b{k + 1}_{i}"
+                )
+            ctes.append(
+                f"e{k + 1}_{P} AS (SELECT *, " + ", ".join(upd) + f" FROM e{k}_{P})"
+            )
+        last = m - 1
+        ctes.append(
+            f"sx{last}_{P} AS (SELECT *, b{last}_{last} / a{last}_{last}_{last} "
+            f"AS x{last} FROM e{last}_{P})"
+        )
+        for i in range(m - 2, -1, -1):
+            terms = " - ".join(
+                [f"b{i}_{i}"] + [f"a{i}_{i}_{j} * x{j}" for j in range(i + 1, m)]
+            )
+            ctes.append(
+                f"sx{i}_{P} AS (SELECT *, ({terms}) / a{i}_{i}_{i} AS x{i} "
+                f"FROM sx{i + 1}_{P})"
+            )
+        pred = f"x{L} + " + " + ".join(f"x{k} * q{k + 1}" for k in range(L))
+        ctes.append(
+            f"{pfx}p{h} AS (SELECT {pfx}tail.e, {pfx}tail.low, {pred} AS p "
+            f"FROM {pfx}tail, sx0_{P})"
+        )
+    return ctes
+
+
 def _auto_linear_replay(rnd) -> str:
     """The ENTIRE auto_linear_model grid search replayed: for each lag
     candidate {3, 7, 12}, two expanding-split pooled refits (cutoffs
@@ -1356,6 +1430,43 @@ def operator_oracles() -> dict:
     )
 
     o["forecast_auto_linear"] = _auto_linear_replay(_r)
+
+    # forecast_linear_direct: the direct strategy (lags=3, H=4) — four
+    # horizon models, each its own pooled elimination, applied to the
+    # last 3 observed values.
+    _d_joins = " ".join(f"JOIN dp{h} ON dp{h}.e = dp1.e" for h in range(2, 5))
+    o["forecast_linear_direct"] = (
+        "WITH " + ", ".join(_direct_linear_ctes(3, 4)) + " "
+        "SELECT dp1.e AS user_id, dp1.low + g.step * INTERVAL '1 hour' AS ts, "
+        + _r(
+            "CASE g.step WHEN 1 THEN dp1.p WHEN 2 THEN dp2.p "
+            "WHEN 3 THEN dp3.p ELSE dp4.p END"
+        )
+        + f" AS value FROM dp1 {_d_joins}, (VALUES (1),(2),(3),(4)) AS g(step) "
+        "ORDER BY 1, 2"
+    )
+
+    # forecast_linear_ensemble: mean of the recursive AR(3) replay
+    # (_ar_gauss_ctes, CTEs p1..p4) and the direct replay (dp1..dp4) —
+    # ref predict_autoreg _ar.py:357-371.
+    o["forecast_linear_ensemble"] = (
+        "WITH panel AS (SELECT user_id AS e, ts AS t, CAST(value AS DOUBLE) AS y "
+        "FROM events), "
+        + ", ".join(_ar_gauss_ctes(3, 4))
+        + ", "
+        + ", ".join(_direct_linear_ctes(3, 4))
+        + " "
+        "SELECT p4.e AS user_id, p4.low + g.step * INTERVAL '1 hour' AS ts, "
+        + _r(
+            "(CASE g.step WHEN 1 THEN p4.p1 WHEN 2 THEN p4.p2 "
+            "WHEN 3 THEN p4.p3 ELSE p4.p4 END + "
+            "CASE g.step WHEN 1 THEN dp1.p WHEN 2 THEN dp2.p "
+            "WHEN 3 THEN dp3.p ELSE dp4.p END) / 2"
+        )
+        + " AS value FROM p4 JOIN dp1 ON dp1.e = p4.e "
+        + " ".join(f"JOIN dp{h} ON dp{h}.e = p4.e" for h in range(2, 5))
+        + ", (VALUES (1),(2),(3),(4)) AS g(step) ORDER BY 1, 2"
+    )
 
     # feat_udf_ar4: the default n_lags=4 autoregressive_coefficients
     # kernel — one 5x5 normal-equation system PER ENTITY, solved by
