@@ -472,6 +472,33 @@ def q_forecast_zero_inflated(spark, sf_dir):
     return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
 
 
+def q_forecast_censored(spark, sf_dir):
+    """censored_model with a NONZERO threshold (50 on the raw panel):
+    exercises the below-regime OLS branch zero_inflated never runs.
+    Oracle replays logistic Newton-IRLS (labels y > 50), BOTH regime
+    regressions via Cramer, and the sigmoid-blend recursion
+    yhat = p*above + (1-p)*below."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.censored import censored_model
+
+    df = events_panel(spark, sf_dir)
+    fc = censored_model(
+        freq="1h",
+        lags=2,
+        threshold=50.0,
+        clf_params={
+            "regParam": 0.0,
+            "standardization": False,
+            "tol": 1e-12,
+            "maxIter": 200,
+        },
+    ).fit(df)
+    # 5 decimals, not 6: the blend SUMS two independently-replayed
+    # regressions, so the MLlib-vs-Newton logistic noise (~1e-8)
+    # occasionally crosses the 6th-decimal rounding boundary
+    return _round_floats(fc.predict(4), nd=5).orderBy("user_id", "ts")
+
+
 def q_forecast_stumps(spark, sf_dir):
     """Exact-greedy depth-1 boosted stumps (4 rounds, lr=0.5, lags=2).
     Unlike binned GBTs, every split is the exact SSE argmax over
@@ -1174,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "forecast_auto_linear": q_forecast_auto_linear,
             "forecast_linear_direct": q_forecast_linear_direct,
             "forecast_linear_ensemble": q_forecast_linear_ensemble,
+            "forecast_censored": q_forecast_censored,
             "preproc_log1p": q_preproc_log1p,
             "preproc_one_hot": q_preproc_one_hot,
             "cv_sliding_window": q_cv_sliding_window,
@@ -1254,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_auto_linear",
         "forecast_linear_direct",
         "forecast_linear_ensemble",
+        "forecast_censored",
         "preproc_deseasonalize",
         "cusum_events",
         "feat_udf_cwt",

@@ -1678,6 +1678,62 @@ def operator_oracles() -> dict:
         + " AS value FROM p4, (VALUES (1),(2),(3),(4)) AS s(step) ORDER BY 1, 2"
     )
 
+    # forecast_censored: the TWO-regime blend (threshold=50 on the raw
+    # panel) — same Newton-IRLS logistic replay with labels y > 50,
+    # plus a SECOND Cramer OLS on the below-regime rows; recursion
+    # yhat = sigmoid * above + (1 - sigmoid) * below. Covers the
+    # below-regime branch zero_inflated (threshold=0) never executes.
+    _cen_newton = _newton.replace("tr.y > 0", "tr.y > 50")
+    _cen_pred = (
+        f"({_zi_prob}) * (a.w1*{{f1}} + a.w2*{{f2}} + a.b) + "
+        f"(1 - ({_zi_prob})) * (bb.w1*{{f1}} + bb.w2*{{f2}} + bb.b)"
+    )
+    _cram_cols = (
+        "(a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13) + a13*(a12*a23 - a22*a13)) AS det, "
+        "(b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3) + a13*(b2*a23 - a22*b3)) AS d1, "
+        "(a11*(b2*a33 - a23*b3) - b1*(a12*a33 - a23*a13) + a13*(a12*b3 - b2*a13)) AS d2, "
+        "(a11*(a22*b3 - b2*a23) - a12*(a12*b3 - b2*a13) + b1*(a12*a23 - a22*a13)) AS d3 "
+    )
+    _sums_cols = (
+        "sum(l1*l1) AS a11, sum(l1*l2) AS a12, sum(l1) AS a13, "
+        "sum(l2*l2) AS a22, sum(l2) AS a23, CAST(count(*) AS DOUBLE) AS a33, "
+        "sum(l1*y) AS b1, sum(l2*y) AS b2, sum(y) AS b3"
+    )
+    o["forecast_censored"] = (
+        "WITH RECURSIVE "
+        "t0 AS (SELECT user_id, ts, CAST(value AS DOUBLE) AS y, "
+        "lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2, "
+        f"row_number() OVER w - 1 AS i FROM events {_W}), "
+        "tr AS (SELECT * FROM t0 WHERE i >= 2), "
+        "it AS (SELECT 0 AS k, CAST(0 AS DOUBLE) AS w1, "
+        "CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS b "
+        "UNION ALL SELECT k + 1, w1 - d1/det, w2 - d2/det, b - d3/det "
+        f"FROM (SELECT k, w1, w2, b, {_cram3} FROM "
+        f"({_hagg.replace(_newton, _cen_newton)}) hh) ss), "
+        "c AS (SELECT w1, w2, b FROM it ORDER BY k DESC LIMIT 1), "
+        f"aa AS (SELECT {_sums_cols} FROM tr WHERE y > 50), "
+        f"sv AS (SELECT {_cram_cols} FROM aa), "
+        "a AS (SELECT d1/det AS w1, d2/det AS w2, d3/det AS b FROM sv), "
+        f"ab AS (SELECT {_sums_cols} FROM tr WHERE y <= 50), "
+        f"svb AS (SELECT {_cram_cols} FROM ab), "
+        "bb AS (SELECT d1/det AS w1, d2/det AS w2, d3/det AS b FROM svb), "
+        "q AS (SELECT user_id, MAX(ts) AS low, "
+        "max_by(value, ts) AS yT, list(value ORDER BY ts DESC)[2] AS yT1 "
+        "FROM events GROUP BY user_id), "
+        f"p1 AS (SELECT q.user_id, q.low, q.yT, "
+        f"{_cen_pred.format(f1='q.yT', f2='q.yT1')} AS p1 FROM q, c, a, bb), "
+        f"p2 AS (SELECT p1.*, {_cen_pred.format(f1='p1.p1', f2='p1.yT')} AS p2 "
+        "FROM p1, c, a, bb), "
+        f"p3 AS (SELECT p2.*, {_cen_pred.format(f1='p2.p2', f2='p2.p1')} AS p3 "
+        "FROM p2, c, a, bb), "
+        f"p4 AS (SELECT p3.*, {_cen_pred.format(f1='p3.p3', f2='p3.p2')} AS p4 "
+        "FROM p3, c, a, bb) "
+        "SELECT user_id, low + s.step * INTERVAL '1 hour' AS ts, "
+        "round(CASE s.step WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3 "
+        "ELSE p4 END + 1e-9, 5)"
+        " AS value FROM p4, (VALUES (1),(2),(3),(4)) AS s(step) ORDER BY 1, 2"
+    )
+
     # preproc_boxcox_lambdas: the per-entity Box-Cox MLE replayed. The
     # Spark side seeds lambda from an 81-point grid argmax of the
     # profile log-likelihood and runs 15 Newton steps on its gradient
