@@ -64,3 +64,37 @@ def test_transformer_pickle_roundtrip(spark, events):
     _frame_equal(
         t.transform_new(events), frozen.transform_new(events), ["user_id", "ts"]
     )
+
+
+def test_elite_lasso_pickle_roundtrip(spark):
+    """elite with the L1 stacker carries extra state (stacker coef
+    tuple + checkpointed selection_rank frame + fitted bank) — all of
+    it must survive the freeze/thaw round-trip."""
+    import datetime
+    import pickle
+
+    from functime_spark.forecasting.elite import elite
+    from functime_spark.forecasting.linear import linear_model
+    from functime_spark.forecasting.naive import naive
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (e, t0 + datetime.timedelta(hours=i), 5.0 * e + 1.5 * i)
+        for e in range(3)
+        for i in range(30)
+    ]
+    y = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, value double")
+    from functools import partial
+
+    bank = {
+        "naive": partial(naive, freq="1h"),
+        "linear": partial(linear_model, freq="1h", lags=2),
+    }
+    fc = elite(
+        freq="1h", lags=2, top_k=2, test_size=3, n_splits=2,
+        bank=bank, ensemble_strategy="lasso",
+    ).fit(y)
+    before = fc.predict(3)
+    restored = pickle.loads(pickle.dumps(fc))
+    after = restored.predict(3)
+    _frame_equal(before, after, ["user_id", "ts"])
