@@ -252,30 +252,32 @@ def benford_correlation(c: PanelCtx) -> Column:
     seeded counts directly via the closed form over nine conditional
     counts — a pure aggregate, no extra shuffle and no UDF.
     """
-    digit = c.expr_helper(
+    c.expr_helper(
         "__benford_digit",
         lambda: F.regexp_extract(c.x.cast("string"), "[1-9]", 0),
         0,
     )
     ben = [math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+    # ONE F.expr call: building this closed form as Column objects cost
+    # a py4j round-trip per operator node (~0.45 s of driver time — the
+    # wall of the thread-pooled fused build); the SQL string parses
+    # JVM-side into the identical tree (same literals via repr
+    # round-trip, same left-associated sums), so values are unchanged.
     cnts = [
-        F.sum((digit == str(d)).cast("double")) + F.lit(1.0) for d in range(1, 10)
+        f"(sum(CAST((__benford_digit = '{d}') AS DOUBLE)) + 1.0D)"
+        for d in range(1, 10)
     ]
     k = 9.0
-    s_c = cnts[0]
-    for cd in cnts[1:]:
-        s_c = s_c + cd
-    s_c2 = cnts[0] * cnts[0]
-    for cd in cnts[1:]:
-        s_c2 = s_c2 + cd * cd
-    s_cb = cnts[0] * F.lit(ben[0])
-    for cd, bd in zip(cnts[1:], ben[1:]):
-        s_cb = s_cb + cd * F.lit(bd)
+    s_c = " + ".join(cnts)
+    s_c2 = " + ".join(f"{cd} * {cd}" for cd in cnts)
+    s_cb = " + ".join(f"{cd} * {bd!r}D" for cd, bd in zip(cnts, ben))
     s_b = sum(ben)
     s_b2 = sum(b * b for b in ben)
-    num = F.lit(k) * s_cb - s_c * F.lit(s_b)
-    den = F.sqrt((F.lit(k) * s_c2 - s_c * s_c) * F.lit(k * s_b2 - s_b * s_b))
-    return num / den
+    return F.expr(
+        f"({k!r}D * ({s_cb}) - ({s_c}) * {s_b!r}D) / "
+        f"SQRT(({k!r}D * ({s_c2}) - ({s_c}) * ({s_c})) * "
+        f"{k * s_b2 - s_b * s_b!r}D)"
+    )
 
 
 def binned_entropy(c: PanelCtx, bin_count: int = 10) -> Column:
