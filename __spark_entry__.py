@@ -491,12 +491,13 @@ def q_forecast_censored(spark, sf_dir):
             "standardization": False,
             "tol": 1e-12,
             "maxIter": 200,
+            # two exact Newton polish steps after L-BFGS: lands on the
+            # MLE to machine precision so the IRLS replay matches at
+            # full gate precision across scale factors
+            "polish_newton": 2,
         },
     ).fit(df)
-    # 5 decimals, not 6: the blend SUMS two independently-replayed
-    # regressions, so the MLlib-vs-Newton logistic noise (~1e-8)
-    # occasionally crosses the 6th-decimal rounding boundary
-    return _round_floats(fc.predict(4), nd=5).orderBy("user_id", "ts")
+    return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
 
 
 def q_forecast_stumps(spark, sf_dir):

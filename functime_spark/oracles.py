@@ -1729,9 +1729,8 @@ def operator_oracles() -> dict:
         f"p4 AS (SELECT p3.*, {_cen_pred.format(f1='p3.p3', f2='p3.p2')} AS p4 "
         "FROM p3, c, a, bb) "
         "SELECT user_id, low + s.step * INTERVAL '1 hour' AS ts, "
-        "round(CASE s.step WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3 "
-        "ELSE p4 END + 1e-9, 5)"
-        " AS value FROM p4, (VALUES (1),(2),(3),(4)) AS s(step) ORDER BY 1, 2"
+        + _r("CASE s.step WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3 ELSE p4 END")
+        + " AS value FROM p4, (VALUES (1),(2),(3),(4)) AS s(step) ORDER BY 1, 2"
     )
 
     # preproc_boxcox_lambdas: the per-entity Box-Cox MLE replayed. The
