@@ -842,6 +842,34 @@ def q_feat_udf_ar4(spark, sf_dir):
     return _round_floats(out).orderBy("user_id")
 
 
+def q_feat_udf_friedrich(spark, sf_dir):
+    """friedrich_coefficients (drift polyfit over quantile bins): the
+    kernel's z-scored cubic least-squares fit is replayed end-to-end in
+    SQL — quantile_cont edges, strict searchsorted binning, per-bin
+    means, the SPD 4x4 elimination, and the binomial back-transform —
+    upgrading the kernel from rows-only to value-verified.
+    Ref feature_extractors.py:725-772."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.functions.features_udf import extract_features_udf
+
+    df = events_panel(spark, sf_dir)
+    out = extract_features_udf(
+        df, {"friedrich_coefficients": {"polynomial_order": 3, "n_quantiles": 30}}
+    )
+    arr = F.col("friedrich_coefficients")
+    # kernel emits highest-degree first: arr[1]=c3 ... arr[4]=c0
+    out = out.select(
+        "user_id",
+        *[F.element_at(arr, 4 - k).alias(f"fr_c{k}") for k in range(4)],
+    )
+    out = _round_floats(out)
+    # + 0.0 collapses IEEE -0.0 on both sides (oracle does the same)
+    out = out.select(
+        "user_id", *[(F.col(f"fr_c{k}") + F.lit(0.0)).alias(f"fr_c{k}") for k in range(4)]
+    )
+    return out.orderBy("user_id")
+
+
 def q_feat_udf_fft(spark, sf_dir):
     """fft_coefficients (first 3 rFFT bins): the kernel's numpy rfft
     replayed in the oracle as explicit DFT sums
@@ -915,7 +943,9 @@ def q_cusum_events(spark, sf_dir):
 
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload → deterministic stub
-    features via mapInPandas — rows-only."""
+    features via mapInPandas. The sha256-chained fake decoder emits
+    float32-exact values, so every component is value-verified against
+    a DuckDB replay of the hash chain."""
     _ensure_nanos_conf(spark)
     from functime_spark.pipeline.multimodal import attach_payload, extract_features_media
 
@@ -923,8 +953,8 @@ def q_media_features(spark, sf_dir):
     media = attach_payload(docs, "doc_id", "text")
     feats = extract_features_media(media, dim=16)
     return feats.select(
-        "media_id", F.size("feature").alias("dim")
-    ).orderBy("media_id")
+        "media_id", F.posexplode("feature").alias("j", "v")
+    ).orderBy("media_id", "j")
 
 
 def q_preproc_roll(spark, sf_dir):
@@ -1236,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "feat_udf_ar4": q_feat_udf_ar4,
             "feat_udf_adf": q_feat_udf_adf,
             "feat_udf_fft": q_feat_udf_fft,
+            "feat_udf_friedrich": q_feat_udf_friedrich,
             "feat_udf_welch": q_feat_udf_welch,
             "feat_udf_cwt": q_feat_udf_cwt,
             "feat_udf_lempel_ziv": q_feat_udf_lempel_ziv,

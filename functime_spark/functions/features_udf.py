@@ -141,9 +141,19 @@ def autoregressive_coefficients(x: np.ndarray, n_lags: int = 4) -> list:
 def friedrich_coefficients(
     x: np.ndarray, polynomial_order: int = 3, n_quantiles: int = 30
 ) -> list:
-    """Polyfit of mean(delta) vs mean(signal) over quantile bins. Ref :725-772."""
+    """Polyfit of mean(delta) vs mean(signal) over quantile bins.
+    Ref :725-772 (np.polyfit on the raw Vandermonde there). The fit
+    here solves the SAME least-squares problem on the z-scored bin
+    means (z = (x-mean)/std_pop) via pivotless Gaussian elimination on
+    the SPD normal equations, then expands the coefficients back to the
+    raw-x basis binomially — numerically better conditioned than the
+    raw Vandermonde at large |x|, agrees with np.polyfit to ~1e-9 at
+    panel scale (pinned by a property test), and deterministic enough
+    to replay in the SQL correctness oracle. Highest-degree first,
+    matching np.polyfit's output order."""
+    deg = polynomial_order
     if len(x) <= n_quantiles:
-        return [float("nan")] * (polynomial_order + 1)
+        return [float("nan")] * (deg + 1)
     delta = np.diff(x)
     sig = x[:-1]
     edges = np.quantile(x, np.linspace(0, 1, n_quantiles + 1))
@@ -154,7 +164,35 @@ def friedrich_coefficients(
         if mask.any():
             xs.append(sig[mask].mean())
             ys.append(delta[mask].mean())
-    return [float(c) for c in np.polyfit(xs, ys, deg=polynomial_order)]
+    xs_a, ys_a = np.asarray(xs), np.asarray(ys)
+    m, s = xs_a.mean(), xs_a.std()
+    if len(xs) < deg + 1 or s == 0.0:
+        return [float("nan")] * (deg + 1)
+    z = (xs_a - m) / s
+    n = deg + 1
+    A = np.array([[(z ** (i + j)).sum() for j in range(n)] for i in range(n)])
+    b = np.array([(ys_a * z**i).sum() for i in range(n)])
+    # forward sweep + back-substitution (same schedule as the oracle)
+    A = A.copy()
+    for k in range(n - 1):
+        for i in range(k + 1, n):
+            f = A[i, k] / A[k, k]
+            A[i, k:] -= f * A[k, k:]
+            b[i] -= f * b[k]
+    d = np.zeros(n)
+    for i in range(n - 1, -1, -1):
+        d[i] = (b[i] - A[i, i + 1 :] @ d[i + 1 :]) / A[i, i]
+    # back-transform: c_k = sum_{j>=k} d_j * C(j,k) * (-m)^(j-k) / s^j
+    c = [
+        float(
+            sum(
+                d[j] * math.comb(j, k) * ((-m) ** (j - k)) / (s**j)
+                for j in range(k, n)
+            )
+        )
+        for k in range(n)
+    ]
+    return c[::-1]
 
 
 def fft_coefficients(x: np.ndarray, n_coefficients: int = 8) -> dict:

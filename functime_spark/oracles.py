@@ -117,6 +117,73 @@ def _ar_gauss_ctes(lags: int, fh: int) -> list:
     return ctes
 
 
+def _friedrich_oracle_sql(deg: int = 3, n_quantiles: int = 30) -> str:
+    """Replay features_udf.friedrich_coefficients in SQL: quantile-bin
+    drift vs signal, z-scored cubic least squares per entity (pivotless
+    elimination on the SPD normal equations — the kernel runs the same
+    schedule), binomial back-transform to raw-x coefficients."""
+    import math
+
+    n = deg + 1
+    qs = ", ".join(f"{k}/{n_quantiles}.0" for k in range(1, n_quantiles))
+    aggs = []
+    for i in range(n):
+        for j in range(i, n):
+            p = i + j
+            aggs.append(
+                f"sum(z{p}) AS a0_{i}_{j}" if p > 0 else f"CAST(count(*) AS DOUBLE) AS a0_{i}_{j}"
+            )
+        aggs.append(f"sum(ym * z{i}) AS b0_{i}" if i > 0 else "sum(ym) AS b0_0")
+    zpow = ", ".join(
+        "1.0 AS z0" if p == 0 else "z1 AS z1" if p == 1 else "*".join(["z1"] * p) + f" AS z{p}"
+        for p in range(2 * deg + 1)
+    )
+    ctes = [
+        "panel AS (SELECT user_id AS e, ts AS t, CAST(value AS DOUBLE) AS y FROM events)",
+        "d AS (SELECT e, y AS sig, lead(y) OVER we - y AS delta, "
+        "row_number() OVER we AS rn, count(*) OVER (PARTITION BY e) AS cnt "
+        "FROM panel WINDOW we AS (PARTITION BY e ORDER BY t))",
+        f"edges AS (SELECT e, quantile_cont(y, [{qs}]) AS ed, count(*) AS nn FROM panel GROUP BY e)",
+        "binned AS (SELECT d.e AS e, length(list_filter(ed, v -> v < sig)) AS q, sig, delta "
+        f"FROM d JOIN edges ON d.e = edges.e WHERE rn < cnt AND nn > {n_quantiles})",
+        "bins AS (SELECT e, q, avg(sig) AS xm, avg(delta) AS ym FROM binned GROUP BY e, q)",
+        "st AS (SELECT e, avg(xm) AS mu, stddev_pop(xm) AS sd FROM bins GROUP BY e)",
+        "zz AS (SELECT b.e AS e, (xm - mu)/sd AS z1, ym FROM bins b JOIN st ON b.e = st.e)",
+        f"zp AS (SELECT e, ym, {zpow} FROM zz)",
+        "e0 AS (SELECT e, " + ", ".join(aggs) + " FROM zp GROUP BY e)",
+    ]
+    for k in range(n - 1):
+        upd = []
+        for i in range(k + 1, n):
+            for j in range(i, n):
+                upd.append(
+                    f"a{k}_{i}_{j} - a{k}_{k}_{i} * a{k}_{k}_{j} / a{k}_{k}_{k} AS a{k + 1}_{i}_{j}"
+                )
+            upd.append(f"b{k}_{i} - a{k}_{k}_{i} * b{k}_{k} / a{k}_{k}_{k} AS b{k + 1}_{i}")
+        ctes.append(f"e{k + 1} AS (SELECT *, " + ", ".join(upd) + f" FROM e{k})")
+    ctes.append(
+        f"s{n - 1} AS (SELECT *, b{n - 1}_{n - 1} / a{n - 1}_{n - 1}_{n - 1} AS x{n - 1} FROM e{n - 1})"
+    )
+    for i in range(n - 2, -1, -1):
+        terms = " - ".join([f"b{i}_{i}"] + [f"a{i}_{i}_{j} * x{j}" for j in range(i + 1, n)])
+        ctes.append(f"s{i} AS (SELECT *, ({terms}) / a{i}_{i}_{i} AS x{i} FROM s{i + 1})")
+    cexprs = []
+    for k in range(n):
+        terms = [
+            f"x{j} * {math.comb(j, k)} * power(-mu, {j - k}) / power(sd, {j})"
+            for j in range(k, n)
+        ]
+        # + 0.0 collapses IEEE -0.0 (tiny negative c3 rounds to it)
+        cexprs.append("(" + _r("(" + " + ".join(terms) + ")") + f" + 0.0) AS fr_c{k}")
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + " SELECT s0.e AS user_id, "
+        + ", ".join(cexprs)
+        + " FROM s0 JOIN st ON s0.e = st.e ORDER BY user_id"
+    )
+
+
 def _gauss_per_entity_ctes(lags: int) -> list:
     """PER-ENTITY AR(lags)+intercept OLS via the same generated
     pivotless Gaussian elimination as `_ar_gauss_ctes`, with `e` in
@@ -1030,6 +1097,20 @@ def operator_oracles() -> dict:
         "FROM documents d JOIN mm USING (doc_id) ORDER BY doc_id"
     )
 
+    # media_features: replay the sha256-chained fake decoder
+    # (multimodal._fake_decode) — component j of doc d is
+    # int(sha256(hex(sha256(text)) || '-' || j)[:6], 16) / 2^23 - 1,
+    # float32-exact by construction so the hash compare is byte-level.
+    o["media_features"] = (
+        "WITH base AS (SELECT doc_id, sha256(COALESCE(text, '')) AS h FROM documents), "
+        "feat AS (SELECT doc_id, CAST(t.j AS INT) AS j, "
+        "list_sum(list_transform(range(0, 6), i -> "
+        "(strpos('0123456789abcdef', substr(sha256(h || '-' || t.j), i + 1, 1)) - 1) "
+        "* (1::BIGINT << (4 * (5 - i))))) / 8388608.0 - 1.0 AS v "
+        "FROM base, range(0, 16) t(j)) "
+        "SELECT doc_id AS media_id, j, v FROM feat ORDER BY media_id, j"
+    )
+
     o["dedup_ngram_jaccard"] = (
         "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
         "g0 AS (SELECT doc_id, list_distinct([array_to_string(ws[i:i+2], ' ') "
@@ -1479,6 +1560,15 @@ def operator_oracles() -> dict:
         + ", ".join(f"{_r(f'x{i}')} AS ar4_w{i + 1}" for i in range(4))
         + f", {_r('x4')} AS ar4_b FROM s0 ORDER BY user_id"
     )
+
+    # feat_udf_friedrich: the friedrich_coefficients kernel — per
+    # entity, quantile-bin the signal (29 interior quantile_cont edges
+    # replay np.quantile linear interpolation; strict `edge < sig`
+    # replays searchsorted side='left'), average (sig, delta) per
+    # nonempty bin, z-score the bin means, solve the SPD 4x4 cubic
+    # normal equations by the same pivotless elimination as the kernel,
+    # and expand back to raw-x coefficients binomially.
+    o["feat_udf_friedrich"] = _friedrich_oracle_sql()
 
     # forecast_ridge_ar2: identical to the OLS AR(2) replay with the
     # ridge lambda (sklearn default alpha=1.0) added to the

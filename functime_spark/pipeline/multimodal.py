@@ -52,10 +52,19 @@ def attach_payload(
 
 
 def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
-    """Deterministic stand-in for a codec: sha256-seeded feature vector."""
-    seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:8], "big")
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal(dim).astype("float32")
+    """Deterministic stand-in for a codec: sha256-chained feature vector.
+
+    Component j = int(sha256(hex(sha256(payload)) + "-" + j)[:6], 16)
+    / 2**23 - 1, uniform over [-1, 1). The 24-bit numerator makes every
+    value exactly representable in float32, so the whole vector can be
+    replayed byte-exactly by any engine with a sha256 function (the
+    correctness gate re-derives it in DuckDB SQL)."""
+    base = hashlib.sha256(payload or b"").hexdigest()
+    out = np.empty(dim, dtype="float32")
+    for j in range(dim):
+        hj = hashlib.sha256(f"{base}-{j}".encode()).hexdigest()
+        out[j] = int(hj[:6], 16) / 8388608.0 - 1.0
+    return out
 
 
 def extract_features_media(

@@ -413,3 +413,23 @@ def test_ivf_written_index_prunes_partitions(emb, spark, tmp_path):
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
     assert "__cell" in pf and pf.strip() != ""
+
+
+def test_fake_decode_is_hash_replayable():
+    """The stub decoder's components are the documented sha256 chain
+    and exactly representable in float32 (what lets the gate replay
+    them byte-for-byte in DuckDB SQL)."""
+    import hashlib
+
+    import numpy as np
+
+    from functime_spark.pipeline.multimodal import _fake_decode
+
+    payload = "hello world".encode()
+    vec = _fake_decode(payload, 8)
+    base = hashlib.sha256(payload).hexdigest()
+    for j, v in enumerate(vec):
+        hj = hashlib.sha256(f"{base}-{j}".encode()).hexdigest()
+        expected = int(hj[:6], 16) / 8388608.0 - 1.0
+        assert float(v) == expected  # float32 -> double widening is exact
+        assert -1.0 <= v < 1.0

@@ -113,3 +113,35 @@ def test_train_test_split_partition(spark, values, test_size):
     assert len(te) == min(test_size, len(values))
     if len(tr):
         assert tr["t"].max() < te["t"].min()
+
+
+@settings(**_SETTINGS)
+@given(
+    values=st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, allow_infinity=False),
+        min_size=35,
+        max_size=120,
+    ),
+    scale=st.sampled_from([1e-2, 1.0, 1e3]),
+)
+def test_friedrich_matches_polyfit(values, scale):
+    """The z-scored normal-equation friedrich solve is the same
+    least-squares cubic np.polyfit computes on the raw bin means."""
+    from functime_spark.functions.features_udf import friedrich_coefficients
+
+    x = np.asarray(values) * scale
+    got = friedrich_coefficients(x)
+    delta, sig = np.diff(x), x[:-1]
+    edges = np.quantile(x, np.linspace(0, 1, 31))
+    which = np.clip(np.searchsorted(edges[1:-1], sig, side="left"), 0, 29)
+    xs, ys = [], []
+    for q in range(30):
+        m = which == q
+        if m.any():
+            xs.append(sig[m].mean())
+            ys.append(delta[m].mean())
+    if len(xs) < 4 or np.std(xs) == 0.0:
+        assert all(np.isnan(got))
+        return
+    exp = np.polyfit(xs, ys, 3)
+    np.testing.assert_allclose(got, exp, rtol=1e-6, atol=1e-9)
