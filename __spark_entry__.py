@@ -659,6 +659,19 @@ def q_dedup_minhash(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_dedup_cluster(spark, sf_dir):
+    """Duplicate-cluster assignment: md5-variant MinHash pairs →
+    alternating large-star/small-star connected components (Kiveris et
+    al. 2014). Value-verified against a recursive-CTE transitive
+    closure with min-label aggregation in DuckDB."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.dedup import connected_components, minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, threshold=0.3, hash_fn="md5")
+    return connected_components(pairs).orderBy("node")
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash banded near-dups, md5 hash variant — per-bit votes,
     band buckets, and Hamming verify replayed exactly in the oracle."""
@@ -1253,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_cosine_topk": q_ann_cosine_topk,
             "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
             "dedup_minhash": q_dedup_minhash,
+            "dedup_cluster": q_dedup_cluster,
             "dedup_simhash": q_dedup_simhash,
             "dedup_embedding": q_dedup_embedding,
             "text_language_id": q_text_language_id,
@@ -1320,6 +1334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feat_udf_cwt",
         "feat_udf_lempel_ziv",
         "feat_udf_ar4",
+        "feat_udf_friedrich",
+        "dedup_cluster",
         "media_features",
         "forecast_backtest_naive",
         "preproc_impute_mean",

@@ -1146,8 +1146,11 @@ def operator_oracles() -> dict:
     band_payload = (
         f"array_to_string(sig[(band*{_R_ROWS}+1):(band*{_R_ROWS}+{_R_ROWS})], ',')"
     )
-    o["dedup_minhash"] = (
-        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+    # shared CTE chain: documents → md5 minhash signatures → banded
+    # buckets → candidate pairs → signature-similarity estimate (used
+    # by both the pair oracle and the cluster oracle below)
+    mh_ctes = (
+        "w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
         "g AS (SELECT doc_id, list_distinct([array_to_string(ws[i:i+2], ' ') "
         "FOR i IN range(1, greatest(len(ws)-2, 1)+1)]) AS grams FROM w), "
         f"s0 AS (SELECT doc_id, {sig_exprs} FROM g), "
@@ -1160,9 +1163,27 @@ def operator_oracles() -> dict:
         "JOIN capped b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id), "
         "est AS (SELECT id_a, id_b, "
         f"len(list_filter(range(1, {_N_HASH}+1), k -> sa.sig[k] = sb.sig[k])) / {_N_HASH}.0 AS ej "
-        "FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id) "
+        "FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id)"
+    )
+    o["dedup_minhash"] = (
+        f"WITH {mh_ctes} "
         f"SELECT id_a, id_b, {_r('ej')} AS est_jaccard FROM est "
         "WHERE ej >= 0.3 ORDER BY id_a, id_b"
+    )
+
+    # dedup_cluster: connected components over the minhash pair graph —
+    # the Spark side runs alternating large-star/small-star; the oracle
+    # computes the same fixpoint as a recursive-CTE transitive closure
+    # with min-label aggregation (both yield component = min reachable).
+    o["dedup_cluster"] = (
+        f"WITH RECURSIVE {mh_ctes}, "
+        "prs AS (SELECT id_a, id_b FROM est WHERE ej >= 0.3 AND id_a <> id_b), "
+        "sym AS (SELECT id_a AS n, id_b AS r FROM prs UNION SELECT id_b, id_a FROM prs), "
+        "reach AS (SELECT n, r FROM sym "
+        "UNION SELECT reach.n, sym.r FROM reach JOIN sym ON reach.r = sym.n "
+        "WHERE sym.r <> reach.n) "
+        "SELECT n AS node, least(n, min(r)) AS component "
+        "FROM reach GROUP BY n ORDER BY node"
     )
 
     # simhash: md5 hashes are < 2^60, so bits 60..63 never win the vote

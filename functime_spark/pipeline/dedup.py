@@ -375,3 +375,95 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph via the
+    alternating large-star / small-star algorithm (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond") — the step that
+    turns near-dup PAIRS into dedupable CLUSTERS.
+
+    Scale design: each half-round is one scalar per-node aggregate
+    (min neighbor) plus one equi-join — neighbor lists are never
+    collected, so a 10M-member dup cluster costs the same as join skew
+    AQE already splits. Edges stay oriented larger→smaller between
+    rounds. Converges in O(log^2 n) alternations (real dup graphs:
+    3-5); each round is localCheckpoint-ed so lineage stays flat and
+    the convergence signature (count + hash-sum) is one tiny action.
+
+    Returns (node, component) with component = min node id reachable;
+    every node that appears in `pairs` is assigned.
+    """
+    e = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("big"), F.least("a", "b").alias("small")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star: symmetrize, then connect every neighbor v > u to
+        # m(u) = min(Γ(u) ∪ {u}); emitted edges keep big > small.
+        sym = e.select("big", "small").unionByName(
+            e.select(F.col("small").alias("big"), F.col("big").alias("small"))
+        ).select(F.col("big").alias("u"), F.col("small").alias("v"))
+        mins = sym.groupBy("u").agg(F.min("v").alias("nmin"))
+        m = F.least(F.col("u"), F.col("nmin"))
+        e = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("big"), m.alias("small"))
+            .distinct()
+        )
+        # small-star: key by the larger endpoint; connect each smaller
+        # neighbor (and the node itself) to the min smaller neighbor.
+        mins2 = e.groupBy("big").agg(F.min("small").alias("m"))
+        joined = e.join(mins2, "big")
+        e = (
+            joined.where(F.col("small") != F.col("m"))
+            .select(F.col("small").alias("big"), F.col("m").alias("small"))
+            .unionByName(mins2.select(F.col("big"), F.col("m").alias("small")))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("big", "small")).alias("h"),
+        ).first()
+        if prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+    # fixpoint: e is a star per component — (node, root) for every
+    # non-root node. Emit roots too.
+    return (
+        e.select(F.col("big").alias("node"), F.col("small").alias("component"))
+        .unionByName(
+            e.select(F.col("small").alias("node"), F.col("small").alias("component"))
+        )
+        .distinct()
+    )
+
+
+def dedup_keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Drop every duplicate-cluster member except the canonical one
+    (min id): docs anti-join the non-root side of the component map."""
+    comps = connected_components(pairs, src, dst)
+    losers = comps.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, on=id_col, how="left_anti")

@@ -433,3 +433,49 @@ def test_fake_decode_is_hash_replayable():
         expected = int(hj[:6], 16) / 8388608.0 - 1.0
         assert float(v) == expected  # float32 -> double widening is exact
         assert -1.0 <= v < 1.0
+
+
+def test_connected_components_shapes(spark):
+    """Path, star, and separate pairs: component = min reachable id;
+    a 200-node chain converges within the O(log^2 n) iteration cap."""
+    from functime_spark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (21, 20), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    cc = connected_components(chain)
+    assert cc.count() == 201
+    assert [r["component"] for r in cc.select("component").distinct().collect()] == [0]
+
+
+def test_dedup_keep_canonical(spark):
+    from functime_spark.pipeline.dedup import dedup_keep_canonical
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 7, 8, 99]], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect())
+    assert kept == [1, 7, 99]
+
+
+def test_connected_components_zero_source_scans(spark, docs):
+    """The component map's plan reads only localCheckpoint blocks — at
+    100 TB the iterative star rounds must not re-derive the pair graph
+    from the corpus each round."""
+    from functime_spark.pipeline.dedup import connected_components, minhash_dedup
+    from functime_spark.plans.checks import count_file_scans
+
+    pairs = minhash_dedup(docs, threshold=0.3, hash_fn="md5")
+    cc = connected_components(pairs)
+    assert count_file_scans(cc) == 0
