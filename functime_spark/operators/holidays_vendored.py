@@ -163,3 +163,48 @@ def _jp(year: int) -> list:
 
 
 _COUNTRIES.update({"GB": _gb, "FR": _fr, "JP": _jp})
+
+
+def _ca(year: int) -> list:
+    """Canada national (federal) holidays — standard public rules;
+    provincial holidays and observed-day shifts are not modeled."""
+    easter = _easter(year)
+    d = _dt.timedelta
+    # Victoria Day: the Monday on or before May 24
+    may24 = _dt.date(year, 5, 24)
+    victoria = may24 - _dt.timedelta(days=may24.weekday())
+    e = [
+        (_dt.date(year, 1, 1), "new_years_day"),
+        (easter - d(2), "good_friday"),
+        (victoria, "victoria_day"),
+        (_dt.date(year, 7, 1), "canada_day"),
+        (_nth_weekday(year, 9, 0, 1), "labour_day"),
+        (_nth_weekday(year, 10, 0, 2), "thanksgiving"),
+        (_dt.date(year, 11, 11), "remembrance_day"),
+        (_dt.date(year, 12, 25), "christmas_day"),
+        (_dt.date(year, 12, 26), "boxing_day"),
+    ]
+    if year >= 2021:
+        e.append((_dt.date(year, 9, 30), "national_day_for_truth_and_reconciliation"))
+    return e
+
+
+def _au(year: int) -> list:
+    """Australia national public holidays (standard rules; state-level
+    days and observed-day substitutions are not modeled)."""
+    easter = _easter(year)
+    d = _dt.timedelta
+    return [
+        (_dt.date(year, 1, 1), "new_years_day"),
+        (_dt.date(year, 1, 26), "australia_day"),
+        (easter - d(2), "good_friday"),
+        (easter + d(1), "easter_monday"),
+        (_dt.date(year, 4, 25), "anzac_day"),
+        # King's/Queen's Birthday (most states): second Monday of June
+        (_nth_weekday(year, 6, 0, 2), "sovereigns_birthday"),
+        (_dt.date(year, 12, 25), "christmas_day"),
+        (_dt.date(year, 12, 26), "boxing_day"),
+    ]
+
+
+_COUNTRIES.update({"CA": _ca, "AU": _au})

@@ -1371,18 +1371,37 @@ def operator_oracles() -> dict:
         "UNION ALL SELECT make_date(y,12,25), 'christmas_day' FROM yrs "
         "UNION ALL SELECT make_date(y,12,26), 'boxing_day' FROM yrs"
     )
+    _ca_rules = (
+        "SELECT make_date(y,1,1) AS d, 'new_years_day' AS nm FROM yrs "
+        "UNION ALL SELECT e - to_days(2), 'good_friday' FROM easter "
+        # Victoria Day: the Monday on or before May 24
+        "UNION ALL SELECT make_date(y,5,24) - to_days(CAST((isodow(make_date(y,5,24)) - 1) % 7 AS INT)), "
+        "'victoria_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,7,1), 'canada_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,9,1) + to_days(CAST((8 - isodow(make_date(y,9,1))) % 7 AS INT)), "
+        "'labour_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,10,1) + to_days(CAST((8 - isodow(make_date(y,10,1))) % 7 + 7 AS INT)), "
+        "'thanksgiving' FROM yrs "
+        "UNION ALL SELECT make_date(y,11,11), 'remembrance_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'christmas_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,26), 'boxing_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,9,30), 'national_day_for_truth_and_reconciliation' "
+        "FROM yrs WHERE y >= 2021"
+    )
     o["future_holidays"] = (
         "WITH c AS (SELECT user_id, MAX(ts) AS low FROM events GROUP BY user_id), "
         "fut AS (SELECT c.user_id, c.low + i * INTERVAL '1 day' AS ts "
         "FROM c, generate_series(1, 400) AS g(i)), "
         "yrs AS (SELECT DISTINCT year(ts) AS y FROM fut), "
         f"{_computus}, "
-        f"us AS ({_us_rules}), de AS ({_de_rules}), gb AS ({_gb_rules}) "
+        f"us AS ({_us_rules}), de AS ({_de_rules}), gb AS ({_gb_rules}), "
+        f"ca AS ({_ca_rules}) "
         "SELECT f.user_id, f.ts, us.nm AS holiday__us, de.nm AS holiday__de, "
-        "gb.nm AS holiday__gb "
+        "gb.nm AS holiday__gb, ca.nm AS holiday__ca "
         "FROM fut f LEFT JOIN us ON CAST(f.ts AS DATE) = us.d "
         "LEFT JOIN de ON CAST(f.ts AS DATE) = de.d "
         "LEFT JOIN gb ON CAST(f.ts AS DATE) = gb.d "
+        "LEFT JOIN ca ON CAST(f.ts AS DATE) = ca.d "
         "ORDER BY user_id, ts"
     )
 

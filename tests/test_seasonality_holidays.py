@@ -64,3 +64,31 @@ def test_gb_fr_jp_known_dates():
     # pre-2016 has no Mountain Day; pre-2020 no Feb 23 Emperor birthday
     jp15 = dict((n, d) for d, n in vendored_holidays("JP", [2015]))
     assert "yama_no_hi" not in jp15 and "tenno_tanjobi" not in jp15
+
+
+def test_ca_au_known_dates():
+    """Spot-check the CA and AU vendored calendars against published
+    2024/2025 dates (Victoria Day's Monday-on-or-before-May-24 rule,
+    AU's second-Monday-of-June sovereign's birthday)."""
+    import datetime as dt
+
+    from functime_spark.operators.holidays_vendored import vendored_holidays
+
+    ca = dict((n, d) for d, n in vendored_holidays("CA", [2024]))
+    assert ca["victoria_day"] == dt.date(2024, 5, 20)
+    assert ca["good_friday"] == dt.date(2024, 3, 29)
+    assert ca["labour_day"] == dt.date(2024, 9, 2)
+    assert ca["thanksgiving"] == dt.date(2024, 10, 14)
+    assert ca["national_day_for_truth_and_reconciliation"] == dt.date(2024, 9, 30)
+    ca21 = dict((n, d) for d, n in vendored_holidays("CA", [2021]))
+    # May 24 2021 IS a Monday -> Victoria Day falls on it
+    assert ca21["victoria_day"] == dt.date(2021, 5, 24)
+    ca20 = dict((n, d) for d, n in vendored_holidays("CA", [2020]))
+    assert "national_day_for_truth_and_reconciliation" not in ca20
+
+    au = dict((n, d) for d, n in vendored_holidays("AU", [2025]))
+    assert au["australia_day"] == dt.date(2025, 1, 26)
+    assert au["good_friday"] == dt.date(2025, 4, 18)
+    assert au["easter_monday"] == dt.date(2025, 4, 21)
+    assert au["anzac_day"] == dt.date(2025, 4, 25)
+    assert au["sovereigns_birthday"] == dt.date(2025, 6, 9)
