@@ -660,6 +660,18 @@ def q_dedup_minhash(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_text_gopher(spark, sf_dir):
+    """Gopher quality-rule filter (Rae et al. 2021 table A1): doc-level
+    signals as pure codegen exprs + the duplicate-line repetition
+    signals as one explode/aggregate chain; every metric and the rule
+    verdict replayed in DuckDB list/regex SQL."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.text import gopher_quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _round_floats(gopher_quality_filter(docs)).orderBy("doc_id")
+
+
 def q_dedup_cluster(spark, sf_dir):
     """Duplicate-cluster assignment: md5-variant MinHash pairs →
     alternating large-star/small-star connected components (Kiveris et
@@ -1268,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
             "dedup_minhash": q_dedup_minhash,
             "dedup_cluster": q_dedup_cluster,
+            "text_gopher": q_text_gopher,
             "dedup_simhash": q_dedup_simhash,
             "dedup_embedding": q_dedup_embedding,
             "text_language_id": q_text_language_id,
@@ -1337,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feat_udf_ar4",
         "feat_udf_friedrich",
         "dedup_cluster",
+        "text_gopher",
         "media_features",
         "forecast_backtest_naive",
         "preproc_impute_mean",

@@ -1111,6 +1111,49 @@ def operator_oracles() -> dict:
         "SELECT doc_id AS media_id, j, v FROM feat ORDER BY media_id, j"
     )
 
+    # text_gopher: replay every Gopher rule signal with DuckDB
+    # list/regex functions; repetition fractions re-derived from
+    # per-(doc, line) counts; the `passes` verdict re-evaluated on the
+    # UNROUNDED values exactly like the Spark side.
+    o["text_gopher"] = (
+        "WITH toks AS (SELECT doc_id, text, "
+        "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk, "
+        "string_split(text, chr(10)) AS lns FROM documents), "
+        "base AS (SELECT doc_id, "
+        "len(tk) AS n_words, "
+        "list_sum(list_transform(tk, x -> length(x))) / CAST(len(tk) AS DOUBLE) AS mean_word_len, "
+        "(length(text) - length(replace(text, '#', '')) "
+        " + (length(text) - length(replace(text, '...', ''))) / 3.0) / len(tk) AS symbol_to_word, "
+        "len(list_filter(lns, l -> regexp_matches(trim(l), '^[-*•]'))) / CAST(len(lns) AS DOUBLE) AS bullet_line_frac, "
+        "len(list_filter(lns, l -> regexp_matches(rtrim(l), '\\.\\.\\.$'))) / CAST(len(lns) AS DOUBLE) AS ellipsis_line_frac, "
+        "len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) / CAST(len(tk) AS DOUBLE) AS alpha_word_frac, "
+        "len(list_filter(['the','be','to','of','and','that','have','with'], "
+        "s -> list_contains(tk, s))) AS stopword_hits FROM toks), "
+        "lr AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents), "
+        "pl AS (SELECT doc_id, line, COUNT(*) AS cnt FROM lr GROUP BY doc_id, line), "
+        "rep AS (SELECT doc_id, "
+        "SUM(cnt - 1) / CAST(SUM(cnt) AS DOUBLE) AS dup_line_frac, "
+        "SUM((cnt - 1) * length(line)) / CAST(SUM(cnt * length(line)) AS DOUBLE) AS dup_line_char_frac "
+        "FROM pl GROUP BY doc_id) "
+        "SELECT b.doc_id, b.n_words, "
+        + ", ".join(
+            _r(c) + f" AS {c}"
+            for c in [
+                "mean_word_len", "symbol_to_word", "bullet_line_frac",
+                "ellipsis_line_frac", "alpha_word_frac",
+            ]
+        )
+        + ", CAST(stopword_hits AS INT) AS stopword_hits, "
+        + _r("dup_line_frac") + " AS dup_line_frac, "
+        + _r("dup_line_char_frac") + " AS dup_line_char_frac, "
+        "(b.n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0 "
+        "AND symbol_to_word <= 0.1 AND bullet_line_frac <= 0.9 "
+        "AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8 "
+        "AND stopword_hits >= 2 AND dup_line_frac <= 0.3 "
+        "AND dup_line_char_frac <= 0.2) AS passes "
+        "FROM base b JOIN rep USING (doc_id) ORDER BY doc_id"
+    )
+
     o["dedup_ngram_jaccard"] = (
         "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
         "g0 AS (SELECT doc_id, list_distinct([array_to_string(ws[i:i+2], ' ') "

@@ -177,3 +177,94 @@ def fingerprint(
         F.coalesce(F.col("__rolled.mx"), F.lit(0).cast("long")).alias("fp_max"),
         full.alias("fp_full"),
     )
+
+
+#: Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language
+#: Models: ... Gopher", table A1 — the standard pre-training document
+#: filter). (min, max) or single-sided bounds.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_filter(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Gopher quality metrics + rule verdicts + overall
+    `passes` flag.
+
+    Scale design: the doc-level signals (word counts, symbol ratios,
+    bullet/ellipsis line fractions, alpha-word fraction, stopword
+    hits) are pure Column expressions — whole-stage codegen, zero
+    shuffle. The repetition signals (duplicate-line fraction and
+    duplicate-line CHAR fraction) need per-(doc, line) counts, so they
+    run as one explode → two-level aggregate chain (shuffle-bounded on
+    doc_id; no O(lines²) comparisons) and broadcast-join back onto the
+    doc-level frame when small, shuffle-join otherwise (Spark decides —
+    both sides are keyed by doc_id).
+    """
+    t = F.col(text_col)
+    toks = F.filter(tokens(t), lambda x: x != F.lit(""))
+    n_words = F.size(toks)
+    n_chars = F.length(t)
+    mean_word_len = (
+        F.aggregate(toks, F.lit(0.0), lambda acc, x: acc + F.length(x)) / n_words
+    )
+    # symbols: '#' occurrences + '...' occurrences (ellipsis)
+    n_hash = n_chars - F.length(F.regexp_replace(t, r"#", ""))
+    n_ellipsis = (n_chars - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / 3
+    symbol_to_word = (n_hash + n_ellipsis) / n_words
+    lines = F.split(t, r"\n")
+    n_lines = F.size(lines)
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(r"\.\.\.$"))) / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda x: x.rlike(r"[A-Za-z]"))) / n_words
+    )
+    stops = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.filter(stops, lambda s: F.array_contains(toks, s))
+    )
+    doc_level = docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_to_word.alias("symbol_to_word"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.cast("int").alias("stopword_hits"),
+    )
+    # repetition: explode lines once, count per (doc, line), then
+    # per-doc duplicated-line and duplicated-char fractions
+    line_rows = docs.select(
+        F.col(id_col), F.explode(F.split(t, r"\n")).alias("__line")
+    )
+    per_line = line_rows.groupBy(id_col, "__line").agg(
+        F.count("*").alias("__cnt")
+    )
+    rep = per_line.groupBy(id_col).agg(
+        (
+            F.sum(F.col("__cnt") - 1) / F.sum("__cnt")
+        ).alias("dup_line_frac"),
+        (
+            F.sum((F.col("__cnt") - 1) * F.length("__line"))
+            / F.sum(F.col("__cnt") * F.length("__line"))
+        ).alias("dup_line_char_frac"),
+    )
+    out = doc_level.join(rep, on=id_col, how="left")
+    passes = (
+        F.col("n_words").between(50, 100_000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("symbol_to_word") <= 0.1)
+        & (F.col("bullet_line_frac") <= 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("stopword_hits") >= 2)
+        & (F.col("dup_line_frac") <= 0.3)
+        & (F.col("dup_line_char_frac") <= 0.2)
+    )
+    return out.withColumn("passes", passes)

@@ -10,6 +10,7 @@ static DataFrame and on a readStream DataFrame).
 
 from functime_spark.streaming.ops import (  # noqa: F401
     stream_cusum,
+    stream_exact_dedup,
     stream_resample,
     stream_rolling_stats,
 )

@@ -161,3 +161,25 @@ def stream_cusum(
     return df.groupBy(p.entity).applyInPandasWithState(
         update, out_schema, state_schema, "append", timeout
     )
+
+
+def stream_exact_dedup(
+    df: DataFrame,
+    key_cols: list,
+    time_col: str,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming exact deduplication: keep the first record per key
+    within the watermark horizon (`dropDuplicatesWithinWatermark` when
+    available, else watermarked `dropDuplicates`).
+
+    Batch/stream symmetric: on a batch frame the watermark is a no-op
+    and this is plain dropDuplicates. At scale the dedup state store
+    shards on the hash of `key_cols` across executors, and the
+    watermark bounds state size — without it a 100 TB stream's dedup
+    state grows unboundedly.
+    """
+    wm = df.withWatermark(time_col, watermark)
+    if df.isStreaming and hasattr(wm, "dropDuplicatesWithinWatermark"):
+        return wm.dropDuplicatesWithinWatermark(key_cols)
+    return wm.dropDuplicates(key_cols)

@@ -479,3 +479,31 @@ def test_connected_components_zero_source_scans(spark, docs):
     pairs = minhash_dedup(docs, threshold=0.3, hash_fn="md5")
     cc = connected_components(pairs)
     assert count_file_scans(cc) == 0
+
+
+def test_gopher_quality_filter_rules(spark):
+    """Hand-built docs: one passing all Gopher rules, one failing on
+    specific signals (repetition, symbols, stopwords)."""
+    from functime_spark.pipeline.text import gopher_quality_filter
+
+    good = " ".join(
+        "the be to of and that have with quick brown fox jumps over lazy dog".split()
+        * 5
+    )  # 80 words, all alpha, all 8 stopwords, no symbols
+    dup_lines = "\n".join(["same line of text here"] * 10)  # pure repetition
+    hashy = "the " + "# " * 60  # symbol_to_word >> 0.1, one stopword
+    docs = spark.createDataFrame(
+        [(1, good), (2, dup_lines), (3, hashy)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_filter(docs).collect()}
+    assert out[1]["passes"] is True
+    assert out[1]["stopword_hits"] == 8
+    assert out[1]["dup_line_frac"] == 0.0
+
+    assert out[2]["passes"] is False
+    assert out[2]["dup_line_frac"] == 0.9  # 9 of 10 lines are repeats
+    assert out[2]["dup_line_char_frac"] == 0.9
+
+    assert out[3]["passes"] is False
+    assert out[3]["symbol_to_word"] > 0.1
+    assert out[3]["stopword_hits"] < 2

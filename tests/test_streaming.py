@@ -109,3 +109,39 @@ def test_stream_cusum_detects_level_shift(spark, tmp_path):
     fired = batch_cp[batch_cp["event"] != 0]
     assert (fired["event"] == 1).any()
     assert fired["t"].min() > 60
+
+
+def test_stream_exact_dedup_batch_and_stream(spark, tmp_path):
+    """Same call dedups a batch frame and a real stream: duplicate
+    (entity, ts) records collapse to the first arrival; state is
+    bounded by the watermark."""
+    import shutil
+
+    from functime_spark.streaming import stream_exact_dedup
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:00:00", 1.0),  # exact duplicate record
+        (1, "2024-01-01 01:00:00", 2.0),
+        (2, "2024-01-01 00:00:00", 3.0),
+        (2, "2024-01-01 00:00:00", 3.0),
+        (2, "2024-01-01 00:00:00", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "entity int, ts string, y double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = stream_exact_dedup(df, ["entity", "ts"], "ts")
+    assert batch.count() == 3
+
+    path = str(tmp_path / "dedup_panel")
+    df.repartition(2).write.parquet(path)
+    try:
+        sdf = spark.readStream.schema(df.schema).parquet(path)
+        out = stream_exact_dedup(sdf, ["entity", "ts"], "ts")
+        got = _run_stream(spark, out, "dedup_sink")
+        assert got.count() == 3
+        assert sorted(
+            (r["entity"], r["y"]) for r in got.collect()
+        ) == [(1, 1.0), (1, 2.0), (2, 3.0)]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
