@@ -760,6 +760,21 @@ def q_ann_ivf_topk(spark, sf_dir):
     return _round_floats(ivf.search(assigned, list(qvec), k=5, n_probe=3))
 
 
+def q_ann_pq_adc(spark, sf_dir):
+    """Product-quantization ANN (the PQ half of Lance's IVF_PQ, ref
+    forecasting/lance.py:40-95): per-subspace spread-init k-means
+    codebooks, vector->codes encode, ADC top-5. The oracle replays
+    fit + encode + ADC in one composite-key CTE chain."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.similarity import PQCodebook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    pq = PQCodebook(n_subspaces=8, ksub=16, n_iter=5, init="spread").fit(emb)
+    enc = pq.encode(emb.filter(F.col("vec_id") != 0))
+    return _round_floats(pq.adc_search(enc, list(qvec), k=5))
+
+
 def q_feat_udf_scalar(spark, sf_dir):
     """UDF-tier scalar features (entropy family, ADF, LZ) — rows-only."""
     _ensure_nanos_conf(spark)
@@ -1288,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_token_counts": q_text_token_counts,
             "text_fingerprint": q_text_fingerprint,
             "ann_ivf_topk": q_ann_ivf_topk,
+            "ann_pq_adc": q_ann_pq_adc,
             "feat_udf_scalar": q_feat_udf_scalar,
             "feat_udf_entropy_pair": q_feat_udf_entropy_pair,
             "feat_udf_ar2": q_feat_udf_ar2,
@@ -1351,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feat_udf_friedrich",
         "dedup_cluster",
         "text_gopher",
+        "ann_pq_adc",
         "media_features",
         "forecast_backtest_naive",
         "preproc_impute_mean",

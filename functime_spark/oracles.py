@@ -2632,6 +2632,60 @@ ORDER BY 1, 2
         "ORDER BY list_cosine_similarity(emb, qv.q) DESC, vec_id LIMIT 5"
     )
 
+    # ann_pq_adc: the product-quantization build replayed — per-
+    # subspace spread-init k-means (composite (m, cell) key in ONE CTE
+    # chain), encode of every vector to its 8 sub-codes, and the ADC
+    # distance (sum over subspaces of ||q_sub - codeword||^2) top-5.
+    def _pq_d2(a: str, b: str, d: int) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {d + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    _M, _KS, _DS = 8, 16, 8
+    _pq = [
+        "smp AS (SELECT CAST(embedding AS DOUBLE[]) AS emb, "
+        "row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM embeddings)",
+        f"sub AS (SELECT rn, t.m AS m, emb[(t.m*{_DS}+1):(t.m*{_DS}+{_DS})] AS s "
+        f"FROM smp, range(0, {_M}) t(m))",
+        "c0 AS (SELECT m, list(s ORDER BY rn) AS C FROM sub WHERE rn IN "
+        f"(SELECT CAST(FLOOR(t.c * (SELECT COUNT(*) FROM smp) / {_KS}.0) AS BIGINT) "
+        f"FROM range(0, {_KS}) t(c)) GROUP BY m)",
+    ]
+    for it in range(5):
+        _pq.append(
+            f"a{it} AS (SELECT z.m, rn, s, list_position(dd, list_min(dd)) - 1 AS cell "
+            f"FROM (SELECT sub.m AS m, rn, s, list_transform(c.C, cc -> "
+            f"{_pq_d2('s', 'cc', _DS)}) AS dd FROM sub JOIN c{it} c ON sub.m = c.m) z)"
+        )
+        _pq.append(
+            f"pc{it} AS (SELECT m, cell, list(av ORDER BY dim) AS cen FROM "
+            f"(SELECT m, cell, t.i AS dim, AVG(s[t.i]) AS av FROM a{it}, "
+            f"range(1, {_DS + 1}) t(i) GROUP BY m, cell, t.i) zz GROUP BY m, cell)"
+        )
+        _pq.append(
+            f"c{it + 1} AS (SELECT prev.m AS m, list(COALESCE(pc.cen, prev.C[cv.c + 1]) "
+            f"ORDER BY cv.c) AS C FROM c{it} prev CROSS JOIN range(0, {_KS}) cv(c) "
+            f"LEFT JOIN pc{it} pc ON pc.m = prev.m AND pc.cell = cv.c GROUP BY prev.m)"
+        )
+    o["ann_pq_adc"] = (
+        "WITH "
+        + ", ".join(_pq)
+        + ", esub AS (SELECT e.vec_id, t.m AS m, "
+        f"CAST(e.embedding AS DOUBLE[])[(t.m*{_DS}+1):(t.m*{_DS}+{_DS})] AS s "
+        f"FROM embeddings e, range(0, {_M}) t(m) WHERE e.vec_id != 0), "
+        "codes AS (SELECT vec_id, z.m, list_position(dd, list_min(dd)) - 1 AS code "
+        "FROM (SELECT vec_id, esub.m AS m, s, list_transform(c.C, cc -> "
+        + _pq_d2("s", "cc", _DS)
+        + ") AS dd FROM esub JOIN c5 c ON esub.m = c.m) z), "
+        "qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0), "
+        "adc AS (SELECT codes.vec_id, SUM("
+        + _pq_d2(f"qv.q[(codes.m*{_DS}+1):(codes.m*{_DS}+{_DS})]", "c.C[codes.code + 1]", _DS)
+        + ") AS d2 FROM codes JOIN c5 c ON codes.m = c.m, qv GROUP BY codes.vec_id) "
+        "SELECT vec_id, " + _r("d2") + " AS adc_d2 FROM adc "
+        "ORDER BY d2, vec_id LIMIT 5"
+    )
+
     # feat_udf_lempel_ziv: the LZ76 two-pointer distinct-substring scan
     # (features_udf.py:82-104) replayed as a recursive CTE: state =
     # (ind, inc, seen-substring list) over the binarized series; one

@@ -181,3 +181,142 @@ class IVFIndex:
         """Read a `write_index` directory; partition discovery restores
         the __cell column for pruned probes."""
         return spark.read.parquet(path)
+
+
+class PQCodebook:
+    """Product quantization — the PQ half of the reference's Lance
+    IVF_PQ index (forecasting/lance.py:40-95): split each D-dim vector
+    into M subvectors, k-means a small codebook per subspace, store
+    each vector as M small codes (D floats → M bytes: 32-256x
+    compression), and answer queries with asymmetric distance
+    computation (ADC) — a per-query (M x ksub) lookup table summed
+    over each row's codes.
+
+    Scale design: fit is a driver-side k-means per subspace over a
+    bounded sample (the codebook is tiny: M*ksub*D/M doubles). Encode
+    and ADC are narrow per-row projections with the codebook / distance
+    table riding in ONE broadcast single-row frame — plan size is O(1)
+    in M and ksub, the corpus never shuffles, and the encoded table is
+    what you persist (optionally hive-partitioned by an IVF cell
+    column for combined IVF_PQ). init='spread' + fixed Lloyd schedule
+    keeps the whole build deterministic, which is what lets the
+    correctness oracle replay fit+encode+ADC in SQL.
+    """
+
+    def __init__(
+        self,
+        n_subspaces: int = 8,
+        ksub: int = 16,
+        n_iter: int = 5,
+        init: str = "spread",
+        seed: int = 42,
+    ):
+        self.m = n_subspaces
+        self.ksub = ksub
+        self.n_iter = n_iter
+        self.init = init
+        self.seed = seed
+        self.codebooks: np.ndarray | None = None  # (m, ksub, dsub)
+
+    def fit(
+        self,
+        emb: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        sample: int = 10000,
+    ):
+        if self.init == "spread":
+            rows = emb.orderBy(id_col).select(vec_col).limit(sample).collect()
+        else:
+            rows = emb.select(vec_col).limit(sample).collect()
+        X = np.asarray([r[0] for r in rows], dtype="float64")
+        n, dim = X.shape
+        if dim % self.m:
+            raise ValueError(f"dim {dim} not divisible by n_subspaces {self.m}")
+        dsub = dim // self.m
+        k = min(self.ksub, n)
+        if self.init == "spread":
+            idx = np.array([int(np.floor(i * n / k)) for i in range(k)], dtype=int)
+        else:
+            idx = np.random.default_rng(self.seed).choice(n, size=k, replace=False)
+        books = np.empty((self.m, k, dsub))
+        for m in range(self.m):
+            S = X[:, m * dsub : (m + 1) * dsub]
+            C = S[idx].copy()
+            for _ in range(self.n_iter):
+                d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                assign = d.argmin(axis=1)
+                for c in range(k):
+                    mask = assign == c
+                    if mask.any():
+                        C[c] = S[mask].mean(axis=0)
+            books[m] = C
+        self.codebooks = books
+        return self
+
+    def encode(self, emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        """Append `__codes` (array<int>, one code per subspace): nearest
+        sub-centroid per subspace, first-min tie like numpy argmin."""
+        spark = emb.sparkSession
+        dsub = self.codebooks.shape[2]
+        cb = spark.createDataFrame(
+            [([[list(map(float, c)) for c in book] for book in self.codebooks],)],
+            "__cb array<array<array<double>>>",
+        )
+        v = F.col(vec_col).cast("array<double>")
+
+        def code_for(mcol):
+            sub = F.slice(v, mcol * dsub + 1, dsub)
+            dd = F.transform(
+                F.element_at("__cb", (mcol + 1).cast("int")),
+                lambda cen: F.aggregate(
+                    F.zip_with(sub, cen, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            return (F.array_position(dd, F.array_min(dd)) - 1).cast("int")
+
+        codes = F.transform(F.sequence(F.lit(0), F.lit(self.m - 1)), code_for)
+        return (
+            emb.crossJoin(F.broadcast(cb))
+            .withColumn("__codes", codes)
+            .drop("__cb")
+        )
+
+    def adc_search(
+        self,
+        encoded: DataFrame,
+        query_vec: list,
+        k: int = 10,
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """Approximate L2 top-k by ADC: per-query distance table
+        T[m][j] = ||q_m - C[m][j]||^2, row distance = sum of the looked-
+        up entries. One broadcast, one narrow scan of the codes."""
+        q = np.asarray(query_vec, dtype="float64")
+        mm, ksub, dsub = self.codebooks.shape
+        T = [
+            [
+                float(((q[m * dsub : (m + 1) * dsub] - self.codebooks[m][j]) ** 2).sum())
+                for j in range(ksub)
+            ]
+            for m in range(mm)
+        ]
+        spark = encoded.sparkSession
+        tb = spark.createDataFrame([(T,)], "__tbl array<array<double>>")
+        approx = F.aggregate(
+            F.zip_with(
+                F.col("__codes"),
+                F.col("__tbl"),
+                lambda c, row: F.element_at(row, (c + 1).cast("int")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            encoded.crossJoin(F.broadcast(tb))
+            .select(F.col(id_col), approx.alias("adc_d2"))
+            .orderBy("adc_d2", id_col)
+            .limit(k)
+        )

