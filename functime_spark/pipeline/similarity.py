@@ -320,3 +320,34 @@ class PQCodebook:
             .orderBy("adc_d2", id_col)
             .limit(k)
         )
+
+
+def ivf_pq_search(
+    ivf: IVFIndex,
+    pq: PQCodebook,
+    encoded: DataFrame,
+    query_vec: list,
+    k: int = 10,
+    n_probe: int = 4,
+    refine: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Full IVF_PQ query (the reference's Lance index shape,
+    forecasting/lance.py:54-95): probe the n_probe nearest IVF cells,
+    rank inside them by PQ ADC distance, then exactly re-rank the top
+    refine*k candidates by true cosine.
+
+    At scale: the cell filter prunes partitions (only n_probe/n_cells
+    of the inverted files are read), ADC scans codes (M small ints per
+    row, not D floats), and the exact pass touches only refine*k rows.
+    `encoded` must carry both `__cell` (IVFIndex.assign) and `__codes`
+    (PQCodebook.encode) plus the raw vector column for the refine step.
+    """
+    q = np.asarray(query_vec, dtype="float64")
+    d = ((ivf.centroids - q) ** 2).sum(axis=1)
+    cells = [int(c) for c in np.argsort(d, kind="stable")[:n_probe]]
+    probed = encoded.filter(F.col("__cell").isin(cells))
+    cand = pq.adc_search(probed, query_vec, k=refine * k, id_col=id_col)
+    short = probed.join(cand.select(id_col), on=id_col, how="left_semi")
+    return cosine_topk(short, query_vec, k=k, vec_col=vec_col, id_col=id_col)

@@ -546,3 +546,34 @@ def test_pq_codebook_recall_and_compression(spark):
     exact_rank = {v: r for r, v in enumerate(sorted(X, key=lambda i: true[i]))}
     top5 = sorted(adc, key=lambda i: adc[i])[:5]
     assert all(exact_rank[v] < len(X) * 0.3 for v in top5)
+
+
+def test_ivf_pq_search_end_to_end(spark):
+    """Combined IVF_PQ query: probe -> ADC shortlist -> exact refine.
+    With a wide probe and refine factor the result converges to the
+    exact top-k restricted to the probed cells."""
+    from functime_spark.pipeline.similarity import (
+        IVFIndex,
+        PQCodebook,
+        cosine_topk,
+        ivf_pq_search,
+    )
+    from functime_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = list(emb.filter("vec_id = 0").first()["embedding"])
+    ivf = IVFIndex(n_cells=4, init="spread").fit(emb)
+    pq = PQCodebook(n_subspaces=8, ksub=16, init="spread").fit(emb)
+    enc = pq.encode(ivf.assign(emb.filter("vec_id != 0")))
+    # probe EVERY cell with a huge refine factor -> exact result
+    got = [
+        r["vec_id"]
+        for r in ivf_pq_search(ivf, pq, enc, q, k=5, n_probe=4, refine=100).collect()
+    ]
+    exact = [
+        r["vec_id"] for r in cosine_topk(emb.filter("vec_id != 0"), q, 5).collect()
+    ]
+    assert got == exact
+    # narrow probe still returns k rows with decent overlap
+    narrow = ivf_pq_search(ivf, pq, enc, q, k=5, n_probe=2, refine=4).collect()
+    assert len(narrow) == 5
