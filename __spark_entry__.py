@@ -672,6 +672,101 @@ def q_text_gopher(spark, sf_dir):
     return _round_floats(gopher_quality_filter(docs)).orderBy("doc_id")
 
 
+def _augment_pii_text(docs):
+    """Deterministically weave synthetic PII into the corpus text by
+    doc_id (the synthetic documents carry none) so the regex scanners
+    have real positives to count; the oracle replays the same weave."""
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" mail user"),
+                    d.cast("string"),
+                    F.lit("@corp-"),
+                    (d % 7).cast("string"),
+                    F.lit(".io"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+            F.when(
+                d % 7 == 0,
+                F.concat(
+                    F.lit(" host 10.0."), (d % 200).cast("string"), F.lit(".7")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(d % 11 == 0, F.lit(" id 123-45-6789")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_text_pii(spark, sf_dir):
+    """PII scan (emails / phones / IPv4 / SSN-style ids + has_pii):
+    pure regexp_extract_all Column exprs in the RE2-compatible regex
+    subset, replayed verbatim in DuckDB on the same deterministic
+    PII-augmented corpus."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.text import pii_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pii_scan(_augment_pii_text(docs)).orderBy("doc_id")
+
+
+def q_text_ngram_repetition(spark, sf_dir):
+    """Gopher n-gram repetition signals: top-{2,3,4}-gram char fraction
+    + duplicated-5-gram char fraction via ONE explode over all n,
+    replayed in DuckDB with unnest(range)/list slicing."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.text import ngram_repetition
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _round_floats(
+        ngram_repetition(docs, top_ns=(2, 3, 4), dup_ns=(5,))
+    ).orderBy("doc_id")
+
+
+def q_text_url_stats(spark, sf_dir):
+    """URL/domain signals (count, distinct domains, first domain,
+    blocklist flag) on a deterministically URL-augmented corpus;
+    regexes in the shared Java/RE2 subset, replayed in DuckDB."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.text import url_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 4 == 0,
+                F.concat(
+                    F.lit(" see https://site-"),
+                    (d % 5).cast("string"),
+                    F.lit(".org/p/"),
+                    d.cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 6 == 0,
+                F.concat(F.lit(" ref https://spam.example/x"), d.cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 9 == 0,
+                F.concat(
+                    F.lit(" also https://site-"),
+                    (d % 5).cast("string"),
+                    F.lit(".org/q"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return url_stats(aug).orderBy("doc_id")
+
+
 def q_dedup_cluster(spark, sf_dir):
     """Duplicate-cluster assignment: md5-variant MinHash pairs →
     alternating large-star/small-star connected components (Kiveris et
@@ -1296,6 +1391,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_minhash": q_dedup_minhash,
             "dedup_cluster": q_dedup_cluster,
             "text_gopher": q_text_gopher,
+            "text_pii": q_text_pii,
+            "text_ngram_repetition": q_text_ngram_repetition,
+            "text_url_stats": q_text_url_stats,
             "dedup_simhash": q_dedup_simhash,
             "dedup_embedding": q_dedup_embedding,
             "text_language_id": q_text_language_id,
@@ -1382,6 +1480,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feat_longest_winning_streak",
         "feat_longest_losing_streak",
         "feat_streak_length_stats",
+        # round-3 additions — never driver-verified by construction
+        "text_pii",
+        "text_ngram_repetition",
+        "text_url_stats",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

@@ -2691,6 +2691,94 @@ ORDER BY 1, 2
     # (ind, inc, seen-substring list) over the binarized series; one
     # recursion step per scan step (<= 2n), terminal row = the first
     # state with ind + inc > n. as_ratio divides by series length.
+    # --- text_pii: same deterministic PII weave as the Spark query,
+    # same RE2-subset regexes, counted with regexp_extract_all
+    _pii_aug = (
+        "text || CASE WHEN doc_id % 3 = 0 THEN ' mail user' || doc_id || "
+        "'@corp-' || (doc_id % 7) || '.io' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.' || (doc_id % 200) || "
+        "'.7' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' id 123-45-6789' ELSE '' END"
+    )
+    _pii_pats = {
+        "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "phone": r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+        "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+        "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    }
+    _pii_counts = {
+        k: f"len(regexp_extract_all(t, '{p}'))" for k, p in _pii_pats.items()
+    }
+    o["text_pii"] = (
+        f"WITH aug AS (SELECT doc_id, {_pii_aug} AS t FROM documents) "
+        "SELECT doc_id, "
+        + ", ".join(
+            f"CAST({c} AS BIGINT) AS n_{k}" for k, c in _pii_counts.items()
+        )
+        + ", CAST(("
+        + " + ".join(_pii_counts.values())
+        + ") > 0 AS INT) AS has_pii FROM aug ORDER BY doc_id"
+    )
+
+    # --- text_ngram_repetition: Gopher top/dup n-gram char fractions;
+    # the gram explode is unnest(range) + inclusive list slicing
+    o["text_ngram_repetition"] = (
+        "WITH t AS (SELECT doc_id, length(text) AS nchars, "
+        r"list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws "
+        "FROM documents), "
+        "nn AS (SELECT unnest([2,3,4,5]) AS n), "
+        "gi AS (SELECT t.doc_id, t.nchars, nn.n, t.ws, "
+        "unnest(range(1, len(t.ws) - nn.n + 2)) AS i "
+        "FROM t JOIN nn ON len(t.ws) >= nn.n), "
+        "g AS (SELECT doc_id, nchars, n, "
+        "array_to_string(ws[CAST(i AS BIGINT):CAST(i + n - 1 AS BIGINT)], ' ') "
+        "AS gram FROM gi), "
+        "pg AS (SELECT doc_id, nchars, n, gram, COUNT(*) AS cnt FROM g "
+        "GROUP BY ALL), "
+        "pn AS (SELECT doc_id, nchars, n, MAX(cnt * length(gram)) AS topc, "
+        "SUM(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS dupc, "
+        "SUM(cnt * length(gram)) AS allc FROM pg GROUP BY ALL), "
+        "piv AS (SELECT doc_id, "
+        "MAX(CASE WHEN n=2 THEN topc / nchars END) AS f2, "
+        "MAX(CASE WHEN n=3 THEN topc / nchars END) AS f3, "
+        "MAX(CASE WHEN n=4 THEN topc / nchars END) AS f4, "
+        "MAX(CASE WHEN n=5 THEN dupc / allc END) AS d5 FROM pn GROUP BY doc_id) "
+        "SELECT d.doc_id, "
+        + _r("f2")
+        + " AS top_2gram_char_frac, "
+        + _r("f3")
+        + " AS top_3gram_char_frac, "
+        + _r("f4")
+        + " AS top_4gram_char_frac, "
+        + _r("d5")
+        + " AS dup_5gram_char_frac "
+        "FROM documents d LEFT JOIN piv USING (doc_id) ORDER BY doc_id"
+    )
+
+    # --- text_url_stats: same URL weave as the Spark query
+    _url_aug = (
+        "text || CASE WHEN doc_id % 4 = 0 THEN ' see https://site-' || "
+        "(doc_id % 5) || '.org/p/' || doc_id ELSE '' END"
+        " || CASE WHEN doc_id % 6 = 0 THEN ' ref https://spam.example/x' || "
+        "doc_id ELSE '' END"
+        " || CASE WHEN doc_id % 9 = 0 THEN ' also https://site-' || "
+        "(doc_id % 5) || '.org/q' ELSE '' END"
+    )
+    o["text_url_stats"] = (
+        f"WITH aug AS (SELECT doc_id, {_url_aug} AS t FROM documents), "
+        "d AS (SELECT doc_id, t, "
+        "regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1) AS doms FROM aug) "
+        "SELECT doc_id, "
+        r"CAST(len(regexp_extract_all(t, 'https?://[A-Za-z0-9.-]+(/[^\s]*)?')) "
+        "AS BIGINT) AS n_urls, "
+        "CAST(len(list_distinct(doms)) AS BIGINT) AS n_domains, "
+        "CASE WHEN len(doms) > 0 THEN doms[1] END AS first_domain, "
+        "CAST(len(list_filter(doms, x -> list_contains(['spam.example', "
+        "'malware.test'], x))) > 0 AS INT) AS has_blocked_domain "
+        "FROM d ORDER BY doc_id"
+    )
+
     o["feat_udf_lempel_ziv"] = (
         "WITH RECURSIVE bits AS ("
         "SELECT user_id, string_agg(CASE WHEN value > 50.0 THEN '1' ELSE '0' END, "

@@ -268,3 +268,165 @@ def gopher_quality_filter(
         & (F.col("dup_line_char_frac") <= 0.2)
     )
     return out.withColumn("passes", passes)
+
+
+#: PII detector patterns. Deliberately restricted to the regex subset
+#: shared by Java regex (Spark) and RE2 (DuckDB/Go scanners): no
+#: lookaround, no backreferences — so the same patterns run identically
+#: in the engine and in downstream audit tooling. Word boundaries (\b)
+#: are in both dialects.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+#: redaction application order: most-specific first so an SSN is not
+#: half-eaten by the phone pattern (the shapes are disjoint, but a
+#: fixed order keeps redaction deterministic regardless)
+_PII_REDACT_ORDER = ["email", "ssn", "phone", "ipv4"]
+
+
+def pii_scan(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    redact: bool = False,
+) -> DataFrame:
+    """Per-document PII signal counts (emails, phone numbers, IPv4
+    addresses, SSN-style ids) + a `has_pii` flag; optionally a
+    `redacted` text column with each match replaced by a typed tag.
+
+    The standard pre-training scrub pass (C4/Dolma-style regex PII
+    sweep). Everything is `regexp_extract_all`/`regexp_replace` Column
+    expressions — whole-stage codegen, zero shuffle, embarrassingly
+    parallel over the corpus at any scale."""
+    t = F.col(text_col)
+    counts = {
+        name: F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        for name, pat in PII_PATTERNS.items()
+    }
+    cols = [F.col(id_col)] + [
+        counts[n].cast("long").alias(f"n_{n}") for n in PII_PATTERNS
+    ]
+    total = None
+    for n in PII_PATTERNS:
+        total = counts[n] if total is None else total + counts[n]
+    cols.append((total > 0).cast("int").alias("has_pii"))
+    if redact:
+        red = t
+        for name in _PII_REDACT_ORDER:
+            red = F.regexp_replace(red, PII_PATTERNS[name], f"<{name.upper()}>")
+        cols.append(red.alias("redacted"))
+    return docs.select(*cols)
+
+
+def ngram_repetition(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5,),
+) -> DataFrame:
+    """Gopher repetition signals (Rae et al. 2021 table A1): per doc,
+    for n in `top_ns` the fraction of text characters covered by the
+    single most-repeated word n-gram (count x len(ngram) / len(text)),
+    and for n in `dup_ns` the fraction of n-gram characters belonging
+    to n-grams that occur more than once (sum over dup n-grams of
+    count x len / sum over all n-grams of count x len).
+
+    Scale design: ONE explode over (doc, n, ngram) for all requested n
+    — the shuffle is keyed by doc_id and bounded by total token count,
+    never O(len^2); the per-(doc, n) aggregates then pivot back to one
+    row per doc with a conditional-agg (no second shuffle stage per n).
+    Docs with fewer than n tokens contribute zero/null signals.
+    """
+    ns = sorted(set(top_ns) | set(dup_ns))
+    t = F.col(text_col)
+    toks = F.filter(tokens(t), lambda x: x != F.lit(""))
+    base = docs.select(
+        F.col(id_col),
+        F.length(t).alias("__nchars"),
+        toks.alias("__toks"),
+    )
+    # ngrams for every n in one array-of-structs, exploded once
+    # single-parameter lambda factory: a `lambda i, n=n` default arg
+    # would flip F.transform into its (element, index) two-arg calling
+    # convention and silently bind n to the array position
+    def _gram_fn(n):
+        return lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.array_join(F.slice("__toks", i, n), " ").alias("gram"),
+        )
+
+    grams = None
+    for n in ns:
+        # guard: F.sequence(1, 0) yields a DESCENDING [1, 0] — short
+        # docs must produce an empty gram list, not a slice(0) error
+        g = F.when(
+            F.size("__toks") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - (n - 1)), _gram_fn(n)
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+        grams = g if grams is None else F.concat(grams, g)
+    rows = base.select(
+        id_col, "__nchars", F.explode(grams).alias("__g")
+    ).select(id_col, "__nchars", "__g.n", "__g.gram")
+    per_gram = rows.groupBy(id_col, "__nchars", "n", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    per_n = per_gram.groupBy(id_col, "__nchars", "n").agg(
+        F.max(F.col("cnt") * F.length("gram")).alias("top_chars"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram")).otherwise(0)
+        ).alias("dup_chars"),
+        F.sum(F.col("cnt") * F.length("gram")).alias("all_chars"),
+    )
+    aggs = []
+    for n in top_ns:
+        aggs.append(
+            F.max(
+                F.when(F.col("n") == n, F.col("top_chars") / F.col("__nchars"))
+            ).alias(f"top_{n}gram_char_frac")
+        )
+    for n in dup_ns:
+        aggs.append(
+            F.max(
+                F.when(F.col("n") == n, F.col("dup_chars") / F.col("all_chars"))
+            ).alias(f"dup_{n}gram_char_frac")
+        )
+    out = per_n.groupBy(id_col).agg(*aggs)
+    # docs shorter than min(ns) tokens have no gram rows at all — keep
+    # them with null signals via a left join from the doc spine
+    return base.select(id_col).join(out, on=id_col, how="left")
+
+
+#: domains a scrape pipeline would drop outright (placeholder list —
+#: swap for a real blocklist asset at deploy time)
+URL_BLOCKLIST = ["spam.example", "malware.test"]
+
+
+def url_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document URL signals: URL count, distinct-domain count,
+    first domain, and a blocklisted-domain flag. Pure regexp Column
+    expressions (codegen, zero shuffle) — the standard web-scrape
+    routing signals (domain-level filtering/grouping)."""
+    t = F.col(text_col)
+    url_pat = r"https?://[A-Za-z0-9.-]+(/[^\s]*)?"
+    dom_pat = r"https?://([A-Za-z0-9.-]+)"
+    urls = F.regexp_extract_all(t, F.lit(url_pat), F.lit(0))
+    domains = F.regexp_extract_all(t, F.lit(dom_pat), F.lit(1))
+    blocked = F.array(*[F.lit(d) for d in URL_BLOCKLIST])
+    return docs.select(
+        F.col(id_col),
+        F.size(urls).cast("long").alias("n_urls"),
+        F.size(F.array_distinct(domains)).cast("long").alias("n_domains"),
+        F.when(F.size(domains) > 0, F.element_at(domains, 1)).alias("first_domain"),
+        (
+            F.size(F.filter(domains, lambda d: F.array_contains(blocked, d))) > 0
+        ).cast("int").alias("has_blocked_domain"),
+    )

@@ -577,3 +577,69 @@ def test_ivf_pq_search_end_to_end(spark):
     # narrow probe still returns k rows with decent overlap
     narrow = ivf_pq_search(ivf, pq, enc, q, k=5, n_probe=2, refine=4).collect()
     assert len(narrow) == 5
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    from functime_spark.pipeline.text import pii_scan
+
+    d = spark.createDataFrame(
+        [
+            (1, "reach a.b@x.io and c_d@y.co.uk, call 555-123-4567"),
+            (2, "host 192.168.1.10 and 10.0.0.1; ssn 123-45-6789"),
+            (3, "nothing sensitive here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scan(d, redact=True).collect()}
+    assert out[1]["n_email"] == 2
+    assert out[1]["n_phone"] == 1
+    assert out[1]["has_pii"] == 1
+    assert "<EMAIL>" in out[1]["redacted"] and "<PHONE>" in out[1]["redacted"]
+    assert "@" not in out[1]["redacted"]
+    assert out[2]["n_ipv4"] == 2
+    assert out[2]["n_ssn"] == 1
+    assert "<IPV4>" in out[2]["redacted"] and "<SSN>" in out[2]["redacted"]
+    assert out[3]["has_pii"] == 0
+    assert out[3]["redacted"] == "nothing sensitive here at all"
+
+
+def test_ngram_repetition_known_values(spark):
+    from functime_spark.pipeline.text import ngram_repetition
+
+    # "a b a b a b": 2-gram "a b" occurs 3x, len 3 -> 9/11 of chars;
+    # 5-grams are all unique -> dup 0; doc 2 repeats a 5-gram
+    rep5 = "one two three four five one two three four five"
+    d = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, rep5), (3, "xy")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ngram_repetition(d, top_ns=(2,), dup_ns=(5,)).collect()
+    }
+    assert abs(out[1]["top_2gram_char_frac"] - 9 / 11) < 1e-12
+    assert out[1]["dup_5gram_char_frac"] == 0.0
+    # doc 2: 6 5-grams, one ("one two three four five") duplicated
+    assert out[2]["dup_5gram_char_frac"] > 0.3
+    # doc 3 has 1 token: no grams at all -> null signals, row kept
+    assert out[3]["top_2gram_char_frac"] is None
+    assert out[3]["dup_5gram_char_frac"] is None
+
+
+def test_url_stats_domains_and_blocklist(spark):
+    from functime_spark.pipeline.text import url_stats
+
+    d = spark.createDataFrame(
+        [
+            (1, "see https://a.org/x http://a.org/y and https://spam.example/z"),
+            (2, "no links"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in url_stats(d).collect()}
+    assert out[1]["n_urls"] == 3
+    assert out[1]["n_domains"] == 2
+    assert out[1]["first_domain"] == "a.org"
+    assert out[1]["has_blocked_domain"] == 1
+    assert out[2]["n_urls"] == 0
+    assert out[2]["first_domain"] is None
+    assert out[2]["has_blocked_domain"] == 0
