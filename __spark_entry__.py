@@ -870,6 +870,22 @@ def q_ann_pq_adc(spark, sf_dir):
     return _round_floats(pq.adc_search(enc, list(qvec), k=5))
 
 
+def q_ann_sq8_topk(spark, sf_dir):
+    """Scalar-quantized (SQ8) ANN: per-dim min/max affine fit in ONE
+    aggregate pass, uint8 encode, approximate-cosine shortlist on the
+    dequantized codes, exact top-5 refine. Deterministic double
+    arithmetic throughout — the oracle replays fit+encode+search."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.similarity import SQ8Index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    sq = SQ8Index().fit(corpus)
+    enc = sq.encode(corpus)
+    return _round_floats(sq.search(enc, list(qvec), k=5, refine=4))
+
+
 def q_feat_udf_scalar(spark, sf_dir):
     """UDF-tier scalar features (entropy family, ADF, LZ) — rows-only."""
     _ensure_nanos_conf(spark)
@@ -1402,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_fingerprint": q_text_fingerprint,
             "ann_ivf_topk": q_ann_ivf_topk,
             "ann_pq_adc": q_ann_pq_adc,
+            "ann_sq8_topk": q_ann_sq8_topk,
             "feat_udf_scalar": q_feat_udf_scalar,
             "feat_udf_entropy_pair": q_feat_udf_entropy_pair,
             "feat_udf_ar2": q_feat_udf_ar2,
@@ -1484,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii",
         "text_ngram_repetition",
         "text_url_stats",
+        "ann_sq8_topk",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

@@ -2779,6 +2779,33 @@ ORDER BY 1, 2
         "FROM d ORDER BY doc_id"
     )
 
+    # --- ann_sq8_topk: scalar-quantization fit (per-dim min/max over
+    # the corpus), uint8 encode (floor(x/scale + .5) clamp), approx-
+    # cosine shortlist on the dequantized codes, exact top-5 refine —
+    # every step deterministic double arithmetic, replayed verbatim
+    o["ann_sq8_topk"] = (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), "
+        "dims AS (SELECT unnest(range(1, 65)) AS i), "
+        "st AS (SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx "
+        "FROM e, dims WHERE vec_id != 0 GROUP BY i), "
+        "stats AS (SELECT list(mn ORDER BY i) AS mns, "
+        "list((mx - mn) / 255 ORDER BY i) AS scs FROM st), "
+        "enc AS (SELECT vec_id, v, "
+        "list_transform(range(1, 65), i -> CASE WHEN scs[i] = 0 THEN 0 "
+        "ELSE least(255, greatest(0, CAST(floor((v[i] - mns[i]) / scs[i] "
+        "+ 0.5) AS INT))) END) AS codes FROM e, stats WHERE vec_id != 0), "
+        "deq AS (SELECT vec_id, v, "
+        "list_transform(range(1, 65), i -> mns[i] + codes[i] * scs[i]) AS dv "
+        "FROM enc, stats), "
+        "appr AS (SELECT vec_id, v, list_cosine_similarity(dv, qv) AS ac "
+        "FROM deq, q ORDER BY ac DESC, vec_id LIMIT 20) "
+        "SELECT vec_id, "
+        + _r("list_cosine_similarity(v, qv)")
+        + " AS cosine FROM appr, q ORDER BY cosine DESC, vec_id LIMIT 5"
+    )
+
     o["feat_udf_lempel_ziv"] = (
         "WITH RECURSIVE bits AS ("
         "SELECT user_id, string_agg(CASE WHEN value > 50.0 THEN '1' ELSE '0' END, "

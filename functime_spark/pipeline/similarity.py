@@ -351,3 +351,117 @@ def ivf_pq_search(
     cand = pq.adc_search(probed, query_vec, k=refine * k, id_col=id_col)
     short = probed.join(cand.select(id_col), on=id_col, how="left_semi")
     return cosine_topk(short, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
+
+class SQ8Index:
+    """Scalar quantization (SQ8): per-dimension affine map of each
+    float dim onto a uint8 code — the SQ flavor of the reference's
+    Lance vector index (forecasting/lance.py:40-95; Lance exposes
+    IVF_PQ and scalar quantizers over the same store). 4x compression
+    vs float32 with near-exact recall, and unlike PQ the decode is a
+    2-multiply affine — no codebook lookups in the scan.
+
+    Scale design: `fit` is ONE aggregate pass computing 2*dim
+    partial-aggregatable min/max columns (no shuffle beyond the final
+    reduce; the stats are a dim-sized driver vector). `encode` and
+    `search` are narrow projections with the (min, scale) vectors
+    riding in one broadcast single-row frame — plan size O(1) in dim,
+    the corpus never shuffles. Every step is deterministic double
+    arithmetic, so the DuckDB oracle replays fit+encode+search
+    bit-compatibly.
+    """
+
+    def __init__(self, n_levels: int = 256):
+        self.levels = n_levels - 1  # max code value
+        self.mins: list | None = None
+        self.scales: list | None = None
+
+    def fit(self, emb: DataFrame, vec_col: str = "embedding"):
+        dim = emb.select(F.size(vec_col)).first()[0]
+        v = F.col(vec_col).cast("array<double>")
+        aggs = []
+        for i in range(dim):
+            aggs.append(F.min(F.element_at(v, i + 1)).alias(f"n{i}"))
+            aggs.append(F.max(F.element_at(v, i + 1)).alias(f"x{i}"))
+        row = emb.agg(*aggs).first()
+        self.mins = [float(row[f"n{i}"]) for i in range(dim)]
+        self.scales = [
+            (float(row[f"x{i}"]) - float(row[f"n{i}"])) / self.levels
+            for i in range(dim)
+        ]
+        return self
+
+    def _stats_frame(self, spark):
+        return spark.createDataFrame(
+            [(self.mins, self.scales)], "__mn array<double>, __sc array<double>"
+        )
+
+    def encode(self, emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        """Append `__codes` (array<int> in [0, levels]): per-dim
+        code = floor((x - mn)/scale + 0.5), clamped; constant dims
+        (scale 0) code to 0."""
+        dim = len(self.mins)
+        v = F.col(vec_col).cast("array<double>")
+        codes = F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: F.when(
+                F.element_at("__sc", i) == 0.0, F.lit(0)
+            ).otherwise(
+                F.least(
+                    F.lit(self.levels),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.element_at(v, i) - F.element_at("__mn", i))
+                            / F.element_at("__sc", i)
+                            + F.lit(0.5)
+                        ).cast("int"),
+                    ),
+                )
+            ).cast("int"),
+        )
+        return (
+            emb.crossJoin(F.broadcast(self._stats_frame(emb.sparkSession)))
+            .withColumn("__codes", codes)
+            .drop("__mn", "__sc")
+        )
+
+    def search(
+        self,
+        encoded: DataFrame,
+        query_vec: list,
+        k: int = 10,
+        refine: int = 4,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """Approximate-cosine shortlist on dequantized codes (narrow
+        scan), then exact cosine re-rank of the refine*k candidates.
+        Returns (id, cosine) like `cosine_topk`."""
+        dim = len(self.mins)
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        deq = F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: F.element_at("__mn", i)
+            + F.element_at("__codes", i) * F.element_at("__sc", i),
+        )
+        shortlist = (
+            encoded.crossJoin(F.broadcast(self._stats_frame(encoded.sparkSession)))
+            .withColumn("__deq", deq)
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                (_dot(F.col("__deq"), q) / (_norm(F.col("__deq")) * _norm(q))).alias(
+                    "__approx"
+                ),
+            )
+            .orderBy(F.desc("__approx"), id_col)
+            .limit(refine * k)
+        )
+        v = F.col(vec_col).cast("array<double>")
+        exact = _dot(v, q) / (_norm(v) * _norm(q))
+        return (
+            shortlist.select(F.col(id_col), exact.alias("cosine"))
+            .orderBy(F.desc("cosine"), id_col)
+            .limit(k)
+        )

@@ -643,3 +643,39 @@ def test_url_stats_domains_and_blocklist(spark):
     assert out[2]["n_urls"] == 0
     assert out[2]["first_domain"] is None
     assert out[2]["has_blocked_domain"] == 0
+
+
+def test_sq8_recall_and_determinism(spark, emb):
+    """SQ8 top-5 equals exact cosine top-5 on the fixture corpus;
+    codes are uint8-range and stable across encodes."""
+    from functime_spark.pipeline.similarity import SQ8Index, cosine_topk
+
+    corpus = emb.filter(F.col("vec_id") != 0)
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    sq = SQ8Index().fit(corpus)
+    enc = sq.encode(corpus)
+    got = [r["vec_id"] for r in sq.search(enc, qvec, k=5).collect()]
+    exact = [r["vec_id"] for r in cosine_topk(corpus, qvec, k=5).collect()]
+    assert got == exact
+
+    codes1 = enc.select("vec_id", "__codes").orderBy("vec_id").limit(5).collect()
+    codes2 = (
+        sq.encode(corpus).select("vec_id", "__codes").orderBy("vec_id").limit(5).collect()
+    )
+    assert [r["__codes"] for r in codes1] == [r["__codes"] for r in codes2]
+    for r in codes1:
+        assert all(0 <= c <= 255 for c in r["__codes"])
+
+
+def test_sq8_constant_dim_codes_zero(spark):
+    from functime_spark.pipeline.similarity import SQ8Index
+
+    d = spark.createDataFrame(
+        [(1, [1.0, 5.0]), (2, [1.0, 7.0]), (3, [1.0, 9.0])],
+        "vec_id long, embedding array<float>",
+    )
+    sq = SQ8Index().fit(d)
+    codes = {r["vec_id"]: r["__codes"] for r in sq.encode(d).collect()}
+    # dim 0 is constant -> scale 0 -> code 0 everywhere
+    assert all(c[0] == 0 for c in codes.values())
+    assert codes[1][1] == 0 and codes[3][1] == 255
