@@ -411,16 +411,18 @@ def q_future_calendar(spark, sf_dir):
 
 
 def q_future_holidays(spark, sf_dir):
-    """US + DE + GB + CA holiday columns over a 400-day future index
-    (ref calendar.py:56-152) from the vendored calendars — the span
-    covers every fixed, nth-weekday, Monday-on-or-before, and
-    Easter-computus rule, each replayed independently in the DuckDB
-    oracle."""
+    """US + DE + GB + CA + NL holiday columns over a 400-day future
+    index (ref calendar.py:56-152) from the vendored calendars — the
+    span covers every fixed, nth-weekday, Monday-on-or-before,
+    Sunday-shift (Koningsdag) and Easter-computus rule, each replayed
+    independently in the DuckDB oracle."""
     _ensure_nanos_conf(spark)
     from functime_spark.operators.seasonality import make_future_holiday_effects
 
     df = events_panel(spark, sf_dir)
-    out = make_future_holiday_effects(df, ["US", "DE", "GB", "CA"], fh=400, freq="1d")
+    out = make_future_holiday_effects(
+        df, ["US", "DE", "GB", "CA", "NL"], fh=400, freq="1d"
+    )
     return out.orderBy("user_id", "ts")
 
 

@@ -208,3 +208,72 @@ def _au(year: int) -> list:
 
 
 _COUNTRIES.update({"CA": _ca, "AU": _au})
+
+
+def _es(year: int) -> list:
+    """Spain national holidays (fiestas nacionales; regional days and
+    observed-day shifts are not modeled)."""
+    easter = _easter(year)
+    d = _dt.timedelta
+    return [
+        (_dt.date(year, 1, 1), "ano_nuevo"),
+        (_dt.date(year, 1, 6), "epifania_del_senor"),
+        (easter - d(2), "viernes_santo"),
+        (_dt.date(year, 5, 1), "fiesta_del_trabajo"),
+        (_dt.date(year, 8, 15), "asuncion_de_la_virgen"),
+        (_dt.date(year, 10, 12), "fiesta_nacional_de_espana"),
+        (_dt.date(year, 11, 1), "todos_los_santos"),
+        (_dt.date(year, 12, 6), "dia_de_la_constitucion_espanola"),
+        (_dt.date(year, 12, 8), "inmaculada_concepcion"),
+        (_dt.date(year, 12, 25), "natividad_del_senor"),
+    ]
+
+
+def _it(year: int) -> list:
+    """Italy national holidays (standard public rules)."""
+    easter = _easter(year)
+    d = _dt.timedelta
+    return [
+        (_dt.date(year, 1, 1), "capodanno"),
+        (_dt.date(year, 1, 6), "epifania_del_signore"),
+        (easter + d(1), "lunedi_dellangelo"),
+        (_dt.date(year, 4, 25), "festa_della_liberazione"),
+        (_dt.date(year, 5, 1), "festa_dei_lavoratori"),
+        (_dt.date(year, 6, 2), "festa_della_repubblica"),
+        (_dt.date(year, 8, 15), "assunzione_della_vergine"),
+        (_dt.date(year, 11, 1), "tutti_i_santi"),
+        (_dt.date(year, 12, 8), "immacolata_concezione"),
+        (_dt.date(year, 12, 25), "natale"),
+        (_dt.date(year, 12, 26), "santo_stefano"),
+    ]
+
+
+def _nl(year: int) -> list:
+    """Netherlands national holidays, current-law rules: Koningsdag
+    Apr 27 shifting to Apr 26 when the 27th is a Sunday (since 2014;
+    Koninginnedag Apr 30 before that)."""
+    easter = _easter(year)
+    d = _dt.timedelta
+    if year >= 2014:
+        kd = _dt.date(year, 4, 27)
+        if kd.weekday() == 6:
+            kd -= _dt.timedelta(days=1)
+        kings = (kd, "koningsdag")
+    else:
+        kings = (_dt.date(year, 4, 30), "koninginnedag")
+    return [
+        (_dt.date(year, 1, 1), "nieuwjaarsdag"),
+        (easter - d(2), "goede_vrijdag"),
+        (easter, "eerste_paasdag"),
+        (easter + d(1), "tweede_paasdag"),
+        kings,
+        (_dt.date(year, 5, 5), "bevrijdingsdag"),
+        (easter + d(39), "hemelvaartsdag"),
+        (easter + d(49), "eerste_pinksterdag"),
+        (easter + d(50), "tweede_pinksterdag"),
+        (_dt.date(year, 12, 25), "eerste_kerstdag"),
+        (_dt.date(year, 12, 26), "tweede_kerstdag"),
+    ]
+
+
+_COUNTRIES.update({"ES": _es, "IT": _it, "NL": _nl})

@@ -129,6 +129,13 @@ def add_holiday_effects(
             ]
         else:
             rows = vendored_holidays(code, years)
+        # one row per date: join same-date names (e.g. NL Ascension on
+        # Liberation Day) with '; ' like the holidays package does —
+        # a raw duplicate would fan out the panel join
+        merged: dict = {}
+        for hd, name in rows:
+            merged.setdefault(hd, []).append(name)
+        rows = [(hd, "; ".join(names)) for hd, names in merged.items()]
         col = f"holiday__{code.lower()}"
         tbl = spark.createDataFrame(rows, schema=f"__hdate date, {col} string")
         out = out.join(

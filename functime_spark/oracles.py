@@ -1431,6 +1431,23 @@ def operator_oracles() -> dict:
         "UNION ALL SELECT make_date(y,9,30), 'national_day_for_truth_and_reconciliation' "
         "FROM yrs WHERE y >= 2021"
     )
+    _nl_rules = (
+        "SELECT make_date(y,1,1) AS d, 'nieuwjaarsdag' AS nm FROM yrs "
+        "UNION ALL SELECT e - to_days(2), 'goede_vrijdag' FROM easter "
+        "UNION ALL SELECT e, 'eerste_paasdag' FROM easter "
+        "UNION ALL SELECT e + to_days(1), 'tweede_paasdag' FROM easter "
+        # Koningsdag: Apr 27, shifted to Apr 26 when the 27th is a Sunday
+        "UNION ALL SELECT CASE WHEN isodow(make_date(y,4,27)) = 7 "
+        "THEN make_date(y,4,26) ELSE make_date(y,4,27) END, 'koningsdag' "
+        "FROM yrs WHERE y >= 2014 "
+        "UNION ALL SELECT make_date(y,4,30), 'koninginnedag' FROM yrs WHERE y < 2014 "
+        "UNION ALL SELECT make_date(y,5,5), 'bevrijdingsdag' FROM yrs "
+        "UNION ALL SELECT e + to_days(39), 'hemelvaartsdag' FROM easter "
+        "UNION ALL SELECT e + to_days(49), 'eerste_pinksterdag' FROM easter "
+        "UNION ALL SELECT e + to_days(50), 'tweede_pinksterdag' FROM easter "
+        "UNION ALL SELECT make_date(y,12,25), 'eerste_kerstdag' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,26), 'tweede_kerstdag' FROM yrs"
+    )
     o["future_holidays"] = (
         "WITH c AS (SELECT user_id, MAX(ts) AS low FROM events GROUP BY user_id), "
         "fut AS (SELECT c.user_id, c.low + i * INTERVAL '1 day' AS ts "
@@ -1438,13 +1455,14 @@ def operator_oracles() -> dict:
         "yrs AS (SELECT DISTINCT year(ts) AS y FROM fut), "
         f"{_computus}, "
         f"us AS ({_us_rules}), de AS ({_de_rules}), gb AS ({_gb_rules}), "
-        f"ca AS ({_ca_rules}) "
+        f"ca AS ({_ca_rules}), nl AS ({_nl_rules}) "
         "SELECT f.user_id, f.ts, us.nm AS holiday__us, de.nm AS holiday__de, "
-        "gb.nm AS holiday__gb, ca.nm AS holiday__ca "
+        "gb.nm AS holiday__gb, ca.nm AS holiday__ca, nl.nm AS holiday__nl "
         "FROM fut f LEFT JOIN us ON CAST(f.ts AS DATE) = us.d "
         "LEFT JOIN de ON CAST(f.ts AS DATE) = de.d "
         "LEFT JOIN gb ON CAST(f.ts AS DATE) = gb.d "
         "LEFT JOIN ca ON CAST(f.ts AS DATE) = ca.d "
+        "LEFT JOIN nl ON CAST(f.ts AS DATE) = nl.d "
         "ORDER BY user_id, ts"
     )
 

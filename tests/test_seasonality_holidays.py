@@ -92,3 +92,51 @@ def test_ca_au_known_dates():
     assert au["easter_monday"] == dt.date(2025, 4, 21)
     assert au["anzac_day"] == dt.date(2025, 4, 25)
     assert au["sovereigns_birthday"] == dt.date(2025, 6, 9)
+
+
+def test_vendored_es_it_nl_known_dates():
+    import datetime as dt
+
+    from functime_spark.operators.holidays_vendored import vendored_holidays
+
+    es = dict((d, n) for d, n in vendored_holidays("ES", [2024]))
+    assert es[dt.date(2024, 3, 29)] == "viernes_santo"  # Good Friday 2024
+    assert es[dt.date(2024, 10, 12)] == "fiesta_nacional_de_espana"
+
+    it = dict((d, n) for d, n in vendored_holidays("IT", [2024]))
+    assert it[dt.date(2024, 4, 1)] == "lunedi_dellangelo"  # Easter Monday
+    assert it[dt.date(2024, 6, 2)] == "festa_della_repubblica"
+
+    nl24 = dict((d, n) for d, n in vendored_holidays("NL", [2024]))
+    assert nl24[dt.date(2024, 4, 27)] == "koningsdag"
+    # 2025-04-27 is a Sunday -> Koningsdag shifts to Saturday the 26th
+    nl25 = dict((d, n) for d, n in vendored_holidays("NL", [2025]))
+    assert dt.date(2025, 4, 27) not in nl25
+    assert nl25[dt.date(2025, 4, 26)] == "koningsdag"
+    assert nl24[dt.date(2024, 5, 9)] == "hemelvaartsdag"  # Ascension 2024
+    # pre-2014: Koninginnedag on April 30
+    nl13 = dict((d, n) for d, n in vendored_holidays("NL", [2013]))
+    assert nl13[dt.date(2013, 4, 30)] == "koninginnedag"
+
+
+def test_holiday_same_date_names_merge(spark):
+    """Two rules landing on one date must merge into one '; '-joined
+    name, not fan out the panel (NL: Ascension can fall on May 5)."""
+    import datetime as dt
+
+    from functime_spark.operators.holidays_vendored import vendored_holidays
+    from functime_spark.operators.seasonality import add_holiday_effects
+
+    # 2016: Easter Mar 27 -> Ascension = May 5 = bevrijdingsdag
+    nl16 = vendored_holidays("NL", [2016])
+    dates = [d for d, _ in nl16]
+    assert dates.count(dt.date(2016, 5, 5)) == 2
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2016, 5, 5)), ("a", dt.datetime(2016, 5, 6))],
+        "user_id string, ts timestamp",
+    )
+    out = add_holiday_effects(df, ["NL"]).collect()
+    assert len(out) == 2  # no fan-out
+    row = {r["ts"].day: r["holiday__nl"] for r in out}
+    assert row[5] == "bevrijdingsdag; hemelvaartsdag"
+    assert row[6] is None
