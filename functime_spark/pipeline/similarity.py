@@ -465,3 +465,32 @@ class SQ8Index:
             .orderBy(F.desc("cosine"), id_col)
             .limit(k)
         )
+
+
+def ivf_sq8_search(
+    ivf: IVFIndex,
+    sq: "SQ8Index",
+    encoded: DataFrame,
+    query_vec: list,
+    k: int = 10,
+    n_probe: int = 4,
+    refine: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF_SQ query (the scalar-quantized sibling of `ivf_pq_search`;
+    Lance exposes both over the same store): probe the n_probe nearest
+    IVF cells, shortlist by SQ8 approximate cosine, exact-refine the
+    top refine*k. `encoded` must carry `__cell` (IVFIndex.assign),
+    `__codes` (SQ8Index.encode) and the raw vector column.
+
+    At scale the cell filter prunes the inverted-file partitions and
+    the SQ8 pass reads uint8 codes, so the only float-vector reads are
+    the refine*k refine rows."""
+    q = np.asarray(query_vec, dtype="float64")
+    d = ((ivf.centroids - q) ** 2).sum(axis=1)
+    cells = [int(c) for c in np.argsort(d, kind="stable")[:n_probe]]
+    probed = encoded.filter(F.col("__cell").isin(cells))
+    return sq.search(
+        probed, query_vec, k=k, refine=refine, vec_col=vec_col, id_col=id_col
+    )

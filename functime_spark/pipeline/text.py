@@ -336,11 +336,16 @@ def ngram_repetition(
     to n-grams that occur more than once (sum over dup n-grams of
     count x len / sum over all n-grams of count x len).
 
-    Scale design: ONE explode over (doc, n, ngram) for all requested n
-    — the shuffle is keyed by doc_id and bounded by total token count,
-    never O(len^2); the per-(doc, n) aggregates then pivot back to one
-    row per doc with a conditional-agg (no second shuffle stage per n).
-    Docs with fewer than n tokens contribute zero/null signals.
+    Scale design: ONE shuffle total. The doc frame is hash-partitioned
+    by doc id up front, the (doc, n, ngram) explode preserves that
+    partitioning, and every downstream aggregate groups on key sets
+    containing doc id — Catalyst recognizes the existing partitioning
+    satisfies each ClusteredDistribution, so the 3-level rollup
+    (per-gram counts → per-n signals → per-doc pivot) adds no further
+    exchanges (pinned in tests/test_plans.py). A sentinel n=0 gram row
+    keeps docs with fewer than min(n) tokens in the output (null
+    signals) without a spine join. Explode volume is bounded by total
+    token count, never O(len^2).
     """
     ns = sorted(set(top_ns) | set(dup_ns))
     t = F.col(text_col)
@@ -360,7 +365,11 @@ def ngram_repetition(
             F.array_join(F.slice("__toks", i, n), " ").alias("gram"),
         )
 
-    grams = None
+    # sentinel (n=0) row: every doc emits >= 1 gram row, so the final
+    # per-doc aggregate covers short docs too — no spine join needed
+    grams = F.array(
+        F.struct(F.lit(0).alias("n"), F.lit("").alias("gram"))
+    )
     for n in ns:
         # guard: F.sequence(1, 0) yields a DESCENDING [1, 0] — short
         # docs must produce an empty gram list, not a slice(0) error
@@ -370,10 +379,12 @@ def ngram_repetition(
                 F.sequence(F.lit(1), F.size("__toks") - (n - 1)), _gram_fn(n)
             ),
         ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
-        grams = g if grams is None else F.concat(grams, g)
-    rows = base.select(
-        id_col, "__nchars", F.explode(grams).alias("__g")
-    ).select(id_col, "__nchars", "__g.n", "__g.gram")
+        grams = F.concat(grams, g)
+    rows = (
+        base.repartition(F.col(id_col))
+        .select(id_col, "__nchars", F.explode(grams).alias("__g"))
+        .select(id_col, "__nchars", "__g.n", "__g.gram")
+    )
     per_gram = rows.groupBy(id_col, "__nchars", "n", "gram").agg(
         F.count("*").alias("cnt")
     )
@@ -397,10 +408,7 @@ def ngram_repetition(
                 F.when(F.col("n") == n, F.col("dup_chars") / F.col("all_chars"))
             ).alias(f"dup_{n}gram_char_frac")
         )
-    out = per_n.groupBy(id_col).agg(*aggs)
-    # docs shorter than min(ns) tokens have no gram rows at all — keep
-    # them with null signals via a left join from the doc spine
-    return base.select(id_col).join(out, on=id_col, how="left")
+    return per_n.groupBy(id_col).agg(*aggs)
 
 
 #: domains a scrape pipeline would drop outright (placeholder list —

@@ -679,3 +679,25 @@ def test_sq8_constant_dim_codes_zero(spark):
     # dim 0 is constant -> scale 0 -> code 0 everywhere
     assert all(c[0] == 0 for c in codes.values())
     assert codes[1][1] == 0 and codes[3][1] == 255
+
+
+def test_ivf_sq8_search_end_to_end(spark, emb):
+    """IVF probe -> SQ8 shortlist -> exact refine returns k rows and
+    full-probe results match brute-force cosine top-k."""
+    from functime_spark.pipeline.similarity import (
+        IVFIndex,
+        SQ8Index,
+        cosine_topk,
+        ivf_sq8_search,
+    )
+
+    corpus = emb.filter(F.col("vec_id") != 0)
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    ivf = IVFIndex(n_cells=8, n_iter=3).fit(corpus)
+    sq = SQ8Index().fit(corpus)
+    enc = sq.encode(ivf.assign(corpus))
+    full = ivf_sq8_search(ivf, sq, enc, qvec, k=5, n_probe=8).collect()
+    exact = cosine_topk(corpus, qvec, k=5).collect()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in exact]
+    narrow = ivf_sq8_search(ivf, sq, enc, qvec, k=5, n_probe=2).collect()
+    assert len(narrow) == 5

@@ -118,3 +118,40 @@ def test_dedup_signature_materialization_pins_scan_count(spark):
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     assert count_file_scans(minhash_dedup(docs)) == 0
     assert count_file_scans(simhash_near_dups(docs)) == 0
+
+
+def test_text_scrub_ops_shuffle_free(spark):
+    """pii_scan / url_stats / quality are stateless projections: zero
+    exchanges, zero Python nodes — the corpus never shuffles."""
+    from functime_spark.pipeline.text import pii_scan, quality_scores, url_stats
+    from functime_spark.plans import assert_max_exchanges, python_eval_nodes
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for op in (pii_scan, url_stats, quality_scores):
+        out = op(docs)
+        assert_max_exchanges(out, 0)
+        assert python_eval_nodes(out) == []
+
+
+def test_ngram_repetition_single_shuffle(spark):
+    """The 3-level gram rollup reuses ONE up-front doc_id partitioning
+    (subset-key aggregates satisfy ClusteredDistribution) — a second
+    exchange here doubles the shuffle volume at corpus scale."""
+    from functime_spark.pipeline.text import ngram_repetition
+    from functime_spark.plans import assert_max_exchanges
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert_max_exchanges(ngram_repetition(docs), 1)
+
+
+def test_sq8_encode_and_search_shuffle_free(spark):
+    """SQ8 encode/search ride a broadcast stats row over a narrow
+    scan; top-k is TakeOrdered, not a global sort."""
+    from functime_spark.pipeline.similarity import SQ8Index
+    from functime_spark.plans import assert_max_exchanges
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sq = SQ8Index().fit(emb)
+    enc = sq.encode(emb)
+    assert_max_exchanges(enc, 0)
+    assert_max_exchanges(sq.search(enc, [0.0] * 64, k=5), 0)

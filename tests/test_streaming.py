@@ -145,3 +145,37 @@ def test_stream_exact_dedup_batch_and_stream(spark, tmp_path):
         ) == [(1, 1.0), (1, 2.0), (2, 3.0)]
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_stream_pii_scan_matches_batch(spark, tmp_path):
+    """The corpus-scrub projections (pii_scan here, quality/url_stats
+    by the same stateless-projection argument) run unchanged on a
+    Structured Stream: file source -> memory sink equals the batch
+    result row-for-row."""
+    import shutil
+
+    from functime_spark.pipeline.text import pii_scan
+
+    rows = [
+        (1, "mail a@b.io now"),
+        (2, "call 555-123-4567 twice 555-123-4567"),
+        (3, "clean"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = {
+        r["doc_id"]: (r["n_email"], r["n_phone"], r["has_pii"])
+        for r in pii_scan(df).collect()
+    }
+    path = str(tmp_path / "docs_stream")
+    df.repartition(2).write.parquet(path)
+    try:
+        sdf = spark.readStream.schema(df.schema).parquet(path)
+        out = pii_scan(sdf)
+        assert out.isStreaming
+        got = {
+            r["doc_id"]: (r["n_email"], r["n_phone"], r["has_pii"])
+            for r in _run_stream(spark, out, "pii_sink").collect()
+        }
+        assert got == batch == {1: (1, 0, 1), 2: (0, 2, 1), 3: (0, 0, 0)}
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
