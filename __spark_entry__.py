@@ -426,6 +426,19 @@ def q_future_holidays(spark, sf_dir):
     return out.orderBy("user_id", "ts")
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (F.session_window, batch/stream
+    symmetric): 6h-gap sessions over the events panel, replayed in
+    DuckDB as gaps-and-islands with the `diff > gap` break rule."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.streaming import sessionize
+
+    df = events_panel(spark, sf_dir)
+    return _round_floats(sessionize(df, gap="6h")).orderBy(
+        "user_id", "session_start"
+    )
+
+
 def q_stream_resample(spark, sf_dir):
     """Watermark-compatible windowed resample (batch/stream symmetric
     code path from functime_spark.streaming)."""
@@ -1394,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "metrics_crps": q_metrics_crps,
             "stream_resample": q_stream_resample,
             "stream_sliding_stats": q_stream_sliding_stats,
+            "sessionize": q_sessionize,
             "future_calendar": q_future_calendar,
             "future_holidays": q_future_holidays,
             "forecast_zero_inflated": q_forecast_zero_inflated,
@@ -1504,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_repetition",
         "text_url_stats",
         "ann_sq8_topk",
+        "sessionize",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

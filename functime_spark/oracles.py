@@ -2797,6 +2797,23 @@ ORDER BY 1, 2
         "FROM d ORDER BY doc_id"
     )
 
+    # --- sessionize: gaps-and-islands replay of F.session_window.
+    # Break rule is STRICTLY greater (events exactly `gap` apart merge
+    # — Spark joins adjacent inclusive session ranges).
+    o["sessionize"] = (
+        "WITH s AS (SELECT user_id, ts, value, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        "OR ts - lag(ts) OVER w > INTERVAL '6 hours' THEN 1 ELSE 0 END AS brk "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) "
+        "AS sid FROM s) "
+        "SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_event, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events, "
+        + _r("SUM(value)")
+        + " AS value FROM g GROUP BY user_id, sid "
+        "ORDER BY user_id, session_start"
+    )
+
     # --- ann_sq8_topk: scalar-quantization fit (per-dim min/max over
     # the corpus), uint8 encode (floor(x/scale + .5) clamp), approx-
     # cosine shortlist on the dequantized codes, exact top-5 refine —

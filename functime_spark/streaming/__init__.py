@@ -9,6 +9,7 @@ static DataFrame and on a readStream DataFrame).
 """
 
 from functime_spark.streaming.ops import (  # noqa: F401
+    sessionize,
     stream_cusum,
     stream_exact_dedup,
     stream_resample,

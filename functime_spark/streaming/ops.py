@@ -183,3 +183,42 @@ def stream_exact_dedup(
     if df.isStreaming and hasattr(wm, "dropDuplicatesWithinWatermark"):
         return wm.dropDuplicatesWithinWatermark(key_cols)
     return wm.dropDuplicates(key_cols)
+
+
+def sessionize(
+    df: DataFrame,
+    gap: str = "30m",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Gap-based sessionization: consecutive events of an entity less
+    than `gap` apart merge into one session. Output: (entity,
+    session_start, last_event, n_events, y-sum).
+
+    Batch/stream symmetric via `F.session_window` — in batch it is one
+    hash aggregate (merging variable-length windows per group); in a
+    stream the session state lives in the state store, closed by the
+    watermark. Events exactly `gap` apart still MERGE (session_window
+    joins adjacent inclusive ranges), so the equivalent gaps-and-
+    islands rule is `new session iff diff > gap` — verified against
+    the DuckDB oracle replay.
+    """
+    p = panel_cols(df)
+    src = df
+    if df.isStreaming:
+        src = df.withWatermark(p.time, watermark)
+    win = F.session_window(p.time, _duration(gap))
+    return (
+        src.groupBy(p.entity, win.alias("__w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max(p.time).alias("last_event"),
+            F.sum(p.target).alias(p.target),
+        )
+        .select(
+            p.entity,
+            F.col("__w.start").alias("session_start"),
+            "last_event",
+            "n_events",
+            p.target,
+        )
+    )

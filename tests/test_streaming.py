@@ -179,3 +179,54 @@ def test_stream_pii_scan_matches_batch(spark, tmp_path):
         assert got == batch == {1: (1, 0, 1), 2: (0, 2, 1), 3: (0, 0, 0)}
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_sessionize_batch_and_stream(spark, tmp_path):
+    """Session windows merge events < gap apart (and exactly-gap
+    events — adjacent inclusive ranges join); the same call produces
+    identical sessions on a batch frame and on a real stream."""
+    import shutil
+
+    from functime_spark.streaming import sessionize
+
+    rows = [
+        ("a", "2024-01-01 00:00:00", 1.0),
+        ("a", "2024-01-01 00:10:00", 1.0),  # same session
+        ("a", "2024-01-01 00:40:00", 1.0),  # exactly gap after -> merges
+        ("a", "2024-01-01 02:00:00", 4.0),  # new session
+        ("b", "2024-01-01 00:00:00", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "entity string, ts string, y double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    expect = [("a", 3, 3.0), ("a", 1, 4.0), ("b", 1, 2.0)]
+
+    batch = sessionize(df, gap="30m").orderBy("entity", "session_start")
+    assert [
+        (r["entity"], r["n_events"], r["y"]) for r in batch.collect()
+    ] == expect
+
+    path = str(tmp_path / "sess_panel")
+    df.repartition(2).write.parquet(path)
+    try:
+        sdf = spark.readStream.schema(df.schema).parquet(path)
+        out = sessionize(sdf, gap="30m")
+        assert out.isStreaming
+        # complete mode: append would hold sessions in the state store
+        # until the watermark passes their end — with a finite fixture
+        # no later event ever advances it past the final sessions
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sess_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = (
+            spark.table("sess_sink").orderBy("entity", "session_start").collect()
+        )
+        assert [(r["entity"], r["n_events"], r["y"]) for r in got] == expect
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
