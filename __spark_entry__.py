@@ -782,6 +782,30 @@ def q_text_url_stats(spark, sf_dir):
     return url_stats(aug).orderBy("doc_id")
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Per-(lang, source) corpus report: doc counts, char totals/
+    means/medians, token totals — one partial-aggregated hash
+    aggregate, replayed directly in SQL."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.sampling import corpus_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _round_floats(corpus_stats(docs)).orderBy("lang", "source")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic md5-bucket stratified sampling by language
+    (en 50%, de 25%, zh 100%): reproducible across runs and
+    partitionings, exactly replayed by the same bucket arithmetic in
+    DuckDB."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(docs, {"en": 0.5, "de": 0.25, "zh": 1.0})
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
 def q_dedup_cluster(spark, sf_dir):
     """Duplicate-cluster assignment: md5-variant MinHash pairs →
     alternating large-star/small-star connected components (Kiveris et
@@ -1426,6 +1450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_pii": q_text_pii,
             "text_ngram_repetition": q_text_ngram_repetition,
             "text_url_stats": q_text_url_stats,
+            "corpus_stats": q_corpus_stats,
+            "stratified_sample": q_stratified_sample,
             "dedup_simhash": q_dedup_simhash,
             "dedup_embedding": q_dedup_embedding,
             "text_language_id": q_text_language_id,
@@ -1519,6 +1545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_url_stats",
         "ann_sq8_topk",
         "sessionize",
+        "corpus_stats",
+        "stratified_sample",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

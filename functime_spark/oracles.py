@@ -2797,6 +2797,33 @@ ORDER BY 1, 2
         "FROM d ORDER BY doc_id"
     )
 
+    # --- corpus_stats: straight aggregate replay (Spark F.median and
+    # DuckDB median both interpolate the even-count middle pair)
+    o["corpus_stats"] = (
+        "WITH t AS (SELECT lang, source, length(text) AS ch, "
+        r"len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tk "
+        "FROM documents) "
+        "SELECT lang, source, COUNT(*) AS n_docs, "
+        "SUM(ch) AS total_chars, "
+        + _r("AVG(ch)")
+        + " AS mean_chars, "
+        + _r("median(ch)")
+        + " AS median_chars, "
+        "CAST(SUM(tk) AS BIGINT) AS total_tokens "
+        "FROM t GROUP BY lang, source ORDER BY lang, source"
+    )
+
+    # --- stratified_sample: same md5-bucket arithmetic as the Spark
+    # filter (hex prefix -> bigint -> pmod), per-language fractions
+    _bkt = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000)"
+    o["stratified_sample"] = (
+        "SELECT doc_id, lang, source FROM documents WHERE "
+        f"(lang = 'en' AND {_bkt} < 5000) OR "
+        f"(lang = 'de' AND {_bkt} < 2500) OR "
+        f"(lang = 'zh' AND {_bkt} < 10000) "
+        "ORDER BY doc_id"
+    )
+
     # --- sessionize: gaps-and-islands replay of F.session_window.
     # Break rule is STRICTLY greater (events exactly `gap` apart merge
     # — Spark joins adjacent inclusive session ranges).

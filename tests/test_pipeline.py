@@ -701,3 +701,50 @@ def test_ivf_sq8_search_end_to_end(spark, emb):
     assert [r["vec_id"] for r in full] == [r["vec_id"] for r in exact]
     narrow = ivf_sq8_search(ivf, sq, enc, qvec, k=5, n_probe=2).collect()
     assert len(narrow) == 5
+
+
+def test_stratified_sample_deterministic_and_proportional(spark, docs):
+    from functime_spark.pipeline.sampling import stratified_sample
+
+    fr = {"en": 0.5, "de": 1.0}
+    a = sorted(
+        r["doc_id"] for r in stratified_sample(docs, fr).select("doc_id").collect()
+    )
+    # repartitioning must not change the sample (rand()-based would)
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(docs.repartition(7), fr).select("doc_id").collect()
+    )
+    assert a == b and len(a) > 0
+    n_en = docs.filter(F.col("lang") == "en").count()
+    got_en = (
+        stratified_sample(docs, fr).filter(F.col("lang") == "en").count()
+    )
+    assert abs(got_en / n_en - 0.5) < 0.25  # small corpus, loose bound
+    # fraction 1.0 keeps every row of the stratum
+    n_de = docs.filter(F.col("lang") == "de").count()
+    assert stratified_sample(docs, fr).filter(F.col("lang") == "de").count() == n_de
+    # unlisted strata are dropped
+    assert (
+        stratified_sample(docs, fr).filter(~F.col("lang").isin("en", "de")).count()
+        == 0
+    )
+
+
+def test_stratified_sample_is_pure_filter(spark, docs):
+    from functime_spark.pipeline.sampling import stratified_sample
+    from functime_spark.plans import assert_max_exchanges, python_eval_nodes
+
+    out = stratified_sample(docs, {"en": 0.3})
+    assert_max_exchanges(out, 0)
+    assert python_eval_nodes(out) == []
+
+
+def test_corpus_stats_totals(spark, docs):
+    from functime_spark.pipeline.sampling import corpus_stats
+
+    out = corpus_stats(docs)
+    total = out.agg(F.sum("n_docs")).first()[0]
+    assert total == docs.count()
+    row = out.filter((F.col("lang") == "en")).first()
+    assert row["total_chars"] > 0 and row["mean_chars"] > 0
