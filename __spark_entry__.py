@@ -806,6 +806,41 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "lang", "source").orderBy("doc_id")
 
 
+def q_text_classifier(spark, sf_dir):
+    """Corpus-level document classifier (fasttext-style filter
+    analog): logistic regression on (mean word length, en-stopword
+    ratio) with label lang=='en', trained by 12 exact Newton-IRLS
+    steps from zero init — each step ONE distributed aggregate pass.
+    The oracle replays every iteration in a recursive CTE and matches
+    the per-document scores."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.classifier import (
+        fit_doc_classifier,
+        score_doc_classifier,
+    )
+    from functime_spark.pipeline.text import LANG_LEXICONS, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = tokens(t)
+    en_lex = F.array(*[F.lit(w) for w in LANG_LEXICONS["en"]])
+    design = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("double").alias("label"),
+        (F.length(t) / F.size(toks)).alias("f_mwl"),
+        (
+            F.size(F.filter(toks, lambda x: F.array_contains(en_lex, x)))
+            / F.size(toks)
+        ).alias("f_stop"),
+    ).persist()
+    try:
+        coef, b = fit_doc_classifier(design, ["f_mwl", "f_stop"], "label")
+        out = score_doc_classifier(design, ["f_mwl", "f_stop"], coef, b)
+        return _round_floats(out).orderBy("doc_id")
+    finally:
+        design.unpersist()
+
+
 def q_dedup_cluster(spark, sf_dir):
     """Duplicate-cluster assignment: md5-variant MinHash pairs →
     alternating large-star/small-star connected components (Kiveris et
@@ -1452,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_url_stats": q_text_url_stats,
             "corpus_stats": q_corpus_stats,
             "stratified_sample": q_stratified_sample,
+            "text_classifier": q_text_classifier,
             "dedup_simhash": q_dedup_simhash,
             "dedup_embedding": q_dedup_embedding,
             "text_language_id": q_text_language_id,
@@ -1547,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize",
         "corpus_stats",
         "stratified_sample",
+        "text_classifier",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

@@ -2824,6 +2824,52 @@ ORDER BY 1, 2
         "ORDER BY doc_id"
     )
 
+    # --- text_classifier: the full 12-step Newton-IRLS logistic fit
+    # (features: mean word length, en-stopword ratio; label lang='en')
+    # replayed in a recursive CTE — same shape as the zero_inflated
+    # replay but over the documents design matrix — then per-doc
+    # sigmoid scoring with the converged weights.
+    _clf_en = ", ".join(f"'{w}'" for w in LANG_LEXICONS["en"])
+    _clf_newton = (
+        "SELECT it.k, it.w1, it.w2, it.b, tr.f1 AS l1, tr.f2 AS l2, tr.lab, "
+        "1/(1 + exp(-(it.w1*tr.f1 + it.w2*tr.f2 + it.b))) AS pp "
+        "FROM it, tr WHERE it.k < 12"
+    )
+    _clf_hagg = (
+        "SELECT k, w1, w2, b, "
+        "SUM((pp - lab)*l1) AS g1, SUM((pp - lab)*l2) AS g2, SUM(pp - lab) AS g3, "
+        "SUM(pp*(1-pp)*l1*l1) AS h11, SUM(pp*(1-pp)*l1*l2) AS h12, "
+        "SUM(pp*(1-pp)*l1) AS h13, SUM(pp*(1-pp)*l2*l2) AS h22, "
+        "SUM(pp*(1-pp)*l2) AS h23, SUM(pp*(1-pp)) AS h33 "
+        f"FROM ({_clf_newton}) rr GROUP BY 1, 2, 3, 4"
+    )
+    _clf_cram3 = (
+        "(g1*(h22*h33 - h23*h23) - h12*(g2*h33 - h23*g3) + h13*(g2*h23 - h22*g3)) AS d1, "
+        "(h11*(g2*h33 - h23*g3) - g1*(h12*h33 - h23*h13) + h13*(h12*g3 - g2*h13)) AS d2, "
+        "(h11*(h22*g3 - g2*h23) - h12*(h12*g3 - g2*h13) + g1*(h12*h23 - h22*h13)) AS d3, "
+        "(h11*(h22*h33 - h23*h23) - h12*(h12*h33 - h23*h13) + h13*(h12*h23 - h22*h13)) AS det"
+    )
+    _clf_p = "1/(1 + exp(-(c.w1*tr.f1 + c.w2*tr.f2 + c.b)))"
+    o["text_classifier"] = (
+        "WITH RECURSIVE "
+        "t0 AS (SELECT doc_id, lang, text, "
+        r"string_split_regex(text, '\s+') AS ws FROM documents), "
+        "tr AS (SELECT doc_id, "
+        "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS lab, "
+        "length(text)/CAST(len(ws) AS DOUBLE) AS f1, "
+        f"len(list_filter(ws, x -> list_contains([{_clf_en}], x)))"
+        "/CAST(len(ws) AS DOUBLE) AS f2 FROM t0), "
+        "it AS (SELECT 0 AS k, CAST(0 AS DOUBLE) AS w1, "
+        "CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS b "
+        "UNION ALL SELECT k + 1, w1 - d1/det, w2 - d2/det, b - d3/det "
+        f"FROM (SELECT k, w1, w2, b, {_clf_cram3} FROM ({_clf_hagg}) hh) ss), "
+        "c AS (SELECT w1, w2, b FROM it ORDER BY k DESC LIMIT 1) "
+        "SELECT tr.doc_id, "
+        + _r(_clf_p)
+        + f" AS prob, CAST({_clf_p} > 0.5 AS INT) AS pred "
+        "FROM tr, c ORDER BY tr.doc_id"
+    )
+
     # --- sessionize: gaps-and-islands replay of F.session_window.
     # Break rule is STRICTLY greater (events exactly `gap` apart merge
     # — Spark joins adjacent inclusive session ranges).

@@ -748,3 +748,34 @@ def test_corpus_stats_totals(spark, docs):
     assert total == docs.count()
     row = out.filter((F.col("lang") == "en")).first()
     assert row["total_chars"] > 0 and row["mean_chars"] > 0
+
+
+def test_doc_classifier_learns_separable_signal(spark):
+    """On a cleanly separated design the classifier reaches ~perfect
+    accuracy, and refitting is bit-deterministic (zero init + exact
+    Newton steps)."""
+    import numpy as np
+
+    from functime_spark.pipeline.classifier import (
+        fit_doc_classifier,
+        score_doc_classifier,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(200):
+        lab = i % 2
+        f1 = rng.normal(3.0 + 2.0 * lab, 0.4)
+        f2 = rng.normal(0.2 + 0.3 * lab, 0.05)
+        rows.append((i, float(lab), float(f1), float(f2)))
+    d = spark.createDataFrame(
+        rows, "doc_id long, label double, f1 double, f2 double"
+    ).persist()
+    coef, b = fit_doc_classifier(d, ["f1", "f2"], "label", n_iter=8)
+    coef2, b2 = fit_doc_classifier(d, ["f1", "f2"], "label", n_iter=8)
+    assert list(coef) == list(coef2) and b == b2
+    out = score_doc_classifier(d, ["f1", "f2"], coef, b)
+    joined = out.join(d.select("doc_id", "label"), "doc_id")
+    acc = joined.filter(F.col("pred") == F.col("label")).count() / 200
+    assert acc > 0.95
+    d.unpersist()
