@@ -841,6 +841,21 @@ def q_text_classifier(spark, sf_dir):
         design.unpersist()
 
 
+def q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: per-doc distinct word-8-gram overlap
+    against a benchmark set (docs with doc_id % 29 == 0 stand in for
+    an eval suite), broadcast probe + one hit-shuffle; counts,
+    contaminated fraction, and verdict replayed in DuckDB via
+    unnest(range) gram rebuild + string join."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.decontaminate import ngram_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 29 == 0)
+    out = ngram_overlap(docs, bench, n=8, hash_fn="md5")
+    return _round_floats(out).orderBy("doc_id")
+
+
 def q_dedup_cluster(spark, sf_dir):
     """Duplicate-cluster assignment: md5-variant MinHash pairs →
     alternating large-star/small-star connected components (Kiveris et
@@ -1488,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "corpus_stats": q_corpus_stats,
             "stratified_sample": q_stratified_sample,
             "text_classifier": q_text_classifier,
+            "text_decontaminate": q_text_decontaminate,
             "dedup_simhash": q_dedup_simhash,
             "dedup_embedding": q_dedup_embedding,
             "text_language_id": q_text_language_id,
@@ -1584,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats",
         "stratified_sample",
         "text_classifier",
+        "text_decontaminate",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

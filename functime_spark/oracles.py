@@ -2797,6 +2797,33 @@ ORDER BY 1, 2
         "FROM d ORDER BY doc_id"
     )
 
+    # --- text_decontaminate: distinct 8-gram overlap vs the doc_id%29
+    # benchmark subset; grams rebuilt with unnest(range) + inclusive
+    # list slicing, the md5-hash probe join collapses to a string join
+    o["text_decontaminate"] = (
+        "WITH tok AS (SELECT doc_id, "
+        r"list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws "
+        "FROM documents), "
+        "gi AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 8 + 2)) AS i "
+        "FROM tok WHERE len(ws) >= 8), "
+        "dg AS (SELECT DISTINCT doc_id, "
+        "array_to_string(ws[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') "
+        "AS gram FROM gi), "
+        "tot AS (SELECT doc_id, COUNT(*) AS n FROM dg GROUP BY doc_id), "
+        "bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 29 = 0), "
+        "hits AS (SELECT dg.doc_id, COUNT(*) AS h FROM dg "
+        "JOIN bg USING (gram) GROUP BY dg.doc_id) "
+        "SELECT d.doc_id, "
+        "CAST(COALESCE(tot.n, 0) AS BIGINT) AS n_grams, "
+        "CAST(COALESCE(hits.h, 0) AS BIGINT) AS n_contaminated, "
+        + _r("CASE WHEN COALESCE(tot.n, 0) > 0 THEN "
+             "COALESCE(hits.h, 0) / tot.n ELSE 0 END")
+        + " AS contamination, "
+        "CAST(COALESCE(hits.h, 0) > 0 AS INT) AS is_contaminated "
+        "FROM documents d LEFT JOIN tot USING (doc_id) "
+        "LEFT JOIN hits USING (doc_id) ORDER BY doc_id"
+    )
+
     # --- corpus_stats: straight aggregate replay (Spark F.median and
     # DuckDB median both interpolate the even-count middle pair)
     o["corpus_stats"] = (

@@ -779,3 +779,42 @@ def test_doc_classifier_learns_separable_signal(spark):
     acc = joined.filter(F.col("pred") == F.col("label")).count() / 200
     assert acc > 0.95
     d.unpersist()
+
+
+def test_ngram_overlap_flags_benchmark_hits(spark):
+    from functime_spark.pipeline.decontaminate import decontaminate, ngram_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains the benchmark 4-gram "quick brown fox jumps"
+            (1, "a quick brown fox jumps here and there today"),
+            # clean doc, same vocabulary but no shared 4-gram
+            (2, "fox brown quick jumps dog lazy the over now"),
+            # shorter than n words -> zero grams, never flagged
+            (3, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ngram_overlap(docs, bench, n=4, hash_fn="none").collect()
+    }
+    assert out[1]["is_contaminated"] == 1 and out[1]["n_contaminated"] == 1
+    assert out[1]["n_grams"] == 6
+    assert out[2]["is_contaminated"] == 0 and out[2]["n_contaminated"] == 0
+    assert out[3]["n_grams"] == 0 and out[3]["is_contaminated"] == 0
+    kept = {r["doc_id"] for r in decontaminate(docs, bench, n=4).collect()}
+    assert kept == {2, 3}
+
+
+def test_ngram_overlap_hash_variants_agree(docs, spark):
+    from functime_spark.pipeline.decontaminate import ngram_overlap
+
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    a = ngram_overlap(docs, bench, n=6, hash_fn="none").orderBy("doc_id").collect()
+    b = ngram_overlap(docs, bench, n=6, hash_fn="xxhash64").orderBy("doc_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
