@@ -856,6 +856,20 @@ def q_text_decontaminate(spark, sf_dir):
     return _round_floats(out).orderBy("doc_id")
 
 
+def q_text_lm_score(spark, sf_dir):
+    """In-engine interpolated bigram LM perplexity scoring (CCNet-
+    style quality filter trained inside the engine): two count
+    aggregates + token-stream joins, replayed end-to-end in DuckDB
+    (same add-alpha unigram floor and interpolation literals)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.lm import ngram_lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _round_floats(ngram_lm_score(docs, alpha=0.5, lam=0.7)).orderBy(
+        "doc_id"
+    )
+
+
 def q_dedup_cluster(spark, sf_dir):
     """Duplicate-cluster assignment: md5-variant MinHash pairs →
     alternating large-star/small-star connected components (Kiveris et
@@ -1504,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stratified_sample": q_stratified_sample,
             "text_classifier": q_text_classifier,
             "text_decontaminate": q_text_decontaminate,
+            "text_lm_score": q_text_lm_score,
             "dedup_simhash": q_dedup_simhash,
             "dedup_embedding": q_dedup_embedding,
             "text_language_id": q_text_language_id,
@@ -1601,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample",
         "text_classifier",
         "text_decontaminate",
+        "text_lm_score",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

@@ -2824,6 +2824,40 @@ ORDER BY 1, 2
         "LEFT JOIN hits USING (doc_id) ORDER BY doc_id"
     )
 
+    # --- text_lm_score: the whole interpolated bigram LM replayed —
+    # token/pair counts, driver scalars as a cross-joined 1-row CTE,
+    # per-token log-probs, per-doc cross-entropy. The 1-lam literal is
+    # Python's 1-0.7 double so both engines interpolate identically.
+    _oml = repr(1 - 0.7)  # 0.30000000000000004 — matches F.lit(1 - lam)
+    o["text_lm_score"] = (
+        "WITH tok AS (SELECT doc_id, "
+        r"list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws "
+        "FROM documents), "
+        "st AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM tok), "
+        "s AS (SELECT doc_id, CASE WHEN i > 1 THEN ws[CAST(i - 1 AS BIGINT)] END "
+        "AS w1, ws[CAST(i AS BIGINT)] AS w2 FROM st), "
+        "uni AS (SELECT w2 AS w, COUNT(*) AS c FROM s GROUP BY w2), "
+        "bi AS (SELECT w1, w2, COUNT(*) AS c FROM s WHERE w1 IS NOT NULL "
+        "GROUP BY w1, w2), "
+        "tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n, "
+        "CAST(COUNT(*) AS DOUBLE) AS v FROM uni), "
+        "sc AS (SELECT s.doc_id, CASE WHEN s.w1 IS NULL THEN "
+        "ln((u2.c + 0.5) / (tot.n + 0.5 * tot.v)) ELSE "
+        f"ln(0.7 * COALESCE(b.c / u1.c, 0) + {_oml} * "
+        "(u2.c + 0.5) / (tot.n + 0.5 * tot.v)) END AS lp "
+        "FROM s JOIN uni u2 ON u2.w = s.w2 "
+        "LEFT JOIN uni u1 ON u1.w = s.w1 "
+        "LEFT JOIN bi b ON b.w1 = s.w1 AND b.w2 = s.w2 CROSS JOIN tot), "
+        "pd AS (SELECT doc_id, COUNT(*) AS k, -AVG(lp) AS ce FROM sc "
+        "GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(COALESCE(pd.k, 0) AS BIGINT) AS n_tokens, "
+        + _r("COALESCE(pd.ce, 0)")
+        + " AS cross_entropy, "
+        + _r("exp(COALESCE(pd.ce, 0))")
+        + " AS perplexity "
+        "FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id"
+    )
+
     # --- corpus_stats: straight aggregate replay (Spark F.median and
     # DuckDB median both interpolate the even-count middle pair)
     o["corpus_stats"] = (

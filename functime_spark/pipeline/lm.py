@@ -1,0 +1,143 @@
+"""In-engine n-gram language-model scoring (perplexity filtering).
+
+CCNet-style corpus curation scores each document with a language
+model's cross-entropy and keeps the low-perplexity head. Instead of
+shipping a KenLM binary to every executor, this trains an
+interpolated unigram/bigram LM *inside* the engine (two hash
+aggregates) and scores documents with pure joins — no Python in the
+hot path, fully value-replayable in SQL.
+
+Model: p(w_i | w_{i-1}) = lam * c(w_{i-1} w_i) / c(w_{i-1})
+                        + (1 - lam) * (c(w_i) + alpha) / (N + alpha * V)
+with the first token scored by the smoothed unigram alone. Unseen
+words fall back to the add-alpha unigram floor, so scoring held-out
+text is well-defined.
+
+Scale design: counts are groupBy hash aggregates with map-side
+partial combine (token keys are Zipf-skewed, but the aggregate output
+is ONE row per key, so skew lands on the pre-aggregation side where
+combiners flatten it). Scoring joins the token stream against the
+count tables on token keys; at 100 TB the unigram table is
+~vocab-sized (often broadcastable — AQE decides) while the bigram
+join is a shuffle hash join on the bigram key. ``min_count`` prunes
+the bigram tail (billions of hapax bigrams at corpus scale) with the
+interpolation absorbing the mass shift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tok_arr(text_col):
+    return F.filter(F.split(text_col, r"\s+"), lambda x: x != "")
+
+
+def _pair_arr(text_col):
+    """array<struct<w1,w2>> of (previous, current) tokens; w1 is null
+    for the first token. element_at is 1-based, so element_at(arr, i)
+    at 0-based position i IS the predecessor (guarded: i=0 would be an
+    invalid index under ANSI)."""
+    arr = _tok_arr(text_col)
+    return F.transform(
+        arr,
+        lambda w, i: F.struct(
+            F.when(i > 0, F.element_at(arr, i)).alias("w1"), w.alias("w2")
+        ),
+    )
+
+
+def fit_ngram_lm(
+    train: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> dict:
+    """Count tables for the interpolated bigram LM.
+
+    Returns {"uni": (token, c), "bi": (w1, w2, c), "n_tokens": long,
+    "vocab": long}. The two scalars are driver-held (one tiny action
+    over the unigram aggregate)."""
+    toks = train.select(F.explode(_tok_arr(F.col(text_col))).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    pairs = train.select(
+        F.explode(
+            F.filter(_pair_arr(F.col(text_col)), lambda s: s["w1"].isNotNull())
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    if min_count > 1:
+        bi = bi.filter(F.col("c") >= min_count)
+    totals = uni.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    return {
+        "uni": uni,
+        "bi": bi,
+        "n_tokens": int(totals["n"] or 0),
+        "vocab": int(totals["v"] or 0),
+    }
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    train: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    lam: float = 0.7,
+    min_count: int = 1,
+    lm: dict | None = None,
+) -> DataFrame:
+    """Per-document cross-entropy (nats/token) and perplexity under
+    the corpus bigram LM. ``train`` defaults to ``docs`` (self-scored
+    corpus quality); pass a fitted ``lm`` to reuse counts."""
+    if lm is None:
+        lm = fit_ngram_lm(train if train is not None else docs, text_col, min_count)
+    n_tok, vocab = lm["n_tokens"], lm["vocab"]
+    stream = docs.select(
+        F.col(id_col), F.explode(_pair_arr(F.col(text_col))).alias("p")
+    ).select(id_col, "p.w1", "p.w2")
+    uni = lm["uni"]
+    p_uni = (F.col("__cu") + F.lit(alpha)) / F.lit(n_tok + alpha * vocab)
+    scored = (
+        stream.join(
+            uni.select(F.col("w").alias("w2"), F.col("c").alias("__cu")),
+            on="w2",
+            how="left",
+        )
+        .join(
+            uni.select(F.col("w").alias("w1"), F.col("c").alias("__c1")),
+            on="w1",
+            how="left",
+        )
+        .join(lm["bi"].withColumnRenamed("c", "__cb"), on=["w1", "w2"], how="left")
+        .select(
+            id_col,
+            F.when(
+                F.col("w1").isNull(),
+                F.log(F.coalesce(p_uni, F.lit(alpha / (n_tok + alpha * vocab)))),
+            )
+            .otherwise(
+                F.log(
+                    F.lit(lam)
+                    * F.coalesce(
+                        F.col("__cb") / F.col("__c1"), F.lit(0.0)
+                    )
+                    + F.lit(1 - lam)
+                    * F.coalesce(p_uni, F.lit(alpha / (n_tok + alpha * vocab)))
+                )
+            )
+            .alias("__lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        (-F.avg("__lp")).alias("cross_entropy"),
+    )
+    out = docs.select(id_col).join(per_doc, on=id_col, how="left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("cross_entropy", F.lit(0.0)).alias("cross_entropy"),
+    )
+    return out.withColumn("perplexity", F.exp("cross_entropy"))

@@ -818,3 +818,40 @@ def test_ngram_overlap_hash_variants_agree(docs, spark):
     a = ngram_overlap(docs, bench, n=6, hash_fn="none").orderBy("doc_id").collect()
     b = ngram_overlap(docs, bench, n=6, hash_fn="xxhash64").orderBy("doc_id").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_ngram_lm_score_matches_hand_computation(spark):
+    import math
+
+    from functime_spark.pipeline.lm import ngram_lm_score
+
+    d = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in ngram_lm_score(d, alpha=0.5, lam=0.5).collect()}
+    # corpus: uni a:3 b:3, N=6 V=2; bi: (a,b):3 (b,a):1
+    pu_a = (3 + 0.5) / (6 + 0.5 * 2)
+    pu_b = pu_a
+    lp1 = (
+        math.log(pu_a)
+        + math.log(0.5 * 3 / 3 + 0.5 * pu_b)
+        + math.log(0.5 * 1 / 3 + 0.5 * pu_a)
+        + math.log(0.5 * 3 / 3 + 0.5 * pu_b)
+    )
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["cross_entropy"] == pytest.approx(-lp1 / 4, abs=1e-12)
+    assert out[1]["perplexity"] == pytest.approx(math.exp(-lp1 / 4), rel=1e-12)
+
+
+def test_ngram_lm_scores_held_out_with_oov(spark):
+    from functime_spark.pipeline.lm import fit_ngram_lm, ngram_lm_score
+
+    train = spark.createDataFrame([(1, "a b a b a b")], "doc_id long, text string")
+    lm = fit_ngram_lm(train)
+    held = spark.createDataFrame(
+        [(10, "a b a b"), (11, "zz qq zz")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in ngram_lm_score(held, lm=lm).collect()}
+    # in-distribution text must beat all-OOV text, and OOV must be finite
+    assert out[10]["cross_entropy"] < out[11]["cross_entropy"]
+    assert out[11]["perplexity"] == pytest.approx(out[11]["perplexity"])  # finite
