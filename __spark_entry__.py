@@ -856,6 +856,18 @@ def q_text_decontaminate(spark, sf_dir):
     return _round_floats(out).orderBy("doc_id")
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup semantic near-dup pairs: spread-init k-means clusters
+    (the ann_ivf_topk build, replayed in SQL) + exact cosine verify
+    within clusters at threshold 0.35."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.dedup import semantic_dedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup_pairs(emb, n_clusters=8, threshold=0.35)
+    return _round_floats(out).orderBy("id_a", "id_b")
+
+
 def q_text_lm_score(spark, sf_dir):
     """In-engine interpolated bigram LM perplexity scoring (CCNet-
     style quality filter trained inside the engine): two count
@@ -1519,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_classifier": q_text_classifier,
             "text_decontaminate": q_text_decontaminate,
             "text_lm_score": q_text_lm_score,
+            "dedup_semantic": q_dedup_semantic,
             "dedup_simhash": q_dedup_simhash,
             "dedup_embedding": q_dedup_embedding,
             "text_language_id": q_text_language_id,
@@ -1617,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_classifier",
         "text_decontaminate",
         "text_lm_score",
+        "dedup_semantic",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

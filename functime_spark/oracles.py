@@ -2650,6 +2650,26 @@ ORDER BY 1, 2
         "ORDER BY list_cosine_similarity(emb, qv.q) DESC, vec_id LIMIT 5"
     )
 
+    # dedup_semantic: the same replayed k-means build (c5 centroids),
+    # full-corpus cell assignment, then exact cosine within cells at
+    # threshold 0.35 — SemDeDup's cluster-then-verify shape.
+    o["dedup_semantic"] = (
+        "WITH "
+        + ", ".join(_ivf)
+        + ", asn AS (SELECT vec_id, emb, "
+        "list_position(dd, list_min(dd)) - 1 AS cell FROM "
+        "(SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, "
+        f"list_transform(c.C, cc -> "
+        f"{_ivf_d2('CAST(e.embedding AS DOUBLE[])', 'cc')}) AS dd "
+        "FROM embeddings e, c5 c) z) "
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        + _r("list_cosine_similarity(a.emb, b.emb)")
+        + " AS cosine FROM asn a JOIN asn b "
+        "ON a.cell = b.cell AND a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35 "
+        "ORDER BY id_a, id_b"
+    )
+
     # ann_pq_adc: the product-quantization build replayed — per-
     # subspace spread-init k-means (composite (m, cell) key in ONE CTE
     # chain), encode of every vector to its 8 sub-codes, and the ADC

@@ -467,3 +467,74 @@ def dedup_keep_canonical(
         F.col("node").alias(id_col)
     )
     return docs.join(losers, on=id_col, how="left_anti")
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iter: int = 5,
+    max_bucket_size: int = 512,
+    index=None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicates (Abbas et al. 2023):
+    k-means-cluster the embeddings, then exact cosine verify ONLY
+    within clusters — same-cluster pairs capture near-dups at 1/k of
+    the full quadratic cost. Reuses the IVFIndex spread-init k-means
+    (deterministic, SQL-replayable); clusters larger than
+    `max_bucket_size` are dropped like every other bucketed verify
+    (see _cap_buckets). At 100 TB the assignment is a one-pass
+    projection (or a partition column via IVFIndex.write_index) and
+    the verify self-join shuffles on the cluster id."""
+    from functime_spark.pipeline.similarity import IVFIndex
+
+    idx = index
+    if idx is None:
+        idx = IVFIndex(n_cells=n_clusters, n_iter=n_iter, init="spread").fit(
+            emb, vec_col=vec_col, id_col=id_col
+        )
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    assigned = idx.assign(emb, vec_col).select(
+        F.col(id_col), v.alias("__v"), norm.alias("__n"), "__cell"
+    )
+    assigned = _cap_buckets(assigned, ["__cell"], max_bucket_size)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.__v", "b.__v", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.__n") * F.col("b.__n"))
+    return (
+        a.join(
+            b,
+            (F.col("a.__cell") == F.col("b.__cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    **kwargs,
+) -> DataFrame:
+    """Keep one canonical member (min id) per semantic-dup cluster."""
+    pairs = semantic_dedup_pairs(
+        emb, n_clusters, threshold, vec_col, id_col, **kwargs
+    )
+    return dedup_keep_canonical(emb, pairs, id_col=id_col)

@@ -855,3 +855,20 @@ def test_ngram_lm_scores_held_out_with_oov(spark):
     # in-distribution text must beat all-OOV text, and OOV must be finite
     assert out[10]["cross_entropy"] < out[11]["cross_entropy"]
     assert out[11]["perplexity"] == pytest.approx(out[11]["perplexity"])  # finite
+
+
+def test_semantic_dedup_finds_planted_near_dup(spark):
+    import numpy as np
+
+    from functime_spark.pipeline.dedup import semantic_dedup, semantic_dedup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16))
+    # vec 100 is a tiny perturbation of vec 0 -> cosine ~ 1
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    rows.append((100, [float(x) for x in base[0] + 1e-3 * rng.standard_normal(16)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semantic_dedup_pairs(emb, n_clusters=4, threshold=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 100)}
+    kept = {r["vec_id"] for r in semantic_dedup(emb, n_clusters=4, threshold=0.99).collect()}
+    assert 100 not in kept and 0 in kept and len(kept) == 40
