@@ -856,6 +856,19 @@ def q_text_decontaminate(spark, sf_dir):
     return _round_floats(out).orderBy("doc_id")
 
 
+def q_text_tfidf_topk(spark, sf_dir):
+    """TF-IDF cosine top-3 similar docs per doc: sparse inverted-index
+    self-join with a 50% max-df cutoff, smoothed idf, ranking at 6
+    decimals (sim_id tiebreak) so the top-k cut is float-noise-proof;
+    the whole pipeline replayed in SQL."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.similarity import tfidf_topk_similar
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tfidf_topk_similar(docs, k=3, max_df_frac=0.5, rank_decimals=6)
+    return _round_floats(out).orderBy("doc_id", "rank")
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup semantic near-dup pairs: spread-init k-means clusters
     (the ann_ivf_topk build, replayed in SQL) + exact cosine verify
@@ -1532,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_decontaminate": q_text_decontaminate,
             "text_lm_score": q_text_lm_score,
             "dedup_semantic": q_dedup_semantic,
+            "text_tfidf_topk": q_text_tfidf_topk,
             "dedup_simhash": q_dedup_simhash,
             "dedup_embedding": q_dedup_embedding,
             "text_language_id": q_text_language_id,
@@ -1631,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate",
         "text_lm_score",
         "dedup_semantic",
+        "text_tfidf_topk",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

@@ -2844,6 +2844,38 @@ ORDER BY 1, 2
         "LEFT JOIN hits USING (doc_id) ORDER BY doc_id"
     )
 
+    # --- text_tfidf_topk: sparse TF-IDF all-pairs replay — tf/df
+    # aggregates, 50% max-df cutoff, smoothed idf, inverted-index
+    # pair dots, 6-decimal-keyed row_number top-3
+    _ndoc = "(SELECT COUNT(*) FROM documents)"
+    o["text_tfidf_topk"] = (
+        "WITH tk AS (SELECT doc_id, "
+        r"unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) "
+        "AS token FROM documents), "
+        "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY ALL), "
+        "dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token "
+        f"HAVING COUNT(*) <= CAST(0.5 * {_ndoc} AS BIGINT)), "
+        "wt AS (SELECT tf.doc_id, tf.token, "
+        f"tf.tf * (ln(({_ndoc} + 1.0) / (dfq.df + 1.0)) + 1.0) AS w "
+        "FROM tf JOIN dfq USING (token)), "
+        "nr AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM wt GROUP BY doc_id), "
+        "dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "SUM(a.w * b.w) AS d FROM wt a JOIN wt b "
+        "ON a.token = b.token AND a.doc_id < b.doc_id GROUP BY ALL), "
+        "sims AS (SELECT id_a, id_b, d / (na.nrm * nb.nrm) AS cosine "
+        "FROM dots JOIN nr na ON na.doc_id = id_a "
+        "JOIN nr nb ON nb.doc_id = id_b), "
+        "bidir AS (SELECT id_a AS doc_id, id_b AS sim_id, cosine FROM sims "
+        "UNION ALL SELECT id_b, id_a, cosine FROM sims), "
+        "rk AS (SELECT doc_id, sim_id, cosine, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY ROUND(cosine + 1e-9, 6) DESC, sim_id) "
+        "AS rank FROM bidir) "
+        "SELECT doc_id, sim_id, "
+        + _r("cosine")
+        + " AS cosine, CAST(rank AS INT) AS rank FROM rk "
+        "WHERE rank <= 3 ORDER BY doc_id, rank"
+    )
+
     # --- text_lm_score: the whole interpolated bigram LM replayed —
     # token/pair counts, driver scalars as a cross-joined 1-row CTE,
     # per-token log-probs, per-doc cross-entropy. The 1-lam literal is

@@ -494,3 +494,104 @@ def ivf_sq8_search(
     return sq.search(
         probed, query_vec, k=k, refine=refine, vec_col=vec_col, id_col=id_col
     )
+
+
+def tfidf_vectors(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df_frac: float = 0.5,
+):
+    """Sparse TF-IDF term weights as a long (id, token, w) table plus
+    per-doc L2 norms: tf from one (id, token) aggregate, smoothed idf
+    ln((N+1)/(df+1))+1 from the token-level rollup of the same table.
+
+    Tokens appearing in more than ``max_df_frac`` of documents are
+    dropped — they carry near-zero idf anyway and are exactly the hot
+    keys that would dominate the inverted-index self-join at corpus
+    scale (same guard as ngram_jaccard_pairs' high-DF cutoff).
+
+    Returns (weights, norms): weights = (id, token, w),
+    norms = (id, norm)."""
+    n_docs = docs.count()
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")).alias(
+            "token"
+        ),
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("__tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
+    df = df.filter(F.col("__df") <= int(max_df_frac * n_docs))
+    idf = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("__df") + 1.0)) + 1.0
+    weights = tf.join(df.select("token", idf.alias("__idf")), on="token").select(
+        id_col, "token", (F.col("__tf") * F.col("__idf")).alias("w")
+    )
+    norms = weights.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    return weights, norms
+
+
+def tfidf_topk_similar(
+    docs,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df_frac: float = 0.5,
+    min_sim: float = 0.0,
+    rank_decimals: int | None = None,
+):
+    """Top-k most similar documents per document by TF-IDF cosine.
+
+    ``rank_decimals``: when set, ranking compares the cosine rounded
+    to that many decimals (ties broken by sim_id) so the top-k cut is
+    stable under summation-order float noise — the correctness gate
+    ranks at 6 decimals.
+
+    Inverted-index join: the sparse weight table self-joins on the
+    token (only docs SHARING a token ever meet — the classic sparse
+    all-pairs shape), partial products sum per pair, norms divide,
+    then one per-doc window keeps the k best. The max_df cutoff in
+    tfidf_vectors bounds the hot-token join fan-out, so the shuffle
+    is proportional to sum_t df(t)^2 over surviving tokens, not
+    n_docs^2. Returns (id, sim_id, cosine, rank), both directions of
+    each pair."""
+    from pyspark.sql import Window
+
+    weights, norms = tfidf_vectors(docs, text_col, id_col, max_df_frac)
+    a, b = weights.alias("a"), weights.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("__dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("norm").alias("__na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("norm").alias("__nb"))
+    sims = dots.join(na, "id_a").join(nb, "id_b").select(
+        "id_a", "id_b", (F.col("__dot") / (F.col("__na") * F.col("__nb"))).alias("cosine")
+    )
+    if min_sim > 0.0:
+        sims = sims.filter(F.col("cosine") >= min_sim)
+    both = sims.select(
+        F.col("id_a").alias(id_col), F.col("id_b").alias("sim_id"), "cosine"
+    ).unionByName(
+        sims.select(
+            F.col("id_b").alias(id_col), F.col("id_a").alias("sim_id"), "cosine"
+        )
+    )
+    key = F.col("cosine")
+    if rank_decimals is not None:
+        key = F.round(key + F.lit(1e-9), rank_decimals)
+    w = Window.partitionBy(id_col).orderBy(F.desc(key), F.asc("sim_id"))
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "sim_id", "cosine", "rank")
+    )

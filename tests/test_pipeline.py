@@ -872,3 +872,29 @@ def test_semantic_dedup_finds_planted_near_dup(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 100)}
     kept = {r["vec_id"] for r in semantic_dedup(emb, n_clusters=4, threshold=0.99).collect()}
     assert 100 not in kept and 0 in kept and len(kept) == 40
+
+
+def test_tfidf_topk_similar_ranks_shared_rare_terms(spark):
+    from functime_spark.pipeline.similarity import tfidf_topk_similar
+
+    d = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon"),
+            (3, "alpha zeta eta theta"),
+            (4, "iota kappa lambda mu"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk_similar(d, k=2, max_df_frac=0.9).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["sim_id"], r["cosine"]))
+    # docs 1 and 2 share three rare-ish terms -> mutual best match
+    assert sorted(by_doc[1])[0][1] == 2
+    assert sorted(by_doc[2])[0][1] == 1
+    # doc 4 shares no token with anyone -> no rows
+    assert 4 not in by_doc
+    for rows in by_doc.values():
+        for _, _, c in rows:
+            assert 0.0 < c <= 1.0 + 1e-12
