@@ -155,3 +155,40 @@ def test_sq8_encode_and_search_shuffle_free(spark):
     enc = sq.encode(emb)
     assert_max_exchanges(enc, 0)
     assert_max_exchanges(sq.search(enc, [0.0] * 64, k=5), 0)
+
+
+def test_decontaminate_broadcasts_benchmark_probe(spark):
+    """The benchmark gram probe must ride as a broadcast build side —
+    the corpus explode never shuffles on the gram key."""
+    from functime_spark.pipeline.decontaminate import ngram_overlap
+    from functime_spark.plans import explain_str, python_eval_nodes
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    bench = docs.limit(3)
+    out = ngram_overlap(docs, bench, n=3)
+    assert "BroadcastHashJoin" in explain_str(out, "simple")
+    assert python_eval_nodes(out) == []
+
+
+def test_tfidf_stays_native(spark):
+    from functime_spark.pipeline.similarity import tfidf_topk_similar
+    from functime_spark.plans import python_eval_nodes
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha bravo w{i} w{i+1}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    assert python_eval_nodes(tfidf_topk_similar(docs, k=2)) == []
+
+
+def test_lm_score_stays_native(spark):
+    from functime_spark.pipeline.lm import ngram_lm_score
+    from functime_spark.plans import python_eval_nodes
+
+    docs = spark.createDataFrame(
+        [(i, f"a b c w{i}") for i in range(20)], "doc_id long, text string"
+    )
+    assert python_eval_nodes(ngram_lm_score(docs)) == []
