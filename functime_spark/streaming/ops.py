@@ -222,3 +222,74 @@ def sessionize(
             p.target,
         )
     )
+
+
+def stream_lm_score(
+    docs: DataFrame,
+    lm: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Streaming twin of pipeline.lm.ngram_lm_score: score documents
+    against a batch-fitted bigram LM with NO streaming aggregation —
+    each row is self-contained (its tokens live in its own text), so
+    the count tables ride to executors as a broadcast artifact (the
+    same way production pipelines ship a KenLM binary) and scoring is
+    one stateless Arrow pass. Append-mode safe, no watermark needed.
+
+    ``lm`` is pipeline.lm.fit_ngram_lm output; its count frames are
+    collected once here — bounded by the (min_count-pruned) vocab,
+    which is the model, not the corpus."""
+    import math
+
+    import pandas as pd
+
+    spark = docs.sparkSession
+    uni = {r["w"]: r["c"] for r in lm["uni"].collect()}
+    bi = {(r["w1"], r["w2"]): r["c"] for r in lm["bi"].collect()}
+    n_tok, vocab = lm["n_tokens"], lm["vocab"]
+    bc = spark.sparkContext.broadcast((uni, bi))
+    denom = n_tok + alpha * vocab
+    floor = alpha / denom
+    one_m_lam = 1 - lam
+
+    id_field = docs.select(id_col).schema.fields[0]
+    out_schema = (
+        f"{id_field.name} {id_field.dataType.simpleString()}, "
+        "n_tokens bigint, cross_entropy double, perplexity double"
+    )
+
+    def score(batches):
+        u, b = bc.value
+        for pdf in batches:
+            ids, ns, ces = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                ws = [w for w in str(text).split() if w]
+                lps = []
+                prev = None
+                for w in ws:
+                    cu = u.get(w)
+                    pu = (cu + alpha) / denom if cu is not None else floor
+                    if prev is None:
+                        lps.append(math.log(pu))
+                    else:
+                        c1 = u.get(prev)
+                        pb = b.get((prev, w), 0) / c1 if c1 else 0.0
+                        lps.append(math.log(lam * pb + one_m_lam * pu))
+                    prev = w
+                ce = -sum(lps) / len(lps) if lps else 0.0
+                ids.append(did)
+                ns.append(len(ws))
+                ces.append(ce)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_tokens": ns,
+                    "cross_entropy": ces,
+                    "perplexity": [math.exp(c) for c in ces],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(score, schema=out_schema)

@@ -230,3 +230,38 @@ def test_sessionize_batch_and_stream(spark, tmp_path):
         assert [(r["entity"], r["n_events"], r["y"]) for r in got] == expect
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_stream_lm_score_matches_batch(spark, tmp_path):
+    """Scoring a document stream against a batch-fitted LM (broadcast
+    count tables, stateless Arrow pass) must reproduce the batch join
+    formulation's values."""
+    import shutil
+
+    from functime_spark.pipeline.lm import fit_ngram_lm, ngram_lm_score
+    from functime_spark.streaming.ops import stream_lm_score
+
+    docs = spark.createDataFrame(
+        [(i, f"a b w{i % 5} a c w{i % 3} b") for i in range(40)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "docs")
+    docs.repartition(2).write.parquet(path)
+    try:
+        lm = fit_ngram_lm(docs)
+        batch = {
+            r["doc_id"]: r for r in ngram_lm_score(docs, lm=lm).collect()
+        }
+        sdf = spark.readStream.schema(docs.schema).parquet(path)
+        out = _run_stream(spark, stream_lm_score(sdf, lm), "lm_scores")
+        rows = out.collect()
+        assert len(rows) == 40
+        for r in rows:
+            b = batch[r["doc_id"]]
+            assert r["n_tokens"] == b["n_tokens"]
+            assert r["cross_entropy"] == pytest.approx(
+                b["cross_entropy"], abs=1e-9
+            )
+            assert r["perplexity"] == pytest.approx(b["perplexity"], rel=1e-9)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
