@@ -856,6 +856,18 @@ def q_text_decontaminate(spark, sf_dir):
     return _round_floats(out).orderBy("doc_id")
 
 
+def q_corpus_pack_shards(spark, sf_dir):
+    """Fixed-token-budget shard assignment via the distributed
+    two-phase prefix sum (per-bucket totals -> broadcast offsets ->
+    within-bucket window), replayed in DuckDB with the naive global
+    running sum — identical offsets, no single-partition Spark sort."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.packing import pack_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_shards(docs, tokens_per_shard=512).orderBy("doc_id")
+
+
 def q_text_tfidf_topk(spark, sf_dir):
     """TF-IDF cosine top-3 similar docs per doc: sparse inverted-index
     self-join with a 50% max-df cutoff, smoothed idf, ranking at 6
@@ -1546,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_lm_score": q_text_lm_score,
             "dedup_semantic": q_dedup_semantic,
             "text_tfidf_topk": q_text_tfidf_topk,
+            "corpus_pack_shards": q_corpus_pack_shards,
             "dedup_simhash": q_dedup_simhash,
             "dedup_embedding": q_dedup_embedding,
             "text_language_id": q_text_language_id,
@@ -1646,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score",
         "dedup_semantic",
         "text_tfidf_topk",
+        "corpus_pack_shards",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

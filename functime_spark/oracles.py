@@ -2844,6 +2844,19 @@ ORDER BY 1, 2
         "LEFT JOIN hits USING (doc_id) ORDER BY doc_id"
     )
 
+    # --- corpus_pack_shards: the two-phase distributed prefix sum
+    # replayed with DuckDB's (single-node-fine) global running sum
+    o["corpus_pack_shards"] = (
+        "WITH t AS (SELECT doc_id, CAST(len(list_filter("
+        r"string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) "
+        "AS n_tokens FROM documents), "
+        "o AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER "
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+        "0) AS so FROM t) "
+        "SELECT doc_id, n_tokens, CAST(so AS BIGINT) AS start_offset, "
+        "CAST(FLOOR(so / 512.0) AS BIGINT) AS shard FROM o ORDER BY doc_id"
+    )
+
     # --- text_tfidf_topk: sparse TF-IDF all-pairs replay — tf/df
     # aggregates, 50% max-df cutoff, smoothed idf, inverted-index
     # pair dots, 6-decimal-keyed row_number top-3

@@ -898,3 +898,25 @@ def test_tfidf_topk_similar_ranks_shared_rare_terms(spark):
     for rows in by_doc.values():
         for _, _, c in rows:
             assert 0.0 < c <= 1.0 + 1e-12
+
+
+def test_pack_shards_exact_prefix_and_no_global_sort(spark):
+    from functime_spark.pipeline.packing import pack_shards
+    from functime_spark.plans import explain_str
+
+    # sparse, shuffled ids to exercise range bucketing with gaps
+    rows = [(i * 7 + 3, " ".join("w" for _ in range(i % 9 + 1))) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_shards(docs, tokens_per_shard=20, n_buckets=8)
+    got = {r["doc_id"]: r for r in out.collect()}
+    run = 0
+    for i in range(200):
+        did = i * 7 + 3
+        n = i % 9 + 1
+        assert got[did]["n_tokens"] == n
+        assert got[did]["start_offset"] == run
+        assert got[did]["shard"] == run // 20
+        run += n
+    # the scalable shape: no single-partition global window sort
+    plan = explain_str(out, "simple")
+    assert "SinglePartition" not in plan
