@@ -856,6 +856,21 @@ def q_text_decontaminate(spark, sf_dir):
     return _round_floats(out).orderBy("doc_id")
 
 
+def q_corpus_mix_weights(spark, sf_dir):
+    """DoReMi-style downsample-only quota solve for a target token
+    mixture over sources: per-domain token sums, limiting-domain kept
+    total T = min(tokens/f), keep_frac = f*T/tokens — all replayed in
+    SQL with the same expression shapes."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.sampling import domain_mix_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = domain_mix_weights(
+        docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, strata_col="source"
+    )
+    return _round_floats(out).orderBy("source")
+
+
 def q_corpus_pack_shards(spark, sf_dir):
     """Fixed-token-budget shard assignment via the distributed
     two-phase prefix sum (per-bucket totals -> broadcast offsets ->
@@ -1559,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_semantic": q_dedup_semantic,
             "text_tfidf_topk": q_text_tfidf_topk,
             "corpus_pack_shards": q_corpus_pack_shards,
+            "corpus_mix_weights": q_corpus_mix_weights,
             "dedup_simhash": q_dedup_simhash,
             "dedup_embedding": q_dedup_embedding,
             "text_language_id": q_text_language_id,
@@ -1660,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic",
         "text_tfidf_topk",
         "corpus_pack_shards",
+        "corpus_mix_weights",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

@@ -2844,6 +2844,41 @@ ORDER BY 1, 2
         "LEFT JOIN hits USING (doc_id) ORDER BY doc_id"
     )
 
+    # --- corpus_mix_weights: quota solve replay — same (f * T) / t
+    # expression order as the Spark projection
+    _mixtgt = (
+        "SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)) "
+        "tt(source, target_frac)"
+    )
+    o["corpus_mix_weights"] = (
+        "WITH cur AS (SELECT source, CAST(SUM(len(list_filter("
+        r"string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) "
+        "AS n_tokens FROM documents GROUP BY source), "
+        f"tgt AS ({_mixtgt}), "
+        "j AS (SELECT cur.source, cur.n_tokens, "
+        "COALESCE(tgt.target_frac, 0.0) AS target_frac FROM cur "
+        "LEFT JOIN tgt ON cur.source = tgt.source), "
+        "tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t FROM cur), "
+        "kt AS (SELECT MIN(n_tokens / target_frac) AS T FROM j "
+        "WHERE target_frac > 0) "
+        "SELECT j.source, j.n_tokens, "
+        + _r("j.n_tokens / tot.t")
+        + " AS current_frac, "
+        + _r("j.target_frac")
+        + " AS target_frac, "
+        + _r(
+            "CASE WHEN j.target_frac > 0 THEN "
+            "LEAST(1.0, j.target_frac * kt.T / j.n_tokens) ELSE 0.0 END"
+        )
+        + " AS keep_frac, "
+        + _r(
+            "CASE WHEN j.target_frac > 0 THEN "
+            "LEAST(1.0, j.target_frac * kt.T / j.n_tokens) ELSE 0.0 END "
+            "* j.n_tokens"
+        )
+        + " AS est_tokens FROM j, tot, kt ORDER BY j.source"
+    )
+
     # --- corpus_pack_shards: the two-phase distributed prefix sum
     # replayed with DuckDB's (single-node-fine) global running sum
     o["corpus_pack_shards"] = (

@@ -63,3 +63,73 @@ def stratified_sample(
         hit = (F.col(strata_col) == stratum) & (bucket < int(round(frac * buckets)))
         cond = hit if cond is None else cond | hit
     return docs.filter(cond)
+
+
+def domain_mix_weights(
+    docs: DataFrame,
+    target_fracs: dict,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Downsample-only quota solve for a target token mixture
+    (DoReMi-style domain re-balancing, applied as deterministic
+    sampling rather than loss reweighting).
+
+    Given target token shares f_d, the largest achievable kept total
+    is T = min_d tokens_d / f_d (the limiting domain keeps 100%);
+    every domain then keeps keep_frac_d = f_d * T / tokens_d. Domains
+    not in ``target_fracs`` get 0. Two tiny aggregates (per-domain
+    token sums, global min) + a broadcast scalar — nothing about the
+    corpus ever re-shuffles."""
+    t = F.col(text_col)
+    tok = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != F.lit("")))
+    cur = docs.select(F.col(strata_col), tok.cast("long").alias("__t")).groupBy(
+        strata_col
+    ).agg(F.sum("__t").alias("n_tokens"))
+    spark = docs.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, float(v)) for k, v in target_fracs.items()],
+        f"{strata_col} string, target_frac double",
+    )
+    total_all = cur.agg(F.sum("n_tokens").alias("__tot"))
+    joined = cur.join(F.broadcast(tgt), on=strata_col, how="left").na.fill(
+        {"target_frac": 0.0}
+    )
+    kept_total = (
+        joined.filter(F.col("target_frac") > 0)
+        .agg(F.min(F.col("n_tokens") / F.col("target_frac")).alias("__T"))
+    )
+    return (
+        joined.crossJoin(F.broadcast(kept_total))
+        .crossJoin(F.broadcast(total_all))
+        .select(
+            strata_col,
+            "n_tokens",
+            (F.col("n_tokens") / F.col("__tot")).alias("current_frac"),
+            "target_frac",
+            F.when(F.col("target_frac") > 0,
+                   F.least(
+                       F.lit(1.0),
+                       F.col("target_frac") * F.col("__T") / F.col("n_tokens"),
+                   ))
+            .otherwise(F.lit(0.0))
+            .alias("keep_frac"),
+        )
+        .withColumn("est_tokens", F.col("keep_frac") * F.col("n_tokens"))
+    )
+
+
+def rebalance_sample(
+    docs: DataFrame,
+    target_fracs: dict,
+    strata_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10000,
+) -> DataFrame:
+    """Apply domain_mix_weights as a deterministic md5-bucket filter:
+    the weights table is n_domains rows (one tiny collect), the corpus
+    pass is the same zero-shuffle predicate as stratified_sample."""
+    w = domain_mix_weights(docs, target_fracs, strata_col, text_col)
+    fracs = {r[strata_col]: r["keep_frac"] for r in w.collect() if r["keep_frac"] > 0}
+    return stratified_sample(docs, fracs, strata_col, id_col, buckets)

@@ -920,3 +920,27 @@ def test_pack_shards_exact_prefix_and_no_global_sort(spark):
     # the scalable shape: no single-partition global window sort
     plan = explain_str(out, "simple")
     assert "SinglePartition" not in plan
+
+
+def test_domain_mix_weights_quota_math(spark):
+    from functime_spark.pipeline.sampling import domain_mix_weights, rebalance_sample
+
+    # srcA: 100 tokens, srcB: 50, srcC: 50 (untargeted)
+    rows = (
+        [(i, "w " * 10, "srcA") for i in range(10)]
+        + [(100 + i, "w " * 10, "srcB") for i in range(5)]
+        + [(200 + i, "w " * 10, "srcC") for i in range(5)]
+    )
+    docs = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows], "doc_id long, text string, source string"
+    )
+    w = {r["source"]: r for r in domain_mix_weights(
+        docs, {"srcA": 0.5, "srcB": 0.5}, strata_col="source").collect()}
+    # T = min(100/0.5, 50/0.5) = 100 -> A keeps 0.5*100/100=0.5, B keeps 1.0
+    assert w["srcA"]["keep_frac"] == pytest.approx(0.5)
+    assert w["srcB"]["keep_frac"] == pytest.approx(1.0)
+    assert w["srcC"]["keep_frac"] == 0.0
+    assert w["srcA"]["est_tokens"] == pytest.approx(50.0)
+    kept = rebalance_sample(docs, {"srcA": 0.5, "srcB": 0.5}, strata_col="source")
+    srcs = {r["source"] for r in kept.collect()}
+    assert "srcC" not in srcs and "srcB" in srcs
