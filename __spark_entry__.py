@@ -856,6 +856,17 @@ def q_text_decontaminate(spark, sf_dir):
     return _round_floats(out).orderBy("doc_id")
 
 
+def q_embedding_stats(spark, sf_dir):
+    """Per-label embedding diagnostics (count, mean norm, centroid
+    norm, mean cosine-to-centroid, inertia) — two single-shuffle
+    aggregates + a broadcast centroid table, replayed per-dim in SQL."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.similarity import embedding_group_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _round_floats(embedding_group_stats(emb)).orderBy("label")
+
+
 def q_corpus_mix_weights(spark, sf_dir):
     """DoReMi-style downsample-only quota solve for a target token
     mixture over sources: per-domain token sums, limiting-domain kept
@@ -1575,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_tfidf_topk": q_text_tfidf_topk,
             "corpus_pack_shards": q_corpus_pack_shards,
             "corpus_mix_weights": q_corpus_mix_weights,
+            "embedding_stats": q_embedding_stats,
             "dedup_simhash": q_dedup_simhash,
             "dedup_embedding": q_dedup_embedding,
             "text_language_id": q_text_language_id,
@@ -1677,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_topk",
         "corpus_pack_shards",
         "corpus_mix_weights",
+        "embedding_stats",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

@@ -2844,6 +2844,34 @@ ORDER BY 1, 2
         "LEFT JOIN hits USING (doc_id) ORDER BY doc_id"
     )
 
+    # --- embedding_stats: per-label per-dim centroid AVG, list
+    # rebuild, cosine/inertia reduce — 6-dec rounding absorbs the
+    # distributed-vs-serial summation order noise
+    o["embedding_stats"] = (
+        "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "cd AS (SELECT label, t.i AS dim, AVG(v[t.i]) AS m FROM e, "
+        "range(1, 65) t(i) GROUP BY label, t.i), "
+        "cen AS (SELECT label, list(m ORDER BY dim) AS c FROM cd "
+        "GROUP BY label), "
+        "sc AS (SELECT e.label, "
+        "sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nrm, "
+        "sqrt(list_sum(list_transform(cen.c, x -> x * x))) AS cnrm, "
+        "list_sum(list_transform(range(1, 65), i -> e.v[i] * cen.c[i])) AS dt, "
+        "list_sum(list_transform(range(1, 65), i -> "
+        "(e.v[i] - cen.c[i]) * (e.v[i] - cen.c[i]))) AS d2 "
+        "FROM e JOIN cen USING (label)) "
+        "SELECT label, CAST(COUNT(*) AS BIGINT) AS n, "
+        + _r("AVG(nrm)")
+        + " AS mean_norm, "
+        + _r("FIRST(cnrm)")
+        + " AS centroid_norm, "
+        + _r("AVG(dt / (nrm * cnrm))")
+        + " AS mean_cos_centroid, "
+        + _r("AVG(d2)")
+        + " AS inertia FROM sc GROUP BY label ORDER BY label"
+    )
+
     # --- corpus_mix_weights: quota solve replay — same (f * T) / t
     # expression order as the Spark projection
     _mixtgt = (

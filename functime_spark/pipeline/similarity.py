@@ -595,3 +595,58 @@ def tfidf_topk_similar(
         .filter(F.col("rank") <= k)
         .select(id_col, "sim_id", "cosine", "rank")
     )
+
+
+def embedding_group_stats(
+    emb,
+    by: str = "label",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """Per-group embedding diagnostics for corpus curation: count,
+    mean vector norm, centroid norm, mean cosine-to-centroid (group
+    coherence) and inertia (mean squared distance to centroid).
+
+    Two aggregate passes: (1) per-dim centroid means — dim aggregate
+    expressions in ONE hash aggregate (no dim explode: the shuffle
+    carries one pre-aggregated row per group per partition); (2) the
+    centroid table (n_groups x dim) broadcasts back and the per-row
+    cosine/distance reduce in a second single-shuffle aggregate."""
+    dim = emb.select(F.size(vec_col).alias("d")).first()["d"]
+    v = F.col(vec_col).cast("array<double>")
+    aggs = [F.avg(F.element_at(v, i + 1)).alias(f"__c{i}") for i in range(dim)]
+    cents = emb.groupBy(by).agg(F.count(F.lit(1)).alias("n"), *aggs)
+    cents = cents.select(
+        by, "n", F.array(*[F.col(f"__c{i}") for i in range(dim)]).alias("__cen")
+    )
+    cen = F.col("__cen")
+    dot = F.aggregate(
+        F.zip_with(v, cen, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    cnrm = F.sqrt(
+        F.aggregate(
+            F.transform(cen, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(v, cen, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.join(F.broadcast(cents), on=by).select(
+        F.col(by),
+        F.col("n"),
+        nrm.alias("__nrm"),
+        cnrm.alias("__cnrm"),
+        (dot / (nrm * cnrm)).alias("__cos"),
+        d2.alias("__d2"),
+    )
+    return scored.groupBy(by).agg(
+        F.first("n").cast("long").alias("n"),
+        F.avg("__nrm").alias("mean_norm"),
+        F.first("__cnrm").alias("centroid_norm"),
+        F.avg("__cos").alias("mean_cos_centroid"),
+        F.avg("__d2").alias("inertia"),
+    )

@@ -944,3 +944,24 @@ def test_domain_mix_weights_quota_math(spark):
     kept = rebalance_sample(docs, {"srcA": 0.5, "srcB": 0.5}, strata_col="source")
     srcs = {r["source"] for r in kept.collect()}
     assert "srcC" not in srcs and "srcB" in srcs
+
+
+def test_embedding_group_stats_tight_vs_loose_cluster(spark):
+    import numpy as np
+
+    from functime_spark.pipeline.similarity import embedding_group_stats
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(8)
+    rows = []
+    for i in range(20):  # tight cluster around base
+        rows.append((i, [float(x) for x in base + 0.01 * rng.standard_normal(8)], 0))
+    for i in range(20):  # diffuse cluster
+        rows.append((100 + i, [float(x) for x in rng.standard_normal(8)], 1))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r["label"]: r for r in embedding_group_stats(emb).collect()}
+    assert out[0]["n"] == 20 and out[1]["n"] == 20
+    # tight cluster: coherent (cos ~1), tiny inertia
+    assert out[0]["mean_cos_centroid"] > 0.999
+    assert out[0]["inertia"] < 0.01
+    assert out[1]["inertia"] > out[0]["inertia"] * 100
