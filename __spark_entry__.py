@@ -856,6 +856,21 @@ def q_text_decontaminate(spark, sf_dir):
     return _round_floats(out).orderBy("doc_id")
 
 
+def q_text_quality_tiers(spark, sf_dir):
+    """Curriculum bucketing: LM cross-entropy -> exact-percentile
+    quartile tiers (NOT ntile — no single-partition sort). Tiers are
+    cut on the 6-decimal-rounded score so both engines compare
+    identical doubles."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.lm import ngram_lm_score, quality_tiers
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _round_floats(
+        ngram_lm_score(docs, alpha=0.5, lam=0.7).select("doc_id", "cross_entropy")
+    )
+    return quality_tiers(scored, n_tiers=4).orderBy("doc_id")
+
+
 def q_embedding_stats(spark, sf_dir):
     """Per-label embedding diagnostics (count, mean norm, centroid
     norm, mean cosine-to-centroid, inertia) — two single-shuffle
@@ -1587,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "corpus_pack_shards": q_corpus_pack_shards,
             "corpus_mix_weights": q_corpus_mix_weights,
             "embedding_stats": q_embedding_stats,
+            "text_quality_tiers": q_text_quality_tiers,
             "dedup_simhash": q_dedup_simhash,
             "dedup_embedding": q_dedup_embedding,
             "text_language_id": q_text_language_id,
@@ -1690,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_shards",
         "corpus_mix_weights",
         "embedding_stats",
+        "text_quality_tiers",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

@@ -2957,7 +2957,7 @@ ORDER BY 1, 2
     # per-token log-probs, per-doc cross-entropy. The 1-lam literal is
     # Python's 1-0.7 double so both engines interpolate identically.
     _oml = repr(1 - 0.7)  # 0.30000000000000004 — matches F.lit(1 - lam)
-    o["text_lm_score"] = (
+    _lm_with = (
         "WITH tok AS (SELECT doc_id, "
         r"list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws "
         "FROM documents), "
@@ -2977,13 +2977,32 @@ ORDER BY 1, 2
         "LEFT JOIN uni u1 ON u1.w = s.w1 "
         "LEFT JOIN bi b ON b.w1 = s.w1 AND b.w2 = s.w2 CROSS JOIN tot), "
         "pd AS (SELECT doc_id, COUNT(*) AS k, -AVG(lp) AS ce FROM sc "
-        "GROUP BY doc_id) "
-        "SELECT d.doc_id, CAST(COALESCE(pd.k, 0) AS BIGINT) AS n_tokens, "
+        "GROUP BY doc_id)"
+    )
+    o["text_lm_score"] = (
+        _lm_with + " SELECT d.doc_id, CAST(COALESCE(pd.k, 0) AS BIGINT) AS n_tokens, "
         + _r("COALESCE(pd.ce, 0)")
         + " AS cross_entropy, "
         + _r("exp(COALESCE(pd.ce, 0))")
         + " AS perplexity "
         "FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id"
+    )
+
+    # --- text_quality_tiers: same LM chain, 6-dec-rounded scores,
+    # exact-percentile quartile cuts (quantile_cont == F.percentile),
+    # tier = count of cuts strictly below the score
+    o["text_quality_tiers"] = (
+        _lm_with + ", ce AS (SELECT d.doc_id, "
+        + _r("COALESCE(pd.ce, 0)")
+        + " AS cross_entropy FROM documents d LEFT JOIN pd USING (doc_id)), "
+        "cuts AS (SELECT quantile_cont(cross_entropy, 0.25) AS q1, "
+        "quantile_cont(cross_entropy, 0.5) AS q2, "
+        "quantile_cont(cross_entropy, 0.75) AS q3 FROM ce) "
+        "SELECT ce.doc_id, ce.cross_entropy, "
+        "CAST(CAST(ce.cross_entropy > cuts.q1 AS INT) + "
+        "CAST(ce.cross_entropy > cuts.q2 AS INT) + "
+        "CAST(ce.cross_entropy > cuts.q3 AS INT) AS INT) AS tier "
+        "FROM ce, cuts ORDER BY ce.doc_id"
     )
 
     # --- corpus_stats: straight aggregate replay (Spark F.median and

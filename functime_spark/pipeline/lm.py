@@ -141,3 +141,37 @@ def ngram_lm_score(
         F.coalesce("cross_entropy", F.lit(0.0)).alias("cross_entropy"),
     )
     return out.withColumn("perplexity", F.exp("cross_entropy"))
+
+
+def quality_tiers(
+    scored: DataFrame,
+    n_tiers: int = 4,
+    score_col: str = "cross_entropy",
+    ascending: bool = True,
+) -> DataFrame:
+    """Curriculum/quality bucketing: tier 0..n-1 by score percentile
+    (tier 0 = best = lowest cross-entropy when ascending).
+
+    Scale shape: ONE exact-percentile aggregate produces the n-1 cut
+    points (a single tiny row, broadcast back); assignment is a pure
+    projection. Deliberately NOT ntile() — a global ntile is a
+    single-partition window sort at corpus scale, and percentile cuts
+    are stable under re-partitioning."""
+    cuts = [i / n_tiers for i in range(1, n_tiers)]
+    qs = scored.agg(
+        F.array(
+            *[F.percentile(score_col, F.lit(c)).alias(f"q{i}") for i, c in enumerate(cuts)]
+        ).alias("__cuts")
+    )
+    s = F.col(score_col) if ascending else -F.col(score_col)
+    cutcol = F.col("__cuts") if ascending else F.transform(F.col("__cuts"), lambda x: -x)
+    tier = F.aggregate(
+        cutcol,
+        F.lit(0),
+        lambda acc, c: acc + F.when(s > c, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return (
+        scored.crossJoin(F.broadcast(qs))
+        .withColumn("tier", tier.cast("int"))
+        .drop("__cuts")
+    )

@@ -965,3 +965,22 @@ def test_embedding_group_stats_tight_vs_loose_cluster(spark):
     assert out[0]["mean_cos_centroid"] > 0.999
     assert out[0]["inertia"] < 0.01
     assert out[1]["inertia"] > out[0]["inertia"] * 100
+
+
+def test_quality_tiers_quartiles(spark):
+    from functime_spark.pipeline.lm import quality_tiers
+
+    d = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "doc_id long, cross_entropy double"
+    )
+    out = {r["doc_id"]: r["tier"] for r in quality_tiers(d, n_tiers=4).collect()}
+    assert out[0] == 0 and out[10] == 0
+    assert out[30] == 1 and out[60] == 2 and out[99] == 3
+    from collections import Counter
+
+    c = Counter(out.values())
+    assert set(c) == {0, 1, 2, 3}
+    assert max(c.values()) - min(c.values()) <= 2  # balanced quartiles
+    # descending mode flips the ordering
+    desc = {r["doc_id"]: r["tier"] for r in quality_tiers(d, 4, ascending=False).collect()}
+    assert desc[99] == 0 and desc[0] == 3
