@@ -293,3 +293,63 @@ def stream_lm_score(
             )
 
     return docs.select(id_col, text_col).mapInPandas(score, schema=out_schema)
+
+
+def stream_decontaminate(
+    docs: DataFrame,
+    bench_grams,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_overlap: float = 0.0,
+) -> DataFrame:
+    """Streaming twin of pipeline.decontaminate.ngram_overlap: the
+    benchmark gram set is collected once (benchmarks are MB-scale) and
+    broadcast; each document's overlap signals compute row-locally in
+    one stateless Arrow pass — append-safe, no watermark, no
+    aggregation state.
+
+    ``bench_grams``: pipeline.decontaminate.benchmark_ngrams output
+    (or any 1-column gram DataFrame)."""
+    import pandas as pd
+
+    spark = docs.sparkSession
+    grams = {r[0] for r in bench_grams.collect()}
+    bc = spark.sparkContext.broadcast(grams)
+
+    id_field = docs.select(id_col).schema.fields[0]
+    out_schema = (
+        f"{id_field.name} {id_field.dataType.simpleString()}, "
+        "n_grams bigint, n_contaminated bigint, contamination double, "
+        "is_contaminated int"
+    )
+
+    def score(batches):
+        bg = bc.value
+        for pdf in batches:
+            ids, tot, hit, frac, flag = [], [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                ws = [w for w in str(text).split() if w]
+                gs = (
+                    {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+                    if len(ws) >= n
+                    else set()
+                )
+                h = sum(1 for g in gs if g in bg)
+                f = h / len(gs) if gs else 0.0
+                ids.append(did)
+                tot.append(len(gs))
+                hit.append(h)
+                frac.append(f)
+                flag.append(int(f > max_overlap))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_grams": tot,
+                    "n_contaminated": hit,
+                    "contamination": frac,
+                    "is_contaminated": flag,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(score, schema=out_schema)

@@ -265,3 +265,38 @@ def test_stream_lm_score_matches_batch(spark, tmp_path):
             assert r["perplexity"] == pytest.approx(b["perplexity"], rel=1e-9)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    import shutil
+
+    from functime_spark.pipeline.decontaminate import benchmark_ngrams, ngram_overlap
+    from functime_spark.streaming.ops import stream_decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 3 + j) % 40}" for j in range(12))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "docs2")
+    docs.repartition(2).write.parquet(path)
+    try:
+        batch = {
+            r["doc_id"]: r
+            for r in ngram_overlap(docs, bench, n=4, hash_fn="none").collect()
+        }
+        sdf = spark.readStream.schema(docs.schema).parquet(path)
+        bg = benchmark_ngrams(bench, n=4)
+        out = _run_stream(spark, stream_decontaminate(sdf, bg, n=4), "decon")
+        rows = out.collect()
+        assert len(rows) == 30
+        for r in rows:
+            b = batch[r["doc_id"]]
+            assert (
+                r["n_grams"],
+                r["n_contaminated"],
+                r["is_contaminated"],
+            ) == (b["n_grams"], b["n_contaminated"], b["is_contaminated"])
+            assert r["contamination"] == pytest.approx(b["contamination"])
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
