@@ -145,3 +145,57 @@ def test_friedrich_matches_polyfit(values, scale):
         return
     exp = np.polyfit(xs, ys, 3)
     np.testing.assert_allclose(got, exp, rtol=1e-6, atol=1e-9)
+
+
+@settings(**_SETTINGS)
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=60),
+    budget=st.integers(min_value=1, max_value=100),
+    n_buckets=st.integers(min_value=1, max_value=9),
+)
+def test_pack_shards_equals_serial_cumsum(spark, toks, budget, n_buckets):
+    """Distributed two-phase prefix sum == the serial running sum for
+    any id spacing, bucket count and token distribution."""
+    from functime_spark.pipeline.packing import pack_shards
+
+    rows = [(i * 3 + 1, " ".join("w" for _ in range(n)) if n else "") for i, n in enumerate(toks)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["start_offset"], r["shard"])
+        for r in pack_shards(docs, budget, n_buckets=n_buckets).collect()
+    }
+    run = 0
+    for i, n in enumerate(toks):
+        did = i * 3 + 1
+        assert got[did] == (n, run, run // budget)
+        run += n
+
+
+@settings(**_SETTINGS)
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=500), min_size=2, max_size=6),
+    fracs=st.lists(st.floats(min_value=0.05, max_value=1.0), min_size=2, max_size=6),
+)
+def test_mix_weights_hit_target_shares(spark, tokens, fracs):
+    """Kept token mixture matches the (normalized) target shares and
+    no domain exceeds keep_frac 1."""
+    from functime_spark.pipeline.sampling import domain_mix_weights
+
+    k = min(len(tokens), len(fracs))
+    tokens, fracs = tokens[:k], fracs[:k]
+    total_f = sum(fracs)
+    targets = {f"s{i}": f / total_f for i, f in enumerate(fracs)}
+    rows = []
+    did = 0
+    for i, n in enumerate(tokens):
+        rows.append((did, " ".join("w" for _ in range(n)), f"s{i}"))
+        did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in domain_mix_weights(docs, targets).collect()}
+    kept = {s: out[s]["est_tokens"] for s in targets}
+    T = sum(kept.values())
+    for s, f in targets.items():
+        assert out[s]["keep_frac"] <= 1.0 + 1e-12
+        assert kept[s] / T == pytest.approx(f, rel=1e-9)
+    # the limiting domain keeps everything
+    assert any(abs(out[s]["keep_frac"] - 1.0) < 1e-9 for s in targets)
