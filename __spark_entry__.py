@@ -273,6 +273,41 @@ def q_forecast_linear_ar2(spark, sf_dir):
     return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
 
 
+def q_forecast_linear_exog(spark, sf_dir):
+    """AR(2) + exogenous sin/cos-hour features, fit and 3-step
+    recursion with X_future — value-verifies the exogenous design
+    path (make_reduction X join, attach_future_x, the w_x recursion
+    term) via a generated 5x5 Gaussian-elimination oracle that
+    recomputes the future exogenous values from each entity cutoff."""
+    import math
+
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.linear import linear_model
+
+    df = events_panel(spark, sf_dir)
+    e, t = df.columns[0], df.columns[1]
+    two_pi = F.lit(2 * math.pi)
+
+    def trig(col):
+        ang = two_pi * F.hour(col) / F.lit(24.0)
+        return [F.sin(ang).alias("sx"), F.cos(ang).alias("cx")]
+
+    X = df.select(e, t, *trig(F.col(t)))
+    fc = linear_model(freq="1h", lags=2).fit(df, X=X)
+    fut = (
+        df.groupBy(e)
+        .agg(F.max(t).alias("__low"))
+        .select(
+            e, F.explode(F.sequence(F.lit(1), F.lit(3))).alias("__h"), "__low"
+        )
+        .select(
+            e, F.timestamp_add("HOUR", F.col("__h"), F.col("__low")).alias(t)
+        )
+    )
+    X_future = fut.select(e, t, *trig(F.col(t)))
+    return _round_floats(fc.predict(3, X=X_future)).orderBy(e, t)
+
+
 def q_forecast_auto_linear(spark, sf_dir):
     """auto_linear_model end-to-end: the grid-CV search (lags in
     {3,7,12}, expanding 2-split backtest, per-entity sum-ratio SMAPE,
@@ -1603,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "corpus_mix_weights": q_corpus_mix_weights,
             "embedding_stats": q_embedding_stats,
             "text_quality_tiers": q_text_quality_tiers,
+            "forecast_linear_exog": q_forecast_linear_exog,
             "dedup_simhash": q_dedup_simhash,
             "dedup_embedding": q_dedup_embedding,
             "text_language_id": q_text_language_id,
@@ -1707,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix_weights",
         "embedding_stats",
         "text_quality_tiers",
+        "forecast_linear_exog",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

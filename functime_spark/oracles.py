@@ -117,6 +117,89 @@ def _ar_gauss_ctes(lags: int, fh: int) -> list:
     return ctes
 
 
+def _ar_exog_sin_ctes(lags: int, fh: int) -> list:
+    """CTE chain replaying the AR(lags) + sin/cos-hour EXOGENOUS OLS
+    fit and fh-step recursion — design columns l1..lL, sx, cx,
+    intercept, with the future exogenous values recomputed from the
+    per-entity cutoff (`low + h hours`), exactly what
+    attach_future_x + predict_recursive_linear do with X_future.
+    Expects a prior CTE `panel` (e, t, y); final CTE is p{fh}."""
+    m = lags + 3
+    names = [f"l{k}" for k in range(1, lags + 1)] + ["sx", "cx", None]
+
+    def col(i):
+        return names[i]
+
+    def trig(fn, expr):
+        return f"{fn}(2*pi()*EXTRACT(hour FROM {expr})/24.0)"
+
+    aggs = []
+    for i in range(m):
+        for j in range(i, m):
+            ci, cj = col(i), col(j)
+            if ci is None and cj is None:
+                aggs.append(f"CAST(count(*) AS DOUBLE) AS a0_{i}_{j}")
+            elif cj is None:
+                aggs.append(f"sum({ci}) AS a0_{i}_{j}")
+            else:
+                aggs.append(f"sum({ci}*{cj}) AS a0_{i}_{j}")
+        aggs.append((f"sum({col(i)}*y)" if col(i) else "sum(y)") + f" AS b0_{i}")
+    ctes = [
+        "t0 AS (SELECT e, t, y, "
+        + ", ".join(f"lag(y, {k}) OVER wv AS l{k}" for k in range(1, lags + 1))
+        + f", {trig('sin', 't')} AS sx, {trig('cos', 't')} AS cx"
+        + ", row_number() OVER wv - 1 AS i FROM panel "
+        "WINDOW wv AS (PARTITION BY e ORDER BY t))",
+        f"tr AS (SELECT * FROM t0 WHERE i >= {lags})",
+        "e0 AS (SELECT " + ", ".join(aggs) + " FROM tr)",
+    ]
+    for k in range(m - 1):
+        upd = []
+        for i in range(k + 1, m):
+            for j in range(i, m):
+                upd.append(
+                    f"a{k}_{i}_{j} - a{k}_{k}_{i} * a{k}_{k}_{j} / a{k}_{k}_{k} "
+                    f"AS a{k + 1}_{i}_{j}"
+                )
+            upd.append(
+                f"b{k}_{i} - a{k}_{k}_{i} * b{k}_{k} / a{k}_{k}_{k} AS b{k + 1}_{i}"
+            )
+        ctes.append(f"e{k + 1} AS (SELECT *, " + ", ".join(upd) + f" FROM e{k})")
+    last = m - 1
+    ctes.append(
+        f"s{last} AS (SELECT *, b{last}_{last} / a{last}_{last}_{last} "
+        f"AS x{last} FROM e{last})"
+    )
+    for i in range(m - 2, -1, -1):
+        terms = " - ".join(
+            [f"b{i}_{i}"] + [f"a{i}_{i}_{j} * x{j}" for j in range(i + 1, m)]
+        )
+        ctes.append(
+            f"s{i} AS (SELECT *, ({terms}) / a{i}_{i}_{i} AS x{i} FROM s{i + 1})"
+        )
+    ctes.append(
+        "qv AS (SELECT e, MAX(t) AS low, "
+        + ", ".join(
+            f"list(y ORDER BY t DESC)[{j}] AS q{j}" for j in range(1, lags + 1)
+        )
+        + " FROM panel GROUP BY e)"
+    )
+
+    def pred(buf, h):
+        fut = f"low + {h} * INTERVAL '1 hour'"
+        terms = [f"x{i} * {buf[i]}" for i in range(lags)]
+        terms.append(f"x{lags} * {trig('sin', fut)}")
+        terms.append(f"x{lags + 1} * {trig('cos', fut)}")
+        return f"x{m - 1} + " + " + ".join(terms)
+
+    buf = [f"q{j}" for j in range(1, lags + 1)]
+    ctes.append(f"p1 AS (SELECT qv.*, s0.*, {pred(buf, 1)} AS p1 FROM qv, s0)")
+    for h in range(2, fh + 1):
+        buf = [f"p{h - 1}"] + buf[:-1]
+        ctes.append(f"p{h} AS (SELECT *, {pred(buf, h)} AS p{h} FROM p{h - 1})")
+    return ctes
+
+
 def _friedrich_oracle_sql(deg: int = 3, n_quantiles: int = 30) -> str:
     """Replay features_udf.friedrich_coefficients in SQL: quantile-bin
     drift vs signal, z-scored cubic least squares per entity (pivotless
@@ -1609,6 +1692,18 @@ def operator_oracles() -> dict:
         "SELECT user_id, low + s.step * INTERVAL '1 hour' AS ts, "
         + _r("CASE s.step WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3 ELSE p4 END")
         + " AS value FROM p4, (VALUES (1),(2),(3),(4)) AS s(step) ORDER BY 1, 2"
+    )
+
+    # forecast_linear_exog: AR(2) + sin/cos-hour exogenous design —
+    # the generated 5x5 elimination with future exog recomputed from
+    # each entity's cutoff
+    o["forecast_linear_exog"] = (
+        "WITH panel AS (SELECT user_id AS e, ts AS t, CAST(value AS DOUBLE) "
+        "AS y FROM events), "
+        + ", ".join(_ar_exog_sin_ctes(2, 3))
+        + " SELECT e AS user_id, low + g.step * INTERVAL '1 hour' AS ts, "
+        + _r("CASE g.step WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END")
+        + " AS value FROM p3, (VALUES (1),(2),(3)) AS g(step) ORDER BY 1, 2"
     )
 
     o["forecast_auto_linear"] = _auto_linear_replay(_r)
