@@ -69,3 +69,8 @@ def y_to_numpy(df: DataFrame) -> "object":
     e, t = df.columns[:2]
     v = df.columns[-1]
     return X_to_numpy(df.select(e, t, v)).ravel()
+
+
+#: name-parity alias — the reference exposes this as df_to_ndarray
+#: (ref conversion.py:100); a user switching engines keeps their call.
+df_to_ndarray = X_to_numpy
