@@ -273,6 +273,22 @@ def q_forecast_linear_ar2(spark, sf_dir):
     return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
 
 
+def q_join_asof(spark, sf_dir):
+    """Backward as-of join (events -> latest per-entity daily rollup
+    at-or-before each event) via the single-window union trick — no
+    range probe, one entity shuffle; oracle is DuckDB's native
+    ASOF LEFT JOIN over the same rollup."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.joins import asof_join
+
+    df = events_panel(spark, sf_dir)
+    e, t, v = df.columns
+    daily = df.groupBy(
+        F.col(e), F.date_trunc("DAY", F.col(t)).alias(t)
+    ).agg(F.sum(v).alias("day_sum"))
+    return _round_floats(asof_join(df, daily)).orderBy(e, t)
+
+
 def q_forecast_linear_exog(spark, sf_dir):
     """AR(2) + exogenous sin/cos-hour features, fit and 3-step
     recursion with X_future — value-verifies the exogenous design
@@ -1639,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embedding_stats": q_embedding_stats,
             "text_quality_tiers": q_text_quality_tiers,
             "forecast_linear_exog": q_forecast_linear_exog,
+            "join_asof": q_join_asof,
             "dedup_simhash": q_dedup_simhash,
             "dedup_embedding": q_dedup_embedding,
             "text_language_id": q_text_language_id,
@@ -1744,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_stats",
         "text_quality_tiers",
         "forecast_linear_exog",
+        "join_asof",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

@@ -1694,6 +1694,20 @@ def operator_oracles() -> dict:
         + " AS value FROM p4, (VALUES (1),(2),(3),(4)) AS s(step) ORDER BY 1, 2"
     )
 
+    # join_asof: DuckDB's native ASOF LEFT JOIN is the oracle for the
+    # union+window backward as-of join
+    o["join_asof"] = (
+        "WITH d AS (SELECT user_id, date_trunc('day', ts) AS t, "
+        "SUM(value) AS day_sum FROM events GROUP BY ALL) "
+        "SELECT e.user_id, e.ts, "
+        + _r("e.value")
+        + " AS value, "
+        + _r("d.day_sum")
+        + " AS day_sum FROM events e ASOF LEFT JOIN d "
+        "ON e.user_id = d.user_id AND e.ts >= d.t "
+        "ORDER BY e.user_id, e.ts"
+    )
+
     # forecast_linear_exog: AR(2) + sin/cos-hour exogenous design —
     # the generated 5x5 elimination with future exog recomputed from
     # each entity's cutoff

@@ -984,3 +984,35 @@ def test_quality_tiers_quartiles(spark):
     # descending mode flips the ordering
     desc = {r["doc_id"]: r["tier"] for r in quality_tiers(d, 4, ascending=False).collect()}
     assert desc[99] == 0 and desc[0] == 3
+
+
+def test_asof_join_backward_tie_and_tolerance(spark):
+    from datetime import datetime
+
+    from functime_spark.operators.joins import asof_join
+
+    ts = lambda h, m=0: datetime(2024, 1, 1, h, m)
+    left = spark.createDataFrame(
+        [("a", ts(1)), ("a", ts(5)), ("a", ts(12)), ("b", ts(3))],
+        "e string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [("a", ts(0), 10.0), ("a", ts(5), 50.0), ("a", ts(9), 90.0)],
+        "e string, t timestamp, px double",
+    )
+    out = {(r["e"], r["t"]): r["px"] for r in asof_join(left, right).collect()}
+    assert out[("a", ts(1))] == 10.0      # backward match
+    assert out[("a", ts(5))] == 50.0      # equal time matches
+    assert out[("a", ts(12))] == 90.0     # latest earlier row
+    assert out[("b", ts(3))] is None      # entity with no right rows
+    # tolerance: the 12:00 row's last match (09:00) is > 2h old -> null
+    tol = F.expr("INTERVAL 2 HOURS")
+    out2 = {
+        (r["e"], r["t"]): r["px"]
+        for r in asof_join(left, right, tolerance=tol).collect()
+    }
+    assert out2[("a", ts(12))] is None
+    assert out2[("a", ts(5))] == 50.0
+    # name-clash suffix
+    right2 = right.withColumnRenamed("px", "t2").withColumnRenamed("t2", "px")
+    assert "px" in asof_join(left, right).columns
