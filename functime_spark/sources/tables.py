@@ -43,13 +43,37 @@ def read_panel(
     entity: str,
     time: str,
     values: list,
+    format: str = "parquet",
+    schema=None,
+    **options,
 ) -> DataFrame:
-    """Read parquet and project into panel column order (entity, time, values).
+    """Read a table and project into panel column order (entity, time,
+    values).
 
-    The projection narrows the scan: Catalyst pushes ReadSchema down so
-    only the named columns are read from parquet.
+    ``format``: parquet (default — columnar, pushdown/pruning at the
+    scan), csv, or json. CSV/JSON accept an explicit ``schema`` (DDL
+    string or StructType); without one, CSV infers with header=true
+    (inference is an extra pass — pass a schema at scale) and the time
+    column is cast to timestamp if it arrives as string. The
+    projection narrows every format's scan; only parquet also skips
+    row groups via pushed filters.
     """
-    return spark.read.parquet(path).select(entity, time, *values)
+    if format == "parquet":
+        df = spark.read.options(**options).parquet(path)
+    elif format == "csv":
+        reader = spark.read.options(header="true", **options)
+        df = reader.csv(path, schema=schema) if schema else reader.option(
+            "inferSchema", "true"
+        ).csv(path)
+    elif format == "json":
+        reader = spark.read.options(**options)
+        df = reader.json(path, schema=schema) if schema else reader.json(path)
+    else:
+        raise ValueError(f"unsupported panel source format: {format!r}")
+    out = df.select(entity, time, *values)
+    if dict(out.dtypes)[time] == "string":
+        out = out.withColumn(time, F.col(time).cast("timestamp"))
+    return out
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1016,3 +1016,44 @@ def test_asof_join_backward_tie_and_tolerance(spark):
     # name-clash suffix
     right2 = right.withColumnRenamed("px", "t2").withColumnRenamed("t2", "px")
     assert "px" in asof_join(left, right).columns
+
+
+def test_read_panel_csv_json_parquet_agree(spark, tmp_path):
+    """The same panel through all three source formats yields
+    identical rows; downstream ops (extract_features) run unchanged."""
+    import shutil
+
+    from functime_spark.functions.features import extract_features
+    from functime_spark.sources.tables import read_panel
+
+    rows = [
+        ("e1", "2024-01-01 00:00:00", 1.5),
+        ("e1", "2024-01-01 01:00:00", 2.5),
+        ("e1", "2024-01-01 02:00:00", 4.0),
+        ("e2", "2024-01-01 00:00:00", -1.0),
+        ("e2", "2024-01-01 01:00:00", 0.5),
+    ]
+    df = spark.createDataFrame(rows, "entity string, t string, y double").withColumn(
+        "t", F.col("t").cast("timestamp")
+    )
+    base = str(tmp_path / "fmt")
+    try:
+        df.write.parquet(base + "/p")
+        df.write.option("header", "true").csv(base + "/c")
+        df.write.json(base + "/j")
+        ddl = "entity string, t timestamp, y double"
+        got = {}
+        for fmt, path, schema in [
+            ("parquet", base + "/p", None),
+            ("csv", base + "/c", ddl),
+            ("json", base + "/j", ddl),
+        ]:
+            p = read_panel(spark, path, "entity", "t", ["y"], format=fmt, schema=schema)
+            got[fmt] = sorted((r["entity"], r["t"], r["y"]) for r in p.collect())
+            assert extract_features(p, ["absolute_energy"]).count() == 2
+        assert got["parquet"] == got["csv"] == got["json"]
+        # csv without schema: inference + string-time cast still lands
+        p = read_panel(spark, base + "/c", "entity", "t", ["y"], format="csv")
+        assert dict(p.dtypes)["t"] == "timestamp"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
