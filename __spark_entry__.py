@@ -289,6 +289,38 @@ def q_join_asof(spark, sf_dir):
     return _round_floats(asof_join(df, daily)).orderBy(e, t)
 
 
+def q_join_interval(spark, sf_dir):
+    """Bucketed range join: events inside their entity's 'hot day'
+    intervals (days whose sum exceeds the entity's mean daily sum,
+    extended 6h each way so containment is non-trivial). Equi-join on
+    (entity, day-bucket) + residual predicate; oracle is the plain
+    inequality join DuckDB can afford single-node."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.joins import interval_join
+
+    df = events_panel(spark, sf_dir)
+    e, t, v = df.columns
+    day = F.date_trunc("DAY", F.col(t))
+    daily = df.groupBy(F.col(e), day.alias("__d")).agg(F.sum(v).alias("__s"))
+    from pyspark.sql import Window
+
+    m = Window.partitionBy(e)
+    hot = (
+        daily.withColumn("__m", F.avg("__s").over(m))
+        .filter(F.col("__s") > F.col("__m"))
+        .select(
+            e,
+            F.timestamp_add("HOUR", F.lit(-6), F.col("__d")).alias("start"),
+            F.timestamp_add("HOUR", F.lit(30), F.col("__d")).alias("end"),
+            F.col("__s").alias("day_sum"),
+        )
+    )
+    out = interval_join(df, hot, bucket="1d").select(
+        e, t, v, "start", "day_sum"
+    )
+    return _round_floats(out).orderBy(e, t, "start")
+
+
 def q_forecast_linear_exog(spark, sf_dir):
     """AR(2) + exogenous sin/cos-hour features, fit and 3-step
     recursion with X_future — value-verifies the exogenous design
@@ -1656,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_quality_tiers": q_text_quality_tiers,
             "forecast_linear_exog": q_forecast_linear_exog,
             "join_asof": q_join_asof,
+            "join_interval": q_join_interval,
             "dedup_simhash": q_dedup_simhash,
             "dedup_embedding": q_dedup_embedding,
             "text_language_id": q_text_language_id,
@@ -1762,6 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_tiers",
         "forecast_linear_exog",
         "join_asof",
+        "join_interval",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

@@ -81,3 +81,67 @@ def asof_join(
             for c in rvals
         ],
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    bucket: str = "1d",
+    how: str = "inner",
+) -> DataFrame:
+    """Range join: point rows to the interval rows containing them
+    (entity equality + start <= t <= end, both ends inclusive).
+
+    Spark has no native range join; the naive theta-join explodes into
+    a broadcast-nested-loop. This is the bucketed reformulation: both
+    sides map to fixed-width time buckets (points to one, intervals to
+    every bucket they overlap via sequence+explode), meet in an
+    EQUI-join on (entity, bucket) — hash-partitionable, AQE-skew-
+    splittable — and the exact containment predicate filters the
+    residue. Shuffle volume is |points| + |intervals| * avg_span/bucket
+    instead of |points| x |intervals|. Pick ``bucket`` near the median
+    interval span: wider buckets cut the explode factor, narrower
+    buckets cut false candidate pairs."""
+    from functime_spark.forecasting.ranges import strip_freq_alias
+
+    pe, pt = points.columns[:2]
+    ie, istart, iend = intervals.columns[:3]
+    n, unit = strip_freq_alias(bucket)
+    units_us = {
+        "s": 1_000_000,
+        "m": 60_000_000,
+        "h": 3_600_000_000,
+        "d": 86_400_000_000,
+        "w": 604_800_000_000,
+    }
+    if unit not in units_us:
+        raise ValueError(f"interval_join bucket must be s/m/h/d/w, got {bucket!r}")
+    width = n * units_us[unit]
+
+    def us(col):
+        c = F.col(col)
+        if dict(points.dtypes).get(col, dict(intervals.dtypes).get(col)) == (
+            "timestamp_ntz"
+        ):
+            c = c.cast("timestamp_ltz")
+        return F.unix_micros(c)
+
+    p = points.withColumn("__b", F.floor(us(pt) / F.lit(width)))
+    i = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(us(istart) / F.lit(width)),
+                F.floor(us(iend) / F.lit(width)),
+            )
+        ),
+    )
+    joined = p.join(
+        i.withColumnRenamed(ie, pe),
+        on=[pe, "__b"],
+        how="inner",
+    ).filter((F.col(pt) >= F.col(istart)) & (F.col(pt) <= F.col(iend)))
+    out = joined.drop("__b")
+    if how == "inner":
+        return out
+    raise ValueError(f"interval_join supports how='inner', got {how!r}")

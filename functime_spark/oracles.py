@@ -1708,6 +1708,24 @@ def operator_oracles() -> dict:
         "ORDER BY e.user_id, e.ts"
     )
 
+    # join_interval: the bucketed range join vs DuckDB's plain
+    # inequality join over the same hot-day intervals
+    o["join_interval"] = (
+        "WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, "
+        "SUM(value) AS s FROM events GROUP BY ALL), "
+        "hot AS (SELECT user_id, d - INTERVAL 6 HOUR AS start_t, "
+        "d + INTERVAL 30 HOUR AS end_t, s AS day_sum FROM ("
+        "SELECT *, AVG(s) OVER (PARTITION BY user_id) AS m FROM daily) "
+        "WHERE s > m) "
+        "SELECT e.user_id, e.ts, "
+        + _r("e.value")
+        + " AS value, h.start_t AS start, "
+        + _r("h.day_sum")
+        + " AS day_sum FROM events e JOIN hot h ON e.user_id = h.user_id "
+        "AND e.ts >= h.start_t AND e.ts <= h.end_t "
+        "ORDER BY e.user_id, e.ts, h.start_t"
+    )
+
     # forecast_linear_exog: AR(2) + sin/cos-hour exogenous design —
     # the generated 5x5 elimination with future exog recomputed from
     # each entity's cutoff

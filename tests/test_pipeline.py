@@ -1057,3 +1057,31 @@ def test_read_panel_csv_json_parquet_agree(spark, tmp_path):
         assert dict(p.dtypes)["t"] == "timestamp"
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_interval_join_containment_vs_naive(spark):
+    from datetime import datetime
+
+    from functime_spark.operators.joins import interval_join
+
+    ts = lambda d, h: datetime(2024, 1, d, h)
+    pts = spark.createDataFrame(
+        [("a", ts(1, 5), 1.0), ("a", ts(2, 23), 2.0), ("a", ts(5, 0), 3.0),
+         ("b", ts(1, 5), 4.0)],
+        "e string, t timestamp, y double",
+    )
+    ivs = spark.createDataFrame(
+        [("a", ts(1, 0), ts(2, 23), "i1"),   # spans 2 days, inclusive end
+         ("a", ts(4, 12), ts(4, 18), "i2"),  # matches nothing
+         ("b", ts(1, 0), ts(1, 6), "i3")],
+        "e string, start timestamp, end timestamp, tag string",
+    )
+    got = {(r["e"], r["t"], r["tag"]) for r in interval_join(pts, ivs, bucket="1d").collect()}
+    assert got == {
+        ("a", ts(1, 5), "i1"),
+        ("a", ts(2, 23), "i1"),  # inclusive end boundary
+        ("b", ts(1, 5), "i3"),
+    }
+    # bucket width must not change results, only candidate volume
+    got_h = {(r["e"], r["t"], r["tag"]) for r in interval_join(pts, ivs, bucket="6h").collect()}
+    assert got_h == got
