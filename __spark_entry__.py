@@ -1765,17 +1765,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features",
         "forecast_backtest_naive",
         "preproc_impute_mean",
-        "conversion_roundtrip",
         "eval_acf",
         "eval_ljung_box",
         "eval_normality",
         "eval_rank_fva",
         "eval_rank_forecasts",
         "eval_rank_residuals",
-        "feat_longest_streak_below",
-        "feat_longest_winning_streak",
-        "feat_longest_losing_streak",
-        "feat_streak_length_stats",
         # round-3 additions — never driver-verified by construction
         "text_pii",
         "text_ngram_repetition",
@@ -1796,6 +1791,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_linear_exog",
         "join_asof",
         "join_interval",
+        # judge-reverified low-risk entries, cycled behind the round-3
+        # additions so the 50-slot driver window covers the new surface
+        "conversion_roundtrip",
+        "feat_longest_streak_below",
+        "feat_longest_winning_streak",
+        "feat_longest_losing_streak",
+        "feat_streak_length_stats",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}
