@@ -1085,3 +1085,16 @@ def test_interval_join_containment_vs_naive(spark):
     # bucket width must not change results, only candidate volume
     got_h = {(r["e"], r["t"], r["tag"]) for r in interval_join(pts, ivs, bucket="6h").collect()}
     assert got_h == got
+
+
+def test_tfidf_max_df_drops_universal_token(spark):
+    """A token in every doc must be cut by max_df — it would otherwise
+    dominate the inverted-index self-join with an O(n^2) hot key."""
+    from functime_spark.pipeline.similarity import tfidf_vectors
+
+    docs = spark.createDataFrame(
+        [(i, f"common w{i}") for i in range(40)], "doc_id long, text string"
+    )
+    weights, _ = tfidf_vectors(docs, max_df_frac=0.5)
+    toks = {r["token"] for r in weights.select("token").distinct().collect()}
+    assert "common" not in toks and "w3" in toks

@@ -192,3 +192,39 @@ def test_lm_score_stays_native(spark):
         [(i, f"a b c w{i}") for i in range(20)], "doc_id long, text string"
     )
     assert python_eval_nodes(ngram_lm_score(docs)) == []
+
+
+def test_asof_join_single_window_no_join_node(spark):
+    """asof_join must compile to union + window — no join operator at
+    all, so no range-probe blowup is even possible."""
+    from functime_spark.operators.joins import asof_join
+    from functime_spark.plans import explain_str
+
+    left = spark.createDataFrame(
+        [("a", 1.0)], "e string, y double"
+    ).selectExpr("e", "timestamp'2024-01-01' as t", "y").select("e", "t", "y")
+    right = spark.createDataFrame(
+        [("a", 2.0)], "e string, px double"
+    ).selectExpr("e", "timestamp'2024-01-01' as t", "px").select("e", "t", "px")
+    plan = explain_str(asof_join(left, right), "simple")
+    assert "Join" not in plan  # pure union + window
+    assert "Window" in plan
+
+
+def test_interval_join_is_hash_equi_join(spark):
+    """The bucketed range join must plan as a hash-partitionable
+    equi-join, never a broadcast nested loop."""
+    from datetime import datetime
+
+    from functime_spark.operators.joins import interval_join
+    from functime_spark.plans import explain_str
+
+    pts = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, 5), 1.0)], "e string, t timestamp, y double"
+    )
+    ivs = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1), datetime(2024, 1, 2), "i")],
+        "e string, start timestamp, end timestamp, tag string",
+    )
+    plan = explain_str(interval_join(pts, ivs), "simple")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
