@@ -1,14 +1,15 @@
-"""Time-series joins Spark lacks natively: as-of (backward) join.
+"""Time-series joins Spark lacks natively: as-of and interval joins.
 
-The reference has no as-of join (all joins are equi — SURVEY §2.3);
-this is part of the beyond-reference surface a time-series engine
-needs (attach the latest slowly-changing value — a price, a rollup, a
-config — to every observation).
+The reference has no as-of/range join (all its joins are equi —
+SURVEY §2.3); these are part of the beyond-reference surface a
+time-series engine needs (attach the latest slowly-changing value — a
+price, a rollup, a config — to every observation; match events into
+spans).
 
-Spark-first shape: NOT a per-row range probe. Union the two sides
-with a source tag, run ONE per-entity window pass where every left
-row picks up `last(right_value, ignorenulls=True)` over rows up to
-itself, keep the left rows. One shuffle (the entity window), zero
+Spark-first shape for as-of: NOT a per-row range probe. Union the two
+sides with a source tag, run ONE per-entity window pass where every
+left row picks up `last(right_value, ignorenulls=True)` over rows up
+to itself, keep the left rows. One shuffle (the entity window), zero
 join fan-out, no skew beyond what the entity axis already has — the
 same trick works identically on a 1000-executor cluster.
 """
@@ -22,28 +23,31 @@ from pyspark.sql import functions as F
 def asof_join(
     left: DataFrame,
     right: DataFrame,
+    direction: str = "backward",
     tolerance=None,
     suffix: str = "_r",
 ) -> DataFrame:
-    """Backward as-of join on the panel convention (col 0 = entity,
-    col 1 = time): each left row gets the right row with the greatest
-    right-time <= left-time for the same entity (ties at equal time
-    match). Right value columns keep their names, `suffix`-renamed on
-    clashes. ``tolerance``: a Column/interval expression — matches
-    older than `left_time - tolerance` become NULL (pandas
-    merge_asof semantics)."""
+    """As-of join on the panel convention (col 0 = entity, col 1 =
+    time), pandas ``merge_asof`` directions:
+
+    - ``backward`` (default): greatest right-time <= left-time;
+    - ``forward``: smallest right-time >= left-time;
+    - ``nearest``: whichever side is closer (ties -> backward).
+
+    Ties at equal time always match. Right value columns keep their
+    names (`suffix`-renamed on clashes). ``tolerance``: a Column /
+    interval expression — matches farther than it become NULL."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction {direction!r}")
     le, lt = left.columns[:2]
     re_, rt = right.columns[:2]
     rvals = right.columns[2:]
-    out_names = {
-        c: (c + suffix if c in left.columns else c) for c in rvals
-    }
-    lcols = [F.col(c) for c in left.columns]
+    out_names = {c: (c + suffix if c in left.columns else c) for c in rvals}
     l_tag = left.select(
         F.col(le).alias("__e"),
         F.col(lt).alias("__t"),
         F.lit(1).alias("__src"),
-        *lcols,
+        *[F.col(c) for c in left.columns],
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__rv_{c}") for c in rvals],
         F.lit(None).cast(dict(right.dtypes)[rt]).alias("__rt"),
     )
@@ -55,31 +59,66 @@ def asof_join(
         *[F.col(c).alias(f"__rv_{c}") for c in rvals],
         F.col(rt).alias("__rt"),
     )
-    # right rows sort BEFORE left rows at equal times (src 0 < 1), so
-    # an equal-time right row is visible to the left row's frame
-    w = (
+    union = l_tag.unionByName(r_tag)
+
+    # backward: right rows sort BEFORE left at equal times (src 0 < 1)
+    # so an equal-time right row is inside the trailing frame;
+    # forward mirrors it (src desc) for the leading frame.
+    wb = (
         Window.partitionBy("__e")
-        .orderBy("__t", "__src")
+        .orderBy(F.col("__t").asc(), F.col("__src").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = l_tag.unionByName(r_tag).select(
-        "*",
-        *[
-            F.last(f"__rv_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in rvals
-        ],
-        F.last("__rt", ignorenulls=True).over(w).alias("__ft"),
+    wf = (
+        Window.partitionBy("__e")
+        .orderBy(F.col("__t").asc(), F.col("__src").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
     )
-    out = filled.filter(F.col("__src") == 1)
-    keep = F.lit(True)
-    if tolerance is not None:
-        keep = F.col("__ft") >= (F.col("__t") - tolerance)
+
+    cols = ["*"]
+    if direction in ("backward", "nearest"):
+        cols += [
+            F.last(f"__rv_{c}", ignorenulls=True).over(wb).alias(f"__b_{c}")
+            for c in rvals
+        ] + [F.last("__rt", ignorenulls=True).over(wb).alias("__bt")]
+    if direction in ("forward", "nearest"):
+        cols += [
+            F.first(f"__rv_{c}", ignorenulls=True).over(wf).alias(f"__f_{c}")
+            for c in rvals
+        ] + [F.first("__rt", ignorenulls=True).over(wf).alias("__ft")]
+    out = union.select(*cols).filter(F.col("__src") == 1)
+
+    def _ok(side_t, back: bool):
+        ok = side_t.isNotNull()
+        if tolerance is not None:
+            ok = ok & (
+                side_t >= (F.col("__t") - tolerance)
+                if back
+                else side_t <= (F.col("__t") + tolerance)
+            )
+        return ok
+
+    if direction == "backward":
+        picked = {c: F.when(_ok(F.col("__bt"), True), F.col(f"__b_{c}")) for c in rvals}
+    elif direction == "forward":
+        picked = {c: F.when(_ok(F.col("__ft"), False), F.col(f"__f_{c}")) for c in rvals}
+    else:
+        b_ok = _ok(F.col("__bt"), True)
+        f_ok = _ok(F.col("__ft"), False)
+        # closer side wins; equal distance -> backward (pandas rule)
+        use_b = b_ok & (
+            ~f_ok
+            | ((F.col("__t") - F.col("__bt")) <= (F.col("__ft") - F.col("__t")))
+        )
+        picked = {
+            c: F.when(use_b, F.col(f"__b_{c}")).otherwise(
+                F.when(f_ok, F.col(f"__f_{c}"))
+            )
+            for c in rvals
+        }
     return out.select(
         *[F.col(c) for c in left.columns],
-        *[
-            F.when(keep, F.col(f"__f_{c}")).alias(out_names[c])
-            for c in rvals
-        ],
+        *[picked[c].alias(out_names[c]) for c in rvals],
     )
 
 
@@ -118,21 +157,22 @@ def interval_join(
         raise ValueError(f"interval_join bucket must be s/m/h/d/w, got {bucket!r}")
     width = n * units_us[unit]
 
-    def us(col):
+    def us(col, dtypes):
         c = F.col(col)
-        if dict(points.dtypes).get(col, dict(intervals.dtypes).get(col)) == (
-            "timestamp_ntz"
-        ):
+        if dtypes[col] == "timestamp_ntz":
             c = c.cast("timestamp_ltz")
         return F.unix_micros(c)
 
-    p = points.withColumn("__b", F.floor(us(pt) / F.lit(width)))
+    p = points.withColumn(
+        "__b", F.floor(us(pt, dict(points.dtypes)) / F.lit(width))
+    )
+    idt = dict(intervals.dtypes)
     i = intervals.withColumn(
         "__b",
         F.explode(
             F.sequence(
-                F.floor(us(istart) / F.lit(width)),
-                F.floor(us(iend) / F.lit(width)),
+                F.floor(us(istart, idt) / F.lit(width)),
+                F.floor(us(iend, idt) / F.lit(width)),
             )
         ),
     )

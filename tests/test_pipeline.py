@@ -1098,3 +1098,32 @@ def test_tfidf_max_df_drops_universal_token(spark):
     weights, _ = tfidf_vectors(docs, max_df_frac=0.5)
     toks = {r["token"] for r in weights.select("token").distinct().collect()}
     assert "common" not in toks and "w3" in toks
+
+
+def test_asof_join_forward_and_nearest(spark):
+    from datetime import datetime
+
+    from functime_spark.operators.joins import asof_join
+
+    ts = lambda h: datetime(2024, 1, 1, h)
+    left = spark.createDataFrame(
+        [("a", ts(4)), ("a", ts(8)), ("a", ts(23))], "e string, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [("a", ts(0), 0.0), ("a", ts(5), 5.0), ("a", ts(9), 9.0)],
+        "e string, t timestamp, px double",
+    )
+    fwd = {r["t"]: r["px"] for r in asof_join(left, right, direction="forward").collect()}
+    assert fwd[ts(4)] == 5.0 and fwd[ts(8)] == 9.0 and fwd[ts(23)] is None
+    near = {r["t"]: r["px"] for r in asof_join(left, right, direction="nearest").collect()}
+    assert near[ts(4)] == 5.0   # 1h fwd beats 4h back
+    assert near[ts(8)] == 9.0   # 1h fwd beats 3h back
+    assert near[ts(23)] == 9.0  # only backward exists
+    # equidistant -> backward (pandas rule): t=7 between 5 and 9
+    mid = spark.createDataFrame([("a", ts(7))], "e string, t timestamp")
+    nm = {r["t"]: r["px"] for r in asof_join(mid, right, direction="nearest").collect()}
+    assert nm[ts(7)] == 5.0
+    # nearest + tolerance: 2h window kills the 4h-away backward match
+    tol = F.expr("INTERVAL 2 HOURS")
+    nt = {r["t"]: r["px"] for r in asof_join(left, right, direction="nearest", tolerance=tol).collect()}
+    assert nt[ts(4)] == 5.0 and nt[ts(23)] is None
