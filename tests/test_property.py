@@ -199,3 +199,52 @@ def test_mix_weights_hit_target_shares(spark, tokens, fracs):
         assert kept[s] / T == pytest.approx(f, rel=1e-9)
     # the limiting domain keeps everything
     assert any(abs(out[s]["keep_frac"] - 1.0) < 1e-9 for s in targets)
+
+
+@settings(**_SETTINGS)
+@given(
+    lts=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=12),
+    rts=st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=12),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, lts, rts, direction):
+    """asof_join == pandas merge_asof for every direction on random
+    integer-hour grids (duplicate right times deduped — merge_asof
+    requires strictly sorted keys)."""
+    import pandas as pd
+
+    from functime_spark.operators.joins import asof_join
+
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    t = lambda h: base + timedelta(hours=h)
+    rts = sorted(set(rts))
+    left = spark.createDataFrame(
+        [("a", t(h)) for h in sorted(lts)], "e string, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [("a", t(h), float(h)) for h in rts], "e string, t timestamp, px double"
+    ) if rts else spark.createDataFrame([], "e string, t timestamp, px double")
+    got = {
+        (r["t"], i): r["px"]
+        for i, r in enumerate(
+            asof_join(left, right, direction=direction)
+            .orderBy("t")
+            .collect()
+        )
+    }
+    lp = pd.DataFrame({"t": [t(h) for h in sorted(lts)]})
+    rp = pd.DataFrame(
+        {
+            "t": pd.to_datetime([t(h) for h in rts]),
+            "px": pd.Series([float(h) for h in rts], dtype=float),
+        }
+    )
+    exp = pd.merge_asof(lp, rp, on="t", direction=direction)
+    for i, (ts_, px) in enumerate(zip(exp["t"], exp["px"])):
+        g = got[(ts_.to_pydatetime(), i)]
+        if pd.isna(px):
+            assert g is None
+        else:
+            assert g == px
