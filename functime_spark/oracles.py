@@ -3148,6 +3148,22 @@ ORDER BY 1, 2
         "FROM t GROUP BY lang, source ORDER BY lang, source"
     )
 
+    # --- corpus_stats_rollup: the same report over GROUP BY ROLLUP —
+    # subtotal rows carry NULL keys in both engines
+    o["corpus_stats_rollup"] = (
+        "WITH t AS (SELECT lang, source, length(text) AS ch, "
+        r"len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tk "
+        "FROM documents) "
+        "SELECT lang, source, COUNT(*) AS n_docs, "
+        "SUM(ch) AS total_chars, "
+        + _r("AVG(ch)")
+        + " AS mean_chars, "
+        + _r("median(ch)")
+        + " AS median_chars, "
+        "CAST(SUM(tk) AS BIGINT) AS total_tokens "
+        "FROM t GROUP BY ROLLUP (lang, source) ORDER BY lang, source"
+    )
+
     # --- stratified_sample: same md5-bucket arithmetic as the Spark
     # filter (hex prefix -> bigint -> pmod), per-language fractions
     _bkt = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000)"

@@ -17,19 +17,26 @@ def corpus_stats(
     docs: DataFrame,
     group_cols: tuple = ("lang", "source"),
     text_col: str = "text",
+    rollup: bool = False,
 ) -> DataFrame:
     """Per-group corpus report: doc count, char totals/means/median,
     whitespace-token total. One hash aggregate — partial aggregation
-    map-side, a group-key shuffle of pre-aggregated rows only."""
+    map-side, a group-key shuffle of pre-aggregated rows only.
+
+    ``rollup=True`` adds the hierarchical subtotal rows (per lang, and
+    the grand total) via grouping sets — still ONE aggregate pass;
+    Spark expands the sets map-side, so the shuffle carries one
+    pre-aggregated row per (set, key) not an extra scan per level."""
     t = F.col(text_col)
     n_toks = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != F.lit("")))
+    src = docs.select(
+        *group_cols,
+        F.length(t).alias("__chars"),
+        n_toks.alias("__toks"),
+    )
+    grouped = src.rollup(*group_cols) if rollup else src.groupBy(*group_cols)
     return (
-        docs.select(
-            *group_cols,
-            F.length(t).alias("__chars"),
-            n_toks.alias("__toks"),
-        )
-        .groupBy(*group_cols)
+        grouped
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("__chars").alias("total_chars"),
