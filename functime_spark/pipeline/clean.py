@@ -1,0 +1,100 @@
+"""One-call corpus cleaning: the standard pre-training data pipeline
+composed from the individually-oracled stages.
+
+Order follows common practice (Gopher/RefinedWeb/Dolma-style):
+cheap row-local quality rules first (no shuffle), then exact dedup,
+then near-dup (MinHash), then benchmark decontamination, then the
+LM-perplexity tier cut — each stage shrinks the corpus before the
+next, more expensive one runs.
+
+Every underlying operator is value-verified against DuckDB in the
+correctness gate; this module only composes them, and the attrition
+report lets a pipeline owner see where documents die.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def clean_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_gopher: bool = True,
+    dedup: str = "minhash",
+    minhash_threshold: float = 0.8,
+    decontaminate_n: int = 8,
+    max_tier: int | None = None,
+    n_tiers: int = 4,
+) -> tuple:
+    """Returns (clean_docs, report): the surviving documents and a
+    per-stage attrition DataFrame (stage, docs_in, docs_out).
+
+    Stages (each optional):
+    1. gopher  — Rae et al. 2021 quality rules (row-local filter);
+    2. exact   — md5 exact dedup, keep min id;
+    3. minhash — MinHash-LSH near-dup pairs -> keep cluster canonical;
+    4. decontaminate — drop docs sharing word n-grams with `benchmark`;
+    5. perplexity — keep tiers <= max_tier under the corpus bigram LM.
+
+    Each stage input is the previous stage's output, so expensive
+    stages see an already-shrunk corpus. Counts in the report are one
+    action per stage — at 100 TB run with `report=False`-style
+    sampling if even that is too much (the counts are the only
+    actions; the transformation chain itself stays lazy)."""
+    from functime_spark.pipeline.dedup import (
+        dedup_keep_canonical,
+        exact_dedup,
+        minhash_dedup,
+    )
+
+    report = []
+    cur = docs
+
+    def step(name, nxt):
+        nonlocal cur
+        n_in = cur.count()
+        n_out = nxt.count()
+        report.append((name, n_in, n_out))
+        cur = nxt
+
+    if use_gopher:
+        from functime_spark.pipeline.text import gopher_quality_filter
+
+        flags = gopher_quality_filter(cur, text_col=text_col, id_col=id_col)
+        keep = flags.filter(F.col("passes") == 1).select(id_col)
+        step("gopher", cur.join(keep, on=id_col, how="left_semi"))
+    if dedup in ("exact", "minhash"):
+        keep = exact_dedup(cur, text_col, id_col).select(id_col)
+        step("exact_dedup", cur.join(keep, on=id_col, how="left_semi"))
+    if dedup == "minhash":
+        pairs = minhash_dedup(cur, text_col=text_col, id_col=id_col,
+                              threshold=minhash_threshold)
+        step("minhash_dedup", dedup_keep_canonical(cur, pairs, id_col=id_col))
+    if benchmark is not None:
+        from functime_spark.pipeline.decontaminate import decontaminate
+
+        step(
+            "decontaminate",
+            decontaminate(cur, benchmark, n=decontaminate_n,
+                          text_col=text_col, id_col=id_col),
+        )
+    if max_tier is not None:
+        from functime_spark.pipeline.lm import ngram_lm_score, quality_tiers
+
+        scored = quality_tiers(
+            ngram_lm_score(cur, text_col=text_col, id_col=id_col),
+            n_tiers=n_tiers,
+        )
+        keep = scored.filter(F.col("tier") <= max_tier).select(id_col)
+        step("perplexity_tier", cur.join(keep, on=id_col, how="left_semi"))
+
+    spark = docs.sparkSession
+    rep = spark.createDataFrame(
+        [(s, int(a), int(b)) for s, a, b in report],
+        "stage string, docs_in long, docs_out long",
+    )
+    return cur, rep

@@ -95,6 +95,16 @@ def ngram_lm_score(
     if lm is None:
         lm = fit_ngram_lm(train if train is not None else docs, text_col, min_count)
     n_tok, vocab = lm["n_tokens"], lm["vocab"]
+    if n_tok == 0:
+        # degenerate model (empty training corpus): every doc scores
+        # the neutral ce=0 / ppl=1 instead of dividing by zero
+        arr = _tok_arr(F.col(text_col))
+        return docs.select(
+            F.col(id_col),
+            F.size(arr).cast("long").alias("n_tokens"),
+            F.lit(0.0).alias("cross_entropy"),
+            F.lit(1.0).alias("perplexity"),
+        )
     stream = docs.select(
         F.col(id_col), F.explode(_pair_arr(F.col(text_col))).alias("p")
     ).select(id_col, "p.w1", "p.w2")

@@ -1127,3 +1127,55 @@ def test_asof_join_forward_and_nearest(spark):
     tol = F.expr("INTERVAL 2 HOURS")
     nt = {r["t"]: r["px"] for r in asof_join(left, right, direction="nearest", tolerance=tol).collect()}
     assert nt[ts(4)] == 5.0 and nt[ts(23)] is None
+
+
+def test_clean_corpus_stage_attrition(docs, spark):
+    from functime_spark.pipeline.clean import clean_corpus
+
+    bench = docs.filter(F.col("doc_id") % 31 == 0)
+    clean, rep = clean_corpus(
+        docs.select("doc_id", "text"),
+        benchmark=bench,
+        max_tier=2,
+        decontaminate_n=6,
+        use_gopher=False,  # the synthetic corpus has no stopwords; the
+        # Gopher rules (correctly) reject all of it — covered below
+    )
+    stages = {r["stage"]: (r["docs_in"], r["docs_out"]) for r in rep.collect()}
+    assert list(stages) == [
+        "exact_dedup", "minhash_dedup", "decontaminate", "perplexity_tier",
+    ]
+    # monotone, chained: every stage's input == previous output
+    vals = [stages[s] for s in stages]
+    for (i1, o1), (i2, o2) in zip(vals, vals[1:]):
+        assert o1 == i2 and o1 <= i1
+    # benchmark members are in the corpus -> decontaminate must drop them
+    din, dout = stages["decontaminate"]
+    assert dout < din
+    # the survivors are a subset of the input ids
+    ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert ids <= {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert clean.count() == vals[-1][1]
+
+
+def test_clean_corpus_gopher_stage_and_empty_survival(spark):
+    """Gopher stage filters; downstream stages survive an emptied
+    corpus (degenerate LM scores neutrally instead of crashing)."""
+    from functime_spark.pipeline.clean import clean_corpus
+
+    good = " ".join(
+        "the quick brown fox jumps over a lazy dog and that is fine"
+        .split() * 6
+    )  # 72 words, stopword-rich, alphabetic — passes the Gopher rules
+    docs = spark.createDataFrame(
+        [(1, good), (2, good + " indeed"), (3, "###### !!!! ????")],
+        "doc_id long, text string",
+    )
+    clean, rep = clean_corpus(docs, dedup="exact", max_tier=3)
+    stages = {r["stage"]: (r["docs_in"], r["docs_out"]) for r in rep.collect()}
+    assert stages["gopher"][1] == 2  # symbol-soup doc rejected
+    assert clean.count() >= 1
+    # all-filtered corpus: pipeline still completes end-to-end
+    bad = spark.createDataFrame([(9, "#### !!!!")], "doc_id long, text string")
+    clean2, rep2 = clean_corpus(bad, dedup="exact", max_tier=3)
+    assert clean2.count() == 0
