@@ -4,10 +4,10 @@ Scale design: every variant is shuffle-bounded —
 
 - exact: one hash-aggregate on the text (or its md5 at 100 TB to
   shrink shuffle payloads).
-- MinHash-LSH: shingle explode → per-doc signature aggregate (one
-  shuffle) → band explode → bucket aggregate (second shuffle); only
-  same-bucket pairs are candidates, so the quadratic verify step
-  touches a vanishing fraction of pairs.
+- MinHash-LSH: row-local signatures (array_min over each doc's own
+  shingle array — ZERO shuffle, pure codegen) → band explode → bucket
+  aggregate (one shuffle); only same-bucket pairs are candidates, so
+  the quadratic verify step touches a vanishing fraction of pairs.
 - SimHash: per-token 64-bit hash, per-bit weighted vote as 64 native
   aggregates, Hamming-band bucketing for candidates.
 - n-gram Jaccard: exact verify on candidate pairs (or full self-join
@@ -71,18 +71,26 @@ def minhash_signatures(
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig array<bigint>): k permutation-free min-hashes, where
-    hash_i(s) = hash64(i, s). One explode + one grouped aggregate."""
-    exploded = docs.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh")
+    hash_i(s) = hash64(i, s).
+
+    ZERO-shuffle: each row's signature is `array_min` over its OWN
+    shingle array per seed — a pure codegen projection. (The previous
+    formulation exploded the corpus' entire shingle stream into a
+    grouped min, paying a full shuffle of ~n_words x n_docs rows; the
+    min over the same shingle set is identical, so oracles and band
+    LSH downstream are unchanged.) Stateless per row, hence also
+    directly usable on a stream."""
+    sh = shingles(F.col(text_col), shingle_n)
+
+    def _hasher(seed):
+        # single-arg lambda: a 2-arg transform lambda would receive
+        # the ARRAY INDEX as its second argument and shadow the seed
+        return lambda s: _hash64(s, seed=seed, hash_fn=hash_fn)
+
+    sig = F.array(
+        *[F.array_min(F.transform(sh, _hasher(i))) for i in range(n_hashes)]
     )
-    aggs = [
-        F.min(_hash64(F.col("__sh"), seed=i, hash_fn=hash_fn)).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    sig = exploded.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        id_col, F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
-    )
+    return docs.select(F.col(id_col), sig.alias("sig"))
 
 
 def _cap_buckets(banded: DataFrame, keys: list, max_bucket_size: int) -> DataFrame:

@@ -76,7 +76,8 @@ def test_md5_dedup_variant_stays_native_single_shuffle(spark):
     )
     for hash_fn in ("xxhash64", "md5"):
         sigs = minhash_signatures(docs, n_hashes=8, hash_fn=hash_fn)
-        assert_max_exchanges(sigs, 1)
+        # row-local signatures: a pure projection, ZERO exchanges
+        assert_max_exchanges(sigs, 0)
         assert python_eval_nodes(sigs) == []
         sh = simhash(docs, hash_fn=hash_fn)
         assert_max_exchanges(sh, 1)
