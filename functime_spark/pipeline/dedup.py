@@ -8,8 +8,8 @@ Scale design: every variant is shuffle-bounded —
   shingle array — ZERO shuffle, pure codegen) → band explode → bucket
   aggregate (one shuffle); only same-bucket pairs are candidates, so
   the quadratic verify step touches a vanishing fraction of pairs.
-- SimHash: per-token 64-bit hash, per-bit weighted vote as 64 native
-  aggregates, Hamming-band bucketing for candidates.
+- SimHash: row-local per-bit votes over each doc's own token-hash
+  array (zero shuffle), Hamming-band bucketing for candidates.
 - n-gram Jaccard: exact verify on candidate pairs (or full self-join
   on small corpora).
 """
@@ -254,22 +254,37 @@ def simhash(
 ) -> DataFrame:
     """64-bit SimHash: per-token 64-bit hash, per-bit majority vote.
 
-    One explode + one aggregate of `bits` native sums — no UDF."""
-    toks = docs.select(
+    ZERO-shuffle: token hashes and all `bits` votes reduce over each
+    row's OWN token array (pure codegen projection) — the explode +
+    grouped-sum formulation shuffled the corpus token stream; integer
+    sums over the same multiset are order-independent, so signatures
+    (and the oracle replay) are unchanged. Duplicate tokens still
+    vote once each (frequency weighting preserved)."""
+    hashed = docs.select(
         F.col(id_col),
-        F.explode(F.split(F.col(text_col), r"\s+")).alias("__tok"),
-    ).withColumn("__h", _hash64(F.col("__tok"), hash_fn=hash_fn))
-    votes = [
-        F.sum(
-            (F.shiftright("__h", i).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    agg = toks.groupBy(id_col).agg(*votes)
+        F.transform(
+            F.split(F.col(text_col), r"\s+"),
+            lambda t: _hash64(t, hash_fn=hash_fn),
+        ).alias("__hs"),
+    )
+
+    def _vote(i):
+        # single-arg lambda (2-arg transform/aggregate lambdas receive
+        # the array index as the second argument)
+        return F.aggregate(
+            "__hs",
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc
+            + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
     sig = F.lit(0).cast("long")
     for i in range(bits):
-        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+        sig = sig + F.when(
+            _vote(i) > 0,
+            F.lit(1).cast("long") * (2**i if i < 63 else -(2**63)),
+        ).otherwise(0)
+    return hashed.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_dups(

@@ -229,3 +229,17 @@ def test_interval_join_is_hash_equi_join(spark):
     )
     plan = explain_str(interval_join(pts, ivs), "simple")
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_simhash_signatures_zero_exchange(spark):
+    from functime_spark.pipeline.dedup import simhash
+    from functime_spark.plans import assert_max_exchanges, python_eval_nodes
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma w{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    for hash_fn in ("xxhash64", "md5"):
+        sigs = simhash(docs, hash_fn=hash_fn)
+        assert_max_exchanges(sigs, 0)
+        assert python_eval_nodes(sigs) == []
