@@ -168,10 +168,10 @@ def minhash_dedup(
     """Full MinHash+LSH near-dup pipeline: signatures → banded
     candidates → signature-similarity verify → (id_a, id_b, est_jaccard)."""
     sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_n, hash_fn)
-    # one row per doc (n_hashes longs) but its lineage is the shingle
-    # explode + min-hash aggregate — the expensive pass over the corpus.
-    # The self-join consumes sigs on BOTH sides plus the verify joins;
-    # materializing runs that pass once instead of 4x.
+    # one row per doc (n_hashes longs); the signature projection is
+    # shuffle-free but still the expensive pass (n_hashes hash sweeps
+    # over every doc's shingles). The self-join consumes sigs on BOTH
+    # sides plus the verify joins; materializing runs it once, not 4x.
     sigs = sigs.localCheckpoint()
     cands = minhash_lsh_candidates(sigs, id_col, bands, hash_fn=hash_fn)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
