@@ -351,7 +351,13 @@ def embedding_near_dups(
     exact verify inside buckets. Buckets larger than `max_bucket_size`
     are dropped (see _cap_buckets) — a degenerate bucket (duplicate-
     heavy or all-zero vectors, which every hyperplane sends to the
-    same side) would otherwise emit O(b^2) verify pairs."""
+    same side) would otherwise emit O(b^2) verify pairs.
+
+    The plane matrix rides in ONE broadcast single-row frame (same
+    pattern as IVFIndex.assign), not as n_planes x dim literals in the
+    expression tree — plan size stays O(1) in n_planes, so 64-plane
+    production configs don't blow up codegen; the 2-arg transform
+    lambda's index argument supplies each plane's bit weight."""
     import numpy as np
 
     first = emb.select(F.size(vec_col).alias("d")).first()
@@ -359,17 +365,30 @@ def embedding_near_dups(
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
 
+    spark = emb.sparkSession
+    pl_frame = spark.createDataFrame(
+        [([[float(x) for x in p] for p in planes],)],
+        "__planes array<array<double>>",
+    )
     v = F.col(vec_col).cast("array<double>")
-
-    def dot_plane(p) -> F.Column:
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        return F.aggregate(
-            F.zip_with(v, arr, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-        )
-
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        bucket = bucket + F.when(dot_plane(p) > 0, F.lit(2**i)).otherwise(0)
+    bits = F.transform(
+        F.col("__planes"),
+        lambda p, i: F.when(
+            F.aggregate(
+                F.zip_with(v, p, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            # SQL shiftleft accepts a column bit-count; the Python
+            # wrapper F.shiftleft only takes a literal int
+            F.call_function("shiftleft", F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    bucket = F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    emb = emb.crossJoin(F.broadcast(pl_frame))
     norm = F.sqrt(
         F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )

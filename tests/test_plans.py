@@ -243,3 +243,21 @@ def test_simhash_signatures_zero_exchange(spark):
         sigs = simhash(docs, hash_fn=hash_fn)
         assert_max_exchanges(sigs, 0)
         assert python_eval_nodes(sigs) == []
+
+
+def test_embedding_lsh_plan_size_flat_in_planes(spark):
+    """64-plane production config must not embed 64 x dim literals in
+    the expression tree — the planes ride in one broadcast frame."""
+    import time
+
+    from functime_spark.pipeline.dedup import embedding_near_dups
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, -0.5, float(i % 3)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    t0 = time.perf_counter()
+    out = embedding_near_dups(emb, n_planes=64, threshold=0.99)
+    build = time.perf_counter() - t0
+    assert build < 5.0  # literal when-chains took far longer to even plan
+    out.count()  # and it executes
