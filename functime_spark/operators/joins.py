@@ -26,6 +26,7 @@ def asof_join(
     direction: str = "backward",
     tolerance=None,
     suffix: str = "_r",
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """As-of join on the panel convention (col 0 = entity, col 1 =
     time), pandas ``merge_asof`` directions:
@@ -34,9 +35,12 @@ def asof_join(
     - ``forward``: smallest right-time >= left-time;
     - ``nearest``: whichever side is closer (ties -> backward).
 
-    Ties at equal time always match. Right value columns keep their
-    names (`suffix`-renamed on clashes). ``tolerance``: a Column /
-    interval expression — matches farther than it become NULL."""
+    ``allow_exact_matches=False`` makes the comparisons strict
+    (< / >), exactly like merge_asof — implemented purely by flipping
+    which side wins the equal-time sort, so the plan is unchanged.
+    Right value columns keep their names (`suffix`-renamed on
+    clashes). ``tolerance``: a Column / interval expression — matches
+    farther than it become NULL."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown asof direction {direction!r}")
     le, lt = left.columns[:2]
@@ -62,16 +66,19 @@ def asof_join(
     union = l_tag.unionByName(r_tag)
 
     # backward: right rows sort BEFORE left at equal times (src 0 < 1)
-    # so an equal-time right row is inside the trailing frame;
-    # forward mirrors it (src desc) for the leading frame.
+    # so an equal-time right row is inside the trailing frame; forward
+    # mirrors it (src desc) for the leading frame. Strict mode flips
+    # both orderings, pushing equal-time right rows OUT of the frame.
+    b_src = F.col("__src").asc() if allow_exact_matches else F.col("__src").desc()
+    f_src = F.col("__src").desc() if allow_exact_matches else F.col("__src").asc()
     wb = (
         Window.partitionBy("__e")
-        .orderBy(F.col("__t").asc(), F.col("__src").asc())
+        .orderBy(F.col("__t").asc(), b_src)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wf = (
         Window.partitionBy("__e")
-        .orderBy(F.col("__t").asc(), F.col("__src").desc())
+        .orderBy(F.col("__t").asc(), f_src)
         .rowsBetween(0, Window.unboundedFollowing)
     )
 
@@ -184,4 +191,16 @@ def interval_join(
     out = joined.drop("__b")
     if how == "inner":
         return out
-    raise ValueError(f"interval_join supports how='inner', got {how!r}")
+    if how == "left":
+        # add back the unmatched points with null interval columns:
+        # anti-join on the full left row (duplicate identical points
+        # anti-join identically, so multiplicity is preserved)
+        matched = out.select(*points.columns).distinct()
+        unmatched = points.join(matched, on=list(points.columns), how="left_anti")
+        icols = [c for c in i.columns if c not in (ie, "__b")]
+        for c in icols:
+            unmatched = unmatched.withColumn(
+                c, F.lit(None).cast(dict(i.dtypes)[c])
+            )
+        return out.unionByName(unmatched)
+    raise ValueError(f"interval_join supports how='inner'|'left', got {how!r}")

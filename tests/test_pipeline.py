@@ -1179,3 +1179,24 @@ def test_clean_corpus_gopher_stage_and_empty_survival(spark):
     bad = spark.createDataFrame([(9, "#### !!!!")], "doc_id long, text string")
     clean2, rep2 = clean_corpus(bad, dedup="exact", max_tier=3)
     assert clean2.count() == 0
+
+
+def test_interval_join_left_keeps_unmatched(spark):
+    from datetime import datetime
+
+    from functime_spark.operators.joins import interval_join
+
+    ts = lambda d, h: datetime(2024, 1, d, h)
+    pts = spark.createDataFrame(
+        [("a", ts(1, 5), 1.0), ("a", ts(9, 0), 2.0)],
+        "e string, t timestamp, y double",
+    )
+    ivs = spark.createDataFrame(
+        [("a", ts(1, 0), ts(1, 23), "i1")],
+        "e string, start timestamp, end timestamp, tag string",
+    )
+    out = interval_join(pts, ivs, bucket="1d", how="left").collect()
+    by_t = {r["t"]: r for r in out}
+    assert len(out) == 2
+    assert by_t[ts(1, 5)]["tag"] == "i1"
+    assert by_t[ts(9, 0)]["tag"] is None and by_t[ts(9, 0)]["start"] is None

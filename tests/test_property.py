@@ -206,8 +206,9 @@ def test_mix_weights_hit_target_shares(spark, tokens, fracs):
     lts=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=12),
     rts=st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=12),
     direction=st.sampled_from(["backward", "forward", "nearest"]),
+    exact=st.booleans(),
 )
-def test_asof_join_matches_pandas_merge_asof(spark, lts, rts, direction):
+def test_asof_join_matches_pandas_merge_asof(spark, lts, rts, direction, exact):
     """asof_join == pandas merge_asof for every direction on random
     integer-hour grids (duplicate right times deduped — merge_asof
     requires strictly sorted keys)."""
@@ -229,7 +230,8 @@ def test_asof_join_matches_pandas_merge_asof(spark, lts, rts, direction):
     got = {
         (r["t"], i): r["px"]
         for i, r in enumerate(
-            asof_join(left, right, direction=direction)
+            asof_join(left, right, direction=direction,
+                      allow_exact_matches=exact)
             .orderBy("t")
             .collect()
         )
@@ -241,7 +243,8 @@ def test_asof_join_matches_pandas_merge_asof(spark, lts, rts, direction):
             "px": pd.Series([float(h) for h in rts], dtype=float),
         }
     )
-    exp = pd.merge_asof(lp, rp, on="t", direction=direction)
+    exp = pd.merge_asof(lp, rp, on="t", direction=direction,
+                        allow_exact_matches=exact)
     for i, (ts_, px) in enumerate(zip(exp["t"], exp["px"])):
         g = got[(ts_.to_pydatetime(), i)]
         if pd.isna(px):
