@@ -289,6 +289,22 @@ def q_join_asof(spark, sf_dir):
     return _round_floats(asof_join(df, daily)).orderBy(e, t)
 
 
+def q_join_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of join (ties -> backward), oracled by an
+    explicit candidate join ranked on absolute distance with the
+    backward-preference tiebreak."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.joins import asof_join
+
+    df = events_panel(spark, sf_dir)
+    e, t, v = df.columns
+    daily = df.groupBy(
+        F.col(e), F.date_trunc("DAY", F.col(t)).alias(t)
+    ).agg(F.sum(v).alias("day_sum"))
+    out = asof_join(df, daily, direction="nearest")
+    return _round_floats(out).orderBy(e, t)
+
+
 def q_join_interval(spark, sf_dir):
     """Bucketed range join: events inside their entity's 'hot day'
     intervals (days whose sum exceeds the entity's mean daily sum,
@@ -1702,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "forecast_linear_exog": q_forecast_linear_exog,
             "join_asof": q_join_asof,
             "join_interval": q_join_interval,
+            "join_asof_nearest": q_join_asof_nearest,
             "corpus_stats_rollup": q_corpus_stats_rollup,
             "dedup_simhash": q_dedup_simhash,
             "dedup_embedding": q_dedup_embedding,
@@ -1805,6 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_linear_exog",
         "join_asof",
         "join_interval",
+        "join_asof_nearest",
         "corpus_stats_rollup",
         # judge-reverified low-risk entries, cycled behind the round-3
         # additions so the 50-slot driver window covers the new surface

@@ -1726,6 +1726,22 @@ def operator_oracles() -> dict:
         "ORDER BY e.user_id, e.ts, h.start_t"
     )
 
+    # join_asof_nearest: candidate join ranked by |distance| with the
+    # backward-preference tiebreak ((d.t > e.ts) sorts false first)
+    o["join_asof_nearest"] = (
+        "WITH d AS (SELECT user_id, date_trunc('day', ts) AS t, "
+        "SUM(value) AS day_sum FROM events GROUP BY ALL), "
+        "c AS (SELECT e.user_id, e.ts, e.value, d.day_sum, "
+        "row_number() OVER (PARTITION BY e.user_id, e.ts ORDER BY "
+        "abs(epoch_us(e.ts) - epoch_us(d.t)), d.t > e.ts, d.t) AS rn "
+        "FROM events e JOIN d ON e.user_id = d.user_id) "
+        "SELECT user_id, ts, "
+        + _r("value")
+        + " AS value, "
+        + _r("day_sum")
+        + " AS day_sum FROM c WHERE rn = 1 ORDER BY user_id, ts"
+    )
+
     # forecast_linear_exog: AR(2) + sin/cos-hour exogenous design —
     # the generated 5x5 elimination with future exog recomputed from
     # each entity's cutoff
