@@ -289,6 +289,17 @@ def q_join_asof(spark, sf_dir):
     return _round_floats(asof_join(df, daily)).orderBy(e, t)
 
 
+def q_preproc_clip(spark, sf_dir):
+    """Per-entity quantile winsorization: exact percentile bounds +
+    clamp, replayed with quantile_cont + LEAST/GREATEST."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.preprocessing import clip_outliers
+
+    df = events_panel(spark, sf_dir)
+    out = clip_outliers(lower=0.05, upper=0.95).transform(df)
+    return _round_floats(out).orderBy("user_id", "ts")
+
+
 def q_join_asof_nearest(spark, sf_dir):
     """Nearest-direction as-of join (ties -> backward), oracled by an
     explicit candidate join ranked on absolute distance with the
@@ -1719,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "join_asof": q_join_asof,
             "join_interval": q_join_interval,
             "join_asof_nearest": q_join_asof_nearest,
+            "preproc_clip": q_preproc_clip,
             "corpus_stats_rollup": q_corpus_stats_rollup,
             "dedup_simhash": q_dedup_simhash,
             "dedup_embedding": q_dedup_embedding,
@@ -1823,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_asof",
         "join_interval",
         "join_asof_nearest",
+        "preproc_clip",
         "corpus_stats_rollup",
         # judge-reverified low-risk entries, cycled behind the round-3
         # additions so the 50-slot driver window covers the new surface

@@ -1118,3 +1118,46 @@ class deseasonalize_fourier(Transformer):
         return out.withColumn(
             p.target, F.col(p.target) - F.col("__seasonal")
         ).select(*df.columns)
+
+
+class clip_outliers(Transformer):
+    """Per-entity quantile winsorization (beyond-reference: the
+    standard outlier guard before scaling/fitting).
+
+    Values outside [q_lower, q_upper] of their own series clamp to
+    the bound. State = one small (entity, per-col lo/hi) params
+    DataFrame broadcast-joined back — the same shape as `scale`, so
+    transform_new clips fresh rows with the FITTED bounds. Exact
+    `F.percentile` (one shuffle-free aggregate pass + broadcast join);
+    not invertible (clipping is lossy)."""
+
+    def __init__(self, lower: float = 0.01, upper: float = 0.99):
+        if not (0.0 <= lower < upper <= 1.0):
+            raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}, {upper}")
+        self.lower = lower
+        self.upper = upper
+        self.params: DataFrame | None = None
+        self._num_cols: list = []
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        p = panel_cols(df)
+        self._num_cols = numeric_cols(df, exclude=(p.entity, p.time))
+        aggs = []
+        for c in self._num_cols:
+            aggs.append(F.percentile(c, F.lit(self.lower)).alias(f"{c}__lo"))
+            aggs.append(F.percentile(c, F.lit(self.upper)).alias(f"{c}__hi"))
+        self.params = df.groupBy(p.entity).agg(*aggs)
+        return self.transform_new(df)
+
+    def transform_new(self, df: DataFrame) -> DataFrame:
+        if self.params is None:
+            raise RuntimeError("call transform() first")
+        p = panel_cols(df)
+        out = df.join(F.broadcast(self.params), on=p.entity, how="left")
+        upd = {
+            c: F.least(
+                F.greatest(F.col(c), F.col(f"{c}__lo")), F.col(f"{c}__hi")
+            )
+            for c in self._num_cols
+        }
+        return out.withColumns(upd).select(*df.columns)

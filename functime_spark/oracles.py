@@ -1726,6 +1726,16 @@ def operator_oracles() -> dict:
         "ORDER BY e.user_id, e.ts, h.start_t"
     )
 
+    # preproc_clip: per-entity winsorization bounds + clamp
+    o["preproc_clip"] = (
+        "WITH q AS (SELECT user_id, quantile_cont(value, 0.05) AS lo, "
+        "quantile_cont(value, 0.95) AS hi FROM events GROUP BY user_id) "
+        "SELECT e.user_id, e.ts, "
+        + _r("LEAST(GREATEST(e.value, q.lo), q.hi)")
+        + " AS value FROM events e JOIN q USING (user_id) "
+        "ORDER BY e.user_id, e.ts"
+    )
+
     # join_asof_nearest: candidate join ranked by |distance| with the
     # backward-preference tiebreak ((d.t > e.ts) sorts false first)
     o["join_asof_nearest"] = (

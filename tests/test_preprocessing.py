@@ -288,3 +288,25 @@ def test_yeojohnson_newton_matches_bracketing_search():
             assert abs(newton) >= 1.95
         else:
             assert abs(newton - golden) < 1e-5, (i, newton, golden)
+
+
+def test_clip_outliers_bounds_and_transform_new(spark):
+    from functime_spark.operators.preprocessing import clip_outliers
+
+    rows = [("e", i, float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "entity string, t long, y double")
+    tf = clip_outliers(lower=0.1, upper=0.9)
+    out = {r["t"]: r["y"] for r in tf.transform(df).collect()}
+    import numpy as np
+
+    lo, hi = np.quantile(np.arange(1.0, 101.0), [0.1, 0.9])
+    assert out[1] == pytest.approx(lo) and out[100] == pytest.approx(hi)
+    assert out[50] == 50.0  # interior values untouched
+    # fitted bounds apply to new rows (no refit)
+    new = spark.createDataFrame(
+        [("e", 200, 1e6), ("e", 201, -1e6)], "entity string, t long, y double"
+    )
+    got = {r["t"]: r["y"] for r in tf.transform_new(new).collect()}
+    assert got[200] == pytest.approx(hi) and got[201] == pytest.approx(lo)
+    with pytest.raises(NotImplementedError):
+        tf.invert(df)
