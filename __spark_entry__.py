@@ -289,6 +289,25 @@ def q_join_asof(spark, sf_dir):
     return _round_floats(asof_join(df, daily)).orderBy(e, t)
 
 
+def q_preproc_impute_interpolate(spark, sf_dir):
+    """Linear interpolation impute over deterministically-planted gaps
+    (day-of-month % 7 == 0 -> NULL): the two-sided prev/next non-null
+    window trick, replayed with IGNORE NULLS window frames; boundary
+    nulls stay null in both engines."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.preprocessing import impute
+
+    df = events_panel(spark, sf_dir)
+    gappy = df.withColumn(
+        "value",
+        F.when(F.dayofmonth("ts") % 7 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    out = impute("interpolate").transform(gappy)
+    return _round_floats(out).orderBy("user_id", "ts")
+
+
 def q_preproc_clip(spark, sf_dir):
     """Per-entity quantile winsorization: exact percentile bounds +
     clamp, replayed with quantile_cont + LEAST/GREATEST."""
@@ -1731,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "join_interval": q_join_interval,
             "join_asof_nearest": q_join_asof_nearest,
             "preproc_clip": q_preproc_clip,
+            "preproc_impute_interpolate": q_preproc_impute_interpolate,
             "corpus_stats_rollup": q_corpus_stats_rollup,
             "dedup_simhash": q_dedup_simhash,
             "dedup_embedding": q_dedup_embedding,
@@ -1836,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_interval",
         "join_asof_nearest",
         "preproc_clip",
+        "preproc_impute_interpolate",
         "corpus_stats_rollup",
         # judge-reverified low-risk entries, cycled behind the round-3
         # additions so the 50-slot driver window covers the new surface

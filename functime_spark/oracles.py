@@ -1726,6 +1726,29 @@ def operator_oracles() -> dict:
         "ORDER BY e.user_id, e.ts, h.start_t"
     )
 
+    # preproc_impute_interpolate: linear interp over planted gaps —
+    # prev/next non-null value AND row-number via IGNORE NULLS frames
+    o["preproc_impute_interpolate"] = (
+        "WITH g AS (SELECT user_id, ts, CASE WHEN day(ts) % 7 = 0 THEN NULL "
+        "ELSE value END AS x FROM events), "
+        "r AS (SELECT user_id, ts, x, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY ts) AS rn FROM g), "
+        "w AS (SELECT user_id, ts, x, rn, "
+        "last_value(x IGNORE NULLS) OVER pw AS pv, "
+        "first_value(x IGNORE NULLS) OVER fw AS nv, "
+        "last_value(CASE WHEN x IS NOT NULL THEN rn END IGNORE NULLS) "
+        "OVER pw AS prn, "
+        "first_value(CASE WHEN x IS NOT NULL THEN rn END IGNORE NULLS) "
+        "OVER fw AS nrn FROM r WINDOW "
+        "pw AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW), "
+        "fw AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN CURRENT ROW "
+        "AND UNBOUNDED FOLLOWING)) "
+        "SELECT user_id, ts, "
+        + _r("COALESCE(x, pv + (nv - pv) * (rn - prn) / (nrn - prn))")
+        + " AS value FROM w ORDER BY user_id, ts"
+    )
+
     # preproc_clip: per-entity winsorization bounds + clamp
     o["preproc_clip"] = (
         "WITH q AS (SELECT user_id, quantile_cont(value, 0.05) AS lo, "
