@@ -289,6 +289,16 @@ def q_join_asof(spark, sf_dir):
     return _round_floats(asof_join(df, daily)).orderBy(e, t)
 
 
+def q_text_readability(spark, sf_dir):
+    """Flesch reading-ease / FK grade: three regexp_count signals and
+    the two score formulas, replayed with the identical regexes."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.text import readability_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _round_floats(readability_scores(docs)).orderBy("doc_id")
+
+
 def q_preproc_impute_interpolate(spark, sf_dir):
     """Linear interpolation impute over deterministically-planted gaps
     (day-of-month % 7 == 0 -> NULL): the two-sided prev/next non-null
@@ -1751,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "join_asof_nearest": q_join_asof_nearest,
             "preproc_clip": q_preproc_clip,
             "preproc_impute_interpolate": q_preproc_impute_interpolate,
+            "text_readability": q_text_readability,
             "corpus_stats_rollup": q_corpus_stats_rollup,
             "dedup_simhash": q_dedup_simhash,
             "dedup_embedding": q_dedup_embedding,
@@ -1857,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_asof_nearest",
         "preproc_clip",
         "preproc_impute_interpolate",
+        "text_readability",
         "corpus_stats_rollup",
         # judge-reverified low-risk entries, cycled behind the round-3
         # additions so the 50-slot driver window covers the new surface

@@ -1726,6 +1726,22 @@ def operator_oracles() -> dict:
         "ORDER BY e.user_id, e.ts, h.start_t"
     )
 
+    # text_readability: the same three regex signals + score formulas
+    o["text_readability"] = (
+        "WITH t AS (SELECT doc_id, "
+        r"CAST(len(list_filter(string_split_regex(text, '\s+'), "
+        "x -> x <> '')) AS BIGINT) AS w, "
+        "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) "
+        "AS sy, "
+        "GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), "
+        "1) AS se FROM documents) "
+        "SELECT doc_id, w AS n_words, se AS n_sentences, sy AS n_syllables, "
+        + _r("206.835 - 1.015 * (w / se) - 84.6 * (sy / w)")
+        + " AS flesch_reading_ease, "
+        + _r("0.39 * (w / se) + 11.8 * (sy / w) - 15.59")
+        + " AS fk_grade FROM t ORDER BY doc_id"
+    )
+
     # preproc_impute_interpolate: linear interp over planted gaps —
     # prev/next non-null value AND row-number via IGNORE NULLS frames
     o["preproc_impute_interpolate"] = (

@@ -438,3 +438,34 @@ def url_stats(
             F.size(F.filter(domains, lambda d: F.array_contains(blocked, d))) > 0
         ).cast("int").alias("has_blocked_domain"),
     )
+
+
+def readability_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document.
+
+    Syllables approximate as vowel-run count ([aeiouy]+ in the
+    lowercased text — runs never span whitespace, so the total equals
+    the per-word sum); sentences as terminal-punctuation runs
+    (floored at 1). Three regexp_count expressions — whole-stage
+    codegen, zero shuffle, and the exact same regexes replay in the
+    oracle."""
+    t = F.col(text_col)
+    words = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
+    syllables = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+"))
+    sentences = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    wps = words / sentences
+    spw = syllables / words
+    return docs.select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+        (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw).alias(
+            "flesch_reading_ease"
+        ),
+        (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)).alias(
+            "fk_grade"
+        ),
+    )

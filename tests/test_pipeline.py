@@ -1200,3 +1200,17 @@ def test_interval_join_left_keeps_unmatched(spark):
     assert len(out) == 2
     assert by_t[ts(1, 5)]["tag"] == "i1"
     assert by_t[ts(9, 0)]["tag"] is None and by_t[ts(9, 0)]["start"] is None
+
+
+def test_readability_hand_computed(spark):
+    from functime_spark.pipeline.text import readability_scores
+
+    d = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!")], "doc_id long, text string"
+    )
+    r = readability_scores(d).first()
+    # words=6, sentences=2, syllable runs: e,a,a,e,o,a -> 6
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (6, 2, 6)
+    wps, spw = 6 / 2, 6 / 6
+    assert r["flesch_reading_ease"] == pytest.approx(206.835 - 1.015 * wps - 84.6 * spw)
+    assert r["fk_grade"] == pytest.approx(0.39 * wps + 11.8 * spw - 15.59)
