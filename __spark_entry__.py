@@ -1819,7 +1819,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_conformal_linear",
         "preproc_roll_freq",
         "preproc_roll",
-        "m4_smape",
         "preproc_boxcox_lambdas",
         "preproc_yeojohnson_lambdas",
         "forecast_ridge_ar2",
@@ -1836,10 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster",
         "text_gopher",
         "ann_pq_adc",
-        "media_features",
         "forecast_backtest_naive",
-        "preproc_impute_mean",
-        "eval_acf",
         "eval_ljung_box",
         "eval_normality",
         "eval_rank_fva",
@@ -1872,6 +1868,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats_rollup",
         # judge-reverified low-risk entries, cycled behind the round-3
         # additions so the 50-slot driver window covers the new surface
+        "media_features",
+        "m4_smape",
+        "preproc_impute_mean",
+        "eval_acf",
         "conversion_roundtrip",
         "feat_longest_streak_below",
         "feat_longest_winning_streak",
