@@ -289,6 +289,22 @@ def q_join_asof(spark, sf_dir):
     return _round_floats(asof_join(df, daily)).orderBy(e, t)
 
 
+def q_text_lm_heldout(spark, sf_dir):
+    """Held-out LM scoring: train the bigram LM on even doc_ids, score
+    the odd half — exercises the OOV add-alpha floor and unseen-prev
+    fallback paths under a value oracle (the self-scored gate never
+    hits them)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.lm import fit_ngram_lm, ngram_lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = fit_ngram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    out = ngram_lm_score(
+        docs.filter(F.col("doc_id") % 2 == 1), lm=lm, alpha=0.5, lam=0.7
+    )
+    return _round_floats(out).orderBy("doc_id")
+
+
 def q_text_readability(spark, sf_dir):
     """Flesch reading-ease / FK grade: three regexp_count signals and
     the two score formulas, replayed with the identical regexes."""
@@ -1762,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "preproc_clip": q_preproc_clip,
             "preproc_impute_interpolate": q_preproc_impute_interpolate,
             "text_readability": q_text_readability,
+            "text_lm_heldout": q_text_lm_heldout,
             "corpus_stats_rollup": q_corpus_stats_rollup,
             "dedup_simhash": q_dedup_simhash,
             "dedup_embedding": q_dedup_embedding,
@@ -1836,7 +1853,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher",
         "ann_pq_adc",
         "forecast_backtest_naive",
-        "eval_ljung_box",
         "eval_normality",
         "eval_rank_fva",
         "eval_rank_forecasts",
@@ -1865,10 +1881,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preproc_clip",
         "preproc_impute_interpolate",
         "text_readability",
+        "text_lm_heldout",
         "corpus_stats_rollup",
         # judge-reverified low-risk entries, cycled behind the round-3
         # additions so the 50-slot driver window covers the new surface
         "media_features",
+        "eval_ljung_box",
         "m4_smape",
         "preproc_impute_mean",
         "eval_acf",

@@ -3180,6 +3180,41 @@ ORDER BY 1, 2
         "FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id"
     )
 
+    # --- text_lm_heldout: LM counts from the even half, scores for
+    # the odd half — the OOV floor (u2 missing) and unseen-prev
+    # (u1/b missing -> bigram term 0) branches are live
+    _flr = "(0.5 / (tot.n + 0.5 * tot.v))"
+    _pu = f"CASE WHEN u2.c IS NULL THEN {_flr} ELSE (u2.c + 0.5) / (tot.n + 0.5 * tot.v) END"
+    o["text_lm_heldout"] = (
+        "WITH tok AS (SELECT doc_id, "
+        r"list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws "
+        "FROM documents), "
+        "st AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM tok), "
+        "s AS (SELECT doc_id, CASE WHEN i > 1 THEN ws[CAST(i - 1 AS BIGINT)] END "
+        "AS w1, ws[CAST(i AS BIGINT)] AS w2 FROM st), "
+        "uni AS (SELECT w2 AS w, COUNT(*) AS c FROM s WHERE doc_id % 2 = 0 "
+        "GROUP BY w2), "
+        "bi AS (SELECT w1, w2, COUNT(*) AS c FROM s WHERE w1 IS NOT NULL "
+        "AND doc_id % 2 = 0 GROUP BY w1, w2), "
+        "tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n, "
+        "CAST(COUNT(*) AS DOUBLE) AS v FROM uni), "
+        "sc AS (SELECT s.doc_id, CASE WHEN s.w1 IS NULL THEN "
+        f"ln({_pu}) ELSE "
+        f"ln(0.7 * COALESCE(b.c / u1.c, 0) + {_oml} * ({_pu})) END AS lp "
+        "FROM s LEFT JOIN uni u2 ON u2.w = s.w2 "
+        "LEFT JOIN uni u1 ON u1.w = s.w1 "
+        "LEFT JOIN bi b ON b.w1 = s.w1 AND b.w2 = s.w2 CROSS JOIN tot "
+        "WHERE s.doc_id % 2 = 1), "
+        "pd AS (SELECT doc_id, COUNT(*) AS k, -AVG(lp) AS ce FROM sc "
+        "GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(COALESCE(pd.k, 0) AS BIGINT) AS n_tokens, "
+        + _r("COALESCE(pd.ce, 0)")
+        + " AS cross_entropy, "
+        + _r("exp(COALESCE(pd.ce, 0))")
+        + " AS perplexity FROM documents d "
+        "LEFT JOIN pd USING (doc_id) WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id"
+    )
+
     # --- text_quality_tiers: same LM chain, 6-dec-rounded scores,
     # exact-percentile quartile cuts (quantile_cont == F.percentile),
     # tier = count of cuts strictly below the score
