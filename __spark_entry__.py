@@ -289,6 +289,38 @@ def q_join_asof(spark, sf_dir):
     return _round_floats(asof_join(df, daily)).orderBy(e, t)
 
 
+def q_preproc_detrend_roundtrip(spark, sf_dir):
+    """invert(transform(y)) == y for the per-entity linear detrend —
+    an identity oracle that genuinely verifies the whole native
+    beta-fit, removal and re-add path end-to-end (a wrong slope or
+    index base breaks it)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.preprocessing import detrend
+
+    df = events_panel(spark, sf_dir)
+    tf = detrend(method="linear")
+    return _round_floats(tf.invert(tf.transform(df))).orderBy("user_id", "ts")
+
+
+def q_preproc_yeojohnson_roundtrip(spark, sf_dir):
+    """invert(transform(y)) == y for Yeo-Johnson with per-entity
+    Newton lambdas — verifies both sign branches of the forward AND
+    inverse formulas against the identity oracle (the lambda search
+    itself is gated separately)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.preprocessing import yeojohnson
+
+    df = events_panel(spark, sf_dir)
+    # mean-shift so both sign branches carry data (same trick as the
+    # lambda-search gate)
+    shifted = df.withColumn("value", F.col("value") - F.lit(50.0))
+    tf = yeojohnson()
+    out = tf.invert(tf.transform(shifted)).withColumn(
+        "value", F.col("value") + F.lit(50.0)
+    )
+    return _round_floats(out).orderBy("user_id", "ts")
+
+
 def q_text_lm_heldout(spark, sf_dir):
     """Held-out LM scoring: train the bigram LM on even doc_ids, score
     the odd half — exercises the OOV add-alpha floor and unseen-prev
@@ -1779,6 +1811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "preproc_impute_interpolate": q_preproc_impute_interpolate,
             "text_readability": q_text_readability,
             "text_lm_heldout": q_text_lm_heldout,
+            "preproc_detrend_roundtrip": q_preproc_detrend_roundtrip,
+            "preproc_yeojohnson_roundtrip": q_preproc_yeojohnson_roundtrip,
             "corpus_stats_rollup": q_corpus_stats_rollup,
             "dedup_simhash": q_dedup_simhash,
             "dedup_embedding": q_dedup_embedding,
@@ -1853,8 +1887,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher",
         "ann_pq_adc",
         "forecast_backtest_naive",
-        "eval_normality",
-        "eval_rank_fva",
         "eval_rank_forecasts",
         "eval_rank_residuals",
         # round-3 additions — never driver-verified by construction
@@ -1882,10 +1914,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preproc_impute_interpolate",
         "text_readability",
         "text_lm_heldout",
+        "preproc_detrend_roundtrip",
+        "preproc_yeojohnson_roundtrip",
         "corpus_stats_rollup",
         # judge-reverified low-risk entries, cycled behind the round-3
         # additions so the 50-slot driver window covers the new surface
         "media_features",
+        "eval_normality",
+        "eval_rank_fva",
         "eval_ljung_box",
         "m4_smape",
         "preproc_impute_mean",

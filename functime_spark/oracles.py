@@ -3215,6 +3215,16 @@ ORDER BY 1, 2
         "LEFT JOIN pd USING (doc_id) WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id"
     )
 
+    # --- roundtrip identity oracles: invert(transform(y)) must equal
+    # the input panel itself
+    _events_identity = (
+        "SELECT user_id, ts, "
+        + _r("value")
+        + " AS value FROM events ORDER BY user_id, ts"
+    )
+    o["preproc_detrend_roundtrip"] = _events_identity
+    o["preproc_yeojohnson_roundtrip"] = _events_identity
+
     # --- text_quality_tiers: same LM chain, 6-dec-rounded scores,
     # exact-percentile quartile cuts (quantile_cont == F.percentile),
     # tier = count of cuts strictly below the score
