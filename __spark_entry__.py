@@ -1729,6 +1729,64 @@ def q_forecast_backtest_naive(spark, sf_dir):
     return _round_floats(out).orderBy("user_id", "ts", "split")
 
 
+def _augment_lines_text(docs):
+    """Deterministic newline-structured corpus: the synthetic documents
+    table has no line structure, so append boilerplate lines whose
+    corpus-wide repetition the line dedup must detect (same recipe in
+    the DuckDB oracle): a footer on every doc, a share-bar on every
+    3rd doc, a unique per-doc trailer."""
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\ncommon footer line appears everywhere"),
+            F.when(
+                d % 3 == 0, F.lit("\nshare this page with friends")
+            ).otherwise(F.lit("")),
+            F.concat(F.lit("\nunique trailer "), d.cast("string")),
+        ).alias("text"),
+    )
+
+
+def q_dedup_lines(spark, sf_dir):
+    """CCNet-style duplicated-line removal (drop every copy of a line
+    occurring >= 2 times corpus-wide): one 8-byte-keyed hash aggregate
+    + hash join back + bounded per-doc reassembly, replayed in DuckDB
+    by grouping on the normalized line text itself."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.dedup import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return line_dedup(_augment_lines_text(docs)).orderBy("doc_id")
+
+
+def q_dedup_lines_keepfirst(spark, sf_dir):
+    """Line dedup in keep-first mode: the single earliest
+    (doc_id, position) copy of each common line survives, replayed in
+    DuckDB with a row_number-over-(doc, pos) first-occurrence rank."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.dedup import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return line_dedup(_augment_lines_text(docs), keep_first=True).orderBy(
+        "doc_id"
+    )
+
+
+def q_dedup_spans(spark, sf_dir):
+    """Exact-substring scrub (Lee et al. 2022 discretized to word
+    4-grams): every token covered by a corpus-duplicated 4-gram is
+    removed; row-local gram projection + one count aggregate + semi
+    join back, replayed in DuckDB with unnest(range)/list slicing and
+    a correlated coverage EXISTS."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.dedup import scrub_duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return scrub_duplicated_spans(docs, k=4).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1783,6 +1841,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "forecast_gbt": q_forecast_gbt,
             "forecast_elite": q_forecast_elite,
             "dedup_exact": q_dedup_exact,
+            "dedup_lines": q_dedup_lines,
+            "dedup_lines_keepfirst": q_dedup_lines_keepfirst,
+            "dedup_spans": q_dedup_spans,
             "text_stats": q_text_stats,
             "ann_cosine_topk": q_ann_cosine_topk,
             "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1866,6 +1927,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then eval/conversion, then the streak features) so the union of
     # r1-r3 windows covers all 123.
     never_verified_first = [
+        # newest additions — never driver-verified by construction
+        "dedup_lines",
+        "dedup_lines_keepfirst",
+        "dedup_spans",
         "forecast_conformal",
         "forecast_conformal_linear",
         "preproc_roll_freq",

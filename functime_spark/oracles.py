@@ -3396,4 +3396,75 @@ ORDER BY 1, 2
         "ORDER BY user_id"
     )
 
+    # dedup_lines / dedup_lines_keepfirst: the Spark side counts lines
+    # by xxhash64 of the normalized text (8-byte shuffle key); the
+    # oracle groups on the normalized line itself — identical result
+    # absent 64-bit collisions. The deterministic augmentation matches
+    # __spark_entry__._augment_lines_text verbatim.
+    _lines_aug = (
+        "aug AS (SELECT doc_id, text || chr(10) || "
+        "'common footer line appears everywhere' || "
+        "CASE WHEN doc_id % 3 = 0 THEN chr(10) || "
+        "'share this page with friends' ELSE '' END || "
+        "chr(10) || 'unique trailer ' || CAST(doc_id AS VARCHAR) AS text "
+        "FROM documents), "
+        "l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug), "
+        "lpos AS (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS p "
+        "FROM l0), "
+        "lr AS (SELECT doc_id, CAST(p - 1 AS INT) AS pos, ls[p] AS line, "
+        "lower(trim(ls[p])) AS k, length(trim(ls[p])) >= 1 AS elig "
+        "FROM lpos), "
+        "cnt AS (SELECT k, COUNT(*) AS c FROM lr WHERE elig GROUP BY k), "
+    )
+    _lines_tail = (
+        "SELECT doc_id, "
+        "coalesce(string_agg(line, chr(10) ORDER BY pos) "
+        "FILTER (WHERE keep), '') AS text, "
+        "COUNT(*) AS n_lines, "
+        "CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept "
+        "FROM kp GROUP BY doc_id ORDER BY doc_id"
+    )
+    o["dedup_lines"] = (
+        "WITH " + _lines_aug +
+        "kp AS (SELECT lr.doc_id, lr.pos, lr.line, "
+        "(NOT lr.elig) OR coalesce(cnt.c, 0) < 2 AS keep "
+        "FROM lr LEFT JOIN cnt USING (k)) " + _lines_tail
+    )
+    o["dedup_lines_keepfirst"] = (
+        "WITH " + _lines_aug +
+        "fst AS (SELECT k, doc_id, pos, "
+        "row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn "
+        "FROM lr WHERE elig), "
+        "kp AS (SELECT lr.doc_id, lr.pos, lr.line, "
+        "(NOT lr.elig) OR coalesce(cnt.c, 0) < 2 OR coalesce(f.rn, 0) = 1 "
+        "AS keep FROM lr LEFT JOIN cnt USING (k) "
+        "LEFT JOIN fst f ON f.k = lr.k AND f.doc_id = lr.doc_id "
+        "AND f.pos = lr.pos) " + _lines_tail
+    )
+
+    # dedup_spans: word 4-grams counted corpus-wide; tokens covered by
+    # any >=2-count gram are scrubbed. Spark counts gram xxhash64s;
+    # the oracle counts the gram strings (same absent collisions).
+    o["dedup_spans"] = (
+        "WITH tok AS (SELECT doc_id, "
+        r"string_split_regex(text, '\s+') AS ws FROM documents), "
+        "gi AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 4 + 2)) AS i "
+        "FROM tok WHERE len(ws) >= 4), "
+        "gg AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, "
+        "array_to_string(ws[i:i+3], ' ') AS gram FROM gi), "
+        "dupg AS (SELECT gram FROM gg GROUP BY gram HAVING COUNT(*) >= 2), "
+        "dup AS (SELECT doc_id, pos FROM gg "
+        "WHERE gram IN (SELECT gram FROM dupg)), "
+        "ti AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i "
+        "FROM tok), "
+        "tk AS (SELECT ti.doc_id, ti.i, ti.ws[ti.i] AS w, "
+        "NOT EXISTS (SELECT 1 FROM dup d WHERE d.doc_id = ti.doc_id "
+        "AND ti.i - 1 BETWEEN d.pos AND d.pos + 3) AS keep FROM ti) "
+        "SELECT doc_id, "
+        "coalesce(string_agg(w, ' ' ORDER BY i) FILTER (WHERE keep), '') "
+        "AS text, COUNT(*) AS n_tokens, "
+        "CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept "
+        "FROM tk GROUP BY doc_id ORDER BY doc_id"
+    )
+
     return o

@@ -580,3 +580,154 @@ def semantic_dedup(
         emb, n_clusters, threshold, vec_col, id_col, **kwargs
     )
     return dedup_keep_canonical(emb, pairs, id_col=id_col)
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_count: int = 2,
+    min_line_chars: int = 1,
+    keep_first: bool = False,
+) -> DataFrame:
+    """CCNet-style duplicated-line removal across the whole corpus
+    (Wenzek et al. 2020): split each document into lines on ``sep``,
+    count each normalized (trimmed, lowercased) line's occurrences
+    corpus-wide, and drop lines occurring >= ``min_count`` times —
+    boilerplate headers/footers/navigation that repeat across pages.
+    With ``keep_first=True`` the single earliest (doc_id, position)
+    copy of each common line survives instead of none. Lines shorter
+    than ``min_line_chars`` (after trim) are exempt from dedup.
+
+    Returns (id_col, text, n_lines, n_kept) — text is the document
+    reassembled from surviving lines in original order (empty string
+    if nothing survives).
+
+    Scale: the corpus-wide count is ONE hash aggregate keyed by
+    xxhash64 of the normalized line — an 8-byte shuffle key with
+    map-side partial combine, so billion-fold-repeated boilerplate
+    costs one partial row per map task, not a hot reduce key. The
+    join back is the same 8-byte key (no line text in the exchange on
+    the build side), and reassembly is one groupBy(doc) whose state is
+    bounded by document size. Three shuffles total, independent of
+    corpus size. 64-bit key collisions merge counts of unrelated
+    lines with negligible probability (see exact_dedup)."""
+    import re as _re
+
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep))
+        ).alias("__pos", "__line"),
+    )
+    norm = F.lower(F.trim(F.col("__line")))
+    lines = lines.withColumn(
+        "__k",
+        F.when(F.length(norm) >= min_line_chars, F.xxhash64(norm)),
+    )
+    counts = (
+        lines.where(F.col("__k").isNotNull())
+        .groupBy("__k")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__first"),
+        )
+    )
+    joined = lines.join(counts, on="__k", how="left")
+    is_first = (F.col("__first")[id_col] == F.col(id_col)) & (
+        F.col("__first")["__pos"] == F.col("__pos")
+    )
+    keep = (
+        F.col("__k").isNull()
+        | (F.col("__cnt") < min_count)
+        | (F.lit(keep_first) & is_first)
+    )
+    marked = joined.select(
+        F.col(id_col), "__pos", "__line", keep.alias("__keep")
+    )
+    kept_struct = F.when(
+        F.col("__keep"), F.struct(F.col("__pos"), F.col("__line"))
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.filter(
+                            F.collect_list(kept_struct), lambda s: s.isNotNull()
+                        )
+                    ),
+                    lambda s: s["__line"],
+                ),
+                sep,
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        )
+    )
+
+
+def scrub_duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring deduplication in the style of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"):
+    remove every token covered by a word k-gram that occurs >=
+    ``min_count`` times corpus-wide. The reference implementation
+    builds a suffix array over the concatenated corpus; a suffix array
+    is inherently sequential to construct, so the distributed
+    re-expression counts fixed-length k-gram occurrences instead —
+    the same "duplicated span" signal, discretized to window k.
+
+    Returns (id_col, text, n_tokens, n_kept).
+
+    Scale: per-doc k-gram hashes are a row-local codegen projection
+    (no shuffle); the occurrence count is one hash aggregate on an
+    8-byte key with map-side combine; the join back carries only
+    (doc, pos) pairs. The covered-token test is a row-local
+    exists() over each doc's own duplicated-span starts — O(n_tokens
+    x n_dup_spans) per doc worst case, bounded by document length,
+    never by corpus size."""
+    words = F.split(F.col(text_col), r"\s+")
+    base = docs.select(F.col(id_col), words.alias("__w"))
+    n = F.size("__w")
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__w", i, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    exploded = base.select(
+        F.col(id_col), F.posexplode(grams).alias("__pos", "__g")
+    )
+    dup_keys = (
+        exploded.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .where(F.col("__cnt") >= min_count)
+        .select("__g")
+    )
+    dup_starts = (
+        exploded.join(dup_keys, on="__g", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("__pos").alias("__dups"))
+    )
+    marked = base.join(dup_starts, on=id_col, how="left").withColumn(
+        "__dups", F.coalesce(F.col("__dups"), F.array().cast("array<int>"))
+    )
+    covered = lambda i: F.exists(
+        "__dups", lambda p: (i >= p) & (i <= p + F.lit(k - 1))
+    )
+    kept = F.filter("__w", lambda w, i: ~covered(i))
+    return marked.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias(text_col),
+        F.size("__w").alias("n_tokens"),
+        F.size(kept).alias("n_kept"),
+    )

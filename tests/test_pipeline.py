@@ -1214,3 +1214,105 @@ def test_readability_hand_computed(spark):
     wps, spw = 6 / 2, 6 / 6
     assert r["flesch_reading_ease"] == pytest.approx(206.835 - 1.015 * wps - 84.6 * spw)
     assert r["fk_grade"] == pytest.approx(0.39 * wps + 11.8 * spw - 15.59)
+
+
+def test_line_dedup_drops_common_lines(spark):
+    from functime_spark.pipeline.dedup import line_dedup
+
+    d = spark.createDataFrame(
+        [
+            (1, "alpha unique one\ncommon footer\nbody text a"),
+            (2, "beta unique two\ncommon footer\nbody text b"),
+            (3, "gamma unique three\ncommon footer"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in line_dedup(d).collect()}
+    # the footer occurs 3x -> every copy dropped; unique lines survive
+    assert out[1]["text"] == "alpha unique one\nbody text a"
+    assert out[2]["text"] == "beta unique two\nbody text b"
+    assert out[3]["text"] == "gamma unique three"
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 2
+    assert out[3]["n_lines"] == 2 and out[3]["n_kept"] == 1
+
+
+def test_line_dedup_keep_first_and_normalization(spark):
+    from functime_spark.pipeline.dedup import line_dedup
+
+    d = spark.createDataFrame(
+        [
+            (1, "Common Footer\nkeep me"),
+            (2, "common footer\nother body"),  # case-folds to same key
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in line_dedup(d, keep_first=True).collect()}
+    # earliest (doc_id, pos) copy survives, later copy dropped;
+    # normalization is lower(trim) so the case variant matches
+    assert out[1]["text"] == "Common Footer\nkeep me"
+    assert out[2]["text"] == "other body"
+
+
+def test_line_dedup_min_chars_exempts_short_lines(spark):
+    from functime_spark.pipeline.dedup import line_dedup
+
+    d = spark.createDataFrame(
+        [(1, "x\nlong repeated line"), (2, "x\nlong repeated line")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(d, min_line_chars=5).collect()
+    }
+    # 'x' repeats but is under min_line_chars -> exempt; the long
+    # repeated line is dropped from both docs
+    assert out[1]["text"] == "x" and out[2]["text"] == "x"
+
+
+def test_line_dedup_empty_doc_survives_as_row(spark):
+    from functime_spark.pipeline.dedup import line_dedup
+
+    d = spark.createDataFrame(
+        [(1, "same\nsame"), (2, "other")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in line_dedup(d).collect()}
+    # within-doc repeats count as occurrences too; doc 1 loses all
+    # lines but still emits a row with empty text
+    assert out[1]["text"] == "" and out[1]["n_kept"] == 0
+    assert out[2]["text"] == "other"
+
+
+def test_scrub_duplicated_spans_removes_covered_tokens(spark):
+    from functime_spark.pipeline.dedup import scrub_duplicated_spans
+
+    dup = "the quick brown fox jumps"
+    d = spark.createDataFrame(
+        [
+            (1, f"intro words {dup} tail one"),
+            (2, f"{dup} closing remark here"),
+            (3, "completely different tokens entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in scrub_duplicated_spans(d, k=5).collect()
+    }
+    # the shared 5-gram is scrubbed from both docs; neighbours survive
+    assert out[1]["text"] == "intro words tail one"
+    assert out[2]["text"] == "closing remark here"
+    assert out[3]["text"] == "completely different tokens entirely"
+    assert out[1]["n_tokens"] == 9 and out[1]["n_kept"] == 4
+    assert out[3]["n_kept"] == 4
+
+
+def test_scrub_spans_short_docs_untouched(spark):
+    from functime_spark.pipeline.dedup import scrub_duplicated_spans
+
+    d = spark.createDataFrame(
+        [(1, "too short"), (2, "too short")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in scrub_duplicated_spans(d, k=5).collect()}
+    # docs shorter than k carry no grams -> never scrubbed even when
+    # the whole text repeats (exact_dedup's job, not span scrub's)
+    assert out[1]["text"] == "too short" and out[1]["n_kept"] == 2
