@@ -68,6 +68,8 @@ def read_panel(
     elif format == "json":
         reader = spark.read.options(**options)
         df = reader.json(path, schema=schema) if schema else reader.json(path)
+    elif format == "orc":
+        df = spark.read.options(**options).orc(path)
     else:
         raise ValueError(f"unsupported panel source format: {format!r}")
     out = df.select(entity, time, *values)
@@ -116,9 +118,17 @@ def lineitem_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def write_partitioned(df: DataFrame, path: str, partition_cols: list | None = None, mode: str = "overwrite") -> None:
-    """Parquet sink; hive-style partition dirs when partition_cols given."""
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list | None = None,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Columnar sink; hive-style partition dirs when partition_cols
+    given. ``format``: parquet (default) or orc — both give predicate
+    pushdown and partition pruning on the read side."""
     writer = df.write.mode(mode)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
-    writer.parquet(path)
+    writer.format(format).save(path)

@@ -1041,17 +1041,19 @@ def test_read_panel_csv_json_parquet_agree(spark, tmp_path):
         df.write.parquet(base + "/p")
         df.write.option("header", "true").csv(base + "/c")
         df.write.json(base + "/j")
+        df.write.orc(base + "/o")
         ddl = "entity string, t timestamp, y double"
         got = {}
         for fmt, path, schema in [
             ("parquet", base + "/p", None),
             ("csv", base + "/c", ddl),
             ("json", base + "/j", ddl),
+            ("orc", base + "/o", None),
         ]:
             p = read_panel(spark, path, "entity", "t", ["y"], format=fmt, schema=schema)
             got[fmt] = sorted((r["entity"], r["t"], r["y"]) for r in p.collect())
             assert extract_features(p, ["absolute_energy"]).count() == 2
-        assert got["parquet"] == got["csv"] == got["json"]
+        assert got["parquet"] == got["csv"] == got["json"] == got["orc"]
         # csv without schema: inference + string-time cast still lands
         p = read_panel(spark, base + "/c", "entity", "t", ["y"], format="csv")
         assert dict(p.dtypes)["t"] == "timestamp"
@@ -1316,3 +1318,29 @@ def test_scrub_spans_short_docs_untouched(spark):
     # docs shorter than k carry no grams -> never scrubbed even when
     # the whole text repeats (exact_dedup's job, not span scrub's)
     assert out[1]["text"] == "too short" and out[1]["n_kept"] == 2
+
+
+def test_write_partitioned_orc_roundtrip(spark, tmp_path):
+    import shutil
+
+    from functime_spark.sources.tables import read_panel, write_partitioned
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("b", 1, 3.0)],
+        "entity string, t long, y double",
+    )
+    path = str(tmp_path / "orcpart")
+    try:
+        write_partitioned(df, path, partition_cols=["entity"], format="orc")
+        back = read_panel(spark, path, "entity", "t", ["y"], format="orc")
+        assert sorted((r["entity"], r["t"], r["y"]) for r in back.collect()) == [
+            ("a", 1, 1.0),
+            ("a", 2, 2.0),
+            ("b", 1, 3.0),
+        ]
+        # hive partition dirs exist -> partition pruning on read
+        import os
+
+        assert any(d.startswith("entity=") for d in os.listdir(path))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
