@@ -1774,6 +1774,28 @@ def q_dedup_lines_keepfirst(spark, sf_dir):
     )
 
 
+def q_dedup_minhash_incr(spark, sf_dir):
+    """Incremental MinHash dedup: even-id docs form the historical
+    signature store, odd-id docs arrive as the new batch; matches are
+    new-vs-store + new-vs-new only (md5 hash variant, byte-exactly
+    replayed in DuckDB with per-side bucket caps)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.dedup import (
+        minhash_dedup_incremental,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = minhash_signatures(
+        docs.filter(F.col("doc_id") % 2 == 0), hash_fn="md5"
+    )
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    pairs, _ = minhash_dedup_incremental(
+        new, store, threshold=0.3, hash_fn="md5"
+    )
+    return _round_floats(pairs).orderBy("id_a", "id_b")
+
+
 def q_dedup_spans(spark, sf_dir):
     """Exact-substring scrub (Lee et al. 2022 discretized to word
     4-grams): every token covered by a corpus-duplicated 4-gram is
@@ -1844,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_lines": q_dedup_lines,
             "dedup_lines_keepfirst": q_dedup_lines_keepfirst,
             "dedup_spans": q_dedup_spans,
+            "dedup_minhash_incr": q_dedup_minhash_incr,
             "text_stats": q_text_stats,
             "ann_cosine_topk": q_ann_cosine_topk,
             "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1931,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines",
         "dedup_lines_keepfirst",
         "dedup_spans",
+        "dedup_minhash_incr",
         "forecast_conformal",
         "forecast_conformal_linear",
         "preproc_roll_freq",

@@ -1312,6 +1312,33 @@ def operator_oracles() -> dict:
         "FROM reach GROUP BY n ORDER BY node"
     )
 
+    # dedup_minhash_incr: even ids = historical store, odd ids = new
+    # batch; bucket caps are applied PER SIDE (mirroring the Spark
+    # _banded_sigs calls), candidates are new-vs-new (id_a < id_b)
+    # union new-vs-store (any order), verified on the shared sig table.
+    o["dedup_minhash_incr"] = (
+        f"WITH {mh_ctes}, "
+        "bnew AS (SELECT banded.* FROM banded WHERE doc_id % 2 = 1), "
+        "bold AS (SELECT banded.* FROM banded WHERE doc_id % 2 = 0), "
+        "cnew AS (SELECT * FROM (SELECT *, COUNT(*) OVER "
+        "(PARTITION BY band, band_hash) AS bsz FROM bnew) WHERE bsz <= 512), "
+        "cold AS (SELECT * FROM (SELECT *, COUNT(*) OVER "
+        "(PARTITION BY band, band_hash) AS bsz FROM bold) WHERE bsz <= 512), "
+        "candi AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM cnew a JOIN cnew b ON a.band = b.band "
+        "AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id "
+        "UNION SELECT DISTINCT a.doc_id, b.doc_id "
+        "FROM cnew a JOIN cold b ON a.band = b.band "
+        "AND a.band_hash = b.band_hash), "
+        "esti AS (SELECT id_a, id_b, "
+        f"len(list_filter(range(1, {_N_HASH}+1), k -> sa.sig[k] = sb.sig[k])) "
+        f"/ {_N_HASH}.0 AS ej "
+        "FROM candi JOIN sig sa ON candi.id_a = sa.doc_id "
+        "JOIN sig sb ON candi.id_b = sb.doc_id) "
+        f"SELECT id_a, id_b, {_r('ej')} AS est_jaccard FROM esti "
+        "WHERE ej >= 0.3 ORDER BY id_a, id_b"
+    )
+
     # simhash: md5 hashes are < 2^60, so bits 60..63 never win the vote
     # and only bits 0..59 can contribute to the signature.
     vote_exprs = ", ".join(

@@ -731,3 +731,113 @@ def scrub_duplicated_spans(
         F.size("__w").alias("n_tokens"),
         F.size(kept).alias("n_kept"),
     )
+
+
+def _banded_sigs(
+    sigs: DataFrame,
+    id_col: str,
+    bands: int,
+    hash_fn: str,
+    max_bucket_size: int,
+) -> DataFrame:
+    """(id, band, band_hash) LSH index rows from a signature frame,
+    oversized buckets dropped (see _cap_buckets)."""
+    sig = F.col("sig")
+    r = F.floor(F.size(sig) / bands).cast("int")
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: _hash64(
+                    F.concat_ws(",", F.transform(
+                        F.slice(sig, b * r + 1, r), lambda v: v.cast("string")
+                    )),
+                    hash_fn=hash_fn,
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    return _cap_buckets(banded, ["band", "band_hash"], max_bucket_size)
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    store_sigs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    hash_fn: str = "xxhash64",
+    max_bucket_size: int = 512,
+) -> tuple[DataFrame, DataFrame]:
+    """Batch-over-batch MinHash dedup against a persisted signature
+    store — the production ingestion shape: each arriving batch is
+    checked against the historical corpus WITHOUT re-reading any
+    historical text. Returns ``(pairs, updated_store)``:
+
+    - ``pairs``: (id_a, id_b, est_jaccard) where id_a is always a new
+      doc and id_b is either a store doc (cross matches, any id order)
+      or another new doc (id_a < id_b). Store-vs-store pairs are never
+      re-emitted — the store was deduped when it was built.
+    - ``updated_store``: store ∪ new signatures, for the caller to
+      persist (e.g. ``write_partitioned``) as the next batch's store.
+
+    Ids must be unique across store and batch (caller's contract).
+
+    Scale: the store side carries n_hashes longs per historical doc —
+    at 100 TB of text the signature store is ~0.03% of corpus size and
+    the per-batch cost is O(new x matching buckets), not O(corpus).
+    Buckets are capped per side before the band join."""
+    new_sigs = minhash_signatures(
+        new_docs, text_col, id_col, n_hashes, shingle_n, hash_fn
+    )
+    # consumed by banding + both verify sides; run the shingle sweeps once
+    new_sigs = new_sigs.localCheckpoint()
+    banded_new = _banded_sigs(new_sigs, id_col, bands, hash_fn, max_bucket_size)
+
+    nn = banded_new.alias("a").join(
+        banded_new.alias("b"),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    )
+
+    if store_sigs is None:
+        cands = nn.distinct()
+        all_sigs = new_sigs
+        updated = new_sigs
+    else:
+        banded_old = _banded_sigs(
+            store_sigs, id_col, bands, hash_fn, max_bucket_size
+        )
+        cross = banded_new.alias("a").join(
+            banded_old.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        cands = nn.unionByName(cross).distinct()
+        all_sigs = new_sigs.unionByName(store_sigs)
+        updated = store_sigs.unionByName(new_sigs)
+
+    a = all_sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    b = all_sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    ) / F.size("sig_a")
+    pairs = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return pairs, updated

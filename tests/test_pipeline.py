@@ -1344,3 +1344,32 @@ def test_write_partitioned_orc_roundtrip(spark, tmp_path):
         assert any(d.startswith("entity=") for d in os.listdir(path))
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_minhash_incremental_store(spark):
+    from functime_spark.pipeline.dedup import minhash_dedup_incremental
+
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" for i in range(59)) + " zzz"
+    far = " ".join(f"q{i}" for i in range(60))
+    near_far = " ".join(f"q{i}" for i in range(59)) + " yyy"
+
+    batch1 = spark.createDataFrame(
+        [(1, base), (2, far)], "doc_id long, text string"
+    )
+    p1, store = minhash_dedup_incremental(batch1, threshold=0.5)
+    assert p1.count() == 0
+    store = store.localCheckpoint()
+
+    batch2 = spark.createDataFrame(
+        [(10, near), (11, near_far), (12, "totally different stuff here now")],
+        "doc_id long, text string",
+    )
+    p2, store2 = minhash_dedup_incremental(batch2, store, threshold=0.5)
+    keys = {(r["id_a"], r["id_b"]) for r in p2.collect()}
+    # cross matches: new doc against its historical near-dup, found
+    # WITHOUT re-reading historical text (signatures only)
+    assert (10, 1) in keys and (11, 2) in keys
+    # no store-vs-store re-emission
+    assert all(a >= 10 for a, _ in keys)
+    assert store2.count() == 5
