@@ -261,3 +261,65 @@ def test_embedding_lsh_plan_size_flat_in_planes(spark):
     build = time.perf_counter() - t0
     assert build < 5.0  # literal when-chains took far longer to even plan
     out.count()  # and it executes
+
+
+def test_line_dedup_bounded_shuffles(spark):
+    """line_dedup is 3 shuffles (count agg, join back, reassembly)
+    regardless of corpus size; no Python in the plan."""
+    from functime_spark.pipeline.dedup import line_dedup
+    from functime_spark.plans import assert_max_exchanges, python_eval_nodes
+
+    d = spark.createDataFrame(
+        [(1, "a\nb"), (2, "b\nc")], "doc_id long, text string"
+    )
+    out = line_dedup(d)
+    assert_max_exchanges(out, 4)
+    assert python_eval_nodes(out) == []
+
+
+def test_scrub_spans_bounded_shuffles(spark):
+    """Span scrub: gram projection is row-local; the plan carries the
+    count aggregate + semi join + doc-level collect, all native."""
+    from functime_spark.pipeline.dedup import scrub_duplicated_spans
+    from functime_spark.plans import assert_max_exchanges, python_eval_nodes
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (2, "a b c d e f g h j")],
+        "doc_id long, text string",
+    )
+    out = scrub_duplicated_spans(d, k=4)
+    assert_max_exchanges(out, 4)
+    assert python_eval_nodes(out) == []
+
+
+def test_incremental_dedup_never_scans_store_text(spark, tmp_path):
+    """The incremental path reads ONLY signatures from the store: the
+    executed plan of the pairs frame contains no scan of the store's
+    raw-text source."""
+    import shutil
+
+    from functime_spark.pipeline.dedup import (
+        minhash_dedup_incremental,
+        minhash_signatures,
+    )
+
+    docs1 = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(30)))], "doc_id long, text string"
+    )
+    store_path = str(tmp_path / "sigstore")
+    try:
+        minhash_signatures(docs1).write.parquet(store_path)
+        store = spark.read.parquet(store_path)
+        docs2 = spark.createDataFrame(
+            [(2, " ".join(f"w{i}" for i in range(29)) + " zz")],
+            "doc_id long, text string",
+        )
+        pairs, _ = minhash_dedup_incremental(docs2, store, threshold=0.5)
+        rows = pairs.collect()
+        assert {(r["id_a"], r["id_b"]) for r in rows} == {(2, 1)}
+        # the store-side scan reads signatures only — (doc_id, sig),
+        # never a text column
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "ReadSchema: struct<doc_id:bigint,sig:array<bigint>>" in plan
+    finally:
+        shutil.rmtree(store_path, ignore_errors=True)
