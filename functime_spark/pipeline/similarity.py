@@ -9,6 +9,8 @@ scanned fraction to n_probe/n_cells.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from pyspark.sql import DataFrame
@@ -650,3 +652,81 @@ def embedding_group_stats(
         F.avg("__cos").alias("mean_cos_centroid"),
         F.avg("__d2").alias("inertia"),
     )
+
+
+def fit_pca(
+    emb: DataFrame,
+    n_components: int = 4,
+    n_iter: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample: int = 10000,
+):
+    """Deterministic PCA of an embedding column: power iteration with
+    deflation on the covariance of an id-ordered driver-side sample.
+
+    The covariance is d x d (embedding dim, tiny) regardless of corpus
+    size; like IVFIndex.fit, the statistics come from a bounded sample
+    and every distributed pass stays in project_pca. The fixed init
+    (v0 = 1/sqrt(d)) and fixed iteration count make the whole fit
+    SQL-replayable — no eigensolver black box.
+
+    Returns (mean, components, eigenvalues): mean (d,), components
+    (n_components, d) rows = principal axes in order, eigenvalues
+    (n_components,) of the sample covariance.
+    """
+    rows = emb.orderBy(id_col).select(vec_col).limit(sample).collect()
+    X = np.asarray([r[0] for r in rows], dtype="float64")
+    n, d = X.shape
+    mu = X.mean(axis=0)
+    Xc = X - mu
+    C = Xc.T @ Xc / n
+    comps, lams = [], []
+    v0 = np.full(d, 1.0 / math.sqrt(d))
+    for _ in range(n_components):
+        v = v0.copy()
+        for _ in range(n_iter):
+            w = C @ v
+            nw = float(np.sqrt(w @ w))
+            if nw == 0.0:  # exhausted spectrum: stay at init direction
+                break
+            v = w / nw
+        lam = float(v @ (C @ v))
+        comps.append(v)
+        lams.append(lam)
+        C = C - lam * np.outer(v, v)
+    return mu, np.asarray(comps), np.asarray(lams)
+
+
+def project_pca(
+    emb: DataFrame,
+    mean,
+    components,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    prefix: str = "pc",
+) -> DataFrame:
+    """Distributed projection onto fitted principal axes: one narrow
+    codegen pass producing (id, pc1..pck). The mean and component
+    matrix ride in a broadcast single-row frame (plan size O(1) in
+    both d and k — same design as IVFIndex.assign), and the big side
+    never shuffles."""
+    spark = emb.sparkSession
+    params = spark.createDataFrame(
+        [(
+            [float(x) for x in mean],
+            [[float(x) for x in c] for c in components],
+        )],
+        "__mu array<double>, __comps array<array<double>>",
+    )
+    v = F.col(vec_col).cast("array<double>")
+    centered = F.zip_with(v, F.col("__mu"), lambda a, b: a - b)
+    cols = [
+        F.aggregate(
+            F.zip_with(centered, F.col("__comps")[c], lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"{prefix}{c + 1}")
+        for c in range(len(components))
+    ]
+    return emb.crossJoin(F.broadcast(params)).select(F.col(id_col), *cols)
