@@ -337,6 +337,46 @@ def q_text_lm_heldout(spark, sf_dir):
     return _round_floats(out).orderBy("doc_id")
 
 
+def q_text_normalize(spark, sf_dir):
+    """Pre-hash text normalization over an in-query noisy variant of
+    the documents table (curly quotes, NBSP, em-spaces, a control
+    char, an ellipsis) -- the NORMALIZE_RULES regexp chain replays
+    verbatim in the oracle."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    noisy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("\u00a0\u201cLorem\u201d\x07 "),
+            F.regexp_replace("text", " ", "\u2003"),
+            F.lit("\u2026"),
+        ).alias("text"),
+    )
+    return normalize_text(noisy).orderBy("doc_id")
+
+
+def q_text_c4(spark, sf_dir):
+    """C4 line/document quality filter over an in-query noisy variant
+    (terminal-punct line breaks planted at slow/fast tokens, lorem
+    ipsum and curly-brace tails planted by doc_id residue)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.text import c4_quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    noisy = docs.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace("text", " (slow|fast) ", ".\n"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\nlorem ipsum dolor."))
+            .when(F.col("doc_id") % 11 == 0, F.lit("\nvar x = {1};"))
+            .otherwise(F.lit("!")),
+        ).alias("text"),
+    )
+    return c4_quality_filter(noisy).orderBy("doc_id")
+
+
 def q_text_readability(spark, sf_dir):
     """Flesch reading-ease / FK grade: three regexp_count signals and
     the two score formulas, replayed with the identical regexes."""
@@ -1894,6 +1934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "preproc_clip": q_preproc_clip,
             "preproc_impute_interpolate": q_preproc_impute_interpolate,
             "text_readability": q_text_readability,
+            "text_normalize": q_text_normalize,
+            "text_c4": q_text_c4,
             "text_lm_heldout": q_text_lm_heldout,
             "preproc_detrend_roundtrip": q_preproc_detrend_roundtrip,
             "preproc_yeojohnson_roundtrip": q_preproc_yeojohnson_roundtrip,
@@ -1979,6 +2021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_rank_forecasts",
         "eval_rank_residuals",
         # round-3 additions — never driver-verified by construction
+        "text_normalize",
+        "text_c4",
         "text_pii",
         "text_ngram_repetition",
         "text_url_stats",

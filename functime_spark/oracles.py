@@ -3494,4 +3494,59 @@ ORDER BY 1, 2
         "FROM tk GROUP BY doc_id ORDER BY doc_id"
     )
 
+    # text_normalize: the NORMALIZE_RULES regexp chain replayed
+    # verbatim (non-ASCII chars re-escaped to RE2 \x{XXXX} so the SQL
+    # text stays printable), over the same in-query noisy variant.
+    from functime_spark.pipeline.text import NORMALIZE_RULES
+
+    def _re2(pat: str) -> str:
+        return "".join(
+            c if 32 <= ord(c) < 127 else "\\x{%04X}" % ord(c) for c in pat
+        )
+
+    _noisy = (
+        "concat(chr(160) || chr(8220) || 'Lorem' || chr(8221) || chr(7) "
+        "|| ' ', regexp_replace(text, ' ', chr(8195), 'g'), chr(8230))"
+    )
+    _expr = _noisy
+    for _pat, _rep in NORMALIZE_RULES:
+        _expr = (
+            f"regexp_replace({_expr}, '{_re2(_pat)}', "
+            f"'{_rep.replace(chr(39), chr(39) * 2)}', 'g')"
+        )
+    o["text_normalize"] = (
+        f"WITH n AS (SELECT doc_id, {_noisy} AS t0, "
+        f"trim(regexp_replace({_expr}, '\\s+', ' ', 'g')) AS tn "
+        "FROM documents) "
+        "SELECT doc_id, tn AS text_norm, "
+        "CAST(length(t0) - length(tn) AS BIGINT) AS chars_removed "
+        "FROM n ORDER BY doc_id"
+    )
+
+    # text_c4: C4 line rules via list_filter lambdas over the planted
+    # line breaks; COALESCE('') because DuckDB's array_to_string of an
+    # empty list is NULL where Spark's array_join is ''.
+    o["text_c4"] = (
+        "WITH n AS (SELECT doc_id, "
+        "regexp_replace(text, ' (slow|fast) ', '.' || chr(10), 'g') || "
+        "CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum dolor.' "
+        "WHEN doc_id % 11 = 0 THEN chr(10) || 'var x = {1};' "
+        "ELSE '!' END AS text FROM documents), "
+        "s AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines, "
+        "list_filter(string_split(text, chr(10)), x -> "
+        "regexp_matches(x, '[.!?\"'']$') "
+        "AND len(list_filter(string_split(x, ' '), w -> w <> '')) >= 5 "
+        "AND NOT contains(lower(x), 'javascript') "
+        "AND NOT contains(lower(x), 'cookie') "
+        "AND NOT contains(lower(x), 'privacy policy')) AS kept FROM n) "
+        "SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines, "
+        "CAST(len(kept) AS BIGINT) AS n_kept_lines, "
+        "contains(lower(text), 'lorem ipsum') AS has_lorem, "
+        "contains(text, '{') AS has_brace, "
+        "(NOT contains(lower(text), 'lorem ipsum')) "
+        "AND (NOT contains(text, '{')) AND len(kept) >= 3 AS keep, "
+        "COALESCE(array_to_string(kept, chr(10)), '') AS text_clean "
+        "FROM s ORDER BY doc_id"
+    )
+
     return o

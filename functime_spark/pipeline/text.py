@@ -469,3 +469,102 @@ def readability_scores(
             "fk_grade"
         ),
     )
+
+
+#: (pattern, replacement) regexp chain shared verbatim by
+#: normalize_text and its DuckDB oracle. All patterns are valid in
+#: both Java regex and RE2. Order matters only for the control-char
+#: strip (first).
+NORMALIZE_RULES = (
+    # C0 controls except \t\n\r, plus DEL (\t\n\r fold into the
+    # whitespace collapse later, so dropping them here too is safe)
+    ("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""),
+    # typographic punctuation -> ASCII
+    ("[\u2018\u2019\u201a\u2032]", "'"),
+    ("[\u201c\u201d\u201e\u2033]", '"'),
+    ("[\u2010\u2011\u2012\u2013\u2014\u2015\u2212]", "-"),
+    ("\u2026", "..."),
+    # unicode space separators -> ASCII space
+    ("[\u00a0\u1680\u2000-\u200a\u202f\u205f\u3000]", " "),
+    # zero-width chars and BOM: drop
+    ("[\u200b\u200c\u200d\ufeff]", ""),
+)
+
+
+def normalize_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = False,
+) -> DataFrame:
+    """Pre-hash text normalization (the CCNet/RefinedWeb cleanup that
+    runs before any dedup signature): strip C0/C1 control characters,
+    fold typographic unicode punctuation to ASCII (curly quotes,
+    en/em dashes, ellipsis, NBSP), collapse whitespace runs to a
+    single space, and trim. Optional lowercasing for the dedup-key
+    variant.
+
+    Pure regexp_replace/replace Column chain — whole-stage codegen,
+    zero shuffle, and every pattern is RE2-compatible so the exact
+    chain replays in the DuckDB oracle. Emits the normalized text
+    plus the char-delta so attrition is auditable.
+    """
+    t = F.col(text_col)
+    # C0 controls except \t\n\r, plus DEL. (\t\n\r are folded by the
+    # whitespace collapse below, so ordering is not observable.)
+    for pat, rep in NORMALIZE_RULES:
+        t = F.regexp_replace(t, pat, rep)
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    if lowercase:
+        t = F.lower(t)
+    return docs.select(
+        F.col(id_col),
+        t.alias("text_norm"),
+        (F.length(F.col(text_col)) - F.length(t)).cast("long").alias(
+            "chars_removed"
+        ),
+    )
+
+
+def c4_quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line/document filter (Raffel et al. 2020 §2.2): keep
+    only lines that end in terminal punctuation, have >= 5 words, and
+    do not mention javascript/cookies/privacy-policy boilerplate;
+    drop whole documents that contain "lorem ipsum" or a curly brace,
+    or retain fewer than 3 lines. Returns per-doc signals, the keep
+    verdict, and the re-joined cleaned text.
+
+    All array/lambda Column expressions over a line split — one
+    codegen stage, no shuffle, no Python. The identical lambda chain
+    replays in DuckDB via list_filter/list_transform.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    line_ok = lambda x: (
+        x.rlike("[.!?\"']$")
+        & (F.size(F.filter(F.split(x, " "), lambda w: w != ""))
+           >= min_words_per_line)
+        & ~F.lower(x).contains("javascript")
+        & ~F.lower(x).contains("cookie")
+        & ~F.lower(x).contains("privacy policy")
+    )
+    kept = F.filter(lines, line_ok)
+    low = F.lower(F.col(text_col))
+    has_lorem = low.contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{")
+    n_kept = F.size(kept)
+    keep = (~has_lorem) & (~has_brace) & (n_kept >= min_kept_lines)
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept_lines"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        keep.alias("keep"),
+        F.array_join(kept, "\n").alias("text_clean"),
+    )

@@ -1373,3 +1373,60 @@ def test_minhash_incremental_store(spark):
     # no store-vs-store re-emission
     assert all(a >= 10 for a, _ in keys)
     assert store2.count() == 5
+
+
+def test_normalize_text_folds_unicode_and_whitespace(spark):
+    from functime_spark.pipeline.text import normalize_text
+
+    d = spark.createDataFrame(
+        [
+            (0, "“Hi” there — ok…"),
+            (1, "a\x07b​  c\t\nd"),
+            (2, "already clean"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in normalize_text(d).collect()}
+    assert rows[0].text_norm == '"Hi" there - ok...'
+    assert rows[1].text_norm == "ab c d"
+    assert rows[2].text_norm == "already clean"
+    assert rows[2].chars_removed == 0
+    # idempotent: a second pass changes nothing
+    once = normalize_text(d).select(
+        "doc_id", F.col("text_norm").alias("text")
+    )
+    twice = {r.doc_id: r for r in normalize_text(once).collect()}
+    assert all(t.chars_removed == 0 for t in twice.values())
+    # lowercase variant for dedup keys
+    lc = {
+        r.doc_id: r.text_norm
+        for r in normalize_text(d, lowercase=True).collect()
+    }
+    assert lc[0] == '"hi" there - ok...'
+
+
+def test_c4_filter_line_and_doc_rules(spark):
+    from functime_spark.pipeline.text import c4_quality_filter
+
+    good = "this line has plenty of words and ends well."
+    d = spark.createDataFrame(
+        [
+            (0, f"{good}\n{good}\n{good}"),
+            (1, f"{good}\nno terminal punct line here\nshort one.\n{good}\n{good}"),
+            (2, f"{good}\n{good}\n{good}\nsee lorem ipsum text."),
+            (3, f"{good}\n{good}\nvar f = {{}};\n{good}"),
+            (4, f"{good}\nenable javascript to view this page.\n{good}\n{good}"),
+            (5, "only two good lines here, sadly.\nthe second of the pair is fine."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in c4_quality_filter(d).collect()}
+    assert out[0].keep and out[0].n_kept_lines == 3
+    # line rules: unpunctuated + <5-word lines dropped, doc still kept
+    assert out[1].keep and out[1].n_kept_lines == 3
+    assert out[2].has_lorem and not out[2].keep
+    assert out[3].has_brace and not out[3].keep
+    # javascript line dropped but 3 good lines remain
+    assert out[4].keep and out[4].n_kept_lines == 3
+    assert "javascript" not in out[4].text_clean
+    assert not out[5].keep and out[5].n_kept_lines == 2
