@@ -337,6 +337,21 @@ def q_text_lm_heldout(spark, sf_dir):
     return _round_floats(out).orderBy("doc_id")
 
 
+def q_embedding_pca(spark, sf_dir):
+    """PCA projection of the embedding table onto 4 power-iteration
+    components; the fit (covariance, 8 iterations per component,
+    rank-1 deflation) replays in the oracle over LIST vectors."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.similarity import fit_pca, project_pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mu, comps, _ = fit_pca(emb, n_components=4, n_iter=8)
+    # 4-decimal rounding (not the shared 6): pc3/pc4 sit behind two
+    # rank-1 deflations, where cross-engine covariance float noise is
+    # amplified enough to flip a 6th-decimal boundary.
+    return _round_floats(project_pca(emb, mu, comps), nd=4).orderBy("vec_id")
+
+
 def q_text_normalize(spark, sf_dir):
     """Pre-hash text normalization over an in-query noisy variant of
     the documents table (curly quotes, NBSP, em-spaces, a control
@@ -1935,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "preproc_impute_interpolate": q_preproc_impute_interpolate,
             "text_readability": q_text_readability,
             "text_normalize": q_text_normalize,
+            "embedding_pca": q_embedding_pca,
             "text_c4": q_text_c4,
             "text_lm_heldout": q_text_lm_heldout,
             "preproc_detrend_roundtrip": q_preproc_detrend_roundtrip,
@@ -2022,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_rank_residuals",
         # round-3 additions — never driver-verified by construction
         "text_normalize",
+        "embedding_pca",
         "text_c4",
         "text_pii",
         "text_ngram_repetition",

@@ -3549,4 +3549,67 @@ ORDER BY 1, 2
         "FROM s ORDER BY doc_id"
     )
 
+    # embedding_pca: the whole fit_pca power-iteration-with-deflation
+    # replayed over LIST-typed vectors — covariance from the id-ordered
+    # sample (= all rows at gate SF), fixed v0 = 1/sqrt(d), 8 unrolled
+    # iterations per component, rank-1 deflation, then the distributed
+    # projection. Every CTE is MATERIALIZED: DuckDB inlines CTEs by
+    # default and this chain is self-referential enough that inlining
+    # expands exponentially (observed as a too-many-open-files blowup).
+    _D, _K, _IT = 64, 4, 8
+    _rng = f"range(1, {_D + 1})"
+    _pca = [
+        "xs AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) "
+        "AS e FROM embeddings)",
+        "xe AS MATERIALIZED (SELECT vec_id, generate_subscripts(e, 1) AS i, "
+        "unnest(e) AS x FROM xs)",
+        "mu AS MATERIALIZED (SELECT i, AVG(x) AS m FROM xe GROUP BY i)",
+        "muv AS MATERIALIZED (SELECT list(m ORDER BY i) AS MU FROM mu)",
+        "cm AS MATERIALIZED (SELECT a.i AS i, b.i AS j, "
+        "SUM((a.x - ma.m) * (b.x - mb.m)) / (SELECT COUNT(*) FROM xs) AS c "
+        "FROM xe a JOIN xe b ON a.vec_id = b.vec_id "
+        "JOIN mu ma ON ma.i = a.i JOIN mu mb ON mb.i = b.i GROUP BY a.i, b.i)",
+        "c0 AS MATERIALIZED (SELECT list(cl ORDER BY i) AS C FROM "
+        "(SELECT i, list(c ORDER BY j) AS cl FROM cm GROUP BY i) z)",
+    ]
+    for _c in range(_K):
+        _pca.append(
+            f"v{_c}_0 AS MATERIALIZED (SELECT list_transform({_rng}, "
+            f"i -> 1.0 / sqrt({_D}.0)) AS V)"
+        )
+        for _t in range(_IT):
+            _pca.append(
+                f"w{_c}_{_t} AS MATERIALIZED (SELECT list_transform(cc.C, "
+                f"row -> list_sum(list_transform({_rng}, i -> row[i] * "
+                f"vv.V[i]))) AS W FROM c{_c} cc, v{_c}_{_t} vv)"
+            )
+            _pca.append(
+                f"v{_c}_{_t + 1} AS MATERIALIZED (SELECT list_transform(W, "
+                f"x -> x / sqrt(list_sum(list_transform(W, y -> y * y)))) "
+                f"AS V FROM w{_c}_{_t})"
+            )
+        _pca.append(
+            f"l{_c} AS MATERIALIZED (SELECT list_sum(list_transform({_rng}, "
+            f"i -> vv.V[i] * list_sum(list_transform({_rng}, j -> "
+            f"cc.C[i][j] * vv.V[j])))) AS lam FROM c{_c} cc, v{_c}_{_IT} vv)"
+        )
+        _pca.append(
+            f"c{_c + 1} AS MATERIALIZED (SELECT list_transform({_rng}, "
+            f"i -> list_transform({_rng}, j -> cc.C[i][j] - ll.lam * "
+            f"vv.V[i] * vv.V[j])) AS C FROM c{_c} cc, v{_c}_{_IT} vv, "
+            f"l{_c} ll)"
+        )
+    _proj = ", ".join(
+        f"round(list_sum(list_transform({_rng}, i -> (x.e[i] - mu.MU[i]) "
+        f"* v{_c}_{_IT}.V[i])), 4) AS pc{_c + 1}"
+        for _c in range(_K)
+    )
+    o["embedding_pca"] = (
+        "WITH "
+        + ", ".join(_pca)
+        + f" SELECT x.vec_id, {_proj} FROM xs x, muv mu, "
+        + ", ".join(f"v{_c}_{_IT}" for _c in range(_K))
+        + " ORDER BY x.vec_id"
+    )
+
     return o

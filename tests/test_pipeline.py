@@ -1430,3 +1430,34 @@ def test_c4_filter_line_and_doc_rules(spark):
     assert out[4].keep and out[4].n_kept_lines == 3
     assert "javascript" not in out[4].text_clean
     assert not out[5].keep and out[5].n_kept_lines == 2
+
+
+def test_pca_matches_eigh_and_projects(spark):
+    from functime_spark.pipeline.similarity import fit_pca, project_pca
+
+    rng = np.random.RandomState(7)
+    # anisotropic cloud: two dominant axes out of 6
+    base = rng.randn(300, 6) * np.array([5.0, 3.0, 1.0, 0.5, 0.2, 0.1])
+    d = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    mu, comps, lams = fit_pca(d, n_components=2, n_iter=50)
+    X = np.asarray(
+        d.orderBy("vec_id").select("embedding").toPandas()["embedding"].tolist(),
+        dtype="float64",
+    )
+    Xc = X - X.mean(axis=0)
+    C = Xc.T @ Xc / len(X)
+    w, v = np.linalg.eigh(C)
+    # top-2 eigenpairs, eigh returns ascending
+    assert np.allclose(sorted(lams, reverse=True), w[::-1][:2], rtol=1e-6)
+    for i in range(2):
+        ref = v[:, ::-1][:, i]
+        got = comps[i]
+        assert abs(abs(float(ref @ got)) - 1.0) < 1e-6  # same axis up to sign
+    # orthonormal
+    assert abs(float(comps[0] @ comps[1])) < 1e-6
+    out = project_pca(d, mu, comps).orderBy("vec_id").toPandas()
+    # projected variance equals the eigenvalues
+    assert np.allclose(out[["pc1", "pc2"]].var(ddof=0).values, lams, rtol=1e-5)
