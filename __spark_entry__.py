@@ -337,6 +337,44 @@ def q_text_lm_heldout(spark, sf_dir):
     return _round_floats(out).orderBy("doc_id")
 
 
+def q_dedup_url(spark, sf_dir):
+    """URL-level dedup over in-query planted crawl URLs (mixed-case
+    host, default port, tracking params, fragments; moduli chosen so
+    canonical collisions actually occur across the 500 docs). The
+    whole split/filter/sort canonicalization replays in the oracle."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.text import dedup_by_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:443/Dir"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("/page"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("/"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=x&b=2&a=1"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("?a=1&b=2&fbclid=q#top"))
+        .otherwise(F.lit("")),
+    )
+    d = docs.select("doc_id", url.alias("url"))
+    return dedup_by_url(d).select("doc_id", "url_canon").orderBy("doc_id")
+
+
+def q_anomaly_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detection on the hourly events panel:
+    trailing-24 window mean/std per entity, point excluded from its
+    own window. Same window SQL replays in the oracle."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.evaluation import detect_anomalies
+
+    df = events_panel(spark, sf_dir)
+    return _round_floats(detect_anomalies(df, window=24, threshold=2.5)).orderBy(
+        "user_id", "ts"
+    )
+
+
 def q_embedding_pca(spark, sf_dir):
     """PCA projection of the embedding table onto 4 power-iteration
     components; the fit (covariance, 8 iterations per component,
@@ -1951,6 +1989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_readability": q_text_readability,
             "text_normalize": q_text_normalize,
             "embedding_pca": q_embedding_pca,
+            "anomaly_zscore": q_anomaly_zscore,
+            "dedup_url": q_dedup_url,
             "text_c4": q_text_c4,
             "text_lm_heldout": q_text_lm_heldout,
             "preproc_detrend_roundtrip": q_preproc_detrend_roundtrip,
@@ -2039,6 +2079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3 additions — never driver-verified by construction
         "text_normalize",
         "embedding_pca",
+        "anomaly_zscore",
+        "dedup_url",
         "text_c4",
         "text_pii",
         "text_ngram_repetition",

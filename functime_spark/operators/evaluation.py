@@ -245,3 +245,39 @@ def rank_fva(
         (F.col("smape_bench") - F.col("smape_model")).alias("fva"),
     )
     return out.orderBy(F.desc("fva") if descending else F.asc("fva"))
+
+
+def detect_anomalies(
+    y: DataFrame,
+    window: int = 24,
+    threshold: float = 3.0,
+    min_obs: int = 5,
+) -> DataFrame:
+    """Rolling z-score anomaly detection over the panel: each point is
+    scored against the trailing `window` observations of its own
+    entity (mean/stddev over ROWS BETWEEN window PRECEDING AND 1
+    PRECEDING — the point never scores itself, so a spike cannot mask
+    itself). Emits the z-score and a boolean flag; warmup rows (< min_obs
+    trailing points) and zero-variance windows score NULL / False.
+
+    One window pass per entity partition — the same single-shuffle
+    shape as roll/lag, no UDFs, streaming-friendly ordering.
+    """
+    e, t, tgt = y.columns[:3]
+    w = (
+        Window.partitionBy(e)
+        .orderBy(t)
+        .rowsBetween(-window, -1)
+    )
+    mu = F.avg(tgt).over(w)
+    sd = F.stddev_samp(tgt).over(w)
+    n = F.count(tgt).over(w)
+    ok = (n >= min_obs) & sd.isNotNull() & (sd > 0)
+    z = F.when(ok, (F.col(tgt) - mu) / sd)
+    return y.select(
+        e,
+        t,
+        tgt,
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
+    )

@@ -3612,4 +3612,56 @@ ORDER BY 1, 2
         + " ORDER BY x.vec_id"
     )
 
+    # anomaly_zscore: identical trailing-24 frame (point excluded),
+    # min-obs warmup and zero-variance guards replayed.
+    o["anomaly_zscore"] = (
+        "WITH w AS (SELECT user_id, ts, value, "
+        "AVG(value) OVER f AS mu, STDDEV_SAMP(value) OVER f AS sd, "
+        "COUNT(value) OVER f AS n FROM events WINDOW f AS "
+        "(PARTITION BY user_id ORDER BY ts "
+        "ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) "
+        "SELECT user_id, ts, " + _r("value") + " AS value, "
+        + _r("CASE WHEN n >= 5 AND sd IS NOT NULL AND sd > 0 "
+             "THEN (value - mu) / sd END")
+        + " AS zscore, "
+        "COALESCE(ABS(CASE WHEN n >= 5 AND sd IS NOT NULL AND sd > 0 "
+        "THEN (value - mu) / sd END) > 2.5, FALSE) AS is_anomaly "
+        "FROM w ORDER BY user_id, ts"
+    )
+
+    # dedup_url: the exact canonicalization pipeline (fragment strip,
+    # lowercase scheme/host, default-port drop, tracking-param filter,
+    # param sort, trailing-slash trim) replayed as list algebra, then
+    # keep-lowest-id per canonical URL.
+    from functime_spark.pipeline.text import TRACKING_PARAMS
+
+    _tp = ", ".join(f"'{p}'" for p in TRACKING_PARAMS)
+    o["dedup_url"] = (
+        "WITH d AS (SELECT doc_id, 'HTTPS://WWW.Site' || (doc_id % 7) || "
+        "'.COM:443/Dir' || (doc_id % 3) || '/page' || (doc_id % 5) || '/' || "
+        "CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&b=2&a=1' "
+        "WHEN doc_id % 3 = 1 THEN '?a=1&b=2&fbclid=q#top' ELSE '' END "
+        "AS url FROM documents), "
+        "p AS (SELECT doc_id, string_split(url, '#')[1] AS nf FROM d), "
+        "q AS (SELECT doc_id, lower(string_split(nf, '://')[1]) AS scheme, "
+        "string_split(nf, '://')[2] AS rest FROM p), "
+        "r AS (SELECT doc_id, scheme, string_split(rest, '?')[1] AS hostpath, "
+        "CASE WHEN instr(rest, '?') > 0 THEN string_split(rest, '?')[2] "
+        "ELSE '' END AS query FROM q), "
+        "s AS (SELECT doc_id, scheme, "
+        "regexp_replace(lower(string_split(hostpath, '/')[1]), ':(80|443)$', '') "
+        "AS host, "
+        "CASE WHEN instr(hostpath, '/') > 0 THEN regexp_replace('/' || "
+        "substring(hostpath, instr(hostpath, '/') + 1), '/$', '') "
+        "ELSE '' END AS path, "
+        "array_to_string(list_sort(list_filter(string_split(query, '&'), "
+        f"kv -> kv <> '' AND NOT list_contains([{_tp}], "
+        "string_split(kv, '=')[1]))), '&') AS qs FROM r), "
+        "c AS (SELECT doc_id, scheme || '://' || host || path || "
+        "CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS url_canon FROM s), "
+        "k AS (SELECT doc_id, url_canon, row_number() OVER "
+        "(PARTITION BY url_canon ORDER BY doc_id) AS rn FROM c) "
+        "SELECT doc_id, url_canon FROM k WHERE rn = 1 ORDER BY doc_id"
+    )
+
     return o

@@ -568,3 +568,79 @@ def c4_quality_filter(
         keep.alias("keep"),
         F.array_join(kept, "\n").alias("text_clean"),
     )
+
+
+#: query parameters stripped by canonicalize_urls (tracking junk that
+#: makes otherwise-identical crawl URLs distinct)
+TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term",
+    "utm_content", "fbclid", "gclid", "msclkid", "ref", "mc_cid",
+    "mc_eid",
+)
+
+
+def canonicalize_urls(
+    df: DataFrame, url_col: str = "url", out_col: str = "url_canon"
+) -> DataFrame:
+    """Crawl-URL canonicalization (the key for URL-level dedup before
+    any content hashing): lowercase scheme+host, drop default ports
+    (:80/:443), drop the fragment, strip tracking query params
+    (TRACKING_PARAMS), sort the surviving params, and trim a trailing
+    slash off the path. Everything is split/filter/array_sort/concat
+    Column algebra — codegen only, no UDF, and the identical list
+    pipeline replays in DuckDB.
+    """
+    u = F.col(url_col)
+    no_frag = F.split(u, "#")[0]
+    scheme = F.lower(F.split(no_frag, "://")[0])
+    rest = F.substring_index(no_frag, "://", -1)
+    hostpath = F.split(rest, r"\?")[0]
+    query = F.when(
+        F.instr(rest, "?") > 0, F.substring_index(rest, "?", -1)
+    ).otherwise(F.lit(""))
+    host = F.lower(F.split(hostpath, "/")[0])
+    host = F.regexp_replace(host, ":(80|443)$", "")
+    # path = everything after the first '/' of host[:port]/path
+    path = F.when(
+        F.instr(hostpath, "/") > 0,
+        F.expr(
+            f"concat('/', substring(split(split(split({url_col}, '#')[0], "
+            f"'://')[1], '[?]')[0], instr(split(split({url_col}, '#')[0], "
+            f"'://')[1], '/') + 1))"
+        ),
+    ).otherwise(F.lit(""))
+    path = F.regexp_replace(path, "/$", "")
+    tracking = F.array(*[F.lit(p) for p in TRACKING_PARAMS])
+    params = F.filter(
+        F.split(query, "&"),
+        lambda kv: (kv != "")
+        & ~F.array_contains(tracking, F.split(kv, "=")[0]),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+    return df.withColumn(out_col, canon)
+
+
+def dedup_by_url(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level exact dedup: canonicalize, keep the lowest-id doc per
+    canonical URL. One hash shuffle on the canonical string — the
+    cheapest dedup tier, run before any content-based pass."""
+    from pyspark.sql import Window
+
+    canon = canonicalize_urls(docs, url_col=url_col)
+    w = Window.partitionBy("url_canon").orderBy(id_col)
+    return (
+        canon.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

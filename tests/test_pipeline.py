@@ -1461,3 +1461,25 @@ def test_pca_matches_eigh_and_projects(spark):
     out = project_pca(d, mu, comps).orderBy("vec_id").toPandas()
     # projected variance equals the eigenvalues
     assert np.allclose(out[["pc1", "pc2"]].var(ddof=0).values, lams, rtol=1e-5)
+
+
+def test_canonicalize_urls_rules(spark):
+    from functime_spark.pipeline.text import canonicalize_urls, dedup_by_url
+
+    d = spark.createDataFrame(
+        [
+            (0, "HTTPS://WWW.Ex.COM:443/P/Q/?utm_source=x&b=2&a=1&fbclid=z#f"),
+            (1, "https://www.ex.com/P/Q?a=1&b=2"),
+            (2, "http://ex.com:80"),
+            (3, "http://ex.com/"),
+            (4, "https://ex.com/A?gclid=only"),
+            (5, "https://ex.com/A"),
+        ],
+        "doc_id long, url string",
+    )
+    canon = {r.doc_id: r.url_canon for r in canonicalize_urls(d).collect()}
+    assert canon[0] == canon[1] == "https://www.ex.com/P/Q?a=1&b=2"
+    assert canon[2] == canon[3] == "http://ex.com"
+    assert canon[4] == canon[5] == "https://ex.com/A"
+    kept = sorted(r.doc_id for r in dedup_by_url(d).collect())
+    assert kept == [0, 2, 4]

@@ -310,3 +310,28 @@ def test_clip_outliers_bounds_and_transform_new(spark):
     assert got[200] == pytest.approx(hi) and got[201] == pytest.approx(lo)
     with pytest.raises(NotImplementedError):
         tf.invert(df)
+
+
+def test_detect_anomalies_flags_planted_spike(spark):
+    import math
+
+    from functime_spark.operators.evaluation import detect_anomalies
+
+    rows = []
+    for ent in ("a", "b"):
+        for i in range(40):
+            v = 10.0 + math.sin(i / 3.0)
+            if ent == "a" and i == 30:
+                v = 50.0  # planted spike
+            rows.append((ent, i, v))
+    df = spark.createDataFrame(rows, "entity string, ts long, value double")
+    out = detect_anomalies(df, window=10, threshold=3.0).collect()
+    flagged = [(r.entity, r.ts) for r in out if r.is_anomaly]
+    assert ("a", 30) in flagged
+    assert all(e != "b" for e, _ in flagged)
+    # warmup rows score NULL and are never flagged
+    warm = [r for r in out if r.ts < 5]
+    assert all(r.zscore is None and not r.is_anomaly for r in warm)
+    # the spike does not sit inside its own window (z is huge, not ~1)
+    spike = [r for r in out if r.entity == "a" and r.ts == 30][0]
+    assert spike.zscore > 10
