@@ -337,6 +337,43 @@ def q_text_lm_heldout(spark, sf_dir):
     return _round_floats(out).orderBy("doc_id")
 
 
+def q_text_scripts(spark, sf_dir):
+    """Unicode-script census over docs with planted non-Latin tails
+    (Cyrillic/Han/Greek/Arabic/Hangul by doc_id residue). Java regex
+    spells scripts \\p{IsX}; the RE2 oracle spells them \\p{X} —
+    same char classes."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.text import script_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    tail = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" \u0416\u0417\u0418"))
+        .when(F.col("doc_id") % 5 == 1, F.lit(" \u4e2d\u6587"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(" \u03b1\u03b2\u03b3\u03b4"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(" \u0627\u0644\u0639"))
+        .otherwise(F.lit(" \uac00\uac01"))
+    )
+    noisy = docs.select(
+        "doc_id",
+        F.concat(F.substring("text", 1, (F.col("doc_id") % 9).cast("int")), tail).alias(
+            "text"
+        ),
+    )
+    return script_profile(noisy).orderBy("doc_id")
+
+
+def q_corpus_chunks(spark, sf_dir):
+    """Fixed-token chunking with overlap (32/8) over the documents
+    table — map-only explode, list pipeline replayed in the oracle."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.packing import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
 def q_dedup_url(spark, sf_dir):
     """URL-level dedup over in-query planted crawl URLs (mixed-case
     host, default port, tracking params, fragments; moduli chosen so
@@ -1991,6 +2028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embedding_pca": q_embedding_pca,
             "anomaly_zscore": q_anomaly_zscore,
             "dedup_url": q_dedup_url,
+            "corpus_chunks": q_corpus_chunks,
+            "text_scripts": q_text_scripts,
             "text_c4": q_text_c4,
             "text_lm_heldout": q_text_lm_heldout,
             "preproc_detrend_roundtrip": q_preproc_detrend_roundtrip,
@@ -2081,6 +2120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca",
         "anomaly_zscore",
         "dedup_url",
+        "corpus_chunks",
+        "text_scripts",
         "text_c4",
         "text_pii",
         "text_ngram_repetition",

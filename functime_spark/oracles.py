@@ -3664,4 +3664,58 @@ ORDER BY 1, 2
         "SELECT doc_id, url_canon FROM k WHERE rn = 1 ORDER BY doc_id"
     )
 
+    # corpus_chunks: 32-token chunks, 8-token overlap (stride 24);
+    # range() excludes n like the Spark `start < n` filter, list slice
+    # clamps the trailing partial chunk the same way.
+    o["corpus_chunks"] = (
+        "WITH t AS (SELECT doc_id, "
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws "
+        "FROM documents), "
+        "s AS (SELECT doc_id, ws, unnest(range(0, len(ws), 24)) AS st "
+        "FROM t WHERE len(ws) > 0) "
+        "SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_id, "
+        "array_to_string(ws[st + 1:st + 32], ' ') AS chunk_text, "
+        "CAST(len(ws[st + 1:st + 32]) AS BIGINT) AS n_tokens "
+        "FROM s ORDER BY doc_id, chunk_id"
+    )
+
+    # text_scripts: same census with RE2 script names; the dominant-
+    # script argmax replays as the same strictly-greater when-chain.
+    from functime_spark.pipeline.text import SCRIPTS
+
+    _tail = (
+        "CASE WHEN doc_id % 5 = 0 THEN ' ' || chr(1046) || chr(1047) || chr(1048) "
+        "WHEN doc_id % 5 = 1 THEN ' ' || chr(20013) || chr(25991) "
+        "WHEN doc_id % 5 = 2 THEN ' ' || chr(945) || chr(946) || chr(947) || chr(948) "
+        "WHEN doc_id % 5 = 3 THEN ' ' || chr(1575) || chr(1604) || chr(1593) "
+        "ELSE ' ' || chr(44032) || chr(44033) END"
+    )
+    _cnt = {
+        s: f"CAST(len(regexp_extract_all(text, '\\p{{{s}}}')) AS BIGINT)"
+        for s in SCRIPTS
+    }
+    _dom = "'other'"
+    _domn = "CAST(0 AS BIGINT)"
+    for s in SCRIPTS:
+        _dom = (
+            f"CASE WHEN n_{s.lower()} > {_domn} THEN '{s.lower()}' "
+            f"ELSE {_dom} END"
+        )
+        _domn = (
+            f"CASE WHEN n_{s.lower()} > {_domn} THEN n_{s.lower()} "
+            f"ELSE {_domn} END"
+        )
+    o["text_scripts"] = (
+        "WITH n AS (SELECT doc_id, "
+        f"substring(text, 1, CAST(doc_id % 9 AS INT)) || {_tail} AS text "
+        "FROM documents), "
+        "c AS (SELECT doc_id, "
+        + ", ".join(f"{_cnt[s]} AS n_{s.lower()}" for s in SCRIPTS)
+        + ", CAST(len(regexp_extract_all(text, '\\S')) AS BIGINT) "
+        "AS n_nonspace FROM n) "
+        "SELECT doc_id, "
+        + ", ".join(f"n_{s.lower()}" for s in SCRIPTS)
+        + f", n_nonspace, {_dom} AS dominant_script FROM c ORDER BY doc_id"
+    )
+
     return o

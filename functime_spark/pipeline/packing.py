@@ -86,3 +86,45 @@ def pack_shards(
         )
     )
     return out
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-token training chunks with overlap:
+    chunk c covers tokens [c*stride, c*stride + chunk_tokens) where
+    stride = chunk_tokens - overlap. The trailing partial chunk is
+    kept (dataloaders pad); zero-token docs emit no rows.
+
+    Pure sequence/explode/slice Column algebra — each doc expands
+    row-locally (no shuffle at all; chunking 100 TB is a map-only
+    job), and the same list pipeline replays in the oracle.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    n = F.size(toks)
+    # start offsets 0, stride, ... strictly below n
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest((n - 1) - ((n - 1) % stride), F.lit(0)),
+        F.lit(stride),
+    )
+    exploded = docs.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        n.alias("__n"),
+        F.explode(starts).alias("__start"),
+    ).filter(F.col("__start") < F.col("__n"))
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        (F.col("__start") / stride).cast("long").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )

@@ -644,3 +644,38 @@ def dedup_by_url(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+#: scripts profiled by script_profile. Java regex needs the Is- prefix
+#: for script properties; RE2 (the oracle) uses the bare name.
+SCRIPTS = ("Latin", "Cyrillic", "Greek", "Arabic", "Han", "Hangul")
+
+
+def script_profile(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Unicode-script census: character counts per script
+    (Latin/Cyrillic/Greek/Arabic/Han/Hangul), the non-whitespace
+    total, and the dominant script (most chars; first in SCRIPTS
+    order on ties, 'other' when nothing matches). One regexp_count
+    per script — codegen only, no shuffle. The scale companion to
+    language_id: script mix is the cheap first router for
+    multilingual corpora."""
+    t = F.col(text_col)
+    counts = {
+        s: F.regexp_count(t, F.lit(r"\p{Is%s}" % s)).cast("long")
+        for s in SCRIPTS
+    }
+    total = F.regexp_count(t, F.lit(r"\S")).cast("long")
+    best = F.lit("other")
+    best_n = F.lit(0).cast("long")
+    for s in SCRIPTS:  # strictly-greater keeps first-of-ties
+        cond = counts[s] > best_n
+        best = F.when(cond, F.lit(s.lower())).otherwise(best)
+        best_n = F.when(cond, counts[s]).otherwise(best_n)
+    return docs.select(
+        F.col(id_col),
+        *[counts[s].alias(f"n_{s.lower()}") for s in SCRIPTS],
+        total.alias("n_nonspace"),
+        best.alias("dominant_script"),
+    )

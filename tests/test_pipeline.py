@@ -1483,3 +1483,54 @@ def test_canonicalize_urls_rules(spark):
     assert canon[4] == canon[5] == "https://ex.com/A"
     kept = sorted(r.doc_id for r in dedup_by_url(d).collect())
     assert kept == [0, 2, 4]
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from functime_spark.pipeline.packing import chunk_documents
+
+    d = spark.createDataFrame(
+        [
+            (0, " ".join(f"t{i}" for i in range(10))),
+            (1, "a b c"),
+            (2, ""),
+            (3, "  "),
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(d, chunk_tokens=4, overlap=1).orderBy(
+        "doc_id", "chunk_id"
+    ).collect()
+    got = [(r.doc_id, r.chunk_id, r.chunk_text, r.n_tokens) for r in out]
+    assert got == [
+        (0, 0, "t0 t1 t2 t3", 4),
+        (0, 1, "t3 t4 t5 t6", 4),
+        (0, 2, "t6 t7 t8 t9", 4),
+        (0, 3, "t9", 1),
+        (1, 0, "a b c", 3),
+    ]
+    # chunks cover every token: stride reassembly minus overlaps
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(d, chunk_tokens=4, overlap=4)
+
+
+def test_script_profile_census_and_dominant(spark):
+    from functime_spark.pipeline.text import script_profile
+
+    d = spark.createDataFrame(
+        [
+            (0, "hello world"),
+            (1, "ЖЗИ ok"),
+            (2, "中文字符串"),
+            (3, "αβ abc 가각갂갃"),
+            (4, "123 !?"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in script_profile(d).collect()}
+    assert out[0].dominant_script == "latin" and out[0].n_latin == 10
+    assert out[1].dominant_script == "cyrillic" and out[1].n_cyrillic == 3
+    assert out[2].dominant_script == "han" and out[2].n_han == 5
+    assert out[3].dominant_script == "hangul" and out[3].n_hangul == 4
+    assert out[4].dominant_script == "other" and out[4].n_nonspace == 5
