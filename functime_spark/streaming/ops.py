@@ -353,3 +353,71 @@ def stream_decontaminate(
             )
 
     return docs.select(id_col, text_col).mapInPandas(score, schema=out_schema)
+
+
+def stream_anomaly(
+    df: DataFrame,
+    window: int = 24,
+    threshold: float = 3.0,
+    min_obs: int = 5,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Stateful streaming twin of operators.evaluation.detect_anomalies:
+    each point is z-scored against the trailing `window` values of its
+    entity, point excluded from its own frame. Per-entity state is the
+    bounded ring buffer of the last `window` values — O(window) per
+    key in the state store, shard-by-entity, watermark-free (the
+    buffer, not time, bounds state).
+
+    Emits every scored row (append mode); warmup/zero-variance rows
+    score NaN-free NULL like the batch op. Ordering inside a
+    micro-batch is by event time; cross-batch order is arrival order,
+    the streaming contract.
+    """
+    import pandas as pd
+
+    p = panel_cols(df)
+    entity_dtype = dict(df.dtypes)[p.entity]
+    time_dtype = dict(df.dtypes)[p.time]
+    out_schema = (
+        f"{p.entity} {entity_dtype}, {p.time} {time_dtype}, "
+        f"{p.target} double, zscore double, is_anomaly boolean"
+    )
+    state_schema = "buf array<double>"
+
+    def update(key, pdfs, state):
+        buf = list(state.get[0]) if state.exists else []
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(p.time)
+            for t, x in zip(pdf[p.time], pdf[p.target]):
+                x = float(x)
+                z = None
+                if len(buf) >= min_obs:
+                    n = len(buf)
+                    mean = sum(buf) / n
+                    var = sum((v - mean) ** 2 for v in buf) / (n - 1)
+                    if var > 0:
+                        z = (x - mean) / var**0.5
+                rows.append(
+                    (
+                        key[0],
+                        t,
+                        x,
+                        z,
+                        bool(z is not None and abs(z) > threshold),
+                    )
+                )
+                buf.append(x)
+                if len(buf) > window:
+                    buf.pop(0)
+        state.update((buf,))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[p.entity, p.time, p.target, "zscore", "is_anomaly"],
+            )
+
+    return df.groupBy(p.entity).applyInPandasWithState(
+        update, out_schema, state_schema, "append", timeout
+    )

@@ -323,3 +323,59 @@ def test_incremental_dedup_never_scans_store_text(spark, tmp_path):
         assert "ReadSchema: struct<doc_id:bigint,sig:array<bigint>>" in plan
     finally:
         shutil.rmtree(store_path, ignore_errors=True)
+
+
+def test_text_cleanup_ops_shuffle_free(spark):
+    """normalize_text / c4_quality_filter / script_profile / pii scan
+    and chunk_documents are map-only passes: ZERO exchanges. Any
+    shuffle here multiplies corpus-scale IO for row-local work."""
+    from functime_spark.pipeline.packing import chunk_documents
+    from functime_spark.pipeline.text import (
+        c4_quality_filter,
+        normalize_text,
+        script_profile,
+    )
+    from functime_spark.plans import assert_max_exchanges
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert_max_exchanges(normalize_text(docs), 0)
+    assert_max_exchanges(c4_quality_filter(docs), 0)
+    assert_max_exchanges(script_profile(docs), 0)
+    assert_max_exchanges(chunk_documents(docs), 0)
+
+
+def test_url_dedup_single_shuffle(spark):
+    """Canonicalization is row-local; the keep-first dedup is exactly
+    one hash exchange on the canonical URL."""
+    from pyspark.sql import functions as F
+
+    from functime_spark.pipeline.text import canonicalize_urls, dedup_by_url
+    from functime_spark.plans import assert_max_exchanges
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", F.concat(F.lit("https://x.com/"), "doc_id").alias("url"))
+    assert_max_exchanges(canonicalize_urls(docs), 0)
+    assert_max_exchanges(dedup_by_url(docs), 1)
+
+
+def test_anomaly_and_pca_plan_shapes(spark):
+    """detect_anomalies = one entity-partition window exchange (same
+    shape as lag); project_pca = broadcast params over a narrow scan,
+    no shuffle of the embedding side."""
+    from functime_spark.operators.evaluation import detect_anomalies
+    from functime_spark.pipeline.similarity import project_pca
+    from functime_spark.plans import assert_max_exchanges, explain_str
+    from functime_spark.sources.tables import events_panel, load_table
+
+    y = events_panel(spark, "/root/testdata/sf0.001")
+    assert_max_exchanges(detect_anomalies(y), 1)
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    mu = [0.0] * 64
+    comps = [[1.0 / 8.0] * 64, [0.5 / 8.0] * 64]
+    proj = project_pca(emb, mu, comps)
+    plan = explain_str(proj)
+    assert "BroadcastExchange" in plan
+    # no hash-partition shuffle of the big embedding side
+    assert plan.count("Exchange hashpartitioning") == 0

@@ -300,3 +300,58 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
             assert r["contamination"] == pytest.approx(b["contamination"])
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_stream_anomaly_matches_batch(spark, tmp_path):
+    """Streaming z-score equals the batch detect_anomalies row-for-row
+    when the stream delivers in time order (single source batch)."""
+    import math
+
+    from functime_spark.operators.evaluation import detect_anomalies
+    from functime_spark.streaming.ops import stream_anomaly
+
+    rows = []
+    for ent in ("a", "b"):
+        for i in range(40):
+            v = 5.0 + math.sin(i / 2.0)
+            if ent == "a" and i == 33:
+                v = 40.0
+            rows.append((ent, i, v))
+    df = spark.createDataFrame(rows, "entity string, t long, y double")
+    path = str(tmp_path / "anom_src")
+    df.coalesce(1).write.parquet(path)
+
+    src = spark.readStream.schema(df.schema).parquet(path)
+    out = stream_anomaly(src, window=10, threshold=3.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("anom_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.table("anom_t")
+        .toPandas()
+        .sort_values(["entity", "t"])
+        .reset_index(drop=True)
+    )
+    want = (
+        detect_anomalies(df, window=10, threshold=3.0)
+        .toPandas()
+        .sort_values(["entity", "t"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 80
+    assert (got["is_anomaly"] == want["is_anomaly"]).all()
+    import numpy as _np
+
+    a = got["zscore"].to_numpy(dtype=float)
+    b = want["zscore"].to_numpy(dtype=float)
+    mask = ~_np.isnan(a)
+    assert (_np.isnan(a) == _np.isnan(b)).all()
+    assert _np.allclose(a[mask], b[mask], atol=1e-9)
+    flagged = got[got["is_anomaly"]]
+    assert list(flagged["entity"]) == ["a"] and list(flagged["t"]) == [33]
