@@ -3515,8 +3515,7 @@ ORDER BY 1, 2
             f"'{_rep.replace(chr(39), chr(39) * 2)}', 'g')"
         )
     o["text_normalize"] = (
-        f"WITH n AS (SELECT doc_id, {_noisy} AS t0, "
-        f"trim(regexp_replace({_expr}, '\\s+', ' ', 'g')) AS tn "
+        f"WITH n AS (SELECT doc_id, {_noisy} AS t0, {_expr} AS tn "
         "FROM documents) "
         "SELECT doc_id, tn AS text_norm, "
         "CAST(length(t0) - length(tn) AS BIGINT) AS chars_removed "

@@ -24,6 +24,9 @@ def clean_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     use_gopher: bool = True,
+    normalize: bool = False,
+    use_c4: bool = False,
+    url_col: str | None = None,
     dedup: str = "minhash",
     minhash_threshold: float = 0.8,
     decontaminate_n: int = 8,
@@ -34,7 +37,12 @@ def clean_corpus(
     per-stage attrition DataFrame (stage, docs_in, docs_out).
 
     Stages (each optional):
+    0. normalize — unicode/whitespace canonicalization (rewrites
+       text_col in place; row-local, run before anything hashes text);
+    0b. url — URL-level dedup on `url_col` (cheapest dedup tier);
     1. gopher  — Rae et al. 2021 quality rules (row-local filter);
+    1b. c4     — Raffel et al. 2020 line/doc rules (rewrites text_col
+       to the kept lines, drops lorem-ipsum/brace/thin docs);
     2. exact   — md5 exact dedup, keep min id;
     3. minhash — MinHash-LSH near-dup pairs -> keep cluster canonical;
     4. decontaminate — drop docs sharing word n-grams with `benchmark`;
@@ -61,12 +69,38 @@ def clean_corpus(
         report.append((name, n_in, n_out))
         cur = nxt
 
+    if normalize:
+        from functime_spark.pipeline.text import normalize_text
+
+        normed = normalize_text(cur, text_col=text_col, id_col=id_col)
+        step(
+            "normalize",
+            cur.drop(text_col).join(
+                normed.select(id_col, F.col("text_norm").alias(text_col)),
+                on=id_col,
+            ),
+        )
+    if url_col is not None:
+        from functime_spark.pipeline.text import dedup_by_url
+
+        step(
+            "url_dedup",
+            dedup_by_url(cur, url_col=url_col, id_col=id_col).drop("url_canon"),
+        )
     if use_gopher:
         from functime_spark.pipeline.text import gopher_quality_filter
 
         flags = gopher_quality_filter(cur, text_col=text_col, id_col=id_col)
         keep = flags.filter(F.col("passes") == 1).select(id_col)
         step("gopher", cur.join(keep, on=id_col, how="left_semi"))
+    if use_c4:
+        from functime_spark.pipeline.text import c4_quality_filter
+
+        c4 = c4_quality_filter(cur, text_col=text_col, id_col=id_col)
+        kept = c4.filter(F.col("keep")).select(
+            id_col, F.col("text_clean").alias(text_col)
+        )
+        step("c4", cur.drop(text_col).join(kept, on=id_col))
     if dedup in ("exact", "minhash"):
         keep = exact_dedup(cur, text_col, id_col).select(id_col)
         step("exact_dedup", cur.join(keep, on=id_col, how="left_semi"))

@@ -476,8 +476,10 @@ def readability_scores(
 #: both Java regex and RE2. Order matters only for the control-char
 #: strip (first).
 NORMALIZE_RULES = (
-    # C0 controls except \t\n\r, plus DEL (\t\n\r fold into the
-    # whitespace collapse later, so dropping them here too is safe)
+    # CRLF / lone CR -> LF first so later rules see one newline form
+    ("\r\n?", "\n"),
+    # C0 controls except \t\n, plus DEL (\t folds into the
+    # horizontal-whitespace collapse later)
     ("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""),
     # typographic punctuation -> ASCII
     ("[\u2018\u2019\u201a\u2032]", "'"),
@@ -488,6 +490,14 @@ NORMALIZE_RULES = (
     ("[\u00a0\u1680\u2000-\u200a\u202f\u205f\u3000]", " "),
     # zero-width chars and BOM: drop
     ("[\u200b\u200c\u200d\ufeff]", ""),
+    # collapse HORIZONTAL whitespace runs; newlines survive (line
+    # structure feeds the line-level filters, e.g. c4_quality_filter)
+    ("[^\\S\n]+", " "),
+    # strip spaces hugging a newline, cap blank runs at one blank line
+    (" ?\n ?", "\n"),
+    ("\n{3,}", "\n\n"),
+    # trim leading/trailing whitespace of the whole document
+    ("^\\s+|\\s+$", ""),
 )
 
 
@@ -514,7 +524,6 @@ def normalize_text(
     # whitespace collapse below, so ordering is not observable.)
     for pat, rep in NORMALIZE_RULES:
         t = F.regexp_replace(t, pat, rep)
-    t = F.trim(F.regexp_replace(t, r"\s+", " "))
     if lowercase:
         t = F.lower(t)
     return docs.select(

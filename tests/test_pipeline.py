@@ -1388,7 +1388,7 @@ def test_normalize_text_folds_unicode_and_whitespace(spark):
     )
     rows = {r.doc_id: r for r in normalize_text(d).collect()}
     assert rows[0].text_norm == '"Hi" there - ok...'
-    assert rows[1].text_norm == "ab c d"
+    assert rows[1].text_norm == "ab c\nd"  # newlines survive for line ops
     assert rows[2].text_norm == "already clean"
     assert rows[2].chars_removed == 0
     # idempotent: a second pass changes nothing
@@ -1534,3 +1534,36 @@ def test_script_profile_census_and_dominant(spark):
     assert out[2].dominant_script == "han" and out[2].n_han == 5
     assert out[3].dominant_script == "hangul" and out[3].n_hangul == 4
     assert out[4].dominant_script == "other" and out[4].n_nonspace == 5
+
+
+def test_clean_corpus_normalize_c4_url_stages(spark):
+    from functime_spark.pipeline.clean import clean_corpus
+
+    good = "this line has plenty of words and ends well."
+    d = spark.createDataFrame(
+        [
+            (0, f"{good}\n{good}\n{good}", "https://ex.com/a?utm_source=1"),
+            (1, f"{good}\n{good}\n{good}", "https://EX.com/a"),  # url dup of 0
+            (2, "lorem ipsum here.\n" + "\n".join([good] * 3), "https://ex.com/b"),
+            (3, f"“{good}”\n{good}\n{good}\n{good}", "https://ex.com/c"),
+        ],
+        "doc_id long, text string, url string",
+    )
+    out, rep = clean_corpus(
+        d,
+        normalize=True,
+        use_c4=True,
+        url_col="url",
+        use_gopher=False,
+        dedup="exact",
+        minhash_threshold=0.8,
+    )
+    stages = {r.stage: (r.docs_in, r.docs_out) for r in rep.collect()}
+    assert stages["normalize"] == (4, 4)
+    assert stages["url_dedup"] == (4, 3)  # doc 1 dies (canonical dup of 0)
+    assert stages["c4"][1] == 2  # doc 2 dies (lorem ipsum)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [0, 3]
+    # normalize ran before c4: the curly quotes folded, doc 3 survived
+    t3 = [r.text for r in out.collect() if r.doc_id == 3][0]
+    assert "“" not in t3 and t3.count("\n") == 3
