@@ -45,6 +45,10 @@ def _round_floats(df: DataFrame, nd: int = ROUND) -> DataFrame:
 def _ensure_nanos_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Pin repo semantics regardless of the host session: Spark 4 defaults
+    # ANSI on, which turns benign long-arithmetic wraparound (hash sums,
+    # overflow-tolerant casts) into hard errors mid-query.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
 
 
 # ---------------------------------------------------------------------------

@@ -3276,7 +3276,7 @@ ORDER BY 1, 2
         r"len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tk "
         "FROM documents) "
         "SELECT lang, source, COUNT(*) AS n_docs, "
-        "SUM(ch) AS total_chars, "
+        "CAST(SUM(ch) AS BIGINT) AS total_chars, "
         + _r("AVG(ch)")
         + " AS mean_chars, "
         + _r("median(ch)")
@@ -3292,7 +3292,7 @@ ORDER BY 1, 2
         r"len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tk "
         "FROM documents) "
         "SELECT lang, source, COUNT(*) AS n_docs, "
-        "SUM(ch) AS total_chars, "
+        "CAST(SUM(ch) AS BIGINT) AS total_chars, "
         + _r("AVG(ch)")
         + " AS mean_chars, "
         + _r("median(ch)")

@@ -477,9 +477,13 @@ def connected_components(
             .distinct()
             .localCheckpoint()
         )
+        # overflow-proof convergence signature: bit_xor of the row
+        # hashes is order-independent and cannot overflow a long even
+        # under spark.sql.ansi.enabled=true (the driver session default;
+        # a sum of uniform 64-bit hashes overflows on any real edge set).
         sig = e.agg(
             F.count("*").alias("n"),
-            F.sum(F.xxhash64("big", "small")).alias("h"),
+            F.bit_xor(F.xxhash64("big", "small")).alias("h"),
         ).first()
         if prev_sig == (sig["n"], sig["h"]):
             break

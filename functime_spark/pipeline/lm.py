@@ -68,6 +68,13 @@ def fit_ngram_lm(
     bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     if min_count > 1:
         bi = bi.filter(F.col("c") >= min_count)
+    # materialize the count tables: scoring joins each of them into
+    # multiple plan branches (w1-join, w2-join, bigram join, held-out
+    # reuse, quality_tiers' percentile + projection lineages). Without
+    # a cut every branch re-aggregates the training corpus — 5+ source
+    # scans measured. They are vocab-sized aggregates: pay once.
+    uni = uni.localCheckpoint()
+    bi = bi.localCheckpoint()
     totals = uni.agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
     ).collect()[0]
@@ -167,6 +174,11 @@ def quality_tiers(
     projection. Deliberately NOT ntile() — a global ntile is a
     single-partition window sort at corpus scale, and percentile cuts
     are stable under re-partitioning."""
+    # the scored frame feeds BOTH the percentile aggregate and the
+    # output projection; un-cut, the whole upstream scoring chain (LM
+    # joins, source scans) runs twice. One row per doc, few columns —
+    # cheap to pin, and the only way the two consumers see one scan.
+    scored = scored.localCheckpoint()
     cuts = [i / n_tiers for i in range(1, n_tiers)]
     qs = scored.agg(
         F.array(

@@ -1,0 +1,49 @@
+"""Every oracle's DuckDB output schema must be mirror-able by a Spark
+result: the driver hashes typed values, so a DuckDB-only type (HUGEINT
+from an uncast integer SUM, UHUGEINT, DECIMAL wider than 38) hash-
+mismatches even when every value string is identical. This sweep
+caught `corpus_stats` in round 3 (`SUM(ch)` -> int128 while Spark's
+sum is int64)."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from functime_spark.sources.tables import TABLE_NAMES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# DuckDB type ids with no Spark twin. DECIMAL is allowed only up to
+# Spark's 38-digit ceiling (checked separately below).
+FORBIDDEN = {"HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT"}
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLE_NAMES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+def test_every_oracle_output_type_has_a_spark_twin(con):
+    bad = []
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            # DESCRIBE plans without executing — types come from the
+            # binder, so even heavy oracles check instantly
+            rows = con.execute(f"DESCRIBE ({sql})").fetchall()
+        except Exception as exc:  # a broken oracle fails the gate anyway
+            bad.append((name, f"describe error: {exc}"))
+            continue
+        for col, typ, *_ in rows:
+            t = typ.upper()
+            if any(f in t for f in FORBIDDEN):
+                bad.append((name, f"{col}: {typ}"))
+            if t.startswith("DECIMAL"):
+                digits = t.split("(")[1].split(",")[0]
+                if int(digits) > 38:
+                    bad.append((name, f"{col}: {typ} wider than Spark's 38"))
+    assert not bad, f"oracles emit Spark-untypeable columns: {bad}"

@@ -4,7 +4,12 @@ Runs every __spark_entry__ query at sf0.01 in Spark AND its DuckDB
 oracle, compares row count, column names, and values (exact after the
 shared 6-decimal rounding). Usage:
 
-    python3 tools/check_correctness.py [sf_dir] [query ...]
+    python3 tools/check_correctness.py [--ansi] [sf_dir] [query ...]
+
+`--ansi` creates the session with spark.sql.ansi.enabled=true — the
+driver's session default (Spark 4) — to verify that every query pins
+its own semantics via _ensure_nanos_conf. The grade is computed in
+that session, not the repo's, so claim-bearing runs should use it.
 """
 
 from __future__ import annotations
@@ -50,9 +55,17 @@ def normalize(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_session("correctness")
+    argv = sys.argv[1:]
+    ansi = "--ansi" in argv
+    argv = [a for a in argv if a != "--ansi"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    extra = {"spark.sql.ansi.enabled": "true"} if ansi else None
+    spark = get_session("correctness", extra_conf=extra)
+    if ansi:
+        # emulate the driver: ANSI on at session scope; queries must
+        # survive via their own _ensure_nanos_conf pinning
+        spark.conf.set("spark.sql.ansi.enabled", "true")
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_con(sf_dir)
 
@@ -63,6 +76,9 @@ def main():
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        if ansi:
+            # re-arm before every query: each must pin its own semantics
+            spark.conf.set("spark.sql.ansi.enabled", "true")
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
