@@ -3598,9 +3598,13 @@ ORDER BY 1, 2
             f"vv.V[i] * vv.V[j])) AS C FROM c{_c} cc, v{_c}_{_IT} vv, "
             f"l{_c} ll)"
         )
+    # +1e-9 matches _round_floats' tie nudge on the Spark side (every
+    # other oracle goes through _r): a pc value sitting within 1e-9
+    # below a 4th-decimal half boundary must round the same way in
+    # both engines
     _proj = ", ".join(
         f"round(list_sum(list_transform({_rng}, i -> (x.e[i] - mu.MU[i]) "
-        f"* v{_c}_{_IT}.V[i])), 4) AS pc{_c + 1}"
+        f"* v{_c}_{_IT}.V[i])) + 1e-9, 4) AS pc{_c + 1}"
         for _c in range(_K)
     )
     o["embedding_pca"] = (
@@ -3643,13 +3647,17 @@ ORDER BY 1, 2
         "AS url FROM documents), "
         "p AS (SELECT doc_id, string_split(url, '#')[1] AS nf FROM d), "
         "q AS (SELECT doc_id, lower(string_split(nf, '://')[1]) AS scheme, "
-        "string_split(nf, '://')[2] AS rest FROM p), "
+        "CASE WHEN instr(nf, '://') > 0 THEN substring(nf, instr(nf, '://') + 3) "
+        "ELSE nf END AS rest FROM p), "
         "r AS (SELECT doc_id, scheme, string_split(rest, '?')[1] AS hostpath, "
-        "CASE WHEN instr(rest, '?') > 0 THEN string_split(rest, '?')[2] "
+        "CASE WHEN instr(rest, '?') > 0 THEN substring(rest, instr(rest, '?') + 1) "
         "ELSE '' END AS query FROM q), "
         "s AS (SELECT doc_id, scheme, "
-        "regexp_replace(lower(string_split(hostpath, '/')[1]), ':(80|443)$', '') "
-        "AS host, "
+        "CASE WHEN scheme = 'http' THEN "
+        "regexp_replace(lower(string_split(hostpath, '/')[1]), ':80$', '') "
+        "WHEN scheme = 'https' THEN "
+        "regexp_replace(lower(string_split(hostpath, '/')[1]), ':443$', '') "
+        "ELSE lower(string_split(hostpath, '/')[1]) END AS host, "
         "CASE WHEN instr(hostpath, '/') > 0 THEN regexp_replace('/' || "
         "substring(hostpath, instr(hostpath, '/') + 1), '/$', '') "
         "ELSE '' END AS path, "

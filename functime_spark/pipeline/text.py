@@ -602,21 +602,32 @@ def canonicalize_urls(
     u = F.col(url_col)
     no_frag = F.split(u, "#")[0]
     scheme = F.lower(F.split(no_frag, "://")[0])
-    rest = F.substring_index(no_frag, "://", -1)
-    hostpath = F.split(rest, r"\?")[0]
+    # everything after the FIRST '://' / '?': crawl URLs routinely embed
+    # other URLs in query params (?u=https://b.com) or a second '?', so
+    # last-occurrence extraction (substring_index ..., -1) mis-splits
+    rest = F.when(
+        F.instr(no_frag, "://") > 0,
+        F.substr(no_frag, F.instr(no_frag, "://") + F.lit(3)),
+    ).otherwise(no_frag)
+    hostpath = F.substring_index(rest, "?", 1)
     query = F.when(
-        F.instr(rest, "?") > 0, F.substring_index(rest, "?", -1)
+        F.instr(rest, "?") > 0, F.substr(rest, F.instr(rest, "?") + F.lit(1))
     ).otherwise(F.lit(""))
     host = F.lower(F.split(hostpath, "/")[0])
-    host = F.regexp_replace(host, ":(80|443)$", "")
-    # path = everything after the first '/' of host[:port]/path
+    # default-port strip is scheme-aware: http://x:443 and https://x:80
+    # are NOT on their default ports and must stay distinct
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+    # path = '/' + everything after the first '/' of host[:port]/path,
+    # derived from the already-computed hostpath Column (no re-split of
+    # the raw column — and no f-string SQL that breaks on names needing
+    # backtick quoting)
     path = F.when(
         F.instr(hostpath, "/") > 0,
-        F.expr(
-            f"concat('/', substring(split(split(split({url_col}, '#')[0], "
-            f"'://')[1], '[?]')[0], instr(split(split({url_col}, '#')[0], "
-            f"'://')[1], '/') + 1))"
-        ),
+        F.substr(hostpath, F.instr(hostpath, "/")),
     ).otherwise(F.lit(""))
     path = F.regexp_replace(path, "/$", "")
     tracking = F.array(*[F.lit(p) for p in TRACKING_PARAMS])

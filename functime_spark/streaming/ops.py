@@ -388,9 +388,14 @@ def stream_anomaly(
     def update(key, pdfs, state):
         buf = list(state.get[0]) if state.exists else []
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(p.time)
-            for t, x in zip(pdf[p.time], pdf[p.target]):
+        # a group's micro-batch may arrive as SEVERAL pandas chunks;
+        # sorting each chunk independently would score rows out of
+        # time order across chunk boundaries — materialize the whole
+        # batch and sort ONCE (per-group batch state is window-bounded)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = pd.concat(chunks).sort_values(p.time)
+            for t, x in zip(whole[p.time], whole[p.target]):
                 x = float(x)
                 z = None
                 if len(buf) >= min_obs:

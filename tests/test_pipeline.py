@@ -1485,6 +1485,36 @@ def test_canonicalize_urls_rules(spark):
     assert kept == [0, 2, 4]
 
 
+def test_canonicalize_urls_edge_cases(spark):
+    """First-occurrence splitting and scheme-aware default ports:
+    crawl URLs embed other URLs in query params and '?' in values; a
+    non-default port (:443 on http) must survive canonicalization."""
+    from functime_spark.pipeline.text import canonicalize_urls
+
+    d = spark.createDataFrame(
+        [
+            # embedded URL in a query param — split on FIRST '://'/'?'
+            (0, "https://a.com/r?u=https://b.com/x&z=1"),
+            # second '?' inside a param value stays part of the value
+            (1, "https://a.com/r?q=what?&z=1"),
+            # non-default ports: must NOT be stripped
+            (2, "http://ex.com:443/p"),
+            (3, "https://ex.com:80/p"),
+            # default ports on the matching scheme: stripped
+            (4, "http://ex.com:80/p"),
+            (5, "https://ex.com:443/p"),
+        ],
+        "doc_id long, url string",
+    )
+    canon = {r.doc_id: r.url_canon for r in canonicalize_urls(d).collect()}
+    assert canon[0] == "https://a.com/r?u=https://b.com/x&z=1"
+    assert canon[1] == "https://a.com/r?q=what?&z=1"
+    assert canon[2] == "http://ex.com:443/p"
+    assert canon[3] == "https://ex.com:80/p"
+    assert canon[4] == "http://ex.com/p"
+    assert canon[5] == "https://ex.com/p"
+
+
 def test_chunk_documents_overlap_and_tail(spark):
     from functime_spark.pipeline.packing import chunk_documents
 
