@@ -732,17 +732,18 @@ def q_future_calendar(spark, sf_dir):
 
 
 def q_future_holidays(spark, sf_dir):
-    """US + DE + GB + CA + NL holiday columns over a 400-day future
-    index (ref calendar.py:56-152) from the vendored calendars — the
-    span covers every fixed, nth-weekday, Monday-on-or-before,
-    Sunday-shift (Koningsdag) and Easter-computus rule, each replayed
-    independently in the DuckDB oracle."""
+    """US + DE + GB + CA + NL + BR + MX holiday columns over a 400-day
+    future index (ref calendar.py:56-152) from the vendored calendars —
+    the span covers every fixed, nth-weekday, Monday-on-or-before,
+    Sunday-shift (Koningsdag), sexennial (MX transmision) and
+    Easter-computus rule, each replayed independently in the DuckDB
+    oracle."""
     _ensure_nanos_conf(spark)
     from functime_spark.operators.seasonality import make_future_holiday_effects
 
     df = events_panel(spark, sf_dir)
     out = make_future_holiday_effects(
-        df, ["US", "DE", "GB", "CA", "NL"], fh=400, freq="1d"
+        df, ["US", "DE", "GB", "CA", "NL", "BR", "MX"], fh=400, freq="1d"
     )
     return out.orderBy("user_id", "ts")
 
@@ -1101,6 +1102,30 @@ def q_text_url_stats(spark, sf_dir):
         ).alias("text"),
     )
     return url_stats(aug).orderBy("doc_id")
+
+
+def q_corpus_clean_attrition(spark, sf_dir):
+    """The flagship clean_corpus composite end-to-end: gopher quality
+    rules -> exact dedup -> MinHash-LSH near-dup (md5 hash variant,
+    connected-components canonical keep) -> LM perplexity tier cut,
+    returning the per-stage attrition report. The oracle replays every
+    stage's (docs_in, docs_out) over the previous stage's survivors —
+    the composition itself is what's under test here; each stage's
+    full output is value-checked by its own gate query."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.clean import clean_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _, rep = clean_corpus(
+        docs,
+        use_gopher=True,
+        dedup="minhash",
+        minhash_threshold=0.3,
+        minhash_hash_fn="md5",
+        max_tier=2,
+        score_round=6,
+    )
+    return rep.orderBy("stage")
 
 
 def q_corpus_stats(spark, sf_dir):
@@ -2017,6 +2042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_lm_score": q_text_lm_score,
             "dedup_semantic": q_dedup_semantic,
             "text_tfidf_topk": q_text_tfidf_topk,
+            "corpus_clean_attrition": q_corpus_clean_attrition,
             "corpus_pack_shards": q_corpus_pack_shards,
             "corpus_mix_weights": q_corpus_mix_weights,
             "embedding_stats": q_embedding_stats,

@@ -277,3 +277,133 @@ def _nl(year: int) -> list:
 
 
 _COUNTRIES.update({"ES": _es, "IT": _it, "NL": _nl})
+
+
+def _br(year: int) -> list:
+    """Brazil national statutory holidays (feriados nacionais; Carnival
+    and Corpus Christi are pontos facultativos, not modeled)."""
+    easter = _easter(year)
+    d = _dt.timedelta
+    e = [
+        (_dt.date(year, 1, 1), "confraternizacao_universal"),
+        (easter - d(2), "sexta_feira_santa"),
+        (_dt.date(year, 4, 21), "tiradentes"),
+        (_dt.date(year, 5, 1), "dia_do_trabalhador"),
+        (_dt.date(year, 9, 7), "independencia_do_brasil"),
+        (_dt.date(year, 10, 12), "nossa_senhora_aparecida"),
+        (_dt.date(year, 11, 2), "finados"),
+        (_dt.date(year, 11, 15), "proclamacao_da_republica"),
+        (_dt.date(year, 12, 25), "natal"),
+    ]
+    if year >= 2024:  # Lei 14.759/2023
+        e.append((_dt.date(year, 11, 20), "dia_da_consciencia_negra"))
+    return e
+
+
+def _in(year: int) -> list:
+    """India national (gazetted central) holidays — the three
+    all-India days; religious/regional holidays are not modeled."""
+    return [
+        (_dt.date(year, 1, 26), "republic_day"),
+        (_dt.date(year, 8, 15), "independence_day"),
+        (_dt.date(year, 10, 2), "gandhi_jayanti"),
+    ]
+
+
+def _mx(year: int) -> list:
+    """Mexico statutory holidays (Ley Federal del Trabajo art. 74):
+    the 2006 reform moved Constitution/Juarez/Revolution days to
+    long-weekend Mondays; the sexennial presidential-transition day
+    is Oct 1 from 2024 (Dec 1 before)."""
+    e = [(_dt.date(year, 1, 1), "ano_nuevo")]
+    if year >= 2006:
+        e.append((_nth_weekday(year, 2, 0, 1), "dia_de_la_constitucion"))
+        e.append((_nth_weekday(year, 3, 0, 3), "natalicio_de_benito_juarez"))
+    else:
+        e.append((_dt.date(year, 2, 5), "dia_de_la_constitucion"))
+        e.append((_dt.date(year, 3, 21), "natalicio_de_benito_juarez"))
+    e.append((_dt.date(year, 5, 1), "dia_del_trabajo"))
+    e.append((_dt.date(year, 9, 16), "dia_de_la_independencia"))
+    if year >= 2006:
+        e.append((_nth_weekday(year, 11, 0, 3), "dia_de_la_revolucion"))
+    else:
+        e.append((_dt.date(year, 11, 20), "dia_de_la_revolucion"))
+    if year >= 2024 and (year - 2024) % 6 == 0:
+        e.append((_dt.date(year, 10, 1), "transmision_del_poder_ejecutivo"))
+    elif 1934 <= year < 2024 and (year - 1934) % 6 == 0:
+        e.append((_dt.date(year, 12, 1), "transmision_del_poder_ejecutivo"))
+    e.append((_dt.date(year, 12, 25), "navidad"))
+    return e
+
+
+#: Lunar New Year (first day, Chinese lunisolar calendar) — widely
+#: published astronomical dates; shared by CN Spring Festival and KR
+#: Seollal. Years outside the table omit the lunar holidays (the
+#: `holidays` package, preferred when importable, has full coverage).
+_LUNAR_NEW_YEAR = {
+    2015: (2, 19), 2016: (2, 8), 2017: (1, 28), 2018: (2, 16),
+    2019: (2, 5), 2020: (1, 25), 2021: (2, 12), 2022: (2, 1),
+    2023: (1, 22), 2024: (2, 10), 2025: (1, 29), 2026: (2, 17),
+    2027: (2, 6), 2028: (1, 26), 2029: (2, 13), 2030: (2, 3),
+}
+
+#: Mid-Autumn Festival (lunar 8/15) — CN zhongqiu / KR Chuseok.
+_MID_AUTUMN = {
+    2015: (9, 27), 2016: (9, 15), 2017: (10, 4), 2018: (9, 24),
+    2019: (9, 13), 2020: (10, 1), 2021: (9, 21), 2022: (9, 10),
+    2023: (9, 29), 2024: (9, 17), 2025: (10, 6), 2026: (9, 25),
+    2027: (9, 15), 2028: (10, 3), 2029: (9, 22), 2030: (9, 12),
+}
+
+
+def _qingming(year: int) -> _dt.date:
+    """Qingming solar term (standard 21st-century approximation,
+    valid 2000-2099)."""
+    y2 = year % 100
+    return _dt.date(year, 4, int(y2 * 0.2422 + 4.81) - y2 // 4)
+
+
+def _cn(year: int) -> list:
+    """China statutory public holidays (first day of each; the
+    multi-day golden-week extensions and weekend make-up days are
+    scheduling, not holidays). Lunar dates from the vendored table;
+    Dragon Boat (lunar 5/5) is not modeled."""
+    e = [
+        (_dt.date(year, 1, 1), "new_years_day"),
+        (_dt.date(year, 5, 1), "labour_day"),
+        (_dt.date(year, 10, 1), "national_day"),
+    ]
+    if 2000 <= year <= 2099:
+        e.append((_qingming(year), "qingming_festival"))
+    if year in _LUNAR_NEW_YEAR:
+        m, d = _LUNAR_NEW_YEAR[year]
+        e.append((_dt.date(year, m, d), "spring_festival"))
+    if year in _MID_AUTUMN:
+        m, d = _MID_AUTUMN[year]
+        e.append((_dt.date(year, m, d), "mid_autumn_festival"))
+    return e
+
+
+def _kr(year: int) -> list:
+    """South Korea public holidays (main day of each; substitute
+    holidays and Buddha's Birthday (lunar 4/8) are not modeled)."""
+    e = [
+        (_dt.date(year, 1, 1), "new_years_day"),
+        (_dt.date(year, 3, 1), "independence_movement_day"),
+        (_dt.date(year, 5, 5), "childrens_day"),
+        (_dt.date(year, 6, 6), "memorial_day"),
+        (_dt.date(year, 8, 15), "liberation_day"),
+        (_dt.date(year, 10, 3), "national_foundation_day"),
+        (_dt.date(year, 10, 9), "hangul_day"),
+        (_dt.date(year, 12, 25), "christmas_day"),
+    ]
+    if year in _LUNAR_NEW_YEAR:
+        m, d = _LUNAR_NEW_YEAR[year]
+        e.append((_dt.date(year, m, d), "seollal"))
+    if year in _MID_AUTUMN:
+        m, d = _MID_AUTUMN[year]
+        e.append((_dt.date(year, m, d), "chuseok"))
+    return e
+
+
+_COUNTRIES.update({"BR": _br, "IN": _in, "MX": _mx, "CN": _cn, "KR": _kr})

@@ -1558,6 +1558,42 @@ def operator_oracles() -> dict:
         "UNION ALL SELECT make_date(y,12,25), 'eerste_kerstdag' FROM yrs "
         "UNION ALL SELECT make_date(y,12,26), 'tweede_kerstdag' FROM yrs"
     )
+    _br_rules = (
+        "SELECT make_date(y,1,1) AS d, 'confraternizacao_universal' AS nm FROM yrs "
+        "UNION ALL SELECT e - to_days(2), 'sexta_feira_santa' FROM easter "
+        "UNION ALL SELECT make_date(y,4,21), 'tiradentes' FROM yrs "
+        "UNION ALL SELECT make_date(y,5,1), 'dia_do_trabalhador' FROM yrs "
+        "UNION ALL SELECT make_date(y,9,7), 'independencia_do_brasil' FROM yrs "
+        "UNION ALL SELECT make_date(y,10,12), 'nossa_senhora_aparecida' FROM yrs "
+        "UNION ALL SELECT make_date(y,11,2), 'finados' FROM yrs "
+        "UNION ALL SELECT make_date(y,11,15), 'proclamacao_da_republica' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'natal' FROM yrs "
+        "UNION ALL SELECT make_date(y,11,20), 'dia_da_consciencia_negra' "
+        "FROM yrs WHERE y >= 2024"
+    )
+    _mx_rules = (
+        "SELECT make_date(y,1,1) AS d, 'ano_nuevo' AS nm FROM yrs "
+        # first Monday of February (post-2006 reform; future index is >= 2006)
+        "UNION ALL SELECT make_date(y,2,1) + to_days(CAST((8 - isodow(make_date(y,2,1))) % 7 AS INT)), "
+        "'dia_de_la_constitucion' FROM yrs WHERE y >= 2006 "
+        "UNION ALL SELECT make_date(y,2,5), 'dia_de_la_constitucion' FROM yrs WHERE y < 2006 "
+        # third Monday of March
+        "UNION ALL SELECT make_date(y,3,1) + to_days(CAST((8 - isodow(make_date(y,3,1))) % 7 + 14 AS INT)), "
+        "'natalicio_de_benito_juarez' FROM yrs WHERE y >= 2006 "
+        "UNION ALL SELECT make_date(y,3,21), 'natalicio_de_benito_juarez' FROM yrs WHERE y < 2006 "
+        "UNION ALL SELECT make_date(y,5,1), 'dia_del_trabajo' FROM yrs "
+        "UNION ALL SELECT make_date(y,9,16), 'dia_de_la_independencia' FROM yrs "
+        # third Monday of November
+        "UNION ALL SELECT make_date(y,11,1) + to_days(CAST((8 - isodow(make_date(y,11,1))) % 7 + 14 AS INT)), "
+        "'dia_de_la_revolucion' FROM yrs WHERE y >= 2006 "
+        "UNION ALL SELECT make_date(y,11,20), 'dia_de_la_revolucion' FROM yrs WHERE y < 2006 "
+        # sexennial presidential transition: Oct 1 from 2024, Dec 1 before
+        "UNION ALL SELECT make_date(y,10,1), 'transmision_del_poder_ejecutivo' "
+        "FROM yrs WHERE y >= 2024 AND (y - 2024) % 6 = 0 "
+        "UNION ALL SELECT make_date(y,12,1), 'transmision_del_poder_ejecutivo' "
+        "FROM yrs WHERE y >= 1934 AND y < 2024 AND (y - 1934) % 6 = 0 "
+        "UNION ALL SELECT make_date(y,12,25), 'navidad' FROM yrs"
+    )
     o["future_holidays"] = (
         "WITH c AS (SELECT user_id, MAX(ts) AS low FROM events GROUP BY user_id), "
         "fut AS (SELECT c.user_id, c.low + i * INTERVAL '1 day' AS ts "
@@ -1565,14 +1601,18 @@ def operator_oracles() -> dict:
         "yrs AS (SELECT DISTINCT year(ts) AS y FROM fut), "
         f"{_computus}, "
         f"us AS ({_us_rules}), de AS ({_de_rules}), gb AS ({_gb_rules}), "
-        f"ca AS ({_ca_rules}), nl AS ({_nl_rules}) "
+        f"ca AS ({_ca_rules}), nl AS ({_nl_rules}), "
+        f"br AS ({_br_rules}), mx AS ({_mx_rules}) "
         "SELECT f.user_id, f.ts, us.nm AS holiday__us, de.nm AS holiday__de, "
-        "gb.nm AS holiday__gb, ca.nm AS holiday__ca, nl.nm AS holiday__nl "
+        "gb.nm AS holiday__gb, ca.nm AS holiday__ca, nl.nm AS holiday__nl, "
+        "br.nm AS holiday__br, mx.nm AS holiday__mx "
         "FROM fut f LEFT JOIN us ON CAST(f.ts AS DATE) = us.d "
         "LEFT JOIN de ON CAST(f.ts AS DATE) = de.d "
         "LEFT JOIN gb ON CAST(f.ts AS DATE) = gb.d "
         "LEFT JOIN ca ON CAST(f.ts AS DATE) = ca.d "
         "LEFT JOIN nl ON CAST(f.ts AS DATE) = nl.d "
+        "LEFT JOIN br ON CAST(f.ts AS DATE) = br.d "
+        "LEFT JOIN mx ON CAST(f.ts AS DATE) = mx.d "
         "ORDER BY user_id, ts"
     )
 
@@ -3723,6 +3763,113 @@ ORDER BY 1, 2
         "SELECT doc_id, "
         + ", ".join(f"n_{s.lower()}" for s in SCRIPTS)
         + f", n_nonspace, {_dom} AS dominant_script FROM c ORDER BY doc_id"
+    )
+
+    # --- corpus_clean_attrition: the flagship clean_corpus composite
+    # end-to-end — gopher → exact dedup → minhash+connected-components
+    # → LM perplexity tier cut, each stage's (docs_in, docs_out)
+    # replayed over the PREVIOUS stage's survivors. Reuses the exact
+    # per-stage formulas of text_gopher / dedup_exact / dedup_minhash /
+    # dedup_cluster / text_quality_tiers above.
+    _g_base = (
+        "gt AS (SELECT doc_id, text, "
+        "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk, "
+        "string_split(text, chr(10)) AS lns FROM documents), "
+        "gbase AS (SELECT doc_id, len(tk) AS n_words, "
+        "list_sum(list_transform(tk, x -> length(x))) / CAST(len(tk) AS DOUBLE) AS mean_word_len, "
+        "(length(text) - length(replace(text, '#', '')) "
+        " + (length(text) - length(replace(text, '...', ''))) / 3.0) / len(tk) AS symbol_to_word, "
+        "len(list_filter(lns, l -> regexp_matches(trim(l), '^[-*•]'))) / CAST(len(lns) AS DOUBLE) AS bullet_line_frac, "
+        "len(list_filter(lns, l -> regexp_matches(rtrim(l), '\\.\\.\\.$'))) / CAST(len(lns) AS DOUBLE) AS ellipsis_line_frac, "
+        "len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) / CAST(len(tk) AS DOUBLE) AS alpha_word_frac, "
+        "len(list_filter(['the','be','to','of','and','that','have','with'], "
+        "s -> list_contains(tk, s))) AS stopword_hits FROM gt), "
+        "glr AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents), "
+        "gpl AS (SELECT doc_id, line, COUNT(*) AS cnt FROM glr GROUP BY doc_id, line), "
+        "grep AS (SELECT doc_id, "
+        "SUM(cnt - 1) / CAST(SUM(cnt) AS DOUBLE) AS dup_line_frac, "
+        "SUM((cnt - 1) * length(line)) / CAST(SUM(cnt * length(line)) AS DOUBLE) AS dup_line_char_frac "
+        "FROM gpl GROUP BY doc_id), "
+        "g_keep AS (SELECT b.doc_id FROM gbase b JOIN grep USING (doc_id) WHERE "
+        "b.n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0 "
+        "AND symbol_to_word <= 0.1 AND bullet_line_frac <= 0.9 "
+        "AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8 "
+        "AND stopword_hits >= 2 AND dup_line_frac <= 0.3 "
+        "AND dup_line_char_frac <= 0.2)"
+    )
+    _mh_surv = (
+        "e_keep AS (SELECT MIN(d.doc_id) AS doc_id FROM documents d "
+        "JOIN g_keep USING (doc_id) GROUP BY d.text), "
+        "mw AS (SELECT d.doc_id, string_split(d.text, ' ') AS ws "
+        "FROM documents d JOIN e_keep USING (doc_id)), "
+        "mg AS (SELECT doc_id, list_distinct([array_to_string(ws[i:i+2], ' ') "
+        "FOR i IN range(1, greatest(len(ws)-2, 1)+1)]) AS grams FROM mw), "
+        f"ms0 AS (SELECT doc_id, {sig_exprs} FROM mg), "
+        f"sig AS (SELECT doc_id, {sig_list} AS sig FROM ms0), "
+        f"mband AS (SELECT doc_id, t.band, {_h64(band_payload)} AS band_hash "
+        f"FROM sig, (SELECT unnest(range(0, {_BANDS})) AS band) t), "
+        "mcap AS (SELECT * FROM (SELECT *, COUNT(*) OVER "
+        "(PARTITION BY band, band_hash) AS bsz FROM mband) WHERE bsz <= 512), "
+        "mcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM mcap a "
+        "JOIN mcap b ON a.band = b.band AND a.band_hash = b.band_hash "
+        "AND a.doc_id < b.doc_id), "
+        "mest AS (SELECT id_a, id_b, "
+        f"len(list_filter(range(1, {_N_HASH}+1), k -> sa.sig[k] = sb.sig[k])) "
+        f"/ {_N_HASH}.0 AS ej "
+        "FROM mcand JOIN sig sa ON mcand.id_a = sa.doc_id "
+        "JOIN sig sb ON mcand.id_b = sb.doc_id), "
+        "mprs AS (SELECT id_a, id_b FROM mest WHERE ej >= 0.3 AND id_a <> id_b), "
+        "msym AS (SELECT id_a AS n, id_b AS r FROM mprs "
+        "UNION SELECT id_b, id_a FROM mprs), "
+        "mreach AS (SELECT n, r FROM msym "
+        "UNION SELECT mreach.n, msym.r FROM mreach JOIN msym ON mreach.r = msym.n "
+        "WHERE msym.r <> mreach.n), "
+        "mcomp AS (SELECT n AS node, least(n, min(r)) AS component "
+        "FROM mreach GROUP BY n), "
+        "m_keep AS (SELECT doc_id FROM e_keep WHERE doc_id NOT IN "
+        "(SELECT node FROM mcomp WHERE node <> component))"
+    )
+    _tier_surv = (
+        "ltok AS (SELECT d.doc_id, "
+        r"list_filter(string_split_regex(d.text, '\s+'), x -> x <> '') AS ws "
+        "FROM documents d JOIN m_keep USING (doc_id)), "
+        "lst AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM ltok), "
+        "ls AS (SELECT doc_id, CASE WHEN i > 1 THEN ws[CAST(i - 1 AS BIGINT)] END "
+        "AS w1, ws[CAST(i AS BIGINT)] AS w2 FROM lst), "
+        "luni AS (SELECT w2 AS w, COUNT(*) AS c FROM ls GROUP BY w2), "
+        "lbi AS (SELECT w1, w2, COUNT(*) AS c FROM ls WHERE w1 IS NOT NULL "
+        "GROUP BY w1, w2), "
+        "ltot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n, "
+        "CAST(COUNT(*) AS DOUBLE) AS v FROM luni), "
+        "lsc AS (SELECT ls.doc_id, CASE WHEN ls.w1 IS NULL THEN "
+        "ln((u2.c + 0.5) / (ltot.n + 0.5 * ltot.v)) ELSE "
+        f"ln(0.7 * COALESCE(b.c / u1.c, 0) + {_oml} * "
+        "(u2.c + 0.5) / (ltot.n + 0.5 * ltot.v)) END AS lp "
+        "FROM ls JOIN luni u2 ON u2.w = ls.w2 "
+        "LEFT JOIN luni u1 ON u1.w = ls.w1 "
+        "LEFT JOIN lbi b ON b.w1 = ls.w1 AND b.w2 = ls.w2 CROSS JOIN ltot), "
+        "lpd AS (SELECT doc_id, -AVG(lp) AS ce FROM lsc GROUP BY doc_id), "
+        "lce AS (SELECT m.doc_id, round(COALESCE(lpd.ce, 0) + 1e-9, 6) AS ce "
+        "FROM m_keep m LEFT JOIN lpd USING (doc_id)), "
+        "lcuts AS (SELECT quantile_cont(ce, 0.25) AS q1, "
+        "quantile_cont(ce, 0.5) AS q2, quantile_cont(ce, 0.75) AS q3 FROM lce), "
+        "t_keep AS (SELECT doc_id FROM lce, lcuts WHERE "
+        "CAST(ce > q1 AS INT) + CAST(ce > q2 AS INT) + "
+        "CAST(ce > q3 AS INT) <= 2)"
+    )
+    o["corpus_clean_attrition"] = (
+        f"WITH RECURSIVE {_g_base}, {_mh_surv}, {_tier_surv} "
+        "SELECT * FROM ("
+        "SELECT 'gopher' AS stage, "
+        "(SELECT COUNT(*) FROM documents) AS docs_in, "
+        "(SELECT COUNT(*) FROM g_keep) AS docs_out "
+        "UNION ALL SELECT 'exact_dedup', "
+        "(SELECT COUNT(*) FROM g_keep), (SELECT COUNT(*) FROM e_keep) "
+        "UNION ALL SELECT 'minhash_dedup', "
+        "(SELECT COUNT(*) FROM e_keep), (SELECT COUNT(*) FROM m_keep) "
+        "UNION ALL SELECT 'perplexity_tier', "
+        "(SELECT COUNT(*) FROM m_keep), (SELECT COUNT(*) FROM t_keep)"
+        ") ORDER BY stage"
     )
 
     return o

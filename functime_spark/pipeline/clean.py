@@ -29,9 +29,11 @@ def clean_corpus(
     url_col: str | None = None,
     dedup: str = "minhash",
     minhash_threshold: float = 0.8,
+    minhash_hash_fn: str = "xxhash64",
     decontaminate_n: int = 8,
     max_tier: int | None = None,
     n_tiers: int = 4,
+    score_round: int | None = None,
 ) -> tuple:
     """Returns (clean_docs, report): the surviving documents and a
     per-stage attrition DataFrame (stage, docs_in, docs_out).
@@ -106,7 +108,8 @@ def clean_corpus(
         step("exact_dedup", cur.join(keep, on=id_col, how="left_semi"))
     if dedup == "minhash":
         pairs = minhash_dedup(cur, text_col=text_col, id_col=id_col,
-                              threshold=minhash_threshold)
+                              threshold=minhash_threshold,
+                              hash_fn=minhash_hash_fn)
         step("minhash_dedup", dedup_keep_canonical(cur, pairs, id_col=id_col))
     if benchmark is not None:
         from functime_spark.pipeline.decontaminate import decontaminate
@@ -119,10 +122,16 @@ def clean_corpus(
     if max_tier is not None:
         from functime_spark.pipeline.lm import ngram_lm_score, quality_tiers
 
-        scored = quality_tiers(
-            ngram_lm_score(cur, text_col=text_col, id_col=id_col),
-            n_tiers=n_tiers,
-        )
+        lm_scored = ngram_lm_score(cur, text_col=text_col, id_col=id_col)
+        if score_round is not None:
+            # deterministic tiering across engines/runs: quantile cuts
+            # over scores rounded first (summation-order float noise at
+            # a cut boundary can otherwise flip a tier)
+            lm_scored = lm_scored.withColumn(
+                "cross_entropy",
+                F.round(F.col("cross_entropy") + F.lit(1e-9), score_round),
+            )
+        scored = quality_tiers(lm_scored, n_tiers=n_tiers)
         keep = scored.filter(F.col("tier") <= max_tier).select(id_col)
         step("perplexity_tier", cur.join(keep, on=id_col, how="left_semi"))
 

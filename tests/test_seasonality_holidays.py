@@ -140,3 +140,48 @@ def test_holiday_same_date_names_merge(spark):
     row = {r["ts"].day: r["holiday__nl"] for r in out}
     assert row[5] == "bevrijdingsdag; hemelvaartsdag"
     assert row[6] is None
+
+
+def test_vendored_round4_calendars_known_dates():
+    """BR/IN/MX/CN/KR spot checks against published dates: nth-weekday
+    reform rules (MX 2006), the sexennial transition day, the Qingming
+    solar-term approximation, and the vendored lunar tables."""
+    import datetime as dt
+
+    from functime_spark.operators.holidays_vendored import vendored_holidays
+
+    br = dict((n, d) for d, n in vendored_holidays("BR", [2024]))
+    assert br["sexta_feira_santa"] == dt.date(2024, 3, 29)
+    assert br["dia_da_consciencia_negra"] == dt.date(2024, 11, 20)
+    assert "dia_da_consciencia_negra" not in dict(
+        (n, d) for d, n in vendored_holidays("BR", [2023])
+    )
+
+    ind = dict((n, d) for d, n in vendored_holidays("IN", [2025]))
+    assert ind["republic_day"] == dt.date(2025, 1, 26)
+    assert ind["gandhi_jayanti"] == dt.date(2025, 10, 2)
+
+    mx24 = dict((n, d) for d, n in vendored_holidays("MX", [2024]))
+    assert mx24["dia_de_la_constitucion"] == dt.date(2024, 2, 5)
+    assert mx24["natalicio_de_benito_juarez"] == dt.date(2024, 3, 18)
+    assert mx24["dia_de_la_revolucion"] == dt.date(2024, 11, 18)
+    assert mx24["transmision_del_poder_ejecutivo"] == dt.date(2024, 10, 1)
+    mx05 = dict((n, d) for d, n in vendored_holidays("MX", [2005]))
+    assert mx05["dia_de_la_constitucion"] == dt.date(2005, 2, 5)
+    assert "transmision_del_poder_ejecutivo" not in mx05
+
+    cn = dict((n, d) for d, n in vendored_holidays("CN", [2024]))
+    assert cn["spring_festival"] == dt.date(2024, 2, 10)
+    assert cn["qingming_festival"] == dt.date(2024, 4, 4)
+    assert cn["mid_autumn_festival"] == dt.date(2024, 9, 17)
+    cn25 = dict((n, d) for d, n in vendored_holidays("CN", [2025]))
+    assert cn25["spring_festival"] == dt.date(2025, 1, 29)
+    assert cn25["qingming_festival"] == dt.date(2025, 4, 4)
+
+    kr = dict((n, d) for d, n in vendored_holidays("KR", [2025]))
+    assert kr["seollal"] == dt.date(2025, 1, 29)
+    assert kr["chuseok"] == dt.date(2025, 10, 6)
+    assert kr["hangul_day"] == dt.date(2025, 10, 9)
+    # outside the vendored lunar table: fixed holidays only, no crash
+    kr99 = dict((n, d) for d, n in vendored_holidays("KR", [2099]))
+    assert "seollal" not in kr99 and kr99["liberation_day"] == dt.date(2099, 8, 15)
