@@ -3,11 +3,26 @@
 Mirrors functime forecasting/automl.py:22-311 (FLAML CFO over lags x
 model hyperparameters, scored by expanding-window CV — fit_cv
 _ar.py:117-209, _evaluate.py:111-171). FLAML is not available here, so
-the search is a deterministic low-discrepancy grid (lags x
-regularization) evaluated by the same CV loop — trials are
-driver-orchestrated Spark jobs, which at cluster scale parallelize
-naturally (each trial is a distributed fit; concurrent trials can
-share the cluster via FAIR scheduling).
+the default search is **successive halving with nested CV budgets**
+(the same cheap-first pruning idea as FLAML's CFO cost-frugal search):
+
+- round 1 scores EVERY candidate on the cheapest fidelity — the last
+  expanding-window split only (one refit per candidate);
+- the top half survives; survivors are then evaluated on the
+  remaining earlier splits, and their round-1 predictions are REUSED,
+  so a survivor's final score is byte-identical to what the full
+  n_splits backtest would produce (expanding splits are nested: split
+  j of an n-split backtest == the single split of a backtest on the
+  panel with the last (n-1-j)*step rows per entity trimmed).
+
+The winner therefore matches the exhaustive grid whenever the grid
+winner is not bottom-half on the last split, while fitting
+N + ceil(N/2)*(n_splits-1) split-models instead of N*n_splits.
+`search="grid"` keeps the exhaustive loop; `n_fit_trials_` reports
+the split-model fit count either way. Trials are driver-orchestrated
+Spark jobs, which at cluster scale parallelize naturally (each trial
+is a distributed fit; concurrent trials can share the cluster via
+FAIR scheduling).
 
 The fitted result exposes `best_params_` and behaves as the winning
 forecaster refit on the full panel.
@@ -34,9 +49,31 @@ def _cv_score(maker, y: DataFrame, test_size: int, n_splits: int) -> float:
     """Mean panel SMAPE over expanding-window backtest splits."""
     fc = maker()
     preds = fc.backtest(y, test_size=test_size, n_splits=n_splits)
-    merged = smape(y, preds.drop("split"))
+    return _pooled_smape(y, preds.drop("split"))
+
+
+def _pooled_smape(y: DataFrame, preds: DataFrame) -> float:
+    """avg over entities of the per-entity sum-ratio SMAPE on the
+    stacked predictions — the grid's scoring, factored out so the
+    halving search can score reused prediction unions identically."""
+    merged = smape(y, preds)
     row = merged.agg(F.avg("smape").alias("s")).first()
     return float(row["s"]) if row["s"] is not None else float("inf")
+
+
+def _trim_last(y: DataFrame, n_rows: int) -> DataFrame:
+    """Drop the last `n_rows` observations of every entity (by time).
+    Expanding-window splits are nested, so a 1-split backtest on this
+    frame reproduces an earlier split of the full backtest exactly."""
+    from pyspark.sql import Window
+
+    entity, time = y.columns[0], y.columns[1]
+    w = Window.partitionBy(entity).orderBy(F.col(time).desc())
+    return (
+        y.withColumn("__rn_trim", F.row_number().over(w))
+        .filter(F.col("__rn_trim") > n_rows)
+        .drop("__rn_trim")
+    )
 
 
 class _auto_base(Forecaster):
@@ -52,6 +89,7 @@ class _auto_base(Forecaster):
         test_size: int = 4,
         n_splits: int = 2,
         target_transform=None,
+        search: str = "halving",
         **family_kwargs,
     ):
         super().__init__(freq=freq, lags=max_lags, target_transform=target_transform)
@@ -59,8 +97,10 @@ class _auto_base(Forecaster):
         self.max_lags = max_lags
         self.test_size = test_size
         self.n_splits = n_splits
+        self.search = search
         self.family_kwargs = family_kwargs
         self.best_params_: dict = {}
+        self.n_fit_trials_: int = 0
 
     def _init_kwargs(self) -> dict:
         return {
@@ -81,36 +121,104 @@ class _auto_base(Forecaster):
         grid = sorted({lo, (lo + hi) // 2, hi})
         return [g for g in grid if g >= 1]
 
+    def _candidates(self) -> list:
+        """Enumeration order doubles as the deterministic tie-break."""
+        return [
+            {"freq": self.freq, "lags": lags, **params, **self.family_kwargs}
+            for lags in self._lag_grid()
+            for params in self._space()
+        ]
+
     def _fit(self, y: DataFrame, X: DataFrame | None = None):
         y = y.persist()
-        best, best_score = None, float("inf")
-        for lags in self._lag_grid():
-            for params in self._space():
-                kwargs = {
-                    "freq": self.freq,
-                    "lags": lags,
-                    **params,
-                    **self.family_kwargs,
-                }
-                try:
-                    score = _cv_score(
-                        lambda kw=kwargs: self._family(**kw),
-                        y,
-                        self.test_size,
-                        self.n_splits,
-                    )
-                except Exception:
-                    continue
-                if score < best_score:
-                    best, best_score = kwargs, score
+        self.n_fit_trials_ = 0
+        if self.search == "grid":
+            best, best_score = self._search_grid(y)
+        else:
+            best, best_score = self._search_halving(y)
         if best is None:  # degenerate panel: fall back to smallest config
             best = {"freq": self.freq, "lags": self._lag_grid()[0], **self.family_kwargs}
+            best_score = float("inf")
         self.best_params_ = best
         self.best_score_ = best_score
         inner = self._family(**best).fit(y, X)
         self.state.update(inner.state)
         self._inner = inner
         y.unpersist()
+
+    def _search_grid(self, y: DataFrame):
+        """Exhaustive: every candidate pays the full n_splits backtest."""
+        best, best_score = None, float("inf")
+        for kwargs in self._candidates():
+            try:
+                score = _cv_score(
+                    lambda kw=kwargs: self._family(**kw),
+                    y,
+                    self.test_size,
+                    self.n_splits,
+                )
+            except Exception:
+                continue
+            self.n_fit_trials_ += self.n_splits
+            if score < best_score:
+                best, best_score = kwargs, score
+        return best, best_score
+
+    def _search_halving(self, y: DataFrame):
+        """Successive halving over nested CV budgets: score everyone on
+        the LAST split only (one refit each), keep the top half, then
+        evaluate survivors on the earlier splits — REUSING the round-1
+        predictions, so a survivor's pooled score equals the full
+        backtest's byte-for-byte (splits are nested, see _trim_last)."""
+        import math
+
+        # round 1: cheapest fidelity — the last expanding split
+        round1 = []  # (score, order, kwargs, last_split_preds)
+        for order, kwargs in enumerate(self._candidates()):
+            try:
+                preds = (
+                    self._family(**kwargs)
+                    .backtest(y, test_size=self.test_size, n_splits=1)
+                    .drop("split")
+                )
+                score = _pooled_smape(y, preds)
+            except Exception:
+                continue
+            self.n_fit_trials_ += 1
+            round1.append((score, order, kwargs, preds))
+        if not round1:
+            return None, float("inf")
+        if self.n_splits <= 1 or len(round1) == 1:
+            score, _, kwargs, _ = min(round1, key=lambda t: (t[0], t[1]))
+            return kwargs, score
+        round1.sort(key=lambda t: (t[0], t[1]))
+        survivors = round1[: max(2, math.ceil(len(round1) / 2))]
+        # round 2: earlier splits for survivors only; union with the
+        # kept round-1 predictions reproduces the full pooled score
+        best, best_order, best_score = None, None, float("inf")
+        for score1, order, kwargs, preds_last in survivors:
+            all_preds = preds_last
+            try:
+                for j in range(1, self.n_splits):
+                    trimmed = _trim_last(y, j)  # step_size=1 in backtest
+                    pj = (
+                        self._family(**kwargs)
+                        .backtest(trimmed, test_size=self.test_size, n_splits=1)
+                        .drop("split")
+                    )
+                    self.n_fit_trials_ += 1
+                    all_preds = all_preds.unionByName(pj)
+                score = _pooled_smape(y, all_preds)
+            except Exception:
+                continue
+            if score < best_score or (
+                score == best_score and best_order is not None and order < best_order
+            ):
+                best, best_order, best_score = kwargs, order, score
+        if best is None:  # every survivor failed round 2: best of round 1
+            score, _, kwargs, _ = min(round1, key=lambda t: (t[0], t[1]))
+            return kwargs, score
+        return best, best_score
 
     def _predict_values(self, fh: int, X: DataFrame | None = None) -> DataFrame:
         return self._inner._predict_values(fh, X)

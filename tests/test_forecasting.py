@@ -285,6 +285,32 @@ def test_auto_linear_picks_a_config(spark):
     assert len(pred) == 9
 
 
+def test_halving_search_matches_grid_with_fewer_trials(spark):
+    """Successive halving must (a) pick the same winner as the
+    exhaustive grid — expanding splits are nested, so survivor scores
+    are byte-identical to the full backtest — and (b) fit strictly
+    fewer split-models: N + ceil(N/2)*(n_splits-1) < N*n_splits."""
+    from functime_spark.forecasting.automl import auto_ridge
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for e in range(3):
+        x = [10.0, 11.0]
+        for t in range(1, 61):
+            x.append(0.6 * x[-1] + 0.3 * x[-2] + rng.randn() * 0.1)
+            rows.append((f"e{e}", t, x[-1]))
+    y = spark.createDataFrame(rows, "entity string, t long, y double")
+
+    kw = dict(freq="1i", min_lags=2, max_lags=6, test_size=4, n_splits=2)
+    grid = auto_ridge(search="grid", **kw).fit(y)
+    halv = auto_ridge(**kw).fit(y)  # default search="halving"
+    assert halv.best_params_ == grid.best_params_
+    assert halv.best_score_ == pytest.approx(grid.best_score_, rel=1e-12)
+    # 6 candidates (3 lags x 2 alphas): grid 12 split-fits, halving 9
+    assert grid.n_fit_trials_ == 12
+    assert halv.n_fit_trials_ == 9
+
+
 def test_cv_named_exports_fit(spark):
     """lasso_cv / ridge_cv / elastic_net_cv / flaml_lightgbm are
     importable from the package root (ref forecasting/__init__.py
