@@ -3,12 +3,17 @@ sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed SPARK_GRAFT_BENCH_REPS times (default 5) and the
+per-query MEDIAN is reported — single-shot timings at this scale have
+~±6% JIT/GC noise, which round-over-round comparisons then chase.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -16,6 +21,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
 
 
 def _sf_from_dir(d: str) -> float:
@@ -45,9 +51,12 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def bench(name: str, fn) -> None:
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     # Warm the Python-UDF runtime (worker fork + pandas/numpy import)
     # before timing, mirroring the JVM warmup the native-tier queries
