@@ -3765,6 +3765,25 @@ ORDER BY 1, 2
         + f", n_nonspace, {_dom} AS dominant_script FROM c ORDER BY doc_id"
     )
 
+    # --- text_vocab_zipf: top-k vocabulary + log-log OLS Zipf slope,
+    # ties broken by token asc; the slope replays as the closed-form
+    # covariance ratio over the same k rows
+    o["text_vocab_zipf"] = (
+        "WITH tk AS (SELECT unnest(list_filter("
+        r"string_split_regex(text, '\s+'), x -> x <> '')) AS token "
+        "FROM documents), "
+        "v AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY token), "
+        "topk AS (SELECT token, cnt, row_number() OVER "
+        "(ORDER BY cnt DESC, token ASC) AS rnk FROM v "
+        "QUALIFY rnk <= 100), "
+        "fit AS (SELECT (AVG(ln(rnk)*ln(cnt)) - AVG(ln(rnk))*AVG(ln(cnt))) "
+        "/ (AVG(ln(rnk)*ln(rnk)) - AVG(ln(rnk))*AVG(ln(rnk))) AS zs FROM topk) "
+        'SELECT token, CAST(cnt AS BIGINT) AS "count", '
+        "CAST(rnk AS INT) AS rank, "
+        + _r("zs")
+        + " AS zipf_slope FROM topk, fit ORDER BY rank"
+    )
+
     # --- corpus_clean_attrition: the flagship clean_corpus composite
     # end-to-end — gopher → exact dedup → minhash+connected-components
     # → LM perplexity tier cut, each stage's (docs_in, docs_out)

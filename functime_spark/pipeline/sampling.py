@@ -140,3 +140,43 @@ def rebalance_sample(
     w = domain_mix_weights(docs, target_fracs, strata_col, text_col)
     fracs = {r[strata_col]: r["keep_frac"] for r in w.collect() if r["keep_frac"] > 0}
     return stratified_sample(docs, fracs, strata_col, id_col, buckets)
+
+
+def vocab_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """Top-k token vocabulary with Zipf diagnostics: (token, count,
+    rank, zipf_slope) where zipf_slope is the log-log OLS slope of
+    count vs rank over the top-k (a healthy natural-language corpus
+    sits near -1; flat slopes flag boilerplate/template corpora).
+
+    Scale shape: ONE explode+hash aggregate builds the vocabulary
+    (map-side partial combine flattens the Zipf skew); the top-k cut
+    is orderBy+limit — Spark's TakeOrdered, a per-partition partial
+    top-k then a k-row driver merge, NOT a global sort shuffle. Ranks
+    and the OLS fit run on the k-row frame (single tiny partition by
+    construction). Ties break by token asc for determinism."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+        ).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("count"))
+    top = vocab.orderBy(F.desc("count"), F.asc("token")).limit(top_k)
+    w = Window.orderBy(F.desc("count"), F.asc("token"))
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    lx = F.log(F.col("rank").cast("double"))
+    ly = F.log(F.col("count").cast("double"))
+    fit = ranked.agg(
+        (
+            (F.avg(lx * ly) - F.avg(lx) * F.avg(ly))
+            / (F.avg(lx * lx) - F.avg(lx) * F.avg(lx))
+        ).alias("zipf_slope")
+    )
+    return ranked.crossJoin(F.broadcast(fit)).select(
+        "token", "count", "rank", "zipf_slope"
+    )

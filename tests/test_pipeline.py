@@ -1597,3 +1597,43 @@ def test_clean_corpus_normalize_c4_url_stages(spark):
     # normalize ran before c4: the curly quotes folded, doc 3 survived
     t3 = [r.text for r in out.collect() if r.doc_id == 3][0]
     assert "“" not in t3 and t3.count("\n") == 3
+
+
+def test_vocab_stats_zipf(spark):
+    from functime_spark.pipeline.sampling import vocab_stats
+
+    d = spark.createDataFrame(
+        [
+            (0, "a a a a b b c"),
+            (1, "a a b b c d"),
+            (2, "a  b\tc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = vocab_stats(d, top_k=3).orderBy("rank").collect()
+    assert [(r.token, r["count"], r.rank) for r in out] == [
+        ("a", 7, 1),
+        ("b", 5, 2),
+        ("c", 3, 3),
+    ]
+    import math
+
+    lx = [math.log(r) for r in (1, 2, 3)]
+    ly = [math.log(c) for c in (7, 5, 3)]
+    n = 3
+    mx, my = sum(lx) / n, sum(ly) / n
+    slope = (sum(a * b for a, b in zip(lx, ly)) / n - mx * my) / (
+        sum(a * a for a in lx) / n - mx * mx
+    )
+    assert out[0].zipf_slope == pytest.approx(slope, rel=1e-9)
+
+
+def test_vocab_stats_no_global_sort_exchange(spark):
+    """The top-k cut must be TakeOrdered (partial per-partition top-k),
+    not a rangepartitioning global sort of the vocabulary."""
+    from functime_spark.pipeline.sampling import vocab_stats
+    from functime_spark.plans import explain_str
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = explain_str(vocab_stats(docs))
+    assert "rangepartitioning" not in plan.lower()
