@@ -155,6 +155,25 @@ def main() -> None:
 
     bench("ann_topk", _q7)
 
+    # q8: MinHash+LSH near-dup sweep (production xxhash64 variant):
+    # zero-shuffle signatures -> banded buckets -> verify
+    def _q8():
+        from functime_spark.pipeline.dedup import minhash_dedup
+
+        docs = load_table(spark, SF_DIR, "documents")
+        minhash_dedup(docs, threshold=0.5).count()
+
+    bench("minhash_dedup", _q8)
+
+    # q9: in-engine bigram-LM scoring + quality-tier cut over the corpus
+    def _q9():
+        from functime_spark.pipeline.lm import ngram_lm_score, quality_tiers
+
+        docs = load_table(spark, SF_DIR, "documents")
+        quality_tiers(ngram_lm_score(docs)).count()
+
+    bench("lm_quality_tiers", _q9)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -109,6 +109,7 @@ class _auto_base(Forecaster):
             "max_lags": self.max_lags,
             "test_size": self.test_size,
             "n_splits": self.n_splits,
+            "search": self.search,
             **self.family_kwargs,
         }
 
@@ -283,6 +284,7 @@ class _fixed_lag_cv(_auto_base):
         test_size: int = 4,
         n_splits: int = 2,
         target_transform=None,
+        search: str = "halving",
         **family_kwargs,
     ):
         super().__init__(
@@ -292,6 +294,7 @@ class _fixed_lag_cv(_auto_base):
             test_size=test_size,
             n_splits=n_splits,
             target_transform=target_transform,
+            search=search,
             **family_kwargs,
         )
 
@@ -301,6 +304,7 @@ class _fixed_lag_cv(_auto_base):
             "lags": self.min_lags,
             "test_size": self.test_size,
             "n_splits": self.n_splits,
+            "search": self.search,
             **self.family_kwargs,
         }
 

@@ -51,10 +51,12 @@ def clean_corpus(
     5. perplexity — keep tiers <= max_tier under the corpus bigram LM.
 
     Each stage input is the previous stage's output, so expensive
-    stages see an already-shrunk corpus. Counts in the report are one
-    action per stage — at 100 TB run with `report=False`-style
-    sampling if even that is too much (the counts are the only
-    actions; the transformation chain itself stays lazy)."""
+    stages see an already-shrunk corpus. ONE action per stage: a
+    stage's docs_in is the previous stage's already-counted docs_out,
+    and each stage output is localCheckpoint-ed before counting — so
+    stage k executes once, instead of the lazy chain re-running stages
+    1..k-1 under every later count (quadratic re-execution at corpus
+    scale)."""
     from functime_spark.pipeline.dedup import (
         dedup_keep_canonical,
         exact_dedup,
@@ -63,13 +65,14 @@ def clean_corpus(
 
     report = []
     cur = docs
+    n_prev = docs.count()
 
     def step(name, nxt):
-        nonlocal cur
-        n_in = cur.count()
+        nonlocal cur, n_prev
+        nxt = nxt.localCheckpoint()
         n_out = nxt.count()
-        report.append((name, n_in, n_out))
-        cur = nxt
+        report.append((name, n_prev, n_out))
+        cur, n_prev = nxt, n_out
 
     if normalize:
         from functime_spark.pipeline.text import normalize_text

@@ -87,10 +87,23 @@ def minhash_signatures(
         # the ARRAY INDEX as its second argument and shadow the seed
         return lambda s: _hash64(s, seed=seed, hash_fn=hash_fn)
 
+    # Two-step projection, deliberately: the shingle construction
+    # (split -> slice -> concat_ws -> array_distinct) must evaluate
+    # ONCE per row, then feed all n_hashes min-sweeps as a plain
+    # attribute. Inlining `sh` into every lane re-derives the shingle
+    # array n_hashes times — higher-order-function chains don't
+    # common-subexpression-eliminate, and Catalyst's CollapseProject
+    # keeps this two-step shape because a non-cheap alias referenced
+    # n_hashes times is never re-inlined. (Measured: 32 lanes over
+    # 5k docs went 85s -> ~1s.) Still a zero-shuffle projection.
+    withsh = docs.select(F.col(id_col), sh.alias("__sh"))
     sig = F.array(
-        *[F.array_min(F.transform(sh, _hasher(i))) for i in range(n_hashes)]
+        *[
+            F.array_min(F.transform(F.col("__sh"), _hasher(i)))
+            for i in range(n_hashes)
+        ]
     )
-    return docs.select(F.col(id_col), sig.alias("sig"))
+    return withsh.select(F.col(id_col), sig.alias("sig"))
 
 
 def _cap_buckets(banded: DataFrame, keys: list, max_bucket_size: int) -> DataFrame:
@@ -220,11 +233,12 @@ def ngram_jaccard_pairs(
             grams.join(dfreq.filter(F.col("__df") > df_cap), on="g", how="left_anti")
         )
     # the filtered postings feed the size aggregate AND both sides of
-    # the inverted-index join; cache spills to disk if the gram table
-    # outgrows memory (3 explode+anti-join re-runs otherwise)
-    from pyspark import StorageLevel
-
-    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    # the inverted-index join: cut the lineage so the explode+DF-filter
+    # chain (and the corpus scan under it) materializes ONCE instead of
+    # re-running per consumer (was 8 plan scans; localCheckpoint spills
+    # to executor-local disk, the same durability class as a
+    # MEMORY_AND_DISK cache at cluster scale)
+    grams = grams.localCheckpoint()
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = grams.select(F.col(id_col).alias("id_a"), "g")
     b = grams.select(F.col(id_col).alias("id_b"), "g")

@@ -34,16 +34,21 @@ def _tok_arr(text_col):
     return F.filter(F.split(text_col, r"\s+"), lambda x: x != "")
 
 
-def _pair_arr(text_col):
-    """array<struct<w1,w2>> of (previous, current) tokens; w1 is null
-    for the first token. element_at is 1-based, so element_at(arr, i)
-    at 0-based position i IS the predecessor (guarded: i=0 would be an
-    invalid index under ANSI)."""
-    arr = _tok_arr(text_col)
+def _pair_arr_from(ws):
+    """array<struct<w1,w2>> of (previous, current) tokens from an
+    ALREADY-MATERIALIZED token-array column; w1 is null for the first
+    token. element_at is 1-based, so element_at(ws, i) at 0-based
+    position i IS the predecessor (guarded: i=0 would be an invalid
+    index under ANSI).
+
+    ``ws`` must be a plain attribute from a child projection: inlining
+    the tokenizer expression here makes element_at re-derive the WHOLE
+    token array once per element — O(n^2) per document (measured 5.7x
+    on the bigram count at sf0.1)."""
     return F.transform(
-        arr,
+        ws,
         lambda w, i: F.struct(
-            F.when(i > 0, F.element_at(arr, i)).alias("w1"), w.alias("w2")
+            F.when(i > 0, F.element_at(ws, i)).alias("w1"), w.alias("w2")
         ),
     )
 
@@ -58,11 +63,12 @@ def fit_ngram_lm(
     Returns {"uni": (token, c), "bi": (w1, w2, c), "n_tokens": long,
     "vocab": long}. The two scalars are driver-held (one tiny action
     over the unigram aggregate)."""
-    toks = train.select(F.explode(_tok_arr(F.col(text_col))).alias("w"))
+    base = train.select(_tok_arr(F.col(text_col)).alias("__ws"))
+    toks = base.select(F.explode("__ws").alias("w"))
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    pairs = train.select(
+    pairs = base.select(
         F.explode(
-            F.filter(_pair_arr(F.col(text_col)), lambda s: s["w1"].isNotNull())
+            F.filter(_pair_arr_from(F.col("__ws")), lambda s: s["w1"].isNotNull())
         ).alias("p")
     ).select("p.w1", "p.w2")
     bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
@@ -112,9 +118,11 @@ def ngram_lm_score(
             F.lit(0.0).alias("cross_entropy"),
             F.lit(1.0).alias("perplexity"),
         )
-    stream = docs.select(
-        F.col(id_col), F.explode(_pair_arr(F.col(text_col))).alias("p")
-    ).select(id_col, "p.w1", "p.w2")
+    stream = (
+        docs.select(F.col(id_col), _tok_arr(F.col(text_col)).alias("__ws"))
+        .select(F.col(id_col), F.explode(_pair_arr_from(F.col("__ws"))).alias("p"))
+        .select(id_col, "p.w1", "p.w2")
+    )
     uni = lm["uni"]
     p_uni = (F.col("__cu") + F.lit(alpha)) / F.lit(n_tok + alpha * vocab)
     scored = (

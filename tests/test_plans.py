@@ -443,3 +443,18 @@ def test_connected_components_signature_ansi_safe(spark):
     assert roots[4] == 1 and roots[3] == 1 and roots[2] == 1
     assert roots[7] == 5 and roots[6] == 5
     assert roots[10**17 + 1] == 10**17
+
+
+def test_ngram_jaccard_materialized_postings(spark):
+    """The DF-filtered posting table feeds the size aggregate AND both
+    self-join sides: the lineage cut pins it to one materialization
+    (was 8 plan scans / 8 exchanges before the cut)."""
+    from functime_spark.pipeline.dedup import ngram_jaccard_pairs
+    from functime_spark.plans import count_exchanges, count_file_scans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = ngram_jaccard_pairs(docs)
+    assert count_file_scans(out) <= 2
+    assert count_exchanges(out) <= 5
