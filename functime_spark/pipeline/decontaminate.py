@@ -28,11 +28,20 @@ def _word_ngrams(text_col, n: int):
     """Distinct word n-gram array; empty when the doc has < n words.
 
     Tokenization matches pipeline.text.tokens (split on whitespace,
-    drop empties) so overlap composes with the quality operators."""
+    drop empties) so overlap composes with the quality operators.
+    zip_with over n shifted slices, not transform(idx, i -> slice):
+    the inlined token array would re-evaluate per element — O(n_grams
+    * doc_len) per row (see dedup.shingles)."""
     words = F.filter(F.split(text_col, r"\s+"), lambda x: x != "")
-    idx = F.sequence(F.lit(1), F.size(words) - n + 1)
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
-    return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
+    m = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    gram = F.slice(words, 1, m)
+    for k in range(1, n):
+        gram = F.zip_with(
+            gram,
+            F.slice(words, k + 1, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(F.size(words) >= n, F.array_distinct(gram)).otherwise(
         F.array().cast("array<string>")
     )
 

@@ -53,13 +53,26 @@ def _hash64(col, seed=None, hash_fn: str = "xxhash64"):
 
 
 def shingles(text_col, n: int = 3):
-    """Word n-gram array (distinct) from a text column."""
+    """Word n-gram array (distinct) from a text column.
+
+    Built as zip_with over n shifted slices: each slice evaluates the
+    split once per ROW and the per-element lambda only concatenates —
+    O(doc_len). The textbook transform(idx, i -> concat_ws(slice(
+    words, i+1, n))) re-evaluates the inlined `words` for EVERY index,
+    O(n_grams * doc_len) per row. concat_ws skips the nulls zip_with
+    pads trailing slices with, so edge semantics match the slice-and-
+    join form exactly (a doc shorter than n words yields its single
+    joined gram)."""
     words = F.split(text_col, r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
-    )
-    return F.array_distinct(grams)
+    m = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    gram = F.slice(words, 1, m)
+    for k in range(1, n):
+        gram = F.zip_with(
+            gram,
+            F.slice(words, k + 1, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.array_distinct(gram)
 
 
 def minhash_signatures(
