@@ -76,6 +76,10 @@ def ngram_overlap(
     per_doc = docs.select(
         F.col(id_col), _word_ngrams(F.col(text_col), n).alias("__grams")
     )
+    # the gram arrays feed BOTH the totals projection and the probe
+    # explode; cut the lineage so the n-gram construction (and the
+    # corpus scan under it) runs once, not once per consumer
+    per_doc = per_doc.localCheckpoint()
     totals = per_doc.select(id_col, F.size("__grams").alias("n_grams"))
     exploded = per_doc.select(id_col, F.explode("__grams").alias("gram"))
     if hash_fn == "none":
