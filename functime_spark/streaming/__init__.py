@@ -12,6 +12,7 @@ from functime_spark.streaming.ops import (  # noqa: F401
     sessionize,
     stream_cusum,
     stream_exact_dedup,
+    stream_minhash_dedup,
     stream_resample,
     stream_rolling_stats,
 )

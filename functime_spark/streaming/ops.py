@@ -426,3 +426,108 @@ def stream_anomaly(
     return df.groupBy(p.entity).applyInPandasWithState(
         update, out_schema, state_schema, "append", timeout
     )
+
+
+def stream_minhash_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_bucket_size: int = 512,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Streaming MinHash near-dup detection: as documents arrive, each
+    is checked against every earlier document sharing an LSH band
+    bucket, emitting (id_a, id_b, est_jaccard, band) pairs (id_a =
+    the earlier arrival). Consumers dedup pairs surfacing via several
+    bands with a downstream dropDuplicates([id_a, id_b]).
+
+    Shape: the signature + banding projection is STATELESS (the same
+    zero-shuffle row-local expressions as batch minhash_signatures,
+    which a stream can run as-is); the only state is per-(band,
+    band_hash) — the bucket's (id, signature) list, capped at
+    ``max_bucket_size`` (arrival-order prefix; the batch op drops
+    oversize buckets retroactively — documented divergence). State
+    shards across executors on the bucket key, exactly how the batch
+    LSH join partitions.
+
+    For unbounded crawls prefer the persisted-store batch twin
+    (pipeline.dedup.minhash_dedup_incremental): streaming dedup state
+    never expires here (near-dups have no watermarkable horizon).
+
+    On a BATCH frame this degrades gracefully: the same
+    applyInPandasWithState call runs as a grouped map over final
+    buckets, emitting the identical pair set (arrival order = id
+    order within each bucket).
+    """
+    import pandas as pd
+
+    from functime_spark.pipeline.dedup import minhash_signatures
+
+    sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_n, hash_fn)
+    from functime_spark.pipeline.dedup import _hash64
+
+    r = n_hashes // bands
+    band_rows = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _hash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * r + j + 1).cast("string")
+                                    for j in range(r)
+                                ],
+                            ),
+                            hash_fn=hash_fn,
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select(id_col, "sig", "__b.band", "__b.band_hash")
+
+    out_schema = "id_a bigint, id_b bigint, est_jaccard double, band int"
+    state_schema = "ids array<bigint>, sigs array<array<bigint>>"
+
+    def update(key, pdfs, state):
+        band = int(key[0])
+        ids, sigs_st = (
+            (list(state.get[0]), [list(s) for s in state.get[1]])
+            if state.exists
+            else ([], [])
+        )
+        rows = []
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            whole = pd.concat(chunks).sort_values(id_col)
+            for did, sg in zip(whole[id_col], whole["sig"]):
+                did = int(did)
+                sg = [int(x) for x in sg]
+                if len(ids) < max_bucket_size:
+                    for pid, psig in zip(ids, sigs_st):
+                        est = sum(a == b for a, b in zip(psig, sg)) / float(
+                            n_hashes
+                        )
+                        if est >= threshold:
+                            rows.append((pid, did, est, band))
+                    ids.append(did)
+                    sigs_st.append(sg)
+        state.update((ids, sigs_st))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["id_a", "id_b", "est_jaccard", "band"]
+            )
+
+    return band_rows.groupBy("band", "band_hash").applyInPandasWithState(
+        update, out_schema, state_schema, "append", "NoTimeout"
+    )

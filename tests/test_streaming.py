@@ -355,3 +355,46 @@ def test_stream_anomaly_matches_batch(spark, tmp_path):
     assert _np.allclose(a[mask], b[mask], atol=1e-9)
     flagged = got[got["is_anomaly"]]
     assert list(flagged["entity"]) == ["a"] and list(flagged["t"]) == [33]
+
+
+def test_stream_minhash_dedup_matches_batch(spark, tmp_path):
+    """The streaming near-dup pass must surface exactly the batch
+    minhash_dedup pair set when arrival order == id order (the state
+    keeps earlier arrivals, so id_a < id_b like the batch candidates)."""
+    from functime_spark.pipeline.dedup import minhash_dedup
+    from functime_spark.streaming import stream_minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = []
+    for i in range(30):
+        if i % 3 == 0:
+            rows.append((i, base))  # exact/near dup cluster
+        elif i % 3 == 1:
+            rows.append((i, base.replace("dog", f"cat{i}")))
+        else:
+            rows.append((i, f"totally different text number {i} with unique words w{i} v{i}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    batch_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup(docs, threshold=0.5).collect()
+    }
+
+    path = str(tmp_path / "mh_docs")
+    docs.coalesce(1).write.parquet(path)
+    src = spark.readStream.schema(docs.schema).parquet(path)
+    out = stream_minhash_dedup(src, threshold=0.5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mh_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    stream_pairs = {
+        (r.id_a, r.id_b) for r in spark.table("mh_stream").collect()
+    }
+    assert stream_pairs == batch_pairs
+    assert len(batch_pairs) > 0
