@@ -451,6 +451,54 @@ def q_text_normalize(spark, sf_dir):
     return normalize_text(noisy).orderBy("doc_id")
 
 
+def q_text_strip_html(spark, sf_dir):
+    """HTML-to-text over an in-query markup-wrapped variant of the
+    documents table (script/style blocks, comments, attributes,
+    entities) — the HTML_RULES regexp chain replays verbatim in the
+    oracle."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.text import strip_html
+
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                "<html><head><style>body {color: red}</style>"
+                "<script type='text/javascript'>var x = 1 < 2;</script>"
+                "</head><body><!-- nav\nbar --><p class=\"lead\">"
+            ),
+            F.col("text"),
+            F.lit(
+                "</p>\n<div>Tail &amp; more &lt;tags&gt; &quot;q&quot; "
+                "&#39;s&#39;&nbsp;end</div></body></html>"
+            ),
+        ).alias("text"),
+    )
+    return strip_html(wrapped).orderBy("doc_id")
+
+
+def q_text_mojibake(spark, sf_dir):
+    """Encoding-damage scan over an in-query corrupted variant: docs
+    with doc_id % 3 == 0 get a tail of double-encoded UTF-8 sequences
+    (the curly-quote/e-acute family), the rest stay clean — count,
+    per-kchar rate and verdict replay literally in SQL."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.text import MOJIBAKE_PATTERNS, mojibake_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    tail = " Caf" + MOJIBAKE_PATTERNS[0] + " " + "".join(MOJIBAKE_PATTERNS[8:11])
+    noisy = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(tail))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return _round_floats(mojibake_scan(noisy)).orderBy("doc_id")
+
+
 def q_text_c4(spark, sf_dir):
     """C4 line/document quality filter over an in-query noisy variant
     (terminal-punct line breaks planted at slow/fast tokens, lorem
@@ -2055,6 +2103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_tfidf_topk": q_text_tfidf_topk,
             "corpus_clean_attrition": q_corpus_clean_attrition,
             "text_vocab_zipf": q_text_vocab_zipf,
+            "text_strip_html": q_text_strip_html,
+            "text_mojibake": q_text_mojibake,
             "corpus_pack_shards": q_corpus_pack_shards,
             "corpus_mix_weights": q_corpus_mix_weights,
             "embedding_stats": q_embedding_stats,
@@ -2157,6 +2207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b) new or changed in round 4
         "corpus_clean_attrition",
         "text_vocab_zipf",
+        "text_strip_html",
+        "text_mojibake",
         "future_holidays",
         "dedup_cluster",
         "corpus_stats",

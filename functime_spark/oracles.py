@@ -3765,6 +3765,58 @@ ORDER BY 1, 2
         + f", n_nonspace, {_dom} AS dominant_script FROM c ORDER BY doc_id"
     )
 
+    # --- text_strip_html: the HTML_RULES regexp chain over the
+    # markup-wrapped variant, replayed rule-for-rule (RE2 inline flags
+    # work identically in DuckDB)
+    from functime_spark.pipeline.text import HTML_RULES, MOJIBAKE_PATTERNS
+
+    _pre = (
+        "<html><head><style>body {color: red}</style>"
+        "<script type=''text/javascript''>var x = 1 < 2;</script>"
+        '</head><body><!-- nav\nbar --><p class="lead">'
+    )
+    _suf = (
+        "</p>\n<div>Tail &amp; more &lt;tags&gt; &quot;q&quot; "
+        "&#39;s&#39;&nbsp;end</div></body></html>"
+    )
+    _chain = "t0"
+    for _pat, _rep in HTML_RULES:
+        _p = _pat.replace("'", "''")
+        _rp = _rep.replace("'", "''")
+        _chain = f"regexp_replace({_chain}, '{_p}', '{_rp}', 'g')"
+    o["text_strip_html"] = (
+        f"WITH w AS (SELECT doc_id, '{_pre}' || text || '{_suf}' AS t0 "
+        "FROM documents), "
+        f"r AS (SELECT doc_id, t0, trim({_chain}) AS tc FROM w) "
+        "SELECT doc_id, tc AS text_clean, "
+        "CAST(length(t0) - length(tc) AS BIGINT) AS markup_chars "
+        "FROM r ORDER BY doc_id"
+    )
+
+    # --- text_mojibake: literal-replace length-delta counting per
+    # double-encoded sequence; verdict compares the UNROUNDED rate
+    # like the Spark side
+    _tail = (
+        " Caf" + MOJIBAKE_PATTERNS[0] + " " + "".join(MOJIBAKE_PATTERNS[8:11])
+    ).replace("'", "''")
+    _hit_terms = " + ".join(
+        "CAST((length(t) - length(replace(t, '"
+        + p.replace("'", "''")
+        + f"', ''))) / {len(p)} AS BIGINT)"
+        for p in MOJIBAKE_PATTERNS
+    )
+    _rate = "CASE WHEN length(t) > 0 THEN hits * 1000.0 / length(t) ELSE 0.0 END"
+    o["text_mojibake"] = (
+        "WITH n AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+        f"text || '{_tail}' ELSE text END AS t FROM documents), "
+        f"h AS (SELECT doc_id, t, {_hit_terms} AS hits FROM n) "
+        "SELECT doc_id, hits AS mojibake_hits, "
+        + _r(_rate)
+        + " AS hits_per_kchar, "
+        f"CAST(({_rate}) > 1.0 AS INT) AS is_mojibake "
+        "FROM h ORDER BY doc_id"
+    )
+
     # --- text_vocab_zipf: top-k vocabulary + log-log OLS Zipf slope,
     # ties broken by token asc; the slope replays as the closed-form
     # covariance ratio over the same k rows

@@ -699,3 +699,105 @@ def script_profile(
         total.alias("n_nonspace"),
         best.alias("dominant_script"),
     )
+
+
+#: (pattern, replacement) chain for strip_html, applied in order.
+#: RE2-compatible (no backreferences/lookarounds) so the identical
+#: chain replays in the DuckDB oracle. Script/style blocks go first
+#: (their text content is code, not prose), then comments, then tags,
+#: then the common entities.
+HTML_RULES = (
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?s)<[^>]+>", " "),
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"\s+", " "),
+)
+
+
+def strip_html(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """HTML-to-text for crawl corpora: drop script/style blocks and
+    comments, strip tags, unescape the common entities, collapse
+    whitespace. A real extraction stack (trafilatura/jusText) does
+    boilerplate removal too — this is the in-engine, zero-dependency
+    tier that runs at full scan speed.
+
+    Pure regexp chain — codegen, zero shuffle; emits text_clean plus
+    markup_chars (how much was removed) for attrition auditing."""
+    t = F.col(text_col)
+    for pat, rep in HTML_RULES:
+        t = F.regexp_replace(t, pat, rep)
+    t = F.trim(t)
+    return docs.select(
+        F.col(id_col),
+        t.alias("text_clean"),
+        (F.length(F.col(text_col)) - F.length(t)).cast("long").alias(
+            "markup_chars"
+        ),
+    )
+
+
+#: mojibake indicators: UTF-8 bytes decoded as Latin-1/Windows-1252 —
+#: each is the double-encoded form of a common character (e-acute,
+#: curly quotes/dashes, u-umlaut, NBSP...), the high-frequency
+#: casualties in web crawls. Spelled as escapes because several
+#: contain C1 control characters.
+MOJIBAKE_PATTERNS = (
+    "\u00c3\u00a9",  # e-acute as 'A-tilde copyright'
+    "\u00c3\u00a8",
+    "\u00c3\u00bc",
+    "\u00c3\u00a4",
+    "\u00c3\u00b6",
+    "\u00c3\u0178",
+    "\u00c3\u00b1",
+    "\u00c3\u00a7",
+    "\u00e2\u20ac\u2122",  # right single quote
+    "\u00e2\u20ac\u0153",  # left double quote
+    "\u00e2\u20ac\u009d",  # right double quote (C1 control tail)
+    "\u00e2\u20ac\u201c",  # en dash
+    "\u00e2\u20ac\u201d",  # em dash
+    "\u00e2\u20ac\u00a6",  # ellipsis
+    "\u00c2\u00a0",         # NBSP
+)
+
+
+def mojibake_scan(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hits_per_kchar: float = 1.0,
+) -> DataFrame:
+    """Encoding-damage detector: count double-encoded UTF-8 sequences
+    (the mojibake family above) per document and flag docs whose rate
+    exceeds ``max_hits_per_kchar`` hits per 1000 chars — the standard
+    signal for a crawl segment decoded with the wrong charset.
+
+    Zero shuffle: one literal-replace length-delta per pattern, summed
+    JVM-side; every step replays exactly in SQL."""
+    t = F.col(text_col)
+    hits = F.lit(0).cast("long")
+    for pat in MOJIBAKE_PATTERNS:
+        # occurrences = length delta / pattern length (literal replace)
+        hits = hits + (
+            (F.length(t) - F.length(F.replace(t, F.lit(pat), F.lit(""))))
+            / F.lit(len(pat))
+        ).cast("long")
+    rate = F.when(
+        F.length(t) > 0, hits.cast("double") * 1000.0 / F.length(t)
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col),
+        hits.alias("mojibake_hits"),
+        rate.alias("hits_per_kchar"),
+        (rate > F.lit(max_hits_per_kchar)).cast("int").alias("is_mojibake"),
+    )

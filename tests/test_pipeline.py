@@ -1637,3 +1637,51 @@ def test_vocab_stats_no_global_sort_exchange(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = explain_str(vocab_stats(docs))
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_strip_html_rules(spark):
+    from functime_spark.pipeline.text import strip_html
+
+    d = spark.createDataFrame(
+        [
+            (0, "<p>Hello <b>world</b></p>"),
+            (1, "<script>var x = '<p>not text</p>';</script>after"),
+            (2, "<style>p { color: red }</style>styled"),
+            (3, "<!-- a\ncomment -->kept"),
+            (4, "A &amp; B &lt;ok&gt; &quot;q&quot; &#39;s&#39;&nbsp;end"),
+            (5, ""),
+            (6, "plain text, no markup"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.text_clean, r.markup_chars) for r in strip_html(d).collect()}
+    assert out[0] == ("Hello world", 14)
+    assert out[1][0] == "after"
+    assert out[2][0] == "styled"
+    assert out[3][0] == "kept"
+    assert out[4][0] == "A & B <ok> \"q\" 's' end"
+    assert out[5] == ("", 0)
+    assert out[6] == ("plain text, no markup", 0)
+
+
+def test_mojibake_scan_counts_and_verdict(spark):
+    from functime_spark.pipeline.text import MOJIBAKE_PATTERNS, mojibake_scan
+
+    eacute = MOJIBAKE_PATTERNS[0]          # A-tilde + copyright pair
+    rsq = MOJIBAKE_PATTERNS[8]             # 3-char right single quote
+    clean = "perfectly clean ascii text that is long enough to stay calm"
+    d = spark.createDataFrame(
+        [
+            (0, clean),
+            (1, "caf" + eacute + " bar"),              # 1 hit, short text
+            (2, clean * 20 + eacute),                  # 1 hit, long text
+            (3, rsq + eacute + rsq),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in mojibake_scan(d).collect()}
+    assert out[0].mojibake_hits == 0 and out[0].is_mojibake == 0
+    assert out[1].mojibake_hits == 1 and out[1].is_mojibake == 1
+    # same single hit but diluted below 1 per kchar: not flagged
+    assert out[2].mojibake_hits == 1 and out[2].is_mojibake == 0
+    assert out[3].mojibake_hits == 3 and out[3].is_mojibake == 1
