@@ -1708,6 +1708,24 @@ def q_media_features(spark, sf_dir):
     ).orderBy("media_id", "j")
 
 
+def q_media_resize(spark, sf_dir):
+    """Resize plumbing through the Arrow batch path: the fake codec's
+    resized payload is a pure sha256 chain, so the hex of every output
+    byte is value-verified; meta JSON carries the new dimensions."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.multimodal import attach_payload, resize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_payload(docs, "doc_id", "text")
+    out = resize_media(media, 32, 32)
+    return out.select(
+        "media_id",
+        "kind",
+        F.lower(F.hex("payload")).alias("payload_hex"),
+        "meta",
+    ).orderBy("media_id")
+
+
 def q_preproc_roll(spark, sf_dir):
     _ensure_nanos_conf(spark)
     from functime_spark.operators.preprocessing import roll
@@ -2148,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "feat_udf_lempel_ziv": q_feat_udf_lempel_ziv,
             "cusum_events": q_cusum_events,
             "media_features": q_media_features,
+            "media_resize": q_media_resize,
             "forecast_backtest_naive": q_forecast_backtest_naive,
             "forecast_conformal": q_forecast_conformal,
             "forecast_conformal_linear": q_forecast_conformal_linear,
@@ -2209,6 +2228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_zipf",
         "text_strip_html",
         "text_mojibake",
+        "media_resize",
         "future_holidays",
         "dedup_cluster",
         "corpus_stats",

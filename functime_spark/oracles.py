@@ -1194,6 +1194,17 @@ def operator_oracles() -> dict:
         "SELECT doc_id AS media_id, j, v FROM feat ORDER BY media_id, j"
     )
 
+    # media_resize: the fake codec's "resized" payload is
+    # sha256(hex(sha256(payload)) || '-WxH'); DuckDB's sha256 returns
+    # the hex digest directly, which equals hex(raw digest) on the
+    # Spark side
+    o["media_resize"] = (
+        "SELECT doc_id AS media_id, 'image' AS kind, "
+        "sha256(sha256(COALESCE(text, '')) || '-32x32') AS payload_hex, "
+        "'{\"width\":32,\"height\":32}' AS meta "
+        "FROM documents ORDER BY media_id"
+    )
+
     # text_gopher: replay every Gopher rule signal with DuckDB
     # list/regex functions; repetition fractions re-derived from
     # per-(doc, line) counts; the `passes` verdict re-evaluated on the

@@ -116,3 +116,53 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.select(
         "media_id", F.explode(idx).alias("frame_idx")
     )
+
+
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    decoder: str = "fake",
+    batch_size: int = 256,
+) -> DataFrame:
+    """Resize plumbing: (media_id, kind, payload, meta) -> same schema
+    with the payload re-encoded at width x height and the meta JSON
+    updated. Arrow-batched mapInPandas like a real codec pass.
+
+    decoder='fake': the resized payload is the deterministic 32-byte
+    sha256(hex(sha256(payload)) + "-{w}x{h}") digest — byte-exactly
+    replayable in any engine with sha256, so the gate value-checks the
+    full batch path; any other decoder raises until its codec library
+    is present in the image."""
+    if decoder != "fake":
+        raise NotImplementedError(
+            f"decoder '{decoder}' needs its codec library (not in this image); "
+            "use decoder='fake' for plumbing tests"
+        )
+    tag = f"-{width}x{height}"
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = [
+                hashlib.sha256(
+                    (
+                        hashlib.sha256(p or b"").hexdigest() + tag
+                    ).encode()
+                ).digest()
+                for p in pdf["payload"]
+            ]
+            meta = [
+                f'{{"width":{width},"height":{height}}}' for _ in range(len(pdf))
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out,
+                    "meta": meta,
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
