@@ -796,6 +796,22 @@ def q_future_holidays(spark, sf_dir):
     return out.orderBy("user_id", "ts")
 
 
+def q_stream_minhash(spark, sf_dir):
+    """The streaming MinHash near-dup operator executed in batch mode
+    (applyInPandasWithState degrades to a grouped map on a static
+    frame): distinct verified pairs must equal the batch minhash
+    pipeline's, so the dedup_minhash oracle replays it directly."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.streaming import stream_minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = stream_minhash_dedup(docs, threshold=0.3, hash_fn="md5")
+    return (
+        _round_floats(out.select("id_a", "id_b", "est_jaccard").distinct())
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (F.session_window, batch/stream
     symmetric): 6h-gap sessions over the events panel, replayed in
@@ -2090,6 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stream_resample": q_stream_resample,
             "stream_sliding_stats": q_stream_sliding_stats,
             "sessionize": q_sessionize,
+            "stream_minhash": q_stream_minhash,
             "future_calendar": q_future_calendar,
             "future_holidays": q_future_holidays,
             "forecast_zero_inflated": q_forecast_zero_inflated,
@@ -2229,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_strip_html",
         "text_mojibake",
         "media_resize",
+        "stream_minhash",
         "future_holidays",
         "dedup_cluster",
         "corpus_stats",

@@ -1307,6 +1307,9 @@ def operator_oracles() -> dict:
         f"SELECT id_a, id_b, {_r('ej')} AS est_jaccard FROM est "
         "WHERE ej >= 0.3 ORDER BY id_a, id_b"
     )
+    # stream_minhash (batch-mode run of the streaming twin) surfaces
+    # the identical distinct pair set
+    o["stream_minhash"] = o["dedup_minhash"]
 
     # dedup_cluster: connected components over the minhash pair graph —
     # the Spark side runs alternating large-star/small-star; the oracle

@@ -8,4 +8,16 @@ plumbing. Every operator is partition-parallel — the 100 TB story is
 "add executors".
 """
 
-from functime_spark.pipeline import dedup, multimodal, similarity, text  # noqa: F401
+from functime_spark.pipeline import (  # noqa: F401
+    classifier,
+    clean,
+    decontaminate,
+    dedup,
+    lm,
+    multimodal,
+    packing,
+    sampling,
+    similarity,
+    text,
+)
+from functime_spark.pipeline.clean import clean_corpus  # noqa: F401

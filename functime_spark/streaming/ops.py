@@ -458,10 +458,11 @@ def stream_minhash_dedup(
     (pipeline.dedup.minhash_dedup_incremental): streaming dedup state
     never expires here (near-dups have no watermarkable horizon).
 
-    On a BATCH frame this degrades gracefully: the same
-    applyInPandasWithState call runs as a grouped map over final
-    buckets, emitting the identical pair set (arrival order = id
-    order within each bucket).
+    On a BATCH frame this degrades gracefully: Spark rejects
+    applyInPandasWithState outside a stream, so the same per-bucket
+    scoring runs as a stateless applyInPandas grouped map (each final
+    bucket processed in one shot, arrival order = id order within the
+    bucket) — identical pair set.
     """
     import pandas as pd
 
@@ -528,6 +529,27 @@ def stream_minhash_dedup(
                 rows, columns=["id_a", "id_b", "est_jaccard", "band"]
             )
 
-    return band_rows.groupBy("band", "band_hash").applyInPandasWithState(
-        update, out_schema, state_schema, "append", "NoTimeout"
+    if docs.isStreaming:
+        return band_rows.groupBy("band", "band_hash").applyInPandasWithState(
+            update, out_schema, state_schema, "append", "NoTimeout"
+        )
+
+    def batch_bucket(pdf):
+        band = int(pdf["band"].iloc[0])
+        pdf = pdf.sort_values(id_col)
+        ids, sigs_st, rows = [], [], []
+        for did, sg in zip(pdf[id_col], pdf["sig"]):
+            did = int(did)
+            sg = [int(x) for x in sg]
+            if len(ids) < max_bucket_size:
+                for pid, psig in zip(ids, sigs_st):
+                    est = sum(a == b for a, b in zip(psig, sg)) / float(n_hashes)
+                    if est >= threshold:
+                        rows.append((pid, did, est, band))
+                ids.append(did)
+                sigs_st.append(sg)
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard", "band"])
+
+    return band_rows.groupBy("band", "band_hash").applyInPandas(
+        batch_bucket, schema=out_schema
     )
