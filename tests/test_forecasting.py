@@ -594,3 +594,28 @@ def test_elite_lasso_stacking_beats_mean_blend(spark):
     mae_lasso = mae_of(elite(ensemble_strategy="lasso", **kw))
     assert mae_lasso < mae_mean * 0.5, (mae_lasso, mae_mean)
     assert mae_lasso < 0.2
+
+
+def test_halving_matches_grid_three_splits(spark):
+    """The split-nesting argument must hold beyond 2 splits: with
+    n_splits=3 a survivor's pooled score still reproduces the full
+    backtest exactly (trim j=1 and j=2 rows per entity)."""
+    from functime_spark.forecasting.automl import auto_linear_model
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for e in range(2):
+        x = [8.0, 9.0]
+        for t in range(1, 71):
+            x.append(0.5 * x[-1] + 0.4 * x[-2] + rng.randn() * 0.2)
+            rows.append((f"e{e}", t, x[-1]))
+    y = spark.createDataFrame(rows, "entity string, t long, y double")
+
+    kw = dict(freq="1i", min_lags=2, max_lags=6, test_size=4, n_splits=3)
+    grid = auto_linear_model(search="grid", **kw).fit(y)
+    halv = auto_linear_model(**kw).fit(y)
+    assert halv.best_params_ == grid.best_params_
+    assert halv.best_score_ == pytest.approx(grid.best_score_, rel=1e-12)
+    # 3 candidates: grid 9 split-fits, halving 3 + 2*2 = 7
+    assert grid.n_fit_trials_ == 9
+    assert halv.n_fit_trials_ == 7
