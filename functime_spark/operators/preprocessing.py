@@ -726,31 +726,37 @@ def _boxcox_lmbd(x) -> float:
     x = np.asarray(x, dtype="float64")
     x = x[~np.isnan(x)]
     n = len(x)
-    m = np.log(x)
-    s_log = m.sum()
+    # grid probes at extreme lambdas transiently overflow/0-divide
+    # before the guard rails reject them — expected; keep them out of
+    # the executor logs (one warning per entity per task otherwise)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        m = np.log(x)
+        s_log = m.sum()
 
-    def neg_llf(lmb: float) -> float:
-        y = m if abs(lmb) < 1e-19 else (np.power(x, lmb) - 1) / lmb
-        var = y.var()
-        if var <= 0:
-            return np.inf
-        return -((lmb - 1) * s_log - n / 2 * np.log(var))
+        def neg_llf(lmb: float) -> float:
+            y = m if abs(lmb) < 1e-19 else (np.power(x, lmb) - 1) / lmb
+            var = y.var()
+            if var <= 0:
+                return np.inf
+            return -((lmb - 1) * s_log - n / 2 * np.log(var))
 
-    lam = min((-2.0 + 0.05 * i for i in range(81)), key=lambda l: (neg_llf(l), l))
-    if lam == 0.0:  # Newton form divides by lambda; start just off 0
-        lam = 0.025
-    for _ in range(15):
-        xl = np.power(x, lam)
-        y = (xl - 1) / lam
-        yp = (m * xl) / lam - y / lam
-        ypp = (m * m * xl) / lam - 2 * (m * xl) / lam**2 + 2 * y / lam**2
-        my, myp, mypp = y.mean(), yp.mean(), ypp.mean()
-        v = (y * y).mean() - my * my
-        vp = 2 * ((y * yp).mean() - my * myp)
-        vpp = 2 * ((yp * yp).mean() + (y * ypp).mean() - myp * myp - my * mypp)
-        g = -s_log + n / 2 * vp / v
-        gp = n / 2 * (vpp * v - vp * vp) / (v * v)
-        lam = min(2.0, max(-2.0, lam - g / gp))
+        lam = min(
+            (-2.0 + 0.05 * i for i in range(81)), key=lambda l: (neg_llf(l), l)
+        )
+        if lam == 0.0:  # Newton form divides by lambda; start just off 0
+            lam = 0.025
+        for _ in range(15):
+            xl = np.power(x, lam)
+            y = (xl - 1) / lam
+            yp = (m * xl) / lam - y / lam
+            ypp = (m * m * xl) / lam - 2 * (m * xl) / lam**2 + 2 * y / lam**2
+            my, myp, mypp = y.mean(), yp.mean(), ypp.mean()
+            v = (y * y).mean() - my * my
+            vp = 2 * ((y * yp).mean() - my * myp)
+            vpp = 2 * ((yp * yp).mean() + (y * ypp).mean() - myp * myp - my * mypp)
+            g = -s_log + n / 2 * vp / v
+            gp = n / 2 * (vpp * v - vp * vp) / (v * v)
+            lam = min(2.0, max(-2.0, lam - g / gp))
     return lam
 
 

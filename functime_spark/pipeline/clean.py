@@ -25,6 +25,8 @@ def clean_corpus(
     id_col: str = "doc_id",
     use_gopher: bool = True,
     normalize: bool = False,
+    html_strip: bool = False,
+    mojibake_max: float | None = None,
     use_c4: bool = False,
     url_col: str | None = None,
     dedup: str = "minhash",
@@ -39,8 +41,12 @@ def clean_corpus(
     per-stage attrition DataFrame (stage, docs_in, docs_out).
 
     Stages (each optional):
+    -1. html — strip markup/entities (rewrites text_col; row-local,
+       runs first so every later signal sees prose, not tags);
     0. normalize — unicode/whitespace canonicalization (rewrites
        text_col in place; row-local, run before anything hashes text);
+    0a. mojibake — drop encoding-damaged docs (rate > mojibake_max
+       double-encoded sequences per kchar);
     0b. url — URL-level dedup on `url_col` (cheapest dedup tier);
     1. gopher  — Rae et al. 2021 quality rules (row-local filter);
     1b. c4     — Raffel et al. 2020 line/doc rules (rewrites text_col
@@ -74,6 +80,17 @@ def clean_corpus(
         report.append((name, n_prev, n_out))
         cur, n_prev = nxt, n_out
 
+    if html_strip:
+        from functime_spark.pipeline.text import strip_html
+
+        stripped = strip_html(cur, text_col=text_col, id_col=id_col)
+        step(
+            "html_strip",
+            cur.drop(text_col).join(
+                stripped.select(id_col, F.col("text_clean").alias(text_col)),
+                on=id_col,
+            ),
+        )
     if normalize:
         from functime_spark.pipeline.text import normalize_text
 
@@ -85,6 +102,15 @@ def clean_corpus(
                 on=id_col,
             ),
         )
+    if mojibake_max is not None:
+        from functime_spark.pipeline.text import mojibake_scan
+
+        flags = mojibake_scan(
+            cur, text_col=text_col, id_col=id_col,
+            max_hits_per_kchar=mojibake_max,
+        )
+        keep = flags.filter(F.col("is_mojibake") == 0).select(id_col)
+        step("mojibake", cur.join(keep, on=id_col, how="left_semi"))
     if url_col is not None:
         from functime_spark.pipeline.text import dedup_by_url
 

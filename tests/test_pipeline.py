@@ -1685,3 +1685,34 @@ def test_mojibake_scan_counts_and_verdict(spark):
     # same single hit but diluted below 1 per kchar: not flagged
     assert out[2].mojibake_hits == 1 and out[2].is_mojibake == 0
     assert out[3].mojibake_hits == 3 and out[3].is_mojibake == 1
+
+
+def test_clean_corpus_html_and_mojibake_stages(spark):
+    from functime_spark.pipeline.clean import clean_corpus
+    from functime_spark.pipeline.text import MOJIBAKE_PATTERNS
+
+    moji = MOJIBAKE_PATTERNS[8] * 4
+    good = "the good and long document that should clearly survive " * 5
+    d = spark.createDataFrame(
+        [
+            (0, "<p>" + good + "</p>"),
+            (1, good + " tail"),
+            (2, "short " + moji),
+        ],
+        "doc_id long, text string",
+    )
+    out, rep = clean_corpus(
+        d,
+        html_strip=True,
+        mojibake_max=1.0,
+        use_gopher=False,
+        dedup="exact",
+    )
+    stages = {r.stage: (r.docs_in, r.docs_out) for r in rep.collect()}
+    assert stages["html_strip"] == (3, 3)
+    assert stages["mojibake"] == (3, 2)
+    kept = sorted(r.doc_id for r in out.select("doc_id").collect())
+    assert kept == [0, 1]
+    # html stage rewrote doc 0: tags gone
+    texts = {r.doc_id: r.text for r in out.collect()}
+    assert "<p>" not in texts[0]
