@@ -1203,6 +1203,45 @@ def q_corpus_clean_attrition(spark, sf_dir):
     return rep.orderBy("stage")
 
 
+def q_tpch_revenue_panel(spark, sf_dir):
+    """Star-schema -> panel bridge: nation-level monthly revenue via
+    lineitem x orders x customer x broadcast(nation), then the panel
+    lag transformer for the month-over-month delta. Exercises the
+    relational tier (big-big shuffle joins + explicit dim broadcast)
+    feeding the time-series tier in one plan. 4-decimal rounding: the
+    revenue sums are ~1e7 with engine-dependent summation order, so
+    6 decimals would sit inside float accumulation noise."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.operators.preprocessing import lag
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", F.col("l_shipdate")).alias("month"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    lagged = lag([1]).transform(rev.select("nation", "month", "revenue"))
+    out = rev.join(lagged, on=["nation", "month"], how="left").select(
+        "nation",
+        "month",
+        F.col("revenue"),
+        (F.col("revenue") - F.col("revenue__lag_1")).alias("revenue_mom"),
+    )
+    return _round_floats(out, nd=4).orderBy("nation", "month")
+
+
 def q_corpus_stats(spark, sf_dir):
     """Per-(lang, source) corpus report: doc counts, char totals/
     means/medians, token totals — one partial-aggregated hash
@@ -2130,6 +2169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_ngram_repetition": q_text_ngram_repetition,
             "text_url_stats": q_text_url_stats,
             "corpus_stats": q_corpus_stats,
+            "tpch_revenue_panel": q_tpch_revenue_panel,
             "stratified_sample": q_stratified_sample,
             "text_classifier": q_text_classifier,
             "text_decontaminate": q_text_decontaminate,
@@ -2247,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_mojibake",
         "media_resize",
         "stream_minhash",
+        "tpch_revenue_panel",
         "future_holidays",
         "dedup_cluster",
         "corpus_stats",

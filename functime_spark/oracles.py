@@ -3831,6 +3831,23 @@ ORDER BY 1, 2
         "FROM h ORDER BY doc_id"
     )
 
+    # --- tpch_revenue_panel: star join -> monthly nation revenue ->
+    # MoM delta; 4-decimal rounding (sums ~1e7, engine summation-order
+    # noise ~2e-7 sits inside a 6-decimal boundary)
+    o["tpch_revenue_panel"] = (
+        "WITH rev AS (SELECT n.n_name AS nation, "
+        "CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP) AS month, "
+        "SUM(l.l_extendedprice * (1 - l.l_discount)) AS r "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "GROUP BY 1, 2) "
+        "SELECT nation, month, ROUND(r + 1e-9, 4) AS revenue, "
+        "ROUND(r - lag(r) OVER (PARTITION BY nation ORDER BY month) "
+        "+ 1e-9, 4) AS revenue_mom "
+        "FROM rev ORDER BY nation, month"
+    )
+
     # --- text_vocab_zipf: top-k vocabulary + log-log OLS Zipf slope,
     # ties broken by token asc; the slope replays as the closed-form
     # covariance ratio over the same k rows

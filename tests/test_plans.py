@@ -458,3 +458,18 @@ def test_ngram_jaccard_materialized_postings(spark):
     out = ngram_jaccard_pairs(docs)
     assert count_file_scans(out) <= 2
     assert count_exchanges(out) <= 5
+
+
+def test_tpch_star_join_broadcasts_dim(spark):
+    """The nation dim must enter as a broadcast join; the big-big
+    lineitem x orders join may shuffle, but the whole star plan stays
+    bounded (<= 6 exchanges)."""
+    import __spark_entry__ as entrymod
+    from functime_spark.plans import count_exchanges, explain_str
+
+    df = entrymod.queries()["tpch_revenue_panel"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert count_exchanges(df) <= 6
