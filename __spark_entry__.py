@@ -1203,6 +1203,28 @@ def q_corpus_clean_attrition(spark, sf_dir):
     return rep.orderBy("stage")
 
 
+def q_tpch_supplier_features(spark, sf_dir):
+    """SURVEY §7's lineitem-as-panel: entity=l_suppkey, time=daily
+    l_shipdate bucket, y=revenue sum — straight into the fused
+    single-shuffle feature extractor. 4-decimal rounding (panel values
+    ~1e5 with engine-dependent aggregation order)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.functions.features import extract_features
+
+    li = load_table(spark, sf_dir, "lineitem")
+    panel = (
+        li.groupBy(
+            F.col("l_suppkey").alias("supplier"),
+            F.date_trunc("day", F.col("l_shipdate")).alias("day"),
+        )
+        .agg(F.sum("l_extendedprice").alias("y"))
+    )
+    out = extract_features(
+        panel, ["absolute_maximum", "root_mean_square", "mean_abs_change"]
+    )
+    return _round_floats(out, nd=4).orderBy("supplier")
+
+
 def q_tpch_revenue_panel(spark, sf_dir):
     """Star-schema -> panel bridge: nation-level monthly revenue via
     lineitem x orders x customer x broadcast(nation), then the panel
@@ -2170,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_url_stats": q_text_url_stats,
             "corpus_stats": q_corpus_stats,
             "tpch_revenue_panel": q_tpch_revenue_panel,
+            "tpch_supplier_features": q_tpch_supplier_features,
             "stratified_sample": q_stratified_sample,
             "text_classifier": q_text_classifier,
             "text_decontaminate": q_text_decontaminate,
@@ -2288,6 +2311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize",
         "stream_minhash",
         "tpch_revenue_panel",
+        "tpch_supplier_features",
         "future_holidays",
         "dedup_cluster",
         "corpus_stats",

@@ -3831,6 +3831,22 @@ ORDER BY 1, 2
         "FROM h ORDER BY doc_id"
     )
 
+    # --- tpch_supplier_features: lineitem-as-panel (daily revenue per
+    # supplier) through three fused extractors, replayed as plain
+    # aggregates + a lag window
+    o["tpch_supplier_features"] = (
+        "WITH p AS (SELECT l_suppkey AS supplier, "
+        "CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS d, "
+        "SUM(l_extendedprice) AS y FROM lineitem GROUP BY 1, 2), "
+        "lagged AS (SELECT supplier, y, "
+        "lag(y) OVER (PARTITION BY supplier ORDER BY d) AS yl FROM p) "
+        "SELECT supplier, "
+        "ROUND(MAX(ABS(y)) + 1e-9, 4) AS absolute_maximum, "
+        "ROUND(SQRT(SUM(y*y) / COUNT(y)) + 1e-9, 4) AS root_mean_square, "
+        "ROUND(AVG(ABS(y - yl)) + 1e-9, 4) AS mean_abs_change "
+        "FROM lagged GROUP BY supplier ORDER BY supplier"
+    )
+
     # --- tpch_revenue_panel: star join -> monthly nation revenue ->
     # MoM delta; 4-decimal rounding (sums ~1e7, engine summation-order
     # noise ~2e-7 sits inside a 6-decimal boundary)
