@@ -407,3 +407,153 @@ def _kr(year: int) -> list:
 
 
 _COUNTRIES.update({"BR": _br, "IN": _in, "MX": _mx, "CN": _cn, "KR": _kr})
+
+
+def _sat_on_or_after(year: int, month: int, day: int) -> _dt.date:
+    """First Saturday on or after the given date (SE midsummer-style
+    floating-Saturday rules)."""
+    d = _dt.date(year, month, day)
+    return d + _dt.timedelta(days=(5 - d.weekday()) % 7)
+
+
+def _at(year: int) -> list:
+    """Austria national holidays (standard current-law rules)."""
+    easter = _easter(year)
+    d = _dt.timedelta
+    return [
+        (_dt.date(year, 1, 1), "neujahr"),
+        (_dt.date(year, 1, 6), "heilige_drei_konige"),
+        (easter + d(1), "ostermontag"),
+        (_dt.date(year, 5, 1), "staatsfeiertag"),
+        (easter + d(39), "christi_himmelfahrt"),
+        (easter + d(50), "pfingstmontag"),
+        (easter + d(60), "fronleichnam"),
+        (_dt.date(year, 8, 15), "maria_himmelfahrt"),
+        (_dt.date(year, 10, 26), "nationalfeiertag"),
+        (_dt.date(year, 11, 1), "allerheiligen"),
+        (_dt.date(year, 12, 8), "maria_empfangnis"),
+        (_dt.date(year, 12, 25), "christtag"),
+        (_dt.date(year, 12, 26), "stefanitag"),
+    ]
+
+
+def _ch(year: int) -> list:
+    """Switzerland FEDERAL holidays only (cantonal days like Good
+    Friday/Easter Monday are not modeled)."""
+    easter = _easter(year)
+    return [
+        (_dt.date(year, 1, 1), "neujahrstag"),
+        (easter + _dt.timedelta(39), "auffahrt"),
+        (_dt.date(year, 8, 1), "bundesfeier"),
+        (_dt.date(year, 12, 25), "weihnachtstag"),
+    ]
+
+
+def _se(year: int) -> list:
+    """Sweden public holidays: fixed + computus + the floating-
+    Saturday rules (midsummer: Sat in Jun 20-26; All Saints: Sat in
+    Oct 31-Nov 6)."""
+    easter = _easter(year)
+    d = _dt.timedelta
+    return [
+        (_dt.date(year, 1, 1), "nyarsdagen"),
+        (_dt.date(year, 1, 6), "trettondedag_jul"),
+        (easter - d(2), "langfredagen"),
+        (easter + d(1), "annandag_pask"),
+        (_dt.date(year, 5, 1), "forsta_maj"),
+        (easter + d(39), "kristi_himmelsfardsdag"),
+        (_dt.date(year, 6, 6), "nationaldagen"),
+        (_sat_on_or_after(year, 6, 20), "midsommardagen"),
+        (_sat_on_or_after(year, 10, 31), "alla_helgons_dag"),
+        (_dt.date(year, 12, 25), "juldagen"),
+        (_dt.date(year, 12, 26), "annandag_jul"),
+    ]
+
+
+def _no(year: int) -> list:
+    """Norway public holidays (standard rules)."""
+    easter = _easter(year)
+    d = _dt.timedelta
+    return [
+        (_dt.date(year, 1, 1), "forste_nyttarsdag"),
+        (easter - d(3), "skjaertorsdag"),
+        (easter - d(2), "langfredag"),
+        (easter + d(1), "andre_paskedag"),
+        (_dt.date(year, 5, 1), "arbeidernes_dag"),
+        (_dt.date(year, 5, 17), "grunnlovsdagen"),
+        (easter + d(39), "kristi_himmelfartsdag"),
+        (easter + d(50), "andre_pinsedag"),
+        (_dt.date(year, 12, 25), "forste_juledag"),
+        (_dt.date(year, 12, 26), "andre_juledag"),
+    ]
+
+
+def _dk(year: int) -> list:
+    """Denmark public holidays; Store Bededag (4th Friday after
+    Easter) was abolished from 2024."""
+    easter = _easter(year)
+    d = _dt.timedelta
+    e = [
+        (_dt.date(year, 1, 1), "nytaarsdag"),
+        (easter - d(3), "skaertorsdag"),
+        (easter - d(2), "langfredag"),
+        (easter + d(1), "anden_paaskedag"),
+        (easter + d(39), "kristi_himmelfartsdag"),
+        (easter + d(50), "anden_pinsedag"),
+        (_dt.date(year, 12, 25), "juledag"),
+        (_dt.date(year, 12, 26), "anden_juledag"),
+    ]
+    if year < 2024:
+        e.append((easter + d(26), "store_bededag"))
+    return e
+
+
+def _pl(year: int) -> list:
+    """Poland public holidays: Epiphany restored 2011, Christmas Eve
+    added from 2025."""
+    easter = _easter(year)
+    d = _dt.timedelta
+    e = [
+        (_dt.date(year, 1, 1), "nowy_rok"),
+        (easter + d(1), "poniedzialek_wielkanocny"),
+        (_dt.date(year, 5, 1), "swieto_pracy"),
+        (_dt.date(year, 5, 3), "swieto_konstytucji"),
+        (easter + d(49), "zielone_swiatki"),
+        (easter + d(60), "boze_cialo"),
+        (_dt.date(year, 8, 15), "wniebowziecie"),
+        (_dt.date(year, 11, 1), "wszystkich_swietych"),
+        (_dt.date(year, 11, 11), "swieto_niepodleglosci"),
+        (_dt.date(year, 12, 25), "boze_narodzenie"),
+        (_dt.date(year, 12, 26), "drugi_dzien_swiat"),
+    ]
+    if year >= 2011:
+        e.append((_dt.date(year, 1, 6), "trzech_kroli"))
+    if year >= 2025:
+        e.append((_dt.date(year, 12, 24), "wigilia"))
+    return e
+
+
+def _pt(year: int) -> list:
+    """Portugal national holidays (standard current-law rules)."""
+    easter = _easter(year)
+    d = _dt.timedelta
+    return [
+        (_dt.date(year, 1, 1), "ano_novo"),
+        (easter - d(2), "sexta_feira_santa"),
+        (easter, "pascoa"),
+        (_dt.date(year, 4, 25), "dia_da_liberdade"),
+        (_dt.date(year, 5, 1), "dia_do_trabalhador"),
+        (easter + d(60), "corpo_de_deus"),
+        (_dt.date(year, 6, 10), "dia_de_portugal"),
+        (_dt.date(year, 8, 15), "assuncao_de_nossa_senhora"),
+        (_dt.date(year, 10, 5), "implantacao_da_republica"),
+        (_dt.date(year, 11, 1), "todos_os_santos"),
+        (_dt.date(year, 12, 1), "restauracao_da_independencia"),
+        (_dt.date(year, 12, 8), "imaculada_conceicao"),
+        (_dt.date(year, 12, 25), "natal"),
+    ]
+
+
+_COUNTRIES.update(
+    {"AT": _at, "CH": _ch, "SE": _se, "NO": _no, "DK": _dk, "PL": _pl, "PT": _pt}
+)

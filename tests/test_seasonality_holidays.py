@@ -185,3 +185,41 @@ def test_vendored_round4_calendars_known_dates():
     # outside the vendored lunar table: fixed holidays only, no crash
     kr99 = dict((n, d) for d, n in vendored_holidays("KR", [2099]))
     assert "seollal" not in kr99 and kr99["liberation_day"] == dt.date(2099, 8, 15)
+
+
+def test_vendored_nordic_european_calendars():
+    """SE floating Saturdays, DK Store Bededag abolition (2024), PL
+    Wigilia addition (2025), computus-offset days — spot-checked
+    against published dates."""
+    import datetime as dt
+
+    from functime_spark.operators.holidays_vendored import vendored_holidays
+
+    se = dict((n, d) for d, n in vendored_holidays("SE", [2024]))
+    assert se["midsommardagen"] == dt.date(2024, 6, 22)
+    assert se["alla_helgons_dag"] == dt.date(2024, 11, 2)
+    se26 = dict((n, d) for d, n in vendored_holidays("SE", [2026]))
+    assert se26["midsommardagen"] == dt.date(2026, 6, 20)
+
+    dk23 = dict((n, d) for d, n in vendored_holidays("DK", [2023]))
+    assert dk23["store_bededag"] == dt.date(2023, 5, 5)
+    assert "store_bededag" not in dict(
+        (n, d) for d, n in vendored_holidays("DK", [2024])
+    )
+
+    pl24 = dict((n, d) for d, n in vendored_holidays("PL", [2024]))
+    assert pl24["boze_cialo"] == dt.date(2024, 5, 30)
+    assert "wigilia" not in pl24
+    pl25 = dict((n, d) for d, n in vendored_holidays("PL", [2025]))
+    assert pl25["wigilia"] == dt.date(2025, 12, 24)
+
+    no = dict((n, d) for d, n in vendored_holidays("NO", [2025]))
+    assert no["skjaertorsdag"] == dt.date(2025, 4, 17)
+    assert no["grunnlovsdagen"] == dt.date(2025, 5, 17)
+
+    at = dict((n, d) for d, n in vendored_holidays("AT", [2024]))
+    assert at["fronleichnam"] == dt.date(2024, 5, 30)
+    ch = dict((n, d) for d, n in vendored_holidays("CH", [2025]))
+    assert ch["auffahrt"] == dt.date(2025, 5, 29)
+    pt = dict((n, d) for d, n in vendored_holidays("PT", [2025]))
+    assert pt["corpo_de_deus"] == dt.date(2025, 6, 19)
