@@ -791,7 +791,8 @@ def q_future_holidays(spark, sf_dir):
 
     df = events_panel(spark, sf_dir)
     out = make_future_holiday_effects(
-        df, ["US", "DE", "GB", "CA", "NL", "BR", "MX"], fh=400, freq="1d"
+        df, ["US", "DE", "GB", "CA", "NL", "BR", "MX", "NO", "PT"],
+        fh=400, freq="1d",
     )
     return out.orderBy("user_id", "ts")
 

@@ -1608,6 +1608,33 @@ def operator_oracles() -> dict:
         "FROM yrs WHERE y >= 1934 AND y < 2024 AND (y - 1934) % 6 = 0 "
         "UNION ALL SELECT make_date(y,12,25), 'navidad' FROM yrs"
     )
+    _no_rules = (
+        "SELECT make_date(y,1,1) AS d, 'forste_nyttarsdag' AS nm FROM yrs "
+        "UNION ALL SELECT e - to_days(3), 'skjaertorsdag' FROM easter "
+        "UNION ALL SELECT e - to_days(2), 'langfredag' FROM easter "
+        "UNION ALL SELECT e + to_days(1), 'andre_paskedag' FROM easter "
+        "UNION ALL SELECT make_date(y,5,1), 'arbeidernes_dag' FROM yrs "
+        "UNION ALL SELECT make_date(y,5,17), 'grunnlovsdagen' FROM yrs "
+        "UNION ALL SELECT e + to_days(39), 'kristi_himmelfartsdag' FROM easter "
+        "UNION ALL SELECT e + to_days(50), 'andre_pinsedag' FROM easter "
+        "UNION ALL SELECT make_date(y,12,25), 'forste_juledag' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,26), 'andre_juledag' FROM yrs"
+    )
+    _pt_rules = (
+        "SELECT make_date(y,1,1) AS d, 'ano_novo' AS nm FROM yrs "
+        "UNION ALL SELECT e - to_days(2), 'sexta_feira_santa' FROM easter "
+        "UNION ALL SELECT e, 'pascoa' FROM easter "
+        "UNION ALL SELECT make_date(y,4,25), 'dia_da_liberdade' FROM yrs "
+        "UNION ALL SELECT make_date(y,5,1), 'dia_do_trabalhador' FROM yrs "
+        "UNION ALL SELECT e + to_days(60), 'corpo_de_deus' FROM easter "
+        "UNION ALL SELECT make_date(y,6,10), 'dia_de_portugal' FROM yrs "
+        "UNION ALL SELECT make_date(y,8,15), 'assuncao_de_nossa_senhora' FROM yrs "
+        "UNION ALL SELECT make_date(y,10,5), 'implantacao_da_republica' FROM yrs "
+        "UNION ALL SELECT make_date(y,11,1), 'todos_os_santos' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,1), 'restauracao_da_independencia' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,8), 'imaculada_conceicao' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'natal' FROM yrs"
+    )
     o["future_holidays"] = (
         "WITH c AS (SELECT user_id, MAX(ts) AS low FROM events GROUP BY user_id), "
         "fut AS (SELECT c.user_id, c.low + i * INTERVAL '1 day' AS ts "
@@ -1616,10 +1643,12 @@ def operator_oracles() -> dict:
         f"{_computus}, "
         f"us AS ({_us_rules}), de AS ({_de_rules}), gb AS ({_gb_rules}), "
         f"ca AS ({_ca_rules}), nl AS ({_nl_rules}), "
-        f"br AS ({_br_rules}), mx AS ({_mx_rules}) "
+        f"br AS ({_br_rules}), mx AS ({_mx_rules}), "
+        f"no_ AS ({_no_rules}), pt AS ({_pt_rules}) "
         "SELECT f.user_id, f.ts, us.nm AS holiday__us, de.nm AS holiday__de, "
         "gb.nm AS holiday__gb, ca.nm AS holiday__ca, nl.nm AS holiday__nl, "
-        "br.nm AS holiday__br, mx.nm AS holiday__mx "
+        "br.nm AS holiday__br, mx.nm AS holiday__mx, "
+        "no_.nm AS holiday__no, pt.nm AS holiday__pt "
         "FROM fut f LEFT JOIN us ON CAST(f.ts AS DATE) = us.d "
         "LEFT JOIN de ON CAST(f.ts AS DATE) = de.d "
         "LEFT JOIN gb ON CAST(f.ts AS DATE) = gb.d "
@@ -1627,6 +1656,8 @@ def operator_oracles() -> dict:
         "LEFT JOIN nl ON CAST(f.ts AS DATE) = nl.d "
         "LEFT JOIN br ON CAST(f.ts AS DATE) = br.d "
         "LEFT JOIN mx ON CAST(f.ts AS DATE) = mx.d "
+        "LEFT JOIN no_ ON CAST(f.ts AS DATE) = no_.d "
+        "LEFT JOIN pt ON CAST(f.ts AS DATE) = pt.d "
         "ORDER BY user_id, ts"
     )
 
