@@ -191,15 +191,17 @@ def gopher_quality_filter(
     """Per-document Gopher quality metrics + rule verdicts + overall
     `passes` flag.
 
-    Scale design: the doc-level signals (word counts, symbol ratios,
-    bullet/ellipsis line fractions, alpha-word fraction, stopword
-    hits) are pure Column expressions — whole-stage codegen, zero
-    shuffle. The repetition signals (duplicate-line fraction and
-    duplicate-line CHAR fraction) need per-(doc, line) counts, so they
-    run as one explode → two-level aggregate chain (shuffle-bounded on
-    doc_id; no O(lines²) comparisons) and broadcast-join back onto the
-    doc-level frame when small, shuffle-join otherwise (Spark decides —
-    both sides are keyed by doc_id).
+    Scale design: EVERY signal — including the within-doc repetition
+    fractions — is a pure Column expression: whole-stage codegen, ZERO
+    shuffle, and therefore directly usable on a stream. The duplicate-
+    line identities make the explode+groupBy formulation unnecessary:
+    over a doc's line multiset, sum(cnt) = n_lines and
+    sum(cnt - 1) = n_lines - n_distinct, so
+    dup_line_frac = (n - distinct) / n and
+    dup_line_char_frac = (total_chars - distinct_chars) / total_chars
+    with distinct taken via array_distinct — value-identical to the
+    per-(doc, line) count aggregate (the oracle still replays the
+    count form).
     """
     t = F.col(text_col)
     toks = F.filter(tokens(t), lambda x: x != F.lit(""))
@@ -228,7 +230,17 @@ def gopher_quality_filter(
     stop_hits = F.size(
         F.filter(stops, lambda s: F.array_contains(toks, s))
     )
-    doc_level = docs.select(
+    # repetition, row-locally: over the doc's line multiset,
+    # sum(cnt) == n and sum(cnt - 1) == n - n_distinct, so the CCNet
+    # count-aggregate fractions collapse to array_distinct identities
+    def _sum_len(arr):
+        return F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+
+    dlines = F.array_distinct(lines)
+    dup_line = (n_lines - F.size(dlines)).cast("double") / n_lines
+    total_ch = _sum_len(lines)
+    dup_char = (total_ch - _sum_len(dlines)).cast("double") / total_ch
+    out = docs.select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),
         mean_word_len.alias("mean_word_len"),
@@ -237,25 +249,9 @@ def gopher_quality_filter(
         ellipsis_frac.alias("ellipsis_line_frac"),
         alpha_frac.alias("alpha_word_frac"),
         stop_hits.cast("int").alias("stopword_hits"),
+        dup_line.alias("dup_line_frac"),
+        dup_char.alias("dup_line_char_frac"),
     )
-    # repetition: explode lines once, count per (doc, line), then
-    # per-doc duplicated-line and duplicated-char fractions
-    line_rows = docs.select(
-        F.col(id_col), F.explode(F.split(t, r"\n")).alias("__line")
-    )
-    per_line = line_rows.groupBy(id_col, "__line").agg(
-        F.count("*").alias("__cnt")
-    )
-    rep = per_line.groupBy(id_col).agg(
-        (
-            F.sum(F.col("__cnt") - 1) / F.sum("__cnt")
-        ).alias("dup_line_frac"),
-        (
-            F.sum((F.col("__cnt") - 1) * F.length("__line"))
-            / F.sum(F.col("__cnt") * F.length("__line"))
-        ).alias("dup_line_char_frac"),
-    )
-    out = doc_level.join(rep, on=id_col, how="left")
     passes = (
         F.col("n_words").between(50, 100_000)
         & F.col("mean_word_len").between(3.0, 10.0)

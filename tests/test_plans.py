@@ -332,8 +332,11 @@ def test_text_cleanup_ops_shuffle_free(spark):
     from functime_spark.pipeline.packing import chunk_documents
     from functime_spark.pipeline.text import (
         c4_quality_filter,
+        gopher_quality_filter,
+        mojibake_scan,
         normalize_text,
         script_profile,
+        strip_html,
     )
     from functime_spark.plans import assert_max_exchanges
 
@@ -342,6 +345,11 @@ def test_text_cleanup_ops_shuffle_free(spark):
     assert_max_exchanges(c4_quality_filter(docs), 0)
     assert_max_exchanges(script_profile(docs), 0)
     assert_max_exchanges(chunk_documents(docs), 0)
+    # gopher's repetition fractions are array_distinct identities now —
+    # the whole filter is a projection (and therefore stream-legal)
+    assert_max_exchanges(gopher_quality_filter(docs), 0)
+    assert_max_exchanges(strip_html(docs), 0)
+    assert_max_exchanges(mojibake_scan(docs), 0)
 
 
 def test_url_dedup_single_shuffle(spark):
