@@ -398,3 +398,37 @@ def test_stream_minhash_dedup_matches_batch(spark, tmp_path):
     }
     assert stream_pairs == batch_pairs
     assert len(batch_pairs) > 0
+
+
+def test_gopher_filter_runs_on_stream(spark, tmp_path):
+    """gopher_quality_filter is a pure projection since the
+    array_distinct rewrite — it must run UNCHANGED on a streaming
+    source and emit the same rows as batch."""
+    from functime_spark.pipeline.text import gopher_quality_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batch = {
+        (r.doc_id, r.passes)
+        for r in gopher_quality_filter(docs).select("doc_id", "passes").collect()
+    }
+
+    path = str(tmp_path / "gopher_docs")
+    docs.coalesce(1).write.parquet(path)
+    src = spark.readStream.schema(docs.schema).parquet(path)
+    out = gopher_quality_filter(src)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gopher_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    stream = {
+        (r.doc_id, r.passes)
+        for r in spark.table("gopher_stream").select("doc_id", "passes").collect()
+    }
+    assert stream == batch and len(batch) > 0
