@@ -683,6 +683,11 @@ def fit_pca(
     (n_components,) of the sample covariance.
     """
     rows = emb.orderBy(id_col).select(vec_col).limit(sample).collect()
+    if not rows:
+        # empty corpus: a filter chain upstream can legitimately drain
+        # the input — return a well-typed degenerate model (dim from
+        # the schema is unknowable, so dim 0) instead of crashing
+        return np.zeros(0), np.zeros((n_components, 0)), [0.0] * n_components
     X = np.asarray([r[0] for r in rows], dtype="float64")
     n, d = X.shape
     mu = X.mean(axis=0)

@@ -1716,3 +1716,40 @@ def test_clean_corpus_html_and_mojibake_stages(spark):
     # html stage rewrote doc 0: tags gone
     texts = {r.doc_id: r.text for r in out.collect()}
     assert "<p>" not in texts[0]
+
+
+def test_pipeline_ops_survive_empty_corpus(spark):
+    """Every doc-level operator must return an EMPTY result (not
+    crash) on an empty corpus — at scale a filter chain can drain a
+    partition or a whole input, and a driver-side .first()/percentile
+    returning None must not kill the job."""
+    from functime_spark.pipeline import dedup as D
+    from functime_spark.pipeline import lm as L
+    from functime_spark.pipeline import packing as P
+    from functime_spark.pipeline import sampling as S
+    from functime_spark.pipeline import text as T
+    from functime_spark.pipeline.decontaminate import decontaminate
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    probe = spark.createDataFrame([(1, "some benchmark text here")],
+                                  "doc_id long, text string")
+
+    assert D.exact_dedup(empty).count() == 0
+    assert D.minhash_dedup(empty).count() == 0
+    assert D.simhash_near_dups(empty).count() == 0
+    assert D.ngram_jaccard_pairs(empty).count() == 0
+    assert D.line_dedup(empty).count() == 0
+    assert D.scrub_duplicated_spans(empty).count() == 0
+    assert T.gopher_quality_filter(empty).count() == 0
+    assert T.c4_quality_filter(empty).count() == 0
+    assert T.normalize_text(empty).count() == 0
+    assert T.strip_html(empty).count() == 0
+    assert T.mojibake_scan(empty).count() == 0
+    assert T.script_profile(empty).count() == 0
+    assert L.ngram_lm_score(empty).count() == 0
+    assert L.quality_tiers(L.ngram_lm_score(empty)).count() == 0
+    assert P.chunk_documents(empty).count() == 0
+    assert S.vocab_stats(empty).count() == 0
+    assert S.corpus_stats(empty.withColumn("lang", F.lit("en"))
+                          .withColumn("source", F.lit("s"))).count() == 0
+    assert decontaminate(empty, probe).count() == 0
