@@ -619,3 +619,34 @@ def test_halving_matches_grid_three_splits(spark):
     # 3 candidates: grid 9 split-fits, halving 3 + 2*2 = 7
     assert grid.n_fit_trials_ == 9
     assert halv.n_fit_trials_ == 7
+
+
+def test_forecasters_survive_degenerate_panel(spark):
+    """A panel mixing a 1-observation entity, a constant entity and a
+    normal one must fit-predict everywhere (fallback paths engage; no
+    crash, one forecast row per entity per step)."""
+    rows = [("one", 1, 5.0)]
+    rows += [("const", t, 3.0) for t in range(1, 31)]
+    rows += [("norm", t, float(t % 7) + 0.1 * t) for t in range(1, 31)]
+    y = spark.createDataFrame(rows, "entity string, t long, y double")
+
+    from functime_spark.forecasting.automl import auto_linear_model
+    from functime_spark.forecasting.censored import zero_inflated_model
+    from functime_spark.forecasting.elite import elite
+    from functime_spark.forecasting.knn import knn
+    from functime_spark.forecasting.linear import linear_model, ridge
+    from functime_spark.forecasting.naive import naive, snaive
+
+    for fc in [
+        naive(freq="1i"),
+        snaive(freq="1i", sp=4),
+        linear_model(freq="1i", lags=3),
+        ridge(freq="1i", lags=3),
+        knn(freq="1i", lags=3),
+        zero_inflated_model(freq="1i", lags=3),
+        elite(freq="1i", lags=3, sp=4, top_k=1, test_size=3, n_splits=2),
+        auto_linear_model(
+            freq="1i", min_lags=2, max_lags=4, test_size=3, n_splits=2
+        ),
+    ]:
+        assert fc.fit(y).predict(3).count() == 9
