@@ -742,3 +742,108 @@ def project_pca(
         for c in range(len(components))
     ]
     return emb.crossJoin(F.broadcast(params)).select(F.col(id_col), *cols)
+
+
+# ---------------------------------------------------------------------------
+# model persistence: the driver-side index parameters (centroids,
+# codebooks, quantizer stats) as single-row parquet — the small half of
+# a persisted vector index (write_index/load_index hold the big half,
+# hive-partitioned by cell). Parquet, not pickle: engine-portable,
+# schema-checked, and safe to read from any future session.
+# ---------------------------------------------------------------------------
+
+
+def save_ann_model(model, spark, path: str, mode: str = "overwrite") -> None:
+    """Persist an IVFIndex / PQCodebook / SQ8Index's fitted parameters."""
+    if isinstance(model, IVFIndex):
+        if model.centroids is None:
+            raise ValueError("fit the index before saving")
+        df = spark.createDataFrame(
+            [
+                (
+                    "ivf",
+                    [[float(x) for x in c] for c in model.centroids],
+                    {
+                        "n_cells": str(model.n_cells),
+                        "n_iter": str(model.n_iter),
+                        "seed": str(model.seed),
+                        "init": model.init,
+                    },
+                )
+            ],
+            "kind string, mat array<array<double>>, params map<string,string>",
+        )
+    elif isinstance(model, PQCodebook):
+        if model.codebooks is None:
+            raise ValueError("fit the codebook before saving")
+        m, ksub, dsub = model.codebooks.shape
+        flat = [
+            [float(x) for x in model.codebooks[i][j]]
+            for i in range(m)
+            for j in range(ksub)
+        ]
+        df = spark.createDataFrame(
+            [
+                (
+                    "pq",
+                    flat,
+                    {
+                        "m": str(m),
+                        "ksub": str(ksub),
+                        "dsub": str(dsub),
+                        "n_iter": str(model.n_iter),
+                        "init": model.init,
+                        "seed": str(model.seed),
+                    },
+                )
+            ],
+            "kind string, mat array<array<double>>, params map<string,string>",
+        )
+    elif isinstance(model, SQ8Index):
+        if model.mins is None:
+            raise ValueError("fit the index before saving")
+        df = spark.createDataFrame(
+            [
+                (
+                    "sq8",
+                    [list(map(float, model.mins)), list(map(float, model.scales))],
+                    {"levels": str(model.levels)},
+                )
+            ],
+            "kind string, mat array<array<double>>, params map<string,string>",
+        )
+    else:
+        raise TypeError(f"unsupported model {type(model).__name__}")
+    df.coalesce(1).write.mode(mode).parquet(path)
+
+
+def load_ann_model(spark, path: str):
+    """Restore a model written by save_ann_model."""
+    row = spark.read.parquet(path).first()
+    kind, mat, params = row["kind"], row["mat"], dict(row["params"])
+    if kind == "ivf":
+        ix = IVFIndex(
+            n_cells=int(params["n_cells"]),
+            n_iter=int(params["n_iter"]),
+            seed=int(params["seed"]),
+            init=params["init"],
+        )
+        ix.centroids = np.asarray(mat, dtype="float64")
+        return ix
+    if kind == "pq":
+        pq = PQCodebook(
+            n_subspaces=int(params["m"]),
+            ksub=int(params["ksub"]),
+            n_iter=int(params["n_iter"]),
+            init=params["init"],
+            seed=int(params["seed"]),
+        )
+        m, ksub, dsub = int(params["m"]), int(params["ksub"]), int(params["dsub"])
+        pq.codebooks = np.asarray(mat, dtype="float64").reshape(m, ksub, dsub)
+        return pq
+    if kind == "sq8":
+        sq = SQ8Index(n_levels=int(params["levels"]) + 1)
+        sq.mins = list(mat[0])
+        sq.scales = list(mat[1])
+        return sq
+    raise ValueError(f"unknown model kind {kind!r}")

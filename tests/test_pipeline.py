@@ -1753,3 +1753,42 @@ def test_pipeline_ops_survive_empty_corpus(spark):
     assert S.corpus_stats(empty.withColumn("lang", F.lit("en"))
                           .withColumn("source", F.lit("s"))).count() == 0
     assert decontaminate(empty, probe).count() == 0
+
+
+def test_ann_model_save_load_roundtrip(spark, tmp_path):
+    """IVF centroids / PQ codebooks / SQ8 stats survive a parquet
+    round-trip and reproduce identical search results."""
+    import numpy as np
+
+    from functime_spark.pipeline.similarity import (
+        IVFIndex,
+        PQCodebook,
+        SQ8Index,
+        load_ann_model,
+        save_ann_model,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [0.1] * 64
+
+    ivf = IVFIndex(n_cells=4, init="spread").fit(emb)
+    save_ann_model(ivf, spark, str(tmp_path / "ivf"))
+    ivf2 = load_ann_model(spark, str(tmp_path / "ivf"))
+    np.testing.assert_array_equal(ivf.centroids, ivf2.centroids)
+    a1 = ivf.search(ivf.assign(emb), qv, k=5).collect()
+    a2 = ivf2.search(ivf2.assign(emb), qv, k=5).collect()
+    assert a1 == a2
+
+    pq = PQCodebook(n_subspaces=8, ksub=8).fit(emb)
+    save_ann_model(pq, spark, str(tmp_path / "pq"))
+    pq2 = load_ann_model(spark, str(tmp_path / "pq"))
+    np.testing.assert_array_equal(pq.codebooks, pq2.codebooks)
+    enc = pq.encode(emb)
+    assert pq.adc_search(enc, qv, k=5).collect() == pq2.adc_search(
+        pq2.encode(emb), qv, k=5
+    ).collect()
+
+    sq = SQ8Index().fit(emb)
+    save_ann_model(sq, spark, str(tmp_path / "sq8"))
+    sq2 = load_ann_model(spark, str(tmp_path / "sq8"))
+    assert sq.mins == sq2.mins and sq.scales == sq2.scales
