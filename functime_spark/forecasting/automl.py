@@ -189,9 +189,12 @@ class _auto_base(Forecaster):
             round1.append((score, order, kwargs, preds))
         if not round1:
             return None, float("inf")
-        if self.n_splits <= 1 or len(round1) == 1:
+        if self.n_splits <= 1:
             score, _, kwargs, _ = min(round1, key=lambda t: (t[0], t[1]))
             return kwargs, score
+        # a single candidate still proceeds to round 2 so best_score_
+        # is always the pooled full-backtest score, comparable with
+        # search="grid" and across forecasters
         round1.sort(key=lambda t: (t[0], t[1]))
         survivors = round1[: max(2, math.ceil(len(round1) / 2))]
         # round 2: earlier splits for survivors only; union with the

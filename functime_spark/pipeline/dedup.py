@@ -138,20 +138,22 @@ def _cap_buckets(banded: DataFrame, keys: list, max_bucket_size: int) -> DataFra
     )
 
 
-def minhash_lsh_candidates(
+def band_rows(
     sigs: DataFrame,
     id_col: str = "doc_id",
     bands: int = 8,
-    max_bucket_size: int = 512,
     hash_fn: str = "xxhash64",
+    with_sig: bool = False,
 ) -> DataFrame:
-    """Band the signature; docs sharing any band-hash are candidate
-    near-duplicate pairs (id_a < id_b). Buckets larger than
-    `max_bucket_size` are dropped (see _cap_buckets)."""
+    """(id[, sig], band, band_hash) LSH band rows from a signature
+    frame — the single definition of the band payload (concat of the
+    band's signature slots), shared by the batch candidate join and
+    the streaming bucket-state op so their bucketing can never drift."""
     sig = F.col("sig")
     r = F.floor(F.size(sig) / bands).cast("int")
-    banded = sigs.select(
-        F.col(id_col),
+    cols = [F.col(id_col)] + ([F.col("sig")] if with_sig else [])
+    return sigs.select(
+        *cols,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -164,6 +166,19 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_hash"),
     )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    max_bucket_size: int = 512,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Band the signature; docs sharing any band-hash are candidate
+    near-duplicate pairs (id_a < id_b). Buckets larger than
+    `max_bucket_size` are dropped (see _cap_buckets)."""
+    banded = band_rows(sigs, id_col, bands, hash_fn)
     banded = _cap_buckets(banded, ["band", "band_hash"], max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")

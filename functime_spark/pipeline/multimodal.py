@@ -68,7 +68,7 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
 
 
 def extract_features_media(
-    media: DataFrame, dim: int = 64, decoder: str = "fake", batch_size: int = 256
+    media: DataFrame, dim: int = 64, decoder: str = "fake"
 ) -> DataFrame:
     """(media_id, kind, feature array<float>) via mapInPandas.
 
@@ -123,11 +123,11 @@ def resize_media(
     width: int,
     height: int,
     decoder: str = "fake",
-    batch_size: int = 256,
 ) -> DataFrame:
     """Resize plumbing: (media_id, kind, payload, meta) -> same schema
     with the payload re-encoded at width x height and the meta JSON
-    updated. Arrow-batched mapInPandas like a real codec pass.
+    updated. Arrow-batched mapInPandas like a real codec pass (batch
+    sizing follows spark.sql.execution.arrow.maxRecordsPerBatch).
 
     decoder='fake': the resized payload is the deterministic 32-byte
     sha256(hex(sha256(payload)) + "-{w}x{h}") digest — byte-exactly

@@ -167,6 +167,10 @@ def vocab_stats(
     )
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("count"))
     top = vocab.orderBy(F.desc("count"), F.asc("token")).limit(top_k)
+    # the k-row top frame feeds BOTH the ranked projection and the OLS
+    # aggregate; un-cut, the corpus-wide explode+aggregate under it
+    # would execute twice
+    top = top.localCheckpoint()
     w = Window.orderBy(F.desc("count"), F.asc("token"))
     ranked = top.withColumn("rank", F.row_number().over(w))
     lx = F.log(F.col("rank").cast("double"))

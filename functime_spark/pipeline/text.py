@@ -708,11 +708,13 @@ HTML_RULES = (
     (r"(?s)<!--.*?-->", " "),
     (r"(?s)<[^>]+>", " "),
     (r"&nbsp;", " "),
-    (r"&amp;", "&"),
     (r"&lt;", "<"),
     (r"&gt;", ">"),
     (r"&quot;", "\""),
     (r"&#39;", "'"),
+    # &amp; LAST, like every standard unescaper: running it earlier
+    # double-unescapes text that legitimately contains '&amp;lt;'
+    (r"&amp;", "&"),
     (r"\s+", " "),
 )
 

@@ -445,111 +445,84 @@ def stream_minhash_dedup(
     the earlier arrival). Consumers dedup pairs surfacing via several
     bands with a downstream dropDuplicates([id_a, id_b]).
 
-    Shape: the signature + banding projection is STATELESS (the same
-    zero-shuffle row-local expressions as batch minhash_signatures,
-    which a stream can run as-is); the only state is per-(band,
-    band_hash) — the bucket's (id, signature) list, capped at
-    ``max_bucket_size`` (arrival-order prefix; the batch op drops
-    oversize buckets retroactively — documented divergence). State
-    shards across executors on the bucket key, exactly how the batch
-    LSH join partitions.
+    Shape: the signature + banding projection is STATELESS (the exact
+    band payload of the batch op, via pipeline.dedup.band_rows — one
+    definition, no drift); the only state is per-(band, band_hash) —
+    the bucket's (id, signature) list. Oversize buckets: the batch
+    fallback sees each final bucket whole and DROPS buckets larger
+    than ``max_bucket_size`` exactly like minhash_lsh_candidates (so
+    its pair set is oracle-identical at any scale); the streaming path
+    cannot retro-drop already-emitted pairs, so it keeps the
+    arrival-order prefix instead — the one documented divergence.
+    State shards across executors on the bucket key, exactly how the
+    batch LSH join partitions.
 
     For unbounded crawls prefer the persisted-store batch twin
     (pipeline.dedup.minhash_dedup_incremental): streaming dedup state
     never expires here (near-dups have no watermarkable horizon).
-
-    On a BATCH frame this degrades gracefully: Spark rejects
-    applyInPandasWithState outside a stream, so the same per-bucket
-    scoring runs as a stateless applyInPandas grouped map (each final
-    bucket processed in one shot, arrival order = id order within the
-    bucket) — identical pair set.
     """
     import pandas as pd
 
-    from functime_spark.pipeline.dedup import minhash_signatures
+    from functime_spark.pipeline.dedup import band_rows, minhash_signatures
 
     sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_n, hash_fn)
-    from functime_spark.pipeline.dedup import _hash64
-
-    r = n_hashes // bands
-    band_rows = sigs.select(
-        F.col(id_col),
-        F.col("sig"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        _hash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * r + j + 1).cast("string")
-                                    for j in range(r)
-                                ],
-                            ),
-                            hash_fn=hash_fn,
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("__b"),
-    ).select(id_col, "sig", "__b.band", "__b.band_hash")
+    banded = band_rows(sigs, id_col, bands, hash_fn, with_sig=True)
 
     out_schema = "id_a bigint, id_b bigint, est_jaccard double, band int"
     state_schema = "ids array<bigint>, sigs array<array<bigint>>"
 
-    def update(key, pdfs, state):
-        band = int(key[0])
-        ids, sigs_st = (
-            (list(state.get[0]), [list(s) for s in state.get[1]])
-            if state.exists
-            else ([], [])
-        )
+    def scan_bucket(band, pdf, ids, sigs_st, cap):
+        """Score each row (in id order) against earlier bucket members,
+        appending to the member lists up to ``cap``. Shared by the
+        streaming state update and the batch grouped map."""
         rows = []
-        chunks = [p for p in pdfs if len(p)]
-        if chunks:
-            whole = pd.concat(chunks).sort_values(id_col)
-            for did, sg in zip(whole[id_col], whole["sig"]):
-                did = int(did)
-                sg = [int(x) for x in sg]
-                if len(ids) < max_bucket_size:
-                    for pid, psig in zip(ids, sigs_st):
-                        est = sum(a == b for a, b in zip(psig, sg)) / float(
-                            n_hashes
-                        )
-                        if est >= threshold:
-                            rows.append((pid, did, est, band))
-                    ids.append(did)
-                    sigs_st.append(sg)
-        state.update((ids, sigs_st))
-        if rows:
-            yield pd.DataFrame(
-                rows, columns=["id_a", "id_b", "est_jaccard", "band"]
-            )
-
-    if docs.isStreaming:
-        return band_rows.groupBy("band", "band_hash").applyInPandasWithState(
-            update, out_schema, state_schema, "append", "NoTimeout"
-        )
-
-    def batch_bucket(pdf):
-        band = int(pdf["band"].iloc[0])
-        pdf = pdf.sort_values(id_col)
-        ids, sigs_st, rows = [], [], []
         for did, sg in zip(pdf[id_col], pdf["sig"]):
             did = int(did)
             sg = [int(x) for x in sg]
-            if len(ids) < max_bucket_size:
+            if len(ids) < cap:
                 for pid, psig in zip(ids, sigs_st):
                     est = sum(a == b for a, b in zip(psig, sg)) / float(n_hashes)
                     if est >= threshold:
                         rows.append((pid, did, est, band))
                 ids.append(did)
                 sigs_st.append(sg)
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard", "band"])
+        return rows
 
-    return band_rows.groupBy("band", "band_hash").applyInPandas(
+    if docs.isStreaming:
+
+        def update(key, pdfs, state):
+            band = int(key[0])
+            ids, sigs_st = (
+                (list(state.get[0]), [list(x) for x in state.get[1]])
+                if state.exists
+                else ([], [])
+            )
+            rows = []
+            chunks = [p for p in pdfs if len(p)]
+            if chunks:
+                whole = pd.concat(chunks).sort_values(id_col)
+                rows = scan_bucket(band, whole, ids, sigs_st, max_bucket_size)
+            state.update((ids, sigs_st))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["id_a", "id_b", "est_jaccard", "band"]
+                )
+
+        return banded.groupBy("band", "band_hash").applyInPandasWithState(
+            update, out_schema, state_schema, "append", "NoTimeout"
+        )
+
+    def batch_bucket(pdf):
+        cols = ["id_a", "id_b", "est_jaccard", "band"]
+        if len(pdf) > max_bucket_size:
+            # whole-bucket drop, matching _cap_buckets (and the oracle)
+            return pd.DataFrame(columns=cols)
+        band = int(pdf["band"].iloc[0])
+        rows = scan_bucket(
+            band, pdf.sort_values(id_col), [], [], max_bucket_size
+        )
+        return pd.DataFrame(rows, columns=cols)
+
+    return banded.groupBy("band", "band_hash").applyInPandas(
         batch_bucket, schema=out_schema
     )

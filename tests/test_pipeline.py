@@ -1664,6 +1664,18 @@ def test_strip_html_rules(spark):
     assert out[6] == ("plain text, no markup", 0)
 
 
+def test_strip_html_no_double_unescape(spark):
+    """'&amp;lt;' is ESCAPED markup shown as text — one unescape pass
+    must yield '&lt;', not '<' (the &amp; rule runs last, like every
+    standard entity unescaper)."""
+    from functime_spark.pipeline.text import strip_html
+
+    d = spark.createDataFrame(
+        [(0, "use &amp;lt;b&amp;gt; for bold")], "doc_id long, text string"
+    )
+    assert strip_html(d).collect()[0].text_clean == "use &lt;b&gt; for bold"
+
+
 def test_mojibake_scan_counts_and_verdict(spark):
     from functime_spark.pipeline.text import MOJIBAKE_PATTERNS, mojibake_scan
 
