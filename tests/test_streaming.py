@@ -432,3 +432,18 @@ def test_gopher_filter_runs_on_stream(spark, tmp_path):
         for r in spark.table("gopher_stream").select("doc_id", "passes").collect()
     }
     assert stream == batch and len(batch) > 0
+
+
+def test_stream_minhash_batch_drops_oversize_buckets(spark):
+    """Batch-mode stream_minhash_dedup must match minhash_dedup's
+    whole-bucket drop for buckets over max_bucket_size — 600 identical
+    docs land in one bucket per band and produce ZERO pairs in both."""
+    from functime_spark.pipeline.dedup import minhash_dedup
+    from functime_spark.streaming import stream_minhash_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "same exact text repeated everywhere forever") for i in range(600)],
+        "doc_id long, text string",
+    )
+    assert minhash_dedup(docs, threshold=0.5).count() == 0
+    assert stream_minhash_dedup(docs, threshold=0.5).count() == 0
