@@ -1804,3 +1804,70 @@ def test_ann_model_save_load_roundtrip(spark, tmp_path):
     save_ann_model(sq, spark, str(tmp_path / "sq8"))
     sq2 = load_ann_model(spark, str(tmp_path / "sq8"))
     assert sq.mins == sq2.mins and sq.scales == sq2.scales
+
+
+def test_shingles_zipwith_matches_reference_semantics(spark):
+    """The zip_with shingle construction must equal the documented
+    slice-and-join semantics (grams of words[i:i+n], clamped, distinct
+    keeping first occurrence) for adversarial tokenizations: empty
+    text, 1..n-1 words, repeated words, runs of whitespace, tabs."""
+    import random
+    import re
+
+    from functime_spark.pipeline.dedup import shingles
+
+    rng = random.Random(7)
+    vocab = ["a", "bb", "ccc", "dd", "e", "ff"]
+    texts = ["", " ", "a", "a b", "a  b\tc", "x x x x x"]
+    for _ in range(40):
+        k = rng.randint(0, 8)
+        sep = rng.choice([" ", "  ", "\t", " \t "])
+        texts.append(sep.join(rng.choice(vocab) for _ in range(k)))
+
+    def ref(text, n):
+        words = re.split(r"\s+", text)
+        m = max(len(words) - n, 0) + 1
+        grams = [" ".join(words[i : i + n]) for i in range(m)]
+        seen, out = set(), []
+        for g in grams:
+            if g not in seen:
+                seen.add(g)
+                out.append(g)
+        return out
+
+    d = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    for n in (2, 3, 5):
+        got = {
+            r.doc_id: r.g
+            for r in d.select(
+                "doc_id", shingles(F.col("text"), n).alias("g")
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == ref(t, n), (n, repr(t), got[i], ref(t, n))
+
+
+def test_canonicalize_urls_idempotent(spark):
+    """Canonicalization must be a projection onto its own fixed points:
+    canon(canon(u)) == canon(u) for messy crawl URLs."""
+    from functime_spark.pipeline.text import canonicalize_urls
+
+    urls = [
+        "HTTPS://Ex.COM:443/A/B/?b=2&a=1&utm_source=x#frag",
+        "http://ex.com:80",
+        "https://a.com/r?u=https://b.com/x&z=1",
+        "https://a.com/r?q=what?&z=1",
+        "ftp://odd.scheme/path/",
+        "no-scheme-at-all/path?x=1",
+        "https://ex.com/A",
+    ]
+    d = spark.createDataFrame(list(enumerate(urls)), "doc_id long, url string")
+    once = canonicalize_urls(d).select(
+        "doc_id", F.col("url_canon").alias("url")
+    )
+    twice = canonicalize_urls(once)
+    rows = {r.doc_id: (r.url, r.url_canon) for r in twice.collect()}
+    for i, (u, c) in rows.items():
+        assert u == c, (urls[i], u, c)
