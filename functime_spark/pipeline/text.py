@@ -332,79 +332,99 @@ def ngram_repetition(
     to n-grams that occur more than once (sum over dup n-grams of
     count x len / sum over all n-grams of count x len).
 
-    Scale design: ONE shuffle total. The doc frame is hash-partitioned
-    by doc id up front, the (doc, n, ngram) explode preserves that
-    partitioning, and every downstream aggregate groups on key sets
-    containing doc id — Catalyst recognizes the existing partitioning
-    satisfies each ClusteredDistribution, so the 3-level rollup
-    (per-gram counts → per-n signals → per-doc pivot) adds no further
-    exchanges (pinned in tests/test_plans.py). A sentinel n=0 gram row
-    keeps docs with fewer than min(n) tokens in the output (null
-    signals) without a spine join. Explode volume is bounded by total
-    token count, never O(len^2).
+    Scale design: ZERO shuffle — the signals are within-document
+    facts, so instead of exploding the corpus gram stream into a
+    per-(doc, n, gram) count aggregate (a shuffle of ~|ns| x total
+    token volume), each row sorts its OWN gram array and folds a
+    run-length pass over it (F.aggregate with a finish lambda flushing
+    the final run). max/sum over runs of count x len equal the grouped
+    counts exactly, so the DuckDB oracle still replays the count
+    formulation and value-matches. Docs with fewer than n words yield
+    NULL signals for that n, as before. Map-only => stream-legal.
     """
     ns = sorted(set(top_ns) | set(dup_ns))
     t = F.col(text_col)
     toks = F.filter(tokens(t), lambda x: x != F.lit(""))
     base = docs.select(
-        F.col(id_col),
-        F.length(t).alias("__nchars"),
-        toks.alias("__toks"),
+        F.col(id_col), F.length(t).alias("__nchars"), toks.alias("__toks")
     )
-    # ngrams for every n in one array-of-structs, exploded once
-    # single-parameter lambda factory: a `lambda i, n=n` default arg
-    # would flip F.transform into its (element, index) two-arg calling
-    # convention and silently bind n to the array position
-    def _gram_fn(n):
-        return lambda i: F.struct(
-            F.lit(n).alias("n"),
-            F.array_join(F.slice("__toks", i, n), " ").alias("gram"),
+
+    def run_stats(n):
+        # sorted non-distinct gram list for this n (empty when the doc
+        # is shorter than n words — sequence(1, 0) would descend)
+        garr = F.when(
+            F.size("__toks") >= n,
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+                    lambda i: F.array_join(F.slice("__toks", i, n), " "),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("cnt"),
+            F.lit(0).cast("long").alias("top"),
+            F.lit(0).cast("long").alias("dup"),
+            F.lit(0).cast("long").alias("tot"),
         )
 
-    # sentinel (n=0) row: every doc emits >= 1 gram row, so the final
-    # per-doc aggregate covers short docs too — no spine join needed
-    grams = F.array(
-        F.struct(F.lit(0).alias("n"), F.lit("").alias("gram"))
+        def step(acc, g):
+            same = acc["prev"].isNotNull() & (g == acc["prev"])
+            run = acc["cnt"] * F.length(acc["prev"]).cast("long")
+            flush = acc["prev"].isNotNull() & ~same
+            return F.struct(
+                g.alias("prev"),
+                F.when(same, acc["cnt"] + 1)
+                .otherwise(F.lit(1).cast("long"))
+                .alias("cnt"),
+                F.when(flush, F.greatest(acc["top"], run))
+                .otherwise(acc["top"])
+                .alias("top"),
+                F.when(flush & (acc["cnt"] > 1), acc["dup"] + run)
+                .otherwise(acc["dup"])
+                .alias("dup"),
+                F.when(flush, acc["tot"] + run).otherwise(acc["tot"]).alias("tot"),
+            )
+
+        def fin(acc):
+            run = acc["cnt"] * F.length(acc["prev"]).cast("long")
+            has = acc["prev"].isNotNull()
+            return F.struct(
+                F.when(has, F.greatest(acc["top"], run))
+                .otherwise(acc["top"])
+                .alias("top"),
+                F.when(has & (acc["cnt"] > 1), acc["dup"] + run)
+                .otherwise(acc["dup"])
+                .alias("dup"),
+                F.when(has, acc["tot"] + run).otherwise(acc["tot"]).alias("tot"),
+            )
+
+        return F.aggregate(garr, init, step, fin)
+
+    # two-step select: the run-stats structs land as attributes first,
+    # so the field reads below don't re-run the whole fold per field
+    staged = base.select(
+        F.col(id_col),
+        F.col("__nchars"),
+        *[run_stats(n).alias(f"__rs{n}") for n in ns],
     )
-    for n in ns:
-        # guard: F.sequence(1, 0) yields a DESCENDING [1, 0] — short
-        # docs must produce an empty gram list, not a slice(0) error
-        g = F.when(
-            F.size("__toks") >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size("__toks") - (n - 1)), _gram_fn(n)
-            ),
-        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
-        grams = F.concat(grams, g)
-    rows = (
-        base.repartition(F.col(id_col))
-        .select(id_col, "__nchars", F.explode(grams).alias("__g"))
-        .select(id_col, "__nchars", "__g.n", "__g.gram")
-    )
-    per_gram = rows.groupBy(id_col, "__nchars", "n", "gram").agg(
-        F.count("*").alias("cnt")
-    )
-    per_n = per_gram.groupBy(id_col, "__nchars", "n").agg(
-        F.max(F.col("cnt") * F.length("gram")).alias("top_chars"),
-        F.sum(
-            F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram")).otherwise(0)
-        ).alias("dup_chars"),
-        F.sum(F.col("cnt") * F.length("gram")).alias("all_chars"),
-    )
-    aggs = []
+    out_cols = [F.col(id_col)]
     for n in top_ns:
-        aggs.append(
-            F.max(
-                F.when(F.col("n") == n, F.col("top_chars") / F.col("__nchars"))
-            ).alias(f"top_{n}gram_char_frac")
+        rs = F.col(f"__rs{n}")
+        out_cols.append(
+            F.when(rs["tot"] > 0, rs["top"] / F.col("__nchars")).alias(
+                f"top_{n}gram_char_frac"
+            )
         )
     for n in dup_ns:
-        aggs.append(
-            F.max(
-                F.when(F.col("n") == n, F.col("dup_chars") / F.col("all_chars"))
-            ).alias(f"dup_{n}gram_char_frac")
+        rs = F.col(f"__rs{n}")
+        out_cols.append(
+            F.when(rs["tot"] > 0, rs["dup"] / rs["tot"]).alias(
+                f"dup_{n}gram_char_frac"
+            )
         )
-    return per_n.groupBy(id_col).agg(*aggs)
+    return staged.select(*out_cols)
 
 
 #: domains a scrape pipeline would drop outright (placeholder list —

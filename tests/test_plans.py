@@ -134,15 +134,18 @@ def test_text_scrub_ops_shuffle_free(spark):
         assert python_eval_nodes(out) == []
 
 
-def test_ngram_repetition_single_shuffle(spark):
-    """The 3-level gram rollup reuses ONE up-front doc_id partitioning
-    (subset-key aggregates satisfy ClusteredDistribution) — a second
-    exchange here doubles the shuffle volume at corpus scale."""
+def test_ngram_repetition_shuffle_free(spark):
+    """The repetition signals are within-doc facts: the sorted-run
+    fold computes them row-locally — ZERO exchanges (the explode +
+    per-(doc, n, gram) aggregate shuffled ~|ns| x the corpus token
+    volume), and no Python nodes."""
     from functime_spark.pipeline.text import ngram_repetition
-    from functime_spark.plans import assert_max_exchanges
+    from functime_spark.plans import assert_max_exchanges, python_eval_nodes
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    assert_max_exchanges(ngram_repetition(docs), 1)
+    out = ngram_repetition(docs)
+    assert_max_exchanges(out, 0)
+    assert python_eval_nodes(out) == []
 
 
 def test_sq8_encode_and_search_shuffle_free(spark):
