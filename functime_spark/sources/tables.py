@@ -124,11 +124,22 @@ def write_partitioned(
     partition_cols: list | None = None,
     mode: str = "overwrite",
     format: str = "parquet",
+    max_records_per_file: int | None = None,
 ) -> None:
     """Columnar sink; hive-style partition dirs when partition_cols
     given. ``format``: parquet (default) or orc — both give predicate
-    pushdown and partition pruning on the read side."""
+    pushdown and partition pruning on the read side.
+
+    ``max_records_per_file`` splits oversized task outputs (Spark's
+    maxRecordsPerFile): the guard against the other half of the
+    small/giant-files problem when a skewed partition column funnels a
+    big slice of a 100 TB corpus through one task. Pre-shuffling onto
+    the partition columns (repartition before calling this) controls
+    the small-files side — one task per hive dir instead of
+    tasks x dirs fragments."""
     writer = df.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.format(format).save(path)
