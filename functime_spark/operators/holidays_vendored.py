@@ -462,6 +462,8 @@ def _se(year: int) -> list:
         (easter + d(1), "annandag_pask"),
         (_dt.date(year, 5, 1), "forsta_maj"),
         (easter + d(39), "kristi_himmelsfardsdag"),
+        (easter, "paskdagen"),
+        (easter + d(49), "pingstdagen"),
         (_dt.date(year, 6, 6), "nationaldagen"),
         (_sat_on_or_after(year, 6, 20), "midsommardagen"),
         (_sat_on_or_after(year, 10, 31), "alla_helgons_dag"),
@@ -478,7 +480,9 @@ def _no(year: int) -> list:
         (_dt.date(year, 1, 1), "forste_nyttarsdag"),
         (easter - d(3), "skjaertorsdag"),
         (easter - d(2), "langfredag"),
+        (easter, "forste_paskedag"),
         (easter + d(1), "andre_paskedag"),
+        (easter + d(49), "forste_pinsedag"),
         (_dt.date(year, 5, 1), "arbeidernes_dag"),
         (_dt.date(year, 5, 17), "grunnlovsdagen"),
         (easter + d(39), "kristi_himmelfartsdag"),
@@ -497,7 +501,9 @@ def _dk(year: int) -> list:
         (_dt.date(year, 1, 1), "nytaarsdag"),
         (easter - d(3), "skaertorsdag"),
         (easter - d(2), "langfredag"),
+        (easter, "paaskedag"),
         (easter + d(1), "anden_paaskedag"),
+        (easter + d(49), "pinsedag"),
         (easter + d(39), "kristi_himmelfartsdag"),
         (easter + d(50), "anden_pinsedag"),
         (_dt.date(year, 12, 25), "juledag"),
@@ -515,6 +521,7 @@ def _pl(year: int) -> list:
     d = _dt.timedelta
     e = [
         (_dt.date(year, 1, 1), "nowy_rok"),
+        (easter, "wielkanoc"),
         (easter + d(1), "poniedzialek_wielkanocny"),
         (_dt.date(year, 5, 1), "swieto_pracy"),
         (_dt.date(year, 5, 3), "swieto_konstytucji"),

@@ -135,7 +135,9 @@ def add_holiday_effects(
         merged: dict = {}
         for hd, name in rows:
             merged.setdefault(hd, []).append(name)
-        rows = [(hd, "; ".join(names)) for hd, names in merged.items()]
+        # sorted, not emission order: deterministic across calendar
+        # sources and replayable in SQL (string_agg ... ORDER BY nm)
+        rows = [(hd, "; ".join(sorted(names))) for hd, names in merged.items()]
         col = f"holiday__{code.lower()}"
         tbl = spark.createDataFrame(rows, schema=f"__hdate date, {col} string")
         out = out.join(

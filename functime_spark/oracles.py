@@ -1612,7 +1612,9 @@ def operator_oracles() -> dict:
         "SELECT make_date(y,1,1) AS d, 'forste_nyttarsdag' AS nm FROM yrs "
         "UNION ALL SELECT e - to_days(3), 'skjaertorsdag' FROM easter "
         "UNION ALL SELECT e - to_days(2), 'langfredag' FROM easter "
+        "UNION ALL SELECT e, 'forste_paskedag' FROM easter "
         "UNION ALL SELECT e + to_days(1), 'andre_paskedag' FROM easter "
+        "UNION ALL SELECT e + to_days(49), 'forste_pinsedag' FROM easter "
         "UNION ALL SELECT make_date(y,5,1), 'arbeidernes_dag' FROM yrs "
         "UNION ALL SELECT make_date(y,5,17), 'grunnlovsdagen' FROM yrs "
         "UNION ALL SELECT e + to_days(39), 'kristi_himmelfartsdag' FROM easter "
@@ -1641,10 +1643,19 @@ def operator_oracles() -> dict:
         "FROM c, generate_series(1, 400) AS g(i)), "
         "yrs AS (SELECT DISTINCT year(ts) AS y FROM fut), "
         f"{_computus}, "
-        f"us AS ({_us_rules}), de AS ({_de_rules}), gb AS ({_gb_rules}), "
-        f"ca AS ({_ca_rules}), nl AS ({_nl_rules}), "
-        f"br AS ({_br_rules}), mx AS ({_mx_rules}), "
-        f"no_ AS ({_no_rules}), pt AS ({_pt_rules}) "
+        # per-date name merge ('; ', sorted) mirrors add_holiday_effects:
+        # same-date holidays (NO grunnlovsdag = Easter+50 in 2027, PT
+        # pascoa = Apr 25 in 2038) must yield ONE merged row, not a fanout
+        + ", ".join(
+            f"{a} AS (SELECT d, string_agg(nm, '; ' ORDER BY nm) AS nm "
+            f"FROM ({r}) GROUP BY d)"
+            for a, r in [
+                ("us", _us_rules), ("de", _de_rules), ("gb", _gb_rules),
+                ("ca", _ca_rules), ("nl", _nl_rules), ("br", _br_rules),
+                ("mx", _mx_rules), ("no_", _no_rules), ("pt", _pt_rules),
+            ]
+        )
+        + " "
         "SELECT f.user_id, f.ts, us.nm AS holiday__us, de.nm AS holiday__de, "
         "gb.nm AS holiday__gb, ca.nm AS holiday__ca, nl.nm AS holiday__nl, "
         "br.nm AS holiday__br, mx.nm AS holiday__mx, "

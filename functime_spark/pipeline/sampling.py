@@ -169,8 +169,9 @@ def vocab_stats(
     top = vocab.orderBy(F.desc("count"), F.asc("token")).limit(top_k)
     # the k-row top frame feeds BOTH the ranked projection and the OLS
     # aggregate; un-cut, the corpus-wide explode+aggregate under it
-    # would execute twice
-    top = top.localCheckpoint()
+    # would execute twice. eager=False: the cut happens at first
+    # action, so merely CONSTRUCTING this frame doesn't run a job
+    top = top.localCheckpoint(eager=False)
     w = Window.orderBy(F.desc("count"), F.asc("token"))
     ranked = top.withColumn("rank", F.row_number().over(w))
     lx = F.log(F.col("rank").cast("double"))

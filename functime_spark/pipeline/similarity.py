@@ -686,8 +686,9 @@ def fit_pca(
     if not rows:
         # empty corpus: a filter chain upstream can legitimately drain
         # the input — return a well-typed degenerate model (dim from
-        # the schema is unknowable, so dim 0) instead of crashing
-        return np.zeros(0), np.zeros((n_components, 0)), [0.0] * n_components
+        # the schema is unknowable, so dim 0) instead of crashing;
+        # project_pca refuses dim-0 models loudly
+        return np.zeros(0), np.zeros((n_components, 0)), np.zeros(n_components)
     X = np.asarray([r[0] for r in rows], dtype="float64")
     n, d = X.shape
     mu = X.mean(axis=0)
@@ -723,6 +724,12 @@ def project_pca(
     matrix ride in a broadcast single-row frame (plan size O(1) in
     both d and k — same design as IVFIndex.assign), and the big side
     never shuffles."""
+    if len(list(mean)) == 0:
+        # a dim-0 model comes from fit_pca on a drained corpus —
+        # projecting real vectors with it would silently emit zeros
+        # via zip_with null-padding; fail loudly instead
+        raise ValueError("degenerate PCA model (dim 0) — was fit_pca "
+                         "called on an empty corpus?")
     spark = emb.sparkSession
     params = spark.createDataFrame(
         [(
@@ -819,7 +826,15 @@ def save_ann_model(model, spark, path: str, mode: str = "overwrite") -> None:
 
 def load_ann_model(spark, path: str):
     """Restore a model written by save_ann_model."""
-    row = spark.read.parquet(path).first()
+    rows = spark.read.parquet(path).collect()
+    if not rows:
+        raise ValueError(f"no ANN model rows at {path!r}")
+    if len(rows) > 1:
+        raise ValueError(
+            f"{len(rows)} model rows at {path!r} — was save_ann_model "
+            "called with mode='append'? A model dir must hold exactly one."
+        )
+    row = rows[0]
     kind, mat, params = row["kind"], row["mat"], dict(row["params"])
     if kind == "ivf":
         ix = IVFIndex(

@@ -237,9 +237,16 @@ def gopher_quality_filter(
         return F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
 
     dlines = F.array_distinct(lines)
-    dup_line = (n_lines - F.size(dlines)).cast("double") / n_lines
+    # NULL text: size(split(NULL)) is -1 (legacy sizeOfNull), which
+    # would alchemize into -0.0; the count-aggregate form (and the
+    # oracle) yields NULL for such rows — keep that contract
+    dup_line = F.when(
+        t.isNotNull(), (n_lines - F.size(dlines)).cast("double") / n_lines
+    )
     total_ch = _sum_len(lines)
-    dup_char = (total_ch - _sum_len(dlines)).cast("double") / total_ch
+    dup_char = F.when(
+        t.isNotNull(), (total_ch - _sum_len(dlines)).cast("double") / total_ch
+    )
     out = docs.select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),
