@@ -15,6 +15,10 @@ LANG_LEXICONS = {
     "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"],
     "fr": ["le", "la", "les", "et", "un", "une", "est", "de", "du", "que"],
     "es": ["el", "la", "los", "las", "y", "un", "una", "es", "de", "que"],
+    "it": ["il", "la", "di", "e", "che", "un", "una", "per", "non", "sono"],
+    "pt": ["o", "a", "de", "e", "que", "um", "uma", "para", "com", "os"],
+    "nl": ["de", "het", "een", "en", "van", "ik", "te", "dat", "die", "niet"],
+    "ru": ["и", "в", "не", "на", "я", "что", "он", "с", "как", "это"],
     "zh": ["的", "是", "了", "在", "我", "有", "和", "就", "不", "人"],
 }
 

@@ -1871,3 +1871,22 @@ def test_canonicalize_urls_idempotent(spark):
     rows = {r.doc_id: (r.url, r.url_canon) for r in twice.collect()}
     for i, (u, c) in rows.items():
         assert u == c, (urls[i], u, c)
+
+
+def test_language_id_new_lexicons(spark):
+    """The four round-4 lexicons (it/pt/nl/ru) must win on their own
+    sample sentences despite heavy stopword overlap with es/fr/de."""
+    from functime_spark.pipeline.text import language_id
+
+    d = spark.createDataFrame(
+        [
+            (0, "il gatto e sulla sedia che non sono per una casa"),
+            (1, "o menino foi para a escola com um livro que os pais deram"),
+            (2, "de jongen ging met het boek naar een school die niet ver was van hier en ik"),
+            (3, "я не знаю что он думает в это время и как с этим быть"),
+            (4, "the quick brown fox is in the yard and it is happy for a while"),
+        ],
+        "doc_id long, text string",
+    )
+    pred = {r.doc_id: r.pred_lang for r in language_id(d).collect()}
+    assert pred == {0: "it", 1: "pt", 2: "nl", 3: "ru", 4: "en"}
