@@ -695,7 +695,10 @@ def dedup_by_url(
 
 #: scripts profiled by script_profile. Java regex needs the Is- prefix
 #: for script properties; RE2 (the oracle) uses the bare name.
-SCRIPTS = ("Latin", "Cyrillic", "Greek", "Arabic", "Han", "Hangul")
+SCRIPTS = (
+    "Latin", "Cyrillic", "Greek", "Arabic", "Han", "Hangul",
+    "Hebrew", "Devanagari", "Thai", "Hiragana", "Katakana",
+)
 
 
 def script_profile(

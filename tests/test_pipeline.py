@@ -1890,3 +1890,25 @@ def test_language_id_new_lexicons(spark):
     )
     pred = {r.doc_id: r.pred_lang for r in language_id(d).collect()}
     assert pred == {0: "it", 1: "pt", 2: "nl", 3: "ru", 4: "en"}
+
+
+def test_script_profile_round4_scripts(spark):
+    """Hebrew/Devanagari/Thai/Hiragana/Katakana counts and dominance."""
+    from functime_spark.pipeline.text import script_profile
+
+    d = spark.createDataFrame(
+        [
+            (0, "\u05e9\u05dc\u05d5\u05dd"),            # Hebrew
+            (1, "\u0928\u092e\u0938\u094d\u0924\u0947"),  # Devanagari
+            (2, "\u0e2a\u0e27\u0e31\u0e2a\u0e14\u0e35"),  # Thai
+            (3, "\u3053\u3093\u306b\u3061\u306f"),      # Hiragana
+            (4, "\u30ab\u30bf\u30ab\u30ca"),             # Katakana
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in script_profile(d).collect()}
+    assert out[0].dominant_script == "hebrew" and out[0].n_hebrew == 4
+    assert out[1].dominant_script == "devanagari" and out[1].n_devanagari == 6
+    assert out[2].dominant_script == "thai" and out[2].n_thai == 6
+    assert out[3].dominant_script == "hiragana" and out[3].n_hiragana == 5
+    assert out[4].dominant_script == "katakana" and out[4].n_katakana == 4
