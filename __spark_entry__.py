@@ -1095,6 +1095,12 @@ def _augment_pii_text(docs):
             ).otherwise(F.lit("")),
             F.when(d % 5 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
             F.when(
+                d % 13 == 0, F.lit(" card 4111-1111-1111-1111")
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 17 == 0, F.lit(" acct DE44500105175407324931")
+            ).otherwise(F.lit("")),
+            F.when(
                 d % 7 == 0,
                 F.concat(
                     F.lit(" host 10.0."), (d % 200).cast("string"), F.lit(".7")

@@ -3050,6 +3050,10 @@ ORDER BY 1, 2
         "text || CASE WHEN doc_id % 3 = 0 THEN ' mail user' || doc_id || "
         "'@corp-' || (doc_id % 7) || '.io' ELSE '' END"
         " || CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 0 THEN ' card 4111-1111-1111-1111' "
+        "ELSE '' END"
+        " || CASE WHEN doc_id % 17 = 0 THEN ' acct DE44500105175407324931' "
+        "ELSE '' END"
         " || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.' || (doc_id % 200) || "
         "'.7' ELSE '' END"
         " || CASE WHEN doc_id % 11 = 0 THEN ' id 123-45-6789' ELSE '' END"
@@ -3059,6 +3063,8 @@ ORDER BY 1, 2
         "phone": r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b",
         "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
         "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+        "credit_card": r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b",
+        "iban": r"\b[A-Z]{2}\d{2}[A-Z0-9]{12,30}\b",
     }
     _pii_counts = {
         k: f"len(regexp_extract_all(t, '{p}'))" for k, p in _pii_pats.items()

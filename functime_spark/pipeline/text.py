@@ -287,12 +287,14 @@ PII_PATTERNS = {
     "phone": r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "credit_card": r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b",
+    "iban": r"\b[A-Z]{2}\d{2}[A-Z0-9]{12,30}\b",
 }
 
 #: redaction application order: most-specific first so an SSN is not
 #: half-eaten by the phone pattern (the shapes are disjoint, but a
 #: fixed order keeps redaction deterministic regardless)
-_PII_REDACT_ORDER = ["email", "ssn", "phone", "ipv4"]
+_PII_REDACT_ORDER = ["email", "iban", "credit_card", "ssn", "phone", "ipv4"]
 
 
 def pii_scan(

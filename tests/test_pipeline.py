@@ -1912,3 +1912,21 @@ def test_script_profile_round4_scripts(spark):
     assert out[2].dominant_script == "thai" and out[2].n_thai == 6
     assert out[3].dominant_script == "hiragana" and out[3].n_hiragana == 5
     assert out[4].dominant_script == "katakana" and out[4].n_katakana == 4
+
+
+def test_pii_scan_card_and_iban(spark):
+    from functime_spark.pipeline.text import pii_scan
+
+    d = spark.createDataFrame(
+        [
+            (0, "pay with 4111-1111-1111-1111 now"),
+            (1, "wire to DE44500105175407324931 please"),
+            (2, "clean text with plain numbers 12345"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_scan(d, redact=True).collect()}
+    assert out[0].n_credit_card == 1 and out[0].has_pii == 1
+    assert "<CREDIT_CARD>" in out[0].redacted
+    assert out[1].n_iban == 1 and "<IBAN>" in out[1].redacted
+    assert out[2].has_pii == 0
