@@ -446,7 +446,10 @@ URL_BLOCKLIST = ["spam.example", "malware.test"]
 
 
 def url_stats(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    blocklist: tuple | list | None = None,
 ) -> DataFrame:
     """Per-document URL signals: URL count, distinct-domain count,
     first domain, and a blocklisted-domain flag. Pure regexp Column
@@ -457,7 +460,9 @@ def url_stats(
     dom_pat = r"https?://([A-Za-z0-9.-]+)"
     urls = F.regexp_extract_all(t, F.lit(url_pat), F.lit(0))
     domains = F.regexp_extract_all(t, F.lit(dom_pat), F.lit(1))
-    blocked = F.array(*[F.lit(d) for d in URL_BLOCKLIST])
+    blocked = F.array(
+        *[F.lit(d) for d in (URL_BLOCKLIST if blocklist is None else blocklist)]
+    )
     return docs.select(
         F.col(id_col),
         F.size(urls).cast("long").alias("n_urls"),
@@ -618,7 +623,10 @@ TRACKING_PARAMS = (
 
 
 def canonicalize_urls(
-    df: DataFrame, url_col: str = "url", out_col: str = "url_canon"
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "url_canon",
+    tracking_params: tuple | list | None = None,
 ) -> DataFrame:
     """Crawl-URL canonicalization (the key for URL-level dedup before
     any content hashing): lowercase scheme+host, drop default ports
@@ -659,7 +667,12 @@ def canonicalize_urls(
         F.substr(hostpath, F.instr(hostpath, "/")),
     ).otherwise(F.lit(""))
     path = F.regexp_replace(path, "/$", "")
-    tracking = F.array(*[F.lit(p) for p in TRACKING_PARAMS])
+    tracking = F.array(
+        *[
+            F.lit(p)
+            for p in (TRACKING_PARAMS if tracking_params is None else tracking_params)
+        ]
+    )
     params = F.filter(
         F.split(query, "&"),
         lambda kv: (kv != "")
