@@ -1175,6 +1175,20 @@ def q_text_url_stats(spark, sf_dir):
     return url_stats(aug).orderBy("doc_id")
 
 
+def q_text_bpe_tokens(spark, sf_dir):
+    """Real in-engine BPE end-to-end: word-count shuffle -> 12 driver
+    merge iterations on the bounded frequency table -> map-only
+    tokenization via a literal-replace chain. The oracle replays
+    training AND tokenization (generated iteration CTEs), so the
+    learned merges themselves are value-verified."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.bpe import bpe_tokenize, fit_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = fit_bpe(docs, n_merges=12, max_words=50_000)
+    return bpe_tokenize(docs, merges).orderBy("doc_id")
+
+
 def q_text_vocab_zipf(spark, sf_dir):
     """Top-100 token vocabulary with ranks and the log-log OLS Zipf
     slope: one explode+hash aggregate, a TakeOrdered top-k (no global
@@ -2208,6 +2222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_tfidf_topk": q_text_tfidf_topk,
             "corpus_clean_attrition": q_corpus_clean_attrition,
             "text_vocab_zipf": q_text_vocab_zipf,
+            "text_bpe_tokens": q_text_bpe_tokens,
             "text_strip_html": q_text_strip_html,
             "text_mojibake": q_text_mojibake,
             "corpus_pack_shards": q_corpus_pack_shards,
@@ -2313,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b) new or changed in round 4
         "corpus_clean_attrition",
         "text_vocab_zipf",
+        "text_bpe_tokens",
         "text_strip_html",
         "text_mojibake",
         "media_resize",

@@ -3912,6 +3912,53 @@ ORDER BY 1, 2
         "FROM rev ORDER BY nation, month"
     )
 
+    # --- text_bpe_tokens: the ENTIRE BPE pipeline replayed — word
+    # counts, 12 training iterations (pair-count argmax with the same
+    # (count DESC, pair ASC) tie-break, greedy left-to-right merge
+    # application via replace), then per-doc subword counts under the
+    # learned merges. chr(0) sentinel keeps exhausted iterations no-op.
+    _BPE_K = 12
+    _bpe_ctes = [
+        "w0 AS MATERIALIZED (SELECT word, cnt, "
+        r"trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS enc "
+        "FROM (SELECT word, COUNT(*) AS cnt FROM "
+        "(SELECT unnest(list_filter("
+        r"string_split_regex(text, '\s+'), x -> x <> '')) AS word "
+        "FROM documents) GROUP BY word ORDER BY cnt DESC, word "
+        "LIMIT 50000))",
+        "t0 AS MATERIALIZED (SELECT doc_id, "
+        r"trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS enc "
+        "FROM (SELECT doc_id, unnest(list_filter("
+        r"string_split_regex(text, '\s+'), x -> x <> '')) AS word "
+        "FROM documents))",
+    ]
+    for _k in range(_BPE_K):
+        _bpe_ctes.append(
+            f"p{_k} AS MATERIALIZED (SELECT COALESCE((SELECT pr FROM ("
+            "SELECT pr, SUM(cnt) AS c FROM (SELECT cnt, "
+            "unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS pr "
+            f"FROM (SELECT cnt, string_split(enc, ' ') AS l FROM w{_k})) "
+            "GROUP BY pr ORDER BY c DESC, pr LIMIT 1)), chr(0)) AS pr)"
+        )
+        _bpe_ctes.append(
+            f"w{_k + 1} AS MATERIALIZED (SELECT word, cnt, replace(enc, "
+            f"(SELECT pr FROM p{_k}), "
+            f"replace((SELECT pr FROM p{_k}), ' ', '')) AS enc FROM w{_k})"
+        )
+        _bpe_ctes.append(
+            f"t{_k + 1} AS MATERIALIZED (SELECT doc_id, replace(enc, "
+            f"(SELECT pr FROM p{_k}), "
+            f"replace((SELECT pr FROM p{_k}), ' ', '')) AS enc FROM t{_k})"
+        )
+    o["text_bpe_tokens"] = (
+        "WITH " + ", ".join(_bpe_ctes) + " "
+        "SELECT d.doc_id, CAST(COALESCE(s.nw, 0) AS BIGINT) AS n_words, "
+        "CAST(COALESCE(s.ns, 0) AS BIGINT) AS n_bpe_tokens "
+        "FROM documents d LEFT JOIN (SELECT doc_id, COUNT(*) AS nw, "
+        f"SUM(len(string_split(enc, ' '))) AS ns FROM t{_BPE_K} "
+        "GROUP BY doc_id) s USING (doc_id) ORDER BY d.doc_id"
+    )
+
     # --- text_vocab_zipf: top-k vocabulary + log-log OLS Zipf slope,
     # ties broken by token asc; the slope replays as the closed-form
     # covariance ratio over the same k rows

@@ -1,0 +1,114 @@
+"""In-engine byte-pair encoding: train a merge list on the corpus'
+word-frequency table, tokenize with a chain of literal replaces.
+
+This replaces the chars/4 heuristic in `text.token_counts` with a real
+(small) BPE when exact subword counts matter — e.g. token-budget shard
+packing against a specific tokenizer family.
+
+Scale design: the distributed work is exactly the two passes a real
+BPE pipeline does —
+
+- `fit_bpe`: ONE shuffle builds the word-frequency table; the top
+  ``max_words`` rows (TakeOrdered — per-partition partial top-k, no
+  global sort) come to the driver, where the classic merge loop runs
+  over (word, count) pairs. BPE training is inherently a loop over a
+  bounded frequency table, not the raw corpus, so the driver-side
+  part is O(vocab), independent of corpus size.
+- `bpe_tokenize`: map-only — each word becomes its space-joined
+  character sequence and the merge list applies as a chain of literal
+  replaces (JVM expressions, zero shuffle, stream-legal).
+
+Determinism: merges pick the (count DESC, pair ASC) argmax each
+round and ties in the word cap break by (count DESC, word ASC), so
+the whole fit replays in generated SQL — the correctness gate
+value-verifies training AND tokenization end-to-end.
+
+Note: pair symbols are plain space-joined strings, without the
+classic end-of-word marker — merges cannot cross words because the
+encoding is per word, which is the only property the marker buys at
+this size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _word_counts(docs: DataFrame, text_col: str, max_words: int):
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    return (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(max_words)
+    )
+
+
+def fit_bpe(
+    docs: DataFrame,
+    n_merges: int = 32,
+    text_col: str = "text",
+    max_words: int = 50_000,
+) -> list:
+    """Train a BPE merge list; returns ``["a b", "ab c", ...]`` in
+    application order (each entry is the space-joined pair; applying
+    it replaces the pair with its concatenation)."""
+    rows = _word_counts(docs, text_col, max_words).collect()
+    vocab = [(list(r["word"]), int(r["cnt"])) for r in rows]
+    merges: list = []
+    for _ in range(n_merges):
+        pair_counts: dict = {}
+        for syms, cnt in vocab:
+            for a, b in zip(syms, syms[1:]):
+                key = f"{a} {b}"
+                pair_counts[key] = pair_counts.get(key, 0) + cnt
+        if not pair_counts:
+            break
+        # (count DESC, pair ASC) — the same argmax the SQL replay takes
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best.split(" ")
+        ab = a + b
+        for syms, _ in vocab:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == a and syms[i + 1] == b:
+                    syms[i : i + 2] = [ab]
+                else:
+                    i += 1
+    return merges
+
+
+def _encode_word(word_col, merges: list):
+    """Space-joined characters, then the merge chain as literal
+    replaces. replace() rewrites left-to-right non-overlapping — the
+    same greedy pass the trainer's list splice performs."""
+    enc = F.trim(F.regexp_replace(word_col, "(.)", "$1 "))
+    for m in merges:
+        enc = F.replace(enc, F.lit(m), F.lit(m.replace(" ", "")))
+    return enc
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_words, n_bpe_tokens): exact subword counts under the
+    fitted merge list. Pure projection — zero shuffle."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    base = docs.select(F.col(id_col), toks.alias("__ws"))
+    enc = F.transform(F.col("__ws"), lambda w: _encode_word(w, merges))
+    n_sub = F.aggregate(
+        enc,
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + F.size(F.split(e, " ")),
+    )
+    return base.select(
+        F.col(id_col),
+        F.size("__ws").cast("long").alias("n_words"),
+        n_sub.alias("n_bpe_tokens"),
+    )

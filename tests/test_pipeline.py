@@ -1930,3 +1930,37 @@ def test_pii_scan_card_and_iban(spark):
     assert "<CREDIT_CARD>" in out[0].redacted
     assert out[1].n_iban == 1 and "<IBAN>" in out[1].redacted
     assert out[2].has_pii == 0
+
+
+def test_bpe_fit_and_tokenize_matches_python_reference(spark):
+    """fit_bpe's merge list and bpe_tokenize's counts must agree with
+    a direct Python replay (string replace over space-joined chars)."""
+    from functime_spark.pipeline.bpe import bpe_tokenize, fit_bpe
+
+    texts = [
+        "lower lower lowest newer newest wider widest new new new",
+        "low lower lowest wide wider widest",
+        "the newer the better the wider the better",
+        "singleton",
+    ]
+    d = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    merges = fit_bpe(d, n_merges=10)
+    assert len(merges) == 10
+    # the most frequent pair in this corpus must be merged first
+    assert merges[0] in ("e r", "w e", "e w", "n e", "l o", "o w", "w i", "t h")
+
+    def py_tokens(text):
+        total = 0
+        words = [w for w in text.split() if w]
+        for w in words:
+            enc = " ".join(w)
+            for m in merges:
+                enc = enc.replace(m, m.replace(" ", ""))
+            total += len(enc.split(" "))
+        return len(words), total
+
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens) for r in bpe_tokenize(d, merges).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == py_tokens(t), (t, got[i], py_tokens(t))
+    # merges compress: fewer subwords than characters
+    assert got[0][1] < sum(len(w) for w in texts[0].split())
