@@ -33,15 +33,30 @@ def pack_shards(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 64,
+    bpe_merges: list | None = None,
 ) -> DataFrame:
     """(id, n_tokens, start_offset, shard): exclusive global prefix
-    of whitespace-token counts in id order; shard = start_offset // budget.
+    of token counts in id order; shard = start_offset // budget.
 
     Documents may straddle a shard boundary (floor semantics — the
     standard fixed-budget layout where a reader slices the leftover
-    into the next shard)."""
-    toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != ""))
-    base = docs.select(F.col(id_col), toks.cast("long").alias("n_tokens"))
+    into the next shard).
+
+    ``bpe_merges``: budget by exact BPE subword counts under a fitted
+    merge list (pipeline.bpe.fit_bpe) instead of whitespace tokens —
+    the layout then matches what the training dataloader actually
+    consumes."""
+    if bpe_merges is not None:
+        from functime_spark.pipeline.bpe import bpe_tokenize
+
+        base = bpe_tokenize(docs, bpe_merges, text_col, id_col).select(
+            F.col(id_col), F.col("n_bpe_tokens").alias("n_tokens")
+        )
+    else:
+        toks = F.size(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+        )
+        base = docs.select(F.col(id_col), toks.cast("long").alias("n_tokens"))
     lo, hi = base.agg(F.min(id_col), F.max(id_col)).first()
     if lo is None:
         return base.select(

@@ -1964,3 +1964,26 @@ def test_bpe_fit_and_tokenize_matches_python_reference(spark):
         assert got[i] == py_tokens(t), (t, got[i], py_tokens(t))
     # merges compress: fewer subwords than characters
     assert got[0][1] < sum(len(w) for w in texts[0].split())
+
+
+def test_pack_shards_with_bpe_budget(spark):
+    """pack_shards(bpe_merges=...) budgets by exact BPE subword counts
+    (offsets = prefix of bpe_tokenize counts in id order)."""
+    from functime_spark.pipeline.bpe import bpe_tokenize, fit_bpe
+    from functime_spark.pipeline.packing import pack_shards
+
+    d = spark.createDataFrame(
+        [(i, "lower lowest newer newest " * (i + 1)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    merges = fit_bpe(d, n_merges=6)
+    counts = {
+        r.doc_id: r.n_bpe_tokens for r in bpe_tokenize(d, merges).collect()
+    }
+    out = {r.doc_id: r for r in pack_shards(d, 50, bpe_merges=merges).collect()}
+    run = 0
+    for i in range(6):
+        assert out[i].n_tokens == counts[i]
+        assert out[i].start_offset == run
+        assert out[i].shard == run // 50
+        run += counts[i]
