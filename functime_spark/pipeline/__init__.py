@@ -9,6 +9,7 @@ plumbing. Every operator is partition-parallel — the 100 TB story is
 """
 
 from functime_spark.pipeline import (  # noqa: F401
+    bpe,
     classifier,
     clean,
     decontaminate,

@@ -96,19 +96,67 @@ def bpe_tokenize(
     merges: list,
     text_col: str = "text",
     id_col: str = "doc_id",
+    engine: str = "auto",
 ) -> DataFrame:
     """(id, n_words, n_bpe_tokens): exact subword counts under the
-    fitted merge list. Pure projection — zero shuffle."""
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
-    base = docs.select(F.col(id_col), toks.alias("__ws"))
-    enc = F.transform(F.col("__ws"), lambda w: _encode_word(w, merges))
-    n_sub = F.aggregate(
-        enc,
-        F.lit(0).cast("long"),
-        lambda acc, e: acc + F.size(F.split(e, " ")),
+    fitted merge list. Zero shuffle on either engine.
+
+    ``engine``: 'expr' builds one literal replace per merge into the
+    plan — pure codegen, ideal for the small vocabularies this module
+    trains, but linear plan growth makes it wrong for a real
+    tokenizer's thousands of merges; 'arrow' applies the broadcast
+    merge list in a vectorized mapInPandas pass (plan size O(1) in
+    the merge count). 'auto' switches to arrow above 64 merges. Both
+    produce identical counts (pinned by test)."""
+    if engine == "auto":
+        engine = "expr" if len(merges) <= 64 else "arrow"
+    if engine == "expr":
+        toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+        base = docs.select(F.col(id_col), toks.alias("__ws"))
+        enc = F.transform(F.col("__ws"), lambda w: _encode_word(w, merges))
+        n_sub = F.aggregate(
+            enc,
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + F.size(F.split(e, " ")),
+        )
+        return base.select(
+            F.col(id_col),
+            F.size("__ws").cast("long").alias("n_words"),
+            n_sub.alias("n_bpe_tokens"),
+        )
+    if engine != "arrow":
+        raise ValueError(f"engine must be auto|expr|arrow, got {engine!r}")
+
+    import re
+
+    id_field = docs.select(id_col).schema.fields[0]
+    out_schema = (
+        f"{id_field.name} {id_field.dataType.simpleString()}, "
+        "n_words bigint, n_bpe_tokens bigint"
     )
-    return base.select(
-        F.col(id_col),
-        F.size("__ws").cast("long").alias("n_words"),
-        n_sub.alias("n_bpe_tokens"),
-    )
+    bc = docs.sparkSession.sparkContext.broadcast(list(merges))
+    ws_re = re.compile(r"\s+")
+
+    def run(batches):
+        import pandas as pd
+
+        ms = [(m, m.replace(" ", "")) for m in bc.value]
+        for pdf in batches:
+            ids, nw, ns = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in ws_re.split(str(text or "")) if w]
+                total = 0
+                for w in words:
+                    enc = " ".join(w)
+                    for m, ab in ms:
+                        if m in enc:
+                            enc = enc.replace(m, ab)
+                    total += len(enc.split(" "))
+                ids.append(did)
+                nw.append(len(words))
+                ns.append(total)
+            yield pd.DataFrame(
+                {id_col: ids, "n_words": nw, "n_bpe_tokens": ns}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema=out_schema)

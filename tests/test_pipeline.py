@@ -1987,3 +1987,18 @@ def test_pack_shards_with_bpe_budget(spark):
         assert out[i].start_offset == run
         assert out[i].shard == run // 50
         run += counts[i]
+
+
+def test_bpe_tokenize_engines_agree(spark):
+    """expr and arrow engines must produce identical counts; auto
+    dispatches by merge-list size."""
+    from functime_spark.pipeline.bpe import bpe_tokenize, fit_bpe
+
+    d = spark.createDataFrame(
+        [(i, "lower lowest newer newest wider " * (i % 3 + 1)) for i in range(12)],
+        "doc_id long, text string",
+    )
+    merges = fit_bpe(d, n_merges=12)
+    a = sorted(map(tuple, bpe_tokenize(d, merges, engine="expr").collect()))
+    b = sorted(map(tuple, bpe_tokenize(d, merges, engine="arrow").collect()))
+    assert a == b
