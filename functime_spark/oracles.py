@@ -3064,7 +3064,7 @@ ORDER BY 1, 2
         "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
         "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
         "credit_card": r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b",
-        "iban": r"\b[A-Z]{2}\d{2}[A-Z0-9]{12,30}\b",
+        "iban": r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b",
     }
     _pii_counts = {
         k: f"len(regexp_extract_all(t, '{p}'))" for k, p in _pii_pats.items()

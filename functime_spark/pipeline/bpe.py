@@ -10,13 +10,24 @@ BPE pipeline does —
 
 - `fit_bpe`: ONE shuffle builds the word-frequency table; the top
   ``max_words`` rows (TakeOrdered — per-partition partial top-k, no
-  global sort) come to the driver, where the classic merge loop runs
-  over (word, count) pairs. BPE training is inherently a loop over a
+  global sort) come to the driver, where the merge loop runs over
+  (word, count) pairs. BPE training is inherently a loop over a
   bounded frequency table, not the raw corpus, so the driver-side
   part is O(vocab), independent of corpus size.
 - `bpe_tokenize`: map-only — each word becomes its space-joined
   character sequence and the merge list applies as a chain of literal
   replaces (JVM expressions, zero shuffle, stream-legal).
+
+Merge-application semantics: this engine's BPE variant is defined
+operationally as a greedy left-to-right literal ``replace`` of the
+space-joined pair on the space-joined encoding — trainer, tokenizer
+(both engines), and the DuckDB oracle replay all share that exact
+primitive, so learned merges and subword counts agree byte-for-byte
+by construction. (Canonical symbol-splice BPE differs on corner
+cases — a replace can glue across a prior multi-char symbol boundary
+— but splice semantics are not expressible as a bounded JVM/SQL
+expression chain, and self-consistency is what token-budget packing
+needs.)
 
 Determinism: merges pick the (count DESC, pair ASC) argmax each
 round and ties in the word cap break by (count DESC, word ASC), so
@@ -56,11 +67,12 @@ def fit_bpe(
     application order (each entry is the space-joined pair; applying
     it replaces the pair with its concatenation)."""
     rows = _word_counts(docs, text_col, max_words).collect()
-    vocab = [(list(r["word"]), int(r["cnt"])) for r in rows]
+    vocab = [[" ".join(r["word"]), int(r["cnt"])] for r in rows]
     merges: list = []
     for _ in range(n_merges):
         pair_counts: dict = {}
-        for syms, cnt in vocab:
+        for enc, cnt in vocab:
+            syms = enc.split(" ")
             for a, b in zip(syms, syms[1:]):
                 key = f"{a} {b}"
                 pair_counts[key] = pair_counts.get(key, 0) + cnt
@@ -69,22 +81,17 @@ def fit_bpe(
         # (count DESC, pair ASC) — the same argmax the SQL replay takes
         best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         merges.append(best)
-        a, b = best.split(" ")
-        ab = a + b
-        for syms, _ in vocab:
-            i = 0
-            while i < len(syms) - 1:
-                if syms[i] == a and syms[i + 1] == b:
-                    syms[i : i + 2] = [ab]
-                else:
-                    i += 1
+        ab = best.replace(" ", "")
+        # apply via the SAME greedy literal replace the tokenizer and
+        # the oracle replay use — semantics identical by construction
+        vocab = [[enc.replace(best, ab), cnt] for enc, cnt in vocab]
     return merges
 
 
 def _encode_word(word_col, merges: list):
     """Space-joined characters, then the merge chain as literal
     replaces. replace() rewrites left-to-right non-overlapping — the
-    same greedy pass the trainer's list splice performs."""
+    identical primitive `fit_bpe` applies during training."""
     enc = F.trim(F.regexp_replace(word_col, "(.)", "$1 "))
     for m in merges:
         enc = F.replace(enc, F.lit(m), F.lit(m.replace(" ", "")))
@@ -111,7 +118,10 @@ def bpe_tokenize(
     if engine == "auto":
         engine = "expr" if len(merges) <= 64 else "arrow"
     if engine == "expr":
-        toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+        # coalesce: NULL text must count as (0, 0) like the oracle's
+        # LEFT JOIN/COALESCE — F.size(NULL) is -1 under legacy sizeOfNull
+        txt = F.coalesce(F.col(text_col), F.lit(""))
+        toks = F.filter(F.split(txt, r"\s+"), lambda x: x != "")
         base = docs.select(F.col(id_col), toks.alias("__ws"))
         enc = F.transform(F.col("__ws"), lambda w: _encode_word(w, merges))
         n_sub = F.aggregate(
@@ -135,7 +145,9 @@ def bpe_tokenize(
         "n_words bigint, n_bpe_tokens bigint"
     )
     bc = docs.sparkSession.sparkContext.broadcast(list(merges))
-    ws_re = re.compile(r"\s+")
+    # re.ASCII: Java/RE2 \s+ are ASCII-only — without it Python splits
+    # on NBSP/U+2028 etc. and the two engines disagree on web text
+    ws_re = re.compile(r"\s+", re.ASCII)
 
     def run(batches):
         import pandas as pd

@@ -52,6 +52,10 @@ def pack_shards(
         base = bpe_tokenize(docs, bpe_merges, text_col, id_col).select(
             F.col(id_col), F.col("n_bpe_tokens").alias("n_tokens")
         )
+        # the tokenization pass feeds three plan branches (min/max agg,
+        # per-bucket totals, final join) — materialize once or the whole
+        # BPE pass re-executes per branch
+        base = base.localCheckpoint()
     else:
         toks = F.size(
             F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")

@@ -288,7 +288,7 @@ PII_PATTERNS = {
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
     "credit_card": r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b",
-    "iban": r"\b[A-Z]{2}\d{2}[A-Z0-9]{12,30}\b",
+    "iban": r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b",
 }
 
 #: redaction application order: most-specific first so an SSN is not

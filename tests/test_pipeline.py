@@ -2002,3 +2002,75 @@ def test_bpe_tokenize_engines_agree(spark):
     a = sorted(map(tuple, bpe_tokenize(d, merges, engine="expr").collect()))
     b = sorted(map(tuple, bpe_tokenize(d, merges, engine="arrow").collect()))
     assert a == b
+
+
+def test_bpe_fit_matches_replace_semantics_training(spark):
+    """Trainer must use the SAME greedy literal-replace the tokenizer
+    and the oracle replay use. This corpus is adversarial: after
+    merges 'o w' then 'l o', replace glues across the l|ow symbol
+    boundary in 'slow' ('s l ow' -> 's low') where a symbol-splice
+    trainer would not — the merge lists diverge from round 7 on."""
+    from functime_spark.pipeline.bpe import fit_bpe
+
+    words = {"slow": 10, "now": 50, "cow": 20, "alo": 30, "ilo": 31}
+    rows = [
+        (i, " ".join([w] * c))
+        for i, (w, c) in enumerate(sorted(words.items()))
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # pure-Python replay of replace-semantics training
+    vocab = [[" ".join(w), c] for w, c in sorted(words.items())]
+    expect = []
+    for _ in range(8):
+        pc = {}
+        for enc, cnt in vocab:
+            syms = enc.split(" ")
+            for x, y in zip(syms, syms[1:]):
+                pc[f"{x} {y}"] = pc.get(f"{x} {y}", 0) + cnt
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expect.append(best)
+        vocab = [[e.replace(best, best.replace(" ", "")), c] for e, c in vocab]
+
+    assert fit_bpe(d, n_merges=8) == expect
+
+
+def test_bpe_tokenize_null_and_unicode_whitespace(spark):
+    """NULL text counts as (0, 0) on both engines (matching the
+    oracle's LEFT JOIN/COALESCE), and Unicode whitespace (NBSP) is
+    NOT a word boundary on either engine — Java and RE2 \\s+ are
+    ASCII-only, so the arrow engine must use re.ASCII too."""
+    from functime_spark.pipeline.bpe import bpe_tokenize
+    from functime_spark.pipeline.packing import pack_shards
+
+    d = spark.createDataFrame(
+        [(0, None), (1, "a\u00a0b"), (2, "a b")],
+        "doc_id long, text string",
+    )
+    merges = ["x y"]
+    a = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+         for r in bpe_tokenize(d, merges, engine="expr").collect()}
+    b = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+         for r in bpe_tokenize(d, merges, engine="arrow").collect()}
+    assert a == b
+    assert a[0] == (0, 0)
+    assert a[1] == (1, 3)  # NBSP keeps 'a\xa0b' one word of 3 chars
+    assert a[2] == (2, 2)
+    # NULL text must not poison pack_shards prefix sums
+    packed = {r.doc_id: r for r in pack_shards(d, 10, bpe_merges=merges).collect()}
+    assert packed[0].n_tokens == 0 and packed[1].start_offset == 0
+    assert packed[2].start_offset == 3
+
+
+def test_pii_scan_shortest_iban(spark):
+    """15-char IBANs (Norway) are valid and must be caught — the
+    pattern's tail is {11,30}, not {12,30}."""
+    from functime_spark.pipeline.text import pii_scan
+
+    d = spark.createDataFrame(
+        [(0, "wire to NO9386011117947 today")], "doc_id long, text string"
+    )
+    row = pii_scan(d, redact=True).collect()[0]
+    assert row.n_iban == 1 and "<IBAN>" in row.redacted
