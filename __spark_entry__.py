@@ -2147,6 +2147,73 @@ def q_dedup_spans(spark, sf_dir):
 # registry
 # ---------------------------------------------------------------------------
 
+def q_embedding_kmeans(spark, sf_dir):
+    """First-class k-means assignment: deterministic spread-init
+    Lloyd (8 clusters, 5 iterations — the exact build the IVF oracle
+    already replays) then nearest-centroid cluster + squared distance
+    per vector. 4-decimal rounding on dist2: a 64-term sum of squared
+    differences carries enough cross-engine float noise for 6."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.similarity import assign_clusters, fit_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_kmeans(emb, k=8, n_iter=5)
+    return _round_floats(assign_clusters(emb, model), nd=4).orderBy("vec_id")
+
+
+def q_corpus_quantiles(spark, sf_dir):
+    """Exact per-lang char-length quantiles (R-7 linear interpolation
+    — Spark `percentile` == DuckDB `quantile_cont`) in ONE hash
+    aggregate computing all four cut points."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.sampling import corpus_quantiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _round_floats(corpus_quantiles(docs)).orderBy("lang")
+
+
+def q_text_bpe_vocab(spark, sf_dir):
+    """Tokenizer artifact export: the 12-merge BPE vocabulary as a
+    (rank, token, pair) table; every rank replays as the SQL argmax
+    of that training round's pair counts."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.bpe import bpe_vocab, fit_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = fit_bpe(docs, n_merges=12, max_words=50_000)
+    return bpe_vocab(merges, spark).orderBy("rank")
+
+
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Duplicate-cluster size histogram over the minhash pair graph —
+    the dedup-health diagnostic (fat tail = threshold gluing unrelated
+    docs). Components via large-star/small-star; oracle recomputes the
+    transitive closure and aggregates the same histogram."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.dedup import (
+        component_size_histogram,
+        connected_components,
+        minhash_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, threshold=0.3, hash_fn="md5")
+    return component_size_histogram(connected_components(pairs)).orderBy(
+        "cluster_size"
+    )
+
+
+def q_corpus_temperature_mix(spark, sf_dir):
+    """Temperature-sampled domain mixture (w ∝ tokens^0.7) over langs:
+    the multilingual-pretraining rebalance, one token aggregate + one
+    scalar broadcast, every ratio replayed in SQL."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.sampling import temperature_mix_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _round_floats(temperature_mix_weights(docs, alpha=0.7)).orderBy("lang")
+
+
 _SKIP_FEATURES: set = set()  # features temporarily excluded from the gate
 
 
@@ -2223,6 +2290,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "corpus_clean_attrition": q_corpus_clean_attrition,
             "text_vocab_zipf": q_text_vocab_zipf,
             "text_bpe_tokens": q_text_bpe_tokens,
+            "text_bpe_vocab": q_text_bpe_vocab,
+            "embedding_kmeans": q_embedding_kmeans,
+            "corpus_quantiles": q_corpus_quantiles,
+            "corpus_temperature_mix": q_corpus_temperature_mix,
+            "dedup_cluster_sizes": q_dedup_cluster_sizes,
             "text_strip_html": q_text_strip_html,
             "text_mojibake": q_text_mojibake,
             "corpus_pack_shards": q_corpus_pack_shards,
@@ -2329,6 +2401,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean_attrition",
         "text_vocab_zipf",
         "text_bpe_tokens",
+        "text_bpe_vocab",
+        "embedding_kmeans",
+        "corpus_quantiles",
+        "corpus_temperature_mix",
+        "dedup_cluster_sizes",
         "text_strip_html",
         "text_mojibake",
         "media_resize",

@@ -1326,6 +1326,24 @@ def operator_oracles() -> dict:
         "FROM reach GROUP BY n ORDER BY node"
     )
 
+    # dedup_cluster_sizes: the cluster-size histogram over the same
+    # transitive closure — (cluster_size, n_clusters), fat-tail
+    # diagnostic for threshold health.
+    o["dedup_cluster_sizes"] = (
+        f"WITH RECURSIVE {mh_ctes}, "
+        "prs AS (SELECT id_a, id_b FROM est WHERE ej >= 0.3 AND id_a <> id_b), "
+        "sym AS (SELECT id_a AS n, id_b AS r FROM prs UNION SELECT id_b, id_a FROM prs), "
+        "reach AS (SELECT n, r FROM sym "
+        "UNION SELECT reach.n, sym.r FROM reach JOIN sym ON reach.r = sym.n "
+        "WHERE sym.r <> reach.n), "
+        "comp AS (SELECT n AS node, least(n, min(r)) AS component "
+        "FROM reach GROUP BY n), "
+        "sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size "
+        "FROM comp GROUP BY component) "
+        "SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters "
+        "FROM sz GROUP BY cluster_size ORDER BY cluster_size"
+    )
+
     # dedup_minhash_incr: even ids = historical store, odd ids = new
     # batch; bucket caps are applied PER SIDE (mirroring the Spark
     # _banded_sigs calls), candidates are new-vs-new (id_a < id_b)
@@ -2985,6 +3003,24 @@ ORDER BY 1, 2
         "ORDER BY id_a, id_b"
     )
 
+    # embedding_kmeans: the same replayed spread-init Lloyd build
+    # (c5 centroids), then per-vector nearest-centroid cluster id +
+    # squared distance. dist2 rounds at 4 decimals (64-term float sum).
+    o["embedding_kmeans"] = (
+        "WITH "
+        + ", ".join(_ivf)
+        + ", asn AS (SELECT vec_id, "
+        "CAST(list_position(dd, list_min(dd)) - 1 AS INT) AS cluster, "
+        "list_min(dd) AS d2 FROM "
+        "(SELECT e.vec_id, "
+        f"list_transform(c.C, cc -> "
+        f"{_ivf_d2('CAST(e.embedding AS DOUBLE[])', 'cc')}) AS dd "
+        "FROM embeddings e, c5 c) z) "
+        "SELECT vec_id, cluster, "
+        "ROUND(CAST(d2 AS DOUBLE) + 1e-9, 4) AS dist2 "
+        "FROM asn ORDER BY vec_id"
+    )
+
     # ann_pq_adc: the product-quantization build replayed — per-
     # subspace spread-init k-means (composite (m, cell) key in ONE CTE
     # chain), encode of every vector to its 8 sub-codes, and the ADC
@@ -3401,6 +3437,41 @@ ORDER BY 1, 2
         + " AS median_chars, "
         "CAST(SUM(tk) AS BIGINT) AS total_tokens "
         "FROM t GROUP BY ROLLUP (lang, source) ORDER BY lang, source"
+    )
+
+    # --- corpus_quantiles: exact per-lang char-length quantiles —
+    # Spark `percentile` and DuckDB `quantile_cont` both linearly
+    # interpolate (R-7), so values agree to float noise
+    o["corpus_quantiles"] = (
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        + _r("quantile_cont(CAST(n_chars AS DOUBLE), 0.25)")
+        + " AS q25, "
+        + _r("quantile_cont(CAST(n_chars AS DOUBLE), 0.5)")
+        + " AS q50, "
+        + _r("quantile_cont(CAST(n_chars AS DOUBLE), 0.75)")
+        + " AS q75, "
+        + _r("quantile_cont(CAST(n_chars AS DOUBLE), 0.95)")
+        + " AS q95 "
+        "FROM documents GROUP BY lang ORDER BY lang"
+    )
+
+    # --- corpus_temperature_mix: w_d = tokens_d^0.7 / sum(tokens^0.7),
+    # upsample = weight / current share — every ratio replayed
+    _tmx = "pow(CAST(n_tokens AS DOUBLE), 0.7)"
+    o["corpus_temperature_mix"] = (
+        "WITH cur AS (SELECT lang, CAST(SUM(len(list_filter("
+        r"string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) "
+        "AS n_tokens FROM documents GROUP BY lang), "
+        "tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t, "
+        f"SUM({_tmx}) AS wt FROM cur) "
+        "SELECT lang, n_tokens, "
+        + _r("n_tokens / t")
+        + " AS current_frac, "
+        + _r(f"{_tmx} / wt")
+        + " AS weight, "
+        + _r(f"({_tmx} / wt) / (n_tokens / t)")
+        + " AS upsample_factor "
+        "FROM cur, tot ORDER BY lang"
     )
 
     # --- stratified_sample: same md5-bucket arithmetic as the Spark
@@ -3957,6 +4028,21 @@ ORDER BY 1, 2
         "FROM documents d LEFT JOIN (SELECT doc_id, COUNT(*) AS nw, "
         f"SUM(len(string_split(enc, ' '))) AS ns FROM t{_BPE_K} "
         "GROUP BY doc_id) s USING (doc_id) ORDER BY d.doc_id"
+    )
+
+    # text_bpe_vocab: the learned merge list itself as a (rank, token,
+    # pair) table — each rank is the pair the training argmax picked
+    # that round (chr(0) sentinel rows = exhausted iterations, dropped)
+    _vocab_rows = " UNION ALL ".join(
+        f"SELECT CAST({_k + 1} AS INT) AS rank, "
+        f"replace((SELECT pr FROM p{_k}), ' ', '') AS token, "
+        f"(SELECT pr FROM p{_k}) AS pair"
+        for _k in range(_BPE_K)
+    )
+    o["text_bpe_vocab"] = (
+        "WITH " + ", ".join(_bpe_ctes) + " "
+        f"SELECT rank, token, pair FROM ({_vocab_rows}) "
+        "WHERE pair <> chr(0) ORDER BY rank"
     )
 
     # --- text_vocab_zipf: top-k vocabulary + log-log OLS Zipf slope,

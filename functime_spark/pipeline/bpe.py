@@ -172,3 +172,13 @@ def bpe_tokenize(
             )
 
     return docs.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def bpe_vocab(merges: list, spark) -> DataFrame:
+    """Tokenizer artifact export: the learned merge vocabulary as a
+    (rank, token, pair) table — rank is 1-based application order,
+    token the concatenated pair. Joinable against token-frequency
+    tables and replayable by the SQL oracle (each rank is exactly the
+    pair the training argmax picked that round)."""
+    rows = [(i + 1, m.replace(" ", ""), m) for i, m in enumerate(merges)]
+    return spark.createDataFrame(rows, "rank int, token string, pair string")

@@ -541,6 +541,22 @@ def connected_components(
     )
 
 
+def component_size_histogram(comps: DataFrame) -> DataFrame:
+    """(cluster_size, n_clusters): duplicate-cluster size distribution
+    from a `connected_components` node→component map — the standard
+    dedup-health diagnostic (a fat tail means the shingle/threshold
+    choice is gluing unrelated docs; CCNet and Gopher both report it).
+
+    Two hash aggregates over the (tiny relative to the corpus)
+    component map; nothing about the corpus itself is touched."""
+    sizes = comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+
+
 def dedup_keep_canonical(
     docs: DataFrame,
     pairs: DataFrame,

@@ -185,3 +185,75 @@ def vocab_stats(
     return ranked.crossJoin(F.broadcast(fit)).select(
         "token", "count", "rank", "zipf_slope"
     )
+
+
+def temperature_mix_weights(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based domain mixture: sampling weight w_d
+    proportional to tokens_d^alpha, normalized (the multilingual-
+    pretraining standard — alpha < 1 upweights low-resource domains,
+    alpha = 1 is proportional, alpha = 0 is uniform). Complements
+    `domain_mix_weights` (explicit quota targets) with the implicit
+    smoothed mixture used when no target is known.
+
+    Output per domain: token count, current corpus share, the
+    temperature weight, and the resulting upsample factor
+    (weight / current share — a dataloader repeats each domain by
+    that factor). One token aggregate + one scalar total broadcast —
+    nothing about the corpus re-shuffles."""
+    t = F.col(text_col)
+    tok = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != F.lit("")))
+    cur = (
+        docs.select(F.col(strata_col), tok.cast("long").alias("__t"))
+        .groupBy(strata_col)
+        .agg(F.sum("__t").cast("long").alias("n_tokens"))
+    )
+    pw = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    weighted = cur.select(strata_col, "n_tokens", pw.alias("__w"))
+    tot = weighted.agg(
+        F.sum("n_tokens").alias("__tot"), F.sum("__w").alias("__wtot")
+    )
+    return weighted.crossJoin(F.broadcast(tot)).select(
+        strata_col,
+        "n_tokens",
+        (F.col("n_tokens") / F.col("__tot")).alias("current_frac"),
+        (F.col("__w") / F.col("__wtot")).alias("weight"),
+        (
+            (F.col("__w") / F.col("__wtot"))
+            / (F.col("n_tokens") / F.col("__tot"))
+        ).alias("upsample_factor"),
+    )
+
+
+def corpus_quantiles(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    strata_col: str = "lang",
+    qs: tuple = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Exact per-domain length quantiles (linear interpolation — the
+    R-7 definition both Spark's `percentile` and DuckDB's
+    `quantile_cont` implement): the distribution diagnostic behind
+    length-based quality cuts.
+
+    ONE hash aggregate: `percentile(col, array(...))` computes every
+    requested quantile in a single pass with map-side partial
+    aggregation (per-group sorted merge happens reduce-side on the
+    grouped values, never a global sort). For 100 TB dashboards where
+    exactness isn't needed, swap in `percentile_approx` — same shape,
+    bounded-memory sketch."""
+    pct = F.percentile(
+        F.col(value_col).cast("double"), F.array(*[F.lit(float(q)) for q in qs])
+    )
+    out = docs.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"), pct.alias("__qs")
+    )
+    cols = [
+        F.element_at("__qs", i + 1).alias(f"q{int(round(q * 100))}")
+        for i, q in enumerate(qs)
+    ]
+    return out.select(strata_col, "n_docs", *cols)

@@ -606,6 +606,66 @@ def tfidf_topk_similar(
     )
 
 
+def fit_kmeans(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample: int = 10_000,
+):
+    """First-class k-means over an embedding column — the SemDeDup /
+    IVF building block exposed as its own operator (ref uses Lance's
+    IVF trainer, forecasting/lance.py:40-95). Deterministic spread
+    init + Lloyd iterations on a bounded id-ordered sample
+    (driver-side, O(sample*k*dim) — independent of corpus size);
+    assignment stays distributed. Returns the fitted IVFIndex whose
+    ``.centroids`` is the (k, dim) matrix."""
+    return IVFIndex(n_cells=k, n_iter=n_iter, init="spread").fit(
+        emb, vec_col=vec_col, sample=sample, id_col=id_col
+    )
+
+
+def assign_clusters(
+    emb: DataFrame,
+    model: "IVFIndex",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cluster, dist2): nearest-centroid assignment plus squared
+    distance to the assigned centroid (inertia/elbow diagnostics).
+
+    Same broadcast single-row-centroid-frame shape as IVFIndex.assign
+    — plan size O(1) in k, zero shuffle on the big side. The distance
+    array materializes once in a helper column (HOF subtrees get no
+    CSE; referencing the transform three times would re-evaluate it
+    three times per row)."""
+    spark = emb.sparkSession
+    cens = spark.createDataFrame(
+        [([[float(x) for x in cen] for cen in model.centroids],)],
+        "__cens array<array<double>>",
+    )
+    v = F.col(vec_col).cast("array<double>")
+    dists = F.transform(
+        F.col("__cens"),
+        lambda cen: F.aggregate(
+            F.zip_with(v, cen, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    staged = emb.crossJoin(F.broadcast(cens)).select(
+        F.col(id_col), dists.alias("__dd")
+    )
+    return staged.select(
+        id_col,
+        (F.array_position("__dd", F.array_min("__dd")) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.array_min("__dd").alias("dist2"),
+    )
+
+
 def embedding_group_stats(
     emb,
     by: str = "label",

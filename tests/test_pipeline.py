@@ -2074,3 +2074,94 @@ def test_pii_scan_shortest_iban(spark):
     )
     row = pii_scan(d, redact=True).collect()[0]
     assert row.n_iban == 1 and "<IBAN>" in row.redacted
+
+
+def test_fit_kmeans_assign_matches_numpy(spark):
+    """assign_clusters must reproduce numpy nearest-centroid argmin
+    (first minimum on ties) and the exact squared distance."""
+    import numpy as np
+
+    from functime_spark.pipeline.similarity import assign_clusters, fit_kmeans
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(40, 8)).astype("float32")
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    model = fit_kmeans(d, k=4, n_iter=3)
+    C = np.asarray(model.centroids)
+    got = {r.vec_id: (r.cluster, r.dist2) for r in assign_clusters(d, model).collect()}
+    Xd = X.astype("float64")
+    for i in range(len(X)):
+        dd = ((Xd[i][None, :] - C) ** 2).sum(axis=1)
+        assert got[i][0] == int(dd.argmin())
+        assert abs(got[i][1] - dd.min()) < 1e-9
+
+
+def test_temperature_mix_weights_properties(spark):
+    """weights sum to 1; alpha=1 reproduces the current mixture;
+    alpha=0 is uniform; alpha<1 upweights the low-resource domain."""
+    from functime_spark.pipeline.sampling import temperature_mix_weights
+
+    d = spark.createDataFrame(
+        [(0, "en", "a " * 90), (1, "en", "b " * 9), (2, "fr", "c " * 1)],
+        "doc_id long, lang string, text string",
+    )
+    for alpha in (0.0, 0.5, 1.0):
+        rows = temperature_mix_weights(d, alpha=alpha).collect()
+        assert abs(sum(r.weight for r in rows) - 1.0) < 1e-12
+        w = {r.lang: r for r in rows}
+        if alpha == 1.0:
+            assert abs(w["en"].weight - w["en"].current_frac) < 1e-12
+            assert abs(w["en"].upsample_factor - 1.0) < 1e-12
+        if alpha == 0.0:
+            assert abs(w["fr"].weight - 0.5) < 1e-12
+        if alpha == 0.5:
+            assert w["fr"].weight > w["fr"].current_frac  # upweighted
+            assert w["en"].weight < w["en"].current_frac
+
+
+def test_corpus_quantiles_matches_numpy(spark):
+    """Exact quantiles == numpy linear-interpolation percentiles."""
+    import numpy as np
+
+    from functime_spark.pipeline.sampling import corpus_quantiles
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]
+    d = spark.createDataFrame(
+        [(i, "en", v) for i, v in enumerate(vals)],
+        "doc_id long, lang string, n_chars long",
+    )
+    row = corpus_quantiles(d).collect()[0]
+    assert row.n_docs == len(vals)
+    for name, q in (("q25", 25), ("q50", 50), ("q75", 75), ("q95", 95)):
+        assert abs(getattr(row, name) - float(np.percentile(vals, q))) < 1e-9
+
+
+def test_component_size_histogram(spark):
+    """Two components of size 3 and 2 -> histogram {3: 1, 2: 1}."""
+    from functime_spark.pipeline.dedup import (
+        component_size_histogram,
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comps = connected_components(pairs)
+    got = {
+        r.cluster_size: r.n_clusters
+        for r in component_size_histogram(comps).collect()
+    }
+    assert got == {3: 1, 2: 1}
+
+
+def test_bpe_vocab_table(spark):
+    from functime_spark.pipeline.bpe import bpe_vocab
+
+    merges = ["l o", "lo w", "e r"]
+    rows = bpe_vocab(merges, spark).orderBy("rank").collect()
+    assert [(r.rank, r.token, r.pair) for r in rows] == [
+        (1, "lo", "l o"),
+        (2, "low", "lo w"),
+        (3, "er", "e r"),
+    ]
