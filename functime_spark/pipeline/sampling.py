@@ -93,6 +93,10 @@ def domain_mix_weights(
     cur = docs.select(F.col(strata_col), tok.cast("long").alias("__t")).groupBy(
         strata_col
     ).agg(F.sum("__t").alias("n_tokens"))
+    # cur feeds the grand total, the limiting-domain min AND the output
+    # projection — materialize the (n_domains)-row frame once or the
+    # corpus token aggregate re-executes per branch (3 scans measured)
+    cur = cur.localCheckpoint()
     spark = docs.sparkSession
     tgt = spark.createDataFrame(
         [(k, float(v)) for k, v in target_fracs.items()],
@@ -212,6 +216,10 @@ def temperature_mix_weights(
         .groupBy(strata_col)
         .agg(F.sum("__t").cast("long").alias("n_tokens"))
     )
+    # the per-domain aggregate feeds BOTH the totals aggregate and the
+    # output projection — materialize the (n_domains)-row frame once or
+    # the corpus token count re-executes per branch
+    cur = cur.localCheckpoint()
     pw = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
     weighted = cur.select(strata_col, "n_tokens", pw.alias("__w"))
     tot = weighted.agg(

@@ -484,3 +484,46 @@ def test_tpch_star_join_broadcasts_dim(spark):
     plan = explain_str(df)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert count_exchanges(df) <= 6
+
+
+def test_kmeans_assignment_zero_shuffle(spark):
+    """assign_clusters is a broadcast projection: zero exchanges on
+    the embedding side, no Python nodes."""
+    from functime_spark.pipeline.similarity import assign_clusters, fit_kmeans
+    from functime_spark.plans import count_exchanges, python_eval_nodes
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    model = fit_kmeans(emb, k=4, n_iter=2)
+    out = assign_clusters(emb, model)
+    assert count_exchanges(out) == 0
+    assert python_eval_nodes(out) == []
+
+
+def test_mix_weight_frames_materialize_once(spark):
+    """temperature_mix_weights and domain_mix_weights both feed their
+    per-domain token aggregate into multiple plan branches — the
+    lineage cut pins the corpus scan to ONE execution (domain_mix was
+    3 scans before)."""
+    from functime_spark.pipeline.sampling import (
+        domain_mix_weights,
+        temperature_mix_weights,
+    )
+    from functime_spark.plans import count_exchanges, count_file_scans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    t = temperature_mix_weights(docs)
+    assert count_file_scans(t) == 0 and count_exchanges(t) <= 1
+    d = domain_mix_weights(docs, {"src0": 0.5, "src1": 0.5}, strata_col="source")
+    assert count_file_scans(d) == 0 and count_exchanges(d) <= 2
+
+
+def test_corpus_quantiles_one_aggregate(spark):
+    """All four quantiles in one hash-aggregate pass: <=2 exchanges
+    (partial+final agg), one scan."""
+    from functime_spark.pipeline.sampling import corpus_quantiles
+    from functime_spark.plans import count_exchanges, count_file_scans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = corpus_quantiles(docs)
+    assert count_file_scans(out) == 1
+    assert count_exchanges(out) <= 2
