@@ -64,23 +64,33 @@ def fit_ngram_lm(
     "vocab": long}. The two scalars are driver-held (one tiny action
     over the unigram aggregate)."""
     base = train.select(_tok_arr(F.col(text_col)).alias("__ws"))
-    toks = base.select(F.explode("__ws").alias("w"))
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # ONE corpus tokenization pass: aggregate the (prev, cur) pair
+    # stream — UNFILTERED, so every token appears exactly once as w2
+    # (the first token pairs with w1=null) — and derive the unigram
+    # table from the bigram table: c(w) = sum over w1 of c(w1, w2=w).
+    # The derivation runs on the vocab^2-bounded count table, never
+    # re-reading the corpus (the previous two-aggregate form tokenized
+    # the training set twice).
     pairs = base.select(
-        F.explode(
-            F.filter(_pair_arr_from(F.col("__ws")), lambda s: s["w1"].isNotNull())
-        ).alias("p")
+        F.explode(_pair_arr_from(F.col("__ws"))).alias("p")
     ).select("p.w1", "p.w2")
-    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    bi_full = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    # materialize the count table: it feeds the unigram derivation and
+    # the scoring joins across multiple plan branches (w1-join,
+    # w2-join, bigram join, held-out reuse, quality_tiers' percentile
+    # + projection lineages). Without a cut every branch re-aggregates
+    # the training corpus — 5+ source scans measured. Vocab-bounded:
+    # pay once.
+    bi_full = bi_full.localCheckpoint()
+    uni = (
+        bi_full.groupBy(F.col("w2").alias("w"))
+        .agg(F.sum("c").cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    bi = bi_full.filter(F.col("w1").isNotNull())
     if min_count > 1:
         bi = bi.filter(F.col("c") >= min_count)
-    # materialize the count tables: scoring joins each of them into
-    # multiple plan branches (w1-join, w2-join, bigram join, held-out
-    # reuse, quality_tiers' percentile + projection lineages). Without
-    # a cut every branch re-aggregates the training corpus — 5+ source
-    # scans measured. They are vocab-sized aggregates: pay once.
-    uni = uni.localCheckpoint()
-    bi = bi.localCheckpoint()
+    bi = bi.select("w1", "w2", "c")
     totals = uni.agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
     ).collect()[0]
