@@ -2214,6 +2214,30 @@ def q_corpus_temperature_mix(spark, sf_dir):
     return _round_floats(temperature_mix_weights(docs, alpha=0.7)).orderBy("lang")
 
 
+def q_text_hashed_features(spark, sf_dir):
+    """Feature-hashing document vectors (dim 16, md5 variant) exploded
+    to (doc_id, dim, value) rows — signed ±1 sums replay exactly."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.similarity import hashed_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    hv = hashed_features(docs, dim=16, hash_fn="md5")
+    out = hv.select(
+        "doc_id", F.posexplode("hashed_vec").alias("dim", "value")
+    )
+    return _round_floats(out).orderBy("doc_id", "dim")
+
+
+def q_text_lang_confusion(spark, sf_dir):
+    """Declared-vs-detected language agreement matrix over the
+    lexicon scorer: (lang, pred_lang, n_docs, frac_of_lang)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.text import lang_confusion
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _round_floats(lang_confusion(docs)).orderBy("lang", "pred_lang")
+
+
 _SKIP_FEATURES: set = set()  # features temporarily excluded from the gate
 
 
@@ -2295,6 +2319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "corpus_quantiles": q_corpus_quantiles,
             "corpus_temperature_mix": q_corpus_temperature_mix,
             "dedup_cluster_sizes": q_dedup_cluster_sizes,
+            "text_hashed_features": q_text_hashed_features,
+            "text_lang_confusion": q_text_lang_confusion,
             "text_strip_html": q_text_strip_html,
             "text_mojibake": q_text_mojibake,
             "corpus_pack_shards": q_corpus_pack_shards,
@@ -2406,6 +2432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quantiles",
         "corpus_temperature_mix",
         "dedup_cluster_sizes",
+        "text_hashed_features",
+        "text_lang_confusion",
         "text_strip_html",
         "text_mojibake",
         "media_resize",

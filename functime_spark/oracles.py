@@ -1429,6 +1429,41 @@ def operator_oracles() -> dict:
         + f", l{last} AS pred_lang FROM p{last} ORDER BY doc_id"
     )
 
+    # text_lang_confusion: declared-vs-detected agreement matrix — the
+    # same score fold with the declared lang carried through (p-chain
+    # SELECT *s keep it), then a double-key aggregate + row share
+    fold_c = [f"s AS (SELECT doc_id, lang, {score_sel} FROM w)"] + fold[1:]
+    o["text_lang_confusion"] = (
+        "WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        + ", ".join(fold_c)
+        + f" SELECT lang, l{last} AS pred_lang, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        + _r("COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY lang)")
+        + f" AS frac_of_lang FROM p{last} "
+        f"GROUP BY lang, l{last} ORDER BY lang, pred_lang"
+    )
+
+    # text_hashed_features: the hashing-trick vectors replayed — md5
+    # bucket/sign per token, grouped signed sums, dense dims via a
+    # range cross join (missing buckets are exact 0.0; ±1 sums carry
+    # no float noise)
+    o["text_hashed_features"] = (
+        "WITH tk AS (SELECT doc_id, unnest(list_filter("
+        r"string_split_regex(text, '\s+'), x -> x <> '')) AS t "
+        "FROM documents), "
+        "h AS (SELECT doc_id, "
+        "('0x' || substr(md5('1:' || t), 1, 15))::BIGINT % 16 AS bkt, "
+        "CASE WHEN ('0x' || substr(md5('2:' || t), 1, 15))::BIGINT % 2 = 0 "
+        "THEN 1.0 ELSE -1.0 END AS sg FROM tk), "
+        "g AS (SELECT doc_id, bkt, SUM(sg) AS v FROM h GROUP BY doc_id, bkt) "
+        "SELECT d.doc_id, CAST(r.i AS INT) AS dim, "
+        + _r("COALESCE(g.v, 0.0)")
+        + " AS value FROM documents d CROSS JOIN range(0, 16) r(i) "
+        "LEFT JOIN g ON g.doc_id = d.doc_id AND g.bkt = r.i "
+        "ORDER BY d.doc_id, dim"
+    )
+
     en_words = ", ".join(f"'{w}'" for w in LANG_LEXICONS["en"])
     o["text_quality"] = (
         "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents) "

@@ -606,6 +606,80 @@ def tfidf_topk_similar(
     )
 
 
+def hashed_features(
+    docs: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    normalize: bool = False,
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) document vectors: each token
+    adds sign(t) to dimension bucket(t) — signed hashing keeps the
+    estimator unbiased (Weinberger et al. 2009). Produces a dense
+    ``array<double>`` embedding from raw text with no external model,
+    so the whole embedding tier (cosine_topk, fit_kmeans, fit_pca,
+    embedding_near_dups) composes onto text-only corpora.
+
+    Row-local and ZERO-shuffle: a per-token (bucket, sign) projection
+    (one hash pair per token, staged as an attribute — HOF lambdas get
+    no CSE) then a fold into the dim-length accumulator. ``md5`` hash
+    variant is byte-exactly replayable in SQL like the dedup family."""
+    from functime_spark.pipeline.dedup import _hash64
+
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != "",
+    )
+    base = docs.select(F.col(id_col), toks.alias("__tk"))
+    pair = F.transform(
+        F.col("__tk"),
+        lambda t: F.struct(
+            F.pmod(_hash64(t, seed=1, hash_fn=hash_fn), F.lit(dim))
+            .cast("int")
+            .alias("b"),
+            F.when(
+                F.pmod(_hash64(t, seed=2, hash_fn=hash_fn), F.lit(2)) == 0,
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("s"),
+        ),
+    )
+    staged = base.select(F.col(id_col), pair.alias("__bs"))
+    vec = F.aggregate(
+        F.col("__bs"),
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, p: F.transform(
+            acc, lambda a, i: a + F.when(p["b"] == i, p["s"]).otherwise(F.lit(0.0))
+        ),
+    )
+    out = staged.select(F.col(id_col), vec.alias("hashed_vec"))
+    if normalize:
+        nrm = F.sqrt(
+            F.aggregate(
+                F.transform("__v", lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+        # stage the norm as an attribute: inlining the aggregate into
+        # the per-element division lambda re-evaluates it per element
+        withn = out.select(
+            F.col(id_col), F.col("hashed_vec").alias("__v")
+        ).select(F.col(id_col), F.col("__v"), nrm.alias("__n"))
+        out = withn.select(
+            F.col(id_col),
+            F.when(
+                F.col("__n") > 0,
+                F.transform("__v", lambda x: x / F.col("__n")),
+            )
+            .otherwise(F.col("__v"))
+            .alias("hashed_vec"),
+        )
+    return out
+
+
 def fit_kmeans(
     emb: DataFrame,
     k: int = 8,

@@ -28,19 +28,23 @@ def tokens(text_col) -> F.Column:
 
 
 def language_id(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Stopword-hit language scoring: per language, the fraction of
     tokens found in its lexicon; predicted = argmax (ties break by
-    language code order)."""
+    language code order). ``keep_cols`` carries extra columns through
+    (e.g. a declared-language column for confusion reporting)."""
     toks = tokens(F.col(text_col))
-    out = docs.select(F.col(id_col), toks.alias("__toks"))
+    out = docs.select(F.col(id_col), *keep_cols, toks.alias("__toks"))
     scores = {}
     for lang, lex in LANG_LEXICONS.items():
         lex_arr = F.array(*[F.lit(w) for w in lex])
         hits = F.size(F.filter("__toks", lambda t: F.array_contains(lex_arr, t)))
         scores[lang] = (hits / F.size("__toks")).alias(f"score_{lang}")
-    out = out.select(id_col, *scores.values())
+    out = out.select(id_col, *keep_cols, *scores.values())
     best = None
     best_lang = F.lit("und")
     for lang in sorted(LANG_LEXICONS):
@@ -51,6 +55,32 @@ def language_id(
             best_lang = F.when(s > best, F.lit(lang)).otherwise(best_lang)
             best = F.greatest(s, best)
     return out.withColumn("pred_lang", best_lang)
+
+
+def lang_confusion(
+    docs: DataFrame,
+    declared_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Declared-vs-detected language agreement matrix: (declared,
+    predicted, n_docs, frac_of_lang) — the standard crawl-metadata
+    health check (mislabeled-language shards poison per-lang mixture
+    weights and lexicon-trained filters).
+
+    One language_id projection + one hash aggregate; the row-share
+    window runs on the (n_langs x n_langs)-bounded count frame, never
+    the corpus."""
+    from pyspark.sql import Window
+
+    pred = language_id(docs, text_col, id_col, keep_cols=(declared_col,))
+    cnt = pred.groupBy(declared_col, "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy(declared_col)
+    return cnt.withColumn(
+        "frac_of_lang", F.col("n_docs") / F.sum("n_docs").over(w)
+    )
 
 
 def quality_scores(

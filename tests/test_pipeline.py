@@ -2165,3 +2165,82 @@ def test_bpe_vocab_table(spark):
         (2, "low", "lo w"),
         (3, "er", "e r"),
     ]
+
+
+def test_hashed_features_composes_with_embedding_tier(spark):
+    """Hashing-trick vectors feed the embedding operators directly:
+    near-identical docs land nearest each other under cosine, and
+    fit_kmeans accepts the hashed column. Norms: each token
+    contributes exactly ±1 to one bucket, so sum(vec^2) <= n_tokens
+    with equality iff no bucket collisions cancel."""
+    from functime_spark.pipeline.similarity import (
+        assign_clusters,
+        fit_kmeans,
+        hashed_features,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "completely different subject matter entirely here",
+        "completely different subject matter entirely now",
+    ]
+    d = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    hv = hashed_features(d, dim=32, normalize=True)
+    rows = {r.doc_id: r.hashed_vec for r in hv.collect()}
+    import numpy as np
+
+    v = {k: np.asarray(x) for k, x in rows.items()}
+    for k in v:
+        assert abs(np.linalg.norm(v[k]) - 1.0) < 1e-12
+    # doc 0 is closer to 1 (8/9 shared tokens) than to 2
+    assert v[0] @ v[1] > v[0] @ v[2]
+    assert v[2] @ v[3] > v[2] @ v[1]
+    # k-means over the hashed column runs end-to-end
+    model = fit_kmeans(hv, k=2, n_iter=2, vec_col="hashed_vec", id_col="doc_id")
+    out = {r.vec_id if hasattr(r, "vec_id") else r.doc_id: r.cluster
+           for r in assign_clusters(hv, model, vec_col="hashed_vec", id_col="doc_id").collect()}
+    assert out[0] == out[1] and out[2] == out[3] and out[0] != out[2]
+
+
+def test_hashed_features_null_text_and_engines(spark):
+    """NULL text -> all-zero vector (and stays zero under normalize);
+    md5 and xxhash64 variants both produce integer-valued sums."""
+    from functime_spark.pipeline.similarity import hashed_features
+
+    d = spark.createDataFrame(
+        [(0, None), (1, "a b c")], "doc_id long, text string"
+    )
+    for fn in ("xxhash64", "md5"):
+        got = {r.doc_id: r.hashed_vec
+               for r in hashed_features(d, dim=8, hash_fn=fn, normalize=True).collect()}
+        assert got[0] == [0.0] * 8
+        assert abs(sum(x * x for x in got[1]) - 1.0) < 1e-12
+
+
+def test_lang_confusion_matrix(spark):
+    """Declared labels vs lexicon predictions: fractions sum to 1 per
+    declared language and obvious text is classified correctly."""
+    from functime_spark.pipeline.text import lang_confusion
+
+    d = spark.createDataFrame(
+        [
+            (0, "en", "the and of to in that it was his with"),
+            (1, "en", "the and for was not are this but had at"),
+            (2, "en", "der und die das nicht von sie ist des sich"),
+            (3, "de", "der und die das nicht von sie ist des sich"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    rows = lang_confusion(d).collect()
+    m = {(r.lang, r.pred_lang): r for r in rows}
+    assert m[("en", "en")].n_docs == 2
+    assert m[("en", "de")].n_docs == 1  # the mislabeled German doc
+    assert m[("de", "de")].n_docs == 1
+    import collections
+
+    per_lang = collections.defaultdict(float)
+    for r in rows:
+        per_lang[r.lang] += r.frac_of_lang
+    for lang, s in per_lang.items():
+        assert abs(s - 1.0) < 1e-12, lang

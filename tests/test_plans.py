@@ -527,3 +527,20 @@ def test_corpus_quantiles_one_aggregate(spark):
     out = corpus_quantiles(docs)
     assert count_file_scans(out) == 1
     assert count_exchanges(out) <= 2
+
+
+def test_hashed_features_zero_shuffle(spark):
+    """The hashing-trick projection is row-local: zero exchanges, no
+    Python nodes, one scan."""
+    from functime_spark.pipeline.similarity import hashed_features
+    from functime_spark.plans import (
+        count_exchanges,
+        count_file_scans,
+        python_eval_nodes,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = hashed_features(docs, dim=32, normalize=True)
+    assert count_exchanges(out) == 0
+    assert count_file_scans(out) == 1
+    assert python_eval_nodes(out) == []
