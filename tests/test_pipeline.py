@@ -1765,6 +1765,23 @@ def test_pipeline_ops_survive_empty_corpus(spark):
     assert S.corpus_stats(empty.withColumn("lang", F.lit("en"))
                           .withColumn("source", F.lit("s"))).count() == 0
     assert decontaminate(empty, probe).count() == 0
+    empty_lang = empty.withColumn("lang", F.lit("en"))
+    assert S.corpus_quantiles(
+        empty_lang.withColumn("n_chars", F.length("text"))
+    ).count() == 0
+    assert S.temperature_mix_weights(empty_lang).count() == 0
+    assert T.lang_confusion(empty_lang).count() == 0
+    assert D.component_size_histogram(
+        D.connected_components(
+            spark.createDataFrame([], "id_a long, id_b long")
+        )
+    ).count() == 0
+    from functime_spark.pipeline.bpe import bpe_vocab, fit_bpe
+    from functime_spark.pipeline.similarity import hashed_features
+
+    assert fit_bpe(empty, n_merges=4) == []
+    assert bpe_vocab([], spark).count() == 0
+    assert hashed_features(empty, dim=8).count() == 0
 
 
 def test_ann_model_save_load_roundtrip(spark, tmp_path):

@@ -447,3 +447,51 @@ def test_stream_minhash_batch_drops_oversize_buckets(spark):
     )
     assert minhash_dedup(docs, threshold=0.5).count() == 0
     assert stream_minhash_dedup(docs, threshold=0.5).count() == 0
+
+
+def test_hashed_features_and_bpe_run_on_stream(spark, tmp_path):
+    """hashed_features and bpe_tokenize(engine='expr') are pure
+    row-local projections — they must run UNCHANGED on a streaming
+    source and emit the same rows as batch."""
+    from functime_spark.pipeline.bpe import bpe_tokenize, fit_bpe
+    from functime_spark.pipeline.similarity import hashed_features
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    merges = fit_bpe(docs, n_merges=6)
+    batch_hv = {
+        (r.doc_id, tuple(r.hashed_vec))
+        for r in hashed_features(docs, dim=16).collect()
+    }
+    batch_bpe = {
+        (r.doc_id, r.n_words, r.n_bpe_tokens)
+        for r in bpe_tokenize(docs, merges, engine="expr").collect()
+    }
+
+    path = str(tmp_path / "hv_docs")
+    docs.coalesce(1).write.parquet(path)
+    src = spark.readStream.schema(docs.schema).parquet(path)
+    for name, out in (
+        ("hv_stream", hashed_features(src, dim=16)),
+        ("bpe_stream", bpe_tokenize(src, merges, engine="expr")),
+    ):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    stream_hv = {
+        (r.doc_id, tuple(r.hashed_vec))
+        for r in spark.table("hv_stream").collect()
+    }
+    stream_bpe = {
+        (r.doc_id, r.n_words, r.n_bpe_tokens)
+        for r in spark.table("bpe_stream").collect()
+    }
+    assert stream_hv == batch_hv and len(batch_hv) > 0
+    assert stream_bpe == batch_bpe
