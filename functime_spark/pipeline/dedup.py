@@ -21,6 +21,12 @@ from pyspark.sql import functions as F
 
 from functime_spark.pipeline._util import spread_for_cpu as _spread_for_cpu
 
+# Lane-derivation scheme of minhash_signatures. Persist next to any
+# signature store (minhash_dedup_incremental) and refit on mismatch:
+# scheme 1 = hash_i(s) over the gram string per lane;
+# scheme 2 = per-lane rehash of one base gram hash (current).
+SIGNATURE_SCHEME = 2
+
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the smallest id per distinct text; report copy counts.
@@ -85,16 +91,23 @@ def minhash_signatures(
     shingle_n: int = 3,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(id, sig array<bigint>): k permutation-free min-hashes, where
-    hash_i(s) = hash64(i, s).
+    """(id, sig array<bigint>): k permutation-free min-hashes —
+    hash_i(s) = xxhash64(i, xxhash64(s)) on the production path,
+    md5-derived hash_i(s) = h(i || ':' || s) on the oracle path.
 
-    ZERO-shuffle: each row's signature is `array_min` over its OWN
-    shingle array per seed — a pure codegen projection. (The previous
-    formulation exploded the corpus' entire shingle stream into a
-    grouped min, paying a full shuffle of ~n_words x n_docs rows; the
-    min over the same shingle set is identical, so oracles and band
-    LSH downstream are unchanged.) Stateless per row, hence also
-    directly usable on a stream."""
+    The signature itself is shuffle-free: each row's lanes are
+    `array_min` over its OWN shingle array — a pure codegen
+    projection. (The previous formulation exploded the corpus' entire
+    shingle stream into a grouped min, paying a full shuffle of
+    ~n_words x n_docs rows.) On a NARROW batch input (one row group)
+    an adaptive round-robin rebalance may precede the projection so
+    the sweep parallelizes — a no-op at real scale and on streams;
+    pass an already-partitioned frame to pin a zero-exchange plan.
+    Stateless per row, hence directly usable on a stream.
+
+    Changing either hash derivation invalidates persisted signature
+    stores — bump SIGNATURE_SCHEME and see minhash_dedup_incremental's
+    store contract."""
     docs = _spread_for_cpu(docs)
     sh = shingles(F.col(text_col), shingle_n)
 
@@ -879,7 +892,13 @@ def minhash_dedup_incremental(
     Scale: the store side carries n_hashes longs per historical doc —
     at 100 TB of text the signature store is ~0.03% of corpus size and
     the per-batch cost is O(new x matching buckets), not O(corpus).
-    Buckets are capped per side before the band join."""
+    Buckets are capped per side before the band join.
+
+    Store compatibility: signatures are only comparable when produced
+    by the same lane-derivation scheme. Persist ``SIGNATURE_SCHEME``
+    next to the store and refit (re-sign the corpus) if it differs on
+    load — mixing schemes silently zeroes est_jaccard for every
+    store-vs-new pair and re-admits known duplicates."""
     new_sigs = minhash_signatures(
         new_docs, text_col, id_col, n_hashes, shingle_n, hash_fn
     )

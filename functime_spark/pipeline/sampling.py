@@ -72,6 +72,25 @@ def stratified_sample(
     return docs.filter(cond)
 
 
+def _domain_token_counts(
+    docs: DataFrame, strata_col: str, text_col: str
+) -> DataFrame:
+    """(strata, n_tokens) whitespace-token sums per domain — the ONE
+    definition both mixture operators share (drift here would make
+    them disagree on the same corpus). Materialized: the tiny frame
+    feeds multiple plan branches in every caller, and without the cut
+    the corpus token aggregate re-executes per branch (3 scans
+    measured on domain_mix_weights)."""
+    t = F.col(text_col)
+    tok = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != F.lit("")))
+    cur = (
+        docs.select(F.col(strata_col), tok.cast("long").alias("__t"))
+        .groupBy(strata_col)
+        .agg(F.sum("__t").cast("long").alias("n_tokens"))
+    )
+    return cur.localCheckpoint()
+
+
 def domain_mix_weights(
     docs: DataFrame,
     target_fracs: dict,
@@ -88,15 +107,7 @@ def domain_mix_weights(
     not in ``target_fracs`` get 0. Two tiny aggregates (per-domain
     token sums, global min) + a broadcast scalar — nothing about the
     corpus ever re-shuffles."""
-    t = F.col(text_col)
-    tok = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != F.lit("")))
-    cur = docs.select(F.col(strata_col), tok.cast("long").alias("__t")).groupBy(
-        strata_col
-    ).agg(F.sum("__t").alias("n_tokens"))
-    # cur feeds the grand total, the limiting-domain min AND the output
-    # projection — materialize the (n_domains)-row frame once or the
-    # corpus token aggregate re-executes per branch (3 scans measured)
-    cur = cur.localCheckpoint()
+    cur = _domain_token_counts(docs, strata_col, text_col)
     spark = docs.sparkSession
     tgt = spark.createDataFrame(
         [(k, float(v)) for k, v in target_fracs.items()],
@@ -209,17 +220,7 @@ def temperature_mix_weights(
     (weight / current share — a dataloader repeats each domain by
     that factor). One token aggregate + one scalar total broadcast —
     nothing about the corpus re-shuffles."""
-    t = F.col(text_col)
-    tok = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != F.lit("")))
-    cur = (
-        docs.select(F.col(strata_col), tok.cast("long").alias("__t"))
-        .groupBy(strata_col)
-        .agg(F.sum("__t").cast("long").alias("n_tokens"))
-    )
-    # the per-domain aggregate feeds BOTH the totals aggregate and the
-    # output projection — materialize the (n_domains)-row frame once or
-    # the corpus token count re-executes per branch
-    cur = cur.localCheckpoint()
+    cur = _domain_token_counts(docs, strata_col, text_col)
     pw = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
     weighted = cur.select(strata_col, "n_tokens", pw.alias("__w"))
     tot = weighted.agg(

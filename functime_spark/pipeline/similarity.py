@@ -47,6 +47,44 @@ def cosine_topk(
     )
 
 
+def _staged_centroid_dists(
+    emb: DataFrame, centroids, vec_col: str
+) -> DataFrame:
+    """All input columns + a `__dd` array of squared distances to each
+    centroid — the single staging both IVFIndex.assign and
+    assign_clusters build on (the embedding_kmeans oracle replays this
+    exact arithmetic; one definition keeps them in sync).
+
+    The centroid matrix rides in a broadcast single-row frame, not in
+    the expression tree: a literal when-chain (one branch per
+    centroid) is fine at 8 cells but blows up plan construction and
+    codegen at the 256-1024 cells a 100 TB index needs. The broadcast
+    join adds one row-free hash relation (n_cells x dim doubles);
+    distances are array expressions evaluated per input row, so plan
+    size is O(1) in n_cells and the big side never shuffles. `__dd`
+    lands as an attribute so downstream argmin/min references don't
+    re-evaluate the transform (HOF subtrees get no CSE)."""
+    spark = emb.sparkSession
+    cens = spark.createDataFrame(
+        [([[float(x) for x in cen] for cen in centroids],)],
+        "__cens array<array<double>>",
+    )
+    v = F.col(vec_col).cast("array<double>")
+    dists = F.transform(
+        F.col("__cens"),
+        lambda cen: F.aggregate(
+            F.zip_with(v, cen, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (
+        emb.crossJoin(F.broadcast(cens))
+        .withColumn("__dd", dists)
+        .drop("__cens")
+    )
+
+
 class IVFIndex:
     """Inverted-file ANN index: driver-side k-means centroids, cell
     assignment as a native expression, probe-limited search.
@@ -91,6 +129,10 @@ class IVFIndex:
         else:
             rows = emb.select(vec_col).limit(sample).collect()
         X = np.asarray([r[0] for r in rows], dtype="float64")
+        if len(X) == 0:
+            raise ValueError(
+                "cannot fit k-means/IVF on an empty embedding frame"
+            )
         k = min(self.n_cells, len(X))
         if self.init == "spread":
             idx = np.array(
@@ -113,35 +155,12 @@ class IVFIndex:
     def assign(self, emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
         """Nearest-centroid cell id as ONE narrow projection.
 
-        The centroid matrix rides in a broadcast single-row frame, not
-        in the expression tree: a literal when-chain (one branch per
-        centroid) is fine at 8 cells but blows up plan construction and
-        codegen at the 256-1024 cells a 100 TB index needs. The
-        broadcast join adds one row-free hash relation (n_cells x dim
-        doubles); distances + argmin are array expressions evaluated
-        per input row, so plan size is O(1) in n_cells and the big side
-        never shuffles. Ties take the lowest cell index (array_position
-        returns the first match), matching the oracle's replay."""
-        spark = emb.sparkSession
-        cens = spark.createDataFrame(
-            [([[float(x) for x in cen] for cen in self.centroids],)],
-            "__cens array<array<double>>",
-        )
-        v = F.col(vec_col).cast("array<double>")
-        dists = F.transform(
-            F.col("__cens"),
-            lambda cen: F.aggregate(
-                F.zip_with(v, cen, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-        cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        return (
-            emb.crossJoin(F.broadcast(cens))
-            .withColumn("__cell", cell)
-            .drop("__cens")
-        )
+        Ties take the lowest cell index (array_position returns the
+        first match), matching the oracle's replay. Distance staging
+        shared with `assign_clusters` — see _staged_centroid_dists."""
+        staged = _staged_centroid_dists(emb, self.centroids, vec_col)
+        cell = (F.array_position("__dd", F.array_min("__dd")) - 1).cast("int")
+        return staged.withColumn("__cell", cell).drop("__dd")
 
     def search(
         self,
@@ -708,28 +727,10 @@ def assign_clusters(
 ) -> DataFrame:
     """(id, cluster, dist2): nearest-centroid assignment plus squared
     distance to the assigned centroid (inertia/elbow diagnostics).
-
-    Same broadcast single-row-centroid-frame shape as IVFIndex.assign
-    — plan size O(1) in k, zero shuffle on the big side. The distance
-    array materializes once in a helper column (HOF subtrees get no
-    CSE; referencing the transform three times would re-evaluate it
-    three times per row)."""
-    spark = emb.sparkSession
-    cens = spark.createDataFrame(
-        [([[float(x) for x in cen] for cen in model.centroids],)],
-        "__cens array<array<double>>",
-    )
-    v = F.col(vec_col).cast("array<double>")
-    dists = F.transform(
-        F.col("__cens"),
-        lambda cen: F.aggregate(
-            F.zip_with(v, cen, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    staged = emb.crossJoin(F.broadcast(cens)).select(
-        F.col(id_col), dists.alias("__dd")
+    Shares _staged_centroid_dists with IVFIndex.assign — plan size
+    O(1) in k, zero shuffle on the big side."""
+    staged = _staged_centroid_dists(emb, model.centroids, vec_col).select(
+        F.col(id_col), F.col("__dd")
     )
     return staged.select(
         id_col,

@@ -2261,3 +2261,13 @@ def test_lang_confusion_matrix(spark):
         per_lang[r.lang] += r.frac_of_lang
     for lang, s in per_lang.items():
         assert abs(s - 1.0) < 1e-12, lang
+
+
+def test_fit_kmeans_empty_input_clear_error(spark):
+    import pytest as _pt
+
+    from functime_spark.pipeline.similarity import fit_kmeans
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pt.raises(ValueError, match="empty embedding frame"):
+        fit_kmeans(empty, k=4)

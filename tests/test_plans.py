@@ -74,6 +74,11 @@ def test_md5_dedup_variant_stays_native_single_shuffle(spark):
         [(i, f"alpha beta gamma delta {i}") for i in range(20)],
         "doc_id long, text string",
     )
+    # pre-partitioned input: the adaptive narrow-input rebalance
+    # (spread_for_cpu) must then no-op regardless of host core count,
+    # pinning the signature projection itself at ZERO exchanges
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    docs = docs.localCheckpoint()
     for hash_fn in ("xxhash64", "md5"):
         sigs = minhash_signatures(docs, n_hashes=8, hash_fn=hash_fn)
         # row-local signatures: a pure projection, ZERO exchanges
