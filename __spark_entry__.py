@@ -2214,6 +2214,55 @@ def q_corpus_temperature_mix(spark, sf_dir):
     return _round_floats(temperature_mix_weights(docs, alpha=0.7)).orderBy("lang")
 
 
+def q_domain_stats(spark, sf_dir):
+    """Per-domain curation report over the same planted crawl URLs as
+    dedup_url (mixed-case host + default port, so canonicalization is
+    load-bearing). The oracle derives the expected domain directly
+    from the planted structure — independent ground truth rather than
+    a formula replay."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.text import domain_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:443/Dir"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=x&b=2"))
+        .otherwise(F.lit("")),
+    )
+    d = docs.select("doc_id", "text", url.alias("url"))
+    return _round_floats(domain_stats(d)).orderBy("domain")
+
+
+def q_embedding_decontaminate(spark, sf_dir):
+    """Embedding-level decontamination: corpus vectors vs the
+    simulated eval set (vec_id % 7 == 0) through shared-seed
+    hyperplane buckets + exact cosine verify."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.dedup import semantic_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") % 7 == 0)
+    out = semantic_decontaminate(emb, probe, threshold=0.5)
+    return _round_floats(out).orderBy("corpus_id", "probe_id")
+
+
+def q_corpus_pack_shuffled(spark, sf_dir):
+    """Shuffled shard packing: md5(id) as the packing key (the
+    dataloader-shuffle layout, byte-reproducible) through the same
+    two-phase prefix sum, replayed with DuckDB's global running sum
+    over (key, id)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.packing import pack_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_shards(docs, tokens_per_shard=512, shuffle=True).orderBy(
+        "doc_id"
+    )
+
+
 def q_text_hashed_features(spark, sf_dir):
     """Feature-hashing document vectors (dim 16, md5 variant) exploded
     to (doc_id, dim, value) rows — signed ±1 sums replay exactly."""
@@ -2321,6 +2370,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_cluster_sizes": q_dedup_cluster_sizes,
             "text_hashed_features": q_text_hashed_features,
             "text_lang_confusion": q_text_lang_confusion,
+            "corpus_pack_shuffled": q_corpus_pack_shuffled,
+            "embedding_decontaminate": q_embedding_decontaminate,
+            "domain_stats": q_domain_stats,
             "text_strip_html": q_text_strip_html,
             "text_mojibake": q_text_mojibake,
             "corpus_pack_shards": q_corpus_pack_shards,
@@ -2434,6 +2486,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_sizes",
         "text_hashed_features",
         "text_lang_confusion",
+        "corpus_pack_shuffled",
+        "embedding_decontaminate",
+        "domain_stats",
         "text_strip_html",
         "text_mojibake",
         "media_resize",

@@ -2956,6 +2956,21 @@ ORDER BY 1, 2
         "FROM pairs WHERE cosine >= 0.25 ORDER BY id_a, id_b"
     )
 
+    # embedding_decontaminate: the same seeded-hyperplane buckets,
+    # corpus side joined against the probe subset (vec_id % 7 = 0 —
+    # the simulated eval set), exact cosine verify in-bucket
+    o["embedding_decontaminate"] = (
+        f"WITH h AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, ({_ebkt}) AS bkt, "
+        "sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), "
+        "CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), "
+        "p AS (SELECT * FROM h WHERE vec_id % 7 = 0), "
+        "pairs AS (SELECT a.vec_id AS corpus_id, b.vec_id AS probe_id, "
+        "list_inner_product(a.v, b.v)/(a.nrm*b.nrm) AS cosine "
+        "FROM h a JOIN p b ON a.bkt = b.bkt) "
+        f"SELECT corpus_id, probe_id, {_r('cosine')} AS cosine "
+        "FROM pairs WHERE cosine >= 0.5 ORDER BY corpus_id, probe_id"
+    )
+
     o["ann_cosine_topk"] = (
         "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) "
         "SELECT vec_id, "
@@ -3312,6 +3327,22 @@ ORDER BY 1, 2
         "CAST(FLOOR(so / 512.0) AS BIGINT) AS shard FROM o ORDER BY doc_id"
     )
 
+    # --- corpus_pack_shuffled: the same layout in deterministic
+    # pseudo-random order — the 60-bit md5(id) prefix is the packing
+    # key, replayed with the global running sum over (key, id)
+    o["corpus_pack_shuffled"] = (
+        "WITH t AS (SELECT doc_id, CAST(len(list_filter("
+        r"string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) "
+        "AS n_tokens, "
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k "
+        "FROM documents), "
+        "o AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER "
+        "(ORDER BY k, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+        "0) AS so FROM t) "
+        "SELECT doc_id, n_tokens, CAST(so AS BIGINT) AS start_offset, "
+        "CAST(FLOOR(so / 512.0) AS BIGINT) AS shard FROM o ORDER BY doc_id"
+    )
+
     # --- text_tfidf_topk: sparse TF-IDF all-pairs replay — tf/df
     # aggregates, 50% max-df cutoff, smoothed idf, inverted-index
     # pair dots, 6-decimal-keyed row_number top-3
@@ -3472,6 +3503,25 @@ ORDER BY 1, 2
         + " AS median_chars, "
         "CAST(SUM(tk) AS BIGINT) AS total_tokens "
         "FROM t GROUP BY ROLLUP (lang, source) ORDER BY lang, source"
+    )
+
+    # --- domain_stats: per-domain curation report over the planted
+    # crawl URLs; the oracle derives the expected canonical domain
+    # DIRECTLY from the planted structure (lowercased host, default
+    # port stripped) — independent ground truth, not a formula replay
+    o["domain_stats"] = (
+        "WITH d AS (SELECT doc_id, text, "
+        "'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain "
+        "FROM documents) "
+        "SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique, "
+        + _r("1.0 - COUNT(DISTINCT md5(text)) / CAST(COUNT(*) AS DOUBLE)")
+        + " AS dup_share, "
+        "CAST(SUM(len(list_filter("
+        r"string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) "
+        "AS total_tokens, "
+        + _r("AVG(length(text))")
+        + " AS mean_chars FROM d GROUP BY domain ORDER BY domain"
     )
 
     # --- corpus_quantiles: exact per-lang char-length quantiles —

@@ -420,26 +420,18 @@ def simhash_near_dups(
     )
 
 
-def embedding_near_dups(
+def _lsh_hashed(
     emb: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    threshold: float = 0.95,
-    n_planes: int = 12,
-    seed: int = 42,
-    max_bucket_size: int = 512,
+    vec_col: str,
+    id_col: str,
+    n_planes: int,
+    seed: int,
 ) -> DataFrame:
-    """Cosine near-duplicates via random-hyperplane LSH buckets +
-    exact verify inside buckets. Buckets larger than `max_bucket_size`
-    are dropped (see _cap_buckets) — a degenerate bucket (duplicate-
-    heavy or all-zero vectors, which every hyperplane sends to the
-    same side) would otherwise emit O(b^2) verify pairs.
-
-    The plane matrix rides in ONE broadcast single-row frame (same
-    pattern as IVFIndex.assign), not as n_planes x dim literals in the
-    expression tree — plan size stays O(1) in n_planes, so 64-plane
-    production configs don't blow up codegen; the 2-arg transform
-    lambda's index argument supplies each plane's bit weight."""
+    """(id, __v, __bkt, __n): the hyperplane-LSH hash stage shared by
+    embedding_near_dups and semantic_decontaminate — sign-bit bucket
+    from seeded planes riding in ONE broadcast single-row frame, plus
+    the vector and its L2 norm for the in-bucket verify. Both callers
+    MUST hash with the same (n_planes, seed) for buckets to align."""
     import numpy as np
 
     first = emb.select(F.size(vec_col).alias("d")).first()
@@ -470,13 +462,35 @@ def embedding_near_dups(
     bucket = F.aggregate(
         bits, F.lit(0).cast("long"), lambda acc, x: acc + x
     )
-    emb = emb.crossJoin(F.broadcast(pl_frame))
     norm = F.sqrt(
         F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
-    hashed = emb.select(
-        F.col(id_col), (v).alias("__v"), bucket.alias("__bkt"), norm.alias("__n")
+    return emb.crossJoin(F.broadcast(pl_frame)).select(
+        F.col(id_col), v.alias("__v"), bucket.alias("__bkt"), norm.alias("__n")
     )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+    max_bucket_size: int = 512,
+) -> DataFrame:
+    """Cosine near-duplicates via random-hyperplane LSH buckets +
+    exact verify inside buckets. Buckets larger than `max_bucket_size`
+    are dropped (see _cap_buckets) — a degenerate bucket (duplicate-
+    heavy or all-zero vectors, which every hyperplane sends to the
+    same side) would otherwise emit O(b^2) verify pairs.
+
+    The plane matrix rides in ONE broadcast single-row frame (same
+    pattern as IVFIndex.assign), not as n_planes x dim literals in the
+    expression tree — plan size stays O(1) in n_planes, so 64-plane
+    production configs don't blow up codegen; the 2-arg transform
+    lambda's index argument supplies each plane's bit weight."""
+    hashed = _lsh_hashed(emb, vec_col, id_col, n_planes, seed)
     hashed = _cap_buckets(hashed, ["__bkt"], max_bucket_size)
     a = hashed.alias("a")
     b = hashed.alias("b")
@@ -495,6 +509,56 @@ def embedding_near_dups(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_decontaminate(
+    emb: DataFrame,
+    probe_emb: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "vec_id",
+    n_planes: int = 12,
+    seed: int = 42,
+    max_bucket_size: int = 512,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: (corpus_id,
+    probe_id, cosine) for every corpus vector whose cosine to an
+    eval-set probe vector clears ``threshold`` — catches paraphrased
+    contamination the n-gram `decontaminate` overlap misses.
+
+    Both sides hash with the SAME seeded hyperplanes (the probe frame
+    is typically tiny — a benchmark's worth of embeddings — so its
+    bucket rows broadcast into the join); the exact cosine verify
+    touches only same-bucket pairs. Bucket caps apply per side, like
+    minhash_dedup_incremental. Anti-join the result on corpus id to
+    scrub."""
+    hc = _cap_buckets(
+        _lsh_hashed(emb, vec_col, id_col, n_planes, seed),
+        ["__bkt"],
+        max_bucket_size,
+    )
+    hp = _cap_buckets(
+        _lsh_hashed(probe_emb, vec_col, probe_id_col, n_planes, seed),
+        ["__bkt"],
+        max_bucket_size,
+    )
+    a, b = hc.alias("a"), hp.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.__v", "b.__v", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.__n") * F.col("b.__n"))
+    return (
+        a.join(F.broadcast(b), F.col("a.__bkt") == F.col("b.__bkt"))
+        .select(
+            F.col(f"a.{id_col}").alias("corpus_id"),
+            F.col(f"b.{probe_id_col}").alias("probe_id"),
             cos.alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)

@@ -34,6 +34,7 @@ def pack_shards(
     id_col: str = "doc_id",
     n_buckets: int = 64,
     bpe_merges: list | None = None,
+    shuffle: bool = False,
 ) -> DataFrame:
     """(id, n_tokens, start_offset, shard): exclusive global prefix
     of token counts in id order; shard = start_offset // budget.
@@ -45,7 +46,14 @@ def pack_shards(
     ``bpe_merges``: budget by exact BPE subword counts under a fitted
     merge list (pipeline.bpe.fit_bpe) instead of whitespace tokens —
     the layout then matches what the training dataloader actually
-    consumes."""
+    consumes.
+
+    ``shuffle=True``: pack in deterministic pseudo-random order —
+    md5(id) replaces id as the packing key, so consecutive source
+    documents land in different shards (the dataloader-shuffle a
+    training run wants, with byte-reproducible layout). The two-phase
+    prefix sum is unchanged; the hash key is uniform, so the id-range
+    buckets balance even when source ids cluster."""
     if bpe_merges is not None:
         from functime_spark.pipeline.bpe import bpe_tokenize
 
@@ -61,7 +69,17 @@ def pack_shards(
             F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
         )
         base = docs.select(F.col(id_col), toks.cast("long").alias("n_tokens"))
-    lo, hi = base.agg(F.min(id_col), F.max(id_col)).first()
+    if shuffle:
+        # deterministic pseudo-random packing key: 60-bit md5 prefix of
+        # the id (same arithmetic as the dedup md5 hash variant, so the
+        # oracle replays it byte-exactly)
+        key = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        base = base.withColumn("__key", key)
+    else:
+        base = base.withColumn("__key", F.col(id_col))
+    lo, hi = base.agg(F.min("__key"), F.max("__key")).first()
     if lo is None:
         return base.select(
             id_col,
@@ -71,7 +89,7 @@ def pack_shards(
         )
     width = max(1, math.ceil((hi - lo + 1) / n_buckets))
     bucketed = base.withColumn(
-        "__bkt", ((F.col(id_col) - F.lit(lo)) / F.lit(width)).cast("long")
+        "__bkt", ((F.col("__key") - F.lit(lo)) / F.lit(width)).cast("long")
     )
     # phase 2: tiny per-bucket totals -> exclusive prefix on the driver
     totals = {
@@ -89,7 +107,7 @@ def pack_shards(
     # phase 3: within-bucket running sum + broadcast bucket offset
     w = (
         Window.partitionBy("__bkt")
-        .orderBy(id_col)
+        .orderBy("__key", id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     out = (

@@ -878,3 +878,41 @@ def mojibake_scan(
         rate.alias("hits_per_kchar"),
         (rate > F.lit(max_hits_per_kchar)).cast("int").alias("is_mojibake"),
     )
+
+
+def domain_stats(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain curation report (the FineWeb-style loop: decide
+    keep/boost/drop at the registered-host level): doc count, exact
+    duplicate share (distinct md5(text) vs rows), token total, and
+    mean chars per canonical host.
+
+    ONE aggregate pass over (domain, text-derived columns); the
+    count-distinct rides in the same groupBy (Spark plans a bounded
+    two-phase distinct aggregate, not a second corpus scan). Domain =
+    host of the canonicalized URL, so ports/case/tracking junk don't
+    split a domain's stats."""
+    canon = canonicalize_urls(docs, url_col=url_col)
+    domain = F.split(F.split(F.col("url_canon"), "://")[1], "/")[0]
+    t = F.col(text_col)
+    tok = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != F.lit("")))
+    src = canon.select(
+        domain.alias("domain"),
+        F.md5(t).alias("__h"),
+        tok.cast("long").alias("__tok"),
+        F.length(t).alias("__ch"),
+    )
+    return src.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("__h").cast("long").alias("n_unique"),
+        (
+            F.lit(1.0)
+            - F.countDistinct("__h") / F.count(F.lit(1)).cast("double")
+        ).alias("dup_share"),
+        F.sum("__tok").cast("long").alias("total_tokens"),
+        F.avg("__ch").alias("mean_chars"),
+    )

@@ -2271,3 +2271,78 @@ def test_fit_kmeans_empty_input_clear_error(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with _pt.raises(ValueError, match="empty embedding frame"):
         fit_kmeans(empty, k=4)
+
+
+def test_pack_shards_shuffle_deterministic_layout(spark):
+    """shuffle=True packs in md5(id) order: offsets are the prefix of
+    token counts sorted by the hash key, reproducible across runs, and
+    every doc keeps its exact token count."""
+    import hashlib
+
+    from functime_spark.pipeline.packing import pack_shards
+
+    d = spark.createDataFrame(
+        [(i, "tok " * (i + 1)) for i in range(10)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in pack_shards(d, 8, shuffle=True).collect()}
+    out2 = {r.doc_id: r for r in pack_shards(d, 8, shuffle=True).collect()}
+    assert {k: (v.start_offset, v.shard) for k, v in out.items()} == {
+        k: (v.start_offset, v.shard) for k, v in out2.items()
+    }
+
+    def key(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    order = sorted(range(10), key=lambda i: (key(i), i))
+    run = 0
+    for i in order:
+        assert out[i].n_tokens == i + 1
+        assert out[i].start_offset == run
+        run += i + 1
+    # hash order differs from id order on any non-trivial input
+    assert order != list(range(10))
+
+
+def test_semantic_decontaminate_flags_probe_members(spark):
+    """Every probe vector is (trivially) contaminated against itself
+    at cosine 1; a corpus vector nearly parallel to a probe is flagged
+    while orthogonal ones are not."""
+    from functime_spark.pipeline.dedup import semantic_decontaminate
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.04, 0.0, 0.0]
+    orth = [0.0, 0.0, 1.0, 0.0]
+    emb = spark.createDataFrame(
+        [(0, base), (1, near), (2, orth)],
+        "vec_id long, embedding array<double>",
+    )
+    probe = spark.createDataFrame(
+        [(100, base)], "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r.corpus_id, r.probe_id)
+        for r in semantic_decontaminate(emb, probe, threshold=0.95).collect()
+    }
+    assert (0, 100) in got and (1, 100) in got
+    assert all(c != 2 for c, _ in got)
+
+
+def test_domain_stats_aggregates_per_canonical_host(spark):
+    """Mixed-case hosts and default ports fold into one domain; dup
+    share counts exact text duplicates within the domain."""
+    from functime_spark.pipeline.text import domain_stats
+
+    d = spark.createDataFrame(
+        [
+            (0, "same text", "HTTPS://A.com:443/x"),
+            (1, "same text", "https://a.COM/y"),
+            (2, "other text", "https://a.com/z"),
+            (3, "b text", "http://b.org:80/"),
+        ],
+        "doc_id long, text string, url string",
+    )
+    got = {r.domain: r for r in domain_stats(d).collect()}
+    assert set(got) == {"a.com", "b.org"}
+    assert got["a.com"].n_docs == 3 and got["a.com"].n_unique == 2
+    assert abs(got["a.com"].dup_share - (1 - 2 / 3)) < 1e-12
+    assert got["b.org"].n_docs == 1 and got["b.org"].dup_share == 0.0
