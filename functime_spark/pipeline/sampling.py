@@ -243,6 +243,7 @@ def corpus_quantiles(
     value_col: str = "n_chars",
     strata_col: str = "lang",
     qs: tuple = (0.25, 0.5, 0.75, 0.95),
+    approx: bool = False,
 ) -> DataFrame:
     """Exact per-domain length quantiles (linear interpolation — the
     R-7 definition both Spark's `percentile` and DuckDB's
@@ -252,12 +253,17 @@ def corpus_quantiles(
     ONE hash aggregate: `percentile(col, array(...))` computes every
     requested quantile in a single pass with map-side partial
     aggregation (per-group sorted merge happens reduce-side on the
-    grouped values, never a global sort). For 100 TB dashboards where
-    exactness isn't needed, swap in `percentile_approx` — same shape,
-    bounded-memory sketch."""
-    pct = F.percentile(
-        F.col(value_col).cast("double"), F.array(*[F.lit(float(q)) for q in qs])
-    )
+    grouped values, never a global sort). ``approx=True`` swaps in
+    `percentile_approx` (KLL-style bounded-memory sketch, same plan
+    shape) — at 100 TB the exact reduce holds a group's values in
+    memory, the sketch holds ~O(1/eps); cut points then differ from
+    the exact answer within the sketch's rank error, so the value
+    oracle only gates the exact path."""
+    probs = F.array(*[F.lit(float(q)) for q in qs])
+    if approx:
+        pct = F.percentile_approx(F.col(value_col).cast("double"), probs)
+    else:
+        pct = F.percentile(F.col(value_col).cast("double"), probs)
     out = docs.groupBy(strata_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"), pct.alias("__qs")
     )

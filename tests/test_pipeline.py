@@ -2346,3 +2346,17 @@ def test_domain_stats_aggregates_per_canonical_host(spark):
     assert got["a.com"].n_docs == 3 and got["a.com"].n_unique == 2
     assert abs(got["a.com"].dup_share - (1 - 2 / 3)) < 1e-12
     assert got["b.org"].n_docs == 1 and got["b.org"].dup_share == 0.0
+
+
+def test_corpus_quantiles_approx_within_rank_error(spark):
+    """The sketch path returns values bracketed by the exact data
+    range and close to the exact quantiles on a smooth distribution."""
+    from functime_spark.pipeline.sampling import corpus_quantiles
+
+    d = spark.createDataFrame(
+        [(i, "en", i) for i in range(1000)], "doc_id long, lang string, n_chars long"
+    )
+    exact = corpus_quantiles(d).collect()[0]
+    approx = corpus_quantiles(d, approx=True).collect()[0]
+    for name in ("q25", "q50", "q75", "q95"):
+        assert abs(getattr(approx, name) - getattr(exact, name)) <= 15

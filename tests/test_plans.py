@@ -549,3 +549,37 @@ def test_hashed_features_zero_shuffle(spark):
     assert count_exchanges(out) == 0
     assert count_file_scans(out) == 1
     assert python_eval_nodes(out) == []
+
+
+def test_new_corpus_report_plans_bounded(spark):
+    """domain_stats / lang_confusion / semantic_decontaminate stay
+    shuffle-bounded with no Python nodes: one corpus scan each (two
+    for the two-sided decontaminate), <=2 exchanges."""
+    from pyspark.sql import functions as F2
+
+    from functime_spark.pipeline.dedup import semantic_decontaminate
+    from functime_spark.pipeline.text import domain_stats, lang_confusion
+    from functime_spark.plans import python_eval_nodes
+    from functime_spark.plans.checks import count_exchanges, count_file_scans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    url = F2.concat(
+        F2.lit("https://site"),
+        (F2.col("doc_id") % 7).cast("string"),
+        F2.lit(".com/x"),
+    )
+    d = docs.select("doc_id", "text", url.alias("url"))
+    for df, scans in [
+        (domain_stats(d), 1),
+        (lang_confusion(docs), 1),
+        (
+            semantic_decontaminate(
+                emb, emb.filter(F2.col("vec_id") % 7 == 0), threshold=0.5
+            ),
+            2,
+        ),
+    ]:
+        assert count_exchanges(df) <= 2
+        assert count_file_scans(df) <= scans
+        assert python_eval_nodes(df) == []
