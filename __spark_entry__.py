@@ -2214,6 +2214,28 @@ def q_corpus_temperature_mix(spark, sf_dir):
     return _round_floats(temperature_mix_weights(docs, alpha=0.7)).orderBy("lang")
 
 
+def q_corpus_split(spark, sf_dir):
+    """Deterministic 98/1/1 train/val/test labels from md5-bucket(id)
+    — reproducible across partitionings (unlike randomSplit)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.sampling import split_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_corpus(docs).select("doc_id", "split").orderBy("doc_id")
+
+
+def q_corpus_shard_texts(spark, sf_dir):
+    """Shard materialization: pack_shards layout joined back to the
+    corpus and concatenated per shard in offset order — the actual
+    training sequences a dataloader reads."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.packing import materialize_shards, pack_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_shards(docs, tokens_per_shard=512)
+    return materialize_shards(docs, packed).orderBy("shard")
+
+
 def q_domain_stats(spark, sf_dir):
     """Per-domain curation report over the same planted crawl URLs as
     dedup_url (mixed-case host + default port, so canonicalization is
@@ -2373,6 +2395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "corpus_pack_shuffled": q_corpus_pack_shuffled,
             "embedding_decontaminate": q_embedding_decontaminate,
             "domain_stats": q_domain_stats,
+            "corpus_split": q_corpus_split,
+            "corpus_shard_texts": q_corpus_shard_texts,
             "text_strip_html": q_text_strip_html,
             "text_mojibake": q_text_mojibake,
             "corpus_pack_shards": q_corpus_pack_shards,
@@ -2489,6 +2513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_shuffled",
         "embedding_decontaminate",
         "domain_stats",
+        "corpus_split",
+        "corpus_shard_texts",
         "text_strip_html",
         "text_mojibake",
         "media_resize",

@@ -3327,6 +3327,32 @@ ORDER BY 1, 2
         "CAST(FLOOR(so / 512.0) AS BIGINT) AS shard FROM o ORDER BY doc_id"
     )
 
+    # --- corpus_shard_texts: shard materialization — per-shard doc
+    # counts, token sums, and the concatenated training sequence in
+    # offset order (string_agg ORDER BY so == array_sort on offset)
+    o["corpus_shard_texts"] = (
+        "WITH t AS (SELECT doc_id, text, CAST(len(list_filter("
+        r"string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) "
+        "AS n_tokens FROM documents), "
+        "o AS (SELECT doc_id, text, n_tokens, COALESCE(SUM(n_tokens) OVER "
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+        "0) AS so FROM t) "
+        "SELECT CAST(FLOOR(so / 512.0) AS BIGINT) AS shard, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, "
+        "string_agg(text, chr(10) || chr(10) ORDER BY so) AS text "
+        "FROM o GROUP BY 1 ORDER BY shard"
+    )
+
+    # --- corpus_split: deterministic md5-bucket train/val/test labels
+    # (98/1/1), same bucket arithmetic as stratified_sample
+    _sbkt = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000)"
+    o["corpus_split"] = (
+        f"SELECT doc_id, CASE WHEN {_sbkt} < 9800 THEN 'train' "
+        f"WHEN {_sbkt} < 9900 THEN 'val' ELSE 'test' END AS split "
+        "FROM documents ORDER BY doc_id"
+    )
+
     # --- corpus_pack_shuffled: the same layout in deterministic
     # pseudo-random order — the 60-bit md5(id) prefix is the packing
     # key, replayed with the global running sum over (key, id)

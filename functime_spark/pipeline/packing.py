@@ -165,3 +165,36 @@ def chunk_documents(
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_tokens"),
     )
+
+
+def materialize_shards(
+    docs: DataFrame,
+    packed: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """(shard, n_docs, n_tokens, text): the actual training sequences
+    — each shard's documents concatenated in offset order with a
+    separator. Feed `pack_shards` output as ``packed``.
+
+    One equi-join on id (docs never re-tokenize) + one groupBy(shard)
+    whose per-group state is an array of (offset, text) structs sorted
+    row-locally AFTER the aggregate — collect_list + array_sort, never
+    a global sort. Shard sizes are budget-bounded by construction, so
+    per-group state is bounded too (the property a naive
+    groupBy(collect_list) over raw docs lacks)."""
+    j = packed.select(id_col, "start_offset", "shard", "n_tokens").join(
+        docs.select(id_col, text_col), on=id_col
+    )
+    agg = j.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.collect_list(
+            F.struct(F.col("start_offset").alias("o"), F.col(text_col).alias("t"))
+        ).alias("__parts"),
+    )
+    text = F.array_join(
+        F.transform(F.array_sort("__parts"), lambda s: s["t"]), sep
+    )
+    return agg.select("shard", "n_docs", "n_tokens", text.alias("text"))

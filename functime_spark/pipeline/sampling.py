@@ -272,3 +272,41 @@ def corpus_quantiles(
         for i, q in enumerate(qs)
     ]
     return out.select(strata_col, "n_docs", *cols)
+
+
+def split_corpus(
+    docs: DataFrame,
+    fracs: dict | None = None,
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic disjoint train/val/test split: every row gains a
+    ``split`` label from its md5-bucket(id) against cumulative
+    fraction boundaries. Reproducible across runs/partitionings and
+    joinable (the same id always lands in the same split — the
+    property `DataFrame.randomSplit` does NOT give you once data
+    re-partitions), and a pure projection: zero shuffle, the predicate
+    evaluates at the scan.
+
+    ``fracs``: ordered {label: fraction} summing to <= 1; rows past
+    the last boundary get the LAST label (so the default 98/1/1 is
+    exactly exhaustive)."""
+    if fracs is None:
+        fracs = {"train": 0.98, "val": 0.01, "test": 0.01}
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+               ).cast("long"),
+        F.lit(buckets),
+    )
+    labels = list(fracs)
+    cum = 0.0
+    expr = None
+    for label, frac in fracs.items():
+        cum += float(frac)
+        hit = bucket < int(round(cum * buckets))
+        expr = (
+            F.when(hit, F.lit(label))
+            if expr is None
+            else expr.when(hit, F.lit(label))
+        )
+    return docs.withColumn("split", expr.otherwise(F.lit(labels[-1])))

@@ -2360,3 +2360,41 @@ def test_corpus_quantiles_approx_within_rank_error(spark):
     approx = corpus_quantiles(d, approx=True).collect()[0]
     for name in ("q25", "q50", "q75", "q95"):
         assert abs(getattr(approx, name) - getattr(exact, name)) <= 15
+
+
+def test_split_corpus_deterministic_and_exhaustive(spark):
+    """Labels are a pure function of id (stable under repartition),
+    cover every row, and hit fractions within binomial noise."""
+    from functime_spark.pipeline.sampling import split_corpus
+
+    d = spark.createDataFrame([(i,) for i in range(5000)], "doc_id long")
+    a = {r.doc_id: r.split for r in split_corpus(d).collect()}
+    b = {r.doc_id: r.split for r in split_corpus(d.repartition(7)).collect()}
+    assert a == b and len(a) == 5000
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > 4700 and 20 < c["val"] < 120 and 20 < c["test"] < 120
+
+
+def test_materialize_shards_roundtrip(spark):
+    """Concatenated shard text splits back into the original documents
+    in offset order; token sums match the packing."""
+    from functime_spark.pipeline.packing import materialize_shards, pack_shards
+
+    d = spark.createDataFrame(
+        [(i, f"doc{i} " * (i + 1)) for i in range(8)], "doc_id long, text string"
+    )
+    packed = pack_shards(d, 6)
+    out = {r.shard: r for r in materialize_shards(d, packed).collect()}
+    offsets = {r.doc_id: r for r in packed.collect()}
+    texts = {r.doc_id: r.text for r in d.collect()}
+    for shard, row in out.items():
+        members = sorted(
+            (r.doc_id for r in offsets.values() if r.shard == shard),
+            key=lambda i: offsets[i].start_offset,
+        )
+        assert row.text == "\n\n".join(texts[i] for i in members)
+        assert row.n_docs == len(members)
+        assert row.n_tokens == sum(offsets[i].n_tokens for i in members)
