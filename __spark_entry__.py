@@ -2214,6 +2214,46 @@ def q_corpus_temperature_mix(spark, sf_dir):
     return _round_floats(temperature_mix_weights(docs, alpha=0.7)).orderBy("lang")
 
 
+def q_text_filter_language(spark, sf_dir):
+    """Language-allowlist cut: keep docs the lexicon scorer detects as
+    en/de; every surviving id replays through the score fold."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.text import filter_by_language
+
+    docs = load_table(spark, sf_dir, "documents")
+    return filter_by_language(docs, ("en", "de")).select(
+        "doc_id", "lang"
+    ).orderBy("doc_id")
+
+
+def q_corpus_sample_per_group(spark, sf_dir):
+    """Deterministic k-per-stratum cap: md5(id)-ranked top-20 per
+    lang — stable under partitioning, exact counts."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.sampling import sample_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_per_group(docs, k=20).select("doc_id", "lang").orderBy(
+        "doc_id"
+    )
+
+
+def q_dedup_exact_incr(spark, sf_dir):
+    """Incremental exact dedup: even ids form the persisted hash
+    store, odd ids arrive as the new batch; kept = in-batch min-id
+    holders whose text hash is absent from the store."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.dedup import exact_dedup_incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.md5("text").alias("h")
+    ).distinct()
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    kept, _updated = exact_dedup_incremental(batch, store)
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic 98/1/1 train/val/test labels from md5-bucket(id)
     — reproducible across partitionings (unlike randomSplit)."""
@@ -2397,6 +2437,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "domain_stats": q_domain_stats,
             "corpus_split": q_corpus_split,
             "corpus_shard_texts": q_corpus_shard_texts,
+            "text_filter_language": q_text_filter_language,
+            "corpus_sample_per_group": q_corpus_sample_per_group,
+            "dedup_exact_incr": q_dedup_exact_incr,
             "text_strip_html": q_text_strip_html,
             "text_mojibake": q_text_mojibake,
             "corpus_pack_shards": q_corpus_pack_shards,
@@ -2515,6 +2558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats",
         "corpus_split",
         "corpus_shard_texts",
+        "text_filter_language",
+        "corpus_sample_per_group",
+        "dedup_exact_incr",
         "text_strip_html",
         "text_mojibake",
         "media_resize",

@@ -1444,6 +1444,17 @@ def operator_oracles() -> dict:
         f"GROUP BY lang, l{last} ORDER BY lang, pred_lang"
     )
 
+    # text_filter_language: the same score fold, filtered to the
+    # en/de allowlist — the doc's declared lang rides through for the
+    # output projection
+    o["text_filter_language"] = (
+        "WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        + ", ".join(fold_c)
+        + f" SELECT doc_id, lang FROM p{last} "
+        f"WHERE l{last} IN ('en', 'de') ORDER BY doc_id"
+    )
+
     # text_hashed_features: the hashing-trick vectors replayed — md5
     # bucket/sign per token, grouped signed sums, dense dims via a
     # range cross join (missing buckets are exact 0.0; ±1 sums carry
@@ -3351,6 +3362,26 @@ ORDER BY 1, 2
         f"SELECT doc_id, CASE WHEN {_sbkt} < 9800 THEN 'train' "
         f"WHEN {_sbkt} < 9900 THEN 'val' ELSE 'test' END AS split "
         "FROM documents ORDER BY doc_id"
+    )
+
+    # --- corpus_sample_per_group: md5(id)-ranked top-k per lang
+    o["corpus_sample_per_group"] = (
+        "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER "
+        "(PARTITION BY lang ORDER BY "
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id"
+        ") AS rk FROM documents) WHERE rk <= 20 ORDER BY doc_id"
+    )
+
+    # --- dedup_exact_incr: even ids = persisted hash store, odd ids =
+    # new batch; kept = within-batch min-id per text, anti the store
+    o["dedup_exact_incr"] = (
+        "WITH st AS (SELECT DISTINCT md5(text) AS h FROM documents "
+        "WHERE doc_id % 2 = 0), "
+        "b AS (SELECT doc_id, md5(text) AS h FROM documents "
+        "WHERE doc_id % 2 = 1), "
+        "k AS (SELECT MIN(doc_id) AS doc_id, h FROM b GROUP BY h) "
+        "SELECT k.doc_id FROM k WHERE k.h NOT IN (SELECT h FROM st) "
+        "ORDER BY doc_id"
     )
 
     # --- corpus_pack_shuffled: the same layout in deterministic

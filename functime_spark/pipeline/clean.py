@@ -27,6 +27,7 @@ def clean_corpus(
     normalize: bool = False,
     html_strip: bool = False,
     mojibake_max: float | None = None,
+    languages: tuple | list | None = None,
     use_c4: bool = False,
     url_col: str | None = None,
     dedup: str = "minhash",
@@ -48,6 +49,8 @@ def clean_corpus(
     0a. mojibake — drop encoding-damaged docs (rate > mojibake_max
        double-encoded sequences per kchar);
     0b. url — URL-level dedup on `url_col` (cheapest dedup tier);
+    0c. language — keep docs whose lexicon-detected language is in
+       ``languages`` (row-local scoring + a semi join);
     1. gopher  — Rae et al. 2021 quality rules (row-local filter);
     1b. c4     — Raffel et al. 2020 line/doc rules (rewrites text_col
        to the kept lines, drops lorem-ipsum/brace/thin docs);
@@ -111,6 +114,14 @@ def clean_corpus(
         )
         keep = flags.filter(F.col("is_mojibake") == 0).select(id_col)
         step("mojibake", cur.join(keep, on=id_col, how="left_semi"))
+    if languages:
+        from functime_spark.pipeline.text import language_id
+
+        pred = language_id(cur, text_col=text_col, id_col=id_col)
+        keep = pred.filter(F.col("pred_lang").isin(list(languages))).select(
+            id_col
+        )
+        step("language", cur.join(keep, on=id_col, how="left_semi"))
     if url_col is not None:
         from functime_spark.pipeline.text import dedup_by_url
 

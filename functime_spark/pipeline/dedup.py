@@ -1013,3 +1013,39 @@ def minhash_dedup_incremental(
         .filter(F.col("est_jaccard") >= threshold)
     )
     return pairs, updated
+
+
+def exact_dedup_incremental(
+    new_docs: DataFrame,
+    store_hashes: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple:
+    """Batch-over-batch EXACT dedup against a persisted text-hash
+    store — the cheapest incremental tier, run before the minhash one
+    (minhash_dedup_incremental). Returns ``(kept_docs,
+    updated_store)``: kept = new docs that are the min-id holder for
+    their text within the batch AND whose md5 is absent from the
+    store; updated_store = store ∪ kept hashes, for the caller to
+    persist.
+
+    Scale: the store carries 32 hex chars per historical distinct
+    text (~0.01% of corpus size); per batch this is one within-batch
+    hash aggregate + one anti-join on the hash key."""
+    batch_keep = exact_dedup(new_docs, text_col, id_col).select(id_col)
+    kept = new_docs.join(batch_keep, on=id_col, how="left_semi").withColumn(
+        "__h", F.md5(F.col(text_col))
+    )
+    if store_hashes is not None:
+        kept = kept.join(
+            store_hashes.select(F.col("h").alias("__h")),
+            on="__h",
+            how="left_anti",
+        )
+    new_hashes = kept.select(F.col("__h").alias("h"))
+    store = (
+        new_hashes
+        if store_hashes is None
+        else store_hashes.unionByName(new_hashes).distinct()
+    )
+    return kept.drop("__h"), store

@@ -310,3 +310,30 @@ def split_corpus(
             else expr.when(hit, F.lit(label))
         )
     return docs.withColumn("split", expr.otherwise(F.lit(labels[-1])))
+
+
+def sample_per_group(
+    docs: DataFrame,
+    k: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic cap of ``k`` docs per stratum: rank by the
+    md5(id) key within the stratum and keep rank <= k — the same ids
+    survive on every run and any partitioning (a seeded
+    `sample_fraction` gives neither the exact count nor stability),
+    which is what capped per-domain subsets for eval sets need.
+
+    One shuffle on the stratum key; rank+filter is a per-group top-k
+    window, never a global sort."""
+    from pyspark.sql import Window
+
+    key = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy(strata_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

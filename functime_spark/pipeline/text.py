@@ -916,3 +916,18 @@ def domain_stats(
         F.sum("__tok").cast("long").alias("total_tokens"),
         F.avg("__ch").alias("mean_chars"),
     )
+
+
+def filter_by_language(
+    docs: DataFrame,
+    languages: tuple | list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep documents whose lexicon-detected language is in
+    ``languages`` — the standard monolingual/allowlist cut. One
+    language_id projection + a semi join back (docs keep ALL their
+    columns, which the projection alone would drop)."""
+    pred = language_id(docs, text_col, id_col)
+    keep = pred.filter(F.col("pred_lang").isin(list(languages))).select(id_col)
+    return docs.join(keep, on=id_col, how="left_semi")

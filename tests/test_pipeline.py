@@ -2398,3 +2398,78 @@ def test_materialize_shards_roundtrip(spark):
         assert row.text == "\n\n".join(texts[i] for i in members)
         assert row.n_docs == len(members)
         assert row.n_tokens == sum(offsets[i].n_tokens for i in members)
+
+
+def test_filter_by_language_keeps_all_columns(spark):
+    from functime_spark.pipeline.text import filter_by_language
+
+    d = spark.createDataFrame(
+        [
+            (0, "x", "the and of to in that it was"),
+            (1, "y", "der und die das nicht von sie ist"),
+            (2, "z", "qqq zzz www rrr ttt yyy"),
+        ],
+        "doc_id long, extra string, text string",
+    )
+    out = {r.doc_id: r for r in filter_by_language(d, ("en",)).collect()}
+    assert set(out) == {0} and out[0].extra == "x"
+    both = {r.doc_id for r in filter_by_language(d, ("en", "de")).collect()}
+    assert both == {0, 1}
+
+
+def test_sample_per_group_exact_and_stable(spark):
+    from functime_spark.pipeline.sampling import sample_per_group
+
+    d = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr") for i in range(300)],
+        "doc_id long, lang string",
+    )
+    a = {r.doc_id for r in sample_per_group(d, 10).collect()}
+    b = {r.doc_id for r in sample_per_group(d.repartition(7), 10).collect()}
+    assert a == b and len(a) == 20  # 10 per stratum, 2 strata
+    from collections import Counter
+
+    langs = Counter("en" if i % 3 else "fr" for i in a)
+    assert langs == {"en": 10, "fr": 10}
+
+
+def test_exact_dedup_incremental_store_flow(spark):
+    """Batch 1 builds the store; batch 2's duplicates of batch 1 (and
+    its own internal dups) are dropped; the store grows by exactly the
+    kept texts."""
+    from functime_spark.pipeline.dedup import exact_dedup_incremental
+
+    b1 = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta")], "doc_id long, text string"
+    )
+    kept1, store1 = exact_dedup_incremental(b1)
+    assert {r.doc_id for r in kept1.collect()} == {0, 1}
+    assert store1.count() == 2
+
+    b2 = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "gamma"), (13, "delta")],
+        "doc_id long, text string",
+    )
+    kept2, store2 = exact_dedup_incremental(b2, store1)
+    assert {r.doc_id for r in kept2.collect()} == {11, 13}
+    assert store2.count() == 4
+
+
+def test_clean_corpus_language_stage(spark):
+    from functime_spark.pipeline.clean import clean_corpus
+
+    d = spark.createDataFrame(
+        [
+            (0, "the cat and the dog sat on the mat with a hat and a bat "
+                "that was it for the day so they went to sleep in the sun"),
+            (1, "der hund und die katze sind in dem haus von der frau mit "
+                "dem kind und sie ist nicht zu dem mann gegangen heute"),
+        ],
+        "doc_id long, text string",
+    )
+    clean, report = clean_corpus(
+        d, use_gopher=False, dedup="none", languages=("en",)
+    )
+    assert {r.doc_id for r in clean.collect()} == {0}
+    stages = {r.stage for r in report.collect()}
+    assert "language" in stages
