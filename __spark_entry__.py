@@ -2542,6 +2542,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feat_longest_winning_streak",
         "feat_longest_losing_streak",
         "feat_streak_length_stats",
+        # r3's two driver failures — re-verify FIRST, never let window
+        # growth push them out
+        "dedup_cluster",
+        "corpus_stats",
         # (b) new or changed in round 4
         "corpus_clean_attrition",
         "text_vocab_zipf",
@@ -2568,8 +2572,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_revenue_panel",
         "tpch_supplier_features",
         "future_holidays",
-        "dedup_cluster",
-        "corpus_stats",
         "dedup_url",
         "embedding_pca",
         "text_tfidf_topk",
