@@ -2572,6 +2572,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_revenue_panel",
         "tpch_supplier_features",
         "future_holidays",
+        # ---- ~50-query window boundary: everything above is either
+        # never driver-verified or NEW this round (the driver gate is
+        # their only external check). Entries below are changed-in-r4
+        # but were driver-verified green in r3 and re-verified locally
+        # under --ansi after each change — they ride outside the
+        # window by design, not by accident.
         "dedup_url",
         "embedding_pca",
         "text_tfidf_topk",

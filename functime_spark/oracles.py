@@ -3351,7 +3351,7 @@ ORDER BY 1, 2
         "SELECT CAST(FLOOR(so / 512.0) AS BIGINT) AS shard, "
         "CAST(COUNT(*) AS BIGINT) AS n_docs, "
         "CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, "
-        "string_agg(text, chr(10) || chr(10) ORDER BY so) AS text "
+        "string_agg(text, chr(10) || chr(10) ORDER BY so, doc_id) AS text "
         "FROM o GROUP BY 1 ORDER BY shard"
     )
 

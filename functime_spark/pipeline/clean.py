@@ -114,20 +114,19 @@ def clean_corpus(
         )
         keep = flags.filter(F.col("is_mojibake") == 0).select(id_col)
         step("mojibake", cur.join(keep, on=id_col, how="left_semi"))
-    if languages:
-        from functime_spark.pipeline.text import language_id
-
-        pred = language_id(cur, text_col=text_col, id_col=id_col)
-        keep = pred.filter(F.col("pred_lang").isin(list(languages))).select(
-            id_col
-        )
-        step("language", cur.join(keep, on=id_col, how="left_semi"))
     if url_col is not None:
         from functime_spark.pipeline.text import dedup_by_url
 
         step(
             "url_dedup",
             dedup_by_url(cur, url_col=url_col, id_col=id_col).drop("url_canon"),
+        )
+    if languages:
+        from functime_spark.pipeline.text import filter_by_language
+
+        step(
+            "language",
+            filter_by_language(cur, languages, text_col=text_col, id_col=id_col),
         )
     if use_gopher:
         from functime_spark.pipeline.text import gopher_quality_filter

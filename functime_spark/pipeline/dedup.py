@@ -434,7 +434,18 @@ def _lsh_hashed(
     MUST hash with the same (n_planes, seed) for buckets to align."""
     import numpy as np
 
+    v0 = F.col(vec_col).cast("array<double>")
     first = emb.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        # empty frame: no rows to hash — emit an empty result with the
+        # contract schema (empty-corpus sweeps and drained filter
+        # chains must not crash on first()[...]).
+        return emb.select(
+            F.col(id_col),
+            v0.alias("__v"),
+            F.lit(0).cast("long").alias("__bkt"),
+            F.lit(0.0).alias("__n"),
+        ).limit(0)
     dim = first["d"]
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
@@ -537,6 +548,15 @@ def semantic_decontaminate(
     touches only same-bucket pairs. Bucket caps apply per side, like
     minhash_dedup_incremental. Anti-join the result on corpus id to
     scrub."""
+    dc = emb.select(F.size(vec_col).alias("d")).first()
+    dp = probe_emb.select(F.size(vec_col).alias("d")).first()
+    if dc is not None and dp is not None and dc["d"] != dp["d"]:
+        # zip_with would null-pad the shorter vector -> cosine NULL ->
+        # every pair silently filtered out: a false "corpus is clean"
+        raise ValueError(
+            f"corpus ({dc['d']}-dim) and probe ({dp['d']}-dim) embeddings "
+            "must come from the same model/dimension"
+        )
     hc = _cap_buckets(
         _lsh_hashed(emb, vec_col, id_col, n_planes, seed),
         ["__bkt"],

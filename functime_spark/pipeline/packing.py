@@ -179,11 +179,13 @@ def materialize_shards(
     separator. Feed `pack_shards` output as ``packed``.
 
     One equi-join on id (docs never re-tokenize) + one groupBy(shard)
-    whose per-group state is an array of (offset, text) structs sorted
-    row-locally AFTER the aggregate — collect_list + array_sort, never
-    a global sort. Shard sizes are budget-bounded by construction, so
-    per-group state is bounded too (the property a naive
-    groupBy(collect_list) over raw docs lacks)."""
+    whose per-group state is an array of (offset, id, text) structs
+    sorted row-locally AFTER the aggregate — collect_list +
+    array_sort, never a global sort. Ties (zero-token docs share an
+    offset) break by id, matching the oracle's ORDER BY (so, doc_id).
+    Shard token sums are budget-bounded by construction; a run of
+    zero-token docs can still grow one group's doc count, like any
+    degenerate-key aggregate."""
     j = packed.select(id_col, "start_offset", "shard", "n_tokens").join(
         docs.select(id_col, text_col), on=id_col
     )
@@ -191,7 +193,11 @@ def materialize_shards(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.collect_list(
-            F.struct(F.col("start_offset").alias("o"), F.col(text_col).alias("t"))
+            F.struct(
+                F.col("start_offset").alias("o"),
+                F.col(id_col).alias("i"),
+                F.col(text_col).alias("t"),
+            )
         ).alias("__parts"),
     )
     text = F.array_join(

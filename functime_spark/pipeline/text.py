@@ -897,7 +897,11 @@ def domain_stats(
     host of the canonicalized URL, so ports/case/tracking junk don't
     split a domain's stats."""
     canon = canonicalize_urls(docs, url_col=url_col)
-    domain = F.split(F.split(F.col("url_canon"), "://")[1], "/")[0]
+    # host stops at path OR query (a path-less URL appends '?q' right
+    # after the host) and drops any :port — the report rolls up to the
+    # registered host, so non-default ports don't split a domain's rows
+    host = F.split(F.split(F.col("url_canon"), "://")[1], "[/?]")[0]
+    domain = F.regexp_replace(host, ":[0-9]+$", "")
     t = F.col(text_col)
     tok = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != F.lit("")))
     src = canon.select(

@@ -2473,3 +2473,53 @@ def test_clean_corpus_language_stage(spark):
     assert {r.doc_id for r in clean.collect()} == {0}
     stages = {r.stage for r in report.collect()}
     assert "language" in stages
+
+
+def test_semantic_decontaminate_dim_mismatch_raises(spark):
+    import pytest as _pt
+
+    from functime_spark.pipeline.dedup import semantic_decontaminate
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    probe = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with _pt.raises(ValueError, match="same model/dimension"):
+        semantic_decontaminate(emb, probe)
+    # empty probe: no contamination found, not a crash
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert semantic_decontaminate(emb, empty).count() == 0
+
+
+def test_domain_stats_pathless_query_and_port(spark):
+    """Path-less URLs with query strings and non-default ports roll
+    into the same registered-host row."""
+    from functime_spark.pipeline.text import domain_stats
+
+    d = spark.createDataFrame(
+        [
+            (0, "t0", "https://a.com?page=2"),
+            (1, "t1", "https://a.com/x"),
+            (2, "t2", "https://a.com:8443/y"),
+        ],
+        "doc_id long, text string, url string",
+    )
+    got = {r.domain: r for r in domain_stats(d).collect()}
+    assert set(got) == {"a.com"} and got["a.com"].n_docs == 3
+
+
+def test_materialize_shards_zero_token_tie_break(spark):
+    """Docs sharing a start_offset (zero-token docs) concatenate in id
+    order, matching the oracle's ORDER BY (so, doc_id)."""
+    from functime_spark.pipeline.packing import materialize_shards, pack_shards
+
+    d = spark.createDataFrame(
+        [(0, "zz empty-after-me"), (1, ""), (2, " "), (3, "aa end")],
+        "doc_id long, text string",
+    )
+    packed = pack_shards(d, 100)
+    row = materialize_shards(d, packed).collect()[0]
+    assert row.text == "zz empty-after-me\n\n\n\n \n\naa end"
+    assert row.n_docs == 4
