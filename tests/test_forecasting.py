@@ -650,3 +650,36 @@ def test_forecasters_survive_degenerate_panel(spark):
         ),
     ]:
         assert fc.fit(y).predict(3).count() == 9
+
+
+def test_standalone_enbpi_matches_reference_contract(spark):
+    """enbpi(y_pred, y_resid, alphas): per-entity residual quantile
+    added to the point forecast, one row per (row, alpha) labeled by
+    the raw alpha (ref conformal.py:6-38)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from functime_spark.conformal import enbpi
+
+    t0 = dt.datetime(2024, 1, 1)
+    y_pred = spark.createDataFrame(
+        [("a", t0, 10.0), ("a", t0 + dt.timedelta(hours=1), 12.0),
+         ("b", t0, 5.0)],
+        "user_id string, ts timestamp, value double",
+    )
+    resid_a = [-2.0, -1.0, 0.5, 1.5]
+    resid_b = [0.0, 1.0]
+    y_resid = spark.createDataFrame(
+        [("a", t0, r) for r in resid_a] + [("b", t0, r) for r in resid_b],
+        "user_id string, ts timestamp, resid double",
+    )
+    out = enbpi(y_pred, y_resid, alphas=[0.1, 0.9]).collect()
+    assert len(out) == 6
+    got = {(r.user_id, r.ts, r.quantile): r.value for r in out}
+    for alpha in (0.1, 0.9):
+        qa = float(np.quantile(resid_a, alpha))  # linear interpolation
+        qb = float(np.quantile(resid_b, alpha))
+        assert abs(got[("a", t0, alpha)] - (10.0 + qa)) < 1e-9
+        assert abs(got[("a", t0 + dt.timedelta(hours=1), alpha)] - (12.0 + qa)) < 1e-9
+        assert abs(got[("b", t0, alpha)] - (5.0 + qb)) < 1e-9
