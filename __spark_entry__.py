@@ -1322,6 +1322,60 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "lang", "source").orderBy("doc_id")
 
 
+def q_scale_skew_report(spark, sf_dir):
+    """Key-skew diagnosis over the events stream: per-user counts ->
+    one-row summary (cardinality, max/mean, count percentiles, skew
+    ratio). Two partial-aggregated passes, the second over |keys|
+    rows; exact replay in DuckDB (quantile_cont == F.percentile,
+    both linear-interpolating)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.scaletools import skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return _round_floats(skew_report(ev, ["user_id"], percentiles=(0.5, 0.9, 0.99)))
+
+
+def q_scale_heavy_hitters(spark, sf_dir):
+    """Top-10 hottest event keys (count desc, key-asc tie-break) —
+    the frame a salting/broadcast decision reads. One hash aggregate
+    + TakeOrdered (per-partition heap, no global sort shuffle)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.scaletools import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters(ev, ["user_id"], top_k=10)
+
+
+def q_scale_salted_join(spark, sf_dir):
+    """Skew-mitigating salted equi-join (events x customer on the
+    skewed user key, salt fan-out 8) -> per-segment revenue rollup.
+    The oracle replays the PLAIN join — row-identity of the salted
+    plan to the unsalted semantics IS the property under test.
+    4-decimal rounding: double sums with engine-dependent order."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.scaletools import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    j = salted_join(ev, cust, "user_id", "c_custkey", n_salts=8)
+    out = j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    return _round_floats(out, nd=4).orderBy("c_mktsegment")
+
+
+def q_scale_cardinality(spark, sf_dir):
+    """Per-source distinct-count report (exact twin of the HLL scale
+    path pytest pins to +-5%): row count + COUNT(DISTINCT lang),
+    COUNT(DISTINCT doc_id) in one aggregate."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.scaletools import group_cardinality
+
+    docs = load_table(spark, sf_dir, "documents")
+    return group_cardinality(docs, "source", ["lang", "doc_id"]).orderBy("source")
+
+
 def q_text_classifier(spark, sf_dir):
     """Corpus-level document classifier (fasttext-style filter
     analog): logistic regression on (mean word length, en-stopword
@@ -2417,6 +2471,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tpch_revenue_panel": q_tpch_revenue_panel,
             "tpch_supplier_features": q_tpch_supplier_features,
             "stratified_sample": q_stratified_sample,
+            "scale_skew_report": q_scale_skew_report,
+            "scale_heavy_hitters": q_scale_heavy_hitters,
+            "scale_salted_join": q_scale_salted_join,
+            "scale_cardinality": q_scale_cardinality,
             "text_classifier": q_text_classifier,
             "text_decontaminate": q_text_decontaminate,
             "text_lm_score": q_text_lm_score,

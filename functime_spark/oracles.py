@@ -4313,4 +4313,42 @@ ORDER BY 1, 2
         ") ORDER BY stage"
     )
 
+    # --- scaletools: skew diagnosis / salted-join identity / distinct
+    # cardinality. The salted-join oracle deliberately replays the
+    # PLAIN join — equality proves the salting is semantics-neutral.
+    o["scale_skew_report"] = (
+        "WITH c AS (SELECT user_id, COUNT(*) AS cnt "
+        "FROM events GROUP BY user_id) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, "
+        "CAST(SUM(cnt) AS BIGINT) AS total_rows, "
+        "CAST(MAX(cnt) AS BIGINT) AS max_count, "
+        + _r("AVG(cnt)")
+        + " AS mean_count, "
+        + _r("quantile_cont(cnt, 0.5)")
+        + " AS p50_count, "
+        + _r("quantile_cont(cnt, 0.9)")
+        + " AS p90_count, "
+        + _r("quantile_cont(cnt, 0.99)")
+        + " AS p99_count, "
+        + _r("CAST(MAX(cnt) AS DOUBLE) / AVG(cnt)")
+        + " AS skew_ratio FROM c"
+    )
+    o["scale_heavy_hitters"] = (
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM events GROUP BY user_id "
+        "ORDER BY cnt DESC, user_id LIMIT 10"
+    )
+    o["scale_salted_join"] = (
+        "SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "ROUND(SUM(e.value) + 1e-9, 4) AS total_value "
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+        "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"
+    )
+    o["scale_cardinality"] = (
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_lang, "
+        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_doc_id "
+        "FROM documents GROUP BY source ORDER BY source"
+    )
+
     return o

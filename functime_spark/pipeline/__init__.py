@@ -18,6 +18,7 @@ from functime_spark.pipeline import (  # noqa: F401
     multimodal,
     packing,
     sampling,
+    scaletools,
     similarity,
     text,
 )

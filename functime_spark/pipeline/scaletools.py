@@ -1,0 +1,147 @@
+"""Scale-engineering operators: skew diagnosis and mitigation.
+
+At 100 TB the difference between a job that finishes and one that
+doesn't is usually a handful of hot keys: one user with 10^9 events
+turns a clean hash join into a single straggler task. These operators
+make skew *observable* (`skew_report`, `heavy_hitters`), *survivable*
+(`salted_join` — explicit salting for engines/paths where AQE's
+runtime skew split doesn't apply, e.g. aggregations feeding a join, or
+non-AQE clusters), and *cheap to measure* (`group_cardinality` with an
+HLL scale path).
+
+All outputs are deterministic and exactly replayable by the DuckDB
+correctness oracles; the HLL path is the one documented approximate
+escape hatch (bounded relative error, pytest-pinned).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def key_counts(df: DataFrame, keys: list) -> DataFrame:
+    """Per-key row counts — one partially-aggregated hash aggregate
+    (map-side combine shrinks the shuffle to one row per key per
+    task). The substrate for both diagnosis operators below."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def skew_report(
+    df: DataFrame,
+    keys: list,
+    percentiles: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """One-row key-distribution summary: key cardinality, total rows,
+    max/mean per-key count, count percentiles, and the skew ratio
+    (max/mean) — the number that predicts straggler tasks. A ratio
+    near 1 means uniform keys; >> shuffle-partition count means one
+    task owns the key.
+
+    Two aggregate passes over a frame that is already one row per key
+    — the second pass input is |keys| rows, negligible at any scale.
+    Exact percentiles over per-key counts are safe here for the same
+    reason (the aggregate runs over key cardinality, not row count);
+    for billion-key frames pass a sketch via `approx=True`-style
+    wrappers upstream instead."""
+    counts = key_counts(df, keys)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.max("cnt").cast("long").alias("max_count"),
+        F.avg("cnt").alias("mean_count"),
+    ]
+    for p in percentiles:
+        aggs.append(
+            F.percentile("cnt", F.lit(float(p))).alias(f"p{int(p * 100)}_count")
+        )
+    out = counts.agg(*aggs)
+    return out.withColumn(
+        "skew_ratio", F.col("max_count") / F.col("mean_count")
+    )
+
+
+def heavy_hitters(df: DataFrame, keys: list, top_k: int = 10) -> DataFrame:
+    """Top-k keys by row count, ties broken by key order — the rows a
+    salting/broadcast decision is made from. One hash aggregate, then
+    a global top-k (Spark's TakeOrdered: per-partition heap + driver
+    merge of k rows — no global sort shuffle)."""
+    counts = key_counts(df, keys)
+    return counts.orderBy(
+        F.desc("cnt"), *[F.asc(k) for k in keys]
+    ).limit(top_k)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: the (big, possibly skewed) left side
+    gets a deterministic salt in [0, n_salts); the right side is
+    replicated once per salt value (explode over a `sequence` array —
+    n_salts small copies, NOT a broadcast of the whole right side).
+    The join key becomes (key, salt), so a hot key's rows spread over
+    n_salts shuffle partitions instead of one straggler task.
+
+    Result is row-identical to the plain join: every left row carries
+    exactly one salt and the right side covers all salts, so inner and
+    left semantics are preserved (including NULL keys never matching).
+
+    The salt is `pmod(xxhash64(<all left columns>), n_salts)`: it must
+    vary WITHIN a key's rows (a hash of the join key alone would send
+    the hot key back to one partition), and hashing the full row keeps
+    it deterministic — reruns and resumed jobs salt identically.
+
+    Use when AQE skew-split can't help: pre-AQE clusters, skew in the
+    partial-aggregate feeding the join, or sort-merge paths where the
+    skewed side is the stream side.
+    """
+    # The salt must vary within a key's rows — spray by a hash of the
+    # WHOLE left row (all columns), which is deterministic per row and
+    # (for distinct rows) spreads a hot key across all salt values.
+    salted_l = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    )
+    salted_r = right.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long"))),
+    )
+    joined = salted_l.join(
+        salted_r,
+        on=[
+            salted_l[left_on] == salted_r[right_on],
+            salted_l["__salt"] == salted_r["__salt"],
+        ],
+        how=how,
+    )
+    return joined.drop(salted_l["__salt"]).drop(salted_r["__salt"])
+
+
+def group_cardinality(
+    df: DataFrame,
+    group_col: str,
+    distinct_cols: list,
+    approx: bool = False,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Per-group distinct counts: row count plus COUNT(DISTINCT c) for
+    each requested column. ``approx=True`` switches to HyperLogLog++
+    (`approx_count_distinct`, relative error `rsd`) — the 100 TB path:
+    exact multi-column distinct counts expand the aggregate into one
+    shuffle per distinct column, while the HLL sketches merge in the
+    single ordinary aggregate pass. Exact mode is the correctness
+    oracle twin."""
+    if approx:
+        dcs = [
+            F.approx_count_distinct(c, rsd).cast("long").alias(f"n_{c}")
+            for c in distinct_cols
+        ]
+    else:
+        dcs = [F.count_distinct(F.col(c)).cast("long").alias(f"n_{c}") for c in distinct_cols]
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"), *dcs
+    )

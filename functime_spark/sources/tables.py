@@ -143,3 +143,36 @@ def write_partitioned(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.format(format).save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list,
+    n_buckets: int,
+    path: str | None = None,
+    mode: str = "overwrite",
+    format: str = "parquet",
+    sort: bool = True,
+) -> None:
+    """Bucketed managed/external table sink: pre-hash-partitions the
+    data into ``n_buckets`` files per partition keyed on
+    ``bucket_cols``, recorded in the catalog. Joins and aggregations
+    between two tables bucketed on the same keys with the same bucket
+    count then run SHUFFLE-FREE — at 100 TB this converts every
+    repeated fact-to-fact join on the bucket key (the most expensive
+    recurring exchange in a curation pipeline) into a zero-exchange
+    sort-merge, paid once at write time.
+
+    ``sort=True`` additionally sorts each bucket file on the bucket
+    columns, so the downstream sort-merge join skips its sort as well
+    (plan pins in tests/test_scaletools.py assert both).
+
+    Requires a catalog (`saveAsTable`) — bucketing metadata can't live
+    in bare parquet paths; pass ``path`` for an external table."""
+    writer = df.write.mode(mode).format(format).bucketBy(n_buckets, *bucket_cols)
+    if sort:
+        writer = writer.sortBy(*bucket_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
