@@ -1376,6 +1376,44 @@ def q_scale_cardinality(spark, sf_dir):
     return group_cardinality(docs, "source", ["lang", "doc_id"]).orderBy("source")
 
 
+def q_dedup_priority(spark, sf_dir):
+    """Cross-source merge dedup: per distinct text keep the copy from
+    the highest-priority source (src3 > src1 > everything else, min-id
+    ties) — one md5-keyed aggregate whose winner is a map-side
+    struct-min. Oracle replays the rank with a CASE + row_number."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.dedup import exact_dedup_priority
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = exact_dedup_priority(docs, priority=["src3", "src1"])
+    return out.orderBy("doc_id")
+
+
+def q_text_ngram_diversity(spark, sf_dir):
+    """Corpus-level distinct-n diversity per language (n=1,2,3):
+    distinct word n-grams over total occurrences — the cross-doc
+    template/boilerplate signal per-doc repetition can't see. One
+    explode + one aggregate with a two-phase distinct."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.text import ngram_diversity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _round_floats(ngram_diversity(docs)).orderBy("lang", "n")
+
+
+def q_cluster_balanced_sample(spark, sf_dir):
+    """Diversity-preserving sample: k-means (the 8x5 build the IVF
+    oracle replays) -> nearest-centroid assignment -> deterministic
+    md5-ranked cap of 20 vectors per cluster."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.sampling import cluster_balanced_sample
+    from functime_spark.pipeline.similarity import fit_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_kmeans(emb, k=8, n_iter=5)
+    return cluster_balanced_sample(emb, model, per_cluster=20).orderBy("vec_id")
+
+
 def q_text_classifier(spark, sf_dir):
     """Corpus-level document classifier (fasttext-style filter
     analog): logistic regression on (mean word length, en-stopword
@@ -2475,6 +2513,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "scale_heavy_hitters": q_scale_heavy_hitters,
             "scale_salted_join": q_scale_salted_join,
             "scale_cardinality": q_scale_cardinality,
+            "dedup_priority": q_dedup_priority,
+            "text_ngram_diversity": q_text_ngram_diversity,
+            "cluster_balanced_sample": q_cluster_balanced_sample,
             "text_classifier": q_text_classifier,
             "text_decontaminate": q_text_decontaminate,
             "text_lm_score": q_text_lm_score,

@@ -4351,4 +4351,56 @@ ORDER BY 1, 2
         "FROM documents GROUP BY source ORDER BY source"
     )
 
+    # --- dedup_priority: per distinct text keep the best-(rank, id)
+    # copy — rank replayed with a CASE mirroring the priority list
+    o["dedup_priority"] = (
+        "WITH t AS (SELECT doc_id, source, md5(text) AS k, "
+        "CASE WHEN source = 'src3' THEN 1 WHEN source = 'src1' THEN 2 "
+        "ELSE 3 END AS r FROM documents) "
+        "SELECT doc_id, source, n_copies FROM ("
+        "SELECT doc_id, source, "
+        "CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS n_copies, "
+        "ROW_NUMBER() OVER (PARTITION BY k ORDER BY r, doc_id) AS rn "
+        "FROM t) z WHERE rn = 1 ORDER BY doc_id"
+    )
+
+    # --- text_ngram_diversity: the cross-doc gram stream rebuilt per
+    # n via range-unnest slices, then COUNT / COUNT(DISTINCT) per
+    # (lang, n)
+    _div_gram = (
+        "SELECT lang, {n} AS n, "
+        "array_to_string(list_slice(ws, i, i + {n} - 1), ' ') AS gram "
+        "FROM (SELECT lang, ws, "
+        "unnest(range(1, greatest(len(ws) - {n} + 2, 1))) AS i FROM w)"
+    )
+    o["text_ngram_diversity"] = (
+        r"WITH w AS (SELECT lang, list_filter(string_split_regex(text, '\s+'), "
+        "x -> x <> '') AS ws FROM documents), "
+        "g AS ("
+        + " UNION ALL ".join(_div_gram.format(n=n) for n in (1, 2, 3))
+        + ") SELECT lang, CAST(n AS INT) AS n, "
+        "CAST(COUNT(*) AS BIGINT) AS total_ngrams, "
+        "CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_ngrams, "
+        + _r("CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*)")
+        + " AS diversity FROM g GROUP BY lang, n ORDER BY lang, n"
+    )
+
+    # --- cluster_balanced_sample: the replayed 8x5 k-means build
+    # (c5 from the shared _ivf chain) -> nearest-centroid cluster ->
+    # md5-ranked cap of 20 per cluster
+    o["cluster_balanced_sample"] = (
+        "WITH "
+        + ", ".join(_ivf)
+        + ", asn AS (SELECT vec_id, "
+        "CAST(list_position(dd, list_min(dd)) - 1 AS INT) AS cluster FROM "
+        "(SELECT e.vec_id, "
+        f"list_transform(c.C, cc -> "
+        f"{_ivf_d2('CAST(e.embedding AS DOUBLE[])', 'cc')}) AS dd "
+        "FROM embeddings e, c5 c) z) "
+        "SELECT vec_id, cluster FROM ("
+        "SELECT vec_id, cluster, ROW_NUMBER() OVER (PARTITION BY cluster "
+        "ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, "
+        "vec_id) AS rn FROM asn) z WHERE rn <= 20 ORDER BY vec_id"
+    )
+
     return o

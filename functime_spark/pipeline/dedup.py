@@ -42,6 +42,45 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def exact_dedup_priority(
+    docs: DataFrame,
+    priority: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Exact dedup that keeps the copy from the highest-priority
+    source — the standard cross-source merge rule (curated dump beats
+    re-crawl beats CommonCrawl for the same text). ``priority`` lists
+    source values best-first; unlisted (or NULL) sources rank after
+    every listed one; ties break on min id, so the result is
+    deterministic for any input order.
+
+    Same plan shape as `exact_dedup`: ONE hash aggregate on the
+    16-byte md5 key — the winner is a struct-min of (rank, id, source)
+    computed map-side, so the shuffle still carries one pre-aggregated
+    row per distinct text, not the copies."""
+    pr = F.array(*[F.lit(p) for p in priority])
+    pos = F.array_position(pr, F.col(source_col))
+    rank = F.when(pos > 0, pos).otherwise(F.lit(len(priority) + 1)).cast("long")
+    best = F.min(
+        F.struct(
+            rank.alias("r"),
+            F.col(id_col).alias("i"),
+            F.col(source_col).alias("s"),
+        )
+    ).alias("__b")
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("__k"))
+        .agg(best, F.count(F.lit(1)).alias("n_copies"))
+        .select(
+            F.col("__b.i").alias(id_col),
+            F.col("__b.s").alias(source_col),
+            F.col("n_copies"),
+        )
+    )
+
+
 def _hash64(col, seed=None, hash_fn: str = "xxhash64"):
     """64-bit hash of a string column.
 

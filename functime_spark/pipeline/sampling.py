@@ -337,3 +337,28 @@ def sample_per_group(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    model,
+    per_cluster: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Diversity-preserving corpus sampling (the DCLM / SemDeDup
+    curation move): nearest-centroid assignment under a fitted k-means
+    (`similarity.fit_kmeans`), then a deterministic per-cluster cap —
+    so the sample keeps every region of embedding space instead of
+    letting the head clusters swamp a uniform draw. Returns
+    (id, cluster) for the kept rows.
+
+    Composition of two scale-safe pieces: broadcast-centroid
+    assignment (zero shuffle on the big side) + the md5-ranked
+    per-group cap (one shuffle on the cluster key)."""
+    from functime_spark.pipeline.similarity import assign_clusters
+
+    asn = assign_clusters(emb, model, vec_col=vec_col, id_col=id_col).select(
+        id_col, "cluster"
+    )
+    return sample_per_group(asn, per_cluster, strata_col="cluster", id_col=id_col)

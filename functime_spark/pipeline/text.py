@@ -470,6 +470,62 @@ def ngram_repetition(
     return staged.select(*out_cols)
 
 
+def ngram_diversity(
+    docs: DataFrame,
+    ns: tuple = (1, 2, 3),
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level n-gram diversity per group: for each n, the count
+    of distinct word n-grams over the total n-gram occurrences
+    (distinct-n / total-n, the "distinct-n" diversity statistic).
+    Low diversity at n=2/3 flags template-heavy, boilerplate, or
+    model-generated slices that per-document repetition scores
+    (`ngram_repetition` — within-doc only) cannot see.
+
+    Unlike the within-doc signals this one genuinely needs the
+    cross-doc gram stream: ONE explode of (n, gram) pairs feeding one
+    aggregate — totals partial-aggregate map-side; the distinct count
+    is Spark's standard two-phase distinct aggregate keyed on
+    (group, n, gram). Grams build as zip_with over shifted slices of
+    the per-row token array (O(doc_len), not O(grams x doc_len) —
+    see dedup.shingles)."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    base = docs.select(F.col(group_col), words.alias("__w"))
+    per_n = []
+    for n in ns:
+        m = F.greatest(F.size("__w") - (n - 1), F.lit(0))
+        gram = F.slice("__w", 1, m)
+        for k in range(1, n):
+            gram = F.zip_with(
+                gram,
+                F.slice("__w", k + 1, m),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        # one-arg lambda built by a factory: a default-arg closure
+        # (lambda g, _n=n: ...) has arity 2, which F.transform reads
+        # as the (element, index) variant and feeds the INDEX into _n
+        def _tag(n_val):
+            return lambda g: F.struct(
+                F.lit(n_val).cast("int").alias("n"), g.alias("gram")
+            )
+
+        per_n.append(F.transform(gram, _tag(n)))
+    exploded = base.select(
+        group_col, F.explode(F.flatten(F.array(*per_n))).alias("__p")
+    )
+    return (
+        exploded.groupBy(F.col(group_col), F.col("__p.n").alias("n"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_ngrams"),
+            F.count_distinct(F.col("__p.gram")).cast("long").alias("distinct_ngrams"),
+        )
+        .withColumn(
+            "diversity", F.col("distinct_ngrams") / F.col("total_ngrams")
+        )
+    )
+
+
 #: domains a scrape pipeline would drop outright (placeholder list —
 #: swap for a real blocklist asset at deploy time)
 URL_BLOCKLIST = ["spam.example", "malware.test"]

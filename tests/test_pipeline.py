@@ -2523,3 +2523,81 @@ def test_materialize_shards_zero_token_tie_break(spark):
     row = materialize_shards(d, packed).collect()[0]
     assert row.text == "zz empty-after-me\n\n\n\n \n\naa end"
     assert row.n_docs == 4
+
+
+# ---------------------------------------------------------------------------
+# round-4 late additions: priority dedup, corpus diversity, balanced sample
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup_priority_semantics(spark):
+    """Highest-priority source wins per distinct text; unlisted and
+    NULL sources rank after every listed one; ties break on min id."""
+    from functime_spark.pipeline.dedup import exact_dedup_priority
+
+    rows = [
+        (1, "same text", "crawl"),
+        (2, "same text", "curated"),     # listed first -> wins despite higher id
+        (3, "same text", None),
+        (4, "other text", "crawl"),      # unlisted source, unique text
+        (5, "third", "web"),
+        (6, "third", "web"),             # same rank -> min id wins
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.doc_id: r
+        for r in exact_dedup_priority(docs, ["curated", "web"]).collect()
+    }
+    assert set(out) == {2, 4, 5}
+    assert out[2].source == "curated" and out[2].n_copies == 3
+    assert out[4].n_copies == 1
+    assert out[5].source == "web" and out[5].n_copies == 2
+
+
+def test_ngram_diversity_hand_computed(spark):
+    """distinct-n / total-n per (group, n) on a corpus small enough to
+    count by hand; empty docs contribute nothing."""
+    from functime_spark.pipeline.text import ngram_diversity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b", "en"),
+            (2, "a b c", "en"),
+            (3, "", "en"),
+            (4, "x x", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        (r.lang, r.n): (r.total_ngrams, r.distinct_ngrams)
+        for r in ngram_diversity(docs).collect()
+    }
+    # en unigrams: a b a b | a b c -> 7 total, {a,b,c}=3 distinct
+    assert got[("en", 1)] == (7, 3)
+    # en bigrams: 'a b','b a','a b' | 'a b','b c' -> 5 total, 3 distinct
+    assert got[("en", 2)] == (5, 3)
+    # en trigrams: 'a b a','b a b' | 'a b c' -> 3 total, 3 distinct
+    assert got[("en", 3)] == (3, 3)
+    # de: 'x x' -> unigrams (2,1), bigrams (1,1); no trigram rows
+    assert got[("de", 1)] == (2, 1)
+    assert got[("de", 2)] == (1, 1)
+    assert ("de", 3) not in got
+
+
+def test_cluster_balanced_sample_caps_and_determinism(spark):
+    from functime_spark.pipeline.sampling import cluster_balanced_sample
+    from functime_spark.pipeline.similarity import fit_kmeans
+    from functime_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    model = fit_kmeans(emb, k=4, n_iter=3)
+    a = cluster_balanced_sample(emb, model, per_cluster=5)
+    b = cluster_balanced_sample(emb, model, per_cluster=5)
+    rows_a = sorted((r.vec_id, r.cluster) for r in a.collect())
+    rows_b = sorted((r.vec_id, r.cluster) for r in b.collect())
+    assert rows_a == rows_b  # deterministic
+    from collections import Counter
+
+    per = Counter(c for _, c in rows_a)
+    assert all(v <= 5 for v in per.values())
+    assert len(per) >= 2  # spread over multiple clusters
