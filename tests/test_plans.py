@@ -583,3 +583,54 @@ def test_new_corpus_report_plans_bounded(spark):
         assert count_exchanges(df) <= 2
         assert count_file_scans(df) <= scans
         assert python_eval_nodes(df) == []
+
+
+def test_scaletools_and_late_r4_plans_bounded(spark):
+    """Round-4 late additions stay shuffle-bounded, Python-free, and
+    single-scan: skew_report (2 exchanges — key agg + 1-row summary),
+    heavy_hitters (1 agg exchange; top-k is TakeOrdered, not a global
+    sort), dedup_priority (the same ONE md5-key exchange as
+    exact_dedup), ngram_diversity (explode feeding a two-phase
+    distinct aggregate, still one corpus scan)."""
+    from functime_spark.pipeline.dedup import exact_dedup_priority
+    from functime_spark.pipeline.scaletools import heavy_hitters, skew_report
+    from functime_spark.pipeline.text import ngram_diversity
+    from functime_spark.plans import python_eval_nodes
+    from functime_spark.plans.checks import count_exchanges, count_file_scans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    for df, max_ex, scans in [
+        (skew_report(ev, ["user_id"]), 2, 1),
+        (heavy_hitters(ev, ["user_id"], 10), 1, 1),
+        (exact_dedup_priority(docs, ["src3", "src1"]), 1, 1),
+        (ngram_diversity(docs), 3, 1),
+    ]:
+        assert count_exchanges(df) <= max_ex
+        assert count_file_scans(df) <= scans
+        assert python_eval_nodes(df) == []
+
+
+def test_salted_join_no_broadcast_of_big_side(spark):
+    """The salted join must stay a shuffle join on (key, salt) — if
+    Catalyst broadcast the exploded right side the salting would be
+    pointless at scale (the whole point is spreading the SHUFFLE).
+    With a right side above the broadcast threshold, assert the plan
+    keeps an Exchange on each input."""
+    from functime_spark.pipeline.scaletools import salted_join
+    from functime_spark.plans.checks import count_exchanges
+
+    left = spark.range(0, 10000).select(
+        (F.col("id") % 50).alias("k"), F.col("id").alias("v")
+    )
+    right = spark.range(0, 5000).select(
+        F.col("id").alias("rk"), F.col("id").alias("w")
+    )
+    with_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = salted_join(left, right, "k", "rk", n_salts=4)
+        assert count_exchanges(out) >= 2
+        assert out.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", with_thresh)
