@@ -1414,6 +1414,25 @@ def q_cluster_balanced_sample(spark, sf_dir):
     return cluster_balanced_sample(emb, model, per_cluster=20).orderBy("vec_id")
 
 
+def q_events_json_props(spark, sf_dir):
+    """Semi-structured payloads: the events `props` JSON column parsed
+    with an explicit DDL schema (JVM-side from_json, PERMISSIVE nulls)
+    -> typed per-event-type rollup. Oracle replays with
+    json_extract."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.sources.tables import parse_json_col
+
+    ev = load_table(spark, sf_dir, "events")
+    parsed = parse_json_col(ev, "props", "k int")
+    out = parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.avg("k").alias("avg_k"),
+        F.max("k").cast("int").alias("max_k"),
+    )
+    return _round_floats(out).orderBy("event_type")
+
+
 def q_text_classifier(spark, sf_dir):
     """Corpus-level document classifier (fasttext-style filter
     analog): logistic regression on (mean word length, en-stopword
@@ -2516,6 +2535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_priority": q_dedup_priority,
             "text_ngram_diversity": q_text_ngram_diversity,
             "cluster_balanced_sample": q_cluster_balanced_sample,
+            "events_json_props": q_events_json_props,
             "text_classifier": q_text_classifier,
             "text_decontaminate": q_text_decontaminate,
             "text_lm_score": q_text_lm_score,

@@ -4385,6 +4385,17 @@ ORDER BY 1, 2
         + " AS diversity FROM g GROUP BY lang, n ORDER BY lang, n"
     )
 
+    # --- events_json_props: typed JSON payload extraction rollup
+    o["events_json_props"] = (
+        "WITH t AS (SELECT event_type, "
+        "CAST(json_extract(props, '$.k') AS INT) AS k FROM events) "
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(SUM(k) AS BIGINT) AS sum_k, "
+        + _r("AVG(k)")
+        + " AS avg_k, CAST(MAX(k) AS INT) AS max_k "
+        "FROM t GROUP BY event_type ORDER BY event_type"
+    )
+
     # --- cluster_balanced_sample: the replayed 8x5 k-means build
     # (c5 from the shared _ivf chain) -> nearest-centroid cluster ->
     # md5-ranked cap of 20 per cluster

@@ -176,3 +176,24 @@ def write_bucketed(
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def parse_json_col(
+    df: DataFrame,
+    col: str,
+    schema: str,
+    drop_raw: bool = False,
+) -> DataFrame:
+    """Parse a JSON-string column into typed top-level columns via
+    `from_json` with an explicit DDL schema ("k int, tag string").
+    Event/crawl payload columns routinely ride as JSON strings; this
+    keeps the parse JVM-side (Jackson inside whole-stage codegen — no
+    Python, no extra pass) and, because the schema is explicit, lets
+    Catalyst prune unreferenced fields instead of schema-inferring
+    with an extra scan over 100 TB. Malformed rows parse to NULL
+    fields (PERMISSIVE), never fail the job."""
+    parsed = df.withColumn("__j", F.from_json(F.col(col), schema))
+    out = parsed.select("*", "__j.*").drop("__j")
+    if drop_raw:
+        out = out.drop(col)
+    return out

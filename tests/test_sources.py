@@ -16,3 +16,27 @@ def test_write_partitioned_max_records_per_file(spark, tmp_path):
     files = glob.glob(path + "/*.parquet")
     assert len(files) >= 10
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_parse_json_col_typed_and_permissive(spark):
+    """Explicit-schema JSON parse: typed fields, malformed/missing ->
+    NULL (PERMISSIVE), never a job failure; drop_raw removes the
+    string column."""
+    from functime_spark.sources.tables import parse_json_col
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 7, "tag": "a"}'),
+            (2, '{"k": null}'),
+            (3, "not json"),
+            (4, None),
+        ],
+        "id long, props string",
+    )
+    out = parse_json_col(df, "props", "k int, tag string", drop_raw=True)
+    assert out.columns == ["id", "k", "tag"]
+    rows = {r.id: (r.k, r.tag) for r in out.collect()}
+    assert rows[1] == (7, "a")
+    assert rows[2] == (None, None)
+    assert rows[3] == (None, None)
+    assert rows[4] == (None, None)
