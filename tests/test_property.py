@@ -251,3 +251,72 @@ def test_asof_join_matches_pandas_merge_asof(spark, lts, rts, direction, exact):
             assert g is None
         else:
             assert g == px
+
+
+@settings(**_SETTINGS)
+@given(
+    lkeys=st.lists(
+        st.one_of(st.integers(min_value=0, max_value=6), st.none()),
+        min_size=1,
+        max_size=40,
+    ),
+    rkeys=st.lists(
+        st.one_of(st.integers(min_value=0, max_value=6), st.none()),
+        min_size=0,
+        max_size=12,
+    ),
+    n_salts=st.integers(min_value=1, max_value=5),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_salted_join_equals_plain_join(spark, lkeys, rkeys, n_salts, how):
+    """For ANY key multiset (dups, NULLs, unmatched, empty right) and
+    ANY salt count, salted_join is row-identical to the plain join."""
+    from functime_spark.pipeline.scaletools import salted_join
+
+    left = spark.createDataFrame(
+        [(k, float(i)) for i, k in enumerate(lkeys)], "k long, v double"
+    )
+    right = spark.createDataFrame(
+        [(k, i * 10) for i, k in enumerate(rkeys)], "rk long, w long"
+    )
+    plain = left.join(right, on=left["k"] == right["rk"], how=how)
+    salted = salted_join(left, right, "k", "rk", n_salts=n_salts, how=how)
+    key = lambda t: tuple((v is None, str(v)) for v in t)
+    assert sorted((tuple(r) for r in salted.collect()), key=key) == sorted(
+        (tuple(r) for r in plain.collect()), key=key
+    )
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.text(alphabet="ab ", min_size=0, max_size=12),
+            st.sampled_from(["cur", "web", "crawl", None]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_dedup_priority_matches_serial_replay(spark, docs):
+    """exact_dedup_priority == a driver-side serial replay of the
+    keep rule (rank by priority list then min id) for random corpora
+    with duplicate texts, NULL sources, and unlisted sources."""
+    from functime_spark.pipeline.dedup import exact_dedup_priority
+
+    rows = [(i, t, s) for i, (t, s) in enumerate(docs)]
+    frame = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    priority = ["cur", "web"]
+    got = {
+        r.doc_id: (r.source, r.n_copies)
+        for r in exact_dedup_priority(frame, priority).collect()
+    }
+    exp = {}
+    by_text = {}
+    for i, t, s in rows:
+        by_text.setdefault(t, []).append((i, s))
+    for t, copies in by_text.items():
+        rank = lambda s: priority.index(s) + 1 if s in priority else len(priority) + 1
+        win = min(copies, key=lambda c: (rank(c[1]), c[0]))
+        exp[win[0]] = (win[1], len(copies))
+    assert got == exp
