@@ -100,6 +100,14 @@ def salted_join(
     partial-aggregate feeding the join, or sort-merge paths where the
     skewed side is the stream side.
     """
+    # Right/full joins are NOT salt-preserving: an unmatched right row
+    # exists once per salt copy, so it would surface n_salts times.
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower().replace("_", "") not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"salted_join preserves only left-sided semantics, got how={how!r}"
+        )
     # The salt must vary within a key's rows — spray by a hash of the
     # WHOLE left row (all columns), which is deterministic per row and
     # (for distinct rows) spreads a hot key across all salt values.

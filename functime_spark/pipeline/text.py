@@ -818,18 +818,35 @@ def script_profile(
         for s in SCRIPTS
     }
     total = F.regexp_count(t, F.lit(r"\S")).cast("long")
-    best = F.lit("other")
-    best_n = F.lit(0).cast("long")
-    for s in SCRIPTS:  # strictly-greater keeps first-of-ties
-        cond = counts[s] > best_n
-        best = F.when(cond, F.lit(s.lower())).otherwise(best)
-        best_n = F.when(cond, counts[s]).otherwise(best_n)
-    return docs.select(
+    # Two-stage projection: counts first, argmax over the materialized
+    # columns second. A chained-when argmax over the raw regexp_count
+    # expressions re-nests every count into the next branch — the
+    # generated processNext() passes Java's 64 KB method limit and the
+    # whole stage falls back to interpreted eval (observed on this
+    # exact query). The array-struct max keeps each codegen method
+    # small and guarantees each regexp evaluates exactly once.
+    base = docs.select(
         F.col(id_col),
         *[counts[s].alias(f"n_{s.lower()}") for s in SCRIPTS],
         total.alias("n_nonspace"),
-        best.alias("dominant_script"),
     )
+    # max of (count, -index): equal counts pick the smaller index —
+    # the same strictly-greater-keeps-first-of-ties rule as before
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(f"n_{s.lower()}").alias("n"),
+                F.lit(-i).alias("ni"),
+            )
+            for i, s in enumerate(SCRIPTS)
+        ]
+    )
+    mx = F.array_max(pairs)
+    names = F.array(*[F.lit(s.lower()) for s in SCRIPTS])
+    dom = F.when(
+        mx["n"] > 0, F.element_at(names, -mx["ni"] + 1)
+    ).otherwise(F.lit("other"))
+    return base.withColumn("dominant_script", dom)
 
 
 #: (pattern, replacement) chain for strip_html, applied in order.

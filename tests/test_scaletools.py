@@ -64,6 +64,23 @@ def test_salted_join_replicates_right_once_per_salt(spark):
     assert out.count() == plain_n
 
 
+@pytest.mark.parametrize("how", ["left_semi", "left_anti"])
+def test_salted_join_semi_anti_identical(spark, how):
+    left, right = _skewed_frames(spark)
+    plain = left.join(right, on=left["k"] == right["rk"], how=how)
+    salted = salted_join(left, right, "k", "rk", n_salts=4, how=how)
+    assert _sorted_rows(salted) == _sorted_rows(plain)
+
+
+@pytest.mark.parametrize("how", ["right", "full", "full_outer", "cross"])
+def test_salted_join_rejects_right_sided(spark, how):
+    # an unmatched right row exists once per salt copy — right/full
+    # semantics are NOT salt-preserving, so they must be refused
+    left, right = _skewed_frames(spark)
+    with pytest.raises(ValueError, match="left-sided"):
+        salted_join(left, right, "k", "rk", n_salts=4, how=how)
+
+
 def test_skew_report_values(spark):
     left, _ = _skewed_frames(spark)
     row = skew_report(left, ["k"], percentiles=(0.5,)).collect()[0]
