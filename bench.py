@@ -175,6 +175,14 @@ def main() -> None:
     bench("lm_quality_tiers", _q9)
 
     total = round(sum(timings.values()), 3)
+    # the suite grew from 7 to 9 queries in round 4 (minhash_dedup,
+    # lm_quality_tiers); keep the round-over-round comparable subtotal
+    # of the original 7 so a bigger suite doesn't read as a regression
+    r3_suite = (
+        "features_all", "preproc_scale_lag", "resample_naive_smape",
+        "linear_forecast", "metrics_fused", "doc_pipeline", "ann_topk",
+    )
+    prev_comparable = round(sum(timings.get(q, 0.0) for q in r3_suite), 3)
     print(
         json.dumps(
             {
@@ -182,6 +190,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "value_r3_comparable": prev_comparable,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

@@ -376,7 +376,9 @@ def test_ivf_assign_scales_to_many_cells(emb):
     t0 = time.monotonic()
     assigned = ivf.assign(emb)
     build_s = time.monotonic() - t0
-    assert build_s < 1.0, f"assign() plan build took {build_s:.2f}s"
+    # generous bound: the when-chain regression took minutes; a tight
+    # 1.0s bound flaked under concurrent-suite CPU contention
+    assert build_s < 10.0, f"assign() plan build took {build_s:.2f}s"
     plan = explain_str(assigned, "simple")
     assert plan.count("CASE WHEN") < 10
     # correctness at many cells: argmin matches numpy on a sample
