@@ -182,7 +182,9 @@ def main() -> None:
         "features_all", "preproc_scale_lag", "resample_naive_smape",
         "linear_forecast", "metrics_fused", "doc_pipeline", "ann_topk",
     )
-    prev_comparable = round(sum(timings.get(q, 0.0) for q in r3_suite), 3)
+    missing = [q for q in r3_suite if q not in timings]
+    assert not missing, f"r3-comparable queries renamed/removed: {missing}"
+    prev_comparable = round(sum(timings[q] for q in r3_suite), 3)
     print(
         json.dumps(
             {

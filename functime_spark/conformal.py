@@ -25,9 +25,16 @@ def enbpi(
 
     Residual frame: (entity, ..., residual) with the residual LAST,
     matching the reference's ``y_resid.columns[-1]``. One quantile
-    aggregate over the residuals (n_entities x n_alphas rows,
-    broadcast back) + ONE posexplode pass over y_pred — not an
-    n_alphas-way self-union, so the prediction frame scans once."""
+    aggregate over the residuals (n_entities x n_alphas rows, joined
+    back) + ONE posexplode pass over y_pred — not an n_alphas-way
+    self-union, so the prediction frame scans once. No forced
+    broadcast: the quantile frame is one row per entity, which can be
+    arbitrarily large on a high-cardinality panel — AQE converts the
+    join to broadcast at runtime when it actually fits.
+
+    Entities in ``y_pred`` with no residuals have no quantiles to
+    offset by, so they are dropped (inner join) rather than emitted
+    with NULL interval bounds."""
     p = panel_cols(y_pred)
     target = y_pred.columns[2]
     resid_col = y_resid.columns[-1]
@@ -38,7 +45,7 @@ def enbpi(
     quantiles = y_resid.groupBy(F.col(y_resid.columns[0]).alias(p.entity)).agg(
         *q_aggs
     )
-    joined = y_pred.join(F.broadcast(quantiles), on=p.entity, how="left")
+    joined = y_pred.join(quantiles, on=p.entity, how="inner")
     pairs = F.explode(
         F.array(
             *[

@@ -52,9 +52,11 @@ def skew_report(
         F.avg("cnt").alias("mean_count"),
     ]
     for p in percentiles:
-        aggs.append(
-            F.percentile("cnt", F.lit(float(p))).alias(f"p{int(p * 100)}_count")
-        )
+        # %g keeps p50/p90/p99 stable and float-error-proof (int()
+        # would truncate 0.57*100=56.999.. to 56) and gives sub-percent
+        # values distinct names (0.999 -> p99_9, not a second p99)
+        name = f"p{p * 100:g}_count".replace(".", "_")
+        aggs.append(F.percentile("cnt", F.lit(float(p))).alias(name))
     out = counts.agg(*aggs)
     return out.withColumn(
         "skew_ratio", F.col("max_count") / F.col("mean_count")
@@ -70,6 +72,31 @@ def heavy_hitters(df: DataFrame, keys: list, top_k: int = 10) -> DataFrame:
     return counts.orderBy(
         F.desc("cnt"), *[F.asc(k) for k in keys]
     ).limit(top_k)
+
+
+def _salt_expr(df: DataFrame, n_salts: int):
+    """Deterministic per-row salt in [0, n_salts): pmod of a 64-bit
+    hash of every hashable column. MAP-typed columns are excluded —
+    xxhash64 rejects maps anywhere in a type — so the salt stays a
+    drop-in for frames with payload maps; if NO column is hashable the
+    row serializes through to_json instead (still deterministic)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def has_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(has_map(f.dataType) for f in dt.fields)
+        return False
+
+    hashable = [f.name for f in df.schema.fields if not has_map(f.dataType)]
+    if hashable:
+        h = F.xxhash64(*[F.col(c) for c in hashable])
+    else:
+        h = F.xxhash64(F.to_json(F.struct(*df.columns)))
+    return F.pmod(h, F.lit(n_salts))
 
 
 def salted_join(
@@ -108,25 +135,30 @@ def salted_join(
         raise ValueError(
             f"salted_join preserves only left-sided semantics, got how={how!r}"
         )
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    # helper-column name that cannot shadow (and then silently drop)
+    # a user column on either side
+    salt = "__salt"
+    while salt in left.columns or salt in right.columns:
+        salt += "_"
     # The salt must vary within a key's rows — spray by a hash of the
-    # WHOLE left row (all columns), which is deterministic per row and
-    # (for distinct rows) spreads a hot key across all salt values.
-    salted_l = left.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
-    )
+    # WHOLE left row (all hashable columns), which is deterministic per
+    # row and (for distinct rows) spreads a hot key across all salts.
+    salted_l = left.withColumn(salt, _salt_expr(left, n_salts))
     salted_r = right.withColumn(
-        "__salt",
+        salt,
         F.explode(F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long"))),
     )
     joined = salted_l.join(
         salted_r,
         on=[
             salted_l[left_on] == salted_r[right_on],
-            salted_l["__salt"] == salted_r["__salt"],
+            salted_l[salt] == salted_r[salt],
         ],
         how=how,
     )
-    return joined.drop(salted_l["__salt"]).drop(salted_r["__salt"])
+    return joined.drop(salted_l[salt]).drop(salted_r[salt])
 
 
 def group_cardinality(

@@ -191,9 +191,27 @@ def parse_json_col(
     Python, no extra pass) and, because the schema is explicit, lets
     Catalyst prune unreferenced fields instead of schema-inferring
     with an extra scan over 100 TB. Malformed rows parse to NULL
-    fields (PERMISSIVE), never fail the job."""
+    fields (PERMISSIVE), never fail the job.
+
+    A JSON field sharing a name with an existing column would emit a
+    duplicate column (every later access by name becomes
+    AMBIGUOUS_REFERENCE, and drop_raw would drop both) — refused
+    up-front with a clear error instead."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    field_names = [f.name for f in _parse_datatype_string(schema).fields]
+    existing = set(df.columns) - ({col} if drop_raw else set())
+    clash = [n for n in field_names if n in existing]
+    if clash:
+        raise ValueError(
+            f"JSON fields {clash} collide with existing columns; rename "
+            "them in the DDL schema (from_json keeps positional order) "
+            "or drop/rename the originals first"
+        )
     parsed = df.withColumn("__j", F.from_json(F.col(col), schema))
-    out = parsed.select("*", "__j.*").drop("__j")
     if drop_raw:
-        out = out.drop(col)
-    return out
+        # drop the raw string BEFORE splatting __j so a JSON field
+        # that reuses the raw column's name survives (drop-by-name
+        # after the splat would remove both)
+        parsed = parsed.drop(col)
+    return parsed.select("*", "__j.*").drop("__j")

@@ -45,15 +45,40 @@ def test_salted_join_row_identical_to_plain_join(spark, how):
 
 
 def test_salted_join_spreads_hot_key_over_salts(spark):
+    # exercises the implementation's OWN salt expression — an inline
+    # re-implementation would keep passing if the formula regressed to
+    # hashing the key alone (the single-straggler bug)
+    from functime_spark.pipeline.scaletools import _salt_expr
+
     left, right = _skewed_frames(spark)
-    salted_l = left.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(4))
-    )
+    salted_l = left.withColumn("__salt", _salt_expr(left, 4))
     n_salts_used = (
         salted_l.filter(F.col("k") == "hot").select("__salt").distinct().count()
     )
     # 60 distinct hot rows over 4 salt values: all 4 salts in play
     assert n_salts_used == 4
+
+
+def test_salted_join_handles_map_columns_and_name_clash(spark):
+    # payload maps are unhashable by xxhash64 — the salt must skip
+    # them; a pre-existing __salt column must survive untouched
+    left = spark.createDataFrame(
+        [("hot", 7, {"a": 1}), ("hot", 8, {"b": 2}), ("k1", 9, None)],
+        "k string, __salt long, m map<string,int>",
+    )
+    right = spark.createDataFrame([("hot", "H"), ("k1", "A")], "rk string, tag string")
+    plain = left.join(right, on=left["k"] == right["rk"], how="inner")
+    salted = salted_join(left, right, "k", "rk", n_salts=4, how="inner")
+    assert salted.columns == plain.columns  # __salt preserved
+    assert sorted(
+        (r["k"], r["__salt"], r["tag"]) for r in salted.collect()
+    ) == sorted((r["k"], r["__salt"], r["tag"]) for r in plain.collect())
+
+
+def test_salted_join_rejects_zero_salts(spark):
+    left, right = _skewed_frames(spark)
+    with pytest.raises(ValueError, match="n_salts"):
+        salted_join(left, right, "k", "rk", n_salts=0)
 
 
 def test_salted_join_replicates_right_once_per_salt(spark):
@@ -91,6 +116,15 @@ def test_skew_report_values(spark):
     assert abs(row.mean_count - 75 / 16) < 1e-9
     assert row.p50_count == 1.0
     assert abs(row.skew_ratio - 60 / (75 / 16)) < 1e-9
+
+
+def test_skew_report_percentile_names_float_safe(spark):
+    # int(p*100) truncation gave p56 for 0.57 and duplicate p99 columns
+    # for (0.99, 0.999); %g naming keeps each distinct and exact
+    left, _ = _skewed_frames(spark)
+    out = skew_report(left, ["k"], percentiles=(0.57, 0.99, 0.999))
+    names = [c for c in out.columns if c.startswith("p") and c.endswith("_count")]
+    assert names == ["p57_count", "p99_count", "p99_9_count"], names
 
 
 def test_heavy_hitters_tie_break_by_key(spark):

@@ -40,3 +40,25 @@ def test_parse_json_col_typed_and_permissive(spark):
     assert rows[2] == (None, None)
     assert rows[3] == (None, None)
     assert rows[4] == (None, None)
+
+
+def test_parse_json_col_collisions(spark):
+    """A JSON field named like an existing column must be refused
+    (silent duplicate columns make every later by-name access
+    AMBIGUOUS_REFERENCE); reusing the RAW column's name is fine when
+    drop_raw=True — the extracted field takes the slot."""
+    import pytest
+
+    from functime_spark.sources.tables import parse_json_col
+
+    df = spark.createDataFrame(
+        [(1, '{"id": 5, "props": "x"}')], "id long, props string"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        parse_json_col(df, "props", "id int")
+    # field named like the raw column: allowed with drop_raw, refused without
+    out = parse_json_col(df, "props", "props string", drop_raw=True)
+    assert out.columns == ["id", "props"]
+    assert out.collect()[0]["props"] == "x"
+    with pytest.raises(ValueError, match="collide"):
+        parse_json_col(df, "props", "props string", drop_raw=False)
