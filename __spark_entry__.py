@@ -2120,6 +2120,39 @@ def q_forecast_conformal_linear(spark, sf_dir):
     return _round_floats(out).orderBy("user_id", "ts", "quantile", "value")
 
 
+def q_conformal_enbpi(spark, sf_dir):
+    """Standalone ENBPI contract (ref conformal.py:6-38): the caller
+    already holds predictions and residuals — per-entity residual
+    quantile at each RAW alpha added to the point forecast, one row
+    per (row, alpha). Residuals here are the demeaned values;
+    predictions the last 2 rows per entity — both deterministic, so
+    the oracle replays the whole flow with quantile_cont."""
+    _ensure_nanos_conf(spark)
+    from pyspark.sql import Window
+
+    from functime_spark.conformal import enbpi
+
+    y = events_panel(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("ts")
+    base = y.select(
+        "user_id",
+        "ts",
+        "value",
+        F.row_number().over(wo).alias("__rn"),
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.avg("value").over(w).alias("__mu"),
+    )
+    y_resid = base.select(
+        "user_id", "ts", (F.col("value") - F.col("__mu")).alias("resid")
+    )
+    y_pred = base.filter(F.col("__rn") > F.col("__n") - 2).select(
+        "user_id", "ts", "value"
+    )
+    out = enbpi(y_pred, y_resid, alphas=[0.25, 0.75])
+    return _round_floats(out).orderBy("user_id", "ts", "quantile")
+
+
 def q_m4_smape(spark, sf_dir):
     """End-to-end accuracy on REAL data: global linear AR(12) on the
     M4-weekly competition panel (359 series), mean SMAPE vs the held-
@@ -2608,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "forecast_backtest_naive": q_forecast_backtest_naive,
             "forecast_conformal": q_forecast_conformal,
             "forecast_conformal_linear": q_forecast_conformal_linear,
+            "conformal_enbpi": q_conformal_enbpi,
             "m4_smape": q_m4_smape,
             "preproc_roll": q_preproc_roll,
             "preproc_roll_freq": q_preproc_roll_freq,
@@ -2688,6 +2722,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_mojibake",
         "media_resize",
         "stream_minhash",
+        # (b continued) the late-round-4 additions — newest and least
+        # exercised, so they outrank the re-verifies below
+        "scale_skew_report",
+        "scale_heavy_hitters",
+        "scale_salted_join",
+        "scale_cardinality",
+        "dedup_priority",
+        "text_ngram_diversity",
+        "cluster_balanced_sample",
+        "events_json_props",
+        "conformal_enbpi",
         "tpch_revenue_panel",
         "tpch_supplier_features",
         "future_holidays",

@@ -1541,6 +1541,26 @@ def operator_oracles() -> dict:
         "ORDER BY 1, 2, 4, 3"
     )
 
+    # conformal_enbpi: the standalone lower-level contract — demeaned
+    # values as residuals, last-2-rows-per-entity as predictions,
+    # per-entity quantile_cont at each raw alpha added to the point
+    # forecast (ref conformal.py:6-38).
+    o["conformal_enbpi"] = (
+        f"WITH q AS (SELECT user_id, ts, value, row_number() OVER w AS rn, "
+        "COUNT(*) OVER (PARTITION BY user_id) AS n, "
+        f"AVG(value) OVER (PARTITION BY user_id) AS mu FROM events {_W}), "
+        "qs AS (SELECT user_id, "
+        "quantile_cont(value - mu, 0.25) AS q1, "
+        "quantile_cont(value - mu, 0.75) AS q2 FROM q GROUP BY user_id), "
+        "p AS (SELECT user_id, ts, value FROM q WHERE rn > n - 2) "
+        f"SELECT p.user_id, p.ts, {_r('p.value + qs.q1')} AS value, "
+        "0.25 AS quantile FROM p JOIN qs USING (user_id) "
+        "UNION ALL "
+        f"SELECT p.user_id, p.ts, {_r('p.value + qs.q2')} AS value, "
+        "0.75 AS quantile FROM p JOIN qs USING (user_id) "
+        "ORDER BY 1, 2, 4"
+    )
+
     # future_holidays: rebuild BOTH vendored calendars in pure SQL —
     # fixed dates, nth-weekday rules (isodow arithmetic), and the
     # Anonymous Gregorian computus for the DE Easter-based holidays —
