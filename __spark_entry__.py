@@ -2358,6 +2358,21 @@ def q_corpus_temperature_mix(spark, sf_dir):
     return _round_floats(temperature_mix_weights(docs, alpha=0.7)).orderBy("lang")
 
 
+def q_corpus_dsir(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    bucket LMs of the en slice (target) vs the whole corpus (raw);
+    per-doc log weight = sum of bucket log-ratios. md5 hash variant so
+    the bucket arithmetic, both count tables, the smoothing, and the
+    per-doc sum all replay byte-for-byte in SQL."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.sampling import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    out = dsir_weights(docs, target, n_buckets=256, hash_fn="md5")
+    return _round_floats(out).orderBy("doc_id")
+
+
 def q_text_filter_language(spark, sf_dir):
     """Language-allowlist cut: keep docs the lexicon scorer detects as
     en/de; every surviving id replays through the score fold."""
@@ -2581,6 +2596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embedding_kmeans": q_embedding_kmeans,
             "corpus_quantiles": q_corpus_quantiles,
             "corpus_temperature_mix": q_corpus_temperature_mix,
+            "corpus_dsir": q_corpus_dsir,
             "dedup_cluster_sizes": q_dedup_cluster_sizes,
             "text_hashed_features": q_text_hashed_features,
             "text_lang_confusion": q_text_lang_confusion,
@@ -2733,6 +2749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_balanced_sample",
         "events_json_props",
         "conformal_enbpi",
+        "corpus_dsir",
         "tpch_revenue_panel",
         "tpch_supplier_features",
         "future_holidays",

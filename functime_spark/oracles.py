@@ -3639,6 +3639,36 @@ ORDER BY 1, 2
     # --- stratified_sample: same md5-bucket arithmetic as the Spark
     # filter (hex prefix -> bigint -> pmod), per-language fractions
     _bkt = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000)"
+    # --- corpus_dsir: DSIR hashed-ngram importance weights replayed —
+    # unigram+bigram stream, the md5 bucket arithmetic, both count
+    # tables (target = en slice), add-1 smoothing over 256 buckets,
+    # and the per-doc log-ratio sum.
+    o["corpus_dsir"] = (
+        "WITH tok AS (SELECT doc_id, "
+        r"list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws "
+        "FROM documents), "
+        "st AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM tok), "
+        "f AS (SELECT doc_id, ws[CAST(i AS BIGINT)] AS t FROM st "
+        "UNION ALL SELECT doc_id, ws[CAST(i - 1 AS BIGINT)] || ' ' || "
+        "ws[CAST(i AS BIGINT)] AS t FROM st WHERE i > 1), "
+        "b AS (SELECT doc_id, "
+        "(('0x' || substr(md5('1:' || t), 1, 15))::BIGINT % 256) AS bkt FROM f), "
+        "ct AS (SELECT bkt, CAST(COUNT(*) AS DOUBLE) AS c FROM b "
+        "JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY bkt), "
+        "cr AS (SELECT bkt, CAST(COUNT(*) AS DOUBLE) AS c FROM b GROUP BY bkt), "
+        "tot AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM ct) AS T, "
+        "(SELECT COALESCE(SUM(c), 0) FROM cr) AS R), "
+        "sc AS (SELECT b.doc_id, "
+        "ln((COALESCE(ct.c, 0) + 1.0) / (tot.T + 256.0)) - "
+        "ln((COALESCE(cr.c, 0) + 1.0) / (tot.R + 256.0)) AS lr "
+        "FROM b LEFT JOIN ct USING (bkt) LEFT JOIN cr USING (bkt) CROSS JOIN tot), "
+        "pd AS (SELECT doc_id, COUNT(*) AS k, SUM(lr) AS lw FROM sc GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(COALESCE(pd.k, 0) AS BIGINT) AS n_feats, "
+        + _r("COALESCE(pd.lw, 0)")
+        + " AS log_weight FROM documents d LEFT JOIN pd USING (doc_id) "
+        "ORDER BY d.doc_id"
+    )
+
     o["stratified_sample"] = (
         "SELECT doc_id, lang, source FROM documents WHERE "
         f"(lang = 'en' AND {_bkt} < 5000) OR "

@@ -238,6 +238,97 @@ def temperature_mix_weights(
     )
 
 
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    smoothing: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023): per-document log importance weight under hashed-n-gram
+    (unigram + bigram) bag-of-buckets language models of a small
+    ``target`` corpus vs the raw corpus being scored —
+    log w(x) = sum_f [ log p_target(bucket(f)) - log p_raw(bucket(f)) ]
+    with add-``smoothing`` estimates over ``n_buckets`` hash buckets.
+    Documents resampled proportional to exp(log_weight) approximate
+    the target distribution; pair with `stratified_sample`-style
+    deterministic cuts on the returned frame.
+
+    Scale shape: the two bucket-count tables are one hash aggregate
+    each and hold <= n_buckets rows, so they BROADCAST to the scoring
+    pass; scoring is one explode + two broadcast joins + a per-doc
+    aggregate (map-side combine -> one shuffled row per doc). The raw
+    corpus is read twice (count pass + scoring pass) — inherent to the
+    estimator, and both passes are full codegen. ``hash_fn='md5'`` is
+    the oracle-replayable variant (see dedup._hash64).
+
+    Output: (id, n_feats, log_weight); docs with no tokens get
+    (0, 0.0)."""
+    from functime_spark.pipeline.dedup import _hash64
+
+    def feat_buckets(df: DataFrame) -> DataFrame:
+        ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+        staged = df.select(F.col(id_col), ws.alias("__w"))
+        m = F.greatest(F.size("__w") - 1, F.lit(0))
+        bi = F.zip_with(
+            F.slice("__w", 1, m),
+            F.slice("__w", 2, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        buckets = F.transform(
+            F.concat("__w", bi),
+            lambda t: F.pmod(
+                _hash64(t, seed=1, hash_fn=hash_fn), F.lit(n_buckets)
+            ).cast("long"),
+        )
+        return staged.select(F.col(id_col), F.explode(buckets).alias("bkt"))
+
+    fr = feat_buckets(docs)
+    ct = feat_buckets(target).groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("double").alias("__ct")
+    )
+    cr = fr.groupBy("bkt").agg(F.count(F.lit(1)).cast("double").alias("__cr"))
+    # <= n_buckets rows each, reused by the totals AND the probe join —
+    # materialize so neither corpus re-tokenizes per branch
+    ct = ct.localCheckpoint()
+    cr = cr.localCheckpoint()
+    tt = ct.agg(F.coalesce(F.sum("__ct"), F.lit(0.0)).alias("__T"))
+    tr = cr.agg(F.coalesce(F.sum("__cr"), F.lit(0.0)).alias("__R"))
+    a = float(smoothing)
+    ak = a * n_buckets
+    lr = F.log(
+        (F.coalesce(F.col("__ct"), F.lit(0.0)) + F.lit(a))
+        / (F.col("__T") + F.lit(ak))
+    ) - F.log(
+        (F.coalesce(F.col("__cr"), F.lit(0.0)) + F.lit(a))
+        / (F.col("__R") + F.lit(ak))
+    )
+    per_doc = (
+        fr.join(F.broadcast(ct), on="bkt", how="left")
+        .join(F.broadcast(cr), on="bkt", how="left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+        .select(id_col, lr.alias("__lr"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("__lr").alias("log_weight"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+        )
+    )
+
+
 def corpus_quantiles(
     docs: DataFrame,
     value_col: str = "n_chars",

@@ -2139,6 +2139,43 @@ def test_temperature_mix_weights_properties(spark):
             assert w["en"].weight < w["en"].current_frac
 
 
+def test_dsir_weights_rank_and_edges(spark):
+    """DSIR (Xie et al. 2023): docs sharing the target's n-gram
+    buckets must outweigh off-target docs; empty/NULL text scores
+    (0, 0.0); weights are deterministic under repartition; the count
+    tables broadcast (never a corpus-sized shuffle join)."""
+    from functime_spark.pipeline.sampling import dsir_weights
+    from functime_spark.plans import explain_str, python_eval_nodes
+
+    rows = [
+        (0, "en", "the quick brown fox jumps over the lazy dog"),
+        (1, "en", "the quick brown fox runs under the busy dog"),
+        (2, "de", "der schnelle braune fuchs springt ganz weit weg"),
+        (3, "de", None),
+        (4, "de", "   "),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    target = d.filter("lang = 'en'")
+    out = dsir_weights(d, target, n_buckets=64)
+    got = {r.doc_id: r for r in out.collect()}
+    # target-like text outweighs off-target text
+    assert got[0].log_weight > got[2].log_weight
+    assert got[1].log_weight > got[2].log_weight
+    # empty / NULL text: zero features, neutral weight
+    assert (got[3].n_feats, got[3].log_weight) == (0, 0.0)
+    assert (got[4].n_feats, got[4].log_weight) == (0, 0.0)
+    # unigrams + bigrams: 9 words -> 9 + 8 features
+    assert got[0].n_feats == 17
+    # deterministic under repartition
+    re_d = d.repartition(7)
+    got2 = {r.doc_id: r.log_weight for r in
+            dsir_weights(re_d, target, n_buckets=64).collect()}
+    assert all(abs(got2[k] - got[k].log_weight) < 1e-12 for k in got2)
+    # plan: full codegen, count tables broadcast
+    assert python_eval_nodes(out) == []
+    assert "BroadcastHashJoin" in explain_str(out, "simple")
+
+
 def test_corpus_quantiles_matches_numpy(spark):
     """Exact quantiles == numpy linear-interpolation percentiles."""
     import numpy as np
