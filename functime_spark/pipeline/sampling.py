@@ -238,6 +238,115 @@ def temperature_mix_weights(
     )
 
 
+def _dsir_bucket_arr(text_col: str, n_buckets: int, hash_fn: str):
+    """Per-row array of hashed unigram+bigram feature buckets — the
+    ONE feature definition `fit_dsir` and `dsir_score` share (drift
+    here would score against a differently-hashed model)."""
+    from functime_spark.pipeline.dedup import _hash64
+
+    # coalesce: NULL text must yield an EMPTY feature array (n_feats 0)
+    # — F.size(NULL) is -1 under the repo's non-ANSI session
+    ws = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != "",
+    )
+    m = F.greatest(F.size(ws) - 1, F.lit(0))
+    bi = F.zip_with(
+        F.slice(ws, 1, m), F.slice(ws, 2, m),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.transform(
+        F.concat(ws, bi),
+        lambda t: F.pmod(
+            _hash64(t, seed=1, hash_fn=hash_fn), F.lit(n_buckets)
+        ).cast("int"),
+    )
+
+
+def fit_dsir(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    smoothing: float = 1.0,
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> dict:
+    """Fit the DSIR importance model (Xie et al. 2023): hashed-n-gram
+    (unigram + bigram) bag-of-buckets LMs of a small ``target`` corpus
+    vs the ``docs`` raw corpus, add-``smoothing`` estimated over
+    ``n_buckets`` hash buckets. Returns
+    {"log_ratios": [log p_target(b) - log p_raw(b)] * n_buckets, ...}
+    — the model is one float per bucket, O(n_buckets) regardless of
+    corpus size (the hashing trick's whole point), so it ships to any
+    scorer as a plan constant or a broadcast.
+
+    ONE hash aggregate per corpus (explode buckets -> count), each
+    collected at <= n_buckets rows. ``hash_fn='md5'`` is the
+    oracle-replayable variant (see dedup._hash64)."""
+    import math
+
+    def counts(df: DataFrame) -> dict:
+        staged = df.select(
+            _dsir_bucket_arr(text_col, n_buckets, hash_fn).alias("__b")
+        )
+        rows = (
+            staged.select(F.explode("__b").alias("bkt"))
+            .groupBy("bkt")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        return {r["bkt"]: r["c"] for r in rows}
+
+    ct, cr = counts(target), counts(docs)
+    a = float(smoothing)
+    ak = a * n_buckets
+    t_tot, r_tot = float(sum(ct.values())), float(sum(cr.values()))
+    log_ratios = [
+        math.log((ct.get(b, 0) + a) / (t_tot + ak))
+        - math.log((cr.get(b, 0) + a) / (r_tot + ak))
+        for b in range(n_buckets)
+    ]
+    return {
+        "log_ratios": log_ratios,
+        "n_buckets": n_buckets,
+        "smoothing": a,
+        "hash_fn": hash_fn,
+        "text_col": text_col,
+    }
+
+
+def dsir_score(
+    docs: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents under a fitted DSIR model: log importance
+    weight = left-to-right fold of the per-bucket log-ratios over the
+    row's OWN feature array. A pure zero-shuffle projection — the
+    model rides as a single array constant in the plan (n_buckets
+    doubles; at 4096 that is 32 KB — for million-bucket models switch
+    to a broadcast one-row frame), so the same expression is
+    stream-legal with no state and no join.
+
+    Output: (id, n_feats, log_weight); docs with no tokens get
+    (0, 0.0)."""
+    buckets = _dsir_bucket_arr(
+        model["text_col"], model["n_buckets"], model["hash_fn"]
+    )
+    lr = F.lit([float(v) for v in model["log_ratios"]])
+    staged = docs.select(F.col(id_col), buckets.alias("__b"))
+    lw = F.aggregate(
+        F.col("__b"),
+        F.lit(0.0),
+        lambda acc, b: acc + F.element_at(lr, b + 1),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.coalesce(F.size("__b"), F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce(lw, F.lit(0.0)).alias("log_weight"),
+    )
+
+
 def dsir_weights(
     docs: DataFrame,
     target: DataFrame,
@@ -248,85 +357,18 @@ def dsir_weights(
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Data Selection with Importance Resampling (DSIR, Xie et al.
-    2023): per-document log importance weight under hashed-n-gram
-    (unigram + bigram) bag-of-buckets language models of a small
-    ``target`` corpus vs the raw corpus being scored —
-    log w(x) = sum_f [ log p_target(bucket(f)) - log p_raw(bucket(f)) ]
-    with add-``smoothing`` estimates over ``n_buckets`` hash buckets.
-    Documents resampled proportional to exp(log_weight) approximate
-    the target distribution; pair with `stratified_sample`-style
-    deterministic cuts on the returned frame.
+    2023) end-to-end: fit the hashed-n-gram bucket models, score every
+    document — log w(x) = sum_f [log p_target(bucket(f)) -
+    log p_raw(bucket(f))]. Documents resampled proportional to
+    exp(log_weight) approximate the target distribution; pair with
+    `stratified_sample`-style deterministic cuts on the result.
 
-    Scale shape: the two bucket-count tables are one hash aggregate
-    each and hold <= n_buckets rows, so they BROADCAST to the scoring
-    pass; scoring is one explode + two broadcast joins + a per-doc
-    aggregate (map-side combine -> one shuffled row per doc). The raw
-    corpus is read twice (count pass + scoring pass) — inherent to the
-    estimator, and both passes are full codegen. ``hash_fn='md5'`` is
-    the oracle-replayable variant (see dedup._hash64).
-
-    Output: (id, n_feats, log_weight); docs with no tokens get
-    (0, 0.0)."""
-    from functime_spark.pipeline.dedup import _hash64
-
-    def feat_buckets(df: DataFrame) -> DataFrame:
-        ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
-        staged = df.select(F.col(id_col), ws.alias("__w"))
-        m = F.greatest(F.size("__w") - 1, F.lit(0))
-        bi = F.zip_with(
-            F.slice("__w", 1, m),
-            F.slice("__w", 2, m),
-            lambda a, b: F.concat_ws(" ", a, b),
-        )
-        buckets = F.transform(
-            F.concat("__w", bi),
-            lambda t: F.pmod(
-                _hash64(t, seed=1, hash_fn=hash_fn), F.lit(n_buckets)
-            ).cast("long"),
-        )
-        return staged.select(F.col(id_col), F.explode(buckets).alias("bkt"))
-
-    fr = feat_buckets(docs)
-    ct = feat_buckets(target).groupBy("bkt").agg(
-        F.count(F.lit(1)).cast("double").alias("__ct")
-    )
-    cr = fr.groupBy("bkt").agg(F.count(F.lit(1)).cast("double").alias("__cr"))
-    # <= n_buckets rows each, reused by the totals AND the probe join —
-    # materialize so neither corpus re-tokenizes per branch
-    ct = ct.localCheckpoint()
-    cr = cr.localCheckpoint()
-    tt = ct.agg(F.coalesce(F.sum("__ct"), F.lit(0.0)).alias("__T"))
-    tr = cr.agg(F.coalesce(F.sum("__cr"), F.lit(0.0)).alias("__R"))
-    a = float(smoothing)
-    ak = a * n_buckets
-    lr = F.log(
-        (F.coalesce(F.col("__ct"), F.lit(0.0)) + F.lit(a))
-        / (F.col("__T") + F.lit(ak))
-    ) - F.log(
-        (F.coalesce(F.col("__cr"), F.lit(0.0)) + F.lit(a))
-        / (F.col("__R") + F.lit(ak))
-    )
-    per_doc = (
-        fr.join(F.broadcast(ct), on="bkt", how="left")
-        .join(F.broadcast(cr), on="bkt", how="left")
-        .crossJoin(F.broadcast(tt))
-        .crossJoin(F.broadcast(tr))
-        .select(id_col, lr.alias("__lr"))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_feats"),
-            F.sum("__lr").alias("log_weight"),
-        )
-    )
-    return (
-        docs.select(id_col)
-        .join(per_doc, on=id_col, how="left")
-        .select(
-            id_col,
-            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
-            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
-        )
-    )
+    Scale shape: two count aggregates (each collected at <= n_buckets
+    rows — that bounded table IS the model) + one zero-shuffle scoring
+    projection. The raw corpus is read twice (count pass + scoring
+    pass) — inherent to the estimator; both passes are full codegen."""
+    model = fit_dsir(docs, target, n_buckets, smoothing, text_col, hash_fn)
+    return dsir_score(docs, model, id_col)
 
 
 def corpus_quantiles(

@@ -2171,9 +2171,20 @@ def test_dsir_weights_rank_and_edges(spark):
     got2 = {r.doc_id: r.log_weight for r in
             dsir_weights(re_d, target, n_buckets=64).collect()}
     assert all(abs(got2[k] - got[k].log_weight) < 1e-12 for k in got2)
-    # plan: full codegen, count tables broadcast
+    # plan: full codegen, and scoring is a ZERO-shuffle projection —
+    # the model is a plan constant, no join, no exchange
+    from functime_spark.pipeline.sampling import dsir_score, fit_dsir
+    from functime_spark.plans import assert_max_exchanges
+
     assert python_eval_nodes(out) == []
-    assert "BroadcastHashJoin" in explain_str(out, "simple")
+    model = fit_dsir(d, target, n_buckets=64)
+    scored = dsir_score(d, model)
+    assert_max_exchanges(scored, 0)
+    assert "Join" not in explain_str(scored, "simple")
+    got3 = {r.doc_id: r for r in scored.collect()}
+    assert all(
+        abs(got3[k].log_weight - got[k].log_weight) < 1e-12 for k in got3
+    )
 
 
 def test_corpus_quantiles_matches_numpy(spark):
