@@ -267,6 +267,36 @@ def test_stream_lm_score_matches_batch(spark, tmp_path):
         shutil.rmtree(path, ignore_errors=True)
 
 
+def test_stream_dsir_score_matches_batch(spark, tmp_path):
+    """dsir_score is a pure projection (model = plan constant), so the
+    SAME function must run unchanged on a streaming frame and match
+    the batch values row-for-row."""
+    import shutil
+
+    from functime_spark.pipeline.sampling import dsir_score, fit_dsir
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} common word here") for i in range(30)],
+        "doc_id long, text string",
+    )
+    target = docs.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "dsir_docs")
+    docs.repartition(2).write.parquet(path)
+    try:
+        model = fit_dsir(docs, target, n_buckets=128)
+        batch = {r["doc_id"]: r for r in dsir_score(docs, model).collect()}
+        sdf = spark.readStream.schema(docs.schema).parquet(path)
+        out = _run_stream(spark, dsir_score(sdf, model), "dsir_scores")
+        rows = out.collect()
+        assert len(rows) == 30
+        for r in rows:
+            b = batch[r["doc_id"]]
+            assert r["n_feats"] == b["n_feats"]
+            assert r["log_weight"] == pytest.approx(b["log_weight"], abs=1e-12)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def test_stream_decontaminate_matches_batch(spark, tmp_path):
     import shutil
 
