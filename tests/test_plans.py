@@ -634,3 +634,34 @@ def test_salted_join_no_broadcast_of_big_side(spark):
         assert out.count() == 10000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", with_thresh)
+
+
+def test_every_gate_query_plan_is_amplification_free(spark):
+    """Global regression net: EVERY __spark_entry__ gate query must
+    build a plan with a bounded shuffle count and bounded source-scan
+    count at sf0.001. This is exactly the audit that caught the
+    round-3 tf-idf lineage amplification (32 exchanges / 16 scans from
+    an un-materialized frame feeding four plan branches) — pinned
+    corpus-wide so the NEXT un-checkpointed reuse fails here instead
+    of surfacing as an N-times read amplification at scale. Current
+    worst cases: dedup_minhash_incr 9 exchanges (signature store
+    round-trip), tpch_revenue_panel 8 scans (a real 4-table star
+    join); the caps leave no room for a lineage re-execution blowup.
+    Plan-build only — nothing executes."""
+    import importlib.util
+
+    from functime_spark.plans.checks import count_exchanges, count_file_scans
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_for_plans", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    sf = "/root/testdata/sf0.001"
+    offenders = []
+    for name, fn in mod.queries().items():
+        df = fn(spark, sf)
+        ex, sc = count_exchanges(df), count_file_scans(df)
+        if ex > 10 or sc > 9:
+            offenders.append((name, ex, sc))
+    assert not offenders, f"plan amplification (exchanges>10 or scans>9): {offenders}"
