@@ -1784,6 +1784,13 @@ def test_pipeline_ops_survive_empty_corpus(spark):
     assert fit_bpe(empty, n_merges=4) == []
     assert bpe_vocab([], spark).count() == 0
     assert hashed_features(empty, dim=8).count() == 0
+    # DSIR: empty raw corpus, empty target, or both — the smoothed
+    # model is still well-defined and scoring returns empty/neutral
+    assert S.dsir_weights(empty, probe, n_buckets=32).count() == 0
+    m = S.fit_dsir(probe, empty, n_buckets=32)
+    scored = {r.doc_id: r for r in S.dsir_score(probe, m).collect()}
+    assert scored[1].n_feats == 7  # 4 unigrams + 3 bigrams
+    assert S.dsir_weights(empty, empty, n_buckets=32).count() == 0
 
 
 def test_ann_model_save_load_roundtrip(spark, tmp_path):
