@@ -320,3 +320,31 @@ def test_dedup_priority_matches_serial_replay(spark, docs):
         win = min(copies, key=lambda c: (rank(c[1]), c[0]))
         exp[win[0]] = (win[1], len(copies))
     assert got == exp
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc xyz", min_size=0, max_size=30),
+        min_size=1,
+        max_size=15,
+    ),
+    n_buckets=st.sampled_from([16, 64, 256]),
+)
+def test_dsir_self_target_is_exactly_zero(spark, texts, n_buckets):
+    """DSIR identity: when the target IS the raw corpus, both bucket
+    LMs coincide, so every per-bucket log-ratio — and therefore every
+    document's log weight — is EXACTLY 0.0 (not just approximately:
+    the two log terms are the same float). n_feats still counts the
+    unigram+bigram stream."""
+    from functime_spark.pipeline.sampling import dsir_weights
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = dsir_weights(d, d, n_buckets=n_buckets).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        assert r.log_weight == 0.0
+        n_words = len([w for w in texts[r.doc_id].split() if w])
+        assert r.n_feats == max(0, 2 * n_words - 1)
