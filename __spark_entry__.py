@@ -1215,6 +1215,13 @@ def q_corpus_clean_attrition(spark, sf_dir):
     _, rep = clean_corpus(
         docs,
         use_gopher=True,
+        # corpus-tuned thresholds: the synthetic docs average ~54 words
+        # of non-stopword text, so the Rae defaults (>=50 words, >=2
+        # English stopwords) drop the WHOLE corpus and every downstream
+        # stage would compose over empty input — relax exactly the two
+        # documented knobs so the composite actually exercises dedup,
+        # clustering, and the tier cut on a live population
+        gopher_params={"min_words": 10, "min_stopword_hits": 0},
         dedup="minhash",
         minhash_threshold=0.3,
         minhash_hash_fn="md5",

@@ -4281,11 +4281,14 @@ ORDER BY 1, 2
         "SUM(cnt - 1) / CAST(SUM(cnt) AS DOUBLE) AS dup_line_frac, "
         "SUM((cnt - 1) * length(line)) / CAST(SUM(cnt * length(line)) AS DOUBLE) AS dup_line_char_frac "
         "FROM gpl GROUP BY doc_id), "
+        # corpus-tuned gopher knobs (min_words=10, min_stopword_hits=0)
+        # — mirrors q_corpus_clean_attrition's gopher_params so the
+        # downstream stages replay over a LIVE population
         "g_keep AS (SELECT b.doc_id FROM gbase b JOIN grep USING (doc_id) WHERE "
-        "b.n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0 "
+        "b.n_words BETWEEN 10 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0 "
         "AND symbol_to_word <= 0.1 AND bullet_line_frac <= 0.9 "
         "AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8 "
-        "AND stopword_hits >= 2 AND dup_line_frac <= 0.3 "
+        "AND stopword_hits >= 0 AND dup_line_frac <= 0.3 "
         "AND dup_line_char_frac <= 0.2)"
     )
     _mh_surv = (

@@ -24,6 +24,7 @@ def clean_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     use_gopher: bool = True,
+    gopher_params: dict | None = None,
     normalize: bool = False,
     html_strip: bool = False,
     mojibake_max: float | None = None,
@@ -51,7 +52,11 @@ def clean_corpus(
     0b. url — URL-level dedup on `url_col` (cheapest dedup tier);
     0c. language — keep docs whose lexicon-detected language is in
        ``languages`` (row-local scoring + a semi join);
-    1. gopher  — Rae et al. 2021 quality rules (row-local filter);
+    1. gopher  — Rae et al. 2021 quality rules (row-local filter;
+       ``gopher_params`` forwards threshold overrides, e.g.
+       {"min_words": 10, "min_stopword_hits": 0} for short-form or
+       non-English corpora the default English-stopword rule would
+       drop wholesale);
     1b. c4     — Raffel et al. 2020 line/doc rules (rewrites text_col
        to the kept lines, drops lorem-ipsum/brace/thin docs);
     2. exact   — md5 exact dedup, keep min id;
@@ -131,7 +136,9 @@ def clean_corpus(
     if use_gopher:
         from functime_spark.pipeline.text import gopher_quality_filter
 
-        flags = gopher_quality_filter(cur, text_col=text_col, id_col=id_col)
+        flags = gopher_quality_filter(
+            cur, text_col=text_col, id_col=id_col, **(gopher_params or {})
+        )
         keep = flags.filter(F.col("passes") == 1).select(id_col)
         step("gopher", cur.join(keep, on=id_col, how="left_semi"))
     if use_c4:

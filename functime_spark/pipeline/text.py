@@ -220,10 +220,19 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
 def gopher_quality_filter(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stopword_hits: int = 2,
 ) -> DataFrame:
     """Per-document Gopher quality metrics + rule verdicts + overall
-    `passes` flag.
+    `passes` flag. Defaults are the Rae et al. 2021 thresholds; the
+    word-count window and the stopword floor are the knobs real
+    pipelines tune per corpus (short-form or non-English slices fail
+    the English-stopword rule wholesale), so those three are
+    parameters — every other rule is fixed.
 
     Scale design: EVERY signal — including the within-doc repetition
     fractions — is a pure Column expression: whole-stage codegen, ZERO
@@ -294,13 +303,13 @@ def gopher_quality_filter(
         dup_char.alias("dup_line_char_frac"),
     )
     passes = (
-        F.col("n_words").between(50, 100_000)
+        F.col("n_words").between(int(min_words), int(max_words))
         & F.col("mean_word_len").between(3.0, 10.0)
         & (F.col("symbol_to_word") <= 0.1)
         & (F.col("bullet_line_frac") <= 0.9)
         & (F.col("ellipsis_line_frac") <= 0.3)
         & (F.col("alpha_word_frac") >= 0.8)
-        & (F.col("stopword_hits") >= 2)
+        & (F.col("stopword_hits") >= int(min_stopword_hits))
         & (F.col("dup_line_frac") <= 0.3)
         & (F.col("dup_line_char_frac") <= 0.2)
     )
