@@ -1022,6 +1022,12 @@ def minhash_dedup_incremental(
     next to the store and refit (re-sign the corpus) if it differs on
     load — mixing schemes silently zeroes est_jaccard for every
     store-vs-new pair and re-admits known duplicates."""
+    if store_sigs is not None and not isinstance(store_sigs, DataFrame):
+        raise TypeError(
+            "store_sigs must be a signature DataFrame (id, sig) — e.g. "
+            "spark.read.parquet(<store path>) — or None for the first "
+            f"batch; got {type(store_sigs).__name__}"
+        )
     new_sigs = minhash_signatures(
         new_docs, text_col, id_col, n_hashes, shingle_n, hash_fn
     )
