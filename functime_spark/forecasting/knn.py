@@ -48,19 +48,27 @@ def _kmeans(X: np.ndarray, k: int, iters: int = 10, seed: int = 7) -> np.ndarray
 
 
 def _brute_knn_step(ref_payload):
-    """fn(feats[E,k]) -> yhat[E] over the broadcast reference matrix."""
+    """fn(feats[E,k]) -> yhat[E] over the broadcast reference matrix.
+
+    Queries are processed in row chunks that cap the E x n_ref
+    distance matrix at ~8M doubles (64 MB): an unchunked step on a
+    full Arrow batch against a 100k-row reference allocates
+    multi-GB temporaries per recursion step and thrashes instead of
+    computing. r.r is hoisted out of the per-chunk loop."""
     feats_ref, targs_ref, k = ref_payload
+    rr = (feats_ref * feats_ref).sum(1)[None, :]
+    kk = min(k, feats_ref.shape[0])
+    chunk = max(1, (1 << 23) // max(1, feats_ref.shape[0]))
 
     def step(q: np.ndarray) -> np.ndarray:
-        # ||q - r||^2 = q.q - 2 q.r + r.r ; argpartition for top-k
-        d = (
-            (q * q).sum(1)[:, None]
-            - 2.0 * (q @ feats_ref.T)
-            + (feats_ref * feats_ref).sum(1)[None, :]
-        )
-        kk = min(k, feats_ref.shape[0])
-        idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
-        return targs_ref[idx].mean(1)
+        out = np.empty(len(q), dtype="float64")
+        for s in range(0, len(q), chunk):
+            qq = q[s : s + chunk]
+            # ||q - r||^2 = q.q - 2 q.r + r.r ; argpartition for top-k
+            d = (qq * qq).sum(1)[:, None] - 2.0 * (qq @ feats_ref.T) + rr
+            idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            out[s : s + chunk] = targs_ref[idx].mean(1)
+        return out
 
     return step
 
@@ -178,7 +186,13 @@ class knn(Forecaster):
                 )
 
         schema = f"{entity} {entity_dtype}, step int, __yhat double"
-        return y_lag.mapInPandas(run, schema=schema)
+        # the per-entity state frame is tiny after its aggregate, so AQE
+        # coalesces it to ONE partition and the whole Arrow scan would run
+        # in a single task; spread it across the cluster first (no-op when
+        # the frame is already parallel)
+        from functime_spark.pipeline._util import spread_for_cpu
+
+        return spread_for_cpu(y_lag).mapInPandas(run, schema=schema)
 
     def _predict_recursive(self, fh: int) -> DataFrame:
         y_lag = self.state["y_lag"]
@@ -220,7 +234,13 @@ class knn(Forecaster):
                 )
 
         schema = f"{entity} {entity_dtype}, step int, __yhat double"
-        return y_lag.mapInPandas(run, schema=schema)
+        # the per-entity state frame is tiny after its aggregate, so AQE
+        # coalesces it to ONE partition and the whole Arrow scan would run
+        # in a single task; spread it across the cluster first (no-op when
+        # the frame is already parallel)
+        from functime_spark.pipeline._util import spread_for_cpu
+
+        return spread_for_cpu(y_lag).mapInPandas(run, schema=schema)
 
 
 class ann(knn):
@@ -320,4 +340,10 @@ class ann(knn):
                 )
 
         schema = f"{entity} {entity_dtype}, step int, __yhat double"
-        return y_lag.mapInPandas(run, schema=schema)
+        # the per-entity state frame is tiny after its aggregate, so AQE
+        # coalesces it to ONE partition and the whole Arrow scan would run
+        # in a single task; spread it across the cluster first (no-op when
+        # the frame is already parallel)
+        from functime_spark.pipeline._util import spread_for_cpu
+
+        return spread_for_cpu(y_lag).mapInPandas(run, schema=schema)
