@@ -395,7 +395,13 @@ def extract_features_udf(
             row[name] = [fn(x, **params)]
         return pd.DataFrame(row)
 
-    return df.select(entity, time, value).groupBy(entity).applyInPandas(run, schema=schema)
+    from functime_spark.pipeline._util import spread_groups
+
+    # explicit-count repartition: AQE byte-coalescing otherwise
+    # serializes this Python-kernel stage onto one task
+    return spread_groups(
+        df.select(entity, time, value), entity
+    ).groupBy(entity).applyInPandas(run, schema=schema)
 
 
 def cusum(
@@ -459,4 +465,10 @@ def cusum(
             {entity: pdf[entity], time: pdf[time], "event": events}
         )
 
-    return df.select(entity, time, value).groupBy(entity).applyInPandas(run, schema=schema)
+    from functime_spark.pipeline._util import spread_groups
+
+    # explicit-count repartition: AQE byte-coalescing otherwise
+    # serializes this Python-kernel stage onto one task
+    return spread_groups(
+        df.select(entity, time, value), entity
+    ).groupBy(entity).applyInPandas(run, schema=schema)

@@ -166,7 +166,9 @@ def normality_test(df: DataFrame) -> DataFrame:
         x = pdf.sort_values(t)[v].to_numpy(dtype="float64")
         return pd.DataFrame({e: [pdf[e].iloc[0]], "normal_test": [_dagostino_k2(x)]})
 
-    return df.groupBy(e).applyInPandas(
+    from functime_spark.pipeline._util import spread_groups
+
+    return spread_groups(df, e).groupBy(e).applyInPandas(
         run, schema=f"{e} {entity_dtype}, normal_test double"
     )
 

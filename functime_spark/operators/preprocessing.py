@@ -864,7 +864,11 @@ class _power_transform(Transformer):
                 row[f"{c}__lmbd"] = [fn(pdf[c].to_numpy())]
             return pd.DataFrame(row)
 
-        return df.groupBy(p.entity).applyInPandas(fit, schema=schema)
+        from functime_spark.pipeline._util import spread_groups
+
+        return spread_groups(df, p.entity).groupBy(p.entity).applyInPandas(
+            fit, schema=schema
+        )
 
     def transform(self, df: DataFrame) -> DataFrame:
         p = panel_cols(df)
@@ -1068,7 +1072,11 @@ class deseasonalize_fourier(Transformer):
                 row[c] = [float(b)]
             return pd.DataFrame(row)
 
-        return df.groupBy(p.entity).applyInPandas(fit, schema=schema)
+        from functime_spark.pipeline._util import spread_groups
+
+        return spread_groups(df, p.entity).groupBy(p.entity).applyInPandas(
+            fit, schema=schema
+        )
 
     def transform(self, df: DataFrame) -> DataFrame:
         p = panel_cols(df)
