@@ -665,3 +665,20 @@ def test_every_gate_query_plan_is_amplification_free(spark):
         if ex > 10 or sc > 9:
             offenders.append((name, ex, sc))
     assert not offenders, f"plan amplification (exchanges>10 or scans>9): {offenders}"
+
+
+def test_python_kernel_group_stages_not_byte_coalesced(spark):
+    """AQE coalesces shuffles by BYTES; per-entity panels are tiny in
+    bytes but heavy in Python CPU, so an un-spread scipy group-map
+    stage silently serializes onto one task (measured 3.5x on the
+    sf0.1 UDF feature pass). Pin: the group-map output keeps cluster
+    parallelism instead of collapsing to 1 partition."""
+    from functime_spark.functions.features_udf import extract_features_udf
+    from functime_spark.operators.evaluation import normality_test
+
+    rows = [(f"e{i % 40}", t, float(i % 7)) for i, t in enumerate(range(800))]
+    y = spark.createDataFrame(rows, "entity string, t long, y double")
+    target = spark.sparkContext.defaultParallelism
+    out = extract_features_udf(y, ["sample_entropy"])
+    assert out.rdd.getNumPartitions() == target
+    assert normality_test(y).rdd.getNumPartitions() == target
