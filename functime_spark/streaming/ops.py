@@ -39,6 +39,37 @@ def _duration(freq: str) -> str:
     return f"{n} {_DURATIONS[unit]}"
 
 
+def _watermarked(df: DataFrame, time_col: str, watermark: str):
+    """Apply an event-time watermark, tolerating TIMESTAMP_NTZ.
+
+    Spark watermarks require TIMESTAMP (with local timezone), but the
+    NANOS-ingested events panel carries TIMESTAMP_NTZ — passing it
+    straight to withWatermark raises EVENT_TIME_IS_NOT_ON_TIMESTAMP_
+    TYPE. The session timezone is pinned to UTC (session.py), so an
+    NTZ -> TIMESTAMP cast is value-faithful; callers cast emitted time
+    columns back with the returned flag so batch/stream twins stay
+    dtype-identical.
+
+    Returns (df_with_watermark, was_ntz)."""
+    was_ntz = dict(df.dtypes).get(time_col) == "timestamp_ntz"
+    if was_ntz:
+        df = df.withColumn(time_col, F.col(time_col).cast("timestamp"))
+    if df.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+    return df, was_ntz
+
+
+def _restore_ntz(df: DataFrame, cols: list, was_ntz: bool) -> DataFrame:
+    """Cast the named time columns back to TIMESTAMP_NTZ when the
+    input's event time was NTZ (see _watermarked)."""
+    if not was_ntz:
+        return df
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.col(c).cast("timestamp_ntz"))
+    return out
+
+
 def stream_resample(
     df: DataFrame,
     freq: str,
@@ -54,14 +85,13 @@ def stream_resample(
     p = panel_cols(df)
     agg_fn = {"sum": F.sum, "mean": F.avg, "median": F.median,
               "min": F.min, "max": F.max, "count": F.count}[agg]
-    src = df
-    if df.isStreaming:
-        src = df.withWatermark(p.time, watermark)
-    return (
+    src, was_ntz = _watermarked(df, p.time, watermark)
+    out = (
         src.groupBy(p.entity, F.window(p.time, _duration(freq)).alias("__w"))
         .agg(agg_fn(p.target).alias(p.target))
         .select(p.entity, F.col("__w.start").alias(p.time), p.target)
     )
+    return _restore_ntz(out, [p.time], was_ntz)
 
 
 def stream_rolling_stats(
@@ -77,11 +107,9 @@ def stream_rolling_stats(
     store (no per-row window-function shuffle, streaming-legal).
     """
     p = panel_cols(df)
-    src = df
-    if df.isStreaming:
-        src = df.withWatermark(p.time, watermark)
+    src, was_ntz = _watermarked(df, p.time, watermark)
     win = F.window(p.time, _duration(window), _duration(slide or window))
-    return (
+    out = (
         src.groupBy(p.entity, win.alias("__w"))
         .agg(
             F.avg(p.target).alias("mean"),
@@ -98,6 +126,7 @@ def stream_rolling_stats(
             "mean", "min", "max", "sum", "std", "n",
         )
     )
+    return _restore_ntz(out, ["window_start", "window_end"], was_ntz)
 
 
 def stream_cusum(
@@ -179,10 +208,17 @@ def stream_exact_dedup(
     watermark bounds state size — without it a 100 TB stream's dedup
     state grows unboundedly.
     """
-    wm = df.withWatermark(time_col, watermark)
+    wm, was_ntz = _watermarked(df, time_col, watermark)
+    if not df.isStreaming:
+        # _watermarked only applies the watermark on streams; batch
+        # dropDuplicates needs none (and keeps the input dtypes)
+        wm = df
+        was_ntz = False
     if df.isStreaming and hasattr(wm, "dropDuplicatesWithinWatermark"):
-        return wm.dropDuplicatesWithinWatermark(key_cols)
-    return wm.dropDuplicates(key_cols)
+        out = wm.dropDuplicatesWithinWatermark(key_cols)
+    else:
+        out = wm.dropDuplicates(key_cols)
+    return _restore_ntz(out, [time_col], was_ntz)
 
 
 def sessionize(
@@ -203,11 +239,9 @@ def sessionize(
     the DuckDB oracle replay.
     """
     p = panel_cols(df)
-    src = df
-    if df.isStreaming:
-        src = df.withWatermark(p.time, watermark)
+    src, was_ntz = _watermarked(df, p.time, watermark)
     win = F.session_window(p.time, _duration(gap))
-    return (
+    out = (
         src.groupBy(p.entity, win.alias("__w"))
         .agg(
             F.count("*").alias("n_events"),
@@ -222,6 +256,7 @@ def sessionize(
             p.target,
         )
     )
+    return _restore_ntz(out, ["session_start", "last_event"], was_ntz)
 
 
 def stream_lm_score(

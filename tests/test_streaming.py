@@ -267,6 +267,50 @@ def test_stream_lm_score_matches_batch(spark, tmp_path):
         shutil.rmtree(path, ignore_errors=True)
 
 
+def test_watermarked_ops_accept_timestamp_ntz(spark, tmp_path):
+    """The NANOS-ingested events panel carries TIMESTAMP_NTZ, which
+    Spark watermarks reject (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) —
+    the watermark helper must cast through TIMESTAMP (UTC session, so
+    value-faithful) and emit time columns back as NTZ so batch and
+    stream twins stay dtype- and row-identical."""
+    import shutil
+
+    from functime_spark.streaming.ops import sessionize, stream_resample
+
+    rows = [("a", f"2024-01-0{d} 0{h}:{m:02d}:00", 1.0)
+            for d in (1, 2, 3) for h in range(4) for m in (0, 20)]
+    df = spark.createDataFrame(rows, "entity string, ts string, y double")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    path = str(tmp_path / "ntz_panel")
+    df.write.parquet(path)
+    try:
+        batch_rs = stream_resample(df, "1h", "sum", watermark="1 hour")
+        assert dict(batch_rs.dtypes)["ts"] == "timestamp_ntz"
+        sdf = spark.readStream.schema(df.schema).parquet(path)
+        out = _run_stream(
+            spark, stream_resample(sdf, "1h", "sum", watermark="1 hour"), "ntz_rs"
+        )
+        assert dict(out.dtypes)["ts"] == "timestamp_ntz"
+        got = sorted(map(tuple, out.collect()))
+        want = sorted(map(tuple, batch_rs.collect()))
+        # append mode holds back windows the watermark hasn't closed:
+        # the stream must emit a PREFIX of the batch result (values
+        # identical where emitted) and only the tail may be pending
+        assert got, "watermarked NTZ stream emitted nothing"
+        assert set(got) <= set(want)
+        assert len(got) >= len(want) - 2
+        out2 = _run_stream(
+            spark, sessionize(sdf, gap="30m", watermark="1 hour"), "ntz_sess"
+        )
+        assert dict(out2.dtypes)["session_start"] == "timestamp_ntz"
+        got2 = set(map(tuple, out2.collect()))
+        want2 = set(map(tuple, sessionize(df, gap="30m").collect()))
+        assert got2 and got2 <= want2 and len(got2) >= len(want2) - 2
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def test_stream_dsir_score_matches_batch(spark, tmp_path):
     """dsir_score is a pure projection (model = plan constant), so the
     SAME function must run unchanged on a streaming frame and match
