@@ -1919,9 +1919,12 @@ def q_media_features(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = attach_payload(docs, "doc_id", "text")
     feats = extract_features_media(media, dim=16)
-    return feats.select(
+    out = feats.select(
         "media_id", F.posexplode("feature").alias("j", "v")
     ).orderBy("media_id", "j")
+    # _round_floats casts v float32 -> double: the oracle computes DOUBLE,
+    # and the driver hash is typed (same failure class as r3's HUGEINT).
+    return _round_floats(out)
 
 
 def q_media_resize(spark, sf_dir):

@@ -1191,7 +1191,7 @@ def operator_oracles() -> dict:
         "(strpos('0123456789abcdef', substr(sha256(h || '-' || t.j), i + 1, 1)) - 1) "
         "* (1::BIGINT << (4 * (5 - i))))) / 8388608.0 - 1.0 AS v "
         "FROM base, range(0, 16) t(j)) "
-        "SELECT doc_id AS media_id, j, v FROM feat ORDER BY media_id, j"
+        "SELECT doc_id AS media_id, j, " + _r("v") + " AS v FROM feat ORDER BY media_id, j"
     )
 
     # media_resize: the fake codec's "resized" payload is

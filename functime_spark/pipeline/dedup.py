@@ -333,12 +333,22 @@ def ngram_jaccard_pairs(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("g")
     )
     if max_df_frac is not None:
-        n_docs = docs.count()
-        df_cap = max(2, int(max_df_frac * n_docs))
+        # the df-cutoff stays in-plan: a count(*) aggregate over docs
+        # (parquet metadata-only) cross-joined onto the per-gram doc
+        # frequencies — no docs.count() driver action / extra job
+        n_docs = docs.select(F.count(F.lit(1)).alias("__n"))
         dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
-        grams = (
-            grams.join(dfreq.filter(F.col("__df") > df_cap), on="g", how="left_anti")
+        heavy = (
+            dfreq.crossJoin(n_docs)
+            .filter(
+                F.col("__df")
+                > F.greatest(
+                    F.lit(2), (F.lit(max_df_frac) * F.col("__n")).cast("long")
+                )
+            )
+            .select("g")
         )
+        grams = grams.join(heavy, on="g", how="left_anti")
     # the filtered postings feed the size aggregate AND both sides of
     # the inverted-index join: cut the lineage so the explode+DF-filter
     # chain (and the corpus scan under it) materializes ONCE instead of
@@ -358,9 +368,14 @@ def ngram_jaccard_pairs(
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
     jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    # no broadcast hints: `sizes` has one row PER DOCUMENT, so a forced
+    # broadcast is a driver/executor OOM at corpus scale (10^8+ docs).
+    # AQE still broadcasts when the frame is actually small; otherwise
+    # these are plain shuffle joins on the keys `shared` already
+    # shuffled on.
     return (
-        shared.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

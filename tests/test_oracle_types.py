@@ -5,13 +5,15 @@ mismatches even when every value string is identical. This sweep
 caught `corpus_stats` in round 3 (`SUM(ch)` -> int128 while Spark's
 sum is int64)."""
 
+import os
+
 import duckdb
 import pytest
 
 import __spark_entry__ as entrymod
 from functime_spark.sources.tables import TABLE_NAMES
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 # DuckDB type ids with no Spark twin. DECIMAL is allowed only up to
 # Spark's 38-digit ceiling (checked separately below).
@@ -47,3 +49,36 @@ def test_every_oracle_output_type_has_a_spark_twin(con):
                 if int(digits) > 38:
                     bad.append((name, f"{col}: {typ} wider than Spark's 38"))
     assert not bad, f"oracles emit Spark-untypeable columns: {bad}"
+
+
+def test_no_gate_query_emits_float32_where_oracle_emits_double(con, spark):
+    """The Spark-side half of the sweep above: the driver's value hash
+    is TYPED, so a Spark FloatType column paired with a DuckDB DOUBLE
+    oracle column hash-mismatches even when every value is float32-
+    exact. This caught `media_features` in round 4 (posexplode of an
+    array<float> skipping _round_floats). Plan-build only — schemas
+    come from the analyzer, nothing executes for the Spark side."""
+    from pyspark.sql.types import FloatType
+
+    oracles = entrymod.oracle_sql()
+    bad = []
+    for name, fn in entrymod.queries().items():
+        sql = oracles.get(name)
+        if sql is None:  # rows-only queries have no typed hash to match
+            continue
+        try:
+            ora = {
+                col: typ.upper()
+                for col, typ, *_ in con.execute(f"DESCRIBE ({sql})").fetchall()
+            }
+        except Exception as exc:
+            bad.append((name, f"oracle describe error: {exc}"))
+            continue
+        df = fn(spark, SF_DIR)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, FloatType) and ora.get(f.name) in (
+                "DOUBLE",
+                "FLOAT8",
+            ):
+                bad.append((name, f"{f.name}: Spark float32 vs oracle DOUBLE"))
+    assert not bad, f"float-width mismatch vs oracle (wrap in _round_floats): {bad}"
