@@ -17,6 +17,7 @@ def enbpi(
     y_pred: DataFrame,
     y_resid: DataFrame,
     alphas: list,
+    drop_missing: bool = False,
 ) -> DataFrame:
     """Ensemble batch prediction intervals (ref conformal.py:6-38):
     per-entity residual quantile at each alpha added to the point
@@ -32,9 +33,12 @@ def enbpi(
     arbitrarily large on a high-cardinality panel — AQE converts the
     join to broadcast at runtime when it actually fits.
 
-    Entities in ``y_pred`` with no residuals have no quantiles to
-    offset by, so they are dropped (inner join) rather than emitted
-    with NULL interval bounds."""
+    Entities in ``y_pred`` with no residuals match the reference's
+    LEFT join: every prediction row is kept, with NULL interval
+    bounds for the quantile-less entities (ref conformal.py
+    how='left'). Pass ``drop_missing=True`` to drop those rows
+    instead (inner join) when NULL bounds would poison a downstream
+    consumer."""
     p = panel_cols(y_pred)
     target = y_pred.columns[2]
     resid_col = y_resid.columns[-1]
@@ -45,7 +49,8 @@ def enbpi(
     quantiles = y_resid.groupBy(F.col(y_resid.columns[0]).alias(p.entity)).agg(
         *q_aggs
     )
-    joined = y_pred.join(quantiles, on=p.entity, how="inner")
+    how = "inner" if drop_missing else "left"
+    joined = y_pred.join(quantiles, on=p.entity, how=how)
     pairs = F.explode(
         F.array(
             *[

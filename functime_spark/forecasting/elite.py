@@ -183,7 +183,10 @@ class elite(Forecaster):
         pure-naive routing."""
         ranks = list(range(1, self.top_k + 1))
         stack = (
-            all_preds.join(F.broadcast(ranked), on=[p.entity, "__model"], how="inner")
+            # plain join, no forced broadcast: `ranked` is one row per
+            # (entity, model) — AQE still broadcasts when small, but past
+            # the 100k-entity claim a forced broadcast would OOM the driver
+            all_preds.join(ranked, on=[p.entity, "__model"], how="inner")
             .groupBy(p.entity, p.time)
             .pivot("__rank", ranks)
             .agg(F.first(p.target))
@@ -213,7 +216,7 @@ class elite(Forecaster):
             preds = d if preds is None else preds.unionByName(d)
         mean_blend = (
             preds.join(
-                F.broadcast(self.state["selection"]),
+                self.state["selection"],
                 on=[p.entity, "__model"],
                 how="inner",
             )
@@ -231,7 +234,7 @@ class elite(Forecaster):
         ranks = list(range(1, self.top_k + 1))
         feats = (
             preds.join(
-                F.broadcast(self.state["selection_rank"]),
+                self.state["selection_rank"],
                 on=[p.entity, "__model"],
                 how="inner",
             )

@@ -5,6 +5,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _cluster_parallelism(df: DataFrame) -> int:
+    """Target partition count for CPU-dense Python stages.
+
+    max(defaultParallelism, shuffle.partitions): defaultParallelism
+    alone undershoots a dynamic-allocation cluster that scales
+    executors up after the plan is built, and sparkContext does not
+    exist under Spark Connect — fall back to shuffle.partitions
+    there."""
+    spark = df.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        return max(spark.sparkContext.defaultParallelism, shuffle_n)
+    except Exception:  # Spark Connect: no sparkContext on the client
+        return shuffle_n
+
+
 def spread_groups(df: DataFrame, key_col: str) -> DataFrame:
     """Explicit hash repartition on the group key at cluster
     parallelism, ahead of a Python-kernel groupBy().applyInPandas.
@@ -19,8 +35,7 @@ def spread_groups(df: DataFrame, key_col: str) -> DataFrame:
     pass through (stateful ops manage their own shuffle)."""
     if df.isStreaming:
         return df
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n, key_col)
+    return df.repartition(_cluster_parallelism(df), key_col)
 
 
 def spread_for_cpu(df: DataFrame, min_ratio: int = 4) -> DataFrame:
@@ -39,8 +54,11 @@ def spread_for_cpu(df: DataFrame, min_ratio: int = 4) -> DataFrame:
     stream)."""
     if df.isStreaming:
         return df
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() * min_ratio <= target:
+    target = _cluster_parallelism(df)
+    try:
+        n_in = df.rdd.getNumPartitions()
+    except Exception:  # Spark Connect: no RDD API on the client
+        return df
+    if n_in * min_ratio <= target:
         return df.repartition(target)
     return df

@@ -200,8 +200,16 @@ def parse_json_col(
     from pyspark.sql.types import _parse_datatype_string
 
     field_names = [f.name for f in _parse_datatype_string(schema).fields]
-    existing = set(df.columns) - ({col} if drop_raw else set())
-    clash = [n for n in field_names if n in existing]
+    # match Spark's resolution: columns resolve case-INsensitively
+    # unless spark.sql.caseSensitive is on, so 'ID' vs 'id' is a clash
+    # on a default session even though the strings differ
+    case_sensitive = (
+        df.sparkSession.conf.get("spark.sql.caseSensitive", "false").lower()
+        == "true"
+    )
+    norm = (lambda s: s) if case_sensitive else (lambda s: s.lower())
+    existing = {norm(c) for c in df.columns} - ({norm(col)} if drop_raw else set())
+    clash = [n for n in field_names if norm(n) in existing]
     if clash:
         raise ValueError(
             f"JSON fields {clash} collide with existing columns; rename "

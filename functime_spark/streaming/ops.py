@@ -53,6 +53,19 @@ def _watermarked(df: DataFrame, time_col: str, watermark: str):
     Returns (df_with_watermark, was_ntz)."""
     was_ntz = dict(df.dtypes).get(time_col) == "timestamp_ntz"
     if was_ntz:
+        # the NTZ -> TIMESTAMP cast is value-faithful ONLY under a UTC
+        # session timezone; on a user session pinned elsewhere it would
+        # silently shift event times and window boundaries, so fail
+        # loudly instead (these ops are public API, not session.py-only)
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            raise ValueError(
+                f"{time_col} is TIMESTAMP_NTZ and the session timezone is "
+                f"{tz!r}: casting to the watermark-able TIMESTAMP type "
+                "would shift event times. Set spark.sql.session.timeZone "
+                "to UTC (functime_spark.session.get_session does) or cast "
+                "the event-time column yourself with explicit semantics."
+            )
         df = df.withColumn(time_col, F.col(time_col).cast("timestamp"))
     if df.isStreaming:
         df = df.withWatermark(time_col, watermark)
@@ -266,6 +279,7 @@ def stream_lm_score(
     id_col: str = "doc_id",
     alpha: float = 0.5,
     lam: float = 0.7,
+    max_model_rows: int = 20_000_000,
 ) -> DataFrame:
     """Streaming twin of pipeline.lm.ngram_lm_score: score documents
     against a batch-fitted bigram LM with NO streaming aggregation —
@@ -275,13 +289,29 @@ def stream_lm_score(
     one stateless Arrow pass. Append-mode safe, no watermark needed.
 
     ``lm`` is pipeline.lm.fit_ngram_lm output; its count frames are
-    collected once here — bounded by the (min_count-pruned) vocab,
-    which is the model, not the corpus."""
+    collected once here — bounded by the MODEL (the min_count-pruned
+    vocab + bigram tables), not the corpus, exactly like shipping a
+    pruned KenLM binary. On a big corpus fit with ``min_count=1`` the
+    raw bigram table can approach corpus scale, so the collect is
+    guarded: more than ``max_model_rows`` uni+bi rows raises with a
+    pointer at fit_ngram_lm's ``min_count`` pruning instead of
+    silently OOMing the driver."""
     import math
 
     import pandas as pd
 
     spark = docs.sparkSession
+    # both frames are localCheckpoint-ed by fit_ngram_lm, so the two
+    # counts are cheap metadata-scale jobs, not corpus re-reads
+    model_rows = lm["uni"].count() + lm["bi"].count()
+    if model_rows > max_model_rows:
+        raise ValueError(
+            f"LM count tables hold {model_rows} rows (> max_model_rows="
+            f"{max_model_rows}); the driver-side model dict would OOM. "
+            "Refit with fit_ngram_lm(..., min_count=2) (or higher) to "
+            "prune singleton n-grams, or raise max_model_rows if the "
+            "driver genuinely has the memory."
+        )
     uni = {r["w"]: r["c"] for r in lm["uni"].collect()}
     bi = {(r["w1"], r["w2"]): r["c"] for r in lm["bi"].collect()}
     n_tok, vocab = lm["n_tokens"], lm["vocab"]

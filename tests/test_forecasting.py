@@ -683,11 +683,16 @@ def test_standalone_enbpi_matches_reference_contract(spark):
         assert abs(got[("a", t0, alpha)] - (10.0 + qa)) < 1e-9
         assert abs(got[("a", t0 + dt.timedelta(hours=1), alpha)] - (12.0 + qa)) < 1e-9
         assert abs(got[("b", t0, alpha)] - (5.0 + qb)) < 1e-9
-    # an entity with predictions but NO residuals has no quantile to
-    # offset by: dropped, never emitted with NULL interval bounds
+    # reference parity (ref conformal.py how='left'): an entity with
+    # predictions but NO residuals keeps its rows with NULL bounds;
+    # drop_missing=True opts into the inner-join drop
     y_pred_c = y_pred.union(
         spark.createDataFrame([("c", t0, 3.0)], y_pred.schema)
     )
     out_c = enbpi(y_pred_c, y_resid, alphas=[0.1, 0.9]).collect()
-    assert len(out_c) == 6
-    assert all(r.value is not None for r in out_c)
+    assert len(out_c) == 8
+    assert sum(r.value is None for r in out_c) == 2
+    assert all(r.user_id == "c" for r in out_c if r.value is None)
+    out_d = enbpi(y_pred_c, y_resid, alphas=[0.1, 0.9], drop_missing=True).collect()
+    assert len(out_d) == 6
+    assert all(r.value is not None for r in out_d)

@@ -62,3 +62,8 @@ def test_parse_json_col_collisions(spark):
     assert out.collect()[0]["props"] == "x"
     with pytest.raises(ValueError, match="collide"):
         parse_json_col(df, "props", "props string", drop_raw=False)
+    # Spark resolves names case-INsensitively by default: a JSON field
+    # 'ID' against existing column 'id' is the same AMBIGUOUS_REFERENCE
+    # hazard and must hit the guard too
+    with pytest.raises(ValueError, match="collide"):
+        parse_json_col(df, "props", "ID int")

@@ -263,8 +263,39 @@ def test_stream_lm_score_matches_batch(spark, tmp_path):
                 b["cross_entropy"], abs=1e-9
             )
             assert r["perplexity"] == pytest.approx(b["perplexity"], rel=1e-9)
+        # driver-state guard: the model dicts are bounded by the
+        # (min_count-pruned) count tables; past max_model_rows the
+        # collect must refuse with a pointer at min_count, not OOM
+        with pytest.raises(ValueError, match="min_count"):
+            stream_lm_score(sdf, lm, max_model_rows=3)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_watermarked_refuses_ntz_on_non_utc_session(spark, tmp_path):
+    """The NTZ->TIMESTAMP cast inside _watermarked is value-faithful
+    only under a UTC session timezone; on any other zone it must fail
+    loudly instead of silently shifting event times and window
+    boundaries (these ops are public API beyond session.py)."""
+    import pytest
+
+    from functime_spark.streaming.ops import stream_resample
+
+    df = spark.createDataFrame(
+        [("a", 1, 2.0)], "user_id string, ts long, value double"
+    ).select(
+        "user_id",
+        F.timestamp_seconds(F.col("ts")).cast("timestamp_ntz").alias("ts"),
+        "value",
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="timezone"):
+            stream_resample(df, "1h")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert stream_resample(df, "1h").count() == 1  # UTC restored: fine
 
 
 def test_watermarked_ops_accept_timestamp_ntz(spark, tmp_path):
