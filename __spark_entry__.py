@@ -944,13 +944,64 @@ def q_forecast_knn_direct(spark, sf_dir):
 
 
 def q_forecast_gbt(spark, sf_dir):
-    """Distributed MLlib GBT autoregressor — rows-only check."""
+    """Distributed MLlib GBT autoregressor, PROPERTY-oracled: the
+    binned tree fit itself is not SQL-replayable (the one library
+    forecaster without a value oracle through round 4), so the query
+    emits per-entity verdicts on properties that ARE deterministic —
+    (1) `deterministic`: two same-seed fits on the same train frame
+    forecast identically; (2) `in_envelope`: every recursive forecast
+    stays within the entity's train range +/- 2x its span (shrinkage
+    GBT cannot extrapolate past leaf means); (3) `acc_ok`: corpus
+    average held-out smape is within 2x the exactly-replayable
+    boosted_stumps forecaster's + 0.10 on the same resampled panel
+    (measured ~0.34 vs a 0.76 bound at sf0.01). The oracle is the
+    constant all-true frame over the entity set."""
     _ensure_nanos_conf(spark)
-    from functime_spark.forecasting.tree import gradient_boosted_model
+    from functime_spark.forecasting.tree import boosted_stumps, gradient_boosted_model
+    from functime_spark.operators.cross_validation import train_test_split
+    from functime_spark.operators.metrics import smape
+    from functime_spark.operators.preprocessing import resample
 
-    df = events_panel(spark, sf_dir)
-    fc = gradient_boosted_model(freq="1h", lags=8, max_iter=5).fit(df)
-    return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
+    y = resample("1d", "sum", "ffill").transform(events_panel(spark, sf_dir))
+    train, test = train_test_split(y, test_size=4)
+    p1 = gradient_boosted_model(freq="1d", lags=8, max_iter=5).fit(train).predict(4)
+    p2 = gradient_boosted_model(freq="1d", lags=8, max_iter=5).fit(train).predict(4)
+    ps = boosted_stumps(freq="1d", lags=8, n_iter=5).fit(train).predict(4)
+    e, t, v = p1.columns
+    det = (
+        p1.alias("a")
+        .join(p2.alias("b"), [e, t])
+        .groupBy(e)
+        .agg(
+            (F.max(F.abs(F.col(f"a.{v}") - F.col(f"b.{v}"))) < 1e-9).alias(
+                "deterministic"
+            )
+        )
+    )
+    span = F.col("mx") - F.col("mn")
+    env = (
+        p1.join(train.groupBy(e).agg(F.min(v).alias("mn"), F.max(v).alias("mx")), e)
+        .groupBy(e)
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        (F.col(v) < F.col("mn") - 2 * span)
+                        | (F.col(v) > F.col("mx") + 2 * span),
+                        1,
+                    ).otherwise(0)
+                )
+                == 0
+            ).alias("in_envelope")
+        )
+    )
+    sg = smape(test, p1).withColumnRenamed("smape", "__sg")
+    ss = smape(test, ps).withColumnRenamed("smape", "__ss")
+    acc = (
+        sg.join(ss, e)
+        .agg((F.avg("__sg") <= 2 * F.avg("__ss") + F.lit(0.10)).alias("acc_ok"))
+    )
+    return det.join(env, e).crossJoin(acc).orderBy(e)
 
 
 def q_forecast_elite(spark, sf_dir):
