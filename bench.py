@@ -185,6 +185,13 @@ def main() -> None:
     missing = [q for q in r3_suite if q not in timings]
     assert not missing, f"r3-comparable queries renamed/removed: {missing}"
     prev_comparable = round(sum(timings[q] for q in r3_suite), 3)
+    # likewise pin the full round-4 suite (the 9 above) as its own
+    # subtotal so round-5+ suite growth can't mask a regression in the
+    # two heavy round-4 additions
+    r4_suite = r3_suite + ("minhash_dedup", "lm_quality_tiers")
+    missing = [q for q in r4_suite if q not in timings]
+    assert not missing, f"r4-comparable queries renamed/removed: {missing}"
+    r4_comparable = round(sum(timings[q] for q in r4_suite), 3)
     print(
         json.dumps(
             {
@@ -193,6 +200,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "value_r3_comparable": prev_comparable,
+                "value_r4_comparable": r4_comparable,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

@@ -1721,6 +1721,40 @@ def operator_oracles() -> dict:
         "UNION ALL SELECT make_date(y,12,8), 'imaculada_conceicao' FROM yrs "
         "UNION ALL SELECT make_date(y,12,25), 'natal' FROM yrs"
     )
+    # JP: fixed dates + 2nd/3rd-Monday rules + the astronomical equinox
+    # approximation day = floor(base + 0.242194*(y-1980) - (y-1980)//4)
+    # (vernal base 20.8431 / March, autumnal 23.2488 / September) —
+    # replaying holidays_vendored._jp_equinox digit for digit
+    _jp_eq = (
+        "CAST(FLOOR({base} + 0.242194 * (y - 1980) "
+        "- FLOOR((y - 1980) / 4.0)) AS INT)"
+    )
+    _jp_rules = (
+        "SELECT make_date(y,1,1) AS d, 'ganjitsu' AS nm FROM yrs "
+        "UNION ALL SELECT make_date(y,2,11), 'kenkoku_kinen_no_hi' FROM yrs "
+        "UNION ALL SELECT make_date(y,3," + _jp_eq.format(base="20.8431")
+        + "), 'shunbun_no_hi' FROM yrs "
+        "UNION ALL SELECT make_date(y,4,29), 'showa_no_hi' FROM yrs "
+        "UNION ALL SELECT make_date(y,5,3), 'kenpo_kinenbi' FROM yrs "
+        "UNION ALL SELECT make_date(y,5,4), 'midori_no_hi' FROM yrs "
+        "UNION ALL SELECT make_date(y,5,5), 'kodomo_no_hi' FROM yrs "
+        "UNION ALL SELECT make_date(y,9," + _jp_eq.format(base="23.2488")
+        + "), 'shubun_no_hi' FROM yrs "
+        "UNION ALL SELECT make_date(y,11,3), 'bunka_no_hi' FROM yrs "
+        "UNION ALL SELECT make_date(y,11,23), 'kinro_kansha_no_hi' FROM yrs "
+        # 2nd Monday of January / October (since 2000)
+        "UNION ALL SELECT make_date(y,1,1) + to_days(CAST((8 - isodow(make_date(y,1,1))) % 7 + 7 AS INT)), "
+        "'seijin_no_hi' FROM yrs WHERE y >= 2000 "
+        "UNION ALL SELECT make_date(y,10,1) + to_days(CAST((8 - isodow(make_date(y,10,1))) % 7 + 7 AS INT)), "
+        "'supotsu_no_hi' FROM yrs WHERE y >= 2000 "
+        # 3rd Monday of July / September (since 2003)
+        "UNION ALL SELECT make_date(y,7,1) + to_days(CAST((8 - isodow(make_date(y,7,1))) % 7 + 14 AS INT)), "
+        "'umi_no_hi' FROM yrs WHERE y >= 2003 "
+        "UNION ALL SELECT make_date(y,9,1) + to_days(CAST((8 - isodow(make_date(y,9,1))) % 7 + 14 AS INT)), "
+        "'keiro_no_hi' FROM yrs WHERE y >= 2003 "
+        "UNION ALL SELECT make_date(y,8,11), 'yama_no_hi' FROM yrs WHERE y >= 2016 "
+        "UNION ALL SELECT make_date(y,2,23), 'tenno_tanjobi' FROM yrs WHERE y >= 2020"
+    )
     o["future_holidays"] = (
         "WITH c AS (SELECT user_id, MAX(ts) AS low FROM events GROUP BY user_id), "
         "fut AS (SELECT c.user_id, c.low + i * INTERVAL '1 day' AS ts "
@@ -1737,13 +1771,14 @@ def operator_oracles() -> dict:
                 ("us", _us_rules), ("de", _de_rules), ("gb", _gb_rules),
                 ("ca", _ca_rules), ("nl", _nl_rules), ("br", _br_rules),
                 ("mx", _mx_rules), ("no_", _no_rules), ("pt", _pt_rules),
+                ("jp", _jp_rules),
             ]
         )
         + " "
         "SELECT f.user_id, f.ts, us.nm AS holiday__us, de.nm AS holiday__de, "
         "gb.nm AS holiday__gb, ca.nm AS holiday__ca, nl.nm AS holiday__nl, "
         "br.nm AS holiday__br, mx.nm AS holiday__mx, "
-        "no_.nm AS holiday__no, pt.nm AS holiday__pt "
+        "no_.nm AS holiday__no, pt.nm AS holiday__pt, jp.nm AS holiday__jp "
         "FROM fut f LEFT JOIN us ON CAST(f.ts AS DATE) = us.d "
         "LEFT JOIN de ON CAST(f.ts AS DATE) = de.d "
         "LEFT JOIN gb ON CAST(f.ts AS DATE) = gb.d "
@@ -1753,6 +1788,7 @@ def operator_oracles() -> dict:
         "LEFT JOIN mx ON CAST(f.ts AS DATE) = mx.d "
         "LEFT JOIN no_ ON CAST(f.ts AS DATE) = no_.d "
         "LEFT JOIN pt ON CAST(f.ts AS DATE) = pt.d "
+        "LEFT JOIN jp ON CAST(f.ts AS DATE) = jp.d "
         "ORDER BY user_id, ts"
     )
 
