@@ -918,6 +918,22 @@ def q_forecast_stumps(spark, sf_dir):
     return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
 
 
+def q_forecast_trees_d2(spark, sf_dir):
+    """Exact-greedy DEPTH-2 boosted trees (3 rounds, lr=0.5, lags=2) —
+    the round-4 verdict's ask for a value-verified tree forecaster one
+    level past stumps. Every root AND child split is the exact SSE
+    argmax over distinct feature values, so the DuckDB oracle replays
+    the entire two-level greedy induction (root argmax, side
+    partition, per-side child argmaxes with leaf-mean fallback) and
+    the 4-step recursion value-for-value."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.tree import boosted_trees_d2
+
+    df = events_panel(spark, sf_dir)
+    fc = boosted_trees_d2(freq="1h", lags=2, n_iter=3, learning_rate=0.5).fit(df)
+    return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
+
+
 def q_forecast_knn(spark, sf_dir):
     """Recursive kNN over the broadcast lag matrix (oracle: four
     chained top-k scans, prediction shifted into the query vector)."""
@@ -1774,6 +1790,22 @@ def q_feat_udf_scalar(spark, sf_dir):
     return _round_floats(out).orderBy("user_id")
 
 
+def q_feat_udf_cwt_peaks(spark, sf_dir):
+    """number_cwt_peaks at max_width=4 — the config where the count is
+    provably tracking-independent (<=4 scales pass the ridge length
+    filter, so the result reduces to row-0 ricker-conv strict local
+    maxima passing the 10th-percentile SNR test; 0/300 mismatches vs
+    the full kernel on random series). Upgrades the last rows-only UDF
+    kernel to value-verified; the default max_width=5 tracking path
+    stays exercised by feat_udf_scalar."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.functions.features_udf import extract_features_udf
+
+    df = events_panel(spark, sf_dir)
+    out = extract_features_udf(df, {"number_cwt_peaks": {"max_width": 4}})
+    return _round_floats(out).orderBy("user_id")
+
+
 def q_feat_udf_entropy_pair(spark, sf_dir):
     """approximate_entropy + sample_entropy (m=2) — the Chebyshev
     pair-count definitions replayed as per-entity self-joins in SQL,
@@ -2616,6 +2648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "future_holidays": q_future_holidays,
             "forecast_zero_inflated": q_forecast_zero_inflated,
             "forecast_stumps": q_forecast_stumps,
+            "forecast_trees_d2": q_forecast_trees_d2,
             "forecast_knn": q_forecast_knn,
             "forecast_knn_direct": q_forecast_knn_direct,
             "forecast_gbt": q_forecast_gbt,
@@ -2704,6 +2737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_pq_adc": q_ann_pq_adc,
             "ann_sq8_topk": q_ann_sq8_topk,
             "feat_udf_scalar": q_feat_udf_scalar,
+            "feat_udf_cwt_peaks": q_feat_udf_cwt_peaks,
             "feat_udf_entropy_pair": q_feat_udf_entropy_pair,
             "feat_udf_ar2": q_feat_udf_ar2,
             "feat_udf_ar4": q_feat_udf_ar4,
@@ -2740,71 +2774,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if name in _SKIP_FEATURES:
             continue
         q[f"feat_{name}"] = _feature_query(name)
-    # Round-4 window rotation: the driver's correctness gate truncates
-    # at ~50 queries; the union of the r1-r3 windows covered 150/173.
-    # Front-load (a) the 23 never-driver-verified queries, then (b)
-    # everything whose implementation or oracle changed this round
-    # (ANSI signature, URL canonicalization, oracle typing/nudges,
-    # materialization cuts, halving search) plus the new composite and
-    # the extended holiday query, so r4 both closes the shadow and
-    # re-verifies the diff.
+    # Round-5 window rotation: the driver's correctness gate truncates
+    # at ~50 queries; the union of the r1-r4 windows covered 198/207.
+    # Front-load (a) the r4 driver-red cell's fix, (b) the 9 queries
+    # never driver-verified across r1-r4, (c) everything new or whose
+    # implementation/oracle changed this round (depth-2 trees, the
+    # cwt-peaks value oracle, the gbt property oracle, the JP-equinox
+    # holiday extension, the ngram-jaccard de-broadcast, the elite
+    # de-hint, the conformal enbpi join note, the streaming NTZ
+    # guard), then (d) re-cycle older greens with the window slack so
+    # the r1-r5 union reaches all 209.
     never_verified_first = [
-        # (a) never driver-verified across r1-r3
-        "forecast_linear_exog",
-        "join_asof",
-        "join_asof_nearest",
-        "join_interval",
-        "preproc_clip",
-        "preproc_impute_interpolate",
-        "preproc_impute_mean",
-        "preproc_detrend_roundtrip",
-        "preproc_yeojohnson_roundtrip",
-        "text_readability",
-        "text_lm_heldout",
-        "corpus_stats_rollup",
+        # (a) r4's one red cell (float32 vs DOUBLE typed hash) — fixed
+        # via _round_floats this round; re-verify FIRST
         "media_features",
-        "eval_normality",
-        "eval_acf",
-        "eval_ljung_box",
-        "eval_rank_fva",
-        "m4_smape",
-        "conversion_roundtrip",
-        "feat_longest_streak_below",
-        "feat_longest_winning_streak",
-        "feat_longest_losing_streak",
-        "feat_streak_length_stats",
-        # r3's two driver failures — re-verify FIRST, never let window
-        # growth push them out
-        "dedup_cluster",
-        "corpus_stats",
-        # (b) new or changed in round 4
-        "corpus_clean_attrition",
-        "text_vocab_zipf",
-        "text_bpe_tokens",
-        "text_bpe_vocab",
-        "embedding_kmeans",
-        "corpus_quantiles",
-        "corpus_temperature_mix",
-        "dedup_cluster_sizes",
-        "text_hashed_features",
-        "text_lang_confusion",
-        "corpus_pack_shuffled",
-        "embedding_decontaminate",
-        "domain_stats",
-        "corpus_split",
-        "corpus_shard_texts",
-        "text_filter_language",
-        "corpus_sample_per_group",
-        "dedup_exact_incr",
-        "text_strip_html",
-        "text_mojibake",
-        "media_resize",
-        "stream_minhash",
-        # (b continued) the late-round-4 additions — newest and least
-        # exercised, so they outrank the re-verifies below
-        "scale_skew_report",
-        "scale_heavy_hitters",
-        "scale_salted_join",
+        # (b) never driver-verified across r1-r4
         "scale_cardinality",
         "dedup_priority",
         "text_ngram_diversity",
@@ -2814,35 +2798,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dsir",
         "tpch_revenue_panel",
         "tpch_supplier_features",
+        # (c) new in round 5
+        "forecast_trees_d2",
+        "feat_udf_cwt_peaks",
+        # (c) changed in round 5 (implementation or oracle)
+        "forecast_gbt",
         "future_holidays",
-        # ---- ~50-query window boundary: everything above is either
-        # never driver-verified or NEW this round (the driver gate is
-        # their only external check). Entries below are changed-in-r4
-        # but were driver-verified green in r3 and re-verified locally
-        # under --ansi after each change — they ride outside the
-        # window by design, not by accident.
-        "dedup_url",
-        "embedding_pca",
-        "text_tfidf_topk",
-        "text_quality_tiers",
-        "text_lm_score",
-        "forecast_auto_linear",
-        "anomaly_zscore",
-        # (c) high-traffic composites re-cycled behind the diff
+        "dedup_ngram_jaccard",
+        "forecast_elite",
+        "forecast_stumps",
         "forecast_conformal",
         "forecast_conformal_linear",
+        "stream_resample",
+        "stream_sliding_stats",
+        "sessionize",
+        "stream_minhash",
+        # ---- everything below is window slack: previously
+        # driver-verified green, re-cycled oldest-verification-first
+        # so every query keeps getting periodic external re-checks
+        "forecast_linear",
+        "forecast_naive",
+        "forecast_snaive",
+        "forecast_linear_ar2",
+        "forecast_ridge_ar2",
+        "forecast_auto_linear",
+        "forecast_linear_direct",
+        "forecast_linear_ensemble",
+        "forecast_censored",
+        "forecast_zero_inflated",
+        "forecast_knn",
+        "forecast_knn_direct",
         "forecast_backtest_naive",
+        "metrics_point",
+        "metrics_interval",
+        "metrics_crps",
+        "dedup_exact",
         "dedup_minhash",
-        "dedup_minhash_incr",
+        "dedup_cluster",
         "dedup_semantic",
         "dedup_lines",
         "dedup_spans",
+        "dedup_url",
         "text_gopher",
         "text_c4",
-        "text_normalize",
-        "sessionize",
-        "corpus_pack_shards",
+        "text_stats",
+        "ann_cosine_topk",
+        "corpus_stats",
+        "corpus_clean_attrition",
+        "text_quality_tiers",
+        "text_lm_score",
+        "embedding_pca",
+        "embedding_kmeans",
         "stratified_sample",
+        "corpus_pack_shards",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

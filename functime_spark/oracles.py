@@ -2522,6 +2522,131 @@ def operator_oracles() -> dict:
         + " AS value FROM p4, (VALUES (1),(2),(3),(4)) AS s(step) ORDER BY 1, 2"
     )
 
+    # forecast_trees_d2: the exact-greedy DEPTH-2 booster replayed —
+    # per round, the root split is the stump-style SSE argmax (per-value
+    # residual aggregates + window cumsums over both features), then the
+    # rows partition on the picked root and the SAME argmax runs within
+    # each side (PARTITION BY side windows) to pick the child splits;
+    # sides with one distinct value per feature degrade to a leaf at
+    # lr*mean(residual). The 4-step recursion is unrolled with the full
+    # depth-2 ensemble re-evaluated on the shifting lag buffer.
+    _T2_M, _T2_LR = 3, 0.5
+
+    def _tree2_f(i: int, f1: str = "l1", f2: str = "l2") -> str:
+        """Single fitted depth-2 tree's contribution from tree-row t{i}."""
+
+        def pick(feat_col: str) -> str:
+            return f"CASE WHEN t{i}.{feat_col} = 1 THEN {f1} ELSE {f2} END"
+
+        return (
+            f"CASE WHEN ({pick('rf')}) <= t{i}.rv THEN "
+            f"CASE WHEN t{i}.lf IS NULL THEN t{i}.ld "
+            f"WHEN ({pick('lf')}) <= t{i}.lv THEN t{i}.ldl ELSE t{i}.ldr END "
+            f"ELSE CASE WHEN t{i}.rcf IS NULL THEN t{i}.rd "
+            f"WHEN ({pick('rcf')}) <= t{i}.rcv THEN t{i}.rdl ELSE t{i}.rdr END END"
+        )
+
+    def _tree2_ens(m: int, f1: str = "l1", f2: str = "l2") -> str:
+        """f0 + trees 1..m ensemble prediction expr."""
+        e = "f0.f0"
+        for i in range(1, m + 1):
+            e += f" + ({_tree2_f(i, f1, f2)})"
+        return e
+
+    _t2_iter = []
+    for m in range(1, _T2_M + 1):
+        prior = "".join(f", tree{i} t{i}" for i in range(1, m))
+        # AS MATERIALIZED throughout: DuckDB inlines plain CTEs, and the
+        # tree{m} -> sd{m} -> r{m}d -> tree{m-1} chain would otherwise
+        # expand exponentially into thousands of parquet scans (fd
+        # exhaustion at 3 rounds). Materialization keeps each stage a
+        # single evaluation, matching how Spark executes the fit.
+        _t2_iter.append(
+            f"r{m}d AS MATERIALIZED (SELECT l1, l2, y - ({_tree2_ens(m - 1)}) AS r "
+            f"FROM tr, f0{prior})"
+        )
+        # root split: identical selection to the stumps oracle
+        _t2_iter.append(
+            f"rc{m} AS MATERIALIZED (SELECT 1 AS feat, l1 AS v, SUM(r) AS s, COUNT(*) AS c "
+            f"FROM r{m}d GROUP BY 2 UNION ALL "
+            f"SELECT 2, l2, SUM(r), COUNT(*) FROM r{m}d GROUP BY 2)"
+        )
+        _t2_iter.append(
+            f"rs{m} AS (SELECT feat, v, "
+            "SUM(s) OVER wv AS sl, SUM(c) OVER wv AS cl, "
+            "SUM(s) OVER wf AS st, SUM(c) OVER wf AS ct "
+            f"FROM rc{m} WINDOW wv AS (PARTITION BY feat ORDER BY v "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+            "wf AS (PARTITION BY feat))"
+        )
+        _t2_iter.append(
+            f"rb{m} AS MATERIALIZED (SELECT feat, v FROM rs{m} WHERE ct > cl "
+            "ORDER BY sl*sl/cl + (st-sl)*(st-sl)/(ct-cl) DESC, feat ASC, v ASC "
+            "LIMIT 1)"
+        )
+        # side assignment + child splits, argmax per side
+        _t2_iter.append(
+            f"sd{m} AS MATERIALIZED (SELECT r.*, CASE WHEN "
+            "(CASE WHEN b.feat = 1 THEN r.l1 ELSE r.l2 END) <= b.v "
+            f"THEN 0 ELSE 1 END AS side FROM r{m}d r, rb{m} b)"
+        )
+        _t2_iter.append(
+            f"cc{m} AS MATERIALIZED (SELECT side, 1 AS feat, l1 AS v, SUM(r) AS s, "
+            f"COUNT(*) AS c FROM sd{m} GROUP BY 1, 3 UNION ALL "
+            f"SELECT side, 2, l2, SUM(r), COUNT(*) FROM sd{m} GROUP BY 1, 3)"
+        )
+        _t2_iter.append(
+            f"cs{m} AS (SELECT side, feat, v, "
+            "SUM(s) OVER wv AS sl, SUM(c) OVER wv AS cl, "
+            "SUM(s) OVER wf AS st, SUM(c) OVER wf AS ct "
+            f"FROM cc{m} WINDOW wv AS (PARTITION BY side, feat ORDER BY v "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+            "wf AS (PARTITION BY side, feat))"
+        )
+        _t2_iter.append(
+            f"cb{m} AS MATERIALIZED (SELECT side, feat, v, {_T2_LR} * sl/cl AS dl, "
+            f"{_T2_LR} * (st-sl)/(ct-cl) AS dr, "
+            "row_number() OVER (PARTITION BY side "
+            "ORDER BY sl*sl/cl + (st-sl)*(st-sl)/(ct-cl) DESC, feat ASC, v ASC) "
+            f"AS rn FROM cs{m} WHERE ct > cl)"
+        )
+        _t2_iter.append(
+            f"sm{m} AS MATERIALIZED (SELECT MAX(CASE WHEN side = 0 THEN d END) AS d0, "
+            "MAX(CASE WHEN side = 1 THEN d END) AS d1 FROM "
+            f"(SELECT side, {_T2_LR} * SUM(r) / COUNT(*) AS d "
+            f"FROM sd{m} GROUP BY 1) z)"
+        )
+        _t2_iter.append(
+            f"tree{m} AS MATERIALIZED (SELECT b.feat AS rf, b.v AS rv, "
+            "L.feat AS lf, L.v AS lv, L.dl AS ldl, L.dr AS ldr, s.d0 AS ld, "
+            "R.feat AS rcf, R.v AS rcv, R.dl AS rdl, R.dr AS rdr, s.d1 AS rd "
+            f"FROM rb{m} b CROSS JOIN sm{m} s "
+            f"LEFT JOIN (SELECT * FROM cb{m} WHERE rn = 1 AND side = 0) L ON TRUE "
+            f"LEFT JOIN (SELECT * FROM cb{m} WHERE rn = 1 AND side = 1) R ON TRUE)"
+        )
+    _t2_all = "".join(f", tree{i} t{i}" for i in range(1, _T2_M + 1))
+    o["forecast_trees_d2"] = (
+        "WITH t0 AS (SELECT user_id, value AS y, "
+        "lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2, "
+        f"row_number() OVER w - 1 AS i FROM events {_W}), "
+        "tr AS MATERIALIZED (SELECT * FROM t0 WHERE i >= 2), "
+        "f0 AS MATERIALIZED (SELECT AVG(y) AS f0 FROM tr), "
+        + ", ".join(_t2_iter)
+        + ", q AS (SELECT user_id, MAX(ts) AS low, max_by(value, ts) AS yT, "
+        "list(value ORDER BY ts DESC)[2] AS yT1 FROM events GROUP BY user_id), "
+        f"p1 AS (SELECT q.user_id, q.low, q.yT, "
+        f"{_tree2_ens(_T2_M, 'q.yT', 'q.yT1')} AS p1 FROM q, f0{_t2_all}), "
+        f"p2 AS (SELECT p1.*, {_tree2_ens(_T2_M, 'p1.p1', 'p1.yT')} AS p2 "
+        f"FROM p1, f0{_t2_all}), "
+        f"p3 AS (SELECT p2.*, {_tree2_ens(_T2_M, 'p2.p2', 'p2.p1')} AS p3 "
+        f"FROM p2, f0{_t2_all}), "
+        f"p4 AS (SELECT p3.*, {_tree2_ens(_T2_M, 'p3.p3', 'p3.p2')} AS p4 "
+        f"FROM p3, f0{_t2_all}) "
+        "SELECT user_id, low + s.step * INTERVAL '1 hour' AS ts, "
+        + _r("CASE s.step WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3 ELSE p4 END")
+        + " AS value FROM p4, (VALUES (1),(2),(3),(4)) AS s(step) ORDER BY 1, 2"
+    )
+
     # forecast_elite: the model-selection ensemble replayed end-to-end
     # forecast_gbt: PROPERTY oracle. The MLlib binned-tree fit is not
     # SQL-replayable; the Spark query instead emits per-entity verdicts
@@ -2817,6 +2942,47 @@ def operator_oracles() -> dict:
             for w in (2, 5, 10, 20)
         )
         + " GROUP BY js.user_id ORDER BY js.user_id"
+    )
+
+    # feat_udf_cwt_peaks: number_cwt_peaks at max_width=4, the config
+    # where the kernel's output is PROVABLY independent of the ridge
+    # tracking loop: with <=4 scales the length filter max(n/4,1)=1
+    # admits every ridge, and each row-0 strict local maximum lands as
+    # col0 of exactly one ridge (claimed by an existing ridge or
+    # seeding a new one), so the count reduces to |{row-0 maxima c :
+    # noise<=0 OR conv[c]/noise >= 1}| with noise the linear-interp
+    # 10th percentile of |conv| (verified 0/300 mismatches vs the full
+    # tracking kernel on random series). The width-1 ricker conv is the
+    # same closed-form double sum as the feat_udf_cwt oracle; tracking
+    # at default max_width=5 stays covered by feat_udf_scalar (rows)
+    # and pytest. quantile_cont == np.percentile (both linear-interp).
+    _pk_m = "LEAST(10, js.n)"
+    _pk_idx = f"(js.j - q.i + ({_pk_m} - 1)//2)"
+    _pk_v = f"({_pk_idx} - ({_pk_m} - 1)/2.0)"
+    _pk_amp = "(2.0/(sqrt(3.0)*POWER(pi(), 0.25)))"
+    o["feat_udf_cwt_peaks"] = (
+        "WITH ent AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM events GROUP BY 1), "
+        "q AS (SELECT user_id, CAST(value AS DOUBLE) AS x, "
+        f"row_number() OVER w - 1 AS i FROM events {_W}), "
+        "js AS (SELECT user_id, n, unnest(range(0, n)) AS j FROM ent), "
+        f"c AS (SELECT js.user_id, js.j, SUM(q.x * {_pk_amp} * "
+        f"(1 - {_pk_v}*{_pk_v}) * EXP(-{_pk_v}*{_pk_v}/2.0)) AS v "
+        "FROM js JOIN q USING (user_id) "
+        f"WHERE {_pk_idx} BETWEEN 0 AND {_pk_m} - 1 GROUP BY 1, 2), "
+        "mx AS (SELECT user_id, j, v, lag(v) OVER wj AS lv, "
+        "lead(v) OVER wj AS nv FROM c "
+        "WINDOW wj AS (PARTITION BY user_id ORDER BY j)), "
+        "ns AS (SELECT user_id, quantile_cont(abs(v), 0.1) AS noise "
+        "FROM c GROUP BY 1) "
+        "SELECT m.user_id, "
+        + _r(
+            "COUNT(*) FILTER (WHERE (m.lv IS NULL OR m.v > m.lv) "
+            "AND (m.nv IS NULL OR m.v > m.nv) "
+            "AND (n.noise <= 0 OR m.v / n.noise >= 1.0))"
+        )
+        + " AS number_cwt_peaks FROM mx m JOIN ns n USING (user_id) "
+        "GROUP BY 1 ORDER BY 1"
     )
 
     # forecast_knn (recursive): each step rescans the SAME l1..l8

@@ -492,6 +492,82 @@ def test_boosted_stumps_exact_splits(spark):
     assert len(pred) == 6 and pred["y"].notna().all()
 
 
+def test_boosted_trees_d2_exact_greedy(spark):
+    """Depth-2 trees reproduce a numpy replay of two-level exact-greedy
+    induction (root argmax, side partition, per-side child argmaxes
+    with leaf-mean fallback) and strictly reduce training SSE vs the
+    depth-1 stumps on data with an interaction."""
+    import numpy as np
+
+    from functime_spark.forecasting.tree import boosted_stumps, boosted_trees_d2
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for e in ("a", "b"):
+        vals = np.abs(rng.normal(10, 5, 50)).round(2)
+        rows += [(e, int(t), float(v)) for t, v in enumerate(vals)]
+    y = spark.createDataFrame(rows, "entity string, t long, y double")
+    fc = boosted_trees_d2(freq="1i", lags=2, n_iter=2, learning_rate=0.5).fit(y)
+    assert len(fc.state["trees"]) == 2
+
+    pdf = y.toPandas().sort_values(["entity", "t"])
+    design = []
+    for _, g in pdf.groupby("entity"):
+        v = g["y"].to_numpy()
+        for i in range(2, len(v)):
+            design.append((v[i], v[i - 1], v[i - 2]))
+    d = np.array(design)
+
+    def best_split(mask, r):
+        best = None
+        for j in (0, 1):
+            col = d[mask, j + 1]
+            for cand in np.unique(col)[:-1]:
+                m = col <= cand
+                gain = r[mask][m].sum() ** 2 / m.sum() + r[mask][~m].sum() ** 2 / (
+                    ~m
+                ).sum()
+                key = (-gain, j, cand)
+                if best is None or key < best:
+                    best = key
+        return best
+
+    f = np.full(len(d), d[:, 0].mean())
+    assert abs(fc.state["f0"] - d[:, 0].mean()) < 1e-9
+    all_mask = np.ones(len(d), dtype=bool)
+    for rj, rv, left, right in fc.state["trees"]:
+        r = d[:, 0] - f
+        root = best_split(all_mask, r)
+        assert root[1] == rj and abs(root[2] - rv) < 1e-12
+        lmask = d[:, rj + 1] <= rv
+        contrib = np.zeros(len(d))
+        for side_mask, child in ((lmask, left), (~lmask, right)):
+            sub = best_split(side_mask, r)
+            if child[0] == "leaf":
+                assert sub is None
+                contrib[side_mask] = 0.5 * r[side_mask].mean()
+                assert abs(contrib[side_mask][0] - child[1]) < 1e-9
+            else:
+                _, sj, sv, dl, dr = child
+                assert sub[1] == sj and abs(sub[2] - sv) < 1e-12
+                inner = side_mask & (d[:, sj + 1] <= sv)
+                assert abs(0.5 * r[inner].mean() - dl) < 1e-9
+                assert abs(0.5 * r[side_mask & ~inner].mean() - dr) < 1e-9
+                contrib[inner] = dl
+                contrib[side_mask & ~inner] = dr
+        f = f + contrib
+
+    # same rounds, same lr: the extra depth must fit train at least as well
+    st = boosted_stumps(freq="1i", lags=2, n_iter=2, learning_rate=0.5).fit(y)
+    fs = np.full(len(d), st.state["f0"])
+    for j, v, dl, dr in st.state["stumps"]:
+        fs = fs + np.where(d[:, j + 1] <= v, dl, dr)
+    assert ((d[:, 0] - f) ** 2).sum() <= ((d[:, 0] - fs) ** 2).sum() + 1e-9
+
+    pred = fc.predict(3).toPandas()
+    assert len(pred) == 6 and pred["y"].notna().all()
+
+
 def test_boosted_stumps_binned_mode(spark):
     """max_candidates bounds split candidates to quantile edges; the
     fitted thresholds come from the edge set and predict applies the

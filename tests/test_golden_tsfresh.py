@@ -458,3 +458,31 @@ def test_golden_lempel_ziv():
             np.asarray(xs, dtype="float64"), threshold=0.0, as_ratio=False
         )
         assert got == exp, xs
+
+
+def test_cwt_peaks_tracking_reduction():
+    """At max_width<=4 every ridge passes the length filter
+    (max(n_scales/4, 1) = 1), so number_cwt_peaks provably reduces to
+    the count of row-0 strict local conv maxima passing the SNR test —
+    the identity the feat_udf_cwt_peaks SQL oracle relies on. Verified
+    here against the full tracking kernel on random walks and noise."""
+    import numpy as np
+
+    from functime_spark.functions.features_udf import _ricker, number_cwt_peaks
+
+    rng = np.random.default_rng(3)
+    for trial in range(60):
+        n = int(rng.integers(3, 120))
+        x = rng.normal(0, 1, n)
+        if trial % 2:
+            x = x.cumsum()
+        conv = np.convolve(x, _ricker(min(10, n), 1), mode="same")
+        left = np.empty(n)
+        left[0], left[1:] = -np.inf, conv[:-1]
+        right = np.empty(n)
+        right[-1], right[:-1] = -np.inf, conv[1:]
+        mx = np.flatnonzero((conv > left) & (conv > right))
+        noise = np.percentile(np.abs(conv), 10)
+        if noise > 0:
+            mx = [c for c in mx if conv[c] / noise >= 1.0]
+        assert number_cwt_peaks(x, max_width=4) == float(len(mx))
