@@ -1,0 +1,189 @@
+"""sf1 stress harness: the flagship composites at 10x the bench scale.
+
+Round-4's sf0.1 stress surfaced three real bugs (stopword wipeout, AQE
+byte-coalescing serialization, NTZ rejection); this runs the next order
+of magnitude — ~50k documents / 1M events / 20k embeddings — through
+the PUBLIC API end-to-end:
+
+  1. clean_corpus            (gopher + minhash dedup + tiers)
+  2. minhash_dedup -> connected_components -> canonical keep
+  3. linear_model fit+predict (10x the entity count)
+  4. elite fit+predict        (backtest x bank x blend)
+  5. pack_shards(shuffle=True) on the cleaned corpus
+
+Data is generated ONCE under .stress/sf1 (gitignored) by replicating
+the read-only /root/testdata/sf0.1 tables 10x with deterministic key
+offsets; document copies alternate exact duplicates / near duplicates /
+perturbed uniques so the dedup graph has real >=10-member clusters.
+Events keep their values on copy 0 and jitter 1% per extra copy so the
+forecasters see 10x distinct series, micro-timestamps (load_events'
+timestamp branch). Usage:
+
+    python3 tools/stress_sf1.py [--regen]
+
+Prints one JSON line of per-stage wall seconds + row counts. Findings
+belong in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+STRESS_DIR = REPO / ".stress" / "sf1"
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+
+
+def generate(regen: bool = False) -> None:
+    import duckdb
+
+    if STRESS_DIR.exists():
+        if not regen:
+            return
+        shutil.rmtree(STRESS_DIR)
+    STRESS_DIR.mkdir(parents=True)
+    con = duckdb.connect()
+    ks = ", ".join(str(k) for k in range(COPIES))
+    con.execute(
+        f"""
+        COPY (
+          SELECT d.doc_id + k.k * 100000000 AS doc_id,
+                 CASE WHEN k.k = 0 THEN d.text
+                      WHEN d.doc_id % 3 = 0 THEN d.text
+                      WHEN d.doc_id % 3 = 1 THEN d.text || ' rev' || k.k
+                      ELSE 'copy ' || k.k || ': ' || d.text || ' tail' || k.k
+                 END AS text,
+                 d.lang, d.source, d.n_chars
+          FROM read_parquet('{SRC}/documents.parquet') d,
+               (SELECT unnest([{ks}]) AS k) k
+        ) TO '{STRESS_DIR}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT e.event_id + k.k * 100000000 AS event_id,
+                 e.ts,
+                 e.user_id + k.k * 1000000 AS user_id,
+                 e.event_type,
+                 e.value * (1.0 + k.k * 0.01) AS value,
+                 e.props
+          FROM read_parquet('{SRC}/events.parquet') e,
+               (SELECT unnest([{ks}]) AS k) k
+        ) TO '{STRESS_DIR}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT v.vec_id + k.k * 1000000 AS vec_id,
+                 list_transform(v.embedding,
+                   x -> CAST(x * (1.0 + k.k * 0.003) AS FLOAT)) AS embedding,
+                 v.label
+          FROM read_parquet('{SRC}/embeddings.parquet') v,
+               (SELECT unnest([{ks}]) AS k) k
+        ) TO '{STRESS_DIR}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+
+
+def main() -> None:
+    generate(regen="--regen" in sys.argv)
+
+    from pyspark.sql import functions as F
+
+    import functime_spark as fts
+    from functime_spark.sources.tables import events_panel, load_table
+
+    spark = fts.get_session("stress-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = str(STRESS_DIR)
+    out: dict = {"sf": "1 (10x sf0.1 replica)", "stages": {}}
+
+    def stage(name, fn):
+        t0 = time.monotonic()
+        res = fn()
+        out["stages"][name] = {"sec": round(time.monotonic() - t0, 2), **res}
+        print(f"  {name}: {out['stages'][name]}", file=sys.stderr)
+
+    docs = load_table(spark, sf, "documents")
+
+    def run_clean():
+        from functime_spark.pipeline.clean import clean_corpus
+
+        # same corpus-tuned gopher knobs as the gate query: the
+        # synthetic docs average ~54 words with few English stopwords,
+        # so Rae defaults drop the whole corpus (r4 finding; documented
+        # at q_corpus_clean_attrition)
+        clean, report = clean_corpus(
+            docs,
+            gopher_params={"min_words": 10, "min_stopword_hits": 0},
+            max_tier=2,
+        )
+        rows = clean.count()
+        rep = {r["stage"]: (r["docs_in"], r["docs_out"]) for r in report.collect()}
+        return {"docs_out": rows, "attrition": rep}
+
+    def run_dedup_cluster():
+        from functime_spark.pipeline.dedup import (
+            connected_components,
+            dedup_keep_canonical,
+            minhash_dedup,
+        )
+
+        pairs = minhash_dedup(docs, threshold=0.8)
+        pairs = pairs.localCheckpoint()
+        comps = connected_components(pairs)
+        kept = dedup_keep_canonical(docs, pairs)
+        sizes = (
+            comps.groupBy("component").count().groupBy("count").count().collect()
+        )
+        return {
+            "pairs": pairs.count(),
+            "clustered_docs": comps.count(),
+            "kept": kept.count(),
+            "cluster_size_hist": {int(r["count"]): int(r[1]) for r in sizes},
+        }
+
+    panel = events_panel(spark, sf)
+
+    def run_linear():
+        from functime_spark.forecasting.linear import linear_model
+
+        fc = linear_model(freq="1h", lags=8).fit(panel)
+        return {"forecast_rows": fc.predict(12).count()}
+
+    def run_elite():
+        from functime_spark.forecasting.elite import elite
+
+        fc = elite(freq="1h", lags=8, sp=24).fit(panel)
+        return {"forecast_rows": fc.predict(4).count()}
+
+    def run_pack():
+        from functime_spark.pipeline.packing import pack_shards
+
+        packed = pack_shards(docs, tokens_per_shard=4096, shuffle=True)
+        agg = packed.agg(
+            F.countDistinct("shard").alias("shards"),
+            F.count(F.lit(1)).alias("rows"),
+        ).first()
+        return {"rows": int(agg["rows"]), "shards": int(agg["shards"])}
+
+    stage("clean_corpus", run_clean)
+    stage("minhash_cluster", run_dedup_cluster)
+    stage("linear_forecast", run_linear)
+    stage("elite_forecast", run_elite)
+    stage("pack_shards_shuffled", run_pack)
+    out["total_sec"] = round(sum(s["sec"] for s in out["stages"].values()), 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
