@@ -659,6 +659,60 @@ def q_forecast_auto_linear(spark, sf_dir):
     return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
 
 
+def q_forecast_auto_cfo(spark, sf_dir):
+    """auto_ridge under search="cfo" — the deterministic re-expression
+    of the reference's FLAML CFO optimizer (ref automl.py:22-311),
+    PROPERTY-oracled like forecast_gbt: the search trajectory branches
+    on float comparisons so a SQL trajectory replay would be opaque;
+    instead the query emits verdicts on what IS deterministic —
+    (1) `deterministic`: two identical searches pick the same config,
+    score, and byte-identical forecasts; (2) `score_consistent`:
+    best_score_ equals an independent full-backtest rescore of the
+    chosen config; (3) `no_worse_than_init`: the accepted config's
+    cheap-fidelity score is <= the low-cost start point's (greedy
+    local search only ever moves downhill). Oracle = constant
+    all-true row."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.automl import _cv_score, auto_ridge
+
+    df = events_panel(spark, sf_dir)
+
+    def make():
+        return auto_ridge(
+            freq="1h", min_lags=2, max_lags=6, search="cfo", cfo_max_trials=10
+        )
+
+    a = make().fit(df)
+    b = make().fit(df)
+    pa, pb = a.predict(4), b.predict(4)
+    det = (
+        a.best_params_ == b.best_params_
+        and abs(a.best_score_ - b.best_score_) < 1e-12
+        and pa.exceptAll(pb).count() == 0
+        and pb.exceptAll(pa).count() == 0
+    )
+    rescore = _cv_score(
+        lambda: a._family(**a.best_params_), df, a.test_size, a.n_splits
+    )
+    cons = abs(rescore - a.best_score_) < 1e-9
+    init = {"freq": "1h", "lags": 2, "alpha": 1e-3}
+    init_preds = (
+        a._family(**init).backtest(df, test_size=4, n_splits=1).drop("split")
+    )
+    from functime_spark.forecasting.automl import _pooled_smape
+
+    chosen_preds = (
+        a._family(**a.best_params_)
+        .backtest(df, test_size=4, n_splits=1)
+        .drop("split")
+    )
+    improved = _pooled_smape(df, chosen_preds) <= _pooled_smape(df, init_preds) + 1e-12
+    return spark.createDataFrame(
+        [(bool(det), bool(cons), bool(improved))],
+        "deterministic boolean, score_consistent boolean, no_worse_than_init boolean",
+    )
+
+
 def q_forecast_linear_direct(spark, sf_dir):
     """Direct strategy (lags=3, max_horizons=4): four per-horizon OLS
     models, each trained on time-shifted lag features and applied to
@@ -2632,6 +2686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "forecast_linear_ar2": q_forecast_linear_ar2,
             "forecast_ridge_ar2": q_forecast_ridge_ar2,
             "forecast_auto_linear": q_forecast_auto_linear,
+            "forecast_auto_cfo": q_forecast_auto_cfo,
             "forecast_linear_direct": q_forecast_linear_direct,
             "forecast_linear_ensemble": q_forecast_linear_ensemble,
             "forecast_censored": q_forecast_censored,
@@ -2801,6 +2856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (c) new in round 5
         "forecast_trees_d2",
         "feat_udf_cwt_peaks",
+        "forecast_auto_cfo",
         # (c) changed in round 5 (implementation or oracle)
         "forecast_gbt",
         "future_holidays",

@@ -18,8 +18,12 @@ the default search is **successive halving with nested CV budgets**
 The winner therefore matches the exhaustive grid whenever the grid
 winner is not bottom-half on the last split, while fitting
 N + ceil(N/2)*(n_splits-1) split-models instead of N*n_splits.
-`search="grid"` keeps the exhaustive loop; `n_fit_trials_` reports
-the split-model fit count either way. Trials are driver-orchestrated
+`search="grid"` keeps the exhaustive loop, and `search="cfo"` adds a
+deterministic re-expression of FLAML's CFO itself — directional local
+search over a continuous/ordinal space (lags plus per-family dims such
+as log-scale alpha) with geometric step adaptation and a low-cost start
+point (see _search_cfo). `n_fit_trials_` reports the split-model fit
+count in every mode. Trials are driver-orchestrated
 Spark jobs, which at cluster scale parallelize naturally (each trial
 is a distributed fit; concurrent trials can share the cluster via
 FAIR scheduling).
@@ -90,6 +94,7 @@ class _auto_base(Forecaster):
         n_splits: int = 2,
         target_transform=None,
         search: str = "halving",
+        cfo_max_trials: int = 24,
         **family_kwargs,
     ):
         super().__init__(freq=freq, lags=max_lags, target_transform=target_transform)
@@ -98,6 +103,7 @@ class _auto_base(Forecaster):
         self.test_size = test_size
         self.n_splits = n_splits
         self.search = search
+        self.cfo_max_trials = cfo_max_trials
         self.family_kwargs = family_kwargs
         self.best_params_: dict = {}
         self.n_fit_trials_: int = 0
@@ -110,6 +116,7 @@ class _auto_base(Forecaster):
             "test_size": self.test_size,
             "n_splits": self.n_splits,
             "search": self.search,
+            "cfo_max_trials": self.cfo_max_trials,
             **self.family_kwargs,
         }
 
@@ -135,6 +142,8 @@ class _auto_base(Forecaster):
         self.n_fit_trials_ = 0
         if self.search == "grid":
             best, best_score = self._search_grid(y)
+        elif self.search == "cfo":
+            best, best_score = self._search_cfo(y)
         else:
             best, best_score = self._search_halving(y)
         if best is None:  # degenerate panel: fall back to smallest config
@@ -224,6 +233,120 @@ class _auto_base(Forecaster):
             return kwargs, score
         return best, best_score
 
+    def _cfo_space(self) -> dict:
+        """Continuous/ordinal search space for search="cfo":
+        name -> (low, high, scale, kind) with scale in {"linear","log"}
+        and kind in {"int","float"}. `lags` is added automatically."""
+        return {}
+
+    def _search_cfo(self, y: DataFrame):
+        """CFO-style local search (the reference defers to FLAML's CFO
+        optimizer, ref automl.py:22-311: Wu et al. 2021, "Frugal
+        Optimization for Cost-related Hyperparameters"), re-expressed
+        WITHOUT an RNG so the whole trajectory is deterministic and
+        testable: start from the LOW-COST config (fewest lags, space
+        lows), probe +/- step along each coordinate in a fixed order,
+        move greedily on first improvement (doubling that coordinate's
+        step), halve every step after a full sweep without
+        improvement, stop when all steps underflow their resolution or
+        the trial budget is spent. Cost frugality is the same two
+        levers as FLAML's: the cheapest start point and a cheap
+        fidelity during search (last-split backtest, exactly
+        _search_halving's round-1 fidelity); the winner then pays the
+        one full pooled backtest so best_score_ stays comparable
+        across search modes."""
+        import math
+
+        space = {"lags": (self.min_lags, self.max_lags, "linear", "int")}
+        space.update(self._cfo_space())
+        dims = sorted(space)
+
+        def to_z(name, v):
+            lo, hi, scale, _ = space[name]
+            return math.log10(v) if scale == "log" else float(v)
+
+        def from_z(name, z):
+            lo, hi, scale, kind = space[name]
+            v = 10.0**z if scale == "log" else z
+            v = min(max(v, lo), hi)
+            return int(round(v)) if kind == "int" else v
+
+        def bounds_z(name):
+            lo, hi, scale, _ = space[name]
+            return (
+                (math.log10(lo), math.log10(hi))
+                if scale == "log"
+                else (float(lo), float(hi))
+            )
+
+        def kwargs_of(cfg):
+            return {"freq": self.freq, **cfg, **self.family_kwargs}
+
+        cache: dict = {}
+
+        def cheap_score(cfg):
+            key = tuple(sorted(cfg.items()))
+            if key not in cache:
+                try:
+                    preds = (
+                        self._family(**kwargs_of(cfg))
+                        .backtest(y, test_size=self.test_size, n_splits=1)
+                        .drop("split")
+                    )
+                    cache[key] = _pooled_smape(y, preds)
+                except Exception:
+                    cache[key] = float("inf")
+                self.n_fit_trials_ += 1
+            return cache[key]
+
+        # low-cost init: every dim at its low bound (fewest lags is the
+        # cheapest design matrix; for scale-free dims low is as good a
+        # deterministic anchor as any)
+        cur = {d: from_z(d, bounds_z(d)[0]) for d in dims}
+        cur_score = cheap_score(cur)
+        steps = {d: (bounds_z(d)[1] - bounds_z(d)[0]) / 4.0 for d in dims}
+        resolution = {
+            d: (1.0 if space[d][3] == "int" else (bounds_z(d)[1] - bounds_z(d)[0]) / 64.0)
+            for d in dims
+        }
+        budget = self.cfo_max_trials
+        while self.n_fit_trials_ < budget and any(
+            steps[d] >= resolution[d] for d in dims
+        ):
+            improved = False
+            for d in dims:
+                if steps[d] < resolution[d]:
+                    continue
+                for sign in (1.0, -1.0):
+                    z = to_z(d, cur[d]) + sign * steps[d]
+                    lo_z, hi_z = bounds_z(d)
+                    cand = dict(cur)
+                    cand[d] = from_z(d, min(max(z, lo_z), hi_z))
+                    if cand == cur:
+                        continue
+                    s = cheap_score(cand)
+                    if s < cur_score:
+                        cur, cur_score = cand, s
+                        steps[d] *= 2.0
+                        improved = True
+                        break
+                if improved or self.n_fit_trials_ >= budget:
+                    break
+            if not improved:
+                steps = {d: v / 2.0 for d, v in steps.items()}
+        if not math.isfinite(cur_score):
+            return None, float("inf")
+        # winner pays the full pooled backtest once, like grid/halving
+        best_kwargs = kwargs_of(cur)
+        try:
+            full = _cv_score(
+                lambda: self._family(**best_kwargs), y, self.test_size, self.n_splits
+            )
+            self.n_fit_trials_ += self.n_splits
+        except Exception:
+            full = cur_score
+        return best_kwargs, full
+
     def _predict_values(self, fh: int, X: DataFrame | None = None) -> DataFrame:
         return self._inner._predict_values(fh, X)
 
@@ -240,12 +363,18 @@ class auto_lasso(_auto_base):
     def _space(self) -> list:
         return [{"alpha": a} for a in (0.1, 1.0)]
 
+    def _cfo_space(self) -> dict:
+        return {"alpha": (1e-3, 10.0, "log", "float")}
+
 
 class auto_ridge(_auto_base):
     _family = ridge
 
     def _space(self) -> list:
         return [{"alpha": a} for a in (0.1, 1.0)]
+
+    def _cfo_space(self) -> dict:
+        return {"alpha": (1e-3, 10.0, "log", "float")}
 
 
 class auto_elastic_net(_auto_base):
@@ -254,12 +383,21 @@ class auto_elastic_net(_auto_base):
     def _space(self) -> list:
         return [{"alpha": 0.5, "l1_ratio": r} for r in (0.25, 0.75)]
 
+    def _cfo_space(self) -> dict:
+        return {
+            "alpha": (1e-3, 10.0, "log", "float"),
+            "l1_ratio": (0.05, 0.95, "linear", "float"),
+        }
+
 
 class auto_knn(_auto_base):
     _family = knn
 
     def _space(self) -> list:
         return [{"n_neighbors": k} for k in (3, 5)]
+
+    def _cfo_space(self) -> dict:
+        return {"n_neighbors": (2, 10, "linear", "int")}
 
 
 class auto_lightgbm(_auto_base):
@@ -308,6 +446,7 @@ class _fixed_lag_cv(_auto_base):
             "test_size": self.test_size,
             "n_splits": self.n_splits,
             "search": self.search,
+            "cfo_max_trials": self.cfo_max_trials,
             **self.family_kwargs,
         }
 

