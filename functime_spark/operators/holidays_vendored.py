@@ -564,3 +564,187 @@ def _pt(year: int) -> list:
 _COUNTRIES.update(
     {"AT": _at, "CH": _ch, "SE": _se, "NO": _no, "DK": _dk, "PL": _pl, "PT": _pt}
 )
+
+
+def _orthodox_easter(year: int) -> _dt.date:
+    """Julian (Meeus) computus shifted to the Gregorian calendar — the
+    Eastern-church Easter that drives the Greek movable feasts. The
+    13-day Julian->Gregorian offset is correct for 1900-2099."""
+    a = year % 4
+    b = year % 7
+    c = year % 19
+    d = (19 * c + 15) % 30
+    e = (2 * a + 4 * b - d + 34) % 7
+    month, day = divmod(d + e + 114, 31)
+    return _dt.date(year, month, day + 1) + _dt.timedelta(days=13)
+
+
+def _ie(year: int) -> list:
+    ea = _easter(year)
+    e = [
+        (_dt.date(year, 1, 1), "new_years_day"),
+        (_dt.date(year, 3, 17), "st._patricks_day"),
+        (ea + _dt.timedelta(days=1), "easter_monday"),
+        (_nth_weekday(year, 5, 0, 1), "may_day"),
+        (_nth_weekday(year, 6, 0, 1), "june_bank_holiday"),
+        (_nth_weekday(year, 8, 0, 1), "august_bank_holiday"),
+        (_nth_weekday(year, 10, 0, -1), "october_bank_holiday"),
+        (_dt.date(year, 12, 25), "christmas_day"),
+        (_dt.date(year, 12, 26), "st._stephens_day"),
+    ]
+    if year >= 2023:
+        # first Monday of February, unless Feb 1 is itself a Friday
+        feb1 = _dt.date(year, 2, 1)
+        d = feb1 if feb1.weekday() == 4 else _nth_weekday(year, 2, 0, 1)
+        e.append((d, "st._brigids_day"))
+    return e
+
+
+def _be(year: int) -> list:
+    ea = _easter(year)
+    return [
+        (_dt.date(year, 1, 1), "new_years_day"),
+        (ea + _dt.timedelta(days=1), "easter_monday"),
+        (_dt.date(year, 5, 1), "labour_day"),
+        (ea + _dt.timedelta(days=39), "ascension_day"),
+        (ea + _dt.timedelta(days=50), "whit_monday"),
+        (_dt.date(year, 7, 21), "national_day"),
+        (_dt.date(year, 8, 15), "assumption_day"),
+        (_dt.date(year, 11, 1), "all_saints_day"),
+        (_dt.date(year, 11, 11), "armistice_day"),
+        (_dt.date(year, 12, 25), "christmas_day"),
+    ]
+
+
+def _fi(year: int) -> list:
+    ea = _easter(year)
+    # Midsummer Day: the Saturday in Jun 20-26; All Saints: the
+    # Saturday in Oct 31 - Nov 6
+    return [
+        (_dt.date(year, 1, 1), "new_years_day"),
+        (_dt.date(year, 1, 6), "epiphany"),
+        (ea - _dt.timedelta(days=2), "good_friday"),
+        (ea + _dt.timedelta(days=1), "easter_monday"),
+        (_dt.date(year, 5, 1), "may_day"),
+        (ea + _dt.timedelta(days=39), "ascension_day"),
+        (_sat_on_or_after(year, 6, 20), "midsummer_day"),
+        (_sat_on_or_after(year, 10, 31), "all_saints_day"),
+        (_dt.date(year, 12, 6), "independence_day"),
+        (_dt.date(year, 12, 25), "christmas_day"),
+        (_dt.date(year, 12, 26), "second_day_of_christmas"),
+    ]
+
+
+def _nz(year: int) -> list:
+    ea = _easter(year)
+    return [
+        (_dt.date(year, 1, 1), "new_years_day"),
+        (_dt.date(year, 1, 2), "day_after_new_years_day"),
+        (_dt.date(year, 2, 6), "waitangi_day"),
+        (ea - _dt.timedelta(days=2), "good_friday"),
+        (ea + _dt.timedelta(days=1), "easter_monday"),
+        (_dt.date(year, 4, 25), "anzac_day"),
+        (_nth_weekday(year, 6, 0, 1), "sovereigns_birthday"),
+        (_nth_weekday(year, 10, 0, 4), "labour_day"),
+        (_dt.date(year, 12, 25), "christmas_day"),
+        (_dt.date(year, 12, 26), "boxing_day"),
+    ]
+
+
+def _za(year: int) -> list:
+    """South Africa: the Public Holidays Act shifts any Sunday holiday
+    to the following Monday (observed) — the one vendored calendar
+    with a statutory observance rule."""
+    ea = _easter(year)
+    fixed = [
+        (_dt.date(year, 1, 1), "new_years_day"),
+        (_dt.date(year, 3, 21), "human_rights_day"),
+        (_dt.date(year, 4, 27), "freedom_day"),
+        (_dt.date(year, 5, 1), "workers_day"),
+        (_dt.date(year, 6, 16), "youth_day"),
+        (_dt.date(year, 8, 9), "national_womens_day"),
+        (_dt.date(year, 9, 24), "heritage_day"),
+        (_dt.date(year, 12, 16), "day_of_reconciliation"),
+        (_dt.date(year, 12, 25), "christmas_day"),
+        (_dt.date(year, 12, 26), "day_of_goodwill"),
+    ]
+    e = [
+        (ea - _dt.timedelta(days=2), "good_friday"),
+        (ea + _dt.timedelta(days=1), "family_day"),
+    ]
+    for d, name in fixed:
+        e.append((d, name))
+        if d.weekday() == 6:
+            e.append((d + _dt.timedelta(days=1), f"{name}_(observed)"))
+    return e
+
+
+def _cz(year: int) -> list:
+    ea = _easter(year)
+    e = [
+        (_dt.date(year, 1, 1), "new_years_day"),
+        (ea + _dt.timedelta(days=1), "easter_monday"),
+        (_dt.date(year, 5, 1), "labour_day"),
+        (_dt.date(year, 5, 8), "victory_day"),
+        (_dt.date(year, 7, 5), "saints_cyril_and_methodius_day"),
+        (_dt.date(year, 7, 6), "jan_hus_day"),
+        (_dt.date(year, 9, 28), "czech_statehood_day"),
+        (_dt.date(year, 10, 28), "independent_czechoslovak_state_day"),
+        (_dt.date(year, 11, 17), "struggle_for_freedom_and_democracy_day"),
+        (_dt.date(year, 12, 24), "christmas_eve"),
+        (_dt.date(year, 12, 25), "christmas_day"),
+        (_dt.date(year, 12, 26), "second_day_of_christmas"),
+    ]
+    if year >= 2016:
+        e.append((ea - _dt.timedelta(days=2), "good_friday"))
+    return e
+
+
+def _gr(year: int) -> list:
+    """Greece: movable feasts follow ORTHODOX Easter (Julian computus,
+    _orthodox_easter) — a different root date than every Western
+    calendar above."""
+    oe = _orthodox_easter(year)
+    return [
+        (_dt.date(year, 1, 1), "new_years_day"),
+        (_dt.date(year, 1, 6), "epiphany"),
+        (oe - _dt.timedelta(days=48), "clean_monday"),
+        (_dt.date(year, 3, 25), "independence_day"),
+        (oe - _dt.timedelta(days=2), "good_friday"),
+        (oe + _dt.timedelta(days=1), "easter_monday"),
+        (_dt.date(year, 5, 1), "labour_day"),
+        (oe + _dt.timedelta(days=50), "monday_of_the_holy_spirit"),
+        (_dt.date(year, 8, 15), "assumption_day"),
+        (_dt.date(year, 10, 28), "ochi_day"),
+        (_dt.date(year, 12, 25), "christmas_day"),
+        (_dt.date(year, 12, 26), "glorifying_mother_of_god"),
+    ]
+
+
+def _ru(year: int) -> list:
+    e = [(_dt.date(year, 1, d), f"new_year_holidays_day_{d}") for d in range(1, 7)]
+    e += [
+        (_dt.date(year, 1, 7), "christmas_day"),
+        (_dt.date(year, 1, 8), "new_year_holidays_day_8"),
+        (_dt.date(year, 2, 23), "defender_of_the_fatherland_day"),
+        (_dt.date(year, 3, 8), "international_womens_day"),
+        (_dt.date(year, 5, 1), "spring_and_labour_day"),
+        (_dt.date(year, 5, 9), "victory_day"),
+        (_dt.date(year, 6, 12), "russia_day"),
+        (_dt.date(year, 11, 4), "unity_day"),
+    ]
+    return e
+
+
+_COUNTRIES.update(
+    {
+        "IE": _ie,
+        "BE": _be,
+        "FI": _fi,
+        "NZ": _nz,
+        "ZA": _za,
+        "CZ": _cz,
+        "GR": _gr,
+        "RU": _ru,
+    }
+)

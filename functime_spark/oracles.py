@@ -1755,12 +1755,60 @@ def operator_oracles() -> dict:
         "UNION ALL SELECT make_date(y,8,11), 'yama_no_hi' FROM yrs WHERE y >= 2016 "
         "UNION ALL SELECT make_date(y,2,23), 'tenno_tanjobi' FROM yrs WHERE y >= 2020"
     )
+    # GR: movable feasts follow ORTHODOX Easter — the Julian (Meeus)
+    # computus shifted +13 days, a different root than the Gregorian
+    # easter CTE (replaying holidays_vendored._orthodox_easter)
+    _ocomputus = (
+        "oeaster AS (SELECT y, make_date(y, "
+        "CAST((d + e2 + 114) // 31 AS INT), "
+        "CAST((d + e2 + 114) % 31 + 1 AS INT)) + to_days(13) AS oe FROM ("
+        "SELECT y, d, (2*(y % 4) + 4*(y % 7) - d + 34) % 7 AS e2 FROM ("
+        "SELECT y, (19*(y % 19) + 15) % 30 AS d FROM yrs)))"
+    )
+    _gr_rules = (
+        "SELECT make_date(y,1,1) AS d, 'new_years_day' AS nm FROM yrs "
+        "UNION ALL SELECT make_date(y,1,6), 'epiphany' FROM yrs "
+        "UNION ALL SELECT oe - to_days(48), 'clean_monday' FROM oeaster "
+        "UNION ALL SELECT make_date(y,3,25), 'independence_day' FROM yrs "
+        "UNION ALL SELECT oe - to_days(2), 'good_friday' FROM oeaster "
+        "UNION ALL SELECT oe + to_days(1), 'easter_monday' FROM oeaster "
+        "UNION ALL SELECT make_date(y,5,1), 'labour_day' FROM yrs "
+        "UNION ALL SELECT oe + to_days(50), 'monday_of_the_holy_spirit' FROM oeaster "
+        "UNION ALL SELECT make_date(y,8,15), 'assumption_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,10,28), 'ochi_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'christmas_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,26), 'glorifying_mother_of_god' FROM yrs"
+    )
+    # ZA: statutory Sunday->Monday observance on every fixed holiday
+    _za_fixed = [
+        (1, 1, "new_years_day"),
+        (3, 21, "human_rights_day"),
+        (4, 27, "freedom_day"),
+        (5, 1, "workers_day"),
+        (6, 16, "youth_day"),
+        (8, 9, "national_womens_day"),
+        (9, 24, "heritage_day"),
+        (12, 16, "day_of_reconciliation"),
+        (12, 25, "christmas_day"),
+        (12, 26, "day_of_goodwill"),
+    ]
+    _za_rules = (
+        " UNION ALL ".join(
+            f"SELECT make_date(y,{m},{d}) AS d, '{nm}' AS nm FROM yrs "
+            f"UNION ALL SELECT make_date(y,{m},{d}) + to_days(1), "
+            f"'{nm}_(observed)' FROM yrs "
+            f"WHERE isodow(make_date(y,{m},{d})) = 7"
+            for m, d, nm in _za_fixed
+        )
+        + " UNION ALL SELECT e - to_days(2), 'good_friday' FROM easter "
+        "UNION ALL SELECT e + to_days(1), 'family_day' FROM easter"
+    )
     o["future_holidays"] = (
         "WITH c AS (SELECT user_id, MAX(ts) AS low FROM events GROUP BY user_id), "
         "fut AS (SELECT c.user_id, c.low + i * INTERVAL '1 day' AS ts "
         "FROM c, generate_series(1, 400) AS g(i)), "
         "yrs AS (SELECT DISTINCT year(ts) AS y FROM fut), "
-        f"{_computus}, "
+        f"{_computus}, {_ocomputus}, "
         # per-date name merge ('; ', sorted) mirrors add_holiday_effects:
         # same-date holidays (NO grunnlovsdag = Easter+50 in 2027, PT
         # pascoa = Apr 25 in 2038) must yield ONE merged row, not a fanout
@@ -1771,14 +1819,15 @@ def operator_oracles() -> dict:
                 ("us", _us_rules), ("de", _de_rules), ("gb", _gb_rules),
                 ("ca", _ca_rules), ("nl", _nl_rules), ("br", _br_rules),
                 ("mx", _mx_rules), ("no_", _no_rules), ("pt", _pt_rules),
-                ("jp", _jp_rules),
+                ("jp", _jp_rules), ("gr", _gr_rules), ("za", _za_rules),
             ]
         )
         + " "
         "SELECT f.user_id, f.ts, us.nm AS holiday__us, de.nm AS holiday__de, "
         "gb.nm AS holiday__gb, ca.nm AS holiday__ca, nl.nm AS holiday__nl, "
         "br.nm AS holiday__br, mx.nm AS holiday__mx, "
-        "no_.nm AS holiday__no, pt.nm AS holiday__pt, jp.nm AS holiday__jp "
+        "no_.nm AS holiday__no, pt.nm AS holiday__pt, jp.nm AS holiday__jp, "
+        "gr.nm AS holiday__gr, za.nm AS holiday__za "
         "FROM fut f LEFT JOIN us ON CAST(f.ts AS DATE) = us.d "
         "LEFT JOIN de ON CAST(f.ts AS DATE) = de.d "
         "LEFT JOIN gb ON CAST(f.ts AS DATE) = gb.d "
@@ -1789,6 +1838,8 @@ def operator_oracles() -> dict:
         "LEFT JOIN no_ ON CAST(f.ts AS DATE) = no_.d "
         "LEFT JOIN pt ON CAST(f.ts AS DATE) = pt.d "
         "LEFT JOIN jp ON CAST(f.ts AS DATE) = jp.d "
+        "LEFT JOIN gr ON CAST(f.ts AS DATE) = gr.d "
+        "LEFT JOIN za ON CAST(f.ts AS DATE) = za.d "
         "ORDER BY user_id, ts"
     )
 

@@ -223,3 +223,57 @@ def test_vendored_nordic_european_calendars():
     assert ch["auffahrt"] == dt.date(2025, 5, 29)
     pt = dict((n, d) for d, n in vendored_holidays("PT", [2025]))
     assert pt["corpo_de_deus"] == dt.date(2025, 6, 19)
+
+
+def test_vendored_round5_calendars():
+    """Spot-check the round-5 vendored calendars (IE, BE, FI, NZ, ZA,
+    CZ, GR, RU) against well-known published dates, covering the two
+    new hard rules: the ORTHODOX Easter computus (GR: Julian Meeus +13
+    days) and the ZA statutory Sunday->Monday observance."""
+    import datetime as dt
+
+    from functime_spark.operators.holidays_vendored import (
+        _orthodox_easter,
+        vendored_holidays,
+    )
+
+    # Orthodox Easter: published dates
+    assert _orthodox_easter(2024) == dt.date(2024, 5, 5)
+    assert _orthodox_easter(2025) == dt.date(2025, 4, 20)
+    assert _orthodox_easter(2016) == dt.date(2016, 5, 1)
+
+    gr = dict((n, d) for d, n in vendored_holidays("GR", [2024]))
+    assert gr["clean_monday"] == dt.date(2024, 3, 18)
+    assert gr["monday_of_the_holy_spirit"] == dt.date(2024, 6, 24)
+
+    za = dict((n, d) for d, n in vendored_holidays("ZA", [2025]))
+    # Apr 27 2025 is a Sunday -> statutory Monday observance
+    assert za["freedom_day_(observed)"] == dt.date(2025, 4, 28)
+    assert za["family_day"] == dt.date(2025, 4, 21)
+    za24 = dict((n, d) for d, n in vendored_holidays("ZA", [2024]))
+    assert "freedom_day_(observed)" not in za24  # Apr 27 2024 is a Saturday
+
+    ie = dict((n, d) for d, n in vendored_holidays("IE", [2024]))
+    assert ie["st._brigids_day"] == dt.date(2024, 2, 5)  # first Monday
+    ie30 = dict((n, d) for d, n in vendored_holidays("IE", [2030]))
+    assert ie30["st._brigids_day"] == dt.date(2030, 2, 1)  # Feb 1 is a Friday
+    assert ie["october_bank_holiday"] == dt.date(2024, 10, 28)
+
+    fi = dict((n, d) for d, n in vendored_holidays("FI", [2024]))
+    assert fi["midsummer_day"] == dt.date(2024, 6, 22)  # Sat in Jun 20-26
+    assert fi["all_saints_day"] == dt.date(2024, 11, 2)  # Sat in Oct31-Nov6
+
+    nz = dict((n, d) for d, n in vendored_holidays("NZ", [2024]))
+    assert nz["labour_day"] == dt.date(2024, 10, 28)  # 4th Monday Oct
+
+    be = dict((n, d) for d, n in vendored_holidays("BE", [2024]))
+    assert be["ascension_day"] == dt.date(2024, 5, 9)
+
+    cz = dict((n, d) for d, n in vendored_holidays("CZ", [2024]))
+    assert cz["good_friday"] == dt.date(2024, 3, 29)
+    assert "good_friday" not in dict(
+        (n, d) for d, n in vendored_holidays("CZ", [2015])
+    )  # statutory only since 2016
+
+    ru = dict((n, d) for d, n in vendored_holidays("RU", [2024]))
+    assert ru["victory_day"] == dt.date(2024, 5, 9)
