@@ -1795,6 +1795,24 @@ def q_ann_ivf_topk(spark, sf_dir):
     return _round_floats(ivf.search(assigned, list(qvec), k=5, n_probe=3))
 
 
+def q_ann_recall_ivf(spark, sf_dir):
+    """recall@5 of the 3-probe IVF search against the exact cosine
+    top-5 — the index-quality metric an ANN deployment tunes on. The
+    oracle composes the two fully-replayed searches (brute top-k and
+    the whole IVF build+probe) and counts the id intersection, so the
+    recall value itself is exact, not a bound."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.similarity import IVFIndex, ann_recall, cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = cosine_topk(corpus, list(qvec), k=5)
+    ivf = IVFIndex(n_cells=8, init="spread").fit(emb)
+    approx = ivf.search(ivf.assign(corpus), list(qvec), k=5, n_probe=3)
+    return _round_floats(ann_recall(approx, exact))
+
+
 def q_ann_pq_adc(spark, sf_dir):
     """Product-quantization ANN (the PQ half of Lance's IVF_PQ, ref
     forecasting/lance.py:40-95): per-subspace spread-init k-means
@@ -2792,6 +2810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_token_counts": q_text_token_counts,
             "text_fingerprint": q_text_fingerprint,
             "ann_ivf_topk": q_ann_ivf_topk,
+            "ann_recall_ivf": q_ann_recall_ivf,
             "ann_pq_adc": q_ann_pq_adc,
             "ann_sq8_topk": q_ann_sq8_topk,
             "feat_udf_scalar": q_feat_udf_scalar,
@@ -2860,6 +2879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_trees_d2",
         "feat_udf_cwt_peaks",
         "forecast_auto_cfo",
+        "ann_recall_ivf",
         # (c) changed in round 5 (implementation or oracle)
         "forecast_gbt",
         "future_holidays",

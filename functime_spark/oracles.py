@@ -3411,6 +3411,18 @@ ORDER BY 1, 2
             f"ORDER BY cv.c) AS C FROM c{it} prev CROSS JOIN range(0, {_KS}) cv(c) "
             f"LEFT JOIN pc{it} pc ON pc.m = prev.m AND pc.cell = cv.c GROUP BY prev.m)"
         )
+    # ann_recall_ivf: compose the two fully-replayed searches (exact
+    # brute top-5 and the complete IVF build + 3-probe top-5) and count
+    # the id intersection — recall@5 as an exact value.
+    o["ann_recall_ivf"] = (
+        f"WITH exact AS ({o['ann_cosine_topk']}), "
+        f"approx AS ({o['ann_ivf_topk']}) "
+        "SELECT (SELECT COUNT(*) FROM exact) AS n_exact, "
+        "COUNT(*) AS n_overlap, "
+        + _r("COUNT(*) * 1.0 / (SELECT COUNT(*) FROM exact)")
+        + " AS recall FROM exact e JOIN approx a ON e.vec_id = a.vec_id"
+    )
+
     o["ann_pq_adc"] = (
         "WITH "
         + ", ".join(_pq)

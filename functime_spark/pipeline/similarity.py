@@ -895,6 +895,32 @@ def project_pca(
 # ---------------------------------------------------------------------------
 
 
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall of an approximate top-k result frame against the exact
+    top-k — THE index-quality metric for tuning n_probe / n_cells /
+    codebook size (every ANN benchmark reports recall@k). Returns one
+    row (n_exact, n_overlap, recall).
+
+    Declarative: a semi-join + two tiny aggregates; both inputs are
+    k-row frames, so this costs nothing even when the searches that
+    produced them scanned a 100 TB index."""
+    e = exact.select(F.col(id_col)).distinct()
+    a = approx.select(F.col(id_col)).distinct()
+    hit = e.join(a, on=id_col, how="left_semi").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    tot = e.agg(F.count(F.lit(1)).alias("n_exact"))
+    return tot.crossJoin(hit).select(
+        "n_exact",
+        "n_overlap",
+        (F.col("n_overlap") / F.col("n_exact")).cast("double").alias("recall"),
+    )
+
+
 def save_ann_model(model, spark, path: str, mode: str = "overwrite") -> None:
     """Persist an IVFIndex / PQCodebook / SQ8Index's fitted parameters."""
     if isinstance(model, IVFIndex):

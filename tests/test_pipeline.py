@@ -131,6 +131,24 @@ def test_ivf_recall(emb):
     assert len(exact & approx) >= 3  # probe half the cells → high recall
 
 
+def test_ann_recall_metric(emb):
+    """ann_recall: exact-vs-itself is 1.0, and a full-probe IVF search
+    (n_probe = n_cells scans everything) must also reach recall 1.0 —
+    the two identities that pin the metric's semantics."""
+    from functime_spark.pipeline.similarity import IVFIndex, ann_recall, cosine_topk
+
+    corpus = emb.filter("vec_id != 0")
+    q = list(emb.filter("vec_id = 0").first()["embedding"])
+    exact = cosine_topk(corpus, q, 5)
+    self_row = ann_recall(exact, exact).first()
+    assert self_row["n_exact"] == 5 and self_row["recall"] == 1.0
+
+    ivf = IVFIndex(n_cells=4).fit(emb)
+    full_probe = ivf.search(ivf.assign(corpus), q, 5, n_probe=4)
+    row = ann_recall(full_probe, exact).first()
+    assert row["n_overlap"] == 5 and row["recall"] == 1.0
+
+
 def test_language_id_and_quality(spark):
     from functime_spark.pipeline.text import language_id, quality_scores
 
