@@ -1378,6 +1378,62 @@ def q_tpch_supplier_features(spark, sf_dir):
     return _round_floats(out, nd=4).orderBy("supplier")
 
 
+def q_tpch_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: single-pass grouped pricing summary over
+    lineitem with the shipdate predicate pushed to the parquet scan —
+    the canonical whole-stage-codegen aggregate (no joins, one
+    exchange on the 4-group key). 3-decimal rounding: the money sums
+    are ~1e8 with engine-dependent summation order."""
+    _ensure_nanos_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc).alias("sum_disc_price"),
+            F.sum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return _round_floats(out, 3).orderBy("l_returnflag", "l_linestatus")
+
+
+def q_tpch_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: revenue per nation where the ordering customer
+    and the supplier sit in the SAME nation of one region — two
+    big-big shuffle joins (lineitem x orders, x supplier) with the
+    nation/region dims explicitly broadcast, the join-strategy pattern
+    a 100 TB star schema needs."""
+    _ensure_nanos_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    out = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    return _round_floats(out, 3).orderBy("nation")
+
+
 def q_tpch_revenue_panel(spark, sf_dir):
     """Star-schema -> panel bridge: nation-level monthly revenue via
     lineitem x orders x customer x broadcast(nation), then the panel
@@ -2745,6 +2801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_url_stats": q_text_url_stats,
             "corpus_stats": q_corpus_stats,
             "tpch_revenue_panel": q_tpch_revenue_panel,
+            "tpch_pricing_summary": q_tpch_pricing_summary,
+            "tpch_local_supplier_volume": q_tpch_local_supplier_volume,
             "tpch_supplier_features": q_tpch_supplier_features,
             "stratified_sample": q_stratified_sample,
             "scale_skew_report": q_scale_skew_report,
@@ -2880,6 +2938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feat_udf_cwt_peaks",
         "forecast_auto_cfo",
         "ann_recall_ivf",
+        "tpch_pricing_summary",
+        "tpch_local_supplier_volume",
         # (c) changed in round 5 (implementation or oracle)
         "forecast_gbt",
         "future_holidays",

@@ -35,6 +35,12 @@ def _r(expr: str) -> str:
     return f"ROUND(CAST({expr} AS DOUBLE) + 1e-9, {ROUND})"
 
 
+def _r3(expr: str) -> str:
+    # 3-decimal variant for ~1e8 money sums whose engine-dependent
+    # summation order makes 6 decimals pure accumulation noise
+    return f"ROUND(CAST({expr} AS DOUBLE) + 1e-9, 3)"
+
+
 def _ar_gauss_ctes(lags: int, fh: int) -> list:
     """CTE chain replaying the pooled AR(lags)+intercept OLS fit and
     fh-step recursive forecast of the linear forecaster in pure SQL.
@@ -1045,6 +1051,38 @@ def operator_oracles() -> dict:
             "WHEN actual > hi THEN (actual - hi) * 20.0 ELSE 0.0 END)"
         )
         + " AS winkler FROM j GROUP BY user_id ORDER BY user_id"
+    )
+
+    # tpch_pricing_summary (Q1 shape): one grouped aggregate, money
+    # sums rounded at 3 decimals to sit above summation-order noise
+    o["tpch_pricing_summary"] = (
+        "SELECT l_returnflag, l_linestatus, "
+        + _r3("SUM(l_quantity)") + " AS sum_qty, "
+        + _r3("SUM(l_extendedprice)") + " AS sum_base_price, "
+        + _r3("SUM(l_extendedprice * (1 - l_discount))") + " AS sum_disc_price, "
+        + _r3("SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))")
+        + " AS sum_charge, "
+        + _r3("AVG(l_quantity)") + " AS avg_qty, "
+        + _r3("AVG(l_extendedprice)") + " AS avg_price, "
+        + _r3("AVG(l_discount)") + " AS avg_disc, "
+        "COUNT(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+    # tpch_local_supplier_volume (Q5 shape): same-nation customer and
+    # supplier within one region
+    o["tpch_local_supplier_volume"] = (
+        "SELECT n.n_name AS nation, "
+        + _r3("SUM(l.l_extendedprice * (1 - l.l_discount))")
+        + " AS revenue "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "AND c.c_nationkey = s.s_nationkey "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "WHERE r.r_name = 'ASIA' GROUP BY 1 ORDER BY 1"
     )
 
     o["future_calendar"] = (

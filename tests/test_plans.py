@@ -497,6 +497,33 @@ def test_tpch_star_join_broadcasts_dim(spark):
     assert count_exchanges(df) <= 6
 
 
+def test_tpch_q1_q5_plan_shape(spark):
+    """Q1: the shipdate predicate reaches the parquet scan and the
+    whole summary is ONE scan + the agg/sort exchanges. Q5: the
+    region/nation dims broadcast and the 6-table star stays bounded."""
+    import __spark_entry__ as entrymod
+    from functime_spark.plans import (
+        count_exchanges,
+        count_file_scans,
+        explain_str,
+        pushed_filters,
+    )
+
+    q = entrymod.queries()
+    q1 = q["tpch_pricing_summary"](spark, SF_DIR)
+    assert any(
+        "l_shipdate" in f for scan in pushed_filters(q1) for f in scan
+    )
+    assert count_file_scans(q1) == 1
+    assert count_exchanges(q1) <= 2
+
+    q5 = q["tpch_local_supplier_volume"](spark, SF_DIR)
+    plan = explain_str(q5)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert count_file_scans(q5) <= 6
+    assert count_exchanges(q5) <= 8
+
+
 def test_kmeans_assignment_zero_shuffle(spark):
     """assign_clusters is a broadcast projection: zero exchanges on
     the embedding side, no Python nodes."""
