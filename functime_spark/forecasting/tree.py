@@ -99,9 +99,17 @@ class gradient_boosted_model(Forecaster):
         from pyspark.ml.feature import VectorAssembler
 
         p = self.state["panel"]
+        # exogenous columns ride in the design via make_reduction's
+        # (entity, time) join and JOIN THE FEATURE VECTOR — the
+        # reference's boosted regressors fit on lags + exog alike
+        # (ref lightgbm.py:61-77 trains on the full design matrix)
+        x_cols = list(X.columns[2:]) if X is not None else []
+        self.state["x_cols"] = x_cols
         if self.strategy in ("recursive", "ensemble"):
             design = make_reduction(y, self.lags, X).persist()
-            feature_cols = [f"{p.target}__lag_{k}" for k in range(1, self.lags + 1)]
+            feature_cols = [
+                f"{p.target}__lag_{k}" for k in range(1, self.lags + 1)
+            ] + x_cols
             assembled = VectorAssembler(
                 inputCols=feature_cols, outputCol="__features", handleInvalid="skip"
             ).transform(design)
@@ -113,7 +121,9 @@ class gradient_boosted_model(Forecaster):
             design = make_reduction(y, self.lags + self.max_horizons - 1, X).persist()
             models = []
             for h in range(1, self.max_horizons + 1):
-                cols = [f"{p.target}__lag_{j}" for j in range(h, self.lags + h)]
+                cols = [
+                    f"{p.target}__lag_{j}" for j in range(h, self.lags + h)
+                ] + x_cols
                 assembled = VectorAssembler(
                     inputCols=cols, outputCol="__features", handleInvalid="skip"
                 ).transform(design)
@@ -124,42 +134,59 @@ class gradient_boosted_model(Forecaster):
         self._cutoffs_from_y_lag()
 
     def _predict_values(self, fh: int, X: DataFrame | None = None) -> DataFrame:
-        from functime_spark.forecasting._ar import mean_ensemble
+        from functime_spark.forecasting._ar import attach_future_x, mean_ensemble
 
+        x_cols = self.state.get("x_cols") or []
+        state = self.state["y_lag"]
+        if x_cols:
+            if X is None:
+                raise ValueError(
+                    "forecaster was fit with exogenous X; predict needs X_future"
+                )
+            state = attach_future_x(state, X, x_cols, fh)
         if self.strategy == "direct":
-            return self._predict_direct(fh)
+            return self._predict_direct(fh, state)
         if self.strategy == "ensemble":
             return mean_ensemble(
-                self._predict_recursive(fh), self._predict_direct(fh)
+                self._predict_recursive(fh, state), self._predict_direct(fh, state)
             )
-        return self._predict_recursive(fh)
+        return self._predict_recursive(fh, state)
 
-    def _predict_direct(self, fh: int) -> DataFrame:
+    def _predict_direct(self, fh: int, state: DataFrame) -> DataFrame:
         """Direct: every horizon scores the same observed-lag features
-        with its own model — no recursion, fh distributed transforms
-        over one cached feature frame."""
+        (plus that horizon's exogenous values when fit with X) with its
+        own model — no recursion, fh distributed transforms."""
         from pyspark.ml.feature import VectorAssembler
 
         p = self.state["panel"]
         models = self.state["direct_models"]
         lags = self.lags
-        state = self.state["y_lag"]
+        x_cols = self.state.get("x_cols") or []
         feat_cols = [
             F.element_at("__buf", -k).alias(f"__f_{k}") for k in range(1, lags + 1)
         ]
         assembler = VectorAssembler(
-            inputCols=[f"__f_{k}" for k in range(1, lags + 1)],
+            inputCols=[f"__f_{k}" for k in range(1, lags + 1)]
+            + [f"__xv_{c}" for c in x_cols],
             outputCol="__features",
             handleInvalid="keep",
         )
-        featd = assembler.transform(
-            state.select(p.entity, *feat_cols)
+        base = state.select(
+            p.entity, *feat_cols, *[F.col(f"__x_{c}") for c in x_cols]
         ).persist()
         steps = []
         for h in range(fh):
             model = models[min(h, len(models) - 1)]
+            withx = base.select(
+                p.entity,
+                *[F.col(f"__f_{k}") for k in range(1, lags + 1)],
+                *[
+                    F.element_at(f"__x_{c}", h + 1).alias(f"__xv_{c}")
+                    for c in x_cols
+                ],
+            )
             steps.append(
-                model.transform(featd).select(
+                model.transform(assembler.transform(withx)).select(
                     p.entity,
                     F.lit(h).alias("step"),
                     F.col("prediction").alias("__yhat"),
@@ -170,29 +197,36 @@ class gradient_boosted_model(Forecaster):
             out = out.unionByName(nxt)
         return out
 
-    def _predict_recursive(self, fh: int) -> DataFrame:
+    def _predict_recursive(self, fh: int, state: DataFrame) -> DataFrame:
         from pyspark.ml.feature import VectorAssembler
 
         p = self.state["panel"]
         model = self.state["model"]
         lags = self.lags
-        state = self.state["y_lag"]  # (entity, __buf ascending array)
+        x_cols = self.state.get("x_cols") or []
+        xarr = [f"__x_{c}" for c in x_cols]  # fh-long future arrays
         assembler = VectorAssembler(
-            inputCols=[f"__f_{k}" for k in range(1, lags + 1)],
+            inputCols=[f"__f_{k}" for k in range(1, lags + 1)]
+            + [f"__xv_{c}" for c in x_cols],
             outputCol="__features",
             handleInvalid="keep",
         )
         steps = []
         for h in range(fh):
-            # lag_k = k-th from the end of the ascending buffer
+            # lag_k = k-th from the end of the ascending buffer;
+            # exogenous step h = (h+1)-th element of each future array
             feat_cols = [
                 F.element_at("__buf", -k).alias(f"__f_{k}")
                 for k in range(1, lags + 1)
+            ] + [
+                F.element_at(f"__x_{c}", h + 1).alias(f"__xv_{c}")
+                for c in x_cols
             ]
-            featd = state.select(p.entity, "__buf", *feat_cols)
+            featd = state.select(p.entity, "__buf", *xarr, *feat_cols)
             scored = model.transform(assembler.transform(featd)).select(
                 p.entity,
                 "__buf",
+                *xarr,
                 F.col("prediction").alias("__yhat"),
             )
             steps.append(
@@ -206,6 +240,7 @@ class gradient_boosted_model(Forecaster):
                     F.slice("__buf", 2, lags - 1) if lags > 1 else F.array(),
                     F.array("__yhat"),
                 ).alias("__buf"),
+                *xarr,
             )
             if (h + 1) % _CHECKPOINT_EVERY == 0 and h + 1 < fh:
                 state = state.localCheckpoint(eager=False)
@@ -336,6 +371,11 @@ class boosted_stumps(Forecaster):
     def _fit(self, y: DataFrame, X: DataFrame | None = None):
         from pyspark.sql import Window
 
+        if X is not None:
+            raise ValueError(
+                "boosted_stumps fits lag features only; pass exogenous X "
+                "to gradient_boosted_model / random_forest_model instead"
+            )
         p = self.state["panel"]
         design = make_reduction(y, self.lags).persist()
         feat_names = [f"{p.target}__lag_{k}" for k in range(1, self.lags + 1)]
@@ -583,6 +623,11 @@ class boosted_trees_d2(Forecaster):
         return None if best is None else best[1]
 
     def _fit(self, y: DataFrame, X: DataFrame | None = None):
+        if X is not None:
+            raise ValueError(
+                "boosted_trees_d2 fits lag features only; pass exogenous X "
+                "to gradient_boosted_model / random_forest_model instead"
+            )
         p = self.state["panel"]
         design = make_reduction(y, self.lags).persist()
         feat_names = [f"{p.target}__lag_{k}" for k in range(1, self.lags + 1)]

@@ -816,3 +816,40 @@ def test_auto_cfo_local_search(spark):
 
     pred = fc.predict(3).toPandas()
     assert len(pred) == 18 and pred["y"].notna().all()
+
+
+def test_gbt_exogenous_features(spark):
+    """Exogenous X must flow into the GBT feature vector at fit AND
+    into every prediction step: on a target driven by a binary exog
+    column, the forecast must track the FUTURE x pattern per entity
+    (it cannot do that from lags alone), for both the recursive and
+    direct strategies. Predicting without X_future raises."""
+    import numpy as np
+
+    from functime_spark.forecasting.tree import gradient_boosted_model
+
+    rng = np.random.default_rng(9)
+    rows, xrows = [], []
+    for e in ("a", "b"):
+        for t in range(80):
+            x = 1.0 if (t // 4) % 2 else 0.0
+            rows.append((e, t, float(50.0 * x + 10.0 + rng.normal(0, 0.1))))
+            xrows.append((e, t, x))
+    for e, pat in (("a", [1, 1, 0, 0]), ("b", [0, 0, 1, 1])):
+        for i, xv in enumerate(pat):
+            xrows.append((e, 80 + i, float(xv)))
+    y = spark.createDataFrame(rows, "entity string, t long, y double")
+    X = spark.createDataFrame(xrows, "entity string, t long, x double")
+    want = {"a": np.array([60.0, 60.0, 10.0, 10.0]), "b": np.array([10.0, 10.0, 60.0, 60.0])}
+    fitted = None
+    for strat in ("recursive", "direct"):
+        fc = gradient_boosted_model(
+            freq="1i", lags=2, strategy=strat, max_horizons=4, max_iter=10, seed=7
+        ).fit(y, X)
+        fitted = fc
+        pred = fc.predict(4, X.filter("t >= 80")).toPandas().sort_values(["entity", "t"])
+        for e in ("a", "b"):
+            got = pred[pred.entity == e]["y"].to_numpy()
+            np.testing.assert_allclose(got, want[e], atol=2.0)
+    with pytest.raises(ValueError, match="X_future"):
+        fitted.predict(4)
