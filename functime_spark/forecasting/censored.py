@@ -149,16 +149,25 @@ class censored_model(Forecaster):
 
     def _fit(self, y: DataFrame, X: DataFrame | None = None):
         p = self.state["panel"]
+        # exogenous columns join every blend's feature list (the
+        # reference's censored regressors fit the full design,
+        # ref censored.py:34-76)
+        x_cols = list(X.columns[2:]) if X is not None else []
+        self.state["x_cols"] = x_cols
         if self.strategy in ("recursive", "ensemble"):
             design = make_reduction(y, self.lags, X).persist()
-            cols = [f"{p.target}__lag_{k}" for k in range(1, self.lags + 1)]
+            cols = [
+                f"{p.target}__lag_{k}" for k in range(1, self.lags + 1)
+            ] + x_cols
             self.state["blend"] = self._fit_blend(design, cols, p.target)
             design.unpersist()
         if self.strategy in ("direct", "ensemble"):
             design = make_reduction(y, self.lags + self.max_horizons - 1, X).persist()
             blends = []
             for h in range(1, self.max_horizons + 1):
-                cols = [f"{p.target}__lag_{j}" for j in range(h, self.lags + h)]
+                cols = [
+                    f"{p.target}__lag_{j}" for j in range(h, self.lags + h)
+                ] + x_cols
                 blends.append(self._fit_blend(design, cols, p.target))
             self.state["direct_blends"] = blends
             design.unpersist()
@@ -177,42 +186,55 @@ class censored_model(Forecaster):
         return yhat
 
     def _predict_values(self, fh: int, X: DataFrame | None = None) -> DataFrame:
-        from functime_spark.forecasting._ar import mean_ensemble
+        from functime_spark.forecasting._ar import attach_future_x, mean_ensemble
 
+        state = self.state["y_lag"]
+        x_cols = self.state.get("x_cols") or []
+        if x_cols:
+            if X is None:
+                raise ValueError(
+                    "forecaster was fit with exogenous X; predict needs X_future"
+                )
+            state = attach_future_x(state, X, x_cols, fh)
         if self.strategy == "recursive":
-            return self._predict_blend(fh, recursive=True)
+            return self._predict_blend(fh, state, recursive=True)
         if self.strategy == "direct":
-            return self._predict_blend(fh, recursive=False)
+            return self._predict_blend(fh, state, recursive=False)
         return mean_ensemble(
-            self._predict_blend(fh, recursive=True),
-            self._predict_blend(fh, recursive=False),
+            self._predict_blend(fh, state, recursive=True),
+            self._predict_blend(fh, state, recursive=False),
         )
 
-    def _predict_blend(self, fh: int, recursive: bool) -> DataFrame:
-        y_lag = self.state["y_lag"]
+    def _predict_blend(self, fh: int, y_lag: DataFrame, recursive: bool) -> DataFrame:
         entity = y_lag.columns[0]
         entity_dtype = dict(y_lag.dtypes)[entity]
         lags = self.lags
         spark = y_lag.sparkSession
         thr = float(self.threshold)
+        x_cols = self.state.get("x_cols") or []
         payload = (
             self.state["blend"] if recursive else self.state["direct_blends"]
         )
-        b = spark.sparkContext.broadcast((payload, thr, recursive))
+        b = spark.sparkContext.broadcast((payload, thr, recursive, x_cols))
         apply_blend = censored_model._apply_blend
 
         def run(batches: Iterator) -> Iterator:
             import pandas as pd
 
-            blend_state, t, rec = b.value
+            from functime_spark.forecasting._ar import _x_matrix
+
+            blend_state, t, rec, x_names = b.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 ents = pdf[entity].to_numpy()
                 buf = stack_buffers(pdf["__buf"], lags)
+                xs = _x_matrix(pdf, x_names, fh, len(ents)) if x_names else None
                 preds = np.empty((len(ents), fh), dtype="float64")
                 for h in range(fh):
                     feats = buf[:, ::-1][:, :lags]
+                    if x_names:
+                        feats = np.hstack([feats, xs[:, h, :]])
                     if rec:
                         yhat = apply_blend(feats, blend_state, t)
                         preds[:, h] = yhat

@@ -115,9 +115,16 @@ class knn(Forecaster):
     def _collect_train(self, y: DataFrame, X: DataFrame | None):
         p = self.state["panel"]
         width = self._design_width()
+        # exogenous columns join the reference matrix after the lag
+        # block (the reference's sklearn KNeighborsRegressor fits the
+        # full design, ref knn.py:25-34 + fit_autoreg)
+        x_cols = list(X.columns[2:]) if X is not None else []
+        self.state["x_cols"] = x_cols
         feature_cols = [f"{p.target}__lag_{k}" for k in range(1, width + 1)]
         cached = (
-            make_reduction(y, width, X).select(*feature_cols, p.target).persist()
+            make_reduction(y, width, X)
+            .select(*feature_cols, *x_cols, p.target)
+            .persist()
         )
         n = cached.count()  # materializes the cache; the collect below re-reads it
         self.state["sampled"] = n > self.max_train_rows
@@ -128,7 +135,7 @@ class knn(Forecaster):
             ).limit(self.max_train_rows)
         pdf = design.toPandas()
         cached.unpersist()
-        feats = pdf[feature_cols].to_numpy(dtype="float64")
+        feats = pdf[feature_cols + x_cols].to_numpy(dtype="float64")
         targs = pdf[p.target].to_numpy(dtype="float64")
         return feats, targs
 
@@ -140,41 +147,67 @@ class knn(Forecaster):
     def _predict_values(self, fh: int, X: DataFrame | None = None) -> DataFrame:
         from functime_spark.forecasting._ar import mean_ensemble
 
+        state = self._future_state(fh, X)
         if self.strategy == "recursive":
-            return self._predict_recursive(fh)
+            return self._predict_recursive(fh, state)
         if self.strategy == "direct":
-            return self._predict_direct(fh)
-        return mean_ensemble(self._predict_recursive(fh), self._predict_direct(fh))
+            return self._predict_direct(fh, state)
+        return mean_ensemble(
+            self._predict_recursive(fh, state), self._predict_direct(fh, state)
+        )
 
-    def _predict_direct(self, fh: int) -> DataFrame:
+    def _future_state(self, fh: int, X: DataFrame | None) -> DataFrame:
+        from functime_spark.forecasting._ar import attach_future_x
+
+        state = self.state["y_lag"]
+        x_cols = self.state.get("x_cols") or []
+        if x_cols:
+            if X is None:
+                raise ValueError(
+                    "forecaster was fit with exogenous X; predict needs X_future"
+                )
+            state = attach_future_x(state, X, x_cols, fh)
+        return state
+
+    def _predict_direct(self, fh: int, y_lag: DataFrame) -> DataFrame:
         """Horizon h scans reference columns h-1 .. h-1+lags (the
         direct design slice); query features are the last observed
         lags for every horizon. Ref predict_direct _ar.py:277-330."""
-        y_lag = self.state["y_lag"]
         entity = y_lag.columns[0]
         entity_dtype = dict(y_lag.dtypes)[entity]
         lags, mh = self.lags, self.max_horizons
         spark = y_lag.sparkSession
         feats_ref, targs_ref = self.state["train"]
+        x_cols = self.state.get("x_cols") or []
+        width = self._design_width()
         b = spark.sparkContext.broadcast(
-            (feats_ref, targs_ref, self.n_neighbors)
+            (feats_ref, targs_ref, self.n_neighbors, x_cols, width)
         )
 
         def run(batches: Iterator) -> Iterator:
             import pandas as pd
 
-            wide, targs, k = b.value
+            from functime_spark.forecasting._ar import _x_matrix
+
+            wide, targs, k, x_names, w = b.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 ents = pdf[entity].to_numpy()
                 buf = stack_buffers(pdf["__buf"], lags)
-                q = buf[:, ::-1][:, :lags]
+                base_q = buf[:, ::-1][:, :lags]
+                xs = _x_matrix(pdf, x_names, fh, len(ents)) if x_names else None
                 preds = np.empty((len(ents), fh), dtype="float64")
                 for h in range(fh):
                     lo = min(h, mh - 1)
-                    step_fn = _brute_knn_step(
-                        (np.ascontiguousarray(wide[:, lo : lo + lags]), targs, k)
+                    ref = np.ascontiguousarray(
+                        np.hstack([wide[:, lo : lo + lags], wide[:, w:]])
+                        if x_names
+                        else wide[:, lo : lo + lags]
+                    )
+                    step_fn = _brute_knn_step((ref, targs, k))
+                    q = (
+                        np.hstack([base_q, xs[:, h, :]]) if x_names else base_q
                     )
                     preds[:, h] = step_fn(q)
                 yield pd.DataFrame(
@@ -194,34 +227,42 @@ class knn(Forecaster):
 
         return spread_for_cpu(y_lag).mapInPandas(run, schema=schema)
 
-    def _predict_recursive(self, fh: int) -> DataFrame:
-        y_lag = self.state["y_lag"]
+    def _predict_recursive(self, fh: int, y_lag: DataFrame) -> DataFrame:
         entity = y_lag.columns[0]
         entity_dtype = dict(y_lag.dtypes)[entity]
         lags = self.lags
         spark = y_lag.sparkSession
         feats_ref, targs_ref = self.state["train"]
-        # recursive scan always uses the first `lags` reference columns
+        x_cols = self.state.get("x_cols") or []
+        # recursive scan uses the first `lags` reference columns (+ the
+        # exogenous block, which sits right after them when width==lags)
+        ref = (
+            feats_ref
+            if x_cols
+            else np.ascontiguousarray(feats_ref[:, :lags])
+        )
         b = spark.sparkContext.broadcast(
-            (
-                np.ascontiguousarray(feats_ref[:, :lags]),
-                targs_ref,
-                self.n_neighbors,
-            )
+            (ref, targs_ref, self.n_neighbors, x_cols)
         )
 
         def run(batches: Iterator) -> Iterator:
             import pandas as pd
 
-            step_fn = _brute_knn_step(b.value)
+            from functime_spark.forecasting._ar import _x_matrix
+
+            ref_feats, targs, k, x_names = b.value
+            step_fn = _brute_knn_step((ref_feats, targs, k))
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 ents = pdf[entity].to_numpy()
                 buf = stack_buffers(pdf["__buf"], lags)
+                xs = _x_matrix(pdf, x_names, fh, len(ents)) if x_names else None
                 preds = np.empty((len(ents), fh), dtype="float64")
                 for h in range(fh):
                     q = buf[:, ::-1][:, :lags]
+                    if x_names:
+                        q = np.hstack([q, xs[:, h, :]])
                     yhat = step_fn(q)
                     preds[:, h] = yhat
                     buf = np.concatenate([buf[:, 1:], yhat[:, None]], axis=1)
@@ -284,21 +325,25 @@ class ann(knn):
         self._cutoffs_from_y_lag()
 
     def _predict_values(self, fh: int, X: DataFrame | None = None) -> DataFrame:
-        # re-pack broadcast payload for the IVF step function
-        y_lag = self.state["y_lag"]
+        # re-pack broadcast payload for the IVF step function; the
+        # centroid space spans lag + exogenous dims when fit with X
+        y_lag = self._future_state(fh, X)
         entity = y_lag.columns[0]
         entity_dtype = dict(y_lag.dtypes)[entity]
         lags = self.lags
         spark = y_lag.sparkSession
         feats_s, targs_s, cents, bounds = self.state["train"]
+        x_cols = self.state.get("x_cols") or []
         b = spark.sparkContext.broadcast(
-            (feats_s, targs_s, cents, bounds, self.n_neighbors, self.n_probe)
+            (feats_s, targs_s, cents, bounds, self.n_neighbors, self.n_probe, x_cols)
         )
 
         def run(batches: Iterator) -> Iterator:
             import pandas as pd
 
-            feats_ref, targs_ref, C, bd, k, n_probe = b.value
+            from functime_spark.forecasting._ar import _x_matrix
+
+            feats_ref, targs_ref, C, bd, k, n_probe, x_names = b.value
 
             def step_fn(q: np.ndarray) -> np.ndarray:
                 dc = (
@@ -325,9 +370,12 @@ class ann(knn):
                     continue
                 ents = pdf[entity].to_numpy()
                 buf = stack_buffers(pdf["__buf"], lags)
+                xs = _x_matrix(pdf, x_names, fh, len(ents)) if x_names else None
                 preds = np.empty((len(ents), fh), dtype="float64")
                 for h in range(fh):
                     q = buf[:, ::-1][:, :lags]
+                    if x_names:
+                        q = np.hstack([q, xs[:, h, :]])
                     yhat = step_fn(q)
                     preds[:, h] = yhat
                     buf = np.concatenate([buf[:, 1:], yhat[:, None]], axis=1)
