@@ -1002,6 +1002,30 @@ def q_forecast_knn(spark, sf_dir):
     return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
 
 
+def q_forecast_knn_exog(spark, sf_dir):
+    """Recursive kNN with an EXOGENOUS hour-of-day column: X extends
+    both the broadcast reference matrix and every per-step query
+    vector (the round-5 exog plumbing fix, externally verified — the
+    oracle replays the 9-dimensional distance with the step's future
+    hour in the query)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.knn import knn
+    from functime_spark.sources.tables import load_events
+
+    df = events_panel(spark, sf_dir)
+    X = load_events(spark, sf_dir).select(
+        "user_id", "ts", F.hour("ts").cast("double").alias("xh")
+    )
+    fc = knn(freq="1h", lags=8, n_neighbors=5).fit(df, X)
+    cut = df.groupBy("user_id").agg(F.max("ts").alias("low"))
+    Xf = (
+        cut.select("user_id", "low", F.explode(F.expr("sequence(1, 4)")).alias("h"))
+        .select("user_id", F.expr("timestampadd(HOUR, h, low)").alias("ts"))
+        .withColumn("xh", F.hour("ts").cast("double"))
+    )
+    return _round_floats(fc.predict(4, Xf)).orderBy("user_id", "ts")
+
+
 def q_forecast_knn_direct(spark, sf_dir):
     """Direct-strategy kNN: per-horizon column slices of the shared
     broadcast lag matrix. Deterministic (no sampling at this scale),
@@ -2782,6 +2806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "forecast_stumps": q_forecast_stumps,
             "forecast_trees_d2": q_forecast_trees_d2,
             "forecast_knn": q_forecast_knn,
+            "forecast_knn_exog": q_forecast_knn_exog,
             "forecast_knn_direct": q_forecast_knn_direct,
             "forecast_gbt": q_forecast_gbt,
             "forecast_elite": q_forecast_elite,
@@ -2938,6 +2963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feat_udf_cwt_peaks",
         "forecast_auto_cfo",
         "ann_recall_ivf",
+        "forecast_knn_exog",
         "tpch_pricing_summary",
         "tpch_local_supplier_volume",
         # (c) changed in round 5 (implementation or oracle)

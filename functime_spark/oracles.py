@@ -3117,6 +3117,50 @@ def operator_oracles() -> dict:
         f"SELECT user_id, {h} AS step, p{h} AS v FROM s{h}"
         for h in range(1, _RFH + 1)
     )
+    # forecast_knn_exog: the same chained top-k recursion with an
+    # EXOGENOUS 9th dimension (hour-of-day) in both the reference rows
+    # (xh = hour(target time)) and each step's query vector
+    # (hour(low + step hours)) — externally verifying that X extends
+    # the kNN design and every per-step query.
+    _xctes = [
+        "q0 AS (SELECT user_id, MAX(ts) AS low, "
+        + ", ".join(
+            f"list(CAST(value AS DOUBLE) ORDER BY ts DESC)[{j}] AS q{j}"
+            for j in range(1, _RL + 1)
+        )
+        + " FROM events GROUP BY user_id)",
+        f"train0 AS (SELECT CAST(value AS DOUBLE) AS y, {_rlag}, "
+        "CAST(hour(ts) AS DOUBLE) AS xh, "
+        f"row_number() OVER w - 1 AS i FROM events {_W})",
+        f"train AS (SELECT * FROM train0 WHERE i >= {_RL})",
+    ]
+    for h in range(1, _RFH + 1):
+        _xq = f"CAST(hour(q.low + {h} * INTERVAL '1 hour') AS DOUBLE)"
+        _xdist = _rdist + f" + pow({_xq} - t.xh, 2)"
+        _xctes.append(
+            f"s{h} AS (SELECT user_id, avg(y) AS p{h} FROM ("
+            f"SELECT q.user_id, t.y, row_number() OVER "
+            f"(PARTITION BY q.user_id ORDER BY {_xdist}) AS rk "
+            f"FROM q{h - 1} q, train t) WHERE rk <= {_RK} GROUP BY user_id)"
+        )
+        if h < _RFH:
+            _xshift = ", ".join(f"q.q{j} AS q{j + 1}" for j in range(1, _RL))
+            _xctes.append(
+                f"q{h} AS (SELECT q.user_id, q.low, s.p{h} AS q1, {_xshift} "
+                f"FROM q{h - 1} q JOIN s{h} s USING (user_id))"
+            )
+    _xsteps = " UNION ALL ".join(
+        f"SELECT user_id, {h} AS step, p{h} AS v FROM s{h}"
+        for h in range(1, _RFH + 1)
+    )
+    o["forecast_knn_exog"] = (
+        "WITH " + ", ".join(_xctes)
+        + f", allp AS ({_xsteps}) "
+        "SELECT a.user_id, q0.low + a.step * INTERVAL '1 hour' AS ts, "
+        + _r("a.v")
+        + " AS value FROM allp a JOIN q0 ON a.user_id = q0.user_id ORDER BY 1, 2"
+    )
+
     o["forecast_knn"] = (
         "WITH " + ", ".join(_rctes)
         + f", allp AS ({_rsteps}) "
