@@ -49,10 +49,12 @@ from functime_spark.forecasting.tree import gradient_boosted_model
 from functime_spark.operators.metrics import smape
 
 
-def _cv_score(maker, y: DataFrame, test_size: int, n_splits: int) -> float:
+def _cv_score(
+    maker, y: DataFrame, test_size: int, n_splits: int, X: DataFrame | None = None
+) -> float:
     """Mean panel SMAPE over expanding-window backtest splits."""
     fc = maker()
-    preds = fc.backtest(y, test_size=test_size, n_splits=n_splits)
+    preds = fc.backtest(y, test_size=test_size, n_splits=n_splits, X=X)
     return _pooled_smape(y, preds.drop("split"))
 
 
@@ -141,11 +143,11 @@ class _auto_base(Forecaster):
         y = y.persist()
         self.n_fit_trials_ = 0
         if self.search == "grid":
-            best, best_score = self._search_grid(y)
+            best, best_score = self._search_grid(y, X)
         elif self.search == "cfo":
-            best, best_score = self._search_cfo(y)
+            best, best_score = self._search_cfo(y, X)
         else:
-            best, best_score = self._search_halving(y)
+            best, best_score = self._search_halving(y, X)
         if best is None:  # degenerate panel: fall back to smallest config
             best = {"freq": self.freq, "lags": self._lag_grid()[0], **self.family_kwargs}
             best_score = float("inf")
@@ -156,7 +158,7 @@ class _auto_base(Forecaster):
         self._inner = inner
         y.unpersist()
 
-    def _search_grid(self, y: DataFrame):
+    def _search_grid(self, y: DataFrame, X: DataFrame | None = None):
         """Exhaustive: every candidate pays the full n_splits backtest."""
         best, best_score = None, float("inf")
         for kwargs in self._candidates():
@@ -166,6 +168,7 @@ class _auto_base(Forecaster):
                     y,
                     self.test_size,
                     self.n_splits,
+                    X,
                 )
             except Exception:
                 continue
@@ -174,7 +177,7 @@ class _auto_base(Forecaster):
                 best, best_score = kwargs, score
         return best, best_score
 
-    def _search_halving(self, y: DataFrame):
+    def _search_halving(self, y: DataFrame, X: DataFrame | None = None):
         """Successive halving over nested CV budgets: score everyone on
         the LAST split only (one refit each), keep the top half, then
         evaluate survivors on the earlier splits — REUSING the round-1
@@ -188,7 +191,7 @@ class _auto_base(Forecaster):
             try:
                 preds = (
                     self._family(**kwargs)
-                    .backtest(y, test_size=self.test_size, n_splits=1)
+                    .backtest(y, test_size=self.test_size, n_splits=1, X=X)
                     .drop("split")
                 )
                 score = _pooled_smape(y, preds)
@@ -216,7 +219,7 @@ class _auto_base(Forecaster):
                     trimmed = _trim_last(y, j)  # step_size=1 in backtest
                     pj = (
                         self._family(**kwargs)
-                        .backtest(trimmed, test_size=self.test_size, n_splits=1)
+                        .backtest(trimmed, test_size=self.test_size, n_splits=1, X=X)
                         .drop("split")
                     )
                     self.n_fit_trials_ += 1
@@ -239,7 +242,7 @@ class _auto_base(Forecaster):
         and kind in {"int","float"}. `lags` is added automatically."""
         return {}
 
-    def _search_cfo(self, y: DataFrame):
+    def _search_cfo(self, y: DataFrame, X: DataFrame | None = None):
         """CFO-style local search (the reference defers to FLAML's CFO
         optimizer, ref automl.py:22-311: Wu et al. 2021, "Frugal
         Optimization for Cost-related Hyperparameters"), re-expressed
@@ -290,7 +293,7 @@ class _auto_base(Forecaster):
                 try:
                     preds = (
                         self._family(**kwargs_of(cfg))
-                        .backtest(y, test_size=self.test_size, n_splits=1)
+                        .backtest(y, test_size=self.test_size, n_splits=1, X=X)
                         .drop("split")
                     )
                     cache[key] = _pooled_smape(y, preds)
@@ -340,7 +343,11 @@ class _auto_base(Forecaster):
         best_kwargs = kwargs_of(cur)
         try:
             full = _cv_score(
-                lambda: self._family(**best_kwargs), y, self.test_size, self.n_splits
+                lambda: self._family(**best_kwargs),
+                y,
+                self.test_size,
+                self.n_splits,
+                X,
             )
             self.n_fit_trials_ += self.n_splits
         except Exception:

@@ -102,6 +102,7 @@ class Forecaster(SparkStatePickleMixin):
         n_splits: int = 5,
         window_size: int | None = None,
         materialize: bool = True,
+        X: DataFrame | None = None,
     ) -> DataFrame:
         """Expanding/sliding-window refit-and-predict; returns stacked
         predictions with a `split` column. Ref backtesting.py:108-250.
@@ -141,8 +142,19 @@ class Forecaster(SparkStatePickleMixin):
             # each split's invert sees that split's fitted params)
             fitted = type(self)(**self._init_kwargs())
             fitted.target_transform = self.target_transform
-            fitted.fit(train)
-            vals = fitted._predict_values(test_size)
+            # X joins the train design on (entity, time), so passing the
+            # full exogenous panel is safe; the predict side must see
+            # ONLY the test-time rows (attach_future_x slices the
+            # earliest fh rows of whatever it is given)
+            fitted.fit(train, X)
+            X_test = (
+                X.join(
+                    test.select(p.entity, p.time), on=[p.entity, p.time], how="left_semi"
+                )
+                if X is not None
+                else None
+            )
+            vals = fitted._predict_values(test_size, X_test)
             step = (
                 F.row_number().over(Window.partitionBy(p.entity).orderBy(p.time)) - 1
             )
@@ -169,6 +181,8 @@ class Forecaster(SparkStatePickleMixin):
         alphas: list | None = None,
         test_size: int = 1,
         n_splits: int = 3,
+        X: DataFrame | None = None,
+        X_future: DataFrame | None = None,
     ) -> DataFrame:
         """ENBPI-style conformal intervals. Reference semantics
         (conformal.py:6-74): residual = actual - pred (backtesting.py:36
@@ -186,7 +200,7 @@ class Forecaster(SparkStatePickleMixin):
         # point forecast are likewise n_entities-scale, so materializing
         # them keeps the final plan free of the panel-rescanning lineage
         # (and of the false-exchange-reuse duplication — see backtest()).
-        y_preds = self.backtest(y, test_size=test_size, n_splits=n_splits)
+        y_preds = self.backtest(y, test_size=test_size, n_splits=n_splits, X=X)
         target = y_preds.columns[2]
         actual = y.withColumnRenamed(p.target, "__actual")
         resid = (
@@ -198,7 +212,7 @@ class Forecaster(SparkStatePickleMixin):
             for a in alphas
         ]
         quantiles = resid.groupBy(p.entity).agg(*q_aggs).localCheckpoint()
-        y_point = self.fit(y).predict(fh).localCheckpoint()
+        y_point = self.fit(y, X).predict(fh, X_future).localCheckpoint()
         combined = y_point.select(p.entity, p.time, target).unionByName(
             y_preds.select(p.entity, p.time, target)
         )

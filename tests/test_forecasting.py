@@ -913,3 +913,41 @@ def test_knn_censored_exogenous_features(spark):
         .to_numpy()
     )
     assert not np.allclose(with_x, without_x)
+
+
+def test_backtest_conformalize_with_exog(spark):
+    """backtest(X=...) fits each split with X and predicts with the
+    split's test-time X rows: on an x-driven target the exog backtest
+    must be an order of magnitude more accurate than the X-less one.
+    conformalize threads X/X_future through to the point forecast."""
+    import numpy as np
+
+    from functime_spark.forecasting.linear import linear_model
+
+    rng = np.random.default_rng(9)
+    rows, xrows = [], []
+    for e in ("a", "b"):
+        for t in range(84):
+            x = 1.0 if (t // 4) % 2 else 0.0
+            rows.append((e, t, float(50.0 * x + 10.0 + rng.normal(0, 0.1))))
+            xrows.append((e, t, x))
+    y = spark.createDataFrame(rows, "entity string, t long, y double")
+    X = spark.createDataFrame(xrows, "entity string, t long, x double")
+    fc = linear_model(freq="1i", lags=2)
+
+    def mae(bt):
+        m = bt.join(y.withColumnRenamed("y", "act"), on=["entity", "t"]).toPandas()
+        return float(np.abs(m["y"] - m["act"]).mean())
+
+    err_x = mae(fc.backtest(y, test_size=4, n_splits=2, X=X))
+    err_nox = mae(fc.backtest(y, test_size=4, n_splits=2))
+    assert err_x < 1.0 < err_nox
+
+    ci = fc.conformalize(
+        y, fh=4, alphas=[0.1, 0.9], test_size=4, n_splits=2,
+        X=X, X_future=X.filter("t >= 80"),
+    )
+    pdf = ci.toPandas()
+    lo = pdf[pdf["quantile"] == 10].sort_values(["entity", "t"])["y"].to_numpy()
+    hi = pdf[pdf["quantile"] == 90].sort_values(["entity", "t"])["y"].to_numpy()
+    assert len(lo) and (lo <= hi).all()
