@@ -85,6 +85,13 @@ def _lasso_ic(X, y, criterion: str = "aic", n_alphas: int = 50, max_iter: int = 
 
 
 class elite(Forecaster):
+    """Documented divergence: the reference's elite joins exogenous X
+    into its STACKED meta-regression features (ref elite.py:204-213);
+    this implementation's bank and stacker are lag-only — pass X-aware
+    models (linear/knn/gbt with X) directly when exogenous signals
+    matter. The bank backtests themselves are lag-only in BOTH
+    implementations."""
+
     def __init__(
         self,
         freq: str,
