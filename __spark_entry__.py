@@ -642,6 +642,21 @@ def q_forecast_linear_exog(spark, sf_dir):
     return _round_floats(fc.predict(3, X=X_future)).orderBy(e, t)
 
 
+def q_forecast_lasso_cd(spark, sf_dir):
+    """Exact lasso via cyclic coordinate descent on the CENTERED
+    sufficient statistics (one codegen aggregate pass; the 60-iteration
+    CD loop is driver scalar arithmetic) — upgrades the L1 family from
+    MLlib-only to value-verified: the oracle replays the Gram/centering
+    aggregates AND all 60 unrolled CD sweeps term for term, then the
+    4-step recursion."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.linear import lasso
+
+    df = events_panel(spark, sf_dir)
+    fc = lasso(freq="1h", lags=2, alpha=0.1, cd_iters=60).fit(df)
+    return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
+
+
 def q_forecast_auto_linear(spark, sf_dir):
     """auto_linear_model end-to-end: the grid-CV search (lags in
     {3,7,12}, expanding 2-split backtest, per-entity sum-ratio SMAPE,
@@ -2786,6 +2801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "forecast_linear": q_forecast_linear,
             "forecast_linear_ar2": q_forecast_linear_ar2,
             "forecast_ridge_ar2": q_forecast_ridge_ar2,
+            "forecast_lasso_cd": q_forecast_lasso_cd,
             "forecast_auto_linear": q_forecast_auto_linear,
             "forecast_auto_cfo": q_forecast_auto_cfo,
             "forecast_linear_direct": q_forecast_linear_direct,
@@ -2964,6 +2980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_auto_cfo",
         "ann_recall_ivf",
         "forecast_knn_exog",
+        "forecast_lasso_cd",
         "tpch_pricing_summary",
         "tpch_local_supplier_volume",
         # (c) changed in round 5 (implementation or oracle)

@@ -103,21 +103,100 @@ class LinearBackend:
     L1 paths (lasso/elastic-net) fall back to MLlib's coordinate
     solver."""
 
-    def __init__(self, reg_param: float = 0.0, elastic_net_param: float = 0.0, fit_intercept: bool = True):
+    def __init__(
+        self,
+        reg_param: float = 0.0,
+        elastic_net_param: float = 0.0,
+        fit_intercept: bool = True,
+        cd_iters: int | None = None,
+    ):
         self.reg_param = reg_param
         self.elastic_net_param = elastic_net_param
         self.fit_intercept = fit_intercept
+        self.cd_iters = cd_iters
 
     @property
     def single_pass(self) -> bool:
-        """True when fit is ONE aggregate job (normal-equation solve)
-        — callers should not persist a design that is read once."""
-        return self.elastic_net_param == 0.0 or self.reg_param == 0.0
+        """True when fit is ONE aggregate job (normal-equation solve
+        or sufficient-stats coordinate descent) — callers should not
+        persist a design that is read once."""
+        return (
+            self.elastic_net_param == 0.0
+            or self.reg_param == 0.0
+            or self.cd_iters is not None
+        )
 
     def fit(self, df: DataFrame, feature_cols: list, target_col: str):
-        if self.single_pass:
-            return self._fit_normal(df, feature_cols, target_col)
-        return self._fit_mllib(df, feature_cols, target_col)
+        if self.elastic_net_param > 0.0 and self.reg_param > 0.0:
+            if self.cd_iters is not None:
+                return self._fit_cd(df, feature_cols, target_col)
+            return self._fit_mllib(df, feature_cols, target_col)
+        return self._fit_normal(df, feature_cols, target_col)
+
+    def _suff_stats(self, df: DataFrame, feature_cols: list, target_col: str):
+        """(xtx, xty, n): the m x m raw Gram (intercept column of ones
+        appended when fit_intercept), X'y, and the row count — ONE
+        codegen aggregate pass, shared by the normal-equation and the
+        coordinate-descent paths."""
+        k = len(feature_cols)
+        names = [f"`{c}`" for c in feature_cols] + (
+            ["1.0"] if self.fit_intercept else []
+        )
+        m = len(names)
+        exprs = []
+        for i in range(m):
+            for j in range(i, m):
+                exprs.append(f"sum({names[i]} * {names[j]}) AS xx_{i}_{j}")
+            exprs.append(f"sum({names[i]} * `{target_col}`) AS xy_{i}")
+        exprs.append("count(*) AS nn")
+        row = df.na.drop(subset=feature_cols).selectExpr(*exprs).first()
+        xtx = np.zeros((m, m))
+        xty = np.zeros(m)
+        for i in range(m):
+            for j in range(i, m):
+                xtx[i, j] = xtx[j, i] = row[f"xx_{i}_{j}"]
+            xty[i] = row[f"xy_{i}"]
+        return xtx, xty, float(row["nn"]), k
+
+    def _fit_cd(self, df: DataFrame, feature_cols: list, target_col: str):
+        """Exact lasso / elastic net via cyclic coordinate descent on
+        the CENTERED sufficient statistics: CD's per-coordinate update
+        only needs X'X and X'y, so the corpus is read in the SAME one
+        aggregate pass as OLS and the fixed-iteration loop is driver
+        scalar arithmetic — deterministic and SQL-replayable, unlike
+        MLlib's OWLQN trajectory. sklearn objective
+        1/(2n)||y - Xw - b||^2 + alpha*(l1*|w|_1 + (1-l1)/2*|w|_2^2):
+        threshold n*alpha*l1, denominator Gc_jj + n*alpha*(1-l1),
+        intercept unpenalized via centering."""
+        xtx, xty, n, k = self._suff_stats(df, feature_cols, target_col)
+        if self.fit_intercept:
+            sx = xtx[:k, k]
+            sy = xty[k]
+            mx, my = sx / n, sy / n
+            gc = xtx[:k, :k] - np.outer(mx, mx) * n
+            bc = xty[:k] - mx * sy
+        else:
+            mx, my = np.zeros(k), 0.0
+            gc = xtx[:k, :k]
+            bc = xty[:k]
+        l1 = self.elastic_net_param
+        thresh = n * self.reg_param * l1
+        denom = np.diag(gc) + n * self.reg_param * (1.0 - l1)
+        w = np.zeros(k)
+        for _ in range(self.cd_iters):
+            for j in range(k):
+                # explicit index-order sum (not a dot + add-back): the
+                # oracle replays this arithmetic term for term
+                rho = bc[j]
+                for ll in range(k):
+                    if ll != j:
+                        rho = rho - gc[j, ll] * w[ll]
+                if denom[j] <= 0:
+                    w[j] = 0.0
+                else:
+                    w[j] = np.sign(rho) * max(abs(rho) - thresh, 0.0) / denom[j]
+        b = float(my - mx @ w) if self.fit_intercept else 0.0
+        return w, b
 
     def _fit_normal(self, df: DataFrame, feature_cols: list, target_col: str):
         k = len(feature_cols)

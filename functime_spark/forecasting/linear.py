@@ -34,6 +34,7 @@ class linear_model(Forecaster):
         fit_intercept: bool = True,
         alpha: float | None = None,
         l1_ratio: float | None = None,
+        cd_iters: int | None = None,
         target_transform=None,
     ):
         super().__init__(freq=freq, lags=lags, target_transform=target_transform)
@@ -42,6 +43,7 @@ class linear_model(Forecaster):
         self.fit_intercept = fit_intercept
         self.alpha = alpha
         self.l1_ratio = l1_ratio
+        self.cd_iters = cd_iters
         if strategy in ("direct", "ensemble") and max_horizons is None:
             raise ValueError("direct/ensemble strategy requires max_horizons")
 
@@ -54,13 +56,17 @@ class linear_model(Forecaster):
             "fit_intercept": self.fit_intercept,
             "alpha": self.alpha,
             "l1_ratio": self.l1_ratio,
+            "cd_iters": self.cd_iters,
         }
 
     def _backend(self) -> LinearBackend:
         reg = self.alpha if self.alpha is not None else self._reg_param
         l1 = self.l1_ratio if self.l1_ratio is not None else self._elastic_net_param
         return LinearBackend(
-            reg_param=reg, elastic_net_param=l1, fit_intercept=self.fit_intercept
+            reg_param=reg,
+            elastic_net_param=l1,
+            fit_intercept=self.fit_intercept,
+            cd_iters=self.cd_iters,
         )
 
     def _fit(self, y: DataFrame, X: DataFrame | None = None):

@@ -2226,6 +2226,54 @@ def operator_oracles() -> dict:
         + " AS value FROM p4, (VALUES (1),(2),(3),(4)) AS s(step) ORDER BY 1, 2"
     )
 
+    # forecast_lasso_cd: exact L1 AR(2) — centered Gram/moment
+    # aggregates, then SIXTY unrolled cyclic coordinate-descent sweeps
+    # (soft threshold alpha*n; the Spark fit runs the identical
+    # fixed-iteration arithmetic on the same sufficient statistics),
+    # then the usual 4-step recursion. Threshold expr kept inline so
+    # the scalar chain replays LinearBackend._fit_cd term for term.
+    _CD_I, _CD_A = 60, 0.1
+    _cd_ctes = [
+        "a AS (SELECT sum(l1*l1) AS a11, sum(l1*l2) AS a12, "
+        "sum(l2*l2) AS a22, sum(l1) AS s1, sum(l2) AS s2, sum(y) AS sy, "
+        "sum(l1*y) AS b1, sum(l2*y) AS b2, "
+        "CAST(count(*) AS DOUBLE) AS n FROM tr)",
+        "c AS (SELECT a11 - ((s1/n)*(s1/n))*n AS g11, "
+        "a12 - ((s1/n)*(s2/n))*n AS g12, "
+        "a22 - ((s2/n)*(s2/n))*n AS g22, "
+        "b1 - (s1/n)*sy AS c1, b2 - (s2/n)*sy AS c2, "
+        "s1/n AS mx1, s2/n AS mx2, sy/n AS my, n FROM a)",
+        "cd0 AS (SELECT *, 0.0 AS w1, 0.0 AS w2 FROM c)",
+    ]
+    for i in range(1, _CD_I + 1):
+        _cd_ctes.append(
+            f"cd{i} AS (SELECT g11, g12, g22, c1, c2, mx1, mx2, my, n, "
+            "w1n AS w1, "
+            f"SIGN(c2 - g12*w1n) * GREATEST(ABS(c2 - g12*w1n) - {_CD_A}*n, 0)"
+            " / g22 AS w2 FROM ("
+            "SELECT *, "
+            f"SIGN(c1 - g12*w2) * GREATEST(ABS(c1 - g12*w2) - {_CD_A}*n, 0)"
+            f" / g11 AS w1n FROM cd{i - 1}))"
+        )
+    o["forecast_lasso_cd"] = (
+        "WITH t0 AS (SELECT user_id, value AS y, "
+        "lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2, "
+        f"row_number() OVER w - 1 AS i FROM events {_W}), "
+        "tr AS (SELECT * FROM t0 WHERE i >= 2), "
+        + ", ".join(_cd_ctes)
+        + f", w AS (SELECT w1, w2, my - mx1*w1 - mx2*w2 AS b FROM cd{_CD_I}), "
+        "q AS (SELECT user_id, MAX(ts) AS low, max_by(value, ts) AS yT, "
+        "list(value ORDER BY ts DESC)[2] AS yT1 FROM events GROUP BY user_id), "
+        "p AS (SELECT q.user_id, q.low, w.w1*q.yT + w.w2*q.yT1 + w.b AS p1 FROM q, w), "
+        "p2 AS (SELECT p.user_id, p.low, p.p1, w.w1*p.p1 + w.w2*q.yT + w.b AS p2 "
+        "FROM p JOIN q USING (user_id), w), "
+        "p3 AS (SELECT user_id, low, p1, p2, w.w1*p2 + w.w2*p1 + w.b AS p3 FROM p2, w), "
+        "p4 AS (SELECT user_id, low, p1, p2, p3, w.w1*p3 + w.w2*p2 + w.b AS p4 FROM p3, w) "
+        "SELECT user_id, low + s.step * INTERVAL '1 hour' AS ts, "
+        + _r("CASE s.step WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3 ELSE p4 END")
+        + " AS value FROM p4, (VALUES (1),(2),(3),(4)) AS s(step) ORDER BY 1, 2"
+    )
+
     # forecast_linear: AR(8)+intercept. The pooled 9x9 normal-equation
     # system is symmetric positive-definite, so pivotless Gaussian
     # elimination is numerically stable and replayable as generated

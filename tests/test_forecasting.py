@@ -951,3 +951,49 @@ def test_backtest_conformalize_with_exog(spark):
     lo = pdf[pdf["quantile"] == 10].sort_values(["entity", "t"])["y"].to_numpy()
     hi = pdf[pdf["quantile"] == 90].sort_values(["entity", "t"])["y"].to_numpy()
     assert len(lo) and (lo <= hi).all()
+
+
+def test_lasso_cd_exact_coordinate_descent(spark):
+    """cd_iters switches the L1 fit to exact coordinate descent on the
+    centered sufficient statistics: one aggregate pass, deterministic
+    driver arithmetic. Must agree with a fully-converged numpy CD on
+    the raw design to ~1e-3 and zero out every weight under a large
+    enough alpha (intercept unpenalized -> falls back to the mean)."""
+    import numpy as np
+
+    from functime_spark.forecasting.linear import lasso
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for e in ("a", "b"):
+        x = [1.0, 2.0]
+        for t in range(300):
+            x.append(0.6 * x[-1] + 0.3 * x[-2] + 0.5 + rng.normal(0, 0.2))
+        rows += [(e, t, float(v)) for t, v in enumerate(x)]
+    y = spark.createDataFrame(rows, "entity string, t long, y double")
+    fc = lasso(freq="1i", lags=2, alpha=0.1, cd_iters=200).fit(y)
+    w, b = fc.state["recursive_model"]
+
+    pdf = y.toPandas().sort_values(["entity", "t"])
+    D = []
+    for _, g in pdf.groupby("entity"):
+        v = g["y"].to_numpy()
+        for i in range(2, len(v)):
+            D.append((v[i], v[i - 1], v[i - 2]))
+    D = np.array(D)
+    Y, Xm = D[:, 0], D[:, 1:]
+    n, mx, my = len(Y), D[:, 1:].mean(0), D[:, 0].mean()
+    Xc, Yc = Xm - mx, Y - my
+    wref = np.zeros(2)
+    for _ in range(5000):
+        for j in range(2):
+            r = Yc - Xc @ wref + Xc[:, j] * wref[j]
+            rho = Xc[:, j] @ r
+            wref[j] = np.sign(rho) * max(abs(rho) - 0.1 * n, 0) / (Xc[:, j] @ Xc[:, j])
+    np.testing.assert_allclose(np.asarray(w), wref, atol=1e-3)
+    assert abs(b - (my - mx @ wref)) < 1e-2
+
+    # huge alpha: both lag weights soft-threshold to exactly zero
+    fz = lasso(freq="1i", lags=2, alpha=1e6, cd_iters=10).fit(y)
+    wz, bz = fz.state["recursive_model"]
+    assert np.all(np.asarray(wz) == 0.0) and abs(bz - my) < 1e-9
