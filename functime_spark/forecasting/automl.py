@@ -418,6 +418,12 @@ class auto_lightgbm(_auto_base):
             {"max_iter": 20, "max_depth": 5},
         ]
 
+    def _cfo_space(self) -> dict:
+        return {
+            "max_iter": (5, 30, "linear", "int"),
+            "max_depth": (2, 6, "linear", "int"),
+        }
+
 
 class _fixed_lag_cv(_auto_base):
     """Regularization-only CV at a FIXED lag count — the analog of the

@@ -997,3 +997,49 @@ def test_lasso_cd_exact_coordinate_descent(spark):
     fz = lasso(freq="1i", lags=2, alpha=1e6, cd_iters=10).fit(y)
     wz, bz = fz.state["recursive_model"]
     assert np.all(np.asarray(wz) == 0.0) and abs(bz - my) < 1e-9
+
+
+def test_elastic_net_cd_kkt(spark):
+    """The CD path's elastic-net branch (threshold n*alpha*l1,
+    denominator Gc_jj + n*alpha*(1-l1)) must land on a point
+    satisfying the elastic-net KKT conditions of the sklearn objective
+    1/(2n)||y-Xw-b||^2 + alpha*(l1*|w|_1 + (1-l1)/2*|w|_2^2), computed
+    independently on the raw numpy design."""
+    import numpy as np
+
+    from functime_spark.forecasting.linear import elastic_net
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for e in ("a", "b"):
+        x = [5.0, 6.0]
+        for t in range(200):
+            x.append(0.5 * x[-1] + 0.2 * x[-2] + 1.0 + rng.normal(0, 0.3))
+        rows += [(e, t, float(v)) for t, v in enumerate(x)]
+    y = spark.createDataFrame(rows, "entity string, t long, y double")
+
+    alpha, l1 = 0.05, 0.5
+    en = elastic_net(
+        freq="1i", lags=2, alpha=alpha, l1_ratio=l1, cd_iters=500
+    ).fit(y)
+    w, b = en.state["recursive_model"]
+    w = np.asarray(w, dtype=float)
+
+    pdf = y.toPandas().sort_values(["entity", "t"])
+    D = []
+    for _, g in pdf.groupby("entity"):
+        v = g["y"].to_numpy()
+        for i in range(2, len(v)):
+            D.append((v[i], v[i - 1], v[i - 2]))
+    D = np.array(D)
+    Y, Xm = D[:, 0], D[:, 1:]
+    n = len(Y)
+    resid = Y - Xm @ w - b
+    # intercept stationarity (unpenalized): mean residual ~ 0
+    assert abs(resid.mean()) < 1e-8
+    grad = -(Xm.T @ resid) / n + alpha * (1 - l1) * w
+    for j in range(2):
+        if w[j] != 0.0:
+            assert abs(grad[j] + alpha * l1 * np.sign(w[j])) < 1e-6
+        else:
+            assert abs(grad[j]) <= alpha * l1 + 1e-6
