@@ -174,6 +174,29 @@ def main() -> None:
 
     bench("lm_quality_tiers", _q9)
 
+    # q10: TPC-H Q5-shaped star join: two big-big shuffle joins with
+    # broadcast dims + one hash aggregate (round 5)
+    def _q10():
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders")
+        c = load_table(spark, SF_DIR, "customer")
+        s = load_table(spark, SF_DIR, "supplier")
+        n = load_table(spark, SF_DIR, "nation")
+        r = load_table(spark, SF_DIR, "region")
+        (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .filter(F.col("r_name") == "ASIA")
+            .groupBy("n_name")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .collect()
+        )
+
+    bench("tpch_q5_star_join", _q10)
+
     total = round(sum(timings.values()), 3)
     # the suite grew from 7 to 9 queries in round 4 (minhash_dedup,
     # lm_quality_tiers); keep the round-over-round comparable subtotal
