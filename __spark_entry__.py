@@ -3012,8 +3012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_knn_direct",
         "forecast_backtest_naive",
         "metrics_point",
-        "metrics_interval",
-        "metrics_crps",
+        "forecast_linear_exog",
+        "eval_rank_forecasts",
         "dedup_exact",
         "dedup_minhash",
         "dedup_cluster",
