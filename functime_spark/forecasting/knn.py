@@ -234,10 +234,15 @@ class knn(Forecaster):
         spark = y_lag.sparkSession
         feats_ref, targs_ref = self.state["train"]
         x_cols = self.state.get("x_cols") or []
-        # recursive scan uses the first `lags` reference columns (+ the
-        # exogenous block, which sits right after them when width==lags)
+        # recursive scan uses the first `lags` reference columns plus
+        # the exogenous block, which sits AFTER all width lag columns —
+        # width > lags under the ensemble strategy, so slice both
+        # blocks explicitly rather than assuming they are adjacent
+        width = self._design_width()
         ref = (
-            feats_ref
+            np.ascontiguousarray(
+                np.hstack([feats_ref[:, :lags], feats_ref[:, width:]])
+            )
             if x_cols
             else np.ascontiguousarray(feats_ref[:, :lags])
         )

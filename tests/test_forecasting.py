@@ -914,6 +914,22 @@ def test_knn_censored_exogenous_features(spark):
     )
     assert not np.allclose(with_x, without_x)
 
+    # ensemble strategy: the design width exceeds `lags`, so the
+    # recursive reference matrix must splice the lag block and the
+    # exogenous block around the extra horizon columns (regression for
+    # the round-5 slice bug) — step-1 predictions use the observed
+    # buffer on both members, so they must track the first future x
+    ens = (
+        knn(freq="1i", lags=2, n_neighbors=3, strategy="ensemble", max_horizons=4)
+        .fit(y, X)
+        .predict(4, Xf)
+        .toPandas()
+        .sort_values(["entity", "t"])
+    )
+    assert np.isfinite(ens["y"].to_numpy()).all()
+    first = {e: g["y"].iloc[0] for e, g in ens.groupby("entity")}
+    assert abs(first["a"] - 60.0) < 3.0 and abs(first["b"] - 10.0) < 3.0
+
 
 def test_backtest_conformalize_with_exog(spark):
     """backtest(X=...) fits each split with X and predicts with the
