@@ -1091,7 +1091,17 @@ def q_forecast_gbt(spark, sf_dir):
             )
         )
     )
-    span = F.col("mx") - F.col("mn")
+    # envelope slack: 2x the entity's train span PLUS a relative +
+    # absolute floor — a constant/near-constant entity (span ~ 0) would
+    # otherwise demand pred == its exact value, which a POOLED model
+    # (f0 + shrunk pooled-residual leaves) cannot guarantee; the floor
+    # keeps the property about non-extrapolation, not per-entity
+    # interpolation (round-5 review finding)
+    slack = (
+        2 * (F.col("mx") - F.col("mn"))
+        + 0.05 * (F.abs(F.col("mn")) + F.abs(F.col("mx")))
+        + F.lit(1e-6)
+    )
     env = (
         p1.join(train.groupBy(e).agg(F.min(v).alias("mn"), F.max(v).alias("mx")), e)
         .groupBy(e)
@@ -1099,8 +1109,8 @@ def q_forecast_gbt(spark, sf_dir):
             (
                 F.sum(
                     F.when(
-                        (F.col(v) < F.col("mn") - 2 * span)
-                        | (F.col(v) > F.col("mx") + 2 * span),
+                        (F.col(v) < F.col("mn") - slack)
+                        | (F.col(v) > F.col("mx") + slack),
                         1,
                     ).otherwise(0)
                 )

@@ -134,10 +134,14 @@ class LinearBackend:
         return self._fit_normal(df, feature_cols, target_col)
 
     def _suff_stats(self, df: DataFrame, feature_cols: list, target_col: str):
-        """(xtx, xty, n): the m x m raw Gram (intercept column of ones
-        appended when fit_intercept), X'y, and the row count — ONE
-        codegen aggregate pass, shared by the normal-equation and the
-        coordinate-descent paths."""
+        """(xtx, xty, n, k): the m x m raw Gram (intercept column of
+        ones appended when fit_intercept), X'y, the row count, and the
+        feature count — ONE codegen aggregate pass, shared by the
+        normal-equation and coordinate-descent paths. The k(k+1)/2
+        aggregate expressions are built as ONE SQL string list:
+        constructing them as Column objects costs one py4j round-trip
+        per node (~0.6 s of driver time at lags=12), while selectExpr
+        ships the whole batch in a single call and parses JVM-side."""
         k = len(feature_cols)
         names = [f"`{c}`" for c in feature_cols] + (
             ["1.0"] if self.fit_intercept else []
@@ -199,29 +203,8 @@ class LinearBackend:
         return w, b
 
     def _fit_normal(self, df: DataFrame, feature_cols: list, target_col: str):
-        k = len(feature_cols)
-        # upper triangle of X'X (with intercept column of ones).
-        # The k(k+1)/2 aggregate expressions are built as ONE SQL
-        # string list: constructing them as Column objects costs one
-        # py4j round-trip per node (~0.6 s of driver time at lags=12),
-        # while selectExpr ships the whole batch in a single call and
-        # parses JVM-side.
-        names = [f"`{c}`" for c in feature_cols] + (
-            ["1.0"] if self.fit_intercept else []
-        )
-        m = len(names)
-        exprs = []
-        for i in range(m):
-            for j in range(i, m):
-                exprs.append(f"sum({names[i]} * {names[j]}) AS xx_{i}_{j}")
-            exprs.append(f"sum({names[i]} * `{target_col}`) AS xy_{i}")
-        row = df.na.drop(subset=feature_cols).selectExpr(*exprs).first()
-        xtx = np.zeros((m, m))
-        xty = np.zeros(m)
-        for i in range(m):
-            for j in range(i, m):
-                xtx[i, j] = xtx[j, i] = row[f"xx_{i}_{j}"]
-            xty[i] = row[f"xy_{i}"]
+        xtx, xty, _n, k = self._suff_stats(df, feature_cols, target_col)
+        m = xtx.shape[0]
         if self.reg_param > 0:  # ridge: do not penalize the intercept
             reg = np.eye(m) * self.reg_param
             if self.fit_intercept:
@@ -288,7 +271,24 @@ def attach_future_x(
         )
         aggs.append(F.slice(sorted_vals, 1, fh).alias(f"__x_{c}"))
     xf = X_future.groupBy(F.col(e).alias(entity)).agg(*aggs)
-    return y_lag.join(xf, on=entity, how="left")
+    out = y_lag.join(xf, on=entity, how="left")
+    # coverage must be validated, not assumed: an entity missing from
+    # X_future (NULL arrays after the left join) or with fewer than fh
+    # future rows would otherwise forecast on NULL/zero exog values —
+    # NaN routing in tree models, silent zero-padding in the Arrow
+    # kernels. One aggregate over the n_entities-scale frame.
+    short = F.lit(False)
+    for c in x_cols:
+        col = F.col(f"__x_{c}")
+        short = short | col.isNull() | (F.size(col) < fh)
+    bad = out.filter(short).select(entity).limit(5).collect()
+    if bad:
+        names = ", ".join(str(r[0]) for r in bad)
+        raise ValueError(
+            f"X_future must cover every entity with at least fh={fh} "
+            f"future rows; incomplete for entities: {names} ..."
+        )
+    return out
 
 
 def _x_matrix(pdf, x_cols: list, fh: int, n_rows: int):

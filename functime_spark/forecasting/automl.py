@@ -308,6 +308,12 @@ class _auto_base(Forecaster):
         cur = {d: from_z(d, bounds_z(d)[0]) for d in dims}
         cur_score = cheap_score(cur)
         steps = {d: (bounds_z(d)[1] - bounds_z(d)[0]) / 4.0 for d in dims}
+        if all(s == 0.0 for s in steps.values()):
+            raise ValueError(
+                "search='cfo' has no searchable dimension (every space "
+                "bound is pinned); use search='grid'/'halving' or widen "
+                "_cfo_space"
+            )
         resolution = {
             d: (1.0 if space[d][3] == "int" else (bounds_z(d)[1] - bounds_z(d)[0]) / 64.0)
             for d in dims
@@ -321,6 +327,8 @@ class _auto_base(Forecaster):
                 if steps[d] < resolution[d]:
                     continue
                 for sign in (1.0, -1.0):
+                    if self.n_fit_trials_ >= budget:
+                        break
                     z = to_z(d, cur[d]) + sign * steps[d]
                     lo_z, hi_z = bounds_z(d)
                     cand = dict(cur)
@@ -472,6 +480,12 @@ class lasso_cv(_fixed_lag_cv):
     def _space(self) -> list:
         return [{"alpha": a} for a in (0.01, 0.1, 1.0)]
 
+    def _cfo_space(self) -> dict:
+        # lags is a pinned zero-step dim here, so without a live alpha
+        # dim search="cfo" would silently evaluate nothing (round-5
+        # review finding)
+        return {"alpha": (1e-3, 10.0, "log", "float")}
+
 
 class ridge_cv(_fixed_lag_cv):
     """Ref forecasting/linear.py (RidgeCV)."""
@@ -481,11 +495,20 @@ class ridge_cv(_fixed_lag_cv):
     def _space(self) -> list:
         return [{"alpha": a} for a in (0.01, 0.1, 1.0)]
 
+    def _cfo_space(self) -> dict:
+        return {"alpha": (1e-3, 10.0, "log", "float")}
+
 
 class elastic_net_cv(_fixed_lag_cv):
     """Ref forecasting/linear.py (ElasticNetCV)."""
 
     _family = elastic_net
+
+    def _cfo_space(self) -> dict:
+        return {
+            "alpha": (1e-3, 10.0, "log", "float"),
+            "l1_ratio": (0.05, 0.95, "linear", "float"),
+        }
 
     def _space(self) -> list:
         return [

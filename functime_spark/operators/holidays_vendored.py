@@ -748,3 +748,32 @@ _COUNTRIES.update(
         "RU": _ru,
     }
 )
+
+
+# Matariki (NZ, statutory since 2022) follows the Maori lunar calendar;
+# the government gazettes the observed Fridays — fixed-rule computation
+# is not possible, so the published list is vendored (2022-2030; later
+# years need the gazetted schedule).
+_NZ_MATARIKI = {
+    2022: (6, 24),
+    2023: (7, 14),
+    2024: (6, 28),
+    2025: (6, 20),
+    2026: (7, 10),
+    2027: (6, 25),
+    2028: (7, 14),
+    2029: (7, 6),
+    2030: (6, 21),
+}
+_nz_base = _nz
+
+
+def _nz_with_matariki(year: int) -> list:
+    e = _nz_base(year)
+    md = _NZ_MATARIKI.get(year)
+    if md is not None:
+        e.append((_dt.date(year, md[0], md[1]), "matariki"))
+    return e
+
+
+_COUNTRIES["NZ"] = _nz_with_matariki

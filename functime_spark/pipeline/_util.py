@@ -14,7 +14,12 @@ def _cluster_parallelism(df: DataFrame) -> int:
     exist under Spark Connect — fall back to shuffle.partitions
     there."""
     spark = df.sparkSession
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        # non-numeric values exist in the wild (e.g. 'auto' under
+        # auto-optimized shuffle) — they must not crash the fallback
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (TypeError, ValueError):
+        shuffle_n = 200
     try:
         return max(spark.sparkContext.defaultParallelism, shuffle_n)
     except Exception:  # Spark Connect: no sparkContext on the client

@@ -39,6 +39,31 @@ def _duration(freq: str) -> str:
     return f"{n} {_DURATIONS[unit]}"
 
 
+def _is_utc_equivalent(tz: str) -> bool:
+    """True when the session zone id resolves to a fixed zero UTC
+    offset — 'Etc/GMT', 'GMT0', 'Universal', 'Zulu', '+00:00', ... are
+    all value-faithful for an NTZ cast, not just the literal 'UTC'
+    (round-5 review finding). Checked at two instants half a year
+    apart so a DST-bearing zone that merely touches offset zero does
+    not pass."""
+    import datetime as _dt
+
+    if tz in ("UTC", "Etc/UTC", "GMT", "Z"):
+        return True
+    s = tz.lstrip("+-")
+    if tz and tz[0] in "+-" and s.replace(":", "").replace("0", "") == "":
+        return True  # '+00:00' / '-0000' style fixed-zero offsets
+    try:
+        from zoneinfo import ZoneInfo
+
+        z = ZoneInfo(tz)
+        jan = _dt.datetime(2024, 1, 15, tzinfo=z).utcoffset()
+        jul = _dt.datetime(2024, 7, 15, tzinfo=z).utcoffset()
+        return jan == jul == _dt.timedelta(0)
+    except Exception:
+        return False
+
+
 def _watermarked(df: DataFrame, time_col: str, watermark: str):
     """Apply an event-time watermark, tolerating TIMESTAMP_NTZ.
 
@@ -58,7 +83,7 @@ def _watermarked(df: DataFrame, time_col: str, watermark: str):
         # silently shift event times and window boundaries, so fail
         # loudly instead (these ops are public API, not session.py-only)
         tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
-        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        if not _is_utc_equivalent(tz):
             raise ValueError(
                 f"{time_col} is TIMESTAMP_NTZ and the session timezone is "
                 f"{tz!r}: casting to the watermark-able TIMESTAMP type "

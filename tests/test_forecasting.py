@@ -1059,3 +1059,26 @@ def test_elastic_net_cd_kkt(spark):
             assert abs(grad[j] + alpha * l1 * np.sign(w[j])) < 1e-6
         else:
             assert abs(grad[j]) <= alpha * l1 + 1e-6
+
+
+def test_attach_future_x_coverage_guard(spark):
+    """An entity missing from X_future (or short of fh rows) must
+    raise with the entity named, not silently forecast on NULL exog
+    values (round-5 review finding)."""
+    from functime_spark.forecasting.linear import linear_model
+
+    rows, xrows = [], []
+    for e in ("a", "b"):
+        for t in range(40):
+            rows.append((e, t, float(t)))
+            xrows.append((e, t, float(t % 2)))
+    for i in range(4):
+        xrows.append(("a", 40 + i, 1.0))  # entity b has no future rows
+    y = spark.createDataFrame(rows, "entity string, t long, y double")
+    X = spark.createDataFrame(xrows, "entity string, t long, x double")
+    fc = linear_model(freq="1i", lags=2).fit(y, X)
+    with pytest.raises(ValueError, match="incomplete for entities.*b"):
+        fc.predict(4, X.filter("t >= 40"))
+    # short coverage (2 of 4 future rows) must also raise
+    with pytest.raises(ValueError, match="incomplete"):
+        fc.predict(4, X.filter("t >= 42"))
