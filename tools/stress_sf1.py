@@ -28,6 +28,7 @@ belong in SCALE.md.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import time
@@ -36,25 +37,38 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-STRESS_DIR = REPO / ".stress" / "sf1"
 SRC = "/root/testdata/sf0.1"
-COPIES = 10
+COPIES = int(os.environ.get("SPARK_STRESS_COPIES", "10"))
+STRESS_DIR = REPO / ".stress" / f"x{COPIES}"
+
+
+TABLES = ("documents", "events", "embeddings")
+
+
+def _complete(d: Path) -> bool:
+    return all((d / f"{t}.parquet").is_file() and (d / f"{t}.parquet").stat().st_size > 0 for t in TABLES)
 
 
 def generate(regen: bool = False) -> None:
     import duckdb
 
     if STRESS_DIR.exists():
-        if not regen:
+        # a killed earlier run can leave zero-byte files behind —
+        # treat anything incomplete as regen-needed, never as a cache
+        if not regen and _complete(STRESS_DIR):
             return
         shutil.rmtree(STRESS_DIR)
-    STRESS_DIR.mkdir(parents=True)
+    # write into a temp dir and rename so the cache dir is atomic
+    tmp = STRESS_DIR.parent / (STRESS_DIR.name + ".tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
     con = duckdb.connect()
     ks = ", ".join(str(k) for k in range(COPIES))
     con.execute(
         f"""
         COPY (
-          SELECT d.doc_id + k.k * 100000000 AS doc_id,
+          SELECT d.doc_id + CAST(k.k AS BIGINT) * 100000000 AS doc_id,
                  CASE WHEN k.k = 0 THEN d.text
                       WHEN d.doc_id % 3 = 0 THEN d.text
                       WHEN d.doc_id % 3 = 1 THEN d.text || ' rev' || k.k
@@ -63,35 +77,37 @@ def generate(regen: bool = False) -> None:
                  d.lang, d.source, d.n_chars
           FROM read_parquet('{SRC}/documents.parquet') d,
                (SELECT unnest([{ks}]) AS k) k
-        ) TO '{STRESS_DIR}/documents.parquet' (FORMAT PARQUET)
+        ) TO '{tmp}/documents.parquet' (FORMAT PARQUET)
         """
     )
     con.execute(
         f"""
         COPY (
-          SELECT e.event_id + k.k * 100000000 AS event_id,
+          SELECT e.event_id + CAST(k.k AS BIGINT) * 100000000 AS event_id,
                  e.ts,
-                 e.user_id + k.k * 1000000 AS user_id,
+                 e.user_id + CAST(k.k AS BIGINT) * 1000000 AS user_id,
                  e.event_type,
                  e.value * (1.0 + k.k * 0.01) AS value,
                  e.props
           FROM read_parquet('{SRC}/events.parquet') e,
                (SELECT unnest([{ks}]) AS k) k
-        ) TO '{STRESS_DIR}/events.parquet' (FORMAT PARQUET)
+        ) TO '{tmp}/events.parquet' (FORMAT PARQUET)
         """
     )
     con.execute(
         f"""
         COPY (
-          SELECT v.vec_id + k.k * 1000000 AS vec_id,
+          SELECT v.vec_id + CAST(k.k AS BIGINT) * 1000000 AS vec_id,
                  list_transform(v.embedding,
                    x -> CAST(x * (1.0 + k.k * 0.003) AS FLOAT)) AS embedding,
                  v.label
           FROM read_parquet('{SRC}/embeddings.parquet') v,
                (SELECT unnest([{ks}]) AS k) k
-        ) TO '{STRESS_DIR}/embeddings.parquet' (FORMAT PARQUET)
+        ) TO '{tmp}/embeddings.parquet' (FORMAT PARQUET)
         """
     )
+    assert _complete(tmp), "stress data generation produced incomplete files"
+    tmp.rename(STRESS_DIR)
 
 
 def main() -> None:
@@ -105,7 +121,7 @@ def main() -> None:
     spark = fts.get_session("stress-sf1")
     spark.sparkContext.setLogLevel("ERROR")
     sf = str(STRESS_DIR)
-    out: dict = {"sf": "1 (10x sf0.1 replica)", "stages": {}}
+    out: dict = {"sf": f"{COPIES}x sf0.1 replica", "stages": {}}
 
     def stage(name, fn):
         t0 = time.monotonic()
