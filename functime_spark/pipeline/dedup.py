@@ -275,6 +275,30 @@ def minhash_lsh_candidates(
     )
 
 
+def lsh_tuning(n_hashes: int = 32, bands: int = 8) -> dict:
+    """Banding-parameter diagnostics for MinHash-LSH: the S-curve
+    threshold t ~ (1/b)^(1/r) where candidate probability crosses 1/2,
+    and a `collision_prob(s) = 1 - (1 - s^r)^b` callable — the standard
+    tuning math (Leskovec/Rajaraman/Ullman, "Mining of Massive
+    Datasets" ch. 3) for choosing n_hashes/bands against a target
+    Jaccard threshold before paying a corpus-scale banding pass."""
+    if n_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide n_hashes={n_hashes} "
+            "(equal-width band slices)"
+        )
+    r = n_hashes // bands
+
+    def collision_prob(s: float) -> float:
+        return 1.0 - (1.0 - s**r) ** bands
+
+    return {
+        "rows_per_band": r,
+        "threshold": (1.0 / bands) ** (1.0 / r),
+        "collision_prob": collision_prob,
+    }
+
+
 def minhash_dedup(
     docs: DataFrame,
     text_col: str = "text",

@@ -2676,3 +2676,23 @@ def test_cluster_balanced_sample_caps_and_determinism(spark):
     per = Counter(c for _, c in rows_a)
     assert all(v <= 5 for v in per.values())
     assert len(per) >= 2  # spread over multiple clusters
+
+
+def test_lsh_tuning_math():
+    """The banding S-curve: threshold ~ (1/b)^(1/r); collision
+    probability is 0 at s=0, 1 at s=1, ~1/2 near the threshold, and
+    monotone in s; invalid band splits raise."""
+    import pytest as _pytest
+
+    from functime_spark.pipeline.dedup import lsh_tuning
+
+    t = lsh_tuning(n_hashes=32, bands=8)
+    assert t["rows_per_band"] == 4
+    assert abs(t["threshold"] - (1 / 8) ** 0.25) < 1e-12
+    p = t["collision_prob"]
+    assert p(0.0) == 0.0 and p(1.0) == 1.0
+    assert 0.3 < p(t["threshold"]) < 0.7
+    ss = [p(s / 10) for s in range(11)]
+    assert all(a <= b + 1e-12 for a, b in zip(ss, ss[1:]))
+    with _pytest.raises(ValueError, match="divide"):
+        lsh_tuning(n_hashes=32, bands=7)
