@@ -2513,6 +2513,21 @@ def q_dedup_lines(spark, sf_dir):
     return line_dedup(_augment_lines_text(docs)).orderBy("doc_id")
 
 
+def q_dedup_lines_within(spark, sf_dir):
+    """Within-document repeated-token scrub: keep each unit's FIRST
+    occurrence inside its own document (array_distinct order
+    preservation — the boilerplate-paragraph scrubber). The synthetic
+    corpus is single-line, so the gate splits on spaces: every doc has
+    dense repetition, exercising the first-occurrence semantics
+    non-trivially; the oracle replays via UNNEST WITH ORDINALITY +
+    min-position grouping."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.dedup import dedup_lines_within_doc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_lines_within_doc(docs, sep=" ").orderBy("doc_id")
+
+
 def q_dedup_lines_keepfirst(spark, sf_dir):
     """Line dedup in keep-first mode: the single earliest
     (doc_id, position) copy of each common line survives, replayed in
@@ -2839,6 +2854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_exact": q_dedup_exact,
             "dedup_lines": q_dedup_lines,
             "dedup_lines_keepfirst": q_dedup_lines_keepfirst,
+            "dedup_lines_within": q_dedup_lines_within,
             "dedup_spans": q_dedup_spans,
             "dedup_minhash_incr": q_dedup_minhash_incr,
             "text_stats": q_text_stats,
@@ -2989,6 +3005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feat_udf_cwt_peaks",
         "forecast_auto_cfo",
         "ann_recall_ivf",
+        "dedup_lines_within",
         "forecast_knn_exog",
         "forecast_lasso_cd",
         "tpch_pricing_summary",

@@ -1599,6 +1599,24 @@ def operator_oracles() -> dict:
         "ORDER BY 1, 2, 4"
     )
 
+    # dedup_lines_within: first-occurrence within-document dedup
+    # replayed as UNNEST WITH ORDINALITY -> per-(doc, unit) MIN(pos) ->
+    # position-ordered string_agg; totals from the raw and grouped
+    # streams.
+    o["dedup_lines_within"] = (
+        "WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr "
+        "FROM documents), "
+        "ex AS (SELECT doc_id, unnest(arr) AS line, "
+        "generate_subscripts(arr, 1) AS pos FROM arrs), "
+        "fst AS (SELECT doc_id, line, MIN(pos) AS p FROM ex GROUP BY 1, 2), "
+        "tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM ex "
+        "GROUP BY 1) "
+        "SELECT f.doc_id, string_agg(f.line, ' ' ORDER BY f.p) AS text, "
+        "MAX(t.n_lines) AS n_lines, CAST(COUNT(*) AS BIGINT) AS n_kept "
+        "FROM fst f JOIN tot t USING (doc_id) "
+        "GROUP BY 1 ORDER BY 1"
+    )
+
     # future_holidays: rebuild BOTH vendored calendars in pure SQL —
     # fixed dates, nth-weekday rules (isodow arithmetic), and the
     # Anonymous Gregorian computus for the DE Easter-based holidays —

@@ -846,6 +846,30 @@ def semantic_dedup(
     return dedup_keep_canonical(emb, pairs, id_col=id_col)
 
 
+def dedup_lines_within_doc(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """WITHIN-document repeated-line removal: keep each line's first
+    occurrence inside its own document (boilerplate like repeated
+    nav/footer blocks duplicated by a scraper), complementing
+    line_dedup's corpus-wide CCNet pass. Pure zero-shuffle projection:
+    split -> array_distinct (first-occurrence order preserved) ->
+    re-join; stateless per row, stream-legal.
+
+    Returns (id, text, n_lines, n_kept)."""
+    lines = F.split(F.col(text_col), sep)
+    kept = F.array_distinct(lines)
+    return docs.select(
+        F.col(id_col),
+        F.array_join(kept, sep).alias(text_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )
+
+
 def line_dedup(
     docs: DataFrame,
     text_col: str = "text",

@@ -2696,3 +2696,28 @@ def test_lsh_tuning_math():
     assert all(a <= b + 1e-12 for a, b in zip(ss, ss[1:]))
     with _pytest.raises(ValueError, match="divide"):
         lsh_tuning(n_hashes=32, bands=7)
+
+
+def test_dedup_lines_within_doc(spark):
+    """First-occurrence order must be preserved and only WITHIN-doc
+    repeats removed — cross-document repeats stay (that is
+    line_dedup's job)."""
+    from functime_spark.pipeline.dedup import dedup_lines_within_doc
+
+    d = spark.createDataFrame(
+        [
+            (1, "nav\nbody one\nnav\nfooter\nfooter"),
+            (2, "nav\nbody two"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines_within_doc(d).collect()}
+    assert out[1]["text"] == "nav\nbody one\nfooter"
+    assert out[1]["n_lines"] == 5 and out[1]["n_kept"] == 3
+    assert out[2]["text"] == "nav\nbody two"  # cross-doc repeat kept
+    # stream legality: zero-shuffle projection
+    from functime_spark.plans import count_exchanges, python_eval_nodes
+
+    plan_df = dedup_lines_within_doc(d)
+    assert count_exchanges(plan_df) == 0
+    assert python_eval_nodes(plan_df) == []
