@@ -153,7 +153,15 @@ class LinearBackend:
                 exprs.append(f"sum({names[i]} * {names[j]}) AS xx_{i}_{j}")
             exprs.append(f"sum({names[i]} * `{target_col}`) AS xy_{i}")
         exprs.append("count(*) AS nn")
-        row = df.na.drop(subset=feature_cols).selectExpr(*exprs).first()
+        # drop on features AND target: sum(x*y)/sum(y) skip NULL-target
+        # rows implicitly, so count(*) must too, or n / the centering
+        # means / the CD soft-threshold n*alpha are computed over a
+        # larger row set than X'X and X'y (ADVICE r5)
+        row = (
+            df.na.drop(subset=list(feature_cols) + [target_col])
+            .selectExpr(*exprs)
+            .first()
+        )
         xtx = np.zeros((m, m))
         xty = np.zeros(m)
         for i in range(m):
@@ -253,7 +261,11 @@ def mean_ensemble(a: DataFrame, b: DataFrame) -> DataFrame:
 
 
 def attach_future_x(
-    y_lag: DataFrame, X_future: DataFrame, x_cols: list, fh: int
+    y_lag: DataFrame,
+    X_future: DataFrame,
+    x_cols: list,
+    fh: int,
+    on_short: str = "raise",
 ) -> DataFrame:
     """Join per-entity exogenous futures onto the recursion state.
 
@@ -261,6 +273,20 @@ def attach_future_x(
     collected into an fh-long time-sorted array column `__x_<name>`
     (ref predict drops the time column and passes per-entity lists,
     _ar.py:212-214). Broadcast-joined: X_future has n_entities*fh rows.
+
+    Coverage must be validated, not assumed: an entity missing from
+    X_future (NULL arrays after the left join) or with fewer than fh
+    future rows would otherwise forecast on NULL/zero exog values —
+    NaN routing in tree models, silent zero-padding in the Arrow
+    kernels. ``on_short`` picks the policy:
+
+    - ``"raise"`` (default, direct predict): one eager n_entities-scale
+      check, ValueError naming the offending entities.
+    - ``"drop"`` (backtest): short entities are FILTERED out of the
+      recursion state — no extra Spark job, and an irregular panel
+      whose shortest series undershoots one split's test window skips
+      that entity for that split instead of aborting the whole
+      backtest (base.py's irregular-panel contract; ADVICE r5).
     """
     entity = y_lag.columns[0]
     e, t = X_future.columns[:2]
@@ -272,15 +298,12 @@ def attach_future_x(
         aggs.append(F.slice(sorted_vals, 1, fh).alias(f"__x_{c}"))
     xf = X_future.groupBy(F.col(e).alias(entity)).agg(*aggs)
     out = y_lag.join(xf, on=entity, how="left")
-    # coverage must be validated, not assumed: an entity missing from
-    # X_future (NULL arrays after the left join) or with fewer than fh
-    # future rows would otherwise forecast on NULL/zero exog values —
-    # NaN routing in tree models, silent zero-padding in the Arrow
-    # kernels. One aggregate over the n_entities-scale frame.
     short = F.lit(False)
     for c in x_cols:
         col = F.col(f"__x_{c}")
         short = short | col.isNull() | (F.size(col) < fh)
+    if on_short == "drop":
+        return out.filter(~short)
     bad = out.filter(short).select(entity).limit(5).collect()
     if bad:
         names = ", ".join(str(r[0]) for r in bad)

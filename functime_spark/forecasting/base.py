@@ -19,6 +19,11 @@ from functime_spark.serialize import SparkStatePickleMixin
 
 
 class Forecaster(SparkStatePickleMixin):
+    # exogenous-coverage policy consumed by attach_future_x at the
+    # _predict_values call sites: "raise" (eager check, direct predict)
+    # or "drop" (backtest — short entities skip the split, no extra job)
+    _x_on_short = "raise"
+
     def __init__(self, freq: str, lags: int = 1, target_transform=None):
         self.freq = freq
         self.lags = lags
@@ -147,6 +152,10 @@ class Forecaster(SparkStatePickleMixin):
             # ONLY the test-time rows (attach_future_x slices the
             # earliest fh rows of whatever it is given)
             fitted.fit(train, X)
+            # short-coverage entities (series shorter than this split's
+            # test window) drop out of the split instead of aborting
+            # the backtest — irregular panels are supported here
+            fitted._x_on_short = "drop"
             X_test = (
                 X.join(
                     test.select(p.entity, p.time), on=[p.entity, p.time], how="left_semi"

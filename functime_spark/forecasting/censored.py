@@ -195,7 +195,7 @@ class censored_model(Forecaster):
                 raise ValueError(
                     "forecaster was fit with exogenous X; predict needs X_future"
                 )
-            state = attach_future_x(state, X, x_cols, fh)
+            state = attach_future_x(state, X, x_cols, fh, on_short=self._x_on_short)
         if self.strategy == "recursive":
             return self._predict_blend(fh, state, recursive=True)
         if self.strategy == "direct":

@@ -166,7 +166,7 @@ class knn(Forecaster):
                 raise ValueError(
                     "forecaster was fit with exogenous X; predict needs X_future"
                 )
-            state = attach_future_x(state, X, x_cols, fh)
+            state = attach_future_x(state, X, x_cols, fh, on_short=self._x_on_short)
         return state
 
     def _predict_direct(self, fh: int, y_lag: DataFrame) -> DataFrame:

@@ -114,7 +114,7 @@ class linear_model(Forecaster):
                 raise ValueError(
                     "forecaster was fit with exogenous X; predict needs X_future"
                 )
-            y_lag = attach_future_x(y_lag, X, x_cols, fh)
+            y_lag = attach_future_x(y_lag, X, x_cols, fh, on_short=self._x_on_short)
         preds = None
         if self.strategy in ("recursive", "ensemble"):
             coef, b = self.state["recursive_model"]

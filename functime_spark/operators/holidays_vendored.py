@@ -636,19 +636,40 @@ def _fi(year: int) -> list:
 
 
 def _nz(year: int) -> list:
+    """New Zealand: the Holidays Act 2003 Mondayises weekend holidays
+    (ADVICE r5 — ZA had its observance rule, NZ was missing its own).
+    The New Year's and Christmas PAIRS shift Sat->Mon and Sun->Tue
+    (+2 days: the pair occupies consecutive days, so both members
+    jump over each other — e.g. Jan 1 Sat 2022 -> observed Mon Jan 3,
+    Jan 2 Sun -> observed Tue Jan 4). Waitangi Day and ANZAC Day
+    shift to the FOLLOWING MONDAY only, and only since the 2013
+    amendment act (first weekend occurrence: 2015/2014 seasons —
+    statutory from 1 Jan 2014)."""
     ea = _easter(year)
-    return [
-        (_dt.date(year, 1, 1), "new_years_day"),
-        (_dt.date(year, 1, 2), "day_after_new_years_day"),
-        (_dt.date(year, 2, 6), "waitangi_day"),
+    e = [
         (ea - _dt.timedelta(days=2), "good_friday"),
         (ea + _dt.timedelta(days=1), "easter_monday"),
-        (_dt.date(year, 4, 25), "anzac_day"),
         (_nth_weekday(year, 6, 0, 1), "sovereigns_birthday"),
         (_nth_weekday(year, 10, 0, 4), "labour_day"),
-        (_dt.date(year, 12, 25), "christmas_day"),
-        (_dt.date(year, 12, 26), "boxing_day"),
     ]
+    for m, d, name in (
+        (1, 1, "new_years_day"),
+        (1, 2, "day_after_new_years_day"),
+        (12, 25, "christmas_day"),
+        (12, 26, "boxing_day"),
+    ):
+        day = _dt.date(year, m, d)
+        e.append((day, name))
+        if day.weekday() >= 5:  # Sat/Sun -> +2 (Mon/Tue, paired days)
+            e.append((day + _dt.timedelta(days=2), f"{name}_(observed)"))
+    for m, d, name in ((2, 6, "waitangi_day"), (4, 25, "anzac_day")):
+        day = _dt.date(year, m, d)
+        e.append((day, name))
+        if year >= 2014 and day.weekday() >= 5:
+            e.append(
+                (day + _dt.timedelta(days=7 - day.weekday()), f"{name}_(observed)")
+            )
+    return e
 
 
 def _za(year: int) -> list:
@@ -736,6 +757,68 @@ def _ru(year: int) -> list:
     return e
 
 
+# --- Hijri (tabular Islamic calendar) ------------------------------
+# 1 Muharram 1 AH in the CIVIL tabular calendar = 16 July 622 Julian
+# = 19 July 622 proleptic Gregorian. The tabular (arithmetic) calendar
+# — 354-day years, leap set via (11*hy + 3) // 30, alternating 30/29
+# month lengths — is the standard public approximation of the
+# sighting-based Umm al-Qura calendar; it lands within +/-1 day of the
+# gazetted Saudi dates, so the years with known royal-court
+# announcements are overridden from the published record below
+# (same vendor-a-table pattern as the CN lunar new-year dates).
+_HIJRI_EPOCH = _dt.date(622, 7, 19)
+
+
+def _hijri_to_gregorian(hy: int, hm: int, hd: int) -> _dt.date:
+    """Civil tabular conversion: day offset from the epoch is
+    354*(hy-1) + leap days + ceil(29.5*(hm-1)) + hd - 1, with the
+    ceil expressed integrally as 29*(hm-1) + hm//2."""
+    days = (hy - 1) * 354 + (11 * hy + 3) // 30 + 29 * (hm - 1) + hm // 2 + hd - 1
+    return _HIJRI_EPOCH + _dt.timedelta(days=days)
+
+
+# Gazetted Saudi (Umm al-Qura / royal-court announced) Eid dates where
+# they are publicly recorded; keys are Gregorian years (no year in this
+# span has two occurrences of either Eid). Tabular arithmetic covers
+# every other year.
+_SA_EID_FITR = {
+    2015: (7, 17), 2016: (7, 6), 2017: (6, 25), 2018: (6, 15),
+    2019: (6, 4), 2020: (5, 24), 2021: (5, 13), 2022: (5, 2),
+    2023: (4, 21), 2024: (4, 10), 2025: (3, 30),
+}
+_SA_EID_ADHA = {
+    2015: (9, 24), 2016: (9, 12), 2017: (9, 1), 2018: (8, 21),
+    2019: (8, 11), 2020: (7, 31), 2021: (7, 20), 2022: (7, 9),
+    2023: (6, 28), 2024: (6, 16), 2025: (6, 6),
+}
+
+
+def _sa(year: int) -> list:
+    """Saudi Arabia: fixed national days + the two Hijri Eids from the
+    tabular calendar with gazetted-year overrides. A Gregorian year can
+    contain the same Eid twice (the Hijri year is ~11 days shorter —
+    e.g. Eid al-Fitr fell on both Jan 8 and Dec 27 in 2000), so up to
+    three candidate Hijri years are scanned and filtered by the
+    resulting Gregorian year."""
+    e = [(_dt.date(year, 9, 23), "saudi_national_day")]
+    if year >= 2022:
+        e.append((_dt.date(year, 2, 22), "founding_day"))
+    import math as _math
+
+    for hm, hd, name, ov in (
+        (10, 1, "eid_al_fitr", _SA_EID_FITR),
+        (12, 10, "eid_al_adha", _SA_EID_ADHA),
+    ):
+        for k in range(3):
+            hy = int(_math.floor((year - 622) * 1.0306)) + k
+            tab = _hijri_to_gregorian(hy, hm, hd)
+            if tab.year != year:
+                continue
+            m, d = ov.get(year, (tab.month, tab.day))
+            e.append((_dt.date(year, m, d), name))
+    return e
+
+
 _COUNTRIES.update(
     {
         "IE": _ie,
@@ -746,6 +829,7 @@ _COUNTRIES.update(
         "CZ": _cz,
         "GR": _gr,
         "RU": _ru,
+        "SA": _sa,
     }
 )
 

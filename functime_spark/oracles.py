@@ -1859,6 +1859,37 @@ def operator_oracles() -> dict:
         + " UNION ALL SELECT e - to_days(2), 'good_friday' FROM easter "
         "UNION ALL SELECT e + to_days(1), 'family_day' FROM easter"
     )
+    # SA: Hijri Eids via the CIVIL TABULAR Islamic calendar — epoch
+    # 1 Muharram 1 AH = 0622-07-19 proleptic Gregorian, day offset
+    # 354*(hy-1) + (11*hy+3)//30 leap days + 29*(hm-1) + hm//2 + hd-1 —
+    # with the gazetted Umm al-Qura override years replayed as a VALUES
+    # table (single source of truth: holidays_vendored._SA_EID_*). Up
+    # to three candidate Hijri years are scanned per Gregorian year so
+    # double-Eid years (e.g. 2033) emit both occurrences.
+    from functime_spark.operators.holidays_vendored import (
+        _SA_EID_ADHA,
+        _SA_EID_FITR,
+    )
+
+    _sa_ov = ", ".join(
+        f"({y}, '{nm}', DATE '{y}-{m:02d}-{d:02d}')"
+        for nm, tbl in (("eid_al_fitr", _SA_EID_FITR), ("eid_al_adha", _SA_EID_ADHA))
+        for y, (m, d) in sorted(tbl.items())
+    )
+    _sa_rules = (
+        "SELECT make_date(y,9,23) AS d, 'saudi_national_day' AS nm FROM yrs "
+        "UNION ALL SELECT make_date(y,2,22), 'founding_day' FROM yrs "
+        "WHERE y >= 2022 "
+        "UNION ALL SELECT COALESCE(ov.od, t.tab), t.nm FROM ("
+        "SELECT y, nm, DATE '0622-07-19' + to_days(CAST((hy-1)*354 "
+        "+ (11*hy+3)//30 + 29*(hm-1) + hm//2 + hd - 1 AS INT)) AS tab FROM ("
+        "SELECT y, CAST(FLOOR((y - 622) * 1.0306) AS INT) + k AS hy FROM yrs, "
+        "(VALUES (0),(1),(2)) ks(k)) h, "
+        "(VALUES (10,1,'eid_al_fitr'),(12,10,'eid_al_adha')) hol(hm,hd,nm)) t "
+        f"LEFT JOIN (VALUES {_sa_ov}) ov(gy, onm, od) "
+        "ON year(t.tab) = ov.gy AND t.nm = ov.onm "
+        "WHERE year(t.tab) = t.y"
+    )
     o["future_holidays"] = (
         "WITH c AS (SELECT user_id, MAX(ts) AS low FROM events GROUP BY user_id), "
         "fut AS (SELECT c.user_id, c.low + i * INTERVAL '1 day' AS ts "
@@ -1876,6 +1907,7 @@ def operator_oracles() -> dict:
                 ("ca", _ca_rules), ("nl", _nl_rules), ("br", _br_rules),
                 ("mx", _mx_rules), ("no_", _no_rules), ("pt", _pt_rules),
                 ("jp", _jp_rules), ("gr", _gr_rules), ("za", _za_rules),
+                ("sa", _sa_rules),
             ]
         )
         + " "
@@ -1883,7 +1915,7 @@ def operator_oracles() -> dict:
         "gb.nm AS holiday__gb, ca.nm AS holiday__ca, nl.nm AS holiday__nl, "
         "br.nm AS holiday__br, mx.nm AS holiday__mx, "
         "no_.nm AS holiday__no, pt.nm AS holiday__pt, jp.nm AS holiday__jp, "
-        "gr.nm AS holiday__gr, za.nm AS holiday__za "
+        "gr.nm AS holiday__gr, za.nm AS holiday__za, sa.nm AS holiday__sa "
         "FROM fut f LEFT JOIN us ON CAST(f.ts AS DATE) = us.d "
         "LEFT JOIN de ON CAST(f.ts AS DATE) = de.d "
         "LEFT JOIN gb ON CAST(f.ts AS DATE) = gb.d "
@@ -1896,6 +1928,7 @@ def operator_oracles() -> dict:
         "LEFT JOIN jp ON CAST(f.ts AS DATE) = jp.d "
         "LEFT JOIN gr ON CAST(f.ts AS DATE) = gr.d "
         "LEFT JOIN za ON CAST(f.ts AS DATE) = za.d "
+        "LEFT JOIN sa ON CAST(f.ts AS DATE) = sa.d "
         "ORDER BY user_id, ts"
     )
 
@@ -2677,21 +2710,38 @@ def operator_oracles() -> dict:
         + " AS value FROM p4, (VALUES (1),(2),(3),(4)) AS s(step) ORDER BY 1, 2"
     )
 
-    # forecast_trees_d2: the exact-greedy DEPTH-2 booster replayed —
-    # per round, the root split is the stump-style SSE argmax (per-value
-    # residual aggregates + window cumsums over both features), then the
-    # rows partition on the picked root and the SAME argmax runs within
-    # each side (PARTITION BY side windows) to pick the child splits;
-    # sides with one distinct value per feature degrade to a leaf at
-    # lr*mean(residual). The 4-step recursion is unrolled with the full
-    # depth-2 ensemble re-evaluated on the shifting lag buffer.
-    _T2_M, _T2_LR = 3, 0.5
+    # forecast_trees_d2: the HISTOGRAM-BINNED depth-2 booster replayed
+    # (round-6 redesign). The oracle first rebuilds the equal-width
+    # binning — exact per-feature min/max, w = (hi-lo)/B, bin =
+    # least(greatest(floor((x-lo)/w),0),B-1) — the identical IEEE-double
+    # expression the Spark fit evaluates, so every downstream threshold
+    # is an exact integer comparison. Per round, the root split is the
+    # fused SSE argmax over (feature, bin) candidates (window cumsums
+    # PARTITIONED BY feature over <= B rows), the rows partition on the
+    # picked root and the SAME argmax runs within each side; a side with
+    # no valid split degrades to a leaf at lr * the ROOT row's side mean
+    # (sl/cl — the same value the Spark fit reuses, no re-average). The
+    # 4-step recursion is unrolled with predict-time values binned (and
+    # clamped into [0, B-1]) through the same expression.
+    _T2_M, _T2_LR, _T2_B = 3, 0.5, 255
 
-    def _tree2_f(i: int, f1: str = "l1", f2: str = "l2") -> str:
-        """Single fitted depth-2 tree's contribution from tree-row t{i}."""
+    def _t2_bin(x: str, lo: str, hi: str) -> str:
+        """Equal-width bin index of expression `x` via mm's lo/hi."""
+        return (
+            f"CASE WHEN mm.{hi} = mm.{lo} THEN 0 ELSE "
+            f"CAST(LEAST(GREATEST(FLOOR(({x} - mm.{lo}) / "
+            f"((mm.{hi} - mm.{lo}) / {_T2_B}.0)), 0), {_T2_B - 1}) AS INT) END"
+        )
+
+    def _tree2_f(i: int, f1: str = "l1", f2: str = "l2", binned: bool = False) -> str:
+        """Single fitted depth-2 tree's contribution from tree-row t{i}.
+        With binned=False the f1/f2 expressions are RAW recursion values
+        that must be pushed through the bin expression first."""
 
         def pick(feat_col: str) -> str:
-            return f"CASE WHEN t{i}.{feat_col} = 1 THEN {f1} ELSE {f2} END"
+            b1 = f1 if binned else _t2_bin(f1, "lo1", "hi1")
+            b2 = f2 if binned else _t2_bin(f2, "lo2", "hi2")
+            return f"CASE WHEN t{i}.{feat_col} = 1 THEN {b1} ELSE {b2} END"
 
         return (
             f"CASE WHEN ({pick('rf')}) <= t{i}.rv THEN "
@@ -2701,11 +2751,11 @@ def operator_oracles() -> dict:
             f"WHEN ({pick('rcf')}) <= t{i}.rcv THEN t{i}.rdl ELSE t{i}.rdr END END"
         )
 
-    def _tree2_ens(m: int, f1: str = "l1", f2: str = "l2") -> str:
+    def _tree2_ens(m: int, f1: str = "l1", f2: str = "l2", binned: bool = False) -> str:
         """f0 + trees 1..m ensemble prediction expr."""
         e = "f0.f0"
         for i in range(1, m + 1):
-            e += f" + ({_tree2_f(i, f1, f2)})"
+            e += f" + ({_tree2_f(i, f1, f2, binned)})"
         return e
 
     _t2_iter = []
@@ -2717,10 +2767,11 @@ def operator_oracles() -> dict:
         # exhaustion at 3 rounds). Materialization keeps each stage a
         # single evaluation, matching how Spark executes the fit.
         _t2_iter.append(
-            f"r{m}d AS MATERIALIZED (SELECT l1, l2, y - ({_tree2_ens(m - 1)}) AS r "
-            f"FROM tr, f0{prior})"
+            f"r{m}d AS MATERIALIZED (SELECT l1, l2, y - ({_tree2_ens(m - 1, binned=True)}) AS r "
+            f"FROM trb, f0{prior})"
         )
-        # root split: identical selection to the stumps oracle
+        # root split: fused (feature, bin) candidates, windows
+        # partitioned by feature — the stump-style argmax over bins
         _t2_iter.append(
             f"rc{m} AS MATERIALIZED (SELECT 1 AS feat, l1 AS v, SUM(r) AS s, COUNT(*) AS c "
             f"FROM r{m}d GROUP BY 2 UNION ALL "
@@ -2734,8 +2785,12 @@ def operator_oracles() -> dict:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
             "wf AS (PARTITION BY feat))"
         )
+        # the argmax row carries BOTH side means: they are the leaf
+        # fallbacks when a side has no valid child split
         _t2_iter.append(
-            f"rb{m} AS MATERIALIZED (SELECT feat, v FROM rs{m} WHERE ct > cl "
+            f"rb{m} AS MATERIALIZED (SELECT feat, v, "
+            f"{_T2_LR} * (sl/cl) AS ld, "
+            f"{_T2_LR} * ((st-sl)/(ct-cl)) AS rd FROM rs{m} WHERE ct > cl "
             "ORDER BY sl*sl/cl + (st-sl)*(st-sl)/(ct-cl) DESC, feat ASC, v ASC "
             "LIMIT 1)"
         )
@@ -2759,23 +2814,17 @@ def operator_oracles() -> dict:
             "wf AS (PARTITION BY side, feat))"
         )
         _t2_iter.append(
-            f"cb{m} AS MATERIALIZED (SELECT side, feat, v, {_T2_LR} * sl/cl AS dl, "
-            f"{_T2_LR} * (st-sl)/(ct-cl) AS dr, "
+            f"cb{m} AS MATERIALIZED (SELECT side, feat, v, {_T2_LR} * (sl/cl) AS dl, "
+            f"{_T2_LR} * ((st-sl)/(ct-cl)) AS dr, "
             "row_number() OVER (PARTITION BY side "
             "ORDER BY sl*sl/cl + (st-sl)*(st-sl)/(ct-cl) DESC, feat ASC, v ASC) "
             f"AS rn FROM cs{m} WHERE ct > cl)"
         )
         _t2_iter.append(
-            f"sm{m} AS MATERIALIZED (SELECT MAX(CASE WHEN side = 0 THEN d END) AS d0, "
-            "MAX(CASE WHEN side = 1 THEN d END) AS d1 FROM "
-            f"(SELECT side, {_T2_LR} * SUM(r) / COUNT(*) AS d "
-            f"FROM sd{m} GROUP BY 1) z)"
-        )
-        _t2_iter.append(
             f"tree{m} AS MATERIALIZED (SELECT b.feat AS rf, b.v AS rv, "
-            "L.feat AS lf, L.v AS lv, L.dl AS ldl, L.dr AS ldr, s.d0 AS ld, "
-            "R.feat AS rcf, R.v AS rcv, R.dl AS rdl, R.dr AS rdr, s.d1 AS rd "
-            f"FROM rb{m} b CROSS JOIN sm{m} s "
+            "L.feat AS lf, L.v AS lv, L.dl AS ldl, L.dr AS ldr, b.ld AS ld, "
+            "R.feat AS rcf, R.v AS rcv, R.dl AS rdl, R.dr AS rdr, b.rd AS rd "
+            f"FROM rb{m} b "
             f"LEFT JOIN (SELECT * FROM cb{m} WHERE rn = 1 AND side = 0) L ON TRUE "
             f"LEFT JOIN (SELECT * FROM cb{m} WHERE rn = 1 AND side = 1) R ON TRUE)"
         )
@@ -2785,18 +2834,25 @@ def operator_oracles() -> dict:
         "lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2, "
         f"row_number() OVER w - 1 AS i FROM events {_W}), "
         "tr AS MATERIALIZED (SELECT * FROM t0 WHERE i >= 2), "
-        "f0 AS MATERIALIZED (SELECT AVG(y) AS f0 FROM tr), "
+        "mm AS MATERIALIZED (SELECT MIN(l1) AS lo1, MAX(l1) AS hi1, "
+        "MIN(l2) AS lo2, MAX(l2) AS hi2 FROM tr), "
+        "trb AS MATERIALIZED (SELECT y, "
+        + _t2_bin("tr.l1", "lo1", "hi1")
+        + " AS l1, "
+        + _t2_bin("tr.l2", "lo2", "hi2")
+        + " AS l2 FROM tr, mm), "
+        "f0 AS MATERIALIZED (SELECT AVG(y) AS f0 FROM trb), "
         + ", ".join(_t2_iter)
         + ", q AS (SELECT user_id, MAX(ts) AS low, max_by(value, ts) AS yT, "
         "list(value ORDER BY ts DESC)[2] AS yT1 FROM events GROUP BY user_id), "
         f"p1 AS (SELECT q.user_id, q.low, q.yT, "
-        f"{_tree2_ens(_T2_M, 'q.yT', 'q.yT1')} AS p1 FROM q, f0{_t2_all}), "
+        f"{_tree2_ens(_T2_M, 'q.yT', 'q.yT1')} AS p1 FROM q, f0, mm{_t2_all}), "
         f"p2 AS (SELECT p1.*, {_tree2_ens(_T2_M, 'p1.p1', 'p1.yT')} AS p2 "
-        f"FROM p1, f0{_t2_all}), "
+        f"FROM p1, f0, mm{_t2_all}), "
         f"p3 AS (SELECT p2.*, {_tree2_ens(_T2_M, 'p2.p2', 'p2.p1')} AS p3 "
-        f"FROM p2, f0{_t2_all}), "
+        f"FROM p2, f0, mm{_t2_all}), "
         f"p4 AS (SELECT p3.*, {_tree2_ens(_T2_M, 'p3.p3', 'p3.p2')} AS p4 "
-        f"FROM p3, f0{_t2_all}) "
+        f"FROM p3, f0, mm{_t2_all}) "
         "SELECT user_id, low + s.step * INTERVAL '1 hour' AS ts, "
         + _r("CASE s.step WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3 ELSE p4 END")
         + " AS value FROM p4, (VALUES (1),(2),(3),(4)) AS s(step) ORDER BY 1, 2"

@@ -860,7 +860,13 @@ def dedup_lines_within_doc(
     re-join; stateless per row, stream-legal.
 
     Returns (id, text, n_lines, n_kept)."""
-    lines = F.split(F.col(text_col), sep)
+    import re as _re
+
+    # F.split treats sep as a Java regex while F.array_join uses it
+    # literally — escape the split side so a separator containing
+    # regex metacharacters ('.', '|', '+') stays a literal (ADVICE r5;
+    # same rule as line_dedup below)
+    lines = F.split(F.col(text_col), _re.escape(sep))
     kept = F.array_distinct(lines)
     return docs.select(
         F.col(id_col),

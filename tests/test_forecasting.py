@@ -492,11 +492,12 @@ def test_boosted_stumps_exact_splits(spark):
     assert len(pred) == 6 and pred["y"].notna().all()
 
 
-def test_boosted_trees_d2_exact_greedy(spark):
-    """Depth-2 trees reproduce a numpy replay of two-level exact-greedy
-    induction (root argmax, side partition, per-side child argmaxes
-    with leaf-mean fallback) and strictly reduce training SSE vs the
-    depth-1 stumps on data with an interaction."""
+def test_boosted_trees_d2_binned_greedy(spark):
+    """Depth-2 trees reproduce a numpy replay of the HISTOGRAM-BINNED
+    two-level greedy induction (equal-width bins from exact min/max,
+    root argmax over (feature, bin), side partition, per-side child
+    argmaxes with root-row leaf-mean fallback) and strictly reduce
+    training SSE vs depth-1 stumps on data with an interaction."""
     import numpy as np
 
     from functime_spark.forecasting.tree import boosted_stumps, boosted_trees_d2
@@ -507,7 +508,10 @@ def test_boosted_trees_d2_exact_greedy(spark):
         vals = np.abs(rng.normal(10, 5, 50)).round(2)
         rows += [(e, int(t), float(v)) for t, v in enumerate(vals)]
     y = spark.createDataFrame(rows, "entity string, t long, y double")
-    fc = boosted_trees_d2(freq="1i", lags=2, n_iter=2, learning_rate=0.5).fit(y)
+    B = 255
+    fc = boosted_trees_d2(
+        freq="1i", lags=2, n_iter=2, learning_rate=0.5, max_bins=B
+    ).fit(y)
     assert len(fc.state["trees"]) == 2
 
     pdf = y.toPandas().sort_values(["entity", "t"])
@@ -518,18 +522,36 @@ def test_boosted_trees_d2_exact_greedy(spark):
             design.append((v[i], v[i - 1], v[i - 2]))
     d = np.array(design)
 
+    # replay the equal-width binning exactly as the fit computes it
+    bins = []
+    for j in (1, 2):
+        lo, hi = d[:, j].min(), d[:, j].max()
+        bins.append((lo, (hi - lo) / float(B) if hi > lo else 0.0))
+    assert all(
+        abs(a - b) < 1e-15 for (a, _), (b, _) in zip(fc.state["bins"], bins)
+    )
+    bcols = np.column_stack(
+        [
+            np.zeros(len(d)) if w == 0.0
+            else np.clip(np.floor((d[:, j + 1] - lo) / w), 0, B - 1)
+            for j, (lo, w) in enumerate(bins)
+        ]
+    )
+
     def best_split(mask, r):
+        """argmax over (feature, bin) with (gain desc, feat, bin) ties;
+        returns (key, ml, mr) or None."""
         best = None
         for j in (0, 1):
-            col = d[mask, j + 1]
+            col = bcols[mask, j]
             for cand in np.unique(col)[:-1]:
                 m = col <= cand
-                gain = r[mask][m].sum() ** 2 / m.sum() + r[mask][~m].sum() ** 2 / (
-                    ~m
-                ).sum()
+                sl, cl = r[mask][m].sum(), m.sum()
+                sr, cr = r[mask][~m].sum(), (~m).sum()
+                gain = sl**2 / cl + sr**2 / cr
                 key = (-gain, j, cand)
-                if best is None or key < best:
-                    best = key
+                if best is None or key < best[0]:
+                    best = (key, sl / cl, sr / cr)
         return best
 
     f = np.full(len(d), d[:, 0].mean())
@@ -538,21 +560,27 @@ def test_boosted_trees_d2_exact_greedy(spark):
     for rj, rv, left, right in fc.state["trees"]:
         r = d[:, 0] - f
         root = best_split(all_mask, r)
-        assert root[1] == rj and abs(root[2] - rv) < 1e-12
-        lmask = d[:, rj + 1] <= rv
+        (_, rootj, rootv), root_ml, root_mr = root
+        assert rootj == rj and abs(rootv - rv) < 1e-12
+        lmask = bcols[:, rj] <= rv
         contrib = np.zeros(len(d))
-        for side_mask, child in ((lmask, left), (~lmask, right)):
+        for side_mask, child, fallback in (
+            (lmask, left, root_ml),
+            (~lmask, right, root_mr),
+        ):
             sub = best_split(side_mask, r)
             if child[0] == "leaf":
+                # leaf fallback = lr * the ROOT row's side mean
                 assert sub is None
-                contrib[side_mask] = 0.5 * r[side_mask].mean()
-                assert abs(contrib[side_mask][0] - child[1]) < 1e-9
+                contrib[side_mask] = 0.5 * fallback
+                assert abs(0.5 * fallback - child[1]) < 1e-9
             else:
                 _, sj, sv, dl, dr = child
-                assert sub[1] == sj and abs(sub[2] - sv) < 1e-12
-                inner = side_mask & (d[:, sj + 1] <= sv)
-                assert abs(0.5 * r[inner].mean() - dl) < 1e-9
-                assert abs(0.5 * r[side_mask & ~inner].mean() - dr) < 1e-9
+                (_, subj, subv), sub_ml, sub_mr = sub
+                assert subj == sj and abs(subv - sv) < 1e-12
+                inner = side_mask & (bcols[:, sj] <= sv)
+                assert abs(0.5 * sub_ml - dl) < 1e-9
+                assert abs(0.5 * sub_mr - dr) < 1e-9
                 contrib[inner] = dl
                 contrib[side_mask & ~inner] = dr
         f = f + contrib
@@ -566,6 +594,57 @@ def test_boosted_trees_d2_exact_greedy(spark):
 
     pred = fc.predict(3).toPandas()
     assert len(pred) == 6 and pred["y"].notna().all()
+
+
+def test_boosted_trees_d2_fit_is_two_actions_per_round(spark):
+    """The r6 scale fix pinned: (a) the whole fit runs 1 + 2*n_iter
+    collect-class actions (one stats aggregate, then per round ONE
+    fused root argmax + ONE fused children pass — no per-feature
+    .first() fan-out); (b) the candidate window is PARTITIONED (no
+    Exchange SinglePartition anywhere in the split-search plan)."""
+    import numpy as np
+    from pyspark.sql import DataFrame
+
+    from functime_spark.forecasting.tree import boosted_trees_d2
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (e, int(t), float(v))
+        for e in ("a", "b")
+        for t, v in enumerate(np.abs(rng.normal(10, 5, 40)))
+    ]
+    y = spark.createDataFrame(rows, "entity string, t long, y double")
+
+    counts = {"n": 0}
+    orig = DataFrame.collect
+
+    def counted(self):
+        counts["n"] += 1
+        return orig(self)
+
+    DataFrame.collect = counted
+    try:
+        n_iter = 3
+        fc = boosted_trees_d2(freq="1i", lags=2, n_iter=n_iter).fit(y)
+    finally:
+        DataFrame.collect = orig
+    # first()/collect both route through DataFrame.collect; the fit
+    # budget is the stats aggregate + 2 actions per boosting round
+    assert counts["n"] <= 1 + 2 * n_iter
+
+    # plan pin: the fused candidate frame has only partitioned windows
+    resid = (F.col("__y") - F.lit(fc.state["f0"]))
+    binned = (
+        y.selectExpr("y AS __y", "y AS l1", "y AS l2")
+        .select("__y", *[F.col(c).cast("int").alias(f"__b{j}")
+                         for j, c in enumerate(["l1", "l2"])])
+    )
+    scored = fc._scored_candidates(
+        binned, [F.col("__b0"), F.col("__b1")], resid
+    )
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
 
 
 def test_boosted_stumps_binned_mode(spark):

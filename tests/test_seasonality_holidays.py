@@ -265,6 +265,17 @@ def test_vendored_round5_calendars():
 
     nz = dict((n, d) for d, n in vendored_holidays("NZ", [2024]))
     assert nz["labour_day"] == dt.date(2024, 10, 28)  # 4th Monday Oct
+    # statutory Mondayisation (Holidays Act 2003 / 2013 amendment):
+    nz22 = dict((n, d) for d, n in vendored_holidays("NZ", [2022]))
+    assert nz22["new_years_day_(observed)"] == dt.date(2022, 1, 3)  # Sat->Mon
+    assert nz22["day_after_new_years_day_(observed)"] == dt.date(2022, 1, 4)
+    assert nz22["christmas_day_(observed)"] == dt.date(2022, 12, 27)  # Sun->Tue
+    assert "boxing_day_(observed)" not in nz22  # Dec 26 2022 is a Monday
+    nz21 = dict((n, d) for d, n in vendored_holidays("NZ", [2021]))
+    assert nz21["waitangi_day_(observed)"] == dt.date(2021, 2, 8)  # Sat->Mon
+    assert nz21["anzac_day_(observed)"] == dt.date(2021, 4, 26)  # Sun->Mon
+    nz10 = dict((n, d) for d, n in vendored_holidays("NZ", [2010]))
+    assert "waitangi_day_(observed)" not in nz10  # pre-2014: actual date only
 
     be = dict((n, d) for d, n in vendored_holidays("BE", [2024]))
     assert be["ascension_day"] == dt.date(2024, 5, 9)
@@ -277,3 +288,37 @@ def test_vendored_round5_calendars():
 
     ru = dict((n, d) for d, n in vendored_holidays("RU", [2024]))
     assert ru["victory_day"] == dt.date(2024, 5, 9)
+
+
+def test_vendored_hijri_sa():
+    """The tabular Islamic calendar + gazetted overrides (SA): exact
+    gazetted dates inside the override span, civil-tabular arithmetic
+    outside it, and the double-Eid Gregorian years handled."""
+    import datetime as dt
+
+    from functime_spark.operators.holidays_vendored import (
+        _hijri_to_gregorian,
+        vendored_holidays,
+    )
+
+    # civil tabular epoch + a known alignment year (tabular == gazetted)
+    assert _hijri_to_gregorian(1, 1, 1) == dt.date(622, 7, 19)
+    assert _hijri_to_gregorian(1445, 10, 1) == dt.date(2024, 4, 10)
+
+    sa24 = dict((n, d) for d, n in vendored_holidays("SA", [2024]))
+    assert sa24["eid_al_fitr"] == dt.date(2024, 4, 10)
+    assert sa24["eid_al_adha"] == dt.date(2024, 6, 16)
+    assert sa24["founding_day"] == dt.date(2024, 2, 22)
+    assert sa24["saudi_national_day"] == dt.date(2024, 9, 23)
+    # gazetted override year where tabular is off by one
+    sa23 = dict((n, d) for d, n in vendored_holidays("SA", [2023]))
+    assert sa23["eid_al_fitr"] == dt.date(2023, 4, 21)
+    # double-Eid Gregorian year: both Jan and Dec occurrences emitted
+    fitr_2033 = sorted(
+        d for d, n in vendored_holidays("SA", [2033]) if n == "eid_al_fitr"
+    )
+    assert len(fitr_2033) == 2 and fitr_2033[0].month == 1
+    # founding day is statutory only since 2022
+    assert "founding_day" not in dict(
+        (n, d) for d, n in vendored_holidays("SA", [2021])
+    )
