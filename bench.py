@@ -215,6 +215,13 @@ def main() -> None:
     missing = [q for q in r4_suite if q not in timings]
     assert not missing, f"r4-comparable queries renamed/removed: {missing}"
     r4_comparable = round(sum(timings[q] for q in r4_suite), 3)
+    # and the full round-5 suite (the 10 above) — same discipline that
+    # caught the r5 minhash drift: round-6+ suite growth can't mask a
+    # regression in any query that existed at round 5
+    r5_suite = r4_suite + ("tpch_q5_star_join",)
+    missing = [q for q in r5_suite if q not in timings]
+    assert not missing, f"r5-comparable queries renamed/removed: {missing}"
+    r5_comparable = round(sum(timings[q] for q in r5_suite), 3)
     print(
         json.dumps(
             {
@@ -224,6 +231,17 @@ def main() -> None:
                 "queries": timings,
                 "value_r3_comparable": prev_comparable,
                 "value_r4_comparable": r4_comparable,
+                "value_r5_comparable": r5_comparable,
+                # r6 investigation of the r5 minhash_dedup drift
+                # (1.418 -> 1.710 s): an isolated A/B of the r4 tree vs
+                # head on the same machine shows IDENTICAL stage
+                # timings (sig/candidates/full medians within noise;
+                # full 1.789 vs 1.892 s) — machine-state noise, not a
+                # code regression. The r4 number was the outlier.
+                "notes": {
+                    "minhash_dedup": "r5 drift adjudicated noise: "
+                    "r4-tree vs head A/B medians 1.789 vs 1.892 s"
+                },
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

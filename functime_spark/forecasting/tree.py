@@ -260,13 +260,190 @@ class random_forest_model(gradient_boosted_model):
     _algo = "rf"
 
 
-class xgboost(gradient_boosted_model):
+# --- native hyperparameter translation ------------------------------
+# The reference forwards **kwargs VERBATIM to the native libraries
+# (ref lightgbm.py:51-77 lgb_train params, xgboost.py:36-60 xgb_train,
+# catboost.py:28-69), so a porting user arrives with native-named
+# hyperparameters. Map them onto the MLlib GBT backbone where a
+# semantically close parameter exists; record-and-warn where MLlib has
+# no equivalent so nothing is dropped SILENTLY. The full table with
+# semantics deltas lives in MIGRATION.md ("GBT hyperparameter map").
+
+# mapped into the backbone constructor (max_iter / max_depth / step_size)
+_GBT_TO_BACKBONE = {
+    "num_iterations": "max_iter", "n_estimators": "max_iter",
+    "iterations": "max_iter", "num_boost_round": "max_iter",
+    "num_round": "max_iter",
+    "learning_rate": "step_size", "eta": "step_size",
+    "max_depth": "max_depth", "depth": "max_depth",
+}
+# mapped into extra MLlib GBTRegressor kwargs
+_GBT_TO_MLLIB = {
+    "min_data_in_leaf": "minInstancesPerNode",
+    "min_child_samples": "minInstancesPerNode",
+    "bagging_fraction": "subsamplingRate",
+    "subsample": "subsamplingRate",
+    "min_gain_to_split": "minInfoGain",
+    "min_split_gain": "minInfoGain",
+    "gamma": "minInfoGain",
+    "max_bin": "maxBins",
+    "seed": "seed", "random_state": "seed", "random_seed": "seed",
+}
+# column-subsampling fractions: MLlib expresses them as a string-typed
+# featureSubsetStrategy ("0.7")
+_GBT_COLSAMPLE = {"feature_fraction", "colsample_bytree", "rsm"}
+# native objectives with an MLlib GBT lossType equivalent
+_GBT_OBJECTIVES = {
+    "regression": "squared", "regression_l2": "squared", "l2": "squared",
+    "mse": "squared", "rmse": "squared", "reg:squarederror": "squared",
+    "RMSE": "squared",
+    "regression_l1": "absolute", "l1": "absolute", "mae": "absolute",
+    "reg:absoluteerror": "absolute", "MAE": "absolute",
+}
+
+
+def translate_gbt_params(params: dict) -> tuple[dict, dict, dict]:
+    """(backbone_kwargs, mllib_extra, dropped) from native-named
+    lightgbm/xgboost/catboost hyperparameters.
+
+    num_leaves (leaf-wise growth bound) becomes a depth-wise bound
+    maxDepth = ceil(log2(num_leaves)) — applied only when max_depth
+    is not itself given, since an explicit depth is the tighter
+    contract. Parameters with no MLlib analogue (L1/L2 leaf
+    regularization, quantile/tweedie objectives, bagging_freq, ...)
+    are returned in `dropped` and warned about once."""
+    import math
+    import warnings
+
+    core: dict = {}
+    extra: dict = {}
+    dropped: dict = {}
+    for k, v in params.items():
+        if k in ("max_iter", "step_size", "num_trees"):  # backbone names
+            core[k] = v
+        elif k in _GBT_TO_BACKBONE:
+            core[_GBT_TO_BACKBONE[k]] = v
+        elif k in _GBT_TO_MLLIB:
+            extra[_GBT_TO_MLLIB[k]] = v
+        elif k in _GBT_COLSAMPLE:
+            extra["featureSubsetStrategy"] = str(float(v))
+        elif k == "num_leaves":
+            pass  # handled below against max_depth
+        elif k == "objective":
+            if v in _GBT_OBJECTIVES:
+                extra["lossType"] = _GBT_OBJECTIVES[v]
+            else:
+                # gamma/tweedie/poisson/quantile: no MLlib loss — the
+                # label constraint is still enforced (see
+                # _enforce_label_constraint), the loss falls back to
+                # squared
+                dropped[k] = v
+        else:
+            dropped[k] = v
+    if "num_leaves" in params and "max_depth" not in core:
+        core["max_depth"] = max(
+            1, int(math.ceil(math.log2(max(2, int(params["num_leaves"])))))
+        )
+    if dropped:
+        warnings.warn(
+            "no MLlib GBT equivalent for hyperparameters "
+            f"{sorted(dropped)} — dropped (see MIGRATION.md 'GBT "
+            "hyperparameter map' for the translation table)",
+            stacklevel=3,
+        )
+    return core, extra, dropped
+
+
+def _enforce_label_constraint(y: DataFrame, objective, target: str) -> DataFrame:
+    """Ref lightgbm.py:30-46 / xgboost.py:24-34: gamma requires a
+    strictly positive label (values <= 0 -> 1), tweedie/poisson a
+    non-negative one (values < 0 -> 0)."""
+    if objective == "gamma":
+        return y.withColumn(
+            target,
+            F.when(F.col(target) <= 0, F.lit(1.0)).otherwise(
+                F.col(target).cast("double")
+            ),
+        )
+    if objective in ("tweedie", "poisson"):
+        return y.withColumn(
+            target,
+            F.when(F.col(target) < 0, F.lit(0.0)).otherwise(
+                F.col(target).cast("double")
+            ),
+        )
+    return y
+
+
+class _native_flavor(gradient_boosted_model):
+    """Shared constructor for the lightgbm/xgboost/catboost facades:
+    accepts the NATIVE hyperparameter vocabulary (the reference's
+    kwargs contract), translates it for the MLlib backbone, and keeps
+    the original kwargs for (a) backtest refits and (b) the native
+    distributed integrations when their packages are importable."""
+
+    def __init__(
+        self,
+        freq: str,
+        lags: int = 12,
+        strategy: str = "recursive",
+        max_horizons: int | None = None,
+        target_transform=None,
+        **params,
+    ):
+        core, extra, dropped = translate_gbt_params(params)
+        super().__init__(
+            freq=freq,
+            lags=lags,
+            strategy=strategy,
+            max_horizons=max_horizons,
+            target_transform=target_transform,
+            **core,
+        )
+        self._native_kwargs = dict(params)
+        self._mllib_extra = extra
+        self.dropped_params = dropped
+        self._objective = params.get("objective")
+
+    def _init_kwargs(self) -> dict:
+        return {
+            "freq": self.freq,
+            "lags": self.lags,
+            "strategy": self.strategy,
+            "max_horizons": self.max_horizons,
+            **self._native_kwargs,
+        }
+
+    def _fit(self, y: DataFrame, X: DataFrame | None = None):
+        y = _enforce_label_constraint(
+            y, self._objective, self.state["panel"].target
+        )
+        super()._fit(y, X)
+
+    def _regressor(self):
+        from pyspark.ml.regression import GBTRegressor
+
+        kwargs = {
+            "featuresCol": "__features",
+            "labelCol": self.state["panel"].target,
+            "maxIter": self.max_iter,
+            "maxDepth": self.max_depth,
+            "stepSize": self.step_size,
+            "seed": 7,
+        }
+        kwargs.update(self._mllib_extra)
+        return GBTRegressor(**kwargs)
+
+
+class xgboost(_native_flavor):
     """Ref xgboost.py:36-77. Uses the NATIVE distributed integration
     `xgboost.spark.SparkXGBRegressor` when the package is importable
     (its fitted model also emits a `prediction` column, so the
     recursive/direct predict paths are backend-agnostic); MLlib GBT
-    fallback otherwise. Param mapping: n_estimators←max_iter,
-    learning_rate←step_size, max_depth←max_depth."""
+    fallback otherwise, with xgboost-named hyperparameters translated
+    (n_estimators->maxIter, eta/learning_rate->stepSize,
+    subsample->subsamplingRate, colsample_bytree->
+    featureSubsetStrategy, gamma->minInfoGain, ...)."""
 
     def _native_params(self) -> dict:
         return {
@@ -275,6 +452,13 @@ class xgboost(gradient_boosted_model):
             "n_estimators": self.max_iter,
             "max_depth": self.max_depth,
             "learning_rate": self.step_size,
+            # original native-named kwargs pass through verbatim;
+            # backbone-only names would be unknown params there
+            **{
+                k: v
+                for k, v in self._native_kwargs.items()
+                if k not in ("max_iter", "step_size", "num_trees")
+            },
         }
 
     def _regressor(self):
@@ -285,12 +469,14 @@ class xgboost(gradient_boosted_model):
         return SparkXGBRegressor(**self._native_params())  # pragma: no cover
 
 
-class lightgbm(gradient_boosted_model):
+class lightgbm(_native_flavor):
     """Ref lightgbm.py:51-137. Uses SynapseML's distributed
     `LightGBMRegressor` when importable (transform is
-    prediction-column compatible); MLlib GBT fallback otherwise.
-    Param mapping: numIterations←max_iter, learningRate←step_size,
-    maxDepth←max_depth."""
+    prediction-column compatible); MLlib GBT fallback otherwise, with
+    lightgbm-named hyperparameters translated (num_iterations->
+    maxIter, num_leaves->ceil(log2) depth bound, min_data_in_leaf->
+    minInstancesPerNode, feature_fraction->featureSubsetStrategy,
+    bagging_fraction->subsamplingRate, max_bin->maxBins, ...)."""
 
     def _native_params(self) -> dict:
         return {
@@ -299,6 +485,13 @@ class lightgbm(gradient_boosted_model):
             "numIterations": self.max_iter,
             "learningRate": self.step_size,
             "maxDepth": self.max_depth,
+            # original native-named kwargs pass through verbatim;
+            # backbone-only names would be unknown params there
+            **{
+                k: v
+                for k, v in self._native_kwargs.items()
+                if k not in ("max_iter", "step_size", "num_trees")
+            },
         }
 
     def _regressor(self):
@@ -309,9 +502,11 @@ class lightgbm(gradient_boosted_model):
         return LightGBMRegressor(**self._native_params())  # pragma: no cover
 
 
-class catboost(gradient_boosted_model):
+class catboost(_native_flavor):
     """Ref catboost.py:28-69; single-node CatBoost has no distributed
-    story — MLlib GBT backbone (documented)."""
+    story — MLlib GBT backbone (documented), with catboost-named
+    hyperparameters translated (iterations->maxIter, depth->maxDepth,
+    rsm->featureSubsetStrategy, random_seed->seed, ...)."""
 
 
 class boosted_stumps(Forecaster):

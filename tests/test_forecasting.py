@@ -358,6 +358,82 @@ def test_native_tree_param_mapping(spark, events):
     assert p["learningRate"] == 0.05 and p["labelCol"] == "value"
 
 
+def test_gbt_native_hyperparameter_translation(spark, events):
+    """The r6 translation layer: each flavor accepts the reference's
+    NATIVE hyperparameter vocabulary (the ref forwards **kwargs to
+    lgb_train/xgb_train/CatBoost verbatim), maps it onto the MLlib GBT
+    backbone, and records+warns on the params MLlib cannot express —
+    nothing silently dropped."""
+    from functime_spark.forecasting.tree import catboost, lightgbm, xgboost
+    from functime_spark.panel import panel_cols
+
+    with pytest.warns(UserWarning, match="lambda_l1"):
+        fc = lightgbm(
+            freq="1h", lags=4, num_iterations=30, learning_rate=0.05,
+            num_leaves=31, min_data_in_leaf=20, feature_fraction=0.8,
+            bagging_fraction=0.9, max_bin=64, lambda_l1=0.1,
+            objective="regression",
+        )
+    assert fc.max_iter == 30 and fc.step_size == 0.05
+    assert fc.max_depth == 5  # ceil(log2(31)) leaf->depth bound
+    assert fc.dropped_params == {"lambda_l1": 0.1}
+    fc.state["panel"] = panel_cols(events)
+    reg = fc._regressor()
+    assert reg.getMaxIter() == 30 and reg.getStepSize() == 0.05
+    assert reg.getMinInstancesPerNode() == 20
+    assert reg.getSubsamplingRate() == 0.9
+    assert reg.getFeatureSubsetStrategy() == "0.8"
+    assert reg.getMaxBins() == 64 and reg.getLossType() == "squared"
+    # native path still sees the original vocabulary
+    p = fc._native_params()
+    assert p["num_leaves"] == 31 and p["feature_fraction"] == 0.8
+
+    with pytest.warns(UserWarning, match="reg_lambda"):
+        fc = xgboost(
+            freq="1h", lags=4, n_estimators=25, eta=0.3, max_depth=6,
+            subsample=0.7, colsample_bytree=0.5, reg_lambda=1.0,
+            objective="reg:absoluteerror",
+        )
+    fc.state["panel"] = panel_cols(events)
+    reg = fc._regressor()
+    assert reg.getMaxIter() == 25 and abs(reg.getStepSize() - 0.3) < 1e-12
+    assert reg.getMaxDepth() == 6
+    assert abs(reg.getSubsamplingRate() - 0.7) < 1e-12
+    assert reg.getFeatureSubsetStrategy() == "0.5"
+    assert reg.getLossType() == "absolute"
+
+    with pytest.warns(UserWarning, match="l2_leaf_reg"):
+        fc = catboost(
+            freq="1h", lags=4, iterations=40, depth=4, rsm=0.6,
+            random_seed=3, l2_leaf_reg=2.0,
+        )
+    fc.state["panel"] = panel_cols(events)
+    reg = fc._regressor()
+    assert reg.getMaxIter() == 40 and reg.getMaxDepth() == 4
+    assert reg.getFeatureSubsetStrategy() == "0.6" and reg.getSeed() == 3
+
+    # backtest refits round-trip the ORIGINAL native kwargs
+    kw = fc._init_kwargs()
+    assert kw["iterations"] == 40 and kw["rsm"] == 0.6
+
+
+def test_gbt_objective_label_constraint(spark):
+    """Ref lightgbm.py:30-46: gamma clamps labels <= 0 to 1,
+    poisson/tweedie clamp labels < 0 to 0, before the fit."""
+    from functime_spark.forecasting.tree import _enforce_label_constraint
+
+    y = spark.createDataFrame(
+        [("a", 0, -2.0), ("a", 1, 0.0), ("a", 2, 3.0)],
+        "entity string, t long, y double",
+    )
+    g = _enforce_label_constraint(y, "gamma", "y").toPandas().sort_values("t")
+    assert list(g["y"]) == [1.0, 1.0, 3.0]
+    p = _enforce_label_constraint(y, "poisson", "y").toPandas().sort_values("t")
+    assert list(p["y"]) == [0.0, 0.0, 3.0]
+    same = _enforce_label_constraint(y, None, "y").toPandas().sort_values("t")
+    assert list(same["y"]) == [-2.0, 0.0, 3.0]
+
+
 @pytest.mark.skipif(
     importlib.util.find_spec("xgboost") is None, reason="xgboost not installed"
 )
