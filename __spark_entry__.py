@@ -1952,22 +1952,31 @@ def q_ann_sq8_topk(spark, sf_dir):
 
 
 def q_feat_udf_scalar(spark, sf_dir):
-    """UDF-tier scalar features (entropy family, ADF, LZ) — rows-only."""
+    """The 7-kernel scipy grab-bag in ONE fused UDF pass — r6: now
+    VALUE-verified. Each kernel runs at the config its standalone
+    oracle replays (entropy pair, LZ state machine, ADF Cramer, CWT
+    ridge peaks at the tracking-independent max_width=4, Welch PSD,
+    Fourier entropy), and the composite oracle is the join of those
+    five replays — proving the fused multi-kernel path computes the
+    same values as the kernels run alone. The default max_width=5
+    ridge-TRACKING path (greedy sequential column matching — not
+    SQL-expressible as one set-based pass) keeps its coverage via the
+    transcribed tsfresh golden battery in tests/test_golden_tsfresh.py."""
     _ensure_nanos_conf(spark)
     from functime_spark.functions.features_udf import extract_features_udf
 
     df = events_panel(spark, sf_dir)
     out = extract_features_udf(
         df,
-        [
-            "approximate_entropy",
-            "sample_entropy",
-            "lempel_ziv_complexity",
-            "augmented_dickey_fuller",
-            "number_cwt_peaks",
-            "fourier_entropy",
-            "spkt_welch_density",
-        ],
+        {
+            "approximate_entropy": {"run_length": 2, "filtering_level": 0.2},
+            "sample_entropy": {"ratio": 0.2, "m": 2},
+            "lempel_ziv_complexity": {"threshold": 50.0, "as_ratio": True},
+            "augmented_dickey_fuller": {"n_lags": 1},
+            "number_cwt_peaks": {"max_width": 4},
+            "fourier_entropy": {"n_bins": 10},
+            "spkt_welch_density": {"coeff": 5},
+        },
     )
     return _round_floats(out).orderBy("user_id")
 
@@ -2978,90 +2987,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if name in _SKIP_FEATURES:
             continue
         q[f"feat_{name}"] = _feature_query(name)
-    # Round-5 window rotation: the driver's correctness gate truncates
-    # at ~50 queries; the union of the r1-r4 windows covered 198/207.
-    # Front-load (a) the r4 driver-red cell's fix, (b) the 9 queries
-    # never driver-verified across r1-r4, (c) everything new or whose
-    # implementation/oracle changed this round (depth-2 trees, the
-    # cwt-peaks value oracle, the gbt property oracle, the JP-equinox
-    # holiday extension, the ngram-jaccard de-broadcast, the elite
-    # de-hint, the conformal enbpi join note, the streaming NTZ
-    # guard), then (d) re-cycle older greens with the window slack so
-    # the r1-r5 union reaches all 209.
+    # Round-6 window rotation: the driver's correctness gate truncates
+    # at ~50 queries; the union of the r1-r5 windows covers ALL 216
+    # queries, so from r6 on the discipline is (a) front everything
+    # whose implementation or oracle CHANGED this round — the binned
+    # boosted_trees_d2 induction + oracle, feat_udf_scalar's new
+    # composite value oracle (rows-only -> value-hashed), the SA Hijri
+    # extension of future_holidays, the attach_future_x on_short
+    # rework (exog/backtest/conformal family), the _suff_stats na.drop
+    # fix (linear-fit family), the materialize() Connect seam (every
+    # localCheckpoint consumer), the GBT native-param translation, and
+    # the dedup_lines_within separator escape — then (b) re-cycle
+    # previously-green queries OLDEST-VERIFICATION-FIRST (computed
+    # from the CORRECTNESS_r0*.json union; the r1-only cohort goes
+    # first) so every query keeps getting periodic external re-checks.
     never_verified_first = [
-        # (a) r4's one red cell (float32 vs DOUBLE typed hash) — fixed
-        # via _round_floats this round; re-verify FIRST
-        "media_features",
-        # (b) never driver-verified across r1-r4
-        "scale_cardinality",
-        "dedup_priority",
-        "text_ngram_diversity",
-        "cluster_balanced_sample",
-        "events_json_props",
-        "conformal_enbpi",
-        "corpus_dsir",
-        "tpch_revenue_panel",
-        "tpch_supplier_features",
-        # (c) new in round 5
+        # (a) implementation or oracle changed in round 6
         "forecast_trees_d2",
-        "feat_udf_cwt_peaks",
-        "forecast_auto_cfo",
-        "ann_recall_ivf",
-        "dedup_lines_within",
-        "forecast_knn_exog",
-        "forecast_lasso_cd",
-        "tpch_pricing_summary",
-        "tpch_local_supplier_volume",
-        # (c) changed in round 5 (implementation or oracle)
-        "forecast_gbt",
+        "feat_udf_scalar",
         "future_holidays",
-        "dedup_ngram_jaccard",
-        "forecast_elite",
-        "forecast_stumps",
+        "dedup_lines_within",
+        "forecast_lasso_cd",
+        "forecast_ridge_ar2",
+        "forecast_linear_exog",
+        "forecast_knn_exog",
+        "forecast_backtest_naive",
         "forecast_conformal",
         "forecast_conformal_linear",
-        "stream_resample",
-        "stream_sliding_stats",
-        "sessionize",
-        "stream_minhash",
-        # ---- everything below is window slack: previously
-        # driver-verified green, re-cycled oldest-verification-first
-        # so every query keeps getting periodic external re-checks
-        "forecast_linear",
-        "forecast_naive",
-        "forecast_snaive",
-        "forecast_linear_ar2",
-        "forecast_ridge_ar2",
-        "forecast_auto_linear",
-        "forecast_linear_direct",
-        "forecast_linear_ensemble",
-        "forecast_censored",
-        "forecast_zero_inflated",
-        "forecast_knn",
-        "forecast_knn_direct",
-        "forecast_backtest_naive",
-        "metrics_point",
-        "forecast_linear_exog",
-        "eval_rank_forecasts",
-        "dedup_exact",
+        "conformal_enbpi",
+        "forecast_gbt",
+        "forecast_elite",
         "dedup_minhash",
         "dedup_cluster",
         "dedup_semantic",
-        "dedup_lines",
-        "dedup_spans",
-        "dedup_url",
-        "text_gopher",
-        "text_c4",
-        "text_stats",
-        "ann_cosine_topk",
-        "corpus_stats",
-        "corpus_clean_attrition",
-        "text_quality_tiers",
-        "text_lm_score",
-        "embedding_pca",
-        "embedding_kmeans",
-        "stratified_sample",
+        "dedup_ngram_jaccard",
+        "corpus_dsir",
         "corpus_pack_shards",
+        "corpus_clean_attrition",
+        "text_lm_score",
+        "text_quality_tiers",
+        "embedding_pca",
+        "stratified_sample",
+        # (b) window slack: oldest external verification first (all
+        # last seen by the driver in round 1)
+        "feat_absolute_energy",
+        "feat_absolute_maximum",
+        "feat_absolute_sum_of_changes",
+        "feat_autocorrelation",
+        "feat_benford_correlation",
+        "feat_binned_entropy",
+        "feat_c3",
+        "feat_change_quantiles",
+        "feat_cid_ce",
+        "feat_count_above",
+        "feat_count_above_mean",
+        "feat_count_below",
+        "feat_count_below_mean",
+        "feat_energy_ratios",
+        "feat_first_location_of_maximum",
+        "feat_first_location_of_minimum",
+        "feat_harmonic_mean",
+        "feat_has_duplicate",
+        "feat_has_duplicate_max",
+        "feat_has_duplicate_min",
+        "feat_index_mass_quantile",
+        "feat_large_standard_deviation",
+        "feat_last_location_of_maximum",
+        "feat_last_location_of_minimum",
+        "feat_linear_trend",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from functime_spark.panel import panel_cols
 from functime_spark.serialize import SparkStatePickleMixin
+from functime_spark.materialize import materialize as _materialize
 
 
 class Forecaster(SparkStatePickleMixin):
@@ -89,7 +90,7 @@ class Forecaster(SparkStatePickleMixin):
         panel k times per predict."""
         for key, val in self.state.items():
             if isinstance(val, DataFrame):
-                self.state[key] = val.localCheckpoint()
+                self.state[key] = _materialize(val)
 
     def _cutoffs_from_y_lag(self) -> None:
         """Serve cutoffs from the persisted recursion state (make_y_lag
@@ -179,7 +180,7 @@ class Forecaster(SparkStatePickleMixin):
             out = out.unionByName(nxt)
         if materialize:
             # eager: runs while the annotated frame is still cached
-            out = out.localCheckpoint()
+            out = _materialize(out)
         annotated[0].unpersist()
         return out
 
@@ -220,8 +221,8 @@ class Forecaster(SparkStatePickleMixin):
             F.percentile("__resid", F.lit(a)).alias(f"__q_{_akey(a)}")
             for a in alphas
         ]
-        quantiles = resid.groupBy(p.entity).agg(*q_aggs).localCheckpoint()
-        y_point = self.fit(y, X).predict(fh, X_future).localCheckpoint()
+        quantiles = _materialize(resid.groupBy(p.entity).agg(*q_aggs))
+        y_point = _materialize(self.fit(y, X).predict(fh, X_future))
         combined = y_point.select(p.entity, p.time, target).unionByName(
             y_preds.select(p.entity, p.time, target)
         )

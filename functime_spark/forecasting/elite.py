@@ -22,6 +22,7 @@ from functime_spark.forecasting.linear import linear_model, ridge
 from functime_spark.forecasting.naive import naive, snaive
 from functime_spark.operators.metrics import smape
 from functime_spark.panel import panel_cols
+from functime_spark.materialize import materialize
 
 
 def _default_bank(freq: str, sp: int, lags: int) -> dict:
@@ -213,7 +214,7 @@ class elite(Forecaster):
         M = np.asarray([[row[i] for i in range(self.top_k + 1)] for row in rows])
         b0, coefs = _lasso_ic(M[:, : self.top_k], M[:, self.top_k])
         self.state["stacker"] = (b0, [float(c) for c in coefs])
-        self.state["selection_rank"] = ranked.localCheckpoint()
+        self.state["selection_rank"] = materialize(ranked)
 
     def _predict_values(self, fh: int, X: DataFrame | None = None) -> DataFrame:
         p = self.state["panel"]

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from functime_spark.forecasting._ar import make_reduction, make_y_lag
 from functime_spark.forecasting.base import Forecaster
+from functime_spark.materialize import materialize
 
 _CHECKPOINT_EVERY = 8
 
@@ -247,7 +248,7 @@ class gradient_boosted_model(Forecaster):
                 *xarr,
             )
             if (h + 1) % _CHECKPOINT_EVERY == 0 and h + 1 < fh:
-                state = state.localCheckpoint(eager=False)
+                state = materialize(state, eager=False)
         out = steps[0]
         for nxt in steps[1:]:
             out = out.unionByName(nxt)

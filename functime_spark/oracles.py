@@ -4277,6 +4277,21 @@ ORDER BY 1, 2
         "ORDER BY user_id"
     )
 
+    # feat_udf_scalar (r6): the fused 7-kernel pass, value-verified as
+    # the JOIN of the five standalone kernel replays above/below — the
+    # composite proves the multi-kernel fused UDF computes the same
+    # values as each kernel alone. USING(user_id) dedupes the key;
+    # every component already rounds via _r and orders (subquery ORDER
+    # BY is inert).
+    o["feat_udf_scalar"] = (
+        "SELECT * FROM (" + o["feat_udf_entropy_pair"] + ") e "
+        "JOIN (" + o["feat_udf_lempel_ziv"] + ") l USING (user_id) "
+        "JOIN (" + o["feat_udf_adf"] + ") a USING (user_id) "
+        "JOIN (" + o["feat_udf_cwt_peaks"] + ") c USING (user_id) "
+        "JOIN (" + o["feat_udf_welch"] + ") w USING (user_id) "
+        "ORDER BY user_id"
+    )
+
     # dedup_lines / dedup_lines_keepfirst: the Spark side counts lines
     # by xxhash64 of the normalized text (8-byte shuffle key); the
     # oracle groups on the normalized line itself — identical result

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from functime_spark.materialize import materialize
 
 
 def clean_corpus(
@@ -83,7 +84,7 @@ def clean_corpus(
 
     def step(name, nxt):
         nonlocal cur, n_prev
-        nxt = nxt.localCheckpoint()
+        nxt = materialize(nxt)
         n_out = nxt.count()
         report.append((name, n_prev, n_out))
         cur, n_prev = nxt, n_out

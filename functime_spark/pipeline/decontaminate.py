@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from functime_spark.pipeline.dedup import _hash64
+from functime_spark.materialize import materialize
 
 
 def _word_ngrams(text_col, n: int):
@@ -79,7 +80,7 @@ def ngram_overlap(
     # the gram arrays feed BOTH the totals projection and the probe
     # explode; cut the lineage so the n-gram construction (and the
     # corpus scan under it) runs once, not once per consumer
-    per_doc = per_doc.localCheckpoint()
+    per_doc = materialize(per_doc)
     totals = per_doc.select(id_col, F.size("__grams").alias("n_grams"))
     exploded = per_doc.select(id_col, F.explode("__grams").alias("gram"))
     if hash_fn == "none":

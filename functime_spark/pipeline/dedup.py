@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from functime_spark.pipeline._util import spread_for_cpu as _spread_for_cpu
+from functime_spark.materialize import materialize
 
 # Lane-derivation scheme of minhash_signatures. Persist next to any
 # signature store (minhash_dedup_incremental) and refit on mismatch:
@@ -316,7 +317,7 @@ def minhash_dedup(
     # shuffle-free but still the expensive pass (n_hashes hash sweeps
     # over every doc's shingles). The self-join consumes sigs on BOTH
     # sides plus the verify joins; materializing runs it once, not 4x.
-    sigs = sigs.localCheckpoint()
+    sigs = materialize(sigs)
     cands = minhash_lsh_candidates(sigs, id_col, bands, hash_fn=hash_fn)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -379,7 +380,7 @@ def ngram_jaccard_pairs(
     # re-running per consumer (was 8 plan scans; localCheckpoint spills
     # to executor-local disk, the same durability class as a
     # MEMORY_AND_DISK cache at cluster scale)
-    grams = grams.localCheckpoint()
+    grams = materialize(grams)
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = grams.select(F.col(id_col).alias("id_a"), "g")
     b = grams.select(F.col(id_col).alias("id_b"), "g")
@@ -461,7 +462,7 @@ def simhash_near_dups(
     `max_bucket_size` are dropped (see _cap_buckets)."""
     # n_docs rows; materialize so the token explode + 64-bit-vote
     # aggregate runs once, not once per self-join side
-    sigs = simhash(docs, text_col, id_col, hash_fn=hash_fn).localCheckpoint()
+    sigs = materialize(simhash(docs, text_col, id_col, hash_fn=hash_fn))
     n_bands = 64 // band_bits
     banded = sigs.select(
         F.col(id_col),
@@ -693,8 +694,8 @@ def connected_components(
             F.greatest("a", "b").alias("big"), F.least("a", "b").alias("small")
         )
         .distinct()
-        .localCheckpoint()
     )
+    e = materialize(e)
     prev_sig = None
     for _ in range(max_iter):
         # large-star: symmetrize, then connect every neighbor v > u to
@@ -719,8 +720,8 @@ def connected_components(
             .select(F.col("small").alias("big"), F.col("m").alias("small"))
             .unionByName(mins2.select(F.col("big"), F.col("m").alias("small")))
             .distinct()
-            .localCheckpoint()
         )
+        e = materialize(e)
         # overflow-proof convergence signature: bit_xor of the row
         # hashes is order-independent and cannot overflow a long even
         # under spark.sql.ansi.enabled=true (the driver session default;
@@ -1101,7 +1102,7 @@ def minhash_dedup_incremental(
         new_docs, text_col, id_col, n_hashes, shingle_n, hash_fn
     )
     # consumed by banding + both verify sides; run the shingle sweeps once
-    new_sigs = new_sigs.localCheckpoint()
+    new_sigs = materialize(new_sigs)
     banded_new = _banded_sigs(new_sigs, id_col, bands, hash_fn, max_bucket_size)
 
     nn = banded_new.alias("a").join(

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from functime_spark.materialize import materialize
 
 
 def _tok_arr(text_col):
@@ -81,11 +82,10 @@ def fit_ngram_lm(
     # + projection lineages). Without a cut every branch re-aggregates
     # the training corpus — 5+ source scans measured. Vocab-bounded:
     # pay once.
-    bi_full = bi_full.localCheckpoint()
-    uni = (
+    bi_full = materialize(bi_full)
+    uni = materialize(
         bi_full.groupBy(F.col("w2").alias("w"))
         .agg(F.sum("c").cast("long").alias("c"))
-        .localCheckpoint()
     )
     bi = bi_full.filter(F.col("w1").isNotNull())
     if min_count > 1:
@@ -196,7 +196,7 @@ def quality_tiers(
     # output projection; un-cut, the whole upstream scoring chain (LM
     # joins, source scans) runs twice. One row per doc, few columns —
     # cheap to pin, and the only way the two consumers see one scan.
-    scored = scored.localCheckpoint()
+    scored = materialize(scored)
     cuts = [i / n_tiers for i in range(1, n_tiers)]
     qs = scored.agg(
         F.array(

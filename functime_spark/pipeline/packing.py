@@ -25,6 +25,7 @@ import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from functime_spark.materialize import materialize
 
 
 def pack_shards(
@@ -63,7 +64,7 @@ def pack_shards(
         # the tokenization pass feeds three plan branches (min/max agg,
         # per-bucket totals, final join) — materialize once or the whole
         # BPE pass re-executes per branch
-        base = base.localCheckpoint()
+        base = materialize(base)
     else:
         toks = F.size(
             F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from functime_spark.materialize import materialize
 
 
 def corpus_stats(
@@ -88,7 +89,7 @@ def _domain_token_counts(
         .groupBy(strata_col)
         .agg(F.sum("__t").cast("long").alias("n_tokens"))
     )
-    return cur.localCheckpoint()
+    return materialize(cur)
 
 
 def domain_mix_weights(
@@ -186,7 +187,7 @@ def vocab_stats(
     # aggregate; un-cut, the corpus-wide explode+aggregate under it
     # would execute twice. eager=False: the cut happens at first
     # action, so merely CONSTRUCTING this frame doesn't run a job
-    top = top.localCheckpoint(eager=False)
+    top = materialize(top, eager=False)
     w = Window.orderBy(F.desc("count"), F.asc("token"))
     ranked = top.withColumn("rank", F.row_number().over(w))
     lx = F.log(F.col("rank").cast("double"))

@@ -15,6 +15,7 @@ import numpy as np
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from functime_spark.materialize import materialize
 
 
 def _dot(a, b):
@@ -586,8 +587,8 @@ def tfidf_topk_similar(
     # source scan under it) re-executes ~4x. At 100 TB that is a 16x
     # read amplification; the sparse weight table is the thing to pay
     # for ONCE. (Measured here: 16 file scans → 2.)
-    weights = weights.localCheckpoint()
-    norms = norms.localCheckpoint()
+    weights = materialize(weights)
+    norms = materialize(norms)
     a, b = weights.alias("a"), weights.alias("b")
     dots = (
         a.join(

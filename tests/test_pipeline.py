@@ -2721,3 +2721,41 @@ def test_dedup_lines_within_doc(spark):
     plan_df = dedup_lines_within_doc(d)
     assert count_exchanges(plan_df) == 0
     assert python_eval_nodes(plan_df) == []
+
+
+def test_materialize_fallback_path(spark, monkeypatch):
+    """The Spark-Connect seam: with the fallback forced (no
+    localCheckpoint RPC), materialize() must still pin values via
+    persist + eager count, and the heavy users (LSH candidates,
+    connected components, LM tables) must stay correct through it."""
+    from functime_spark import materialize as M
+    from functime_spark.pipeline.dedup import (
+        connected_components,
+        minhash_dedup,
+    )
+    from functime_spark.pipeline.lm import ngram_lm_score
+
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog " * 3 + str(i % 4))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    baseline_pairs = minhash_dedup(docs, threshold=0.3).count()
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2), (10, 9), (20, 20)], "id_a long, id_b long"
+    )
+    baseline_cc = sorted(
+        tuple(r) for r in connected_components(edges).collect()
+    )
+    baseline_lm = ngram_lm_score(docs).count()
+
+    monkeypatch.setattr(M, "FORCE_FALLBACK", True)
+    probe = M.materialize(docs.selectExpr("doc_id"))
+    assert probe.count() == 40
+    assert minhash_dedup(docs, threshold=0.3).count() == baseline_pairs
+    assert (
+        sorted(tuple(r) for r in connected_components(edges).collect())
+        == baseline_cc
+    )
+    assert ngram_lm_score(docs).count() == baseline_lm
