@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from functime_spark.panel import panel_cols
+from functime_spark.compat import broadcast_value
 
 
 def make_reduction(y: DataFrame, lags: int, X: DataFrame | None = None) -> DataFrame:
@@ -344,7 +345,7 @@ def predict_recursive_linear(
     entity_dtype = dict(y_lag.dtypes)[entity]
     x_names = [c[len("__x_"):] for c in y_lag.columns if c.startswith("__x_")]
     spark = y_lag.sparkSession
-    b_coef = spark.sparkContext.broadcast((coef, intercept))
+    b_coef = broadcast_value(spark, (coef, intercept))
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -389,7 +390,7 @@ def predict_direct_linear(
     entity_dtype = dict(y_lag.dtypes)[entity]
     x_names = [c[len("__x_"):] for c in y_lag.columns if c.startswith("__x_")]
     spark = y_lag.sparkSession
-    b_models = spark.sparkContext.broadcast(models)
+    b_models = broadcast_value(spark, models)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from functime_spark.forecasting._ar import LinearBackend, make_reduction, make_y_lag, stack_buffers
 from functime_spark.forecasting.base import Forecaster
+from functime_spark.compat import broadcast_value
 
 
 def _fit_logistic(
@@ -215,7 +216,7 @@ class censored_model(Forecaster):
         payload = (
             self.state["blend"] if recursive else self.state["direct_blends"]
         )
-        b = spark.sparkContext.broadcast((payload, thr, recursive, x_cols))
+        b = broadcast_value(spark, (payload, thr, recursive, x_cols))
         apply_blend = censored_model._apply_blend
 
         def run(batches: Iterator) -> Iterator:

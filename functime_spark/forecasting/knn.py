@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from functime_spark.forecasting._ar import make_reduction, make_y_lag, stack_buffers
 from functime_spark.forecasting.base import Forecaster
+from functime_spark.compat import broadcast_value
 
 
 def _kmeans(X: np.ndarray, k: int, iters: int = 10, seed: int = 7) -> np.ndarray:
@@ -180,7 +181,7 @@ class knn(Forecaster):
         feats_ref, targs_ref = self.state["train"]
         x_cols = self.state.get("x_cols") or []
         width = self._design_width()
-        b = spark.sparkContext.broadcast(
+        b = broadcast_value(spark, 
             (feats_ref, targs_ref, self.n_neighbors, x_cols, width)
         )
 
@@ -246,7 +247,7 @@ class knn(Forecaster):
             if x_cols
             else np.ascontiguousarray(feats_ref[:, :lags])
         )
-        b = spark.sparkContext.broadcast(
+        b = broadcast_value(spark, 
             (ref, targs_ref, self.n_neighbors, x_cols)
         )
 
@@ -339,7 +340,7 @@ class ann(knn):
         spark = y_lag.sparkSession
         feats_s, targs_s, cents, bounds = self.state["train"]
         x_cols = self.state.get("x_cols") or []
-        b = spark.sparkContext.broadcast(
+        b = broadcast_value(spark, 
             (feats_s, targs_s, cents, bounds, self.n_neighbors, self.n_probe, x_cols)
         )
 

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from functime_spark.forecasting._ar import make_reduction, make_y_lag
 from functime_spark.forecasting.base import Forecaster
 from functime_spark.materialize import materialize
+from functime_spark.compat import broadcast_value
 
 _CHECKPOINT_EVERY = 8
 
@@ -668,7 +669,7 @@ class boosted_stumps(Forecaster):
         entity_dtype = dict(y_lag.dtypes)[entity]
         lags = self.lags
         spark = y_lag.sparkSession
-        b = spark.sparkContext.broadcast(
+        b = broadcast_value(spark, 
             (self.state["f0"], self.state["stumps"], self.state["snap_edges"])
         )
 
@@ -973,7 +974,7 @@ class boosted_trees_d2(Forecaster):
         entity_dtype = dict(y_lag.dtypes)[entity]
         lags = self.lags
         spark = y_lag.sparkSession
-        b = spark.sparkContext.broadcast(
+        b = broadcast_value(spark, 
             (self.state["f0"], self.state["trees"], self.state["bins"], self.max_bins)
         )
 

@@ -9,10 +9,20 @@ localCheckpoint RPC recently and older Connect servers reject it — so
 the 100 TB story must survive a Connect-only cluster.
 
 ``materialize`` is the single seam: localCheckpoint when the session
-supports it, else persist (+ an eager count to force computation).
-The persist fallback does not CUT lineage, but re-executions read the
-cached blocks, which bounds scan amplification the same way — the
-property every call site actually needs.
+supports it, else CHECKPOINT-TO-TABLE — write the frame to a parquet
+directory and read it back. That is a true lineage cut (the persist
+alternative keeps the full logical plan alive, which lets planning
+cost and the cache-manager's strong references grow without bound
+across iterative fits — measured as a session death 40 minutes into
+the forced-fallback suite), works over pure SQL/DataFrame RPCs, and
+keeps every scan-amplification plan pin intact (each materialized
+frame re-enters the plan as ONE parquet scan).
+
+The fallback directory defaults to ``<spark.sql.warehouse.dir>/
+_functime_materialize/<session-uuid>`` — shared storage on a real
+cluster, ``spark-warehouse/`` locally — and is overridable with
+``FUNCTIME_SPARK_MATERIALIZE_DIR``. Files live until the directory is
+cleaned like any checkpoint dir.
 
 Set ``FUNCTIME_SPARK_NO_LOCAL_CHECKPOINT=1`` to force the fallback
 path (used by the test suite to prove Connect-compatibility of every
@@ -22,25 +32,44 @@ call site without a Connect server in the container).
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame
 
 FORCE_FALLBACK = os.environ.get("FUNCTIME_SPARK_NO_LOCAL_CHECKPOINT", "") == "1"
 
+_FALLBACK_BASE: str | None = None
+
+
+def _fallback_path(spark) -> str:
+    """One session-scoped base dir, one fresh subdir per materialize."""
+    global _FALLBACK_BASE
+    if _FALLBACK_BASE is None:
+        base = os.environ.get("FUNCTIME_SPARK_MATERIALIZE_DIR")
+        if not base:
+            wh = spark.conf.get("spark.sql.warehouse.dir", "") or "/tmp"
+            for prefix in ("file://", "file:"):
+                if wh.startswith(prefix):
+                    wh = wh[len(prefix):]
+                    break
+            base = f"{wh.rstrip('/')}/_functime_materialize"
+        _FALLBACK_BASE = f"{base}/{uuid.uuid4().hex}"
+    return f"{_FALLBACK_BASE}/{uuid.uuid4().hex}"
+
 
 def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
-    """Pin `df`'s values and bound downstream scan amplification.
+    """Pin `df`'s values and cut its lineage.
 
-    Classic session: localCheckpoint (lineage cut). Spark Connect
-    without the localCheckpoint RPC (or with the fallback forced):
-    persist, plus an eager count when ``eager`` so the blocks exist
-    before the caller unpersists/overwrites upstream state."""
+    Classic session: localCheckpoint (``eager`` passed through).
+    Spark Connect without the localCheckpoint RPC (or with the
+    fallback forced): parquet round-trip — always eager, a true
+    lineage cut, one scan in every downstream plan."""
     if not FORCE_FALLBACK:
         try:
             return df.localCheckpoint(eager=eager)
         except Exception:  # Connect server without the RPC
             pass
-    out = df.persist()
-    if eager:
-        out.count()
-    return out
+    spark = df.sparkSession
+    path = _fallback_path(spark)
+    df.write.parquet(path)
+    return spark.read.parquet(path)

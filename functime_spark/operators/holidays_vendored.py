@@ -793,29 +793,64 @@ _SA_EID_ADHA = {
 }
 
 
+def _hijri_dates(year: int, hm: int, hd: int, overrides: dict) -> list:
+    """Gregorian date(s) of Hijri (month, day) falling in `year` —
+    tabular arithmetic with per-Gregorian-year overrides. A Gregorian
+    year can contain the same Hijri date twice (the Hijri year is ~11
+    days shorter — e.g. Eid al-Fitr fell on both Jan 8 and Dec 27 in
+    2000), so up to three candidate Hijri years are scanned and
+    filtered by the resulting Gregorian year."""
+    import math as _math
+
+    out = []
+    for k in range(3):
+        hy = int(_math.floor((year - 622) * 1.0306)) + k
+        tab = _hijri_to_gregorian(hy, hm, hd)
+        if tab.year != year:
+            continue
+        m, d = overrides.get(year, (tab.month, tab.day))
+        out.append(_dt.date(year, m, d))
+    return out
+
+
 def _sa(year: int) -> list:
     """Saudi Arabia: fixed national days + the two Hijri Eids from the
-    tabular calendar with gazetted-year overrides. A Gregorian year can
-    contain the same Eid twice (the Hijri year is ~11 days shorter —
-    e.g. Eid al-Fitr fell on both Jan 8 and Dec 27 in 2000), so up to
-    three candidate Hijri years are scanned and filtered by the
-    resulting Gregorian year."""
+    tabular calendar with gazetted-year overrides."""
     e = [(_dt.date(year, 9, 23), "saudi_national_day")]
     if year >= 2022:
         e.append((_dt.date(year, 2, 22), "founding_day"))
-    import math as _math
-
     for hm, hd, name, ov in (
         (10, 1, "eid_al_fitr", _SA_EID_FITR),
         (12, 10, "eid_al_adha", _SA_EID_ADHA),
     ):
-        for k in range(3):
-            hy = int(_math.floor((year - 622) * 1.0306)) + k
-            tab = _hijri_to_gregorian(hy, hm, hd)
-            if tab.year != year:
-                continue
-            m, d = ov.get(year, (tab.month, tab.day))
-            e.append((_dt.date(year, m, d), name))
+        for d in _hijri_dates(year, hm, hd, ov):
+            e.append((d, name))
+    return e
+
+
+def _tr(year: int) -> list:
+    """Turkey: fixed national days + the multi-day Hijri bayrams
+    (Ramazan Bayramı = Shawwal 1-3, Kurban Bayramı = Dhu al-Hijjah
+    10-13). The Diyanet's astronomical dates track the same lunar
+    months as Umm al-Qura and matched the KSA gazetted dates across
+    the override span, so the day-1 anchors reuse the override tables;
+    trailing days are anchor offsets. The `holidays` package takes
+    precedence when importable (add_holiday_effects)."""
+    e = [(_dt.date(year, 1, 1), "new_years_day"),
+         (_dt.date(year, 4, 23), "national_sovereignty_and_childrens_day"),
+         (_dt.date(year, 5, 19), "commemoration_of_ataturk_youth_and_sports_day"),
+         (_dt.date(year, 8, 30), "victory_day"),
+         (_dt.date(year, 10, 29), "republic_day")]
+    if year >= 2009:
+        e.append((_dt.date(year, 5, 1), "labour_and_solidarity_day"))
+    if year >= 2017:
+        e.append((_dt.date(year, 7, 15), "democracy_and_national_unity_day"))
+    for anchor in _hijri_dates(year, 10, 1, _SA_EID_FITR):
+        for i in range(3):
+            e.append((anchor + _dt.timedelta(days=i), f"ramazan_bayrami_day_{i + 1}"))
+    for anchor in _hijri_dates(year, 12, 10, _SA_EID_ADHA):
+        for i in range(4):
+            e.append((anchor + _dt.timedelta(days=i), f"kurban_bayrami_day_{i + 1}"))
     return e
 
 
@@ -830,6 +865,7 @@ _COUNTRIES.update(
         "GR": _gr,
         "RU": _ru,
         "SA": _sa,
+        "TR": _tr,
     }
 )
 

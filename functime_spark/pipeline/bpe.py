@@ -44,6 +44,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from functime_spark.compat import broadcast_value
 
 
 def _word_counts(docs: DataFrame, text_col: str, max_words: int):
@@ -144,7 +145,7 @@ def bpe_tokenize(
         f"{id_field.name} {id_field.dataType.simpleString()}, "
         "n_words bigint, n_bpe_tokens bigint"
     )
-    bc = docs.sparkSession.sparkContext.broadcast(list(merges))
+    bc = broadcast_value(docs.sparkSession, list(merges))
     # re.ASCII: Java/RE2 \s+ are ASCII-only — without it Python splits
     # on NBSP/U+2028 etc. and the two engines disagree on web text
     ws_re = re.compile(r"\s+", re.ASCII)

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from functime_spark.panel import panel_cols
+from functime_spark.compat import broadcast_value
 
 #: resample freq alias -> F.window duration string
 _DURATIONS = {
@@ -340,7 +341,7 @@ def stream_lm_score(
     uni = {r["w"]: r["c"] for r in lm["uni"].collect()}
     bi = {(r["w1"], r["w2"]): r["c"] for r in lm["bi"].collect()}
     n_tok, vocab = lm["n_tokens"], lm["vocab"]
-    bc = spark.sparkContext.broadcast((uni, bi))
+    bc = broadcast_value(spark, (uni, bi))
     denom = n_tok + alpha * vocab
     floor = alpha / denom
     one_m_lam = 1 - lam
@@ -405,7 +406,7 @@ def stream_decontaminate(
 
     spark = docs.sparkSession
     grams = {r[0] for r in bench_grams.collect()}
-    bc = spark.sparkContext.broadcast(grams)
+    bc = broadcast_value(spark, grams)
 
     id_field = docs.select(id_col).schema.fields[0]
     out_schema = (

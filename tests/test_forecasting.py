@@ -6,6 +6,18 @@ import importlib.util
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
+import os
+
+# scan/exchange pins below encode CLASSIC-session lineage shapes
+# (localCheckpoint cuts); the Spark-Connect table fallback re-enters
+# every materialized frame as a parquet scan (one per consumer), so
+# the counts legitimately differ there. The fallback's correctness is
+# pinned by the dedicated equivalence tests in test_pipeline.py.
+requires_local_checkpoint = pytest.mark.skipif(
+    os.environ.get("FUNCTIME_SPARK_NO_LOCAL_CHECKPOINT", "") == "1",
+    reason="plan pin valid only for localCheckpoint lineage shapes",
+)
+
 
 
 def _pdf(df, cols=("user_id", "ts")):
@@ -748,6 +760,7 @@ def test_boosted_stumps_binned_mode(spark):
     assert len(pred) == 9 and pred["y"].notna().all()
 
 
+@requires_local_checkpoint
 def test_conformal_deterministic_and_materialized(events):
     """Regression for the r2 session-sticky row duplication: the
     un-materialized backtest lineage tripped a false broadcast-exchange

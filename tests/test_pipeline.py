@@ -3,6 +3,17 @@
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
+import os
+
+# plan pins that encode CLASSIC-session lineage shapes (localCheckpoint
+# cuts read zero source files); the Connect table fallback re-enters
+# each materialized frame as a parquet scan, so these counts
+# legitimately differ there (equivalence is pinned separately).
+requires_local_checkpoint = pytest.mark.skipif(
+    os.environ.get("FUNCTIME_SPARK_NO_LOCAL_CHECKPOINT", "") == "1",
+    reason="plan pin valid only for localCheckpoint lineage shapes",
+)
+
 
 SF = "/root/testdata/sf0.001"
 
@@ -489,6 +500,7 @@ def test_dedup_keep_canonical(spark):
     assert kept == [1, 7, 99]
 
 
+@requires_local_checkpoint
 def test_connected_components_zero_source_scans(spark, docs):
     """The component map's plan reads only localCheckpoint blocks — at
     100 TB the iterative star rounds must not re-derive the pair graph
@@ -2759,3 +2771,34 @@ def test_materialize_fallback_path(spark, monkeypatch):
         == baseline_cc
     )
     assert ngram_lm_score(docs).count() == baseline_lm
+
+
+def test_broadcast_value_fallback_path(spark, events, monkeypatch):
+    """The second Connect seam: with sc.broadcast forced off, model
+    state rides the pickled closure — forecast recursion and the BPE
+    tokenizer must produce identical results."""
+    from functime_spark import compat as C
+    from functime_spark.forecasting.linear import linear_model
+
+    baseline = (
+        linear_model(freq="1h", lags=4)
+        .fit(events)
+        .predict(3)
+        .toPandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(C, "FORCE_PLAIN", True)
+    probe = C.broadcast_value(spark, {"k": 1})
+    assert type(probe).__name__ == "_PlainValue" and probe.value == {"k": 1}
+    fallback = (
+        linear_model(freq="1h", lags=4)
+        .fit(events)
+        .predict(3)
+        .toPandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(baseline, fallback)

@@ -8,6 +8,17 @@ from pathlib import Path
 import pytest
 from pyspark.sql import functions as F
 
+# scan/exchange pins below encode CLASSIC-session lineage shapes
+# (localCheckpoint cuts); the Spark-Connect table fallback re-enters
+# every materialized frame as a parquet scan (one per consumer), so
+# the counts legitimately differ there. The fallback's correctness is
+# pinned by the dedicated equivalence tests in test_pipeline.py.
+requires_local_checkpoint = pytest.mark.skipif(
+    os.environ.get("FUNCTIME_SPARK_NO_LOCAL_CHECKPOINT", "") == "1",
+    reason="plan pin valid only for localCheckpoint lineage shapes",
+)
+
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 REPO_ROOT = Path(__file__).resolve().parent.parent
 
@@ -118,6 +129,7 @@ def test_newton_polish_aggregate_is_native(events):
     assert count_exchanges(agg) <= 2  # design window partition + final agg
 
 
+@requires_local_checkpoint
 def test_dedup_signature_materialization_pins_scan_count(spark):
     """MinHash/SimHash signature frames are localCheckpoint-ed, so the
     final near-dup plan reads materialized blocks — zero source scans
@@ -403,6 +415,7 @@ def test_anomaly_and_pca_plan_shapes(spark):
     assert plan.count("Exchange hashpartitioning") == 0
 
 
+@requires_local_checkpoint
 def test_tfidf_materialized_no_scan_amplification(spark):
     """The tf-idf weight/norm tables are localCheckpoint-ed before the
     self-join: without the cut the tf->df->idf chain re-executes ~4x
@@ -421,6 +434,7 @@ def test_tfidf_materialized_no_scan_amplification(spark):
     assert count_exchanges(out) <= 6
 
 
+@requires_local_checkpoint
 def test_lm_count_tables_materialized(spark):
     """fit_ngram_lm localCheckpoints the unigram/bigram count tables:
     scoring joins them into 3 plan branches, so un-cut plans re-count
@@ -467,6 +481,7 @@ def test_connected_components_signature_ansi_safe(spark):
     assert roots[10**17 + 1] == 10**17
 
 
+@requires_local_checkpoint
 def test_ngram_jaccard_materialized_postings(spark):
     """The DF-filtered posting table feeds the size aggregate AND both
     self-join sides: the lineage cut pins it to one materialization
@@ -537,6 +552,7 @@ def test_kmeans_assignment_zero_shuffle(spark):
     assert python_eval_nodes(out) == []
 
 
+@requires_local_checkpoint
 def test_mix_weight_frames_materialize_once(spark):
     """temperature_mix_weights and domain_mix_weights both feed their
     per-domain token aggregate into multiple plan branches — the
@@ -644,6 +660,7 @@ def test_scaletools_and_late_r4_plans_bounded(spark):
         assert python_eval_nodes(df) == []
 
 
+@requires_local_checkpoint
 def test_ngram_jaccard_no_forced_broadcast_of_per_doc_frames(spark):
     """The per-doc `sizes` frames joined back onto `shared` have one
     row PER DOCUMENT — a forced F.broadcast there is a driver OOM at

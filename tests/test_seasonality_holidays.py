@@ -322,3 +322,12 @@ def test_vendored_hijri_sa():
     assert "founding_day" not in dict(
         (n, d) for d, n in vendored_holidays("SA", [2021])
     )
+    # TR shares the Hijri machinery: multi-day bayrams off the anchors
+    tr24 = dict((n, d) for d, n in vendored_holidays("TR", [2024]))
+    assert tr24["ramazan_bayrami_day_1"] == dt.date(2024, 4, 10)
+    assert tr24["ramazan_bayrami_day_3"] == dt.date(2024, 4, 12)
+    assert tr24["kurban_bayrami_day_4"] == dt.date(2024, 6, 19)
+    assert tr24["republic_day"] == dt.date(2024, 10, 29)
+    assert "democracy_and_national_unity_day" not in dict(
+        (n, d) for d, n in vendored_holidays("TR", [2016])
+    )

@@ -182,6 +182,15 @@ def main() -> None:
         fc = elite(freq="1h", lags=8, sp=24).fit(panel)
         return {"forecast_rows": fc.predict(4).count()}
 
+    def run_knn():
+        # exercises the max_train_rows driver-side bound: at 100x the
+        # panel is ~10M design rows, far past the collected reference
+        # matrix cap, so the bounded-sample path must engage
+        from functime_spark.forecasting.knn import knn
+
+        fc = knn(freq="1h", lags=8, n_neighbors=5).fit(panel)
+        return {"forecast_rows": fc.predict(4).count()}
+
     def run_pack():
         from functime_spark.pipeline.packing import pack_shards
 
@@ -196,6 +205,7 @@ def main() -> None:
     stage("minhash_cluster", run_dedup_cluster)
     stage("linear_forecast", run_linear)
     stage("elite_forecast", run_elite)
+    stage("knn_forecast", run_knn)
     stage("pack_shards_shuffled", run_pack)
     out["total_sec"] = round(sum(s["sec"] for s in out["stages"].values()), 2)
     print(json.dumps(out))
