@@ -1008,6 +1008,34 @@ def q_forecast_trees_d2(spark, sf_dir):
     return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
 
 
+def q_forecast_trees_d2_exog(spark, sf_dir):
+    """Histogram-binned depth-2 boosted trees with an EXOGENOUS
+    hour-of-day column (r6): the exog feature gets its own equal-width
+    bins and competes in every root/child split exactly like the lags;
+    at predict time its future values come from the X_future panel.
+    The oracle replays the 3-feature binned induction and the 4-step
+    recursion with the step's future hour binned through the same
+    expression."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.tree import boosted_trees_d2
+    from functime_spark.sources.tables import load_events
+
+    df = events_panel(spark, sf_dir)
+    X = load_events(spark, sf_dir).select(
+        "user_id", "ts", F.hour("ts").cast("double").alias("x1")
+    )
+    fc = boosted_trees_d2(freq="1h", lags=2, n_iter=3, learning_rate=0.5).fit(
+        df, X
+    )
+    cut = df.groupBy("user_id").agg(F.max("ts").alias("low"))
+    Xf = (
+        cut.select("user_id", "low", F.explode(F.expr("sequence(1, 4)")).alias("h"))
+        .select("user_id", F.expr("timestampadd(HOUR, h, low)").alias("ts"))
+        .withColumn("x1", F.hour("ts").cast("double"))
+    )
+    return _round_floats(fc.predict(4, Xf)).orderBy("user_id", "ts")
+
+
 def q_forecast_knn(spark, sf_dir):
     """Recursive kNN over the broadcast lag matrix (oracle: four
     chained top-k scans, prediction shifted into the query vector)."""
@@ -2857,6 +2885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "forecast_zero_inflated": q_forecast_zero_inflated,
             "forecast_stumps": q_forecast_stumps,
             "forecast_trees_d2": q_forecast_trees_d2,
+            "forecast_trees_d2_exog": q_forecast_trees_d2_exog,
             "forecast_knn": q_forecast_knn,
             "forecast_knn_exog": q_forecast_knn_exog,
             "forecast_knn_direct": q_forecast_knn_direct,
@@ -3004,6 +3033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never_verified_first = [
         # (a) implementation or oracle changed in round 6
         "forecast_trees_d2",
+        "forecast_trees_d2_exog",
         "feat_udf_scalar",
         "future_holidays",
         "dedup_lines_within",
@@ -3054,7 +3084,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feat_large_standard_deviation",
         "feat_last_location_of_maximum",
         "feat_last_location_of_minimum",
-        "feat_linear_trend",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

@@ -906,15 +906,20 @@ class boosted_trees_d2(Forecaster):
         }
 
     def _fit(self, y: DataFrame, X: DataFrame | None = None):
-        if X is not None:
-            raise ValueError(
-                "boosted_trees_d2 fits lag features only; pass exogenous X "
-                "to gradient_boosted_model / random_forest_model instead"
-            )
         p = self.state["panel"]
-        design = make_reduction(y, self.lags)
-        feat_names = [f"{p.target}__lag_{k}" for k in range(1, self.lags + 1)]
+        # exogenous columns extend the binned feature set exactly like
+        # lags (r6): make_reduction joins X on (entity, time), each x
+        # column gets its own equal-width bins, and splits range over
+        # lags + exog alike — the reference's boosted regressors fit on
+        # the full design matrix (ref lightgbm.py:61-77)
+        x_cols = list(X.columns[2:]) if X is not None else []
+        self.state["x_cols"] = x_cols
+        design = make_reduction(y, self.lags, X)
+        feat_names = [
+            f"{p.target}__lag_{k}" for k in range(1, self.lags + 1)
+        ] + x_cols
         self.state["feat_names"] = feat_names
+        n_feats = len(feat_names)
         B = self.max_bins
         # ONE fused aggregate: f0 + exact per-feature min/max (the bin
         # edges — exact so the oracle replays the binning bit-for-bit)
@@ -927,7 +932,7 @@ class boosted_trees_d2(Forecaster):
         row = design.agg(*aggs).first()
         self.state["f0"] = float(row["__m"])
         bins = []
-        for j in range(self.lags):
+        for j in range(n_feats):
             lo, hi = float(row[f"__lo{j}"]), float(row[f"__hi{j}"])
             bins.append((lo, (hi - lo) / float(B) if hi > lo else 0.0))
         self.state["bins"] = bins
@@ -936,7 +941,7 @@ class boosted_trees_d2(Forecaster):
         binned = design.select(
             F.col(p.target).cast("double").alias("__y"), *self._bin_exprs()
         ).persist()
-        bcols = [F.col(f"__b{j}") for j in range(self.lags)]
+        bcols = [F.col(f"__b{j}") for j in range(n_feats)]
         trees: list = []
         lr = float(self.learning_rate)
         for _ in range(self.n_iter):
@@ -967,15 +972,28 @@ class boosted_trees_d2(Forecaster):
 
         import numpy as np
 
-        from functime_spark.forecasting._ar import stack_buffers
+        from functime_spark.forecasting._ar import (
+            _x_matrix,
+            attach_future_x,
+            stack_buffers,
+        )
 
         y_lag = self.state["y_lag"]
         entity = y_lag.columns[0]
         entity_dtype = dict(y_lag.dtypes)[entity]
         lags = self.lags
+        x_cols = self.state.get("x_cols") or []
+        state = y_lag
+        if x_cols:
+            if X is None:
+                raise ValueError(
+                    "forecaster was fit with exogenous X; predict needs X_future"
+                )
+            state = attach_future_x(y_lag, X, x_cols, fh, on_short=self._x_on_short)
         spark = y_lag.sparkSession
-        b = broadcast_value(spark, 
-            (self.state["f0"], self.state["trees"], self.state["bins"], self.max_bins)
+        b = broadcast_value(
+            spark,
+            (self.state["f0"], self.state["trees"], self.state["bins"], self.max_bins),
         )
 
         def child_eval(child, feats):
@@ -995,9 +1013,14 @@ class boosted_trees_d2(Forecaster):
                     continue
                 ents = pdf[entity].to_numpy()
                 buf = stack_buffers(pdf["__buf"], lags)
+                xmat = (
+                    _x_matrix(pdf, x_cols, fh, len(ents)) if x_cols else None
+                )  # (n, fh, n_x)
                 preds = np.empty((len(ents), fh), dtype="float64")
                 for h in range(fh):
                     raw = buf[:, ::-1][:, :lags]
+                    if xmat is not None:
+                        raw = np.concatenate([raw, xmat[:, h, :]], axis=1)
                     # same IEEE binning as training; recursion values
                     # outside the train range clamp into [0, B-1]
                     feats = np.column_stack(
@@ -1026,4 +1049,4 @@ class boosted_trees_d2(Forecaster):
                 )
 
         schema = f"{entity} {entity_dtype}, step int, __yhat double"
-        return y_lag.mapInPandas(run, schema=schema)
+        return state.mapInPandas(run, schema=schema)

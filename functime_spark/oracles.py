@@ -2710,152 +2710,216 @@ def operator_oracles() -> dict:
         + " AS value FROM p4, (VALUES (1),(2),(3),(4)) AS s(step) ORDER BY 1, 2"
     )
 
-    # forecast_trees_d2: the HISTOGRAM-BINNED depth-2 booster replayed
-    # (round-6 redesign). The oracle first rebuilds the equal-width
-    # binning — exact per-feature min/max, w = (hi-lo)/B, bin =
-    # least(greatest(floor((x-lo)/w),0),B-1) — the identical IEEE-double
-    # expression the Spark fit evaluates, so every downstream threshold
-    # is an exact integer comparison. Per round, the root split is the
-    # fused SSE argmax over (feature, bin) candidates (window cumsums
-    # PARTITIONED BY feature over <= B rows), the rows partition on the
-    # picked root and the SAME argmax runs within each side; a side with
-    # no valid split degrades to a leaf at lr * the ROOT row's side mean
-    # (sl/cl — the same value the Spark fit reuses, no re-average). The
-    # 4-step recursion is unrolled with predict-time values binned (and
-    # clamped into [0, B-1]) through the same expression.
+    # forecast_trees_d2 (+_exog): the HISTOGRAM-BINNED depth-2 booster
+    # replayed, parameterized over the feature set (r6). The oracle
+    # first rebuilds the equal-width binning — exact per-feature
+    # min/max, w = (hi-lo)/B, bin = least(greatest(floor((x-lo)/w),0),
+    # B-1) — the identical IEEE-double expression the Spark fit
+    # evaluates, so every downstream threshold is an exact integer
+    # comparison. Per round, the root split is the fused SSE argmax
+    # over (feature, bin) candidates (window cumsums PARTITIONED BY
+    # feature over <= B rows), the rows partition on the picked root
+    # and the SAME argmax runs within each side; a side with no valid
+    # split degrades to a leaf at lr * the ROOT row's side mean (sl/cl
+    # — the same value the Spark fit reuses, no re-average). The
+    # 4-step recursion is unrolled with predict-time values binned
+    # (and clamped into [0, B-1]) through the same expression; the
+    # exog variant adds hour-of-timestamp as feature 3, whose
+    # recursion value at step s is hour(low + s hours) — fully
+    # deterministic from the panel.
     _T2_M, _T2_LR, _T2_B = 3, 0.5, 255
 
-    def _t2_bin(x: str, lo: str, hi: str) -> str:
-        """Equal-width bin index of expression `x` via mm's lo/hi."""
+    def _t2_query(feats: list) -> str:
+        """Full oracle SQL for a binned depth-2 boosted-tree gate.
+
+        `feats` = [(name, train_expr, step_expr_fn or None)] in split
+        order; feature 1..lags are the lag chain (step exprs come from
+        the recursion columns), exog features provide a step_expr_fn
+        (alias, step) -> SQL for their future value."""
+        nf = len(feats)
+
+        def _bin(x: str, k: int) -> str:
+            lo, hi = f"mm.lo{k}", f"mm.hi{k}"
+            return (
+                f"CASE WHEN {hi} = {lo} THEN 0 ELSE "
+                f"CAST(LEAST(GREATEST(FLOOR(({x} - {lo}) / "
+                f"(({hi} - {lo}) / {_T2_B}.0)), 0), {_T2_B - 1}) AS INT) END"
+            )
+
+        def _pick(i: int, feat_col: str, exprs: list) -> str:
+            body = " ".join(
+                f"WHEN {k + 1} THEN ({e})" for k, e in enumerate(exprs)
+            )
+            return f"CASE t{i}.{feat_col} {body} END"
+
+        def _tree_f(i: int, exprs: list) -> str:
+            return (
+                f"CASE WHEN ({_pick(i, 'rf', exprs)}) <= t{i}.rv THEN "
+                f"CASE WHEN t{i}.lf IS NULL THEN t{i}.ld "
+                f"WHEN ({_pick(i, 'lf', exprs)}) <= t{i}.lv THEN t{i}.ldl "
+                f"ELSE t{i}.ldr END "
+                f"ELSE CASE WHEN t{i}.rcf IS NULL THEN t{i}.rd "
+                f"WHEN ({_pick(i, 'rcf', exprs)}) <= t{i}.rcv THEN t{i}.rdl "
+                f"ELSE t{i}.rdr END END"
+            )
+
+        def _ens(m: int, exprs: list) -> str:
+            e = "f0.f0"
+            for i in range(1, m + 1):
+                e += f" + ({_tree_f(i, exprs)})"
+            return e
+
+        names = [n for n, _, _ in feats]
+        bin_names = [names[k] for k in range(nf)]  # binned cols keep names
+        it = []
+        for m in range(1, _T2_M + 1):
+            prior = "".join(f", tree{i} t{i}" for i in range(1, m))
+            # AS MATERIALIZED throughout: DuckDB inlines plain CTEs and
+            # the tree{m} -> sd{m} -> r{m}d chain would otherwise
+            # expand exponentially (fd exhaustion at 3 rounds)
+            it.append(
+                f"r{m}d AS MATERIALIZED (SELECT "
+                + ", ".join(bin_names)
+                + f", y - ({_ens(m - 1, bin_names)}) AS r "
+                f"FROM trb, f0{prior})"
+            )
+            it.append(
+                f"rc{m} AS MATERIALIZED ("
+                + " UNION ALL ".join(
+                    f"SELECT {k + 1} AS feat, {n} AS v, SUM(r) AS s, "
+                    f"COUNT(*) AS c FROM r{m}d GROUP BY 2"
+                    for k, n in enumerate(bin_names)
+                )
+                + ")"
+            )
+            it.append(
+                f"rs{m} AS (SELECT feat, v, "
+                "SUM(s) OVER wv AS sl, SUM(c) OVER wv AS cl, "
+                "SUM(s) OVER wf AS st, SUM(c) OVER wf AS ct "
+                f"FROM rc{m} WINDOW wv AS (PARTITION BY feat ORDER BY v "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+                "wf AS (PARTITION BY feat))"
+            )
+            # the argmax row carries BOTH side means: they are the leaf
+            # fallbacks when a side has no valid child split
+            it.append(
+                f"rb{m} AS MATERIALIZED (SELECT feat, v, "
+                f"{_T2_LR} * (sl/cl) AS ld, "
+                f"{_T2_LR} * ((st-sl)/(ct-cl)) AS rd FROM rs{m} WHERE ct > cl "
+                "ORDER BY sl*sl/cl + (st-sl)*(st-sl)/(ct-cl) DESC, feat ASC, "
+                "v ASC LIMIT 1)"
+            )
+            side_pick = "CASE b.feat " + " ".join(
+                f"WHEN {k + 1} THEN r.{n}" for k, n in enumerate(bin_names)
+            ) + " END"
+            it.append(
+                f"sd{m} AS MATERIALIZED (SELECT r.*, CASE WHEN "
+                f"({side_pick}) <= b.v THEN 0 ELSE 1 END AS side "
+                f"FROM r{m}d r, rb{m} b)"
+            )
+            it.append(
+                f"cc{m} AS MATERIALIZED ("
+                + " UNION ALL ".join(
+                    f"SELECT side, {k + 1} AS feat, {n} AS v, SUM(r) AS s, "
+                    f"COUNT(*) AS c FROM sd{m} GROUP BY 1, 3"
+                    for k, n in enumerate(bin_names)
+                )
+                + ")"
+            )
+            it.append(
+                f"cs{m} AS (SELECT side, feat, v, "
+                "SUM(s) OVER wv AS sl, SUM(c) OVER wv AS cl, "
+                "SUM(s) OVER wf AS st, SUM(c) OVER wf AS ct "
+                f"FROM cc{m} WINDOW wv AS (PARTITION BY side, feat ORDER BY v "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+                "wf AS (PARTITION BY side, feat))"
+            )
+            it.append(
+                f"cb{m} AS MATERIALIZED (SELECT side, feat, v, "
+                f"{_T2_LR} * (sl/cl) AS dl, "
+                f"{_T2_LR} * ((st-sl)/(ct-cl)) AS dr, "
+                "row_number() OVER (PARTITION BY side "
+                "ORDER BY sl*sl/cl + (st-sl)*(st-sl)/(ct-cl) DESC, feat ASC, "
+                f"v ASC) AS rn FROM cs{m} WHERE ct > cl)"
+            )
+            it.append(
+                f"tree{m} AS MATERIALIZED (SELECT b.feat AS rf, b.v AS rv, "
+                "L.feat AS lf, L.v AS lv, L.dl AS ldl, L.dr AS ldr, "
+                "b.ld AS ld, R.feat AS rcf, R.v AS rcv, R.dl AS rdl, "
+                "R.dr AS rdr, b.rd AS rd "
+                f"FROM rb{m} b "
+                f"LEFT JOIN (SELECT * FROM cb{m} WHERE rn = 1 AND side = 0) L "
+                "ON TRUE "
+                f"LEFT JOIN (SELECT * FROM cb{m} WHERE rn = 1 AND side = 1) R "
+                "ON TRUE)"
+            )
+        allt = "".join(f", tree{i} t{i}" for i in range(1, _T2_M + 1))
+        train_cols = ", ".join(f"{e} AS {n}" for n, e, _ in feats)
+        mm_cols = ", ".join(
+            f"MIN({n}) AS lo{k + 1}, MAX({n}) AS hi{k + 1}"
+            for k, (n, _, _) in enumerate(feats)
+        )
+        trb_cols = ", ".join(
+            _bin(f"tr.{n}", k + 1) + f" AS {n}" for k, (n, _, _) in enumerate(feats)
+        )
+
+        def pred_exprs(alias: str, lag1: str, lag2: str, step: int) -> list:
+            """Per-feature RAW recursion exprs at `step`, to be binned."""
+            out = []
+            for k, (n, _, step_fn) in enumerate(feats):
+                if step_fn is not None:
+                    raw = step_fn(alias, step)
+                elif n == "l1":
+                    raw = lag1
+                else:
+                    raw = lag2
+                out.append(_bin(raw, k + 1))
+            return out
+
+        p_steps = []
+        chain = [("q", "q.yT", "q.yT1"), ("p1", "p1.p1", "p1.yT"),
+                 ("p2", "p2.p2", "p2.p1"), ("p3", "p3.p3", "p3.p2")]
+        for step, (alias, lag1, lag2) in enumerate(chain, start=1):
+            sel = "q.user_id, q.low, q.yT" if alias == "q" else f"{alias}.*"
+            p_steps.append(
+                f"p{step} AS (SELECT {sel}, "
+                f"{_ens(_T2_M, pred_exprs(alias, lag1, lag2, step))} AS p{step} "
+                f"FROM {alias}, f0, mm{allt})"
+            )
         return (
-            f"CASE WHEN mm.{hi} = mm.{lo} THEN 0 ELSE "
-            f"CAST(LEAST(GREATEST(FLOOR(({x} - mm.{lo}) / "
-            f"((mm.{hi} - mm.{lo}) / {_T2_B}.0)), 0), {_T2_B - 1}) AS INT) END"
+            "WITH t0 AS (SELECT user_id, ts, value AS y, "
+            f"{train_cols}, "
+            f"row_number() OVER w - 1 AS i FROM events {_W}), "
+            "tr AS MATERIALIZED (SELECT * FROM t0 WHERE i >= 2), "
+            f"mm AS MATERIALIZED (SELECT {mm_cols} FROM tr), "
+            f"trb AS MATERIALIZED (SELECT y, {trb_cols} FROM tr, mm), "
+            "f0 AS MATERIALIZED (SELECT AVG(y) AS f0 FROM trb), "
+            + ", ".join(it)
+            + ", q AS (SELECT user_id, MAX(ts) AS low, max_by(value, ts) AS yT, "
+            "list(value ORDER BY ts DESC)[2] AS yT1 FROM events "
+            "GROUP BY user_id), "
+            + ", ".join(p_steps)
+            + " SELECT user_id, low + s.step * INTERVAL '1 hour' AS ts, "
+            + _r("CASE s.step WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3 "
+                 "ELSE p4 END")
+            + " AS value FROM p4, (VALUES (1),(2),(3),(4)) AS s(step) "
+            "ORDER BY 1, 2"
         )
 
-    def _tree2_f(i: int, f1: str = "l1", f2: str = "l2", binned: bool = False) -> str:
-        """Single fitted depth-2 tree's contribution from tree-row t{i}.
-        With binned=False the f1/f2 expressions are RAW recursion values
-        that must be pushed through the bin expression first."""
-
-        def pick(feat_col: str) -> str:
-            b1 = f1 if binned else _t2_bin(f1, "lo1", "hi1")
-            b2 = f2 if binned else _t2_bin(f2, "lo2", "hi2")
-            return f"CASE WHEN t{i}.{feat_col} = 1 THEN {b1} ELSE {b2} END"
-
-        return (
-            f"CASE WHEN ({pick('rf')}) <= t{i}.rv THEN "
-            f"CASE WHEN t{i}.lf IS NULL THEN t{i}.ld "
-            f"WHEN ({pick('lf')}) <= t{i}.lv THEN t{i}.ldl ELSE t{i}.ldr END "
-            f"ELSE CASE WHEN t{i}.rcf IS NULL THEN t{i}.rd "
-            f"WHEN ({pick('rcf')}) <= t{i}.rcv THEN t{i}.rdl ELSE t{i}.rdr END END"
-        )
-
-    def _tree2_ens(m: int, f1: str = "l1", f2: str = "l2", binned: bool = False) -> str:
-        """f0 + trees 1..m ensemble prediction expr."""
-        e = "f0.f0"
-        for i in range(1, m + 1):
-            e += f" + ({_tree2_f(i, f1, f2, binned)})"
-        return e
-
-    _t2_iter = []
-    for m in range(1, _T2_M + 1):
-        prior = "".join(f", tree{i} t{i}" for i in range(1, m))
-        # AS MATERIALIZED throughout: DuckDB inlines plain CTEs, and the
-        # tree{m} -> sd{m} -> r{m}d -> tree{m-1} chain would otherwise
-        # expand exponentially into thousands of parquet scans (fd
-        # exhaustion at 3 rounds). Materialization keeps each stage a
-        # single evaluation, matching how Spark executes the fit.
-        _t2_iter.append(
-            f"r{m}d AS MATERIALIZED (SELECT l1, l2, y - ({_tree2_ens(m - 1, binned=True)}) AS r "
-            f"FROM trb, f0{prior})"
-        )
-        # root split: fused (feature, bin) candidates, windows
-        # partitioned by feature — the stump-style argmax over bins
-        _t2_iter.append(
-            f"rc{m} AS MATERIALIZED (SELECT 1 AS feat, l1 AS v, SUM(r) AS s, COUNT(*) AS c "
-            f"FROM r{m}d GROUP BY 2 UNION ALL "
-            f"SELECT 2, l2, SUM(r), COUNT(*) FROM r{m}d GROUP BY 2)"
-        )
-        _t2_iter.append(
-            f"rs{m} AS (SELECT feat, v, "
-            "SUM(s) OVER wv AS sl, SUM(c) OVER wv AS cl, "
-            "SUM(s) OVER wf AS st, SUM(c) OVER wf AS ct "
-            f"FROM rc{m} WINDOW wv AS (PARTITION BY feat ORDER BY v "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
-            "wf AS (PARTITION BY feat))"
-        )
-        # the argmax row carries BOTH side means: they are the leaf
-        # fallbacks when a side has no valid child split
-        _t2_iter.append(
-            f"rb{m} AS MATERIALIZED (SELECT feat, v, "
-            f"{_T2_LR} * (sl/cl) AS ld, "
-            f"{_T2_LR} * ((st-sl)/(ct-cl)) AS rd FROM rs{m} WHERE ct > cl "
-            "ORDER BY sl*sl/cl + (st-sl)*(st-sl)/(ct-cl) DESC, feat ASC, v ASC "
-            "LIMIT 1)"
-        )
-        # side assignment + child splits, argmax per side
-        _t2_iter.append(
-            f"sd{m} AS MATERIALIZED (SELECT r.*, CASE WHEN "
-            "(CASE WHEN b.feat = 1 THEN r.l1 ELSE r.l2 END) <= b.v "
-            f"THEN 0 ELSE 1 END AS side FROM r{m}d r, rb{m} b)"
-        )
-        _t2_iter.append(
-            f"cc{m} AS MATERIALIZED (SELECT side, 1 AS feat, l1 AS v, SUM(r) AS s, "
-            f"COUNT(*) AS c FROM sd{m} GROUP BY 1, 3 UNION ALL "
-            f"SELECT side, 2, l2, SUM(r), COUNT(*) FROM sd{m} GROUP BY 1, 3)"
-        )
-        _t2_iter.append(
-            f"cs{m} AS (SELECT side, feat, v, "
-            "SUM(s) OVER wv AS sl, SUM(c) OVER wv AS cl, "
-            "SUM(s) OVER wf AS st, SUM(c) OVER wf AS ct "
-            f"FROM cc{m} WINDOW wv AS (PARTITION BY side, feat ORDER BY v "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
-            "wf AS (PARTITION BY side, feat))"
-        )
-        _t2_iter.append(
-            f"cb{m} AS MATERIALIZED (SELECT side, feat, v, {_T2_LR} * (sl/cl) AS dl, "
-            f"{_T2_LR} * ((st-sl)/(ct-cl)) AS dr, "
-            "row_number() OVER (PARTITION BY side "
-            "ORDER BY sl*sl/cl + (st-sl)*(st-sl)/(ct-cl) DESC, feat ASC, v ASC) "
-            f"AS rn FROM cs{m} WHERE ct > cl)"
-        )
-        _t2_iter.append(
-            f"tree{m} AS MATERIALIZED (SELECT b.feat AS rf, b.v AS rv, "
-            "L.feat AS lf, L.v AS lv, L.dl AS ldl, L.dr AS ldr, b.ld AS ld, "
-            "R.feat AS rcf, R.v AS rcv, R.dl AS rdl, R.dr AS rdr, b.rd AS rd "
-            f"FROM rb{m} b "
-            f"LEFT JOIN (SELECT * FROM cb{m} WHERE rn = 1 AND side = 0) L ON TRUE "
-            f"LEFT JOIN (SELECT * FROM cb{m} WHERE rn = 1 AND side = 1) R ON TRUE)"
-        )
-    _t2_all = "".join(f", tree{i} t{i}" for i in range(1, _T2_M + 1))
-    o["forecast_trees_d2"] = (
-        "WITH t0 AS (SELECT user_id, value AS y, "
-        "lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2, "
-        f"row_number() OVER w - 1 AS i FROM events {_W}), "
-        "tr AS MATERIALIZED (SELECT * FROM t0 WHERE i >= 2), "
-        "mm AS MATERIALIZED (SELECT MIN(l1) AS lo1, MAX(l1) AS hi1, "
-        "MIN(l2) AS lo2, MAX(l2) AS hi2 FROM tr), "
-        "trb AS MATERIALIZED (SELECT y, "
-        + _t2_bin("tr.l1", "lo1", "hi1")
-        + " AS l1, "
-        + _t2_bin("tr.l2", "lo2", "hi2")
-        + " AS l2 FROM tr, mm), "
-        "f0 AS MATERIALIZED (SELECT AVG(y) AS f0 FROM trb), "
-        + ", ".join(_t2_iter)
-        + ", q AS (SELECT user_id, MAX(ts) AS low, max_by(value, ts) AS yT, "
-        "list(value ORDER BY ts DESC)[2] AS yT1 FROM events GROUP BY user_id), "
-        f"p1 AS (SELECT q.user_id, q.low, q.yT, "
-        f"{_tree2_ens(_T2_M, 'q.yT', 'q.yT1')} AS p1 FROM q, f0, mm{_t2_all}), "
-        f"p2 AS (SELECT p1.*, {_tree2_ens(_T2_M, 'p1.p1', 'p1.yT')} AS p2 "
-        f"FROM p1, f0, mm{_t2_all}), "
-        f"p3 AS (SELECT p2.*, {_tree2_ens(_T2_M, 'p2.p2', 'p2.p1')} AS p3 "
-        f"FROM p2, f0, mm{_t2_all}), "
-        f"p4 AS (SELECT p3.*, {_tree2_ens(_T2_M, 'p3.p3', 'p3.p2')} AS p4 "
-        f"FROM p3, f0, mm{_t2_all}) "
-        "SELECT user_id, low + s.step * INTERVAL '1 hour' AS ts, "
-        + _r("CASE s.step WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3 ELSE p4 END")
-        + " AS value FROM p4, (VALUES (1),(2),(3),(4)) AS s(step) ORDER BY 1, 2"
+    _t2_lags = [
+        ("l1", "lag(value, 1) OVER w", None),
+        ("l2", "lag(value, 2) OVER w", None),
+    ]
+    o["forecast_trees_d2"] = _t2_query(_t2_lags)
+    o["forecast_trees_d2_exog"] = _t2_query(
+        _t2_lags
+        + [(
+            "x1",
+            "CAST(hour(ts) AS DOUBLE)",
+            lambda alias, step: (
+                f"CAST(hour({alias}.low + {step} * INTERVAL '1 hour') AS DOUBLE)"
+            ),
+        )]
     )
 
     # forecast_elite: the model-selection ensemble replayed end-to-end

@@ -1250,3 +1250,43 @@ def test_attach_future_x_coverage_guard(spark):
     # short coverage (2 of 4 future rows) must also raise
     with pytest.raises(ValueError, match="incomplete"):
         fc.predict(4, X.filter("t >= 42"))
+
+
+def test_boosted_trees_d2_exogenous_feature_wins_splits(spark):
+    """y driven by a binary exogenous regime: the exog feature must be
+    selected as a root split and the exog forecast must track the
+    regime while a lag-only fit cannot."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    # period-3 regime: x(t) is NOT a function of y(t-1)/y(t-2) (a
+    # period-2 regime would make lag_2 a perfect alias of x and the
+    # feat-ASC tie-break would pick the lag)
+    rows, xrows = [], []
+    for e in ("a", "b"):
+        for t in range(80):
+            x = float(t % 3 == 0)
+            rows.append((e, t, 10.0 * x + rng.normal(0, 0.1)))
+            xrows.append((e, t, x))
+    # future X continues the regime
+    for e in ("a", "b"):
+        for t in range(80, 84):
+            xrows.append((e, t, float(t % 3 == 0)))
+    y = spark.createDataFrame(rows, "entity string, t long, y double")
+    X = spark.createDataFrame(xrows, "entity string, t long, x double")
+    from functime_spark.forecasting.tree import boosted_trees_d2
+
+    fc = boosted_trees_d2(freq="1i", lags=2, n_iter=2, learning_rate=1.0).fit(
+        y, X
+    )
+    # feature index 2 (= lags + 0) is the exog column
+    assert any(rj == 2 for rj, _, _, _ in fc.state["trees"])
+    pred = (
+        fc.predict(4, X.filter("t >= 80"))
+        .toPandas()
+        .sort_values(["entity", "t"])
+        .reset_index(drop=True)
+    )
+    got = pred[pred.entity == "a"]["y"].to_numpy()
+    want = np.array([10.0 * (t % 3 == 0) for t in range(80, 84)])
+    assert np.abs(got - want).max() < 1.0
