@@ -197,6 +197,19 @@ def main() -> None:
 
     bench("tpch_q5_star_join", _q10)
 
+    # q11 (round 6): the histogram-binned depth-2 boosted-tree fit +
+    # 4-step recursion — the operator the r5 verdict flagged for an
+    # unpartitioned O(n_rows) candidate window and an n_iter*3*lags
+    # action fan-out; now 1 + 2*n_iter actions over <=255-bin
+    # candidate tables (windows partitioned by (side, feature))
+    def _q11():
+        from functime_spark.forecasting.tree import boosted_trees_d2
+
+        fc = boosted_trees_d2(freq="1h", lags=2, n_iter=3).fit(y)
+        fc.predict(4).count()
+
+    bench("trees_d2_fit_forecast", _q11)
+
     total = round(sum(timings.values()), 3)
     # the suite grew from 7 to 9 queries in round 4 (minhash_dedup,
     # lm_quality_tiers); keep the round-over-round comparable subtotal

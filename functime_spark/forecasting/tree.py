@@ -328,7 +328,13 @@ def translate_gbt_params(params: dict) -> tuple[dict, dict, dict]:
         elif k in _GBT_TO_MLLIB:
             extra[_GBT_TO_MLLIB[k]] = v
         elif k in _GBT_COLSAMPLE:
-            extra["featureSubsetStrategy"] = str(float(v))
+            try:
+                frac = float(v)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"{k} must be a numeric fraction in (0, 1], got {v!r}"
+                ) from None
+            extra["featureSubsetStrategy"] = str(frac)
         elif k == "num_leaves":
             pass  # handled below against max_depth
         elif k == "objective":

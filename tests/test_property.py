@@ -348,3 +348,69 @@ def test_dsir_self_target_is_exactly_zero(spark, texts, n_buckets):
         assert r.log_weight == 0.0
         n_words = len([w for w in texts[r.doc_id].split() if w])
         assert r.n_feats == max(0, 2 * n_words - 1)
+
+
+def test_translate_gbt_params_total_and_lossless():
+    """Property: every input kwarg lands in exactly one of (backbone,
+    mllib-extra, dropped) — nothing vanishes, nothing duplicates — and
+    known-mapped names never fall into `dropped`."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from functime_spark.forecasting.tree import (
+        _GBT_COLSAMPLE,
+        _GBT_TO_BACKBONE,
+        _GBT_TO_MLLIB,
+        translate_gbt_params,
+    )
+
+    known = (
+        sorted(_GBT_TO_BACKBONE) + sorted(_GBT_TO_MLLIB) + sorted(_GBT_COLSAMPLE)
+        + ["num_leaves", "objective", "max_iter", "step_size", "num_trees"]
+    )
+    keys = st.sampled_from(known) | st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=12
+    )
+
+    def value_for(k):
+        if k in _GBT_COLSAMPLE:
+            return st.floats(min_value=0.01, max_value=1.0, allow_nan=False)
+        if k == "objective":
+            return st.sampled_from(["regression", "l1", "quantile", "gamma"])
+        return st.one_of(
+            st.integers(min_value=1, max_value=512),
+            st.floats(min_value=0.01, max_value=1.0, allow_nan=False),
+        )
+
+    pairs = keys.flatmap(lambda k: st.tuples(st.just(k), value_for(k)))
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(pairs, max_size=8).map(dict))
+    def check(params):
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            core, extra, dropped = translate_gbt_params(params)
+        # accounted: every input key maps somewhere (num_leaves maps
+        # into core iff no explicit depth; objective maps or drops)
+        for k in params:
+            if k == "num_leaves":
+                assert ("max_depth" in core) or ("max_depth" in params) or (
+                    "depth" in params
+                )
+            elif k in _GBT_TO_BACKBONE or k in ("max_iter", "step_size", "num_trees"):
+                assert _GBT_TO_BACKBONE.get(k, k) in core
+                assert k not in dropped
+            elif k in _GBT_TO_MLLIB:
+                assert _GBT_TO_MLLIB[k] in extra and k not in dropped
+            elif k in _GBT_COLSAMPLE:
+                assert "featureSubsetStrategy" in extra and k not in dropped
+            elif k == "objective":
+                assert ("lossType" in extra) != (k in dropped)
+            else:
+                assert k in dropped
+        # core only ever holds backbone constructor names
+        assert set(core) <= {"max_iter", "max_depth", "step_size", "num_trees"}
+
+    check()
