@@ -113,6 +113,15 @@ def generate(regen: bool = False) -> None:
 def main() -> None:
     generate(regen="--regen" in sys.argv)
 
+    # size the single-JVM heap for the replica scale: at 100x the
+    # 25M-pair banding shuffle + checkpoint blocks sit at the edge of
+    # the 8g test default (one 100x run passed, the rerun OOMed an
+    # executor task — heap-edge flakiness). On a real cluster this is
+    # ordinary executor sizing; here the driver IS the executor.
+    os.environ.setdefault(
+        "SPARK_DRIVER_MEMORY", "32g" if COPIES >= 50 else "12g"
+    )
+
     from pyspark.sql import functions as F
 
     import functime_spark as fts
@@ -185,10 +194,23 @@ def main() -> None:
     def run_knn():
         # exercises the max_train_rows driver-side bound: at 100x the
         # panel is ~10M design rows, far past the collected reference
-        # matrix cap, so the bounded-sample path must engage
+        # matrix cap, so the bounded-sample path must engage. Brute
+        # kNN is memory-bandwidth-bound (n_entities x n_ref distance
+        # stream per step) — the IVF stage below is the scale path.
         from functime_spark.forecasting.knn import knn
 
         fc = knn(freq="1h", lags=8, n_neighbors=5).fit(panel)
+        return {"forecast_rows": fc.predict(4).count()}
+
+    def run_ann():
+        # the designed scale path past brute kNN: IVF coarse quantizer
+        # probes n_probe of n_cells centroid buckets, cutting the
+        # per-step distance stream by ~n_cells/n_probe
+        from functime_spark.forecasting.knn import ann
+
+        fc = ann(
+            freq="1h", lags=8, n_neighbors=5, n_cells=64, n_probe=4
+        ).fit(panel)
         return {"forecast_rows": fc.predict(4).count()}
 
     def run_pack():
@@ -206,6 +228,7 @@ def main() -> None:
     stage("linear_forecast", run_linear)
     stage("elite_forecast", run_elite)
     stage("knn_forecast", run_knn)
+    stage("ann_forecast", run_ann)
     stage("pack_shards_shuffled", run_pack)
     out["total_sec"] = round(sum(s["sec"] for s in out["stages"].values()), 2)
     print(json.dumps(out))
