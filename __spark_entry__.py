@@ -983,12 +983,17 @@ def q_forecast_stumps(spark, sf_dir):
     Unlike binned GBTs, every split is the exact SSE argmax over
     distinct feature values, so the DuckDB oracle replays the entire
     greedy selection (per-value residual aggregates + window cumsums,
-    4 unrolled boosting rounds) and the recursion value-for-value."""
+    4 unrolled boosting rounds) and the recursion value-for-value.
+    max_candidates=None pins the opt-in EXACT mode the oracle replays;
+    the r7 DEFAULT (255) snaps candidates to quantile edges so the
+    default fit is bounded at scale."""
     _ensure_nanos_conf(spark)
     from functime_spark.forecasting.tree import boosted_stumps
 
     df = events_panel(spark, sf_dir)
-    fc = boosted_stumps(freq="1h", lags=2, n_iter=4, learning_rate=0.5).fit(df)
+    fc = boosted_stumps(
+        freq="1h", lags=2, n_iter=4, learning_rate=0.5, max_candidates=None
+    ).fit(df)
     return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
 
 

@@ -57,18 +57,44 @@ def _fallback_path(spark) -> str:
     return f"{_FALLBACK_BASE}/{uuid.uuid4().hex}"
 
 
+def _is_connect(spark) -> bool:
+    """True for a Spark Connect client session (pyspark.sql.connect.*)."""
+    return "connect" in type(spark).__module__
+
+
+def _is_unsupported_rpc(exc: Exception) -> bool:
+    """Connect-server capability errors only — NOT data-dependent job
+    failures, which must propagate: an older server answers the
+    localCheckpoint RPC with UNIMPLEMENTED / 'not supported', an older
+    client lacks the method entirely."""
+    if isinstance(exc, (AttributeError, NotImplementedError)):
+        return True
+    msg = str(exc).lower()
+    return any(
+        s in msg
+        for s in ("unimplemented", "not supported", "unsupported", "not implemented")
+    )
+
+
 def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     """Pin `df`'s values and cut its lineage.
 
-    Classic session: localCheckpoint (``eager`` passed through).
-    Spark Connect without the localCheckpoint RPC (or with the
-    fallback forced): parquet round-trip — always eager, a true
-    lineage cut, one scan in every downstream plan."""
+    Classic session: localCheckpoint (``eager`` passed through) with
+    NO fallback — a genuine job failure during the eager checkpoint
+    (ANSI error, executor loss) propagates instead of being masked by
+    a silent parquet re-execution (ADVICE r6). Spark Connect: try the
+    localCheckpoint RPC; only a capability rejection (UNIMPLEMENTED /
+    missing method on older servers or clients) falls back to the
+    parquet round-trip — always eager, a true lineage cut, one scan in
+    every downstream plan."""
     if not FORCE_FALLBACK:
+        if not _is_connect(df.sparkSession):
+            return df.localCheckpoint(eager=eager)
         try:
             return df.localCheckpoint(eager=eager)
-        except Exception:  # Connect server without the RPC
-            pass
+        except Exception as exc:  # Connect server/client without the RPC
+            if not _is_unsupported_rpc(exc):
+                raise
     spark = df.sparkSession
     path = _fallback_path(spark)
     df.write.parquet(path)

@@ -396,9 +396,12 @@ def test_gbt_native_hyperparameter_translation(spark, events):
     assert reg.getSubsamplingRate() == 0.9
     assert reg.getFeatureSubsetStrategy() == "0.8"
     assert reg.getMaxBins() == 64 and reg.getLossType() == "squared"
-    # native path still sees the original vocabulary
+    # native path: SynapseML is a camelCase Params wrapper, so the
+    # original vocabulary must arrive TRANSLATED, not verbatim
+    # (ADVICE r6 — snake_case kwargs raise TypeError there)
     p = fc._native_params()
-    assert p["num_leaves"] == 31 and p["feature_fraction"] == 0.8
+    assert p["numLeaves"] == 31 and p["featureFraction"] == 0.8
+    assert p["lambdaL1"] == 0.1 and p["maxBin"] == 64
 
     with pytest.warns(UserWarning, match="reg_lambda"):
         fc = xgboost(
@@ -548,7 +551,9 @@ def test_boosted_stumps_exact_splits(spark):
         vals = np.abs(rng.normal(10, 5, 40)).round(2)
         rows += [(e, int(t), float(v)) for t, v in enumerate(vals)]
     y = spark.createDataFrame(rows, "entity string, t long, y double")
-    fc = boosted_stumps(freq="1i", lags=2, n_iter=3, learning_rate=0.5).fit(y)
+    fc = boosted_stumps(
+        freq="1i", lags=2, n_iter=3, learning_rate=0.5, max_candidates=None
+    ).fit(y)
     assert len(fc.state["stumps"]) == 3
 
     # numpy replay of the same exact-greedy loop over the lag design
@@ -674,7 +679,9 @@ def test_boosted_trees_d2_binned_greedy(spark):
         f = f + contrib
 
     # same rounds, same lr: the extra depth must fit train at least as well
-    st = boosted_stumps(freq="1i", lags=2, n_iter=2, learning_rate=0.5).fit(y)
+    st = boosted_stumps(
+        freq="1i", lags=2, n_iter=2, learning_rate=0.5, max_candidates=None
+    ).fit(y)
     fs = np.full(len(d), st.state["f0"])
     for j, v, dl, dr in st.state["stumps"]:
         fs = fs + np.where(d[:, j + 1] <= v, dl, dr)
@@ -1290,3 +1297,154 @@ def test_boosted_trees_d2_exogenous_feature_wins_splits(spark):
     got = pred[pred.entity == "a"]["y"].to_numpy()
     want = np.array([10.0 * (t % 3 == 0) for t in range(80, 84)])
     assert np.abs(got - want).max() < 1.0
+
+
+def test_boosted_stumps_default_bounded_one_action_per_round(spark):
+    """The r7 scale fix pinned: (a) the DEFAULT config snaps split
+    candidates to quantile edges (max_candidates=255) so a continuous
+    target cannot make the candidate table O(n_rows); (b) the whole
+    fit runs <= 1 + n_iter collect-class actions (one f0 aggregate,
+    then ONE fused cross-feature argmax per round — no per-feature
+    .first() fan-out); (c) the fused candidate windows are PARTITIONED
+    by feature (no Exchange SinglePartition in the split-search plan),
+    in exact mode too."""
+    import numpy as np
+    from pyspark.sql import DataFrame
+
+    from functime_spark.forecasting.tree import boosted_stumps
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (e, int(t), float(v))
+        for e in ("a", "b")
+        for t, v in enumerate(np.abs(rng.normal(10, 5, 40)))
+    ]
+    y = spark.createDataFrame(rows, "entity string, t long, y double")
+
+    counts = {"n": 0}
+    orig = DataFrame.collect
+
+    def counted(self):
+        counts["n"] += 1
+        return orig(self)
+
+    DataFrame.collect = counted
+    try:
+        n_iter = 3
+        fc = boosted_stumps(freq="1i", lags=2, n_iter=n_iter).fit(y)
+    finally:
+        DataFrame.collect = orig
+    assert fc.max_candidates == 255
+    edges = fc.state["snap_edges"]
+    assert edges is not None and all(len(e) <= 254 for e in edges)
+    # f0 aggregate + one fused argmax per round (approxQuantile goes
+    # through the JVM stat API, not DataFrame.collect)
+    assert counts["n"] <= 1 + n_iter
+
+    # plan pin: partitioned windows only — in EXACT mode as well
+    resid = F.col("y").cast("double") - F.lit(fc.state["f0"])
+    design = y.selectExpr("y", "y AS l1", "y AS l2")
+    scored = boosted_stumps._scored_candidates(
+        design, [F.col("l1").cast("double"), F.col("l2").cast("double")], resid
+    )
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_boosted_stumps_default_matches_exact_on_small_cardinality(spark):
+    """With fewer distinct feature values than the default candidate
+    budget, the snapped fit must select the same stumps as exact mode
+    (quantile edges cover every distinct value)."""
+    import numpy as np
+
+    from functime_spark.forecasting.tree import boosted_stumps
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for e in ("a", "b"):
+        vals = rng.integers(0, 12, 50).astype(float)
+        rows += [(e, int(t), float(v)) for t, v in enumerate(vals)]
+    y = spark.createDataFrame(rows, "entity string, t long, y double")
+    exact = boosted_stumps(
+        freq="1i", lags=2, n_iter=3, max_candidates=None
+    ).fit(y)
+    snapped = boosted_stumps(freq="1i", lags=2, n_iter=3).fit(y)
+    for (j1, v1, l1, r1), (j2, v2, l2, r2) in zip(
+        exact.state["stumps"], snapped.state["stumps"]
+    ):
+        assert j1 == j2 and abs(v1 - v2) < 1e-12
+        assert abs(l1 - l2) < 1e-9 and abs(r1 - r2) < 1e-9
+
+
+def test_gbt_native_params_synapse_translation():
+    """ADVICE r6: SynapseML's LightGBMRegressor is a camelCase Spark ML
+    Params wrapper, NOT lgb.train — native snake_case kwargs must be
+    translated (or routed through passThroughArgs), never forwarded
+    verbatim, and backbone-folded aliases must not produce duplicate
+    param pairs."""
+    from functime_spark.forecasting.tree import lightgbm, xgboost
+    from functime_spark.panel import Panel
+
+    panel = Panel(entity="entity", time="t", values=("y",))
+    with pytest.warns(UserWarning, match="no MLlib GBT equivalent"):
+        fc = lightgbm(
+            freq="1h",
+            lags=2,
+            num_iterations=30,
+            learning_rate=0.2,
+            num_leaves=15,
+            feature_fraction=0.8,
+            min_data_in_leaf=5,
+            lambda_l1=0.1,
+            force_row_wise=True,  # no Synapse param -> passThroughArgs
+        )
+    fc.state["panel"] = panel
+    params = fc._native_params()
+    # every key is a Synapse camelCase param; no native snake_case leaks
+    assert "num_iterations" not in params and "feature_fraction" not in params
+    assert params["numIterations"] == 30
+    assert params["learningRate"] == 0.2
+    assert params["numLeaves"] == 15
+    assert params["featureFraction"] == 0.8
+    assert params["minDataInLeaf"] == 5
+    assert params["lambdaL1"] == 0.1
+    assert params["passThroughArgs"] == "force_row_wise=True"
+    # learning_rate was folded into the backbone AND maps to the same
+    # camelCase key — exactly one learningRate reaches the constructor
+    assert sum(1 for k in params if k.lower() == "learningrate") == 1
+
+    with pytest.warns(UserWarning):
+        xfc = xgboost(
+            freq="1h",
+            lags=2,
+            num_boost_round=40,
+            eta=0.3,
+            subsample=0.9,
+            nthread=8,  # constructor-rejected -> dropped with warning
+        )
+    xfc.state["panel"] = panel
+    with pytest.warns(UserWarning, match="SparkXGBRegressor manages"):
+        xparams = xfc._native_params()
+    assert "num_boost_round" not in xparams and "eta" not in xparams
+    assert xparams["n_estimators"] == 40
+    assert xparams["learning_rate"] == 0.3
+    assert xparams["subsample"] == 0.9
+    assert "nthread" not in xparams
+
+
+def test_gbt_colsample_range_check():
+    """ADVICE r6: out-of-range column-subsample fractions must raise
+    the promised ValueError at translation time, not surface as an
+    MLlib featureSubsetStrategy parse error mid-fit."""
+    import math
+
+    from functime_spark.forecasting.tree import translate_gbt_params
+
+    for bad in (0.0, -0.2, 1.5, math.nan):
+        with pytest.raises(ValueError, match="numeric fraction"):
+            translate_gbt_params({"feature_fraction": bad})
+    with pytest.raises(ValueError, match="numeric fraction"):
+        translate_gbt_params({"colsample_bytree": "not-a-number"})
+    _, extra, _ = translate_gbt_params({"feature_fraction": 0.7})
+    assert extra["featureSubsetStrategy"] == "0.7"

@@ -2802,3 +2802,32 @@ def test_broadcast_value_fallback_path(spark, events, monkeypatch):
     import pandas as pd
 
     pd.testing.assert_frame_equal(baseline, fallback)
+
+
+def test_materialize_propagates_real_failures_on_classic(spark):
+    """ADVICE r6: on a classic session a genuine job failure inside
+    the eager checkpoint must PROPAGATE — not be swallowed and
+    silently re-executed via the parquet fallback (doubling work and
+    relocating the error)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from functime_spark import materialize as M
+
+    failing = spark.range(3).select(
+        F.assert_true(F.col("id") < 0).alias("boom")
+    )
+    with pytest.raises(Exception) as exc_info:
+        M.materialize(failing)
+    # the original assertion error surfaces, no parquet retry happened
+    assert "assert" in str(exc_info.value).lower() or "'(id < 0)'" in str(
+        exc_info.value
+    )
+
+    # capability errors are still classified as fallback-eligible
+    assert M._is_unsupported_rpc(NotImplementedError("x"))
+    assert M._is_unsupported_rpc(RuntimeError("UNIMPLEMENTED: rpc"))
+    assert M._is_unsupported_rpc(Exception("localCheckpoint is not supported"))
+    assert not M._is_unsupported_rpc(RuntimeError("DIVIDE_BY_ZERO"))
+    # a classic session is never classified as Connect
+    assert not M._is_connect(spark)
