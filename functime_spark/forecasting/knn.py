@@ -48,6 +48,46 @@ def _kmeans(X: np.ndarray, k: int, iters: int = 10, seed: int = 7) -> np.ndarray
     return cents
 
 
+def _ivf_knn_step(payload):
+    """fn(feats[E,k]) -> yhat[E] probing the n_probe nearest IVF cells
+    of a cell-sorted reference matrix (bounds = cell offsets). The
+    designed path past the brute scan's bandwidth wall: the per-query
+    scan covers ~n_probe/n_cells of the reference."""
+    feats_ref, targs_ref, C, bd, k, n_probe = payload
+
+    def step(q: np.ndarray) -> np.ndarray:
+        dc = (
+            (q * q).sum(1)[:, None]
+            - 2.0 * (q @ C.T)
+            + (C * C).sum(1)[None, :]
+        )
+        probes = np.argsort(dc, axis=1)[:, :n_probe]
+        out = np.empty(len(q))
+        for i in range(len(q)):
+            idxs = np.concatenate(
+                [np.arange(bd[c], bd[c + 1]) for c in probes[i]]
+            )
+            if len(idxs) == 0:
+                idxs = np.arange(len(feats_ref))
+            d = ((feats_ref[idxs] - q[i]) ** 2).sum(1)
+            kk = min(k, len(idxs))
+            near = np.argpartition(d, kk - 1)[:kk]
+            out[i] = targs_ref[idxs[near]].mean()
+        return out
+
+    return step
+
+
+def _ivf_pack(feats: np.ndarray, targs: np.ndarray, n_cells: int):
+    """(sorted feats, sorted targs, centroids, cell bounds) — the
+    shared IVF build used by `ann._fit` and `knn`'s auto re-route."""
+    cents = _kmeans(feats, n_cells)
+    assign = ((feats[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
+    order = np.argsort(assign, kind="stable")
+    bounds = np.searchsorted(assign[order], np.arange(len(cents) + 1))
+    return feats[order], targs[order], cents, bounds
+
+
 def _brute_knn_step(ref_payload):
     """fn(feats[E,k]) -> yhat[E] over the broadcast reference matrix.
 
@@ -80,6 +120,12 @@ class knn(Forecaster):
     of one shared broadcast matrix — no extra collects), ensemble.
     """
 
+    # the brute recursion costs ~n_ref * n_entities * fh distance
+    # evaluations; the 100x stress measured the wall at ~6e10 evals
+    # (pure memory bandwidth, SCALE.md). Above SCALE_WALL_EVALS the
+    # designed path is IVF probing (`ann`, or on_scale_wall="auto").
+    SCALE_WALL_EVALS = 1e9
+
     def __init__(
         self,
         freq: str,
@@ -88,6 +134,7 @@ class knn(Forecaster):
         max_train_rows: int = 100_000,
         strategy: str = "recursive",
         max_horizons: int | None = None,
+        on_scale_wall: str = "warn",
         target_transform=None,
     ):
         super().__init__(freq=freq, lags=lags, target_transform=target_transform)
@@ -97,6 +144,11 @@ class knn(Forecaster):
         self.max_horizons = max_horizons
         if strategy in ("direct", "ensemble") and max_horizons is None:
             raise ValueError("direct/ensemble strategy requires max_horizons")
+        if on_scale_wall not in ("warn", "auto", "ignore"):
+            raise ValueError(
+                f"on_scale_wall must be warn|auto|ignore, got {on_scale_wall!r}"
+            )
+        self.on_scale_wall = on_scale_wall
 
     def _init_kwargs(self) -> dict:
         return {
@@ -106,7 +158,19 @@ class knn(Forecaster):
             "max_train_rows": self.max_train_rows,
             "strategy": self.strategy,
             "max_horizons": self.max_horizons,
+            "on_scale_wall": self.on_scale_wall,
         }
+
+    def _scale_evals(self, fh: int) -> float:
+        """Predicted brute-force distance-evaluation count for this
+        predict call: n_ref * n_entities * fh. n_entities comes from
+        one count of the persisted n_entities-row recursion state,
+        cached on the fit state."""
+        n_ent = self.state.get("n_entities")
+        if n_ent is None:
+            n_ent = self.state["y_lag"].count()
+            self.state["n_entities"] = n_ent
+        return float(len(self.state["train"][0])) * float(n_ent) * float(fh)
 
     def _design_width(self) -> int:
         if self.strategy in ("direct", "ensemble"):
@@ -142,15 +206,46 @@ class knn(Forecaster):
 
     def _fit(self, y: DataFrame, X: DataFrame | None = None):
         self.state["train"] = self._collect_train(y, X)
+        self.state.pop("n_entities", None)  # refit may change the panel
+        self.state.pop("ivf", None)
         self.state["y_lag"] = make_y_lag(y, self.lags).persist()
         self._cutoffs_from_y_lag()
+
+    def _route_scale_wall(self, fh: int) -> bool:
+        """True when the recursive scan should re-route through IVF.
+
+        Crossing SCALE_WALL_EVALS with on_scale_wall="warn" (default)
+        raises a UserWarning naming the designed alternatives; "auto"
+        silently builds the IVF structures once (driver k-means over
+        the already-collected <= max_train_rows reference) and probes
+        instead of brute-scanning; "ignore" keeps the brute scan."""
+        import warnings
+
+        if self.on_scale_wall == "ignore":
+            return False
+        evals = self._scale_evals(fh)
+        if evals <= self.SCALE_WALL_EVALS:
+            return False
+        if self.on_scale_wall == "auto" and self.strategy == "recursive":
+            return True
+        warnings.warn(
+            f"knn predict would run ~{evals:.2e} brute-force distance "
+            f"evaluations (n_ref x n_entities x fh), past the "
+            f"~{self.SCALE_WALL_EVALS:.0e} bandwidth wall measured in the "
+            "100x stress (SCALE.md). Use the `ann` forecaster (IVF "
+            "probing), pass on_scale_wall='auto' to re-route this fit "
+            "through IVF, or on_scale_wall='ignore' to silence this.",
+            stacklevel=3,
+        )
+        return False
 
     def _predict_values(self, fh: int, X: DataFrame | None = None) -> DataFrame:
         from functime_spark.forecasting._ar import mean_ensemble
 
+        use_ivf = self._route_scale_wall(fh)
         state = self._future_state(fh, X)
         if self.strategy == "recursive":
-            return self._predict_recursive(fh, state)
+            return self._predict_recursive(fh, state, use_ivf=use_ivf)
         if self.strategy == "direct":
             return self._predict_direct(fh, state)
         return mean_ensemble(
@@ -228,7 +323,9 @@ class knn(Forecaster):
 
         return spread_for_cpu(y_lag).mapInPandas(run, schema=schema)
 
-    def _predict_recursive(self, fh: int, y_lag: DataFrame) -> DataFrame:
+    def _predict_recursive(
+        self, fh: int, y_lag: DataFrame, use_ivf: bool = False
+    ) -> DataFrame:
         entity = y_lag.columns[0]
         entity_dtype = dict(y_lag.dtypes)[entity]
         lags = self.lags
@@ -247,17 +344,27 @@ class knn(Forecaster):
             if x_cols
             else np.ascontiguousarray(feats_ref[:, :lags])
         )
-        b = broadcast_value(spark, 
-            (ref, targs_ref, self.n_neighbors, x_cols)
-        )
+        if use_ivf:
+            # the auto re-route past the bandwidth wall: one driver
+            # k-means over the already-collected reference (built once,
+            # cached on the fit state), ann-default cell/probe counts
+            ivf = self.state.get("ivf")
+            if ivf is None:
+                ivf = _ivf_pack(ref, targs_ref, n_cells=64)
+                self.state["ivf"] = ivf
+            fs, ts, cents, bounds = ivf
+            payload = (fs, ts, cents, bounds, self.n_neighbors, 4)
+        else:
+            payload = (ref, targs_ref, self.n_neighbors)
+        b = broadcast_value(spark, (use_ivf, payload, x_cols))
 
         def run(batches: Iterator) -> Iterator:
             import pandas as pd
 
             from functime_spark.forecasting._ar import _x_matrix
 
-            ref_feats, targs, k, x_names = b.value
-            step_fn = _brute_knn_step((ref_feats, targs, k))
+            ivf_mode, pl, x_names = b.value
+            step_fn = _ivf_knn_step(pl) if ivf_mode else _brute_knn_step(pl)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -320,13 +427,8 @@ class ann(knn):
 
     def _fit(self, y: DataFrame, X: DataFrame | None = None):
         feats, targs = self._collect_train(y, X)
-        cents = _kmeans(feats, self.n_cells)
-        assign = (
-            ((feats[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
-        )
-        order = np.argsort(assign, kind="stable")
-        bounds = np.searchsorted(assign[order], np.arange(len(cents) + 1))
-        self.state["train"] = (feats[order], targs[order], cents, bounds)
+        self.state["train"] = _ivf_pack(feats, targs, self.n_cells)
+        self.state.pop("n_entities", None)
         self.state["y_lag"] = make_y_lag(y, self.lags).persist()
         self._cutoffs_from_y_lag()
 
@@ -350,26 +452,7 @@ class ann(knn):
             from functime_spark.forecasting._ar import _x_matrix
 
             feats_ref, targs_ref, C, bd, k, n_probe, x_names = b.value
-
-            def step_fn(q: np.ndarray) -> np.ndarray:
-                dc = (
-                    (q * q).sum(1)[:, None]
-                    - 2.0 * (q @ C.T)
-                    + (C * C).sum(1)[None, :]
-                )
-                probes = np.argsort(dc, axis=1)[:, :n_probe]
-                out = np.empty(len(q))
-                for i in range(len(q)):
-                    idxs = np.concatenate(
-                        [np.arange(bd[c], bd[c + 1]) for c in probes[i]]
-                    )
-                    if len(idxs) == 0:
-                        idxs = np.arange(len(feats_ref))
-                    d = ((feats_ref[idxs] - q[i]) ** 2).sum(1)
-                    kk = min(k, len(idxs))
-                    near = np.argpartition(d, kk - 1)[:kk]
-                    out[i] = targs_ref[idxs[near]].mean()
-                return out
+            step_fn = _ivf_knn_step((feats_ref, targs_ref, C, bd, k, n_probe))
 
             for pdf in batches:
                 if len(pdf) == 0:

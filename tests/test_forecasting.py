@@ -1448,3 +1448,59 @@ def test_gbt_colsample_range_check():
         translate_gbt_params({"colsample_bytree": "not-a-number"})
     _, extra, _ = translate_gbt_params({"feature_fraction": 0.7})
     assert extra["featureSubsetStrategy"] == "0.7"
+
+
+def test_knn_scale_wall_warn_and_auto_route(spark):
+    """VERDICT r6 #5: the 100x stress measured the brute kNN recursion
+    bandwidth-bound at ~6e10 distance evals while IVF delivered 2.6x —
+    a user crossing the documented bound must get the designed path,
+    not the wall: default policy WARNS naming `ann`/auto;
+    on_scale_wall='auto' builds the IVF structures once and probes."""
+    import warnings
+
+    import numpy as np
+
+    from functime_spark.forecasting.knn import knn
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (e, int(t), float(v))
+        for e in ("a", "b", "c")
+        for t, v in enumerate(np.abs(rng.normal(10, 3, 60)))
+    ]
+    y = spark.createDataFrame(rows, "entity string, t long, y double")
+
+    # small data: no warning under the default 1e9 bound
+    fc = knn(freq="1i", lags=3, n_neighbors=2).fit(y)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        base = fc.predict(3).toPandas().sort_values(["entity", "t"])
+
+    # force the bound under this tiny workload: default policy warns
+    fc.SCALE_WALL_EVALS = 1.0
+    with pytest.warns(UserWarning, match="bandwidth wall"):
+        fc.predict(3).count()
+
+    # auto policy re-routes through IVF silently and caches the build
+    fc_auto = knn(freq="1i", lags=3, n_neighbors=2, on_scale_wall="auto").fit(y)
+    fc_auto.SCALE_WALL_EVALS = 1.0
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        routed = fc_auto.predict(3).toPandas().sort_values(["entity", "t"])
+    assert "ivf" in fc_auto.state
+    assert len(routed) == len(base) and routed["y"].notna().all()
+    # IVF probes a superset-quality neighborhood: predictions stay in
+    # the train range envelope like the brute path's
+    lo, hi = 0.0, max(v for _, _, v in rows)
+    assert routed["y"].between(lo - 1e-9, hi + 1e-9).all()
+
+    # ignore policy stays silent and brute
+    fc_ig = knn(freq="1i", lags=3, n_neighbors=2, on_scale_wall="ignore").fit(y)
+    fc_ig.SCALE_WALL_EVALS = 1.0
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        fc_ig.predict(3).count()
+    assert "ivf" not in fc_ig.state
+
+    with pytest.raises(ValueError, match="on_scale_wall"):
+        knn(freq="1i", on_scale_wall="explode")
