@@ -854,6 +854,77 @@ def _tr(year: int) -> list:
     return e
 
 
+# Indonesia gazettes its Islamic holidays by joint ministerial decree
+# (SKB) on local sighting/astronomy — the dates differ from Umm al-Qura
+# in several years (Fitr 2019/2023/2025, Adha 2018/2022/2023/2024), so
+# ID carries its OWN override tables. Day 1 of Idul Fitri anchors the
+# statutory two-day holiday.
+_ID_EID_FITR = {
+    2015: (7, 17), 2016: (7, 6), 2017: (6, 25), 2018: (6, 15),
+    2019: (6, 5), 2020: (5, 24), 2021: (5, 13), 2022: (5, 2),
+    2023: (4, 22), 2024: (4, 10), 2025: (3, 31),
+}
+_ID_EID_ADHA = {
+    2015: (9, 24), 2016: (9, 12), 2017: (9, 1), 2018: (8, 22),
+    2019: (8, 11), 2020: (7, 31), 2021: (7, 20), 2022: (7, 10),
+    2023: (6, 29), 2024: (6, 17), 2025: (6, 6),
+}
+# Saka new year (Nyepi) and Vesak (Waisak) follow the Balinese-Saka and
+# Buddhist lunar calendars; like NZ Matariki, the gazetted dates are
+# vendored (2015-2025; later years need the SKB schedule).
+_ID_NYEPI = {
+    2015: (3, 21), 2016: (3, 9), 2017: (3, 28), 2018: (3, 17),
+    2019: (3, 7), 2020: (3, 25), 2021: (3, 14), 2022: (3, 3),
+    2023: (3, 22), 2024: (3, 11), 2025: (3, 29),
+}
+_ID_WAISAK = {
+    2015: (6, 2), 2016: (5, 22), 2017: (5, 11), 2018: (5, 29),
+    2019: (5, 19), 2020: (5, 7), 2021: (5, 26), 2022: (5, 16),
+    2023: (6, 4), 2024: (5, 23), 2025: (5, 12),
+}
+
+
+def _id(year: int) -> list:
+    """Indonesia: fixed national days, Easter-computus Christian days,
+    the two-day Idul Fitri + Idul Adha / Islamic New Year / Maulid /
+    Isra Mi'raj from the tabular Hijri calendar with SKB-gazetted
+    overrides, and vendored Nyepi / Waisak / Imlek tables. Joint-leave
+    days (cuti bersama) are government leave, not statutory holidays —
+    excluded, matching the `holidays` package's default."""
+    e = [
+        (_dt.date(year, 1, 1), "tahun_baru_masehi"),
+        (_dt.date(year, 8, 17), "hari_kemerdekaan"),
+        (_dt.date(year, 12, 25), "hari_natal"),
+    ]
+    if year >= 2014:
+        e.append((_dt.date(year, 5, 1), "hari_buruh"))
+    if year >= 2017:
+        e.append((_dt.date(year, 6, 1), "hari_lahir_pancasila"))
+    es = _easter(year)
+    e.append((es - _dt.timedelta(days=2), "wafat_isa_almasih"))
+    e.append((es + _dt.timedelta(days=39), "kenaikan_isa_almasih"))
+    if year >= 2003:
+        lny = _LUNAR_NEW_YEAR.get(year)
+        if lny is not None:
+            e.append((_dt.date(year, lny[0], lny[1]), "tahun_baru_imlek"))
+    for tbl, name in ((_ID_NYEPI, "hari_suci_nyepi"), (_ID_WAISAK, "hari_raya_waisak")):
+        md = tbl.get(year)
+        if md is not None:
+            e.append((_dt.date(year, md[0], md[1]), name))
+    for anchor in _hijri_dates(year, 10, 1, _ID_EID_FITR):
+        e.append((anchor, "idul_fitri_day_1"))
+        e.append((anchor + _dt.timedelta(days=1), "idul_fitri_day_2"))
+    for hm, hd, name in (
+        (12, 10, "idul_adha"),
+        (1, 1, "tahun_baru_islam"),
+        (3, 12, "maulid_nabi"),
+        (7, 27, "isra_miraj"),
+    ):
+        for d in _hijri_dates(year, hm, hd, _ID_EID_ADHA if hm == 12 else {}):
+            e.append((d, name))
+    return e
+
+
 _COUNTRIES.update(
     {
         "IE": _ie,
@@ -866,6 +937,7 @@ _COUNTRIES.update(
         "RU": _ru,
         "SA": _sa,
         "TR": _tr,
+        "ID": _id,
     }
 )
 

@@ -1890,6 +1890,72 @@ def operator_oracles() -> dict:
         "ON year(t.tab) = ov.gy AND t.nm = ov.onm "
         "WHERE year(t.tab) = t.y"
     )
+    # ID: fixed + Easter-computus days, the tabular-Hijri set with the
+    # SKB (joint-decree) override years — Indonesia's sighted dates
+    # differ from Umm al-Qura in several years, hence its own tables —
+    # Idul Fitri day 2 as anchor+1, and the vendored Nyepi / Waisak /
+    # Imlek VALUES (single source of truth: holidays_vendored._ID_*).
+    from functime_spark.operators.holidays_vendored import (
+        _ID_EID_ADHA,
+        _ID_EID_FITR,
+        _ID_NYEPI,
+        _ID_WAISAK,
+        _LUNAR_NEW_YEAR,
+    )
+
+    _id_ov = ", ".join(
+        f"({y}, '{nm}', DATE '{y}-{m:02d}-{d:02d}')"
+        for nm, tbl in (
+            ("idul_fitri_day_1", _ID_EID_FITR),
+            ("idul_adha", _ID_EID_ADHA),
+        )
+        for y, (m, d) in sorted(tbl.items())
+    )
+    _id_tabular = (
+        "SELECT y, nm, DATE '0622-07-19' + to_days(CAST((hy-1)*354 "
+        "+ (11*hy+3)//30 + 29*(hm-1) + hm//2 + hd - 1 AS INT)) AS tab FROM ("
+        "SELECT y, CAST(FLOOR((y - 622) * 1.0306) AS INT) + k AS hy FROM yrs, "
+        "(VALUES (0),(1),(2)) ks(k)) h, "
+        "(VALUES {hol}) hol(hm,hd,nm)"
+    )
+    _id_fixed_tbls = ", ".join(
+        f"(DATE '{y}-{m:02d}-{d:02d}', '{nm}')"
+        for nm, tbl in (
+            ("hari_suci_nyepi", _ID_NYEPI),
+            ("hari_raya_waisak", _ID_WAISAK),
+            ("tahun_baru_imlek", _LUNAR_NEW_YEAR),
+        )
+        for y, (m, d) in sorted(tbl.items())
+    )
+    _id_rules = (
+        "SELECT make_date(y,1,1) AS d, 'tahun_baru_masehi' AS nm FROM yrs "
+        "UNION ALL SELECT make_date(y,8,17), 'hari_kemerdekaan' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'hari_natal' FROM yrs "
+        "UNION ALL SELECT make_date(y,5,1), 'hari_buruh' FROM yrs WHERE y >= 2014 "
+        "UNION ALL SELECT make_date(y,6,1), 'hari_lahir_pancasila' FROM yrs "
+        "WHERE y >= 2017 "
+        "UNION ALL SELECT e - to_days(2), 'wafat_isa_almasih' FROM easter "
+        "UNION ALL SELECT e + to_days(39), 'kenaikan_isa_almasih' FROM easter "
+        f"UNION ALL SELECT t.d, t.nm FROM (VALUES {_id_fixed_tbls}) t(d, nm) "
+        "JOIN yrs ON year(t.d) = yrs.y "
+        "UNION ALL SELECT COALESCE(ov.od, t.tab), t.nm FROM ("
+        + _id_tabular.format(
+            hol="(10,1,'idul_fitri_day_1'),(12,10,'idul_adha'),"
+            "(1,1,'tahun_baru_islam'),(3,12,'maulid_nabi'),"
+            "(7,27,'isra_miraj')"
+        )
+        + ") t "
+        f"LEFT JOIN (VALUES {_id_ov}) ov(gy, onm, od) "
+        "ON year(t.tab) = ov.gy AND t.nm = ov.onm "
+        "WHERE year(t.tab) = t.y "
+        "UNION ALL SELECT COALESCE(ov.od, t.tab) + to_days(1), "
+        "'idul_fitri_day_2' FROM ("
+        + _id_tabular.format(hol="(10,1,'idul_fitri_day_1')")
+        + ") t "
+        f"LEFT JOIN (VALUES {_id_ov}) ov(gy, onm, od) "
+        "ON year(t.tab) = ov.gy AND t.nm = ov.onm "
+        "WHERE year(t.tab) = t.y"
+    )
     o["future_holidays"] = (
         "WITH c AS (SELECT user_id, MAX(ts) AS low FROM events GROUP BY user_id), "
         "fut AS (SELECT c.user_id, c.low + i * INTERVAL '1 day' AS ts "
@@ -1907,7 +1973,7 @@ def operator_oracles() -> dict:
                 ("ca", _ca_rules), ("nl", _nl_rules), ("br", _br_rules),
                 ("mx", _mx_rules), ("no_", _no_rules), ("pt", _pt_rules),
                 ("jp", _jp_rules), ("gr", _gr_rules), ("za", _za_rules),
-                ("sa", _sa_rules),
+                ("sa", _sa_rules), ("id_", _id_rules),
             ]
         )
         + " "
@@ -1915,7 +1981,8 @@ def operator_oracles() -> dict:
         "gb.nm AS holiday__gb, ca.nm AS holiday__ca, nl.nm AS holiday__nl, "
         "br.nm AS holiday__br, mx.nm AS holiday__mx, "
         "no_.nm AS holiday__no, pt.nm AS holiday__pt, jp.nm AS holiday__jp, "
-        "gr.nm AS holiday__gr, za.nm AS holiday__za, sa.nm AS holiday__sa "
+        "gr.nm AS holiday__gr, za.nm AS holiday__za, sa.nm AS holiday__sa, "
+        "id_.nm AS holiday__id "
         "FROM fut f LEFT JOIN us ON CAST(f.ts AS DATE) = us.d "
         "LEFT JOIN de ON CAST(f.ts AS DATE) = de.d "
         "LEFT JOIN gb ON CAST(f.ts AS DATE) = gb.d "
@@ -1929,6 +1996,7 @@ def operator_oracles() -> dict:
         "LEFT JOIN gr ON CAST(f.ts AS DATE) = gr.d "
         "LEFT JOIN za ON CAST(f.ts AS DATE) = za.d "
         "LEFT JOIN sa ON CAST(f.ts AS DATE) = sa.d "
+        "LEFT JOIN id_ ON CAST(f.ts AS DATE) = id_.d "
         "ORDER BY user_id, ts"
     )
 

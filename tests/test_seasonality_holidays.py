@@ -331,3 +331,49 @@ def test_vendored_hijri_sa():
     assert "democracy_and_national_unity_day" not in dict(
         (n, d) for d, n in vendored_holidays("TR", [2016])
     )
+
+
+def test_vendored_indonesia():
+    """ID on the Hijri machinery (r7): SKB-gazetted Eid dates inside
+    the override span — including the years Indonesia's sighted dates
+    DIFFER from Umm al-Qura — the statutory two-day Idul Fitri, the
+    vendored Nyepi/Waisak/Imlek tables, Easter-computus Christian
+    days, and the year-guarded fixed days."""
+    import datetime as dt
+
+    from functime_spark.operators.holidays_vendored import vendored_holidays
+
+    id24 = dict((n, d) for d, n in vendored_holidays("ID", [2024]))
+    assert id24["idul_fitri_day_1"] == dt.date(2024, 4, 10)
+    assert id24["idul_fitri_day_2"] == dt.date(2024, 4, 11)
+    # 2024 Idul Adha gazetted Jun 17 — Umm al-Qura had Jun 16
+    assert id24["idul_adha"] == dt.date(2024, 6, 17)
+    assert id24["hari_suci_nyepi"] == dt.date(2024, 3, 11)
+    assert id24["hari_raya_waisak"] == dt.date(2024, 5, 23)
+    assert id24["tahun_baru_imlek"] == dt.date(2024, 2, 10)
+    assert id24["wafat_isa_almasih"] == dt.date(2024, 3, 29)  # Good Friday
+    assert id24["kenaikan_isa_almasih"] == dt.date(2024, 5, 9)  # Ascension
+    assert id24["hari_kemerdekaan"] == dt.date(2024, 8, 17)
+    assert id24["hari_lahir_pancasila"] == dt.date(2024, 6, 1)
+
+    # 2025: Fitr Mar 31 (SKB) — Umm al-Qura gazetted Mar 30
+    id25 = dict((n, d) for d, n in vendored_holidays("ID", [2025]))
+    assert id25["idul_fitri_day_1"] == dt.date(2025, 3, 31)
+    assert id25["idul_fitri_day_2"] == dt.date(2025, 4, 1)
+    assert id25["hari_suci_nyepi"] == dt.date(2025, 3, 29)
+
+    # 2019: Fitr Jun 5 (SKB) vs Umm al-Qura Jun 4
+    id19 = dict((n, d) for d, n in vendored_holidays("ID", [2019]))
+    assert id19["idul_fitri_day_1"] == dt.date(2019, 6, 5)
+
+    # year guards: Pancasila Day statutory since 2017, Labour Day 2014
+    id16 = dict((n, d) for d, n in vendored_holidays("ID", [2016]))
+    assert "hari_lahir_pancasila" not in id16
+    assert "hari_buruh" in id16
+    id13 = dict((n, d) for d, n in vendored_holidays("ID", [2013]))
+    assert "hari_buruh" not in id13
+    # outside the vendored tables: Hijri days fall back to tabular
+    # arithmetic; Nyepi/Waisak (gazette-only) are absent
+    id33 = dict((n, d) for d, n in vendored_holidays("ID", [2033]))
+    assert "hari_suci_nyepi" not in id33
+    assert "tahun_baru_islam" in id33
