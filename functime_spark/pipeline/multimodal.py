@@ -2,11 +2,25 @@
 
 Image/audio/video travel as `binary` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-`mapInPandas` operators. The decode step itself is STUBBED (the
-container has no image/audio codecs): `decoder="fake"` produces a
-deterministic hash-seeded feature vector so the Spark-side plumbing —
-schema, batching, partitioning — is real and testable; `decoder="pil"`
-etc. raise NotImplementedError until the codec is installed.
+`mapInPandas` operators.
+
+The decode step is a PLUGGABLE SEAM (r7): ``decoder=`` accepts
+
+- ``"fake"`` — deterministic hash-seeded feature vector (no codec;
+  SQL-replayable, the correctness gate's path);
+- a registered name — ``"ppm"`` (pure-Python P6/P5 Netpbm parser) and
+  ``"wav"`` (stdlib ``wave``) ship in-container as REAL codecs;
+  ``register_decoder(name, fn)`` adds more (e.g. a PIL/torchaudio
+  wrapper on a cluster that has them);
+- a callable — the contract is ``fn(payload: bytes) -> dict`` with a
+  required ``"array"`` key holding a numeric ``np.ndarray`` (pixels,
+  samples, frames — any shape) plus optional metadata keys.
+
+``extract_features_media`` pools the decoded array into a fixed
+``dim``-length vector (mean over ``dim`` contiguous buckets of the
+flattened array — deterministic, replayable in numpy). Codec names
+that need absent libraries still raise ``NotImplementedError`` naming
+the seam.
 """
 
 from __future__ import annotations
@@ -67,27 +81,127 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     return out
 
 
+def decode_ppm(payload: bytes) -> dict:
+    """Pure-Python Netpbm decoder (P6 binary RGB / P5 binary gray) —
+    a REAL in-container codec proving the seam against an actual
+    format. Returns {"array": HxWx3|HxW uint8, "width", "height",
+    "mode"}. Comments (#...) in the header are honored."""
+    if not payload or payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload (expected P6/P5 magic)")
+    magic = payload[:2].decode()
+    # header tokenizer: whitespace-separated ints, # starts a comment
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit Netpbm not supported by the vendored decoder")
+    ch = 3 if magic == "P6" else 1
+    raw = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=pos)
+    arr = raw.reshape((h, w, 3)) if ch == 3 else raw.reshape((h, w))
+    return {
+        "array": arr,
+        "width": w,
+        "height": h,
+        "mode": "rgb" if ch == 3 else "gray",
+    }
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Stdlib-`wave` PCM decoder — the audio half of the real-codec
+    proof. Returns {"array": int16/uint8 samples (interleaved),
+    "rate", "channels", "sample_width"}."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as wf:
+        n, sw = wf.getnframes(), wf.getsampwidth()
+        frames = wf.readframes(n)
+        dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(sw)
+        if dtype is None:
+            raise ValueError(f"unsupported WAV sample width {sw}")
+        return {
+            "array": np.frombuffer(frames, dtype=dtype),
+            "rate": wf.getframerate(),
+            "channels": wf.getnchannels(),
+            "sample_width": sw,
+        }
+
+
+#: name -> fn(payload: bytes) -> {"array": np.ndarray, ...}
+_DECODERS: dict = {"ppm": decode_ppm, "wav": decode_wav}
+
+
+def register_decoder(name: str, fn) -> None:
+    """Register a codec under `name` for extract_features_media's
+    decoder= parameter. Contract: fn(payload: bytes) -> dict with a
+    numeric np.ndarray under "array" (any shape) + optional metadata."""
+    if not callable(fn):
+        raise TypeError("decoder must be callable: bytes -> dict")
+    _DECODERS[name] = fn
+
+
+def pool_features(arr: np.ndarray, dim: int) -> np.ndarray:
+    """Deterministic fixed-length pooling of a decoded array: mean of
+    each of `dim` contiguous buckets of the flattened float64 values
+    (empty buckets -> 0.0), float32 out — replayable in plain numpy."""
+    x = np.asarray(arr, dtype="float64").ravel()
+    out = np.zeros(dim, dtype="float32")
+    for j, b in enumerate(np.array_split(x, dim)):
+        if len(b):
+            out[j] = np.float32(b.mean())
+    return out
+
+
+def _resolve_decoder(decoder):
+    """decoder= -> fn(payload) -> dict, or None for the 'fake' stub."""
+    if decoder == "fake":
+        return None
+    if callable(decoder):
+        return decoder
+    fn = _DECODERS.get(decoder)
+    if fn is None:
+        raise NotImplementedError(
+            f"decoder '{decoder}' is not registered and its codec library "
+            "is not in this image; register_decoder(name, fn) plugs in any "
+            "bytes -> dict callable (in-container real codecs: "
+            f"{sorted(_DECODERS)}), or use decoder='fake' for plumbing tests"
+        )
+    return fn
+
+
 def extract_features_media(
-    media: DataFrame, dim: int = 64, decoder: str = "fake"
+    media: DataFrame, dim: int = 64, decoder="fake"
 ) -> DataFrame:
     """(media_id, kind, feature array<float>) via mapInPandas.
 
-    decoder='fake' → deterministic hash features (real plumbing, stub
-    math); any other decoder name raises until its codec library is
-    available in the image."""
-    if decoder != "fake":
-        raise NotImplementedError(
-            f"decoder '{decoder}' needs its codec library (not in this image); "
-            "use decoder='fake' for plumbing tests"
-        )
+    decoder='fake' → deterministic hash features (stub math,
+    SQL-replayable); a registered name ('ppm', 'wav', ...) or a
+    callable (bytes -> {"array": ndarray, ...}) → REAL decode, with
+    the array pooled to `dim` floats by pool_features."""
+    fn = _resolve_decoder(decoder)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            feats = [
-                _fake_decode(p, dim).tolist() for p in pdf["payload"]
-            ]
+            if fn is None:
+                feats = [_fake_decode(p, dim).tolist() for p in pdf["payload"]]
+            else:
+                feats = [
+                    pool_features(fn(bytes(p))["array"], dim).tolist()
+                    for p in pdf["payload"]
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -118,11 +232,36 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+def resize_ppm(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize of a P6/P5 Netpbm payload,
+    re-encoded in the same format — the in-container proof that the
+    resize seam carries an actual codec round-trip."""
+    d = decode_ppm(payload)
+    arr, w, h = d["array"], d["width"], d["height"]
+    rows = np.minimum((np.arange(height) * h) // height, h - 1)
+    cols = np.minimum((np.arange(width) * w) // width, w - 1)
+    resized = arr[rows][:, cols]
+    magic = b"P6" if d["mode"] == "rgb" else b"P5"
+    return magic + f"\n{width} {height}\n255\n".encode() + resized.tobytes()
+
+
+#: name -> fn(payload, width, height) -> resized payload bytes
+_RESIZERS: dict = {"ppm": resize_ppm}
+
+
+def register_resizer(name: str, fn) -> None:
+    """Register a resize codec for resize_media's decoder= parameter.
+    Contract: fn(payload: bytes, width: int, height: int) -> bytes."""
+    if not callable(fn):
+        raise TypeError("resizer must be callable: (bytes, w, h) -> bytes")
+    _RESIZERS[name] = fn
+
+
 def resize_media(
     media: DataFrame,
     width: int,
     height: int,
-    decoder: str = "fake",
+    decoder="fake",
 ) -> DataFrame:
     """Resize plumbing: (media_id, kind, payload, meta) -> same schema
     with the payload re-encoded at width x height and the meta JSON
@@ -132,27 +271,40 @@ def resize_media(
     decoder='fake': the resized payload is the deterministic 32-byte
     sha256(hex(sha256(payload)) + "-{w}x{h}") digest — byte-exactly
     replayable in any engine with sha256, so the gate value-checks the
-    full batch path; any other decoder raises until its codec library
-    is present in the image."""
-    if decoder != "fake":
-        raise NotImplementedError(
-            f"decoder '{decoder}' needs its codec library (not in this image); "
-            "use decoder='fake' for plumbing tests"
-        )
+    full batch path. A registered name ('ppm') or a callable
+    (payload, width, height) -> bytes performs a REAL resize;
+    unregistered codec names raise, naming register_resizer."""
+    if decoder == "fake":
+        fn = None
+    elif callable(decoder):
+        fn = decoder
+    else:
+        fn = _RESIZERS.get(decoder)
+        if fn is None:
+            raise NotImplementedError(
+                f"resizer '{decoder}' is not registered and its codec "
+                "library is not in this image; register_resizer(name, fn) "
+                "plugs in any (bytes, w, h) -> bytes callable "
+                f"(in-container real codecs: {sorted(_RESIZERS)}), or use "
+                "decoder='fake' for plumbing tests"
+            )
     tag = f"-{width}x{height}"
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            out = [
-                hashlib.sha256(
-                    (
-                        hashlib.sha256(p or b"").hexdigest() + tag
-                    ).encode()
-                ).digest()
-                for p in pdf["payload"]
-            ]
+            if fn is None:
+                out = [
+                    hashlib.sha256(
+                        (
+                            hashlib.sha256(p or b"").hexdigest() + tag
+                        ).encode()
+                    ).digest()
+                    for p in pdf["payload"]
+                ]
+            else:
+                out = [fn(bytes(p), width, height) for p in pdf["payload"]]
             meta = [
                 f'{{"width":{width},"height":{height}}}' for _ in range(len(pdf))
             ]
