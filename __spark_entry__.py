@@ -3025,74 +3025,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if name in _SKIP_FEATURES:
             continue
         q[f"feat_{name}"] = _feature_query(name)
-    # Round-6 window rotation: the driver's correctness gate truncates
-    # at ~50 queries; the union of the r1-r5 windows covers ALL 216
-    # queries, so from r6 on the discipline is (a) front everything
-    # whose implementation or oracle CHANGED this round — the binned
-    # boosted_trees_d2 induction + oracle, feat_udf_scalar's new
-    # composite value oracle (rows-only -> value-hashed), the SA Hijri
-    # extension of future_holidays, the attach_future_x on_short
-    # rework (exog/backtest/conformal family), the _suff_stats na.drop
-    # fix (linear-fit family), the materialize() Connect seam (every
-    # localCheckpoint consumer), the GBT native-param translation, and
-    # the dedup_lines_within separator escape — then (b) re-cycle
-    # previously-green queries OLDEST-VERIFICATION-FIRST (computed
-    # from the CORRECTNESS_r0*.json union; the r1-only cohort goes
-    # first) so every query keeps getting periodic external re-checks.
+    # Round-7 window rotation: the driver's correctness gate truncates
+    # at ~50 queries; the r1-r6 window union covers ALL gate queries
+    # (every one value-hashed), so the standing discipline is
+    # (a) front everything whose implementation or oracle CHANGED this
+    # round -- the fused/bounded boosted_stumps split search (gate
+    # pins the exact mode its oracle replays), the ID extension of
+    # future_holidays, the knn scale-wall guard (whole knn family),
+    # the pluggable media decoder seam, and the GBT param translation
+    # + exog direct-predict materialize (forecast_gbt; conformal rides
+    # the materialize seam) -- then (b) re-cycle previously-green
+    # queries OLDEST-VERIFICATION-FIRST from the CORRECTNESS_r0*.json
+    # union: the remaining r1-verified feat_* tail (26 queries), then
+    # the front of the r2 cohort.
     never_verified_first = [
-        # (a) implementation or oracle changed in round 6
-        "forecast_trees_d2",
-        "forecast_trees_d2_exog",
-        "feat_udf_scalar",
+        # (a) implementation or oracle changed in round 7
+        "forecast_stumps",
         "future_holidays",
-        "dedup_lines_within",
-        "forecast_lasso_cd",
-        "forecast_ridge_ar2",
-        "forecast_linear_exog",
+        "forecast_knn",
+        "forecast_knn_direct",
         "forecast_knn_exog",
-        "forecast_backtest_naive",
-        "forecast_conformal",
-        "forecast_conformal_linear",
-        "conformal_enbpi",
+        "media_features",
+        "media_resize",
         "forecast_gbt",
-        "forecast_elite",
-        "dedup_minhash",
-        "dedup_cluster",
-        "dedup_semantic",
-        "dedup_ngram_jaccard",
-        "corpus_dsir",
-        "corpus_pack_shards",
-        "corpus_clean_attrition",
-        "text_lm_score",
-        "text_quality_tiers",
-        "embedding_pca",
-        "stratified_sample",
-        # (b) window slack: oldest external verification first (all
-        # last seen by the driver in round 1)
-        "feat_absolute_energy",
-        "feat_absolute_maximum",
-        "feat_absolute_sum_of_changes",
-        "feat_autocorrelation",
-        "feat_benford_correlation",
-        "feat_binned_entropy",
-        "feat_c3",
-        "feat_change_quantiles",
-        "feat_cid_ce",
-        "feat_count_above",
-        "feat_count_above_mean",
-        "feat_count_below",
-        "feat_count_below_mean",
-        "feat_energy_ratios",
-        "feat_first_location_of_maximum",
-        "feat_first_location_of_minimum",
-        "feat_harmonic_mean",
-        "feat_has_duplicate",
-        "feat_has_duplicate_max",
-        "feat_has_duplicate_min",
-        "feat_index_mass_quantile",
-        "feat_large_standard_deviation",
-        "feat_last_location_of_maximum",
-        "feat_last_location_of_minimum",
+        "forecast_conformal",
+        # (b) window slack: oldest external verification first --
+        # the rest of the r1 cohort...
+        "feat_linear_trend",
+        "feat_longest_streak_above",
+        "feat_longest_streak_above_mean",
+        "feat_longest_streak_below_mean",
+        "feat_max_abs_change",
+        "feat_mean_abs_change",
+        "feat_mean_change",
+        "feat_mean_n_absolute_max",
+        "feat_mean_second_derivative_central",
+        "feat_number_crossings",
+        "feat_number_peaks",
+        "feat_percent_reoccurring_points",
+        "feat_percent_reoccurring_values",
+        "feat_permutation_entropy",
+        "feat_range_change",
+        "feat_range_count",
+        "feat_range_over_mean",
+        "feat_ratio_beyond_r_sigma",
+        "feat_ratio_n_unique_to_length",
+        "feat_root_mean_square",
+        "feat_sum_reoccurring_points",
+        "feat_sum_reoccurring_values",
+        "feat_symmetry_looking",
+        "feat_time_reversal_asymmetry_statistic",
+        "feat_var_gt_std",
+        "feat_variation_coefficient",
+        # ...then the front of the r2 cohort
+        "ann_cosine_topk",
+        "ann_ivf_topk",
+        "calendar_effects",
+        "cv_expanding_window",
+        "cv_sliding_window",
+        "cv_train_test_split",
+        "dedup_embedding",
+        "dedup_simhash",
+        "feat_udf_adf",
+        "feat_udf_ar2",
+        "feat_udf_entropy_pair",
+        "feat_udf_fft",
+        "feat_udf_welch",
+        "fourier_terms",
+        "future_calendar",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}
