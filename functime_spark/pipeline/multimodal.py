@@ -138,8 +138,123 @@ def decode_wav(payload: bytes) -> dict:
         }
 
 
+def decode_png(payload: bytes) -> dict:
+    """Pure-Python PNG decoder (stdlib zlib + per-scanline unfilter) —
+    8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+    6 (RGBA), non-interlaced: the shapes ML pipelines actually emit.
+    Returns {"array": HxW[xC] uint8, "width", "height", "mode"}."""
+    import struct
+    import zlib
+
+    if not payload or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[
+            pos + 4 : pos + 8
+        ]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunks")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or interlace != 0:
+        raise ValueError(
+            "vendored PNG decoder supports 8-bit non-interlaced only"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color} (palette?)")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:
+            # Sub/Average/Paeth need the in-progress scanline: per-pixel
+            # left dependency, walked channel-group-wise
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - channels] if i >= channels else 0  # left
+                b = int(prev[i])  # up
+                if ftype == 1:  # Sub
+                    cur[i] = (line[i] + a) & 0xFF
+                elif ftype == 3:  # Average
+                    cur[i] = (line[i] + ((a + b) >> 1)) & 0xFF
+                elif ftype == 4:  # Paeth
+                    c = int(prev[i - channels]) if i >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (line[i] + pred) & 0xFF
+                else:
+                    raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = out[y]
+    arr = out if channels == 1 else out.reshape(h, w, channels)
+    mode = {1: "gray", 2: "gray+a", 3: "rgb", 4: "rgba"}[channels]
+    return {"array": arr, "width": w, "height": h, "mode": mode}
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Pure-Python BMP decoder (uncompressed 24/32-bit BI_RGB, the
+    dominant dump format). Rows are bottom-up and 4-byte padded; output
+    is HxWx3 uint8 RGB (alpha dropped for 32-bit).
+    Returns {"array", "width", "height", "mode"}."""
+    import struct
+
+    if not payload or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (bad magic)")
+    data_offset = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError("BMP core-header variant not supported")
+    w, h = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(
+            f"vendored BMP decoder supports uncompressed 24/32-bit only "
+            f"(got bpp={bpp}, compression={compression})"
+        )
+    flipped = h > 0
+    h = abs(h)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=data_offset
+    ).reshape(h, stride)
+    px = rows[:, : w * nch].reshape(h, w, nch)
+    if flipped:
+        px = px[::-1]
+    # BGR(A) -> RGB
+    arr = np.ascontiguousarray(px[:, :, [2, 1, 0]])
+    return {"array": arr, "width": w, "height": h, "mode": "rgb"}
+
+
 #: name -> fn(payload: bytes) -> {"array": np.ndarray, ...}
-_DECODERS: dict = {"ppm": decode_ppm, "wav": decode_wav}
+_DECODERS: dict = {
+    "ppm": decode_ppm,
+    "wav": decode_wav,
+    "png": decode_png,
+    "bmp": decode_bmp,
+}
 
 
 def register_decoder(name: str, fn) -> None:

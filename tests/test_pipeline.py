@@ -2920,3 +2920,113 @@ def test_media_real_codecs_end_to_end(spark):
 
     # WAV header magic survived the Spark binary column round-trip
     assert bytes(media.filter("media_id = 2").first()["payload"])[:4] == b"RIFF"
+
+
+def test_media_png_bmp_decoders(spark):
+    """The stdlib-only PNG (zlib inflate + all five scanline filters)
+    and BMP (bottom-up padded BGR) decoders reproduce known pixels
+    exactly and run end-to-end through extract_features_media."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from functime_spark.pipeline.multimodal import (
+        decode_bmp,
+        decode_png,
+        extract_features_media,
+        pool_features,
+    )
+
+    rng = np.random.default_rng(17)
+    h, w, ch = 5, 4, 3
+    px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+
+    # --- encode a PNG exercising one of EACH filter type per row ---
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    stride = w * ch
+    flat = px.reshape(h, stride).astype(np.int32)
+    raw = b""
+    prev = np.zeros(stride, dtype=np.int32)
+    for y, f in zip(range(h), (0, 1, 2, 3, 4)):  # None/Sub/Up/Avg/Paeth
+        s = flat[y]
+        enc = np.zeros(stride, dtype=np.int32)
+        for i in range(stride):
+            a = s[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[i] = (s[i] - pred) & 0xFF
+        raw += bytes([f]) + bytes(enc.astype(np.uint8))
+        prev = s
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    d = decode_png(png)
+    assert d["width"] == w and d["height"] == h and d["mode"] == "rgb"
+    np.testing.assert_array_equal(d["array"], px)
+
+    # --- encode a bottom-up 24-bit BMP with 4-byte row padding ---
+    pad = (4 - (w * 3) % 4) % 4
+    body = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = px[y][:, [2, 1, 0]].tobytes()  # RGB -> BGR
+        body += row + b"\x00" * pad
+    offset = 14 + 40
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", offset + len(body), 0, 0, offset)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+        + body
+    )
+    db = decode_bmp(bmp)
+    assert db["width"] == w and db["height"] == h
+    np.testing.assert_array_equal(db["array"], px)
+
+    # --- end-to-end through the Arrow batch path ---
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png), "{}"), (2, "image", bytearray(bmp), "{}")],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    feats = {
+        r["media_id"]: r["feature"]
+        for r in extract_features_media(
+            media.filter("media_id = 1"), dim=5, decoder="png"
+        ).collect()
+    }
+    np.testing.assert_allclose(feats[1], pool_features(px, 5), rtol=0, atol=0)
+    featsb = {
+        r["media_id"]: r["feature"]
+        for r in extract_features_media(
+            media.filter("media_id = 2"), dim=5, decoder="bmp"
+        ).collect()
+    }
+    np.testing.assert_allclose(featsb[2], pool_features(px, 5), rtol=0, atol=0)
+
+    # malformed payloads fail loudly, not silently
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png")
+    with pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"nope")
