@@ -850,7 +850,7 @@ def q_future_calendar(spark, sf_dir):
 
 def q_future_holidays(spark, sf_dir):
     """US + DE + GB + CA + NL + BR + MX + NO + PT + JP + GR + ZA + SA
-    + ID holiday columns over a 400-day future index (ref calendar.py:56-152)
+    + ID + EG holiday columns over a 400-day future index (ref calendar.py:56-152)
     from the vendored calendars — the span covers every fixed,
     nth-weekday, Monday-on-or-before, Sunday-shift (Koningsdag),
     sexennial (MX transmision), Gregorian Easter-computus, ORTHODOX
@@ -859,7 +859,8 @@ def q_future_holidays(spark, sf_dir):
     the 0.242194 deg/yr approximation) and HIJRI tabular-calendar (SA
     Eids: civil arithmetic + gazetted Umm al-Qura overrides; ID: the
     two-day Idul Fitri + 4 more Hijri days with SKB-decree overrides,
-    plus vendored Nyepi/Waisak/Imlek tables) rule, each replayed
+    plus vendored Nyepi/Waisak/Imlek tables; EG: statutory multi-day Eids
+    + Arafat + Sham El Nessim off the Julian computus) rule, each replayed
     independently in the DuckDB oracle."""
     _ensure_nanos_conf(spark)
     from functime_spark.operators.seasonality import make_future_holiday_effects
@@ -868,7 +869,7 @@ def q_future_holidays(spark, sf_dir):
     out = make_future_holiday_effects(
         df,
         ["US", "DE", "GB", "CA", "NL", "BR", "MX", "NO", "PT", "JP", "GR",
-         "ZA", "SA", "ID"],
+         "ZA", "SA", "ID", "EG"],
         fh=400, freq="1d",
     )
     return out.orderBy("user_id", "ts")

@@ -925,6 +925,45 @@ def _id(year: int) -> list:
     return e
 
 
+def _eg(year: int) -> list:
+    """Egypt: fixed national days, Coptic Christmas + Sham El Nessim
+    off the Orthodox (Julian-computus) Easter, and the Hijri set —
+    Eid al-Fitr spans Shawwal 1-3 and Eid al-Adha Arafat day +
+    Dhu al-Hijjah 10-12, Egypt's statutory spans. Dar al-Ifta's
+    announced dates tracked the Umm al-Qura gazetted dates across the
+    override span, so the anchors reuse the SA override tables
+    (documented approximation outside it; the `holidays` package takes
+    precedence when importable)."""
+    e = [
+        (_dt.date(year, 1, 7), "coptic_christmas"),
+        (_dt.date(year, 4, 25), "sinai_liberation_day"),
+        (_dt.date(year, 5, 1), "labour_day"),
+        (_dt.date(year, 7, 23), "july_23_revolution_day"),
+        (_dt.date(year, 10, 6), "armed_forces_day"),
+    ]
+    if year >= 2012:
+        e.append((_dt.date(year, 1, 25), "january_25_revolution_day"))
+    if year >= 2014:
+        e.append((_dt.date(year, 6, 30), "june_30_revolution_day"))
+    oe = _orthodox_easter(year)
+    e.append((oe + _dt.timedelta(days=1), "sham_el_nessim"))
+    for anchor in _hijri_dates(year, 10, 1, _SA_EID_FITR):
+        for i in range(3):
+            e.append(
+                (anchor + _dt.timedelta(days=i), f"eid_al_fitr_day_{i + 1}")
+            )
+    for anchor in _hijri_dates(year, 12, 10, _SA_EID_ADHA):
+        e.append((anchor - _dt.timedelta(days=1), "arafat_day"))
+        for i in range(3):
+            e.append(
+                (anchor + _dt.timedelta(days=i), f"eid_al_adha_day_{i + 1}")
+            )
+    for hm, hd, name in ((1, 1, "islamic_new_year"), (3, 12, "prophets_birthday")):
+        for d in _hijri_dates(year, hm, hd, {}):
+            e.append((d, name))
+    return e
+
+
 _COUNTRIES.update(
     {
         "IE": _ie,
@@ -938,6 +977,7 @@ _COUNTRIES.update(
         "SA": _sa,
         "TR": _tr,
         "ID": _id,
+        "EG": _eg,
     }
 )
 

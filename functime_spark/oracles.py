@@ -1956,6 +1956,54 @@ def operator_oracles() -> dict:
         "ON year(t.tab) = ov.gy AND t.nm = ov.onm "
         "WHERE year(t.tab) = t.y"
     )
+    # EG: fixed + guarded national days, Sham El Nessim = Orthodox
+    # Easter + 1 (same Julian-computus CTE as GR), and the statutory
+    # multi-day Hijri spans off the SA-anchored tabular calendar
+    # (Dar al-Ifta tracked Umm al-Qura across the override span).
+    _eg_hijri_anchor = (
+        "SELECT y, nm, DATE '0622-07-19' + to_days(CAST((hy-1)*354 "
+        "+ (11*hy+3)//30 + 29*(hm-1) + hm//2 + hd - 1 AS INT)) AS tab FROM ("
+        "SELECT y, CAST(FLOOR((y - 622) * 1.0306) AS INT) + k AS hy FROM yrs, "
+        "(VALUES (0),(1),(2)) ks(k)) h, "
+        "(VALUES {hol}) hol(hm,hd,nm)"
+    )
+    _eg_rules = (
+        "SELECT make_date(y,1,7) AS d, 'coptic_christmas' AS nm FROM yrs "
+        "UNION ALL SELECT make_date(y,4,25), 'sinai_liberation_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,5,1), 'labour_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,7,23), 'july_23_revolution_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,10,6), 'armed_forces_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,1,25), 'january_25_revolution_day' "
+        "FROM yrs WHERE y >= 2012 "
+        "UNION ALL SELECT make_date(y,6,30), 'june_30_revolution_day' "
+        "FROM yrs WHERE y >= 2014 "
+        "UNION ALL SELECT oe + to_days(1), 'sham_el_nessim' FROM oeaster "
+        # multi-day Eids: day offsets off the COALESCE(override, tabular)
+        # anchors (Fitr Shawwal 1 + 0..2, Arafat = Adha-1, Adha + 0..2)
+        "UNION ALL SELECT COALESCE(ov.od, t.tab) + to_days(os.o), "
+        "'eid_al_fitr_day_' || CAST(os.o + 1 AS VARCHAR) FROM ("
+        + _eg_hijri_anchor.format(hol="(10,1,'eid_al_fitr')")
+        + ") t LEFT JOIN (VALUES {sa_ov}) ov(gy, onm, od) "
+        "ON year(t.tab) = ov.gy AND 'eid_al_fitr' = ov.onm "
+        ", (VALUES (0),(1),(2)) os(o) WHERE year(t.tab) = t.y "
+        "UNION ALL SELECT COALESCE(ov.od, t.tab) - to_days(1), 'arafat_day' "
+        "FROM ("
+        + _eg_hijri_anchor.format(hol="(12,10,'eid_al_adha')")
+        + ") t LEFT JOIN (VALUES {sa_ov}) ov(gy, onm, od) "
+        "ON year(t.tab) = ov.gy AND 'eid_al_adha' = ov.onm "
+        "WHERE year(t.tab) = t.y "
+        "UNION ALL SELECT COALESCE(ov.od, t.tab) + to_days(os.o), "
+        "'eid_al_adha_day_' || CAST(os.o + 1 AS VARCHAR) FROM ("
+        + _eg_hijri_anchor.format(hol="(12,10,'eid_al_adha')")
+        + ") t LEFT JOIN (VALUES {sa_ov}) ov(gy, onm, od) "
+        "ON year(t.tab) = ov.gy AND 'eid_al_adha' = ov.onm "
+        ", (VALUES (0),(1),(2)) os(o) WHERE year(t.tab) = t.y "
+        "UNION ALL SELECT t.tab, t.nm FROM ("
+        + _eg_hijri_anchor.format(
+            hol="(1,1,'islamic_new_year'),(3,12,'prophets_birthday')"
+        )
+        + ") t WHERE year(t.tab) = t.y"
+    ).replace("{sa_ov}", _sa_ov)
     o["future_holidays"] = (
         "WITH c AS (SELECT user_id, MAX(ts) AS low FROM events GROUP BY user_id), "
         "fut AS (SELECT c.user_id, c.low + i * INTERVAL '1 day' AS ts "
@@ -1973,7 +2021,7 @@ def operator_oracles() -> dict:
                 ("ca", _ca_rules), ("nl", _nl_rules), ("br", _br_rules),
                 ("mx", _mx_rules), ("no_", _no_rules), ("pt", _pt_rules),
                 ("jp", _jp_rules), ("gr", _gr_rules), ("za", _za_rules),
-                ("sa", _sa_rules), ("id_", _id_rules),
+                ("sa", _sa_rules), ("id_", _id_rules), ("eg", _eg_rules),
             ]
         )
         + " "
@@ -1982,7 +2030,7 @@ def operator_oracles() -> dict:
         "br.nm AS holiday__br, mx.nm AS holiday__mx, "
         "no_.nm AS holiday__no, pt.nm AS holiday__pt, jp.nm AS holiday__jp, "
         "gr.nm AS holiday__gr, za.nm AS holiday__za, sa.nm AS holiday__sa, "
-        "id_.nm AS holiday__id "
+        "id_.nm AS holiday__id, eg.nm AS holiday__eg "
         "FROM fut f LEFT JOIN us ON CAST(f.ts AS DATE) = us.d "
         "LEFT JOIN de ON CAST(f.ts AS DATE) = de.d "
         "LEFT JOIN gb ON CAST(f.ts AS DATE) = gb.d "
@@ -1997,6 +2045,7 @@ def operator_oracles() -> dict:
         "LEFT JOIN za ON CAST(f.ts AS DATE) = za.d "
         "LEFT JOIN sa ON CAST(f.ts AS DATE) = sa.d "
         "LEFT JOIN id_ ON CAST(f.ts AS DATE) = id_.d "
+        "LEFT JOIN eg ON CAST(f.ts AS DATE) = eg.d "
         "ORDER BY user_id, ts"
     )
 

@@ -377,3 +377,33 @@ def test_vendored_indonesia():
     id33 = dict((n, d) for d, n in vendored_holidays("ID", [2033]))
     assert "hari_suci_nyepi" not in id33
     assert "tahun_baru_islam" in id33
+
+
+def test_vendored_egypt():
+    """EG on the shared machinery: Coptic Christmas + Sham El Nessim
+    off the Julian computus, the statutory multi-day Eids + Arafat day
+    off the Hijri anchors, and the year-guarded revolution days."""
+    import datetime as dt
+
+    from functime_spark.operators.holidays_vendored import vendored_holidays
+
+    eg24 = dict((n, d) for d, n in vendored_holidays("EG", [2024]))
+    assert eg24["coptic_christmas"] == dt.date(2024, 1, 7)
+    # Orthodox Easter 2024 = May 5 -> Sham El Nessim May 6
+    assert eg24["sham_el_nessim"] == dt.date(2024, 5, 6)
+    assert eg24["eid_al_fitr_day_1"] == dt.date(2024, 4, 10)
+    assert eg24["eid_al_fitr_day_3"] == dt.date(2024, 4, 12)
+    assert eg24["arafat_day"] == dt.date(2024, 6, 15)
+    assert eg24["eid_al_adha_day_1"] == dt.date(2024, 6, 16)
+    assert eg24["eid_al_adha_day_3"] == dt.date(2024, 6, 18)
+    assert eg24["january_25_revolution_day"] == dt.date(2024, 1, 25)
+    assert eg24["june_30_revolution_day"] == dt.date(2024, 6, 30)
+
+    eg23 = dict((n, d) for d, n in vendored_holidays("EG", [2023]))
+    assert eg23["eid_al_fitr_day_1"] == dt.date(2023, 4, 21)
+    assert eg23["sham_el_nessim"] == dt.date(2023, 4, 17)  # O-Easter Apr 16
+
+    # year guards
+    eg11 = dict((n, d) for d, n in vendored_holidays("EG", [2011]))
+    assert "january_25_revolution_day" not in eg11
+    assert "june_30_revolution_day" not in eg11
