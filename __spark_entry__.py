@@ -849,19 +849,21 @@ def q_future_calendar(spark, sf_dir):
 
 
 def q_future_holidays(spark, sf_dir):
-    """US + DE + GB + CA + NL + BR + MX + NO + PT + JP + GR + ZA + SA
-    + ID + EG holiday columns over a 400-day future index (ref calendar.py:56-152)
-    from the vendored calendars — the span covers every fixed,
-    nth-weekday, Monday-on-or-before, Sunday-shift (Koningsdag),
-    sexennial (MX transmision), Gregorian Easter-computus, ORTHODOX
-    Easter-computus (GR, Julian Meeus + 13 days), statutory
-    Sunday-observance (ZA), astronomical-equinox (JP shunbun/shubun,
-    the 0.242194 deg/yr approximation) and HIJRI tabular-calendar (SA
-    Eids: civil arithmetic + gazetted Umm al-Qura overrides; ID: the
-    two-day Idul Fitri + 4 more Hijri days with SKB-decree overrides,
-    plus vendored Nyepi/Waisak/Imlek tables; EG: statutory multi-day Eids
-    + Arafat + Sham El Nessim off the Julian computus) rule, each replayed
-    independently in the DuckDB oracle."""
+    """21 vendored calendars over a 400-day future index (ref
+    calendar.py:56-152) — the span covers every fixed, nth-weekday,
+    Monday-on-or-before, Sunday-shift (Koningsdag), sexennial (MX
+    transmision), Gregorian Easter-computus, ORTHODOX Easter-computus
+    (GR, Julian Meeus + 13 days), statutory Sunday-observance (ZA),
+    astronomical-equinox (JP shunbun/shubun) and HIJRI tabular-calendar
+    (SA Eids with gazetted Umm al-Qura overrides; ID SKB-decree
+    overrides + vendored Nyepi/Waisak/Imlek; EG statutory multi-day
+    Eids + Sham El Nessim off the Julian computus) rule — plus, round
+    7, the CHINESE LUNISOLAR arithmetic (CN/KR/VN/TW/HK: compressed
+    month-length table, cumulative year/month sums, leap-month
+    insertion, Qingming solar term) and the HEBREW molad+dechiyot
+    arithmetic (IL: variable Cheshvan/Kislev, leap Adar I,
+    independence-day weekday shifts), each replayed independently in
+    the DuckDB oracle down to the same integer arithmetic."""
     _ensure_nanos_conf(spark)
     from functime_spark.operators.seasonality import make_future_holiday_effects
 
@@ -869,7 +871,7 @@ def q_future_holidays(spark, sf_dir):
     out = make_future_holiday_effects(
         df,
         ["US", "DE", "GB", "CA", "NL", "BR", "MX", "NO", "PT", "JP", "GR",
-         "ZA", "SA", "ID", "EG"],
+         "ZA", "SA", "ID", "EG", "CN", "KR", "VN", "TW", "HK", "IL"],
         fh=400, freq="1d",
     )
     return out.orderBy("user_id", "ts")

@@ -366,8 +366,9 @@ def _qingming(year: int) -> _dt.date:
 def _cn(year: int) -> list:
     """China statutory public holidays (first day of each; the
     multi-day golden-week extensions and weekend make-up days are
-    scheduling, not holidays). Lunar dates from the vendored table;
-    Dragon Boat (lunar 5/5) is not modeled."""
+    scheduling, not holidays). Lunar dates from the vendored
+    lunisolar calendar (1900-2049; the published `_LUNAR_NEW_YEAR` /
+    `_MID_AUTUMN` tables below pin the arithmetic in tests)."""
     e = [
         (_dt.date(year, 1, 1), "new_years_day"),
         (_dt.date(year, 5, 1), "labour_day"),
@@ -375,18 +376,21 @@ def _cn(year: int) -> list:
     ]
     if 2000 <= year <= 2099:
         e.append((_qingming(year), "qingming_festival"))
-    if year in _LUNAR_NEW_YEAR:
-        m, d = _LUNAR_NEW_YEAR[year]
-        e.append((_dt.date(year, m, d), "spring_festival"))
-    if year in _MID_AUTUMN:
-        m, d = _MID_AUTUMN[year]
-        e.append((_dt.date(year, m, d), "mid_autumn_festival"))
+    for lm, ld, name in (
+        (1, 1, "spring_festival"),
+        (5, 5, "dragon_boat_festival"),
+        (8, 15, "mid_autumn_festival"),
+    ):
+        d = _lunar_date(year, lm, ld)
+        if d is not None:
+            e.append((d, name))
     return e
 
 
 def _kr(year: int) -> list:
     """South Korea public holidays (main day of each; substitute
-    holidays and Buddha's Birthday (lunar 4/8) are not modeled)."""
+    holidays are not modeled). Seollal / Buddha's Birthday (lunar
+    4/8) / Chuseok from the vendored lunisolar calendar."""
     e = [
         (_dt.date(year, 1, 1), "new_years_day"),
         (_dt.date(year, 3, 1), "independence_movement_day"),
@@ -397,12 +401,14 @@ def _kr(year: int) -> list:
         (_dt.date(year, 10, 9), "hangul_day"),
         (_dt.date(year, 12, 25), "christmas_day"),
     ]
-    if year in _LUNAR_NEW_YEAR:
-        m, d = _LUNAR_NEW_YEAR[year]
-        e.append((_dt.date(year, m, d), "seollal"))
-    if year in _MID_AUTUMN:
-        m, d = _MID_AUTUMN[year]
-        e.append((_dt.date(year, m, d), "chuseok"))
+    for lm, ld, name in (
+        (1, 1, "seollal"),
+        (4, 8, "buddhas_birthday"),
+        (8, 15, "chuseok"),
+    ):
+        d = _lunar_date(year, lm, ld)
+        if d is not None:
+            e.append((d, name))
     return e
 
 
@@ -1009,3 +1015,314 @@ def _nz_with_matariki(year: int) -> list:
 
 
 _COUNTRIES["NZ"] = _nz_with_matariki
+
+
+# --- Chinese lunisolar calendar (vendored arithmetic) ---------------
+# The standard compressed month-length table: one 17-bit value per
+# lunar year 1900..2049 — bit (16-m) set means lunar month m has 30
+# days (else 29); the low nibble is the leap-month number (0 = none);
+# bit 16 gives the leap month's own length (1 = 30 days). Lunar
+# 1900-01-01 = Gregorian 1900-01-31. This widely published table is
+# the same public encoding the `lunarcalendar`/`zhdate`-family
+# packages vendor; it is pinned in tests against 39 published
+# anchors (every Lunar-New-Year and Mid-Autumn date 2015-2030 from
+# the tables above, historical new years 1900/1950/1968/1984/1997/
+# 2000/2008, Dragon Boat 2023-2025 and Buddha's Birthday 2024-2025).
+# Because new-year dates are CUMULATIVE sums of year lengths, the
+# spread anchors pin every year length in 1900-2030, not just the
+# anchor years.
+_LUNAR_INFO = [
+    0x04BD8, 0x04AE0, 0x0A570, 0x054D5, 0x0D260, 0x0D950, 0x16554, 0x056A0,
+    0x09AD0, 0x055D2,  # 1900-1909
+    0x04AE0, 0x0A5B6, 0x0A4D0, 0x0D250, 0x1D255, 0x0B540, 0x0D6A0, 0x0ADA2,
+    0x095B0, 0x14977,  # 1910-1919
+    0x04970, 0x0A4B0, 0x0B4B5, 0x06A50, 0x06D40, 0x1AB54, 0x02B60, 0x09570,
+    0x052F2, 0x04970,  # 1920-1929
+    0x06566, 0x0D4A0, 0x0EA50, 0x06E95, 0x05AD0, 0x02B60, 0x186E3, 0x092E0,
+    0x1C8D7, 0x0C950,  # 1930-1939
+    0x0D4A0, 0x1D8A6, 0x0B550, 0x056A0, 0x1A5B4, 0x025D0, 0x092D0, 0x0D2B2,
+    0x0A950, 0x0B557,  # 1940-1949
+    0x06CA0, 0x0B550, 0x15355, 0x04DA0, 0x0A5B0, 0x14573, 0x052B0, 0x0A9A8,
+    0x0E950, 0x06AA0,  # 1950-1959
+    0x0AEA6, 0x0AB50, 0x04B60, 0x0AAE4, 0x0A570, 0x05260, 0x0F263, 0x0D950,
+    0x05B57, 0x056A0,  # 1960-1969
+    0x096D0, 0x04DD5, 0x04AD0, 0x0A4D0, 0x0D4D4, 0x0D250, 0x0D558, 0x0B540,
+    0x0B5A0, 0x195A6,  # 1970-1979
+    0x095B0, 0x049B0, 0x0A974, 0x0A4B0, 0x0B27A, 0x06A50, 0x06D40, 0x0AF46,
+    0x0AB60, 0x09570,  # 1980-1989
+    0x04AF5, 0x04970, 0x064B0, 0x074A3, 0x0EA50, 0x06B58, 0x055C0, 0x0AB60,
+    0x096D5, 0x092E0,  # 1990-1999
+    0x0C960, 0x0D954, 0x0D4A0, 0x0DA50, 0x07552, 0x056A0, 0x0ABB7, 0x025D0,
+    0x092D0, 0x0CAB5,  # 2000-2009
+    0x0A950, 0x0B4A0, 0x0BAA4, 0x0AD50, 0x055D9, 0x04BA0, 0x0A5B0, 0x15176,
+    0x052B0, 0x0A930,  # 2010-2019
+    0x07954, 0x06AA0, 0x0AD50, 0x05B52, 0x04B60, 0x0A6E6, 0x0A4E0, 0x0D260,
+    0x0EA65, 0x0D530,  # 2020-2029
+    0x05AA0, 0x076A3, 0x096D0, 0x04AFB, 0x04AD0, 0x0A4D0, 0x1D0B6, 0x0D250,
+    0x0D520, 0x0DD45,  # 2030-2039
+    0x0B5A0, 0x056D0, 0x055B2, 0x049B0, 0x0A577, 0x0A4B0, 0x0AA50, 0x1B255,
+    0x06D20, 0x0ADA0,  # 2040-2049
+]
+_LUNAR_BASE = 1900
+_LUNAR_EPOCH = _dt.date(1900, 1, 31)  # lunar 1900-01-01
+
+
+def _lunar_leap_month(ly: int) -> int:
+    return _LUNAR_INFO[ly - _LUNAR_BASE] & 0xF
+
+
+def _lunar_leap_days(ly: int) -> int:
+    if _lunar_leap_month(ly) == 0:
+        return 0
+    return 30 if _LUNAR_INFO[ly - _LUNAR_BASE] & 0x10000 else 29
+
+
+def _lunar_month_days(ly: int, lm: int) -> int:
+    return 30 if _LUNAR_INFO[ly - _LUNAR_BASE] & (0x10000 >> lm) else 29
+
+
+def _lunar_year_days(ly: int) -> int:
+    info = _LUNAR_INFO[ly - _LUNAR_BASE]
+    return 348 + sum(
+        1 for m in range(1, 13) if info & (0x10000 >> m)
+    ) + _lunar_leap_days(ly)
+
+
+def _lunisolar_to_gregorian(ly: int, lm: int, ld: int) -> _dt.date:
+    """Gregorian date of (non-leap) lunar month `lm`, day `ld` of
+    lunar year `ly` (valid 1900-2049): epoch + the cumulative year
+    lengths before `ly` + the month lengths before `lm` (counting the
+    leap month when it precedes `lm`) + ld - 1."""
+    days = sum(_lunar_year_days(y) for y in range(_LUNAR_BASE, ly))
+    days += sum(_lunar_month_days(ly, m) for m in range(1, lm))
+    leap = _lunar_leap_month(ly)
+    if 0 < leap < lm:
+        days += _lunar_leap_days(ly)
+    return _LUNAR_EPOCH + _dt.timedelta(days=days + ld - 1)
+
+
+def _lunar_date(year: int, lm: int, ld: int):
+    """Gregorian date of lunar (lm, ld) falling in Gregorian `year`,
+    or None outside the vendored 1900-2049 span. Lunar new year falls
+    in late Jan / Feb, so every lunar date of lunar year Y with month
+    <= ~10 lands in Gregorian year Y — one candidate suffices for the
+    holiday months used here (1..9)."""
+    if not (_LUNAR_BASE <= year < _LUNAR_BASE + len(_LUNAR_INFO)):
+        return None
+    d = _lunisolar_to_gregorian(year, lm, ld)
+    return d if d.year == year else None
+
+
+def _vn(year: int) -> list:
+    """Vietnam statutory public holidays: Tet eve (last day of the old
+    lunar year) + Tet days 1-3 (the Labour-Code entitlement is 5 days
+    with the remaining ones scheduled by decree year-to-year —
+    excluded, like CN's golden-week extensions), Hung Kings'
+    Commemoration (lunar 3/10, statutory since 2007), and the fixed
+    national days. The second National-Day day (statutory since 2021)
+    is government-scheduled to Sep 1 or Sep 3 by year — excluded."""
+    e = [
+        (_dt.date(year, 1, 1), "tet_duong_lich"),
+        (_dt.date(year, 4, 30), "ngay_giai_phong"),
+        (_dt.date(year, 5, 1), "ngay_quoc_te_lao_dong"),
+        (_dt.date(year, 9, 2), "quoc_khanh"),
+    ]
+    lny = _lunar_date(year, 1, 1)
+    if lny is not None:
+        e.append((lny - _dt.timedelta(days=1), "giao_thua"))
+        for i in range(3):
+            e.append((lny + _dt.timedelta(days=i), f"tet_day_{i + 1}"))
+    if year >= 2007:
+        hk = _lunar_date(year, 3, 10)
+        if hk is not None:
+            e.append((hk, "gio_to_hung_vuong"))
+    return e
+
+
+def _tw(year: int) -> list:
+    """Taiwan public holidays: lunar new year eve + days 1-3, Peace
+    Memorial Day (since 1997), Children's Day (re-established 2011),
+    tomb-sweeping via the Qingming solar term, Dragon Boat,
+    Mid-Autumn, and the fixed national days. Make-up/adjusted rest
+    days are scheduling — excluded."""
+    e = [
+        (_dt.date(year, 1, 1), "founding_day"),
+        (_dt.date(year, 10, 10), "national_day"),
+    ]
+    if year >= 1997:
+        e.append((_dt.date(year, 2, 28), "peace_memorial_day"))
+    if year >= 2011:
+        e.append((_dt.date(year, 4, 4), "childrens_day"))
+    if 2000 <= year <= 2099:
+        e.append((_qingming(year), "tomb_sweeping_day"))
+    lny = _lunar_date(year, 1, 1)
+    if lny is not None:
+        e.append((lny - _dt.timedelta(days=1), "lunar_new_years_eve"))
+        for i in range(3):
+            e.append(
+                (lny + _dt.timedelta(days=i), f"lunar_new_year_day_{i + 1}")
+            )
+    for lm, ld, name in (
+        (5, 5, "dragon_boat_festival"),
+        (8, 15, "mid_autumn_festival"),
+    ):
+        d = _lunar_date(year, lm, ld)
+        if d is not None:
+            e.append((d, name))
+    return e
+
+
+def _hk(year: int) -> list:
+    """Hong Kong general holidays (main day of each; the statutory
+    Sunday-substitution days are not modeled, matching the KR/CN
+    convention here): Gregorian-computus Easter days, the lunisolar
+    set (LNY days 1-3, Buddha's Birthday 4/8, Tuen Ng 5/5, the day
+    FOLLOWING Mid-Autumn 8/16, Chung Yeung 9/9), the Qingming solar
+    term (Ching Ming), and the fixed days."""
+    ea = _easter(year)
+    e = [
+        (_dt.date(year, 1, 1), "the_first_day_of_january"),
+        (ea - _dt.timedelta(days=2), "good_friday"),
+        (ea - _dt.timedelta(days=1), "the_day_following_good_friday"),
+        (ea + _dt.timedelta(days=1), "easter_monday"),
+        (_dt.date(year, 5, 1), "labour_day"),
+        (_dt.date(year, 7, 1), "hksar_establishment_day"),
+        (_dt.date(year, 10, 1), "national_day"),
+        (_dt.date(year, 12, 25), "christmas_day"),
+        (_dt.date(year, 12, 26), "the_first_weekday_after_christmas_day"),
+    ]
+    if 2000 <= year <= 2099:
+        e.append((_qingming(year), "ching_ming_festival"))
+    lny = _lunar_date(year, 1, 1)
+    if lny is not None:
+        for i in range(3):
+            e.append(
+                (lny + _dt.timedelta(days=i), f"lunar_new_year_day_{i + 1}")
+            )
+    for lm, ld, name in (
+        (4, 8, "the_birthday_of_the_buddha"),
+        (5, 5, "tuen_ng_festival"),
+        (8, 16, "the_day_following_the_mid_autumn_festival"),
+        (9, 9, "chung_yeung_festival"),
+    ):
+        d = _lunar_date(year, lm, ld)
+        if d is not None:
+            e.append((d, name))
+    return e
+
+
+# --- Hebrew calendar (vendored arithmetic) --------------------------
+# The classic arithmetic calendar: Rosh Hashanah of Hebrew year hy is
+# fixed by the molad (mean conjunction, counted in 1/1080-hour parts)
+# plus the four dechiyot (postponement rules). The day count is
+# anchored at the published Rosh Hashanah 5785 = 2024-10-03 instead of
+# the proleptic epoch (which predates datetime.date's range); the
+# arithmetic is pinned in tests against published dates 1989-2025
+# (Rosh Hashanah, Pesach, Yom Kippur, Shavuot, Hanukkah).
+_HEBREW_ANCHOR = _dt.date(2024, 10, 3)  # Rosh Hashanah 5785
+_HEBREW_ANCHOR_ELAPSED = 2112590  # _hebrew_elapsed_days(5785)
+
+
+def _hebrew_leap(hy: int) -> bool:
+    return (7 * hy + 1) % 19 < 7
+
+
+def _hebrew_elapsed_days(hy: int) -> int:
+    months_elapsed = (
+        235 * ((hy - 1) // 19)
+        + 12 * ((hy - 1) % 19)
+        + (7 * ((hy - 1) % 19) + 1) // 19
+    )
+    parts_elapsed = 204 + 793 * (months_elapsed % 1080)
+    hours_elapsed = (
+        5 + 12 * months_elapsed + 793 * (months_elapsed // 1080)
+        + parts_elapsed // 1080
+    )
+    day = 1 + 29 * months_elapsed + hours_elapsed // 24
+    parts = (hours_elapsed % 24) * 1080 + parts_elapsed % 1080
+    if (
+        parts >= 19440
+        or (day % 7 == 2 and parts >= 9924 and not _hebrew_leap(hy))
+        or (day % 7 == 1 and parts >= 16789 and _hebrew_leap(hy - 1))
+    ):
+        day += 1
+    if day % 7 in (0, 3, 5):
+        day += 1
+    return day
+
+
+def _rosh_hashanah(hy: int) -> _dt.date:
+    return _HEBREW_ANCHOR + _dt.timedelta(
+        days=_hebrew_elapsed_days(hy) - _HEBREW_ANCHOR_ELAPSED
+    )
+
+
+def _hebrew_to_gregorian(hy: int, month: str, hd: int) -> _dt.date:
+    """Gregorian date of Hebrew (month, day): Rosh Hashanah + the
+    month lengths before `month`. Cheshvan/Kislev vary with the year
+    length (353/355 deficient/complete regular years, 383/385 leap);
+    leap years insert the 30-day Adar I before Adar."""
+    yl = _hebrew_elapsed_days(hy + 1) - _hebrew_elapsed_days(hy)
+    chesh = 30 if yl in (355, 385) else 29
+    kis = 29 if yl in (353, 383) else 30
+    months = [("tishrei", 30), ("cheshvan", chesh), ("kislev", kis),
+              ("tevet", 29), ("shevat", 30)]
+    if _hebrew_leap(hy):
+        months.append(("adar_i", 30))
+    months += [("adar", 29), ("nisan", 30), ("iyar", 29), ("sivan", 30),
+               ("tammuz", 29), ("av", 30), ("elul", 29)]
+    off = 0
+    for nm, ln in months:
+        if nm == month:
+            return _rosh_hashanah(hy) + _dt.timedelta(days=off + hd - 1)
+        off += ln
+    raise ValueError(f"unknown Hebrew month {month!r}")
+
+
+def _hebrew_dates(year: int, month: str, hd: int) -> list:
+    """Gregorian date(s) of Hebrew (month, day) in Gregorian `year`.
+    Rosh Hashanah of hy falls in Gregorian year hy-3761 (Sep-Oct), so
+    spring dates of hy land in hy-3760: both candidates are scanned
+    and filtered (each Hebrew date occurs at most once per Gregorian
+    year — the Hebrew year is never shorter than ~353 days)."""
+    out = []
+    for hy in (year + 3760, year + 3761):
+        d = _hebrew_to_gregorian(hy, month, hd)
+        if d.year == year:
+            out.append(d)
+    return out
+
+
+def _il(year: int) -> list:
+    """Israel national (yom tov) holidays from the arithmetic Hebrew
+    calendar: the Tishrei cluster, Pesach first/seventh days, Shavuot,
+    and Independence Day (Iyar 5 shifted: Fri->Thu Iyar 4, Sat->Thu
+    Iyar 3, and Mon->Tue Iyar 6 since the 2004 amendment). Chol
+    hamoed / eve half-days / Purim-Hanukkah (work days) excluded."""
+    e = []
+    for month, hd, name in (
+        ("tishrei", 1, "rosh_hashanah"),
+        ("tishrei", 2, "rosh_hashanah_day_2"),
+        ("tishrei", 10, "yom_kippur"),
+        ("tishrei", 15, "sukkot"),
+        ("tishrei", 22, "shemini_atzeret"),
+        ("nisan", 15, "pesach"),
+        ("nisan", 21, "seventh_of_pesach"),
+        ("sivan", 6, "shavuot"),
+    ):
+        for d in _hebrew_dates(year, month, hd):
+            e.append((d, name))
+    if year >= 1948:
+        for d in _hebrew_dates(year, "iyar", 5):
+            wd = d.weekday()  # Mon=0 .. Sun=6
+            if wd == 4:
+                d -= _dt.timedelta(days=1)
+            elif wd == 5:
+                d -= _dt.timedelta(days=2)
+            elif wd == 0 and year >= 2004:
+                d += _dt.timedelta(days=1)
+            e.append((d, "independence_day"))
+    return e
+
+
+_COUNTRIES.update({"VN": _vn, "TW": _tw, "HK": _hk, "IL": _il})

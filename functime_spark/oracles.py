@@ -2004,12 +2004,184 @@ def operator_oracles() -> dict:
         )
         + ") t WHERE year(t.tab) = t.y"
     ).replace("{sa_ov}", _sa_ov)
+    # CN/KR/VN/TW/HK: the vendored LUNISOLAR arithmetic replayed in
+    # SQL — the compressed month-length table as a VALUES list (single
+    # source of truth: holidays_vendored._LUNAR_INFO), year lengths
+    # from the 12 month bits + the leap nibble, new-year dates as a
+    # cumulative window sum off the 1900-01-31 epoch, and per-target
+    # month offsets (counting the leap month when it precedes the
+    # target) via a 12-month bit scan.
+    from functime_spark.operators.holidays_vendored import _LUNAR_INFO
+
+    _lun_vals = ", ".join(
+        f"({1900 + i}, {v})" for i, v in enumerate(_LUNAR_INFO)
+    )
+    _lun_ctes = (
+        f"lunraw AS (SELECT * FROM (VALUES {_lun_vals}) lr(ly, info)), "
+        "lunyd AS (SELECT ly, info, 348 "
+        + " ".join(f"+ ((info >> {16 - m}) & 1)" for m in range(1, 13))
+        + " + CASE WHEN (info & 15) > 0 THEN "
+        "CASE WHEN ((info >> 16) & 1) = 1 THEN 30 ELSE 29 END ELSE 0 END "
+        "AS ydays FROM lunraw), "
+        "lny AS (SELECT ly, info, DATE '1900-01-31' + to_days(CAST("
+        "COALESCE(SUM(ydays) OVER (ORDER BY ly ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND 1 PRECEDING), 0) AS INT)) AS d0 FROM lunyd), "
+        "lun AS (SELECT l.ly, t.lm, t.ld, l.d0 + to_days(CAST("
+        "SUM(CASE WHEN m.m < t.lm THEN CASE WHEN ((l.info >> (16 - m.m)) & 1) = 1 "
+        "THEN 30 ELSE 29 END ELSE 0 END) "
+        "+ CASE WHEN (l.info & 15) > 0 AND (l.info & 15) < t.lm THEN "
+        "CASE WHEN ((l.info >> 16) & 1) = 1 THEN 30 ELSE 29 END ELSE 0 END "
+        "+ t.ld - 1 AS INT)) AS d "
+        "FROM lny l, (VALUES (1,1),(1,2),(1,3),(3,10),(4,8),(5,5),(8,15),"
+        "(8,16),(9,9)) t(lm, ld), generate_series(1, 12) m(m) "
+        "GROUP BY l.ly, l.d0, l.info, t.lm, t.ld)"
+    )
+    # Qingming solar term: int(y2*0.2422 + 4.81) - y2//4 (trunc, not
+    # round -> FLOOR)
+    _qingming_sql = (
+        "make_date(y, 4, CAST(FLOOR((y % 100) * 0.2422 + 4.81) AS INT) "
+        "- (y % 100) // 4)"
+    )
+
+    def _lunar_rules(*targets):
+        vals = ", ".join(f"({lm},{ld},'{nm}')" for lm, ld, nm in targets)
+        return (
+            f"SELECT l.d, h.nm FROM lun l JOIN (VALUES {vals}) "
+            "h(lm, ld, nm) ON l.lm = h.lm AND l.ld = h.ld "
+            "JOIN yrs ON year(l.d) = yrs.y"
+        )
+
+    _cn_rules = (
+        "SELECT make_date(y,1,1) AS d, 'new_years_day' AS nm FROM yrs "
+        "UNION ALL SELECT make_date(y,5,1), 'labour_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,10,1), 'national_day' FROM yrs "
+        f"UNION ALL SELECT {_qingming_sql}, 'qingming_festival' FROM yrs "
+        "WHERE y BETWEEN 2000 AND 2099 "
+        "UNION ALL " + _lunar_rules(
+            (1, 1, "spring_festival"), (5, 5, "dragon_boat_festival"),
+            (8, 15, "mid_autumn_festival"),
+        )
+    )
+    _kr_rules = (
+        "SELECT make_date(y,1,1) AS d, 'new_years_day' AS nm FROM yrs "
+        "UNION ALL SELECT make_date(y,3,1), 'independence_movement_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,5,5), 'childrens_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,6,6), 'memorial_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,8,15), 'liberation_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,10,3), 'national_foundation_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,10,9), 'hangul_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'christmas_day' FROM yrs "
+        "UNION ALL " + _lunar_rules(
+            (1, 1, "seollal"), (4, 8, "buddhas_birthday"), (8, 15, "chuseok"),
+        )
+    )
+    _vn_rules = (
+        "SELECT make_date(y,1,1) AS d, 'tet_duong_lich' AS nm FROM yrs "
+        "UNION ALL SELECT make_date(y,4,30), 'ngay_giai_phong' FROM yrs "
+        "UNION ALL SELECT make_date(y,5,1), 'ngay_quoc_te_lao_dong' FROM yrs "
+        "UNION ALL SELECT make_date(y,9,2), 'quoc_khanh' FROM yrs "
+        "UNION ALL SELECT l.d - to_days(1), 'giao_thua' FROM lun l "
+        "JOIN yrs ON year(l.d - to_days(1)) = yrs.y "
+        "WHERE l.lm = 1 AND l.ld = 1 "
+        "UNION ALL " + _lunar_rules(
+            (1, 1, "tet_day_1"), (1, 2, "tet_day_2"), (1, 3, "tet_day_3"),
+        )
+        + " UNION ALL SELECT l.d, 'gio_to_hung_vuong' FROM lun l "
+        "JOIN yrs ON year(l.d) = yrs.y "
+        "WHERE l.lm = 3 AND l.ld = 10 AND yrs.y >= 2007"
+    )
+    _tw_rules = (
+        "SELECT make_date(y,1,1) AS d, 'founding_day' AS nm FROM yrs "
+        "UNION ALL SELECT make_date(y,10,10), 'national_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,2,28), 'peace_memorial_day' FROM yrs "
+        "WHERE y >= 1997 "
+        "UNION ALL SELECT make_date(y,4,4), 'childrens_day' FROM yrs "
+        "WHERE y >= 2011 "
+        f"UNION ALL SELECT {_qingming_sql}, 'tomb_sweeping_day' FROM yrs "
+        "WHERE y BETWEEN 2000 AND 2099 "
+        "UNION ALL SELECT l.d - to_days(1), 'lunar_new_years_eve' FROM lun l "
+        "JOIN yrs ON year(l.d - to_days(1)) = yrs.y "
+        "WHERE l.lm = 1 AND l.ld = 1 "
+        "UNION ALL " + _lunar_rules(
+            (1, 1, "lunar_new_year_day_1"), (1, 2, "lunar_new_year_day_2"),
+            (1, 3, "lunar_new_year_day_3"), (5, 5, "dragon_boat_festival"),
+            (8, 15, "mid_autumn_festival"),
+        )
+    )
+    _hk_rules = (
+        "SELECT make_date(y,1,1) AS d, 'the_first_day_of_january' AS nm FROM yrs "
+        "UNION ALL SELECT e - to_days(2), 'good_friday' FROM easter "
+        "UNION ALL SELECT e - to_days(1), 'the_day_following_good_friday' "
+        "FROM easter "
+        "UNION ALL SELECT e + to_days(1), 'easter_monday' FROM easter "
+        "UNION ALL SELECT make_date(y,5,1), 'labour_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,7,1), 'hksar_establishment_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,10,1), 'national_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'christmas_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,26), "
+        "'the_first_weekday_after_christmas_day' FROM yrs "
+        f"UNION ALL SELECT {_qingming_sql}, 'ching_ming_festival' FROM yrs "
+        "WHERE y BETWEEN 2000 AND 2099 "
+        "UNION ALL " + _lunar_rules(
+            (1, 1, "lunar_new_year_day_1"), (1, 2, "lunar_new_year_day_2"),
+            (1, 3, "lunar_new_year_day_3"), (4, 8, "the_birthday_of_the_buddha"),
+            (5, 5, "tuen_ng_festival"),
+            (8, 16, "the_day_following_the_mid_autumn_festival"),
+            (9, 9, "chung_yeung_festival"),
+        )
+    )
+    # IL: the HEBREW molad+dechiyot arithmetic replayed in SQL — for
+    # candidate Hebrew years y+3760..y+3762 compute months-elapsed,
+    # parts, the two postponement steps, anchor the day count at the
+    # published Rosh Hashanah 5785 = 2024-10-03 (elapsed 2112590), take
+    # the year length from elapsed(hy+1) (hence the third candidate),
+    # derive the variable Cheshvan/Kislev lengths + leap Adar I, and
+    # shift Independence Day by the statutory weekday rules.
+    _heb_ctes = (
+        "hys AS (SELECT y + 3760 AS hy FROM yrs UNION "
+        "SELECT y + 3761 FROM yrs UNION SELECT y + 3762 FROM yrs), "
+        "heb1 AS (SELECT hy, 1 + 29*me + he//24 AS day0, "
+        "(he % 24)*1080 + pe % 1080 AS parts, "
+        "((7*hy + 1) % 19 < 7) AS leap, ((7*(hy-1) + 1) % 19 < 7) AS leapprev "
+        "FROM (SELECT hy, me, pe, 5 + 12*me + 793*(me//1080) + pe//1080 AS he "
+        "FROM (SELECT hy, me, 204 + 793*(me % 1080) AS pe "
+        "FROM (SELECT hy, 235*((hy-1)//19) + 12*((hy-1)%19) "
+        "+ (7*((hy-1)%19) + 1)//19 AS me FROM hys)))), "
+        "heb2 AS (SELECT hy, leap, day1 + CASE WHEN day1 % 7 IN (0,3,5) "
+        "THEN 1 ELSE 0 END AS el FROM (SELECT hy, leap, day0 + CASE WHEN "
+        "parts >= 19440 OR (day0 % 7 = 2 AND parts >= 9924 AND NOT leap) "
+        "OR (day0 % 7 = 1 AND parts >= 16789 AND leapprev) "
+        "THEN 1 ELSE 0 END AS day1 FROM heb1)), "
+        "heb AS (SELECT a.hy, DATE '2024-10-03' "
+        "+ to_days(CAST(a.el - 2112590 AS INT)) AS rh, "
+        "30 + (CASE WHEN b.el - a.el IN (355, 385) THEN 30 ELSE 29 END) "
+        "+ (CASE WHEN b.el - a.el IN (353, 383) THEN 29 ELSE 30 END) "
+        "+ 88 + CASE WHEN a.leap THEN 30 ELSE 0 END AS nisoff "
+        "FROM heb2 a JOIN heb2 b ON b.hy = a.hy + 1)"
+    )
+    _il_rules = (
+        "SELECT q.d, q.nm FROM ("
+        "SELECT rh + to_days(t.hd - 1) AS d, t.nm FROM heb, "
+        "(VALUES (1,'rosh_hashanah'),(2,'rosh_hashanah_day_2'),"
+        "(10,'yom_kippur'),(15,'sukkot'),(22,'shemini_atzeret')) t(hd, nm) "
+        "UNION ALL SELECT rh + to_days(CAST(nisoff + t.hd - 1 AS INT)), t.nm "
+        "FROM heb, (VALUES (15,'pesach'),(21,'seventh_of_pesach')) t(hd, nm) "
+        "UNION ALL SELECT rh + to_days(CAST(nisoff + 30 + 29 + 5 AS INT)), "
+        "'shavuot' FROM heb "
+        "UNION ALL SELECT CASE WHEN isodow(i5) = 5 THEN i5 - to_days(1) "
+        "WHEN isodow(i5) = 6 THEN i5 - to_days(2) "
+        "WHEN isodow(i5) = 1 AND year(i5) >= 2004 THEN i5 + to_days(1) "
+        "ELSE i5 END, 'independence_day' FROM "
+        "(SELECT rh + to_days(CAST(nisoff + 30 + 4 AS INT)) AS i5 FROM heb) "
+        "WHERE year(i5) >= 1948"
+        ") q JOIN yrs ON year(q.d) = yrs.y"
+    )
     o["future_holidays"] = (
         "WITH c AS (SELECT user_id, MAX(ts) AS low FROM events GROUP BY user_id), "
         "fut AS (SELECT c.user_id, c.low + i * INTERVAL '1 day' AS ts "
         "FROM c, generate_series(1, 400) AS g(i)), "
         "yrs AS (SELECT DISTINCT year(ts) AS y FROM fut), "
-        f"{_computus}, {_ocomputus}, "
+        f"{_computus}, {_ocomputus}, {_lun_ctes}, {_heb_ctes}, "
         # per-date name merge ('; ', sorted) mirrors add_holiday_effects:
         # same-date holidays (NO grunnlovsdag = Easter+50 in 2027, PT
         # pascoa = Apr 25 in 2038) must yield ONE merged row, not a fanout
@@ -2022,6 +2194,8 @@ def operator_oracles() -> dict:
                 ("mx", _mx_rules), ("no_", _no_rules), ("pt", _pt_rules),
                 ("jp", _jp_rules), ("gr", _gr_rules), ("za", _za_rules),
                 ("sa", _sa_rules), ("id_", _id_rules), ("eg", _eg_rules),
+                ("cn", _cn_rules), ("kr", _kr_rules), ("vn", _vn_rules),
+                ("tw", _tw_rules), ("hk", _hk_rules), ("il", _il_rules),
             ]
         )
         + " "
@@ -2030,7 +2204,9 @@ def operator_oracles() -> dict:
         "br.nm AS holiday__br, mx.nm AS holiday__mx, "
         "no_.nm AS holiday__no, pt.nm AS holiday__pt, jp.nm AS holiday__jp, "
         "gr.nm AS holiday__gr, za.nm AS holiday__za, sa.nm AS holiday__sa, "
-        "id_.nm AS holiday__id, eg.nm AS holiday__eg "
+        "id_.nm AS holiday__id, eg.nm AS holiday__eg, cn.nm AS holiday__cn, "
+        "kr.nm AS holiday__kr, vn.nm AS holiday__vn, tw.nm AS holiday__tw, "
+        "hk.nm AS holiday__hk, il.nm AS holiday__il "
         "FROM fut f LEFT JOIN us ON CAST(f.ts AS DATE) = us.d "
         "LEFT JOIN de ON CAST(f.ts AS DATE) = de.d "
         "LEFT JOIN gb ON CAST(f.ts AS DATE) = gb.d "
@@ -2046,6 +2222,12 @@ def operator_oracles() -> dict:
         "LEFT JOIN sa ON CAST(f.ts AS DATE) = sa.d "
         "LEFT JOIN id_ ON CAST(f.ts AS DATE) = id_.d "
         "LEFT JOIN eg ON CAST(f.ts AS DATE) = eg.d "
+        "LEFT JOIN cn ON CAST(f.ts AS DATE) = cn.d "
+        "LEFT JOIN kr ON CAST(f.ts AS DATE) = kr.d "
+        "LEFT JOIN vn ON CAST(f.ts AS DATE) = vn.d "
+        "LEFT JOIN tw ON CAST(f.ts AS DATE) = tw.d "
+        "LEFT JOIN hk ON CAST(f.ts AS DATE) = hk.d "
+        "LEFT JOIN il ON CAST(f.ts AS DATE) = il.d "
         "ORDER BY user_id, ts"
     )
 

@@ -407,3 +407,125 @@ def test_vendored_egypt():
     eg11 = dict((n, d) for d, n in vendored_holidays("EG", [2011]))
     assert "january_25_revolution_day" not in eg11
     assert "june_30_revolution_day" not in eg11
+
+
+def test_lunisolar_arithmetic_vs_published_tables():
+    """The vendored 1900-2049 lunisolar table must reproduce EVERY
+    published Lunar-New-Year and Mid-Autumn date in the 2015-2030
+    anchor tables, plus spread historical new years — the new-year
+    dates are cumulative sums of year lengths, so matching anchors
+    across decades pins every intermediate year length too."""
+    import datetime as dt
+
+    from functime_spark.operators.holidays_vendored import (
+        _LUNAR_NEW_YEAR,
+        _MID_AUTUMN,
+        _lunisolar_to_gregorian,
+    )
+
+    for y, (m, d) in _LUNAR_NEW_YEAR.items():
+        assert _lunisolar_to_gregorian(y, 1, 1) == dt.date(y, m, d)
+    for y, (m, d) in _MID_AUTUMN.items():
+        assert _lunisolar_to_gregorian(y, 8, 15) == dt.date(y, m, d)
+    for y, m, d in [
+        (1900, 1, 31), (1950, 2, 17), (1968, 1, 30), (1984, 2, 2),
+        (1997, 2, 7), (2000, 2, 5), (2008, 2, 7),
+    ]:
+        assert _lunisolar_to_gregorian(y, 1, 1) == dt.date(y, m, d)
+    # intra-year month lengths: published Dragon Boat (5/5) and
+    # Buddha's Birthday (4/8) dates
+    assert _lunisolar_to_gregorian(2023, 5, 5) == dt.date(2023, 6, 22)
+    assert _lunisolar_to_gregorian(2024, 5, 5) == dt.date(2024, 6, 10)
+    assert _lunisolar_to_gregorian(2025, 5, 5) == dt.date(2025, 5, 31)
+    assert _lunisolar_to_gregorian(2024, 4, 8) == dt.date(2024, 5, 15)
+    assert _lunisolar_to_gregorian(2025, 4, 8) == dt.date(2025, 5, 5)
+    # leap-month handling: 2023 has leap month 2 -> dates in months
+    # >= 3 include the 29-day leap month (Hung Kings 2023 = Apr 29)
+    assert _lunisolar_to_gregorian(2023, 3, 10) == dt.date(2023, 4, 29)
+
+
+def test_vendored_lunisolar_calendars_cn_kr_vn_tw_hk():
+    """CN/KR upgraded to the lunisolar arithmetic (Dragon Boat and
+    Buddha's Birthday now modeled); VN/TW/HK on the same machinery —
+    spot-checked against published dates."""
+    import datetime as dt
+
+    from functime_spark.operators.holidays_vendored import vendored_holidays
+
+    cn = dict((n, d) for d, n in vendored_holidays("CN", [2024]))
+    assert cn["dragon_boat_festival"] == dt.date(2024, 6, 10)
+    cn49 = dict((n, d) for d, n in vendored_holidays("CN", [2049]))
+    assert cn49["spring_festival"] == dt.date(2049, 2, 2)
+
+    kr = dict((n, d) for d, n in vendored_holidays("KR", [2024]))
+    assert kr["buddhas_birthday"] == dt.date(2024, 5, 15)
+    assert kr["seollal"] == dt.date(2024, 2, 10)
+
+    vn = dict((n, d) for d, n in vendored_holidays("VN", [2024]))
+    assert vn["giao_thua"] == dt.date(2024, 2, 9)
+    assert vn["tet_day_1"] == dt.date(2024, 2, 10)
+    assert vn["tet_day_3"] == dt.date(2024, 2, 12)
+    assert vn["gio_to_hung_vuong"] == dt.date(2024, 4, 18)
+    assert vn["quoc_khanh"] == dt.date(2024, 9, 2)
+    vn06 = dict((n, d) for d, n in vendored_holidays("VN", [2006]))
+    assert "gio_to_hung_vuong" not in vn06  # statutory since 2007
+
+    tw = dict((n, d) for d, n in vendored_holidays("TW", [2025]))
+    assert tw["lunar_new_years_eve"] == dt.date(2025, 1, 28)
+    assert tw["lunar_new_year_day_1"] == dt.date(2025, 1, 29)
+    assert tw["tomb_sweeping_day"] == dt.date(2025, 4, 4)
+    assert tw["dragon_boat_festival"] == dt.date(2025, 5, 31)
+    assert tw["mid_autumn_festival"] == dt.date(2025, 10, 6)
+    tw96 = dict((n, d) for d, n in vendored_holidays("TW", [1996]))
+    assert "peace_memorial_day" not in tw96  # since 1997
+
+    hk = dict((n, d) for d, n in vendored_holidays("HK", [2024]))
+    assert hk["good_friday"] == dt.date(2024, 3, 29)
+    assert hk["ching_ming_festival"] == dt.date(2024, 4, 4)
+    assert hk["the_birthday_of_the_buddha"] == dt.date(2024, 5, 15)
+    assert hk["tuen_ng_festival"] == dt.date(2024, 6, 10)
+    assert hk["the_day_following_the_mid_autumn_festival"] == dt.date(2024, 9, 18)
+    assert hk["chung_yeung_festival"] == dt.date(2024, 10, 11)
+
+
+def test_hebrew_calendar_vs_published_dates():
+    """The arithmetic Hebrew calendar (molad + dechiyot, anchored at
+    the published Rosh Hashanah 5785) against published Gregorian
+    dates across four decades, including the variable Cheshvan/Kislev
+    lengths and leap-year Adar I insertion."""
+    import datetime as dt
+
+    from functime_spark.operators.holidays_vendored import (
+        _hebrew_to_gregorian,
+        _rosh_hashanah,
+        vendored_holidays,
+    )
+
+    for hy, y, m, d in [
+        (5750, 1989, 9, 30), (5760, 1999, 9, 11), (5780, 2019, 9, 30),
+        (5783, 2022, 9, 26), (5784, 2023, 9, 16), (5785, 2024, 10, 3),
+        (5786, 2025, 9, 23),
+    ]:
+        assert _rosh_hashanah(hy) == dt.date(y, m, d)
+    # Pesach (15 Nisan) — crosses the variable months + leap Adar I
+    assert _hebrew_to_gregorian(5783, "nisan", 15) == dt.date(2023, 4, 6)
+    assert _hebrew_to_gregorian(5784, "nisan", 15) == dt.date(2024, 4, 23)
+    assert _hebrew_to_gregorian(5785, "nisan", 15) == dt.date(2025, 4, 13)
+    assert _hebrew_to_gregorian(5785, "kislev", 25) == dt.date(2024, 12, 26)
+
+    il24 = dict((n, d) for d, n in vendored_holidays("IL", [2024]))
+    assert il24["rosh_hashanah"] == dt.date(2024, 10, 3)
+    assert il24["rosh_hashanah_day_2"] == dt.date(2024, 10, 4)
+    assert il24["yom_kippur"] == dt.date(2024, 10, 12)
+    assert il24["sukkot"] == dt.date(2024, 10, 17)
+    assert il24["shemini_atzeret"] == dt.date(2024, 10, 24)
+    assert il24["pesach"] == dt.date(2024, 4, 23)
+    assert il24["seventh_of_pesach"] == dt.date(2024, 4, 29)
+    assert il24["shavuot"] == dt.date(2024, 6, 12)
+    # independence-day shifts: Mon->Tue (2024), Sat->Thu (2025),
+    # Wed stays (2023)
+    assert il24["independence_day"] == dt.date(2024, 5, 14)
+    il25 = dict((n, d) for d, n in vendored_holidays("IL", [2025]))
+    assert il25["independence_day"] == dt.date(2025, 5, 1)
+    il23 = dict((n, d) for d, n in vendored_holidays("IL", [2023]))
+    assert il23["independence_day"] == dt.date(2023, 4, 26)
