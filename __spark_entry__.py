@@ -1975,6 +1975,33 @@ def q_ann_pq_adc(spark, sf_dir):
     return _round_floats(pq.adc_search(enc, list(qvec), k=5))
 
 
+def q_ann_ivf_pq_refine(spark, sf_dir):
+    """The COMPLETE two-stage IVF_PQ retrieval (the reference's Lance
+    index shape, forecasting/lance.py:54-95) end-to-end: IVF 3-cell
+    probe prunes the corpus, PQ ADC ranks the probed codes, the top
+    refine*k=20 shortlist is re-ranked by EXACT cosine — candidate
+    generation cheap and approximate, final scoring exact, the
+    canonical billion-vector retrieval plan. The oracle replays BOTH
+    index builds (prefixed CTE chains) plus the probe/ADC/refine
+    cascade in one SQL statement."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.similarity import (
+        IVFIndex,
+        PQCodebook,
+        ivf_pq_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    ivf = IVFIndex(n_cells=8, init="spread").fit(emb)
+    pq = PQCodebook(n_subspaces=8, ksub=16, n_iter=5, init="spread").fit(emb)
+    enc = pq.encode(ivf.assign(corpus))
+    return _round_floats(
+        ivf_pq_search(ivf, pq, enc, list(qvec), k=5, n_probe=3, refine=4)
+    )
+
+
 def q_ann_sq8_topk(spark, sf_dir):
     """Scalar-quantized (SQ8) ANN: per-dim min/max affine fit in ONE
     aggregate pass, uint8 encode, approximate-cosine shortlist on the
@@ -2989,6 +3016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_ivf_topk": q_ann_ivf_topk,
             "ann_recall_ivf": q_ann_recall_ivf,
             "ann_pq_adc": q_ann_pq_adc,
+            "ann_ivf_pq_refine": q_ann_ivf_pq_refine,
             "ann_sq8_topk": q_ann_sq8_topk,
             "feat_udf_scalar": q_feat_udf_scalar,
             "feat_udf_cwt_peaks": q_feat_udf_cwt_peaks,
@@ -3043,8 +3071,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the front of the r2 cohort.
     never_verified_first = [
         # (a) implementation or oracle changed in round 7
+        "ann_ivf_pq_refine",  # NEW this round: composed two-stage retrieval
+        "future_holidays",  # 21 calendars: +lunisolar CN/KR/VN/TW/HK, Hebrew IL
         "forecast_stumps",
-        "future_holidays",
         "forecast_knn",
         "forecast_knn_direct",
         "forecast_knn_exog",

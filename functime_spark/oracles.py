@@ -3953,31 +3953,48 @@ ORDER BY 1, 2
         )
 
     _M, _KS, _DS = 8, 16, 8
-    _pq = [
-        "smp AS (SELECT CAST(embedding AS DOUBLE[]) AS emb, "
-        "row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM embeddings)",
-        f"sub AS (SELECT rn, t.m AS m, emb[(t.m*{_DS}+1):(t.m*{_DS}+{_DS})] AS s "
-        f"FROM smp, range(0, {_M}) t(m))",
-        "c0 AS (SELECT m, list(s ORDER BY rn) AS C FROM sub WHERE rn IN "
-        f"(SELECT CAST(FLOOR(t.c * (SELECT COUNT(*) FROM smp) / {_KS}.0) AS BIGINT) "
-        f"FROM range(0, {_KS}) t(c)) GROUP BY m)",
-    ]
-    for it in range(5):
-        _pq.append(
-            f"a{it} AS (SELECT z.m, rn, s, list_position(dd, list_min(dd)) - 1 AS cell "
-            f"FROM (SELECT sub.m AS m, rn, s, list_transform(c.C, cc -> "
-            f"{_pq_d2('s', 'cc', _DS)}) AS dd FROM sub JOIN c{it} c ON sub.m = c.m) z)"
-        )
-        _pq.append(
-            f"pc{it} AS (SELECT m, cell, list(av ORDER BY dim) AS cen FROM "
-            f"(SELECT m, cell, t.i AS dim, AVG(s[t.i]) AS av FROM a{it}, "
-            f"range(1, {_DS + 1}) t(i) GROUP BY m, cell, t.i) zz GROUP BY m, cell)"
-        )
-        _pq.append(
-            f"c{it + 1} AS (SELECT prev.m AS m, list(COALESCE(pc.cen, prev.C[cv.c + 1]) "
-            f"ORDER BY cv.c) AS C FROM c{it} prev CROSS JOIN range(0, {_KS}) cv(c) "
-            f"LEFT JOIN pc{it} pc ON pc.m = prev.m AND pc.cell = cv.c GROUP BY prev.m)"
-        )
+
+    def _pq_chain(px: str) -> list:
+        """The PQ codebook build (per-subspace spread-init k-means, 5
+        unrolled Lloyd iterations over a composite (m, cell) key) as a
+        CTE list with prefixed names, so it can coexist with the IVF
+        chain (which uses the same smp/c{i}/a{i}/pc{i} names) inside
+        one WITH for the composed IVF_PQ oracle."""
+        ch = [
+            f"{px}smp AS (SELECT CAST(embedding AS DOUBLE[]) AS emb, "
+            "row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM embeddings)",
+            f"{px}sub AS (SELECT rn, t.m AS m, "
+            f"emb[(t.m*{_DS}+1):(t.m*{_DS}+{_DS})] AS s "
+            f"FROM {px}smp, range(0, {_M}) t(m))",
+            f"{px}c0 AS (SELECT m, list(s ORDER BY rn) AS C FROM {px}sub "
+            "WHERE rn IN "
+            f"(SELECT CAST(FLOOR(t.c * (SELECT COUNT(*) FROM {px}smp) / {_KS}.0) AS BIGINT) "
+            f"FROM range(0, {_KS}) t(c)) GROUP BY m)",
+        ]
+        for it in range(5):
+            ch.append(
+                f"{px}a{it} AS (SELECT z.m, rn, s, "
+                "list_position(dd, list_min(dd)) - 1 AS cell "
+                f"FROM (SELECT {px}sub.m AS m, rn, s, list_transform(c.C, cc -> "
+                f"{_pq_d2('s', 'cc', _DS)}) AS dd FROM {px}sub "
+                f"JOIN {px}c{it} c ON {px}sub.m = c.m) z)"
+            )
+            ch.append(
+                f"{px}pc{it} AS (SELECT m, cell, list(av ORDER BY dim) AS cen FROM "
+                f"(SELECT m, cell, t.i AS dim, AVG(s[t.i]) AS av FROM {px}a{it}, "
+                f"range(1, {_DS + 1}) t(i) GROUP BY m, cell, t.i) zz GROUP BY m, cell)"
+            )
+            ch.append(
+                f"{px}c{it + 1} AS (SELECT prev.m AS m, "
+                "list(COALESCE(pc.cen, prev.C[cv.c + 1]) "
+                f"ORDER BY cv.c) AS C FROM {px}c{it} prev "
+                f"CROSS JOIN range(0, {_KS}) cv(c) "
+                f"LEFT JOIN {px}pc{it} pc ON pc.m = prev.m AND pc.cell = cv.c "
+                "GROUP BY prev.m)"
+            )
+        return ch
+
+    _pq = _pq_chain("")
     # ann_recall_ivf: compose the two fully-replayed searches (exact
     # brute top-5 and the complete IVF build + 3-probe top-5) and count
     # the id intersection — recall@5 as an exact value.
@@ -4006,6 +4023,51 @@ ORDER BY 1, 2
         + ") AS d2 FROM codes JOIN c5 c ON codes.m = c.m, qv GROUP BY codes.vec_id) "
         "SELECT vec_id, " + _r("d2") + " AS adc_d2 FROM adc "
         "ORDER BY d2, vec_id LIMIT 5"
+    )
+
+    # ann_ivf_pq_refine: the COMPLETE two-stage IVF_PQ retrieval
+    # replayed end-to-end — the full IVF build (c5 centroids) picks the
+    # 3 probe cells, the full PQ build (qc5 codebooks, prefixed CTE
+    # chain) encodes the probed vectors and ranks them by ADC, the top
+    # refine*k=20 shortlist is re-ranked by EXACT cosine, top-5 out.
+    # Every stage (Lloyd iterations, first-min ties, ADC lookup sums,
+    # the (adc_d2, vec_id) shortlist order, the final (cosine DESC,
+    # vec_id) order) mirrors ivf_pq_search's arithmetic exactly.
+    _pqq = _pq_chain("q")
+    o["ann_ivf_pq_refine"] = (
+        "WITH "
+        + ", ".join(_ivf + _pqq)
+        + ", qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings "
+        "WHERE vec_id = 0), "
+        "probe AS (SELECT cv.c AS cell FROM c5, qv, range(0, 8) cv(c) "
+        f"ORDER BY {_ivf_d2('qv.q', 'c5.C[cv.c + 1]')}, cv.c LIMIT 3), "
+        "asn AS (SELECT vec_id, emb, list_position(dd, list_min(dd)) - 1 AS cell "
+        "FROM (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, "
+        f"list_transform(c.C, cc -> {_ivf_d2('CAST(e.embedding AS DOUBLE[])', 'cc')}) AS dd "
+        "FROM embeddings e, c5 c WHERE e.vec_id != 0) z), "
+        "probed AS (SELECT vec_id, emb FROM asn "
+        "WHERE cell IN (SELECT cell FROM probe)), "
+        "pesub AS (SELECT p.vec_id, t.m AS m, "
+        f"p.emb[(t.m*{_DS}+1):(t.m*{_DS}+{_DS})] AS s "
+        f"FROM probed p, range(0, {_M}) t(m)), "
+        "pcodes AS (SELECT vec_id, z.m, "
+        "list_position(dd, list_min(dd)) - 1 AS code "
+        "FROM (SELECT vec_id, pesub.m AS m, s, list_transform(c.C, cc -> "
+        + _pq_d2("s", "cc", _DS)
+        + ") AS dd FROM pesub JOIN qc5 c ON pesub.m = c.m) z), "
+        "adc AS (SELECT pcodes.vec_id, SUM("
+        + _pq_d2(
+            f"qv.q[(pcodes.m*{_DS}+1):(pcodes.m*{_DS}+{_DS})]",
+            "c.C[pcodes.code + 1]",
+            _DS,
+        )
+        + ") AS d2 FROM pcodes JOIN qc5 c ON pcodes.m = c.m, qv "
+        "GROUP BY pcodes.vec_id), "
+        "short AS (SELECT vec_id FROM adc ORDER BY d2, vec_id LIMIT 20) "
+        "SELECT p.vec_id, "
+        + _r("list_cosine_similarity(p.emb, qv.q)")
+        + " AS cosine FROM probed p JOIN short USING (vec_id), qv "
+        "ORDER BY list_cosine_similarity(p.emb, qv.q) DESC, p.vec_id LIMIT 5"
     )
 
     # feat_udf_lempel_ziv: the LZ76 two-pointer distinct-substring scan
