@@ -8,10 +8,12 @@ The decode step is a PLUGGABLE SEAM (r7): ``decoder=`` accepts
 
 - ``"fake"`` — deterministic hash-seeded feature vector (no codec;
   SQL-replayable, the correctness gate's path);
-- a registered name — ``"ppm"`` (pure-Python P6/P5 Netpbm parser) and
-  ``"wav"`` (stdlib ``wave``) ship in-container as REAL codecs;
-  ``register_decoder(name, fn)`` adds more (e.g. a PIL/torchaudio
-  wrapper on a cluster that has them);
+- a registered name — ``"ppm"`` (pure-Python P6/P5 Netpbm parser),
+  ``"wav"`` (stdlib ``wave``), ``"png"``/``"bmp"`` (stdlib zlib +
+  numpy) and ``"jpeg"`` (pure-Python baseline JPEG, pipeline/jpeg.py)
+  ship in-container as REAL codecs; ``register_decoder(name, fn)``
+  adds more (e.g. a PIL/torchaudio wrapper on a cluster that has
+  them);
 - a callable — the contract is ``fn(payload: bytes) -> dict`` with a
   required ``"array"`` key holding a numeric ``np.ndarray`` (pixels,
   samples, frames — any shape) plus optional metadata keys.
@@ -248,12 +250,24 @@ def decode_bmp(payload: bytes) -> dict:
     return {"array": arr, "width": w, "height": h, "mode": "rgb"}
 
 
+def decode_jpeg(payload: bytes) -> dict:
+    """Baseline-sequential JPEG decoder (pure Python + numpy, tables
+    read from the file's own DQT/DHT segments; 4:4:4 / 4:2:2 / 4:2:0,
+    DRI/RSTn restarts) — see pipeline/jpeg.py. Lazily imported so the
+    DCT matrix is only built when the codec is actually used."""
+    from functime_spark.pipeline.jpeg import decode_jpeg as _dj
+
+    return _dj(payload)
+
+
 #: name -> fn(payload: bytes) -> {"array": np.ndarray, ...}
 _DECODERS: dict = {
     "ppm": decode_ppm,
     "wav": decode_wav,
     "png": decode_png,
     "bmp": decode_bmp,
+    "jpeg": decode_jpeg,
+    "jpg": decode_jpeg,
 }
 
 

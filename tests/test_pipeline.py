@@ -3030,3 +3030,87 @@ def test_media_png_bmp_decoders(spark):
         decode_png(b"not a png")
     with pytest.raises(ValueError, match="magic"):
         decode_bmp(b"nope")
+
+
+def test_media_jpeg_codec_roundtrip_and_cross_implementation(spark):
+    """The pure-Python baseline JPEG codec (pipeline/jpeg.py): encoder
+    -> decoder roundtrips bound the error by the format's own
+    quantization (4:4:4, 4:2:0, restart markers, grayscale), and BOTH
+    directions cross-check against the JVM's completely independent
+    javax.imageio codec — our decoder reads Java-encoded files, Java
+    reads ours."""
+    import numpy as np
+    import pytest
+
+    from functime_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+    from functime_spark.pipeline.multimodal import extract_features_media
+
+    rng = np.random.default_rng(7)
+    h, w = 45, 61  # deliberately not multiples of 8/16
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * 255 / w), (yy * 255 / h), ((xx + yy) * 255 / (w + h))], axis=-1
+    )
+    img = np.clip(img + rng.normal(0, 4, img.shape), 0, 255).astype(np.uint8)
+
+    def psnr(a, b):
+        e = a.astype(float) - b.astype(float)
+        return 10 * np.log10(255.0**2 / np.mean(e * e))
+
+    for sub in ("444", "420"):
+        for ri in (0, 3):
+            payload = encode_jpeg(img, quality=92, subsample=sub,
+                                  restart_interval=ri)
+            d = decode_jpeg(payload)
+            assert (d["width"], d["height"], d["mode"]) == (w, h, "rgb")
+            assert psnr(d["array"], img) > 28.0, (sub, ri)
+    # 4:2:0 must actually subsample (smaller stream than 4:4:4)
+    assert len(encode_jpeg(img, 92, "420")) < len(encode_jpeg(img, 92, "444"))
+
+    gray = (yy * 255 / h).astype(np.uint8)
+    dg = decode_jpeg(encode_jpeg(gray, quality=85))
+    assert dg["mode"] == "gray" and psnr(dg["array"], gray) > 35.0
+
+    # --- cross-implementation via the JVM's javax.imageio ---
+    jvm = spark.sparkContext._jvm
+    BI = jvm.java.awt.image.BufferedImage
+    bi = BI(w, h, BI.TYPE_INT_RGB)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(v) for v in img[y, x])
+            bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.javax.imageio.ImageIO.write(bi, "jpg", baos)
+    java_jpeg = bytes(baos.toByteArray())
+    d = decode_jpeg(java_jpeg)  # our decoder, Java's encoder
+    assert (d["width"], d["height"]) == (w, h)
+    assert psnr(d["array"], img) > 25.0
+
+    ours = encode_jpeg(img, quality=92)  # Java's decoder, our encoder
+    bais = jvm.java.io.ByteArrayInputStream(ours)
+    jimg = jvm.javax.imageio.ImageIO.read(bais)
+    assert jimg.getWidth() == w and jimg.getHeight() == h
+    got = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            v = jimg.getRGB(x, y)
+            got[y, x] = [(v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF]
+    assert psnr(got, img) > 28.0
+
+    # --- end-to-end through the Arrow mapInPandas seam ---
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(ours), "{}"),
+         (2, "image", bytearray(java_jpeg), "{}")],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    rows = extract_features_media(media, dim=6, decoder="jpeg").collect()
+    assert len(rows) == 2 and all(len(r["feature"]) == 6 for r in rows)
+
+    # malformed / unsupported payloads fail loudly
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    prog = bytearray(ours)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2  # masquerade as progressive
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(prog))
