@@ -260,6 +260,15 @@ def decode_jpeg(payload: bytes) -> dict:
     return _dj(payload)
 
 
+def decode_mjpeg(payload: bytes) -> dict:
+    """MJPEG-AVI video decoder-seam adapter (pipeline/mjpeg.py): RIFF
+    container walk + first-frame baseline-JPEG decode, with fps /
+    n_frames metadata alongside."""
+    from functime_spark.pipeline.mjpeg import decode_mjpeg_first_frame
+
+    return decode_mjpeg_first_frame(payload)
+
+
 #: name -> fn(payload: bytes) -> {"array": np.ndarray, ...}
 _DECODERS: dict = {
     "ppm": decode_ppm,
@@ -268,6 +277,8 @@ _DECODERS: dict = {
     "bmp": decode_bmp,
     "jpeg": decode_jpeg,
     "jpg": decode_jpeg,
+    "mjpeg": decode_mjpeg,
+    "avi": decode_mjpeg,
 }
 
 
@@ -361,6 +372,46 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+def sample_frames(
+    media: DataFrame, every_n: int = 10, quality: int = 85
+) -> DataFrame:
+    """REAL video frame sampling: walk each MJPEG-AVI payload's RIFF
+    chunks, JPEG-decode only every `every_n`-th frame (skipped frames
+    are never decoded), and emit each sampled frame as a STANDALONE
+    baseline-JPEG payload — (media_id, frame_idx, n_frames, payload),
+    the extract-frames-to-images step of a video training pipeline.
+    One narrow mapInPandas pass; frames fan out inside the Arrow
+    batch, nothing shuffles."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from functime_spark.pipeline.jpeg import encode_jpeg
+        from functime_spark.pipeline.mjpeg import decode_mjpeg_avi
+
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "n_frames": [],
+                   "payload": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_mjpeg_avi(bytes(payload), every_n=every_n)
+                for j, frame in enumerate(d["frames"]):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(j * every_n)
+                    out["n_frames"].append(d["n_frames"])
+                    out["payload"].append(encode_jpeg(frame, quality=quality))
+            yield pd.DataFrame(out)
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_idx", LongType()),
+            StructField("n_frames", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return media.mapInPandas(run, schema=schema)
+
+
 def resize_ppm(payload: bytes, width: int, height: int) -> bytes:
     """REAL nearest-neighbor resize of a P6/P5 Netpbm payload,
     re-encoded in the same format — the in-container proof that the
@@ -374,8 +425,21 @@ def resize_ppm(payload: bytes, width: int, height: int) -> bytes:
     return magic + f"\n{width} {height}\n255\n".encode() + resized.tobytes()
 
 
+def resize_jpeg(payload: bytes, width: int, height: int) -> bytes:
+    """REAL JPEG resize: decode with the vendored T.81 codec,
+    nearest-neighbor sample, re-encode at quality 90."""
+    from functime_spark.pipeline.jpeg import decode_jpeg as _dj
+    from functime_spark.pipeline.jpeg import encode_jpeg as _ej
+
+    d = _dj(payload)
+    arr, w, h = d["array"], d["width"], d["height"]
+    rows = np.minimum((np.arange(height) * h) // height, h - 1)
+    cols = np.minimum((np.arange(width) * w) // width, w - 1)
+    return _ej(np.ascontiguousarray(arr[rows][:, cols]), quality=90)
+
+
 #: name -> fn(payload, width, height) -> resized payload bytes
-_RESIZERS: dict = {"ppm": resize_ppm}
+_RESIZERS: dict = {"ppm": resize_ppm, "jpeg": resize_jpeg, "jpg": resize_jpeg}
 
 
 def register_resizer(name: str, fn) -> None:

@@ -3114,3 +3114,131 @@ def test_media_jpeg_codec_roundtrip_and_cross_implementation(spark):
     prog[sof + 1] = 0xC2  # masquerade as progressive
     with pytest.raises(ValueError, match="baseline"):
         decode_jpeg(bytes(prog))
+
+
+def test_media_mjpeg_video_and_frame_sampling(spark):
+    """REAL video path: MJPEG-AVI (RIFF container + per-frame baseline
+    JPEG) roundtrips through the vendored writer/reader; sample_frames
+    decodes only every Nth frame and emits standalone JPEG payloads
+    through mapInPandas; the 'mjpeg' decoder seam pools the first
+    frame."""
+    import numpy as np
+    import pytest
+
+    from functime_spark.pipeline.jpeg import decode_jpeg
+    from functime_spark.pipeline.mjpeg import (
+        decode_mjpeg_avi,
+        encode_mjpeg_avi,
+    )
+    from functime_spark.pipeline.multimodal import (
+        extract_features_media,
+        sample_frames,
+    )
+
+    h, w, n = 32, 48, 7
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = [
+        np.clip(
+            np.stack(
+                [xx * 200 / w + 5 * i, yy * 200 / h,
+                 np.full((h, w), 30 + 10 * i)], axis=-1,
+            ), 0, 255,
+        ).astype(np.uint8)
+        for i in range(n)
+    ]
+    avi = encode_mjpeg_avi(frames, fps=12, quality=90)
+
+    d = decode_mjpeg_avi(avi)
+    assert (d["width"], d["height"], d["fps"], d["n_frames"]) == (w, h, 12, n)
+    for got, want in zip(d["frames"], frames):
+        assert np.abs(got.astype(float) - want.astype(float)).mean() < 6.0
+    # frame sampling never decodes skipped frames
+    d3 = decode_mjpeg_avi(avi, every_n=3)
+    assert len(d3["frames"]) == 3 and d3["n_frames"] == n
+
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(avi), "{}")],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    rows = sample_frames(media, every_n=3).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in rows] == [0, 3, 6]
+    assert all(r["n_frames"] == n for r in rows)
+    for r in rows:
+        fd = decode_jpeg(bytes(r["payload"]))  # standalone JPEG per frame
+        assert (fd["width"], fd["height"]) == (w, h)
+        base = frames[r["frame_idx"]]
+        assert np.abs(
+            fd["array"].astype(float) - base.astype(float)
+        ).mean() < 8.0
+
+    # the decoder seam treats video like any other payload
+    feats = extract_features_media(media, dim=6, decoder="mjpeg").collect()
+    assert len(feats) == 1 and len(feats[0]["feature"]) == 6
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_mjpeg_avi(b"not an avi")
+
+
+def test_media_audio_features_closed_form(spark):
+    """extract_audio_features against closed-form signals: a 1 kHz
+    tone's spectral centroid/rolloff are ~1 kHz, its ZCR is 2f/sr and
+    RMS a/sqrt(2), tonal flatness ~0 vs white-noise flatness > 0.5;
+    stereo downmix matches mono; the whole set rides one mapInPandas
+    pass over stdlib-WAV payloads."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from functime_spark.pipeline.audio import (
+        audio_features_from_signal,
+        extract_audio_features,
+    )
+
+    rate = 8000
+    t = np.arange(rate * 2) / rate
+    tone = (0.5 * np.sin(2 * np.pi * 1000 * t) * 32767).astype(np.int16)
+    rng = np.random.default_rng(3)
+    noise = (rng.uniform(-0.9, 0.9, rate) * 32767).astype(np.int16)
+
+    f = audio_features_from_signal(tone, rate)
+    assert abs(f["spectral_centroid_hz"] - 1000.0) < 5.0
+    assert abs(f["zero_crossing_rate"] - 0.25) < 0.005
+    assert abs(f["rms"] - 0.5 / np.sqrt(2)) < 0.01
+    assert f["spectral_flatness"] < 0.05
+    assert abs(f["spectral_rolloff_hz"] - 1000.0) < 40.0
+    assert len(f["mfcc"]) == 13
+    fn = audio_features_from_signal(noise, rate)
+    assert fn["spectral_flatness"] > 0.5
+    assert fn["spectral_centroid_hz"] > 1500.0
+
+    # stereo interleave downmixes to the mono result
+    stereo = np.empty(2 * len(tone), dtype=np.int16)
+    stereo[0::2] = tone
+    stereo[1::2] = tone
+    fs = audio_features_from_signal(stereo, rate, channels=2)
+    assert abs(fs["spectral_centroid_hz"] - f["spectral_centroid_hz"]) < 1e-9
+
+    def wav_bytes(samples, channels=1):
+        bio = io.BytesIO()
+        with wave.open(bio, "wb") as wf:
+            wf.setnchannels(channels)
+            wf.setsampwidth(2)
+            wf.setframerate(rate)
+            wf.writeframes(samples.tobytes())
+        return bio.getvalue()
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(wav_bytes(tone)), "{}"),
+         (2, "audio", bytearray(wav_bytes(noise)), "{}"),
+         (3, "audio", bytearray(wav_bytes(stereo, 2)), "{}")],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in extract_audio_features(media, decoder="wav").collect()
+    }
+    assert abs(rows[1]["spectral_centroid_hz"] - f["spectral_centroid_hz"]) < 1e-9
+    assert abs(rows[2]["spectral_flatness"] - fn["spectral_flatness"]) < 1e-9
+    assert abs(rows[3]["duration_s"] - 2.0) < 1e-9
+    assert len(rows[1]["mfcc"]) == 13
