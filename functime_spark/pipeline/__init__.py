@@ -9,12 +9,15 @@ plumbing. Every operator is partition-parallel — the 100 TB story is
 """
 
 from functime_spark.pipeline import (  # noqa: F401
+    audio,
     bpe,
     classifier,
     clean,
     decontaminate,
     dedup,
+    jpeg,
     lm,
+    mjpeg,
     multimodal,
     packing,
     sampling,

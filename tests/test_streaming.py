@@ -634,3 +634,86 @@ def test_stream_dsir_score_matches_batch(spark, tmp_path):
             assert r["log_weight"] == pytest.approx(b["log_weight"], abs=1e-9)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_stream_media_decode_pipeline(spark, tmp_path):
+    """The multimodal tier is stream-legal: extract_features_media
+    (real JPEG decode inside mapInPandas) and extract_audio_features
+    both run over a file-source stream and match their batch twins
+    row-for-row — the streaming ingest shape of a media training-data
+    pipeline."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from functime_spark.pipeline.audio import extract_audio_features
+    from functime_spark.pipeline.jpeg import encode_jpeg
+    from functime_spark.pipeline.multimodal import extract_features_media
+
+    h, w = 24, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    imgs = [
+        np.clip(
+            np.stack([xx * 200 / w + 9 * i, yy * 200 / h,
+                      np.full((h, w), 40 + 7 * i)], axis=-1),
+            0, 255,
+        ).astype(np.uint8)
+        for i in range(3)
+    ]
+    rate = 8000
+    t = np.arange(rate) / rate
+
+    def wav_bytes(freq):
+        sig = (0.4 * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+        bio = io.BytesIO()
+        with wave.open(bio, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(rate)
+            wf.writeframes(sig.tobytes())
+        return bio.getvalue()
+
+    media = spark.createDataFrame(
+        [(i, "image", bytearray(encode_jpeg(img, quality=90)), "{}")
+         for i, img in enumerate(imgs)]
+        + [(10 + i, "audio", bytearray(wav_bytes(f)), "{}")
+           for i, f in enumerate((500, 1500))],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    path = str(tmp_path / "media_src")
+    media.write.parquet(path)
+    src = spark.readStream.schema(media.schema).parquet(path)
+
+    def drain(stream_df, name):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.table(name)
+
+    img_src = src.filter("kind = 'image'")
+    streamed = drain(
+        extract_features_media(img_src, dim=5, decoder="jpeg"), "media_feat_t"
+    ).toPandas().sort_values("media_id").reset_index(drop=True)
+    batch = (
+        extract_features_media(media.filter("kind = 'image'"), dim=5,
+                               decoder="jpeg")
+        .toPandas().sort_values("media_id").reset_index(drop=True)
+    )
+    assert len(streamed) == 3
+    for a, b in zip(streamed["feature"], batch["feature"]):
+        np.testing.assert_allclose(list(a), list(b), rtol=0, atol=0)
+
+    aud = drain(
+        extract_audio_features(src.filter("kind = 'audio'"), decoder="wav"),
+        "media_audio_t",
+    ).toPandas().sort_values("media_id").reset_index(drop=True)
+    assert len(aud) == 2
+    assert abs(aud.loc[0, "spectral_centroid_hz"] - 500.0) < 5.0
+    assert abs(aud.loc[1, "spectral_centroid_hz"] - 1500.0) < 5.0
