@@ -1326,3 +1326,135 @@ def _il(year: int) -> list:
 
 
 _COUNTRIES.update({"VN": _vn, "TW": _tw, "HK": _hk, "IL": _il})
+
+
+# --- round 7: rule-only European calendars (fixed + computus) --------
+
+
+def _hu(year: int) -> list:
+    """Hungary: Gregorian computus + fixed national days. Good Friday
+    statutory since 2017."""
+    ea = _easter(year)
+    e = [
+        (_dt.date(year, 1, 1), "ujev"),
+        (_dt.date(year, 3, 15), "nemzeti_unnep_marcius_15"),
+        (ea + _dt.timedelta(days=1), "husvethetfo"),
+        (_dt.date(year, 5, 1), "a_munka_unnepe"),
+        (ea + _dt.timedelta(days=50), "punkosdhetfo"),
+        (_dt.date(year, 8, 20), "az_allamalapitas_unnepe"),
+        (_dt.date(year, 11, 1), "mindenszentek"),
+        (_dt.date(year, 12, 25), "karacsony"),
+        (_dt.date(year, 12, 26), "karacsony_masnapja"),
+    ]
+    if year >= 1991:
+        e.append((_dt.date(year, 10, 23), "nemzeti_unnep_oktober_23"))
+    if year >= 2017:
+        e.append((ea - _dt.timedelta(days=2), "nagypentek"))
+    return e
+
+
+def _sk(year: int) -> list:
+    """Slovakia: Constitution Day (Sep 1) lost public-holiday status
+    from 2024 — the year guard mirrors the amendment."""
+    ea = _easter(year)
+    e = [
+        (_dt.date(year, 1, 1), "den_vzniku_slovenskej_republiky"),
+        (_dt.date(year, 1, 6), "zjavenie_pana"),
+        (ea - _dt.timedelta(days=2), "velky_piatok"),
+        (ea + _dt.timedelta(days=1), "velkonocny_pondelok"),
+        (_dt.date(year, 5, 1), "sviatok_prace"),
+        (_dt.date(year, 5, 8), "den_vitazstva_nad_fasizmom"),
+        (_dt.date(year, 7, 5), "sviatok_svateho_cyrila_a_metoda"),
+        (_dt.date(year, 8, 29), "vyrocie_snp"),
+        (_dt.date(year, 9, 15), "sedembolestna_panna_maria"),
+        (_dt.date(year, 11, 1), "sviatok_vsetkych_svatych"),
+        (_dt.date(year, 11, 17), "den_boja_za_slobodu_a_demokraciu"),
+        (_dt.date(year, 12, 24), "stedry_den"),
+        (_dt.date(year, 12, 25), "prvy_sviatok_vianocny"),
+        (_dt.date(year, 12, 26), "druhy_sviatok_vianocny"),
+    ]
+    if year <= 2023:
+        e.append((_dt.date(year, 9, 1), "den_ustavy_slovenskej_republiky"))
+    return e
+
+
+def _ro(year: int) -> list:
+    """Romania: ORTHODOX computus for the movable feasts (Good Friday
+    statutory since 2018, Union Day since 2017, Children's Day since
+    2017, St Andrew since 2012)."""
+    oe = _orthodox_easter(year)
+    e = [
+        (_dt.date(year, 1, 1), "anul_nou"),
+        (_dt.date(year, 1, 2), "anul_nou_ziua_2"),
+        (oe, "pastele"),
+        (oe + _dt.timedelta(days=1), "a_doua_zi_de_paste"),
+        (_dt.date(year, 5, 1), "ziua_muncii"),
+        (oe + _dt.timedelta(days=49), "rusaliile"),
+        (oe + _dt.timedelta(days=50), "a_doua_zi_de_rusalii"),
+        (_dt.date(year, 8, 15), "adormirea_maicii_domnului"),
+        (_dt.date(year, 12, 1), "ziua_nationala"),
+        (_dt.date(year, 12, 25), "craciunul"),
+        (_dt.date(year, 12, 26), "a_doua_zi_de_craciun"),
+    ]
+    if year >= 2012:
+        e.append((_dt.date(year, 11, 30), "sfantul_andrei"))
+    if year >= 2017:
+        e.append((_dt.date(year, 1, 24), "ziua_unirii_principatelor_romane"))
+        e.append((_dt.date(year, 6, 1), "ziua_copilului"))
+    if year >= 2018:
+        e.append((oe - _dt.timedelta(days=2), "vinerea_mare"))
+    return e
+
+
+def _bg(year: int) -> list:
+    """Bulgaria: ORTHODOX computus spans Good Friday through Easter
+    Monday; fixed national/cultural days."""
+    oe = _orthodox_easter(year)
+    return [
+        (_dt.date(year, 1, 1), "nova_godina"),
+        (_dt.date(year, 3, 3), "den_na_osvobozhdenieto"),
+        (oe - _dt.timedelta(days=2), "velikden_petak"),
+        (oe - _dt.timedelta(days=1), "velikden_sabota"),
+        (oe, "velikden"),
+        (oe + _dt.timedelta(days=1), "velikden_ponedelnik"),
+        (_dt.date(year, 5, 1), "den_na_truda"),
+        (_dt.date(year, 5, 6), "gergovden"),
+        (_dt.date(year, 5, 24), "den_na_bulgarskata_prosveta_i_kultura"),
+        (_dt.date(year, 9, 6), "den_na_saedinenieto"),
+        (_dt.date(year, 9, 22), "den_na_nezavisimostta"),
+        (_dt.date(year, 12, 24), "badni_vecher"),
+        (_dt.date(year, 12, 25), "rozhdestvo_hristovo"),
+        (_dt.date(year, 12, 26), "rozhdestvo_hristovo_vtori_den"),
+    ]
+
+
+def _hr(year: int) -> list:
+    """Croatia: Gregorian computus (Easter Sunday + Monday, Corpus
+    Christi = Easter + 60); the 2020 act moved Statehood Day to
+    May 30 and added Remembrance Day (Nov 18), dropping the Oct 8
+    Independence Day holiday (2002-2019)."""
+    ea = _easter(year)
+    e = [
+        (_dt.date(year, 1, 1), "nova_godina"),
+        (_dt.date(year, 1, 6), "bogojavljenje"),
+        (ea, "uskrs"),
+        (ea + _dt.timedelta(days=1), "uskrsni_ponedjeljak"),
+        (ea + _dt.timedelta(days=60), "tijelovo"),
+        (_dt.date(year, 5, 1), "praznik_rada"),
+        (_dt.date(year, 6, 22), "dan_antifasisticke_borbe"),
+        (_dt.date(year, 8, 5), "dan_pobjede_i_domovinske_zahvalnosti"),
+        (_dt.date(year, 8, 15), "velika_gospa"),
+        (_dt.date(year, 11, 1), "svi_sveti"),
+        (_dt.date(year, 12, 25), "bozic"),
+        (_dt.date(year, 12, 26), "sveti_stjepan"),
+    ]
+    if year >= 2020:
+        e.append((_dt.date(year, 5, 30), "dan_drzavnosti"))
+        e.append((_dt.date(year, 11, 18), "dan_sjecanja_na_zrtve_domovinskog_rata"))
+    elif year >= 2002:
+        e.append((_dt.date(year, 6, 25), "dan_drzavnosti"))
+        e.append((_dt.date(year, 10, 8), "dan_neovisnosti"))
+    return e
+
+
+_COUNTRIES.update({"HU": _hu, "SK": _sk, "RO": _ro, "BG": _bg, "HR": _hr})

@@ -417,6 +417,8 @@ def decode_jpeg(payload: bytes) -> dict:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
+        while payload[pos + 1] == 0xFF:  # T.81 allows 0xFF fill bytes
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

@@ -529,3 +529,45 @@ def test_hebrew_calendar_vs_published_dates():
     assert il25["independence_day"] == dt.date(2025, 5, 1)
     il23 = dict((n, d) for d, n in vendored_holidays("IL", [2023]))
     assert il23["independence_day"] == dt.date(2023, 4, 26)
+
+
+def test_vendored_rule_only_european_calendars():
+    """HU/SK/RO/BG/HR (round 7): pure fixed + computus rules — RO/BG
+    on the ORTHODOX computus, HR's 2020 statehood-day move and the SK
+    2024 Constitution-Day removal year-guarded — spot-checked against
+    published dates."""
+    import datetime as dt
+
+    from functime_spark.operators.holidays_vendored import vendored_holidays
+
+    hu = dict((n, d) for d, n in vendored_holidays("HU", [2024]))
+    assert hu["nagypentek"] == dt.date(2024, 3, 29)
+    assert hu["punkosdhetfo"] == dt.date(2024, 5, 20)
+    hu16 = dict((n, d) for d, n in vendored_holidays("HU", [2016]))
+    assert "nagypentek" not in hu16  # statutory since 2017
+
+    sk = dict((n, d) for d, n in vendored_holidays("SK", [2025]))
+    assert sk["velky_piatok"] == dt.date(2025, 4, 18)
+    assert "den_ustavy_slovenskej_republiky" not in sk  # removed 2024
+    sk23 = dict((n, d) for d, n in vendored_holidays("SK", [2023]))
+    assert sk23["den_ustavy_slovenskej_republiky"] == dt.date(2023, 9, 1)
+
+    ro = dict((n, d) for d, n in vendored_holidays("RO", [2024]))
+    assert ro["pastele"] == dt.date(2024, 5, 5)  # Orthodox Easter
+    assert ro["vinerea_mare"] == dt.date(2024, 5, 3)
+    assert ro["rusaliile"] == dt.date(2024, 6, 23)
+    ro11 = dict((n, d) for d, n in vendored_holidays("RO", [2011]))
+    assert "sfantul_andrei" not in ro11  # statutory since 2012
+
+    bg = dict((n, d) for d, n in vendored_holidays("BG", [2025]))
+    assert bg["velikden"] == dt.date(2025, 4, 20)  # calendars coincide
+    assert bg["den_na_osvobozhdenieto"] == dt.date(2025, 3, 3)
+    bg24 = dict((n, d) for d, n in vendored_holidays("BG", [2024]))
+    assert bg24["velikden"] == dt.date(2024, 5, 5)  # they diverge
+
+    hr = dict((n, d) for d, n in vendored_holidays("HR", [2024]))
+    assert hr["tijelovo"] == dt.date(2024, 5, 30)
+    assert hr["dan_drzavnosti"] == dt.date(2024, 5, 30)  # 2020 act
+    hr19 = dict((n, d) for d, n in vendored_holidays("HR", [2019]))
+    assert hr19["dan_drzavnosti"] == dt.date(2019, 6, 25)
+    assert hr19["dan_neovisnosti"] == dt.date(2019, 10, 8)
