@@ -226,15 +226,32 @@ class knn(Forecaster):
         evals = self._scale_evals(fh)
         if evals <= self.SCALE_WALL_EVALS:
             return False
-        if self.on_scale_wall == "auto" and self.strategy == "recursive":
-            return True
+        if self.on_scale_wall == "auto":
+            if self.strategy == "recursive":
+                return True
+            # the IVF re-route only exists for the recursive scan
+            # (direct/ensemble rebuild per-horizon reference columns,
+            # which the IVF structures don't cover) — say so instead
+            # of re-suggesting the option the user already passed
+            warnings.warn(
+                f"knn predict would run ~{evals:.2e} brute-force distance "
+                f"evaluations, past the ~{self.SCALE_WALL_EVALS:.0e} "
+                "bandwidth wall, and on_scale_wall='auto' only re-routes "
+                f"strategy='recursive' (got {self.strategy!r}: each horizon "
+                "scans different reference columns, which one IVF index "
+                "does not cover). Use the `ann` forecaster, switch to "
+                "strategy='recursive', or pass on_scale_wall='ignore'.",
+                stacklevel=3,
+            )
+            return False
         warnings.warn(
             f"knn predict would run ~{evals:.2e} brute-force distance "
             f"evaluations (n_ref x n_entities x fh), past the "
             f"~{self.SCALE_WALL_EVALS:.0e} bandwidth wall measured in the "
             "100x stress (SCALE.md). Use the `ann` forecaster (IVF "
             "probing), pass on_scale_wall='auto' to re-route this fit "
-            "through IVF, or on_scale_wall='ignore' to silence this.",
+            "through IVF (recursive strategy only), or "
+            "on_scale_wall='ignore' to silence this.",
             stacklevel=3,
         )
         return False

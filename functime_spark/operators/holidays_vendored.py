@@ -910,9 +910,9 @@ def _id(year: int) -> list:
     e.append((es - _dt.timedelta(days=2), "wafat_isa_almasih"))
     e.append((es + _dt.timedelta(days=39), "kenaikan_isa_almasih"))
     if year >= 2003:
-        lny = _LUNAR_NEW_YEAR.get(year)
+        lny = _lunar_date(year, 1, 1)  # vendored lunisolar arithmetic
         if lny is not None:
-            e.append((_dt.date(year, lny[0], lny[1]), "tahun_baru_imlek"))
+            e.append((lny, "tahun_baru_imlek"))
     for tbl, name in ((_ID_NYEPI, "hari_suci_nyepi"), (_ID_WAISAK, "hari_raya_waisak")):
         md = tbl.get(year)
         if md is not None:

@@ -1893,14 +1893,14 @@ def operator_oracles() -> dict:
     # ID: fixed + Easter-computus days, the tabular-Hijri set with the
     # SKB (joint-decree) override years — Indonesia's sighted dates
     # differ from Umm al-Qura in several years, hence its own tables —
-    # Idul Fitri day 2 as anchor+1, and the vendored Nyepi / Waisak /
-    # Imlek VALUES (single source of truth: holidays_vendored._ID_*).
+    # Idul Fitri day 2 as anchor+1, the vendored Nyepi / Waisak VALUES
+    # (single source of truth: holidays_vendored._ID_*), and Imlek off
+    # the shared lunisolar CTE (r7: same arithmetic as CN/VN/TW/HK).
     from functime_spark.operators.holidays_vendored import (
         _ID_EID_ADHA,
         _ID_EID_FITR,
         _ID_NYEPI,
         _ID_WAISAK,
-        _LUNAR_NEW_YEAR,
     )
 
     _id_ov = ", ".join(
@@ -1923,7 +1923,6 @@ def operator_oracles() -> dict:
         for nm, tbl in (
             ("hari_suci_nyepi", _ID_NYEPI),
             ("hari_raya_waisak", _ID_WAISAK),
-            ("tahun_baru_imlek", _LUNAR_NEW_YEAR),
         )
         for y, (m, d) in sorted(tbl.items())
     )
@@ -1938,6 +1937,9 @@ def operator_oracles() -> dict:
         "UNION ALL SELECT e + to_days(39), 'kenaikan_isa_almasih' FROM easter "
         f"UNION ALL SELECT t.d, t.nm FROM (VALUES {_id_fixed_tbls}) t(d, nm) "
         "JOIN yrs ON year(t.d) = yrs.y "
+        "UNION ALL SELECT l.d, 'tahun_baru_imlek' FROM lun l "
+        "JOIN yrs ON year(l.d) = yrs.y "
+        "WHERE l.lm = 1 AND l.ld = 1 AND yrs.y >= 2003 "
         "UNION ALL SELECT COALESCE(ov.od, t.tab), t.nm FROM ("
         + _id_tabular.format(
             hol="(10,1,'idul_fitri_day_1'),(12,10,'idul_adha'),"

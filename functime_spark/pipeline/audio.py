@@ -158,6 +158,8 @@ def extract_audio_features(
         import pandas as pd
 
         for pdf in batches:
+            if len(pdf) == 0:  # keep the schema contract on empty batches
+                continue
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 d = fn(bytes(payload))

@@ -528,8 +528,12 @@ def decode_jpeg(payload: bytes) -> dict:
                                 raise ValueError("AC index out of range")
                             z[k] = _extend(br.bits(size), size)
                             k += 1
+                        # z is in zigzag order; qt is stored in natural
+                        # order, so dequantize with qt re-read through
+                        # the zigzag permutation (encoder divides by
+                        # qt[ZIGZAG] symmetrically)
                         d = np.zeros(64)
-                        d[ZIGZAG] = z * qt
+                        d[ZIGZAG] = z * qt[ZIGZAG]
                         blk = _M.T @ d.reshape(8, 8) @ _M + 128.0
                         py = (my * c["v"] + dy) * 8
                         px = (mx * c["h"] + dx) * 8

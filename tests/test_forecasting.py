@@ -1505,6 +1505,18 @@ def test_knn_scale_wall_warn_and_auto_route(spark):
     with pytest.raises(ValueError, match="on_scale_wall"):
         knn(freq="1i", on_scale_wall="explode")
 
+    # auto + non-recursive strategy: the IVF re-route doesn't exist
+    # (per-horizon reference columns), so the warning must say THAT —
+    # not re-suggest the 'auto' the user already passed
+    fc_dir = knn(
+        freq="1i", lags=3, n_neighbors=2, strategy="direct",
+        max_horizons=3, on_scale_wall="auto",
+    ).fit(y)
+    fc_dir.SCALE_WALL_EVALS = 1.0
+    with pytest.warns(UserWarning, match="recursive"):
+        fc_dir.predict(3).count()
+    assert "ivf" not in fc_dir.state
+
 
 def test_ann_clone_and_backtest_roundtrip(spark):
     """Latent r7 find: base.backtest refits via

@@ -3086,7 +3086,18 @@ def test_media_jpeg_codec_roundtrip_and_cross_implementation(spark):
     assert (d["width"], d["height"]) == (w, h)
     assert psnr(d["array"], img) > 25.0
 
-    ours = encode_jpeg(img, quality=92)  # Java's decoder, our encoder
+    # TEXTURED content (mid/high-frequency coefficients live in every
+    # zigzag position): Java decodes OUR stream and the two decoders
+    # must agree to sub-LSB level on identical input — this is the
+    # assertion that catches dequantization-order bugs that smooth
+    # gradients mask (a zigzag/natural quant-table mixup decodes
+    # smooth ramps fine but textured blocks at ~16 dB)
+    tex = np.clip(
+        128.0 + 60.0 * np.sin(xx / 2.5) * np.cos(yy / 3.1)
+        + rng.normal(0, 18, (h, w)), 0, 255,
+    )[..., None].repeat(3, axis=-1).astype(np.uint8)
+    tex[..., 1] = np.roll(tex[..., 1], 3, axis=1)
+    ours = encode_jpeg(tex, quality=90)  # Java's decoder, our encoder
     bais = jvm.java.io.ByteArrayInputStream(ours)
     jimg = jvm.javax.imageio.ImageIO.read(bais)
     assert jimg.getWidth() == w and jimg.getHeight() == h
@@ -3095,7 +3106,9 @@ def test_media_jpeg_codec_roundtrip_and_cross_implementation(spark):
         for x in range(w):
             v = jimg.getRGB(x, y)
             got[y, x] = [(v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF]
-    assert psnr(got, img) > 28.0
+    mine = decode_jpeg(ours)["array"]
+    assert psnr(got, mine) > 45.0  # decoder agreement on one stream
+    assert psnr(got, tex) > 28.0 and psnr(mine, tex) > 28.0
 
     # --- end-to-end through the Arrow mapInPandas seam ---
     media = spark.createDataFrame(
