@@ -183,26 +183,44 @@ def quality_tiers(
     n_tiers: int = 4,
     score_col: str = "cross_entropy",
     ascending: bool = True,
+    exact: bool = True,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Curriculum/quality bucketing: tier 0..n-1 by score percentile
     (tier 0 = best = lowest cross-entropy when ascending).
 
-    Scale shape: ONE exact-percentile aggregate produces the n-1 cut
-    points (a single tiny row, broadcast back); assignment is a pure
+    Scale shape: ONE percentile aggregate produces the n-1 cut points
+    (a single tiny row, broadcast back); assignment is a pure
     projection. Deliberately NOT ntile() — a global ntile is a
     single-partition window sort at corpus scale, and percentile cuts
-    are stable under re-partitioning."""
+    are stable under re-partitioning.
+
+    ``exact=True`` (default, the oracle-replayed semantics) uses the
+    exact percentile aggregate, whose final merge buffers one entry
+    per DISTINCT score — fine at test scale, O(n_docs) memory for
+    continuous scores at corpus scale. At 100 TB pass ``exact=False``:
+    approx_percentile's mergeable GK sketch bounds the aggregation
+    state at O(accuracy) regardless of corpus size (rank error <=
+    1/accuracy, i.e. a few mis-tiered docs per ten thousand at the
+    default — noise for curriculum bucketing)."""
     # the scored frame feeds BOTH the percentile aggregate and the
     # output projection; un-cut, the whole upstream scoring chain (LM
     # joins, source scans) runs twice. One row per doc, few columns —
     # cheap to pin, and the only way the two consumers see one scan.
     scored = materialize(scored)
     cuts = [i / n_tiers for i in range(1, n_tiers)]
-    qs = scored.agg(
-        F.array(
-            *[F.percentile(score_col, F.lit(c)).alias(f"q{i}") for i, c in enumerate(cuts)]
-        ).alias("__cuts")
-    )
+    if exact:
+        pct = [
+            F.percentile(score_col, F.lit(c)).alias(f"q{i}")
+            for i, c in enumerate(cuts)
+        ]
+    else:
+        pct = [
+            F.percentile_approx(score_col, F.lit(c), F.lit(accuracy))
+            .cast("double").alias(f"q{i}")
+            for i, c in enumerate(cuts)
+        ]
+    qs = scored.agg(F.array(*pct).alias("__cuts"))
     s = F.col(score_col) if ascending else -F.col(score_col)
     cutcol = F.col("__cuts") if ascending else F.transform(F.col("__cuts"), lambda x: -x)
     tier = F.aggregate(

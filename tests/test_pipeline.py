@@ -1017,6 +1017,17 @@ def test_quality_tiers_quartiles(spark):
     desc = {r["doc_id"]: r["tier"] for r in quality_tiers(d, 4, ascending=False).collect()}
     assert desc[99] == 0 and desc[0] == 3
 
+    # exact=False (the 100 TB path): approx_percentile's GK sketch is
+    # exact at this accuracy/scale, so tiers must match the exact cut
+    approx = {
+        r["doc_id"]: r["tier"]
+        for r in quality_tiers(d, n_tiers=4, exact=False).collect()
+    }
+    assert approx == out
+    # and the bounded-state aggregate is actually in the plan
+    plan = quality_tiers(d, 4, exact=False)._jdf.queryExecution().toString()
+    assert "percentile_approx" in plan or "approx_percentile" in plan
+
 
 def test_asof_join_backward_tie_and_tolerance(spark):
     from datetime import datetime
