@@ -24,5 +24,6 @@ from functime_spark.pipeline import (  # noqa: F401
     scaletools,
     similarity,
     text,
+    webdataset,
 )
 from functime_spark.pipeline.clean import clean_corpus  # noqa: F401
