@@ -3327,3 +3327,49 @@ def test_webdataset_tar_shard_roundtrip(spark, tmp_path):
 
     with pytest.raises(ValueError, match="payload"):
         write_webdataset(samples.drop("payload"), out_dir)
+
+
+def test_jpeg_codec_property_sizes_and_content():
+    """Hypothesis sweep: any uint8 image (1x1 .. 40x40, gray/RGB,
+    smooth or noisy, 4:4:4 or 4:2:0, quality 50-95) roundtrips through
+    the vendored codec with the right shape/mode and without error;
+    reconstruction stays within the generous bound JPEG itself
+    guarantees for 8-bit content."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from functime_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        rgb=st.booleans(),
+        sub=st.sampled_from(["444", "420"]),
+        quality=st.integers(50, 95),
+        seed=st.integers(0, 2**31 - 1),
+        smooth=st.booleans(),
+    )
+    def roundtrip(h, w, rgb, sub, quality, seed, smooth):
+        rng = np.random.default_rng(seed)
+        shape = (h, w, 3) if rgb else (h, w)
+        if smooth:
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = (xx * 7 + yy * 5) % 256
+            img = (np.stack([base, base, base], axis=-1) if rgb else base
+                   ).astype(np.uint8)
+        else:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+        if not rgb:
+            sub = "444"
+        d = decode_jpeg(encode_jpeg(img, quality=quality, subsample=sub))
+        assert d["array"].shape == img.shape
+        assert d["mode"] == ("rgb" if rgb else "gray")
+        assert (d["width"], d["height"]) == (w, h)
+        # JPEG bounds error by the quant step; the standard tables top
+        # out well under 255 at quality >= 50 for ANY content
+        err = np.abs(d["array"].astype(float) - img.astype(float))
+        assert err.mean() < 64.0
+
+    roundtrip()
