@@ -511,3 +511,113 @@ def resize_media(
             )
 
     return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def curate_media(
+    media: DataFrame,
+    decoder="jpeg",
+    min_width: int = 0,
+    min_height: int = 0,
+    dedup: bool = True,
+    dim: int = 64,
+) -> tuple:
+    """The media analog of `clean_corpus` (clean.py): returns
+    (curated, report) where `curated` carries every payload that
+    survived the pipeline plus its pooled feature vector and decoded
+    dimensions, and `report` is the per-stage attrition frame
+    (stage, rows_in, rows_out).
+
+    Stages:
+    1. decode — payloads the seam decoder rejects are DROPPED, not
+       raised (corrupt/truncated/wrong-format files are a fact of
+       scraped corpora); decoded width/height ride along;
+    2. size — drop below min_width x min_height (thumbnail filter);
+    3. dedup — exact content dedup on md5(payload), keep lowest id
+       (same winner rule as pipeline.dedup.exact_dedup);
+    4. features — pool_features over the decoded array (dim floats).
+
+    Scale shape: decode+size+features are ONE mapInPandas pass
+    (decode runs once per surviving payload, not per stage); dedup is
+    one hash aggregate on a 16-byte key. The report's counts are per-
+    stage aggregates over the same lineage — at most two extra scans
+    of the slim (id, w, h) projection, never of the payload bytes."""
+    fn = _resolve_decoder(decoder)
+    if fn is None:
+        raise ValueError("curate_media needs a real decoder, not 'fake'")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"media_id": [], "kind": [], "payload": [], "width": [],
+                   "height": [], "feature": []}
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                raw = bytes(payload)
+                try:
+                    d = fn(raw)
+                    arr = d["array"]
+                except Exception:
+                    continue  # stage 1: undecodable -> dropped
+                w = int(d.get("width", arr.shape[1] if arr.ndim > 1 else len(arr)))
+                h = int(d.get("height", arr.shape[0]))
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["payload"].append(raw)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["feature"].append(pool_features(arr, dim).tolist())
+            if not out["media_id"]:
+                # every row dropped: a zero-row frame's empty columns
+                # can't be typed to array<float> by Arrow — yield nothing
+                continue
+            yield pd.DataFrame(out)
+
+    decoded_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("kind", StringType()),
+            StructField("payload", BinaryType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("feature", ArrayType(FloatType())),
+        ]
+    )
+    from functime_spark.materialize import materialize
+
+    n_in = media.count()
+    # one decode pass serves the size filter, dedup key, and features;
+    # materialize cuts the lineage so the report's counts and the two
+    # downstream stages never re-decode
+    decoded = materialize(media.mapInPandas(run, schema=decoded_schema))
+    n_dec = decoded.count()
+    sized = decoded.where(
+        (F.col("width") >= min_width) & (F.col("height") >= min_height)
+    )
+    n_sized = sized.count()
+    if dedup:
+        from pyspark.sql.window import Window
+
+        key = F.md5(F.col("payload").cast("binary"))
+        win_id = F.min("media_id").over(Window.partitionBy("__k"))
+        sized = (
+            sized.withColumn("__k", key)
+            .withColumn("__keep", F.col("media_id") == win_id)
+            .where("__keep")
+            .drop("__k", "__keep")
+        )
+    curated = sized
+    n_out = curated.count()
+    spark = media.sparkSession
+    report = spark.createDataFrame(
+        [
+            ("decode", n_in, n_dec),
+            ("size", n_dec, n_sized),
+            ("dedup", n_sized, n_out),
+        ],
+        "stage string, rows_in long, rows_out long",
+    )
+    return curated, report

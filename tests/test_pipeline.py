@@ -3373,3 +3373,51 @@ def test_jpeg_codec_property_sizes_and_content():
         assert err.mean() < 64.0
 
     roundtrip()
+
+
+def test_curate_media_attrition_pipeline(spark):
+    """curate_media (the media clean_corpus): undecodable payloads
+    drop at the decode stage (never raise), thumbnails at the size
+    stage, byte-identical duplicates at the dedup stage (lowest id
+    wins), and the attrition report chains each stage's counts. The
+    all-rows-dropped batch path (a partition holding only corrupt
+    payloads) must yield nothing, not a zero-row Arrow frame."""
+    import numpy as np
+    import pytest
+
+    from functime_spark.pipeline.jpeg import encode_jpeg
+    from functime_spark.pipeline.multimodal import curate_media
+
+    rng = np.random.default_rng(2)
+    big = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    small = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    other = rng.integers(0, 256, (20, 24, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(encode_jpeg(big, quality=95)), "{}"),
+        (2, "image", bytearray(encode_jpeg(big, quality=95)), "{}"),  # dup
+        (3, "image", bytearray(encode_jpeg(small, quality=95)), "{}"),
+        (4, "image", bytearray(b"corrupt bytes"), "{}"),
+        (5, "image", bytearray(encode_jpeg(other, quality=95)), "{}"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta string"
+    )
+    cur, rep = curate_media(media, decoder="jpeg", min_width=8, min_height=8)
+    got = cur.orderBy("media_id").collect()
+    assert [r["media_id"] for r in got] == [1, 5]
+    assert got[0]["width"] == 32 and got[1]["height"] == 20
+    assert all(len(r["feature"]) == 64 for r in got)
+    stages = {r["stage"]: (r["rows_in"], r["rows_out"]) for r in rep.collect()}
+    assert stages == {"decode": (5, 4), "size": (4, 3), "dedup": (3, 2)}
+
+    # every payload corrupt -> empty curated frame, report still counts
+    allbad = spark.createDataFrame(
+        [(9, "image", bytearray(b"junk"), "{}")],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    cur2, rep2 = curate_media(allbad, decoder="jpeg")
+    assert cur2.count() == 0
+    assert {r["stage"]: r["rows_out"] for r in rep2.collect()}["decode"] == 0
+
+    with pytest.raises(ValueError, match="real decoder"):
+        curate_media(media, decoder="fake")
