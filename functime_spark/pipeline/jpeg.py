@@ -407,6 +407,13 @@ def decode_jpeg(payload: bytes) -> dict:
     Huffman tables come from the file's own DQT/DHT segments."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
+    try:
+        return _decode_jpeg_inner(payload)
+    except IndexError:
+        raise ValueError("truncated JPEG stream") from None
+
+
+def _decode_jpeg_inner(payload: bytes) -> dict:
     pos = 2
     qtabs: dict = {}
     htabs: dict = {}

@@ -57,7 +57,13 @@ def write_webdataset(
     small-file explosion), shard assignment is a content hash of the
     key (stable under retries — a re-executed task rewrites the same
     shard byte-for-byte given deterministic input order, which the
-    within-shard (key, ext) sort provides)."""
+    within-shard (key, ext) sort provides).
+
+    Filesystem contract: tasks open `path` with plain tarfile, so it
+    must be visible to every executor — local disk in local mode, a
+    shared/fuse-mounted filesystem (NFS, Lustre, gcsfuse/s3-fuse) on a
+    cluster. Writing straight to an object-store URI needs a Hadoop-FS
+    streaming variant; this one keeps the stdlib-only contract."""
     cols = set(samples.columns)
     for c in (key_col, "ext", "payload"):
         if c not in cols:
