@@ -3421,3 +3421,58 @@ def test_curate_media_attrition_pipeline(spark):
 
     with pytest.raises(ValueError, match="real decoder"):
         curate_media(media, decoder="fake")
+
+
+def test_video_to_webdataset_etl_chain(spark, tmp_path):
+    """The full media-ETL chain composes: MJPEG video payloads ->
+    sample_frames (every Nth frame as a standalone JPEG) ->
+    write_webdataset tar shards -> read_webdataset -> decode. Every
+    sampled frame survives the whole chain byte-for-byte and still
+    decodes to its source frame."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from functime_spark.pipeline.jpeg import decode_jpeg
+    from functime_spark.pipeline.mjpeg import encode_mjpeg_avi
+    from functime_spark.pipeline.multimodal import sample_frames
+    from functime_spark.pipeline.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    h, w, n = 24, 32, 6
+    yy, xx = np.mgrid[0:h, 0:w]
+    videos = {}
+    rows = []
+    for vid in (1, 2):
+        frames = [
+            np.clip(
+                np.stack([xx * 200 / w + 11 * i + 40 * vid, yy * 200 / h,
+                          np.full((h, w), 25 * i)], axis=-1), 0, 255,
+            ).astype(np.uint8)
+            for i in range(n)
+        ]
+        videos[vid] = frames
+        rows.append((vid, "video",
+                     bytearray(encode_mjpeg_avi(frames, fps=10, quality=92)),
+                     "{}"))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta string"
+    )
+    frames_df = sample_frames(media, every_n=2).select(
+        F.concat_ws("_", "media_id", "frame_idx").alias("key"),
+        F.lit("jpg").alias("ext"),
+        "payload",
+    )
+    out_dir = str(tmp_path / "video_wds")
+    manifest = write_webdataset(frames_df, out_dir, n_shards=3).collect()
+    assert sum(r["n_members"] for r in manifest) == 2 * 3  # 2 videos x 3 samples
+
+    back = read_webdataset(spark, out_dir).collect()
+    assert len(back) == 6
+    for r in back:
+        vid, idx = (int(x) for x in r["key"].split("_"))
+        dec = decode_jpeg(bytes(r["payload"]))["array"]
+        src = videos[vid][idx]
+        err = np.abs(dec.astype(float) - src.astype(float)).mean()
+        assert dec.shape == src.shape and err < 8.0, (vid, idx, err)
