@@ -2250,6 +2250,67 @@ def q_cusum_events(spark, sf_dir):
     return cusum(df, threshold=3.0, warmup_period=10).orderBy("user_id", "ts")
 
 
+def _curate_media_input(spark, sf_dir):
+    """Deterministic REAL-codec media table off `documents`: every
+    doc_id gets a payload whose bytes are pure functions of the id —
+    doc_id %% 7 == 0: corrupt bytes (exercises the decode drop);
+    else %% 3 == 0: a 2x2 P5 graymap (first 4 md5 bytes — exercises
+    the size drop); else: a 4x4 P5 graymap of the 16 md5(doc_id DIV 5)
+    bytes, so groups of five consecutive ids share one payload and the
+    dedup stage has real work. Every byte is replayable in SQL."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = F.unhex(F.md5(F.expr("CAST(doc_id DIV 5 AS STRING)")))
+    payload = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit(b"corrupt bytes"))
+        .when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(b"P5\n2 2\n255\n"), F.substring(h, 1, 4)),
+        )
+        .otherwise(F.concat(F.lit(b"P5\n4 4\n255\n"), h))
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        payload.alias("payload"),
+        F.lit("{}").alias("meta"),
+    )
+
+
+def q_media_curate(spark, sf_dir):
+    """curate_media through the REAL Netpbm codec end-to-end: decode
+    drops the corrupt payloads, the 3x3 size floor drops the 2x2
+    thumbnails, md5-payload dedup keeps the lowest surviving id of
+    each five-id payload group, and the pooled features (dim=4 = mean
+    of each 4-byte bucket of the 16 gray pixels) are float32-exact —
+    the whole cascade replayed in SQL from the same md5 arithmetic."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.multimodal import curate_media
+
+    media = _curate_media_input(spark, sf_dir)
+    curated, _ = curate_media(
+        media, decoder="ppm", min_width=3, min_height=3, dim=4
+    )
+    out = curated.select(
+        "media_id", "width", "height",
+        F.posexplode("feature").alias("j", "v"),
+    ).orderBy("media_id", "j")
+    return _round_floats(out)
+
+
+def q_media_curate_report(spark, sf_dir):
+    """curate_media's per-stage attrition report (decode -> size ->
+    dedup), each stage's in/out counts replayed as plain predicates
+    over the deterministic payload construction."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.multimodal import curate_media
+
+    media = _curate_media_input(spark, sf_dir)
+    _, report = curate_media(
+        media, decoder="ppm", min_width=3, min_height=3, dim=4
+    )
+    return report.orderBy("stage")
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload → deterministic stub
     features via mapInPandas. The sha256-chained fake decoder emits
@@ -3031,6 +3092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "feat_udf_lempel_ziv": q_feat_udf_lempel_ziv,
             "cusum_events": q_cusum_events,
             "media_features": q_media_features,
+            "media_curate": q_media_curate,
+            "media_curate_report": q_media_curate_report,
             "media_resize": q_media_resize,
             "forecast_backtest_naive": q_forecast_backtest_naive,
             "forecast_conformal": q_forecast_conformal,
@@ -3072,6 +3135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never_verified_first = [
         # (a) implementation or oracle changed in round 7
         "ann_ivf_pq_refine",  # NEW this round: composed two-stage retrieval
+        "media_curate",  # NEW: real-codec curation cascade, fully replayed
+        "media_curate_report",  # NEW: its attrition report
         "future_holidays",  # 21 calendars: +lunisolar CN/KR/VN/TW/HK, Hebrew IL
         "forecast_stumps",
         "forecast_knn",

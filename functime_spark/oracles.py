@@ -1243,6 +1243,46 @@ def operator_oracles() -> dict:
         "FROM documents ORDER BY media_id"
     )
 
+    # media_curate: the REAL-codec curation cascade replayed — the
+    # payload construction is a pure function of doc_id (md5 of the
+    # five-id group key), so decode drops (% 7), size drops (% 3),
+    # min-surviving-id dedup per md5, and the 4-byte-bucket feature
+    # means are all plain SQL over the same hex-nibble arithmetic the
+    # media_features oracle uses.
+    _md5_byte = (
+        "(16 * (strpos('0123456789abcdef', substr(h, 2*{i} - 1, 1)) - 1) "
+        "+ strpos('0123456789abcdef', substr(h, 2*{i}, 1)) - 1)"
+    )
+    _curate_surv = (
+        "base AS (SELECT doc_id, md5(CAST(doc_id // 5 AS VARCHAR)) AS h "
+        "FROM documents), "
+        "surv AS (SELECT doc_id, h FROM base "
+        "WHERE doc_id % 7 != 0 AND doc_id % 3 != 0), "
+        "keep AS (SELECT MIN(doc_id) AS media_id, h FROM surv GROUP BY h)"
+    )
+    o["media_curate"] = (
+        f"WITH {_curate_surv} "
+        "SELECT media_id, CAST(4 AS BIGINT) AS width, "
+        "CAST(4 AS BIGINT) AS height, CAST(t.j AS INT) AS j, "
+        + _r(
+            "(" + " + ".join(
+                _md5_byte.format(i=f"(4*t.j + {k})") for k in (1, 2, 3, 4)
+            ) + ") / 4.0"
+        )
+        + " AS v FROM keep, range(0, 4) t(j) ORDER BY media_id, j"
+    )
+    o["media_curate_report"] = (
+        f"WITH {_curate_surv} "
+        "SELECT 'decode' AS stage, (SELECT COUNT(*) FROM base) AS rows_in, "
+        "(SELECT COUNT(*) FROM base WHERE doc_id % 7 != 0) AS rows_out "
+        "UNION ALL SELECT 'size', "
+        "(SELECT COUNT(*) FROM base WHERE doc_id % 7 != 0), "
+        "(SELECT COUNT(*) FROM surv) "
+        "UNION ALL SELECT 'dedup', (SELECT COUNT(*) FROM surv), "
+        "(SELECT COUNT(*) FROM keep) "
+        "ORDER BY stage"
+    )
+
     # text_gopher: replay every Gopher rule signal with DuckDB
     # list/regex functions; repetition fractions re-derived from
     # per-(doc, line) counts; the `passes` verdict re-evaluated on the
