@@ -2311,6 +2311,49 @@ def q_media_curate_report(spark, sf_dir):
     return report.orderBy("stage")
 
 
+_AUDIO_N, _AUDIO_RATE = 1000, 8000
+
+
+def q_media_audio(spark, sf_dir):
+    """The audio tier's time-domain features value-verified through a
+    REAL decode: each doc gets a WAV payload built IN SPARK EXPRESSIONS
+    (44-byte RIFF header + 1000 int16-LE PCM samples from the
+    deterministic formula v_i = (doc_id*7919 + i*104729) % 65536 -
+    32768, packed via format_string + unhex), decoded by the stdlib
+    `wave` codec inside extract_audio_features' mapInPandas pass; the
+    oracle recomputes duration / RMS / zero-crossing rate from the
+    same integer formula. (The spectral/MFCC columns are FFT-tier —
+    pytest-pinned against closed-form signals, not SQL-expressible.)"""
+    _ensure_nanos_conf(spark)
+    import struct as _struct
+
+    from functime_spark.pipeline.audio import extract_audio_features
+
+    n, rate = _AUDIO_N, _AUDIO_RATE
+    header = (
+        b"RIFF" + _struct.pack("<I", 36 + 2 * n) + b"WAVEfmt "
+        + _struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + _struct.pack("<I", 2 * n)
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    u = f"((doc_id * 7919 + i * 104729) % 65536)"  # unsigned sample
+    pcm_hex = F.expr(
+        "array_join(transform(sequence(0, {m}), i -> "
+        "format_string('%02X%02X', {u} % 256, ({u} DIV 256) % 256)), '')"
+        .format(m=n - 1, u=u)
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.concat(F.lit(header), F.unhex(pcm_hex)).alias("payload"),
+        F.lit("{}").alias("meta"),
+    )
+    out = extract_audio_features(media, decoder="wav").select(
+        "media_id", "duration_s", "rms", "zero_crossing_rate"
+    )
+    return _round_floats(out.orderBy("media_id"))
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload → deterministic stub
     features via mapInPandas. The sha256-chained fake decoder emits
@@ -3093,6 +3136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cusum_events": q_cusum_events,
             "media_features": q_media_features,
             "media_curate": q_media_curate,
+            "media_audio": q_media_audio,
             "media_curate_report": q_media_curate_report,
             "media_resize": q_media_resize,
             "forecast_backtest_naive": q_forecast_backtest_naive,

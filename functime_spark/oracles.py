@@ -1271,6 +1271,30 @@ def operator_oracles() -> dict:
         )
         + " AS v FROM keep, range(0, 4) t(j) ORDER BY media_id, j"
     )
+    # media_audio: the time-domain audio features replayed from the
+    # SAME integer PCM formula the Spark query packs into real WAV
+    # bytes — duration = n/rate exactly, rms over v/32768, zcr as the
+    # sign-flip rate of consecutive samples (numpy signbit: v < 0).
+    _aud = (
+        "samples AS (SELECT doc_id, t.i AS i, "
+        "CAST(CASE WHEN u < 32768 THEN u ELSE u - 65536 END AS DOUBLE) "
+        "/ 32768.0 AS x FROM (SELECT doc_id, t.i, "
+        "(doc_id * 7919 + t.i * 104729) % 65536 AS u "
+        "FROM documents, range(0, 1000) t(i)) t(doc_id, i, u)), "
+        "flips AS (SELECT doc_id, AVG(CASE WHEN (x < 0) != (px < 0) "
+        "THEN 1.0 ELSE 0.0 END) AS zcr FROM (SELECT doc_id, x, "
+        "lag(x) OVER (PARTITION BY doc_id ORDER BY i) AS px FROM samples) "
+        "WHERE px IS NOT NULL GROUP BY doc_id)"
+    )
+    o["media_audio"] = (
+        f"WITH {_aud} "
+        "SELECT s.doc_id AS media_id, 0.125 AS duration_s, "
+        + _r("sqrt(AVG(s.x * s.x))") + " AS rms, "
+        + _r("MAX(f.zcr)") + " AS zero_crossing_rate "
+        "FROM samples s JOIN flips f ON s.doc_id = f.doc_id "
+        "GROUP BY s.doc_id ORDER BY media_id"
+    )
+
     o["media_curate_report"] = (
         f"WITH {_curate_surv} "
         "SELECT 'decode' AS stage, (SELECT COUNT(*) FROM base) AS rows_in, "
