@@ -2317,9 +2317,10 @@ _AUDIO_N, _AUDIO_RATE = 1000, 8000
 def q_media_audio(spark, sf_dir):
     """The audio tier's time-domain features value-verified through a
     REAL decode: each doc gets a WAV payload built IN SPARK EXPRESSIONS
-    (44-byte RIFF header + 1000 int16-LE PCM samples from the
-    deterministic formula v_i = (doc_id*7919 + i*104729) % 65536 -
-    32768, packed via format_string + unhex), decoded by the stdlib
+    (44-byte RIFF header + 1000 int16-LE PCM samples: the unsigned
+    word u_i = (doc_id*7919 + i*104729) % 65536 packed via
+    format_string + unhex, which wave reads back as the two's-
+    complement value u - 65536*(u >= 32768)), decoded by the stdlib
     `wave` codec inside extract_audio_features' mapInPandas pass; the
     oracle recomputes duration / RMS / zero-crossing rate from the
     same integer formula. (The spectral/MFCC columns are FFT-tier —
@@ -3181,6 +3182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq_refine",  # NEW this round: composed two-stage retrieval
         "media_curate",  # NEW: real-codec curation cascade, fully replayed
         "media_curate_report",  # NEW: its attrition report
+        "media_audio",  # NEW: time-domain audio features, SQL-replayed
         "future_holidays",  # 21 calendars: +lunisolar CN/KR/VN/TW/HK, Hebrew IL
         "forecast_stumps",
         "forecast_knn",
