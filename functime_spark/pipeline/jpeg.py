@@ -409,7 +409,9 @@ def decode_jpeg(payload: bytes) -> dict:
         raise ValueError("not a JPEG payload (missing SOI)")
     try:
         return _decode_jpeg_inner(payload)
-    except IndexError:
+    except (IndexError, struct.error):
+        # cuts inside a marker length field surface as struct.error,
+        # inside entropy data as IndexError — one contract either way
         raise ValueError("truncated JPEG stream") from None
 
 

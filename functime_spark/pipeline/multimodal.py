@@ -536,11 +536,15 @@ def curate_media(
        (same winner rule as pipeline.dedup.exact_dedup);
     4. features — pool_features over the decoded array (dim floats).
 
-    Scale shape: decode+size+features are ONE mapInPandas pass
-    (decode runs once per surviving payload, not per stage); dedup is
-    one hash aggregate on a 16-byte key. The report's counts are per-
-    stage aggregates over the same lineage — at most two extra scans
-    of the slim (id, w, h) projection, never of the payload bytes."""
+    Scale shape: decode+size+features are ONE mapInPandas pass over
+    the caller's lineage (dropped rows come back as null-width MARKER
+    rows, so the decode-stage in/out counts need no second pass over
+    the input); dedup is ONE min_by hash aggregate on the 16-byte
+    md5(payload) key — map-side partial, no sort, the exact_dedup
+    shape, never a payload-carrying window sort. Both the decode
+    output and the deduped result are materialized, so the report's
+    counts and the caller's consumption each read a lineage-cut copy
+    instead of re-running decode or the dedup shuffle."""
     fn = _resolve_decoder(decoder)
     if fn is None:
         raise ValueError("curate_media needs a real decoder, not 'fake'")
@@ -556,12 +560,20 @@ def curate_media(
             for mid, kind, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
-                raw = bytes(payload)
                 try:
+                    raw = bytes(payload)  # NULL payload -> drop, not raise
                     d = fn(raw)
                     arr = d["array"]
                 except Exception:
-                    continue  # stage 1: undecodable -> dropped
+                    # stage 1: undecodable -> a null-width marker row
+                    # (counted as input, filtered as decode attrition)
+                    out["media_id"].append(mid)
+                    out["kind"].append(kind)
+                    out["payload"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["feature"].append(None)
+                    continue
                 w = int(d.get("width", arr.shape[1] if arr.ndim > 1 else len(arr)))
                 h = int(d.get("height", arr.shape[0]))
                 out["media_id"].append(mid)
@@ -570,10 +582,6 @@ def curate_media(
                 out["width"].append(w)
                 out["height"].append(h)
                 out["feature"].append(pool_features(arr, dim).tolist())
-            if not out["media_id"]:
-                # every row dropped: a zero-row frame's empty columns
-                # can't be typed to array<float> by Arrow — yield nothing
-                continue
             yield pd.DataFrame(out)
 
     decoded_schema = StructType(
@@ -588,28 +596,30 @@ def curate_media(
     )
     from functime_spark.materialize import materialize
 
-    n_in = media.count()
-    # one decode pass serves the size filter, dedup key, and features;
-    # materialize cuts the lineage so the report's counts and the two
-    # downstream stages never re-decode
+    # ONE decode pass over the caller's lineage emits survivors AND
+    # drop markers; materialize cuts the lineage so every count below
+    # and the caller's consumption never re-decode
     decoded = materialize(media.mapInPandas(run, schema=decoded_schema))
-    n_dec = decoded.count()
-    sized = decoded.where(
+    n_in = decoded.count()
+    valid = decoded.where(F.col("width").isNotNull())
+    n_dec = valid.count()
+    sized = valid.where(
         (F.col("width") >= min_width) & (F.col("height") >= min_height)
     )
     n_sized = sized.count()
     if dedup:
-        from pyspark.sql.window import Window
-
-        key = F.md5(F.col("payload").cast("binary"))
-        win_id = F.min("media_id").over(Window.partitionBy("__k"))
-        sized = (
-            sized.withColumn("__k", key)
-            .withColumn("__keep", F.col("media_id") == win_id)
-            .where("__keep")
-            .drop("__k", "__keep")
+        # the exact_dedup shape: one md5-keyed min_by hash aggregate
+        # (map-side combine, no sort) carries each key's winning row
+        # through a single shuffle of the already-filtered survivors
+        cols = sized.columns
+        winner = (
+            sized.groupBy(F.md5("payload").alias("__k"))
+            .agg(F.min_by(F.struct(*cols), "media_id").alias("__row"))
+            .select(*[F.col(f"__row.{c}").alias(c) for c in cols])
         )
-    curated = sized
+        curated = materialize(winner)
+    else:
+        curated = sized
     n_out = curated.count()
     spark = media.sparkSession
     report = spark.createDataFrame(

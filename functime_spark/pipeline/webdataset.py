@@ -56,8 +56,11 @@ def write_webdataset(
     Layout notes for 100 TB: one output file per shard task (no
     small-file explosion), shard assignment is a content hash of the
     key (stable under retries — a re-executed task rewrites the same
-    shard byte-for-byte given deterministic input order, which the
-    within-shard (key, ext) sort provides).
+    shard byte-for-byte: the within-shard sort orders by (key, ext,
+    md5(payload)) so even duplicate (key, ext) rows have one order,
+    and each task writes to a temp name and atomically renames at
+    close, so a speculative or retried attempt can never interleave
+    with another's partial file).
 
     Filesystem contract: tasks open `path` with plain tarfile, so it
     must be visible to every executor — local disk in local mode, a
@@ -77,14 +80,19 @@ def write_webdataset(
         samples.select(F.col(key_col).cast("string").alias("__key"),
                        F.col("ext"), F.col("payload"), shard)
         .repartition(n_shards, "__shard")
-        .sortWithinPartitions("__shard", "__key", "ext")
+        .sortWithinPartitions(
+            "__shard", "__key", "ext", F.md5(F.col("payload"))
+        )
     )
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        import uuid as _uuid
+
         handles: dict = {}
         counts: dict = {}
+        attempt = _uuid.uuid4().hex
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -94,7 +102,7 @@ def write_webdataset(
                 sh = int(sh)
                 if sh not in handles:
                     fname = os.path.join(path, f"{prefix}-{sh:05d}.tar")
-                    handles[sh] = tarfile.open(fname, "w")
+                    handles[sh] = tarfile.open(f"{fname}.{attempt}.tmp", "w")
                     counts[sh] = [fname, 0, 0]
                 data = bytes(payload)
                 info = tarfile.TarInfo(name=f"{key}.{ext}")
@@ -102,9 +110,13 @@ def write_webdataset(
                 info.mtime = 0  # deterministic bytes across retries
                 handles[sh].addfile(info, io.BytesIO(data))
                 counts[sh][1] += 1
-                counts[sh][2] += len(data)
         for sh, h in handles.items():
             h.close()
+            # atomic publish: last completed attempt wins with
+            # identical bytes (deterministic member order above)
+            os.replace(f"{counts[sh][0]}.{attempt}.tmp", counts[sh][0])
+            # manifest n_bytes = the tar FILE size (payload bytes +
+            # tar header/padding overhead), not the payload sum
             counts[sh][2] = os.path.getsize(counts[sh][0])
         yield pd.DataFrame(
             {

@@ -3410,6 +3410,17 @@ def test_curate_media_attrition_pipeline(spark):
     stages = {r["stage"]: (r["rows_in"], r["rows_out"]) for r in rep.collect()}
     assert stages == {"decode": (5, 4), "size": (4, 3), "dedup": (3, 2)}
 
+    # NULL payloads drop at decode (contract: dropped, never raised)
+    withnull = spark.createDataFrame(
+        [(1, "image", bytearray(encode_jpeg(big, quality=95)), "{}"),
+         (8, "image", None, "{}")],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    curn, repn = curate_media(withnull, decoder="jpeg")
+    assert [r["media_id"] for r in curn.collect()] == [1]
+    assert {r["stage"]: (r["rows_in"], r["rows_out"])
+            for r in repn.collect()}["decode"] == (2, 1)
+
     # every payload corrupt -> empty curated frame, report still counts
     allbad = spark.createDataFrame(
         [(9, "image", bytearray(b"junk"), "{}")],
