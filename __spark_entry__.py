@@ -849,7 +849,7 @@ def q_future_calendar(spark, sf_dir):
 
 
 def q_future_holidays(spark, sf_dir):
-    """21 vendored calendars over a 400-day future index (ref
+    """22 vendored calendars over a 400-day future index (ref
     calendar.py:56-152) — the span covers every fixed, nth-weekday,
     Monday-on-or-before, Sunday-shift (Koningsdag), sexennial (MX
     transmision), Gregorian Easter-computus, ORTHODOX Easter-computus
@@ -871,7 +871,7 @@ def q_future_holidays(spark, sf_dir):
     out = make_future_holiday_effects(
         df,
         ["US", "DE", "GB", "CA", "NL", "BR", "MX", "NO", "PT", "JP", "GR",
-         "ZA", "SA", "ID", "EG", "CN", "KR", "VN", "TW", "HK", "IL"],
+         "ZA", "SA", "ID", "EG", "CN", "KR", "VN", "TW", "HK", "IL", "PH"],
         fh=400, freq="1d",
     )
     return out.orderBy("user_id", "ts")

@@ -1458,3 +1458,49 @@ def _hr(year: int) -> list:
 
 
 _COUNTRIES.update({"HU": _hu, "SK": _sk, "RO": _ro, "BG": _bg, "HR": _hr})
+
+
+def _ph(year: int) -> list:
+    """Philippines: regular holidays + the recurring special
+    (non-working) days, one row each like the `holidays` package.
+    Proclamation-dependent days (the two Eids, one-off special days)
+    are omitted — they are gazetted per-year, not rule-derivable.
+    Chinese New Year (special day since 2012) rides the vendored
+    lunisolar arithmetic."""
+    ea = _easter(year)
+    e = [
+        (_dt.date(year, 1, 1), "new_years_day"),
+        (ea - _dt.timedelta(days=3), "maundy_thursday"),
+        (ea - _dt.timedelta(days=2), "good_friday"),
+        (ea - _dt.timedelta(days=1), "black_saturday"),
+        (_dt.date(year, 4, 9), "araw_ng_kagitingan"),
+        (_dt.date(year, 5, 1), "labor_day"),
+        (_dt.date(year, 6, 12), "independence_day"),
+        (_last_monday(year, 8), "national_heroes_day"),
+        (_dt.date(year, 11, 1), "all_saints_day"),
+        (_dt.date(year, 11, 30), "bonifacio_day"),
+        (_dt.date(year, 12, 8), "feast_of_the_immaculate_conception"),
+        (_dt.date(year, 12, 25), "christmas_day"),
+        (_dt.date(year, 12, 30), "rizal_day"),
+        (_dt.date(year, 12, 31), "last_day_of_the_year"),
+    ]
+    if year >= 2004:
+        e.append((_dt.date(year, 8, 21), "ninoy_aquino_day"))
+    if year >= 2012:
+        lny = _lunar_date(year, 1, 1)
+        if lny is not None:
+            e.append((lny, "chinese_new_year"))
+    return e
+
+
+def _last_monday(year: int, month: int) -> _dt.date:
+    """Last Monday of the month (PH National Heroes Day rule since
+    2007; RA 9492)."""
+    if month == 12:
+        last = _dt.date(year, 12, 31)
+    else:
+        last = _dt.date(year, month + 1, 1) - _dt.timedelta(days=1)
+    return last - _dt.timedelta(days=(last.weekday() - 0) % 7)
+
+
+_COUNTRIES["PH"] = _ph

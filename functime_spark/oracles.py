@@ -2242,6 +2242,31 @@ def operator_oracles() -> dict:
         "WHERE year(i5) >= 1948"
         ") q JOIN yrs ON year(q.d) = yrs.y"
     )
+    _ph_rules = (
+        "SELECT make_date(y,1,1) AS d, 'new_years_day' AS nm FROM yrs "
+        "UNION ALL SELECT e - to_days(3), 'maundy_thursday' FROM easter "
+        "UNION ALL SELECT e - to_days(2), 'good_friday' FROM easter "
+        "UNION ALL SELECT e - to_days(1), 'black_saturday' FROM easter "
+        "UNION ALL SELECT make_date(y,4,9), 'araw_ng_kagitingan' FROM yrs "
+        "UNION ALL SELECT make_date(y,5,1), 'labor_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,6,12), 'independence_day' FROM yrs "
+        # last Monday of August: Aug 31 minus its Monday-offset
+        "UNION ALL SELECT make_date(y,8,31) - "
+        "to_days(CAST((isodow(make_date(y,8,31)) - 1) % 7 AS INT)), "
+        "'national_heroes_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,8,21), 'ninoy_aquino_day' FROM yrs "
+        "WHERE y >= 2004 "
+        "UNION ALL SELECT make_date(y,11,1), 'all_saints_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,11,30), 'bonifacio_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,8), "
+        "'feast_of_the_immaculate_conception' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'christmas_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,30), 'rizal_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,31), 'last_day_of_the_year' FROM yrs "
+        "UNION ALL SELECT l.d, 'chinese_new_year' FROM lun l "
+        "JOIN yrs ON year(l.d) = yrs.y "
+        "WHERE l.lm = 1 AND l.ld = 1 AND yrs.y >= 2012"
+    )
     o["future_holidays"] = (
         "WITH c AS (SELECT user_id, MAX(ts) AS low FROM events GROUP BY user_id), "
         "fut AS (SELECT c.user_id, c.low + i * INTERVAL '1 day' AS ts "
@@ -2262,6 +2287,7 @@ def operator_oracles() -> dict:
                 ("sa", _sa_rules), ("id_", _id_rules), ("eg", _eg_rules),
                 ("cn", _cn_rules), ("kr", _kr_rules), ("vn", _vn_rules),
                 ("tw", _tw_rules), ("hk", _hk_rules), ("il", _il_rules),
+                ("ph", _ph_rules),
             ]
         )
         + " "
@@ -2272,7 +2298,7 @@ def operator_oracles() -> dict:
         "gr.nm AS holiday__gr, za.nm AS holiday__za, sa.nm AS holiday__sa, "
         "id_.nm AS holiday__id, eg.nm AS holiday__eg, cn.nm AS holiday__cn, "
         "kr.nm AS holiday__kr, vn.nm AS holiday__vn, tw.nm AS holiday__tw, "
-        "hk.nm AS holiday__hk, il.nm AS holiday__il "
+        "hk.nm AS holiday__hk, il.nm AS holiday__il, ph.nm AS holiday__ph "
         "FROM fut f LEFT JOIN us ON CAST(f.ts AS DATE) = us.d "
         "LEFT JOIN de ON CAST(f.ts AS DATE) = de.d "
         "LEFT JOIN gb ON CAST(f.ts AS DATE) = gb.d "
@@ -2294,6 +2320,7 @@ def operator_oracles() -> dict:
         "LEFT JOIN tw ON CAST(f.ts AS DATE) = tw.d "
         "LEFT JOIN hk ON CAST(f.ts AS DATE) = hk.d "
         "LEFT JOIN il ON CAST(f.ts AS DATE) = il.d "
+        "LEFT JOIN ph ON CAST(f.ts AS DATE) = ph.d "
         "ORDER BY user_id, ts"
     )
 

@@ -571,3 +571,24 @@ def test_vendored_rule_only_european_calendars():
     hr19 = dict((n, d) for d, n in vendored_holidays("HR", [2019]))
     assert hr19["dan_drzavnosti"] == dt.date(2019, 6, 25)
     assert hr19["dan_neovisnosti"] == dt.date(2019, 10, 8)
+
+
+def test_vendored_philippines():
+    """PH (round 7): regular + recurring special days — computus
+    triduum, last-Monday National Heroes rule, lunisolar Chinese New
+    Year, year-guarded Ninoy Aquino Day; proclamation-gazetted days
+    (Eids, one-offs) are deliberately absent."""
+    import datetime as dt
+
+    from functime_spark.operators.holidays_vendored import vendored_holidays
+
+    ph = dict((n, d) for d, n in vendored_holidays("PH", [2024]))
+    assert ph["maundy_thursday"] == dt.date(2024, 3, 28)
+    assert ph["black_saturday"] == dt.date(2024, 3, 30)
+    assert ph["national_heroes_day"] == dt.date(2024, 8, 26)
+    assert ph["chinese_new_year"] == dt.date(2024, 2, 10)
+    assert ph["rizal_day"] == dt.date(2024, 12, 30)
+    ph25 = dict((n, d) for d, n in vendored_holidays("PH", [2025]))
+    assert ph25["national_heroes_day"] == dt.date(2025, 8, 25)
+    ph03 = dict((n, d) for d, n in vendored_holidays("PH", [2003]))
+    assert "ninoy_aquino_day" not in ph03  # statutory since 2004
