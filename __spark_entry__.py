@@ -1443,6 +1443,9 @@ def q_corpus_clean_attrition(spark, sf_dir):
         minhash_hash_fn="md5",
         max_tier=2,
         score_round=6,
+        # pinned: oracle replays exact-percentile tier cuts (library
+        # default is the bounded-state sketch — r7-verdict recipe)
+        exact_tiers=True,
     )
     return rep.orderBy("stage")
 
@@ -1766,7 +1769,9 @@ def q_text_quality_tiers(spark, sf_dir):
     """Curriculum bucketing: LM cross-entropy -> exact-percentile
     quartile tiers (NOT ntile — no single-partition sort). Tiers are
     cut on the 6-decimal-rounded score so both engines compare
-    identical doubles."""
+    identical doubles. `exact=True` is PINNED here (the library
+    default is the bounded-state GK sketch, not value-oracle-
+    comparable) — the r7-verdict bounded-default recipe."""
     _ensure_nanos_conf(spark)
     from functime_spark.pipeline.lm import ngram_lm_score, quality_tiers
 
@@ -1774,7 +1779,7 @@ def q_text_quality_tiers(spark, sf_dir):
     scored = _round_floats(
         ngram_lm_score(docs, alpha=0.5, lam=0.7).select("doc_id", "cross_entropy")
     )
-    return quality_tiers(scored, n_tiers=4).orderBy("doc_id")
+    return quality_tiers(scored, n_tiers=4, exact=True).orderBy("doc_id")
 
 
 def q_embedding_stats(spark, sf_dir):
@@ -2780,12 +2785,15 @@ def q_embedding_kmeans(spark, sf_dir):
 def q_corpus_quantiles(spark, sf_dir):
     """Exact per-lang char-length quantiles (R-7 linear interpolation
     — Spark `percentile` == DuckDB `quantile_cont`) in ONE hash
-    aggregate computing all four cut points."""
+    aggregate computing all four cut points. `approx=False` is PINNED
+    here (the library default is the bounded-state sketch, not
+    value-oracle-comparable) — the r7-verdict bounded-default
+    recipe."""
     _ensure_nanos_conf(spark)
     from functime_spark.pipeline.sampling import corpus_quantiles
 
     docs = load_table(spark, sf_dir, "documents")
-    return _round_floats(corpus_quantiles(docs)).orderBy("lang")
+    return _round_floats(corpus_quantiles(docs, approx=False)).orderBy("lang")
 
 
 def q_text_bpe_vocab(spark, sf_dir):
@@ -2985,7 +2993,7 @@ _SKIP_FEATURES: set = set()  # features temporarily excluded from the gate
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Risk-first ordering: forecasters, metrics, dedup, streaming and
-    # the other composite queries come BEFORE the 54 feat_* entries so
+    # the other composite queries come BEFORE the 56 feat_* entries so
     # a driver that truncates its correctness window at ~50 still
     # covers the high-risk surface (round-1 verdict item 5).
     q: dict[str, Callable] = {}

@@ -170,7 +170,10 @@ def main() -> None:
         from functime_spark.pipeline.lm import ngram_lm_score, quality_tiers
 
         docs = load_table(spark, SF_DIR, "documents")
-        quality_tiers(ngram_lm_score(docs)).count()
+        # exact=True pinned: the r1-r7 comparable subtotals timed the
+        # exact-percentile cut; the library default flipped to the
+        # bounded GK sketch in r8 (scale-safe default, exact opt-in)
+        quality_tiers(ngram_lm_score(docs), exact=True).count()
 
     bench("lm_quality_tiers", _q9)
 

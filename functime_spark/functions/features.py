@@ -676,6 +676,23 @@ def var_gt_std(c: PanelCtx, ddof: int = 1) -> Column:
     return v >= 1
 
 
+def skewness(c: PanelCtx) -> Column:
+    """Population skewness g1 = m3 / m2^1.5 — the tsfresh battery's
+    `skewness` and Polars' `Expr.skew(bias=True)`, which the reference
+    battery reaches through the host expression API rather than its
+    own extractor file. Spark's built-in F.skewness computes exactly
+    this (central-moment, population-normalized)."""
+    return F.skewness(c.x)
+
+
+def kurtosis(c: PanelCtx) -> Column:
+    """Population EXCESS kurtosis g2 = m4 / m2^2 - 3 — the tsfresh
+    battery's `kurtosis` and Polars' `Expr.kurtosis(fisher=True,
+    bias=True)`, reached via the host expression API in the reference.
+    Spark's built-in F.kurtosis computes exactly this."""
+    return F.kurtosis(c.x)
+
+
 def harmonic_mean(c: PanelCtx) -> Column:
     """n / sum(1/x). Ref :1698-1711."""
     return F.count(c.x) / F.sum(F.lit(1.0) / c.x)
@@ -823,6 +840,8 @@ FEATURES: dict = {
     "time_reversal_asymmetry_statistic": (time_reversal_asymmetry_statistic, {"n_lags": 1}),
     "variation_coefficient": (variation_coefficient, {}),
     "var_gt_std": (var_gt_std, {"ddof": 1}),
+    "skewness": (skewness, {}),
+    "kurtosis": (kurtosis, {}),
     "harmonic_mean": (harmonic_mean, {}),
     "range_over_mean": (range_over_mean, {}),
     "range_change": (range_change, {"percentage": True}),

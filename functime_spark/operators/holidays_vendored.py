@@ -1476,7 +1476,15 @@ def _ph(year: int) -> list:
         (_dt.date(year, 4, 9), "araw_ng_kagitingan"),
         (_dt.date(year, 5, 1), "labor_day"),
         (_dt.date(year, 6, 12), "independence_day"),
-        (_last_monday(year, 8), "national_heroes_day"),
+        # RA 9492 (2007) moved National Heroes Day to the last Monday
+        # of August; before that EO 292 (Admin Code of 1987) observed
+        # the last SUNDAY of August
+        (
+            _last_monday(year, 8)
+            if year >= 2007
+            else _last_monday(year, 8, weekday=6),
+            "national_heroes_day",
+        ),
         (_dt.date(year, 11, 1), "all_saints_day"),
         (_dt.date(year, 11, 30), "bonifacio_day"),
         (_dt.date(year, 12, 8), "feast_of_the_immaculate_conception"),
@@ -1493,14 +1501,15 @@ def _ph(year: int) -> list:
     return e
 
 
-def _last_monday(year: int, month: int) -> _dt.date:
-    """Last Monday of the month (PH National Heroes Day rule since
-    2007; RA 9492)."""
+def _last_monday(year: int, month: int, weekday: int = 0) -> _dt.date:
+    """Last `weekday` (0=Monday .. 6=Sunday) of the month. Monday is
+    the PH National Heroes Day rule since 2007 (RA 9492); Sunday the
+    pre-2007 EO 292 rule."""
     if month == 12:
         last = _dt.date(year, 12, 31)
     else:
         last = _dt.date(year, month + 1, 1) - _dt.timedelta(days=1)
-    return last - _dt.timedelta(days=(last.weekday() - 0) % 7)
+    return last - _dt.timedelta(days=(last.weekday() - weekday) % 7)
 
 
 _COUNTRIES["PH"] = _ph

@@ -595,6 +595,22 @@ def feature_oracles() -> dict:
     o["variation_coefficient"] = _agg(
         _r("stddev_pop(x)/AVG(x)"), "variation_coefficient"
     )
+    # skewness / kurtosis: population central moments (Spark's
+    # F.skewness / F.kurtosis semantics: g1 = m3/m2^1.5, g2 =
+    # m4/m2^2 - 3). Centered via a mean CTE so the 4th-power sums
+    # don't cancel catastrophically.
+    _cent = (
+        ", mu AS (SELECT e, AVG(x) AS m FROM p GROUP BY e), "
+        "d AS (SELECT p.e, p.x - mu.m AS xc FROM p JOIN mu USING (e))"
+    )
+    o["skewness"] = _agg(
+        _r("AVG(xc*xc*xc) / POW(AVG(xc*xc), 1.5)"),
+        "skewness", extra_cte=_cent, src="d",
+    )
+    o["kurtosis"] = _agg(
+        _r("AVG(xc*xc*xc*xc) / POW(AVG(xc*xc), 2.0) - 3.0"),
+        "kurtosis", extra_cte=_cent, src="d",
+    )
     o["harmonic_mean"] = _agg(_r("COUNT(x)/SUM(1.0/x)"), "harmonic_mean")
     o["range_over_mean"] = _agg(_r("(MAX(x)-MIN(x))/AVG(x)"), "range_over_mean")
     o["range_change"] = _agg(_r("MAX(x)/MIN(x) - 1.0"), "range_change")
@@ -2250,9 +2266,11 @@ def operator_oracles() -> dict:
         "UNION ALL SELECT make_date(y,4,9), 'araw_ng_kagitingan' FROM yrs "
         "UNION ALL SELECT make_date(y,5,1), 'labor_day' FROM yrs "
         "UNION ALL SELECT make_date(y,6,12), 'independence_day' FROM yrs "
-        # last Monday of August: Aug 31 minus its Monday-offset
-        "UNION ALL SELECT make_date(y,8,31) - "
-        "to_days(CAST((isodow(make_date(y,8,31)) - 1) % 7 AS INT)), "
+        # last Monday of August (RA 9492, >=2007): Aug 31 minus its
+        # Monday-offset; pre-2007 (EO 292) the last SUNDAY of August
+        "UNION ALL SELECT make_date(y,8,31) - to_days(CAST((isodow("
+        "make_date(y,8,31)) - CASE WHEN y >= 2007 THEN 1 ELSE 7 END "
+        "+ 7) % 7 AS INT)), "
         "'national_heroes_day' FROM yrs "
         "UNION ALL SELECT make_date(y,8,21), 'ninoy_aquino_day' FROM yrs "
         "WHERE y >= 2004 "

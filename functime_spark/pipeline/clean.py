@@ -39,6 +39,7 @@ def clean_corpus(
     max_tier: int | None = None,
     n_tiers: int = 4,
     score_round: int | None = None,
+    exact_tiers: bool = False,
 ) -> tuple:
     """Returns (clean_docs, report): the surviving documents and a
     per-stage attrition DataFrame (stage, docs_in, docs_out).
@@ -63,7 +64,10 @@ def clean_corpus(
     2. exact   — md5 exact dedup, keep min id;
     3. minhash — MinHash-LSH near-dup pairs -> keep cluster canonical;
     4. decontaminate — drop docs sharing word n-grams with `benchmark`;
-    5. perplexity — keep tiers <= max_tier under the corpus bigram LM.
+    5. perplexity — keep tiers <= max_tier under the corpus bigram LM
+       (``exact_tiers=False`` by default: tier cuts come from the
+       bounded-state GK sketch — scale-safe; pass ``exact_tiers=True``
+       for the exact-percentile cuts the value oracles replay).
 
     Each stage input is the previous stage's output, so expensive
     stages see an already-shrunk corpus. ONE action per stage: a
@@ -178,7 +182,7 @@ def clean_corpus(
                 "cross_entropy",
                 F.round(F.col("cross_entropy") + F.lit(1e-9), score_round),
             )
-        scored = quality_tiers(lm_scored, n_tiers=n_tiers)
+        scored = quality_tiers(lm_scored, n_tiers=n_tiers, exact=exact_tiers)
         keep = scored.filter(F.col("tier") <= max_tier).select(id_col)
         step("perplexity_tier", cur.join(keep, on=id_col, how="left_semi"))
 

@@ -409,9 +409,12 @@ def decode_jpeg(payload: bytes) -> dict:
         raise ValueError("not a JPEG payload (missing SOI)")
     try:
         return _decode_jpeg_inner(payload)
-    except (IndexError, struct.error):
+    except (IndexError, struct.error, _MarkerHit):
         # cuts inside a marker length field surface as struct.error,
-        # inside entropy data as IndexError — one contract either way
+        # inside entropy data as IndexError, and a cut entropy stream
+        # followed by a stray marker (e.g. EOI appended after
+        # truncation — common in corrupt scraped files) as a
+        # _MarkerHit escaping the MCU loop — one contract either way
         raise ValueError("truncated JPEG stream") from None
 
 
@@ -497,6 +500,15 @@ def _decode_jpeg_inner(payload: bytes) -> dict:
     sel, data_pos = scan
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    for c in comps:
+        # legal T.81 factors that don't divide hmax/vmax (e.g. 3:2)
+        # would integer-upsample to the wrong plane size — reject with
+        # a clear message rather than an opaque broadcast error
+        if c["h"] < 1 or c["v"] < 1 or hmax % c["h"] or vmax % c["v"]:
+            raise ValueError(
+                "unsupported chroma sampling factors "
+                f"(component {c['id']}: {c['h']}x{c['v']} vs max {hmax}x{vmax})"
+            )
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
     planes = [

@@ -183,7 +183,7 @@ def quality_tiers(
     n_tiers: int = 4,
     score_col: str = "cross_entropy",
     ascending: bool = True,
-    exact: bool = True,
+    exact: bool = False,
     accuracy: int = 10000,
 ) -> DataFrame:
     """Curriculum/quality bucketing: tier 0..n-1 by score percentile
@@ -195,14 +195,16 @@ def quality_tiers(
     single-partition window sort at corpus scale, and percentile cuts
     are stable under re-partitioning.
 
-    ``exact=True`` (default, the oracle-replayed semantics) uses the
-    exact percentile aggregate, whose final merge buffers one entry
-    per DISTINCT score — fine at test scale, O(n_docs) memory for
-    continuous scores at corpus scale. At 100 TB pass ``exact=False``:
-    approx_percentile's mergeable GK sketch bounds the aggregation
-    state at O(accuracy) regardless of corpus size (rank error <=
-    1/accuracy, i.e. a few mis-tiered docs per ten thousand at the
-    default — noise for curriculum bucketing)."""
+    ``exact=False`` (the DEFAULT — bounded state is the scale-safe
+    default, exact is the opt-in) uses approx_percentile's mergeable
+    GK sketch: aggregation state is O(accuracy) regardless of corpus
+    size (rank error <= 1/accuracy, i.e. a few mis-tiered docs per
+    ten thousand at the default — noise for curriculum bucketing).
+    ``exact=True`` (the oracle-replayed semantics, pinned explicitly
+    by the `text_quality_tiers` gate query) uses the exact percentile
+    aggregate, whose final merge buffers one entry per DISTINCT score
+    — fine at test scale, O(n_docs) memory for continuous scores at
+    100 TB. Same recipe as `boosted_stumps`' histogram default."""
     # the scored frame feeds BOTH the percentile aggregate and the
     # output projection; un-cut, the whole upstream scoring chain (LM
     # joins, source scans) runs twice. One row per doc, few columns —

@@ -377,22 +377,22 @@ def corpus_quantiles(
     value_col: str = "n_chars",
     strata_col: str = "lang",
     qs: tuple = (0.25, 0.5, 0.75, 0.95),
-    approx: bool = False,
+    approx: bool = True,
 ) -> DataFrame:
-    """Exact per-domain length quantiles (linear interpolation — the
-    R-7 definition both Spark's `percentile` and DuckDB's
-    `quantile_cont` implement): the distribution diagnostic behind
-    length-based quality cuts.
+    """Per-domain length quantiles: the distribution diagnostic
+    behind length-based quality cuts.
 
-    ONE hash aggregate: `percentile(col, array(...))` computes every
-    requested quantile in a single pass with map-side partial
-    aggregation (per-group sorted merge happens reduce-side on the
-    grouped values, never a global sort). ``approx=True`` swaps in
-    `percentile_approx` (KLL-style bounded-memory sketch, same plan
-    shape) — at 100 TB the exact reduce holds a group's values in
-    memory, the sketch holds ~O(1/eps); cut points then differ from
-    the exact answer within the sketch's rank error, so the value
-    oracle only gates the exact path."""
+    ONE hash aggregate either way. ``approx=True`` (the DEFAULT —
+    bounded state is the scale-safe default) uses `percentile_approx`
+    (GK-style mergeable bounded-memory sketch, ~O(accuracy) state per
+    group regardless of group size). ``approx=False`` (opt-in, pinned
+    explicitly by the `corpus_quantiles` gate query because only the
+    exact path is value-oracle-comparable) uses exact `percentile`
+    (linear interpolation — the R-7 definition both Spark and DuckDB's
+    `quantile_cont` implement), whose reduce-side merge holds a whole
+    group's values in one reducer's memory — with ~10 langs over
+    100 TB that is billions of doubles per group. Map-side partial
+    aggregation applies in both modes; never a global sort."""
     probs = F.array(*[F.lit(float(q)) for q in qs])
     if approx:
         pct = F.percentile_approx(F.col(value_col).cast("double"), probs)

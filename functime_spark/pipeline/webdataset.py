@@ -26,6 +26,7 @@ from __future__ import annotations
 import io
 import os
 import tarfile
+import warnings
 from typing import Iterator
 
 from pyspark.sql import DataFrame
@@ -38,6 +39,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# binaryFile materializes one whole shard per row: hard 2 GiB source
+# limit, full-shard task memory. Warn well under it (see
+# write_webdataset's scale_wall).
+SHARD_BYTES_WALL = 1 << 30
+
 
 def write_webdataset(
     samples: DataFrame,
@@ -45,13 +51,27 @@ def write_webdataset(
     n_shards: int = 16,
     key_col: str = "key",
     prefix: str = "shard",
+    max_shard_bytes: int = SHARD_BYTES_WALL,
+    scale_wall: str = "warn",
 ) -> DataFrame:
     """Write (key, ext, payload) rows as ``{prefix}-{i:05d}.tar``
     shards under `path`; multiple rows sharing a key (e.g. ``42.jpg``
     + ``42.json``) land CONSECUTIVELY in the same shard, preserving
     the WebDataset sample-grouping contract. Returns the written
-    manifest (shard, n_members, n_bytes) — one row per shard, an
-    action has NOT yet run (caller collects/writes it).
+    manifest (shard, n_members, n_bytes) — one row per shard. The
+    write action runs EXACTLY ONCE inside this call and the returned
+    manifest is a small local DataFrame: repeated actions on it
+    (count + collect + joins) can never re-run the shard write (the
+    r7-advice lazy-side-effect foot-gun).
+
+    Shard sizing wall (the knn scale-wall recipe): `read_webdataset`
+    rides Spark's binaryFile source, which materializes one WHOLE
+    shard per row — a hard 2 GiB limit and full-shard task memory. If
+    any written shard exceeds ``max_shard_bytes`` (default 1 GiB),
+    ``scale_wall='warn'`` (default) emits a warning with the n_shards
+    that would bring shards under the wall, ``'error'`` raises, and
+    ``'ignore'`` silences (for sinks consumed by a streaming tar
+    loader rather than read_webdataset).
 
     Layout notes for 100 TB: one output file per shard task (no
     small-file explosion), shard assignment is a content hash of the
@@ -133,14 +153,38 @@ def write_webdataset(
             StructField("n_bytes", LongType()),
         ]
     )
-    return ready.mapInPandas(run, schema=schema)
+    # ONE action here; the manifest is tiny (one row per shard) so a
+    # local re-createDataFrame severs the lineage back to the write
+    rows = ready.mapInPandas(run, schema=schema).collect()
+    big = [(r["shard"], r["n_bytes"]) for r in rows if r["n_bytes"] > max_shard_bytes]
+    if big and scale_wall != "ignore":
+        total = sum(r["n_bytes"] for r in rows)
+        suggest = max(n_shards, -(-total // max_shard_bytes))
+        msg = (
+            f"write_webdataset: {len(big)} shard(s) exceed "
+            f"max_shard_bytes={max_shard_bytes} (largest "
+            f"{max(b for _, b in big)} bytes). read_webdataset rides "
+            f"binaryFile, which loads a WHOLE shard per row (hard 2 GiB "
+            f"limit, full-shard task memory) — use n_shards>={suggest} "
+            f"or scale_wall='ignore' for streaming-loader-only sinks."
+        )
+        if scale_wall == "error":
+            raise ValueError(msg)
+        warnings.warn(msg, stacklevel=2)
+    return samples.sparkSession.createDataFrame(rows, schema=schema)
 
 
 def read_webdataset(spark, path: str, pattern: str = "*.tar") -> DataFrame:
     """Explode tar shards back into (key, ext, payload, shard) rows:
     Spark's binaryFile source reads one shard per row (partition-
     parallel across shards), tar members unpack inside the Arrow
-    batch."""
+    batch.
+
+    Scale bound: binaryFile materializes each WHOLE shard as one row
+    — a hard 2 GiB per-file limit and full-shard memory in the
+    reading task. Keep shards under ~1 GiB (write_webdataset's
+    scale_wall enforces this at write time); parallelism is capped at
+    the shard count, so size n_shards to the loader/cluster width."""
     shards = spark.read.format("binaryFile").load(
         os.path.join(path, pattern)
     ).select("path", "content")

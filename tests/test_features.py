@@ -223,3 +223,22 @@ def test_time_reversal(feats, series):
         return float(vals.mean())
 
     _num(feats, series, "time_reversal_asymmetry_statistic", trs, tol=1e-5)
+
+
+def test_skewness_kurtosis(feats, series):
+    def g1(x):
+        xc = x - x.mean()
+        return float((xc**3).mean() / (xc**2).mean() ** 1.5)
+
+    def g2(x):
+        xc = x - x.mean()
+        return float((xc**4).mean() / (xc**2).mean() ** 2 - 3.0)
+
+    _num(feats, series, "skewness", g1, tol=1e-6)
+    _num(feats, series, "kurtosis", g2, tol=1e-6)
+
+
+def test_feature_count_claim():
+    """README/COVERAGE claim '56 native-tier feature extractors' —
+    keep the registry and the docs in sync (r7 verdict nit)."""
+    assert len(FEATURES) == 56

@@ -1017,16 +1017,19 @@ def test_quality_tiers_quartiles(spark):
     desc = {r["doc_id"]: r["tier"] for r in quality_tiers(d, 4, ascending=False).collect()}
     assert desc[99] == 0 and desc[0] == 3
 
-    # exact=False (the 100 TB path): approx_percentile's GK sketch is
-    # exact at this accuracy/scale, so tiers must match the exact cut
-    approx = {
+    # exact=True (the oracle-pinned opt-in) must match the default
+    # GK-sketch tiers at this accuracy/scale
+    exact = {
         r["doc_id"]: r["tier"]
-        for r in quality_tiers(d, n_tiers=4, exact=False).collect()
+        for r in quality_tiers(d, n_tiers=4, exact=True).collect()
     }
-    assert approx == out
-    # and the bounded-state aggregate is actually in the plan
-    plan = quality_tiers(d, 4, exact=False)._jdf.queryExecution().toString()
+    assert exact == out
+    # bounded state is the DEFAULT: the no-args plan carries the
+    # mergeable sketch aggregate, not the unbounded exact percentile
+    plan = quality_tiers(d, 4)._jdf.queryExecution().toString()
     assert "percentile_approx" in plan or "approx_percentile" in plan
+    exact_plan = quality_tiers(d, 4, exact=True)._jdf.queryExecution().toString()
+    assert "percentile_approx" not in exact_plan and "approx_percentile" not in exact_plan
 
 
 def test_asof_join_backward_tie_and_tolerance(spark):
@@ -2246,10 +2249,14 @@ def test_corpus_quantiles_matches_numpy(spark):
         [(i, "en", v) for i, v in enumerate(vals)],
         "doc_id long, lang string, n_chars long",
     )
-    row = corpus_quantiles(d).collect()[0]
+    row = corpus_quantiles(d, approx=False).collect()[0]
     assert row.n_docs == len(vals)
     for name, q in (("q25", 25), ("q50", 50), ("q75", 75), ("q95", 95)):
         assert abs(getattr(row, name) - float(np.percentile(vals, q))) < 1e-9
+    # bounded state is the DEFAULT: the no-args plan carries the
+    # mergeable sketch aggregate, not the unbounded exact percentile
+    plan = corpus_quantiles(d)._jdf.queryExecution().toString()
+    assert "percentile_approx" in plan or "approx_percentile" in plan
 
 
 def test_component_size_histogram(spark):
@@ -2454,8 +2461,8 @@ def test_corpus_quantiles_approx_within_rank_error(spark):
     d = spark.createDataFrame(
         [(i, "en", i) for i in range(1000)], "doc_id long, lang string, n_chars long"
     )
-    exact = corpus_quantiles(d).collect()[0]
-    approx = corpus_quantiles(d, approx=True).collect()[0]
+    exact = corpus_quantiles(d, approx=False).collect()[0]
+    approx = corpus_quantiles(d).collect()[0]
     for name in ("q25", "q50", "q75", "q95"):
         assert abs(getattr(approx, name) - getattr(exact, name)) <= 15
 
@@ -3138,6 +3145,28 @@ def test_media_jpeg_codec_roundtrip_and_cross_implementation(spark):
     prog[sof + 1] = 0xC2  # masquerade as progressive
     with pytest.raises(ValueError, match="baseline"):
         decode_jpeg(bytes(prog))
+    # entropy stream cut but EOI present (common corrupt-scrape shape):
+    # must surface the documented ValueError, NOT the internal
+    # _MarkerHit control-flow exception (r7 ADVICE finding)
+    sos = bytes(ours).find(b"\xff\xda")
+    assert sos > 0
+    cut = bytes(ours)[: sos + 40] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="truncated JPEG stream"):
+        decode_jpeg(cut)
+    # plain truncation (no EOI) keeps the same contract
+    with pytest.raises(ValueError, match="truncated JPEG stream"):
+        decode_jpeg(bytes(ours)[: sos + 40])
+    # non-dividing sampling factors (legal T.81, unsupported here)
+    # are rejected at SOF with a clear message, not a shape error.
+    # SOF0 layout: FF C0 len(2) prec(1) h(2) w(2) ncomp(1) then
+    # (id, sampling, qsel) per component -> comp1/comp2 sampling bytes
+    # are sof+14 / sof+17. Cb h=2 with Cr h=3 gives hmax=3 and
+    # 3 % 2 != 0 for Cb — legal per T.81, not integer-upsampleable.
+    bad = bytearray(ours)
+    bad[sof + 14] = (2 << 4) | (bad[sof + 14] & 0x0F)
+    bad[sof + 17] = (3 << 4) | (bad[sof + 17] & 0x0F)
+    with pytest.raises(ValueError, match="unsupported chroma sampling"):
+        decode_jpeg(bytes(bad))
 
 
 def test_media_mjpeg_video_and_frame_sampling(spark):
@@ -3327,6 +3356,39 @@ def test_webdataset_tar_shard_roundtrip(spark, tmp_path):
 
     with pytest.raises(ValueError, match="payload"):
         write_webdataset(samples.drop("payload"), out_dir)
+
+    # the write runs exactly once inside the call: the returned
+    # manifest is local, so re-actions can't re-run the shard write
+    # (r7 ADVICE). Probe by deleting a shard and re-collecting.
+    mdf = write_webdataset(samples, str(tmp_path / "wds_once"), n_shards=2)
+    assert mdf.count() == len(mdf.collect())  # two actions, no error
+    import os as _os
+
+    first = sorted(_os.listdir(str(tmp_path / "wds_once")))
+    for f in first:
+        _os.remove(str(tmp_path / "wds_once" / f))
+    mdf.collect()  # would re-write the shards if lineage were live
+    assert _os.listdir(str(tmp_path / "wds_once")) == []
+
+    # shard-size scale wall: 1-shard write over a tiny max_shard_bytes
+    # warns with an n_shards suggestion; 'error' raises; 'ignore' is
+    # silent (binaryFile 2 GiB bound documented in the docstring)
+    import warnings as _warnings
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        write_webdataset(samples, str(tmp_path / "wds_wall"), n_shards=1,
+                         max_shard_bytes=1024)
+    assert any("n_shards>=" in str(w.message) and "2 GiB" in str(w.message)
+               for w in caught)
+    with pytest.raises(ValueError, match="max_shard_bytes"):
+        write_webdataset(samples, str(tmp_path / "wds_wall2"), n_shards=1,
+                         max_shard_bytes=1024, scale_wall="error")
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        write_webdataset(samples, str(tmp_path / "wds_wall3"), n_shards=1,
+                         max_shard_bytes=1024, scale_wall="ignore")
+    assert not [w for w in caught if "max_shard_bytes" in str(w.message)]
 
 
 def test_jpeg_codec_property_sizes_and_content():

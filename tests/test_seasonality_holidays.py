@@ -592,3 +592,10 @@ def test_vendored_philippines():
     assert ph25["national_heroes_day"] == dt.date(2025, 8, 25)
     ph03 = dict((n, d) for d, n in vendored_holidays("PH", [2003]))
     assert "ninoy_aquino_day" not in ph03  # statutory since 2004
+    # pre-RA-9492 (2007) National Heroes Day was the last SUNDAY of
+    # August (EO 292): 2005-08-28 was a Sunday (last Monday would be
+    # the 29th); 2007 onward the last Monday (2007-08-27)
+    ph05 = dict((n, d) for d, n in vendored_holidays("PH", [2005]))
+    assert ph05["national_heroes_day"] == dt.date(2005, 8, 28)
+    ph07 = dict((n, d) for d, n in vendored_holidays("PH", [2007]))
+    assert ph07["national_heroes_day"] == dt.date(2007, 8, 27)

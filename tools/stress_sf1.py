@@ -151,6 +151,10 @@ def main() -> None:
             docs,
             gopher_params={"min_words": 10, "min_stopword_hits": 0},
             max_tier=2,
+            # pinned: the stress invariants (attrition chain) were
+            # recorded under exact-percentile tier cuts; the library
+            # default is now the bounded-state sketch
+            exact_tiers=True,
         )
         rows = clean.count()
         rep = {r["stage"]: (r["docs_in"], r["docs_out"]) for r in report.collect()}
