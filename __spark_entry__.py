@@ -849,7 +849,7 @@ def q_future_calendar(spark, sf_dir):
 
 
 def q_future_holidays(spark, sf_dir):
-    """22 vendored calendars over a 400-day future index (ref
+    """24 vendored calendars over a 400-day future index (ref
     calendar.py:56-152) — the span covers every fixed, nth-weekday,
     Monday-on-or-before, Sunday-shift (Koningsdag), sexennial (MX
     transmision), Gregorian Easter-computus, ORTHODOX Easter-computus
@@ -863,7 +863,10 @@ def q_future_holidays(spark, sf_dir):
     insertion, Qingming solar term) and the HEBREW molad+dechiyot
     arithmetic (IL: variable Cheshvan/Kislev, leap Adar I,
     independence-day weekday shifts), each replayed independently in
-    the DuckDB oracle down to the same integer arithmetic."""
+    the DuckDB oracle down to the same integer arithmetic — plus,
+    round 8, TH (vendored Thai-lunisolar Bucha tables + rule days)
+    and MY (tabular Hijri with rukyah overrides, CNY off the shared
+    lunisolar tables, vendored Wesak/Deepavali)."""
     _ensure_nanos_conf(spark)
     from functime_spark.operators.seasonality import make_future_holiday_effects
 
@@ -871,7 +874,8 @@ def q_future_holidays(spark, sf_dir):
     out = make_future_holiday_effects(
         df,
         ["US", "DE", "GB", "CA", "NL", "BR", "MX", "NO", "PT", "JP", "GR",
-         "ZA", "SA", "ID", "EG", "CN", "KR", "VN", "TW", "HK", "IL", "PH"],
+         "ZA", "SA", "ID", "EG", "CN", "KR", "VN", "TW", "HK", "IL", "PH",
+         "TH", "MY"],
         fh=400, freq="1d",
     )
     return out.orderBy("user_id", "ts")

@@ -1513,3 +1513,164 @@ def _last_monday(year: int, month: int, weekday: int = 0) -> _dt.date:
 
 
 _COUNTRIES["PH"] = _ph
+
+
+# Thailand's Buddhist holy days follow the THAI lunisolar calendar
+# (Patithin Chantarakati) — an arithmetic system whose athikamat /
+# athikawan insertions are fixed by official calendar committee, not
+# derivable from the Chinese month tables (e.g. Visakha Bucha 2025 is
+# May 11 while the Chinese 4th-month full moon is May 12). Like NZ
+# Matariki and ID Nyepi/Waisak, the gazetted dates are vendored
+# (2015-2026; the 2026 dates are from the published cabinet calendar).
+# Makha = 3rd-month full moon, Visakha = 6th, Asalha = 8th; Khao
+# Phansa (Buddhist Lent) is the day after Asalha Bucha.
+_TH_MAKHA = {
+    2015: (3, 4), 2016: (2, 22), 2017: (2, 11), 2018: (3, 1),
+    2019: (2, 19), 2020: (2, 8), 2021: (2, 26), 2022: (2, 16),
+    2023: (3, 6), 2024: (2, 24), 2025: (2, 12), 2026: (3, 3),
+}
+_TH_VISAKHA = {
+    2015: (6, 1), 2016: (5, 20), 2017: (5, 10), 2018: (5, 29),
+    2019: (5, 18), 2020: (5, 6), 2021: (5, 26), 2022: (5, 15),
+    2023: (6, 3), 2024: (5, 22), 2025: (5, 11), 2026: (5, 31),
+}
+_TH_ASALHA = {
+    2015: (7, 30), 2016: (7, 19), 2017: (7, 8), 2018: (7, 27),
+    2019: (7, 16), 2020: (7, 5), 2021: (7, 24), 2022: (7, 13),
+    2023: (8, 1), 2024: (7, 20), 2025: (7, 10), 2026: (7, 29),
+}
+
+
+def _th(year: int) -> list:
+    """Thailand: fixed/royal statutory holidays by rule + the vendored
+    Thai-lunisolar Buddhist days. Substitution days (observed-on-
+    Monday) and one-off cabinet 'special holidays' are scheduling, not
+    rule-derivable — excluded, matching the PH treatment of gazetted
+    days. Royal Ploughing Ceremony is gazetted per-year (Bureau of
+    Royal Household astrology) — excluded."""
+    e = [
+        (_dt.date(year, 1, 1), "new_years_day"),
+        (_dt.date(year, 4, 6), "chakri_memorial_day"),
+        (_dt.date(year, 5, 1), "national_labour_day"),
+        (_dt.date(year, 8, 12), "the_queen_mothers_birthday"),
+        (_dt.date(year, 10, 23), "chulalongkorn_memorial_day"),
+        (_dt.date(year, 12, 5), "king_bhumibols_birthday"),
+        (_dt.date(year, 12, 10), "constitution_day"),
+        (_dt.date(year, 12, 31), "new_years_eve"),
+    ]
+    for i in range(3):
+        e.append((_dt.date(year, 4, 13 + i), f"songkran_festival_day_{i + 1}"))
+    # Rama X's coronation anniversary (May 4) is statutory from 2019;
+    # Rama IX's (May 5) lapsed after 2016 with no holiday in 2017-18
+    if year >= 2019:
+        e.append((_dt.date(year, 5, 4), "coronation_day"))
+    elif year <= 2016:
+        e.append((_dt.date(year, 5, 5), "coronation_day"))
+    if year >= 2019:
+        e.append((_dt.date(year, 6, 3), "queen_suthidas_birthday"))
+    if year >= 2017:
+        e.append((_dt.date(year, 7, 28), "king_vajiralongkorns_birthday"))
+        e.append((_dt.date(year, 10, 13), "king_bhumibol_memorial_day"))
+    for tbl, nm in (
+        (_TH_MAKHA, "makha_bucha"),
+        (_TH_VISAKHA, "visakha_bucha"),
+        (_TH_ASALHA, "asalha_bucha"),
+    ):
+        md = tbl.get(year)
+        if md is not None:
+            e.append((_dt.date(year, md[0], md[1]), nm))
+    asalha = _TH_ASALHA.get(year)
+    if asalha is not None:
+        e.append(
+            (_dt.date(year, asalha[0], asalha[1]) + _dt.timedelta(days=1),
+             "khao_phansa")
+        )
+    return e
+
+
+# Malaysia gazettes its Islamic holidays on national moon sighting
+# (rukyah) — like Indonesia's SKB dates these differ from Umm al-Qura
+# in several years (Fitr 2019/2023/2025, Adha 2018/2022/2024/2025),
+# so MY carries its own override tables. Wesak (the May full-moon
+# Vesak convention, NOT the Chinese 4th-month-15th used in Singapore
+# before 2020s alignment) and Deepavali (Hindu lunisolar) are vendored
+# gazetted dates, the ID Nyepi/Waisak treatment.
+_MY_FITR = {
+    2015: (7, 17), 2016: (7, 6), 2017: (6, 25), 2018: (6, 15),
+    2019: (6, 5), 2020: (5, 24), 2021: (5, 13), 2022: (5, 2),
+    2023: (4, 22), 2024: (4, 10), 2025: (3, 31),
+}
+_MY_ADHA = {
+    2015: (9, 24), 2016: (9, 12), 2017: (9, 1), 2018: (8, 22),
+    2019: (8, 11), 2020: (7, 31), 2021: (7, 20), 2022: (7, 10),
+    2023: (6, 29), 2024: (6, 17), 2025: (6, 7),
+}
+_MY_MUHARRAM = {
+    2015: (10, 14), 2016: (10, 2), 2017: (9, 22), 2018: (9, 11),
+    2019: (9, 1), 2020: (8, 20), 2021: (8, 10), 2022: (7, 30),
+    2023: (7, 19), 2024: (7, 7), 2025: (6, 27),
+}
+# 2015 contained TWO Maulids (Hijri years 1436 and 1437: Jan 3 and
+# Dec 24) — tabular arithmetic covers that year; overrides start 2016.
+_MY_MAULID = {
+    2016: (12, 12), 2017: (12, 1), 2018: (11, 20), 2019: (11, 9),
+    2020: (10, 29), 2021: (10, 19), 2022: (10, 10), 2023: (9, 28),
+    2024: (9, 16), 2025: (9, 5),
+}
+_MY_WESAK = {
+    2015: (5, 3), 2016: (5, 21), 2017: (5, 10), 2018: (5, 29),
+    2019: (5, 19), 2020: (5, 7), 2021: (5, 26), 2022: (5, 15),
+    2023: (5, 4), 2024: (5, 22), 2025: (5, 12),
+}
+_MY_DEEPAVALI = {
+    2015: (11, 10), 2016: (10, 29), 2017: (10, 18), 2018: (11, 6),
+    2019: (10, 27), 2020: (11, 14), 2021: (11, 4), 2022: (10, 24),
+    2023: (11, 12), 2024: (10, 31), 2025: (10, 20),
+}
+
+
+def _my(year: int) -> list:
+    """Malaysia: NATIONWIDE holidays only (state holidays excluded,
+    matching the `holidays` package default) — Chinese New Year days
+    1-2 off the shared lunisolar tables, the four Islamic days from
+    the tabular Hijri calendar with rukyah-gazetted overrides (Hari
+    Raya Aidilfitri is a two-day statutory holiday), vendored Wesak /
+    Deepavali, and the fixed/rule days. The Agong's birthday is the
+    first Monday of June from 2020 (2017-2019 it was gazetted to
+    Sep 9 for Sultan Muhammad V / the new reign; first Saturday of
+    June before 2017). Jan 1 is a STATE holiday in most but not all
+    states — excluded nationally."""
+    e = [
+        (_dt.date(year, 5, 1), "labour_day"),
+        (_dt.date(year, 8, 31), "national_day"),
+        (_dt.date(year, 12, 25), "christmas_day"),
+    ]
+    if year >= 2010:
+        e.append((_dt.date(year, 9, 16), "malaysia_day"))
+    if year >= 2020:
+        e.append((_nth_weekday(year, 6, 0, 1), "agongs_birthday"))
+    elif year >= 2017:
+        e.append((_dt.date(year, 9, 9), "agongs_birthday"))
+    else:
+        e.append((_nth_weekday(year, 6, 5, 1), "agongs_birthday"))
+    lny = _lunar_date(year, 1, 1)
+    if lny is not None:
+        e.append((lny, "chinese_new_year"))
+        e.append((lny + _dt.timedelta(days=1), "chinese_new_year_day_2"))
+    for tbl, nm in ((_MY_WESAK, "wesak_day"), (_MY_DEEPAVALI, "deepavali")):
+        md = tbl.get(year)
+        if md is not None:
+            e.append((_dt.date(year, md[0], md[1]), nm))
+    for anchor in _hijri_dates(year, 10, 1, _MY_FITR):
+        e.append((anchor, "hari_raya_aidilfitri"))
+        e.append((anchor + _dt.timedelta(days=1), "hari_raya_aidilfitri_day_2"))
+    for d in _hijri_dates(year, 12, 10, _MY_ADHA):
+        e.append((d, "hari_raya_aidiladha"))
+    for d in _hijri_dates(year, 1, 1, _MY_MUHARRAM):
+        e.append((d, "awal_muharram"))
+    for d in _hijri_dates(year, 3, 12, _MY_MAULID):
+        e.append((d, "maulidur_rasul"))
+    return e
+
+
+_COUNTRIES.update({"TH": _th, "MY": _my})

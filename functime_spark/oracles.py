@@ -2285,6 +2285,125 @@ def operator_oracles() -> dict:
         "JOIN yrs ON year(l.d) = yrs.y "
         "WHERE l.lm = 1 AND l.ld = 1 AND yrs.y >= 2012"
     )
+    # TH: fixed/royal rule days + the vendored Thai-lunisolar Bucha
+    # tables (single source of truth: holidays_vendored._TH_*); Khao
+    # Phansa replays as Asalha + 1 day.
+    from functime_spark.operators.holidays_vendored import (
+        _TH_ASALHA,
+        _TH_MAKHA,
+        _TH_VISAKHA,
+    )
+
+    _th_bucha = ", ".join(
+        f"(DATE '{y}-{m:02d}-{d:02d}', '{nm}')"
+        for nm, tbl in (
+            ("makha_bucha", _TH_MAKHA),
+            ("visakha_bucha", _TH_VISAKHA),
+            ("asalha_bucha", _TH_ASALHA),
+        )
+        for y, (m, d) in sorted(tbl.items())
+    )
+    _th_asalha_vals = ", ".join(
+        f"(DATE '{y}-{m:02d}-{d:02d}')" for y, (m, d) in sorted(_TH_ASALHA.items())
+    )
+    _th_rules = (
+        "SELECT make_date(y,1,1) AS d, 'new_years_day' AS nm FROM yrs "
+        "UNION ALL SELECT make_date(y,4,6), 'chakri_memorial_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,4,12+s.i), "
+        "'songkran_festival_day_' || CAST(s.i AS VARCHAR) "
+        "FROM yrs, (VALUES (1),(2),(3)) s(i) "
+        "UNION ALL SELECT make_date(y,5,1), 'national_labour_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,5,4), 'coronation_day' FROM yrs "
+        "WHERE y >= 2019 "
+        "UNION ALL SELECT make_date(y,5,5), 'coronation_day' FROM yrs "
+        "WHERE y <= 2016 "
+        "UNION ALL SELECT make_date(y,6,3), 'queen_suthidas_birthday' "
+        "FROM yrs WHERE y >= 2019 "
+        "UNION ALL SELECT make_date(y,7,28), 'king_vajiralongkorns_birthday' "
+        "FROM yrs WHERE y >= 2017 "
+        "UNION ALL SELECT make_date(y,10,13), 'king_bhumibol_memorial_day' "
+        "FROM yrs WHERE y >= 2017 "
+        "UNION ALL SELECT make_date(y,8,12), 'the_queen_mothers_birthday' "
+        "FROM yrs "
+        "UNION ALL SELECT make_date(y,10,23), 'chulalongkorn_memorial_day' "
+        "FROM yrs "
+        "UNION ALL SELECT make_date(y,12,5), 'king_bhumibols_birthday' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,10), 'constitution_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,31), 'new_years_eve' FROM yrs "
+        f"UNION ALL SELECT t.d, t.nm FROM (VALUES {_th_bucha}) t(d, nm) "
+        "JOIN yrs ON year(t.d) = yrs.y "
+        f"UNION ALL SELECT t.d + to_days(1), 'khao_phansa' "
+        f"FROM (VALUES {_th_asalha_vals}) t(d) JOIN yrs ON year(t.d) = yrs.y"
+    )
+    # MY: fixed/rule days, CNY days 1-2 off the shared lunisolar CTE,
+    # vendored Wesak/Deepavali, and the four Islamic days from the
+    # tabular Hijri arithmetic with MY rukyah-gazetted overrides
+    # (Aidilfitri day 2 = anchor + 1).
+    from functime_spark.operators.holidays_vendored import (
+        _MY_ADHA,
+        _MY_DEEPAVALI,
+        _MY_FITR,
+        _MY_MAULID,
+        _MY_MUHARRAM,
+        _MY_WESAK,
+    )
+
+    _my_ov = ", ".join(
+        f"({y}, '{nm}', DATE '{y}-{m:02d}-{d:02d}')"
+        for nm, tbl in (
+            ("hari_raya_aidilfitri", _MY_FITR),
+            ("hari_raya_aidiladha", _MY_ADHA),
+            ("awal_muharram", _MY_MUHARRAM),
+            ("maulidur_rasul", _MY_MAULID),
+        )
+        for y, (m, d) in sorted(tbl.items())
+    )
+    _my_fixed_tbls = ", ".join(
+        f"(DATE '{y}-{m:02d}-{d:02d}', '{nm}')"
+        for nm, tbl in (
+            ("wesak_day", _MY_WESAK), ("deepavali", _MY_DEEPAVALI),
+        )
+        for y, (m, d) in sorted(tbl.items())
+    )
+    _my_rules = (
+        "SELECT make_date(y,5,1) AS d, 'labour_day' AS nm FROM yrs "
+        "UNION ALL SELECT make_date(y,8,31), 'national_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'christmas_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,9,16), 'malaysia_day' FROM yrs "
+        "WHERE y >= 2010 "
+        "UNION ALL SELECT make_date(y,6,1) + to_days(CAST((8 - "
+        "isodow(make_date(y,6,1))) % 7 AS INT)), 'agongs_birthday' "
+        "FROM yrs WHERE y >= 2020 "
+        "UNION ALL SELECT make_date(y,9,9), 'agongs_birthday' FROM yrs "
+        "WHERE y BETWEEN 2017 AND 2019 "
+        "UNION ALL SELECT make_date(y,6,1) + to_days(CAST((13 - "
+        "isodow(make_date(y,6,1))) % 7 AS INT)), 'agongs_birthday' "
+        "FROM yrs WHERE y <= 2016 "
+        "UNION ALL SELECT l.d, 'chinese_new_year' FROM lun l "
+        "JOIN yrs ON year(l.d) = yrs.y WHERE l.lm = 1 AND l.ld = 1 "
+        "UNION ALL SELECT l.d + to_days(1), 'chinese_new_year_day_2' "
+        "FROM lun l JOIN yrs ON year(l.d) = yrs.y "
+        "WHERE l.lm = 1 AND l.ld = 1 "
+        f"UNION ALL SELECT t.d, t.nm FROM (VALUES {_my_fixed_tbls}) t(d, nm) "
+        "JOIN yrs ON year(t.d) = yrs.y "
+        "UNION ALL SELECT COALESCE(ov.od, t.tab), t.nm FROM ("
+        + _id_tabular.format(
+            hol="(10,1,'hari_raya_aidilfitri'),"
+            "(12,10,'hari_raya_aidiladha'),"
+            "(1,1,'awal_muharram'),(3,12,'maulidur_rasul')"
+        )
+        + ") t "
+        f"LEFT JOIN (VALUES {_my_ov}) ov(gy, onm, od) "
+        "ON year(t.tab) = ov.gy AND t.nm = ov.onm "
+        "WHERE year(t.tab) = t.y "
+        "UNION ALL SELECT COALESCE(ov.od, t.tab) + to_days(1), "
+        "'hari_raya_aidilfitri_day_2' FROM ("
+        + _id_tabular.format(hol="(10,1,'hari_raya_aidilfitri')")
+        + ") t "
+        f"LEFT JOIN (VALUES {_my_ov}) ov(gy, onm, od) "
+        "ON year(t.tab) = ov.gy AND t.nm = ov.onm "
+        "WHERE year(t.tab) = t.y"
+    )
     o["future_holidays"] = (
         "WITH c AS (SELECT user_id, MAX(ts) AS low FROM events GROUP BY user_id), "
         "fut AS (SELECT c.user_id, c.low + i * INTERVAL '1 day' AS ts "
@@ -2305,7 +2424,7 @@ def operator_oracles() -> dict:
                 ("sa", _sa_rules), ("id_", _id_rules), ("eg", _eg_rules),
                 ("cn", _cn_rules), ("kr", _kr_rules), ("vn", _vn_rules),
                 ("tw", _tw_rules), ("hk", _hk_rules), ("il", _il_rules),
-                ("ph", _ph_rules),
+                ("ph", _ph_rules), ("th", _th_rules), ("my", _my_rules),
             ]
         )
         + " "
@@ -2316,7 +2435,8 @@ def operator_oracles() -> dict:
         "gr.nm AS holiday__gr, za.nm AS holiday__za, sa.nm AS holiday__sa, "
         "id_.nm AS holiday__id, eg.nm AS holiday__eg, cn.nm AS holiday__cn, "
         "kr.nm AS holiday__kr, vn.nm AS holiday__vn, tw.nm AS holiday__tw, "
-        "hk.nm AS holiday__hk, il.nm AS holiday__il, ph.nm AS holiday__ph "
+        "hk.nm AS holiday__hk, il.nm AS holiday__il, ph.nm AS holiday__ph, "
+        "th.nm AS holiday__th, my.nm AS holiday__my "
         "FROM fut f LEFT JOIN us ON CAST(f.ts AS DATE) = us.d "
         "LEFT JOIN de ON CAST(f.ts AS DATE) = de.d "
         "LEFT JOIN gb ON CAST(f.ts AS DATE) = gb.d "
@@ -2339,6 +2459,8 @@ def operator_oracles() -> dict:
         "LEFT JOIN hk ON CAST(f.ts AS DATE) = hk.d "
         "LEFT JOIN il ON CAST(f.ts AS DATE) = il.d "
         "LEFT JOIN ph ON CAST(f.ts AS DATE) = ph.d "
+        "LEFT JOIN th ON CAST(f.ts AS DATE) = th.d "
+        "LEFT JOIN my ON CAST(f.ts AS DATE) = my.d "
         "ORDER BY user_id, ts"
     )
 

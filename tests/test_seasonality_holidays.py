@@ -599,3 +599,80 @@ def test_vendored_philippines():
     assert ph05["national_heroes_day"] == dt.date(2005, 8, 28)
     ph07 = dict((n, d) for d, n in vendored_holidays("PH", [2007]))
     assert ph07["national_heroes_day"] == dt.date(2007, 8, 27)
+
+
+def test_vendored_thailand_vs_published_dates():
+    """TH: gazetted Thai-lunisolar Bucha days (vendored — NOT
+    derivable from the Chinese tables: Visakha 2025 is May 11 while
+    the Chinese 4th-month full moon is May 12) + rule-based royal
+    days with reign-change year guards."""
+    import datetime as dt
+
+    from functime_spark.operators.holidays_vendored import vendored_holidays
+
+    th24 = dict((n, d) for d, n in vendored_holidays("TH", [2024]))
+    assert th24["makha_bucha"] == dt.date(2024, 2, 24)
+    assert th24["visakha_bucha"] == dt.date(2024, 5, 22)
+    assert th24["asalha_bucha"] == dt.date(2024, 7, 20)
+    assert th24["khao_phansa"] == dt.date(2024, 7, 21)
+    assert th24["songkran_festival_day_1"] == dt.date(2024, 4, 13)
+    assert th24["coronation_day"] == dt.date(2024, 5, 4)
+    th25 = dict((n, d) for d, n in vendored_holidays("TH", [2025]))
+    assert th25["makha_bucha"] == dt.date(2025, 2, 12)
+    assert th25["visakha_bucha"] == dt.date(2025, 5, 11)
+    assert th25["asalha_bucha"] == dt.date(2025, 7, 10)
+    # 2023 was an athikamat (leap-month) Thai year: Visakha in June
+    th23 = dict((n, d) for d, n in vendored_holidays("TH", [2023]))
+    assert th23["visakha_bucha"] == dt.date(2023, 6, 3)
+    assert th23["makha_bucha"] == dt.date(2023, 3, 6)
+    # reign change: no coronation holiday 2017-2018; May 5 under
+    # Rama IX, May 4 under Rama X; Rama X's birthday from 2017
+    th16 = dict((n, d) for d, n in vendored_holidays("TH", [2016]))
+    th17 = dict((n, d) for d, n in vendored_holidays("TH", [2017]))
+    assert th16["coronation_day"] == dt.date(2016, 5, 5)
+    assert "coronation_day" not in th17
+    assert "king_vajiralongkorns_birthday" not in th16
+    assert th17["king_vajiralongkorns_birthday"] == dt.date(2017, 7, 28)
+    assert th17["king_bhumibol_memorial_day"] == dt.date(2017, 10, 13)
+    # outside the vendored lunisolar span the rule days still emit
+    th10 = dict((n, d) for d, n in vendored_holidays("TH", [2010]))
+    assert "makha_bucha" not in th10
+    assert th10["chakri_memorial_day"] == dt.date(2010, 4, 6)
+
+
+def test_vendored_malaysia_vs_published_dates():
+    """MY: rukyah-gazetted Islamic dates (differ from Umm al-Qura in
+    several years), CNY off the shared lunisolar tables, vendored
+    Wesak/Deepavali, first-Monday-of-June Agong rule."""
+    import datetime as dt
+
+    from functime_spark.operators.holidays_vendored import vendored_holidays
+
+    my24 = dict((n, d) for d, n in vendored_holidays("MY", [2024]))
+    assert my24["chinese_new_year"] == dt.date(2024, 2, 10)
+    assert my24["chinese_new_year_day_2"] == dt.date(2024, 2, 11)
+    assert my24["hari_raya_aidilfitri"] == dt.date(2024, 4, 10)
+    assert my24["hari_raya_aidilfitri_day_2"] == dt.date(2024, 4, 11)
+    # MY sighted Aidiladha 2024 on Jun 17 (Umm al-Qura: Jun 16)
+    assert my24["hari_raya_aidiladha"] == dt.date(2024, 6, 17)
+    assert my24["awal_muharram"] == dt.date(2024, 7, 7)
+    # Maulid 2024 coincides with Malaysia Day
+    assert my24["maulidur_rasul"] == dt.date(2024, 9, 16)
+    assert my24["malaysia_day"] == dt.date(2024, 9, 16)
+    assert my24["wesak_day"] == dt.date(2024, 5, 22)
+    assert my24["deepavali"] == dt.date(2024, 10, 31)
+    assert my24["agongs_birthday"] == dt.date(2024, 6, 3)  # 1st Mon June
+    my23 = dict((n, d) for d, n in vendored_holidays("MY", [2023]))
+    # MY/ID sighted Aidilfitri 2023 on Apr 22 (Umm al-Qura: Apr 21)
+    assert my23["hari_raya_aidilfitri"] == dt.date(2023, 4, 22)
+    assert my23["wesak_day"] == dt.date(2023, 5, 4)
+    my25 = dict((n, d) for d, n in vendored_holidays("MY", [2025]))
+    assert my25["hari_raya_aidilfitri"] == dt.date(2025, 3, 31)
+    assert my25["hari_raya_aidiladha"] == dt.date(2025, 6, 7)
+    assert my25["agongs_birthday"] == dt.date(2025, 6, 2)
+    # 2015 contained TWO Maulids (Hijri 1436 + 1437) — the tabular
+    # arithmetic produces the gazetted Jan 3 and Dec 24 exactly
+    maulids = sorted(
+        d for d, n in vendored_holidays("MY", [2015]) if n == "maulidur_rasul"
+    )
+    assert maulids == [dt.date(2015, 1, 3), dt.date(2015, 12, 24)]
