@@ -229,6 +229,28 @@ def main() -> None:
 
     bench("ann_ivf_topk", _q12)
 
+    # q13 (round 8): the COMPLETE two-stage IVF_PQ retrieval cascade —
+    # build both indexes, probe 4 of 16 cells, PQ-ADC rank the probed
+    # codes, exact-cosine re-rank the refine*k shortlist. This is the
+    # actual billion-vector plan (r7 verdict item 4); timing it makes
+    # refine-stage regressions visible round-over-round.
+    def _q13():
+        from functime_spark.pipeline.similarity import (
+            IVFIndex,
+            PQCodebook,
+            ivf_pq_search,
+        )
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        corpus = emb.filter(F.col("vec_id") != 0)
+        ivf = IVFIndex(n_cells=16, init="spread").fit(emb)
+        pq = PQCodebook(n_subspaces=8, ksub=16, n_iter=5, init="spread").fit(emb)
+        enc = pq.encode(ivf.assign(corpus))
+        ivf_pq_search(ivf, pq, enc, list(qvec), k=10, n_probe=4, refine=4).count()
+
+    bench("ann_ivf_pq", _q13)
+
     total = round(sum(timings.values()), 3)
     # the suite grew from 7 to 9 queries in round 4 (minhash_dedup,
     # lm_quality_tiers); keep the round-over-round comparable subtotal
@@ -261,6 +283,13 @@ def main() -> None:
     missing = [q for q in r6_suite if q not in timings]
     assert not missing, f"r6-comparable queries renamed/removed: {missing}"
     r6_comparable = round(sum(timings[q] for q in r6_suite), 3)
+    # and the full round-7 suite (the 12 above) so round-8+ additions
+    # (ann_ivf_pq) can't mask a regression in anything that existed at
+    # round 7
+    r7_suite = r6_suite + ("ann_ivf_topk",)
+    missing = [q for q in r7_suite if q not in timings]
+    assert not missing, f"r7-comparable queries renamed/removed: {missing}"
+    r7_comparable = round(sum(timings[q] for q in r7_suite), 3)
     print(
         json.dumps(
             {
@@ -272,6 +301,7 @@ def main() -> None:
                 "value_r4_comparable": r4_comparable,
                 "value_r5_comparable": r5_comparable,
                 "value_r6_comparable": r6_comparable,
+                "value_r7_comparable": r7_comparable,
                 # r6 investigation of the r5 minhash_dedup drift
                 # (1.418 -> 1.710 s): an isolated A/B of the r4 tree vs
                 # head on the same machine shows IDENTICAL stage

@@ -1311,6 +1311,37 @@ def operator_oracles() -> dict:
         "GROUP BY s.doc_id ORDER BY media_id"
     )
 
+    # media_audio_spectral: the FFT-tier spectral centroid replayed as
+    # an explicit DFT double sum over BOTH Hann-windowed frames
+    # (starts 0 and 256 for n=1000, n_fft=512, hop=256), on the
+    # doc_id % 29 subsample. np.hanning(512) is the SYMMETRIC window
+    # (denominator 511); freqs_k = k*rate/512; per-frame centroid
+    # sum(p*f)/(sum(p)+1e-12), then the frame mean. 4-decimal round
+    # (naive-DFT vs numpy-FFT summation order).
+    o["media_audio_spectral"] = (
+        "WITH samples AS (SELECT doc_id, t.i AS i, "
+        "CAST(CASE WHEN u < 32768 THEN u ELSE u - 65536 END AS DOUBLE) "
+        "/ 32768.0 AS x FROM (SELECT doc_id, t.i, "
+        "(doc_id * 7919 + t.i * 104729) % 65536 AS u "
+        "FROM documents, range(0, 1000) t(i) "
+        "WHERE doc_id % 29 = 0) t(doc_id, i, u)), "
+        "win AS (SELECT s.doc_id, fr.s AS fr, s.i - fr.s AS j, "
+        "s.x * (0.5 - 0.5*cos(2*pi()*(s.i - fr.s)/511.0)) AS y "
+        "FROM samples s JOIN (VALUES (0), (256)) fr(s) "
+        "ON s.i >= fr.s AND s.i < fr.s + 512), "
+        "spec AS (SELECT w.doc_id, w.fr, ks.k, "
+        "SUM(w.y * cos(2*pi()*ks.k*w.j/512.0)) AS re, "
+        "SUM(w.y * sin(2*pi()*ks.k*w.j/512.0)) AS im "
+        "FROM win w, range(0, 257) ks(k) GROUP BY 1, 2, 3), "
+        "fc AS (SELECT doc_id, fr, "
+        "SUM((re*re + im*im) * k * 8000.0/512.0) "
+        "/ (SUM(re*re + im*im) + 1e-12) AS c "
+        "FROM spec GROUP BY 1, 2) "
+        "SELECT doc_id AS media_id, "
+        "ROUND(CAST(AVG(c) AS DOUBLE) + 1e-9, 4) AS spectral_centroid_hz "
+        "FROM fc GROUP BY doc_id ORDER BY media_id"
+    )
+
     o["media_curate_report"] = (
         f"WITH {_curate_surv} "
         "SELECT 'decode' AS stage, (SELECT COUNT(*) FROM base) AS rows_in, "
