@@ -849,7 +849,7 @@ def q_future_calendar(spark, sf_dir):
 
 
 def q_future_holidays(spark, sf_dir):
-    """24 vendored calendars over a 400-day future index (ref
+    """25 vendored calendars over a 400-day future index (ref
     calendar.py:56-152) — the span covers every fixed, nth-weekday,
     Monday-on-or-before, Sunday-shift (Koningsdag), sexennial (MX
     transmision), Gregorian Easter-computus, ORTHODOX Easter-computus
@@ -864,9 +864,10 @@ def q_future_holidays(spark, sf_dir):
     arithmetic (IL: variable Cheshvan/Kislev, leap Adar I,
     independence-day weekday shifts), each replayed independently in
     the DuckDB oracle down to the same integer arithmetic — plus,
-    round 8, TH (vendored Thai-lunisolar Bucha tables + rule days)
-    and MY (tabular Hijri with rukyah overrides, CNY off the shared
-    lunisolar tables, vendored Wesak/Deepavali)."""
+    round 8, TH (vendored Thai-lunisolar Bucha tables + rule days),
+    MY (tabular Hijri with rukyah overrides, CNY off the shared
+    lunisolar tables, vendored Wesak/Deepavali) and SG (MUIS-gazetted
+    Hijri overrides, Vesak = lunar 4/15 off the shared tables)."""
     _ensure_nanos_conf(spark)
     from functime_spark.operators.seasonality import make_future_holiday_effects
 
@@ -875,7 +876,7 @@ def q_future_holidays(spark, sf_dir):
         df,
         ["US", "DE", "GB", "CA", "NL", "BR", "MX", "NO", "PT", "JP", "GR",
          "ZA", "SA", "ID", "EG", "CN", "KR", "VN", "TW", "HK", "IL", "PH",
-         "TH", "MY"],
+         "TH", "MY", "SG"],
         fh=400, freq="1d",
     )
     return out.orderBy("user_id", "ts")
@@ -3220,78 +3221,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if name in _SKIP_FEATURES:
             continue
         q[f"feat_{name}"] = _feature_query(name)
-    # Round-7 window rotation: the driver's correctness gate truncates
-    # at ~50 queries; the r1-r6 window union covers ALL gate queries
+    # Round-8 window rotation: the driver's correctness gate truncates
+    # at ~50 queries; the r1-r7 window union covers ALL gate queries
     # (every one value-hashed), so the standing discipline is
-    # (a) front everything whose implementation or oracle CHANGED this
-    # round -- the fused/bounded boosted_stumps split search (gate
-    # pins the exact mode its oracle replays), the ID extension of
-    # future_holidays, the knn scale-wall guard (whole knn family),
-    # the pluggable media decoder seam, and the GBT param translation
-    # + exog direct-predict materialize (forecast_gbt; conformal rides
-    # the materialize seam) -- then (b) re-cycle previously-green
-    # queries OLDEST-VERIFICATION-FIRST from the CORRECTNESS_r0*.json
-    # union: the remaining r1-verified feat_* tail (26 queries), then
-    # the front of the r2 cohort.
+    # (a) front everything NEW or whose implementation/oracle CHANGED
+    # this round -- the spectral-centroid gate, the skewness/kurtosis
+    # extractors, the bounded-default percentile family (gates pin the
+    # exact modes their oracles replay), the TH/MY calendar extension +
+    # PH pre-2007 rule, and the audio tier's sibling gate -- then
+    # (b) re-cycle previously-green queries OLDEST-VERIFICATION-FIRST
+    # from the CORRECTNESS_r0*.json union. Cohort ages going into r8:
+    # 21 queries were last verified in r2 (feat_udf_fft..text_token_
+    # counts below), 31 in r3 (the first 21 of which fill the window),
+    # everything else r4+; the r7 window retired the whole r1 cohort
+    # and the front of r2.
     never_verified_first = [
-        # (a) implementation or oracle changed in round 7
-        "ann_ivf_pq_refine",  # NEW this round: composed two-stage retrieval
-        "media_curate",  # NEW: real-codec curation cascade, fully replayed
-        "media_curate_report",  # NEW: its attrition report
-        "media_audio",  # NEW: time-domain audio features, SQL-replayed
-        "future_holidays",  # 21 calendars: +lunisolar CN/KR/VN/TW/HK, Hebrew IL
-        "forecast_stumps",
-        "forecast_knn",
-        "forecast_knn_direct",
-        "forecast_knn_exog",
-        "media_features",
-        "media_resize",
-        "forecast_gbt",
-        "forecast_conformal",
+        # (a) new or changed in round 8
+        "media_audio_spectral",  # NEW: FFT-tier centroid, full DFT replay
+        "feat_skewness",  # NEW: population g1 (registry now truly 56)
+        "feat_kurtosis",  # NEW: population excess g2
+        "text_quality_tiers",  # default flipped to GK sketch; exact pinned
+        "corpus_quantiles",  # default flipped to approx; exact pinned
+        "corpus_clean_attrition",  # exact_tiers pinned through clean_corpus
+        "future_holidays",  # +TH/MY calendars; PH pre-2007 heroes-day rule
+        "media_audio",  # audio tier sibling of the new spectral gate
         # (b) window slack: oldest external verification first --
-        # the rest of the r1 cohort...
-        "feat_linear_trend",
-        "feat_longest_streak_above",
-        "feat_longest_streak_above_mean",
-        "feat_longest_streak_below_mean",
-        "feat_max_abs_change",
-        "feat_mean_abs_change",
-        "feat_mean_change",
-        "feat_mean_n_absolute_max",
-        "feat_mean_second_derivative_central",
-        "feat_number_crossings",
-        "feat_number_peaks",
-        "feat_percent_reoccurring_points",
-        "feat_percent_reoccurring_values",
-        "feat_permutation_entropy",
-        "feat_range_change",
-        "feat_range_count",
-        "feat_range_over_mean",
-        "feat_ratio_beyond_r_sigma",
-        "feat_ratio_n_unique_to_length",
-        "feat_root_mean_square",
-        "feat_sum_reoccurring_points",
-        "feat_sum_reoccurring_values",
-        "feat_symmetry_looking",
-        "feat_time_reversal_asymmetry_statistic",
-        "feat_var_gt_std",
-        "feat_variation_coefficient",
-        # ...then the front of the r2 cohort
-        "ann_cosine_topk",
-        "ann_ivf_topk",
-        "calendar_effects",
-        "cv_expanding_window",
-        "cv_sliding_window",
-        "cv_train_test_split",
-        "dedup_embedding",
-        "dedup_simhash",
-        "feat_udf_adf",
-        "feat_udf_ar2",
-        "feat_udf_entropy_pair",
+        # the remainder of the r2 cohort (last verified round 2)...
         "feat_udf_fft",
         "feat_udf_welch",
         "fourier_terms",
         "future_calendar",
+        "metrics_crps",
+        "metrics_interval",
+        "preproc_detrend",
+        "preproc_diff",
+        "preproc_fractional_diff",
+        "preproc_lag",
+        "preproc_log1p",
+        "preproc_one_hot",
+        "preproc_resample_1d",
+        "preproc_scale",
+        "preproc_time_to_arange",
+        "preproc_trim",
+        "text_fingerprint",
+        "text_language_id",
+        "text_quality",
+        "text_stats",
+        "text_token_counts",
+        # ...then the front of the r3 cohort (last verified round 3)
+        "ann_pq_adc",
+        "ann_sq8_topk",
+        "anomaly_zscore",
+        "corpus_chunks",
+        "corpus_mix_weights",
+        "cusum_events",
+        "dedup_lines",
+        "dedup_lines_keepfirst",
+        "dedup_minhash_incr",
+        "dedup_spans",
+        "dedup_url",
+        "embedding_stats",
+        "eval_rank_residuals",
+        "feat_udf_ar4",
+        "feat_udf_cwt",
+        "feat_udf_friedrich",
+        "feat_udf_lempel_ziv",
+        "preproc_boxcox_lambdas",
+        "preproc_deseasonalize",
+        "preproc_roll",
+        "preproc_roll_freq",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

@@ -246,6 +246,12 @@ def main() -> None:
         corpus = emb.filter(F.col("vec_id") != 0)
         ivf = IVFIndex(n_cells=16, init="spread").fit(emb)
         pq = PQCodebook(n_subspaces=8, ksub=16, n_iter=5, init="spread").fit(emb)
+        # enc stays a lazy lineage: for a one-shot build+query,
+        # checkpointing the whole encoded corpus costs more than it
+        # saves (A/B: 2.2 s lazy vs 3.2 s checkpointed end-to-end);
+        # ivf_pq_search pins only the probed slice internally, which is
+        # also the repeated-query deployment shape (persisted encoded
+        # table + per-query slice pin)
         enc = pq.encode(ivf.assign(corpus))
         ivf_pq_search(ivf, pq, enc, list(qvec), k=10, n_probe=4, refine=4).count()
 

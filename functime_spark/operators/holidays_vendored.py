@@ -1673,4 +1673,56 @@ def _my(year: int) -> list:
     return e
 
 
-_COUNTRIES.update({"TH": _th, "MY": _my})
+# Singapore gazettes its Islamic holidays on MUIS sighting — notably
+# Hari Raya Puasa 2022 fell May 3 (Malaysia: May 2). Vesak Day in
+# Singapore follows the Chinese lunar 4th-month 15th day (2023: Jun 2,
+# a leap-month year — unlike Malaysia's May-full-moon Wesak on May 4),
+# so it rides the shared lunisolar tables. Deepavali is gazetted.
+_SG_PUASA = {
+    2015: (7, 17), 2016: (7, 6), 2017: (6, 25), 2018: (6, 15),
+    2019: (6, 5), 2020: (5, 24), 2021: (5, 13), 2022: (5, 3),
+    2023: (4, 22), 2024: (4, 10), 2025: (3, 31),
+}
+_SG_HAJI = {
+    2015: (9, 24), 2016: (9, 12), 2017: (9, 1), 2018: (8, 22),
+    2019: (8, 11), 2020: (7, 31), 2021: (7, 20), 2022: (7, 10),
+    2023: (6, 29), 2024: (6, 17), 2025: (6, 7),
+}
+_SG_DEEPAVALI = {
+    2015: (11, 10), 2016: (10, 29), 2017: (10, 18), 2018: (11, 6),
+    2019: (10, 27), 2020: (11, 14), 2021: (11, 4), 2022: (10, 24),
+    2023: (11, 12), 2024: (10, 31), 2025: (10, 20),
+}
+
+
+def _sg(year: int) -> list:
+    """Singapore: the 11 gazetted public holidays — fixed days,
+    Gregorian computus (Good Friday), CNY days 1-2 AND Vesak
+    (lunar 4/15) off the shared lunisolar tables, tabular Hijri with
+    MUIS-gazetted overrides, vendored Deepavali. One-off Polling Days
+    and SG50-style extras are proclamations — excluded."""
+    e = [
+        (_dt.date(year, 1, 1), "new_years_day"),
+        (_easter(year) - _dt.timedelta(days=2), "good_friday"),
+        (_dt.date(year, 5, 1), "labour_day"),
+        (_dt.date(year, 8, 9), "national_day"),
+        (_dt.date(year, 12, 25), "christmas_day"),
+    ]
+    lny = _lunar_date(year, 1, 1)
+    if lny is not None:
+        e.append((lny, "chinese_new_year"))
+        e.append((lny + _dt.timedelta(days=1), "chinese_new_year_day_2"))
+    vesak = _lunar_date(year, 4, 15)
+    if vesak is not None:
+        e.append((vesak, "vesak_day"))
+    md = _SG_DEEPAVALI.get(year)
+    if md is not None:
+        e.append((_dt.date(year, md[0], md[1]), "deepavali"))
+    for d in _hijri_dates(year, 10, 1, _SG_PUASA):
+        e.append((d, "hari_raya_puasa"))
+    for d in _hijri_dates(year, 12, 10, _SG_HAJI):
+        e.append((d, "hari_raya_haji"))
+    return e
+
+
+_COUNTRIES.update({"TH": _th, "MY": _my, "SG": _sg})

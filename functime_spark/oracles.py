@@ -2145,8 +2145,8 @@ def operator_oracles() -> dict:
         "+ CASE WHEN (l.info & 15) > 0 AND (l.info & 15) < t.lm THEN "
         "CASE WHEN ((l.info >> 16) & 1) = 1 THEN 30 ELSE 29 END ELSE 0 END "
         "+ t.ld - 1 AS INT)) AS d "
-        "FROM lny l, (VALUES (1,1),(1,2),(1,3),(3,10),(4,8),(5,5),(8,15),"
-        "(8,16),(9,9)) t(lm, ld), generate_series(1, 12) m(m) "
+        "FROM lny l, (VALUES (1,1),(1,2),(1,3),(3,10),(4,8),(4,15),(5,5),"
+        "(8,15),(8,16),(9,9)) t(lm, ld), generate_series(1, 12) m(m) "
         "GROUP BY l.ly, l.d0, l.info, t.lm, t.ld)"
     )
     # Qingming solar term: int(y2*0.2422 + 4.81) - y2//4 (trunc, not
@@ -2435,6 +2435,50 @@ def operator_oracles() -> dict:
         "ON year(t.tab) = ov.gy AND t.nm = ov.onm "
         "WHERE year(t.tab) = t.y"
     )
+    # SG: fixed + Good Friday off the shared computus, CNY days 1-2
+    # AND Vesak (lunar 4/15) off the shared lunisolar CTE, tabular
+    # Hijri with MUIS-gazetted overrides, vendored Deepavali.
+    from functime_spark.operators.holidays_vendored import (
+        _SG_DEEPAVALI,
+        _SG_HAJI,
+        _SG_PUASA,
+    )
+
+    _sg_ov = ", ".join(
+        f"({y}, '{nm}', DATE '{y}-{m:02d}-{d:02d}')"
+        for nm, tbl in (
+            ("hari_raya_puasa", _SG_PUASA), ("hari_raya_haji", _SG_HAJI),
+        )
+        for y, (m, d) in sorted(tbl.items())
+    )
+    _sg_deep = ", ".join(
+        f"(DATE '{y}-{m:02d}-{d:02d}', 'deepavali')"
+        for y, (m, d) in sorted(_SG_DEEPAVALI.items())
+    )
+    _sg_rules = (
+        "SELECT make_date(y,1,1) AS d, 'new_years_day' AS nm FROM yrs "
+        "UNION ALL SELECT e - to_days(2), 'good_friday' FROM easter "
+        "UNION ALL SELECT make_date(y,5,1), 'labour_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,8,9), 'national_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'christmas_day' FROM yrs "
+        "UNION ALL SELECT l.d, 'chinese_new_year' FROM lun l "
+        "JOIN yrs ON year(l.d) = yrs.y WHERE l.lm = 1 AND l.ld = 1 "
+        "UNION ALL SELECT l.d + to_days(1), 'chinese_new_year_day_2' "
+        "FROM lun l JOIN yrs ON year(l.d) = yrs.y "
+        "WHERE l.lm = 1 AND l.ld = 1 "
+        "UNION ALL SELECT l.d, 'vesak_day' FROM lun l "
+        "JOIN yrs ON year(l.d) = yrs.y WHERE l.lm = 4 AND l.ld = 15 "
+        f"UNION ALL SELECT t.d, t.nm FROM (VALUES {_sg_deep}) t(d, nm) "
+        "JOIN yrs ON year(t.d) = yrs.y "
+        "UNION ALL SELECT COALESCE(ov.od, t.tab), t.nm FROM ("
+        + _id_tabular.format(
+            hol="(10,1,'hari_raya_puasa'),(12,10,'hari_raya_haji')"
+        )
+        + ") t "
+        f"LEFT JOIN (VALUES {_sg_ov}) ov(gy, onm, od) "
+        "ON year(t.tab) = ov.gy AND t.nm = ov.onm "
+        "WHERE year(t.tab) = t.y"
+    )
     o["future_holidays"] = (
         "WITH c AS (SELECT user_id, MAX(ts) AS low FROM events GROUP BY user_id), "
         "fut AS (SELECT c.user_id, c.low + i * INTERVAL '1 day' AS ts "
@@ -2456,6 +2500,7 @@ def operator_oracles() -> dict:
                 ("cn", _cn_rules), ("kr", _kr_rules), ("vn", _vn_rules),
                 ("tw", _tw_rules), ("hk", _hk_rules), ("il", _il_rules),
                 ("ph", _ph_rules), ("th", _th_rules), ("my", _my_rules),
+                ("sg", _sg_rules),
             ]
         )
         + " "
@@ -2467,7 +2512,8 @@ def operator_oracles() -> dict:
         "id_.nm AS holiday__id, eg.nm AS holiday__eg, cn.nm AS holiday__cn, "
         "kr.nm AS holiday__kr, vn.nm AS holiday__vn, tw.nm AS holiday__tw, "
         "hk.nm AS holiday__hk, il.nm AS holiday__il, ph.nm AS holiday__ph, "
-        "th.nm AS holiday__th, my.nm AS holiday__my "
+        "th.nm AS holiday__th, my.nm AS holiday__my, "
+        "sg.nm AS holiday__sg "
         "FROM fut f LEFT JOIN us ON CAST(f.ts AS DATE) = us.d "
         "LEFT JOIN de ON CAST(f.ts AS DATE) = de.d "
         "LEFT JOIN gb ON CAST(f.ts AS DATE) = gb.d "
@@ -2492,6 +2538,7 @@ def operator_oracles() -> dict:
         "LEFT JOIN ph ON CAST(f.ts AS DATE) = ph.d "
         "LEFT JOIN th ON CAST(f.ts AS DATE) = th.d "
         "LEFT JOIN my ON CAST(f.ts AS DATE) = my.d "
+        "LEFT JOIN sg ON CAST(f.ts AS DATE) = sg.d "
         "ORDER BY user_id, ts"
     )
 

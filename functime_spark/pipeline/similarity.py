@@ -369,7 +369,14 @@ def ivf_pq_search(
     q = np.asarray(query_vec, dtype="float64")
     d = ((ivf.centroids - q) ** 2).sum(axis=1)
     cells = [int(c) for c in np.argsort(d, kind="stable")[:n_probe]]
-    probed = encoded.filter(F.col("__cell").isin(cells))
+    # the probed slice feeds THREE consumers (the ADC scan, the
+    # semi-join's right-side anchor, and the exact refine scan); when
+    # `encoded` is a live assign+encode lineage rather than a persisted
+    # table, an un-cut plan recomputes the cell assignment + PQ encode
+    # for each — measured 3x the query latency at bench scale. The
+    # slice is n_probe/n_cells of the corpus (the same bound that makes
+    # the probe cheap), so pinning it is O(probed), never O(corpus).
+    probed = materialize(encoded.filter(F.col("__cell").isin(cells)))
     cand = pq.adc_search(probed, query_vec, k=refine * k, id_col=id_col)
     short = probed.join(cand.select(id_col), on=id_col, how="left_semi")
     return cosine_topk(short, query_vec, k=k, vec_col=vec_col, id_col=id_col)

@@ -676,3 +676,26 @@ def test_vendored_malaysia_vs_published_dates():
         d for d, n in vendored_holidays("MY", [2015]) if n == "maulidur_rasul"
     )
     assert maulids == [dt.date(2015, 1, 3), dt.date(2015, 12, 24)]
+
+
+def test_vendored_singapore_vs_published_dates():
+    """SG: Vesak rides the Chinese lunar 4/15 (unlike Malaysia's
+    May-full-moon Wesak — 2023 is the separating year: SG Jun 2 vs MY
+    May 4), MUIS-gazetted Islamic dates (Puasa 2022 = May 3, one day
+    after Malaysia), vendored Deepavali."""
+    import datetime as dt
+
+    from functime_spark.operators.holidays_vendored import vendored_holidays
+
+    sg23 = dict((n, d) for d, n in vendored_holidays("SG", [2023]))
+    assert sg23["vesak_day"] == dt.date(2023, 6, 2)
+    assert sg23["hari_raya_puasa"] == dt.date(2023, 4, 22)
+    assert sg23["hari_raya_haji"] == dt.date(2023, 6, 29)
+    assert sg23["deepavali"] == dt.date(2023, 11, 12)
+    sg22 = dict((n, d) for d, n in vendored_holidays("SG", [2022]))
+    assert sg22["hari_raya_puasa"] == dt.date(2022, 5, 3)  # MY: May 2
+    sg24 = dict((n, d) for d, n in vendored_holidays("SG", [2024]))
+    assert sg24["vesak_day"] == dt.date(2024, 5, 22)
+    assert sg24["chinese_new_year"] == dt.date(2024, 2, 10)
+    assert sg24["national_day"] == dt.date(2024, 8, 9)
+    assert sg24["good_friday"] == dt.date(2024, 3, 29)

@@ -9,7 +9,9 @@ the PUBLIC API end-to-end:
   2. minhash_dedup -> connected_components -> canonical keep
   3. linear_model fit+predict (10x the entity count)
   4. elite fit+predict        (backtest x bank x blend)
-  5. pack_shards(shuffle=True) on the cleaned corpus
+  5. curate_media (real Netpbm decode) + WebDataset write/read with
+     byte-content invariants (r8)
+  6. pack_shards(shuffle=True) on the cleaned corpus
 
 Data is generated ONCE under .stress/sf1 (gitignored) by replicating
 the read-only /root/testdata/sf0.1 tables 10x with deterministic key
@@ -217,6 +219,76 @@ def main() -> None:
         ).fit(panel)
         return {"forecast_rows": fc.predict(4).count()}
 
+    def run_media():
+        # r7 verdict item 5: the codec tier under stress with pinned
+        # CONTENT invariants (attrition chain, distinct-payload count,
+        # byte-identical WebDataset round-trip) — the dedup-histogram
+        # discipline. Payloads are the gate's deterministic P5 graymap
+        # construction (corrupt %7 / thumbnail %3 / five-id dedup
+        # groups) over the replicated documents table, decoded by the
+        # REAL Netpbm codec in curate_media's one mapInPandas pass.
+        import shutil as _shutil
+
+        from functime_spark.pipeline.multimodal import curate_media
+        from functime_spark.pipeline.webdataset import (
+            read_webdataset,
+            write_webdataset,
+        )
+
+        h = F.unhex(F.md5(F.expr("CAST(doc_id DIV 5 AS STRING)")))
+        payload = (
+            F.when(F.col("doc_id") % 7 == 0, F.lit(b"corrupt bytes"))
+            .when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(b"P5\n2 2\n255\n"), F.substring(h, 1, 4)),
+            )
+            .otherwise(F.concat(F.lit(b"P5\n4 4\n255\n"), h))
+        )
+        media = docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("image").alias("kind"),
+            payload.alias("payload"),
+            F.lit("{}").alias("meta"),
+        )
+        curated, report = curate_media(
+            media, decoder="ppm", min_width=3, min_height=3, dim=4
+        )
+        rep = {r["stage"]: (r["rows_in"], r["rows_out"]) for r in report.collect()}
+        wds_dir = STRESS_DIR / "wds_media"
+        if wds_dir.exists():
+            _shutil.rmtree(wds_dir)
+        samples = curated.select(
+            F.col("media_id").cast("string").alias("key"),
+            F.lit("ppm").alias("ext"),
+            F.col("payload"),
+        )
+        manifest = write_webdataset(samples, str(wds_dir), n_shards=8)
+        written = manifest.agg(
+            F.sum("n_members").alias("m"), F.sum("n_bytes").alias("b")
+        ).first()
+        back = read_webdataset(spark, str(wds_dir))
+        rt = back.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.md5("payload")).alias("dp"),
+        ).first()
+        curated_stats = curated.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.md5("payload")).alias("dp"),
+        ).first()
+        # byte-content invariants: every curated payload survives the
+        # tar round-trip, and post-dedup every payload is unique
+        assert int(rt["n"]) == int(written["m"]) == int(curated_stats["n"])
+        assert int(rt["dp"]) == int(curated_stats["dp"]) == int(curated_stats["n"])
+        _shutil.rmtree(wds_dir)
+        return {
+            "attrition": rep,
+            "curated": int(curated_stats["n"]),
+            "distinct_payloads": int(curated_stats["dp"]),
+            "wds_members": int(written["m"]),
+            "wds_bytes": int(written["b"]),
+            "roundtrip_rows": int(rt["n"]),
+        }
+
     def run_pack():
         from functime_spark.pipeline.packing import pack_shards
 
@@ -233,6 +305,7 @@ def main() -> None:
     stage("elite_forecast", run_elite)
     stage("knn_forecast", run_knn)
     stage("ann_forecast", run_ann)
+    stage("media_curate_wds", run_media)
     stage("pack_shards_shuffled", run_pack)
     out["total_sec"] = round(sum(s["sec"] for s in out["stages"].values()), 2)
     print(json.dumps(out))
