@@ -1838,6 +1838,20 @@ def q_text_tfidf_topk(spark, sf_dir):
     return _round_floats(out).orderBy("doc_id", "rank")
 
 
+def q_text_bm25(spark, sf_dir):
+    """Okapi BM25 top-10 retrieval for a 3-term query (r8,
+    beyond-reference): row-local doc lengths, single-row avgdl
+    broadcast, query-filtered postings aggregate, Lucene non-negative
+    idf; ranking on the 6-decimal-rounded score (doc_id tiebreak) so
+    the top-k cut is float-noise-proof; replayed in SQL end-to-end."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.similarity import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_topk(docs, "hash join scan", k=10, rank_decimals=6)
+    return out.orderBy(F.desc("bm25"), F.asc("doc_id"))
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup semantic near-dup pairs: spread-init k-means clusters
     (the ann_ivf_topk build, replayed in SQL) + exact cosine verify
@@ -3125,6 +3139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_lm_score": q_text_lm_score,
             "dedup_semantic": q_dedup_semantic,
             "text_tfidf_topk": q_text_tfidf_topk,
+            "text_bm25": q_text_bm25,
             "corpus_clean_attrition": q_corpus_clean_attrition,
             "text_vocab_zipf": q_text_vocab_zipf,
             "text_bpe_tokens": q_text_bpe_tokens,
@@ -3238,6 +3253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never_verified_first = [
         # (a) new or changed in round 8
         "media_audio_spectral",  # NEW: FFT-tier centroid, full DFT replay
+        "text_bm25",  # NEW: Okapi BM25 retrieval, replayed in SQL
         "feat_skewness",  # NEW: population g1 (registry now truly 56)
         "feat_kurtosis",  # NEW: population excess g2
         "text_quality_tiers",  # default flipped to GK sketch; exact pinned

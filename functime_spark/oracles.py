@@ -4677,6 +4677,29 @@ ORDER BY 1, 2
         "WHERE rank <= 3 ORDER BY doc_id, rank"
     )
 
+    # --- text_bm25: Okapi BM25 top-10 for the 3-term query replayed —
+    # row-local doc lengths, one avgdl scalar, query-filtered postings,
+    # Lucene non-negative idf, rounded-score rank (ties -> doc_id).
+    o["text_bm25"] = (
+        "WITH base AS (SELECT doc_id, "
+        r"list_filter(string_split_regex(text, '\s+'), x -> x <> '') "
+        "AS tk FROM documents), "
+        "stats AS (SELECT AVG(len(tk)) AS avgdl, "
+        "CAST(COUNT(*) AS DOUBLE) AS n FROM base), "
+        "tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf "
+        "FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS tok FROM base) "
+        "WHERE tok IN ('hash', 'join', 'scan') GROUP BY ALL), "
+        "dfq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df "
+        "FROM tf GROUP BY tok), "
+        "term AS (SELECT tf.doc_id, "
+        "ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) "
+        "* tf.tf * (1.2 + 1.0) "
+        "/ (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS s "
+        "FROM tf JOIN dfq USING (tok), stats) "
+        "SELECT doc_id, ROUND(SUM(s) + 1e-9, 6) AS bm25 FROM term "
+        "GROUP BY doc_id ORDER BY bm25 DESC, doc_id ASC LIMIT 10"
+    )
+
     # --- text_lm_score: the whole interpolated bigram LM replayed —
     # token/pair counts, driver scalars as a cross-joined 1-row CTE,
     # per-token log-probs, per-doc cross-entropy. The 1-lam literal is

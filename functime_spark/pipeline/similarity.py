@@ -633,6 +633,84 @@ def tfidf_topk_similar(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rank_decimals: int | None = None,
+) -> DataFrame:
+    """Okapi BM25 retrieval: the top-k documents for a whitespace
+    query (the lexical-retrieval baseline every RAG/decontamination
+    pipeline needs next to the embedding tier; the reference has no
+    retrieval surface — beyond-reference like tfidf_topk_similar).
+
+    score(d, q) = sum over query terms t of
+      idf(t) * tf(t,d) * (k1+1) / (tf(t,d) + k1*(1 - b + b*dl/avgdl))
+    with the Lucene/Robertson non-negative idf
+      ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Scale shape: doc length is a ROW-LOCAL projection (size of the
+    token split — no aggregate over the corpus), avgdl is one
+    single-row aggregate broadcast back, and the per-(doc, term) tf
+    aggregate runs on tokens PRE-FILTERED to the query's terms — the
+    shuffle carries only matching postings (sum of df over query
+    terms), never the full corpus vocabulary. df per term is a rollup
+    of the same filtered table; the final candidate scoring is one
+    small groupBy + a TakeOrdered(k). Every step is deterministic
+    double arithmetic — the gate replays it in SQL."""
+    qterms = sorted({t for t in query.split() if t})
+    if not qterms:
+        raise ValueError("bm25_topk needs a non-empty query")
+    n_docs = docs.count()
+    toks_all = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != "",
+    )
+    base = docs.select(
+        F.col(id_col), F.size(toks_all).alias("__dl"), toks_all.alias("__tk")
+    )
+    base = materialize(base.filter(F.arrays_overlap(
+        "__tk", F.array(*[F.lit(t) for t in qterms])
+    )))
+    avgdl = docs.select(F.avg(F.size(toks_all)).alias("__avgdl"))
+    tf = (
+        base.select(id_col, "__dl", F.explode("__tk").alias("token"))
+        .filter(F.col("token").isin(qterms))
+        .groupBy(id_col, "__dl", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("__df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    term = (
+        tf.join(F.broadcast(df.select("token", idf.alias("__idf"))), on="token")
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            F.col(id_col),
+            (
+                F.col("__idf") * F.col("__tf") * (k1 + 1.0)
+                / (F.col("__tf")
+                   + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl")))
+            ).alias("__s"),
+        )
+    )
+    scored = term.groupBy(id_col).agg(F.sum("__s").alias("bm25"))
+    key = F.col("bm25")
+    if rank_decimals is not None:
+        # rank on the rounded score (ties -> id) so the top-k cut is
+        # stable under cross-engine float noise (avgdl summation
+        # order) — the tfidf_topk_similar gate discipline
+        key = F.round(key + F.lit(1e-9), rank_decimals)
+        scored = scored.select(id_col, key.alias("bm25"))
+    return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+
+
 def hashed_features(
     docs: DataFrame,
     dim: int = 64,

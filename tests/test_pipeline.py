@@ -3549,3 +3549,50 @@ def test_video_to_webdataset_etl_chain(spark, tmp_path):
         src = videos[vid][idx]
         err = np.abs(dec.astype(float) - src.astype(float)).mean()
         assert dec.shape == src.shape and err < 8.0, (vid, idx, err)
+
+
+def test_bm25_topk_matches_numpy(spark):
+    """BM25 scores equal the straight numpy Okapi computation
+    (Lucene non-negative idf), ranking and k-cut included."""
+    import math
+
+    from functime_spark.pipeline.similarity import bm25_topk
+
+    texts = {
+        1: "spark shuffles data fast",
+        2: "spark spark joins data",
+        3: "ducks swim in ponds",
+        4: "spark",
+        5: "data data data joins joins spark",
+    }
+    d = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    q = ["spark", "joins"]
+    n = len(texts)
+    toks = {k: v.split() for k, v in texts.items()}
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {t: sum(1 for tk in toks.values() if t in tk) for t in q}
+    k1, b = 1.2, 0.75
+
+    def score(doc):
+        s = 0.0
+        for t in q:
+            tf = toks[doc].count(t)
+            if not tf:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks[doc]) / avgdl))
+        return s
+
+    want = sorted(
+        ((score(i), i) for i in texts if score(i) > 0),
+        key=lambda x: (-x[0], x[1]),
+    )
+    got = bm25_topk(d, "spark joins", k=3).collect()
+    assert [r["doc_id"] for r in got] == [i for _, i in want[:3]]
+    for r, (s, _) in zip(got, want):
+        assert r["bm25"] == pytest.approx(s, rel=1e-12)
+    # empty query rejected
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(d, "   ")
+    # no-match query returns empty, not error
+    assert bm25_topk(d, "zebra").count() == 0
