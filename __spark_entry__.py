@@ -2380,16 +2380,19 @@ def q_media_audio(spark, sf_dir):
 
 
 def q_media_audio_spectral(spark, sf_dir):
-    """The FFT-tier audio column value-verified end-to-end (r7 verdict
-    item 3): spectral_centroid_hz for the same synthetic WAVs as
-    `media_audio`, on a doc_id % 29 subsample (the DFT replay is an
-    explicit double sum — docs x 2 frames x 257 bins x 512 samples).
-    The oracle rebuilds both Hann-windowed frames (np.hanning is the
-    SYMMETRIC window: 0.5 - 0.5*cos(2*pi*j/511)), the rfft power
-    spectrum as cos/sin sums, and the frame-mean centroid
-    sum(p_k * k*rate/512) / (sum(p_k) + 1e-12). Rounded to 4 decimals
-    (values ~1e3 Hz; naive-DFT vs FFT summation order makes 6 decimals
-    accumulation noise)."""
+    """The ENTIRE FFT-tier spectral family value-verified end-to-end
+    (r7 verdict item 3, extended): centroid, bandwidth, 85% rolloff
+    and flatness for the same synthetic WAVs as `media_audio`, on a
+    doc_id % 29 subsample (the DFT replay is an explicit double sum —
+    docs x 2 frames x 257 bins x 512 samples). The oracle rebuilds
+    both Hann-windowed frames (np.hanning is the SYMMETRIC window:
+    0.5 - 0.5*cos(2*pi*j/511)), the rfft power spectrum as cos/sin
+    sums, then per frame: centroid sum(p*f)/(sum(p)+1e-12), bandwidth
+    sqrt(sum(p*(f-c)^2)/(sum(p)+1e-12)), rolloff = f at the first
+    cumsum(p) >= 0.85*sum(p) bin, flatness exp(mean(ln(p+1e-12)))/
+    (mean(p)+1e-12) — each frame-averaged. Rounded to 4 decimals
+    (naive-DFT vs FFT summation order makes 6 decimals accumulation
+    noise). The MFCCs get their own gate (`media_audio_mfcc`)."""
     _ensure_nanos_conf(spark)
     import struct as _struct
 
@@ -2417,9 +2420,53 @@ def q_media_audio_spectral(spark, sf_dir):
         F.lit("{}").alias("meta"),
     )
     out = extract_audio_features(media, decoder="wav").select(
-        "media_id", "spectral_centroid_hz"
+        "media_id", "spectral_centroid_hz", "spectral_bandwidth_hz",
+        "spectral_rolloff_hz", "spectral_flatness",
     )
     return _round_floats(out.orderBy("media_id"), nd=4)
+
+
+def q_media_audio_mfcc(spark, sf_dir):
+    """The 13 MFCCs value-verified end-to-end (r8 — the last
+    pytest-only audio surface): same synthetic WAVs and doc_id % 29
+    subsample as `media_audio_spectral`; the oracle rebuilds the
+    26-band mel filterbank FROM THE FORMULA (mel = 2595*log10(1+f/700)
+    linspace, hz inversion, floor((n_fft+1)*f/rate) bin triangles —
+    bin margins ~0.01 so cross-engine log10 ulp noise can't flip an
+    index), the log-mel energies ln(power @ fb.T + 1e-10), and the
+    orthonormal DCT-II, all as explicit SQL sums over the DFT power
+    spectrum. Long format (media_id, c, mfcc), 3-decimal round (the
+    log amplifies FFT-vs-naive-DFT noise past the 4th decimal)."""
+    _ensure_nanos_conf(spark)
+    import struct as _struct
+
+    from functime_spark.pipeline.audio import extract_audio_features
+
+    n, rate = _AUDIO_N, _AUDIO_RATE
+    header = (
+        b"RIFF" + _struct.pack("<I", 36 + 2 * n) + b"WAVEfmt "
+        + _struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + _struct.pack("<I", 2 * n)
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 29 == 0
+    )
+    u = f"((doc_id * 7919 + i * 104729) % 65536)"
+    pcm_hex = F.expr(
+        "array_join(transform(sequence(0, {m}), i -> "
+        "format_string('%02X%02X', {u} % 256, ({u} DIV 256) % 256)), '')"
+        .format(m=n - 1, u=u)
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.concat(F.lit(header), F.unhex(pcm_hex)).alias("payload"),
+        F.lit("{}").alias("meta"),
+    )
+    out = extract_audio_features(media, decoder="wav").select(
+        "media_id", F.posexplode("mfcc").alias("c", "mfcc")
+    )
+    return _round_floats(out.orderBy("media_id", "c"), nd=3)
 
 
 def q_media_features(spark, sf_dir):
@@ -3210,6 +3257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_curate": q_media_curate,
             "media_audio": q_media_audio,
             "media_audio_spectral": q_media_audio_spectral,
+            "media_audio_mfcc": q_media_audio_mfcc,
             "media_curate_report": q_media_curate_report,
             "media_resize": q_media_resize,
             "forecast_backtest_naive": q_forecast_backtest_naive,
@@ -3252,7 +3300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and the front of r2.
     never_verified_first = [
         # (a) new or changed in round 8
-        "media_audio_spectral",  # NEW: FFT-tier centroid, full DFT replay
+        "media_audio_spectral",  # NEW: FFT-tier spectral family, DFT replay
+        "media_audio_mfcc",  # NEW: the 13 MFCCs, filterbank from formula
         "text_bm25",  # NEW: Okapi BM25 retrieval, replayed in SQL
         "feat_skewness",  # NEW: population g1 (registry now truly 56)
         "feat_kurtosis",  # NEW: population excess g2

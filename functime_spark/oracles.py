@@ -1311,13 +1311,17 @@ def operator_oracles() -> dict:
         "GROUP BY s.doc_id ORDER BY media_id"
     )
 
-    # media_audio_spectral: the FFT-tier spectral centroid replayed as
-    # an explicit DFT double sum over BOTH Hann-windowed frames
+    # media_audio_spectral: the WHOLE FFT-tier spectral family replayed
+    # as an explicit DFT double sum over BOTH Hann-windowed frames
     # (starts 0 and 256 for n=1000, n_fft=512, hop=256), on the
     # doc_id % 29 subsample. np.hanning(512) is the SYMMETRIC window
-    # (denominator 511); freqs_k = k*rate/512; per-frame centroid
-    # sum(p*f)/(sum(p)+1e-12), then the frame mean. 4-decimal round
-    # (naive-DFT vs numpy-FFT summation order).
+    # (denominator 511); freqs_k = k*rate/512. Per frame: centroid
+    # sum(p*f)/(sum(p)+1e-12); bandwidth sqrt(sum(p*(f-c)^2)/
+    # (sum(p)+1e-12)); rolloff = f at the first running-cumsum(p) >=
+    # 0.85 * final cumsum (MAX of the running sum reproduces numpy's
+    # cum[:, -1] bit-for-bit — same left-to-right summation order);
+    # flatness exp(avg(ln(p+1e-12)))/(avg(p)+1e-12). Frame means,
+    # 4-decimal round (naive-DFT vs numpy-FFT summation order).
     o["media_audio_spectral"] = (
         "WITH samples AS (SELECT doc_id, t.i AS i, "
         "CAST(CASE WHEN u < 32768 THEN u ELSE u - 65536 END AS DOUBLE) "
@@ -1333,13 +1337,87 @@ def operator_oracles() -> dict:
         "SUM(w.y * cos(2*pi()*ks.k*w.j/512.0)) AS re, "
         "SUM(w.y * sin(2*pi()*ks.k*w.j/512.0)) AS im "
         "FROM win w, range(0, 257) ks(k) GROUP BY 1, 2, 3), "
-        "fc AS (SELECT doc_id, fr, "
-        "SUM((re*re + im*im) * k * 8000.0/512.0) "
-        "/ (SUM(re*re + im*im) + 1e-12) AS c "
-        "FROM spec GROUP BY 1, 2) "
+        "pf AS (SELECT doc_id, fr, k, (re*re + im*im) AS p, "
+        "k * 8000.0/512.0 AS f FROM spec), "
+        "fs AS (SELECT doc_id, fr, SUM(p) AS sp, SUM(p*f) AS spf, "
+        "AVG(ln(p + 1e-12)) AS mlog, AVG(p) AS mp FROM pf GROUP BY 1, 2), "
+        "cf AS (SELECT doc_id, fr, sp, spf / (sp + 1e-12) AS c, "
+        "exp(mlog) / (mp + 1e-12) AS flat FROM fs), "
+        "bwf AS (SELECT pf.doc_id, pf.fr, "
+        "sqrt(SUM(pf.p * (pf.f - cf.c) * (pf.f - cf.c)) "
+        "/ (MAX(cf.sp) + 1e-12)) AS bw "
+        "FROM pf JOIN cf USING (doc_id, fr) GROUP BY 1, 2), "
+        "cum AS (SELECT doc_id, fr, k, f, "
+        "SUM(p) OVER (PARTITION BY doc_id, fr ORDER BY k) AS cp FROM pf), "
+        "cum2 AS (SELECT *, MAX(cp) OVER (PARTITION BY doc_id, fr) AS tp "
+        "FROM cum), "
+        "rollf AS (SELECT doc_id, fr, "
+        "MIN(CASE WHEN cp >= 0.85 * tp THEN f END) AS rf "
+        "FROM cum2 GROUP BY 1, 2), "
+        "perfr AS (SELECT cf.doc_id, cf.fr, cf.c, cf.flat, bwf.bw, rollf.rf "
+        "FROM cf JOIN bwf USING (doc_id, fr) JOIN rollf USING (doc_id, fr)) "
         "SELECT doc_id AS media_id, "
-        "ROUND(CAST(AVG(c) AS DOUBLE) + 1e-9, 4) AS spectral_centroid_hz "
-        "FROM fc GROUP BY doc_id ORDER BY media_id"
+        "ROUND(CAST(AVG(c) AS DOUBLE) + 1e-9, 4) AS spectral_centroid_hz, "
+        "ROUND(CAST(AVG(bw) AS DOUBLE) + 1e-9, 4) AS spectral_bandwidth_hz, "
+        "ROUND(CAST(AVG(rf) AS DOUBLE) + 1e-9, 4) AS spectral_rolloff_hz, "
+        "ROUND(CAST(AVG(flat) AS DOUBLE) + 1e-9, 4) AS spectral_flatness "
+        "FROM perfr GROUP BY doc_id ORDER BY media_id"
+    )
+
+    # media_audio_mfcc: the 13 MFCCs replayed end-to-end — mel
+    # filterbank rebuilt from the formula (28 linspace mel points,
+    # hz inversion, floor bin triangles), log-mel energies over the
+    # same DFT power spectrum, orthonormal DCT-II, frame mean.
+    _aud_spec_ctes = (
+        "samples AS (SELECT doc_id, t.i AS i, "
+        "CAST(CASE WHEN u < 32768 THEN u ELSE u - 65536 END AS DOUBLE) "
+        "/ 32768.0 AS x FROM (SELECT doc_id, t.i, "
+        "(doc_id * 7919 + t.i * 104729) % 65536 AS u "
+        "FROM documents, range(0, 1000) t(i) "
+        "WHERE doc_id % 29 = 0) t(doc_id, i, u)), "
+        "win AS (SELECT s.doc_id, fr.s AS fr, s.i - fr.s AS j, "
+        "s.x * (0.5 - 0.5*cos(2*pi()*(s.i - fr.s)/511.0)) AS y "
+        "FROM samples s JOIN (VALUES (0), (256)) fr(s) "
+        "ON s.i >= fr.s AND s.i < fr.s + 512), "
+        "spec AS (SELECT w.doc_id, w.fr, ks.k, "
+        "SUM(w.y * cos(2*pi()*ks.k*w.j/512.0)) AS re, "
+        "SUM(w.y * sin(2*pi()*ks.k*w.j/512.0)) AS im "
+        "FROM win w, range(0, 257) ks(k) GROUP BY 1, 2, 3), "
+        "pf AS (SELECT doc_id, fr, k, (re*re + im*im) AS p, "
+        "k * 8000.0/512.0 AS f FROM spec)"
+    )
+    o["media_audio_mfcc"] = (
+        f"WITH {_aud_spec_ctes}, "
+        # 28 mel points -> hz -> FFT bin indices (floor)
+        "bpts AS (SELECT i, CAST(FLOOR(513.0 * (700.0 * "
+        "(POW(10.0, (i * ((2595.0 * log10(1.0 + 4000.0/700.0)) / 27.0)) "
+        "/ 2595.0) - 1.0)) / 8000.0) AS INT) AS b "
+        "FROM range(0, 28) t(i)), "
+        # triangular weights fb[mi, k] over (lo, mid, hi) = bins[mi..mi+2]
+        "melw AS (SELECT mi, k, w FROM ("
+        "SELECT m.i AS mi, k.k AS k, "
+        "CASE WHEN k.k >= lo.b AND k.k < md.b AND md.b > lo.b "
+        "THEN CAST(k.k - lo.b AS DOUBLE) / (md.b - lo.b) "
+        "WHEN k.k >= md.b AND k.k < hi.b AND hi.b > md.b "
+        "THEN CAST(hi.b - k.k AS DOUBLE) / (hi.b - md.b) "
+        "ELSE 0.0 END AS w "
+        "FROM range(0, 26) m(i), range(0, 257) k(k) "
+        "JOIN bpts lo ON lo.i = m.i "
+        "JOIN bpts md ON md.i = m.i + 1 "
+        "JOIN bpts hi ON hi.i = m.i + 2) WHERE w <> 0.0), "
+        "mele AS (SELECT pf.doc_id, pf.fr, m.mi, "
+        "ln(SUM(pf.p * m.w) + 1e-10) AS le "
+        "FROM pf JOIN melw m ON m.k = pf.k GROUP BY 1, 2, 3), "
+        # orthonormal DCT-II over the mel axis
+        "dctm AS (SELECT c.c, i.i, "
+        "cos(pi() * c.c * (2*i.i + 1) / 52.0) * sqrt(2.0/26.0) "
+        "* (CASE WHEN c.c = 0 THEN 1.0/sqrt(2.0) ELSE 1.0 END) AS dv "
+        "FROM range(0, 13) c(c), range(0, 26) i(i)), "
+        "mf AS (SELECT e.doc_id, e.fr, d.c, SUM(e.le * d.dv) AS v "
+        "FROM mele e JOIN dctm d ON d.i = e.mi GROUP BY 1, 2, 3) "
+        "SELECT doc_id AS media_id, CAST(c AS INT) AS c, "
+        "ROUND(CAST(AVG(v) AS DOUBLE) + 1e-9, 3) AS mfcc "
+        "FROM mf GROUP BY doc_id, c ORDER BY media_id, c"
     )
 
     o["media_curate_report"] = (
