@@ -3140,11 +3140,19 @@ def test_media_jpeg_codec_roundtrip_and_cross_implementation(spark):
     # malformed / unsupported payloads fail loudly
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
+    # a baseline stream masquerading as SOF2 routes to the progressive
+    # engine, whose scan validation rejects the full-band interleaved
+    # scan (progressive DC scans must have Se=0)
     prog = bytearray(ours)
     sof = prog.find(b"\xff\xc0")
-    prog[sof + 1] = 0xC2  # masquerade as progressive
-    with pytest.raises(ValueError, match="baseline"):
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(bytes(prog))
+    # arithmetic/hierarchical SOFs stay clearly rejected
+    sof3 = bytearray(ours)
+    sof3[sof + 1] = 0xC3
+    with pytest.raises(ValueError, match="SOF0/SOF1"):
+        decode_jpeg(bytes(sof3))
     # entropy stream cut but EOI present (common corrupt-scrape shape):
     # must surface the documented ValueError, NOT the internal
     # _MarkerHit control-flow exception (r7 ADVICE finding)
@@ -3596,3 +3604,95 @@ def test_bm25_topk_matches_numpy(spark):
         bm25_topk(d, "   ")
     # no-match query returns empty, not error
     assert bm25_topk(d, "zebra").count() == 0
+
+
+def test_media_jpeg_progressive_decode_vs_javaimageio(spark):
+    """PROGRESSIVE (SOF2) decode (r8): javax.imageio writes its
+    default multi-scan script (DC first/refine, AC spectral bands with
+    successive approximation + EOB runs); our T.81 Annex G engine must
+    agree with Java's own decode of the same stream. Grayscale pins
+    agreement at max-1-LSB (raster access, no colorspace transform);
+    4:2:0 color differs only by the chroma upsampling filter (Java
+    interpolates, we box-replicate — both spec-legal), so color gets
+    the looser vs-original bound the baseline Java-stream check uses."""
+    import numpy as np
+
+    from functime_spark.pipeline.jpeg import decode_jpeg
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+    jvm = spark.sparkContext._jvm
+    BI = jvm.java.awt.image.BufferedImage
+
+    def java_progressive(bi):
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+            "jpg").next()
+        param = writer.getDefaultWriteParam()
+        param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        param.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionQuality(0.9)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+        writer.setOutput(ios)
+        writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+        ios.flush()
+        writer.dispose()
+        return bytes(baos.toByteArray())
+
+    rng = np.random.default_rng(3)
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w].astype(float)
+    # textured: every zigzag position carries energy, so the AC
+    # refinement correction-bit path is fully exercised
+    gray = np.clip(
+        128 + 60 * np.sin(xx / 2.5) * np.cos(yy / 3.1)
+        + rng.normal(0, 18, (h, w)), 0, 255,
+    ).astype(np.uint8)
+    bi = BI(w, h, BI.TYPE_BYTE_GRAY)
+    ras = bi.getRaster()
+    for y in range(h):
+        for x in range(w):
+            ras.setSample(x, y, 0, int(gray[y, x]))
+    prog = java_progressive(bi)
+    assert b"\xff\xc2" in prog[:600]  # really SOF2
+    d = decode_jpeg(prog)
+    assert (d["width"], d["height"], d["mode"]) == (w, h, "gray")
+    jimg = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(prog))
+    jras = jimg.getRaster()
+    got = np.zeros((h, w), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            got[y, x] = jras.getSample(x, y, 0)
+    assert int(np.abs(d["array"].astype(int) - got.astype(int)).max()) <= 1
+    assert psnr(d["array"], got) > 55.0
+    assert psnr(d["array"], gray) > 30.0
+
+    # color (4:2:0 from Java's default sampling): decode must land on
+    # the original within the baseline-test bound despite the
+    # upsampling-filter difference
+    rgb = gray[..., None].repeat(3, axis=-1).astype(np.uint8)
+    rgb[..., 1] = np.roll(rgb[..., 1], 3, axis=1)
+    bi2 = BI(w, h, BI.TYPE_INT_RGB)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(v) for v in rgb[y, x])
+            bi2.setRGB(x, y, (r << 16) | (g << 8) | b)
+    prog2 = java_progressive(bi2)
+    assert b"\xff\xc2" in prog2[:600]
+    d2 = decode_jpeg(prog2)
+    assert (d2["width"], d2["height"], d2["mode"]) == (w, h, "rgb")
+    assert psnr(d2["array"], rgb) > 22.0
+
+    # the decoder seam consumes progressive payloads end-to-end
+    from functime_spark.pipeline.multimodal import extract_features_media
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(prog), "{}"),
+         (2, "image", bytearray(prog2), "{}")],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    rows = extract_features_media(media, dim=6, decoder="jpeg").collect()
+    assert len(rows) == 2 and all(len(r["feature"]) == 6 for r in rows)
