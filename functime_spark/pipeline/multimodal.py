@@ -214,6 +214,67 @@ def decode_png(payload: bytes) -> dict:
     return {"array": arr, "width": w, "height": h, "mode": mode}
 
 
+def encode_png(arr) -> bytes:
+    """Pure-Python PNG encoder (stdlib zlib, r8): the lossless write
+    half of the PNG codec — gray / gray+alpha / RGB / RGBA 8-bit
+    non-interlaced, one Paeth-vs-None filter choice per scanline (the
+    two filters that matter in practice; the decoder reads all five).
+    Gives the media seam a lossless sink format (e.g. WebDataset
+    shards of curated images) to complement lossy JPEG."""
+    import struct
+    import zlib
+
+    a = np.asarray(arr)
+    if a.dtype != np.uint8:
+        raise ValueError("encode_png expects a uint8 array")
+    if a.ndim == 2:
+        a = a[..., None]
+    if a.ndim != 3 or a.shape[2] not in (1, 2, 3, 4):
+        raise ValueError("encode_png expects HxW[x{1,2,3,4}]")
+    h, w, ch = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    flat = a.reshape(h, w * ch).astype(np.int16)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int16)
+    for y in range(h):
+        line = flat[y]
+        # Paeth prediction residuals (filter 4)
+        left = np.zeros(w * ch, dtype=np.int16)
+        left[ch:] = line[:-ch]
+        upleft = np.zeros(w * ch, dtype=np.int16)
+        upleft[ch:] = prev[:-ch]
+        p = left + prev - upleft
+        pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+        )
+        paeth = ((line - pred) & 0xFF).astype(np.uint8)
+        none = (line & 0xFF).astype(np.uint8)
+        # per-line minimum-sum-of-absolutes heuristic (RFC 2083 §9.6)
+        cost = lambda r: int(np.abs(r.astype(np.int8).astype(int)).sum())  # noqa: E731
+        if cost(paeth) <= cost(none):
+            raw.append(4)
+            raw.extend(paeth.tobytes())
+        else:
+            raw.append(0)
+            raw.extend(none.tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_bmp(payload: bytes) -> dict:
     """Pure-Python BMP decoder (uncompressed 24/32-bit BI_RGB, the
     dominant dump format). Rows are bottom-up and 4-byte padded; output

@@ -3696,3 +3696,36 @@ def test_media_jpeg_progressive_decode_vs_javaimageio(spark):
     )
     rows = extract_features_media(media, dim=6, decoder="jpeg").collect()
     assert len(rows) == 2 and all(len(r["feature"]) == 6 for r in rows)
+
+
+def test_media_png_encoder_lossless_and_java_referee(spark):
+    """encode_png (r8): lossless roundtrip through our own decoder for
+    all four color types, and the independent javax.imageio decoder
+    reads our bytes back EXACTLY (PNG is lossless, so the referee
+    check is equality, not PSNR)."""
+    import numpy as np
+
+    from functime_spark.pipeline.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (21, 33, 3), dtype=np.uint8)
+    payload = encode_png(rgb)
+    back = decode_png(payload)
+    assert back["mode"] == "rgb" and np.array_equal(back["array"], rgb)
+    gray = rng.integers(0, 256, (14, 9), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(gray))["array"], gray)
+    rgba = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(rgba))["array"], rgba)
+
+    jvm = spark.sparkContext._jvm
+    jimg = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(payload))
+    assert jimg.getWidth() == 33 and jimg.getHeight() == 21
+    got = np.zeros((21, 33, 3), dtype=np.uint8)
+    for y in range(21):
+        for x in range(33):
+            v = jimg.getRGB(x, y)
+            got[y, x] = [(v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF]
+    assert np.array_equal(got, rgb)
+    with pytest.raises(ValueError, match="uint8"):
+        encode_png(rgb.astype(np.float32))
