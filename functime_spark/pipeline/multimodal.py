@@ -28,6 +28,7 @@ the seam.
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -275,6 +276,136 @@ def encode_png(arr) -> bytes:
     )
 
 
+def decode_gif(payload: bytes) -> dict:
+    """Pure-Python GIF decoder (r8): GIF87a/89a, first frame — LZW
+    with variable code width + clear/end codes, global or local color
+    table, optional interlace (four-pass row reorder); GCE
+    transparency is ignored (the seam wants pixels, not compositing).
+    Returns {"array": HxWx3 uint8, "width", "height", "mode"}."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (bad signature)")
+    try:
+        return _decode_gif_inner(payload)
+    except (IndexError, struct.error):
+        # cuts mid sub-block walk / header field — one contract,
+        # like decode_jpeg's truncated-stream handling
+        raise ValueError("truncated GIF stream") from None
+
+
+def _decode_gif_inner(payload: bytes) -> dict:
+    import struct
+
+    if len(payload) < 13:
+        raise ValueError("truncated GIF stream")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("truncated GIF stream")
+        gct = np.frombuffer(
+            payload[pos:pos + 3 * n], dtype=np.uint8
+        ).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + data sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            ix, iy, iw, ih, iflags = struct.unpack(
+                "<HHHHB", payload[pos + 1:pos + 10]
+            )
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                if pos + 3 * n > len(payload):
+                    raise ValueError("truncated GIF stream")
+                pal = np.frombuffer(
+                    payload[pos:pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF frame has no color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(data), min_code, iw * ih)
+            if len(idx) < iw * ih:
+                raise ValueError("truncated GIF image data")
+            grid = np.array(idx[: iw * ih], dtype=np.int32).reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: four-pass row order
+                order = (
+                    list(range(0, ih, 8)) + list(range(4, ih, 8))
+                    + list(range(2, ih, 4)) + list(range(1, ih, 2))
+                )
+                de = np.empty_like(grid)
+                de[np.array(order)] = grid
+                grid = de
+            rgb = pal[np.clip(grid, 0, len(pal) - 1)]
+            return {
+                "array": rgb.astype(np.uint8),
+                "width": int(iw), "height": int(ih), "mode": "rgb",
+            }
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block {b:#x} at {pos}")
+    raise ValueError("GIF contains no image frame")
+
+
+def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> list:
+    """GIF-variant LZW: variable code width from min_code+1 bits,
+    CLEAR resets the table, EOI stops; dictionary caps at 4096."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out: list = []
+    table: list = [[i] for i in range(clear)] + [[], []]
+    width = min_code + 1
+    acc = nbits = 0
+    prev = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [[i] for i in range(clear)] + [[], []]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:  # deferred-clear: cap at 12 bits
+                    table.append(prev + [entry[0]])
+            else:
+                entry = prev + [prev[0]]
+                if len(table) < 4096:
+                    table.append(entry)
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= max_pixels:
+                return out
+    return out
+
+
 def decode_bmp(payload: bytes) -> dict:
     """Pure-Python BMP decoder (uncompressed 24/32-bit BI_RGB, the
     dominant dump format). Rows are bottom-up and 4-byte padded; output
@@ -336,6 +467,7 @@ _DECODERS: dict = {
     "wav": decode_wav,
     "png": decode_png,
     "bmp": decode_bmp,
+    "gif": decode_gif,
     "jpeg": decode_jpeg,
     "jpg": decode_jpeg,
     "mjpeg": decode_mjpeg,

@@ -3729,3 +3729,56 @@ def test_media_png_encoder_lossless_and_java_referee(spark):
     assert np.array_equal(got, rgb)
     with pytest.raises(ValueError, match="uint8"):
         encode_png(rgb.astype(np.float32))
+
+
+def test_media_gif_decode_vs_javaimageio(spark):
+    """GIF decoder (r8): LZW with variable code width + deferred
+    clear, palette lookup, optional interlace. Java's GIF writer is
+    LOSSLESS for <=256-color inputs, so the referee check is exact
+    equality against BOTH Java's own decode and the original —
+    plain and interlaced (progressive-mode) streams."""
+    import numpy as np
+
+    from functime_spark.pipeline.multimodal import decode_gif
+
+    jvm = spark.sparkContext._jvm
+    rng = np.random.default_rng(5)
+    h, w = 37, 53
+    pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 64, (h, w))]
+    BI = jvm.java.awt.image.BufferedImage
+    bi = BI(w, h, BI.TYPE_INT_RGB)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(v) for v in img[y, x])
+            bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+
+    def java_gif(progressive):
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+            "gif").next()
+        param = writer.getDefaultWriteParam()
+        if progressive:
+            param.setProgressiveMode(
+                jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+        writer.setOutput(ios)
+        writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+        ios.flush()
+        writer.dispose()
+        return bytes(baos.toByteArray())
+
+    for progressive in (False, True):
+        gif = java_gif(progressive)
+        assert gif[:6] in (b"GIF87a", b"GIF89a")
+        d = decode_gif(gif)
+        assert (d["width"], d["height"], d["mode"]) == (w, h, "rgb")
+        assert np.array_equal(d["array"], img)
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"not a gif")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gif(java_gif(False)[:40] + b"\x3b")  # cut mid color table
+    full = java_gif(False)
+    with pytest.raises(ValueError, match="truncated|unknown GIF"):
+        decode_gif(full[: len(full) - len(full) // 3])  # cut entropy data
