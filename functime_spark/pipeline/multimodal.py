@@ -215,6 +215,34 @@ def decode_png(payload: bytes) -> dict:
     return {"array": arr, "width": w, "height": h, "mode": mode}
 
 
+def encode_wav(
+    arr, rate: int = 16000, sampwidth: int = 2, channels: int = 1
+) -> bytes:
+    """stdlib-wave PCM encoder (r8): the write half of the audio seam
+    — float input in [-1, 1] is quantized to the target width, int
+    input passes through. Pairs with the WAV decode path so curated
+    audio can round-trip through WebDataset shards."""
+    import io
+    import wave
+
+    a = np.asarray(arr)
+    if a.dtype.kind == "f":
+        lim = float(1 << (8 * sampwidth - 1))
+        a = np.clip(np.round(a * lim), -lim, lim - 1)
+    dt = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sampwidth)
+    if dt is None:
+        raise ValueError(f"unsupported WAV sample width {sampwidth}")
+    if sampwidth == 1:
+        a = a + 128  # 8-bit WAV is unsigned
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(sampwidth)
+        wf.setframerate(rate)
+        wf.writeframes(a.astype(dt).tobytes())
+    return buf.getvalue()
+
+
 def encode_png(arr) -> bytes:
     """Pure-Python PNG encoder (stdlib zlib, r8): the lossless write
     half of the PNG codec — gray / gray+alpha / RGB / RGBA 8-bit

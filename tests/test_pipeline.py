@@ -3782,3 +3782,25 @@ def test_media_gif_decode_vs_javaimageio(spark):
     full = java_gif(False)
     with pytest.raises(ValueError, match="truncated|unknown GIF"):
         decode_gif(full[: len(full) - len(full) // 3])  # cut entropy data
+
+
+def test_media_wav_encoder_roundtrip():
+    """encode_wav (r8): float [-1,1] quantizes to the target width and
+    round-trips through the stdlib decode path within 1 LSB; int16
+    passthrough is exact; 8-bit unsigned offset honored."""
+    import numpy as np
+
+    from functime_spark.pipeline.multimodal import decode_wav, encode_wav
+
+    t = np.sin(np.arange(2000) / 30.0) * 0.7
+    d = decode_wav(encode_wav(t, rate=8000))
+    assert d["rate"] == 8000 and len(d["array"]) == 2000
+    assert np.abs(d["array"] / 32768.0 - t).max() <= 1.0 / 32768.0 + 1e-9
+    i16 = (t * 32767).astype(np.int16)
+    assert np.array_equal(decode_wav(encode_wav(i16, rate=8000))["array"], i16)
+    u8 = decode_wav(encode_wav(t, rate=8000, sampwidth=1))["array"]
+    assert u8.dtype == np.uint8  # 8-bit WAV is unsigned, 128-centered
+    back = (u8.astype(np.float64) - 128.0) / 128.0
+    assert np.abs(back - t).max() <= 1.0 / 128.0 + 1e-9
+    with pytest.raises(ValueError, match="sample width"):
+        encode_wav(t, sampwidth=3)
