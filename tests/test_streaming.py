@@ -717,3 +717,48 @@ def test_stream_media_decode_pipeline(spark, tmp_path):
     assert len(aud) == 2
     assert abs(aud.loc[0, "spectral_centroid_hz"] - 500.0) < 5.0
     assert abs(aud.loc[1, "spectral_centroid_hz"] - 1500.0) < 5.0
+
+
+def test_stream_media_decode_e2e(spark, tmp_path):
+    """The media seam is streaming-compatible as-is (r8): a stateless
+    mapInPandas decode runs unchanged on a readStream source — real
+    Netpbm payloads decode mid-stream and the streamed features equal
+    the batch run exactly."""
+    import numpy as np
+
+    from functime_spark.pipeline.multimodal import extract_features_media
+
+    rng = np.random.default_rng(2)
+    rows = []
+    for i in range(12):
+        px = rng.integers(0, 256, 16, dtype=np.uint8)
+        rows.append((i, "image", bytearray(b"P5\n4 4\n255\n" + px.tobytes()), "{}"))
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta string"
+    )
+    path = str(tmp_path / "media_stream")
+    df.write.parquet(path)
+    batch = {
+        r["media_id"]: r["feature"]
+        for r in extract_features_media(df, dim=4, decoder="ppm").collect()
+    }
+
+    sdf = spark.readStream.schema(df.schema).parquet(path)
+    out = extract_features_media(sdf, dim=4, decoder="ppm")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("media_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = {
+        r["media_id"]: r["feature"]
+        for r in spark.table("media_stream_t").collect()
+    }
+    assert streamed.keys() == batch.keys()
+    for k in batch:
+        assert streamed[k] == batch[k]
