@@ -672,10 +672,7 @@ def bm25_topk(
     )
     base = docs.select(
         F.col(id_col), F.size(toks_all).alias("__dl"), toks_all.alias("__tk")
-    )
-    base = materialize(base.filter(F.arrays_overlap(
-        "__tk", F.array(*[F.lit(t) for t in qterms])
-    )))
+    ).filter(F.arrays_overlap("__tk", F.array(*[F.lit(t) for t in qterms])))
     avgdl = docs.select(F.avg(F.size(toks_all)).alias("__avgdl"))
     tf = (
         base.select(id_col, "__dl", F.explode("__tk").alias("token"))
@@ -683,6 +680,12 @@ def bm25_topk(
         .groupBy(id_col, "__dl", "token")
         .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
     )
+    # tf feeds BOTH the df rollup and the scoring join; pin the
+    # AGGREGATED postings (<= n_matching_docs x n_query_terms rows,
+    # no payloads) so the corpus tokenization runs exactly once —
+    # pinning the doc-level slice instead would checkpoint full
+    # token arrays
+    tf = materialize(tf)
     df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("__df"))
     idf = F.log(
         F.lit(1.0)
