@@ -2338,6 +2338,39 @@ def q_media_curate_report(spark, sf_dir):
 _AUDIO_N, _AUDIO_RATE = 1000, 8000
 
 
+def _synthetic_audio_media(spark, sf_dir, modulus=None):
+    """The shared synthetic-WAV media frame for the three audio gates:
+    each doc gets a 44-byte RIFF header + 1000 int16-LE PCM samples
+    u_i = (doc_id*7919 + i*104729) % 65536 built IN SPARK EXPRESSIONS
+    (format_string + unhex), which `wave` reads back as the two's-
+    complement value u - 65536*(u >= 32768). One definition so the
+    three gates and their oracles can never drift apart; `modulus`
+    subsamples doc_ids for the DFT-replay gates."""
+    import struct as _struct
+
+    n, rate = _AUDIO_N, _AUDIO_RATE
+    header = (
+        b"RIFF" + _struct.pack("<I", 36 + 2 * n) + b"WAVEfmt "
+        + _struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + _struct.pack("<I", 2 * n)
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    if modulus is not None:
+        docs = docs.filter(F.col("doc_id") % modulus == 0)
+    u = "((doc_id * 7919 + i * 104729) % 65536)"
+    pcm_hex = F.expr(
+        "array_join(transform(sequence(0, {m}), i -> "
+        "format_string('%02X%02X', {u} % 256, ({u} DIV 256) % 256)), '')"
+        .format(m=n - 1, u=u)
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.concat(F.lit(header), F.unhex(pcm_hex)).alias("payload"),
+        F.lit("{}").alias("meta"),
+    )
+
+
 def q_media_audio(spark, sf_dir):
     """The audio tier's time-domain features value-verified through a
     REAL decode: each doc gets a WAV payload built IN SPARK EXPRESSIONS
@@ -2350,29 +2383,9 @@ def q_media_audio(spark, sf_dir):
     same integer formula. (The spectral/MFCC columns are FFT-tier —
     pytest-pinned against closed-form signals, not SQL-expressible.)"""
     _ensure_nanos_conf(spark)
-    import struct as _struct
-
     from functime_spark.pipeline.audio import extract_audio_features
 
-    n, rate = _AUDIO_N, _AUDIO_RATE
-    header = (
-        b"RIFF" + _struct.pack("<I", 36 + 2 * n) + b"WAVEfmt "
-        + _struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
-        + b"data" + _struct.pack("<I", 2 * n)
-    )
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    u = f"((doc_id * 7919 + i * 104729) % 65536)"  # unsigned sample
-    pcm_hex = F.expr(
-        "array_join(transform(sequence(0, {m}), i -> "
-        "format_string('%02X%02X', {u} % 256, ({u} DIV 256) % 256)), '')"
-        .format(m=n - 1, u=u)
-    )
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("audio").alias("kind"),
-        F.concat(F.lit(header), F.unhex(pcm_hex)).alias("payload"),
-        F.lit("{}").alias("meta"),
-    )
+    media = _synthetic_audio_media(spark, sf_dir)
     out = extract_audio_features(media, decoder="wav").select(
         "media_id", "duration_s", "rms", "zero_crossing_rate"
     )
@@ -2394,31 +2407,9 @@ def q_media_audio_spectral(spark, sf_dir):
     (naive-DFT vs FFT summation order makes 6 decimals accumulation
     noise). The MFCCs get their own gate (`media_audio_mfcc`)."""
     _ensure_nanos_conf(spark)
-    import struct as _struct
-
     from functime_spark.pipeline.audio import extract_audio_features
 
-    n, rate = _AUDIO_N, _AUDIO_RATE
-    header = (
-        b"RIFF" + _struct.pack("<I", 36 + 2 * n) + b"WAVEfmt "
-        + _struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
-        + b"data" + _struct.pack("<I", 2 * n)
-    )
-    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
-        F.col("doc_id") % 29 == 0
-    )
-    u = f"((doc_id * 7919 + i * 104729) % 65536)"
-    pcm_hex = F.expr(
-        "array_join(transform(sequence(0, {m}), i -> "
-        "format_string('%02X%02X', {u} % 256, ({u} DIV 256) % 256)), '')"
-        .format(m=n - 1, u=u)
-    )
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("audio").alias("kind"),
-        F.concat(F.lit(header), F.unhex(pcm_hex)).alias("payload"),
-        F.lit("{}").alias("meta"),
-    )
+    media = _synthetic_audio_media(spark, sf_dir, modulus=29)
     out = extract_audio_features(media, decoder="wav").select(
         "media_id", "spectral_centroid_hz", "spectral_bandwidth_hz",
         "spectral_rolloff_hz", "spectral_flatness",
@@ -2438,31 +2429,9 @@ def q_media_audio_mfcc(spark, sf_dir):
     spectrum. Long format (media_id, c, mfcc), 3-decimal round (the
     log amplifies FFT-vs-naive-DFT noise past the 4th decimal)."""
     _ensure_nanos_conf(spark)
-    import struct as _struct
-
     from functime_spark.pipeline.audio import extract_audio_features
 
-    n, rate = _AUDIO_N, _AUDIO_RATE
-    header = (
-        b"RIFF" + _struct.pack("<I", 36 + 2 * n) + b"WAVEfmt "
-        + _struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
-        + b"data" + _struct.pack("<I", 2 * n)
-    )
-    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
-        F.col("doc_id") % 29 == 0
-    )
-    u = f"((doc_id * 7919 + i * 104729) % 65536)"
-    pcm_hex = F.expr(
-        "array_join(transform(sequence(0, {m}), i -> "
-        "format_string('%02X%02X', {u} % 256, ({u} DIV 256) % 256)), '')"
-        .format(m=n - 1, u=u)
-    )
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("audio").alias("kind"),
-        F.concat(F.lit(header), F.unhex(pcm_hex)).alias("payload"),
-        F.lit("{}").alias("meta"),
-    )
+    media = _synthetic_audio_media(spark, sf_dir, modulus=29)
     out = extract_audio_features(media, decoder="wav").select(
         "media_id", F.posexplode("mfcc").alias("c", "mfcc")
     )

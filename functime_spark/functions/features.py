@@ -677,19 +677,24 @@ def var_gt_std(c: PanelCtx, ddof: int = 1) -> Column:
 
 
 def skewness(c: PanelCtx) -> Column:
-    """Population skewness g1 = m3 / m2^1.5 — the tsfresh battery's
-    `skewness` and Polars' `Expr.skew(bias=True)`, which the reference
-    battery reaches through the host expression API rather than its
-    own extractor file. Spark's built-in F.skewness computes exactly
-    this (central-moment, population-normalized)."""
+    """Population skewness g1 = m3 / m2^1.5 — Polars'
+    `Expr.skew(bias=True)`, which the reference battery reaches
+    through the host expression API rather than its own extractor
+    file. Spark's built-in F.skewness computes exactly this
+    (central-moment, population-normalized). NOTE: tsfresh's
+    `skewness` is pandas' bias-CORRECTED G1 (factor
+    sqrt(n(n-1))/(n-2)) — a different estimator; this extractor pins
+    the Polars/Spark population semantics."""
     return F.skewness(c.x)
 
 
 def kurtosis(c: PanelCtx) -> Column:
-    """Population EXCESS kurtosis g2 = m4 / m2^2 - 3 — the tsfresh
-    battery's `kurtosis` and Polars' `Expr.kurtosis(fisher=True,
-    bias=True)`, reached via the host expression API in the reference.
-    Spark's built-in F.kurtosis computes exactly this."""
+    """Population EXCESS kurtosis g2 = m4 / m2^2 - 3 — Polars'
+    `Expr.kurtosis(fisher=True, bias=True)`, reached via the host
+    expression API in the reference. Spark's built-in F.kurtosis
+    computes exactly this. NOTE: tsfresh's `kurtosis` is pandas'
+    bias-corrected G2 — a different estimator; this extractor pins
+    the Polars/Spark population semantics."""
     return F.kurtosis(c.x)
 
 

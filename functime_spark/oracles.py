@@ -1322,8 +1322,11 @@ def operator_oracles() -> dict:
     # cum[:, -1] bit-for-bit — same left-to-right summation order);
     # flatness exp(avg(ln(p+1e-12)))/(avg(p)+1e-12). Frame means,
     # 4-decimal round (naive-DFT vs numpy-FFT summation order).
-    o["media_audio_spectral"] = (
-        "WITH samples AS (SELECT doc_id, t.i AS i, "
+    # shared DFT CTE chain (samples -> Hann windows -> cos/sin sums ->
+    # power/freq table) for BOTH audio FFT-tier oracles — one copy so
+    # the two gates can never verify diverging spectra
+    _aud_spec_ctes = (
+        "samples AS (SELECT doc_id, t.i AS i, "
         "CAST(CASE WHEN u < 32768 THEN u ELSE u - 65536 END AS DOUBLE) "
         "/ 32768.0 AS x FROM (SELECT doc_id, t.i, "
         "(doc_id * 7919 + t.i * 104729) % 65536 AS u "
@@ -1338,7 +1341,10 @@ def operator_oracles() -> dict:
         "SUM(w.y * sin(2*pi()*ks.k*w.j/512.0)) AS im "
         "FROM win w, range(0, 257) ks(k) GROUP BY 1, 2, 3), "
         "pf AS (SELECT doc_id, fr, k, (re*re + im*im) AS p, "
-        "k * 8000.0/512.0 AS f FROM spec), "
+        "k * 8000.0/512.0 AS f FROM spec)"
+    )
+    o["media_audio_spectral"] = (
+        f"WITH {_aud_spec_ctes}, "
         "fs AS (SELECT doc_id, fr, SUM(p) AS sp, SUM(p*f) AS spf, "
         "AVG(ln(p + 1e-12)) AS mlog, AVG(p) AS mp FROM pf GROUP BY 1, 2), "
         "cf AS (SELECT doc_id, fr, sp, spf / (sp + 1e-12) AS c, "
@@ -1367,25 +1373,8 @@ def operator_oracles() -> dict:
     # media_audio_mfcc: the 13 MFCCs replayed end-to-end — mel
     # filterbank rebuilt from the formula (28 linspace mel points,
     # hz inversion, floor bin triangles), log-mel energies over the
-    # same DFT power spectrum, orthonormal DCT-II, frame mean.
-    _aud_spec_ctes = (
-        "samples AS (SELECT doc_id, t.i AS i, "
-        "CAST(CASE WHEN u < 32768 THEN u ELSE u - 65536 END AS DOUBLE) "
-        "/ 32768.0 AS x FROM (SELECT doc_id, t.i, "
-        "(doc_id * 7919 + t.i * 104729) % 65536 AS u "
-        "FROM documents, range(0, 1000) t(i) "
-        "WHERE doc_id % 29 = 0) t(doc_id, i, u)), "
-        "win AS (SELECT s.doc_id, fr.s AS fr, s.i - fr.s AS j, "
-        "s.x * (0.5 - 0.5*cos(2*pi()*(s.i - fr.s)/511.0)) AS y "
-        "FROM samples s JOIN (VALUES (0), (256)) fr(s) "
-        "ON s.i >= fr.s AND s.i < fr.s + 512), "
-        "spec AS (SELECT w.doc_id, w.fr, ks.k, "
-        "SUM(w.y * cos(2*pi()*ks.k*w.j/512.0)) AS re, "
-        "SUM(w.y * sin(2*pi()*ks.k*w.j/512.0)) AS im "
-        "FROM win w, range(0, 257) ks(k) GROUP BY 1, 2, 3), "
-        "pf AS (SELECT doc_id, fr, k, (re*re + im*im) AS p, "
-        "k * 8000.0/512.0 AS f FROM spec)"
-    )
+    # SAME shared DFT CTE chain as media_audio_spectral, orthonormal
+    # DCT-II, frame mean.
     o["media_audio_mfcc"] = (
         f"WITH {_aud_spec_ctes}, "
         # 28 mel points -> hz -> FFT bin indices (floor)

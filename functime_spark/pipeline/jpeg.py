@@ -728,8 +728,12 @@ def _decode_progressive(payload: bytes) -> dict:
                 for ci in preds:
                     preds[ci] = 0
 
-        if len(scomp) > 1 or Ss == 0 and len(scomp) == len(comps):
-            # interleaved MCU order over the full MCU grid
+        if len(scomp) > 1:
+            # interleaved MCU order over the full MCU grid. An Ns=1
+            # scan is ALWAYS non-interleaved per T.81 — even a
+            # grayscale DC scan whose lone component declares 2x2
+            # sampling covers the component's own ceil(w/8) x
+            # ceil(h/8) block grid, not the MCU grid.
             i = 0
             for my in range(mcus_y):
                 for mx in range(mcus_x):
@@ -797,6 +801,10 @@ def _decode_progressive(payload: bytes) -> dict:
                 }
                 i += 17 + nv
         elif marker == 0xC2:
+            if comps:
+                raise ValueError(
+                    "unexpected second SOF in progressive stream"
+                )
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("only 8-bit progressive JPEG supported")

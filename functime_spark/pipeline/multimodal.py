@@ -219,9 +219,12 @@ def encode_wav(
     arr, rate: int = 16000, sampwidth: int = 2, channels: int = 1
 ) -> bytes:
     """stdlib-wave PCM encoder (r8): the write half of the audio seam
-    — float input in [-1, 1] is quantized to the target width, int
-    input passes through. Pairs with the WAV decode path so curated
-    audio can round-trip through WebDataset shards."""
+    — float input in [-1, 1] is quantized to the target width (8-bit
+    gets the unsigned +128 offset); int input passes through AS-IS in
+    the width's own convention (uint8 already 128-centered, int16/32
+    signed) so decode_wav -> encode_wav round-trips losslessly. Pairs
+    with the WAV decode path so curated audio can round-trip through
+    WebDataset shards."""
     import io
     import wave
 
@@ -229,11 +232,11 @@ def encode_wav(
     if a.dtype.kind == "f":
         lim = float(1 << (8 * sampwidth - 1))
         a = np.clip(np.round(a * lim), -lim, lim - 1)
+        if sampwidth == 1:
+            a = a + 128.0  # 8-bit WAV is unsigned
     dt = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sampwidth)
     if dt is None:
         raise ValueError(f"unsupported WAV sample width {sampwidth}")
-    if sampwidth == 1:
-        a = a + 128  # 8-bit WAV is unsigned
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wf:
         wf.setnchannels(channels)
@@ -416,15 +419,20 @@ def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> list:
             if code == eoi:
                 return out
             if prev is None:
+                if code >= len(table):
+                    raise ValueError("corrupt GIF LZW stream")
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]
                 if len(table) < 4096:  # deferred-clear: cap at 12 bits
                     table.append(prev + [entry[0]])
-            else:
+            elif code == len(table):  # the KwKwK special case — ONLY
                 entry = prev + [prev[0]]
                 if len(table) < 4096:
                     table.append(entry)
+            else:
+                # anything past next-free-slot is corruption, not data
+                raise ValueError("corrupt GIF LZW stream")
             out.extend(entry)
             prev = entry
             if len(table) == (1 << width) and width < 12:

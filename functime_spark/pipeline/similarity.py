@@ -654,9 +654,10 @@ def bm25_topk(
       ln(1 + (N - df + 0.5)/(df + 0.5)).
 
     Scale shape: doc length is a ROW-LOCAL projection (size of the
-    token split — no aggregate over the corpus), avgdl is one
-    single-row aggregate broadcast back, and the per-(doc, term) tf
-    aggregate runs on tokens PRE-FILTERED to the query's terms — the
+    token split — no aggregate over the corpus), n_docs and avgdl
+    come from ONE fused stats aggregate (two driver scalars), and the
+    per-(doc, term) tf aggregate runs on tokens PRE-FILTERED to the
+    query's terms — the
     shuffle carries only matching postings (sum of df over query
     terms), never the full corpus vocabulary. df per term is a rollup
     of the same filtered table; the final candidate scoring is one
@@ -665,15 +666,22 @@ def bm25_topk(
     qterms = sorted({t for t in query.split() if t})
     if not qterms:
         raise ValueError("bm25_topk needs a non-empty query")
-    n_docs = docs.count()
     toks_all = F.filter(
         F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
         lambda x: x != "",
     )
+    # ONE stats pass yields both driver scalars (n_docs for idf,
+    # avgdl for the length norm); the only other corpus read is the
+    # postings build below — two scans total, both unavoidable
+    # (the estimator needs corpus-wide stats AND per-doc postings)
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg(F.size(toks_all)).alias("__avgdl"),
+    ).first()
+    n_docs, avg_dl = int(stats["__n"]), float(stats["__avgdl"] or 0.0)
     base = docs.select(
         F.col(id_col), F.size(toks_all).alias("__dl"), toks_all.alias("__tk")
     ).filter(F.arrays_overlap("__tk", F.array(*[F.lit(t) for t in qterms])))
-    avgdl = docs.select(F.avg(F.size(toks_all)).alias("__avgdl"))
     tf = (
         base.select(id_col, "__dl", F.explode("__tk").alias("token"))
         .filter(F.col("token").isin(qterms))
@@ -682,9 +690,9 @@ def bm25_topk(
     )
     # tf feeds BOTH the df rollup and the scoring join; pin the
     # AGGREGATED postings (<= n_matching_docs x n_query_terms rows,
-    # no payloads) so the corpus tokenization runs exactly once —
-    # pinning the doc-level slice instead would checkpoint full
-    # token arrays
+    # no payloads) so the postings pass over the corpus runs exactly
+    # once across its two consumers — pinning the doc-level slice
+    # instead would checkpoint full token arrays
     tf = materialize(tf)
     df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("__df"))
     idf = F.log(
@@ -693,13 +701,12 @@ def bm25_topk(
     )
     term = (
         tf.join(F.broadcast(df.select("token", idf.alias("__idf"))), on="token")
-        .crossJoin(F.broadcast(avgdl))
         .select(
             F.col(id_col),
             (
                 F.col("__idf") * F.col("__tf") * (k1 + 1.0)
                 / (F.col("__tf")
-                   + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl")))
+                   + k1 * (1.0 - b + b * F.col("__dl") / F.lit(avg_dl)))
             ).alias("__s"),
         )
     )

@@ -3804,3 +3804,69 @@ def test_media_wav_encoder_roundtrip():
     assert np.abs(back - t).max() <= 1.0 / 128.0 + 1e-9
     with pytest.raises(ValueError, match="sample width"):
         encode_wav(t, sampwidth=3)
+
+
+def test_media_review_regressions_r8(spark):
+    """Round-8 self-review regressions: (1) decode_wav -> encode_wav
+    8-bit round-trip is lossless (the +128 offset applies only to
+    float quantization); (2) GIF LZW rejects out-of-range codes
+    instead of fabricating pixels; (3) a progressive Ns=1 grayscale
+    scan ignores the component's sampling factors (T.81: always
+    non-interleaved over the component's own block grid)."""
+    import numpy as np
+
+    from functime_spark.pipeline.jpeg import decode_jpeg
+    from functime_spark.pipeline.multimodal import (
+        _lzw_decode,
+        decode_wav,
+        encode_wav,
+    )
+
+    # (1) 8-bit WAV: decode -> encode -> decode is identity
+    t = np.sin(np.arange(500) / 20.0) * 0.5
+    u8 = decode_wav(encode_wav(t, rate=8000, sampwidth=1))["array"]
+    again = decode_wav(encode_wav(u8, rate=8000, sampwidth=1))["array"]
+    assert np.array_equal(u8, again)
+
+    # (2) LZW: a code past the next free slot is corruption
+    # min_code=2: clear=4, eoi=5, first free slot=6. Emit code 7
+    # right after a literal — 3-bit codes: 0b000 then 0b111.
+    bad = bytes([0b00111000])
+    with pytest.raises(ValueError, match="corrupt GIF LZW"):
+        _lzw_decode(bad, 2, 100)
+
+    # (3) progressive grayscale with patched 2x2 sampling decodes
+    # IDENTICALLY to the 1x1 original — Ns=1 scans use the component
+    # block grid, so sampling factors must not change the result
+    jvm = spark.sparkContext._jvm
+    BI = jvm.java.awt.image.BufferedImage
+    rng = np.random.default_rng(9)
+    h, w = 24, 24
+    gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    bi = BI(w, h, BI.TYPE_BYTE_GRAY)
+    ras = bi.getRaster()
+    for y in range(h):
+        for x in range(w):
+            ras.setSample(x, y, 0, int(gray[y, x]))
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+    ios.flush()
+    writer.dispose()
+    prog = bytearray(bytes(baos.toByteArray()))
+    sof = bytes(prog).find(b"\xff\xc2")
+    assert sof > 0
+    # SOF2: FF C2 len(2) prec(1) h(2) w(2) ncomp(1) id(1) sampling(1)
+    assert prog[sof + 11] == 0x11
+    base_decode = decode_jpeg(bytes(prog))["array"]
+    prog[sof + 11] = 0x22
+    patched = decode_jpeg(bytes(prog))["array"]
+    assert np.array_equal(base_decode, patched)
+    # a second SOF2 mid-stream is rejected, not silently re-inited
+    double = bytes(prog[:sof]) + bytes(prog[sof:sof + 19]) + bytes(prog[sof:])
+    with pytest.raises(ValueError, match="second SOF|truncated"):
+        decode_jpeg(double)
