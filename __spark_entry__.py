@@ -1852,6 +1852,19 @@ def q_text_bm25(spark, sf_dir):
     return out.orderBy(F.desc("bm25"), F.asc("doc_id"))
 
 
+def q_text_bm25_indexed(spark, sf_dir):
+    """The persisted-index BM25 path (BM25Index.fit + search) must
+    produce scores IDENTICAL to the direct bm25_topk — the oracle is
+    literally the same SQL as `text_bm25`."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.similarity import BM25Index
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = BM25Index().fit(docs)
+    out = idx.search("hash join scan", k=10, rank_decimals=6)
+    return out.orderBy(F.desc("bm25"), F.asc("doc_id"))
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup semantic near-dup pairs: spread-init k-means clusters
     (the ann_ivf_topk build, replayed in SQL) + exact cosine verify
@@ -3156,6 +3169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_semantic": q_dedup_semantic,
             "text_tfidf_topk": q_text_tfidf_topk,
             "text_bm25": q_text_bm25,
+            "text_bm25_indexed": q_text_bm25_indexed,
             "corpus_clean_attrition": q_corpus_clean_attrition,
             "text_vocab_zipf": q_text_vocab_zipf,
             "text_bpe_tokens": q_text_bpe_tokens,
@@ -3272,6 +3286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_spectral",  # NEW: FFT-tier spectral family, DFT replay
         "media_audio_mfcc",  # NEW: the 13 MFCCs, filterbank from formula
         "text_bm25",  # NEW: Okapi BM25 retrieval, replayed in SQL
+        "text_bm25_indexed",  # NEW: the persisted-postings query path
         "feat_skewness",  # NEW: population g1 (registry now truly 56)
         "feat_kurtosis",  # NEW: population excess g2
         "text_quality_tiers",  # default flipped to GK sketch; exact pinned

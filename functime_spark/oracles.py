@@ -4766,6 +4766,9 @@ ORDER BY 1, 2
         "SELECT doc_id, ROUND(SUM(s) + 1e-9, 6) AS bm25 FROM term "
         "GROUP BY doc_id ORDER BY bm25 DESC, doc_id ASC LIMIT 10"
     )
+    # the persisted-index path must be score-identical to the direct
+    # computation — same oracle, different Spark plan under test
+    o["text_bm25_indexed"] = o["text_bm25"]
 
     # --- text_lm_score: the whole interpolated bigram LM replayed —
     # token/pair counts, driver scalars as a cross-joined 1-row CTE,

@@ -721,6 +721,97 @@ def bm25_topk(
     return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
 
 
+class BM25Index:
+    """The repeated-query shape of `bm25_topk`: ONE corpus pass builds
+    the persisted artifacts — the full postings table (id, token, tf,
+    dl), the per-token df table, and the n_docs/avgdl scalars — and
+    every `search` is then a broadcast-joined lookup that never scans
+    the corpus again (mirror of the IVF/PQ persisted-index pattern).
+
+    At 100 TB: `postings` is what you write to parquet (optionally
+    bucketed by token so query joins prune); `fit` is one tokenize +
+    one (id, token) aggregate; `search` touches only the query terms'
+    posting rows."""
+
+    def __init__(self, k1: float = 1.2, b: float = 0.75):
+        self.k1 = k1
+        self.b = b
+        self.postings: DataFrame | None = None
+        self.doc_freq: DataFrame | None = None
+        self.n_docs: int = 0
+        self.avgdl: float = 0.0
+        self._id_col = "doc_id"
+
+    def fit(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        self._id_col = id_col
+        toks_all = F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+            lambda x: x != "",
+        )
+        stats = docs.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.avg(F.size(toks_all)).alias("__avgdl"),
+        ).first()
+        self.n_docs = int(stats["__n"])
+        self.avgdl = float(stats["__avgdl"] or 0.0)
+        tf = (
+            docs.select(
+                F.col(id_col), F.size(toks_all).alias("__dl"),
+                F.explode(toks_all).alias("token"),
+            )
+            .groupBy(id_col, "__dl", "token")
+            .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+        )
+        self.postings = materialize(tf)
+        self.doc_freq = materialize(
+            self.postings.groupBy("token").agg(
+                F.count(F.lit(1)).cast("double").alias("__df")
+            )
+        )
+        return self
+
+    def search(
+        self, query: str, k: int = 10, rank_decimals: int | None = None
+    ) -> DataFrame:
+        if self.postings is None:
+            raise RuntimeError("call fit() first")
+        qterms = sorted({t for t in query.split() if t})
+        if not qterms:
+            raise ValueError("BM25Index.search needs a non-empty query")
+        k1, b, id_col = self.k1, self.b, self._id_col
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(float(self.n_docs)) - F.col("__df") + 0.5)
+            / (F.col("__df") + 0.5)
+        )
+        qdf = self.doc_freq.filter(F.col("token").isin(qterms))
+        term = (
+            self.postings.filter(F.col("token").isin(qterms))
+            .join(F.broadcast(qdf.select("token", idf.alias("__idf"))),
+                  on="token")
+            .select(
+                F.col(id_col),
+                (
+                    F.col("__idf") * F.col("__tf") * (k1 + 1.0)
+                    / (F.col("__tf")
+                       + k1 * (1.0 - b
+                               + b * F.col("__dl") / F.lit(self.avgdl)))
+                ).alias("__s"),
+            )
+        )
+        scored = term.groupBy(id_col).agg(F.sum("__s").alias("bm25"))
+        key = F.col("bm25")
+        if rank_decimals is not None:
+            key = F.round(key + F.lit(1e-9), rank_decimals)
+            scored = scored.select(id_col, key.alias("bm25"))
+        return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+
+
 def hashed_features(
     docs: DataFrame,
     dim: int = 64,

@@ -3870,3 +3870,29 @@ def test_media_review_regressions_r8(spark):
     double = bytes(prog[:sof]) + bytes(prog[sof:sof + 19]) + bytes(prog[sof:])
     with pytest.raises(ValueError, match="second SOF|truncated"):
         decode_jpeg(double)
+
+
+def test_bm25_index_equals_direct(spark):
+    """BM25Index (persisted postings, zero corpus scans per query)
+    returns scores identical to the direct bm25_topk, and its search
+    plan reads the materialized postings, not the documents source."""
+    from functime_spark.pipeline.similarity import BM25Index, bm25_topk
+
+    d = spark.createDataFrame(
+        [(1, "spark shuffles data fast"), (2, "spark spark joins data"),
+         (3, "ducks swim in ponds"), (4, "spark"),
+         (5, "data data data joins joins spark")],
+        "doc_id long, text string",
+    )
+    direct = bm25_topk(d, "spark joins", k=5).collect()
+    idx = BM25Index().fit(d)
+    indexed = idx.search("spark joins", k=5).collect()
+    assert [(r["doc_id"], r["bm25"]) for r in indexed] == [
+        (r["doc_id"], r["bm25"]) for r in direct
+    ]
+    # a second query reuses the artifacts — no refit needed
+    assert idx.search("ducks", k=2).first()["doc_id"] == 3
+    with pytest.raises(ValueError, match="non-empty"):
+        idx.search(" ")
+    with pytest.raises(RuntimeError, match="fit"):
+        BM25Index().search("spark")
