@@ -1725,4 +1725,50 @@ def _sg(year: int) -> list:
     return e
 
 
-_COUNTRIES.update({"TH": _th, "MY": _my, "SG": _sg})
+def _next_monday(d: _dt.date) -> _dt.date:
+    """Ley Emiliani (CO, Ley 51/1983): observe on the FOLLOWING Monday
+    unless the date already is one."""
+    return d + _dt.timedelta(days=(7 - d.weekday()) % 7)
+
+
+def _co(year: int) -> list:
+    """Colombia: fixed days + Easter-computus days + the Ley-Emiliani
+    next-Monday moves (effective 1984). The three movable religious
+    feasts land on fixed Easter offsets once moved: Ascension
+    (Easter+39, a Thursday) -> Easter+43; Corpus Christi (Easter+60)
+    -> Easter+64; Sagrado Corazon (Easter+68, a Friday) -> Easter+71."""
+    ea = _easter(year)
+    d = _dt.timedelta
+    e = [
+        (_dt.date(year, 1, 1), "ano_nuevo"),
+        (ea - d(3), "jueves_santo"),
+        (ea - d(2), "viernes_santo"),
+        (_dt.date(year, 5, 1), "dia_del_trabajo"),
+        (_dt.date(year, 7, 20), "dia_de_la_independencia"),
+        (_dt.date(year, 8, 7), "batalla_de_boyaca"),
+        (_dt.date(year, 12, 8), "inmaculada_concepcion"),
+        (_dt.date(year, 12, 25), "navidad"),
+    ]
+    movable = [
+        (_dt.date(year, 1, 6), "dia_de_los_reyes_magos"),
+        (_dt.date(year, 3, 19), "dia_de_san_jose"),
+        (_dt.date(year, 6, 29), "san_pedro_y_san_pablo"),
+        (_dt.date(year, 8, 15), "asuncion_de_la_virgen"),
+        (_dt.date(year, 10, 12), "dia_de_la_raza"),
+        (_dt.date(year, 11, 1), "dia_de_todos_los_santos"),
+        (_dt.date(year, 11, 11), "independencia_de_cartagena"),
+    ]
+    if year >= 1984:
+        e.extend((_next_monday(dt_), nm) for dt_, nm in movable)
+        e.append((ea + d(43), "ascension_del_senor"))
+        e.append((ea + d(64), "corpus_christi"))
+        e.append((ea + d(71), "sagrado_corazon"))
+    else:
+        e.extend(movable)
+        e.append((ea + d(39), "ascension_del_senor"))
+        e.append((ea + d(60), "corpus_christi"))
+        e.append((ea + d(68), "sagrado_corazon"))
+    return e
+
+
+_COUNTRIES.update({"TH": _th, "MY": _my, "SG": _sg, "CO": _co})

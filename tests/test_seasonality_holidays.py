@@ -699,3 +699,33 @@ def test_vendored_singapore_vs_published_dates():
     assert sg24["chinese_new_year"] == dt.date(2024, 2, 10)
     assert sg24["national_day"] == dt.date(2024, 8, 9)
     assert sg24["good_friday"] == dt.date(2024, 3, 29)
+
+
+def test_vendored_colombia_vs_published_dates():
+    """CO: the Ley-Emiliani next-Monday moves and the fixed
+    Easter-offset landing spots of the three movable feasts, checked
+    against the published 2024 calendar (Easter 2024 = Mar 31)."""
+    import datetime as dt
+
+    from functime_spark.operators.holidays_vendored import vendored_holidays
+
+    co = dict((n, d) for d, n in vendored_holidays("CO", [2024]))
+    assert co["ano_nuevo"] == dt.date(2024, 1, 1)
+    assert co["dia_de_los_reyes_magos"] == dt.date(2024, 1, 8)  # Sat -> Mon
+    assert co["dia_de_san_jose"] == dt.date(2024, 3, 25)  # Tue -> next Mon
+    assert co["jueves_santo"] == dt.date(2024, 3, 28)
+    assert co["viernes_santo"] == dt.date(2024, 3, 29)
+    assert co["ascension_del_senor"] == dt.date(2024, 5, 13)  # Easter+43
+    assert co["corpus_christi"] == dt.date(2024, 6, 3)  # Easter+64
+    assert co["sagrado_corazon"] == dt.date(2024, 6, 10)  # Easter+71
+    assert co["san_pedro_y_san_pablo"] == dt.date(2024, 7, 1)
+    assert co["dia_de_la_independencia"] == dt.date(2024, 7, 20)
+    assert co["batalla_de_boyaca"] == dt.date(2024, 8, 7)
+    assert co["asuncion_de_la_virgen"] == dt.date(2024, 8, 19)  # Thu -> Mon
+    assert co["dia_de_la_raza"] == dt.date(2024, 10, 14)
+    assert co["dia_de_todos_los_santos"] == dt.date(2024, 11, 4)
+    assert co["independencia_de_cartagena"] == dt.date(2024, 11, 11)  # Mon
+    # movable already on Monday stays put
+    co18 = dict((n, d) for d, n in vendored_holidays("CO", [2018]))
+    assert co18["dia_de_los_reyes_magos"] == dt.date(2018, 1, 8)
+    assert co18["dia_de_la_raza"] == dt.date(2018, 10, 15)
