@@ -1771,4 +1771,28 @@ def _co(year: int) -> list:
     return e
 
 
-_COUNTRIES.update({"TH": _th, "MY": _my, "SG": _sg, "CO": _co})
+def _pe(year: int) -> list:
+    """Peru: the long-stable statutory set (fixed + computus). The
+    2020s additions (Batalla de Arica Jun 7, Batalla de Junin Aug 6,
+    Batalla de Ayacucho Dec 9) are omitted pending their exact
+    effective years — documented approximation, the PH-Eids
+    treatment."""
+    ea = _easter(year)
+    d = _dt.timedelta
+    return [
+        (_dt.date(year, 1, 1), "ano_nuevo"),
+        (ea - d(3), "jueves_santo"),
+        (ea - d(2), "viernes_santo"),
+        (_dt.date(year, 5, 1), "dia_del_trabajo"),
+        (_dt.date(year, 6, 29), "san_pedro_y_san_pablo"),
+        (_dt.date(year, 7, 28), "fiestas_patrias"),
+        (_dt.date(year, 7, 29), "fiestas_patrias_day_2"),
+        (_dt.date(year, 8, 30), "santa_rosa_de_lima"),
+        (_dt.date(year, 10, 8), "combate_de_angamos"),
+        (_dt.date(year, 11, 1), "dia_de_todos_los_santos"),
+        (_dt.date(year, 12, 8), "inmaculada_concepcion"),
+        (_dt.date(year, 12, 25), "navidad"),
+    ]
+
+
+_COUNTRIES.update({"TH": _th, "MY": _my, "SG": _sg, "CO": _co, "PE": _pe})

@@ -729,3 +729,16 @@ def test_vendored_colombia_vs_published_dates():
     co18 = dict((n, d) for d, n in vendored_holidays("CO", [2018]))
     assert co18["dia_de_los_reyes_magos"] == dt.date(2018, 1, 8)
     assert co18["dia_de_la_raza"] == dt.date(2018, 10, 15)
+
+
+def test_vendored_peru_vs_published_dates():
+    import datetime as dt
+
+    from functime_spark.operators.holidays_vendored import vendored_holidays
+
+    pe = dict((n, d) for d, n in vendored_holidays("PE", [2024]))
+    assert pe["jueves_santo"] == dt.date(2024, 3, 28)
+    assert pe["fiestas_patrias"] == dt.date(2024, 7, 28)
+    assert pe["fiestas_patrias_day_2"] == dt.date(2024, 7, 29)
+    assert pe["santa_rosa_de_lima"] == dt.date(2024, 8, 30)
+    assert pe["combate_de_angamos"] == dt.date(2024, 10, 8)
