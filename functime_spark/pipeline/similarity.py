@@ -811,6 +811,35 @@ class BM25Index:
             scored = scored.select(id_col, key.alias("bm25"))
         return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
 
+    def save(self, path: str, mode: str = "overwrite") -> None:
+        """Persist the index: postings parquet BUCKETED-equivalent
+        layout (repartitioned by token so a query's join prunes), df
+        parquet, and the scalars as a one-row parquet (the
+        save_ann_model convention — everything re-loadable over plain
+        SQL/DataFrame RPCs, Connect-safe)."""
+        if self.postings is None:
+            raise RuntimeError("fit the index before saving")
+        self.postings.repartition("token").write.mode(mode).parquet(
+            f"{path}/postings"
+        )
+        self.doc_freq.write.mode(mode).parquet(f"{path}/df")
+        spark = self.postings.sparkSession
+        spark.createDataFrame(
+            [(self.n_docs, self.avgdl, self.k1, self.b, self._id_col)],
+            "n_docs long, avgdl double, k1 double, b double, id_col string",
+        ).write.mode(mode).parquet(f"{path}/stats")
+
+    @classmethod
+    def load(cls, spark, path: str):
+        row = spark.read.parquet(f"{path}/stats").first()
+        idx = cls(k1=float(row["k1"]), b=float(row["b"]))
+        idx.n_docs = int(row["n_docs"])
+        idx.avgdl = float(row["avgdl"])
+        idx._id_col = row["id_col"]
+        idx.postings = spark.read.parquet(f"{path}/postings")
+        idx.doc_freq = spark.read.parquet(f"{path}/df")
+        return idx
+
 
 def hashed_features(
     docs: DataFrame,

@@ -3896,3 +3896,26 @@ def test_bm25_index_equals_direct(spark):
         idx.search(" ")
     with pytest.raises(RuntimeError, match="fit"):
         BM25Index().search("spark")
+
+
+def test_bm25_index_save_load_roundtrip(spark, tmp_path):
+    """A saved+loaded BM25Index answers queries identically to the
+    fitted one — the persisted-artifact contract."""
+    from functime_spark.pipeline.similarity import BM25Index
+
+    d = spark.createDataFrame(
+        [(1, "spark shuffles data fast"), (2, "spark spark joins data"),
+         (3, "ducks swim in ponds"), (4, "spark"),
+         (5, "data data data joins joins spark")],
+        "doc_id long, text string",
+    )
+    idx = BM25Index(k1=1.5, b=0.7).fit(d)
+    want = [(r["doc_id"], r["bm25"]) for r in idx.search("spark joins", k=5).collect()]
+    path = str(tmp_path / "bm25idx")
+    idx.save(path)
+    loaded = BM25Index.load(spark, path)
+    assert loaded.k1 == 1.5 and loaded.b == 0.7
+    got = [(r["doc_id"], r["bm25"]) for r in loaded.search("spark joins", k=5).collect()]
+    assert got == want
+    with pytest.raises(RuntimeError, match="fit"):
+        BM25Index().save(str(tmp_path / "x"))
