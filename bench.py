@@ -324,6 +324,12 @@ def main() -> None:
                 # both 1.524). Machine-state noise; neither r6 change
                 # on the path is a regression.
                 "notes": {
+                    "ann_ivf_pq": "r8 shape A/B (3-rep medians, one "
+                    "session): lazy-enc+pinned-probe 2.20 s vs "
+                    "checkpointed-enc 3.16 s vs all-lazy 2.46 s — the "
+                    "operator pins only the probed slice; a one-shot "
+                    "build+query never checkpoints the whole encoded "
+                    "corpus",
                     "minhash_dedup": "r5 drift adjudicated noise: "
                     "r4-tree vs head A/B medians 1.789 vs 1.892 s",
                     "linear_forecast": "r6 drift adjudicated noise: "

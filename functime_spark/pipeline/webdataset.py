@@ -53,6 +53,7 @@ def write_webdataset(
     prefix: str = "shard",
     max_shard_bytes: int = SHARD_BYTES_WALL,
     scale_wall: str = "warn",
+    compression: str | None = None,
 ) -> DataFrame:
     """Write (key, ext, payload) rows as ``{prefix}-{i:05d}.tar``
     shards under `path`; multiple rows sharing a key (e.g. ``42.jpg``
@@ -72,6 +73,11 @@ def write_webdataset(
     that would bring shards under the wall, ``'error'`` raises, and
     ``'ignore'`` silences (for sinks consumed by a streaming tar
     loader rather than read_webdataset).
+
+    ``compression='gz'`` writes ``.tar.gz`` shards with deterministic
+    gzip headers (empty filename, mtime=0 — same retry-stable-bytes
+    contract as the tar members); read_webdataset auto-detects via
+    tarfile's transparent mode.
 
     Layout notes for 100 TB: one output file per shard task (no
     small-file explosion), shard assignment is a content hash of the
@@ -112,6 +118,7 @@ def write_webdataset(
 
         handles: dict = {}
         counts: dict = {}
+        closers: dict = {}
         attempt = _uuid.uuid4().hex
         for pdf in batches:
             if len(pdf) == 0:
@@ -121,8 +128,24 @@ def write_webdataset(
             ):
                 sh = int(sh)
                 if sh not in handles:
-                    fname = os.path.join(path, f"{prefix}-{sh:05d}.tar")
-                    handles[sh] = tarfile.open(f"{fname}.{attempt}.tmp", "w")
+                    ext_sfx = ".tar.gz" if compression == "gz" else ".tar"
+                    fname = os.path.join(path, f"{prefix}-{sh:05d}{ext_sfx}")
+                    if compression == "gz":
+                        import gzip as _gzip
+
+                        raw = open(f"{fname}.{attempt}.tmp", "wb")
+                        # filename='' + mtime=0 keep gzip headers
+                        # deterministic across retries (same contract
+                        # as the tar member mtime=0 below)
+                        gz = _gzip.GzipFile(
+                            filename="", mode="wb", fileobj=raw, mtime=0
+                        )
+                        handles[sh] = tarfile.open(fileobj=gz, mode="w")
+                        closers[sh] = (gz, raw)
+                    else:
+                        handles[sh] = tarfile.open(
+                            f"{fname}.{attempt}.tmp", "w"
+                        )
                     counts[sh] = [fname, 0, 0]
                 data = bytes(payload)
                 info = tarfile.TarInfo(name=f"{key}.{ext}")
@@ -132,6 +155,8 @@ def write_webdataset(
                 counts[sh][1] += 1
         for sh, h in handles.items():
             h.close()
+            for layer in closers.get(sh, ()):
+                layer.close()
             # atomic publish: last completed attempt wins with
             # identical bytes (deterministic member order above)
             os.replace(f"{counts[sh][0]}.{attempt}.tmp", counts[sh][0])
@@ -174,7 +199,7 @@ def write_webdataset(
     return samples.sparkSession.createDataFrame(rows, schema=schema)
 
 
-def read_webdataset(spark, path: str, pattern: str = "*.tar") -> DataFrame:
+def read_webdataset(spark, path: str, pattern: str = "*.tar*") -> DataFrame:
     """Explode tar shards back into (key, ext, payload, shard) rows:
     Spark's binaryFile source reads one shard per row (partition-
     parallel across shards), tar members unpack inside the Arrow
