@@ -1773,10 +1773,10 @@ def _co(year: int) -> list:
 
 def _pe(year: int) -> list:
     """Peru: the long-stable statutory set (fixed + computus). The
-    2020s additions (Batalla de Arica Jun 7, Batalla de Junin Aug 6,
-    Batalla de Ayacucho Dec 9) are omitted pending their exact
-    effective years — documented approximation, the PH-Eids
-    treatment."""
+    2020s additions (Batalla de Arica Jun 7, Dia de la Fuerza Aerea
+    Jul 23, Batalla de Junin Aug 6, Batalla de Ayacucho Dec 9) are
+    omitted pending their exact effective years — documented
+    approximation, the PH-Eids treatment."""
     ea = _easter(year)
     d = _dt.timedelta
     return [

@@ -633,6 +633,44 @@ def tfidf_topk_similar(
     )
 
 
+def _bm25_tokens(text_col: str):
+    """The one tokenizer both BM25 paths share (whitespace split,
+    empty tokens dropped) — the gate requires the direct and indexed
+    paths to be score-identical, which holds by construction only if
+    they share these expression builders."""
+    return F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != "",
+    )
+
+
+def _bm25_idf(n_docs: int):
+    """Lucene/Robertson non-negative idf over a `__df` column."""
+    return F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+
+
+def _bm25_score(k1: float, b: float, avg_dl: float):
+    """Okapi per-(doc, term) score over `__idf`/`__tf`/`__dl` columns."""
+    return (
+        F.col("__idf") * F.col("__tf") * (k1 + 1.0)
+        / (F.col("__tf")
+           + k1 * (1.0 - b + b * F.col("__dl") / F.lit(avg_dl)))
+    )
+
+
+def _bm25_rank(scored: DataFrame, id_col: str, k: int,
+               rank_decimals: int | None) -> DataFrame:
+    """Rounded-score ranking (ties -> id) shared by both BM25 paths."""
+    key = F.col("bm25")
+    if rank_decimals is not None:
+        key = F.round(key + F.lit(1e-9), rank_decimals)
+        scored = scored.select(id_col, key.alias("bm25"))
+    return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+
+
 def bm25_topk(
     docs: DataFrame,
     query: str,
@@ -666,10 +704,7 @@ def bm25_topk(
     qterms = sorted({t for t in query.split() if t})
     if not qterms:
         raise ValueError("bm25_topk needs a non-empty query")
-    toks_all = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-        lambda x: x != "",
-    )
+    toks_all = _bm25_tokens(text_col)
     # ONE stats pass yields both driver scalars (n_docs for idf,
     # avgdl for the length norm); the only other corpus read is the
     # postings build below — two scans total, both unavoidable
@@ -695,30 +730,18 @@ def bm25_topk(
     # instead would checkpoint full token arrays
     tf = materialize(tf)
     df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("__df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
-    )
     term = (
-        tf.join(F.broadcast(df.select("token", idf.alias("__idf"))), on="token")
-        .select(
-            F.col(id_col),
-            (
-                F.col("__idf") * F.col("__tf") * (k1 + 1.0)
-                / (F.col("__tf")
-                   + k1 * (1.0 - b + b * F.col("__dl") / F.lit(avg_dl)))
-            ).alias("__s"),
+        tf.join(
+            F.broadcast(df.select("token", _bm25_idf(n_docs).alias("__idf"))),
+            on="token",
         )
+        .select(F.col(id_col), _bm25_score(k1, b, avg_dl).alias("__s"))
     )
     scored = term.groupBy(id_col).agg(F.sum("__s").alias("bm25"))
-    key = F.col("bm25")
-    if rank_decimals is not None:
-        # rank on the rounded score (ties -> id) so the top-k cut is
-        # stable under cross-engine float noise (avgdl summation
-        # order) — the tfidf_topk_similar gate discipline
-        key = F.round(key + F.lit(1e-9), rank_decimals)
-        scored = scored.select(id_col, key.alias("bm25"))
-    return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+    # rank on the rounded score (ties -> id) so the top-k cut is
+    # stable under cross-engine float noise (avgdl summation order)
+    # — the tfidf_topk_similar gate discipline
+    return _bm25_rank(scored, id_col, k, rank_decimals)
 
 
 class BM25Index:
@@ -749,10 +772,7 @@ class BM25Index:
         id_col: str = "doc_id",
     ):
         self._id_col = id_col
-        toks_all = F.filter(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-            lambda x: x != "",
-        )
+        toks_all = _bm25_tokens(text_col)
         stats = docs.agg(
             F.count(F.lit(1)).alias("__n"),
             F.avg(F.size(toks_all)).alias("__avgdl"),
@@ -783,44 +803,38 @@ class BM25Index:
         qterms = sorted({t for t in query.split() if t})
         if not qterms:
             raise ValueError("BM25Index.search needs a non-empty query")
-        k1, b, id_col = self.k1, self.b, self._id_col
-        idf = F.log(
-            F.lit(1.0)
-            + (F.lit(float(self.n_docs)) - F.col("__df") + 0.5)
-            / (F.col("__df") + 0.5)
-        )
+        id_col = self._id_col
         qdf = self.doc_freq.filter(F.col("token").isin(qterms))
         term = (
             self.postings.filter(F.col("token").isin(qterms))
-            .join(F.broadcast(qdf.select("token", idf.alias("__idf"))),
-                  on="token")
+            .join(
+                F.broadcast(
+                    qdf.select("token", _bm25_idf(self.n_docs).alias("__idf"))
+                ),
+                on="token",
+            )
             .select(
                 F.col(id_col),
-                (
-                    F.col("__idf") * F.col("__tf") * (k1 + 1.0)
-                    / (F.col("__tf")
-                       + k1 * (1.0 - b
-                               + b * F.col("__dl") / F.lit(self.avgdl)))
-                ).alias("__s"),
+                _bm25_score(self.k1, self.b, self.avgdl).alias("__s"),
             )
         )
         scored = term.groupBy(id_col).agg(F.sum("__s").alias("bm25"))
-        key = F.col("bm25")
-        if rank_decimals is not None:
-            key = F.round(key + F.lit(1e-9), rank_decimals)
-            scored = scored.select(id_col, key.alias("bm25"))
-        return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+        return _bm25_rank(scored, id_col, k, rank_decimals)
 
     def save(self, path: str, mode: str = "overwrite") -> None:
-        """Persist the index: postings parquet BUCKETED-equivalent
-        layout (repartitioned by token so a query's join prunes), df
+        """Persist the index: postings range-partitioned by token and
+        sorted within files, so each parquet file AND row group covers
+        a tight token range — a loaded search's token filter prunes at
+        both levels via min/max stats; df
         parquet, and the scalars as a one-row parquet (the
         save_ann_model convention — everything re-loadable over plain
         SQL/DataFrame RPCs, Connect-safe)."""
         if self.postings is None:
             raise RuntimeError("fit the index before saving")
-        self.postings.repartition("token").write.mode(mode).parquet(
-            f"{path}/postings"
+        (
+            self.postings.repartitionByRange(8, "token")
+            .sortWithinPartitions("token")
+            .write.mode(mode).parquet(f"{path}/postings")
         )
         self.doc_freq.write.mode(mode).parquet(f"{path}/df")
         spark = self.postings.sparkSession

@@ -59,7 +59,9 @@ def write_webdataset(
     shards under `path`; multiple rows sharing a key (e.g. ``42.jpg``
     + ``42.json``) land CONSECUTIVELY in the same shard, preserving
     the WebDataset sample-grouping contract. Returns the written
-    manifest (shard, n_members, n_bytes) — one row per shard. The
+    manifest (shard, n_members, n_bytes, n_raw_bytes) — one row per
+    shard; n_bytes is the on-disk file size, n_raw_bytes the
+    UNCOMPRESSED tar stream (headers + 512-padded payloads). The
     write action runs EXACTLY ONCE inside this call and the returned
     manifest is a small local DataFrame: repeated actions on it
     (count + collect + joins) can never re-run the shard write (the
@@ -68,7 +70,9 @@ def write_webdataset(
     Shard sizing wall (the knn scale-wall recipe): `read_webdataset`
     rides Spark's binaryFile source, which materializes one WHOLE
     shard per row — a hard 2 GiB limit and full-shard task memory. If
-    any written shard exceeds ``max_shard_bytes`` (default 1 GiB),
+    any written shard's UNCOMPRESSED tar bytes exceed
+    ``max_shard_bytes`` (default 1 GiB — the wall guards what a read
+    task must hold in memory, which compression does not shrink),
     ``scale_wall='warn'`` (default) emits a warning with the n_shards
     that would bring shards under the wall, ``'error'`` raises, and
     ``'ignore'`` silences (for sinks consumed by a streaming tar
@@ -93,6 +97,10 @@ def write_webdataset(
     shared/fuse-mounted filesystem (NFS, Lustre, gcsfuse/s3-fuse) on a
     cluster. Writing straight to an object-store URI needs a Hadoop-FS
     streaming variant; this one keeps the stdlib-only contract."""
+    if compression not in (None, "gz"):
+        raise ValueError(
+            f"unsupported compression {compression!r} (None or 'gz')"
+        )
     cols = set(samples.columns)
     for c in (key_col, "ext", "payload"):
         if c not in cols:
@@ -146,13 +154,16 @@ def write_webdataset(
                         handles[sh] = tarfile.open(
                             f"{fname}.{attempt}.tmp", "w"
                         )
-                    counts[sh] = [fname, 0, 0]
+                    counts[sh] = [fname, 0, 0, 0]
                 data = bytes(payload)
                 info = tarfile.TarInfo(name=f"{key}.{ext}")
                 info.size = len(data)
                 info.mtime = 0  # deterministic bytes across retries
                 handles[sh].addfile(info, io.BytesIO(data))
                 counts[sh][1] += 1
+                # raw (uncompressed) tar bytes: 512B header + data
+                # padded to 512 — what a reader must hold in memory
+                counts[sh][3] += 512 + ((len(data) + 511) // 512) * 512
         for sh, h in handles.items():
             h.close()
             for layer in closers.get(sh, ()):
@@ -168,6 +179,7 @@ def write_webdataset(
                 "shard": [v[0] for v in counts.values()],
                 "n_members": [v[1] for v in counts.values()],
                 "n_bytes": [v[2] for v in counts.values()],
+                "n_raw_bytes": [v[3] for v in counts.values()],
             }
         )
 
@@ -176,19 +188,25 @@ def write_webdataset(
             StructField("shard", StringType()),
             StructField("n_members", LongType()),
             StructField("n_bytes", LongType()),
+            StructField("n_raw_bytes", LongType()),
         ]
     )
     # ONE action here; the manifest is tiny (one row per shard) so a
     # local re-createDataFrame severs the lineage back to the write
     rows = ready.mapInPandas(run, schema=schema).collect()
-    big = [(r["shard"], r["n_bytes"]) for r in rows if r["n_bytes"] > max_shard_bytes]
+    # guard on the UNCOMPRESSED tar bytes (what a read task must hold
+    # in memory) — with compression='gz' the file size can be 10x
+    # smaller than the decompressed shard the 2 GiB bound applies to
+    big = [(r["shard"], r["n_raw_bytes"]) for r in rows
+           if r["n_raw_bytes"] > max_shard_bytes]
     if big and scale_wall != "ignore":
-        total = sum(r["n_bytes"] for r in rows)
+        total = sum(r["n_raw_bytes"] for r in rows)
         suggest = max(n_shards, -(-total // max_shard_bytes))
         msg = (
             f"write_webdataset: {len(big)} shard(s) exceed "
             f"max_shard_bytes={max_shard_bytes} (largest "
-            f"{max(b for _, b in big)} bytes). read_webdataset rides "
+            f"{max(b for _, b in big)} UNCOMPRESSED tar bytes). "
+            f"read_webdataset rides "
             f"binaryFile, which loads a WHOLE shard per row (hard 2 GiB "
             f"limit, full-shard task memory) — use n_shards>={suggest} "
             f"or scale_wall='ignore' for streaming-loader-only sinks."
@@ -199,7 +217,7 @@ def write_webdataset(
     return samples.sparkSession.createDataFrame(rows, schema=schema)
 
 
-def read_webdataset(spark, path: str, pattern: str = "*.tar*") -> DataFrame:
+def read_webdataset(spark, path: str, pattern: str = "*.{tar,tar.gz}") -> DataFrame:
     """Explode tar shards back into (key, ext, payload, shard) rows:
     Spark's binaryFile source reads one shard per row (partition-
     parallel across shards), tar members unpack inside the Arrow
