@@ -3945,3 +3945,43 @@ def test_webdataset_gzip_shards_roundtrip(spark, tmp_path):
             assert a.read() == b.read()  # retry-stable bytes
     back = {r["key"]: bytes(r["payload"]) for r in read_webdataset(spark, d1).collect()}
     assert back == {str(i): bytes([i]) * 100 for i in range(20)}
+
+
+def test_media_curate_with_gif_decoder(spark):
+    """curate_media composes with the GIF decoder: corrupt GIF
+    payloads drop at the decode stage (never raise), valid ones
+    survive with decoded dimensions — the register_decoder contract
+    holding for the r8 codec."""
+    import numpy as np
+
+    from functime_spark.pipeline.multimodal import curate_media, encode_png  # noqa: F401
+
+    # build two tiny valid GIFs via the JVM writer and one corrupt row
+    jvm = spark.sparkContext._jvm
+    BI = jvm.java.awt.image.BufferedImage
+
+    def java_gif(seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 64, (6, 7), dtype=np.uint8) * 4
+        bi = BI(7, 6, BI.TYPE_INT_RGB)
+        for y in range(6):
+            for x in range(7):
+                v = int(img[y, x])
+                bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.javax.imageio.ImageIO.write(bi, "gif", baos)
+        return bytes(baos.toByteArray())
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(java_gif(1)), "{}"),
+         (2, "image", bytearray(java_gif(2)), "{}"),
+         (3, "image", bytearray(b"GIF89a truncated junk"), "{}"),
+         (4, "image", bytearray(b"not a gif at all"), "{}")],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    curated, report = curate_media(media, decoder="gif", min_width=2,
+                                   min_height=2, dim=4)
+    rep = {r["stage"]: (r["rows_in"], r["rows_out"]) for r in report.collect()}
+    assert rep["decode"] == (4, 2)  # both corrupt rows dropped, no raise
+    rows = {r["media_id"]: (r["width"], r["height"]) for r in curated.collect()}
+    assert rows == {1: (7, 6), 2: (7, 6)}
