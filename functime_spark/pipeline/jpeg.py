@@ -428,6 +428,13 @@ def decode_jpeg(payload: bytes) -> dict:
         # truncation — common in corrupt scraped files) as a
         # _MarkerHit escaping the MCU loop — one contract either way
         raise ValueError("truncated JPEG stream") from None
+    except KeyError as exc:
+        # a scan referencing a DQT/DHT table id the stream never
+        # defined surfaces as a dict-lookup KeyError (qtabs/htabs);
+        # keep the documented ValueError contract for the seam
+        raise ValueError(
+            f"corrupt JPEG: undefined quantization/Huffman table {exc}"
+        ) from None
 
 
 def _decode_jpeg_inner(payload: bytes) -> dict:

@@ -825,7 +825,7 @@ class BM25Index:
         """Persist the index: postings range-partitioned by token and
         sorted within files, so each parquet file AND row group covers
         a tight token range — a loaded search's token filter prunes at
-        both levels via min/max stats; df
+        both levels via min/max stats; the doc-frequency table as plain
         parquet, and the scalars as a one-row parquet (the
         save_ann_model convention — everything re-loadable over plain
         SQL/DataFrame RPCs, Connect-safe)."""

@@ -60,8 +60,10 @@ def write_webdataset(
     + ``42.json``) land CONSECUTIVELY in the same shard, preserving
     the WebDataset sample-grouping contract. Returns the written
     manifest (shard, n_members, n_bytes, n_raw_bytes) — one row per
-    shard; n_bytes is the on-disk file size, n_raw_bytes the
-    UNCOMPRESSED tar stream (headers + 512-padded payloads). The
+    shard; n_bytes is the on-disk file size, n_raw_bytes the EXACT
+    UNCOMPRESSED tar stream (headers + 512-padded payloads + the
+    two-zero-block end-of-archive trailer, blocked to the 10240 B
+    record size — for compression=None it equals n_bytes). The
     write action runs EXACTLY ONCE inside this call and the returned
     manifest is a small local DataFrame: repeated actions on it
     (count + collect + joins) can never re-run the shard write (the
@@ -166,6 +168,11 @@ def write_webdataset(
                 counts[sh][3] += 512 + ((len(data) + 511) // 512) * 512
         for sh, h in handles.items():
             h.close()
+            # tar end-of-archive: two 512B zero blocks, then the whole
+            # stream padded up to the 10240B record size — add it so
+            # n_raw_bytes is the EXACT uncompressed stream size a
+            # reader materializes, not just headers+payload padding
+            counts[sh][3] = -(-(counts[sh][3] + 1024) // 10240) * 10240
             for layer in closers.get(sh, ()):
                 layer.close()
             # atomic publish: last completed attempt wins with

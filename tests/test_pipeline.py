@@ -3164,6 +3164,13 @@ def test_media_jpeg_codec_roundtrip_and_cross_implementation(spark):
     # plain truncation (no EOI) keeps the same contract
     with pytest.raises(ValueError, match="truncated JPEG stream"):
         decode_jpeg(bytes(ours)[: sos + 40])
+    # a scan referencing a never-defined DQT table id must surface the
+    # documented ValueError, not a raw dict KeyError (r8 ADVICE): SOF0
+    # component qsel bytes live at sof+12 / sof+15 / sof+18
+    badq = bytearray(ours)
+    badq[sof + 12] = 3  # DQT id 3 never defined in encode_jpeg output
+    with pytest.raises(ValueError, match="undefined quantization/Huffman"):
+        decode_jpeg(bytes(badq))
     # non-dividing sampling factors (legal T.81, unsupported here)
     # are rejected at SOF with a clear message, not a shape error.
     # SOF0 layout: FF C0 len(2) prec(1) h(2) w(2) ncomp(1) then
@@ -3339,6 +3346,13 @@ def test_webdataset_tar_shard_roundtrip(spark, tmp_path):
     ).collect()
     assert sum(r["n_members"] for r in manifest) == 40
     assert 1 <= len(manifest) <= 4
+    # n_raw_bytes is the EXACT uncompressed tar stream size (members
+    # + end-of-archive trailer + record blocking) — for an
+    # uncompressed write it must equal the on-disk file size
+    import os.path as _osp
+
+    for r in manifest:
+        assert r["n_raw_bytes"] == r["n_bytes"] == _osp.getsize(r["shard"])
 
     # WebDataset contract: a sample's members are CONSECUTIVE entries
     # of one shard
@@ -3937,6 +3951,14 @@ def test_webdataset_gzip_shards_roundtrip(spark, tmp_path):
     d1, d2 = str(tmp_path / "gz1"), str(tmp_path / "gz2")
     m = write_webdataset(samples, d1, n_shards=3, compression="gz").collect()
     assert all(r["shard"].endswith(".tar.gz") for r in m)
+    # n_raw_bytes == the exact gunzipped stream size (what a reading
+    # task must hold), which compression visibly shrank on disk
+    import gzip as _gzip
+
+    for r in m:
+        with _gzip.open(r["shard"], "rb") as gz:
+            assert r["n_raw_bytes"] == len(gz.read())
+        assert r["n_bytes"] == _os.path.getsize(r["shard"]) < r["n_raw_bytes"]
     write_webdataset(samples, d2, n_shards=3, compression="gz").collect()
     for f in sorted(_os.listdir(d1)):
         with open(_os.path.join(d1, f), "rb") as a, open(
