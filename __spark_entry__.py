@@ -2488,6 +2488,109 @@ def q_media_resize(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def _codec_media(spark, sf_dir, modulus, builder):
+    """Distributed media-frame builder for the codec round-trip gates:
+    a mapInPandas pass turns each subsampled doc_id into an encoded
+    payload via `builder(doc_id) -> bytes` — no driver-side loops, the
+    encode runs where the data is (same shape the audio gates use,
+    with the payload built by a REAL encoder instead of SQL hex)."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % modulus == 0)
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": ["image"] * len(ids),
+                    "payload": [builder(int(d)) for d in ids],
+                    "meta": ["{}"] * len(ids),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("kind", StringType()),
+            StructField("payload", BinaryType()),
+            StructField("meta", StringType()),
+        ]
+    )
+    return docs.mapInPandas(run, schema=schema)
+
+
+def q_media_gif_decode(spark, sf_dir):
+    """GIF decode value-gated end-to-end (r9 — promoting the r8 codec
+    from pytest-only to a driver gate): each doc_id % 17 builds a 8x6
+    4-gray GIF via encode_gif's REAL variable-width LZW (interlaced
+    for even ids, plain for odd — both arrive at the same pixels), the
+    registered 'gif' decoder decodes it inside extract_features_media,
+    and dim=48 pooling makes each feature the mean of one pixel's
+    3 equal RGB bytes — i.e. exactly 85 * ((doc_id*31 + j*7) % 4),
+    float32-exact, replayed in plain SQL."""
+    _ensure_nanos_conf(spark)
+    import numpy as np
+
+    from functime_spark.pipeline.multimodal import (
+        encode_gif,
+        extract_features_media,
+    )
+
+    def build(doc_id: int) -> bytes:
+        idx = (doc_id * 31 + np.arange(48) * 7) % 4
+        img = (idx * 85).astype(np.uint8).reshape(6, 8)
+        return encode_gif(img, interlace=(doc_id % 2 == 0))
+
+    media = _codec_media(spark, sf_dir, 17, build)
+    feats = extract_features_media(media, dim=48, decoder="gif")
+    out = feats.select(
+        "media_id", F.posexplode("feature").alias("j", "v")
+    ).orderBy("media_id", "j")
+    return _round_floats(out)
+
+
+def q_media_png_roundtrip(spark, sf_dir):
+    """PNG encode->decode round-trip value-gated (r9 — the r8 encoder's
+    driver promotion): each doc_id % 13 builds a 5x9 grayscale array
+    p_j = (doc_id*13 + j*11) % 251, encode_png writes it (per-scanline
+    Paeth-vs-None filter choice + zlib), the registered 'png' decoder
+    reads it back inside extract_features_media, and dim=45 pooling is
+    the identity on the 45 pixels — the decoded bytes ARE the gate
+    values, replayed from the same formula in SQL."""
+    _ensure_nanos_conf(spark)
+    import numpy as np
+
+    from functime_spark.pipeline.multimodal import (
+        encode_png,
+        extract_features_media,
+    )
+
+    def build(doc_id: int) -> bytes:
+        img = ((doc_id * 13 + np.arange(45) * 11) % 251).astype(np.uint8)
+        return encode_png(img.reshape(5, 9))
+
+    media = _codec_media(spark, sf_dir, 13, build)
+    feats = extract_features_media(media, dim=45, decoder="png")
+    out = feats.select(
+        "media_id", F.posexplode("feature").alias("j", "v")
+    ).orderBy("media_id", "j")
+    return _round_floats(out)
+
+
 def q_preproc_roll(spark, sf_dir):
     _ensure_nanos_conf(spark)
     from functime_spark.operators.preprocessing import roll
@@ -3243,6 +3346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_audio_mfcc": q_media_audio_mfcc,
             "media_curate_report": q_media_curate_report,
             "media_resize": q_media_resize,
+            "media_gif_decode": q_media_gif_decode,
+            "media_png_roundtrip": q_media_png_roundtrip,
             "forecast_backtest_naive": q_forecast_backtest_naive,
             "forecast_conformal": q_forecast_conformal,
             "forecast_conformal_linear": q_forecast_conformal_linear,

@@ -1287,6 +1287,25 @@ def operator_oracles() -> dict:
         )
         + " AS v FROM keep, range(0, 4) t(j) ORDER BY media_id, j"
     )
+    # media_gif_decode / media_png_roundtrip: the REAL-codec encode ->
+    # decode round-trips (encode_gif's variable-width LZW, encode_png's
+    # filtered zlib scanlines) — the payload pixels are pure functions
+    # of doc_id, and the dim-per-pixel pooling makes each gate value
+    # the decoded pixel itself, so the oracle replays the pixel formula
+    # in plain SQL. Any bit the codec pair drops or shifts flips the
+    # value hash.
+    o["media_gif_decode"] = (
+        "SELECT doc_id AS media_id, CAST(t.j AS INT) AS j, "
+        + _r("CAST(85 * ((doc_id * 31 + t.j * 7) % 4) AS DOUBLE)")
+        + " AS v FROM documents, range(0, 48) t(j) "
+        "WHERE doc_id % 17 = 0 ORDER BY media_id, j"
+    )
+    o["media_png_roundtrip"] = (
+        "SELECT doc_id AS media_id, CAST(t.j AS INT) AS j, "
+        + _r("CAST((doc_id * 13 + t.j * 11) % 251 AS DOUBLE)")
+        + " AS v FROM documents, range(0, 45) t(j) "
+        "WHERE doc_id % 13 = 0 ORDER BY media_id, j"
+    )
     # media_audio: the time-domain audio features replayed from the
     # SAME integer PCM formula the Spark query packs into real WAV
     # bytes — duration = n/rate exactly, rms over v/32768, zcr as the

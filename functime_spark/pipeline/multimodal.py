@@ -442,6 +442,102 @@ def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> list:
     return out
 
 
+def encode_gif(arr, interlace: bool = False) -> bytes:
+    """Pure-Python GIF89a encoder (r9): the write half of the GIF
+    codec, pairing decode_gif the way encode_png pairs decode_png.
+    `arr` is HxW uint8 gray or HxWx3 uint8 RGB with <= 256 distinct
+    colors (GIF is palette-indexed — quantization is out of scope, a
+    caller with a true-color image wants encode_png/encode_jpeg). Real
+    variable-width LZW (CLEAR bootstrap, late width change matching
+    the decoder's len(table) == 1<<width rule, 4096-cap deferred
+    clear), optional four-pass interlace, global color table padded to
+    a power of two. One image frame + trailer; refereed byte-level
+    against javax.imageio reads in tests."""
+    import struct
+
+    a = np.asarray(arr)
+    if a.dtype != np.uint8:
+        raise ValueError("encode_gif expects a uint8 array")
+    if a.ndim == 2:
+        a = np.repeat(a[..., None], 3, axis=2)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_gif expects HxW (gray) or HxWx3 (RGB)")
+    h, w, _ = a.shape
+    flat = a.reshape(-1, 3)
+    pal, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError(
+            f"encode_gif: {len(pal)} distinct colors (GIF caps the "
+            "palette at 256 — quantize first, or use encode_png)"
+        )
+    # GCT size is 2<<k entries; pad the palette up to the power of two
+    k = 0
+    while (2 << k) < max(len(pal), 2):
+        k += 1
+    gct = np.zeros((2 << k, 3), dtype=np.uint8)
+    gct[: len(pal)] = pal
+    min_code = max(2, k + 1)  # spec floor: min LZW code size is 2
+
+    rows = idx.reshape(h, w)
+    if interlace:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        rows = rows[np.array(order)]
+    pixels = rows.ravel().tolist()
+
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    codes: dict = {(p,): p for p in range(clear)}
+    next_code, width = eoi + 1, min_code + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    run = (pixels[0],)
+    for p in pixels[1:]:
+        if run + (p,) in codes:
+            run += (p,)
+            continue
+        emit(codes[run])
+        if next_code < 4096:
+            codes[run + (p,)] = next_code
+            next_code += 1
+            # late change: the decoder widens only after ITS table
+            # (one add behind this one) reaches 1<<width
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        run = (p,)
+    emit(codes[run])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+
+    payload = bytearray()
+    payload += b"GIF89a"
+    payload += struct.pack("<HHBBB", w, h, 0x80 | (k & 0x07), 0, 0)
+    payload += gct.tobytes()
+    payload += struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
+    )
+    payload.append(min_code)
+    for i in range(0, len(out), 255):
+        block = out[i:i + 255]
+        payload.append(len(block))
+        payload += block
+    payload += b"\x00\x3b"
+    return bytes(payload)
+
+
 def decode_bmp(payload: bytes) -> dict:
     """Pure-Python BMP decoder (uncompressed 24/32-bit BI_RGB, the
     dominant dump format). Rows are bottom-up and 4-byte padded; output

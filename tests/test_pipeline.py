@@ -3798,6 +3798,64 @@ def test_media_gif_decode_vs_javaimageio(spark):
         decode_gif(full[: len(full) - len(full) // 3])  # cut entropy data
 
 
+def test_media_gif_encoder_roundtrip_and_javax(spark):
+    """encode_gif (r9): real variable-width LZW + optional interlace.
+    Textured random-palette inputs round-trip exactly through our own
+    decoder (plain, interlaced, grayscale), the independent
+    javax.imageio reader decodes our bytes to the same pixels, and a
+    noisy 128x128/200-color image drives the code table past the
+    4096 cap (deferred-clear width freeze) — still byte-exact both
+    ways."""
+    import numpy as np
+
+    from functime_spark.pipeline.multimodal import decode_gif, encode_gif
+
+    jvm = spark.sparkContext._jvm
+
+    def javax_pixels(payload, w, h):
+        jimg = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(payload)
+        )
+        out = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                v = jimg.getRGB(x, y)
+                out[y, x] = ((v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF)
+        return out
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 7, (29, 41))]
+    for interlace in (False, True):
+        payload = encode_gif(img, interlace=interlace)
+        assert payload[:6] == b"GIF89a" and payload[-1:] == b"\x3b"
+        d = decode_gif(payload)
+        assert (d["width"], d["height"]) == (41, 29)
+        assert np.array_equal(d["array"], img)
+        assert np.array_equal(javax_pixels(payload, 41, 29), img)
+
+    # grayscale input broadcasts to RGB; odd palette size pads the GCT
+    gray = rng.integers(0, 5, (13, 17), dtype=np.uint8) * 60
+    dg = decode_gif(encode_gif(gray))
+    assert np.array_equal(dg["array"], np.repeat(gray[..., None], 3, axis=2))
+
+    # LZW table past 4096 (deferred clear): noisy texture, 200 colors
+    pal200 = rng.integers(0, 256, (200, 3), dtype=np.uint8)
+    big = pal200[rng.integers(0, 200, (128, 128))]
+    pay = encode_gif(big)
+    assert np.array_equal(decode_gif(pay)["array"], big)
+    assert np.array_equal(javax_pixels(pay, 128, 128), big)
+
+    with pytest.raises(ValueError, match="uint8"):
+        encode_gif(big.astype(np.float32))
+    with pytest.raises(ValueError, match="256"):
+        grad = np.arange(300, dtype=np.int32)
+        rgbgrad = np.stack(
+            [grad % 256, grad // 2 % 256, grad // 3 % 256], axis=1
+        ).astype(np.uint8)
+        encode_gif(rgbgrad.reshape(10, 30, 3))
+
+
 def test_media_wav_encoder_roundtrip():
     """encode_wav (r8): float [-1,1] quantizes to the target width and
     round-trips through the stdlib decode path within 1 LSB; int16
