@@ -849,7 +849,7 @@ def q_future_calendar(spark, sf_dir):
 
 
 def q_future_holidays(spark, sf_dir):
-    """25 vendored calendars over a 400-day future index (ref
+    """40 vendored calendars over a 400-day future index (ref
     calendar.py:56-152) — the span covers every fixed, nth-weekday,
     Monday-on-or-before, Sunday-shift (Koningsdag), sexennial (MX
     transmision), Gregorian Easter-computus, ORTHODOX Easter-computus
@@ -867,7 +867,15 @@ def q_future_holidays(spark, sf_dir):
     round 8, TH (vendored Thai-lunisolar Bucha tables + rule days),
     MY (tabular Hijri with rukyah overrides, CNY off the shared
     lunisolar tables, vendored Wesak/Deepavali) and SG (MUIS-gazetted
-    Hijri overrides, Vesak = lunar 4/15 off the shared tables)."""
+    Hijri overrides, Vesak = lunar 4/15 off the shared tables) —
+    plus, round 9, fifteen more: the Western-computus pack
+    (FR/ES/IT/AT/IE/BE/AU/HR incl. IE's St-Brigid Friday exception
+    and bank-holiday Mondays), the Orthodox pack (RO/BG off the
+    shared Julian computus), the statutory-shift pack (NZ
+    Mondayization pairs + Matariki table, CO Ley-Emiliani next-Monday
+    moves with the moved Easter offsets +43/+64/+71), fixed-rule
+    RU/PE, and TR's multi-day Hijri bayrams (Shawwal 1-3, Dhu
+    al-Hijjah 10-13) off the shared tabular arithmetic."""
     _ensure_nanos_conf(spark)
     from functime_spark.operators.seasonality import make_future_holiday_effects
 
@@ -876,7 +884,12 @@ def q_future_holidays(spark, sf_dir):
         df,
         ["US", "DE", "GB", "CA", "NL", "BR", "MX", "NO", "PT", "JP", "GR",
          "ZA", "SA", "ID", "EG", "CN", "KR", "VN", "TW", "HK", "IL", "PH",
-         "TH", "MY", "SG"],
+         "TH", "MY", "SG",
+         # round 9: the next 15 — Western computus FR/ES/IT/AT/IE/BE/
+         # AU/HR, Orthodox RO/BG, Mondayization NZ (+ Matariki table)
+         # and CO (Ley Emiliani), fixed RU/PE, Hijri-bayram TR
+         "FR", "ES", "IT", "AT", "IE", "BE", "AU", "NZ", "RU", "RO",
+         "BG", "HR", "CO", "PE", "TR"],
         fh=400, freq="1d",
     )
     return out.orderBy("user_id", "ts")

@@ -2565,6 +2565,309 @@ def operator_oracles() -> dict:
         "ON year(t.tab) = ov.gy AND t.nm = ov.onm "
         "WHERE year(t.tab) = t.y"
     )
+    # --- round 9: 15 more calendars SQL-replayed (25 -> 40 of the 49
+    # vendored) — the Western-computus pack (FR/ES/IT/AT/IE/BE/AU/HR),
+    # the Orthodox pack (RO/BG off the shared Julian computus), the
+    # statutory-shift pack (NZ Mondayization + Matariki table, CO Ley
+    # Emiliani next-Monday moves), fixed-only RU/PE, and TR's
+    # multi-day Hijri bayrams off the shared tabular arithmetic.
+    _fr_rules = (
+        "SELECT make_date(y,1,1) AS d, 'jour_de_lan' AS nm FROM yrs "
+        "UNION ALL SELECT e + to_days(1), 'lundi_de_paques' FROM easter "
+        "UNION ALL SELECT make_date(y,5,1), 'fete_du_travail' FROM yrs "
+        "UNION ALL SELECT make_date(y,5,8), 'armistice_1945' FROM yrs "
+        "UNION ALL SELECT e + to_days(39), 'ascension' FROM easter "
+        "UNION ALL SELECT e + to_days(50), 'lundi_de_pentecote' FROM easter "
+        "UNION ALL SELECT make_date(y,7,14), 'fete_nationale' FROM yrs "
+        "UNION ALL SELECT make_date(y,8,15), 'assomption' FROM yrs "
+        "UNION ALL SELECT make_date(y,11,1), 'toussaint' FROM yrs "
+        "UNION ALL SELECT make_date(y,11,11), 'armistice_1918' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'noel' FROM yrs"
+    )
+    _es_rules = (
+        "SELECT make_date(y,1,1) AS d, 'ano_nuevo' AS nm FROM yrs "
+        "UNION ALL SELECT make_date(y,1,6), 'epifania_del_senor' FROM yrs "
+        "UNION ALL SELECT e - to_days(2), 'viernes_santo' FROM easter "
+        "UNION ALL SELECT make_date(y,5,1), 'fiesta_del_trabajo' FROM yrs "
+        "UNION ALL SELECT make_date(y,8,15), 'asuncion_de_la_virgen' FROM yrs "
+        "UNION ALL SELECT make_date(y,10,12), 'fiesta_nacional_de_espana' FROM yrs "
+        "UNION ALL SELECT make_date(y,11,1), 'todos_los_santos' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,6), 'dia_de_la_constitucion_espanola' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,8), 'inmaculada_concepcion' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'natividad_del_senor' FROM yrs"
+    )
+    _it_rules = (
+        "SELECT make_date(y,1,1) AS d, 'capodanno' AS nm FROM yrs "
+        "UNION ALL SELECT make_date(y,1,6), 'epifania_del_signore' FROM yrs "
+        "UNION ALL SELECT e + to_days(1), 'lunedi_dellangelo' FROM easter "
+        "UNION ALL SELECT make_date(y,4,25), 'festa_della_liberazione' FROM yrs "
+        "UNION ALL SELECT make_date(y,5,1), 'festa_dei_lavoratori' FROM yrs "
+        "UNION ALL SELECT make_date(y,6,2), 'festa_della_repubblica' FROM yrs "
+        "UNION ALL SELECT make_date(y,8,15), 'assunzione_della_vergine' FROM yrs "
+        "UNION ALL SELECT make_date(y,11,1), 'tutti_i_santi' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,8), 'immacolata_concezione' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'natale' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,26), 'santo_stefano' FROM yrs"
+    )
+    _at_rules = (
+        "SELECT make_date(y,1,1) AS d, 'neujahr' AS nm FROM yrs "
+        "UNION ALL SELECT make_date(y,1,6), 'heilige_drei_konige' FROM yrs "
+        "UNION ALL SELECT e + to_days(1), 'ostermontag' FROM easter "
+        "UNION ALL SELECT make_date(y,5,1), 'staatsfeiertag' FROM yrs "
+        "UNION ALL SELECT e + to_days(39), 'christi_himmelfahrt' FROM easter "
+        "UNION ALL SELECT e + to_days(50), 'pfingstmontag' FROM easter "
+        "UNION ALL SELECT e + to_days(60), 'fronleichnam' FROM easter "
+        "UNION ALL SELECT make_date(y,8,15), 'maria_himmelfahrt' FROM yrs "
+        "UNION ALL SELECT make_date(y,10,26), 'nationalfeiertag' FROM yrs "
+        "UNION ALL SELECT make_date(y,11,1), 'allerheiligen' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,8), 'maria_empfangnis' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'christtag' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,26), 'stefanitag' FROM yrs"
+    )
+    _ie_rules = (
+        "SELECT make_date(y,1,1) AS d, 'new_years_day' AS nm FROM yrs "
+        "UNION ALL SELECT make_date(y,3,17), 'st._patricks_day' FROM yrs "
+        "UNION ALL SELECT e + to_days(1), 'easter_monday' FROM easter "
+        "UNION ALL SELECT make_date(y,5,1) + to_days(CAST((8 - isodow(make_date(y,5,1))) % 7 AS INT)), "
+        "'may_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,6,1) + to_days(CAST((8 - isodow(make_date(y,6,1))) % 7 AS INT)), "
+        "'june_bank_holiday' FROM yrs "
+        "UNION ALL SELECT make_date(y,8,1) + to_days(CAST((8 - isodow(make_date(y,8,1))) % 7 AS INT)), "
+        "'august_bank_holiday' FROM yrs "
+        "UNION ALL SELECT make_date(y,10,31) - to_days(CAST((isodow(make_date(y,10,31)) - 1) % 7 AS INT)), "
+        "'october_bank_holiday' FROM yrs "
+        # St Brigid's (2023+): first Monday of Feb, unless Feb 1 IS a Friday
+        "UNION ALL SELECT CASE WHEN isodow(make_date(y,2,1)) = 5 "
+        "THEN make_date(y,2,1) ELSE make_date(y,2,1) "
+        "+ to_days(CAST((8 - isodow(make_date(y,2,1))) % 7 AS INT)) END, "
+        "'st._brigids_day' FROM yrs WHERE y >= 2023 "
+        "UNION ALL SELECT make_date(y,12,25), 'christmas_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,26), 'st._stephens_day' FROM yrs"
+    )
+    _be_rules = (
+        "SELECT make_date(y,1,1) AS d, 'new_years_day' AS nm FROM yrs "
+        "UNION ALL SELECT e + to_days(1), 'easter_monday' FROM easter "
+        "UNION ALL SELECT make_date(y,5,1), 'labour_day' FROM yrs "
+        "UNION ALL SELECT e + to_days(39), 'ascension_day' FROM easter "
+        "UNION ALL SELECT e + to_days(50), 'whit_monday' FROM easter "
+        "UNION ALL SELECT make_date(y,7,21), 'national_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,8,15), 'assumption_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,11,1), 'all_saints_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,11,11), 'armistice_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'christmas_day' FROM yrs"
+    )
+    _au_rules = (
+        "SELECT make_date(y,1,1) AS d, 'new_years_day' AS nm FROM yrs "
+        "UNION ALL SELECT make_date(y,1,26), 'australia_day' FROM yrs "
+        "UNION ALL SELECT e - to_days(2), 'good_friday' FROM easter "
+        "UNION ALL SELECT e + to_days(1), 'easter_monday' FROM easter "
+        "UNION ALL SELECT make_date(y,4,25), 'anzac_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,6,1) + to_days(CAST((8 - isodow(make_date(y,6,1))) % 7 + 7 AS INT)), "
+        "'sovereigns_birthday' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'christmas_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,26), 'boxing_day' FROM yrs"
+    )
+    # NZ: Holidays Act Mondayization — the New Year's/Christmas PAIRS
+    # jump +2 (Sat->Mon, Sun->Tue) because the pair occupies both
+    # following days; Waitangi/ANZAC move to the following Monday only
+    # (2013 amendment, statutory from 2014). Matariki is a published
+    # table (maramataka), vendored as VALUES.
+    from functime_spark.operators.holidays_vendored import _NZ_MATARIKI
+
+    _nz_pairs = [
+        (1, 1, "new_years_day"),
+        (1, 2, "day_after_new_years_day"),
+        (12, 25, "christmas_day"),
+        (12, 26, "boxing_day"),
+    ]
+    _nz_matariki = ", ".join(
+        f"(DATE '{y}-{m:02d}-{d:02d}', 'matariki')"
+        for y, (m, d) in sorted(_NZ_MATARIKI.items())
+    )
+    _nz_rules = (
+        "SELECT e - to_days(2) AS d, 'good_friday' AS nm FROM easter "
+        "UNION ALL SELECT e + to_days(1), 'easter_monday' FROM easter "
+        "UNION ALL SELECT make_date(y,6,1) + to_days(CAST((8 - isodow(make_date(y,6,1))) % 7 AS INT)), "
+        "'sovereigns_birthday' FROM yrs "
+        "UNION ALL SELECT make_date(y,10,1) + to_days(CAST((8 - isodow(make_date(y,10,1))) % 7 + 21 AS INT)), "
+        "'labour_day' FROM yrs "
+        + "".join(
+            f" UNION ALL SELECT make_date(y,{m},{d}), '{nm}' FROM yrs "
+            f"UNION ALL SELECT make_date(y,{m},{d}) + to_days(2), "
+            f"'{nm}_(observed)' FROM yrs "
+            f"WHERE isodow(make_date(y,{m},{d})) >= 6"
+            for m, d, nm in _nz_pairs
+        )
+        + " UNION ALL SELECT make_date(y,2,6), 'waitangi_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,2,6) + to_days(CAST(8 - isodow(make_date(y,2,6)) AS INT)), "
+        "'waitangi_day_(observed)' FROM yrs "
+        "WHERE y >= 2014 AND isodow(make_date(y,2,6)) >= 6 "
+        "UNION ALL SELECT make_date(y,4,25), 'anzac_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,4,25) + to_days(CAST(8 - isodow(make_date(y,4,25)) AS INT)), "
+        "'anzac_day_(observed)' FROM yrs "
+        "WHERE y >= 2014 AND isodow(make_date(y,4,25)) >= 6 "
+        f"UNION ALL SELECT t.d, t.nm FROM (VALUES {_nz_matariki}) t(d, nm) "
+        "JOIN yrs ON year(t.d) = yrs.y"
+    )
+    _ru_rules = (
+        "SELECT make_date(y,1,CAST(g.i AS INT)) AS d, "
+        "'new_year_holidays_day_' || CAST(g.i AS VARCHAR) AS nm "
+        "FROM yrs, generate_series(1, 6) g(i) "
+        "UNION ALL SELECT make_date(y,1,7), 'christmas_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,1,8), 'new_year_holidays_day_8' FROM yrs "
+        "UNION ALL SELECT make_date(y,2,23), 'defender_of_the_fatherland_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,3,8), 'international_womens_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,5,1), 'spring_and_labour_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,5,9), 'victory_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,6,12), 'russia_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,11,4), 'unity_day' FROM yrs"
+    )
+    _ro_rules = (
+        "SELECT make_date(y,1,1) AS d, 'anul_nou' AS nm FROM yrs "
+        "UNION ALL SELECT make_date(y,1,2), 'anul_nou_ziua_2' FROM yrs "
+        "UNION ALL SELECT oe, 'pastele' FROM oeaster "
+        "UNION ALL SELECT oe + to_days(1), 'a_doua_zi_de_paste' FROM oeaster "
+        "UNION ALL SELECT make_date(y,5,1), 'ziua_muncii' FROM yrs "
+        "UNION ALL SELECT oe + to_days(49), 'rusaliile' FROM oeaster "
+        "UNION ALL SELECT oe + to_days(50), 'a_doua_zi_de_rusalii' FROM oeaster "
+        "UNION ALL SELECT make_date(y,8,15), 'adormirea_maicii_domnului' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,1), 'ziua_nationala' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'craciunul' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,26), 'a_doua_zi_de_craciun' FROM yrs "
+        "UNION ALL SELECT make_date(y,11,30), 'sfantul_andrei' FROM yrs WHERE y >= 2012 "
+        "UNION ALL SELECT make_date(y,1,24), 'ziua_unirii_principatelor_romane' "
+        "FROM yrs WHERE y >= 2017 "
+        "UNION ALL SELECT make_date(y,6,1), 'ziua_copilului' FROM yrs WHERE y >= 2017 "
+        "UNION ALL SELECT oe - to_days(2), 'vinerea_mare' FROM oeaster "
+        "WHERE y >= 2018"
+    )
+    _bg_rules = (
+        "SELECT make_date(y,1,1) AS d, 'nova_godina' AS nm FROM yrs "
+        "UNION ALL SELECT make_date(y,3,3), 'den_na_osvobozhdenieto' FROM yrs "
+        "UNION ALL SELECT oe - to_days(2), 'velikden_petak' FROM oeaster "
+        "UNION ALL SELECT oe - to_days(1), 'velikden_sabota' FROM oeaster "
+        "UNION ALL SELECT oe, 'velikden' FROM oeaster "
+        "UNION ALL SELECT oe + to_days(1), 'velikden_ponedelnik' FROM oeaster "
+        "UNION ALL SELECT make_date(y,5,1), 'den_na_truda' FROM yrs "
+        "UNION ALL SELECT make_date(y,5,6), 'gergovden' FROM yrs "
+        "UNION ALL SELECT make_date(y,5,24), 'den_na_bulgarskata_prosveta_i_kultura' FROM yrs "
+        "UNION ALL SELECT make_date(y,9,6), 'den_na_saedinenieto' FROM yrs "
+        "UNION ALL SELECT make_date(y,9,22), 'den_na_nezavisimostta' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,24), 'badni_vecher' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'rozhdestvo_hristovo' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,26), 'rozhdestvo_hristovo_vtori_den' FROM yrs"
+    )
+    _hr_rules = (
+        "SELECT make_date(y,1,1) AS d, 'nova_godina' AS nm FROM yrs "
+        "UNION ALL SELECT make_date(y,1,6), 'bogojavljenje' FROM yrs "
+        "UNION ALL SELECT e, 'uskrs' FROM easter "
+        "UNION ALL SELECT e + to_days(1), 'uskrsni_ponedjeljak' FROM easter "
+        "UNION ALL SELECT e + to_days(60), 'tijelovo' FROM easter "
+        "UNION ALL SELECT make_date(y,5,1), 'praznik_rada' FROM yrs "
+        "UNION ALL SELECT make_date(y,6,22), 'dan_antifasisticke_borbe' FROM yrs "
+        "UNION ALL SELECT make_date(y,8,5), 'dan_pobjede_i_domovinske_zahvalnosti' FROM yrs "
+        "UNION ALL SELECT make_date(y,8,15), 'velika_gospa' FROM yrs "
+        "UNION ALL SELECT make_date(y,11,1), 'svi_sveti' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'bozic' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,26), 'sveti_stjepan' FROM yrs "
+        "UNION ALL SELECT make_date(y,5,30), 'dan_drzavnosti' FROM yrs WHERE y >= 2020 "
+        "UNION ALL SELECT make_date(y,11,18), 'dan_sjecanja_na_zrtve_domovinskog_rata' "
+        "FROM yrs WHERE y >= 2020 "
+        "UNION ALL SELECT make_date(y,6,25), 'dan_drzavnosti' FROM yrs "
+        "WHERE y >= 2002 AND y < 2020 "
+        "UNION ALL SELECT make_date(y,10,8), 'dan_neovisnosti' FROM yrs "
+        "WHERE y >= 2002 AND y < 2020"
+    )
+    # CO: Ley Emiliani (1984+) — seven feasts observe on the FOLLOWING
+    # Monday unless already one ((8 - isodow) % 7 days forward); the
+    # three Easter-offset feasts land on fixed moved offsets
+    # (+39->+43, +60->+64, +68->+71).
+    _co_movable = [
+        (1, 6, "dia_de_los_reyes_magos"),
+        (3, 19, "dia_de_san_jose"),
+        (6, 29, "san_pedro_y_san_pablo"),
+        (8, 15, "asuncion_de_la_virgen"),
+        (10, 12, "dia_de_la_raza"),
+        (11, 1, "dia_de_todos_los_santos"),
+        (11, 11, "independencia_de_cartagena"),
+    ]
+    _co_rules = (
+        "SELECT make_date(y,1,1) AS d, 'ano_nuevo' AS nm FROM yrs "
+        "UNION ALL SELECT e - to_days(3), 'jueves_santo' FROM easter "
+        "UNION ALL SELECT e - to_days(2), 'viernes_santo' FROM easter "
+        "UNION ALL SELECT make_date(y,5,1), 'dia_del_trabajo' FROM yrs "
+        "UNION ALL SELECT make_date(y,7,20), 'dia_de_la_independencia' FROM yrs "
+        "UNION ALL SELECT make_date(y,8,7), 'batalla_de_boyaca' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,8), 'inmaculada_concepcion' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'navidad' FROM yrs "
+        + "".join(
+            f" UNION ALL SELECT make_date(y,{m},{d}) "
+            f"+ to_days(CAST((8 - isodow(make_date(y,{m},{d}))) % 7 AS INT)), "
+            f"'{nm}' FROM yrs WHERE y >= 1984"
+            for m, d, nm in _co_movable
+        )
+        + " UNION ALL SELECT e + to_days(43), 'ascension_del_senor' FROM easter "
+        "WHERE y >= 1984 "
+        "UNION ALL SELECT e + to_days(64), 'corpus_christi' FROM easter "
+        "WHERE y >= 1984 "
+        "UNION ALL SELECT e + to_days(71), 'sagrado_corazon' FROM easter "
+        "WHERE y >= 1984"
+    )
+    _pe_rules = (
+        "SELECT make_date(y,1,1) AS d, 'ano_nuevo' AS nm FROM yrs "
+        "UNION ALL SELECT e - to_days(3), 'jueves_santo' FROM easter "
+        "UNION ALL SELECT e - to_days(2), 'viernes_santo' FROM easter "
+        "UNION ALL SELECT make_date(y,5,1), 'dia_del_trabajo' FROM yrs "
+        "UNION ALL SELECT make_date(y,6,29), 'san_pedro_y_san_pablo' FROM yrs "
+        "UNION ALL SELECT make_date(y,7,28), 'fiestas_patrias' FROM yrs "
+        "UNION ALL SELECT make_date(y,7,29), 'fiestas_patrias_day_2' FROM yrs "
+        "UNION ALL SELECT make_date(y,8,30), 'santa_rosa_de_lima' FROM yrs "
+        "UNION ALL SELECT make_date(y,10,8), 'combate_de_angamos' FROM yrs "
+        "UNION ALL SELECT make_date(y,11,1), 'dia_de_todos_los_santos' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,8), 'inmaculada_concepcion' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'navidad' FROM yrs"
+    )
+    # TR: the multi-day bayrams as offsets off the tabular-Hijri
+    # anchors (Diyanet tracked the KSA gazetted dates across the
+    # override span, so the anchors reuse _SA_EID_* — same single
+    # source of truth as the vendored _tr).
+    _tr_fitr_ov = ", ".join(
+        f"({y}, 'rb', DATE '{y}-{m:02d}-{d:02d}')"
+        for y, (m, d) in sorted(_SA_EID_FITR.items())
+    )
+    _tr_adha_ov = ", ".join(
+        f"({y}, 'kb', DATE '{y}-{m:02d}-{d:02d}')"
+        for y, (m, d) in sorted(_SA_EID_ADHA.items())
+    )
+    _tr_rules = (
+        "SELECT make_date(y,1,1) AS d, 'new_years_day' AS nm FROM yrs "
+        "UNION ALL SELECT make_date(y,4,23), "
+        "'national_sovereignty_and_childrens_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,5,19), "
+        "'commemoration_of_ataturk_youth_and_sports_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,8,30), 'victory_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,10,29), 'republic_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,5,1), 'labour_and_solidarity_day' "
+        "FROM yrs WHERE y >= 2009 "
+        "UNION ALL SELECT make_date(y,7,15), 'democracy_and_national_unity_day' "
+        "FROM yrs WHERE y >= 2017 "
+        "UNION ALL SELECT COALESCE(ov.od, t.tab) + to_days(os.o), "
+        "'ramazan_bayrami_day_' || CAST(os.o + 1 AS VARCHAR) FROM ("
+        + _id_tabular.format(hol="(10,1,'rb')")
+        + ") t "
+        f"LEFT JOIN (VALUES {_tr_fitr_ov}) ov(gy, onm, od) "
+        "ON year(t.tab) = ov.gy AND t.nm = ov.onm, "
+        "(VALUES (0),(1),(2)) os(o) "
+        "WHERE year(t.tab) = t.y "
+        "UNION ALL SELECT COALESCE(ov.od, t.tab) + to_days(os.o), "
+        "'kurban_bayrami_day_' || CAST(os.o + 1 AS VARCHAR) FROM ("
+        + _id_tabular.format(hol="(12,10,'kb')")
+        + ") t "
+        f"LEFT JOIN (VALUES {_tr_adha_ov}) ov(gy, onm, od) "
+        "ON year(t.tab) = ov.gy AND t.nm = ov.onm, "
+        "(VALUES (0),(1),(2),(3)) os(o) "
+        "WHERE year(t.tab) = t.y"
+    )
     o["future_holidays"] = (
         "WITH c AS (SELECT user_id, MAX(ts) AS low FROM events GROUP BY user_id), "
         "fut AS (SELECT c.user_id, c.low + i * INTERVAL '1 day' AS ts "
@@ -2587,6 +2890,11 @@ def operator_oracles() -> dict:
                 ("tw", _tw_rules), ("hk", _hk_rules), ("il", _il_rules),
                 ("ph", _ph_rules), ("th", _th_rules), ("my", _my_rules),
                 ("sg", _sg_rules),
+                ("fr", _fr_rules), ("es", _es_rules), ("it_", _it_rules),
+                ("at_", _at_rules), ("ie", _ie_rules), ("be", _be_rules),
+                ("au", _au_rules), ("nz", _nz_rules), ("ru", _ru_rules),
+                ("ro", _ro_rules), ("bg", _bg_rules), ("hr", _hr_rules),
+                ("co", _co_rules), ("pe", _pe_rules), ("tr", _tr_rules),
             ]
         )
         + " "
@@ -2599,7 +2907,12 @@ def operator_oracles() -> dict:
         "kr.nm AS holiday__kr, vn.nm AS holiday__vn, tw.nm AS holiday__tw, "
         "hk.nm AS holiday__hk, il.nm AS holiday__il, ph.nm AS holiday__ph, "
         "th.nm AS holiday__th, my.nm AS holiday__my, "
-        "sg.nm AS holiday__sg "
+        "sg.nm AS holiday__sg, "
+        "fr.nm AS holiday__fr, es.nm AS holiday__es, it_.nm AS holiday__it, "
+        "at_.nm AS holiday__at, ie.nm AS holiday__ie, be.nm AS holiday__be, "
+        "au.nm AS holiday__au, nz.nm AS holiday__nz, ru.nm AS holiday__ru, "
+        "ro.nm AS holiday__ro, bg.nm AS holiday__bg, hr.nm AS holiday__hr, "
+        "co.nm AS holiday__co, pe.nm AS holiday__pe, tr.nm AS holiday__tr "
         "FROM fut f LEFT JOIN us ON CAST(f.ts AS DATE) = us.d "
         "LEFT JOIN de ON CAST(f.ts AS DATE) = de.d "
         "LEFT JOIN gb ON CAST(f.ts AS DATE) = gb.d "
@@ -2625,6 +2938,21 @@ def operator_oracles() -> dict:
         "LEFT JOIN th ON CAST(f.ts AS DATE) = th.d "
         "LEFT JOIN my ON CAST(f.ts AS DATE) = my.d "
         "LEFT JOIN sg ON CAST(f.ts AS DATE) = sg.d "
+        "LEFT JOIN fr ON CAST(f.ts AS DATE) = fr.d "
+        "LEFT JOIN es ON CAST(f.ts AS DATE) = es.d "
+        "LEFT JOIN it_ ON CAST(f.ts AS DATE) = it_.d "
+        "LEFT JOIN at_ ON CAST(f.ts AS DATE) = at_.d "
+        "LEFT JOIN ie ON CAST(f.ts AS DATE) = ie.d "
+        "LEFT JOIN be ON CAST(f.ts AS DATE) = be.d "
+        "LEFT JOIN au ON CAST(f.ts AS DATE) = au.d "
+        "LEFT JOIN nz ON CAST(f.ts AS DATE) = nz.d "
+        "LEFT JOIN ru ON CAST(f.ts AS DATE) = ru.d "
+        "LEFT JOIN ro ON CAST(f.ts AS DATE) = ro.d "
+        "LEFT JOIN bg ON CAST(f.ts AS DATE) = bg.d "
+        "LEFT JOIN hr ON CAST(f.ts AS DATE) = hr.d "
+        "LEFT JOIN co ON CAST(f.ts AS DATE) = co.d "
+        "LEFT JOIN pe ON CAST(f.ts AS DATE) = pe.d "
+        "LEFT JOIN tr ON CAST(f.ts AS DATE) = tr.d "
         "ORDER BY user_id, ts"
     )
 
