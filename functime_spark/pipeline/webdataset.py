@@ -215,8 +215,11 @@ def write_webdataset(
             f"{max(b for _, b in big)} UNCOMPRESSED tar bytes). "
             f"read_webdataset rides "
             f"binaryFile, which loads a WHOLE shard per row (hard 2 GiB "
-            f"limit, full-shard task memory) — use n_shards>={suggest} "
-            f"or scale_wall='ignore' for streaming-loader-only sinks."
+            f"limit, full-shard task memory) — use n_shards>={suggest}, "
+            f"read back via read_webdataset_ranges (member-granular "
+            f"seek reads, no shard-size bound; uncompressed shards "
+            f"only), or scale_wall='ignore' for streaming-loader-only "
+            f"sinks."
         )
         if scale_wall == "error":
             raise ValueError(msg)
@@ -234,7 +237,10 @@ def read_webdataset(spark, path: str, pattern: str = "*.{tar,tar.gz}") -> DataFr
     — a hard 2 GiB per-file limit and full-shard memory in the
     reading task. Keep shards under ~1 GiB (write_webdataset's
     scale_wall enforces this at write time); parallelism is capped at
-    the shard count, so size n_shards to the loader/cluster width."""
+    the shard count, so size n_shards to the loader/cluster width.
+    For shards past the wall, `read_webdataset_ranges` seek-reads at
+    member granularity with no shard-size bound (uncompressed only —
+    this full-stream path is what handles .tar.gz)."""
     shards = spark.read.format("binaryFile").load(
         os.path.join(path, pattern)
     ).select("path", "content")
@@ -265,3 +271,144 @@ def read_webdataset(spark, path: str, pattern: str = "*.{tar,tar.gz}") -> DataFr
         ]
     )
     return shards.mapInPandas(run, schema=schema)
+
+
+def index_webdataset(spark, path: str, pattern: str = "*.tar") -> DataFrame:
+    """Member index for uncompressed tar shards: one row per file
+    member — (shard, key, ext, offset, size), where `offset` is the
+    member's DATA start inside the shard and `size` its byte length.
+
+    Built by walking tar HEADERS only: each task opens its shard with
+    a plain seekable file handle and iterates `tarfile` in streaming
+    mode, which reads each 512 B header and SEEKS past the payload —
+    per-task memory is a header buffer, never the shard (so indexing
+    a 100 GiB shard is fine). Gzip shards are rejected: DEFLATE
+    streams have no random access, so range reads can't apply —
+    re-shard uncompressed or use read_webdataset's full-stream path.
+
+    Shard discovery is a driver-side glob of NAMES only (one string
+    per shard — the same tiny-manifest shape write_webdataset
+    returns); the bytes are only ever touched by executors."""
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(path, pattern)))
+    if not files:
+        raise FileNotFoundError(f"no shards match {path}/{pattern}")
+    for f in files:
+        if f.endswith(".gz"):
+            raise ValueError(
+                "index_webdataset needs seekable (uncompressed) tar "
+                f"shards; {f} is gzip — use read_webdataset for .tar.gz"
+            )
+    shards = spark.createDataFrame(
+        [(f,) for f in files], "shard string"
+    ).repartition(len(files))
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"shard": [], "key": [], "ext": [], "offset": [],
+                   "size": []}
+            for p in pdf["shard"]:
+                with open(p, "rb") as fh, tarfile.open(
+                    fileobj=fh, mode="r:"
+                ) as tf:
+                    for m in tf:  # streaming: header read + seek-skip
+                        if not m.isfile():
+                            continue
+                        base, _, ext = m.name.rpartition(".")
+                        out["shard"].append(p)
+                        out["key"].append(base)
+                        out["ext"].append(ext)
+                        out["offset"].append(m.offset_data)
+                        out["size"].append(m.size)
+            yield pd.DataFrame(out)
+
+    schema = StructType(
+        [
+            StructField("shard", StringType()),
+            StructField("key", StringType()),
+            StructField("ext", StringType()),
+            StructField("offset", LongType()),
+            StructField("size", LongType()),
+        ]
+    )
+    return shards.mapInPandas(run, schema=schema)
+
+
+def read_webdataset_ranges(
+    spark,
+    path: str,
+    pattern: str = "*.tar",
+    index: DataFrame | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Member-range WebDataset reader (r9): same output contract as
+    `read_webdataset` — (key, ext, payload, shard) rows — but WITHOUT
+    its binaryFile bounds. Instead of materializing a whole shard per
+    row (hard 2 GiB source limit, full-shard task memory), members
+    are repartitioned at MEMBER granularity off `index_webdataset`'s
+    header walk and each task seek-reads only its own byte ranges —
+    per-task memory is bounded by its largest member, parallelism by
+    the member count rather than the shard count. This is the read
+    path for shards past write_webdataset's scale wall (and the 100 TB
+    shape: a 1000-executor cluster reading 500 shards of 200 GiB
+    keeps every core busy and never holds a shard in memory).
+
+    `index` accepts a previously materialized index (e.g. persisted
+    next to the shards) to skip the header walk; `partitions` defaults
+    to the session shuffle partitioning. Uncompressed shards only —
+    gzip has no random access (see index_webdataset). Rows within a
+    task are read in (shard, offset) order, so each file handle moves
+    strictly forward — sequential I/O per task, one open per
+    (task, shard) pair."""
+    idx = index if index is not None else index_webdataset(
+        spark, path, pattern
+    )
+    n = partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    # member-granular round-robin: big shards fan out across tasks
+    parts = idx.repartition(n)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["shard", "offset"])
+            payloads = []
+            handle, hpath = None, None
+            try:
+                for p, off, sz in zip(
+                    pdf["shard"], pdf["offset"], pdf["size"]
+                ):
+                    if p != hpath:
+                        if handle is not None:
+                            handle.close()
+                        handle, hpath = open(p, "rb"), p
+                    handle.seek(int(off))
+                    payloads.append(handle.read(int(sz)))
+            finally:
+                if handle is not None:
+                    handle.close()
+            yield pd.DataFrame(
+                {
+                    "key": pdf["key"].tolist(),
+                    "ext": pdf["ext"].tolist(),
+                    "payload": payloads,
+                    "shard": pdf["shard"].tolist(),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("ext", StringType()),
+            StructField("payload", BinaryType()),
+            StructField("shard", StringType()),
+        ]
+    )
+    return parts.mapInPandas(run, schema=schema)

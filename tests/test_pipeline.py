@@ -4027,6 +4027,81 @@ def test_webdataset_gzip_shards_roundtrip(spark, tmp_path):
     assert back == {str(i): bytes([i]) * 100 for i in range(20)}
 
 
+def test_webdataset_member_range_reader(spark, tmp_path):
+    """read_webdataset_ranges (r9): the over-the-wall read path. A
+    single shard written past max_shard_bytes (scale_wall='ignore')
+    reads back byte-exact through index_webdataset's header-walk +
+    per-member seek reads; the index matches a stdlib tarfile walk
+    exactly; members of ONE shard fan out across MULTIPLE partitions
+    (parallelism is member-granular, not shard-granular — the property
+    binaryFile can't have); gzip shards are rejected with a clear
+    message; the write-side wall now points at this reader."""
+    import tarfile as _tarfile
+    import warnings as _warnings
+
+    from pyspark.sql import functions as _F
+
+    from functime_spark.pipeline.webdataset import (
+        index_webdataset,
+        read_webdataset_ranges,
+        write_webdataset,
+    )
+
+    rows = [
+        (f"k{i:03d}", "bin", bytearray(bytes([i % 251]) * (100 + 37 * i)))
+        for i in range(40)
+    ]
+    samples = spark.createDataFrame(
+        rows, "key string, ext string, payload binary"
+    )
+    d = str(tmp_path / "wds_ranges")
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        write_webdataset(samples, d, n_shards=1, max_shard_bytes=2048)
+    assert any("read_webdataset_ranges" in str(w.message) for w in caught)
+
+    # index == a stdlib header walk, exactly
+    idx = index_webdataset(spark, d).collect()
+    shard = idx[0]["shard"]
+    with _tarfile.open(shard) as tf:
+        expect = {
+            m.name: (m.offset_data, m.size)
+            for m in tf.getmembers() if m.isfile()
+        }
+    assert len(idx) == 40 == len(expect)
+    for r in idx:
+        assert expect[f"{r['key']}.{r['ext']}"] == (r["offset"], r["size"])
+
+    # payloads byte-exact through the seek-read path
+    out = read_webdataset_ranges(spark, d, partitions=4)
+    got = {r["key"]: bytes(r["payload"]) for r in out.collect()}
+    assert got == {k: bytes(p) for k, _, p in rows}
+
+    # the ONE shard spans multiple partitions: member-granular
+    # parallelism (binaryFile would pin the whole shard to one task)
+    pids = (
+        read_webdataset_ranges(spark, d, partitions=4)
+        .select(_F.spark_partition_id().alias("pid"))
+        .distinct()
+        .count()
+    )
+    assert pids > 1
+
+    # a pre-materialized index skips the header walk
+    idx_df = index_webdataset(spark, d)
+    out2 = read_webdataset_ranges(spark, d, index=idx_df, partitions=2)
+    assert {r["key"]: bytes(r["payload"]) for r in out2.collect()} == got
+
+    # gzip: no random access -> explicit rejection
+    dgz = str(tmp_path / "wds_ranges_gz")
+    write_webdataset(samples, dgz, n_shards=1, compression="gz",
+                     scale_wall="ignore")
+    with pytest.raises(ValueError, match="gzip"):
+        index_webdataset(spark, dgz, pattern="*.tar.gz")
+    with pytest.raises(FileNotFoundError):
+        index_webdataset(spark, str(tmp_path / "nope"))
+
+
 def test_media_curate_with_gif_decoder(spark):
     """curate_media composes with the GIF decoder: corrupt GIF
     payloads drop at the decode stage (never raise), valid ones
