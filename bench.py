@@ -257,6 +257,66 @@ def main() -> None:
 
     bench("ann_ivf_pq", _q13)
 
+    # q14 (round 9): BM25 retrieval — the direct one-shot path. Gated
+    # since r8 (text_bm25) but previously unbenched, so a postings-path
+    # regression was invisible round-over-round.
+    def _q14():
+        from functime_spark.pipeline.similarity import bm25_topk
+
+        docs = load_table(spark, SF_DIR, "documents")
+        bm25_topk(docs, "hash join scan", k=10).collect()
+
+    bench("bm25_topk", _q14)
+
+    # q15 (round 9): the deployment shape — BM25Index fit+save+load
+    # happen ONCE (untimed), then each rep times a search over the
+    # PERSISTED postings (token-range-partitioned parquet): the
+    # never-rescan-the-corpus path a 100 TB index actually serves.
+    import tempfile as _tempfile
+
+    from functime_spark.pipeline.similarity import BM25Index
+
+    _bm25_dir = _tempfile.mkdtemp(prefix="bench_bm25_")
+    _docs = load_table(spark, SF_DIR, "documents")
+    BM25Index().fit(_docs).save(_bm25_dir)
+    _bm25 = BM25Index.load(spark, _bm25_dir)
+    bench(
+        "bm25_indexed_search",
+        lambda: _bm25.search("hash join scan", k=10).collect(),
+    )
+
+    # q16 (round 9): media curation throughput over a REAL-codec PPM
+    # corpus — the same deterministic construction as the media_curate
+    # gate (md5-derived 4x4 gray Netpbm, corrupt + thumbnail drops,
+    # payload dedup, dim=4 pooled features), sized by the documents
+    # table. Round-over-round media throughput previously lived only
+    # in SCALE.md prose.
+    def _q16():
+        from functime_spark.pipeline.multimodal import curate_media
+
+        docs = load_table(spark, SF_DIR, "documents")
+        h = F.unhex(F.md5((F.col("doc_id") / 5).cast("long").cast("string")))
+        payload = (
+            F.when(F.col("doc_id") % 7 == 0, F.lit(b"corrupt bytes"))
+            .when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(b"P5\n2 2\n255\n"), F.substring(h, 1, 4)),
+            )
+            .otherwise(F.concat(F.lit(b"P5\n4 4\n255\n"), h))
+        )
+        media = docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("image").alias("kind"),
+            payload.alias("payload"),
+            F.lit("{}").alias("meta"),
+        )
+        curated, _ = curate_media(
+            media, decoder="ppm", min_width=3, min_height=3, dim=4
+        )
+        curated.count()
+
+    bench("media_curate", _q16)
+
     total = round(sum(timings.values()), 3)
     # the suite grew from 7 to 9 queries in round 4 (minhash_dedup,
     # lm_quality_tiers); keep the round-over-round comparable subtotal
@@ -296,6 +356,13 @@ def main() -> None:
     missing = [q for q in r7_suite if q not in timings]
     assert not missing, f"r7-comparable queries renamed/removed: {missing}"
     r7_comparable = round(sum(timings[q] for q in r7_suite), 3)
+    # and the full round-8 suite (the 13 above) so round-9+ additions
+    # (bm25_topk, bm25_indexed_search, media_curate) can't mask a
+    # regression in anything that existed at round 8
+    r8_suite = r7_suite + ("ann_ivf_pq",)
+    missing = [q for q in r8_suite if q not in timings]
+    assert not missing, f"r8-comparable queries renamed/removed: {missing}"
+    r8_comparable = round(sum(timings[q] for q in r8_suite), 3)
     print(
         json.dumps(
             {
@@ -308,6 +375,7 @@ def main() -> None:
                 "value_r5_comparable": r5_comparable,
                 "value_r6_comparable": r6_comparable,
                 "value_r7_comparable": r7_comparable,
+                "value_r8_comparable": r8_comparable,
                 # r6 investigation of the r5 minhash_dedup drift
                 # (1.418 -> 1.710 s): an isolated A/B of the r4 tree vs
                 # head on the same machine shows IDENTICAL stage
@@ -324,6 +392,16 @@ def main() -> None:
                 # both 1.524). Machine-state noise; neither r6 change
                 # on the path is a regression.
                 "notes": {
+                    "r8_drift": "all three unexplained r8 drifts "
+                    "(ann_topk +30%, resample_naive_smape +26%, "
+                    "minhash_dedup +18% vs r7) adjudicated NOISE via "
+                    "tools/ab_drift.py — interleaved head-vs-r7-tree "
+                    "process pairs (3x, 5 reps each, one session): "
+                    "ann_topk 0.563/0.511/0.506 head vs "
+                    "0.513/0.511/0.585 r7; resample 1.043/0.995/0.938 "
+                    "vs 1.028/0.963/0.933; minhash 1.768/1.703/1.629 "
+                    "vs 1.856/1.472/1.646 — full overlap, the r7 tree "
+                    "reproduces head's timings in the same session",
                     "ann_ivf_pq": "r8 shape A/B (3-rep medians, one "
                     "session): lazy-enc+pinned-probe 2.20 s vs "
                     "checkpointed-enc 3.16 s vs all-lazy 2.46 s — the "
