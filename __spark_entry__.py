@@ -849,7 +849,7 @@ def q_future_calendar(spark, sf_dir):
 
 
 def q_future_holidays(spark, sf_dir):
-    """40 vendored calendars over a 400-day future index (ref
+    """ALL 49 vendored calendars over a 400-day future index (ref
     calendar.py:56-152) — the span covers every fixed, nth-weekday,
     Monday-on-or-before, Sunday-shift (Koningsdag), sexennial (MX
     transmision), Gregorian Easter-computus, ORTHODOX Easter-computus
@@ -889,7 +889,11 @@ def q_future_holidays(spark, sf_dir):
          # AU/HR, Orthodox RO/BG, Mondayization NZ (+ Matariki table)
          # and CO (Ley Emiliani), fixed RU/PE, Hijri-bayram TR
          "FR", "ES", "IT", "AT", "IE", "BE", "AU", "NZ", "RU", "RO",
-         "BG", "HR", "CO", "PE", "TR"],
+         "BG", "HR", "CO", "PE", "TR",
+         # ...and the last nine, completing the vendored set (49/49):
+         # DK Store-Bededag guard, SE/FI floating Saturdays, CH
+         # federal-only, PL/HU/SK/CZ statutory guards, IN gazetted
+         "DK", "SE", "FI", "CH", "PL", "HU", "SK", "CZ", "IN"],
         fh=400, freq="1d",
     )
     return out.orderBy("user_id", "ts")

@@ -2868,6 +2868,137 @@ def operator_oracles() -> dict:
         "(VALUES (0),(1),(2),(3)) os(o) "
         "WHERE year(t.tab) = t.y"
     )
+    # --- round 9b: the LAST nine — every vendored calendar is now
+    # SQL-replayed (49/49). DK (Store Bededag abolished 2024), SE/FI
+    # (floating-Saturday rules: the Sat on-or-after Jun 20 / Oct 31 is
+    # d + (13 - isodow) % 7 days), CH federal-only, PL/HU/SK/CZ
+    # (computus + statutory year guards), IN (the three all-India
+    # gazetted days).
+    _sat_after = "+ to_days(CAST((13 - isodow(make_date(y,{m},{d}))) % 7 AS INT))"
+    _dk_rules = (
+        "SELECT make_date(y,1,1) AS d, 'nytaarsdag' AS nm FROM yrs "
+        "UNION ALL SELECT e - to_days(3), 'skaertorsdag' FROM easter "
+        "UNION ALL SELECT e - to_days(2), 'langfredag' FROM easter "
+        "UNION ALL SELECT e, 'paaskedag' FROM easter "
+        "UNION ALL SELECT e + to_days(1), 'anden_paaskedag' FROM easter "
+        "UNION ALL SELECT e + to_days(39), 'kristi_himmelfartsdag' FROM easter "
+        "UNION ALL SELECT e + to_days(49), 'pinsedag' FROM easter "
+        "UNION ALL SELECT e + to_days(50), 'anden_pinsedag' FROM easter "
+        "UNION ALL SELECT e + to_days(26), 'store_bededag' FROM easter "
+        "WHERE y < 2024 "
+        "UNION ALL SELECT make_date(y,12,25), 'juledag' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,26), 'anden_juledag' FROM yrs"
+    )
+    _se_rules = (
+        "SELECT make_date(y,1,1) AS d, 'nyarsdagen' AS nm FROM yrs "
+        "UNION ALL SELECT make_date(y,1,6), 'trettondedag_jul' FROM yrs "
+        "UNION ALL SELECT e - to_days(2), 'langfredagen' FROM easter "
+        "UNION ALL SELECT e, 'paskdagen' FROM easter "
+        "UNION ALL SELECT e + to_days(1), 'annandag_pask' FROM easter "
+        "UNION ALL SELECT make_date(y,5,1), 'forsta_maj' FROM yrs "
+        "UNION ALL SELECT e + to_days(39), 'kristi_himmelsfardsdag' FROM easter "
+        "UNION ALL SELECT e + to_days(49), 'pingstdagen' FROM easter "
+        "UNION ALL SELECT make_date(y,6,6), 'nationaldagen' FROM yrs "
+        "UNION ALL SELECT make_date(y,6,20) " + _sat_after.format(m=6, d=20)
+        + ", 'midsommardagen' FROM yrs "
+        "UNION ALL SELECT make_date(y,10,31) " + _sat_after.format(m=10, d=31)
+        + ", 'alla_helgons_dag' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'juldagen' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,26), 'annandag_jul' FROM yrs"
+    )
+    _fi_rules = (
+        "SELECT make_date(y,1,1) AS d, 'new_years_day' AS nm FROM yrs "
+        "UNION ALL SELECT make_date(y,1,6), 'epiphany' FROM yrs "
+        "UNION ALL SELECT e - to_days(2), 'good_friday' FROM easter "
+        "UNION ALL SELECT e + to_days(1), 'easter_monday' FROM easter "
+        "UNION ALL SELECT make_date(y,5,1), 'may_day' FROM yrs "
+        "UNION ALL SELECT e + to_days(39), 'ascension_day' FROM easter "
+        "UNION ALL SELECT make_date(y,6,20) " + _sat_after.format(m=6, d=20)
+        + ", 'midsummer_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,10,31) " + _sat_after.format(m=10, d=31)
+        + ", 'all_saints_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,6), 'independence_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'christmas_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,26), 'second_day_of_christmas' FROM yrs"
+    )
+    _ch_rules = (
+        "SELECT make_date(y,1,1) AS d, 'neujahrstag' AS nm FROM yrs "
+        "UNION ALL SELECT e + to_days(39), 'auffahrt' FROM easter "
+        "UNION ALL SELECT make_date(y,8,1), 'bundesfeier' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'weihnachtstag' FROM yrs"
+    )
+    _pl_rules = (
+        "SELECT make_date(y,1,1) AS d, 'nowy_rok' AS nm FROM yrs "
+        "UNION ALL SELECT e, 'wielkanoc' FROM easter "
+        "UNION ALL SELECT e + to_days(1), 'poniedzialek_wielkanocny' FROM easter "
+        "UNION ALL SELECT make_date(y,5,1), 'swieto_pracy' FROM yrs "
+        "UNION ALL SELECT make_date(y,5,3), 'swieto_konstytucji' FROM yrs "
+        "UNION ALL SELECT e + to_days(49), 'zielone_swiatki' FROM easter "
+        "UNION ALL SELECT e + to_days(60), 'boze_cialo' FROM easter "
+        "UNION ALL SELECT make_date(y,8,15), 'wniebowziecie' FROM yrs "
+        "UNION ALL SELECT make_date(y,11,1), 'wszystkich_swietych' FROM yrs "
+        "UNION ALL SELECT make_date(y,11,11), 'swieto_niepodleglosci' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'boze_narodzenie' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,26), 'drugi_dzien_swiat' FROM yrs "
+        "UNION ALL SELECT make_date(y,1,6), 'trzech_kroli' FROM yrs "
+        "WHERE y >= 2011 "
+        "UNION ALL SELECT make_date(y,12,24), 'wigilia' FROM yrs "
+        "WHERE y >= 2025"
+    )
+    _hu_rules = (
+        "SELECT make_date(y,1,1) AS d, 'ujev' AS nm FROM yrs "
+        "UNION ALL SELECT make_date(y,3,15), 'nemzeti_unnep_marcius_15' FROM yrs "
+        "UNION ALL SELECT e + to_days(1), 'husvethetfo' FROM easter "
+        "UNION ALL SELECT make_date(y,5,1), 'a_munka_unnepe' FROM yrs "
+        "UNION ALL SELECT e + to_days(50), 'punkosdhetfo' FROM easter "
+        "UNION ALL SELECT make_date(y,8,20), 'az_allamalapitas_unnepe' FROM yrs "
+        "UNION ALL SELECT make_date(y,11,1), 'mindenszentek' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'karacsony' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,26), 'karacsony_masnapja' FROM yrs "
+        "UNION ALL SELECT make_date(y,10,23), 'nemzeti_unnep_oktober_23' "
+        "FROM yrs WHERE y >= 1991 "
+        "UNION ALL SELECT e - to_days(2), 'nagypentek' FROM easter "
+        "WHERE y >= 2017"
+    )
+    _sk_rules = (
+        "SELECT make_date(y,1,1) AS d, 'den_vzniku_slovenskej_republiky' AS nm FROM yrs "
+        "UNION ALL SELECT make_date(y,1,6), 'zjavenie_pana' FROM yrs "
+        "UNION ALL SELECT e - to_days(2), 'velky_piatok' FROM easter "
+        "UNION ALL SELECT e + to_days(1), 'velkonocny_pondelok' FROM easter "
+        "UNION ALL SELECT make_date(y,5,1), 'sviatok_prace' FROM yrs "
+        "UNION ALL SELECT make_date(y,5,8), 'den_vitazstva_nad_fasizmom' FROM yrs "
+        "UNION ALL SELECT make_date(y,7,5), 'sviatok_svateho_cyrila_a_metoda' FROM yrs "
+        "UNION ALL SELECT make_date(y,8,29), 'vyrocie_snp' FROM yrs "
+        "UNION ALL SELECT make_date(y,9,15), 'sedembolestna_panna_maria' FROM yrs "
+        "UNION ALL SELECT make_date(y,11,1), 'sviatok_vsetkych_svatych' FROM yrs "
+        "UNION ALL SELECT make_date(y,11,17), 'den_boja_za_slobodu_a_demokraciu' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,24), 'stedry_den' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'prvy_sviatok_vianocny' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,26), 'druhy_sviatok_vianocny' FROM yrs "
+        "UNION ALL SELECT make_date(y,9,1), 'den_ustavy_slovenskej_republiky' "
+        "FROM yrs WHERE y <= 2023"
+    )
+    _cz_rules = (
+        "SELECT make_date(y,1,1) AS d, 'new_years_day' AS nm FROM yrs "
+        "UNION ALL SELECT e + to_days(1), 'easter_monday' FROM easter "
+        "UNION ALL SELECT make_date(y,5,1), 'labour_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,5,8), 'victory_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,7,5), 'saints_cyril_and_methodius_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,7,6), 'jan_hus_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,9,28), 'czech_statehood_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,10,28), 'independent_czechoslovak_state_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,11,17), 'struggle_for_freedom_and_democracy_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,24), 'christmas_eve' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,25), 'christmas_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,12,26), 'second_day_of_christmas' FROM yrs "
+        "UNION ALL SELECT e - to_days(2), 'good_friday' FROM easter "
+        "WHERE y >= 2016"
+    )
+    _in_rules = (
+        "SELECT make_date(y,1,26) AS d, 'republic_day' AS nm FROM yrs "
+        "UNION ALL SELECT make_date(y,8,15), 'independence_day' FROM yrs "
+        "UNION ALL SELECT make_date(y,10,2), 'gandhi_jayanti' FROM yrs"
+    )
     o["future_holidays"] = (
         "WITH c AS (SELECT user_id, MAX(ts) AS low FROM events GROUP BY user_id), "
         "fut AS (SELECT c.user_id, c.low + i * INTERVAL '1 day' AS ts "
@@ -2895,6 +3026,9 @@ def operator_oracles() -> dict:
                 ("au", _au_rules), ("nz", _nz_rules), ("ru", _ru_rules),
                 ("ro", _ro_rules), ("bg", _bg_rules), ("hr", _hr_rules),
                 ("co", _co_rules), ("pe", _pe_rules), ("tr", _tr_rules),
+                ("dk", _dk_rules), ("se", _se_rules), ("fi", _fi_rules),
+                ("ch", _ch_rules), ("pl", _pl_rules), ("hu", _hu_rules),
+                ("sk", _sk_rules), ("cz", _cz_rules), ("in_", _in_rules),
             ]
         )
         + " "
@@ -2912,7 +3046,10 @@ def operator_oracles() -> dict:
         "at_.nm AS holiday__at, ie.nm AS holiday__ie, be.nm AS holiday__be, "
         "au.nm AS holiday__au, nz.nm AS holiday__nz, ru.nm AS holiday__ru, "
         "ro.nm AS holiday__ro, bg.nm AS holiday__bg, hr.nm AS holiday__hr, "
-        "co.nm AS holiday__co, pe.nm AS holiday__pe, tr.nm AS holiday__tr "
+        "co.nm AS holiday__co, pe.nm AS holiday__pe, tr.nm AS holiday__tr, "
+        "dk.nm AS holiday__dk, se.nm AS holiday__se, fi.nm AS holiday__fi, "
+        "ch.nm AS holiday__ch, pl.nm AS holiday__pl, hu.nm AS holiday__hu, "
+        "sk.nm AS holiday__sk, cz.nm AS holiday__cz, in_.nm AS holiday__in "
         "FROM fut f LEFT JOIN us ON CAST(f.ts AS DATE) = us.d "
         "LEFT JOIN de ON CAST(f.ts AS DATE) = de.d "
         "LEFT JOIN gb ON CAST(f.ts AS DATE) = gb.d "
@@ -2953,6 +3090,15 @@ def operator_oracles() -> dict:
         "LEFT JOIN co ON CAST(f.ts AS DATE) = co.d "
         "LEFT JOIN pe ON CAST(f.ts AS DATE) = pe.d "
         "LEFT JOIN tr ON CAST(f.ts AS DATE) = tr.d "
+        "LEFT JOIN dk ON CAST(f.ts AS DATE) = dk.d "
+        "LEFT JOIN se ON CAST(f.ts AS DATE) = se.d "
+        "LEFT JOIN fi ON CAST(f.ts AS DATE) = fi.d "
+        "LEFT JOIN ch ON CAST(f.ts AS DATE) = ch.d "
+        "LEFT JOIN pl ON CAST(f.ts AS DATE) = pl.d "
+        "LEFT JOIN hu ON CAST(f.ts AS DATE) = hu.d "
+        "LEFT JOIN sk ON CAST(f.ts AS DATE) = sk.d "
+        "LEFT JOIN cz ON CAST(f.ts AS DATE) = cz.d "
+        "LEFT JOIN in_ ON CAST(f.ts AS DATE) = in_.d "
         "ORDER BY user_id, ts"
     )
 
