@@ -1882,6 +1882,26 @@ def q_text_bm25_indexed(spark, sf_dir):
     return out.orderBy(F.desc("bm25"), F.asc("doc_id"))
 
 
+def q_text_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval (r9): Reciprocal Rank Fusion of the BM25
+    lexical top-25 and the exact-cosine dense top-25 (k_rrf=60, the
+    published default). Both ranking keys are rounded to 6 decimals
+    before the row_number cut (ties -> id) so the ranks — and hence
+    the exact-rational RRF scores 1/(60+r) — are float-noise-proof;
+    the oracle replays both retrievers AND the full-outer fusion."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.similarity import hybrid_rrf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    out = hybrid_rrf_topk(
+        docs, emb.filter(F.col("vec_id") != 0), "hash join scan",
+        list(qvec), k=10, n_candidates=25, rank_decimals=6,
+    )
+    return _round_floats(out.orderBy(F.desc("rrf"), F.asc("id")))
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup semantic near-dup pairs: spread-init k-means clusters
     (the ann_ivf_topk build, replayed in SQL) + exact cosine verify
@@ -3365,6 +3385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_resize": q_media_resize,
             "media_gif_decode": q_media_gif_decode,
             "media_png_roundtrip": q_media_png_roundtrip,
+            "text_hybrid_rrf": q_text_hybrid_rrf,
             "forecast_backtest_naive": q_forecast_backtest_naive,
             "forecast_conformal": q_forecast_conformal,
             "forecast_conformal_linear": q_forecast_conformal_linear,

@@ -5263,6 +5263,50 @@ ORDER BY 1, 2
     # computation — same oracle, different Spark plan under test
     o["text_bm25_indexed"] = o["text_bm25"]
 
+    # --- text_hybrid_rrf (r9): both retrievers replayed, then the
+    # Reciprocal Rank Fusion — BM25 top-25 (rounded-score rank) and
+    # dense cosine top-25 (raw-cosine cut like ann_cosine_topk, then
+    # rounded-cosine rank), full-outer joined; rrf = 1/(60+r) per
+    # present list. The RRF terms are exact rationals of integer
+    # ranks, so the fusion compare is noise-free by construction.
+    o["text_hybrid_rrf"] = (
+        "WITH base AS (SELECT doc_id, "
+        r"list_filter(string_split_regex(text, '\s+'), x -> x <> '') "
+        "AS tk FROM documents), "
+        "stats AS (SELECT AVG(len(tk)) AS avgdl, "
+        "CAST(COUNT(*) AS DOUBLE) AS n FROM base), "
+        "tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf "
+        "FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS tok FROM base) "
+        "WHERE tok IN ('hash', 'join', 'scan') GROUP BY ALL), "
+        "dfq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df "
+        "FROM tf GROUP BY tok), "
+        "term AS (SELECT tf.doc_id, "
+        "ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) "
+        "* tf.tf * (1.2 + 1.0) "
+        "/ (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS s "
+        "FROM tf JOIN dfq USING (tok), stats), "
+        "bm AS (SELECT doc_id, ROUND(SUM(s) + 1e-9, 6) AS bm25 FROM term "
+        "GROUP BY doc_id ORDER BY bm25 DESC, doc_id ASC LIMIT 25), "
+        "bmr AS (SELECT doc_id AS id, row_number() OVER "
+        "(ORDER BY bm25 DESC, doc_id ASC) AS r_bm25 FROM bm), "
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings "
+        "WHERE vec_id = 0), "
+        "dn AS (SELECT vec_id, ROUND(list_cosine_similarity("
+        "CAST(embedding AS DOUBLE[]), qv) + 1e-9, 6) AS cosine "
+        "FROM embeddings, q WHERE vec_id != 0 "
+        "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) "
+        "DESC, vec_id LIMIT 25), "
+        "dnr AS (SELECT vec_id AS id, row_number() OVER "
+        "(ORDER BY cosine DESC, vec_id ASC) AS r_dense FROM dn), "
+        "fused AS (SELECT COALESCE(bmr.id, dnr.id) AS id, "
+        "COALESCE(1.0 / (60 + r_bm25), 0.0) "
+        "+ COALESCE(1.0 / (60 + r_dense), 0.0) AS rrf, "
+        "CAST(r_bm25 AS INT) AS r_bm25, CAST(r_dense AS INT) AS r_dense "
+        "FROM bmr FULL OUTER JOIN dnr ON bmr.id = dnr.id) "
+        "SELECT id, " + _r("rrf") + " AS rrf, r_bm25, r_dense "
+        "FROM fused ORDER BY rrf DESC, id LIMIT 10"
+    )
+
     # --- text_lm_score: the whole interpolated bigram LM replayed —
     # token/pair counts, driver scalars as a cross-joined 1-row CTE,
     # per-token log-probs, per-doc cross-entropy. The 1-lam literal is

@@ -744,6 +744,82 @@ def bm25_topk(
     return _bm25_rank(scored, id_col, k, rank_decimals)
 
 
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_text: str,
+    query_vec: list,
+    k: int = 10,
+    n_candidates: int = 50,
+    k_rrf: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+    rank_decimals: int | None = None,
+) -> DataFrame:
+    """Hybrid retrieval (r9): Reciprocal Rank Fusion of the BM25
+    lexical top-n and the exact-cosine dense top-n — the standard
+    two-tower RAG retrieval shape (RRF per Cormack/Clarke/Buettcher,
+    SIGIR'09: score(d) = sum over systems of 1/(k_rrf + rank_d);
+    k_rrf=60 is the published default). A document missing from one
+    list contributes only the other term, so the fusion rewards
+    agreement without requiring it.
+
+    Returns (id, rrf, r_bm25, r_dense) — ranks are 1-based within
+    each candidate list, NULL when the document is absent from it.
+
+    Scale shape: both candidate lists arrive ALREADY CUT to
+    n_candidates rows (bm25_topk's filtered-postings TakeOrdered and
+    cosine_topk's TakeOrdered — the corpus is never globally sorted),
+    so the row_number windows and the full-outer fusion join below run
+    over <= 2*n_candidates rows of bounded driver-free state; the
+    expensive work stays inside the two retrievers, which keep their
+    own 100 TB shapes. `rank_decimals` rounds both ranking keys before
+    the row_number cut (the tfidf gate discipline) so cross-engine
+    float noise cannot flip a rank.
+
+    Beyond-reference like bm25_topk; composes two already-gated
+    surfaces, and the gate replays the whole fusion in SQL."""
+    from pyspark.sql import Window
+
+    bm = bm25_topk(
+        docs, query_text, k=n_candidates, k1=k1, b=b,
+        text_col=text_col, id_col=id_col, rank_decimals=rank_decimals,
+    )
+    dn = cosine_topk(
+        emb, query_vec, k=n_candidates, vec_col=vec_col,
+        id_col=vec_id_col,
+    )
+    cos_key = F.col("cosine")
+    if rank_decimals is not None:
+        cos_key = F.round(cos_key + F.lit(1e-9), rank_decimals)
+        dn = dn.select(vec_id_col, cos_key.alias("cosine"))
+    # single-task windows over the LIMITED frames (bounded by
+    # n_candidates, not the corpus)
+    wb = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    wd = Window.orderBy(F.desc("cosine"), F.asc(vec_id_col))
+    bmr = bm.select(
+        F.col(id_col).alias("id"), F.row_number().over(wb).alias("r_bm25")
+    )
+    dnr = dn.select(
+        F.col(vec_id_col).alias("id"),
+        F.row_number().over(wd).alias("r_dense"),
+    )
+    fused = bmr.join(dnr, "id", "full_outer").select(
+        "id",
+        (
+            F.coalesce(1.0 / (F.lit(k_rrf) + F.col("r_bm25")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k_rrf) + F.col("r_dense")), F.lit(0.0))
+        ).alias("rrf"),
+        "r_bm25",
+        "r_dense",
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("id")).limit(k)
+
+
 class BM25Index:
     """The repeated-query shape of `bm25_topk`: ONE corpus pass builds
     the persisted artifacts — the full postings table (id, token, tf,

@@ -3970,6 +3970,44 @@ def test_bm25_index_equals_direct(spark):
         BM25Index().search("spark")
 
 
+def test_hybrid_rrf_fusion_semantics(spark):
+    """hybrid_rrf_topk (r9): RRF = 1/(60+r_bm25) + 1/(60+r_dense) with
+    1-based ranks; a document present in only one candidate list keeps
+    a NULL rank there and contributes only the present term; ranks and
+    scores match a hand computation on a tiny literal corpus."""
+    from functime_spark.pipeline.similarity import hybrid_rrf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "spark joins data"), (2, "spark spark joins"),
+         (3, "ducks swim"), (4, "spark")],
+        "doc_id long, text string",
+    )
+    # embeddings chosen so dense order is 2, 5, 3 (doc 5 has no text
+    # row; doc 1 and 4 have no embedding)
+    emb = spark.createDataFrame(
+        [(2, [1.0, 0.0]), (5, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = hybrid_rrf_topk(
+        docs, emb, "spark joins", [1.0, 0.0], k=10, n_candidates=3,
+    ).collect()
+    rows = {r["id"]: r for r in out}
+    # bm25 ranks over 'spark joins': doc2 (tf spark=2, joins=1) > doc1
+    # > doc4 (idf(spark) is low: 3 of 4 docs contain it)
+    assert (rows[2]["r_bm25"], rows[1]["r_bm25"], rows[4]["r_bm25"]) == (1, 2, 3)
+    # dense ranks vs [1, 0]: 2 (cos 1.0) > 5 (~0.994) > 3 (0.0)
+    assert (rows[2]["r_dense"], rows[5]["r_dense"], rows[3]["r_dense"]) == (1, 2, 3)
+    # one-list docs carry NULL for the missing rank
+    assert rows[1]["r_dense"] is None and rows[5]["r_bm25"] is None
+    # exact rational fusion
+    assert rows[2]["rrf"] == 1 / 61 + 1 / 61
+    assert rows[1]["rrf"] == 1 / 62
+    assert rows[5]["rrf"] == 1 / 62
+    # ordering: fused score desc, id tiebreak (1/5 tie at 1/62 and
+    # 3/4 tie at 1/63 — both resolve by ascending id)
+    assert [r["id"] for r in out] == [2, 1, 5, 3, 4]
+
+
 def test_bm25_index_save_load_roundtrip(spark, tmp_path):
     """A saved+loaded BM25Index answers queries identically to the
     fitted one — the persisted-artifact contract."""
