@@ -2628,6 +2628,38 @@ def q_media_png_roundtrip(spark, sf_dir):
     return _round_floats(out)
 
 
+def q_media_tiff_roundtrip(spark, sf_dir):
+    """TIFF encode->decode round-trip value-gated (r9): each
+    doc_id % 19 builds a 4x5 RGB array c(doc_id, j) =
+    (doc_id*17 + j*29) % 256 over the 60 flattened channel values,
+    encode_tiff writes it (multi-strip rows_per_strip=2 for even ids,
+    single-strip for odd — both layouts must decode identically), the
+    registered 'tiff' decoder reads it back, and dim=60 pooling is the
+    identity on the channel values — replayed from the formula in
+    SQL."""
+    _ensure_nanos_conf(spark)
+    import numpy as np
+
+    from functime_spark.pipeline.multimodal import (
+        encode_tiff,
+        extract_features_media,
+    )
+
+    def build(doc_id: int) -> bytes:
+        vals = ((doc_id * 17 + np.arange(60) * 29) % 256).astype(np.uint8)
+        return encode_tiff(
+            vals.reshape(4, 5, 3),
+            rows_per_strip=2 if doc_id % 2 == 0 else None,
+        )
+
+    media = _codec_media(spark, sf_dir, 19, build)
+    feats = extract_features_media(media, dim=60, decoder="tiff")
+    out = feats.select(
+        "media_id", F.posexplode("feature").alias("j", "v")
+    ).orderBy("media_id", "j")
+    return _round_floats(out)
+
+
 def q_preproc_roll(spark, sf_dir):
     _ensure_nanos_conf(spark)
     from functime_spark.operators.preprocessing import roll
@@ -3385,6 +3417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_resize": q_media_resize,
             "media_gif_decode": q_media_gif_decode,
             "media_png_roundtrip": q_media_png_roundtrip,
+            "media_tiff_roundtrip": q_media_tiff_roundtrip,
             "text_hybrid_rrf": q_text_hybrid_rrf,
             "forecast_backtest_naive": q_forecast_backtest_naive,
             "forecast_conformal": q_forecast_conformal,

@@ -1306,6 +1306,12 @@ def operator_oracles() -> dict:
         + " AS v FROM documents, range(0, 45) t(j) "
         "WHERE doc_id % 13 = 0 ORDER BY media_id, j"
     )
+    o["media_tiff_roundtrip"] = (
+        "SELECT doc_id AS media_id, CAST(t.j AS INT) AS j, "
+        + _r("CAST((doc_id * 17 + t.j * 29) % 256 AS DOUBLE)")
+        + " AS v FROM documents, range(0, 60) t(j) "
+        "WHERE doc_id % 19 = 0 ORDER BY media_id, j"
+    )
     # media_audio: the time-domain audio features replayed from the
     # SAME integer PCM formula the Spark query packs into real WAV
     # bytes — duration = n/rate exactly, rms over v/32768, zcr as the

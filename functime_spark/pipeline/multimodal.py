@@ -538,6 +538,144 @@ def encode_gif(arr, interlace: bool = False) -> bytes:
     return bytes(payload)
 
 
+def decode_tiff(payload: bytes) -> dict:
+    """Pure-Python baseline-TIFF decoder (r9): uncompressed
+    (Compression=1) 8-bit grayscale/RGB/RGBA, both byte orders
+    (II/MM), strip layout with any RowsPerStrip, first IFD only —
+    the archival/scanned-corpus shape. PlanarConfiguration must be
+    chunky (1, the default). Returns {"array": HxW[xC] uint8,
+    "width", "height", "mode"} — the register_decoder contract."""
+    import struct
+
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF payload (bad byte-order mark)")
+    bo = "<" if payload[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack(bo + "HI", payload[2:8])
+    if magic != 42:
+        raise ValueError("not a TIFF payload (magic != 42)")
+    try:
+        n = struct.unpack(bo + "H", payload[ifd_off:ifd_off + 2])[0]
+        tags: dict = {}
+        _TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+        for i in range(n):
+            e = payload[ifd_off + 2 + 12 * i:ifd_off + 14 + 12 * i]
+            tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+            if typ not in _TYPE_SIZE:
+                continue  # RATIONAL/ASCII metadata — not needed here
+            sz = _TYPE_SIZE[typ] * cnt
+            raw = e[8:8 + sz] if sz <= 4 else payload[
+                struct.unpack(bo + "I", e[8:12])[0]:
+            ][:sz]
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            tags[tag] = list(struct.unpack(bo + str(cnt) + fmt, raw))
+    except (IndexError, struct.error):
+        raise ValueError("truncated TIFF stream") from None
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    w, h = one(256), one(257)
+    comp = one(259, 1)
+    if comp != 1:
+        raise ValueError(
+            f"vendored TIFF decoder supports Compression=1 only (got "
+            f"{comp} — LZW/JPEG-in-TIFF need external codecs)"
+        )
+    if one(284, 1) != 1:
+        raise ValueError("vendored TIFF decoder supports chunky planar only")
+    spp = one(277, 1)
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits) or spp not in (1, 3, 4):
+        raise ValueError("vendored TIFF decoder supports 8-bit gray/RGB/RGBA")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    data = b"".join(
+        payload[o:o + c] for o, c in zip(offsets, counts)
+    )
+    if len(data) < w * h * spp:
+        raise ValueError("truncated TIFF strip data")
+    arr = np.frombuffer(
+        data[: w * h * spp], dtype=np.uint8
+    ).reshape((h, w) if spp == 1 else (h, w, spp))
+    mode = {1: "gray", 3: "rgb", 4: "rgba"}[spp]
+    return {"array": arr, "width": int(w), "height": int(h), "mode": mode}
+
+
+def encode_tiff(arr, rows_per_strip: int | None = None) -> bytes:
+    """Pure-Python baseline-TIFF encoder (r9): little-endian (II),
+    uncompressed, 8-bit gray/RGB/RGBA, strip layout (default one
+    strip; pass rows_per_strip to exercise multi-strip readers). The
+    lossless interchange sink next to encode_png — and the write half
+    decode_tiff round-trips, refereed against javax.imageio."""
+    import struct
+
+    a = np.asarray(arr)
+    if a.dtype != np.uint8:
+        raise ValueError("encode_tiff expects a uint8 array")
+    if a.ndim == 2:
+        a = a[..., None]
+    if a.ndim != 3 or a.shape[2] not in (1, 3, 4):
+        raise ValueError("encode_tiff expects HxW (gray), HxWx3 or HxWx4")
+    h, w, spp = a.shape
+    rps = h if rows_per_strip is None else max(1, int(rows_per_strip))
+    strips = [
+        a[y:y + rps].tobytes() for y in range(0, h, rps)
+    ]
+    photometric = 1 if spp == 1 else 2
+
+    # layout: 8B header | strip data | BitsPerSample array (spp>1) |
+    # StripOffsets/ByteCounts arrays (if >1 strip) | IFD
+    pos = 8
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    extra = b""
+
+    def _arr_ref(values, typ_fmt):
+        """Value slot for a multi-value SHORT/LONG tag: inline when it
+        fits 4 bytes, else an offset into the `extra` region."""
+        nonlocal extra, pos
+        raw = struct.pack("<" + str(len(values)) + typ_fmt, *values)
+        if len(raw) <= 4:
+            return raw.ljust(4, b"\x00")
+        ref = struct.pack("<I", pos)
+        extra += raw
+        pos += len(raw)
+        return ref
+
+    entries = []  # (tag, type, count, value4)
+    entries.append((256, 4, 1, struct.pack("<I", w)))
+    entries.append((257, 4, 1, struct.pack("<I", h)))
+    entries.append((258, 3, spp, _arr_ref([8] * spp, "H")))
+    entries.append((259, 3, 1, struct.pack("<HH", 1, 0)))
+    entries.append((262, 3, 1, struct.pack("<HH", photometric, 0)))
+    entries.append((273, 4, len(strips), _arr_ref(strip_offsets, "I")))
+    entries.append((277, 3, 1, struct.pack("<HH", spp, 0)))
+    entries.append((278, 4, 1, struct.pack("<I", rps)))
+    entries.append(
+        (279, 4, len(strips), _arr_ref([len(s) for s in strips], "I"))
+    )
+    ifd_off = pos
+    out = bytearray()
+    out += b"II" + struct.pack("<HI", 42, ifd_off)
+    for s in strips:
+        out += s
+    out += extra
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in sorted(entries):
+        out += struct.pack("<HHI", tag, typ, cnt) + val
+    out += struct.pack("<I", 0)  # no next IFD
+    return bytes(out)
+
+
 def decode_bmp(payload: bytes) -> dict:
     """Pure-Python BMP decoder (uncompressed 24/32-bit BI_RGB, the
     dominant dump format). Rows are bottom-up and 4-byte padded; output
@@ -600,6 +738,8 @@ _DECODERS: dict = {
     "png": decode_png,
     "bmp": decode_bmp,
     "gif": decode_gif,
+    "tiff": decode_tiff,
+    "tif": decode_tiff,
     "jpeg": decode_jpeg,
     "jpg": decode_jpeg,
     "mjpeg": decode_mjpeg,

@@ -3856,6 +3856,77 @@ def test_media_gif_encoder_roundtrip_and_javax(spark):
         encode_gif(rgbgrad.reshape(10, 30, 3))
 
 
+def test_media_tiff_codec_roundtrip_and_javax(spark):
+    """TIFF codec (r9): baseline uncompressed 8-bit gray/RGB/RGBA,
+    both byte orders, strip layout. Textured inputs round-trip exactly
+    through our encoder/decoder (single- and multi-strip), javax
+    decodes our II bytes pixel-exact, our decoder reads javax's MM
+    (big-endian) output, and unsupported shapes fail loudly."""
+    import numpy as np
+
+    from functime_spark.pipeline.multimodal import decode_tiff, encode_tiff
+
+    jvm = spark.sparkContext._jvm
+    rng = np.random.default_rng(13)
+
+    for shape, mode in [((13, 17), "gray"), ((9, 11, 3), "rgb"),
+                        ((7, 5, 4), "rgba")]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for rps in (None, 3):
+            d = decode_tiff(encode_tiff(img, rows_per_strip=rps))
+            assert d["mode"] == mode
+            assert np.array_equal(d["array"].reshape(shape), img)
+
+    # javax referee: reads our (II) bytes pixel-exact
+    h, w = 21, 33
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    payload = encode_tiff(img, rows_per_strip=8)
+    jimg = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(payload)
+    )
+    got = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            v = jimg.getRGB(x, y)
+            got[y, x] = ((v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF)
+    assert np.array_equal(got, img)
+
+    # ...and we read javax's MM (big-endian) output
+    BI = jvm.java.awt.image.BufferedImage
+    bi = BI(w, h, BI.TYPE_INT_RGB)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(v) for v in img[y, x])
+            bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+        "tiff").next()
+    writer.setOutput(ios)
+    writer.write(bi)
+    ios.flush()
+    writer.dispose()
+    java_tiff = bytes(baos.toByteArray())
+    assert java_tiff[:2] == b"MM"
+    d = decode_tiff(java_tiff)
+    assert np.array_equal(d["array"], img)
+
+    # loud failures
+    with pytest.raises(ValueError, match="byte-order"):
+        decode_tiff(b"not a tiff")
+    with pytest.raises(ValueError, match="truncated TIFF"):
+        decode_tiff(encode_tiff(img)[:40])
+    with pytest.raises(ValueError, match="uint8"):
+        encode_tiff(img.astype(np.float32))
+    with pytest.raises(ValueError, match="Compression=1"):
+        bad = bytearray(encode_tiff(img))
+        # flip the Compression tag value (type SHORT, inline) to 5 (LZW)
+        comp_at = bad.find(b"\x03\x01\x03\x00\x01\x00\x00\x00\x01\x00")
+        assert comp_at > 0
+        bad[comp_at + 8] = 5
+        decode_tiff(bytes(bad))
+
+
 def test_media_wav_encoder_roundtrip():
     """encode_wav (r8): float [-1,1] quantizes to the target width and
     round-trips through the stdlib decode path within 1 LSB; int16
