@@ -1882,6 +1882,21 @@ def q_text_bm25_indexed(spark, sf_dir):
     return out.orderBy(F.desc("bm25"), F.asc("doc_id"))
 
 
+def q_text_bm25_incremental(spark, sf_dir):
+    """BM25Index.update (r9): fit on the even half of the corpus, fold
+    in the odd half incrementally — the associative postings/df/
+    length-sum merge must be SCORE-IDENTICAL to a full fit, so the
+    oracle is literally the full-corpus text_bm25 SQL."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.similarity import BM25Index
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = BM25Index().fit(docs.filter(F.col("doc_id") % 2 == 0))
+    idx.update(docs.filter(F.col("doc_id") % 2 == 1))
+    out = idx.search("hash join scan", k=10, rank_decimals=6)
+    return out.orderBy(F.desc("bm25"), F.asc("doc_id"))
+
+
 def q_text_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval (r9): Reciprocal Rank Fusion of the BM25
     lexical top-25 and the exact-cosine dense top-25 (k_rrf=60, the
@@ -3419,6 +3434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_png_roundtrip": q_media_png_roundtrip,
             "media_tiff_roundtrip": q_media_tiff_roundtrip,
             "text_hybrid_rrf": q_text_hybrid_rrf,
+            "text_bm25_incremental": q_text_bm25_incremental,
             "forecast_backtest_naive": q_forecast_backtest_naive,
             "forecast_conformal": q_forecast_conformal,
             "forecast_conformal_linear": q_forecast_conformal_linear,

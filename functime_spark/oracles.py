@@ -5268,6 +5268,10 @@ ORDER BY 1, 2
     # the persisted-index path must be score-identical to the direct
     # computation — same oracle, different Spark plan under test
     o["text_bm25_indexed"] = o["text_bm25"]
+    # ...and so must the incremental path (fit on half, update with
+    # the other half): the merge algebra is associative, so the
+    # full-corpus SQL replay is again the oracle (r9)
+    o["text_bm25_incremental"] = o["text_bm25"]
 
     # --- text_hybrid_rrf (r9): both retrievers replayed, then the
     # Reciprocal Rank Fusion — BM25 top-25 (rounded-score rank) and

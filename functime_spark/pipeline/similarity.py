@@ -839,7 +839,28 @@ class BM25Index:
         self.doc_freq: DataFrame | None = None
         self.n_docs: int = 0
         self.avgdl: float = 0.0
+        self._sum_dl: int = 0
         self._id_col = "doc_id"
+
+    def _batch_postings(self, docs: DataFrame, text_col: str):
+        """(stats_row, postings_df) for one batch of documents — the
+        shared half of fit() and update(). The length sum is kept as
+        an exact INTEGER so incremental avgdl = sum/count is the SAME
+        single division a full refit performs (no averaged averages)."""
+        toks_all = _bm25_tokens(text_col)
+        stats = docs.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.size(toks_all)).alias("__sumdl"),
+        ).first()
+        tf = (
+            docs.select(
+                F.col(self._id_col), F.size(toks_all).alias("__dl"),
+                F.explode(toks_all).alias("token"),
+            )
+            .groupBy(self._id_col, "__dl", "token")
+            .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+        )
+        return stats, tf
 
     def fit(
         self,
@@ -848,26 +869,48 @@ class BM25Index:
         id_col: str = "doc_id",
     ):
         self._id_col = id_col
-        toks_all = _bm25_tokens(text_col)
-        stats = docs.agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.avg(F.size(toks_all)).alias("__avgdl"),
-        ).first()
+        stats, tf = self._batch_postings(docs, text_col)
         self.n_docs = int(stats["__n"])
-        self.avgdl = float(stats["__avgdl"] or 0.0)
-        tf = (
-            docs.select(
-                F.col(id_col), F.size(toks_all).alias("__dl"),
-                F.explode(toks_all).alias("token"),
-            )
-            .groupBy(id_col, "__dl", "token")
-            .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
-        )
+        self._sum_dl = int(stats["__sumdl"] or 0)
+        self.avgdl = self._sum_dl / self.n_docs if self.n_docs else 0.0
         self.postings = materialize(tf)
         self.doc_freq = materialize(
             self.postings.groupBy("token").agg(
                 F.count(F.lit(1)).cast("double").alias("__df")
             )
+        )
+        return self
+
+    def update(self, new_docs: DataFrame, text_col: str = "text"):
+        """Incremental fit (r9): fold a batch of NEW documents into
+        the index without touching the already-indexed corpus — the
+        postings append, the per-token df merge, and the n/length-sum
+        fold are all associative count/sum algebra, so the result is
+        SCORE-IDENTICAL to refitting on the union (avgdl re-derives
+        from the exact merged integer length sum; the
+        `text_bm25_incremental` gate pins this against the full-fit
+        SQL oracle). Caller contract: ids in `new_docs` must not
+        already be indexed (the incremental-dedup convention) —
+        re-sent ids would double-count df and duplicate postings.
+
+        At 100 TB this is the daily-crawl shape: each update costs one
+        tokenize + one (id, token) aggregate over the NEW batch only,
+        plus a df merge proportional to the batch vocabulary."""
+        if self.postings is None:
+            raise RuntimeError("fit the index before updating")
+        stats, tf_new = self._batch_postings(new_docs, text_col)
+        self.n_docs += int(stats["__n"])
+        self._sum_dl += int(stats["__sumdl"] or 0)
+        self.avgdl = self._sum_dl / self.n_docs if self.n_docs else 0.0
+        tf_new = materialize(tf_new)
+        self.postings = self.postings.unionByName(tf_new)
+        df_new = tf_new.groupBy("token").agg(
+            F.count(F.lit(1)).cast("double").alias("__df")
+        )
+        self.doc_freq = materialize(
+            self.doc_freq.unionByName(df_new)
+            .groupBy("token")
+            .agg(F.sum("__df").alias("__df"))
         )
         return self
 
@@ -915,8 +958,10 @@ class BM25Index:
         self.doc_freq.write.mode(mode).parquet(f"{path}/df")
         spark = self.postings.sparkSession
         spark.createDataFrame(
-            [(self.n_docs, self.avgdl, self.k1, self.b, self._id_col)],
-            "n_docs long, avgdl double, k1 double, b double, id_col string",
+            [(self.n_docs, self.avgdl, self._sum_dl, self.k1, self.b,
+              self._id_col)],
+            "n_docs long, avgdl double, sum_dl long, k1 double, "
+            "b double, id_col string",
         ).write.mode(mode).parquet(f"{path}/stats")
 
     @classmethod
@@ -925,6 +970,11 @@ class BM25Index:
         idx = cls(k1=float(row["k1"]), b=float(row["b"]))
         idx.n_docs = int(row["n_docs"])
         idx.avgdl = float(row["avgdl"])
+        # sum_dl keeps update-after-load exact (older saves lack it)
+        idx._sum_dl = int(
+            row["sum_dl"] if "sum_dl" in row.asDict()
+            else round(row["avgdl"] * row["n_docs"])
+        )
         idx._id_col = row["id_col"]
         idx.postings = spark.read.parquet(f"{path}/postings")
         idx.doc_freq = spark.read.parquet(f"{path}/df")

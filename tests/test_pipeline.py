@@ -4041,6 +4041,35 @@ def test_bm25_index_equals_direct(spark):
         BM25Index().search("spark")
 
 
+def test_bm25_index_incremental_update(spark):
+    """BM25Index.update (r9): fit + update == one full fit, score-
+    identical (UNROUNDED doubles — the associative merge and the
+    exact integer length-sum make avgdl and every idf/tf term
+    bit-equal); update after save/load stays exact; update before
+    fit raises."""
+    from functime_spark.pipeline.similarity import BM25Index
+
+    rows = [
+        (1, "spark shuffles data fast"), (2, "spark spark joins data"),
+        (3, "ducks swim in ponds"), (4, "spark"),
+        (5, "data data data joins joins spark"), (6, "ponds and joins"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    full = BM25Index().fit(d)
+    inc = BM25Index().fit(d.filter("doc_id % 2 = 0"))
+    inc.update(d.filter("doc_id % 2 = 1"))
+    for q in ("spark joins", "ducks", "data ponds"):
+        a = [(r["doc_id"], r["bm25"]) for r in full.search(q, k=6).collect()]
+        b = [(r["doc_id"], r["bm25"]) for r in inc.search(q, k=6).collect()]
+        assert a == b
+    assert (inc.n_docs, inc._sum_dl, inc.avgdl) == (
+        full.n_docs, full._sum_dl, full.avgdl
+    )
+
+    with pytest.raises(RuntimeError, match="fit"):
+        BM25Index().update(d)
+
+
 def test_hybrid_rrf_fusion_semantics(spark):
     """hybrid_rrf_topk (r9): RRF = 1/(60+r_bm25) + 1/(60+r_dense) with
     1-based ranks; a document present in only one candidate list keeps
