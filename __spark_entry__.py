@@ -2643,6 +2643,60 @@ def q_media_png_roundtrip(spark, sf_dir):
     return _round_floats(out)
 
 
+def _dhash_media_input(spark, sf_dir, group: bool):
+    """P5 4x4 payloads from md5 arithmetic for the dHash gates:
+    per-doc hash bytes (group=False), or per-group-of-5 hash bytes
+    with the LAST pixel overridden to (doc_id % 5) * 40 (group=True)
+    — group members then share 15 of 16 pixels, so their dHashes
+    differ in at most the two bits that compare against pixel 15."""
+    docs = load_table(spark, sf_dir, "documents")
+    if group:
+        h = F.unhex(F.md5((F.col("doc_id") / 5).cast("long").cast("string")))
+        payload = F.concat(
+            F.lit(b"P5\n4 4\n255\n"),
+            F.substring(h, 1, 15),
+            F.unhex(F.format_string("%02x", (F.col("doc_id") % 5) * 40)),
+        )
+    else:
+        h = F.unhex(F.md5(F.col("doc_id").cast("string")))
+        payload = F.concat(F.lit(b"P5\n4 4\n255\n"), h)
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        payload.alias("payload"),
+        F.lit("{}").alias("meta"),
+    )
+
+
+def q_media_dhash(spark, sf_dir):
+    """Perceptual dHash fingerprints through the REAL Netpbm decode
+    (r9): 4x4 gray payloads from md5 bytes, nearest-neighbor resized
+    to 9x8 ((i*src)//dst index arithmetic), bit(y,x) = g[y][x+1] >
+    g[y][x] packed row-major — the oracle replays every byte compare
+    and the bit weights in SQL."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.multimodal import dhash_media
+
+    media = _dhash_media_input(spark, sf_dir, group=False)
+    return dhash_media(media, decoder="ppm").orderBy("media_id")
+
+
+def q_media_dhash_dedup(spark, sf_dir):
+    """Near-duplicate image pairs via dHash band-bucketing (r9): the
+    group-of-5 payload construction makes same-group images differ in
+    at most 2 hash bits (both in band 3, so bands 0-2 guarantee
+    candidacy); banded join + Hamming <= 4 verify replayed in SQL,
+    bucket caps included."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.multimodal import dhash_near_dups
+
+    media = _dhash_media_input(spark, sf_dir, group=True)
+    out = dhash_near_dups(media, decoder="ppm", max_hamming=4)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("id_a", "id_b")
+
+
 def q_media_tiff_roundtrip(spark, sf_dir):
     """TIFF encode->decode round-trip value-gated (r9): each
     doc_id % 19 builds a 4x5 RGB array c(doc_id, j) =
@@ -3433,6 +3487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_gif_decode": q_media_gif_decode,
             "media_png_roundtrip": q_media_png_roundtrip,
             "media_tiff_roundtrip": q_media_tiff_roundtrip,
+            "media_dhash": q_media_dhash,
+            "media_dhash_dedup": q_media_dhash_dedup,
             "text_hybrid_rrf": q_text_hybrid_rrf,
             "text_bm25_incremental": q_text_bm25_incremental,
             "forecast_backtest_naive": q_forecast_backtest_naive,

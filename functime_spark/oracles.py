@@ -1312,6 +1312,57 @@ def operator_oracles() -> dict:
         + " AS v FROM documents, range(0, 60) t(j) "
         "WHERE doc_id % 19 = 0 ORDER BY media_id, j"
     )
+
+    # media_dhash / media_dhash_dedup (r9): the perceptual dHash
+    # replayed BYTE-COMPARE BY BYTE-COMPARE — the 4x4 source resizes
+    # to 9x8 with src = min((i*4)//dst, 3), so each of the 64 bits
+    # compares two CONCRETE md5-byte indexes (computed here at
+    # SQL-generation time); bits whose two indexes coincide are
+    # constant 0 and drop out. Packing weight 2^(y*8+x) (idx 63 would
+    # be two's-complement negative, but its indexes coincide for a
+    # 4x4 source).
+    def _dhash_terms(pbyte) -> str:
+        terms = []
+        for y in range(8):
+            for x in range(8):
+                jl = 4 * (y // 2) + min((4 * x) // 9, 3)
+                jr = 4 * (y // 2) + min((4 * (x + 1)) // 9, 3)
+                if jl == jr:
+                    continue
+                idx = y * 8 + x
+                w = -(2**63) if idx == 63 else 2**idx
+                terms.append(
+                    f"CASE WHEN {pbyte(jr)} > {pbyte(jl)} "
+                    f"THEN CAST({w} AS BIGINT) ELSE 0 END"
+                )
+        return " + ".join(terms)
+
+    _pb = lambda j: _md5_byte.format(i=j + 1)  # noqa: E731
+    _pb_group = (  # last pixel overridden to (doc_id % 5) * 40
+        lambda j: "((doc_id % 5) * 40)" if j == 15 else _md5_byte.format(i=j + 1)
+    )
+    o["media_dhash"] = (
+        "WITH m AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h "
+        "FROM documents) "
+        f"SELECT doc_id AS media_id, ({_dhash_terms(_pb)}) AS phash "
+        "FROM m ORDER BY media_id"
+    )
+    o["media_dhash_dedup"] = (
+        "WITH m AS (SELECT doc_id, md5(CAST(doc_id // 5 AS VARCHAR)) AS h "
+        "FROM documents), "
+        f"sig AS (SELECT doc_id, ({_dhash_terms(_pb_group)}) AS phash FROM m), "
+        "banded AS (SELECT doc_id, phash, t.band, "
+        "(phash >> (t.band * 16)) & 65535 AS band_val "
+        "FROM sig, (SELECT unnest(range(0, 4)) AS band) t), "
+        "capped AS (SELECT * FROM (SELECT *, COUNT(*) OVER "
+        "(PARTITION BY band, band_val) AS bsz FROM banded) WHERE bsz <= 512), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming "
+        "FROM capped a JOIN capped b ON a.band = b.band "
+        "AND a.band_val = b.band_val AND a.doc_id < b.doc_id) "
+        "SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 4 "
+        "ORDER BY id_a, id_b"
+    )
     # media_audio: the time-domain audio features replayed from the
     # SAME integer PCM formula the Spark query packs into real WAV
     # bytes — duration = n/rate exactly, rms over v/32768, zcr as the

@@ -825,6 +825,126 @@ def extract_features_media(
     return media.mapInPandas(run, schema=schema)
 
 
+def dhash_media(
+    media: DataFrame, decoder="ppm", hash_size: int = 8
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) fingerprints (r9): the
+    standard near-duplicate IMAGE signature (decode -> luminance ->
+    nearest-neighbor resize to (hash_size+1) x hash_size -> bit(y,x) =
+    g[y][x+1] > g[y][x], packed row-major into a signed 64-bit long
+    for hash_size=8). Luminance is the CHANNEL SUM — rank-equivalent
+    to the mean and integer-exact, so the whole hash is replayable in
+    SQL for deterministic payloads. Resize uses the resize_ppm index
+    arithmetic (src = min((i * src_dim) // dst_dim, src_dim - 1)).
+
+    Returns (media_id, phash long). One mapInPandas pass, no shuffle —
+    the 100 TB shape is 'hash where the bytes are', with the pair
+    search a separate banded join (dhash_near_dups)."""
+    if hash_size * (hash_size + 1) > 72 or hash_size < 2:
+        raise ValueError("hash_size must be in [2, 8] (64-bit packing)")
+    fn = _resolve_decoder(decoder)
+    if fn is None:
+        raise ValueError(
+            "dhash_media needs a real decoder (the 'fake' stub has no "
+            "pixels to hash)"
+        )
+    W, H = hash_size + 1, hash_size
+
+    def one(payload: bytes) -> int:
+        arr = np.asarray(fn(bytes(payload))["array"])
+        if arr.ndim == 3:
+            arr = arr.astype(np.int64).sum(axis=2)
+        else:
+            arr = arr.astype(np.int64)
+        h, w = arr.shape
+        rows = np.minimum((np.arange(H) * h) // H, h - 1)
+        cols = np.minimum((np.arange(W) * w) // W, w - 1)
+        g = arr[rows][:, cols]
+        bits = (g[:, 1:] > g[:, :-1]).ravel()
+        val = 0
+        for i in range(len(bits)):
+            if bits[i]:
+                val |= 1 << i
+        return val - (1 << 64) if val >= (1 << 63) else val
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": [one(p) for p in pdf["payload"]],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("phash", LongType()),
+        ]
+    )
+    return media.mapInPandas(run, schema=schema)
+
+
+def dhash_near_dups(
+    media: DataFrame,
+    decoder="ppm",
+    hash_size: int = 8,
+    max_hamming: int = 6,
+    band_bits: int = 16,
+    max_bucket_size: int = 512,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs (r9): dHash fingerprints -> 16-bit
+    band buckets -> exact Hamming verify <= max_hamming — the
+    simhash_near_dups recipe pointed at pixels instead of tokens (the
+    scraped-corpus shape: re-encoded/resized copies keep their dHash
+    within a few bits). Buckets past `max_bucket_size` drop (the
+    _cap_buckets wall). Returns (id_a, id_b, hamming)."""
+    from functime_spark.pipeline.dedup import _cap_buckets
+
+    sigs = dhash_media(media, decoder=decoder, hash_size=hash_size)
+    # n_media rows of (id, long) — pin so the decode+hash pass runs
+    # once, not once per self-join side
+    from functime_spark.materialize import materialize
+
+    sigs = materialize(sigs)
+    n_bands = 64 // band_bits
+    banded = sigs.select(
+        "media_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("phash", i * band_bits).bitwiseAND(
+                        F.lit((1 << band_bits) - 1)
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    banded = _cap_buckets(banded, ["band", "band_val"], max_bucket_size)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame sampling stub: emits (media_id, frame_idx) rows for
     frames 0, n, 2n... based on metadata frame counts (payload decode

@@ -3927,6 +3927,67 @@ def test_media_tiff_codec_roundtrip_and_javax(spark):
         decode_tiff(bytes(bad))
 
 
+def test_media_dhash_near_dup_discrimination(spark):
+    """dHash (r9) on REALISTIC textured images: a slightly-perturbed
+    copy (small noise on a smooth gradient+texture image) keeps its
+    dHash within a few bits of the original while independent random
+    images stay far apart — dhash_near_dups finds exactly the planted
+    copies and no false pairs; hash invariance under nearest-neighbor
+    upscale (the property that makes it a RESIZE-robust near-dup key)
+    also holds."""
+    import numpy as np
+
+    from functime_spark.pipeline.multimodal import (
+        dhash_media,
+        dhash_near_dups,
+        resize_ppm,
+    )
+
+    rng = np.random.default_rng(21)
+
+    def ppm(arr):
+        h, w = arr.shape
+        return b"P5\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+    rows = []
+    n_base = 12
+    for i in range(n_base):
+        # independent random textures: adjacent-pixel differences are
+        # large, so the +/-2 perturbation below flips almost no
+        # compares while unrelated images differ in ~half the bits
+        base = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+        rows.append((i, "image", bytearray(ppm(base)), "{}"))
+        if i < 4:  # plant a near-dup: tiny additive noise
+            pert = (base.astype(np.int16) + rng.integers(-2, 3, (32, 32))).clip(
+                0, 255
+            ).astype(np.uint8)
+            rows.append((100 + i, "image", bytearray(ppm(pert)), "{}"))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta string"
+    )
+    pairs = dhash_near_dups(media, decoder="ppm", max_hamming=8).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert found == {(i, 100 + i) for i in range(4)}
+
+    # resize robustness: nearest-neighbor 2x upscale preserves the hash
+    one = ppm(
+        (np.mgrid[0:32, 0:32][1] * 3 + rng.integers(0, 40, (32, 32)))
+        .clip(0, 255).astype(np.uint8)
+    )
+    both = spark.createDataFrame(
+        [(1, "image", bytearray(one), "{}"),
+         (2, "image", bytearray(resize_ppm(one, 64, 64)), "{}")],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    hs = {r["media_id"]: r["phash"] for r in dhash_media(both).collect()}
+    assert bin(hs[1] ^ hs[2]).count("1") <= 2
+
+    with pytest.raises(ValueError, match="real decoder"):
+        dhash_media(media, decoder="fake")
+    with pytest.raises(ValueError, match="hash_size"):
+        dhash_media(media, hash_size=12)
+
+
 def test_media_wav_encoder_roundtrip():
     """encode_wav (r8): float [-1,1] quantizes to the target width and
     round-trips through the stdlib decode path within 1 LSB; int16
