@@ -3515,78 +3515,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if name in _SKIP_FEATURES:
             continue
         q[f"feat_{name}"] = _feature_query(name)
-    # Round-8 window rotation: the driver's correctness gate truncates
-    # at ~50 queries; the r1-r7 window union covers ALL gate queries
+    # Round-9 window rotation: the driver's correctness gate truncates
+    # at ~50 queries; the r1-r8 window union covers ALL gate queries
     # (every one value-hashed), so the standing discipline is
     # (a) front everything NEW or whose implementation/oracle CHANGED
-    # this round -- the spectral-centroid gate, the skewness/kurtosis
-    # extractors, the bounded-default percentile family (gates pin the
-    # exact modes their oracles replay), the TH/MY calendar extension +
-    # PH pre-2007 rule, and the audio tier's sibling gate -- then
+    # this round -- the five new media gates (GIF/PNG/TIFF codecs,
+    # dHash fingerprints + near-dup pairs), hybrid RRF retrieval, the
+    # incremental BM25 index (and the indexed path, whose BM25Index
+    # internals changed: integer length-sum avgdl), and the holiday
+    # oracle now covering ALL 49 vendored calendars -- then
     # (b) re-cycle previously-green queries OLDEST-VERIFICATION-FIRST
-    # from the CORRECTNESS_r0*.json union. Cohort ages going into r8:
-    # 21 queries were last verified in r2 (feat_udf_fft..text_token_
-    # counts below), 31 in r3 (the first 21 of which fill the window),
-    # everything else r4+; the r7 window retired the whole r1 cohort
-    # and the front of r2.
+    # from the CORRECTNESS_r0*.json union. Cohort ages going into r9:
+    # 14 queries were last verified in r3 (preproc_deseasonalize..
+    # text_url_stats below), 43 in r4 (the first 27 of which fill the
+    # window), everything else r5+; the r8 window retired the rest of
+    # the r2 cohort and the front of r3.
     never_verified_first = [
-        # (a) new or changed in round 8
-        "media_audio_spectral",  # NEW: FFT-tier spectral family, DFT replay
-        "media_audio_mfcc",  # NEW: the 13 MFCCs, filterbank from formula
-        "text_bm25",  # NEW: Okapi BM25 retrieval, replayed in SQL
-        "text_bm25_indexed",  # NEW: the persisted-postings query path
-        "feat_skewness",  # NEW: population g1 (registry now truly 56)
-        "feat_kurtosis",  # NEW: population excess g2
-        "text_quality_tiers",  # default flipped to GK sketch; exact pinned
-        "corpus_quantiles",  # default flipped to approx; exact pinned
-        "corpus_clean_attrition",  # exact_tiers pinned through clean_corpus
-        "future_holidays",  # +TH/MY calendars; PH pre-2007 heroes-day rule
-        "media_audio",  # audio tier sibling of the new spectral gate
+        # (a) new or changed in round 9
+        "media_gif_decode",  # NEW: encode_gif -> registered decode seam
+        "media_png_roundtrip",  # NEW: encode_png -> decode, pixel replay
+        "media_tiff_roundtrip",  # NEW: baseline TIFF codec both ways
+        "media_dhash",  # NEW: perceptual dHash, 64 byte-compares replayed
+        "media_dhash_dedup",  # NEW: banded image near-dup pairs
+        "text_hybrid_rrf",  # NEW: BM25+dense Reciprocal Rank Fusion
+        "text_bm25_incremental",  # NEW: BM25Index.update associative merge
+        "text_bm25_indexed",  # BM25Index internals changed (sum_dl avgdl)
+        "future_holidays",  # oracle extended 25 -> 49 vendored calendars
         # (b) window slack: oldest external verification first --
-        # the remainder of the r2 cohort (last verified round 2)...
-        "feat_udf_fft",
-        "feat_udf_welch",
-        "fourier_terms",
-        "future_calendar",
-        "metrics_crps",
-        "metrics_interval",
-        "preproc_detrend",
-        "preproc_diff",
-        "preproc_fractional_diff",
-        "preproc_lag",
-        "preproc_log1p",
-        "preproc_one_hot",
-        "preproc_resample_1d",
-        "preproc_scale",
-        "preproc_time_to_arange",
-        "preproc_trim",
-        "text_fingerprint",
-        "text_language_id",
-        "text_quality",
-        "text_stats",
-        "text_token_counts",
-        # ...then the front of the r3 cohort (last verified round 3)
-        "ann_pq_adc",
-        "ann_sq8_topk",
-        "anomaly_zscore",
-        "corpus_chunks",
-        "corpus_mix_weights",
-        "cusum_events",
-        "dedup_lines",
-        "dedup_lines_keepfirst",
-        "dedup_minhash_incr",
-        "dedup_spans",
-        "dedup_url",
-        "embedding_stats",
-        "eval_rank_residuals",
-        "feat_udf_ar4",
-        "feat_udf_cwt",
-        "feat_udf_friedrich",
-        "feat_udf_lempel_ziv",
-        "preproc_boxcox_lambdas",
+        # the remainder of the r3 cohort (last verified round 3)...
         "preproc_deseasonalize",
         "preproc_roll",
         "preproc_roll_freq",
+        "preproc_yeojohnson_lambdas",
+        "text_c4",
+        "text_classifier",
+        "text_decontaminate",
+        "text_gopher",
+        "text_ngram_repetition",
+        "text_normalize",
+        "text_pii",
+        "text_scripts",
+        "text_tfidf_topk",
+        "text_url_stats",
+        # ...then the front of the r4 cohort (last verified round 4)
+        "conversion_roundtrip",
+        "corpus_pack_shuffled",
+        "corpus_sample_per_group",
+        "corpus_shard_texts",
+        "corpus_split",
+        "corpus_stats",
+        "corpus_stats_rollup",
+        "corpus_temperature_mix",
+        "dedup_cluster_sizes",
+        "dedup_exact_incr",
+        "domain_stats",
+        "embedding_decontaminate",
+        "embedding_kmeans",
+        "eval_acf",
+        "eval_ljung_box",
+        "eval_normality",
+        "eval_rank_fva",
+        "feat_longest_losing_streak",
+        "feat_longest_streak_below",
+        "feat_longest_winning_streak",
+        "feat_streak_length_stats",
+        "join_asof",
+        "join_asof_nearest",
+        "join_interval",
+        "m4_smape",
+        "preproc_clip",
+        "preproc_detrend_roundtrip",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}
