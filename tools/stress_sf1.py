@@ -11,7 +11,10 @@ the PUBLIC API end-to-end:
   4. elite fit+predict        (backtest x bank x blend)
   5. curate_media (real Netpbm decode) + WebDataset write/read with
      byte-content invariants (r8)
-  6. pack_shards(shuffle=True) on the cleaned corpus
+  6. BM25 retrieval three ways (direct / persisted index /
+     fit-half+update-half incremental) with an exact score-identity
+     invariant, plus hybrid RRF range checks (r9)
+  7. pack_shards(shuffle=True) on the cleaned corpus
 
 Data is generated ONCE under .stress/sf1 (gitignored) by replicating
 the read-only /root/testdata/sf0.1 tables 10x with deterministic key
@@ -289,6 +292,44 @@ def main() -> None:
             "roundtrip_rows": int(rt["n"]),
         }
 
+    def run_retrieval():
+        # r9: the retrieval tier under stress with an EXACT three-way
+        # identity invariant — direct bm25_topk == BM25Index.search ==
+        # fit-half+update-half incremental search, on the rounded
+        # (score, id) ranking — i.e. the associative-merge claim held
+        # at replica scale, where partial-aggregation order differs
+        # from the sf0.01 gate. Hybrid RRF must return a full top-10
+        # with every fused score in (0, 2/61].
+        from functime_spark.pipeline.similarity import (
+            BM25Index,
+            bm25_topk,
+            hybrid_rrf_topk,
+        )
+
+        q = "hash join scan"
+        key = lambda rows: [(r["doc_id"], r["bm25"]) for r in rows]  # noqa: E731
+        direct = bm25_topk(docs, q, k=10, rank_decimals=6).collect()
+        indexed = BM25Index().fit(docs).search(
+            q, k=10, rank_decimals=6
+        ).collect()
+        half = BM25Index().fit(docs.filter(F.col("doc_id") % 2 == 0))
+        half.update(docs.filter(F.col("doc_id") % 2 == 1))
+        inc = half.search(q, k=10, rank_decimals=6).collect()
+        assert key(direct) == key(indexed) == key(inc)
+        emb = load_table(spark, sf, "embeddings")
+        qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        fused = hybrid_rrf_topk(
+            docs, emb.filter(F.col("vec_id") != 0), q, list(qvec),
+            k=10, n_candidates=50, rank_decimals=6,
+        ).collect()
+        assert len(fused) == 10
+        assert all(0.0 < r["rrf"] <= 2.0 / 61.0 + 1e-12 for r in fused)
+        return {
+            "top1_bm25": float(direct[0]["bm25"]),
+            "top10_bm25": float(direct[-1]["bm25"]),
+            "hybrid_rows": len(fused),
+        }
+
     def run_pack():
         from functime_spark.pipeline.packing import pack_shards
 
@@ -306,6 +347,7 @@ def main() -> None:
     stage("knn_forecast", run_knn)
     stage("ann_forecast", run_ann)
     stage("media_curate_wds", run_media)
+    stage("retrieval_bm25_hybrid", run_retrieval)
     stage("pack_shards_shuffled", run_pack)
     out["total_sec"] = round(sum(s["sec"] for s in out["stages"].values()), 2)
     print(json.dumps(out))
