@@ -1882,6 +1882,30 @@ def q_text_bm25_indexed(spark, sf_dir):
     return out.orderBy(F.desc("bm25"), F.asc("doc_id"))
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """Damped PageRank (r9, beyond-reference): a deterministic
+    synthetic link graph (two out-edges per doc, dst = (id*7+1) % n
+    and (id*13+5) % n) run through 10 fixed power iterations with
+    textbook dangling-mass redistribution — every iteration's
+    contribution join, dangling scalar, and teleport floor replayed
+    in SQL as 10 unrolled CTE triples."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 1) % n).alias("dst"),
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 13 + 5) % n).alias("dst"),
+    )
+    out = pagerank(e1.union(e2), n_iter=10)
+    return _round_floats(out).orderBy("node")
+
+
 def q_text_bm25_incremental(spark, sf_dir):
     """BM25Index.update (r9): fit on the even half of the corpus, fold
     in the odd half incrementally — the associative postings/df/
@@ -3491,6 +3515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_dhash_dedup": q_media_dhash_dedup,
             "text_hybrid_rrf": q_text_hybrid_rrf,
             "text_bm25_incremental": q_text_bm25_incremental,
+            "graph_pagerank": q_graph_pagerank,
             "forecast_backtest_naive": q_forecast_backtest_naive,
             "forecast_conformal": q_forecast_conformal,
             "forecast_conformal_linear": q_forecast_conformal_linear,

@@ -5324,6 +5324,50 @@ ORDER BY 1, 2
     # full-corpus SQL replay is again the oracle (r9)
     o["text_bm25_incremental"] = o["text_bm25"]
 
+    # --- graph_pagerank (r9): 10 power iterations UNROLLED — per
+    # iteration one dangling-mass scalar (rank on nodes with no
+    # out-edges), one contribution aggregate (rank/outdeg summed per
+    # dst), and the teleport+damping recombination, exactly the
+    # relational Pregel step pagerank() runs. (1 - 0.85) and every
+    # division happen in the same IEEE order as the Spark side; the
+    # damping contraction keeps 10-iteration float drift far below
+    # the 6-decimal round.
+    _pr_ctes = [
+        "nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents)",
+        "e AS MATERIALIZED (SELECT doc_id AS src, (doc_id*7 + 1) % nd.c AS dst "
+        "FROM documents, nd "
+        "UNION ALL SELECT doc_id, (doc_id*13 + 5) % nd.c "
+        "FROM documents, nd)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS dg "
+        "FROM e GROUP BY src)",
+        "r0 AS (SELECT node, 1.0/nn.n AS rank FROM nodes, nn)",
+    ]
+    for _k in range(1, 11):
+        _pr_ctes.append(
+            f"d{_k} AS (SELECT COALESCE(SUM(rank), 0.0) AS dm "
+            f"FROM r{_k-1} r LEFT JOIN deg ON r.node = deg.src "
+            "WHERE deg.src IS NULL)"
+        )
+        _pr_ctes.append(
+            f"c{_k} AS (SELECT e.dst, SUM(r.rank / deg.dg) AS c "
+            f"FROM e JOIN r{_k-1} r ON e.src = r.node "
+            "JOIN deg ON e.src = deg.src GROUP BY e.dst)"
+        )
+        _pr_ctes.append(
+            f"r{_k} AS MATERIALIZED (SELECT nodes.node, "
+            "(1.0 - 0.85)/nn.n + 0.85 * "
+            f"(COALESCE(c{_k}.c, 0.0) + d{_k}.dm/nn.n) AS rank "
+            f"FROM nodes CROSS JOIN nn CROSS JOIN d{_k} "
+            f"LEFT JOIN c{_k} ON nodes.node = c{_k}.dst)"
+        )
+    o["graph_pagerank"] = (
+        "WITH " + ", ".join(_pr_ctes)
+        + f" SELECT node, {_r('rank')} AS rank FROM r10 ORDER BY node"
+    )
+
     # --- text_hybrid_rrf (r9): both retrievers replayed, then the
     # Reciprocal Rank Fusion — BM25 top-25 (rounded-score rank) and
     # dense cosine top-25 (raw-cosine cut like ann_cosine_topk, then

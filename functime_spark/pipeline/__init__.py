@@ -15,6 +15,7 @@ from functime_spark.pipeline import (  # noqa: F401
     clean,
     decontaminate,
     dedup,
+    graph,
     jpeg,
     lm,
     mjpeg,

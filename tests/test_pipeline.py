@@ -4102,6 +4102,54 @@ def test_bm25_index_equals_direct(spark):
         BM25Index().search("spark")
 
 
+def test_graph_pagerank_vs_numpy(spark):
+    """pagerank (r9): a 3-cycle is exactly uniform (1/3 each, any
+    damping); an asymmetric graph with a dangling node matches a
+    numpy power iteration with uniform dangling redistribution to
+    1e-12; rank mass sums to 1 every time; bad params raise."""
+    import numpy as np
+
+    from functime_spark.pipeline.graph import domain_authority, pagerank
+
+    cyc = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    r = {x["node"]: x["rank"] for x in pagerank(cyc, n_iter=7).collect()}
+    assert all(abs(v - 1 / 3) < 1e-12 for v in r.values())
+
+    # star-with-dangling: 0->1, 0->2, 1->2, 3->0; node 2 is dangling
+    edges = [(0, 1), (0, 2), (1, 2), (3, 0)]
+    g = spark.createDataFrame(edges, "src long, dst long")
+    got = {x["node"]: x["rank"] for x in pagerank(g, n_iter=10).collect()}
+
+    n, d = 4, 0.85
+    out = {0: [1, 2], 1: [2], 3: [0]}
+    rank = {v: 1 / n for v in range(n)}
+    for _ in range(10):
+        dm = sum(rank[v] for v in range(n) if v not in out)
+        nxt = {v: (1 - d) / n + d * dm / n for v in range(n)}
+        for u, vs in out.items():
+            for v in vs:
+                nxt[v] += d * rank[u] / len(vs)
+        rank = nxt
+    assert got.keys() == rank.keys()
+    for v in rank:
+        assert abs(got[v] - rank[v]) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    docs = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (9, "no-graph-row")], "doc_id long, text string"
+    )
+    da = {x["doc_id"]: x["rank"] for x in domain_authority(docs, g).collect()}
+    assert abs(da[0] - rank[0]) < 1e-12
+    assert abs(da[9] - (1 - d) / n) < 1e-12  # teleport floor
+
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank(g, n_iter=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(g, damping=1.5)
+
+
 def test_bm25_index_incremental_update(spark):
     """BM25Index.update (r9): fit + update == one full fit, score-
     identical (UNROUNDED doubles — the associative merge and the
