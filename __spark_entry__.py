@@ -1882,6 +1882,24 @@ def q_text_bm25_indexed(spark, sf_dir):
     return out.orderBy(F.desc("bm25"), F.asc("doc_id"))
 
 
+def q_retrieval_mmr(spark, sf_dir):
+    """MMR diversification re-rank (r9): cosine top-20 shortlist,
+    8 greedy picks at lam=0.7 — every step's penalty (max cosine to
+    the already-selected set), argmax, and tiebreak replayed as
+    unrolled MATERIALIZED CTE steps in SQL."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.similarity import cosine_topk, mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cand = cosine_topk(corpus, list(qvec), k=20)
+    out = mmr_rerank(
+        cand, corpus, k=8, lam=0.7, id_col="vec_id", score_col="cosine"
+    )
+    return _round_floats(out).orderBy("mmr_rank")
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Damped PageRank (r9, beyond-reference): a deterministic
     synthetic link graph (two out-edges per doc, dst = (id*7+1) % n
@@ -3516,6 +3534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_hybrid_rrf": q_text_hybrid_rrf,
             "text_bm25_incremental": q_text_bm25_incremental,
             "graph_pagerank": q_graph_pagerank,
+            "retrieval_mmr": q_retrieval_mmr,
             "forecast_backtest_naive": q_forecast_backtest_naive,
             "forecast_conformal": q_forecast_conformal,
             "forecast_conformal_linear": q_forecast_conformal_linear,

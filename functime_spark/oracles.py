@@ -5368,6 +5368,50 @@ ORDER BY 1, 2
         + f" SELECT node, {_r('rank')} AS rank FROM r10 ORDER BY node"
     )
 
+    # --- retrieval_mmr (r9): the greedy Maximal-Marginal-Relevance
+    # loop unrolled — 8 steps, each one a penalty aggregate (max
+    # cosine to the selected set) + an argmax with id tiebreak, over
+    # the MATERIALIZED cosine top-20 shortlist. (1.0 - 0.7) is written
+    # as the expression so both engines use the same IEEE constant.
+    _mmr_ctes = [
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings "
+        "WHERE vec_id = 0)",
+        "cand AS MATERIALIZED (SELECT vec_id AS id, "
+        "list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) AS score, "
+        "CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings, q WHERE vec_id != 0 "
+        "ORDER BY score DESC, vec_id LIMIT 20)",
+        "s1 AS MATERIALIZED (SELECT 1 AS r, id, score, 0.7 * score AS mmr, v "
+        "FROM cand ORDER BY mmr DESC, id LIMIT 1)",
+        "sel1 AS MATERIALIZED (SELECT id, v FROM s1)",
+    ]
+    for _k in range(2, 9):
+        _mmr_ctes.append(
+            f"m{_k} AS MATERIALIZED (SELECT c.id, c.score, c.v, "
+            "0.7 * c.score - (1.0 - 0.7) * "
+            "MAX(list_cosine_similarity(c.v, s.v)) AS mmr "
+            f"FROM cand c, sel{_k-1} s "
+            f"WHERE c.id NOT IN (SELECT id FROM sel{_k-1}) "
+            "GROUP BY c.id, c.score, c.v)"
+        )
+        _mmr_ctes.append(
+            f"s{_k} AS MATERIALIZED (SELECT {_k} AS r, id, score, mmr, v "
+            f"FROM m{_k} ORDER BY mmr DESC, id LIMIT 1)"
+        )
+        _mmr_ctes.append(
+            f"sel{_k} AS MATERIALIZED (SELECT id, v FROM sel{_k-1} "
+            f"UNION ALL SELECT id, v FROM s{_k})"
+        )
+    o["retrieval_mmr"] = (
+        "WITH " + ", ".join(_mmr_ctes)
+        + " SELECT CAST(r AS INT) AS mmr_rank, id, "
+        + _r("score") + " AS score, " + _r("mmr") + " AS mmr FROM ("
+        + " UNION ALL ".join(
+            f"SELECT r, id, score, mmr FROM s{_k}" for _k in range(1, 9)
+        )
+        + ") ORDER BY mmr_rank"
+    )
+
     # --- text_hybrid_rrf (r9): both retrievers replayed, then the
     # Reciprocal Rank Fusion — BM25 top-25 (rounded-score rank) and
     # dense cosine top-25 (raw-cosine cut like ann_cosine_topk, then

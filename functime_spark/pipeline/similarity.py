@@ -820,6 +820,76 @@ def hybrid_rrf_topk(
     return fused.orderBy(F.desc("rrf"), F.asc("id")).limit(k)
 
 
+def mmr_rerank(
+    candidates: DataFrame,
+    emb: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "id",
+    score_col: str = "score",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (r9, Carbonell/Goldstein
+    SIGIR'98): greedily pick k candidates maximizing
+    lam * rel(d) - (1 - lam) * max over selected s of cos(d, s)
+    (first pick: lam * rel — the empty-set penalty is 0). The standard
+    diversification pass over a retrieval shortlist — redundant
+    near-identical hits stop crowding the top-k.
+
+    Scale shape: `candidates` is an ALREADY-CUT shortlist (a
+    bm25/cosine/hybrid top-n — bounded by construction), so each of
+    the k greedy steps is one TakeOrdered(1) over <= n rows with the
+    selected vectors riding as LITERAL expressions (no join, no
+    shuffle); the k picked rows come back as driver scalars the same
+    way pagerank pulls its dangling mass. Ties break by id. Returns
+    (mmr_rank, id, score, mmr) — k rows."""
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError("lam must be in [0, 1]")
+    rows = materialize(
+        candidates.select(
+            F.col(id_col).alias("id"), F.col(score_col).alias("score")
+        ).join(
+            emb.select(
+                F.col(vec_id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("__v"),
+            ),
+            on="id",
+        )
+    )
+    spark = rows.sparkSession
+    picked = []  # (rank, id, score, mmr, vec)
+    for step in range(k):
+        rem = rows
+        if picked:
+            rem = rem.filter(~F.col("id").isin([p[1] for p in picked]))
+        v = F.col("__v")
+        if picked:
+            sims = []
+            for _, _, _, _, pv in picked:
+                q = F.array(*[F.lit(float(x)) for x in pv])
+                sims.append(_dot(v, q) / (_norm(v) * _norm(q)))
+            penalty = F.greatest(*sims) if len(sims) > 1 else sims[0]
+            mmr = F.lit(lam) * F.col("score") - F.lit(1.0 - lam) * penalty
+        else:
+            mmr = F.lit(lam) * F.col("score")
+        top = (
+            rem.select("id", "score", "__v", mmr.alias("mmr"))
+            .orderBy(F.desc("mmr"), F.asc("id"))
+            .first()
+        )
+        if top is None:
+            break
+        picked.append(
+            (step + 1, top["id"], float(top["score"]), float(top["mmr"]),
+             list(top["__v"]))
+        )
+    return spark.createDataFrame(
+        [(r, i, s, m) for r, i, s, m, _ in picked],
+        "mmr_rank int, id long, score double, mmr double",
+    )
+
+
 class BM25Index:
     """The repeated-query shape of `bm25_topk`: ONE corpus pass builds
     the persisted artifacts — the full postings table (id, token, tf,

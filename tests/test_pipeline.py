@@ -4102,6 +4102,45 @@ def test_bm25_index_equals_direct(spark):
         BM25Index().search("spark")
 
 
+def test_mmr_rerank_diversifies(spark):
+    """mmr_rerank (r9): an exact duplicate of the top hit (cosine 1.0
+    to it) is demoted below a less-relevant but novel candidate; with
+    lam=1.0 MMR degrades to pure relevance order; lam out of range
+    raises."""
+    from functime_spark.pipeline.similarity import mmr_rerank
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),   # top hit
+            (2, [1.0, 0.0, 0.0]),   # exact duplicate of 1
+            (3, [0.0, 1.0, 0.0]),   # novel direction
+            (4, [0.0, 0.0, 1.0]),   # another novel direction
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cand = spark.createDataFrame(
+        [(1, 0.99), (2, 0.98), (3, 0.60), (4, 0.50)],
+        "vec_id long, cosine double",
+    )
+    out = mmr_rerank(
+        cand, emb, k=4, lam=0.7, id_col="vec_id", score_col="cosine"
+    ).collect()
+    order = [r["id"] for r in out]
+    # duplicate 2 (penalty 1.0 vs selected 1: mmr 0.7*0.98 - 0.3 =
+    # 0.386) sinks below novel 3 (0.7*0.60 = 0.42) despite its higher
+    # relevance, but still beats the weak novel 4 (0.7*0.50 = 0.35)
+    assert order == [1, 3, 2, 4]
+    assert [r["mmr_rank"] for r in out] == [1, 2, 3, 4]
+    assert abs(out[0]["mmr"] - 0.7 * 0.99) < 1e-12
+    # lam=1.0: pure relevance
+    pure = mmr_rerank(
+        cand, emb, k=4, lam=1.0, id_col="vec_id", score_col="cosine"
+    ).collect()
+    assert [r["id"] for r in pure] == [1, 2, 3, 4]
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(cand, emb, lam=1.5, id_col="vec_id", score_col="cosine")
+
+
 def test_graph_pagerank_vs_numpy(spark):
     """pagerank (r9): a 3-cycle is exactly uniform (1/3 each, any
     damping); an asymmetric graph with a dangling node matches a
