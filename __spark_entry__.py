@@ -3584,6 +3584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hybrid_rrf",  # NEW: BM25+dense Reciprocal Rank Fusion
         "text_bm25_incremental",  # NEW: BM25Index.update associative merge
         "text_bm25_indexed",  # BM25Index internals changed (sum_dl avgdl)
+        "graph_pagerank",  # NEW: damped power iterations, CTE replay
+        "retrieval_mmr",  # NEW: greedy MMR diversification, CTE replay
         "future_holidays",  # oracle extended 25 -> 49 vendored calendars
         # (b) window slack: oldest external verification first --
         # the remainder of the r3 cohort (last verified round 3)...
@@ -3627,8 +3629,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_asof_nearest",
         "join_interval",
         "m4_smape",
-        "preproc_clip",
-        "preproc_detrend_roundtrip",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}
