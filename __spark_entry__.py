@@ -915,6 +915,23 @@ def q_stream_minhash(spark, sf_dir):
     )
 
 
+def q_stream_dhash(spark, sf_dir):
+    """The streaming image near-dup operator executed in batch mode
+    (r9): deduped (id_a, id_b, hamming) pairs over the group-payload
+    construction must equal the batch dhash_near_dups pipeline's, so
+    the media_dhash_dedup oracle replays it directly."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.streaming import stream_dhash_dedup
+
+    media = _dhash_media_input(spark, sf_dir, group=True)
+    out = stream_dhash_dedup(media, decoder="ppm", max_hamming=4)
+    return (
+        out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (F.session_window, batch/stream
     symmetric): 6h-gap sessions over the events panel, replayed in
@@ -3406,6 +3423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stream_sliding_stats": q_stream_sliding_stats,
             "sessionize": q_sessionize,
             "stream_minhash": q_stream_minhash,
+            "stream_dhash": q_stream_dhash,
             "future_calendar": q_future_calendar,
             "future_holidays": q_future_holidays,
             "forecast_zero_inflated": q_forecast_zero_inflated,

@@ -1602,6 +1602,9 @@ def operator_oracles() -> dict:
     # stream_minhash (batch-mode run of the streaming twin) surfaces
     # the identical distinct pair set
     o["stream_minhash"] = o["dedup_minhash"]
+    # streaming dHash twin: batch-mode deduped pairs == the batch
+    # banded image near-dup replay (r9)
+    o["stream_dhash"] = o["media_dhash_dedup"]
 
     # dedup_cluster: connected components over the minhash pair graph —
     # the Spark side runs alternating large-star/small-star; the oracle

@@ -11,6 +11,7 @@ static DataFrame and on a readStream DataFrame).
 from functime_spark.streaming.ops import (  # noqa: F401
     sessionize,
     stream_cusum,
+    stream_dhash_dedup,
     stream_exact_dedup,
     stream_minhash_dedup,
     stream_resample,

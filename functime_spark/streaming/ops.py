@@ -617,3 +617,106 @@ def stream_minhash_dedup(
     return banded.groupBy("band", "band_hash").applyInPandas(
         batch_bucket, schema=out_schema
     )
+
+
+def stream_dhash_dedup(
+    media: DataFrame,
+    decoder="ppm",
+    hash_size: int = 8,
+    max_hamming: int = 6,
+    band_bits: int = 16,
+    max_bucket_size: int = 512,
+) -> DataFrame:
+    """Streaming perceptual IMAGE near-dup detection (r9): the
+    stream_minhash_dedup recipe pointed at pixels — as media rows
+    arrive, each is dHash-fingerprinted (multimodal.dhash_media, the
+    same stateless mapInPandas the batch op uses) and checked against
+    every earlier image sharing a 16-bit hash band, emitting
+    (id_a, id_b, hamming, band) pairs (id_a = the earlier arrival,
+    hamming <= max_hamming). Consumers dedup multi-band surfacing with
+    dropDuplicates([id_a, id_b]).
+
+    Shape: signature + banding are STATELESS projections; the only
+    state is per-(band, band_val) — the bucket's (id, phash) list,
+    capped at ``max_bucket_size`` (the batch fallback drops oversize
+    buckets whole, matching dhash_near_dups/_cap_buckets so its
+    deduped pair set is oracle-identical; the streaming path keeps the
+    arrival-order prefix — the same documented divergence as
+    stream_minhash_dedup). State is two longs per member. For
+    unbounded crawls the batch banded join over a persisted phash
+    store is the horizon-free twin (near-dups never expire, so no
+    watermark applies)."""
+    import pandas as pd
+
+    from functime_spark.pipeline.multimodal import dhash_media
+
+    sigs = dhash_media(media, decoder=decoder, hash_size=hash_size)
+    n_bands = 64 // band_bits
+    banded = sigs.select(
+        "media_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("phash", i * band_bits).bitwiseAND(
+                        F.lit((1 << band_bits) - 1)
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+
+    out_schema = "id_a bigint, id_b bigint, hamming int, band int"
+    state_schema = "ids array<bigint>, phashes array<bigint>"
+
+    def scan_bucket(band, pdf, ids, hashes, cap):
+        rows = []
+        for mid, ph in zip(pdf["media_id"], pdf["phash"]):
+            mid, ph = int(mid), int(ph)
+            if len(ids) < cap:
+                for pid, pph in zip(ids, hashes):
+                    ham = bin((pph ^ ph) & ((1 << 64) - 1)).count("1")
+                    if ham <= max_hamming:
+                        rows.append((pid, mid, ham, band))
+                ids.append(mid)
+                hashes.append(ph)
+        return rows
+
+    if media.isStreaming:
+
+        def update(key, pdfs, state):
+            band = int(key[0])
+            ids, hashes = (
+                (list(state.get[0]), list(state.get[1]))
+                if state.exists
+                else ([], [])
+            )
+            rows = []
+            chunks = [p for p in pdfs if len(p)]
+            if chunks:
+                whole = pd.concat(chunks).sort_values("media_id")
+                rows = scan_bucket(band, whole, ids, hashes, max_bucket_size)
+            state.update((ids, hashes))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["id_a", "id_b", "hamming", "band"]
+                )
+
+        return banded.groupBy("band", "band_val").applyInPandasWithState(
+            update, out_schema, state_schema, "append", "NoTimeout"
+        )
+
+    def batch_bucket(pdf):
+        cols = ["id_a", "id_b", "hamming", "band"]
+        if len(pdf) > max_bucket_size:
+            return pd.DataFrame(columns=cols)
+        band = int(pdf["band"].iloc[0])
+        rows = scan_bucket(
+            band, pdf.sort_values("media_id"), [], [], max_bucket_size
+        )
+        return pd.DataFrame(rows, columns=cols)
+
+    return banded.groupBy("band", "band_val").applyInPandas(
+        batch_bucket, schema=out_schema
+    )

@@ -505,6 +505,73 @@ def test_stream_minhash_dedup_matches_batch(spark, tmp_path):
     assert len(batch_pairs) > 0
 
 
+def test_stream_dhash_dedup_matches_batch(spark, tmp_path):
+    """Streaming image near-dup (r9): the file-source run must surface
+    exactly dhash_near_dups' pair set when arrival order == id order
+    (earlier arrivals become id_a, like the batch a.id < b.id join);
+    hamming values agree pairwise."""
+    import numpy as np
+
+    from functime_spark.pipeline.multimodal import dhash_near_dups
+    from functime_spark.streaming import stream_dhash_dedup
+
+    rng = np.random.default_rng(33)
+
+    def ppm(arr):
+        h, w = arr.shape
+        return b"P5\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+    rows = []
+    for i in range(10):
+        base = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+        rows.append((i, "image", bytearray(ppm(base)), "{}"))
+        if i < 3:  # planted near-dup with a higher id
+            pert = (base.astype(np.int16) + rng.integers(-2, 3, (16, 16))).clip(
+                0, 255
+            ).astype(np.uint8)
+            rows.append((100 + i, "image", bytearray(ppm(pert)), "{}"))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta string"
+    )
+
+    batch = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dhash_near_dups(media, max_hamming=8).collect()
+    }
+    assert set(batch) >= {(i, 100 + i) for i in range(3)}
+
+    path = str(tmp_path / "dhash_media")
+    media.coalesce(1).write.parquet(path)
+    src = spark.readStream.schema(media.schema).parquet(path)
+    q = (
+        stream_dhash_dedup(src, max_hamming=8)
+        .writeStream.format("memory")
+        .queryName("dhash_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    stream = {
+        (r.id_a, r.id_b): r.hamming
+        for r in spark.table("dhash_stream")
+        .dropDuplicates(["id_a", "id_b"])
+        .collect()
+    }
+    assert stream == batch
+
+    # batch fallback: deduped pair set == dhash_near_dups on the same
+    # static frame (whole-bucket drops included)
+    fb = {
+        (r.id_a, r.id_b): r.hamming
+        for r in stream_dhash_dedup(media, max_hamming=8)
+        .dropDuplicates(["id_a", "id_b"])
+        .collect()
+    }
+    assert fb == batch
+
+
 def test_gopher_filter_runs_on_stream(spark, tmp_path):
     """gopher_quality_filter is a pure projection since the
     array_distinct rewrite — it must run UNCHANGED on a streaming
