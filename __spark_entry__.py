@@ -3604,6 +3604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_indexed",  # BM25Index internals changed (sum_dl avgdl)
         "graph_pagerank",  # NEW: damped power iterations, CTE replay
         "retrieval_mmr",  # NEW: greedy MMR diversification, CTE replay
+        "stream_dhash",  # NEW: streaming image near-dup twin, batch mode
         "future_holidays",  # oracle extended 25 -> 49 vendored calendars
         # (b) window slack: oldest external verification first --
         # the remainder of the r3 cohort (last verified round 3)...
@@ -3646,7 +3647,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_asof",
         "join_asof_nearest",
         "join_interval",
-        "m4_smape",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}
