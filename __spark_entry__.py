@@ -243,6 +243,20 @@ def q_forecast_naive(spark, sf_dir):
     return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
 
 
+def q_forecast_theta(spark, sf_dir):
+    """Theta method (r9, beyond-reference): OLS trend over the integer
+    index + closed-form SES (alpha=0.5) on the theta=2 line, equal
+    combination — the oracle replays the OLS sums, the
+    (1-a)^(n-1)*z_1 + sum a*(1-a)^(n-t)*z_t level, and the
+    extrapolation term for term."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.theta import theta
+
+    df = events_panel(spark, sf_dir)
+    fc = theta(freq="1h", alpha=0.5).fit(df)
+    return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
+
+
 def q_forecast_snaive(spark, sf_dir):
     _ensure_nanos_conf(spark)
     from functime_spark.forecasting.naive import snaive
@@ -3553,6 +3567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_bm25_incremental": q_text_bm25_incremental,
             "graph_pagerank": q_graph_pagerank,
             "retrieval_mmr": q_retrieval_mmr,
+            "forecast_theta": q_forecast_theta,
             "forecast_backtest_naive": q_forecast_backtest_naive,
             "forecast_conformal": q_forecast_conformal,
             "forecast_conformal_linear": q_forecast_conformal_linear,
@@ -3605,6 +3620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank",  # NEW: damped power iterations, CTE replay
         "retrieval_mmr",  # NEW: greedy MMR diversification, CTE replay
         "stream_dhash",  # NEW: streaming image near-dup twin, batch mode
+        "forecast_theta",  # NEW: Theta method, closed-form SES replay
         "future_holidays",  # oracle extended 25 -> 49 vendored calendars
         # (b) window slack: oldest external verification first --
         # the remainder of the r3 cohort (last verified round 3)...

@@ -1194,6 +1194,33 @@ def operator_oracles() -> dict:
         "FROM c, generate_series(1, 4) AS g(i) ORDER BY user_id, ts"
     )
 
+    # forecast_theta (r9): OLS over the 0-based index, z = 2y - trend,
+    # closed-form SES level, equal-weight combination — alpha = 0.5 so
+    # 1 - alpha is exact in both engines.
+    o["forecast_theta"] = (
+        "WITH r AS (SELECT user_id, ts, value, "
+        "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 "
+        "AS DOUBLE) AS i FROM events), "
+        "ols AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n, "
+        "SUM(i) AS si, SUM(value) AS sy, SUM(i * value) AS siy, "
+        "SUM(i * i) AS sii, MAX(ts) AS low FROM r GROUP BY user_id), "
+        "coef AS (SELECT user_id, n, low, "
+        "CASE WHEN n * sii - si * si != 0 "
+        "THEN (n * siy - si * sy) / (n * sii - si * si) ELSE 0.0 END AS b, "
+        "(sy - CASE WHEN n * sii - si * si != 0 "
+        "THEN (n * siy - si * sy) / (n * sii - si * si) ELSE 0.0 END * si) / n "
+        "AS a FROM ols), "
+        "lvl AS (SELECT r.user_id, SUM("
+        "CASE WHEN r.i = 0 THEN pow(0.5, c.n - 1.0) "
+        "ELSE 0.5 * pow(0.5, c.n - 1.0 - r.i) END "
+        "* (2.0 * r.value - (c.a + c.b * r.i))) AS l "
+        "FROM r JOIN coef c ON r.user_id = c.user_id GROUP BY r.user_id) "
+        "SELECT c.user_id, c.low + g.s * INTERVAL '1 hour' AS ts, "
+        + _r("0.5 * (c.a + c.b * (c.n + g.s - 1)) + 0.5 * lvl.l")
+        + " AS value FROM coef c JOIN lvl ON c.user_id = lvl.user_id, "
+        "generate_series(1, 4) AS g(s) ORDER BY c.user_id, ts"
+    )
+
     o["forecast_snaive"] = (
         "WITH c AS (SELECT user_id, MAX(ts) AS low, list(value ORDER BY ts) AS vs "
         "FROM events GROUP BY user_id), "

@@ -50,6 +50,42 @@ def test_snaive(events, events_pdf):
         np.testing.assert_allclose(grp["value"].to_numpy(), want)
 
 
+def test_theta_vs_numpy(events, events_pdf):
+    """theta (r9): per-entity forecasts match a hand-rolled numpy
+    Theta — OLS trend on the 0-based index, SES RECURSION (the closed
+    form in the operator must equal the literal recursion) on
+    z = 2y - trend, equal-weight combination."""
+    from functime_spark.forecasting.theta import theta
+
+    alpha, fh = 0.3, 4
+    fc = theta(freq="1h", alpha=alpha).fit(events)
+    pred = _pdf(fc.predict(fh))
+    for uid, grp in events_pdf.sort_values("ts").groupby("user_id"):
+        yv = grp["value"].to_numpy(dtype=float)
+        n = len(yv)
+        t = np.arange(n, dtype=float)
+        b = (
+            (n * (t * yv).sum() - t.sum() * yv.sum())
+            / (n * (t * t).sum() - t.sum() ** 2)
+            if n > 1
+            else 0.0
+        )
+        a = (yv.sum() - b * t.sum()) / n
+        z = 2.0 * yv - (a + b * t)
+        lvl = z[0]
+        for v in z[1:]:  # literal SES recursion, l_1 = z_1
+            lvl = alpha * v + (1.0 - alpha) * lvl
+        want = [
+            0.5 * (a + b * (n - 1 + h)) + 0.5 * lvl
+            for h in range(1, fh + 1)
+        ]
+        got = pred[pred["user_id"] == uid].sort_values("ts")["value"].to_numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-9)
+
+    with pytest.raises(ValueError, match="alpha"):
+        theta(freq="1h", alpha=1.0)
+
+
 def test_future_ranges_calendar(spark):
     from functime_spark.forecasting.ranges import make_future_ranges
 
