@@ -2576,6 +2576,31 @@ def q_media_audio_mfcc(spark, sf_dir):
     return _round_floats(out.orderBy("media_id", "c"), nd=3)
 
 
+def q_media_audio_resample(spark, sf_dir):
+    """Audio rate normalization value-gated end-to-end (r9): the
+    synthetic 8 kHz WAVs (doc_id % 23 subsample) linearly resampled to
+    5 kHz by resample_wav, decoded again, and every one of the 625
+    output samples emitted — the oracle replays p_j = (j*8000)/5000,
+    the two-point interpolation on the integer PCM formula, and the
+    floor(y + 0.5) int16 quantization exactly."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.multimodal import (
+        extract_features_media,
+        resample_audio,
+    )
+
+    media = _synthetic_audio_media(spark, sf_dir, modulus=23)
+    res = resample_audio(media, target_rate=5000)
+    # dim == n_out makes pooling the identity: each feature IS one
+    # decoded int16 sample
+    n_out = (_AUDIO_N - 1) * 5000 // _AUDIO_RATE + 1
+    feats = extract_features_media(res, dim=n_out, decoder="wav")
+    out = feats.select(
+        "media_id", F.posexplode("feature").alias("j", "v")
+    ).orderBy("media_id", "j")
+    return _round_floats(out)
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload → deterministic stub
     features via mapInPandas. The sha256-chained fake decoder emits
@@ -3556,6 +3581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_audio": q_media_audio,
             "media_audio_spectral": q_media_audio_spectral,
             "media_audio_mfcc": q_media_audio_mfcc,
+            "media_audio_resample": q_media_audio_resample,
             "media_curate_report": q_media_curate_report,
             "media_resize": q_media_resize,
             "media_gif_decode": q_media_gif_decode,
@@ -3621,6 +3647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_mmr",  # NEW: greedy MMR diversification, CTE replay
         "stream_dhash",  # NEW: streaming image near-dup twin, batch mode
         "forecast_theta",  # NEW: Theta method, closed-form SES replay
+        "media_audio_resample",  # NEW: rate normalization, interp replay
         "future_holidays",  # oracle extended 25 -> 49 vendored calendars
         # (b) window slack: oldest external verification first --
         # the remainder of the r3 cohort (last verified round 3)...

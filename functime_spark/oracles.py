@@ -1414,6 +1414,33 @@ def operator_oracles() -> dict:
         "GROUP BY s.doc_id ORDER BY media_id"
     )
 
+    # media_audio_resample (r9): the linear-interpolation rate
+    # normalization replayed — output position p_j = (j*8000)/5000
+    # (exact double division both engines), two-point interpolation on
+    # the integer PCM formula, floor(y + 0.5) int16 quantization (the
+    # operator quantizes with floor(+0.5), not round(), precisely so
+    # this replay has no tie-behavior divergence).
+    o["media_audio_resample"] = (
+        "WITH s AS (SELECT doc_id, t.i AS i, "
+        "CAST(CASE WHEN u < 32768 THEN u ELSE u - 65536 END AS DOUBLE) "
+        "AS x FROM (SELECT doc_id, t.i, "
+        "(doc_id * 7919 + t.i * 104729) % 65536 AS u "
+        "FROM documents, range(0, 1000) t(i) "
+        "WHERE doc_id % 23 = 0) t(doc_id, i, u)), "
+        "g AS (SELECT doc_id, CAST(t.j AS INT) AS j, "
+        "(t.j * 8000.0) / 5000.0 AS p FROM documents, range(0, 625) t(j) "
+        "WHERE doc_id % 23 = 0), "
+        "y AS (SELECT g.doc_id, g.j, "
+        "x0.x + (g.p - FLOOR(g.p)) * (x1.x - x0.x) AS yv "
+        "FROM g JOIN s x0 ON x0.doc_id = g.doc_id "
+        "AND x0.i = CAST(FLOOR(g.p) AS BIGINT) "
+        "JOIN s x1 ON x1.doc_id = g.doc_id "
+        "AND x1.i = LEAST(CAST(FLOOR(g.p) AS BIGINT) + 1, 999)) "
+        "SELECT doc_id AS media_id, j, "
+        + _r("GREATEST(-32768.0, LEAST(32767.0, FLOOR(yv + 0.5)))")
+        + " AS v FROM y ORDER BY media_id, j"
+    )
+
     # media_audio_spectral: the WHOLE FFT-tier spectral family replayed
     # as an explicit DFT double sum over BOTH Hann-windowed frames
     # (starts 0 and 256 for n=1000, n_fft=512, hop=256), on the

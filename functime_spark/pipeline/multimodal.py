@@ -246,6 +246,86 @@ def encode_wav(
     return buf.getvalue()
 
 
+def resample_wav(payload: bytes, target_rate: int) -> bytes:
+    """Linear-interpolation WAV resampling (r9): the rate-normalization
+    step every speech-corpus pipeline runs (mixed-rate crawls ->
+    one model rate). Mono 16-bit PCM only (the curated-speech shape);
+    sample j of the output sits at source position
+    p_j = (j * rate_in) / target_rate (exact double division), with
+    n_out = floor((n_in - 1) * target_rate / rate_in) + 1 so every
+    position interpolates inside the source. Quantization is
+    floor(y + 0.5) clipped to int16 — written that way (not round())
+    so the SQL oracle replays the exact same tie behavior."""
+    d = decode_wav(payload)
+    if d["channels"] != 1 or d["sample_width"] != 2:
+        raise ValueError(
+            "resample_wav supports mono 16-bit PCM (got "
+            f"{d['channels']}ch/{d['sample_width']*8}-bit) — mix down "
+            "and re-quantize first"
+        )
+    if target_rate < 1:
+        raise ValueError("target_rate must be positive")
+    x = d["array"].astype(np.float64)
+    n_in, rate_in = len(x), int(d["rate"])
+    if n_in == 0 or target_rate == rate_in:
+        return encode_wav(d["array"], rate=target_rate, sampwidth=2)
+    n_out = (n_in - 1) * target_rate // rate_in + 1
+    j = np.arange(n_out, dtype=np.float64)
+    p = (j * rate_in) / target_rate
+    i0 = np.floor(p).astype(np.int64)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    frac = p - i0
+    y = x[i0] + frac * (x[i1] - x[i0])
+    q = np.clip(np.floor(y + 0.5), -32768, 32767).astype(np.int16)
+    return encode_wav(q, rate=target_rate, sampwidth=2)
+
+
+def resample_audio(
+    media: DataFrame, target_rate: int, decoder: str = "wav"
+) -> DataFrame:
+    """Batch rate normalization over a media frame: each payload is
+    resampled by `resample_wav` in one mapInPandas pass (no shuffle —
+    the same decode-where-the-bytes-are shape as curate_media); meta
+    carries the new rate. Only 'wav' is wired in-container; other
+    formats come in through register_decoder + an encoder pair."""
+    if decoder != "wav":
+        raise NotImplementedError(
+            "resample_audio supports the in-container 'wav' codec; "
+            "register a decode/encode pair for other formats"
+        )
+
+    def run(batches: Iterator) -> Iterator:
+        import json as _json
+
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": [
+                        resample_wav(bytes(p), target_rate)
+                        for p in pdf["payload"]
+                    ],
+                    "meta": [
+                        _json.dumps({"rate": target_rate})
+                        for _ in range(len(pdf))
+                    ],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("kind", StringType()),
+            StructField("payload", BinaryType()),
+            StructField("meta", StringType()),
+        ]
+    )
+    return media.mapInPandas(run, schema=schema)
+
+
 def encode_png(arr) -> bytes:
     """Pure-Python PNG encoder (stdlib zlib, r8): the lossless write
     half of the PNG codec — gray / gray+alpha / RGB / RGBA 8-bit

@@ -3988,6 +3988,56 @@ def test_media_dhash_near_dup_discrimination(spark):
         dhash_media(media, hash_size=12)
 
 
+def test_media_wav_resample(spark):
+    """resample_wav (r9): a linear ramp resamples EXACTLY (linear
+    interpolation reproduces linear signals up to the floor(+0.5)
+    quantization); same-rate is an identity; a sine survives
+    8k -> 16k -> 8k within 1 LSB of interpolation error at the
+    original sample points; stereo/8-bit rejected; the distributed
+    resample_audio op matches the codec-level call payload-for-payload."""
+    import numpy as np
+
+    from functime_spark.pipeline.multimodal import (
+        decode_wav,
+        encode_wav,
+        resample_audio,
+        resample_wav,
+    )
+
+    ramp = np.arange(0, 1000, dtype=np.int16) * 3 - 1500
+    wav = encode_wav(ramp, rate=8000)
+    out = decode_wav(resample_wav(wav, 5000))
+    assert out["rate"] == 5000 and len(out["array"]) == 999 * 5000 // 8000 + 1
+    j = np.arange(len(out["array"]), dtype=np.float64)
+    p = (j * 8000) / 5000
+    want = np.floor(
+        (ramp[0] + p * 3) + 0.5
+    ).astype(np.int16)
+    assert np.array_equal(out["array"], want)
+
+    assert np.array_equal(decode_wav(resample_wav(wav, 8000))["array"], ramp)
+
+    t = (np.sin(np.arange(1000) / 20.0) * 20000).astype(np.int16)
+    up = resample_wav(encode_wav(t, rate=8000), 16000)
+    back = decode_wav(resample_wav(up, 8000))["array"]
+    # original sample points land exactly on upsampled grid points, so
+    # the round trip only pays the two quantization steps
+    assert np.abs(back[: len(t) * 2 // 2][: 999].astype(int) - t[:999].astype(int)).max() <= 2
+
+    with pytest.raises(ValueError, match="mono 16-bit"):
+        resample_wav(encode_wav(t, rate=8000, sampwidth=1), 5000)
+    with pytest.raises(ValueError, match="target_rate"):
+        resample_wav(wav, 0)
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(wav), "{}")],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    row = resample_audio(media, 5000).first()
+    assert bytes(row["payload"]) == resample_wav(wav, 5000)
+    assert '"rate": 5000' in row["meta"]
+
+
 def test_media_wav_encoder_roundtrip():
     """encode_wav (r8): float [-1,1] quantizes to the target width and
     round-trips through the stdlib decode path within 1 LSB; int16
