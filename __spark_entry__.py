@@ -3630,9 +3630,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (b) re-cycle previously-green queries OLDEST-VERIFICATION-FIRST
     # from the CORRECTNESS_r0*.json union. Cohort ages going into r9:
     # 14 queries were last verified in r3 (preproc_deseasonalize..
-    # text_url_stats below), 43 in r4 (the first 27 of which fill the
-    # window), everything else r5+; the r8 window retired the rest of
-    # the r2 cohort and the front of r3.
+    # text_url_stats below), 43 in r4 (the first 22 of which fill the
+    # window: 14 new + 14 r3 + 22 r4 = exactly the ~50 truncation),
+    # everything else r5+; the r8 window retired the rest of the r2
+    # cohort and the front of r3.
     never_verified_first = [
         # (a) new or changed in round 9
         "media_gif_decode",  # NEW: encode_gif -> registered decode seam
@@ -3687,9 +3688,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feat_longest_streak_below",
         "feat_longest_winning_streak",
         "feat_streak_length_stats",
-        "join_asof",
-        "join_asof_nearest",
-        "join_interval",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

@@ -14,7 +14,8 @@ level:
 
 SES is evaluated in CLOSED FORM (the recursion l_t = a*z_t +
 (1-a)*l_{t-1} with l_1 = z_1 unrolls to a weighted sum), so the whole
-fit is ONE window pass + TWO hash aggregates + a per-entity join —
+fit is TWO aggregate passes over the windowed panel (OLS sums, then
+the SES level joined against the MATERIALIZED coefficients) —
 no UDF, no iteration, no driver loop. At 100 TB: everything is
 entity-partitioned; the state frame is n_entities rows.
 """
@@ -67,12 +68,18 @@ class theta(Forecaster):
             (F.col("__n") * F.col("__siy") - F.col("__si") * F.col("__sy"))
             / den,
         ).otherwise(F.lit(0.0))
-        coef = ols.select(
-            p.entity,
-            "__n",
-            "low",
-            b.alias("__b"),
-            ((F.col("__sy") - b * F.col("__si")) / F.col("__n")).alias("__a"),
+        from functime_spark.materialize import materialize
+
+        coef = materialize(
+            ols.select(
+                p.entity,
+                "__n",
+                "low",
+                b.alias("__b"),
+                ((F.col("__sy") - b * F.col("__si")) / F.col("__n")).alias(
+                    "__a"
+                ),
+            )
         )
         j = rows.join(coef, on=p.entity)
         # closed-form SES over z = 2y - (a + b*i):
@@ -84,8 +91,14 @@ class theta(Forecaster):
             F.col("__i") == 0, F.pow(F.lit(1.0 - a), F.col("__n") - 1.0)
         ).otherwise(F.lit(a) * F.pow(F.lit(1.0 - a), back))
         lvl = j.groupBy(p.entity).agg(F.sum(c * z).alias("__l"))
-        self.state["theta"] = coef.join(lvl, on=p.entity)
-        self.state["cutoffs"] = coef.select(p.entity, "low")
+        # both per-entity frames are materialized (n_entities rows):
+        # coef above so the SES join consumes a pinned table instead of
+        # re-embedding the windowed `rows` subtree, and the combined
+        # state here so predict() is a window-free read of a tiny
+        # frame — the full-panel window runs exactly twice total
+        # (once per aggregate)
+        self.state["theta"] = materialize(coef.join(lvl, on=p.entity))
+        self.state["cutoffs"] = self.state["theta"].select(p.entity, "low")
 
     def _predict_values(self, fh: int, X: DataFrame | None = None) -> DataFrame:
         p = self.state["panel"]

@@ -123,11 +123,17 @@ def decode_ppm(payload: bytes) -> dict:
 def decode_wav(payload: bytes) -> dict:
     """Stdlib-`wave` PCM decoder — the audio half of the real-codec
     proof. Returns {"array": int16/uint8 samples (interleaved),
-    "rate", "channels", "sample_width"}."""
+    "rate", "channels", "sample_width"}. Non-WAV / truncated payloads
+    raise the seam's documented ValueError (wave.Error mapped here so
+    every registered decoder shares one failure contract)."""
     import io
     import wave
 
-    with wave.open(io.BytesIO(payload)) as wf:
+    try:
+        ctx = wave.open(io.BytesIO(payload))
+    except (wave.Error, EOFError) as exc:
+        raise ValueError(f"not a WAV payload ({exc})") from None
+    with ctx as wf:
         n, sw = wf.getnframes(), wf.getsampwidth()
         frames = wf.readframes(n)
         dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(sw)
@@ -281,39 +287,51 @@ def resample_wav(payload: bytes, target_rate: int) -> bytes:
 
 
 def resample_audio(
-    media: DataFrame, target_rate: int, decoder: str = "wav"
+    media: DataFrame,
+    target_rate: int,
+    decoder: str = "wav",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Batch rate normalization over a media frame: each payload is
     resampled by `resample_wav` in one mapInPandas pass (no shuffle —
     the same decode-where-the-bytes-are shape as curate_media); meta
     carries the new rate. Only 'wav' is wired in-container; other
-    formats come in through register_decoder + an encoder pair."""
+    formats come in through register_decoder + an encoder pair.
+
+    ``on_error='raise'`` (default) surfaces the seam's ValueError for
+    a non-WAV/corrupt/unsupported payload; ``'drop'`` silently skips
+    bad rows (the curate_media contract — use it on mixed or scraped
+    frames where a stray image row must not fail the job)."""
     if decoder != "wav":
         raise NotImplementedError(
             "resample_audio supports the in-container 'wav' codec; "
             "register a decode/encode pair for other formats"
         )
+    if on_error not in ("raise", "drop"):
+        raise ValueError("on_error must be 'raise' or 'drop'")
 
     def run(batches: Iterator) -> Iterator:
         import json as _json
 
         import pandas as pd
 
+        meta = _json.dumps({"rate": target_rate})
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "payload": [
-                        resample_wav(bytes(p), target_rate)
-                        for p in pdf["payload"]
-                    ],
-                    "meta": [
-                        _json.dumps({"rate": target_rate})
-                        for _ in range(len(pdf))
-                    ],
-                }
-            )
+            out = {"media_id": [], "kind": [], "payload": [], "meta": []}
+            for mid, kind, p in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                try:
+                    rp = resample_wav(bytes(p), target_rate)
+                except ValueError:
+                    if on_error == "raise":
+                        raise
+                    continue
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["payload"].append(rp)
+                out["meta"].append(meta)
+            yield pd.DataFrame(out)
 
     schema = StructType(
         [
@@ -542,6 +560,8 @@ def encode_gif(arr, interlace: bool = False) -> bytes:
         a = np.repeat(a[..., None], 3, axis=2)
     if a.ndim != 3 or a.shape[2] != 3:
         raise ValueError("encode_gif expects HxW (gray) or HxWx3 (RGB)")
+    if a.size == 0:
+        raise ValueError("encode_gif: zero-area image")
     h, w, _ = a.shape
     flat = a.reshape(-1, 3)
     pal, idx = np.unique(flat, axis=0, return_inverse=True)
@@ -643,9 +663,11 @@ def decode_tiff(payload: bytes) -> dict:
             if typ not in _TYPE_SIZE:
                 continue  # RATIONAL/ASCII metadata — not needed here
             sz = _TYPE_SIZE[typ] * cnt
-            raw = e[8:8 + sz] if sz <= 4 else payload[
-                struct.unpack(bo + "I", e[8:12])[0]:
-            ][:sz]
+            if sz <= 4:
+                raw = e[8:8 + sz]
+            else:
+                off = struct.unpack(bo + "I", e[8:12])[0]
+                raw = payload[off:off + sz]  # O(sz), not a tail copy
             fmt = {1: "B", 3: "H", 4: "I"}[typ]
             tags[tag] = list(struct.unpack(bo + str(cnt) + fmt, raw))
     except (IndexError, struct.error):
@@ -672,6 +694,22 @@ def decode_tiff(payload: bytes) -> dict:
     bits = tags.get(258, [8])
     if any(b != 8 for b in bits) or spp not in (1, 3, 4):
         raise ValueError("vendored TIFF decoder supports 8-bit gray/RGB/RGBA")
+    # Photometric (262): 0 = WhiteIsZero (archival/fax scans — decode
+    # by inversion), 1 = BlackIsZero, 2 = RGB. Palette (3) and the
+    # YCbCr/CMYK variants would silently produce wrong pixels if
+    # ignored, so they reject loudly like every other unsupported
+    # shape. Default when the tag is absent: infer from spp.
+    photo = one(262, 1 if spp == 1 else 2)
+    if photo not in (0, 1, 2):
+        raise ValueError(
+            f"vendored TIFF decoder supports Photometric 0/1/2 (got "
+            f"{photo} — palette/YCbCr/CMYK need external codecs)"
+        )
+    if (photo == 2) != (spp in (3, 4)):
+        raise ValueError(
+            f"TIFF Photometric {photo} inconsistent with "
+            f"SamplesPerPixel {spp}"
+        )
     offsets = tags.get(273)
     counts = tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
@@ -684,6 +722,8 @@ def decode_tiff(payload: bytes) -> dict:
     arr = np.frombuffer(
         data[: w * h * spp], dtype=np.uint8
     ).reshape((h, w) if spp == 1 else (h, w, spp))
+    if photo == 0:  # WhiteIsZero: invert to the BlackIsZero convention
+        arr = (255 - arr.astype(np.int16)).astype(np.uint8)
     mode = {1: "gray", 3: "rgb", 4: "rgba"}[spp]
     return {"array": arr, "width": int(w), "height": int(h), "mode": mode}
 
@@ -710,13 +750,18 @@ def encode_tiff(arr, rows_per_strip: int | None = None) -> bytes:
     ]
     photometric = 1 if spp == 1 else 2
 
-    # layout: 8B header | strip data | BitsPerSample array (spp>1) |
+    # layout: 8B header | strip data (each padded to even length — the
+    # TIFF 6.0 word-alignment rule for every offset; strict libtiff
+    # readers reject odd value offsets) | BitsPerSample array (spp>1) |
     # StripOffsets/ByteCounts arrays (if >1 strip) | IFD
     pos = 8
     strip_offsets = []
+    pads = []
     for s in strips:
         strip_offsets.append(pos)
-        pos += len(s)
+        pad = len(s) % 2
+        pads.append(pad)
+        pos += len(s) + pad
     extra = b""
 
     def _arr_ref(values, typ_fmt):
@@ -746,8 +791,9 @@ def encode_tiff(arr, rows_per_strip: int | None = None) -> bytes:
     ifd_off = pos
     out = bytearray()
     out += b"II" + struct.pack("<HI", 42, ifd_off)
-    for s in strips:
+    for s, pad in zip(strips, pads):
         out += s
+        out += b"\x00" * pad
     out += extra
     out += struct.pack("<H", len(entries))
     for tag, typ, cnt, val in sorted(entries):

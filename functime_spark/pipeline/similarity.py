@@ -884,9 +884,25 @@ def mmr_rerank(
             (step + 1, top["id"], float(top["score"]), float(top["mmr"]),
              list(top["__v"]))
         )
+    # result schema keeps the CALLER's id type (string keys are as
+    # legitimate as longs — bm25/cosine shortlists support both)
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("mmr_rank", IntegerType()),
+            StructField("id", rows.schema["id"].dataType),
+            StructField("score", DoubleType()),
+            StructField("mmr", DoubleType()),
+        ]
+    )
     return spark.createDataFrame(
-        [(r, i, s, m) for r, i, s, m, _ in picked],
-        "mmr_rank int, id long, score double, mmr double",
+        [(r, i, s, m) for r, i, s, m, _ in picked], schema
     )
 
 

@@ -3848,6 +3848,8 @@ def test_media_gif_encoder_roundtrip_and_javax(spark):
 
     with pytest.raises(ValueError, match="uint8"):
         encode_gif(big.astype(np.float32))
+    with pytest.raises(ValueError, match="zero-area"):
+        encode_gif(np.zeros((0, 5), dtype=np.uint8))
     with pytest.raises(ValueError, match="256"):
         grad = np.arange(300, dtype=np.int32)
         rgbgrad = np.stack(
@@ -3910,6 +3912,31 @@ def test_media_tiff_codec_roundtrip_and_javax(spark):
     assert java_tiff[:2] == b"MM"
     d = decode_tiff(java_tiff)
     assert np.array_equal(d["array"], img)
+
+    # Photometric handling (r9 review): WhiteIsZero (0) decodes by
+    # INVERSION — archival/fax scans must not come out negative —
+    # and palette (3) rejects loudly instead of returning raw indexes
+    gray8 = rng.integers(0, 256, (6, 7), dtype=np.uint8)
+    enc = bytearray(encode_tiff(gray8))
+    photo_at = enc.find(b"\x06\x01\x03\x00\x01\x00\x00\x00\x01\x00")
+    assert photo_at > 0  # tag 262, SHORT, count 1, value 1
+    enc[photo_at + 8] = 0  # -> WhiteIsZero
+    inv = decode_tiff(bytes(enc))
+    assert np.array_equal(inv["array"], 255 - gray8)
+    enc[photo_at + 8] = 3  # -> palette
+    with pytest.raises(ValueError, match="Photometric"):
+        decode_tiff(bytes(enc))
+
+    # word alignment (r9 review): odd strip lengths are padded so
+    # every value offset and the IFD offset are even (TIFF 6.0)
+    import struct as _struct
+
+    odd = encode_tiff(
+        rng.integers(0, 256, (13, 17), dtype=np.uint8), rows_per_strip=1
+    )
+    assert _struct.unpack("<I", odd[4:8])[0] % 2 == 0  # IFD offset
+    d13 = decode_tiff(odd)
+    assert d13["array"].shape == (13, 17)
 
     # loud failures
     with pytest.raises(ValueError, match="byte-order"):
@@ -4036,6 +4063,23 @@ def test_media_wav_resample(spark):
     row = resample_audio(media, 5000).first()
     assert bytes(row["payload"]) == resample_wav(wav, 5000)
     assert '"rate": 5000' in row["meta"]
+
+    # r9 review: non-WAV bytes surface as the seam's ValueError (wave
+    # internals mapped), and on_error='drop' skips them silently —
+    # a stray image row in a mixed frame must not fail the job
+    with pytest.raises(ValueError, match="WAV"):
+        resample_wav(b"not audio at all", 5000)
+    mixed = spark.createDataFrame(
+        [(1, "audio", bytearray(wav), "{}"),
+         (2, "image", bytearray(b"P5\n1 1\n255\nx"), "{}")],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    with pytest.raises(Exception, match="WAV"):
+        resample_audio(mixed, 5000).collect()
+    kept = resample_audio(mixed, 5000, on_error="drop").collect()
+    assert [r["media_id"] for r in kept] == [1]
+    with pytest.raises(ValueError, match="on_error"):
+        resample_audio(mixed, 5000, on_error="warn")
 
 
 def test_media_wav_encoder_roundtrip():
@@ -4189,6 +4233,19 @@ def test_mmr_rerank_diversifies(spark):
     assert [r["id"] for r in pure] == [1, 2, 3, 4]
     with pytest.raises(ValueError, match="lam"):
         mmr_rerank(cand, emb, lam=1.5, id_col="vec_id", score_col="cosine")
+
+    # r9 review: the result keeps the CALLER's id type — string-keyed
+    # shortlists work end to end
+    emb_s = emb.select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    cand_s = cand.select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"), "cosine"
+    )
+    out_s = mmr_rerank(
+        cand_s, emb_s, k=4, lam=0.7, id_col="vec_id", score_col="cosine"
+    ).collect()
+    assert [r["id"] for r in out_s] == ["doc-1", "doc-3", "doc-2", "doc-4"]
 
 
 def test_graph_pagerank_vs_numpy(spark):
