@@ -392,6 +392,14 @@ def main() -> None:
                 # both 1.524). Machine-state noise; neither r6 change
                 # on the path is a regression.
                 "notes": {
+                    "r9_paths": "none of the 13 r8-comparable legs' "
+                    "code paths changed in the r9 diff (git-verified: "
+                    "forecasting/tree|linear|_ar, dedup, lm, features, "
+                    "preprocessing all untouched; bm25_topk/cosine_topk "
+                    "bodies unchanged — r9 only ADDED operators) — any "
+                    "round-over-round movement on those legs is "
+                    "session state, same class as the adjudicated "
+                    "r8 drifts below",
                     "r8_drift": "all three unexplained r8 drifts "
                     "(ann_topk +30%, resample_naive_smape +26%, "
                     "minhash_dedup +18% vs r7) adjudicated NOISE via "
