@@ -85,6 +85,16 @@ def test_theta_vs_numpy(events, events_pdf):
     with pytest.raises(ValueError, match="alpha"):
         theta(freq="1h", alpha=1.0)
 
+    # composes with the base-class machinery: backtest splits and
+    # ENBPI conformal intervals work unchanged
+    bt = theta(freq="1h").backtest(events, test_size=3, n_splits=2)
+    assert bt.count() > 0 and "split" in bt.columns
+    ci = theta(freq="1h").conformalize(
+        events, fh=2, alphas=[0.2, 0.8], n_splits=2
+    )
+    cp = ci.toPandas()
+    assert set(cp["quantile"].unique()) == {20, 80}
+
 
 def test_future_ranges_calendar(spark):
     from functime_spark.forecasting.ranges import make_future_ranges
