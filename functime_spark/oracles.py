@@ -5381,6 +5381,29 @@ ORDER BY 1, 2
     # full-corpus SQL replay is again the oracle (r9)
     o["text_bm25_incremental"] = o["text_bm25"]
 
+    # --- scale_cms_counts (r9): the Count-Min sketch replayed — the
+    # same md5-seeded bucket assignment ('d:token', 15 hex chars ->
+    # BIGINT, pmod width) as every dedup-oracle hash, the bounded
+    # (d, bucket) counter table, and min-over-depth estimates for the
+    # exact top-10 probes.
+    o["scale_cms_counts"] = (
+        r"WITH tk AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'), "
+        "x -> x <> '')) AS token FROM documents), "
+        "ex AS (SELECT token, COUNT(*) AS exact FROM tk GROUP BY token), "
+        "topt AS (SELECT * FROM ex ORDER BY exact DESC, token LIMIT 10), "
+        "sk AS (SELECT d.d, "
+        "('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || token), 1, 15))"
+        "::BIGINT % 256 AS bucket, COUNT(*) AS cnt "
+        "FROM tk CROSS JOIN range(0, 4) d(d) GROUP BY ALL), "
+        "pe AS (SELECT t.token, t.exact, MIN(COALESCE(sk.cnt, 0)) AS est "
+        "FROM topt t CROSS JOIN range(0, 4) d(d) "
+        "LEFT JOIN sk ON sk.d = d.d AND sk.bucket = "
+        "('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || t.token), 1, 15))"
+        "::BIGINT % 256 "
+        "GROUP BY t.token, t.exact) "
+        "SELECT token, est, exact FROM pe ORDER BY exact DESC, token"
+    )
+
     # --- graph_pagerank (r9): 10 power iterations UNROLLED — per
     # iteration one dangling-mass scalar (rank on nodes with no
     # out-edges), one contribution aggregate (rank/outdeg summed per

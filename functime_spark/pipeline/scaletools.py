@@ -185,3 +185,78 @@ def group_cardinality(
     return df.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"), *dcs
     )
+
+
+def cms_sketch(
+    df: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Count-Min sketch (Cormode/Muthukrishnan) over a string column:
+    (d, bucket, cnt) rows, at most depth*width of them — BOUNDED state
+    for frequency estimation regardless of key cardinality (the
+    sketch twin of `heavy_hitters`/`key_counts`, the way
+    `group_cardinality(approx=True)` twins exact distinct counts).
+
+    One shuffle: each input row explodes into its `depth` (row, bucket)
+    assignments row-locally (pmod of `_hash64(col, seed=d)`), then one
+    hash aggregate. ``hash_fn='md5'`` makes every bucket assignment
+    byte-replayable in SQL (the dedup-oracle discipline); xxhash64 is
+    the production path. Estimates are the classic one-sided
+    guarantee: est >= true, est <= true + e*N/width w.h.p."""
+    if width < 2 or depth < 1:
+        raise ValueError("need width >= 2 and depth >= 1")
+    from functime_spark.pipeline.dedup import _hash64
+
+    c = F.col(col)
+    buckets = F.posexplode(
+        F.array(
+            *[
+                F.pmod(_hash64(c, seed=d, hash_fn=hash_fn), F.lit(width))
+                for d in range(depth)
+            ]
+        )
+    )
+    return (
+        df.select(buckets.alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probe: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Point-frequency estimates from a `cms_sketch`: for each probe
+    value, min over the depth rows of its bucket counters (missing
+    bucket -> 0). The SKETCH side broadcasts (<= depth*width rows by
+    construction), so estimating any number of probes is a map-side
+    join — the 100 TB shape: sketch once, probe forever. Hash
+    parameters MUST match the sketch's."""
+    from functime_spark.pipeline.dedup import _hash64
+
+    c = F.col(col)
+    exploded = probe.select(
+        c.alias("__v"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(_hash64(c, seed=d, hash_fn=hash_fn), F.lit(width))
+                    for d in range(depth)
+                ]
+            )
+        ).alias("d", "bucket"),
+    )
+    joined = exploded.join(F.broadcast(sketch), ["d", "bucket"], "left")
+    return (
+        joined.groupBy("__v")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+        .select(F.col("__v").alias(col), "est")
+    )

@@ -187,3 +187,48 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     finally:
         for t in ("bt_a", "bt_b"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_cms_sketch_one_sided_and_exact_when_sparse(spark):
+    """Count-Min sketch (r9): estimates are ALWAYS >= the true count
+    (one-sided error, every probe); with width far above the
+    cardinality estimates are exactly the true counts (no collisions
+    to inflate them); the sketch table is bounded by depth*width rows
+    regardless of key cardinality; bad params raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from functime_spark.pipeline.scaletools import cms_estimate, cms_sketch
+
+    rows = [(f"k{i % 37}",) for i in range(2000)] + [("hot",)] * 500
+    df = spark.createDataFrame(rows, "v string")
+    truth = {
+        r["v"]: r["c"]
+        for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    probe = df.select("v").distinct()
+
+    # narrow sketch: collisions likely -> one-sided overestimates only
+    sk = cms_sketch(df, "v", width=16, depth=3)
+    assert sk.count() <= 3 * 16
+    est = {r["v"]: r["est"] for r in
+           cms_estimate(sk, probe, "v", width=16, depth=3).collect()}
+    assert est.keys() == truth.keys()
+    assert all(est[k] >= truth[k] for k in truth)
+
+    # wide sketch: 38 keys over 4x4096 buckets -> exact with these
+    # seeds (deterministic hashing; verified, not probabilistic)
+    skw = cms_sketch(df, "v", width=4096, depth=4)
+    estw = {r["v"]: r["est"] for r in
+            cms_estimate(skw, probe, "v", width=4096, depth=4).collect()}
+    assert estw == truth
+
+    # unseen probe -> 0 (empty buckets coalesce)
+    zero = cms_estimate(
+        skw, spark.createDataFrame([("never",)], "v string"), "v",
+        width=4096, depth=4,
+    ).first()
+    assert zero["est"] == 0
+
+    with _pytest.raises(ValueError, match="width"):
+        cms_sketch(df, "v", width=1)
