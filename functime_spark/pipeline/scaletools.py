@@ -205,11 +205,17 @@ def cms_sketch(
     hash aggregate. ``hash_fn='md5'`` makes every bucket assignment
     byte-replayable in SQL (the dedup-oracle discipline); xxhash64 is
     the production path. Estimates are the classic one-sided
-    guarantee: est >= true, est <= true + e*N/width w.h.p."""
+    guarantee: est >= true, est <= true + e*N/width w.h.p.
+
+    NULLs in ``col`` are dropped before hashing (a NULL hashes to a
+    NULL bucket, which would inflate the sketch with counter rows no
+    cms_estimate probe can ever reach); count nulls separately if the
+    null rate matters."""
     if width < 2 or depth < 1:
         raise ValueError("need width >= 2 and depth >= 1")
     from functime_spark.pipeline.dedup import _hash64
 
+    df = df.where(F.col(col).isNotNull())
     c = F.col(col)
     buckets = F.posexplode(
         F.array(
@@ -239,9 +245,11 @@ def cms_estimate(
     bucket -> 0). The SKETCH side broadcasts (<= depth*width rows by
     construction), so estimating any number of probes is a map-side
     join — the 100 TB shape: sketch once, probe forever. Hash
-    parameters MUST match the sketch's."""
+    parameters MUST match the sketch's. NULL probes are dropped (the
+    sketch never counts nulls — see cms_sketch)."""
     from functime_spark.pipeline.dedup import _hash64
 
+    probe = probe.where(F.col(col).isNotNull())
     c = F.col(col)
     exploded = probe.select(
         c.alias("__v"),

@@ -843,7 +843,16 @@ def mmr_rerank(
     selected vectors riding as LITERAL expressions (no join, no
     shuffle); the k picked rows come back as driver scalars the same
     way pagerank pulls its dangling mass. Ties break by id. Returns
-    (mmr_rank, id, score, mmr) — k rows."""
+    (mmr_rank, id, score, mmr) — k rows.
+
+    PRACTICAL BOUND: step j embeds all j already-picked vectors as
+    per-element F.lit literals, so the final plan carries
+    O(k^2 * dim / 2) literal nodes (k=10, dim=128 → ~6.4e3 — fine;
+    k=100, dim=1024 → ~5e6 — Catalyst analysis time blows up long
+    before executors feel it). Keep k*dim under ~1e4, which is the
+    shortlist-diversification regime MMR is for; past that, switch
+    the penalty to a broadcast join against a `selected` frame
+    (one extra small shuffle per step) instead of literals."""
     if not (0.0 <= lam <= 1.0):
         raise ValueError("lam must be in [0, 1]")
     rows = materialize(
@@ -918,6 +927,12 @@ class BM25Index:
     one (id, token) aggregate; `search` touches only the query terms'
     posting rows."""
 
+    # update() leaves an unmaterialized union over the previous
+    # postings; compact (materialize the union) once the stack reaches
+    # this depth so N daily updates cost O(N/depth) compactions, not an
+    # N-deep plan every search must traverse
+    COMPACT_EVERY = 4
+
     def __init__(self, k1: float = 1.2, b: float = 0.75):
         self.k1 = k1
         self.b = b
@@ -927,6 +942,7 @@ class BM25Index:
         self.avgdl: float = 0.0
         self._sum_dl: int = 0
         self._id_col = "doc_id"
+        self._union_depth = 0
 
     def _batch_postings(self, docs: DataFrame, text_col: str):
         """(stats_row, postings_df) for one batch of documents — the
@@ -981,7 +997,12 @@ class BM25Index:
 
         At 100 TB this is the daily-crawl shape: each update costs one
         tokenize + one (id, token) aggregate over the NEW batch only,
-        plus a df merge proportional to the batch vocabulary."""
+        plus a df merge proportional to the batch vocabulary. The
+        postings union stays lazy per update and is COMPACTED
+        (materialized) every COMPACT_EVERY updates, so a long run of
+        daily batches never leaves an unboundedly deep union plan for
+        every search to traverse (doc_freq re-materializes each update
+        because the df merge must aggregate anyway)."""
         if self.postings is None:
             raise RuntimeError("fit the index before updating")
         stats, tf_new = self._batch_postings(new_docs, text_col)
@@ -990,6 +1011,10 @@ class BM25Index:
         self.avgdl = self._sum_dl / self.n_docs if self.n_docs else 0.0
         tf_new = materialize(tf_new)
         self.postings = self.postings.unionByName(tf_new)
+        self._union_depth += 1
+        if self._union_depth >= self.COMPACT_EVERY:
+            self.postings = materialize(self.postings)
+            self._union_depth = 0
         df_new = tf_new.groupBy("token").agg(
             F.count(F.lit(1)).cast("double").alias("__df")
         )

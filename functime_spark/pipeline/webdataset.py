@@ -288,7 +288,18 @@ def index_webdataset(spark, path: str, pattern: str = "*.tar") -> DataFrame:
 
     Shard discovery is a driver-side glob of NAMES only (one string
     per shard — the same tiny-manifest shape write_webdataset
-    returns); the bytes are only ever touched by executors."""
+    returns); the bytes are only ever touched by executors.
+
+    DEPLOYMENT BOUND: discovery uses a local glob and each task opens
+    its shard with a plain ``open()``, so index_webdataset (and
+    read_webdataset_ranges built on it) requires the shard paths to
+    resolve on EVERY executor — a shared POSIX filesystem (NFS/Lustre/
+    local mode). On object stores (s3://, hdfs://, abfs://) use
+    `read_webdataset`, which rides Hadoop binaryFile and works on any
+    Hadoop-compatible store (at the cost of its whole-shard-per-row
+    2 GiB bound). Porting the range reader to object stores means
+    routing discovery + reads through the Hadoop FS API (or fsspec)
+    — the (offset, size) index contract itself is storage-agnostic."""
     import glob as _glob
 
     files = sorted(_glob.glob(os.path.join(path, pattern)))
@@ -362,7 +373,11 @@ def read_webdataset_ranges(
     gzip has no random access (see index_webdataset). Rows within a
     task are read in (shard, offset) order, so each file handle moves
     strictly forward — sequential I/O per task, one open per
-    (task, shard) pair."""
+    (task, shard) pair.
+
+    Shares index_webdataset's deployment bound: shard paths must
+    resolve on every executor (shared POSIX filesystem). On object
+    stores use `read_webdataset` (Hadoop binaryFile) instead."""
     idx = index if index is not None else index_webdataset(
         spark, path, pattern
     )

@@ -545,8 +545,13 @@ def stream_minhash_dedup(
     its pair set is oracle-identical at any scale); the streaming path
     cannot retro-drop already-emitted pairs, so it keeps the
     arrival-order prefix instead — the one documented divergence.
-    State shards across executors on the bucket key, exactly how the
-    batch LSH join partitions.
+    A streaming arrival landing in an already-FULL bucket is not
+    compared silently: it emits an OVERFLOW MARKER row
+    (id_a == id_b == its id, est_jaccard = -1.0) so consumers can
+    count dropped comparisons per hot bucket (filter
+    ``est_jaccard >= 0`` for the pair stream). State shards across
+    executors on the bucket key, exactly how the batch LSH join
+    partitions.
 
     For unbounded crawls prefer the persisted-store batch twin
     (pipeline.dedup.minhash_dedup_incremental): streaming dedup state
@@ -562,10 +567,12 @@ def stream_minhash_dedup(
     out_schema = "id_a bigint, id_b bigint, est_jaccard double, band int"
     state_schema = "ids array<bigint>, sigs array<array<bigint>>"
 
-    def scan_bucket(band, pdf, ids, sigs_st, cap):
+    def scan_bucket(band, pdf, ids, sigs_st, cap, markers=False):
         """Score each row (in id order) against earlier bucket members,
         appending to the member lists up to ``cap``. Shared by the
-        streaming state update and the batch grouped map."""
+        streaming state update and the batch grouped map; ``markers``
+        (streaming only) emits the overflow marker row for arrivals a
+        full bucket can no longer compare or admit."""
         rows = []
         for did, sg in zip(pdf[id_col], pdf["sig"]):
             did = int(did)
@@ -577,6 +584,8 @@ def stream_minhash_dedup(
                         rows.append((pid, did, est, band))
                 ids.append(did)
                 sigs_st.append(sg)
+            elif markers:
+                rows.append((did, did, -1.0, band))
         return rows
 
     if docs.isStreaming:
@@ -592,7 +601,9 @@ def stream_minhash_dedup(
             chunks = [p for p in pdfs if len(p)]
             if chunks:
                 whole = pd.concat(chunks).sort_values(id_col)
-                rows = scan_bucket(band, whole, ids, sigs_st, max_bucket_size)
+                rows = scan_bucket(
+                    band, whole, ids, sigs_st, max_bucket_size, markers=True
+                )
             state.update((ids, sigs_st))
             if rows:
                 yield pd.DataFrame(
@@ -642,10 +653,15 @@ def stream_dhash_dedup(
     buckets whole, matching dhash_near_dups/_cap_buckets so its
     deduped pair set is oracle-identical; the streaming path keeps the
     arrival-order prefix — the same documented divergence as
-    stream_minhash_dedup). State is two longs per member. For
-    unbounded crawls the batch banded join over a persisted phash
-    store is the horizon-free twin (near-dups never expire, so no
-    watermark applies)."""
+    stream_minhash_dedup). An arrival landing in an already-full
+    bucket emits an OVERFLOW MARKER row (id_a == id_b == its id,
+    hamming = -1) instead of vanishing silently — consumers filter
+    ``hamming >= 0`` for the pair stream and count markers to detect
+    hot bands whose comparisons were dropped. State is two longs per
+    member. For unbounded crawls the batch banded join over a
+    persisted phash store is the horizon-free twin
+    (dhash_dedup_incremental; near-dups never expire, so no watermark
+    applies)."""
     import pandas as pd
 
     from functime_spark.pipeline.multimodal import dhash_media
@@ -670,7 +686,7 @@ def stream_dhash_dedup(
     out_schema = "id_a bigint, id_b bigint, hamming int, band int"
     state_schema = "ids array<bigint>, phashes array<bigint>"
 
-    def scan_bucket(band, pdf, ids, hashes, cap):
+    def scan_bucket(band, pdf, ids, hashes, cap, markers=False):
         rows = []
         for mid, ph in zip(pdf["media_id"], pdf["phash"]):
             mid, ph = int(mid), int(ph)
@@ -681,6 +697,8 @@ def stream_dhash_dedup(
                         rows.append((pid, mid, ham, band))
                 ids.append(mid)
                 hashes.append(ph)
+            elif markers:
+                rows.append((mid, mid, -1, band))
         return rows
 
     if media.isStreaming:
@@ -696,7 +714,9 @@ def stream_dhash_dedup(
             chunks = [p for p in pdfs if len(p)]
             if chunks:
                 whole = pd.concat(chunks).sort_values("media_id")
-                rows = scan_bucket(band, whole, ids, hashes, max_bucket_size)
+                rows = scan_bucket(
+                    band, whole, ids, hashes, max_bucket_size, markers=True
+                )
             state.update((ids, hashes))
             if rows:
                 yield pd.DataFrame(

@@ -4533,3 +4533,32 @@ def test_media_curate_with_gif_decoder(spark):
     assert rep["decode"] == (4, 2)  # both corrupt rows dropped, no raise
     rows = {r["media_id"]: (r["width"], r["height"]) for r in curated.collect()}
     assert rows == {1: (7, 6), 2: (7, 6)}
+
+
+def test_bm25_index_update_compaction(spark):
+    """Six one-doc updates cross COMPACT_EVERY (ADVICE r9): the
+    postings union stack compacts (depth counter resets, the plan no
+    longer nests one Union per update) and scores stay IDENTICAL to a
+    single full fit — compaction is a pure plan rewrite."""
+    from functime_spark.pipeline.similarity import BM25Index
+
+    rows = [
+        (1, "spark shuffles data fast"), (2, "spark spark joins data"),
+        (3, "ducks swim in ponds"), (4, "spark"),
+        (5, "data data data joins joins spark"), (6, "ponds and joins"),
+        (7, "fast ducks join spark"), (8, "data ponds everywhere"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    full = BM25Index().fit(d)
+    inc = BM25Index().fit(d.filter("doc_id = 1"))
+    for i in range(2, 9):
+        inc.update(d.filter(f"doc_id = {i}"))
+    # 7 updates with COMPACT_EVERY=4 -> compacted at depth 4, counter
+    # now 3; the plan carries at most COMPACT_EVERY unions
+    assert inc._union_depth == 3
+    plan = inc.postings._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Union") <= BM25Index.COMPACT_EVERY
+    for q in ("spark joins", "ducks", "data ponds"):
+        a = [(r["doc_id"], r["bm25"]) for r in full.search(q, k=8).collect()]
+        b = [(r["doc_id"], r["bm25"]) for r in inc.search(q, k=8).collect()]
+        assert a == b

@@ -232,3 +232,25 @@ def test_cms_sketch_one_sided_and_exact_when_sparse(spark):
 
     with _pytest.raises(ValueError, match="width"):
         cms_sketch(df, "v", width=1)
+
+
+def test_cms_sketch_drops_nulls(spark):
+    """NULLs in the sketched column are filtered before hashing
+    (ADVICE r9: a NULL hashes to a NULL bucket — unreachable counter
+    rows); NULL probes are dropped too. The non-null counts are
+    unaffected."""
+    from pyspark.sql import functions as F
+
+    from functime_spark.pipeline.scaletools import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame(
+        [("a",)] * 3 + [(None,)] * 5 + [("b",)], "v string"
+    )
+    sk = cms_sketch(df, "v", width=64, depth=3)
+    # no NULL-bucket rows, and total mass = depth * non-null rows
+    assert sk.where(F.col("bucket").isNull()).count() == 0
+    assert sk.agg(F.sum("cnt")).first()[0] == 3 * 4
+    probe = spark.createDataFrame([("a",), ("b",), (None,)], "v string")
+    est = {r["v"]: r["est"] for r in
+           cms_estimate(sk, probe, "v", width=64, depth=3).collect()}
+    assert est == {"a": 3, "b": 1}

@@ -829,3 +829,67 @@ def test_stream_media_decode_e2e(spark, tmp_path):
     assert streamed.keys() == batch.keys()
     for k in batch:
         assert streamed[k] == batch[k]
+
+
+def test_stream_minhash_overflow_markers(spark, tmp_path):
+    """A streaming arrival landing in an already-full bucket must emit
+    the overflow marker row (id_a == id_b, est_jaccard = -1.0) instead
+    of vanishing (ADVICE r9): 5 identical docs with max_bucket_size=2
+    admit ids 0/1 per band and mark 2/3/4; filtering est_jaccard >= 0
+    leaves exactly the (0, 1) pair."""
+    from functime_spark.streaming import stream_minhash_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "same exact text repeated everywhere forever") for i in range(5)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mh_overflow")
+    docs.coalesce(1).write.parquet(path)
+    src = spark.readStream.schema(docs.schema).parquet(path)
+    q = (
+        stream_minhash_dedup(src, threshold=0.5, max_bucket_size=2)
+        .writeStream.format("memory")
+        .queryName("mh_overflow")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.table("mh_overflow").collect()
+    markers = {r.id_a for r in out if r.est_jaccard < 0}
+    assert markers == {2, 3, 4}
+    assert all(r.id_a == r.id_b for r in out if r.est_jaccard < 0)
+    pairs = {(r.id_a, r.id_b) for r in out if r.est_jaccard >= 0}
+    assert pairs == {(0, 1)}
+
+
+def test_stream_dhash_overflow_markers(spark, tmp_path):
+    """stream_dhash_dedup's overflow marker (hamming = -1) fires for
+    arrivals a saturated band bucket can no longer compare or admit."""
+    import numpy as np
+
+    from functime_spark.streaming import stream_dhash_dedup
+
+    arr = (np.arange(256).reshape(16, 16) % 256).astype(np.uint8)
+    payload = b"P5\n16 16\n255\n" + arr.tobytes()
+    media = spark.createDataFrame(
+        [(i, "image", bytearray(payload), "{}") for i in range(5)],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    path = str(tmp_path / "dh_overflow")
+    media.coalesce(1).write.parquet(path)
+    src = spark.readStream.schema(media.schema).parquet(path)
+    q = (
+        stream_dhash_dedup(src, max_bucket_size=2)
+        .writeStream.format("memory")
+        .queryName("dh_overflow")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.table("dh_overflow").collect()
+    assert {r.id_a for r in out if r.hamming < 0} == {2, 3, 4}
+    assert {(r.id_a, r.id_b) for r in out if r.hamming >= 0} == {(0, 1)}
