@@ -3224,6 +3224,23 @@ def q_dedup_spans(spark, sf_dir):
     return scrub_duplicated_spans(docs, k=4).orderBy("doc_id")
 
 
+def q_dedup_spans_keepfirst(spark, sf_dir):
+    """Cross-document span dedup, keep-first mode (r10, Lee et al.
+    2022 training-data semantics): the corpus-wide min-(doc, pos)
+    occurrence of each duplicated word 4-gram survives as the
+    canonical copy, every later occurrence is scrubbed, and
+    n_dup_spans counts the stitched maximal removed runs. Replayed in
+    DuckDB with a row_number-over-(doc, pos) first-occurrence rank +
+    a lag-over-keep span transition count."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.dedup import scrub_duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return scrub_duplicated_spans(docs, k=4, keep_first=True).orderBy(
+        "doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3509,6 +3526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_lines_keepfirst": q_dedup_lines_keepfirst,
             "dedup_lines_within": q_dedup_lines_within,
             "dedup_spans": q_dedup_spans,
+            "dedup_spans_keepfirst": q_dedup_spans_keepfirst,
             "dedup_minhash_incr": q_dedup_minhash_incr,
             "text_stats": q_text_stats,
             "ann_cosine_topk": q_ann_cosine_topk,

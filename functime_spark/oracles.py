@@ -5936,27 +5936,43 @@ ORDER BY 1, 2
     # dedup_spans: word 4-grams counted corpus-wide; tokens covered by
     # any >=2-count gram are scrubbed. Spark counts gram xxhash64s;
     # the oracle counts the gram strings (same absent collisions).
-    o["dedup_spans"] = (
-        "WITH tok AS (SELECT doc_id, "
-        r"string_split_regex(text, '\s+') AS ws FROM documents), "
-        "gi AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 4 + 2)) AS i "
-        "FROM tok WHERE len(ws) >= 4), "
-        "gg AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, "
-        "array_to_string(ws[i:i+3], ' ') AS gram FROM gi), "
-        "dupg AS (SELECT gram FROM gg GROUP BY gram HAVING COUNT(*) >= 2), "
-        "dup AS (SELECT doc_id, pos FROM gg "
-        "WHERE gram IN (SELECT gram FROM dupg)), "
-        "ti AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i "
-        "FROM tok), "
-        "tk AS (SELECT ti.doc_id, ti.i, ti.ws[ti.i] AS w, "
-        "NOT EXISTS (SELECT 1 FROM dup d WHERE d.doc_id = ti.doc_id "
-        "AND ti.i - 1 BETWEEN d.pos AND d.pos + 3) AS keep FROM ti) "
-        "SELECT doc_id, "
-        "coalesce(string_agg(w, ' ' ORDER BY i) FILTER (WHERE keep), '') "
-        "AS text, COUNT(*) AS n_tokens, "
-        "CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept "
-        "FROM tk GROUP BY doc_id ORDER BY doc_id"
-    )
+    # n_dup_spans (r10) stitches overlapping covered windows into
+    # maximal runs via a lag-over-keep transition count. The keepfirst
+    # variant exempts each duplicated gram's corpus-wide first
+    # occurrence (row_number over (doc_id, pos) == the Spark
+    # min-struct winner) from the removal sites.
+    def _spans_sql(keep_first: bool) -> str:
+        first_filter = " AND rn > 1" if keep_first else ""
+        return (
+            "WITH tok AS (SELECT doc_id, "
+            r"string_split_regex(text, '\s+') AS ws FROM documents), "
+            "gi AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 4 + 2)) AS i "
+            "FROM tok WHERE len(ws) >= 4), "
+            "gg AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, "
+            "array_to_string(ws[i:i+3], ' ') AS gram FROM gi), "
+            "gr AS (SELECT doc_id, pos, gram, "
+            "COUNT(*) OVER (PARTITION BY gram) AS c, "
+            "row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) "
+            "AS rn FROM gg), "
+            f"dup AS (SELECT doc_id, pos FROM gr WHERE c >= 2{first_filter}), "
+            "ti AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i "
+            "FROM tok), "
+            "tk AS (SELECT ti.doc_id, ti.i, ti.ws[ti.i] AS w, "
+            "NOT EXISTS (SELECT 1 FROM dup d WHERE d.doc_id = ti.doc_id "
+            "AND ti.i - 1 BETWEEN d.pos AND d.pos + 3) AS keep FROM ti), "
+            "tks AS (SELECT *, lag(keep) OVER (PARTITION BY doc_id "
+            "ORDER BY i) AS pkeep FROM tk) "
+            "SELECT doc_id, "
+            "coalesce(string_agg(w, ' ' ORDER BY i) FILTER (WHERE keep), '') "
+            "AS text, COUNT(*) AS n_tokens, "
+            "CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+            "CAST(SUM(CASE WHEN NOT keep AND COALESCE(pkeep, TRUE) "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans "
+            "FROM tks GROUP BY doc_id ORDER BY doc_id"
+        )
+
+    o["dedup_spans"] = _spans_sql(False)
+    o["dedup_spans_keepfirst"] = _spans_sql(True)
 
     # text_normalize: the NORMALIZE_RULES regexp chain replayed
     # verbatim (non-ASCII chars re-escaped to RE2 \x{XXXX} so the SQL

@@ -35,6 +35,9 @@ def clean_corpus(
     dedup: str = "minhash",
     minhash_threshold: float = 0.8,
     minhash_hash_fn: str = "xxhash64",
+    span_dedup: str | None = None,
+    span_k: int = 8,
+    span_min_count: int = 2,
     decontaminate_n: int = 8,
     max_tier: int | None = None,
     n_tiers: int = 4,
@@ -63,6 +66,14 @@ def clean_corpus(
        to the kept lines, drops lorem-ipsum/brace/thin docs);
     2. exact   — md5 exact dedup, keep min id;
     3. minhash — MinHash-LSH near-dup pairs -> keep cluster canonical;
+    3b. span_dedup — cross-document repeated-SPAN removal (Lee et al.
+       2022 discretized to word ``span_k``-grams): ``"keepfirst"``
+       keeps the corpus-wide first copy of each duplicated span and
+       scrubs the rest (the training-data semantics), ``"scrub"``
+       removes every copy. Rewrites text_col; runs AFTER doc-level
+       dedup so whole-document duplicates don't inflate span counts,
+       and docs scrubbed to < span_k surviving tokens are NOT dropped
+       (later stages — e.g. the perplexity tier — judge the residue);
     4. decontaminate — drop docs sharing word n-grams with `benchmark`;
     5. perplexity — keep tiers <= max_tier under the corpus bigram LM
        (``exact_tiers=False`` by default: tier cuts come from the
@@ -162,6 +173,25 @@ def clean_corpus(
                               threshold=minhash_threshold,
                               hash_fn=minhash_hash_fn)
         step("minhash_dedup", dedup_keep_canonical(cur, pairs, id_col=id_col))
+    if span_dedup is not None:
+        if span_dedup not in ("scrub", "keepfirst"):
+            raise ValueError(
+                "span_dedup must be None, 'scrub' or 'keepfirst'; got "
+                f"{span_dedup!r}"
+            )
+        from functime_spark.pipeline.dedup import scrub_duplicated_spans
+
+        spans = scrub_duplicated_spans(
+            cur, text_col=text_col, id_col=id_col, k=span_k,
+            min_count=span_min_count,
+            keep_first=(span_dedup == "keepfirst"),
+        )
+        step(
+            "span_dedup",
+            cur.drop(text_col).join(
+                spans.select(id_col, text_col), on=id_col
+            ),
+        )
     if benchmark is not None:
         from functime_spark.pipeline.decontaminate import decontaminate
 

@@ -970,6 +970,7 @@ def scrub_duplicated_spans(
     id_col: str = "doc_id",
     k: int = 8,
     min_count: int = 2,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Exact-substring deduplication in the style of Lee et al. 2022
     ("Deduplicating Training Data Makes Language Models Better"):
@@ -980,15 +981,28 @@ def scrub_duplicated_spans(
     re-expression counts fixed-length k-gram occurrences instead —
     the same "duplicated span" signal, discretized to window k.
 
-    Returns (id_col, text, n_tokens, n_kept).
+    ``keep_first=True`` is the CROSS-document boilerplate shape (r10):
+    the corpus-wide FIRST occurrence of each duplicated k-gram — min
+    (doc, pos), the dedup_lines_keepfirst winner rule lifted to spans
+    — keeps its tokens, so exactly one copy of every repeated span
+    survives the corpus instead of none. That is the Lee et al.
+    training-data semantics: deduplicate the span, don't erase it.
+
+    Returns (id_col, text, n_tokens, n_kept, n_dup_spans) where
+    ``n_dup_spans`` counts the MAXIMAL contiguous removed runs per doc
+    (overlapping duplicated k-grams stitch into one span before
+    counting — 'how many boilerplate blocks did this doc carry', not
+    'how many windows matched').
 
     Scale: per-doc k-gram hashes are a row-local codegen projection
     (no shuffle); the occurrence count is one hash aggregate on an
-    8-byte key with map-side combine; the join back carries only
+    8-byte key with map-side combine (keep_first adds a min-struct to
+    the SAME aggregate — no extra shuffle); the join back carries only
     (doc, pos) pairs. The covered-token test is a row-local
     exists() over each doc's own duplicated-span starts — O(n_tokens
     x n_dup_spans) per doc worst case, bounded by document length,
-    never by corpus size."""
+    never by corpus size; the stitch count is one pass over the
+    already-computed coverage flags."""
     words = F.split(F.col(text_col), r"\s+")
     base = docs.select(F.col(id_col), words.alias("__w"))
     n = F.size("__w")
@@ -1002,16 +1016,25 @@ def scrub_duplicated_spans(
     exploded = base.select(
         F.col(id_col), F.posexplode(grams).alias("__pos", "__g")
     )
-    dup_keys = (
-        exploded.groupBy("__g")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .where(F.col("__cnt") >= min_count)
-        .select("__g")
+    counts = exploded.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__first"),
     )
-    dup_starts = (
-        exploded.join(dup_keys, on="__g", how="left_semi")
-        .groupBy(id_col)
-        .agg(F.collect_set("__pos").alias("__dups"))
+    dup_occ = exploded.join(
+        counts.where(F.col("__cnt") >= min_count), on="__g"
+    )
+    if keep_first:
+        # the global first (doc, pos) occurrence of each duplicated
+        # gram is NOT a removal site — its tokens survive as the
+        # canonical copy
+        dup_occ = dup_occ.where(
+            ~(
+                (F.col("__first")[id_col] == F.col(id_col))
+                & (F.col("__first")["__pos"] == F.col("__pos"))
+            )
+        )
+    dup_starts = dup_occ.groupBy(id_col).agg(
+        F.collect_set("__pos").alias("__dups")
     )
     marked = base.join(dup_starts, on=id_col, how="left").withColumn(
         "__dups", F.coalesce(F.col("__dups"), F.array().cast("array<int>"))
@@ -1019,12 +1042,32 @@ def scrub_duplicated_spans(
     covered = lambda i: F.exists(
         "__dups", lambda p: (i >= p) & (i <= p + F.lit(k - 1))
     )
-    kept = F.filter("__w", lambda w, i: ~covered(i))
-    return marked.select(
+    # materialized per-token coverage flags: computed ONCE per token
+    # (the exists() scan), then both the filter and the stitch count
+    # read the array attribute (the _pair_arr_from O(n^2) lesson)
+    cov = marked.select(
+        F.col(id_col),
+        "__w",
+        F.transform(
+            F.sequence(F.lit(0), F.size("__w") - 1), lambda i: covered(i)
+        ).alias("__cov"),
+    )
+    kept = F.zip_with("__w", "__cov", lambda w, c: F.when(~c, w))
+    kept = F.filter(kept, lambda w: w.isNotNull())
+    # stitch-back: a removed run STARTS where cov flips false->true.
+    # F.when guards the predecessor lookup — index 0 would be an
+    # invalid element_at under ANSI (the _pair_arr_from rule)
+    span_starts = F.filter(
+        F.sequence(F.lit(0), F.size("__cov") - 1),
+        lambda i: F.element_at("__cov", i + 1)
+        & F.when(i > 0, ~F.element_at("__cov", i)).otherwise(F.lit(True)),
+    )
+    return cov.select(
         F.col(id_col),
         F.array_join(kept, " ").alias(text_col),
         F.size("__w").alias("n_tokens"),
         F.size(kept).alias("n_kept"),
+        F.size(span_starts).alias("n_dup_spans"),
     )
 
 

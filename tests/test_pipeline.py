@@ -4562,3 +4562,95 @@ def test_bm25_index_update_compaction(spark):
         a = [(r["doc_id"], r["bm25"]) for r in full.search(q, k=8).collect()]
         b = [(r["doc_id"], r["bm25"]) for r in inc.search(q, k=8).collect()]
         assert a == b
+
+
+def test_scrub_spans_keep_first_and_stitch(spark):
+    """keep_first=True (r10): the corpus-wide min-(doc, pos) occurrence
+    of each duplicated k-gram survives as the canonical copy; every
+    later occurrence is scrubbed. n_dup_spans counts MAXIMAL stitched
+    removed runs, not matching windows."""
+    from functime_spark.pipeline.dedup import scrub_duplicated_spans
+
+    dup = "the quick brown fox jumps"
+    d = spark.createDataFrame(
+        [
+            (1, f"intro words {dup} tail one"),
+            (2, f"{dup} closing remark here"),
+            (3, f"prefix {dup} and again {dup} suffix"),
+            (4, "completely different tokens entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in scrub_duplicated_spans(d, k=5, keep_first=True).collect()
+    }
+    # doc 1 holds the global first occurrence (min doc_id, then pos) —
+    # its copy survives; docs 2 and 3 lose every copy
+    assert out[1]["text"] == f"intro words {dup} tail one"
+    assert out[1]["n_dup_spans"] == 0
+    assert out[2]["text"] == "closing remark here"
+    assert out[2]["n_dup_spans"] == 1
+    assert out[3]["text"] == "prefix and again suffix"
+    assert out[3]["n_dup_spans"] == 2  # two separated copies = two spans
+    assert out[4]["n_dup_spans"] == 0
+
+    # scrub mode (keep_first=False) still removes ALL copies, and the
+    # two overlapping windows inside one run stitch into ONE span
+    allout = {
+        r["doc_id"]: r for r in scrub_duplicated_spans(d, k=5).collect()
+    }
+    assert allout[1]["text"] == "intro words tail one"
+    assert allout[1]["n_dup_spans"] == 1
+    assert allout[3]["n_dup_spans"] == 2
+
+
+def test_scrub_spans_adjacent_windows_stitch_to_one(spark):
+    """Six duplicated tokens under k=5 produce two overlapping matched
+    windows whose coverage merges — n_dup_spans must report 1."""
+    from functime_spark.pipeline.dedup import scrub_duplicated_spans
+
+    dup = "a1 a2 a3 a4 a5 a6"
+    d = spark.createDataFrame(
+        [(1, f"x {dup} y"), (2, f"p {dup} q")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in scrub_duplicated_spans(d, k=5).collect()}
+    assert out[1]["text"] == "x y" and out[1]["n_dup_spans"] == 1
+    assert out[2]["text"] == "p q" and out[2]["n_dup_spans"] == 1
+
+
+def test_clean_corpus_span_dedup_stage(spark):
+    """clean_corpus(span_dedup='keepfirst') (r10): the span stage runs
+    after doc-level dedup, rewrites text_col (first copy survives,
+    later copies scrubbed), keeps every doc, and reports attrition."""
+    from functime_spark.pipeline.clean import clean_corpus
+
+    boiler = "all rights reserved click here to unsubscribe now"
+    d = spark.createDataFrame(
+        [
+            (1, f"alpha article body text one {boiler}"),
+            (2, f"beta article body text two {boiler}"),
+            (3, "gamma article body text three no footer at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    clean, report = clean_corpus(
+        d,
+        use_gopher=False,
+        dedup="exact",
+        span_dedup="keepfirst",
+        span_k=8,
+        max_tier=None,
+    )
+    stages = [r["stage"] for r in report.collect()]
+    assert "span_dedup" in stages
+    out = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert set(out) == {1, 2, 3}  # span stage never drops documents
+    assert out[1] == f"alpha article body text one {boiler}"
+    assert out[2] == "beta article body text two"
+    assert out[3] == "gamma article body text three no footer at all"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="span_dedup"):
+        clean_corpus(d, use_gopher=False, dedup="exact", span_dedup="bogus")

@@ -165,6 +165,34 @@ def main() -> None:
         rep = {r["stage"]: (r["docs_in"], r["docs_out"]) for r in report.collect()}
         return {"docs_out": rows, "attrition": rep}
 
+    def run_span_dedup():
+        # r10: cross-doc span dedup at replica scale. Invariants:
+        # token conservation (both modes see every token exactly once),
+        # keep-first dominance (exempting each gram's canonical first
+        # copy can only ever KEEP more tokens), and the recorded totals
+        # must reproduce byte-identically run-over-run — the span count
+        # tracks the replicated-boilerplate volume (~linear in copies),
+        # never corpus^2.
+        from pyspark.sql import functions as SF
+
+        from functime_spark.pipeline.dedup import scrub_duplicated_spans
+
+        scrub = scrub_duplicated_spans(docs, k=8).agg(
+            SF.sum("n_tokens"), SF.sum("n_kept"), SF.sum("n_dup_spans")
+        ).first()
+        keep = scrub_duplicated_spans(docs, k=8, keep_first=True).agg(
+            SF.sum("n_tokens"), SF.sum("n_kept"), SF.sum("n_dup_spans")
+        ).first()
+        assert scrub[0] == keep[0], "token conservation broken across modes"
+        assert keep[1] >= scrub[1], "keep-first must keep at least as much"
+        return {
+            "tokens": int(scrub[0]),
+            "kept_scrub": int(scrub[1]),
+            "spans_scrub": int(scrub[2]),
+            "kept_keepfirst": int(keep[1]),
+            "spans_keepfirst": int(keep[2]),
+        }
+
     def run_dedup_cluster():
         from functime_spark.pipeline.dedup import (
             connected_components,
@@ -341,6 +369,7 @@ def main() -> None:
         return {"rows": int(agg["rows"]), "shards": int(agg["shards"])}
 
     stage("clean_corpus", run_clean)
+    stage("span_dedup_keepfirst", run_span_dedup)
     stage("minhash_cluster", run_dedup_cluster)
     stage("linear_forecast", run_linear)
     stage("elite_forecast", run_elite)
