@@ -2046,6 +2046,35 @@ def q_text_lm_score(spark, sf_dir):
     )
 
 
+def q_text_lm3_score(spark, sf_dir):
+    """Interpolated TRIGRAM LM perplexity scoring (r10, CCNet-grade):
+    one triple-stream count aggregate (bigram/unigram tables derived
+    from it), five-join token scoring with coalesce-to-zero backoff
+    for unseen higher-order contexts — the whole chain (counts,
+    interpolation literals incl. the computed lam1 double,
+    cross-entropy) replayed in DuckDB."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.lm import ngram_lm3_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _round_floats(
+        ngram_lm3_score(docs, alpha=0.5, lam3=0.5, lam2=0.3)
+    ).orderBy("doc_id")
+
+
+def q_text_lm3_heldout(spark, sf_dir):
+    """Trigram LM counts from the even-id half, scores for the odd-id
+    half — the OOV unigram floor, unseen-bigram and unseen-trigram
+    backoff branches all live (r10)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.lm import fit_ngram_lm3, ngram_lm3_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = fit_ngram_lm3(docs.filter(F.col("doc_id") % 2 == 0))
+    out = ngram_lm3_score(docs.filter(F.col("doc_id") % 2 == 1), lm=lm)
+    return _round_floats(out).orderBy("doc_id")
+
+
 def q_dedup_cluster(spark, sf_dir):
     """Duplicate-cluster assignment: md5-variant MinHash pairs →
     alternating large-star/small-star connected components (Kiveris et
@@ -3554,6 +3583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_classifier": q_text_classifier,
             "text_decontaminate": q_text_decontaminate,
             "text_lm_score": q_text_lm_score,
+            "text_lm3_score": q_text_lm3_score,
+            "text_lm3_heldout": q_text_lm3_heldout,
             "dedup_semantic": q_dedup_semantic,
             "text_tfidf_topk": q_text_tfidf_topk,
             "text_bm25": q_text_bm25,

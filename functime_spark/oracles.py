@@ -5572,6 +5572,72 @@ ORDER BY 1, 2
         "FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id"
     )
 
+    # --- text_lm3_score / text_lm3_heldout (r10): the interpolated
+    # TRIGRAM chain replayed — triple stream (w1/w2 null-padded),
+    # trigram/bigram/unigram counts, five scoring joins, coalesce-to-
+    # zero backoff. lam1 is the SAME computed double Spark multiplies
+    # by (repr(1.0 - 0.5 - 0.3)); bi counts adjacent pairs anywhere
+    # (doc-end pairs included), matching the engine's derivation.
+    _l1 = repr(1.0 - 0.5 - 0.3)  # 0.19999999999999998 == F.lit(lam1)
+
+    def _lm3_sql(heldout: bool) -> str:
+        fit_w = " WHERE doc_id % 2 = 0" if heldout else ""
+        sc_w = " WHERE s.doc_id % 2 = 1" if heldout else ""
+        out_w = " WHERE d.doc_id % 2 = 1" if heldout else ""
+        flr = "(0.5 / (tot.n + 0.5 * tot.v))"
+        pu = (
+            f"CASE WHEN u3.c IS NULL THEN {flr} ELSE "
+            "(u3.c + 0.5) / (tot.n + 0.5 * tot.v) END"
+            if heldout
+            else "(u3.c + 0.5) / (tot.n + 0.5 * tot.v)"
+        )
+        u3_join = (
+            "LEFT JOIN uni u3 ON u3.w = s.w3"
+            if heldout
+            else "JOIN uni u3 ON u3.w = s.w3"
+        )
+        return (
+            "WITH tok AS (SELECT doc_id, "
+            r"list_filter(string_split_regex(text, '\s+'), x -> x <> '') "
+            "AS ws FROM documents), "
+            "st AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i "
+            "FROM tok), "
+            "s AS (SELECT doc_id, "
+            "CASE WHEN i > 2 THEN ws[CAST(i - 2 AS BIGINT)] END AS w1, "
+            "CASE WHEN i > 1 THEN ws[CAST(i - 1 AS BIGINT)] END AS w2, "
+            "ws[CAST(i AS BIGINT)] AS w3 FROM st), "
+            f"uni AS (SELECT w3 AS w, COUNT(*) AS c FROM s{fit_w} "
+            "GROUP BY w3), "
+            "bi AS (SELECT w2 AS wa, w3 AS wb, COUNT(*) AS c FROM s "
+            f"WHERE w2 IS NOT NULL{fit_w.replace(' WHERE', ' AND')} "
+            "GROUP BY w2, w3), "
+            "tri AS (SELECT w1, w2, w3, COUNT(*) AS c FROM s "
+            f"WHERE w1 IS NOT NULL{fit_w.replace(' WHERE', ' AND')} "
+            "GROUP BY w1, w2, w3), "
+            "tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n, "
+            "CAST(COUNT(*) AS DOUBLE) AS v FROM uni), "
+            "sc AS (SELECT s.doc_id, CASE WHEN s.w2 IS NULL THEN "
+            f"ln({pu}) ELSE "
+            f"ln(0.5 * COALESCE(t.c / ctx.c, 0) "
+            f"+ 0.3 * COALESCE(b.c / u2.c, 0) + {_l1} * ({pu})) END AS lp "
+            f"FROM s {u3_join} "
+            "LEFT JOIN uni u2 ON u2.w = s.w2 "
+            "LEFT JOIN bi b ON b.wa = s.w2 AND b.wb = s.w3 "
+            "LEFT JOIN bi ctx ON ctx.wa = s.w1 AND ctx.wb = s.w2 "
+            "LEFT JOIN tri t ON t.w1 = s.w1 AND t.w2 = s.w2 "
+            f"AND t.w3 = s.w3 CROSS JOIN tot{sc_w}), "
+            "pd AS (SELECT doc_id, COUNT(*) AS k, -AVG(lp) AS ce FROM sc "
+            "GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE(pd.k, 0) AS BIGINT) AS "
+            "n_tokens, " + _r("COALESCE(pd.ce, 0)") + " AS cross_entropy, "
+            + _r("exp(COALESCE(pd.ce, 0))") + " AS perplexity "
+            f"FROM documents d LEFT JOIN pd USING (doc_id){out_w} "
+            "ORDER BY d.doc_id"
+        )
+
+    o["text_lm3_score"] = _lm3_sql(False)
+    o["text_lm3_heldout"] = _lm3_sql(True)
+
     # --- text_lm_heldout: LM counts from the even half, scores for
     # the odd half — the OOV floor (u2 missing) and unseen-prev
     # (u1/b missing -> bigram term 0) branches are live

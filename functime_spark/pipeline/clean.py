@@ -43,6 +43,7 @@ def clean_corpus(
     n_tiers: int = 4,
     score_round: int | None = None,
     exact_tiers: bool = False,
+    lm_order: int = 2,
 ) -> tuple:
     """Returns (clean_docs, report): the surviving documents and a
     per-stage attrition DataFrame (stage, docs_in, docs_out).
@@ -75,10 +76,14 @@ def clean_corpus(
        and docs scrubbed to < span_k surviving tokens are NOT dropped
        (later stages — e.g. the perplexity tier — judge the residue);
     4. decontaminate — drop docs sharing word n-grams with `benchmark`;
-    5. perplexity — keep tiers <= max_tier under the corpus bigram LM
-       (``exact_tiers=False`` by default: tier cuts come from the
+    5. perplexity — keep tiers <= max_tier under the corpus n-gram LM:
+       ``lm_order=2`` (default) scores with the interpolated bigram,
+       ``lm_order=3`` with the interpolated trigram-with-backoff
+       (ngram_lm3_score — the CCNet-grade filter; same tier contract,
+       higher fit cost: one triple aggregate + five scoring joins).
+       ``exact_tiers=False`` by default: tier cuts come from the
        bounded-state GK sketch — scale-safe; pass ``exact_tiers=True``
-       for the exact-percentile cuts the value oracles replay).
+       for the exact-percentile cuts the value oracles replay.
 
     Each stage input is the previous stage's output, so expensive
     stages see an already-shrunk corpus. ONE action per stage: a
@@ -201,9 +206,16 @@ def clean_corpus(
                           text_col=text_col, id_col=id_col),
         )
     if max_tier is not None:
-        from functime_spark.pipeline.lm import ngram_lm_score, quality_tiers
+        from functime_spark.pipeline.lm import (
+            ngram_lm3_score,
+            ngram_lm_score,
+            quality_tiers,
+        )
 
-        lm_scored = ngram_lm_score(cur, text_col=text_col, id_col=id_col)
+        if lm_order not in (2, 3):
+            raise ValueError(f"lm_order must be 2 or 3, got {lm_order}")
+        scorer = ngram_lm_score if lm_order == 2 else ngram_lm3_score
+        lm_scored = scorer(cur, text_col=text_col, id_col=id_col)
         if score_round is not None:
             # deterministic tiering across engines/runs: quantile cuts
             # over scores rounded first (summation-order float noise at

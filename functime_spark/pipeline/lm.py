@@ -178,6 +178,190 @@ def ngram_lm_score(
     return out.withColumn("perplexity", F.exp("cross_entropy"))
 
 
+def _tri_arr_from(ws):
+    """array<struct<w1,w2,w3>> of (prev-prev, prev, current) tokens
+    from an ALREADY-MATERIALIZED token-array column; w1/w2 are null
+    for the first two positions. Same attribute-not-inline rule as
+    _pair_arr_from (element_at over an inlined tokenizer is O(n^2))."""
+    return F.transform(
+        ws,
+        lambda w, i: F.struct(
+            F.when(i > 1, F.element_at(ws, i - 1)).alias("w1"),
+            F.when(i > 0, F.element_at(ws, i)).alias("w2"),
+            w.alias("w3"),
+        ),
+    )
+
+
+def fit_ngram_lm3(
+    train: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> dict:
+    """Count tables for the interpolated TRIGRAM LM (r10) — the
+    CCNet-grade upgrade of fit_ngram_lm: one corpus tokenization pass
+    aggregates the (w1, w2, w3) triple stream (w1/w2 null-padded at
+    document starts, so every token appears exactly once as w3 and
+    every adjacent pair exactly once as (w2, w3)), and the bigram and
+    unigram tables DERIVE from the trigram count table — the fit
+    never re-reads the corpus.
+
+    Returns {"tri": (w1,w2,w3,c), "bi": (wa,wb,c), "uni": (w,c),
+    "n_tokens", "vocab"}. ``bi`` counts adjacent pairs ANYWHERE (the
+    classic pair count, so a pair ending a document still counts —
+    sum_w3 p(w3|w1,w2) can fall epsilon short of 1 at doc ends; a
+    deterministic scoring convention, not a sampling model).
+    ``min_count`` prunes the trigram tail only (hapax trigrams
+    dominate corpus-scale counts; the interpolation absorbs the mass).
+
+    Scale shape: one hash aggregate over the triple stream with
+    map-side combine; the two derivations run on the count table
+    (vocab-bounded), never the corpus."""
+    base = train.select(_tok_arr(F.col(text_col)).alias("__ws"))
+    triples = base.select(
+        F.explode(_tri_arr_from(F.col("__ws"))).alias("t")
+    ).select("t.w1", "t.w2", "t.w3")
+    tri_full = materialize(
+        triples.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi_full = materialize(
+        tri_full.groupBy(
+            F.col("w2").alias("wa"), F.col("w3").alias("wb")
+        ).agg(F.sum("c").cast("long").alias("c"))
+    )
+    uni = materialize(
+        bi_full.groupBy(F.col("wb").alias("w"))
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    bi = bi_full.filter(F.col("wa").isNotNull())
+    tri = tri_full.filter(F.col("w1").isNotNull())
+    if min_count > 1:
+        tri = tri.filter(F.col("c") >= min_count)
+    totals = uni.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    return {
+        "tri": tri.select("w1", "w2", "w3", "c"),
+        "bi": bi.select("wa", "wb", "c"),
+        "uni": uni,
+        "n_tokens": int(totals["n"] or 0),
+        "vocab": int(totals["v"] or 0),
+    }
+
+
+def ngram_lm3_score(
+    docs: DataFrame,
+    train: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    lam3: float = 0.5,
+    lam2: float = 0.3,
+    min_count: int = 1,
+    lm: dict | None = None,
+) -> DataFrame:
+    """Per-document cross-entropy (nats/token) and perplexity under an
+    interpolated trigram LM with lower-order backoff (r10):
+
+      p(w3 | w1, w2) = lam3 * c(w1 w2 w3) / c(w1 w2)
+                     + lam2 * c(w2 w3)   / c(w2)
+                     + lam1 * (c(w3) + alpha) / (N + alpha * V)
+
+    with lam1 = 1 - lam3 - lam2. Unseen higher-order contexts (OOV
+    history, a fresh trigram, position < 3) contribute 0 and the
+    mass falls through to the lower orders — Jelinek-Mercer
+    interpolation with coalesce-to-zero backoff, the same convention
+    the bigram model pins. The FIRST token of a document is scored by
+    the smoothed unigram alone (full mass, matching ngram_lm_score).
+
+    Scale shape: scoring is five left joins against the count tables
+    — unigram twice (w3 prob + w2 denominator; vocab-sized, usually
+    broadcast), pair counts twice ((w2,w3) numerator + (w1,w2)
+    trigram denominator), trigram once. All token-keyed shuffle hash
+    joins at corpus scale; quality_tiers consumes the output
+    unchanged (same (id, n_tokens, cross_entropy, perplexity)
+    contract as the bigram scorer)."""
+    if not (0.0 < lam3 + lam2 < 1.0) or lam3 < 0 or lam2 < 0:
+        raise ValueError("need lam3, lam2 >= 0 with 0 < lam3 + lam2 < 1")
+    lam1 = 1.0 - lam3 - lam2
+    if lm is None:
+        lm = fit_ngram_lm3(
+            train if train is not None else docs, text_col, min_count
+        )
+    n_tok, vocab = lm["n_tokens"], lm["vocab"]
+    if n_tok == 0:
+        arr = _tok_arr(F.col(text_col))
+        return docs.select(
+            F.col(id_col),
+            F.size(arr).cast("long").alias("n_tokens"),
+            F.lit(0.0).alias("cross_entropy"),
+            F.lit(1.0).alias("perplexity"),
+        )
+    stream = (
+        docs.select(F.col(id_col), _tok_arr(F.col(text_col)).alias("__ws"))
+        .select(
+            F.col(id_col), F.explode(_tri_arr_from(F.col("__ws"))).alias("t")
+        )
+        .select(id_col, "t.w1", "t.w2", "t.w3")
+    )
+    uni, bi, tri = lm["uni"], lm["bi"], lm["tri"]
+    floor = alpha / (n_tok + alpha * vocab)
+    p_uni = (F.col("__c3") + F.lit(alpha)) / F.lit(n_tok + alpha * vocab)
+    uni_term = F.coalesce(p_uni, F.lit(floor))
+    scored = (
+        stream.join(
+            uni.select(F.col("w").alias("w3"), F.col("c").alias("__c3")),
+            on="w3", how="left",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c").alias("__c2")),
+            on="w2", how="left",
+        )
+        .join(
+            bi.select(
+                F.col("wa").alias("w2"), F.col("wb").alias("w3"),
+                F.col("c").alias("__cb"),
+            ),
+            on=["w2", "w3"], how="left",
+        )
+        .join(
+            bi.select(
+                F.col("wa").alias("w1"), F.col("wb").alias("w2"),
+                F.col("c").alias("__cctx"),
+            ),
+            on=["w1", "w2"], how="left",
+        )
+        .join(
+            tri.withColumnRenamed("c", "__ct"),
+            on=["w1", "w2", "w3"], how="left",
+        )
+        .select(
+            id_col,
+            F.when(F.col("w2").isNull(), F.log(uni_term))
+            .otherwise(
+                F.log(
+                    F.lit(lam3)
+                    * F.coalesce(F.col("__ct") / F.col("__cctx"), F.lit(0.0))
+                    + F.lit(lam2)
+                    * F.coalesce(F.col("__cb") / F.col("__c2"), F.lit(0.0))
+                    + F.lit(lam1) * uni_term
+                )
+            )
+            .alias("__lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        (-F.avg("__lp")).alias("cross_entropy"),
+    )
+    out = docs.select(id_col).join(per_doc, on=id_col, how="left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("cross_entropy", F.lit(0.0)).alias("cross_entropy"),
+    )
+    return out.withColumn("perplexity", F.exp("cross_entropy"))
+
+
 def quality_tiers(
     scored: DataFrame,
     n_tiers: int = 4,

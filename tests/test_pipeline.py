@@ -4654,3 +4654,127 @@ def test_clean_corpus_span_dedup_stage(spark):
 
     with _pytest.raises(ValueError, match="span_dedup"):
         clean_corpus(d, use_gopher=False, dedup="exact", span_dedup="bogus")
+
+
+def test_ngram_lm3_score_matches_hand_computation(spark):
+    """Interpolated trigram LM (r10): per-token log-probs match a
+    pure-Python recomputation of the same counts and interpolation on
+    a tiny corpus (self-scored), including the position-1 unigram
+    branch and the position-2 trigram-term-zero branch."""
+    import math
+    from collections import Counter
+
+    from functime_spark.pipeline.lm import ngram_lm3_score
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on the hat",
+        3: "a dog ran",
+    }
+    d = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in ngram_lm3_score(d).collect()}
+
+    toks = {k: v.split() for k, v in texts.items()}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    bi = Counter(
+        (ws[i - 1], ws[i]) for ws in toks.values() for i in range(1, len(ws))
+    )
+    tri = Counter(
+        (ws[i - 2], ws[i - 1], ws[i])
+        for ws in toks.values()
+        for i in range(2, len(ws))
+    )
+    n = sum(uni.values())
+    v = len(uni)
+    alpha, l3, l2 = 0.5, 0.5, 0.3
+    l1 = 1.0 - l3 - l2
+
+    def pu(w):
+        return (uni[w] + alpha) / (n + alpha * v)
+
+    for did, ws in toks.items():
+        lps = [math.log(pu(ws[0]))]
+        for i in range(1, len(ws)):
+            t3 = 0.0
+            if i >= 2 and bi[(ws[i - 2], ws[i - 1])]:
+                t3 = tri[(ws[i - 2], ws[i - 1], ws[i])] / bi[
+                    (ws[i - 2], ws[i - 1])
+                ]
+            t2 = bi[(ws[i - 1], ws[i])] / uni[ws[i - 1]]
+            lps.append(math.log(l3 * t3 + l2 * t2 + l1 * pu(ws[i])))
+        ce = -sum(lps) / len(lps)
+        assert abs(out[did]["cross_entropy"] - ce) < 1e-12
+        assert out[did]["n_tokens"] == len(ws)
+        assert abs(out[did]["perplexity"] - math.exp(ce)) < 1e-12
+
+
+def test_ngram_lm3_heldout_oov_and_tiers(spark):
+    """Held-out trigram scoring: OOV tokens ride the unigram floor
+    (finite score, no -inf), unseen contexts zero the higher-order
+    terms; quality_tiers consumes the trigram scores unchanged (the
+    'either model' contract); degenerate empty fit scores neutrally;
+    bad lambdas raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from functime_spark.pipeline.lm import (
+        fit_ngram_lm3,
+        ngram_lm3_score,
+        quality_tiers,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat on the rug")],
+        ["doc_id", "text"],
+    )
+    test = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zebra xylophone quux"),
+         (12, "cat zebra sat")],
+        ["doc_id", "text"],
+    )
+    lm = fit_ngram_lm3(train)
+    out = {r["doc_id"]: r for r in ngram_lm3_score(test, lm=lm).collect()}
+    import math
+
+    for did in (10, 11, 12):
+        assert math.isfinite(out[did]["cross_entropy"])
+    # pure-OOV doc scores strictly worse than the in-domain one
+    assert out[11]["cross_entropy"] > out[10]["cross_entropy"]
+
+    scored = ngram_lm3_score(test, lm=lm)
+    tiers = quality_tiers(scored, n_tiers=2, exact=True)
+    got = {r["doc_id"]: r["tier"] for r in tiers.collect()}
+    assert got[10] == 0 and got[11] == 1
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    neutral = ngram_lm3_score(test, train=empty).collect()
+    assert all(r["cross_entropy"] == 0.0 for r in neutral)
+
+    with _pytest.raises(ValueError, match="lam"):
+        ngram_lm3_score(test, lam3=0.9, lam2=0.2)
+
+
+def test_clean_corpus_trigram_tier(spark):
+    """clean_corpus(lm_order=3): the perplexity stage scores with the
+    trigram LM and the tier cut keeps the requested share; lm_order
+    validation raises."""
+    import pytest as _pytest
+
+    from functime_spark.pipeline.clean import clean_corpus
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").limit(60)
+    clean, report = clean_corpus(
+        docs, use_gopher=False, dedup="exact", max_tier=1, n_tiers=4,
+        lm_order=3, exact_tiers=True,
+    )
+    rep = {r["stage"]: (r["docs_in"], r["docs_out"]) for r in report.collect()}
+    n_in, n_out = rep["perplexity_tier"]
+    # tiers 0..1 of 4 ~= half the corpus (exact split depends on ties)
+    assert 0 < n_out < n_in and abs(n_out - n_in / 2) <= n_in * 0.2
+    assert clean.count() == n_out
+
+    with _pytest.raises(ValueError, match="lm_order"):
+        clean_corpus(docs, use_gopher=False, dedup="exact", max_tier=1,
+                     lm_order=4)
