@@ -2518,6 +2518,66 @@ def q_media_curate(spark, sf_dir):
     return _round_floats(out)
 
 
+def q_media_exif(spark, sf_dir):
+    """EXIF extraction (r10): REAL JPEG payloads are built in-query
+    (encode_jpeg + a spliced build_exif_app1 APP1 segment whose IFD
+    fields are pure functions of doc_id), then extract_exif walks the
+    markers and the embedded TIFF IFDs back out. The oracle recomputes
+    the planted fields directly from doc_id — independent ground
+    truth; any byte the IFD writer or reader misplaces breaks a value.
+    doc_id % 33 rows carry NO APP1 (all-null branch), odd ids no Exif
+    sub-IFD, % 4 != 0 no GPS IFD — every absence branch live."""
+    _ensure_nanos_conf(spark)
+    import numpy as np
+
+    from functime_spark.pipeline.jpeg import encode_jpeg
+    from functime_spark.pipeline.multimodal import extract_exif, insert_exif
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 11 == 0)
+        .select("doc_id")
+    )
+    base = encode_jpeg(np.full((4, 4), 128, dtype=np.uint8))
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 33 == 0:
+                    payloads.append(base)
+                    continue
+                dt = "2024:%02d:%02d" % (1 + did % 12, 1 + did % 28)
+                payloads.append(
+                    insert_exif(
+                        base,
+                        make=f"Cam{did % 5}",
+                        model=f"M-{did % 3}",
+                        orientation=1 + did % 8,
+                        datetime=f"{dt} 12:00:00",
+                        datetime_original=(
+                            f"{dt} 13:00:00" if did % 2 == 0 else None
+                        ),
+                        gps=(52.5, 13.4) if did % 4 == 0 else None,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(
+        build, schema="media_id long, kind string, payload binary"
+    )
+    return extract_exif(media).orderBy("media_id")
+
+
 def q_media_curate_report(spark, sf_dir):
     """curate_media's per-stage attrition report (decode -> size ->
     dedup), each stage's in/out counts replayed as plain predicates
@@ -3668,6 +3728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_tiff_roundtrip": q_media_tiff_roundtrip,
             "media_dhash": q_media_dhash,
             "media_dhash_dedup": q_media_dhash_dedup,
+            "media_exif": q_media_exif,
             "text_hybrid_rrf": q_text_hybrid_rrf,
             "text_bm25_incremental": q_text_bm25_incremental,
             "scale_cms_counts": q_scale_cms_counts,

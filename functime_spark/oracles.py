@@ -1390,6 +1390,31 @@ def operator_oracles() -> dict:
         "SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 4 "
         "ORDER BY id_a, id_b"
     )
+    # media_exif (r10): planted-structure ground truth (the
+    # domain_stats convention) — the Spark side must recover every
+    # field from REAL JPEG/APP1/TIFF-IFD bytes it wrote itself; the
+    # oracle recomputes the planted values straight from doc_id.
+    _exif_dt = (
+        "'2024:' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || "
+        "':' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')"
+    )
+    o["media_exif"] = (
+        "SELECT doc_id AS media_id, "
+        "CASE WHEN doc_id % 33 = 0 THEN NULL "
+        "ELSE 'Cam' || CAST(doc_id % 5 AS VARCHAR) END AS exif_make, "
+        "CASE WHEN doc_id % 33 = 0 THEN NULL "
+        "ELSE 'M-' || CAST(doc_id % 3 AS VARCHAR) END AS exif_model, "
+        "CASE WHEN doc_id % 33 = 0 THEN NULL "
+        "ELSE CAST(1 + doc_id % 8 AS INT) END AS exif_orientation, "
+        f"CASE WHEN doc_id % 33 = 0 THEN NULL ELSE {_exif_dt} || "
+        "' 12:00:00' END AS exif_datetime, "
+        "CASE WHEN doc_id % 33 = 0 OR doc_id % 2 = 1 THEN NULL ELSE "
+        f"{_exif_dt} || ' 13:00:00' END AS exif_datetime_original, "
+        "CASE WHEN doc_id % 33 = 0 THEN NULL "
+        "ELSE doc_id % 4 = 0 END AS exif_has_gps "
+        "FROM documents WHERE doc_id % 11 = 0 ORDER BY media_id"
+    )
+
     # media_audio: the time-domain audio features replayed from the
     # SAME integer PCM formula the Spark query packs into real WAV
     # bytes — duration = n/rate exactly, rms over v/32768, zcr as the

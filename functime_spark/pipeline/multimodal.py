@@ -38,7 +38,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     FloatType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -857,6 +859,276 @@ def decode_mjpeg(payload: bytes) -> dict:
     return decode_mjpeg_first_frame(payload)
 
 
+# ---------------------------------------------------------------------------
+# EXIF metadata (r10): curation filters on camera/timestamp/orientation/
+# GPS-presence without decoding a single pixel. APP1 carries a complete
+# embedded TIFF stream, so the reader is the decode_tiff IFD walk
+# (multimodal.py:641) extended with the ASCII/RATIONAL entry types EXIF
+# uses. Reference behavior: functime has no media tier — this follows
+# the public EXIF 2.3 / TIFF 6.0 specs.
+# ---------------------------------------------------------------------------
+
+_IFD_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _ifd_tags(tiff: bytes, bo: str, ifd_off: int) -> dict:
+    """One IFD's tags from an in-memory TIFF stream: {tag: value}
+    where ASCII (type 2) decodes to a NUL-stripped str, SHORT/LONG/
+    BYTE to a list of ints, RATIONAL to a list of (num, den) tuples.
+    Same entry arithmetic as decode_tiff's walk, widened to the EXIF
+    entry types; unknown types are skipped (forward-compatible, per
+    TIFF 6.0 §7)."""
+    import struct
+
+    tags: dict = {}
+    if ifd_off + 2 > len(tiff):
+        raise ValueError("truncated IFD")
+    n = struct.unpack(bo + "H", tiff[ifd_off:ifd_off + 2])[0]
+    for i in range(n):
+        e = tiff[ifd_off + 2 + 12 * i:ifd_off + 14 + 12 * i]
+        if len(e) < 12:
+            raise ValueError("truncated IFD entry")
+        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+        if typ not in _IFD_TYPE_SIZE:
+            continue
+        sz = _IFD_TYPE_SIZE[typ] * cnt
+        if sz <= 4:
+            raw = e[8:8 + sz]
+        else:
+            off = struct.unpack(bo + "I", e[8:12])[0]
+            raw = tiff[off:off + sz]
+        if len(raw) < sz:
+            raise ValueError("truncated IFD value")
+        if typ == 2:
+            tags[tag] = raw.split(b"\x00", 1)[0].decode("ascii", "replace")
+        elif typ == 5:
+            vals = struct.unpack(bo + str(2 * cnt) + "I", raw)
+            tags[tag] = [
+                (vals[2 * j], vals[2 * j + 1]) for j in range(cnt)
+            ]
+        else:
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            tags[tag] = list(struct.unpack(bo + str(cnt) + fmt, raw))
+    return tags
+
+
+def build_exif_app1(
+    make: str | None = None,
+    model: str | None = None,
+    orientation: int | None = None,
+    datetime: str | None = None,
+    datetime_original: str | None = None,
+    gps: tuple | None = None,
+) -> bytes:
+    """A complete JPEG APP1 segment (FFE1 marker + length + 'Exif\\0\\0'
+    + little-endian TIFF) carrying the given IFD0 fields, an Exif
+    sub-IFD when datetime_original is set, and a GPS IFD when ``gps``
+    = (lat_deg, lon_deg) floats is set — the write half parse_exif
+    round-trips, and the constructed-payload source for the media_exif
+    gate."""
+    import struct
+
+    def ascii_entry(tag, s):
+        return (tag, 2, s.encode("ascii") + b"\x00")
+
+    ifd0 = []
+    if make is not None:
+        ifd0.append(ascii_entry(271, make))
+    if model is not None:
+        ifd0.append(ascii_entry(272, model))
+    if orientation is not None:
+        ifd0.append((274, 3, struct.pack("<HH", orientation, 0)))
+    if datetime is not None:
+        ifd0.append(ascii_entry(306, datetime))
+
+    def rational(v, den=1000000):
+        return struct.pack("<II", int(round(abs(v) * den)), den)
+
+    exif_ifd = []
+    if datetime_original is not None:
+        exif_ifd.append(ascii_entry(36867, datetime_original))
+    gps_ifd = []
+    if gps is not None:
+        lat, lon = gps
+        gps_ifd.append((1, 2, (b"N" if lat >= 0 else b"S") + b"\x00"))
+        gps_ifd.append((2, 5, rational(lat)))
+        gps_ifd.append((3, 2, (b"E" if lon >= 0 else b"W") + b"\x00"))
+        gps_ifd.append((4, 5, rational(lon)))
+
+    n0 = len(ifd0) + (1 if exif_ifd else 0) + (1 if gps_ifd else 0)
+
+    def ifd_block(entries, ifd_off, pointers=()):
+        """(block bytes, extra bytes) for one IFD whose >4-byte values
+        land right after the IFD block; ``pointers`` are pre-resolved
+        (tag, LONG offset) entries appended in tag order."""
+        n = len(entries) + len(pointers)
+        extra = b""
+        pos = ifd_off + 2 + 12 * n + 4
+        rows = []
+        for tag, typ, raw in entries:
+            cnt = len(raw) // _IFD_TYPE_SIZE[typ] if typ != 3 else 1
+            if typ == 3:
+                raw = raw[:4]
+            if len(raw) <= 4:
+                val = raw.ljust(4, b"\x00")
+            else:
+                val = struct.pack("<I", pos)
+                pad = len(raw) % 2
+                extra += raw + b"\x00" * pad
+                pos += len(raw) + pad
+            rows.append((tag, typ, cnt, val))
+        for tag, off in pointers:
+            rows.append((tag, 4, 1, struct.pack("<I", off)))
+        blk = struct.pack("<H", n)
+        for tag, typ, cnt, val in sorted(rows):
+            blk += struct.pack("<HHI", tag, typ, cnt) + val
+        blk += struct.pack("<I", 0)
+        return blk, extra
+
+    # layout: TIFF header (8) | IFD0 block | IFD0 extras | exif IFD
+    # block+extras | gps IFD block+extras — sub-IFD offsets computed
+    # from the sizes of everything before them (two dry passes)
+    def block_size(entries, n_ptr):
+        n = len(entries) + n_ptr
+        sz = 2 + 12 * n + 4
+        for _, typ, raw in entries:
+            if typ == 3:
+                raw = raw[:4]
+            if len(raw) > 4:
+                sz += len(raw) + len(raw) % 2
+        return sz
+
+    exif_off = 8 + block_size(ifd0, (1 if exif_ifd else 0) + (1 if gps_ifd else 0))
+    gps_off = exif_off + (block_size(exif_ifd, 0) if exif_ifd else 0)
+    pointers = []
+    if exif_ifd:
+        pointers.append((34665, exif_off))
+    if gps_ifd:
+        pointers.append((34853, gps_off))
+    blk0, ex0 = ifd_block(ifd0, 8, pointers)
+    tiff = b"II" + struct.pack("<HI", 42, 8) + blk0 + ex0
+    assert not exif_ifd or len(tiff) == exif_off
+    if exif_ifd:
+        blk, ex = ifd_block(exif_ifd, exif_off)
+        tiff += blk + ex
+    assert not gps_ifd or len(tiff) == gps_off
+    if gps_ifd:
+        blk, ex = ifd_block(gps_ifd, gps_off)
+        tiff += blk + ex
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def insert_exif(jpeg_payload: bytes, **fields) -> bytes:
+    """Splice a build_exif_app1 segment into an existing JPEG right
+    after SOI (where JFIF/EXIF writers put APP1)."""
+    if jpeg_payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    return jpeg_payload[:2] + build_exif_app1(**fields) + jpeg_payload[2:]
+
+
+def parse_exif(payload: bytes) -> dict | None:
+    """EXIF fields from a JPEG (APP1 marker walk — pixels are never
+    decoded) or a bare TIFF payload. Returns {"make", "model",
+    "orientation", "datetime", "datetime_original", "has_gps"} with
+    None for absent fields, or None when the payload carries no EXIF
+    at all. Corrupt EXIF raises ValueError (callers in curation
+    pipelines catch and treat as no-EXIF)."""
+    import struct
+
+    tiff = None
+    if payload[:2] == b"\xff\xd8":  # JPEG: walk segment markers
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                break
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            if marker in (0xD9, 0xDA):  # EOI / SOS: no APP1 ahead
+                break
+            seglen = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+            if marker == 0xE1 and payload[
+                pos + 4:pos + 10
+            ] == b"Exif\x00\x00":
+                tiff = payload[pos + 10:pos + 2 + seglen]
+                break
+            pos += 2 + seglen
+    elif payload[:2] in (b"II", b"MM"):
+        tiff = payload
+    if tiff is None:
+        return None
+    if len(tiff) < 8 or tiff[:2] not in (b"II", b"MM"):
+        raise ValueError("corrupt EXIF: bad TIFF header")
+    bo = "<" if tiff[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack(bo + "HI", tiff[2:8])
+    if magic != 42:
+        raise ValueError("corrupt EXIF: TIFF magic != 42")
+    tags = _ifd_tags(tiff, bo, ifd_off)
+    out = {
+        "make": tags.get(271),
+        "model": tags.get(272),
+        "orientation": tags[274][0] if 274 in tags else None,
+        "datetime": tags.get(306),
+        "datetime_original": None,
+        "has_gps": 34853 in tags,
+    }
+    if 34665 in tags:  # Exif sub-IFD
+        sub = _ifd_tags(tiff, bo, tags[34665][0])
+        out["datetime_original"] = sub.get(36867)
+    return out
+
+
+def extract_exif(media: DataFrame) -> DataFrame:
+    """(media_id, exif_make, exif_model, exif_orientation,
+    exif_datetime, exif_datetime_original, exif_has_gps) via ONE
+    mapInPandas marker-walk pass — metadata extraction never touches
+    entropy-coded pixel data, so it runs at I/O speed regardless of
+    image size. No-EXIF and corrupt-EXIF payloads yield all-null
+    fields (has_gps null), the scraped-corpus convention."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "exif_make": [], "exif_model": [],
+                "exif_orientation": [], "exif_datetime": [],
+                "exif_datetime_original": [], "exif_has_gps": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    d = parse_exif(bytes(payload))
+                except Exception:
+                    d = None
+                out["media_id"].append(mid)
+                out["exif_make"].append(d["make"] if d else None)
+                out["exif_model"].append(d["model"] if d else None)
+                out["exif_orientation"].append(
+                    d["orientation"] if d else None
+                )
+                out["exif_datetime"].append(d["datetime"] if d else None)
+                out["exif_datetime_original"].append(
+                    d["datetime_original"] if d else None
+                )
+                out["exif_has_gps"].append(d["has_gps"] if d else None)
+            yield pd.DataFrame(out)
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("exif_make", StringType()),
+            StructField("exif_model", StringType()),
+            StructField("exif_orientation", IntegerType()),
+            StructField("exif_datetime", StringType()),
+            StructField("exif_datetime_original", StringType()),
+            StructField("exif_has_gps", BooleanType()),
+        ]
+    )
+    return media.mapInPandas(run, schema=schema)
+
+
 #: name -> fn(payload: bytes) -> {"array": np.ndarray, ...}
 _DECODERS: dict = {
     "ppm": decode_ppm,
@@ -1231,6 +1503,8 @@ def curate_media(
     min_height: int = 0,
     dedup: bool = True,
     dim: int = 64,
+    exif: bool = False,
+    exif_where: str | None = None,
 ) -> tuple:
     """The media analog of `clean_corpus` (clean.py): returns
     (curated, report) where `curated` carries every payload that
@@ -1243,6 +1517,13 @@ def curate_media(
        raised (corrupt/truncated/wrong-format files are a fact of
        scraped corpora); decoded width/height ride along;
     2. size — drop below min_width x min_height (thumbnail filter);
+    2b. exif (``exif=True``, r10) — parse_exif's APP1 marker walk
+       rides the SAME decode pass (the payload bytes are already in
+       hand), emitting exif_make/_model/_orientation/_datetime/
+       _datetime_original/_has_gps columns (all null when absent);
+       ``exif_where`` then applies a SQL predicate over them as a
+       counted attrition stage (e.g. "exif_datetime IS NOT NULL AND
+       NOT exif_has_gps" — the publish-safety filter);
     3. dedup — exact content dedup on md5(payload), keep lowest id
        (same winner rule as pipeline.dedup.exact_dedup);
     4. features — pool_features over the decoded array (dim floats).
@@ -1259,6 +1540,12 @@ def curate_media(
     fn = _resolve_decoder(decoder)
     if fn is None:
         raise ValueError("curate_media needs a real decoder, not 'fake'")
+    if exif_where is not None and not exif:
+        raise ValueError("exif_where requires exif=True")
+    exif_cols = (
+        "exif_make", "exif_model", "exif_orientation", "exif_datetime",
+        "exif_datetime_original", "exif_has_gps",
+    )
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -1268,6 +1555,27 @@ def curate_media(
                 continue
             out = {"media_id": [], "kind": [], "payload": [], "width": [],
                    "height": [], "feature": []}
+            if exif:
+                out.update({c: [] for c in exif_cols})
+
+            def exif_row(raw):
+                if not exif:
+                    return
+                try:
+                    d = parse_exif(raw) if raw is not None else None
+                except Exception:
+                    d = None
+                out["exif_make"].append(d["make"] if d else None)
+                out["exif_model"].append(d["model"] if d else None)
+                out["exif_orientation"].append(
+                    d["orientation"] if d else None
+                )
+                out["exif_datetime"].append(d["datetime"] if d else None)
+                out["exif_datetime_original"].append(
+                    d["datetime_original"] if d else None
+                )
+                out["exif_has_gps"].append(d["has_gps"] if d else None)
+
             for mid, kind, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
@@ -1284,6 +1592,7 @@ def curate_media(
                     out["width"].append(None)
                     out["height"].append(None)
                     out["feature"].append(None)
+                    exif_row(None)
                     continue
                 w = int(d.get("width", arr.shape[1] if arr.ndim > 1 else len(arr)))
                 h = int(d.get("height", arr.shape[0]))
@@ -1293,18 +1602,27 @@ def curate_media(
                 out["width"].append(w)
                 out["height"].append(h)
                 out["feature"].append(pool_features(arr, dim).tolist())
+                exif_row(raw)
             yield pd.DataFrame(out)
 
-    decoded_schema = StructType(
-        [
-            StructField("media_id", LongType()),
-            StructField("kind", StringType()),
-            StructField("payload", BinaryType()),
-            StructField("width", LongType()),
-            StructField("height", LongType()),
-            StructField("feature", ArrayType(FloatType())),
+    decoded_fields = [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+    if exif:
+        decoded_fields += [
+            StructField("exif_make", StringType()),
+            StructField("exif_model", StringType()),
+            StructField("exif_orientation", IntegerType()),
+            StructField("exif_datetime", StringType()),
+            StructField("exif_datetime_original", StringType()),
+            StructField("exif_has_gps", BooleanType()),
         ]
-    )
+    decoded_schema = StructType(decoded_fields)
     from functime_spark.materialize import materialize
 
     # ONE decode pass over the caller's lineage emits survivors AND
@@ -1318,6 +1636,12 @@ def curate_media(
         (F.col("width") >= min_width) & (F.col("height") >= min_height)
     )
     n_sized = sized.count()
+    exif_stage = None
+    n_pre_dedup = n_sized
+    if exif_where is not None:
+        sized = sized.where(exif_where)
+        n_pre_dedup = sized.count()
+        exif_stage = ("exif", n_sized, n_pre_dedup)
     if dedup:
         # the exact_dedup shape: one md5-keyed min_by hash aggregate
         # (map-side combine, no sort) carries each key's winning row
@@ -1333,12 +1657,11 @@ def curate_media(
         curated = sized
     n_out = curated.count()
     spark = media.sparkSession
+    rows = [("decode", n_in, n_dec), ("size", n_dec, n_sized)]
+    if exif_stage is not None:
+        rows.append(exif_stage)
+    rows.append(("dedup", n_pre_dedup, n_out))
     report = spark.createDataFrame(
-        [
-            ("decode", n_in, n_dec),
-            ("size", n_dec, n_sized),
-            ("dedup", n_sized, n_out),
-        ],
-        "stage string, rows_in long, rows_out long",
+        rows, "stage string, rows_in long, rows_out long"
     )
     return curated, report

@@ -4778,3 +4778,94 @@ def test_clean_corpus_trigram_tier(spark):
     with _pytest.raises(ValueError, match="lm_order"):
         clean_corpus(docs, use_gopher=False, dedup="exact", max_tier=1,
                      lm_order=4)
+
+
+def test_exif_build_parse_roundtrip(spark):
+    """build_exif_app1 -> parse_exif round-trips every field through
+    real APP1/TIFF-IFD bytes; partial field sets, no-EXIF JPEGs, and
+    corrupt EXIF behave per contract; the spliced JPEG still
+    pixel-decodes identically (APP1 is transparent to the scan) AND
+    javax.imageio — the independent referee — reads it."""
+    import numpy as np
+    import pytest as _pytest
+
+    from functime_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+    from functime_spark.pipeline.multimodal import insert_exif, parse_exif
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (8, 8)).astype(np.uint8)  # textured
+    base = encode_jpeg(arr)
+    full = insert_exif(
+        base, make="CamX", model="M-1", orientation=6,
+        datetime="2024:03:09 12:00:00",
+        datetime_original="2024:03:09 13:00:00", gps=(52.52, 13.405),
+    )
+    assert parse_exif(full) == {
+        "make": "CamX", "model": "M-1", "orientation": 6,
+        "datetime": "2024:03:09 12:00:00",
+        "datetime_original": "2024:03:09 13:00:00", "has_gps": True,
+    }
+    assert parse_exif(base) is None
+    got = parse_exif(insert_exif(base, orientation=3))
+    assert got["orientation"] == 3 and got["make"] is None
+    assert got["has_gps"] is False
+    with _pytest.raises(ValueError, match="SOI"):
+        insert_exif(b"not a jpeg", make="x")
+    # APP1 transparent to both decoders
+    assert (decode_jpeg(full)["array"] == decode_jpeg(base)["array"]).all()
+    jvm = spark.sparkContext._jvm
+    bais = jvm.java.io.ByteArrayInputStream(bytearray(full))
+    jimg = jvm.javax.imageio.ImageIO.read(bais)
+    assert jimg.getWidth() == 8 and jimg.getHeight() == 8
+
+
+def test_extract_exif_and_curate_hook(spark):
+    """extract_exif over a mixed frame (full EXIF / no EXIF / corrupt
+    payload) nulls the right rows; curate_media(exif=True,
+    exif_where=...) emits the exif_* columns, counts the filter stage,
+    and keeps the stage chain consistent."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from functime_spark.pipeline.jpeg import encode_jpeg
+    from functime_spark.pipeline.multimodal import (
+        curate_media,
+        extract_exif,
+        insert_exif,
+    )
+
+    arr = (np.arange(64).reshape(8, 8) * 4 % 256).astype(np.uint8)
+    base = encode_jpeg(arr)
+    rows = [
+        (1, "image", bytearray(insert_exif(
+            base, make="A", datetime="2024:01:01 00:00:00")), "{}"),
+        (2, "image", bytearray(insert_exif(base, make="B", gps=(1.0, 2.0))),
+         "{}"),
+        (3, "image", bytearray(base), "{}"),
+        (4, "image", bytearray(b"\xff\xd8garbage"), "{}"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta string"
+    )
+    ex = {r["media_id"]: r for r in extract_exif(media).collect()}
+    assert ex[1]["exif_make"] == "A" and ex[1]["exif_has_gps"] is False
+    assert ex[2]["exif_has_gps"] is True
+    assert ex[3]["exif_make"] is None and ex[3]["exif_has_gps"] is None
+    assert ex[4]["exif_make"] is None  # corrupt -> all-null, no raise
+
+    curated, report = curate_media(
+        media, decoder="jpeg", exif=True,
+        exif_where="exif_datetime IS NOT NULL",
+    )
+    rep = {r["stage"]: (r["rows_in"], r["rows_out"]) for r in report.collect()}
+    assert rep["decode"] == (4, 3)  # garbage payload dropped
+    assert rep["exif"] == (3, 1)    # only id 1 carries a datetime
+    assert rep["dedup"] == (1, 1)
+    out = curated.collect()
+    assert [r["media_id"] for r in out] == [1]
+    assert out[0]["exif_make"] == "A"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exif_where"):
+        curate_media(media, decoder="jpeg", exif_where="1=1")
