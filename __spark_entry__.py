@@ -2914,6 +2914,30 @@ def q_media_dhash_dedup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_media_dhash_incr(spark, sf_dir):
+    """Incremental dHash dedup against a persisted signature store
+    (r10): even-id images form the historical phash store (signatures
+    only — no historical pixels touched), odd-id images arrive as the
+    new batch; matches are new-vs-store + new-vs-new only (id_a always
+    the new image), replayed in SQL with the same per-side bucket
+    caps and store-vs-store exclusion."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.multimodal import (
+        dhash_dedup_incremental,
+        dhash_media,
+    )
+
+    media = _dhash_media_input(spark, sf_dir, group=True)
+    store = dhash_media(
+        media.filter(F.col("media_id") % 2 == 0), decoder="ppm"
+    )
+    new = media.filter(F.col("media_id") % 2 == 1)
+    pairs, _ = dhash_dedup_incremental(new, store, max_hamming=4)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("id_a", "id_b")
+
+
 def q_media_tiff_roundtrip(spark, sf_dir):
     """TIFF encode->decode round-trip value-gated (r9): each
     doc_id % 19 builds a 4x5 RGB array c(doc_id, j) =
@@ -3729,6 +3753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_dhash": q_media_dhash,
             "media_dhash_dedup": q_media_dhash_dedup,
             "media_exif": q_media_exif,
+            "media_dhash_incr": q_media_dhash_incr,
             "text_hybrid_rrf": q_text_hybrid_rrf,
             "text_bm25_incremental": q_text_bm25_incremental,
             "scale_cms_counts": q_scale_cms_counts,

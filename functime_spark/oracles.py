@@ -1390,6 +1390,37 @@ def operator_oracles() -> dict:
         "SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 4 "
         "ORDER BY id_a, id_b"
     )
+    # media_dhash_incr (r10): the SAME signature formula split into an
+    # even-id store and an odd-id batch; bucket caps apply PER SIDE
+    # (matching the operator's _cap_buckets on each banded frame),
+    # new-vs-new needs id_a < id_b, new-vs-store any order, and
+    # store-vs-store pairs never appear.
+    o["media_dhash_incr"] = (
+        "WITH m AS (SELECT doc_id, md5(CAST(doc_id // 5 AS VARCHAR)) AS h "
+        "FROM documents), "
+        f"sig AS (SELECT doc_id, ({_dhash_terms(_pb_group)}) AS phash FROM m), "
+        "banded AS (SELECT doc_id, phash, t.band, "
+        "(phash >> (t.band * 16)) & 65535 AS band_val "
+        "FROM sig, (SELECT unnest(range(0, 4)) AS band) t), "
+        "cn AS (SELECT * FROM (SELECT *, COUNT(*) OVER "
+        "(PARTITION BY band, band_val) AS bsz FROM banded "
+        "WHERE doc_id % 2 = 1) WHERE bsz <= 512), "
+        "co AS (SELECT * FROM (SELECT *, COUNT(*) OVER "
+        "(PARTITION BY band, band_val) AS bsz FROM banded "
+        "WHERE doc_id % 2 = 0) WHERE bsz <= 512), "
+        "pairs AS ("
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming "
+        "FROM cn a JOIN cn b ON a.band = b.band "
+        "AND a.band_val = b.band_val AND a.doc_id < b.doc_id "
+        "UNION "
+        "SELECT a.doc_id, b.doc_id, "
+        "CAST(bit_count(xor(a.phash, b.phash)) AS INT) "
+        "FROM cn a JOIN co b ON a.band = b.band "
+        "AND a.band_val = b.band_val) "
+        "SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 4 "
+        "ORDER BY id_a, id_b"
+    )
     # media_exif (r10): planted-structure ground truth (the
     # domain_stats convention) — the Spark side must recover every
     # field from REAL JPEG/APP1/TIFF-IFD bytes it wrote itself; the

@@ -1285,28 +1285,15 @@ def dhash_media(
     return media.mapInPandas(run, schema=schema)
 
 
-def dhash_near_dups(
-    media: DataFrame,
-    decoder="ppm",
-    hash_size: int = 8,
-    max_hamming: int = 6,
-    band_bits: int = 16,
-    max_bucket_size: int = 512,
+def _banded_phash(
+    sigs: DataFrame, band_bits: int, max_bucket_size: int
 ) -> DataFrame:
-    """Near-duplicate IMAGE pairs (r9): dHash fingerprints -> 16-bit
-    band buckets -> exact Hamming verify <= max_hamming — the
-    simhash_near_dups recipe pointed at pixels instead of tokens (the
-    scraped-corpus shape: re-encoded/resized copies keep their dHash
-    within a few bits). Buckets past `max_bucket_size` drop (the
-    _cap_buckets wall). Returns (id_a, id_b, hamming)."""
+    """(media_id, phash, band, band_val) LSH index rows from a
+    (media_id, phash) signature frame, oversized buckets dropped —
+    shared by dhash_near_dups and dhash_dedup_incremental (one
+    definition, no drift)."""
     from functime_spark.pipeline.dedup import _cap_buckets
 
-    sigs = dhash_media(media, decoder=decoder, hash_size=hash_size)
-    # n_media rows of (id, long) — pin so the decode+hash pass runs
-    # once, not once per self-join side
-    from functime_spark.materialize import materialize
-
-    sigs = materialize(sigs)
     n_bands = 64 // band_bits
     banded = sigs.select(
         "media_id",
@@ -1322,7 +1309,30 @@ def dhash_near_dups(
             )
         ).alias("band", "band_val"),
     )
-    banded = _cap_buckets(banded, ["band", "band_val"], max_bucket_size)
+    return _cap_buckets(banded, ["band", "band_val"], max_bucket_size)
+
+
+def dhash_near_dups(
+    media: DataFrame,
+    decoder="ppm",
+    hash_size: int = 8,
+    max_hamming: int = 6,
+    band_bits: int = 16,
+    max_bucket_size: int = 512,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs (r9): dHash fingerprints -> 16-bit
+    band buckets -> exact Hamming verify <= max_hamming — the
+    simhash_near_dups recipe pointed at pixels instead of tokens (the
+    scraped-corpus shape: re-encoded/resized copies keep their dHash
+    within a few bits). Buckets past `max_bucket_size` drop (the
+    _cap_buckets wall). Returns (id_a, id_b, hamming)."""
+    sigs = dhash_media(media, decoder=decoder, hash_size=hash_size)
+    # n_media rows of (id, long) — pin so the decode+hash pass runs
+    # once, not once per self-join side
+    from functime_spark.materialize import materialize
+
+    sigs = materialize(sigs)
+    banded = _banded_phash(sigs, band_bits, max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
@@ -1341,6 +1351,92 @@ def dhash_near_dups(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dhash_dedup_incremental(
+    new_media: DataFrame,
+    store_sigs: DataFrame | None = None,
+    decoder="ppm",
+    hash_size: int = 8,
+    max_hamming: int = 6,
+    band_bits: int = 16,
+    max_bucket_size: int = 512,
+) -> tuple:
+    """Batch-over-batch perceptual IMAGE dedup against a persisted
+    dHash store (r10) — the daily-crawl shape the exact/minhash
+    incremental tiers already pin (dedup.exact_dedup_incremental /
+    minhash_dedup_incremental), pointed at pixels: each arriving
+    media batch is fingerprinted ONCE and checked against the
+    historical corpus WITHOUT re-decoding a single historical image.
+    Returns ``(pairs, updated_store)``:
+
+    - ``pairs``: (id_a, id_b, hamming <= max_hamming) where id_a is
+      always a NEW image and id_b is either a store image (cross
+      matches, any id order) or another new image (id_a < id_b).
+      Store-vs-store pairs are never re-emitted — the store was
+      deduped when it was built.
+    - ``updated_store``: store ∪ new signatures (media_id, phash) —
+      8 bytes per historical image — for the caller to persist
+      (e.g. parquet) as the next batch's store.
+
+    Ids must be unique across store and batch (the incremental-dedup
+    convention). At 100 TB of images the store is ~one long per image
+    and per-batch cost is O(new x matching buckets), never O(corpus);
+    buckets are capped per side before the band join. The streaming
+    twin is stream_dhash_dedup (arrival-order state); this is the
+    horizon-free batch path for unbounded crawls."""
+    if store_sigs is not None and not isinstance(store_sigs, DataFrame):
+        raise TypeError(
+            "store_sigs must be a signature DataFrame (media_id, phash) "
+            "— e.g. spark.read.parquet(<store path>) — or None for the "
+            f"first batch; got {type(store_sigs).__name__}"
+        )
+    from functime_spark.materialize import materialize
+
+    # one decode+hash pass over the new batch, pinned: feeds banding,
+    # the updated store, and (via banded rows) both join sides
+    new_sigs = materialize(
+        dhash_media(new_media, decoder=decoder, hash_size=hash_size)
+    )
+    banded_new = _banded_phash(new_sigs, band_bits, max_bucket_size)
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    nn = (
+        banded_new.alias("a")
+        .join(
+            banded_new.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+    )
+    if store_sigs is None:
+        pairs = nn.distinct().filter(F.col("hamming") <= max_hamming)
+        return pairs, new_sigs
+    banded_old = _banded_phash(store_sigs, band_bits, max_bucket_size)
+    cross = (
+        banded_new.alias("a")
+        .join(
+            banded_old.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+    )
+    pairs = (
+        nn.unionByName(cross)
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs, store_sigs.unionByName(new_sigs)
 
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:

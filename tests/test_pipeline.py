@@ -4869,3 +4869,74 @@ def test_extract_exif_and_curate_hook(spark):
 
     with _pytest.raises(ValueError, match="exif_where"):
         curate_media(media, decoder="jpeg", exif_where="1=1")
+
+
+def test_dhash_dedup_incremental_store(spark, tmp_path):
+    """dhash_dedup_incremental (r10): first-batch mode reproduces
+    dhash_near_dups exactly; store mode emits new-vs-store +
+    new-vs-new only (never store-vs-store) and matches the full-batch
+    pair set restricted to pairs touching the new batch; the persisted
+    parquet store round-trips into the next day's batch; non-frame
+    stores raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from functime_spark.pipeline.multimodal import (
+        dhash_dedup_incremental,
+        dhash_media,
+        dhash_near_dups,
+    )
+
+    rng = np.random.default_rng(44)
+
+    def ppm(arr):
+        h, w = arr.shape
+        return b"P5\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+    rows = []
+    for i in range(8):
+        base = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+        rows.append((2 * i, "image", bytearray(ppm(base)), "{}"))
+        pert = (base.astype(np.int16) + rng.integers(-2, 3, (16, 16))).clip(
+            0, 255
+        ).astype(np.uint8)
+        rows.append((2 * i + 1, "image", bytearray(ppm(pert)), "{}"))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta string"
+    )
+
+    full = {
+        frozenset((r.id_a, r.id_b))
+        for r in dhash_near_dups(media, max_hamming=8).collect()
+    }
+    assert len(full) >= 6  # the planted even/odd perturbation pairs
+
+    # first batch: no store -> exactly the near-dup pair set
+    p0, store0 = dhash_dedup_incremental(media, max_hamming=8)
+    assert {frozenset((r.id_a, r.id_b)) for r in p0.collect()} == full
+    assert store0.count() == 16
+
+    # store = evens, batch = odds
+    store = dhash_media(media.filter("media_id % 2 = 0"), decoder="ppm")
+    new = media.filter("media_id % 2 = 1")
+    pairs, updated = dhash_dedup_incremental(new, store, max_hamming=8)
+    got = pairs.collect()
+    assert all(r.id_a % 2 == 1 for r in got)  # id_a always new
+    want = {p for p in full if any(i % 2 == 1 for i in p)}
+    assert {frozenset((r.id_a, r.id_b)) for r in got} == want
+
+    # persist + next day: the store contract is plain parquet
+    path = str(tmp_path / "phash_store")
+    updated.write.parquet(path)
+    day2 = spark.createDataFrame(
+        [(100, "image", rows[0][2], "{}")],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    p2, _ = dhash_dedup_incremental(
+        day2, spark.read.parquet(path), max_hamming=8
+    )
+    hits = {r.id_b for r in p2.collect()}
+    assert 0 in hits  # the day-2 image duplicates media_id 0 exactly
+
+    with _pytest.raises(TypeError, match="signature DataFrame"):
+        dhash_dedup_incremental(day2, "/some/path")
