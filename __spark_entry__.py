@@ -2578,6 +2578,74 @@ def q_media_exif(spark, sf_dir):
     return extract_exif(media).orderBy("media_id")
 
 
+def q_media_orientation(spark, sf_dir):
+    """EXIF orientation normalization (r10): 4x5 gray TIFFs with a
+    planted tag 274 (o = 1 + doc_id % 8 — all eight transforms live)
+    go through normalize_orientation (parse tag -> decode -> EXIF 2.3
+    rotate/flip -> lossless re-encode) and the output pixels decode
+    back out via dim=20 identity pooling. The oracle replays the
+    index permutation per orientation in pure integer SQL — any
+    transform applied backwards or to the wrong axis flips values."""
+    _ensure_nanos_conf(spark)
+    import numpy as np
+
+    from functime_spark.pipeline.multimodal import (
+        encode_tiff,
+        extract_features_media,
+        normalize_orientation,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 0)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                vals = ((did * 23 + np.arange(20) * 31) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(
+                    encode_tiff(
+                        vals.reshape(4, 5), orientation=1 + did % 8
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(
+        build, schema="media_id long, kind string, payload binary"
+    )
+    norm = normalize_orientation(media, decoder="tiff", encoder="tiff")
+    feats = extract_features_media(
+        norm.select(
+            "media_id", F.lit("image").alias("kind"), "payload"
+        ),
+        dim=20,
+        decoder="tiff",
+    )
+    out = (
+        norm.select("media_id", "orientation", "width", "height")
+        .join(feats.select("media_id", "feature"), on="media_id")
+        .select(
+            "media_id", "orientation", "width", "height",
+            F.posexplode("feature").alias("j", "v"),
+        )
+    )
+    return _round_floats(out).orderBy("media_id", "j")
+
+
 def q_media_curate_report(spark, sf_dir):
     """curate_media's per-stage attrition report (decode -> size ->
     dedup), each stage's in/out counts replayed as plain predicates
@@ -3754,6 +3822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_dhash_dedup": q_media_dhash_dedup,
             "media_exif": q_media_exif,
             "media_dhash_incr": q_media_dhash_incr,
+            "media_orientation": q_media_orientation,
             "text_hybrid_rrf": q_text_hybrid_rrf,
             "text_bm25_incremental": q_text_bm25_incremental,
             "scale_cms_counts": q_scale_cms_counts,
@@ -3784,76 +3853,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if name in _SKIP_FEATURES:
             continue
         q[f"feat_{name}"] = _feature_query(name)
-    # Round-9 window rotation: the driver's correctness gate truncates
-    # at ~50 queries; the r1-r8 window union covers ALL gate queries
+    # Round-10 window rotation: the driver's correctness gate truncates
+    # at ~50 queries; the r1-r9 window union covers ALL gate queries
     # (every one value-hashed), so the standing discipline is
     # (a) front everything NEW or whose implementation/oracle CHANGED
-    # this round -- the five new media gates (GIF/PNG/TIFF codecs,
-    # dHash fingerprints + near-dup pairs), hybrid RRF retrieval, the
-    # incremental BM25 index (and the indexed path, whose BM25Index
-    # internals changed: integer length-sum avgdl), and the holiday
-    # oracle now covering ALL 49 vendored calendars -- then
-    # (b) re-cycle previously-green queries OLDEST-VERIFICATION-FIRST
-    # from the CORRECTNESS_r0*.json union. Cohort ages going into r9:
-    # 14 queries were last verified in r3 (preproc_deseasonalize..
-    # text_url_stats below), 43 in r4 (the first 22 of which fill the
-    # window: 14 new + 14 r3 + 22 r4 = exactly the ~50 truncation),
-    # everything else r5+; the r8 window retired the rest of the r2
-    # cohort and the front of r3.
+    # this round, then (b) re-cycle previously-green queries
+    # OLDEST-VERIFICATION-FIRST from the CORRECTNESS_r0*.json union.
+    # Cohort ages going into r10 (computed from the artifact union):
+    # 23 queries last verified in r4 (feat_streak_length_stats ..
+    # text_vocab_zipf — ALL retired below, closing the r4 cohort the
+    # r9 verdict asked for), 28 in r5 (the alphabetical front 14 fill
+    # the window: 13 new/changed + 23 r4 + 14 r5 = the ~50
+    # truncation), everything else r6+.
     never_verified_first = [
-        # (a) new or changed in round 9
-        "media_gif_decode",  # NEW: encode_gif -> registered decode seam
-        "media_png_roundtrip",  # NEW: encode_png -> decode, pixel replay
-        "media_tiff_roundtrip",  # NEW: baseline TIFF codec both ways
-        "media_dhash",  # NEW: perceptual dHash, 64 byte-compares replayed
-        "media_dhash_dedup",  # NEW: banded image near-dup pairs
-        "text_hybrid_rrf",  # NEW: BM25+dense Reciprocal Rank Fusion
-        "text_bm25_incremental",  # NEW: BM25Index.update associative merge
-        "text_bm25_indexed",  # BM25Index internals changed (sum_dl avgdl)
-        "graph_pagerank",  # NEW: damped power iterations, CTE replay
-        "retrieval_mmr",  # NEW: greedy MMR diversification, CTE replay
-        "stream_dhash",  # NEW: streaming image near-dup twin, batch mode
-        "forecast_theta",  # NEW: Theta method, closed-form SES replay
-        "media_audio_resample",  # NEW: rate normalization, interp replay
-        "scale_cms_counts",  # NEW: Count-Min sketch, buckets replayed
-        "future_holidays",  # oracle extended 25 -> 49 vendored calendars
+        # (a) new or changed in round 10
+        "dedup_spans_keepfirst",  # NEW: cross-doc keep-first span dedup
+        "dedup_spans",  # CHANGED: n_dup_spans stitch column added
+        "text_lm3_score",  # NEW: interpolated trigram LM, full replay
+        "text_lm3_heldout",  # NEW: OOV/unseen-context branches live
+        "media_exif",  # NEW: APP1/TIFF-IFD walk vs planted ground truth
+        "media_dhash_incr",  # NEW: persisted phash store, per-side caps
+        "media_orientation",  # NEW: EXIF 2.3 upright transforms replayed
+        "media_tiff_roundtrip",  # encode_tiff gained the tag-274 param
+        "text_bm25_incremental",  # BM25Index.update gained compaction
+        "scale_cms_counts",  # cms_sketch now null-filters before hashing
+        "stream_dhash",  # scan_bucket gained overflow markers (stream)
+        "stream_minhash",  # same marker change in the minhash twin
+        "corpus_clean_attrition",  # clean_corpus gained span/lm stages
         # (b) window slack: oldest external verification first --
-        # the remainder of the r3 cohort (last verified round 3)...
-        "preproc_deseasonalize",
-        "preproc_roll",
-        "preproc_roll_freq",
-        "preproc_yeojohnson_lambdas",
-        "text_c4",
-        "text_classifier",
-        "text_decontaminate",
-        "text_gopher",
-        "text_ngram_repetition",
-        "text_normalize",
-        "text_pii",
-        "text_scripts",
-        "text_tfidf_topk",
-        "text_url_stats",
-        # ...then the front of the r4 cohort (last verified round 4)
-        "conversion_roundtrip",
-        "corpus_pack_shuffled",
-        "corpus_sample_per_group",
-        "corpus_shard_texts",
-        "corpus_split",
-        "corpus_stats",
-        "corpus_stats_rollup",
-        "corpus_temperature_mix",
-        "dedup_cluster_sizes",
-        "dedup_exact_incr",
-        "domain_stats",
-        "embedding_decontaminate",
-        "embedding_kmeans",
-        "eval_acf",
-        "eval_ljung_box",
-        "eval_normality",
-        "eval_rank_fva",
-        "feat_longest_losing_streak",
-        "feat_longest_streak_below",
-        "feat_longest_winning_streak",
+        # the ENTIRE remaining r4 cohort (last verified round 4)...
+        "feat_streak_length_stats",
+        "join_asof",
+        "join_asof_nearest",
+        "join_interval",
+        "m4_smape",
+        "preproc_clip",
+        "preproc_detrend_roundtrip",
+        "preproc_impute_interpolate",
+        "preproc_impute_mean",
+        "preproc_yeojohnson_roundtrip",
+        "scale_heavy_hitters",
+        "scale_salted_join",
+        "scale_skew_report",
+        "text_bpe_tokens",
+        "text_bpe_vocab",
+        "text_filter_language",
+        "text_hashed_features",
+        "text_lang_confusion",
+        "text_lm_heldout",
+        "text_mojibake",
+        "text_readability",
+        "text_strip_html",
+        "text_vocab_zipf",
+        # ...then the alphabetical front of the r5 cohort (last
+        # verified round 5; stream_minhash is fronted above already)
+        "ann_recall_ivf",
+        "cluster_balanced_sample",
+        "dedup_exact",
+        "dedup_priority",
+        "eval_rank_forecasts",
+        "events_json_props",
+        "feat_udf_cwt_peaks",
+        "forecast_auto_cfo",
+        "forecast_auto_linear",
+        "forecast_censored",
+        "forecast_linear",
+        "forecast_linear_ar2",
+        "forecast_linear_direct",
+        "forecast_linear_ensemble",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

@@ -451,6 +451,17 @@ def main() -> None:
                 # both 1.524). Machine-state noise; neither r6 change
                 # on the path is a regression.
                 "notes": {
+                    "r10_paths": "no comparable leg's hot path changed "
+                    "in the r10 diff: minhash_dedup/exact_dedup bodies "
+                    "untouched (dedup.py only GAINED span functions), "
+                    "ngram_lm_score/quality_tiers untouched (lm.py only "
+                    "gained the trigram tier), bm25 fit/search untouched "
+                    "(update gained compaction — not on the bench path), "
+                    "forecasting/features/preprocessing untouched. "
+                    "media_curate's operator signature gained exif "
+                    "params (default OFF; the decode loop adds one "
+                    "no-op closure definition per Arrow batch) — the "
+                    "only comparable leg whose file changed",
                     "r9_paths": "none of the 13 r8-comparable legs' "
                     "code paths changed in the r9 diff (git-verified: "
                     "forecasting/tree|linear|_ar, dedup, lm, features, "

@@ -1446,6 +1446,35 @@ def operator_oracles() -> dict:
         "FROM documents WHERE doc_id % 11 = 0 ORDER BY media_id"
     )
 
+    # media_orientation (r10): the EXIF 2.3 orientation transforms
+    # replayed as pure index permutations — upright pixel (yo, xo)
+    # pulls stored pixel (r, c) per the row0/col0 definitions (stored
+    # 4x5; orientations 5-8 swap the output dims). The Spark side goes
+    # through real TIFF tag-274 bytes, a numpy transform, and a
+    # lossless re-encode->decode; this is the arithmetic it must land
+    # on.
+    o["media_orientation"] = (
+        "WITH d AS (SELECT doc_id, 1 + doc_id % 8 AS o FROM documents "
+        "WHERE doc_id % 13 = 0), "
+        "g AS (SELECT doc_id, o, "
+        "CASE WHEN o <= 4 THEN 5 ELSE 4 END AS w, t.j AS j "
+        "FROM d, range(0, 20) t(j)), "
+        "m AS (SELECT doc_id, o, j, j // w AS yo, j % w AS xo FROM g), "
+        "x AS (SELECT doc_id, o, j, "
+        "CASE o WHEN 1 THEN yo WHEN 2 THEN yo WHEN 3 THEN 3 - yo "
+        "WHEN 4 THEN 3 - yo WHEN 5 THEN xo WHEN 6 THEN 3 - xo "
+        "WHEN 7 THEN 3 - xo ELSE xo END AS r, "
+        "CASE o WHEN 1 THEN xo WHEN 2 THEN 4 - xo WHEN 3 THEN 4 - xo "
+        "WHEN 4 THEN xo WHEN 5 THEN yo WHEN 6 THEN yo "
+        "WHEN 7 THEN 4 - yo ELSE 4 - yo END AS c FROM m) "
+        "SELECT doc_id AS media_id, CAST(o AS INT) AS orientation, "
+        "CAST(CASE WHEN o <= 4 THEN 5 ELSE 4 END AS BIGINT) AS width, "
+        "CAST(CASE WHEN o <= 4 THEN 4 ELSE 5 END AS BIGINT) AS height, "
+        "CAST(j AS INT) AS j, "
+        + _r("CAST((doc_id * 23 + (r * 5 + c) * 31) % 256 AS DOUBLE)")
+        + " AS v FROM x ORDER BY media_id, j"
+    )
+
     # media_audio: the time-domain audio features replayed from the
     # SAME integer PCM formula the Spark query packs into real WAV
     # bytes — duration = n/rate exactly, rms over v/32768, zcr as the

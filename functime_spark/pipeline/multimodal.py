@@ -730,12 +730,17 @@ def decode_tiff(payload: bytes) -> dict:
     return {"array": arr, "width": int(w), "height": int(h), "mode": mode}
 
 
-def encode_tiff(arr, rows_per_strip: int | None = None) -> bytes:
+def encode_tiff(
+    arr, rows_per_strip: int | None = None, orientation: int | None = None
+) -> bytes:
     """Pure-Python baseline-TIFF encoder (r9): little-endian (II),
     uncompressed, 8-bit gray/RGB/RGBA, strip layout (default one
     strip; pass rows_per_strip to exercise multi-strip readers). The
     lossless interchange sink next to encode_png — and the write half
-    decode_tiff round-trips, refereed against javax.imageio."""
+    decode_tiff round-trips, refereed against javax.imageio.
+    ``orientation`` (r10) writes TIFF tag 274 (1..8, the EXIF
+    convention) — decode_tiff ignores it (pixels stay stored-order);
+    normalize_orientation is the consumer."""
     import struct
 
     a = np.asarray(arr)
@@ -784,6 +789,10 @@ def encode_tiff(arr, rows_per_strip: int | None = None) -> bytes:
     entries.append((258, 3, spp, _arr_ref([8] * spp, "H")))
     entries.append((259, 3, 1, struct.pack("<HH", 1, 0)))
     entries.append((262, 3, 1, struct.pack("<HH", photometric, 0)))
+    if orientation is not None:
+        if not 1 <= orientation <= 8:
+            raise ValueError("orientation must be in 1..8 (EXIF)")
+        entries.append((274, 3, 1, struct.pack("<HH", orientation, 0)))
     entries.append((273, 4, len(strips), _arr_ref(strip_offsets, "I")))
     entries.append((277, 3, 1, struct.pack("<HH", spp, 0)))
     entries.append((278, 4, 1, struct.pack("<I", rps)))
@@ -1124,6 +1133,92 @@ def extract_exif(media: DataFrame) -> DataFrame:
             StructField("exif_datetime", StringType()),
             StructField("exif_datetime_original", StringType()),
             StructField("exif_has_gps", BooleanType()),
+        ]
+    )
+    return media.mapInPandas(run, schema=schema)
+
+
+#: EXIF orientation -> stored-array -> upright-array (numpy views; the
+#: transform, not the inverse — applying it to the stored pixels yields
+#: the image as the camera saw it). Derived from the EXIF 2.3 row0/col0
+#: definitions; pinned by the inverse-roundtrip pytest.
+_ORIENT_FIX = {
+    1: lambda a: a,
+    2: lambda a: a[:, ::-1],
+    3: lambda a: a[::-1, ::-1],
+    4: lambda a: a[::-1, :],
+    5: lambda a: a.swapaxes(0, 1),
+    6: lambda a: np.rot90(a, k=-1, axes=(0, 1)),
+    7: lambda a: np.rot90(a[:, ::-1], k=-1, axes=(0, 1)),
+    8: lambda a: np.rot90(a, k=1, axes=(0, 1)),
+}
+
+
+def apply_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
+    """Upright view of a stored pixel array per its EXIF orientation
+    (1..8). Unknown/absent orientations are the identity."""
+    fn = _ORIENT_FIX.get(int(orientation) if orientation else 1)
+    return np.ascontiguousarray(fn(arr)) if fn else arr
+
+
+def normalize_orientation(
+    media: DataFrame, decoder="jpeg", encoder: str = "png"
+) -> DataFrame:
+    """Rotate/flip every image upright per its EXIF/TIFF orientation
+    tag (r10) — the normalization step real curation applies before
+    hashing/training, so a 90°-rotated capture near-dups its upright
+    twin and models never learn sideways text. One mapInPandas pass:
+    parse_exif reads the tag (JPEG APP1 or TIFF IFD0), the registered
+    decoder yields pixels, `apply_orientation` applies the EXIF 2.3
+    transform, and the result re-encodes LOSSLESSLY (``encoder`` =
+    'png' or 'tiff' — lossless by construction, so the gate can
+    value-replay every output pixel). Returns (media_id, payload,
+    width, height, orientation) — width/height are the UPRIGHT dims
+    (swapped for orientations 5-8); undecodable payloads yield null
+    payload/dims (the curate_media marker convention)."""
+    enc = {"png": encode_png, "tiff": encode_tiff}.get(encoder)
+    if enc is None:
+        raise ValueError("encoder must be 'png' or 'tiff' (lossless)")
+    fn = _resolve_decoder(decoder)
+    if fn is None:
+        raise ValueError("normalize_orientation needs a real decoder")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "payload": [], "width": [],
+                   "height": [], "orientation": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                try:
+                    raw = bytes(payload)
+                    try:
+                        ex = parse_exif(raw)
+                    except ValueError:
+                        ex = None
+                    o = (ex or {}).get("orientation") or 1
+                    arr = np.asarray(fn(raw)["array"])
+                    up = apply_orientation(arr, o)
+                except Exception:
+                    out["payload"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["orientation"].append(None)
+                    continue
+                out["payload"].append(enc(up))
+                out["width"].append(int(up.shape[1]))
+                out["height"].append(int(up.shape[0]))
+                out["orientation"].append(int(o))
+            yield pd.DataFrame(out)
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("orientation", IntegerType()),
         ]
     )
     return media.mapInPandas(run, schema=schema)

@@ -4940,3 +4940,82 @@ def test_dhash_dedup_incremental_store(spark, tmp_path):
 
     with _pytest.raises(TypeError, match="signature DataFrame"):
         dhash_dedup_incremental(day2, "/some/path")
+
+
+def test_normalize_orientation_all_eight(spark):
+    """normalize_orientation (r10): for every EXIF orientation o, an
+    image stored as the INVERSE transform of a known upright array
+    comes back exactly upright (shape and pixels), through both the
+    TIFF tag-274 path and the JPEG APP1 path metadata-wise; payloads
+    without orientation pass through untouched; garbage yields the
+    null marker row; a lossy encoder choice raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from functime_spark.pipeline.multimodal import (
+        apply_orientation,
+        decode_png,
+        encode_tiff,
+        normalize_orientation,
+    )
+
+    rng = np.random.default_rng(9)
+    upright = rng.integers(0, 256, (4, 5)).astype(np.uint8)
+    inverse = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
+    rows = [
+        (o, "image",
+         bytearray(encode_tiff(
+             apply_orientation(upright, inverse[o]), orientation=o)),
+         "{}")
+        for o in range(1, 9)
+    ] + [
+        (9, "image", bytearray(encode_tiff(upright)), "{}"),  # no tag
+        (10, "image", bytearray(b"garbage"), "{}"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta string"
+    )
+    out = {
+        r["media_id"]: r
+        for r in normalize_orientation(
+            media, decoder="tiff", encoder="png"
+        ).collect()
+    }
+    for o in range(1, 9):
+        r = out[o]
+        assert (r["width"], r["height"], r["orientation"]) == (5, 4, o)
+        arr = decode_png(bytes(r["payload"]))["array"]
+        assert (arr == upright).all(), f"orientation {o} mis-rotated"
+    assert out[9]["orientation"] == 1
+    assert (decode_png(bytes(out[9]["payload"]))["array"] == upright).all()
+    assert out[10]["payload"] is None and out[10]["orientation"] is None
+
+    with _pytest.raises(ValueError, match="lossless"):
+        normalize_orientation(media, decoder="tiff", encoder="jpeg")
+
+
+def test_normalize_orientation_jpeg_app1_path(spark):
+    """The JPEG path reads orientation from APP1 and the decoded
+    pixels of the normalized output match the numpy transform of the
+    decoded input (JPEG is lossy, so compare decode-to-decode)."""
+    import numpy as np
+
+    from functime_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+    from functime_spark.pipeline.multimodal import (
+        decode_png,
+        insert_exif,
+        normalize_orientation,
+    )
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, (8, 16)).astype(np.uint8)
+    stored = insert_exif(encode_jpeg(arr), orientation=6)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(stored), "{}")],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    r = normalize_orientation(media, decoder="jpeg", encoder="png").first()
+    assert (r["width"], r["height"]) == (8, 16)  # dims swapped
+    want = np.rot90(decode_jpeg(stored)["array"], k=-1)
+    got = decode_png(bytes(r["payload"]))["array"]
+    assert (got == want).all()
