@@ -322,6 +322,33 @@ def main() -> None:
 
     bench("media_curate", _q16)
 
+    # q17 (round 10): cross-doc span dedup, keep-first mode — the
+    # heaviest new r10 operator (gram aggregate + min-struct winner +
+    # coverage stitch) timed at sf0.1 so regressions in the span tier
+    # are visible round-over-round.
+    def _q17():
+        from functime_spark.pipeline.dedup import scrub_duplicated_spans
+
+        docs = load_table(spark, SF_DIR, "documents")
+        scrub_duplicated_spans(docs, k=8, keep_first=True).agg(
+            F.sum("n_kept")
+        ).collect()
+
+    bench("span_dedup_keepfirst", _q17)
+
+    # q18 (round 10): interpolated trigram LM self-scored + exact
+    # quality tiers — the CCNet-grade upgrade next to the bigram
+    # lm_quality_tiers leg (same shape, one order up: triple aggregate
+    # + five scoring joins), so the two tiers' relative cost stays
+    # measured.
+    def _q18():
+        from functime_spark.pipeline.lm import ngram_lm3_score, quality_tiers
+
+        docs = load_table(spark, SF_DIR, "documents")
+        quality_tiers(ngram_lm3_score(docs), exact=True).count()
+
+    bench("lm3_quality_tiers", _q18)
+
     total = round(sum(timings.values()), 3)
     # the suite grew from 7 to 9 queries in round 4 (minhash_dedup,
     # lm_quality_tiers); keep the round-over-round comparable subtotal
