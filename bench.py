@@ -478,6 +478,17 @@ def main() -> None:
                 # both 1.524). Machine-state noise; neither r6 change
                 # on the path is a regression.
                 "notes": {
+                    "r10_trees_drift": "trees_d2_fit_forecast measured "
+                    "2.45-2.97 s in three r10 builder sessions vs the "
+                    "r9 judge's 2.205 s; adjudicated NOISE via "
+                    "tools/ab_drift.py (now takes explicit leg names) "
+                    "— interleaved head-vs-untouched-r9-tree process "
+                    "pairs (3x, 5 reps each, one session): head "
+                    "3.177/3.515/4.040 vs r9 3.195/3.612/3.718 — full "
+                    "overlap, the r9 tree reproduces head's timings "
+                    "and both rise together with ambient machine "
+                    "state; forecasting/ diff vs r9 is EMPTY "
+                    "(git-verified)",
                     "r10_paths": "no comparable leg's hot path changed "
                     "in the r10 diff: minhash_dedup/exact_dedup bodies "
                     "untouched (dedup.py only GAINED span functions), "

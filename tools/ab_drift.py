@@ -4,9 +4,12 @@ Times the three queries that drifted r7->r8 WITHOUT any r8 change on
 their code paths — ann_topk (+30%), resample_naive_smape (+26%),
 minhash_dedup (+18%) — against an arbitrary repo tree:
 
-  python3 tools/ab_drift.py <repo_root> [reps]
+  python3 tools/ab_drift.py <repo_root> [reps] [query ...]
 
-One PROCESS per invocation (own JVM + Spark session, the
+With explicit query names (r10), only those legs run — currently
+`ann_topk`, `resample_naive_smape`, `minhash_dedup`, and
+`trees_d2_fit_forecast` (added to adjudicate the r10 trees wobble the
+same way). One PROCESS per invocation (own JVM + Spark session, the
 bisect_linear discipline); the caller interleaves invocations across
 trees so machine-state drift hits both sides equally:
 
@@ -31,6 +34,7 @@ from pathlib import Path
 
 ROOT = sys.argv[1] if len(sys.argv) > 1 else str(Path(__file__).resolve().parents[1])
 REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+ONLY = set(sys.argv[3:])
 SF_DIR = "/root/testdata/sf0.1"
 
 sys.path.insert(0, ROOT)
@@ -96,12 +100,23 @@ def main() -> None:
         docs = load_table(spark, SF_DIR, "documents")
         minhash_dedup(docs, threshold=0.5).count()
 
+    def _trees_d2():
+        from functime_spark.forecasting.tree import boosted_trees_d2
+
+        fc = boosted_trees_d2(freq="1h", lags=2, n_iter=3).fit(y)
+        fc.predict(4).count()
+
     out = {"root": ROOT, "reps": REPS}
-    for name, fn in (
+    legs = (
         ("ann_topk", _ann_topk),
         ("resample_naive_smape", _resample),
         ("minhash_dedup", _minhash),
-    ):
+        ("trees_d2_fit_forecast", _trees_d2),
+    )
+    default = {"ann_topk", "resample_naive_smape", "minhash_dedup"}
+    for name, fn in legs:
+        if (ONLY and name not in ONLY) or (not ONLY and name not in default):
+            continue
         samples = []
         for _ in range(REPS):
             t0 = time.perf_counter()
