@@ -893,3 +893,67 @@ def test_stream_dhash_overflow_markers(spark, tmp_path):
     out = spark.table("dh_overflow").collect()
     assert {r.id_a for r in out if r.hamming < 0} == {2, 3, 4}
     assert {(r.id_a, r.id_b) for r in out if r.hamming >= 0} == {(0, 1)}
+
+
+def test_exif_ops_run_on_stream(spark, tmp_path):
+    """extract_exif and normalize_orientation are stateless mapInPandas
+    projections — they must run UNCHANGED on a streaming source and
+    emit the same rows as batch (the gopher_filter contract for the
+    r10 EXIF tier)."""
+    import numpy as np
+
+    from functime_spark.pipeline.jpeg import encode_jpeg
+    from functime_spark.pipeline.multimodal import (
+        extract_exif,
+        insert_exif,
+        normalize_orientation,
+    )
+
+    arr = (np.arange(64).reshape(8, 8) * 3 % 256).astype(np.uint8)
+    base = encode_jpeg(arr)
+    rows = [
+        (1, "image", bytearray(insert_exif(base, make="A", orientation=6)),
+         "{}"),
+        (2, "image", bytearray(base), "{}"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta string"
+    )
+    batch_exif = {
+        (r["media_id"], r["exif_make"], r["exif_orientation"])
+        for r in extract_exif(media).collect()
+    }
+    batch_norm = {
+        (r["media_id"], r["width"], r["height"], r["orientation"],
+         bytes(r["payload"]))
+        for r in normalize_orientation(media, decoder="jpeg").collect()
+    }
+
+    path = str(tmp_path / "exif_media")
+    media.coalesce(1).write.parquet(path)
+    src = spark.readStream.schema(media.schema).parquet(path)
+    for name, out in (
+        ("exif_stream", extract_exif(src)),
+        ("norm_stream", normalize_orientation(src, decoder="jpeg")),
+    ):
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    stream_exif = {
+        (r["media_id"], r["exif_make"], r["exif_orientation"])
+        for r in spark.table("exif_stream").collect()
+    }
+    stream_norm = {
+        (r["media_id"], r["width"], r["height"], r["orientation"],
+         bytes(r["payload"]))
+        for r in spark.table("norm_stream").collect()
+    }
+    assert stream_exif == batch_exif
+    assert stream_norm == batch_norm
