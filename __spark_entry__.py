@@ -257,6 +257,20 @@ def q_forecast_theta(spark, sf_dir):
     return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
 
 
+def q_forecast_holt(spark, sf_dir):
+    """Holt linear-trend smoothing (r10, beyond-reference): the
+    weighted-sum (M-power) state computation must land on the SAME
+    level/trend the literal recursion produces — the oracle replays
+    the recursion itself with a recursive CTE per entity (alpha=0.5,
+    beta=0.25, phi=1: every M entry a dyadic rational)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.holt import holt
+
+    df = events_panel(spark, sf_dir)
+    fc = holt(freq="1h", alpha=0.5, beta=0.25, phi=1.0).fit(df)
+    return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
+
+
 def q_forecast_snaive(spark, sf_dir):
     _ensure_nanos_conf(spark)
     from functime_spark.forecasting.naive import snaive
@@ -3829,6 +3843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "graph_pagerank": q_graph_pagerank,
             "retrieval_mmr": q_retrieval_mmr,
             "forecast_theta": q_forecast_theta,
+            "forecast_holt": q_forecast_holt,
             "forecast_backtest_naive": q_forecast_backtest_naive,
             "forecast_conformal": q_forecast_conformal,
             "forecast_conformal_linear": q_forecast_conformal_linear,
@@ -3862,8 +3877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Cohort ages going into r10 (computed from the artifact union):
     # 23 queries last verified in r4 (feat_streak_length_stats ..
     # text_vocab_zipf — ALL retired below, closing the r4 cohort the
-    # r9 verdict asked for), 28 in r5 (the alphabetical front 14 fill
-    # the window: 13 new/changed + 23 r4 + 14 r5 = the ~50
+    # r9 verdict asked for), 28 in r5 (the alphabetical front 13 fill
+    # the window: 14 new/changed + 23 r4 + 13 r5 = the ~50
     # truncation), everything else r6+.
     never_verified_first = [
         # (a) new or changed in round 10
@@ -3874,6 +3889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_exif",  # NEW: APP1/TIFF-IFD walk vs planted ground truth
         "media_dhash_incr",  # NEW: persisted phash store, per-side caps
         "media_orientation",  # NEW: EXIF 2.3 upright transforms replayed
+        "forecast_holt",  # NEW: Holt trend smoothing, recursion replayed
         "media_tiff_roundtrip",  # encode_tiff gained the tag-274 param
         "text_bm25_incremental",  # BM25Index.update gained compaction
         "scale_cms_counts",  # cms_sketch now null-filters before hashing
@@ -3920,7 +3936,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_linear",
         "forecast_linear_ar2",
         "forecast_linear_direct",
-        "forecast_linear_ensemble",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

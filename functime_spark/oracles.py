@@ -1221,6 +1221,37 @@ def operator_oracles() -> dict:
         "generate_series(1, 4) AS g(s) ORDER BY c.user_id, ts"
     )
 
+    # forecast_holt (r10): the ENGINE computes the final (level,
+    # trend) state as M-power weighted sums; the oracle replays the
+    # LITERAL recursion l_t = a*y + (1-a)*(l + b), b_t = be*(l_t - l)
+    # + (1-be)*b with a recursive CTE stepping every entity in
+    # lockstep — a = 0.5, be = 0.25, phi = 1, so every recursion
+    # constant is a dyadic rational and the two formulations agree to
+    # float noise well under the 6-decimal round.
+    o["forecast_holt"] = (
+        "WITH RECURSIVE r AS (SELECT user_id, ts, "
+        "CAST(value AS DOUBLE) AS y, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY ts) AS t FROM events), "
+        "nn AS (SELECT user_id, MAX(t) AS n, MAX(ts) AS low FROM r "
+        "GROUP BY user_id), "
+        "init AS (SELECT a.user_id, a.y AS y1, b.y AS y2 FROM r a "
+        "JOIN r b ON a.user_id = b.user_id AND a.t = 1 AND b.t = 2), "
+        "rec AS (SELECT user_id, 1 AS t, y1 AS l, y2 - y1 AS b "
+        "FROM init UNION ALL "
+        "SELECT rec.user_id, rec.t + 1, "
+        "0.5 * r.y + 0.5 * (rec.l + rec.b), "
+        "0.25 * ((0.5 * r.y + 0.5 * (rec.l + rec.b)) - rec.l) "
+        "+ 0.75 * rec.b "
+        "FROM rec JOIN r ON r.user_id = rec.user_id "
+        "AND r.t = rec.t + 1), "
+        "fin AS (SELECT rec.user_id, rec.l, rec.b FROM rec "
+        "JOIN nn ON nn.user_id = rec.user_id AND rec.t = nn.n) "
+        "SELECT f.user_id, nn.low + g.s * INTERVAL '1 hour' AS ts, "
+        + _r("f.l + g.s * f.b")
+        + " AS value FROM fin f JOIN nn ON nn.user_id = f.user_id, "
+        "generate_series(1, 4) AS g(s) ORDER BY f.user_id, ts"
+    )
+
     o["forecast_snaive"] = (
         "WITH c AS (SELECT user_id, MAX(ts) AS low, list(value ORDER BY ts) AS vs "
         "FROM events GROUP BY user_id), "

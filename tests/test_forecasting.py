@@ -1589,3 +1589,56 @@ def test_ann_clone_and_backtest_roundtrip(spark):
     assert len(bt) == 2 * 2 * 3 and bt["y"].notna().all()
     with pytest.raises(ValueError, match="recursive"):
         ann(freq="1i", strategy="direct", max_horizons=3)
+
+
+def test_holt_vs_numpy(events, events_pdf):
+    """holt (r10): the weighted-sum (M-power) formulation must equal
+    the LITERAL level/trend recursion, per entity, for both classic
+    (phi=1) and damped trend; degenerate one-point series fall back
+    to the flat naive; bad constants raise; base-class backtest
+    composes."""
+    from functime_spark.forecasting.holt import holt
+
+    def recursion(yv, a, b, phi):
+        l, t = yv[0], (yv[1] - yv[0] if len(yv) > 1 else 0.0)
+        for v in yv[1:]:
+            l_new = a * v + (1 - a) * (l + phi * t)
+            t = b * (l_new - l) + (1 - b) * phi * t
+            l = l_new
+        return l, t
+
+    for a, bb, phi in ((0.5, 0.25, 1.0), (0.4, 0.3, 0.9)):
+        fc = holt(freq="1h", alpha=a, beta=bb, phi=phi).fit(events)
+        pred = _pdf(fc.predict(3))
+        for uid, grp in events_pdf.sort_values("ts").groupby("user_id"):
+            yv = grp["value"].to_numpy(dtype=float)
+            l, t = recursion(yv, a, bb, phi)
+            want = []
+            damp = 0.0
+            for h in range(1, 4):
+                damp = h if phi == 1.0 else damp + phi**h
+                want.append(l + damp * t)
+            got = (
+                pred[pred["user_id"] == uid]
+                .sort_values("ts")["value"]
+                .to_numpy()
+            )
+            np.testing.assert_allclose(got, want, rtol=1e-8)
+
+    # degenerate single-observation entity -> flat naive
+    import datetime as _dt
+
+    one = events.sparkSession.createDataFrame(
+        [("solo", _dt.datetime(2024, 1, 1), 7.0)],
+        "user_id string, ts timestamp, value double",
+    )
+    p = _pdf(holt(freq="1h").fit(one).predict(2))
+    np.testing.assert_allclose(p["value"].to_numpy(), [7.0, 7.0])
+
+    with pytest.raises(ValueError, match="alpha"):
+        holt(freq="1h", alpha=0.0)
+    with pytest.raises(ValueError, match="phi"):
+        holt(freq="1h", phi=1.5)
+
+    bt = holt(freq="1h").backtest(events, test_size=3, n_splits=2)
+    assert bt.count() > 0 and "split" in bt.columns
