@@ -271,6 +271,22 @@ def q_forecast_holt(spark, sf_dir):
     return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
 
 
+def q_forecast_hw(spark, sf_dir):
+    """Holt-Winters additive (r10, beyond-reference): per-entity
+    level/trend/seasonal recursion (sp=24, classical two-cycle init)
+    in an Arrow kernel, replayed by a recursive CTE whose state rows
+    CARRY the rolling 24-slot seasonal list; fh=26 exercises the
+    seasonal-index wrap past one full cycle."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.hw import holt_winters
+
+    df = events_panel(spark, sf_dir)
+    fc = holt_winters(
+        freq="1h", sp=24, alpha=0.3, beta=0.1, gamma=0.2
+    ).fit(df)
+    return _round_floats(fc.predict(26)).orderBy("user_id", "ts")
+
+
 def q_forecast_snaive(spark, sf_dir):
     _ensure_nanos_conf(spark)
     from functime_spark.forecasting.naive import snaive
@@ -3844,6 +3860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "retrieval_mmr": q_retrieval_mmr,
             "forecast_theta": q_forecast_theta,
             "forecast_holt": q_forecast_holt,
+            "forecast_hw": q_forecast_hw,
             "forecast_backtest_naive": q_forecast_backtest_naive,
             "forecast_conformal": q_forecast_conformal,
             "forecast_conformal_linear": q_forecast_conformal_linear,
@@ -3877,8 +3894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Cohort ages going into r10 (computed from the artifact union):
     # 23 queries last verified in r4 (feat_streak_length_stats ..
     # text_vocab_zipf — ALL retired below, closing the r4 cohort the
-    # r9 verdict asked for), 28 in r5 (the alphabetical front 13 fill
-    # the window: 14 new/changed + 23 r4 + 13 r5 = the ~50
+    # r9 verdict asked for), 28 in r5 (the alphabetical front 12 fill
+    # the window: 15 new/changed + 23 r4 + 12 r5 = the ~50
     # truncation), everything else r6+.
     never_verified_first = [
         # (a) new or changed in round 10
@@ -3890,6 +3907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dhash_incr",  # NEW: persisted phash store, per-side caps
         "media_orientation",  # NEW: EXIF 2.3 upright transforms replayed
         "forecast_holt",  # NEW: Holt trend smoothing, recursion replayed
+        "forecast_hw",  # NEW: Holt-Winters additive, list-state CTE replay
         "media_tiff_roundtrip",  # encode_tiff gained the tag-274 param
         "text_bm25_incremental",  # BM25Index.update gained compaction
         "scale_cms_counts",  # cms_sketch now null-filters before hashing
@@ -3935,7 +3953,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_censored",
         "forecast_linear",
         "forecast_linear_ar2",
-        "forecast_linear_direct",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

@@ -1,0 +1,142 @@
+"""Holt-Winters additive seasonal smoothing (Winters 1960) —
+beyond-reference; completes the classical exponential-smoothing
+family next to theta (SES) and holt (trend).
+
+Recursion for t = m+1..n (classical init: l_m = mean(y_1..m),
+b_m = (mean(y_{m+1..2m}) - mean(y_1..m)) / m, s_i = y_i - l_m):
+
+    l_t = alpha * (y_t - s_{t-m}) + (1 - alpha) * (l_{t-1} + b_{t-1})
+    b_t = beta  * (l_t - l_{t-1}) + (1 - beta) * b_{t-1}
+    s_t = gamma * (y_t - l_{t-1} - b_{t-1}) + (1 - gamma) * s_{t-m}
+    yhat_{n+h} = l_n + h * b_n + s_{n-m+1+((h-1) mod m)}
+
+Engine-tier decision, measured against its siblings: SES and Holt
+unroll natively because their state is 1- and 2-dimensional (the
+M-power weight tables are O(maxT) scalars/pairs). Holt-Winters' state
+is (m+2)-dimensional, so the same unrolling ships an
+O(maxT * m^2)-entry weight tensor plus an O(maxT * m * 2m)
+init-coupling tensor — for hourly/daily seasonality (m = 24) that is
+megabytes of broadcast literals feeding 26 sums per observation. The
+inherently sequential per-entity kernel is the honest shape here:
+ONE Arrow-batched applyInPandas pass over entity groups (the
+boxcox/deseasonalize tier), state O(m) per entity, entities the
+parallel axis — at 100 TB the fit scales by adding executors, and
+the recursion never leaves the executor that holds the series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from functime_spark.forecasting.base import Forecaster
+
+
+class holt_winters(Forecaster):
+    """Additive Holt-Winters: `alpha`/`beta`/`gamma` in (0, 1), `sp`
+    the seasonal period (>= 2). Fixed constants — deterministic and
+    SQL-replayable; sweep with backtest/auto tooling. Every entity
+    must have >= 2*sp observations (the classical init needs two full
+    cycles) — shorter series raise at fit."""
+
+    def __init__(
+        self,
+        freq: str,
+        sp: int,
+        alpha: float = 0.3,
+        beta: float = 0.1,
+        gamma: float = 0.2,
+    ):
+        for name, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
+            if not (0.0 < v < 1.0):
+                raise ValueError(f"{name} must be in (0, 1)")
+        if sp < 2:
+            raise ValueError("sp must be >= 2")
+        super().__init__(freq=freq, lags=1)
+        self.sp = sp
+        self.alpha = alpha
+        self.beta = beta
+        self.gamma = gamma
+
+    def _init_kwargs(self) -> dict:
+        return {
+            "freq": self.freq,
+            "sp": self.sp,
+            "alpha": self.alpha,
+            "beta": self.beta,
+            "gamma": self.gamma,
+        }
+
+    def _fit(self, y: DataFrame, X: DataFrame | None = None):
+        p = self.state["panel"]
+        m = self.sp
+        a, be, g = self.alpha, self.beta, self.gamma
+        n_min = y.groupBy(p.entity).count().agg(F.min("count")).first()[0]
+        if n_min is None or int(n_min) < 2 * m:
+            raise ValueError(
+                f"holt_winters(sp={m}) needs >= {2 * m} observations per "
+                f"entity (classical two-cycle init); shortest series has "
+                f"{n_min}"
+            )
+        entity, time, target = p.entity, p.time, p.target
+        entity_dtype = dict(y.dtypes)[entity]
+        time_dtype = dict(y.dtypes)[time]
+        schema = (
+            f"{entity} {entity_dtype}, __l double, __b double, "
+            f"__s array<double>, low {time_dtype}"
+        )
+
+        def fit_group(pdf):
+            import pandas as pd
+
+            pdf = pdf.sort_values(time)
+            yv = pdf[target].to_numpy(dtype=float)
+            lvl = float(yv[:m].mean())
+            trd = float((yv[m:2 * m].mean() - yv[:m].mean()) / m)
+            seas = [float(v - lvl) for v in yv[:m]]  # seas[i] = s_{i+1}
+            for t in range(m, len(yv)):
+                s_tm = seas[t - m]
+                l_new = a * (yv[t] - s_tm) + (1 - a) * (lvl + trd)
+                seas.append(g * (yv[t] - lvl - trd) + (1 - g) * s_tm)
+                trd = be * (l_new - lvl) + (1 - be) * trd
+                lvl = l_new
+            return pd.DataFrame(
+                {
+                    entity: [pdf[entity].iloc[0]],
+                    "__l": [lvl],
+                    "__b": [trd],
+                    "__s": [seas[-m:]],
+                    "low": [pdf[time].iloc[-1]],
+                }
+            )
+
+        from functime_spark.materialize import materialize
+        from functime_spark.pipeline._util import spread_groups
+
+        state = (
+            spread_groups(y, p.entity)
+            .groupBy(p.entity)
+            .applyInPandas(fit_group, schema=schema)
+        )
+        self.state["hw"] = materialize(state)
+        self.state["cutoffs"] = self.state["hw"].select(p.entity, "low")
+
+    def _predict_values(self, fh: int, X: DataFrame | None = None) -> DataFrame:
+        p = self.state["panel"]
+        st = self.state["hw"]
+        m = self.sp
+        step = F.explode(F.sequence(F.lit(0), F.lit(fh - 1))).alias("step")
+        rows = st.select(p.entity, step, "__l", "__b", "__s")
+        h = F.col("step") + 1
+        # __s holds the LAST m seasonal states oldest-first, so
+        # forecast h uses __s[(h-1) mod m] (element_at is 1-based)
+        seas = F.element_at(
+            "__s", (F.pmod(h - 1, F.lit(m)) + 1).cast("int")
+        )
+        return rows.select(
+            p.entity,
+            "step",
+            (F.col("__l") + h.cast("double") * F.col("__b") + seas).alias(
+                "__yhat"
+            ),
+        )

@@ -1642,3 +1642,47 @@ def test_holt_vs_numpy(events, events_pdf):
 
     bt = holt(freq="1h").backtest(events, test_size=3, n_splits=2)
     assert bt.count() > 0 and "split" in bt.columns
+
+
+def test_holt_winters_vs_numpy(events, events_pdf):
+    """holt_winters (r10): per-entity fit matches a literal numpy
+    recursion (classical two-cycle init), forecasts wrap the seasonal
+    index past one cycle, short series and bad constants raise, and
+    backtest composes."""
+    from functime_spark.forecasting.hw import holt_winters
+
+    m, a, be, g, fh = 24, 0.3, 0.1, 0.2, 26
+    fc = holt_winters(freq="1h", sp=m, alpha=a, beta=be, gamma=g).fit(events)
+    pred = _pdf(fc.predict(fh))
+    for uid, grp in events_pdf.sort_values("ts").groupby("user_id"):
+        yv = grp["value"].to_numpy(dtype=float)
+        lvl = yv[:m].mean()
+        trd = (yv[m:2 * m].mean() - yv[:m].mean()) / m
+        seas = list(yv[:m] - lvl)
+        for t in range(m, len(yv)):
+            s_tm = seas[t - m]
+            l_new = a * (yv[t] - s_tm) + (1 - a) * (lvl + trd)
+            seas.append(g * (yv[t] - lvl - trd) + (1 - g) * s_tm)
+            trd = be * (l_new - lvl) + (1 - be) * trd
+            lvl = l_new
+        tail = seas[-m:]
+        want = [
+            lvl + h * trd + tail[(h - 1) % m] for h in range(1, fh + 1)
+        ]
+        got = (
+            pred[pred["user_id"] == uid].sort_values("ts")["value"].to_numpy()
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-9)
+
+    with pytest.raises(ValueError, match="gamma"):
+        holt_winters(freq="1h", sp=4, gamma=1.0)
+    with pytest.raises(ValueError, match="sp"):
+        holt_winters(freq="1h", sp=1)
+    with pytest.raises(ValueError, match="observations per"):
+        short = events.limit(30)
+        holt_winters(freq="1h", sp=24).fit(short)
+
+    bt = holt_winters(freq="1h", sp=4).backtest(
+        events, test_size=3, n_splits=2
+    )
+    assert bt.count() > 0 and "split" in bt.columns
