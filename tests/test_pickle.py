@@ -20,7 +20,9 @@ def _frame_equal(a, b, keys):
             assert (pa[c] == pb[c]).all(), c
 
 
-@pytest.mark.parametrize("kind", ["elastic_net", "naive", "snaive", "knn"])
+@pytest.mark.parametrize(
+    "kind", ["elastic_net", "naive", "snaive", "knn", "holt", "holt_winters"]
+)
 def test_forecaster_pickle_roundtrip(spark, kind):
     rng = np.random.default_rng(42)
     rows = [
@@ -43,6 +45,14 @@ def test_forecaster_pickle_roundtrip(spark, kind):
         from functime_spark.forecasting.naive import snaive
 
         fc = snaive(freq="1i", sp=4)
+    elif kind == "holt":
+        from functime_spark.forecasting.holt import holt
+
+        fc = holt(freq="1i", alpha=0.4, beta=0.2, phi=0.9)
+    elif kind == "holt_winters":
+        from functime_spark.forecasting.hw import holt_winters
+
+        fc = holt_winters(freq="1i", sp=4, alpha=0.3, beta=0.1, gamma=0.2)
     else:
         from functime_spark.forecasting.knn import knn
 
