@@ -287,6 +287,29 @@ def q_forecast_hw(spark, sf_dir):
     return _round_floats(fc.predict(26)).orderBy("user_id", "ts")
 
 
+def q_forecast_croston(spark, sf_dir):
+    """Croston SBA intermittent-demand forecaster (r10,
+    beyond-reference): zeros planted deterministically
+    (floor(value) % 3 == 0), twin closed-form SES over demand sizes
+    and inter-demand intervals (alpha=0.25 — 1-a and the SBA 1-a/2
+    factor are exact dyadic doubles), flat-horizon forecast; the
+    oracle replays the nonzero split, interval lags, SES weights, and
+    bias factor term for term (all-zero entities forecast 0 through
+    the same left join)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.croston import croston
+
+    df = events_panel(spark, sf_dir)
+    df = df.withColumn(
+        "value",
+        F.when(
+            F.floor(F.col("value")).cast("long") % 3 == 0, F.lit(0.0)
+        ).otherwise(F.col("value").cast("double")),
+    )
+    fc = croston(freq="1h", alpha=0.25, variant="sba").fit(df)
+    return _round_floats(fc.predict(3)).orderBy("user_id", "ts")
+
+
 def q_forecast_snaive(spark, sf_dir):
     _ensure_nanos_conf(spark)
     from functime_spark.forecasting.naive import snaive
@@ -3861,6 +3884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "forecast_theta": q_forecast_theta,
             "forecast_holt": q_forecast_holt,
             "forecast_hw": q_forecast_hw,
+            "forecast_croston": q_forecast_croston,
             "forecast_backtest_naive": q_forecast_backtest_naive,
             "forecast_conformal": q_forecast_conformal,
             "forecast_conformal_linear": q_forecast_conformal_linear,
@@ -3894,8 +3918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Cohort ages going into r10 (computed from the artifact union):
     # 23 queries last verified in r4 (feat_streak_length_stats ..
     # text_vocab_zipf — ALL retired below, closing the r4 cohort the
-    # r9 verdict asked for), 28 in r5 (the alphabetical front 12 fill
-    # the window: 15 new/changed + 23 r4 + 12 r5 = the ~50
+    # r9 verdict asked for), 28 in r5 (the alphabetical front 11 fill
+    # the window: 16 new/changed + 23 r4 + 11 r5 = the ~50
     # truncation), everything else r6+.
     never_verified_first = [
         # (a) new or changed in round 10
@@ -3908,6 +3932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_orientation",  # NEW: EXIF 2.3 upright transforms replayed
         "forecast_holt",  # NEW: Holt trend smoothing, recursion replayed
         "forecast_hw",  # NEW: Holt-Winters additive, list-state CTE replay
+        "forecast_croston",  # NEW: intermittent-demand twin-SES replay
         "media_tiff_roundtrip",  # encode_tiff gained the tag-274 param
         "text_bm25_incremental",  # BM25Index.update gained compaction
         "scale_cms_counts",  # cms_sketch now null-filters before hashing
@@ -3952,7 +3977,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_auto_linear",
         "forecast_censored",
         "forecast_linear",
-        "forecast_linear_ar2",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

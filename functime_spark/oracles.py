@@ -1289,6 +1289,35 @@ def operator_oracles() -> dict:
         "generate_series(1, 26) AS g(s) ORDER BY f.user_id, ts"
     )
 
+    # forecast_croston (r10): nonzero split + interval lag + the
+    # theta-style closed-form SES weights applied to BOTH sequences in
+    # one aggregate; alpha = 0.25 so 1-a = 0.75 and the SBA factor
+    # 1 - a/2 = 0.875 are exact dyadic doubles in both engines.
+    _ses_w = (
+        "CASE WHEN i = 1 THEN pow(0.75, kk.k - 1) "
+        "ELSE 0.25 * pow(0.75, kk.k - i) END"
+    )
+    o["forecast_croston"] = (
+        "WITH r AS (SELECT user_id, ts, "
+        "CASE WHEN CAST(FLOOR(value) AS BIGINT) % 3 = 0 THEN 0.0 "
+        "ELSE CAST(value AS DOUBLE) END AS y, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts) AS t "
+        "FROM events), "
+        "cut AS (SELECT user_id, MAX(ts) AS low FROM r GROUP BY user_id), "
+        "nz AS (SELECT user_id, y AS z, CAST(t - COALESCE(lag(t) OVER "
+        "(PARTITION BY user_id ORDER BY t), 0) AS DOUBLE) AS p, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY t) AS i "
+        "FROM r WHERE y != 0.0), "
+        "kk AS (SELECT user_id, MAX(i) AS k FROM nz GROUP BY user_id), "
+        f"lv AS (SELECT nz.user_id, SUM({_ses_w} * z) AS lz, "
+        f"SUM({_ses_w} * p) AS lp FROM nz JOIN kk "
+        "ON nz.user_id = kk.user_id GROUP BY nz.user_id) "
+        "SELECT c.user_id, c.low + g.s * INTERVAL '1 hour' AS ts, "
+        + _r("COALESCE(0.875 * lv.lz / lv.lp, 0.0)")
+        + " AS value FROM cut c LEFT JOIN lv ON c.user_id = lv.user_id, "
+        "generate_series(1, 3) AS g(s) ORDER BY c.user_id, ts"
+    )
+
     o["forecast_snaive"] = (
         "WITH c AS (SELECT user_id, MAX(ts) AS low, list(value ORDER BY ts) AS vs "
         "FROM events GROUP BY user_id), "

@@ -1686,3 +1686,60 @@ def test_holt_winters_vs_numpy(events, events_pdf):
         events, test_size=3, n_splits=2
     )
     assert bt.count() > 0 and "split" in bt.columns
+
+
+def test_croston_vs_numpy(events, events_pdf):
+    """croston (r10): the closed-form twin-SES levels must equal the
+    literal Croston recursion on the demand/interval sequences of a
+    planted intermittent series; SBA applies the (1 - a/2) factor;
+    all-zero series forecast 0; bad params raise."""
+    from functime_spark.forecasting.croston import croston
+
+    spark = events.sparkSession
+    import datetime as _dt
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for e in ("x", "y"):
+        for t in range(40):
+            v = float(rng.integers(1, 9)) if rng.random() < 0.3 else 0.0
+            rows.append((e, _dt.datetime(2024, 1, 1) + _dt.timedelta(hours=t), v))
+    for t in range(40):  # all-zero entity
+        rows.append(("z", _dt.datetime(2024, 1, 1) + _dt.timedelta(hours=t), 0.0))
+    y = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    pdf = {
+        e: [r[2] for r in rows if r[0] == e] for e in ("x", "y", "z")
+    }
+
+    a = 0.2
+    for variant, bias in (("croston", 1.0), ("sba", 1.0 - a / 2)):
+        fc = croston(freq="1h", alpha=a, variant=variant).fit(y)
+        pred = _pdf(fc.predict(3))
+        for e in ("x", "y", "z"):
+            yv = pdf[e]
+            zs, ps, last = [], [], 0
+            for i, v in enumerate(yv, start=1):
+                if v != 0.0:
+                    zs.append(v)
+                    ps.append(float(i - last))
+                    last = i
+            if zs:
+                lz, lp = zs[0], ps[0]
+                for zv, pv in zip(zs[1:], ps[1:]):
+                    lz = a * zv + (1 - a) * lz
+                    lp = a * pv + (1 - a) * lp
+                want = bias * lz / lp
+            else:
+                want = 0.0
+            got = (
+                pred[pred["user_id"] == e].sort_values("ts")["value"].to_numpy()
+            )
+            np.testing.assert_allclose(got, [want] * 3, rtol=1e-9)
+
+    with pytest.raises(ValueError, match="alpha"):
+        croston(freq="1h", alpha=1.0)
+    with pytest.raises(ValueError, match="variant"):
+        croston(freq="1h", variant="bogus")
+
+    bt = croston(freq="1h").backtest(y, test_size=3, n_splits=2)
+    assert bt.count() > 0 and "split" in bt.columns
