@@ -495,7 +495,10 @@ def main() -> None:
                     "ngram_lm_score/quality_tiers untouched (lm.py only "
                     "gained the trigram tier), bm25 fit/search untouched "
                     "(update gained compaction — not on the bench path), "
-                    "forecasting/features/preprocessing untouched. "
+                    "features/preprocessing untouched, and forecasting "
+                    "only GAINED modules (holt/hw/croston + their "
+                    "__init__ imports; linear/tree/_ar bodies "
+                    "untouched). "
                     "media_curate's operator signature gained exif "
                     "params (default OFF; the decode loop adds one "
                     "no-op closure definition per Arrow batch) — the "
