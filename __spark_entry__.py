@@ -310,6 +310,19 @@ def q_forecast_croston(spark, sf_dir):
     return _round_floats(fc.predict(3)).orderBy("user_id", "ts")
 
 
+def q_forecast_ses(spark, sf_dir):
+    """Simple exponential smoothing (r10, beyond-reference): the
+    closed-form weighted level (alpha=0.5 — every weight a dyadic
+    rational) replayed as the same weighted sum in SQL; flat
+    horizon."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.ses import ses
+
+    df = events_panel(spark, sf_dir)
+    fc = ses(freq="1h", alpha=0.5).fit(df)
+    return _round_floats(fc.predict(3)).orderBy("user_id", "ts")
+
+
 def q_forecast_snaive(spark, sf_dir):
     _ensure_nanos_conf(spark)
     from functime_spark.forecasting.naive import snaive
@@ -3885,6 +3898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "forecast_holt": q_forecast_holt,
             "forecast_hw": q_forecast_hw,
             "forecast_croston": q_forecast_croston,
+            "forecast_ses": q_forecast_ses,
             "forecast_backtest_naive": q_forecast_backtest_naive,
             "forecast_conformal": q_forecast_conformal,
             "forecast_conformal_linear": q_forecast_conformal_linear,
@@ -3918,8 +3932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Cohort ages going into r10 (computed from the artifact union):
     # 23 queries last verified in r4 (feat_streak_length_stats ..
     # text_vocab_zipf — ALL retired below, closing the r4 cohort the
-    # r9 verdict asked for), 28 in r5 (the alphabetical front 11 fill
-    # the window: 16 new/changed + 23 r4 + 11 r5 = the ~50
+    # r9 verdict asked for), 28 in r5 (the alphabetical front 10 fill
+    # the window: 17 new/changed + 23 r4 + 10 r5 = the ~50
     # truncation), everything else r6+.
     never_verified_first = [
         # (a) new or changed in round 10
@@ -3933,6 +3947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_holt",  # NEW: Holt trend smoothing, recursion replayed
         "forecast_hw",  # NEW: Holt-Winters additive, list-state CTE replay
         "forecast_croston",  # NEW: intermittent-demand twin-SES replay
+        "forecast_ses",  # NEW: named flat SES, weighted-sum replay
         "media_tiff_roundtrip",  # encode_tiff gained the tag-274 param
         "text_bm25_incremental",  # BM25Index.update gained compaction
         "scale_cms_counts",  # cms_sketch now null-filters before hashing
@@ -3976,7 +3991,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_auto_cfo",
         "forecast_auto_linear",
         "forecast_censored",
-        "forecast_linear",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

@@ -11,6 +11,7 @@ from functime_spark.forecasting.naive import naive, snaive  # noqa: F401
 from functime_spark.forecasting.croston import croston  # noqa: F401
 from functime_spark.forecasting.holt import holt  # noqa: F401
 from functime_spark.forecasting.hw import holt_winters  # noqa: F401
+from functime_spark.forecasting.ses import ses  # noqa: F401
 from functime_spark.forecasting.theta import theta  # noqa: F401
 from functime_spark.forecasting.ranges import make_future_ranges  # noqa: F401
 from functime_spark.forecasting.censored import (  # noqa: F401

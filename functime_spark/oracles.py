@@ -1318,6 +1318,24 @@ def operator_oracles() -> dict:
         "generate_series(1, 3) AS g(s) ORDER BY c.user_id, ts"
     )
 
+    # forecast_ses (r10): the closed-form SES weighted sum replayed
+    # directly (alpha = 0.5: every weight is a dyadic rational).
+    o["forecast_ses"] = (
+        "WITH r AS (SELECT user_id, ts, CAST(value AS DOUBLE) AS y, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts) AS t "
+        "FROM events), "
+        "nn AS (SELECT user_id, MAX(t) AS n, MAX(ts) AS low FROM r "
+        "GROUP BY user_id), "
+        "lv AS (SELECT r.user_id, SUM(CASE WHEN r.t = 1 THEN "
+        "pow(0.5, nn.n - 1) ELSE 0.5 * pow(0.5, nn.n - r.t) END * r.y) "
+        "AS l FROM r JOIN nn ON nn.user_id = r.user_id "
+        "GROUP BY r.user_id) "
+        "SELECT lv.user_id, nn.low + g.s * INTERVAL '1 hour' AS ts, "
+        + _r("lv.l")
+        + " AS value FROM lv JOIN nn ON nn.user_id = lv.user_id, "
+        "generate_series(1, 3) AS g(s) ORDER BY lv.user_id, ts"
+    )
+
     o["forecast_snaive"] = (
         "WITH c AS (SELECT user_id, MAX(ts) AS low, list(value ORDER BY ts) AS vs "
         "FROM events GROUP BY user_id), "

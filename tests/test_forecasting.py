@@ -1743,3 +1743,23 @@ def test_croston_vs_numpy(events, events_pdf):
 
     bt = croston(freq="1h").backtest(y, test_size=3, n_splits=2)
     assert bt.count() > 0 and "split" in bt.columns
+
+
+def test_ses_vs_numpy(events, events_pdf):
+    """ses (r10): the closed-form weighted level equals the literal
+    SES recursion per entity; forecasts are flat; bad alpha raises."""
+    from functime_spark.forecasting.ses import ses
+
+    a = 0.3
+    fc = ses(freq="1h", alpha=a).fit(events)
+    pred = _pdf(fc.predict(3))
+    for uid, grp in events_pdf.sort_values("ts").groupby("user_id"):
+        yv = grp["value"].to_numpy(dtype=float)
+        lvl = yv[0]
+        for v in yv[1:]:
+            lvl = a * v + (1 - a) * lvl
+        got = pred[pred["user_id"] == uid].sort_values("ts")["value"].to_numpy()
+        np.testing.assert_allclose(got, [lvl] * 3, rtol=1e-9)
+
+    with pytest.raises(ValueError, match="alpha"):
+        ses(freq="1h", alpha=0.0)
