@@ -148,15 +148,18 @@ class Forecaster(SparkStatePickleMixin):
             # each split's invert sees that split's fitted params)
             fitted = type(self)(**self._init_kwargs())
             fitted.target_transform = self.target_transform
+            # short-coverage entities (series shorter than this split's
+            # test window, or too short for a forecaster's init — e.g.
+            # holt_winters' two-cycle requirement) drop out of the
+            # split instead of aborting the backtest — irregular
+            # panels are supported here. Set BEFORE fit so _fit
+            # implementations can honor the drop convention too.
+            fitted._x_on_short = "drop"
             # X joins the train design on (entity, time), so passing the
             # full exogenous panel is safe; the predict side must see
             # ONLY the test-time rows (attach_future_x slices the
             # earliest fh rows of whatever it is given)
             fitted.fit(train, X)
-            # short-coverage entities (series shorter than this split's
-            # test window) drop out of the split instead of aborting
-            # the backtest — irregular panels are supported here
-            fitted._x_on_short = "drop"
             X_test = (
                 X.join(
                     test.select(p.entity, p.time), on=[p.entity, p.time], how="left_semi"

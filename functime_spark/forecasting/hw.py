@@ -35,9 +35,11 @@ from functime_spark.forecasting.base import Forecaster
 class holt_winters(Forecaster):
     """Additive Holt-Winters: `alpha`/`beta`/`gamma` in (0, 1), `sp`
     the seasonal period (>= 2). Fixed constants — deterministic and
-    SQL-replayable; sweep with backtest/auto tooling. Every entity
-    must have >= 2*sp observations (the classical init needs two full
-    cycles) — shorter series raise at fit."""
+    SQL-replayable; sweep with backtest/auto tooling (auto_hw). Every
+    entity must have >= 2*sp observations (the classical init needs
+    two full cycles) — shorter series raise at direct fit; inside
+    backtest() they drop out of the split (the _x_on_short='drop'
+    convention)."""
 
     def __init__(
         self,
@@ -71,13 +73,23 @@ class holt_winters(Forecaster):
         p = self.state["panel"]
         m = self.sp
         a, be, g = self.alpha, self.beta, self.gamma
-        n_min = y.groupBy(p.entity).count().agg(F.min("count")).first()[0]
-        if n_min is None or int(n_min) < 2 * m:
-            raise ValueError(
-                f"holt_winters(sp={m}) needs >= {2 * m} observations per "
-                f"entity (classical two-cycle init); shortest series has "
-                f"{n_min}"
-            )
+        counts = y.groupBy(p.entity).count()
+        if self._x_on_short == "drop":
+            # backtest convention: entities too short for the
+            # two-cycle init emit NO state rows (they drop out of the
+            # split via the inner predict join, like the croston
+            # all-zero left-join path) instead of aborting the whole
+            # backtest
+            ok = counts.where(F.col("count") >= 2 * m).select(p.entity)
+            y = y.join(F.broadcast(ok), on=p.entity, how="left_semi")
+        else:
+            n_min = counts.agg(F.min("count")).first()[0]
+            if n_min is None or int(n_min) < 2 * m:
+                raise ValueError(
+                    f"holt_winters(sp={m}) needs >= {2 * m} observations "
+                    f"per entity (classical two-cycle init); shortest "
+                    f"series has {n_min}"
+                )
         entity, time, target = p.entity, p.time, p.target
         entity_dtype = dict(y.dtypes)[entity]
         time_dtype = dict(y.dtypes)[time]

@@ -1235,8 +1235,10 @@ def operator_oracles() -> dict:
         "nn AS (SELECT user_id, MAX(t) AS n, MAX(ts) AS low FROM r "
         "GROUP BY user_id), "
         "init AS (SELECT a.user_id, a.y AS y1, b.y AS y2 FROM r a "
-        "JOIN r b ON a.user_id = b.user_id AND a.t = 1 AND b.t = 2), "
-        "rec AS (SELECT user_id, 1 AS t, y1 AS l, y2 - y1 AS b "
+        "LEFT JOIN r b ON a.user_id = b.user_id AND b.t = 2 "
+        "WHERE a.t = 1), "
+        "rec AS (SELECT user_id, 1 AS t, y1 AS l, "
+        "COALESCE(y2 - y1, 0.0) AS b "
         "FROM init UNION ALL "
         "SELECT rec.user_id, rec.t + 1, "
         "0.5 * r.y + 0.5 * (rec.l + rec.b), "

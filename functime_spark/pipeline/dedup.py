@@ -1003,7 +1003,11 @@ def scrub_duplicated_spans(
     x n_dup_spans) per doc worst case, bounded by document length,
     never by corpus size; the stitch count is one pass over the
     already-computed coverage flags."""
-    words = F.split(F.col(text_col), r"\s+")
+    # coalesce: null text would make size(__w) null and the downstream
+    # sequence/zip_with chain null-poisoned (split itself never yields
+    # an empty array, so null is the only exposure) — match the
+    # null-tolerance of the other text stages
+    words = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")
     base = docs.select(F.col(id_col), words.alias("__w"))
     n = F.size("__w")
     grams = F.when(

@@ -1011,7 +1011,10 @@ class BM25Index:
         self.avgdl = self._sum_dl / self.n_docs if self.n_docs else 0.0
         tf_new = materialize(tf_new)
         self.postings = self.postings.unionByName(tf_new)
-        self._union_depth += 1
+        # lazy init: an instance deserialized from a pre-compaction
+        # artifact (or a subclass bypassing __init__) has no
+        # _union_depth attribute yet
+        self._union_depth = getattr(self, "_union_depth", 0) + 1
         if self._union_depth >= self.COMPACT_EVERY:
             self.postings = materialize(self.postings)
             self._union_depth = 0

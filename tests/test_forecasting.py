@@ -1688,6 +1688,72 @@ def test_holt_winters_vs_numpy(events, events_pdf):
     assert bt.count() > 0 and "split" in bt.columns
 
 
+def test_hw_backtest_short_entity_drops(events):
+    """ADVICE r10: a panel entity shorter than 2*sp must drop out of
+    backtest splits (emitting no state rows) instead of aborting the
+    whole backtest; direct fit keeps the raise."""
+    import datetime as dt
+
+    from functime_spark.forecasting.hw import holt_winters
+
+    spark = events.sparkSession
+    short = spark.createDataFrame(
+        [
+            ("tiny", dt.datetime(2024, 1, 1) + dt.timedelta(hours=t), float(t))
+            for t in range(6)
+        ],
+        "user_id string, ts timestamp, value double",
+    )
+    panel = events.select("user_id", "ts", "value").unionByName(short)
+    bt = holt_winters(freq="1h", sp=4).backtest(panel, test_size=3, n_splits=2)
+    pdf = bt.toPandas()
+    assert len(pdf) > 0
+    assert "tiny" not in set(pdf["user_id"])
+    with pytest.raises(ValueError, match="observations per"):
+        holt_winters(freq="1h", sp=4).fit(short)
+
+
+def test_holt_oracle_covers_n1_entity(spark):
+    """ADVICE r10: the forecast_holt oracle LEFT JOINs the t=2 row and
+    coalesces b to 0, so a single-observation entity stays in the
+    oracle's entity set with the same flat forecast the engine's
+    degenerate (l=y1, b=0) branch emits."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from functime_spark.forecasting.holt import holt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", base + dt.timedelta(hours=t), float(10 + 3 * t)) for t in range(5)
+    ] + [("solo", base, 7.0)]
+    y = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    pred = (
+        holt(freq="1h", alpha=0.5, beta=0.25, phi=1.0)
+        .fit(y)
+        .predict(4)
+        .toPandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", pd.DataFrame(rows, columns=["user_id", "ts", "value"]))
+    ora = (
+        con.execute(entrymod.oracle_sql()["forecast_holt"])
+        .df()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert list(ora["user_id"]) == list(pred["user_id"])
+    np.testing.assert_allclose(
+        ora["value"].to_numpy(), pred["value"].round(6).to_numpy(), atol=2e-6
+    )
+    assert (ora[ora["user_id"] == "solo"]["value"] == 7.0).all()
+
+
 def test_croston_vs_numpy(events, events_pdf):
     """croston (r10): the closed-form twin-SES levels must equal the
     literal Croston recursion on the demand/interval sequences of a

@@ -1354,6 +1354,29 @@ def test_scrub_duplicated_spans_removes_covered_tokens(spark):
     assert out[3]["n_kept"] == 4
 
 
+def test_scrub_spans_null_text_clean_empty(spark):
+    """ADVICE r10: null text must yield a clean empty result row, not
+    a null-poisoned sequence/zip_with chain (split('') never returns
+    an empty array, so null was the only exposure)."""
+    from functime_spark.pipeline.dedup import scrub_duplicated_spans
+
+    dup = "alpha beta gamma delta epsilon"
+    d = spark.createDataFrame(
+        [(1, f"{dup} one"), (2, f"{dup} two"), (3, None)],
+        "doc_id int, text string",
+    )
+    for kf in (False, True):
+        out = {
+            r["doc_id"]: r
+            for r in scrub_duplicated_spans(d, k=5, keep_first=kf).collect()
+        }
+        assert out[3]["text"] == ""
+        # split('') yields [''] -> one (empty) token, zero grams
+        assert out[3]["n_tokens"] == 1 and out[3]["n_dup_spans"] == 0
+        # the shared gram is still detected in the non-null docs
+        assert out[2]["text"] == "two"
+
+
 def test_scrub_spans_short_docs_untouched(spark):
     from functime_spark.pipeline.dedup import scrub_duplicated_spans
 
@@ -4323,6 +4346,17 @@ def test_bm25_index_incremental_update(spark):
 
     with pytest.raises(RuntimeError, match="fit"):
         BM25Index().update(d)
+
+    # ADVICE r10: an instance deserialized from a pre-compaction
+    # artifact has no _union_depth attribute — update() must lazily
+    # initialize it instead of raising AttributeError
+    legacy = BM25Index().fit(d.filter("doc_id % 2 = 0"))
+    del legacy._union_depth
+    legacy.update(d.filter("doc_id % 2 = 1"))
+    assert legacy._union_depth == 1
+    got = [(r["doc_id"], r["bm25"]) for r in legacy.search("spark joins", k=6).collect()]
+    want = [(r["doc_id"], r["bm25"]) for r in full.search("spark joins", k=6).collect()]
+    assert got == want
 
 
 def test_hybrid_rrf_fusion_semantics(spark):
