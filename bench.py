@@ -444,24 +444,28 @@ def main() -> None:
     r5_comparable = round(sum(timings[q] for q in r5_suite), 3)
     r6_comparable = round(sum(timings[q] for q in r6_suite), 3)
     r7_comparable = round(sum(timings[q] for q in r7_suite), 3)
+    compact = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "value_r3_comparable": prev_comparable,
+        "value_r4_comparable": r4_comparable,
+        "value_r5_comparable": r5_comparable,
+        "value_r6_comparable": r6_comparable,
+        "value_r7_comparable": r7_comparable,
+        "value_r8_comparable": r8_comparable,
+        "value_r9_comparable": r9_comparable,
+        "drift_guard": drift_note or (
+            f"r8 subtotal within 20% of previous adjudicated "
+            f"{PREV_R8_COMPARABLE} s — no re-run needed"
+        ),
+        "sf": _sf_from_dir(SF_DIR),
+    }
     print(
         json.dumps(
             {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "value_r3_comparable": prev_comparable,
-                "value_r4_comparable": r4_comparable,
-                "value_r5_comparable": r5_comparable,
-                "value_r6_comparable": r6_comparable,
-                "value_r7_comparable": r7_comparable,
-                "value_r8_comparable": r8_comparable,
-                "value_r9_comparable": r9_comparable,
-                "drift_guard": drift_note or (
-                    f"r8 subtotal within 20% of previous adjudicated "
-                    f"{PREV_R8_COMPARABLE} s — no re-run needed"
-                ),
+                **compact,
                 # r6 investigation of the r5 minhash_dedup drift
                 # (1.418 -> 1.710 s): an isolated A/B of the r4 tree vs
                 # head on the same machine shows IDENTICAL stage
@@ -489,6 +493,16 @@ def main() -> None:
                     "and both rise together with ambient machine "
                     "state; forecasting/ diff vs r9 is EMPTY "
                     "(git-verified)",
+                    "media_curate_r10": "the r10 +56% judge-vs-judge "
+                    "move adjudicated NOISE via tools/ab_drift.py "
+                    "(r11, per the r10 verdict demand): interleaved "
+                    "head-vs-r9-tree process pairs (3x, 5 reps each, "
+                    "one session) — head 1.321/1.476/1.509 s vs r9 "
+                    "tree 1.313/1.239/1.718 s: full overlap, the r9 "
+                    "tree's worst pair exceeds every head sample and "
+                    "both trees sit well above the judge's idle-r9 "
+                    "0.798 s — ambient session state, not the exif "
+                    "closure (default-OFF path left untouched)",
                     "r10_paths": "no comparable leg's hot path changed "
                     "in the r10 diff: minhash_dedup/exact_dedup bodies "
                     "untouched (dedup.py only GAINED span functions), "
@@ -536,10 +550,15 @@ def main() -> None:
                     "broadcast_value) within noise of head — "
                     "tools/bisect_linear.py",
                 },
-                "sf": _sf_from_dir(SF_DIR),
             }
         )
     )
+    # the COMPACT line goes LAST (r10 verdict item 1): the driver keeps
+    # only the final ~2000 chars of stdout, and the notes blob above
+    # outgrew that window in r9/r10, truncating every timing out of the
+    # committed BENCH artifact. The last line is timings + subtotals +
+    # drift verdict only — it always fits the tail window and parses.
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

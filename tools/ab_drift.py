@@ -106,12 +106,40 @@ def main() -> None:
         fc = boosted_trees_d2(freq="1h", lags=2, n_iter=3).fit(y)
         fc.predict(4).count()
 
+    def _media_curate():
+        # verbatim bench.py q16 (r11: adjudicate the +56% judge-vs-judge
+        # move on the only touched comparable leg); the call shape
+        # predates the r10 exif params so it runs in both trees
+        from functime_spark.pipeline.multimodal import curate_media
+
+        docs = load_table(spark, SF_DIR, "documents")
+        h = F.unhex(F.md5((F.col("doc_id") / 5).cast("long").cast("string")))
+        payload = (
+            F.when(F.col("doc_id") % 7 == 0, F.lit(b"corrupt bytes"))
+            .when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(b"P5\n2 2\n255\n"), F.substring(h, 1, 4)),
+            )
+            .otherwise(F.concat(F.lit(b"P5\n4 4\n255\n"), h))
+        )
+        media = docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("image").alias("kind"),
+            payload.alias("payload"),
+            F.lit("{}").alias("meta"),
+        )
+        curated, _ = curate_media(
+            media, decoder="ppm", min_width=3, min_height=3, dim=4
+        )
+        curated.count()
+
     out = {"root": ROOT, "reps": REPS}
     legs = (
         ("ann_topk", _ann_topk),
         ("resample_naive_smape", _resample),
         ("minhash_dedup", _minhash),
         ("trees_d2_fit_forecast", _trees_d2),
+        ("media_curate", _media_curate),
     )
     default = {"ann_topk", "resample_naive_smape", "minhash_dedup"}
     for name, fn in legs:
