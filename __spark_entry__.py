@@ -287,6 +287,26 @@ def q_forecast_hw(spark, sf_dir):
     return _round_floats(fc.predict(26)).orderBy("user_id", "ts")
 
 
+def q_forecast_hw_mult(spark, sf_dir):
+    """Multiplicative Holt-Winters (r11, beyond-reference): the
+    classic Winters 1960 ratio recursion (level smooths y/s, season
+    smooths y/l_t against the NEW level; init s_i = y_i / l_m) —
+    standard for retail/M5-like panels where seasonal amplitude
+    scales with level. Oracle replays the recursion with the same
+    rolling-list recursive CTE as forecast_hw, the l_t expression
+    inlined verbatim so both engines run the identical IEEE op
+    sequence; events values are strictly positive at gate SF."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.hw import holt_winters
+
+    df = events_panel(spark, sf_dir)
+    fc = holt_winters(
+        freq="1h", sp=24, alpha=0.3, beta=0.1, gamma=0.2,
+        seasonal="multiplicative",
+    ).fit(df)
+    return _round_floats(fc.predict(26)).orderBy("user_id", "ts")
+
+
 def q_forecast_croston(spark, sf_dir):
     """Croston SBA intermittent-demand forecaster (r10,
     beyond-reference): zeros planted deterministically
@@ -3897,6 +3917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "forecast_theta": q_forecast_theta,
             "forecast_holt": q_forecast_holt,
             "forecast_hw": q_forecast_hw,
+            "forecast_hw_mult": q_forecast_hw_mult,
             "forecast_croston": q_forecast_croston,
             "forecast_ses": q_forecast_ses,
             "forecast_backtest_naive": q_forecast_backtest_naive,

@@ -1291,6 +1291,43 @@ def operator_oracles() -> dict:
         "generate_series(1, 26) AS g(s) ORDER BY f.user_id, ts"
     )
 
+    # forecast_hw_mult (r11): the classic Winters 1960 MULTIPLICATIVE
+    # recursion — level smooths y/s ratios, season smooths y/l_t
+    # against the NEW level (the l_t expression is inlined verbatim so
+    # both engines execute the identical IEEE op sequence), init
+    # s_i = y_i / l_m. Same rolling-list CTE discipline as forecast_hw.
+    o["forecast_hw_mult"] = (
+        "WITH RECURSIVE r AS (SELECT user_id, ts, "
+        "CAST(value AS DOUBLE) AS y, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY ts) AS t FROM events), "
+        "nn AS (SELECT user_id, MAX(t) AS n, MAX(ts) AS low FROM r "
+        "GROUP BY user_id), "
+        "init AS (SELECT user_id, "
+        "AVG(CASE WHEN t <= 24 THEN y END) AS l0, "
+        "(AVG(CASE WHEN t > 24 AND t <= 48 THEN y END) "
+        "- AVG(CASE WHEN t <= 24 THEN y END)) / 24 AS b0, "
+        "list(y ORDER BY t) FILTER (WHERE t <= 24) AS y1m "
+        "FROM r GROUP BY user_id), "
+        "rec AS (SELECT user_id, 24 AS t, l0 AS l, b0 AS b, "
+        "[v / l0 FOR v IN y1m] AS s FROM init "
+        "UNION ALL "
+        "SELECT rec.user_id, rec.t + 1, "
+        "0.3 * (r.y / rec.s[1]) + 0.7 * (rec.l + rec.b), "
+        "0.1 * ((0.3 * (r.y / rec.s[1]) + 0.7 * (rec.l + rec.b)) "
+        "- rec.l) + 0.9 * rec.b, "
+        "list_append(rec.s[2:], "
+        "0.2 * (r.y / (0.3 * (r.y / rec.s[1]) + 0.7 * (rec.l + rec.b))) "
+        "+ 0.8 * rec.s[1]) "
+        "FROM rec JOIN r ON r.user_id = rec.user_id "
+        "AND r.t = rec.t + 1), "
+        "fin AS (SELECT rec.user_id, rec.l, rec.b, rec.s FROM rec "
+        "JOIN nn ON nn.user_id = rec.user_id AND rec.t = nn.n) "
+        "SELECT f.user_id, nn.low + g.s * INTERVAL '1 hour' AS ts, "
+        + _r("(f.l + g.s * f.b) * f.s[CAST((g.s - 1) % 24 AS BIGINT) + 1]")
+        + " AS value FROM fin f JOIN nn ON nn.user_id = f.user_id, "
+        "generate_series(1, 26) AS g(s) ORDER BY f.user_id, ts"
+    )
+
     # forecast_croston (r10): nonzero split + interval lag + the
     # theta-style closed-form SES weights applied to BOTH sequences in
     # one aggregate; alpha = 0.25 so 1-a = 0.75 and the SBA factor

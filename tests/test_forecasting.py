@@ -1688,6 +1688,62 @@ def test_holt_winters_vs_numpy(events, events_pdf):
     assert bt.count() > 0 and "split" in bt.columns
 
 
+def test_holt_winters_multiplicative_vs_numpy(events, events_pdf):
+    """holt_winters(seasonal='multiplicative') (r11): the classic
+    Winters ratio recursion matches a literal numpy replay; forecasts
+    combine (l + h*b) * s; nonpositive data raises at direct fit and
+    drops in backtest."""
+    from functime_spark.forecasting.hw import holt_winters
+
+    m, a, be, g, fh = 24, 0.3, 0.1, 0.2, 26
+    fc = holt_winters(
+        freq="1h", sp=m, alpha=a, beta=be, gamma=g, seasonal="multiplicative"
+    ).fit(events)
+    pred = _pdf(fc.predict(fh))
+    for uid, grp in events_pdf.sort_values("ts").groupby("user_id"):
+        yv = grp["value"].to_numpy(dtype=float)
+        lvl = yv[:m].mean()
+        trd = (yv[m:2 * m].mean() - yv[:m].mean()) / m
+        seas = list(yv[:m] / lvl)
+        for t in range(m, len(yv)):
+            s_tm = seas[t - m]
+            l_new = a * (yv[t] / s_tm) + (1 - a) * (lvl + trd)
+            seas.append(g * (yv[t] / l_new) + (1 - g) * s_tm)
+            trd = be * (l_new - lvl) + (1 - be) * trd
+            lvl = l_new
+        tail = seas[-m:]
+        want = [
+            (lvl + h * trd) * tail[(h - 1) % m] for h in range(1, fh + 1)
+        ]
+        got = (
+            pred[pred["user_id"] == uid].sort_values("ts")["value"].to_numpy()
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-9)
+
+    with pytest.raises(ValueError, match="seasonal"):
+        holt_winters(freq="1h", sp=4, seasonal="robust")
+
+    import datetime as dt
+
+    spark = events.sparkSession
+    withzero = spark.createDataFrame(
+        [
+            ("z", dt.datetime(2024, 1, 1) + dt.timedelta(hours=t),
+             0.0 if t == 3 else float(t + 1))
+            for t in range(12)
+        ],
+        "user_id string, ts timestamp, value double",
+    )
+    with pytest.raises(ValueError, match="positive"):
+        holt_winters(freq="1h", sp=4, seasonal="multiplicative").fit(withzero)
+    panel = events.select("user_id", "ts", "value").unionByName(withzero)
+    bt = holt_winters(freq="1h", sp=4, seasonal="multiplicative").backtest(
+        panel, test_size=3, n_splits=2
+    )
+    pdf = bt.toPandas()
+    assert len(pdf) > 0 and "z" not in set(pdf["user_id"])
+
+
 def test_hw_backtest_short_entity_drops(events):
     """ADVICE r10: a panel entity shorter than 2*sp must drop out of
     backtest splits (emitting no state rows) instead of aborting the
