@@ -774,6 +774,23 @@ def q_forecast_auto_linear(spark, sf_dir):
     return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
 
 
+def q_forecast_auto_ses(spark, sf_dir):
+    """auto_ses end-to-end (r11): the exponential-smoothing family's
+    parameter search — grid alpha in {0.25, 0.5, 0.75} (dyadic, so
+    every SES weight is bit-exact in both engines), expanding 2-split
+    backtest, per-entity sum-ratio SMAPE, AVG score, argmin with
+    grid-order tie-break — AND the winner's full-panel closed-form
+    refit + flat 4-step forecast, all replayed in one generated SQL
+    oracle (the forecast_auto_linear discipline applied to the
+    smoothing family)."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.forecasting.automl import auto_ses
+
+    df = events_panel(spark, sf_dir)
+    fc = auto_ses(freq="1h", search="grid").fit(df)
+    return _round_floats(fc.predict(4)).orderBy("user_id", "ts")
+
+
 def q_forecast_auto_cfo(spark, sf_dir):
     """auto_ridge under search="cfo" — the deterministic re-expression
     of the reference's FLAML CFO optimizer (ref automl.py:22-311),
@@ -3763,6 +3780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "forecast_ridge_ar2": q_forecast_ridge_ar2,
             "forecast_lasso_cd": q_forecast_lasso_cd,
             "forecast_auto_linear": q_forecast_auto_linear,
+            "forecast_auto_ses": q_forecast_auto_ses,
             "forecast_auto_cfo": q_forecast_auto_cfo,
             "forecast_linear_direct": q_forecast_linear_direct,
             "forecast_linear_ensemble": q_forecast_linear_ensemble,

@@ -28,12 +28,16 @@ from functime_spark.forecasting.tree import (  # noqa: F401
     xgboost,
 )
 from functime_spark.forecasting.automl import (  # noqa: F401
+    auto_croston,
     auto_elastic_net,
+    auto_holt,
+    auto_hw,
     auto_knn,
     auto_lasso,
     auto_lightgbm,
     auto_linear_model,
     auto_ridge,
+    auto_ses,
     elastic_net_cv,
     flaml_lightgbm,
     lasso_cv,

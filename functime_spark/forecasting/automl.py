@@ -38,6 +38,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from functime_spark.forecasting.base import Forecaster
+from functime_spark.forecasting.croston import croston
+from functime_spark.forecasting.holt import holt
+from functime_spark.forecasting.hw import holt_winters
 from functime_spark.forecasting.knn import knn
 from functime_spark.forecasting.linear import (
     elastic_net,
@@ -45,6 +48,7 @@ from functime_spark.forecasting.linear import (
     linear_model,
     ridge,
 )
+from functime_spark.forecasting.ses import ses
 from functime_spark.forecasting.tree import gradient_boosted_model
 from functime_spark.operators.metrics import smape
 
@@ -139,6 +143,15 @@ class _auto_base(Forecaster):
             for params in self._space()
         ]
 
+    def _fallback_candidate(self) -> dict:
+        """Config used when EVERY candidate fails (degenerate panel):
+        the cheapest one — fewest lags, no extra space params."""
+        return {
+            "freq": self.freq,
+            "lags": self._lag_grid()[0],
+            **self.family_kwargs,
+        }
+
     def _fit(self, y: DataFrame, X: DataFrame | None = None):
         y = y.persist()
         self.n_fit_trials_ = 0
@@ -149,7 +162,7 @@ class _auto_base(Forecaster):
         else:
             best, best_score = self._search_halving(y, X)
         if best is None:  # degenerate panel: fall back to smallest config
-            best = {"freq": self.freq, "lags": self._lag_grid()[0], **self.family_kwargs}
+            best = self._fallback_candidate()
             best_score = float("inf")
         self.best_params_ = best
         self.best_score_ = best_score
@@ -242,6 +255,14 @@ class _auto_base(Forecaster):
         and kind in {"int","float"}. `lags` is added automatically."""
         return {}
 
+    def _cfo_full_space(self) -> dict:
+        """The complete CFO space: lags plus the family dims. The
+        smoothing subclasses override this to drop the lags dim — their
+        forecasters have no lag design matrix at all."""
+        space = {"lags": (self.min_lags, self.max_lags, "linear", "int")}
+        space.update(self._cfo_space())
+        return space
+
     def _search_cfo(self, y: DataFrame, X: DataFrame | None = None):
         """CFO-style local search (the reference defers to FLAML's CFO
         optimizer, ref automl.py:22-311: Wu et al. 2021, "Frugal
@@ -260,8 +281,7 @@ class _auto_base(Forecaster):
         across search modes."""
         import math
 
-        space = {"lags": (self.min_lags, self.max_lags, "linear", "int")}
-        space.update(self._cfo_space())
+        space = self._cfo_full_space()
         dims = sorted(space)
 
         def to_z(name, v):
@@ -431,6 +451,141 @@ class auto_lightgbm(_auto_base):
             "max_iter": (5, 30, "linear", "int"),
             "max_depth": (2, 6, "linear", "int"),
         }
+
+
+class _auto_smoothing(_auto_base):
+    """Parameter search for the exponential-smoothing family (r11):
+    the smoothing constants ARE the hyperparameters — there is no lag
+    design matrix — so candidates come straight from _space() and the
+    CFO space carries no lags dim. Reuses the ENTIRE _auto_base
+    machinery (grid / halving-with-nested-splits / deterministic CFO,
+    pooled-SMAPE scoring, winner refit on the full panel), answering
+    the first question a smoothing user asks: "what alpha?"."""
+
+    def __init__(
+        self,
+        freq: str,
+        test_size: int = 4,
+        n_splits: int = 2,
+        target_transform=None,
+        search: str = "halving",
+        cfo_max_trials: int = 24,
+        **family_kwargs,
+    ):
+        super().__init__(
+            freq=freq,
+            min_lags=1,
+            max_lags=1,
+            test_size=test_size,
+            n_splits=n_splits,
+            target_transform=target_transform,
+            search=search,
+            cfo_max_trials=cfo_max_trials,
+            **family_kwargs,
+        )
+
+    def _init_kwargs(self) -> dict:
+        return {
+            "freq": self.freq,
+            "test_size": self.test_size,
+            "n_splits": self.n_splits,
+            "search": self.search,
+            "cfo_max_trials": self.cfo_max_trials,
+            **self.family_kwargs,
+        }
+
+    def _candidates(self) -> list:
+        return [
+            {"freq": self.freq, **params, **self.family_kwargs}
+            for params in self._space()
+        ]
+
+    def _fallback_candidate(self) -> dict:
+        return self._candidates()[0]
+
+    def _cfo_full_space(self) -> dict:
+        # no lags dim: the smoothing constructors reject it, and a
+        # pinned zero-step dim would be dead weight anyway
+        return dict(self._cfo_space())
+
+
+class auto_ses(_auto_smoothing):
+    """SES with alpha chosen by expanding-window CV."""
+
+    _family = ses
+
+    def _space(self) -> list:
+        # dyadic grid: 1-a is exact in every IEEE engine, so the
+        # forecast_auto_ses oracle replays the selection bit-for-bit
+        return [{"alpha": a} for a in (0.25, 0.5, 0.75)]
+
+    def _cfo_space(self) -> dict:
+        return {"alpha": (0.05, 0.95, "linear", "float")}
+
+
+class auto_holt(_auto_smoothing):
+    """Holt trend smoothing with (alpha, beta, phi) chosen by CV —
+    phi < 1 candidates make damping part of the search."""
+
+    _family = holt
+
+    def _space(self) -> list:
+        return [
+            {"alpha": a, "beta": b, "phi": p}
+            for a in (0.2, 0.5, 0.8)
+            for b in (0.1, 0.3)
+            for p in (0.8, 1.0)
+        ]
+
+    def _cfo_space(self) -> dict:
+        return {
+            "alpha": (0.05, 0.95, "linear", "float"),
+            "beta": (0.05, 0.95, "linear", "float"),
+            "phi": (0.5, 1.0, "linear", "float"),
+        }
+
+
+class auto_hw(_auto_smoothing):
+    """Holt-Winters with (alpha, beta, gamma) chosen by CV; pass sp
+    (and seasonal=) through, e.g. auto_hw(freq='1h', sp=24). Entities
+    too short for a candidate's two-cycle init drop out of its
+    backtest splits rather than disqualifying the candidate."""
+
+    _family = holt_winters
+
+    def _space(self) -> list:
+        return [
+            {"alpha": a, "beta": b, "gamma": g}
+            for a in (0.2, 0.5)
+            for b in (0.1, 0.3)
+            for g in (0.1, 0.3)
+        ]
+
+    def _cfo_space(self) -> dict:
+        return {
+            "alpha": (0.05, 0.95, "linear", "float"),
+            "beta": (0.05, 0.95, "linear", "float"),
+            "gamma": (0.05, 0.95, "linear", "float"),
+        }
+
+
+class auto_croston(_auto_smoothing):
+    """Croston with (alpha, variant) chosen by CV — the grid crosses
+    the smoothing constant with classic/SBA; CFO searches alpha with
+    the variant taken from family_kwargs (categorical dims stay out
+    of the directional search)."""
+
+    _family = croston
+
+    def _space(self) -> list:
+        return [
+            {"alpha": a, "variant": v}
+            for a in (0.1, 0.2, 0.3)
+            for v in ("croston", "sba")
+        ]
+
+    def _cfo_space(self) -> dict:
+        return {"alpha": (0.02, 0.5, "linear", "float")}
 
 
 class _fixed_lag_cv(_auto_base):

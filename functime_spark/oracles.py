@@ -405,6 +405,69 @@ def _direct_linear_ctes(L: int, H: int, pfx: str = "d") -> list:
     return ctes
 
 
+def _auto_ses_replay(rnd) -> str:
+    """The ENTIRE auto_ses grid search replayed (r11): for each alpha
+    candidate {0.25, 0.5, 0.75} (dyadic — 1-a exact in both engines),
+    two expanding-split pooled SES refits (cutoffs 5, 4 — the backtest
+    defaults test_size=4, n_splits=2, step_size=1), flat 4-step
+    predictions joined to the actual test rows, per-entity sum-ratio
+    SMAPE over the stacked backtest rows, candidate score = AVG over
+    entities; argmin (ties -> grid order) picks the winner, whose
+    full-panel closed-form level is the flat forecast. Replays
+    automl._auto_smoothing._search_grid + _cv_score end-to-end."""
+    ALPHAS = [(0, "0.25", "0.75"), (1, "0.5", "0.5"), (2, "0.75", "0.25")]
+    CUTS = {"s5": 5, "s4": 4, "s0": 0}
+    ctes = [
+        "t0 AS (SELECT user_id AS e, ts AS t, CAST(value AS DOUBLE) AS y, "
+        "row_number() OVER wv - 1 AS i, "
+        "COUNT(*) OVER (PARTITION BY user_id) AS n FROM events "
+        "WINDOW wv AS (PARTITION BY user_id ORDER BY ts))",
+        "lowt AS (SELECT e, MAX(t) AS low FROM t0 GROUP BY e)",
+    ]
+    for k, a, oma in ALPHAS:
+        for sname, c in CUTS.items():
+            ctes.append(
+                f"l{k}_{sname} AS (SELECT e, SUM(CASE WHEN i = 0 THEN "
+                f"pow({oma}, n - {c} - 1) "
+                f"ELSE {a} * pow({oma}, n - {c} - 1 - i) END * y) AS l "
+                f"FROM t0 WHERE i < n - {c} GROUP BY e)"
+            )
+        ctes.append(
+            f"bt{k} AS ("
+            f"SELECT t0.e, t0.y AS actual, l.l AS pred FROM t0 "
+            f"JOIN l{k}_s5 l ON l.e = t0.e "
+            f"AND t0.i >= t0.n - 5 AND t0.i < t0.n - 1 "
+            f"UNION ALL "
+            f"SELECT t0.e, t0.y, l.l FROM t0 "
+            f"JOIN l{k}_s4 l ON l.e = t0.e AND t0.i >= t0.n - 4)"
+        )
+        ctes.append(
+            f"sm{k} AS (SELECT e, SUM(ABS(pred - actual)) / "
+            f"SUM(pred + actual) AS s FROM bt{k} GROUP BY e)"
+        )
+        ctes.append(
+            f"sc{k} AS (SELECT {k} AS ord, AVG(s) AS score FROM sm{k})"
+        )
+    ctes.append(
+        "win AS (SELECT ord FROM ("
+        + " UNION ALL ".join(f"SELECT * FROM sc{k}" for k, _, _ in ALPHAS)
+        + ") ORDER BY score ASC, ord ASC LIMIT 1)"
+    )
+    ctes.append(
+        "fin AS (SELECT l0.e, CASE win.ord WHEN 0 THEN l0.l "
+        "WHEN 1 THEN l1.l ELSE l2.l END AS l "
+        "FROM l0_s0 l0 JOIN l1_s0 l1 ON l1.e = l0.e "
+        "JOIN l2_s0 l2 ON l2.e = l0.e, win)"
+    )
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT f.e AS user_id, lowt.low + g.s * INTERVAL '1 hour' AS ts, "
+        + rnd("f.l")
+        + " AS value FROM fin f JOIN lowt ON lowt.e = f.e, "
+        "generate_series(1, 4) AS g(s) ORDER BY user_id, ts"
+    )
+
+
 def _auto_linear_replay(rnd) -> str:
     """The ENTIRE auto_linear_model grid search replayed: for each lag
     candidate {3, 7, 12}, two expanding-split pooled refits (cutoffs
@@ -3710,6 +3773,7 @@ def operator_oracles() -> dict:
     )
 
     o["forecast_auto_linear"] = _auto_linear_replay(_r)
+    o["forecast_auto_ses"] = _auto_ses_replay(_r)
 
     # forecast_linear_direct: the direct strategy (lags=3, H=4) — four
     # horizon models, each its own pooled elimination, applied to the

@@ -343,6 +343,59 @@ def test_auto_linear_picks_a_config(spark):
     assert len(pred) == 9
 
 
+@pytest.mark.parametrize(
+    "cls_name", ["auto_ses", "auto_holt", "auto_hw", "auto_croston"]
+)
+def test_auto_smoothing_grid_selects_argmin(events, cls_name):
+    """auto_* smoothing (r11): the grid winner must equal a manual
+    argmin over the same candidates scored through the PUBLIC
+    backtest + pooled-SMAPE path, the fitted object must predict like
+    the winner refit on the full panel, and no candidate carries a
+    lags key (the smoothing constructors reject it)."""
+    import functime_spark.forecasting.automl as am
+
+    cls = getattr(am, cls_name)
+    kwargs = {"sp": 4} if cls_name == "auto_hw" else {}
+    fc = cls(freq="1h", search="grid", **kwargs).fit(events)
+
+    cands = cls(freq="1h", **kwargs)._candidates()
+    assert all("lags" not in kw for kw in cands)
+    best, best_score = None, float("inf")
+    for kw in cands:
+        score = am._cv_score(lambda kw=kw: cls._family(**kw), events, 4, 2)
+        if score < best_score:
+            best, best_score = kw, score
+    assert fc.best_params_ == best
+    assert fc.best_score_ == pytest.approx(best_score, rel=1e-12)
+
+    want = _pdf(cls._family(**best).fit(events).predict(3))
+    got = _pdf(fc.predict(3))
+    np.testing.assert_allclose(
+        got.sort_values(["user_id", "ts"])["value"].to_numpy(),
+        want.sort_values(["user_id", "ts"])["value"].to_numpy(),
+        rtol=1e-12,
+    )
+
+
+def test_auto_smoothing_halving_and_cfo(events):
+    """auto_ses: halving picks the grid winner with fewer split-fits;
+    CFO's directional search stays inside the alpha bounds and refits
+    a valid winner (no lags dim in the space)."""
+    from functime_spark.forecasting.automl import auto_ses
+
+    grid = auto_ses(freq="1h", search="grid").fit(events)
+    halv = auto_ses(freq="1h").fit(events)  # default halving
+    assert halv.best_params_ == grid.best_params_
+    assert halv.best_score_ == pytest.approx(grid.best_score_, rel=1e-12)
+    # 3 candidates: grid 6 split-fits, halving 3 + 2 survivors * 1
+    assert grid.n_fit_trials_ == 6
+    assert halv.n_fit_trials_ == 5
+
+    cfo = auto_ses(freq="1h", search="cfo", cfo_max_trials=8).fit(events)
+    assert 0.05 <= cfo.best_params_["alpha"] <= 0.95
+    assert cfo.predict(2).count() > 0
+
+
 def test_halving_search_matches_grid_with_fewer_trials(spark):
     """Successive halving must (a) pick the same winner as the
     exhaustive grid — expanding splits are nested, so survivor scores
