@@ -2891,6 +2891,61 @@ def q_media_audio_resample(spark, sf_dir):
     return _round_floats(out)
 
 
+def _audio_dup_media(spark, sf_dir):
+    """Synthetic WAV frame for the audio-fingerprint dedup gate: the
+    doc_id % 13 subsample, PCM u_i = (i * (104729 + 2741*(doc_id%5)))
+    % 65536 — the SLOPE (not the offset) varies by group, so the five
+    group sawtooths have genuinely different spectra (an offset merely
+    phase-shifts the mod-65536 ramp and every group would share one
+    constellation). Docs with equal doc_id % 5 are byte-identical
+    duplicate clips; distinct groups share ZERO landmark hashes
+    (kernel-verified)."""
+    import struct as _struct
+
+    n, rate = _AUDIO_N, _AUDIO_RATE
+    header = (
+        b"RIFF" + _struct.pack("<I", 36 + 2 * n) + b"WAVEfmt "
+        + _struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + _struct.pack("<I", 2 * n)
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = docs.filter(F.col("doc_id") % 13 == 0)
+    u = "((i * (104729 + 2741 * (doc_id % 5))) % 65536)"
+    pcm_hex = F.expr(
+        "array_join(transform(sequence(0, {m}), i -> "
+        "format_string('%02X%02X', {u} % 256, ({u} DIV 256) % 256)), '')"
+        .format(m=n - 1, u=u)
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.concat(F.lit(header), F.unhex(pcm_hex)).alias("payload"),
+        F.lit("{}").alias("meta"),
+    )
+
+
+def q_media_audio_dups(spark, sf_dir):
+    """Audio near-duplicate pairs via spectral-peak constellation
+    fingerprinting (r11, Wang 2003) value-verified END-TO-END through
+    a real WAV decode: audio_near_dups runs the whole chain — framed
+    Hann/rFFT, per-subband above-mean peak picking, (f1,f2,dt)
+    landmark hashing, fp-bucket self-join, >= min_matches filter —
+    and the oracle independently replays every step as SQL (the DFT
+    as an explicit double sum, argmax as a mag-DESC row_number,
+    anchor-fanout pairing as a rank-<=3 join). At rate 8000 and
+    win_s 0.064 the absolute-frequency quantization qbin =
+    round(k*(rate/n_fft)*win_s) is the identity (bin width ==
+    1/win_s), which the oracle exploits; the discrete decisions all
+    carry >= 8e-3 magnitude margins vs ~1e-12 FFT-vs-naive-DFT noise
+    (margin-measured), so the replay is exact."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.audio import audio_near_dups
+
+    media = _audio_dup_media(spark, sf_dir)
+    out = audio_near_dups(media, decoder="wav", min_matches=5)
+    return out.select("id_a", "id_b", "n_matches").orderBy("id_a", "id_b")
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload → deterministic stub
     features via mapInPandas. The sha256-chained fake decoder emits
@@ -3917,6 +3972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_audio_spectral": q_media_audio_spectral,
             "media_audio_mfcc": q_media_audio_mfcc,
             "media_audio_resample": q_media_audio_resample,
+            "media_audio_dups": q_media_audio_dups,
             "media_curate_report": q_media_curate_report,
             "media_resize": q_media_resize,
             "media_gif_decode": q_media_gif_decode,

@@ -1841,6 +1841,58 @@ def operator_oracles() -> dict:
         "FROM mf GROUP BY doc_id, c ORDER BY media_id, c"
     )
 
+    # media_audio_dups (r11): the Shazam-style constellation dedup
+    # replayed END-TO-END. The doc_id % 13 subsample carries 5 group
+    # signals (slope-varied sawtooths, one per doc_id % 5), so the DFT
+    # replay is 5 groups x 2 frames x 255 bins. Chain: Hann DFT ->
+    # magnitude -> per-(frame) mean threshold -> per-subband argmax
+    # (row_number mag DESC, k ASC = numpy argmax-first) kept only above
+    # threshold -> landmarks = frame-0 anchors x the first 3 (k ASC)
+    # frame-256 peaks, hash f1*2^20 + f2*2^8 + dt (dt=1 is the only
+    # live offset at n=1000: frames start at 0 and 256 only) -> pair
+    # count = the group's landmark count (byte-identical clips) for
+    # every a<b doc pair in the group, >= 5 filter. qbin == k exactly
+    # at rate 8000 / win_s 0.064 (bin width = 1/win_s); all argmax /
+    # threshold margins >= 8e-3 vs ~1e-12 DFT-vs-FFT noise.
+    o["media_audio_dups"] = (
+        "WITH grp AS (SELECT DISTINCT doc_id % 5 AS g FROM documents "
+        "WHERE doc_id % 13 = 0), "
+        "samples AS (SELECT g, i, "
+        "CAST(CASE WHEN u < 32768 THEN u ELSE u - 65536 END AS DOUBLE) "
+        "/ 32768.0 AS x FROM (SELECT grp.g, t.i, "
+        "(t.i * (104729 + 2741 * grp.g)) % 65536 AS u "
+        "FROM grp, range(0, 1000) t(i)) t(g, i, u)), "
+        "win AS (SELECT s.g, fr.s AS fr, s.i - fr.s AS j, "
+        "s.x * (0.5 - 0.5*cos(2*pi()*(s.i - fr.s)/511.0)) AS y "
+        "FROM samples s JOIN (VALUES (0), (256)) fr(s) "
+        "ON s.i >= fr.s AND s.i < fr.s + 512), "
+        "spec AS (SELECT w.g, w.fr, ks.k, "
+        "SUM(w.y * cos(2*pi()*ks.k*w.j/512.0)) AS re, "
+        "SUM(w.y * sin(2*pi()*ks.k*w.j/512.0)) AS im "
+        "FROM win w, range(1, 256) ks(k) GROUP BY 1, 2, 3), "
+        "mag AS (SELECT g, fr, k, sqrt(re*re + im*im) AS m, "
+        "(k * 8) // 256 AS band FROM spec), "
+        "thr AS (SELECT g, fr, AVG(m) AS thr FROM mag GROUP BY 1, 2), "
+        "rk AS (SELECT g, fr, band, k, m, row_number() OVER "
+        "(PARTITION BY g, fr, band ORDER BY m DESC, k ASC) AS rn "
+        "FROM mag), "
+        "peaks AS (SELECT rk.g, rk.fr, rk.k FROM rk "
+        "JOIN thr ON thr.g = rk.g AND thr.fr = rk.fr "
+        "WHERE rk.rn = 1 AND rk.m > thr.thr), "
+        "lm AS (SELECT a.g, a.k * 1048576 + b.k * 256 + 1 AS h "
+        "FROM (SELECT g, k FROM peaks WHERE fr = 0) a "
+        "JOIN (SELECT g, k, row_number() OVER "
+        "(PARTITION BY g ORDER BY k) AS rn "
+        "FROM peaks WHERE fr = 256) b ON b.g = a.g AND b.rn <= 3), "
+        "cnt AS (SELECT g, COUNT(*) AS n_matches FROM lm GROUP BY g), "
+        "docs2 AS (SELECT doc_id, doc_id % 5 AS g FROM documents "
+        "WHERE doc_id % 13 = 0) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, c.n_matches "
+        "FROM docs2 a JOIN docs2 b ON a.g = b.g AND a.doc_id < b.doc_id "
+        "JOIN cnt c ON c.g = a.g WHERE c.n_matches >= 5 "
+        "ORDER BY id_a, id_b"
+    )
+
     o["media_curate_report"] = (
         f"WITH {_curate_surv} "
         "SELECT 'decode' AS stage, (SELECT COUNT(*) FROM base) AS rows_in, "

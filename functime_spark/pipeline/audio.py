@@ -20,7 +20,7 @@ from typing import Iterator
 
 import numpy as np
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -188,4 +188,179 @@ def extract_audio_features(
         "media_id", "duration_s", "rms", "zero_crossing_rate",
         "spectral_centroid_hz", "spectral_bandwidth_hz",
         "spectral_rolloff_hz", "spectral_flatness", "mfcc",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spectral-peak constellation fingerprinting (r11) — Shazam-style audio
+# near-duplicate detection (Wang 2003, "An Industrial-Strength Audio
+# Search Algorithm"), the audio analog of the image tier's dHash +
+# banded pairs (multimodal.py): re-encoded / re-leveled / resampled
+# copies of a clip keep the same peak constellation, so their
+# (f1, f2, dt) landmark hashes collide.
+#
+# Rate invariance by construction: frames are cut in SECONDS
+# (win_s/hop_s), so n_fft = round(rate * win_s) and every peak
+# quantizes to an absolute-frequency bin qbin = round(f_hz * win_s) —
+# a 44.1 kHz original and its 16 kHz resample land on the SAME bins
+# (verified by the resample-invariance pytest).
+# ---------------------------------------------------------------------------
+
+
+def audio_fingerprints_from_signal(
+    arr: np.ndarray,
+    rate: int,
+    channels: int = 1,
+    win_s: float = 0.064,
+    hop_s: float = 0.032,
+    max_freq: float = 4000.0,
+    n_subbands: int = 8,
+    fanout: int = 3,
+    max_dt: int = 3,
+) -> list:
+    """Distinct landmark hashes of one clip — the numpy ground-truth
+    kernel the Spark operator batches over.
+
+    Peaks: per frame (Hann + rFFT), the band below `max_freq` splits
+    into `n_subbands` sub-bands; each sub-band's magnitude argmax is a
+    candidate, kept only when it beats the frame's mean magnitude (the
+    Wang-style above-average criterion — leakage floors drop out).
+    Landmarks: each peak anchors pairs with the first `fanout` peaks of
+    each of the next `max_dt` frames; hash packs
+    (f1_qbin << 20) | (f2_qbin << 8) | dt into one long."""
+    x = _to_mono_float(arr, channels)
+    if len(x) == 0:
+        return []
+    n_fft = int(round(rate * win_s))
+    hop = max(1, int(round(rate * hop_s)))
+    if n_fft < 8:
+        raise ValueError(f"win_s={win_s} too short for rate={rate}")
+    if len(x) < n_fft:
+        x = np.pad(x, (0, n_fft - len(x)))
+    win = np.hanning(n_fft)
+    qmax = int(round(max_freq * win_s))
+    # absolute-frequency quantization of the k-th rFFT bin
+    ks = np.arange(n_fft // 2 + 1)
+    qb = np.rint(ks * (float(rate) / n_fft) * win_s).astype(np.int64)
+    keep = (qb >= 1) & (qb < qmax)
+    band_of = qb * n_subbands // qmax
+    frames_peaks = []
+    for s in range(0, len(x) - n_fft + 1, hop):
+        mag = np.abs(np.fft.rfft(x[s:s + n_fft] * win))
+        m = mag[keep]
+        if len(m) == 0:
+            frames_peaks.append([])
+            continue
+        thr = float(m.mean())
+        peaks = set()
+        for b in range(n_subbands):
+            sel = keep & (band_of == b)
+            if not sel.any():
+                continue
+            idx = np.flatnonzero(sel)
+            k = idx[int(np.argmax(mag[idx]))]
+            if mag[k] > thr:
+                peaks.add(int(qb[k]))
+        frames_peaks.append(sorted(peaks))
+    hashes = set()
+    for t, anchors in enumerate(frames_peaks):
+        for f1 in anchors:
+            taken = 0
+            for dt in range(1, max_dt + 1):
+                if t + dt >= len(frames_peaks) or taken >= fanout:
+                    break
+                for f2 in frames_peaks[t + dt]:
+                    if taken >= fanout:
+                        break
+                    hashes.add((f1 << 20) | (f2 << 8) | dt)
+                    taken += 1
+    return sorted(hashes)
+
+
+def audio_fingerprints(
+    media: DataFrame,
+    decoder="wav",
+    win_s: float = 0.064,
+    hop_s: float = 0.032,
+    max_freq: float = 4000.0,
+    n_subbands: int = 8,
+    fanout: int = 3,
+    max_dt: int = 3,
+) -> DataFrame:
+    """(media_id, fp) landmark rows, one mapInPandas pass — payloads
+    decode where the bytes are, nothing shuffles. Undecodable or empty
+    clips emit no rows (the curate_media drop contract: corrupt files
+    are a fact of scraped corpora)."""
+    from functime_spark.pipeline.multimodal import _resolve_decoder
+
+    fn = _resolve_decoder(decoder)
+    if fn is None:
+        raise ValueError("audio_fingerprints needs a real decoder")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, fps = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    d = fn(bytes(payload))
+                    hs = audio_fingerprints_from_signal(
+                        d["array"], int(d["rate"]),
+                        channels=int(d.get("channels", 1)),
+                        win_s=win_s, hop_s=hop_s, max_freq=max_freq,
+                        n_subbands=n_subbands, fanout=fanout, max_dt=max_dt,
+                    )
+                except Exception:
+                    continue
+                ids.extend([mid] * len(hs))
+                fps.extend(hs)
+            yield pd.DataFrame({"media_id": ids, "fp": fps})
+
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("fp", LongType()),
+    ])
+    return media.mapInPandas(run, schema=schema)
+
+
+def audio_near_dups(
+    media: DataFrame,
+    decoder="wav",
+    min_matches: int = 5,
+    max_bucket_size: int = 1024,
+    **kernel_kwargs,
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs: constellation fingerprints ->
+    hash-bucket self-join -> pairs sharing >= `min_matches` landmark
+    hashes. Returns (id_a, id_b, n_matches).
+
+    Scale shape (the dhash_near_dups discipline): fingerprinting is
+    row-local; the ONLY shuffle is the self-join on the 8-byte fp key,
+    and buckets past `max_bucket_size` drop first (_cap_buckets — a
+    landmark shared by the whole corpus is silence/boilerplate, not
+    evidence); the match count is one hash aggregate on (id_a, id_b).
+    Candidate pairs track shared-landmark counts, never corpus**2."""
+    from functime_spark.materialize import materialize
+    from functime_spark.pipeline.dedup import _cap_buckets
+
+    fps = materialize(
+        audio_fingerprints(media, decoder=decoder, **kernel_kwargs)
+    )
+    capped = _cap_buckets(fps, ["fp"], max_bucket_size)
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .filter(F.col("n_matches") >= min_matches)
     )

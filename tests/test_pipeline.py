@@ -5053,3 +5053,113 @@ def test_normalize_orientation_jpeg_app1_path(spark):
     want = np.rot90(decode_jpeg(stored)["array"], k=-1)
     got = decode_png(bytes(r["payload"]))["array"]
     assert (got == want).all()
+
+
+# ---------------------------------------------------------------------------
+# Audio constellation fingerprinting (r11)
+# ---------------------------------------------------------------------------
+
+
+def _fp_wav_bytes(samples, rate=8000, channels=1):
+    import io
+    import wave
+
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return bio.getvalue()
+
+
+def _fp_group_signal(g, n=1000):
+    """Slope-varied sawtooth (the media_audio_dups gate formula): the
+    slope, not the offset, must vary by group or every group shares
+    one magnitude spectrum (a mod-65536 ramp offset is a pure phase
+    shift)."""
+    u = (np.arange(n) * (104729 + 2741 * g)) % 65536
+    return np.where(u < 32768, u, u - 65536).astype(np.int16)
+
+
+def test_audio_fingerprint_kernel_invariances():
+    """The landmark set is invariant to amplitude scaling (peak picking
+    is argmax + above-mean, both linear), is PRESERVED (subset) under
+    trailing-silence padding (old frames keep their anchors; pure-zero
+    frames emit no peaks), and survives an 8k->16k linear resample with
+    >= min_matches shared hashes — the absolute-frequency quantization
+    qbin = round(f_hz * win_s) puts both rates on the same bins."""
+    from functime_spark.pipeline.audio import audio_fingerprints_from_signal
+    from functime_spark.pipeline.multimodal import decode_wav, resample_wav
+
+    for g in range(5):
+        x = _fp_group_signal(g)
+        base = set(audio_fingerprints_from_signal(x, 8000))
+        assert len(base) >= 5
+
+        # amplitude scale (int16 re-quantized at half level)
+        half = (x.astype(np.float64) * 0.5).astype(np.int16)
+        assert set(audio_fingerprints_from_signal(half, 8000)) == base
+
+        # trailing silence: different bytes, superset fingerprints
+        padded = np.concatenate([x, np.zeros(512, dtype=np.int16)])
+        assert set(audio_fingerprints_from_signal(padded, 8000)) >= base
+
+        # 8k -> 16k linear resample through the real codec path
+        d16 = decode_wav(resample_wav(_fp_wav_bytes(x), 16000))
+        hs16 = set(
+            audio_fingerprints_from_signal(d16["array"], d16["rate"])
+        )
+        assert len(base & hs16) >= 5
+
+    # distinct group signals share nothing
+    s0 = set(audio_fingerprints_from_signal(_fp_group_signal(0), 8000))
+    s1 = set(audio_fingerprints_from_signal(_fp_group_signal(1), 8000))
+    assert not (s0 & s1)
+
+    # degenerate inputs
+    assert audio_fingerprints_from_signal(np.array([], dtype=np.int16), 8000) == []
+    assert (
+        audio_fingerprints_from_signal(np.zeros(2000, dtype=np.int16), 8000)
+        == []
+    )
+
+
+def test_audio_near_dups_spark(spark):
+    """audio_near_dups end-to-end: byte-identical copies, a trailing-
+    silence copy and a resampled copy all pair up (>= min_matches
+    shared landmarks); a different-signal clip pairs with nothing; a
+    corrupt payload is dropped, not fatal."""
+    from functime_spark.pipeline.audio import audio_near_dups
+    from functime_spark.pipeline.multimodal import resample_wav
+
+    a = _fp_group_signal(1)
+    b = _fp_group_signal(2)
+    wav_a = _fp_wav_bytes(a)
+    rows = [
+        (1, "audio", bytearray(wav_a), "{}"),
+        (2, "audio", bytearray(wav_a), "{}"),  # exact copy
+        (3, "audio", bytearray(_fp_wav_bytes(
+            np.concatenate([a, np.zeros(512, dtype=np.int16)])
+        )), "{}"),  # padded near-dup
+        (4, "audio", bytearray(resample_wav(wav_a, 16000)), "{}"),
+        (5, "audio", bytearray(_fp_wav_bytes(b)), "{}"),  # unrelated
+        (6, "audio", bytearray(b"not a wav"), "{}"),  # corrupt
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_matches"]
+        for r in audio_near_dups(media, decoder="wav").collect()
+    }
+    dup_ids = {1, 2, 3, 4}
+    expected = {
+        (i, j) for i in dup_ids for j in dup_ids if i < j
+    }
+    assert set(pairs) == expected
+    for v in pairs.values():
+        assert v >= 5
+    # the padded clip's landmark SUPERSET means its match count with
+    # the original equals the exact-copy match count (= |base set|)
+    assert pairs[(1, 2)] == pairs[(1, 3)]
