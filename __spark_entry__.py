@@ -1561,6 +1561,47 @@ def q_text_bpe_tokens(spark, sf_dir):
     return bpe_tokenize(docs, merges).orderBy("doc_id")
 
 
+_UNIGRAM_PARAMS = dict(
+    vocab_size=32, max_piece_len=3, em_rounds=2,
+    seed_size=40, max_words=40, max_word_len=8,
+)
+
+
+def q_text_unigram_vocab(spark, sf_dir):
+    """Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer TRAINING
+    end-to-end (r11): bounded word-frequency shuffle -> substring seed
+    aggregate -> 2 hard-EM rounds (row-local Viterbi E-step via
+    mapInPandas, ONE aggregate M-step) -> singles-always prune to 32
+    pieces. The oracle independently replays the whole fit — the
+    Viterbi DP as unrolled product-space CTEs (no libm log on either
+    side, so every score comparison is bit-identical IEEE), the
+    backtrack as a recursive CTE, EM counts/smoothing/prune as exact
+    integer arithmetic — and the learned vocabulary itself (rank,
+    token, prob) is value-verified."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.unigram import fit_unigram, unigram_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = fit_unigram(docs, **_UNIGRAM_PARAMS)
+    return _round_floats(unigram_vocab(pieces, spark).orderBy("rank"))
+
+
+def q_text_unigram_tokens(spark, sf_dir):
+    """Tokenization under the freshly-fitted unigram vocab (r11):
+    map-only per-doc Viterbi with the broadcast piece table, emitting
+    exact subword counts + tokens_per_word fertility (the
+    quality_tiers composition hook). The oracle runs a THIRD DP pass
+    with the pruned final probs; NULL/empty docs come back (0, 0,
+    NULL) on both engines."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.unigram import fit_unigram, unigram_tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = fit_unigram(docs, **_UNIGRAM_PARAMS)
+    out = unigram_tokenize(docs, pieces).orderBy("doc_id")
+    return _round_floats(out)
+
+
 def q_text_vocab_zipf(spark, sf_dir):
     """Top-100 token vocabulary with ranks and the log-log OLS Zipf
     slope: one explode+hash aggregate, a TakeOrdered top-k (no global
@@ -3903,6 +3944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "corpus_clean_attrition": q_corpus_clean_attrition,
             "text_vocab_zipf": q_text_vocab_zipf,
             "text_bpe_tokens": q_text_bpe_tokens,
+            "text_unigram_vocab": q_text_unigram_vocab,
+            "text_unigram_tokens": q_text_unigram_tokens,
             "text_bpe_vocab": q_text_bpe_vocab,
             "embedding_kmeans": q_embedding_kmeans,
             "corpus_quantiles": q_corpus_quantiles,

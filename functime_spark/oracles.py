@@ -405,6 +405,127 @@ def _direct_linear_ctes(L: int, H: int, pfx: str = "d") -> list:
     return ctes
 
 
+def _unigram_dp_block(r: str, ptab: str, max_word_len: int, mpl: int) -> str:
+    """One Viterbi-DP replay over the bounded word table for the
+    unigram-LM oracle (prefix ``r`` distinguishes EM round 1, round 2
+    and the final-tokenize pass): 1..max_word_len unrolled best-prefix
+    CTEs (AS MATERIALIZED — chained references would otherwise inline
+    exponentially), each taking the (score DESC, l ASC) row_number
+    argmax over the <= mpl candidate pieces — EXACTLY the engine
+    kernel's strict-> update scanning lengths ascending. Scores are
+    probability PRODUCTS (b.score * p.p), the same left-to-right IEEE
+    multiply sequence viterbi_pieces performs, so the comparison is
+    bit-identical cross-engine (no libm log in either). The chosen-l
+    table feeds a recursive backtrack walk from pos=length(word) down
+    to 0 — pieces along the walk ARE the hard-EM path."""
+    ctes = [
+        f"b{r}_0 AS MATERIALIZED (SELECT word, CAST(1 AS DOUBLE) AS score "
+        "FROM uwords)"
+    ]
+    for j in range(1, max_word_len + 1):
+        arms = []
+        for l in range(1, min(mpl, j) + 1):
+            arms.append(
+                f"SELECT w.word AS word, b.score * p.p AS score, {l} AS l "
+                f"FROM uwords w JOIN b{r}_{j - l} b ON b.word = w.word "
+                f"JOIN {ptab} p ON p.tok = substr(w.word, {j - l + 1}, {l}) "
+                f"WHERE length(w.word) >= {j}"
+            )
+        ctes.append(
+            f"ch{r}_{j} AS MATERIALIZED (SELECT word, score, l FROM "
+            "(SELECT word, score, l, row_number() OVER "
+            "(PARTITION BY word ORDER BY score DESC, l ASC) AS rn FROM ("
+            + " UNION ALL ".join(arms)
+            + ")) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"b{r}_{j} AS MATERIALIZED "
+            f"(SELECT word, score FROM ch{r}_{j})"
+        )
+    chall = " UNION ALL ".join(
+        f"SELECT word, {j} AS j, l FROM ch{r}_{j}"
+        for j in range(1, max_word_len + 1)
+    )
+    ctes.append(f"chall{r} AS MATERIALIZED ({chall})")
+    ctes.append(
+        f"path{r} AS (SELECT word, length(word) AS pos FROM uwords "
+        f"UNION ALL SELECT p.word, p.pos - c.l FROM path{r} p "
+        f"JOIN chall{r} c ON c.word = p.word AND c.j = p.pos "
+        "WHERE p.pos > 0)"
+    )
+    ctes.append(
+        f"pieces{r} AS MATERIALIZED (SELECT p.word, "
+        "substr(p.word, p.pos - c.l + 1, c.l) AS tok "
+        f"FROM path{r} p JOIN chall{r} c "
+        "ON c.word = p.word AND c.j = p.pos WHERE p.pos > 0)"
+    )
+    return ", ".join(ctes)
+
+
+def _unigram_replay(
+    max_words: int = 40,
+    max_word_len: int = 8,
+    mpl: int = 3,
+    seed_size: int = 40,
+    vocab_size: int = 32,
+    alpha: str = "0.1",
+) -> str:
+    """Shared CTE chain for the two unigram-LM gates: bounded word
+    table -> substring seed counts -> smoothed p0 -> 2 hard-EM rounds
+    (DP + backtrack + ONE count aggregate + re-smooth, the exact
+    fit_unigram recursion) -> single-chars-always prune to vocab_size
+    -> final re-smooth on the kept set (pfin). Ends WITHOUT a
+    trailing comma so callers append their own SELECT."""
+    head = (
+        "uraw AS (SELECT word, COUNT(*) AS cnt FROM (SELECT "
+        "unnest(list_filter(regexp_split_to_array(text, '\\s+'), "
+        "x -> x <> '')) AS word FROM documents) "
+        f"WHERE length(word) <= {max_word_len} GROUP BY word), "
+        "uwords AS MATERIALIZED (SELECT word, cnt FROM (SELECT word, cnt, "
+        "row_number() OVER (ORDER BY cnt DESC, word) AS rn FROM uraw) "
+        f"WHERE rn <= {max_words}), "
+        "usubs AS (SELECT substr(w.word, CAST(s.i AS INT) + 1, "
+        "CAST(l.l AS INT)) AS tok, SUM(w.cnt) AS c "
+        f"FROM uwords w, range(0, {max_word_len}) s(i), "
+        f"range(1, {mpl + 1}) l(l) "
+        "WHERE s.i + l.l <= length(w.word) GROUP BY 1), "
+        "uv0 AS MATERIALIZED (SELECT tok, c FROM usubs WHERE "
+        "length(tok) = 1 UNION ALL SELECT tok, c FROM (SELECT tok, c, "
+        "row_number() OVER (ORDER BY c DESC, tok) AS rn FROM usubs "
+        f"WHERE length(tok) > 1) WHERE rn <= {seed_size}), "
+        f"up0 AS MATERIALIZED (SELECT tok, (c + {alpha}) / "
+        f"((SELECT SUM(c) FROM uv0) + {alpha} * "
+        "(SELECT COUNT(*) FROM uv0)) AS p FROM uv0)"
+    )
+    rounds = []
+    for r, ptab in (("1", "up0"), ("2", "up1")):
+        rounds.append(_unigram_dp_block(r, ptab, max_word_len, mpl))
+        rounds.append(
+            f"uc{r} AS MATERIALIZED (SELECT pc.tok, SUM(w.cnt) AS c "
+            f"FROM pieces{r} pc JOIN uwords w ON w.word = pc.word "
+            "GROUP BY 1), "
+            f"up{r} AS MATERIALIZED (SELECT v.tok, "
+            f"(COALESCE(c.c, 0) + {alpha}) / "
+            f"((SELECT COALESCE(SUM(c), 0) FROM uc{r}) + {alpha} * "
+            "(SELECT COUNT(*) FROM uv0)) AS p "
+            f"FROM uv0 v LEFT JOIN uc{r} c USING (tok))"
+        )
+    prune = (
+        "ukept AS MATERIALIZED (SELECT tok FROM uv0 WHERE length(tok) = 1 "
+        "UNION ALL SELECT tok FROM (SELECT v.tok, row_number() OVER "
+        "(ORDER BY p.p DESC, v.tok) AS rn FROM uv0 v JOIN up2 p "
+        "USING (tok) WHERE length(v.tok) > 1) WHERE rn <= "
+        f"{vocab_size} - (SELECT COUNT(*) FROM uv0 WHERE "
+        "length(tok) = 1)), "
+        f"upfin AS MATERIALIZED (SELECT k.tok, (COALESCE(c.c, 0) + {alpha}) / "
+        "((SELECT COALESCE(SUM(c2.c), 0) FROM ukept k2 "
+        f"LEFT JOIN uc2 c2 USING (tok)) + {alpha} * "
+        "(SELECT COUNT(*) FROM ukept)) AS p "
+        "FROM ukept k LEFT JOIN uc2 c USING (tok))"
+    )
+    return head + ", " + ", ".join(rounds) + ", " + prune
+
+
 def _auto_ses_replay(rnd) -> str:
     """The ENTIRE auto_ses grid search replayed (r11): for each alpha
     candidate {0.25, 0.5, 0.75} (dyadic — 1-a exact in both engines),
@@ -6771,6 +6892,45 @@ ORDER BY 1, 2
         "WITH " + ", ".join(_bpe_ctes) + " "
         f"SELECT rank, token, pair FROM ({_vocab_rows}) "
         "WHERE pair <> chr(0) ORDER BY rank"
+    )
+
+    # --- text_unigram_vocab (r11): the ENTIRE unigram-LM tokenizer
+    # fit replayed — bounded word table, substring seed, smoothed p0,
+    # TWO hard-EM rounds (each: unrolled product-space Viterbi DP +
+    # recursive backtrack + one count aggregate + re-smooth), the
+    # singles-always prune to 32 pieces, and the final re-smooth.
+    # Every float is a product/quotient of exact integers evaluated in
+    # the same order as fit_unigram's kernel — bit-identical IEEE, no
+    # libm log anywhere (see unigram.py module docstring).
+    o["text_unigram_vocab"] = (
+        "WITH RECURSIVE " + _unigram_replay() + " "
+        "SELECT CAST(row_number() OVER (ORDER BY p DESC, tok) AS INT) "
+        "AS rank, tok AS token, " + _r("p") + " AS p "
+        "FROM upfin ORDER BY rank"
+    )
+
+    # text_unigram_tokens: tokenization under the freshly-fitted vocab
+    # replayed per doc — a THIRD Viterbi pass with the pruned final
+    # probs gives each distinct word's piece count; doc counts are one
+    # join + aggregate. NULL/empty text -> (0, 0, NULL) exactly like
+    # the engine's mapInPandas branch.
+    o["text_unigram_tokens"] = (
+        "WITH RECURSIVE " + _unigram_replay() + ", "
+        + _unigram_dp_block("t", "upfin", 8, 3) + ", "
+        "unp AS (SELECT word, COUNT(*) AS n FROM piecest GROUP BY 1), "
+        "udw AS (SELECT doc_id, unnest(list_filter("
+        "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word "
+        "FROM documents), "
+        "uagg AS (SELECT d.doc_id, COUNT(*) AS n_words, "
+        "SUM(unp.n) AS n_tok FROM udw d "
+        "JOIN unp ON unp.word = d.word GROUP BY 1) "
+        "SELECT d.doc_id, CAST(COALESCE(uagg.n_words, 0) AS BIGINT) "
+        "AS n_words, CAST(COALESCE(uagg.n_tok, 0) AS BIGINT) "
+        "AS n_unigram_tokens, "
+        + _r("CAST(uagg.n_tok AS DOUBLE) / uagg.n_words")
+        + " AS tokens_per_word "
+        "FROM documents d LEFT JOIN uagg ON uagg.doc_id = d.doc_id "
+        "ORDER BY d.doc_id"
     )
 
     # --- text_vocab_zipf: top-k vocabulary + log-log OLS Zipf slope,

@@ -5163,3 +5163,132 @@ def test_audio_near_dups_spark(spark):
     # the padded clip's landmark SUPERSET means its match count with
     # the original equals the exact-copy match count (= |base set|)
     assert pairs[(1, 2)] == pairs[(1, 3)]
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_fit_tokenize_roundtrip(spark):
+    """fit_unigram on a tiny corpus: coverage (every training char in
+    the vocab), vocab_size cap, probs normalized over the kept set
+    (sum == (T'+aV')/(T'+aV') == 1 by the smoothing identity), and
+    unigram_tokenize counts equal a driver-side viterbi_pieces replay
+    word-for-word. NULL text -> (0, 0, None); OOV chars segment to
+    singles at the UNK floor."""
+    from functime_spark.pipeline.unigram import (
+        fit_unigram,
+        unigram_tokenize,
+        unigram_vocab,
+        viterbi_pieces,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat ate the rat"),
+         (3, "thematic the them theme"), (4, None),
+         (5, "catcat matmat the")],
+        "doc_id long, text string",
+    )
+    pieces = fit_unigram(
+        docs, vocab_size=24, max_piece_len=3, em_rounds=2,
+        seed_size=16, max_words=50, max_word_len=8,
+    )
+    toks = [t for t, _ in pieces]
+    assert len(pieces) == 24
+    assert "the" in toks and "cat" in toks
+    chars = set("thecatsatonmatterateic")
+    assert chars <= {t for t in toks if len(t) == 1} | {
+        c for t in toks for c in t
+    }
+    assert all(len(t) == 1 for t in toks if len(t) == 1)  # singles kept
+    assert abs(sum(p for _, p in pieces) - 1.0) < 1e-12
+    # ranks are (p DESC, token ASC)
+    ps = [p for _, p in pieces]
+    assert ps == sorted(ps, reverse=True)
+
+    pr = dict(pieces)
+    rows = {r["doc_id"]: r for r in unigram_tokenize(docs, pieces).collect()}
+    for did, text in [(1, "the cat sat on the mat"), (5, "catcat matmat the")]:
+        words = text.split()
+        want = sum(len(viterbi_pieces(w, pr, 3)) for w in words)
+        assert rows[did]["n_unigram_tokens"] == want
+        assert rows[did]["n_words"] == len(words)
+        assert abs(rows[did]["tokens_per_word"] - want / len(words)) < 1e-12
+    assert (rows[4]["n_words"], rows[4]["n_unigram_tokens"]) == (0, 0)
+    assert rows[4]["tokens_per_word"] is None
+
+    # OOV: every char falls back to the UNK floor, nothing crashes
+    assert viterbi_pieces("zqzq", pr, 3) == ["z", "q", "z", "q"]
+
+    vdf = unigram_vocab(pieces, spark)
+    assert vdf.count() == 24
+    assert [f.name for f in vdf.schema.fields] == ["rank", "token", "p"]
+
+
+def test_unigram_viterbi_brute_force_referee():
+    """Independent referee: for every <= 8-char word, enumerate ALL
+    2^(n-1) segmentations into known pieces (+ UNK singles), compute
+    the probability product left-to-right, and check viterbi_pieces
+    lands on the maximum product (IEEE-exact comparison — the DP and
+    the enumeration multiply in the same left-to-right order)."""
+    from functime_spark.pipeline.unigram import UNK_P, viterbi_pieces
+
+    probs = {
+        "t": 0.05, "h": 0.04, "e": 0.06, "m": 0.03, "a": 0.05,
+        "c": 0.02, "the": 0.2, "he": 0.07, "them": 0.01, "at": 0.09,
+        "cat": 0.11, "ma": 0.04,
+    }
+
+    def all_segs(w):
+        if not w:
+            yield []
+            return
+        for l in range(1, min(3, len(w)) + 1):
+            head = w[:l]
+            p = probs.get(head)
+            if p is None:
+                if l != 1:
+                    continue
+                p = UNK_P
+            for rest in all_segs(w[l:]):
+                yield [(head, p)] + rest
+
+    for w in ["the", "them", "thematic", "cat", "catcat", "zebra",
+              "mathe", "hematc", "tthhee"]:
+        best = None
+        for seg in all_segs(w):
+            score = 1.0
+            for _, p in seg:
+                score = score * p
+            if best is None or score > best:
+                best = score
+        got = viterbi_pieces(w, probs, 3)
+        score = 1.0
+        for piece in got:
+            score = score * probs.get(piece, UNK_P)
+        assert score == best, (w, got, score, best)
+        assert "".join(got) == w
+
+
+def test_unigram_quality_tiers_composition(spark):
+    """The fertility hook: unigram_tokenize output feeds quality_tiers
+    directly on tokens_per_word — badly-segmenting docs land in the
+    top tiers."""
+    from functime_spark.pipeline.lm import quality_tiers
+    from functime_spark.pipeline.unigram import fit_unigram, unigram_tokenize
+
+    rows = [(i, "the cat sat on the mat") for i in range(8)]
+    rows += [(100 + i, "zq xv qqq zzz vvv xx") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pieces = fit_unigram(
+        docs, vocab_size=24, max_piece_len=3, em_rounds=1,
+        seed_size=16, max_words=50, max_word_len=8,
+    )
+    scored = unigram_tokenize(docs, pieces)
+    tiers = quality_tiers(
+        scored, n_tiers=2, score_col="tokens_per_word", exact=True
+    )
+    got = {r["doc_id"]: r["tier"] for r in tiers.collect()}
+    # the clean sentence segments with fewer tokens/word -> tier 0
+    assert got[0] == 0 and got[101] == 1
