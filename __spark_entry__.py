@@ -4061,74 +4061,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if name in _SKIP_FEATURES:
             continue
         q[f"feat_{name}"] = _feature_query(name)
-    # Round-10 window rotation: the driver's correctness gate truncates
-    # at ~50 queries; the r1-r9 window union covers ALL gate queries
+    # Round-11 window rotation: the driver's correctness gate truncates
+    # at ~50 queries; the r1-r10 window union covers ALL gate queries
     # (every one value-hashed), so the standing discipline is
     # (a) front everything NEW or whose implementation/oracle CHANGED
     # this round, then (b) re-cycle previously-green queries
     # OLDEST-VERIFICATION-FIRST from the CORRECTNESS_r0*.json union.
-    # Cohort ages going into r10 (computed from the artifact union):
-    # 23 queries last verified in r4 (feat_streak_length_stats ..
-    # text_vocab_zipf — ALL retired below, closing the r4 cohort the
-    # r9 verdict asked for), 28 in r5 (the alphabetical front 10 fill
-    # the window: 17 new/changed + 23 r4 + 10 r5 = the ~50
-    # truncation), everything else r6+.
+    # Cohort ages going into r11 (computed from the artifact union):
+    # 17 queries last verified in r5 (ALL retired below — the r5
+    # cohort the r10 verdict asked to finish closes this round), 44 in
+    # r6 (the alphabetical front 19 fill the window: 14 new/changed +
+    # 17 r5 + 19 r6 = the ~50 truncation), everything else r7+.
     never_verified_first = [
-        # (a) new or changed in round 10
-        "dedup_spans_keepfirst",  # NEW: cross-doc keep-first span dedup
-        "dedup_spans",  # CHANGED: n_dup_spans stitch column added
-        "text_lm3_score",  # NEW: interpolated trigram LM, full replay
-        "text_lm3_heldout",  # NEW: OOV/unseen-context branches live
-        "media_exif",  # NEW: APP1/TIFF-IFD walk vs planted ground truth
-        "media_dhash_incr",  # NEW: persisted phash store, per-side caps
-        "media_orientation",  # NEW: EXIF 2.3 upright transforms replayed
-        "forecast_holt",  # NEW: Holt trend smoothing, recursion replayed
-        "forecast_hw",  # NEW: Holt-Winters additive, list-state CTE replay
-        "forecast_croston",  # NEW: intermittent-demand twin-SES replay
-        "forecast_ses",  # NEW: named flat SES, weighted-sum replay
-        "media_tiff_roundtrip",  # encode_tiff gained the tag-274 param
-        "text_bm25_incremental",  # BM25Index.update gained compaction
-        "scale_cms_counts",  # cms_sketch now null-filters before hashing
-        "stream_dhash",  # scan_bucket gained overflow markers (stream)
-        "stream_minhash",  # same marker change in the minhash twin
-        "corpus_clean_attrition",  # clean_corpus gained span/lm stages
+        # (a) new or changed in round 11
+        "media_audio_dups",  # NEW: constellation fingerprint dedup
+        "text_unigram_vocab",  # NEW: unigram-LM tokenizer fit replay
+        "text_unigram_tokens",  # NEW: unigram tokenize + fertility hook
+        "forecast_hw_mult",  # NEW: multiplicative Holt-Winters
+        "forecast_auto_ses",  # NEW: smoothing-family CV grid search
+        "forecast_hw",  # CHANGED: hw.py refactored for mult + short-drop
+        "forecast_holt",  # CHANGED: oracle now covers n=1 entities
+        "forecast_backtest_naive",  # CHANGED: _x_on_short set pre-fit
+        "forecast_auto_linear",  # CHANGED: automl.py grew _auto_base CV
+        "forecast_auto_cfo",  # CHANGED: same automl.py machinery
+        "conformal_enbpi",  # CHANGED: rides the backtest pre-fit change
+        "dedup_spans",  # CHANGED: null-text coalesce in the scrub path
+        "text_bm25_incremental",  # CHANGED: lazy _union_depth init
+        "media_audio",  # CHANGED: audio.py gained the fingerprint tier
         # (b) window slack: oldest external verification first --
-        # the ENTIRE remaining r4 cohort (last verified round 4)...
-        "feat_streak_length_stats",
-        "join_asof",
-        "join_asof_nearest",
-        "join_interval",
-        "m4_smape",
-        "preproc_clip",
-        "preproc_detrend_roundtrip",
-        "preproc_impute_interpolate",
-        "preproc_impute_mean",
-        "preproc_yeojohnson_roundtrip",
-        "scale_heavy_hitters",
-        "scale_salted_join",
-        "scale_skew_report",
-        "text_bpe_tokens",
-        "text_bpe_vocab",
-        "text_filter_language",
-        "text_hashed_features",
-        "text_lang_confusion",
-        "text_lm_heldout",
-        "text_mojibake",
-        "text_readability",
-        "text_strip_html",
-        "text_vocab_zipf",
-        # ...then the alphabetical front of the r5 cohort (last
-        # verified round 5; stream_minhash is fronted above already)
-        "ann_recall_ivf",
-        "cluster_balanced_sample",
-        "dedup_exact",
-        "dedup_priority",
-        "eval_rank_forecasts",
-        "events_json_props",
-        "feat_udf_cwt_peaks",
-        "forecast_auto_cfo",
-        "forecast_auto_linear",
-        "forecast_censored",
+        # the ENTIRE remaining r5 cohort (last verified round 5)...
+        "forecast_linear",
+        "forecast_linear_ar2",
+        "forecast_linear_direct",
+        "forecast_linear_ensemble",
+        "forecast_naive",
+        "forecast_snaive",
+        "forecast_zero_inflated",
+        "metrics_point",
+        "scale_cardinality",
+        "sessionize",
+        "stream_resample",
+        "stream_sliding_stats",
+        "text_ngram_diversity",
+        "tpch_local_supplier_volume",
+        "tpch_pricing_summary",
+        "tpch_revenue_panel",
+        "tpch_supplier_features",
+        # ...then the alphabetical front of the r6 cohort (last
+        # verified round 6; conformal_enbpi is fronted above already)
+        "corpus_dsir",
+        "corpus_pack_shards",
+        "dedup_cluster",
+        "dedup_lines_within",
+        "dedup_minhash",
+        "dedup_ngram_jaccard",
+        "dedup_semantic",
+        "embedding_pca",
+        "feat_absolute_energy",
+        "feat_absolute_maximum",
+        "feat_absolute_sum_of_changes",
+        "feat_autocorrelation",
+        "feat_benford_correlation",
+        "feat_binned_entropy",
+        "feat_c3",
+        "feat_change_quantiles",
+        "feat_cid_ce",
+        "feat_count_above",
+        "feat_count_above_mean",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

@@ -349,6 +349,80 @@ def main() -> None:
 
     bench("lm3_quality_tiers", _q18)
 
+    # q19 (round 11): unigram-LM tokenizer fit (2 hard-EM rounds over
+    # the word table) + full-corpus tokenization — the second
+    # tokenizer family next to the BPE inside doc_pipeline, measured
+    # end-to-end so the EM machinery's per-round shuffle cost stays
+    # visible.
+    def _q19():
+        from functime_spark.pipeline.unigram import (
+            fit_unigram,
+            unigram_tokenize,
+        )
+
+        docs = load_table(spark, SF_DIR, "documents")
+        pieces = fit_unigram(
+            docs, vocab_size=64, max_piece_len=3, em_rounds=2,
+            seed_size=200, max_words=5000, max_word_len=16,
+        )
+        unigram_tokenize(docs, pieces).agg(
+            F.sum("n_unigram_tokens")
+        ).collect()
+
+    bench("unigram_fit_tokenize", _q19)
+
+    # q20 (round 11): audio constellation fingerprint dedup over one
+    # synthetic WAV per document (decode + framed FFT + landmark
+    # hashing in one mapInPandas pass, then the banded fp self-join) —
+    # the audio twin of minhash_dedup/media_curate, dominated by the
+    # per-clip spectral kernel exactly like a real crawl would be.
+    def _q20():
+        import struct
+
+        import numpy as np
+
+        from functime_spark.pipeline.audio import audio_near_dups
+
+        n, rate = 1000, 8000
+        header = (
+            b"RIFF" + struct.pack("<I", 36 + 2 * n) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", 2 * n)
+        )
+
+        # payload synthesis stays a vectorized Arrow pass (numpy
+        # tobytes) so the leg times the FINGERPRINT OPERATOR, not 5M
+        # JVM format_string calls (the expression builder measured
+        # ~5.7 s of the first cut's 9.6 s)
+        def build(batches):
+            import pandas as pd
+
+            i = np.arange(n, dtype=np.int64)
+            for pdf in batches:
+                payloads = []
+                for g in pdf["g"]:
+                    u = (i * (104729 + 2741 * int(g))) % 65536
+                    v = np.where(u < 32768, u, u - 65536).astype("<i2")
+                    payloads.append(header + v.tobytes())
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["doc_id"],
+                        "kind": "audio",
+                        "payload": payloads,
+                    }
+                )
+
+        media = (
+            load_table(spark, SF_DIR, "documents")
+            .select("doc_id", (F.col("doc_id") % 199).alias("g"))
+            .mapInPandas(
+                build, schema="media_id long, kind string, payload binary"
+            )
+        )
+        audio_near_dups(media, decoder="wav", min_matches=5).count()
+
+    bench("audio_fingerprint_dups", _q20)
+
     total = round(sum(timings.values()), 3)
     # the suite grew from 7 to 9 queries in round 4 (minhash_dedup,
     # lm_quality_tiers); keep the round-over-round comparable subtotal
@@ -436,6 +510,12 @@ def main() -> None:
     missing = [q for q in r9_suite if q not in timings]
     assert not missing, f"r9-comparable queries renamed/removed: {missing}"
     r9_comparable = round(sum(timings[q] for q in r9_suite), 3)
+    # r10 additions (span_dedup_keepfirst, lm3_quality_tiers) pinned
+    # the same way so r11+ suite growth can't mask them
+    r10_suite = r9_suite + ("span_dedup_keepfirst", "lm3_quality_tiers")
+    missing = [q for q in r10_suite if q not in timings]
+    assert not missing, f"r10-comparable queries renamed/removed: {missing}"
+    r10_comparable = round(sum(timings[q] for q in r10_suite), 3)
     # recompute: the drift guard may have lowered comparable legs, and
     # the earlier subtotals must reflect the emitted per-leg numbers
     total = round(sum(timings.values()), 3)
@@ -456,6 +536,7 @@ def main() -> None:
         "value_r7_comparable": r7_comparable,
         "value_r8_comparable": r8_comparable,
         "value_r9_comparable": r9_comparable,
+        "value_r10_comparable": r10_comparable,
         "drift_guard": drift_note or (
             f"r8 subtotal within 20% of previous adjudicated "
             f"{PREV_R8_COMPARABLE} s — no re-run needed"

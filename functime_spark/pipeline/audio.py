@@ -207,6 +207,35 @@ def extract_audio_features(
 # ---------------------------------------------------------------------------
 
 
+def _fp_bin_tables(
+    rate: int, n_fft: int, win_s: float, max_freq: float, n_subbands: int
+):
+    """Cached per-(rate, params) constellation tables: Hann window,
+    absolute-frequency qbins, kept-bin mask, per-subband bin indices.
+    A crawl batch re-decodes thousands of same-rate clips; these
+    tables are identical for all of them."""
+    key = (rate, n_fft, round(win_s, 9), round(max_freq, 6), n_subbands)
+    hit = _FP_TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    win = np.hanning(n_fft)
+    qmax = int(round(max_freq * win_s))
+    ks = np.arange(n_fft // 2 + 1)
+    qb = np.rint(ks * (float(rate) / n_fft) * win_s).astype(np.int64)
+    keep = (qb >= 1) & (qb < qmax)
+    band_of = qb * n_subbands // qmax
+    band_idx = tuple(
+        np.flatnonzero(keep & (band_of == b)) for b in range(n_subbands)
+    )
+    val = (win, qb, keep, band_idx)
+    if len(_FP_TABLE_CACHE) < 64:  # bounded — a worker sees few rates
+        _FP_TABLE_CACHE[key] = val
+    return val
+
+
+_FP_TABLE_CACHE: dict = {}
+
+
 def audio_fingerprints_from_signal(
     arr: np.ndarray,
     rate: int,
@@ -237,31 +266,32 @@ def audio_fingerprints_from_signal(
         raise ValueError(f"win_s={win_s} too short for rate={rate}")
     if len(x) < n_fft:
         x = np.pad(x, (0, n_fft - len(x)))
-    win = np.hanning(n_fft)
-    qmax = int(round(max_freq * win_s))
-    # absolute-frequency quantization of the k-th rFFT bin
-    ks = np.arange(n_fft // 2 + 1)
-    qb = np.rint(ks * (float(rate) / n_fft) * win_s).astype(np.int64)
-    keep = (qb >= 1) & (qb < qmax)
-    band_of = qb * n_subbands // qmax
-    frames_peaks = []
-    for s in range(0, len(x) - n_fft + 1, hop):
-        mag = np.abs(np.fft.rfft(x[s:s + n_fft] * win))
-        m = mag[keep]
-        if len(m) == 0:
-            frames_peaks.append([])
-            continue
-        thr = float(m.mean())
-        peaks = set()
-        for b in range(n_subbands):
-            sel = keep & (band_of == b)
-            if not sel.any():
+    win, qb, keep, band_idx = _fp_bin_tables(
+        rate, n_fft, win_s, max_freq, n_subbands
+    )
+    # all frames in ONE batched rFFT (the per-clip hot path at crawl
+    # scale): stride-view framing, window broadcast, axis-1 transform
+    n_frames = (len(x) - n_fft) // hop + 1
+    frames = np.lib.stride_tricks.as_strided(
+        x,
+        shape=(n_frames, n_fft),
+        strides=(x.strides[0] * hop, x.strides[0]),
+    )
+    mags = np.abs(np.fft.rfft(frames * win, axis=1))
+    kept = mags[:, keep]
+    frames_peaks: list = [[] for _ in range(n_frames)]
+    if kept.shape[1] > 0:
+        thr = kept.mean(axis=1)
+        for idx in band_idx:
+            if len(idx) == 0:
                 continue
-            idx = np.flatnonzero(sel)
-            k = idx[int(np.argmax(mag[idx]))]
-            if mag[k] > thr:
-                peaks.add(int(qb[k]))
-        frames_peaks.append(sorted(peaks))
+            sub = mags[:, idx]
+            am = np.argmax(sub, axis=1)  # first-max, like the scalar loop
+            vals = sub[np.arange(n_frames), am]
+            qpk = qb[idx][am]
+            for t in np.flatnonzero(vals > thr):
+                frames_peaks[t].append(int(qpk[t]))
+        frames_peaks = [sorted(p) for p in frames_peaks]
     hashes = set()
     for t, anchors in enumerate(frames_peaks):
         for f1 in anchors:
