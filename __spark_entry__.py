@@ -2965,6 +2965,72 @@ def _audio_dup_media(spark, sf_dir):
     )
 
 
+def _audio_dup_offset_media(spark, sf_dir):
+    """The offset-voting twin of `_audio_dup_media`: same doc_id % 13
+    subsample and slope-varied group signals (g = doc_id % 5), but each
+    doc's clip gains (doc_id % 3) * 256 samples of LEADING silence —
+    one hop per pad step, so within-group copies are time-SHIFTED, not
+    byte-identical, and the straddle frame (256 zeros + 256 signal)
+    adds pad-class-specific landmarks on top of the shared base
+    constellation. 15 distinct (g, pad) signals total."""
+    import struct as _struct
+
+    n, rate = _AUDIO_N, _AUDIO_RATE
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = docs.filter(F.col("doc_id") % 13 == 0)
+    hdr = None
+    for p in range(3):
+        np_ = n + 256 * p
+        h = (
+            b"RIFF" + _struct.pack("<I", 36 + 2 * np_) + b"WAVEfmt "
+            + _struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data" + _struct.pack("<I", 2 * np_)
+        )
+        cond = F.col("doc_id") % 3 == p
+        hdr = F.when(cond, F.lit(h)) if hdr is None else hdr.when(cond, F.lit(h))
+    pad = "((doc_id % 3) * 256)"
+    u = (
+        f"(CASE WHEN i < {pad} THEN 0 ELSE "
+        f"(((i - {pad}) * (104729 + 2741 * (doc_id % 5))) % 65536) END)"
+    )
+    pcm_hex = F.expr(
+        "array_join(transform(sequence(0, {m} + {p} - 1), i -> "
+        "format_string('%02X%02X', {u} % 256, ({u} DIV 256) % 256)), '')"
+        .format(m=n, p=pad, u=u)
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.concat(hdr, F.unhex(pcm_hex)).alias("payload"),
+        F.lit("{}").alias("meta"),
+    )
+
+
+def q_media_audio_dups_offset(spark, sf_dir):
+    """The FULL Wang 2003 decision rule value-verified (r11): landmark
+    votes binned by anchor-frame offset t_a - t_b, pair scored at its
+    best offset (count DESC, offset ASC). The leading-silence pads
+    make this gate exercise everything the plain gate can't: 3-4
+    frames per clip, the multi-dt anchor fanout (first `fanout`
+    candidates in (dt, f2) order — replayed as a row_number over the
+    peak self-join), straddle-frame landmarks that only SOME variants
+    share, and a non-zero winning offset (pad_a - pad_b) for every
+    shifted pair. The oracle replays the whole chain from the PCM
+    formula: 15 (g, pad) signal variants x <=4 frames of explicit
+    Hann DFT, subband argmax peaks, fanout landmarks, offset votes,
+    argmax offset."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.audio import audio_near_dups
+
+    media = _audio_dup_offset_media(spark, sf_dir)
+    out = audio_near_dups(
+        media, decoder="wav", min_matches=5, offset_coherent=True
+    )
+    return out.select("id_a", "id_b", "offset", "n_matches").orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q_media_audio_dups(spark, sf_dir):
     """Audio near-duplicate pairs via spectral-peak constellation
     fingerprinting (r11, Wang 2003) value-verified END-TO-END through
@@ -4016,6 +4082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_audio_mfcc": q_media_audio_mfcc,
             "media_audio_resample": q_media_audio_resample,
             "media_audio_dups": q_media_audio_dups,
+            "media_audio_dups_offset": q_media_audio_dups_offset,
             "media_curate_report": q_media_curate_report,
             "media_resize": q_media_resize,
             "media_gif_decode": q_media_gif_decode,
@@ -4070,11 +4137,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Cohort ages going into r11 (computed from the artifact union):
     # 17 queries last verified in r5 (ALL retired below — the r5
     # cohort the r10 verdict asked to finish closes this round), 44 in
-    # r6 (the alphabetical front 19 fill the window: 14 new/changed +
-    # 17 r5 + 19 r6 = the ~50 truncation), everything else r7+.
+    # r6 (the alphabetical front 18 fill the window: 15 new/changed +
+    # 17 r5 + 18 r6 = the ~50 truncation), everything else r7+.
     never_verified_first = [
         # (a) new or changed in round 11
         "media_audio_dups",  # NEW: constellation fingerprint dedup
+        "media_audio_dups_offset",  # NEW: Wang offset-voting decision rule
         "text_unigram_vocab",  # NEW: unigram-LM tokenizer fit replay
         "text_unigram_tokens",  # NEW: unigram tokenize + fertility hook
         "forecast_hw_mult",  # NEW: multiplicative Holt-Winters
@@ -4127,7 +4195,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feat_change_quantiles",
         "feat_cid_ce",
         "feat_count_above",
-        "feat_count_above_mean",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

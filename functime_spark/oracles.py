@@ -2014,6 +2014,69 @@ def operator_oracles() -> dict:
         "ORDER BY id_a, id_b"
     )
 
+    # media_audio_dups_offset (r11): the full Wang 2003 offset-voting
+    # rule replayed over 15 leading-silence variants (g = doc_id % 5
+    # slope signals, pad = doc_id % 3 hops of zeros). Frames are
+    # indexed t = start/256 with start + 512 <= clip length (2-4
+    # frames per variant; all-zero frames yield no peaks since no
+    # magnitude exceeds the zero mean strictly). Landmarks replay the
+    # anchor fanout EXACTLY: per anchor (variant, t, f1), candidates
+    # are later-frame peaks within dt <= 3 ordered (dt, f2), first 3
+    # kept (row_number). Votes: shared hashes between two docs' (g,pd)
+    # variants counted per offset t_a - t_b; each pair keeps its
+    # (count DESC, offset ASC) argmax row, >= 5 filter.
+    o["media_audio_dups_offset"] = (
+        "WITH vg AS (SELECT DISTINCT doc_id % 5 AS g, doc_id % 3 AS pd "
+        "FROM documents WHERE doc_id % 13 = 0), "
+        "samples AS (SELECT g, pd, i, "
+        "CAST(CASE WHEN u < 32768 THEN u ELSE u - 65536 END AS DOUBLE) "
+        "/ 32768.0 AS x FROM (SELECT vg.g, vg.pd, t.i, "
+        "CASE WHEN t.i < vg.pd * 256 THEN 0 ELSE "
+        "((t.i - vg.pd * 256) * (104729 + 2741 * vg.g)) % 65536 END AS u "
+        "FROM vg, range(0, 1512) t(i) "
+        "WHERE t.i < 1000 + vg.pd * 256) t(g, pd, i, u)), "
+        "win AS (SELECT s.g, s.pd, ft.t, s.i - ft.t * 256 AS j, "
+        "s.x * (0.5 - 0.5*cos(2*pi()*(s.i - ft.t * 256)/511.0)) AS y "
+        "FROM samples s JOIN (VALUES (0), (1), (2), (3)) ft(t) "
+        "ON s.i >= ft.t * 256 AND s.i < ft.t * 256 + 512 "
+        "AND ft.t * 256 + 512 <= 1000 + s.pd * 256), "
+        "spec AS (SELECT w.g, w.pd, w.t, ks.k, "
+        "SUM(w.y * cos(2*pi()*ks.k*w.j/512.0)) AS re, "
+        "SUM(w.y * sin(2*pi()*ks.k*w.j/512.0)) AS im "
+        "FROM win w, range(1, 256) ks(k) GROUP BY 1, 2, 3, 4), "
+        "mag AS (SELECT g, pd, t, k, sqrt(re*re + im*im) AS m, "
+        "(k * 8) // 256 AS band FROM spec), "
+        "thr AS (SELECT g, pd, t, AVG(m) AS thr FROM mag "
+        "GROUP BY 1, 2, 3), "
+        "rk AS (SELECT g, pd, t, band, k, m, row_number() OVER "
+        "(PARTITION BY g, pd, t, band ORDER BY m DESC, k ASC) AS rn "
+        "FROM mag), "
+        "peaks AS (SELECT rk.g, rk.pd, rk.t, rk.k FROM rk "
+        "JOIN thr ON thr.g = rk.g AND thr.pd = rk.pd AND thr.t = rk.t "
+        "WHERE rk.rn = 1 AND rk.m > thr.thr), "
+        "cand AS (SELECT a.g, a.pd, a.t, a.k AS f1, b.k AS f2, "
+        "b.t - a.t AS dt, row_number() OVER "
+        "(PARTITION BY a.g, a.pd, a.t, a.k ORDER BY b.t - a.t, b.k) "
+        "AS rn FROM peaks a JOIN peaks b ON b.g = a.g AND b.pd = a.pd "
+        "AND b.t > a.t AND b.t <= a.t + 3), "
+        "lm AS (SELECT DISTINCT g, pd, t, "
+        "f1 * 1048576 + f2 * 256 + dt AS h FROM cand WHERE rn <= 3), "
+        "docs2 AS (SELECT doc_id, doc_id % 5 AS g, doc_id % 3 AS pd "
+        "FROM documents WHERE doc_id % 13 = 0), "
+        "votes AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "la.t - lb.t AS voff, COUNT(*) AS n_matches "
+        "FROM docs2 a JOIN docs2 b ON a.g = b.g AND a.doc_id < b.doc_id "
+        "JOIN lm la ON la.g = a.g AND la.pd = a.pd "
+        "JOIN lm lb ON lb.g = b.g AND lb.pd = b.pd AND lb.h = la.h "
+        "GROUP BY 1, 2, 3), "
+        "best AS (SELECT id_a, id_b, voff, n_matches, row_number() "
+        "OVER (PARTITION BY id_a, id_b ORDER BY n_matches DESC, voff) "
+        "AS rn FROM votes) "
+        "SELECT id_a, id_b, CAST(voff AS BIGINT) AS \"offset\", "
+        "n_matches FROM best WHERE rn = 1 AND n_matches >= 5 "
+        "ORDER BY id_a, id_b"
+    )
+
     o["media_curate_report"] = (
         f"WITH {_curate_surv} "
         "SELECT 'decode' AS stage, (SELECT COUNT(*) FROM base) AS rows_in, "

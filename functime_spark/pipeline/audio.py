@@ -20,7 +20,7 @@ from typing import Iterator
 
 import numpy as np
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -246,9 +246,11 @@ def audio_fingerprints_from_signal(
     n_subbands: int = 8,
     fanout: int = 3,
     max_dt: int = 3,
+    with_time: bool = False,
 ) -> list:
-    """Distinct landmark hashes of one clip — the numpy ground-truth
-    kernel the Spark operator batches over.
+    """Distinct landmark hashes of one clip (``with_time=True``:
+    distinct (anchor_frame, hash) pairs, the offset-voting input) —
+    the numpy ground-truth kernel the Spark operator batches over.
 
     Peaks: per frame (Hann + rFFT), the band below `max_freq` splits
     into `n_subbands` sub-bands; each sub-band's magnitude argmax is a
@@ -302,7 +304,8 @@ def audio_fingerprints_from_signal(
                 for f2 in frames_peaks[t + dt]:
                     if taken >= fanout:
                         break
-                    hashes.add((f1 << 20) | (f2 << 8) | dt)
+                    h = (f1 << 20) | (f2 << 8) | dt
+                    hashes.add((t, h) if with_time else h)
                     taken += 1
     return sorted(hashes)
 
@@ -316,11 +319,13 @@ def audio_fingerprints(
     n_subbands: int = 8,
     fanout: int = 3,
     max_dt: int = 3,
+    with_time: bool = False,
 ) -> DataFrame:
-    """(media_id, fp) landmark rows, one mapInPandas pass — payloads
-    decode where the bytes are, nothing shuffles. Undecodable or empty
-    clips emit no rows (the curate_media drop contract: corrupt files
-    are a fact of scraped corpora)."""
+    """(media_id, fp) landmark rows (``with_time=True`` adds the
+    anchor-frame column ``t`` for offset voting), one mapInPandas pass
+    — payloads decode where the bytes are, nothing shuffles.
+    Undecodable or empty clips emit no rows (the curate_media drop
+    contract: corrupt files are a fact of scraped corpora)."""
     from functime_spark.pipeline.multimodal import _resolve_decoder
 
     fn = _resolve_decoder(decoder)
@@ -333,7 +338,7 @@ def audio_fingerprints(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids, fps = [], []
+            ids, fps, ts = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     d = fn(bytes(payload))
@@ -341,19 +346,29 @@ def audio_fingerprints(
                         d["array"], int(d["rate"]),
                         channels=int(d.get("channels", 1)),
                         win_s=win_s, hop_s=hop_s, max_freq=max_freq,
-                        n_subbands=n_subbands, fanout=fanout, max_dt=max_dt,
+                        n_subbands=n_subbands, fanout=fanout,
+                        max_dt=max_dt, with_time=with_time,
                     )
                 except Exception:
                     continue
                 ids.extend([mid] * len(hs))
-                fps.extend(hs)
-            yield pd.DataFrame({"media_id": ids, "fp": fps})
+                if with_time:
+                    ts.extend(t for t, _ in hs)
+                    fps.extend(h for _, h in hs)
+                else:
+                    fps.extend(hs)
+            out = {"media_id": ids, "fp": fps}
+            if with_time:
+                out["t"] = ts
+            yield pd.DataFrame(out)
 
-    schema = StructType([
+    fields = [
         StructField("media_id", LongType()),
         StructField("fp", LongType()),
-    ])
-    return media.mapInPandas(run, schema=schema)
+    ]
+    if with_time:
+        fields.append(StructField("t", LongType()))
+    return media.mapInPandas(run, schema=StructType(fields))
 
 
 def audio_near_dups(
@@ -361,36 +376,69 @@ def audio_near_dups(
     decoder="wav",
     min_matches: int = 5,
     max_bucket_size: int = 1024,
+    offset_coherent: bool = False,
     **kernel_kwargs,
 ) -> DataFrame:
     """Near-duplicate AUDIO pairs: constellation fingerprints ->
     hash-bucket self-join -> pairs sharing >= `min_matches` landmark
     hashes. Returns (id_a, id_b, n_matches).
 
+    ``offset_coherent=True`` is the full Wang 2003 decision rule: each
+    shared landmark votes at the anchor-frame offset t_a - t_b, and a
+    pair counts only the votes of its BEST offset (score DESC, offset
+    ASC on ties) — returns (id_a, id_b, offset, n_matches). Raw
+    shared-hash counting accepts coincidental collisions between
+    unrelated clips that happen to share spectral furniture; aligned
+    votes don't, because unrelated matches scatter across offsets.
+    Trimmed/leading-silence copies surface with their shift in the
+    ``offset`` column (frames of hop_s each).
+
     Scale shape (the dhash_near_dups discipline): fingerprinting is
     row-local; the ONLY shuffle is the self-join on the 8-byte fp key,
     and buckets past `max_bucket_size` drop first (_cap_buckets — a
     landmark shared by the whole corpus is silence/boilerplate, not
-    evidence); the match count is one hash aggregate on (id_a, id_b).
-    Candidate pairs track shared-landmark counts, never corpus**2."""
+    evidence); the match count is one hash aggregate on (id_a, id_b
+    [, offset]) + for the coherent mode a (id_a, id_b)-keyed argmax
+    window that REUSES the aggregate's partitioning (no extra
+    exchange). Candidate pairs track shared-landmark counts, never
+    corpus**2."""
     from functime_spark.materialize import materialize
     from functime_spark.pipeline.dedup import _cap_buckets
 
     fps = materialize(
-        audio_fingerprints(media, decoder=decoder, **kernel_kwargs)
+        audio_fingerprints(
+            media, decoder=decoder, with_time=offset_coherent,
+            **kernel_kwargs,
+        )
     )
     capped = _cap_buckets(fps, ["fp"], max_bucket_size)
     a, b = capped.alias("a"), capped.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.fp") == F.col("b.fp"))
+        & (F.col("a.media_id") < F.col("b.media_id")),
+    )
+    if not offset_coherent:
+        return (
+            joined.groupBy(
+                F.col("a.media_id").alias("id_a"),
+                F.col("b.media_id").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_matches"))
+            .filter(F.col("n_matches") >= min_matches)
+        )
+    votes = joined.groupBy(
+        F.col("a.media_id").alias("id_a"),
+        F.col("b.media_id").alias("id_b"),
+        (F.col("a.t") - F.col("b.t")).alias("offset"),
+    ).agg(F.count(F.lit(1)).alias("n_matches"))
+    w = Window.partitionBy("id_a", "id_b").orderBy(
+        F.desc("n_matches"), F.asc("offset")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .groupBy(
-            F.col("a.media_id").alias("id_a"),
-            F.col("b.media_id").alias("id_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_matches"))
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
         .filter(F.col("n_matches") >= min_matches)
+        .select("id_a", "id_b", "offset", "n_matches")
     )

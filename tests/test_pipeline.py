@@ -5292,3 +5292,42 @@ def test_unigram_quality_tiers_composition(spark):
     got = {r["doc_id"]: r["tier"] for r in tiers.collect()}
     # the clean sentence segments with fewer tokens/word -> tier 0
     assert got[0] == 0 and got[101] == 1
+
+
+def test_audio_near_dups_offset_coherent(spark):
+    """Wang-style offset voting: a leading-silence copy (2 hops of
+    zeros) pairs with the original at offset -2 (original anchors sit
+    2 frames EARLIER), an exact copy at offset 0, and the unrelated
+    clip still pairs with nothing; kernel-level, the (t, hash) variant
+    projects onto the plain hash set."""
+    from functime_spark.pipeline.audio import (
+        audio_fingerprints_from_signal,
+        audio_near_dups,
+    )
+
+    a = _fp_group_signal(1)
+    b = _fp_group_signal(2)
+    th = audio_fingerprints_from_signal(a, 8000, with_time=True)
+    assert {h for _, h in th} == set(audio_fingerprints_from_signal(a, 8000))
+
+    shifted = np.concatenate([np.zeros(512, dtype=np.int16), a])
+    rows = [
+        (1, "audio", bytearray(_fp_wav_bytes(a)), "{}"),
+        (2, "audio", bytearray(_fp_wav_bytes(a)), "{}"),
+        (3, "audio", bytearray(_fp_wav_bytes(shifted)), "{}"),
+        (4, "audio", bytearray(_fp_wav_bytes(b)), "{}"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta string"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): (r["offset"], r["n_matches"])
+        for r in audio_near_dups(
+            media, decoder="wav", offset_coherent=True
+        ).collect()
+    }
+    assert set(out) == {(1, 2), (1, 3), (2, 3)}
+    assert out[(1, 2)][0] == 0
+    assert out[(1, 3)][0] == -2 and out[(2, 3)][0] == -2
+    for off, n in out.values():
+        assert n >= 5
