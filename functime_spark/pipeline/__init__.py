@@ -25,6 +25,7 @@ from functime_spark.pipeline import (  # noqa: F401
     scaletools,
     similarity,
     text,
+    unigram,
     webdataset,
 )
 from functime_spark.pipeline.clean import clean_corpus  # noqa: F401

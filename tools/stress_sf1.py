@@ -368,6 +368,182 @@ def main() -> None:
         ).first()
         return {"rows": int(agg["rows"]), "shards": int(agg["shards"])}
 
+    def run_audio_fp():
+        # r11: audio constellation dedup at replica scale. Every copy
+        # of a base doc carries the SAME slope-varied sawtooth WAV
+        # (slope keyed by base = doc_id % 1e8, which the replica
+        # offsets preserve), so the EXACT invariants are:
+        #   (1) fingerprint rows scale LINEARLY: rows(Nx) == N * rows(1x)
+        #       (fingerprinting is row-local and deterministic);
+        #   (2) same-base pairs are the duplication structure: for
+        #       every base whose clip has >= 5 landmark hashes, all
+        #       C(N, 2) copy pairs surface with n_matches == that
+        #       base's hash count — pairs track duplication**2, never
+        #       corpus**2 (cross-base collision pairs are recorded,
+        #       not asserted: two sawtooths may legitimately share
+        #       spectral furniture).
+        import struct
+
+        import numpy as np
+
+        from functime_spark.pipeline.audio import (
+            audio_fingerprints,
+            audio_near_dups,
+        )
+
+        n, rate = 1000, 8000
+        header = (
+            b"RIFF" + struct.pack("<I", 36 + 2 * n) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", 2 * n)
+        )
+        # each base gets <=4 decorrelated tone bins (sawtooth slopes
+        # are too spectrally homogeneous: one landmark was shared by
+        # 248 bases, turning the pair join into collision noise); the
+        # base % 11 subsample keeps duplication**2 pair volume viable
+        # at 100x (~455 bases -> ~3.5k same-base pair rows per copy**2)
+        PRIMES = (6151, 12289, 24593, 49157)
+
+        def build(batches):
+            import pandas as pd
+
+            i = np.arange(n, dtype=np.float64)
+            for pdf in batches:
+                payloads = []
+                for b in pdf["base"]:
+                    b = int(b)
+                    ks = {
+                        1 + ((b * b % 65521) * 131 + b * p + j * 29) % 255
+                        for j, p in enumerate(PRIMES)
+                    }
+                    x = np.zeros(n)
+                    for k in sorted(ks):
+                        x += 0.2 * np.sin(2 * np.pi * k * i / 512.0)
+                    v = np.floor(x * 32767 + 0.5).astype("<i2")
+                    payloads.append(header + v.tobytes())
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["doc_id"],
+                        "kind": "audio",
+                        "payload": payloads,
+                    }
+                )
+
+        def media_for(table):
+            return (
+                table.select(
+                    "doc_id", (F.col("doc_id") % 100000000).alias("base")
+                )
+                .filter(F.col("base") % 11 == 0)
+                .mapInPandas(
+                    build,
+                    schema="media_id long, kind string, payload binary",
+                )
+            )
+
+        base_docs = load_table(spark, SRC, "documents")
+        # 1x reference: per-base landmark counts + the hash-share
+        # profile (sizes the bucket cap so nothing legitimate drops)
+        fp1 = audio_fingerprints(media_for(base_docs), decoder="wav")
+        ref = {
+            int(r["media_id"]): int(r["c"])
+            for r in fp1.groupBy("media_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        mx_share = int(
+            fp1.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("s"))
+            .agg(F.max("s").alias("m"))
+            .first()["m"]
+        )
+        n_fp_1x = sum(ref.values())
+        b5 = {b for b, c in ref.items() if c >= 5}
+
+        fpn = audio_fingerprints(media_for(docs), decoder="wav")
+        n_fp_nx = fpn.count()
+        assert n_fp_nx == COPIES * n_fp_1x, (n_fp_nx, COPIES, n_fp_1x)
+
+        pairs = audio_near_dups(
+            media_for(docs), decoder="wav", min_matches=5,
+            max_bucket_size=(mx_share + 1) * COPIES,
+        )
+        same = (
+            pairs.filter(
+                F.col("id_a") % 100000000 == F.col("id_b") % 100000000
+            )
+            .groupBy((F.col("id_a") % 100000000).alias("base"))
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.min("n_matches").alias("mn"),
+                F.max("n_matches").alias("mx"),
+            )
+            .collect()
+        )
+        got = {int(r["base"]): r for r in same}
+        want_pairs = COPIES * (COPIES - 1) // 2
+        for b in b5:
+            r = got.get(b)
+            assert r is not None and int(r["n_pairs"]) == want_pairs, (b, r)
+            assert int(r["mn"]) == int(r["mx"]) == ref[b], (b, dict(r.asDict()))
+        cross = pairs.filter(
+            F.col("id_a") % 100000000 != F.col("id_b") % 100000000
+        ).count()
+        return {
+            "fp_rows_1x": n_fp_1x,
+            "fp_rows_nx": n_fp_nx,
+            "bases_ge5": len(b5),
+            "max_hash_share_1x": mx_share,
+            "same_base_pairs": sum(int(r["n_pairs"]) for r in same),
+            "cross_base_pairs": int(cross),
+        }
+
+    def run_unigram():
+        # r11: the unigram tokenizer at replica scale. Training rides
+        # the BOUNDED word table (max_words cap) regardless of corpus
+        # size; the replica adds revK/tailK/copy mutation tokens so
+        # vocab identity vs 1x is NOT claimable — the exact invariant
+        # is tokenizer determinism under distribution instead: with
+        # ONE vocab fitted on the 1x corpus, the k=0-identical docs
+        # (doc_id % 3 == 0 copies keep their text verbatim) must
+        # tokenize to exactly COPIES * (1x subtotal over those docs).
+        from functime_spark.pipeline.unigram import (
+            fit_unigram,
+            unigram_tokenize,
+        )
+
+        base_docs = load_table(spark, SRC, "documents")
+        pieces = fit_unigram(
+            base_docs, vocab_size=64, max_piece_len=3, em_rounds=2,
+            seed_size=200, max_words=5000, max_word_len=16,
+        )
+        tok1 = (
+            unigram_tokenize(
+                base_docs.filter(F.col("doc_id") % 3 == 0), pieces
+            )
+            .agg(F.sum("n_unigram_tokens").alias("s"))
+            .first()["s"]
+        )
+        tokn = (
+            unigram_tokenize(
+                docs.filter(F.col("doc_id") % 100000000 % 3 == 0), pieces
+            )
+            .agg(F.sum("n_unigram_tokens").alias("s"))
+            .first()["s"]
+        )
+        assert int(tokn) == COPIES * int(tok1), (tokn, COPIES, tok1)
+        # fit at replica scale completes on the same bounded table
+        pieces_n = fit_unigram(
+            docs, vocab_size=64, max_piece_len=3, em_rounds=2,
+            seed_size=200, max_words=5000, max_word_len=16,
+        )
+        assert len(pieces_n) == 64
+        return {
+            "tokens_1x_k0": int(tok1),
+            "tokens_nx_k0": int(tokn),
+            "nx_top_pieces": [t for t, _ in pieces_n[:8]],
+        }
+
     stage("clean_corpus", run_clean)
     stage("span_dedup_keepfirst", run_span_dedup)
     stage("minhash_cluster", run_dedup_cluster)
@@ -378,6 +554,8 @@ def main() -> None:
     stage("media_curate_wds", run_media)
     stage("retrieval_bm25_hybrid", run_retrieval)
     stage("pack_shards_shuffled", run_pack)
+    stage("audio_fingerprint_dups", run_audio_fp)
+    stage("unigram_tokenizer", run_unigram)
     out["total_sec"] = round(sum(s["sec"] for s in out["stages"].values()), 2)
     print(json.dumps(out))
 
