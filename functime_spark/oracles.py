@@ -1962,21 +1962,8 @@ def operator_oracles() -> dict:
         "FROM mf GROUP BY doc_id, c ORDER BY media_id, c"
     )
 
-    # media_audio_dups (r11): the Shazam-style constellation dedup
-    # replayed END-TO-END. The doc_id % 13 subsample carries 5 group
-    # signals (slope-varied sawtooths, one per doc_id % 5), so the DFT
-    # replay is 5 groups x 2 frames x 255 bins. Chain: Hann DFT ->
-    # magnitude -> per-(frame) mean threshold -> per-subband argmax
-    # (row_number mag DESC, k ASC = numpy argmax-first) kept only above
-    # threshold -> landmarks = frame-0 anchors x the first 3 (k ASC)
-    # frame-256 peaks, hash f1*2^20 + f2*2^8 + dt (dt=1 is the only
-    # live offset at n=1000: frames start at 0 and 256 only) -> pair
-    # count = the group's landmark count (byte-identical clips) for
-    # every a<b doc pair in the group, >= 5 filter. qbin == k exactly
-    # at rate 8000 / win_s 0.064 (bin width = 1/win_s); all argmax /
-    # threshold margins >= 8e-3 vs ~1e-12 DFT-vs-FFT noise.
-    o["media_audio_dups"] = (
-        "WITH grp AS (SELECT DISTINCT doc_id % 5 AS g FROM documents "
+    _audup_ctes = (
+        "grp AS (SELECT DISTINCT doc_id % 5 AS g FROM documents "
         "WHERE doc_id % 13 = 0), "
         "samples AS (SELECT g, i, "
         "CAST(CASE WHEN u < 32768 THEN u ELSE u - 65536 END AS DOUBLE) "
@@ -2005,12 +1992,51 @@ def operator_oracles() -> dict:
         "JOIN (SELECT g, k, row_number() OVER "
         "(PARTITION BY g ORDER BY k) AS rn "
         "FROM peaks WHERE fr = 256) b ON b.g = a.g AND b.rn <= 3), "
-        "cnt AS (SELECT g, COUNT(*) AS n_matches FROM lm GROUP BY g), "
+        "cnt AS (SELECT g, COUNT(*) AS n_matches FROM lm GROUP BY g)"
+    )
+    # media_audio_dups (r11): the Shazam-style constellation dedup
+    # replayed END-TO-END. The doc_id % 13 subsample carries 5 group
+    # signals (slope-varied sawtooths, one per doc_id % 5), so the DFT
+    # replay is 5 groups x 2 frames x 255 bins. Chain: Hann DFT ->
+    # magnitude -> per-(frame) mean threshold -> per-subband argmax
+    # (row_number mag DESC, k ASC = numpy argmax-first) kept only above
+    # threshold -> landmarks = frame-0 anchors x the first 3 (k ASC)
+    # frame-256 peaks, hash f1*2^20 + f2*2^8 + dt (dt=1 is the only
+    # live offset at n=1000: frames start at 0 and 256 only) -> pair
+    # count = the group's landmark count (byte-identical clips) for
+    # every a<b doc pair in the group, >= 5 filter. qbin == k exactly
+    # at rate 8000 / win_s 0.064 (bin width = 1/win_s); all argmax /
+    # threshold margins >= 8e-3 vs ~1e-12 DFT-vs-FFT noise.
+    o["media_audio_dups"] = (
+        f"WITH {_audup_ctes}, "
         "docs2 AS (SELECT doc_id, doc_id % 5 AS g FROM documents "
         "WHERE doc_id % 13 = 0) "
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, c.n_matches "
         "FROM docs2 a JOIN docs2 b ON a.g = b.g AND a.doc_id < b.doc_id "
         "JOIN cnt c ON c.g = a.g WHERE c.n_matches >= 5 "
+        "ORDER BY id_a, id_b"
+    )
+
+    # media_audio_dups_incr (r11): the incremental-store twin — the
+    # SAME group-signal DFT replay (byte-identical group clips mean
+    # every pair's n_matches is the group's landmark count), with the
+    # pair population split by the store convention: new-vs-new
+    # (id_a < id_b among doc_id % 26 != 0) plus new-vs-store (new id
+    # first, any order), store-vs-store excluded.
+    o["media_audio_dups_incr"] = (
+        f"WITH {_audup_ctes}, "
+        "docs2 AS (SELECT doc_id, doc_id % 5 AS g, "
+        "doc_id % 26 = 0 AS in_store FROM documents "
+        "WHERE doc_id % 13 = 0), "
+        "prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.g "
+        "FROM docs2 a JOIN docs2 b ON a.g = b.g "
+        "AND NOT a.in_store AND NOT b.in_store "
+        "AND a.doc_id < b.doc_id "
+        "UNION ALL SELECT a.doc_id, b.doc_id, a.g "
+        "FROM docs2 a JOIN docs2 b ON a.g = b.g "
+        "AND NOT a.in_store AND b.in_store) "
+        "SELECT p.id_a, p.id_b, c.n_matches FROM prs p "
+        "JOIN cnt c ON c.g = p.g WHERE c.n_matches >= 5 "
         "ORDER BY id_a, id_b"
     )
 
@@ -2197,6 +2223,9 @@ def operator_oracles() -> dict:
     # streaming dHash twin: batch-mode deduped pairs == the batch
     # banded image near-dup replay (r9)
     o["stream_dhash"] = o["media_dhash_dedup"]
+    # streaming audio twin: batch-mode aggregated landmark-match
+    # counts == the batch constellation near-dup replay (r11)
+    o["stream_audio"] = o["media_audio_dups"]
 
     # dedup_cluster: connected components over the minhash pair graph —
     # the Spark side runs alternating large-star/small-star; the oracle

@@ -442,3 +442,76 @@ def audio_near_dups(
         .filter(F.col("n_matches") >= min_matches)
         .select("id_a", "id_b", "offset", "n_matches")
     )
+
+
+def audio_dedup_incremental(
+    new_media: DataFrame,
+    store_fps: DataFrame | None = None,
+    decoder="wav",
+    min_matches: int = 5,
+    max_bucket_size: int = 1024,
+    **kernel_kwargs,
+) -> tuple:
+    """Batch-over-batch AUDIO dedup against a persisted fingerprint
+    store — the daily-crawl shape of the exact/minhash/dHash
+    incremental tiers (dedup.exact_dedup_incremental,
+    multimodal.dhash_dedup_incremental), pointed at audio: each
+    arriving batch is fingerprinted ONCE and checked against the
+    historical corpus WITHOUT re-decoding a single historical clip.
+    Returns ``(pairs, updated_store)``:
+
+    - ``pairs``: (id_a, id_b, n_matches >= min_matches) where id_a is
+      always a NEW clip and id_b is either a store clip (cross
+      matches, any id order) or another new clip (id_a < id_b).
+      Store-vs-store pairs are never re-emitted.
+    - ``updated_store``: store ∪ new fingerprint rows (media_id, fp)
+      — ~20 longs per clip — for the caller to persist (plain
+      parquet) as the next batch's store.
+
+    Ids must be unique across store and batch (the incremental-dedup
+    convention). Per-batch cost is O(new x matching buckets), never
+    O(corpus); buckets are capped per side before each join."""
+    if store_fps is not None and not isinstance(store_fps, DataFrame):
+        raise TypeError(
+            "store_fps must be a fingerprint DataFrame (media_id, fp) "
+            "— e.g. spark.read.parquet(<store path>) — or None for the "
+            f"first batch; got {type(store_fps).__name__}"
+        )
+    from functime_spark.materialize import materialize
+    from functime_spark.pipeline.dedup import _cap_buckets
+
+    # one decode+fingerprint pass over the new batch, pinned: feeds
+    # both join sides and the updated store
+    new_fps = materialize(
+        audio_fingerprints(new_media, decoder=decoder, **kernel_kwargs)
+    )
+    capped_new = _cap_buckets(new_fps, ["fp"], max_bucket_size)
+    nn = (
+        capped_new.alias("a")
+        .join(
+            capped_new.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    if store_fps is None:
+        return nn.filter(F.col("n_matches") >= min_matches), new_fps
+    capped_old = _cap_buckets(store_fps, ["fp"], max_bucket_size)
+    cross = (
+        capped_new.alias("a")
+        .join(capped_old.alias("b"), F.col("a.fp") == F.col("b.fp"))
+        .groupBy(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    pairs = nn.unionByName(cross).filter(
+        F.col("n_matches") >= min_matches
+    )
+    return pairs, store_fps.unionByName(new_fps)

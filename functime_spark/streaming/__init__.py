@@ -10,6 +10,7 @@ static DataFrame and on a readStream DataFrame).
 
 from functime_spark.streaming.ops import (  # noqa: F401
     sessionize,
+    stream_audio_dedup,
     stream_cusum,
     stream_dhash_dedup,
     stream_exact_dedup,

@@ -740,3 +740,86 @@ def stream_dhash_dedup(
     return banded.groupBy("band", "band_val").applyInPandas(
         batch_bucket, schema=out_schema
     )
+
+
+def stream_audio_dedup(
+    media: DataFrame,
+    decoder="wav",
+    max_bucket_size: int = 1024,
+    **kernel_kwargs,
+) -> DataFrame:
+    """Streaming AUDIO near-dup detection (r11): the stream_dhash
+    recipe pointed at constellation fingerprints — as clips arrive,
+    each is landmark-hashed (audio.audio_fingerprints, the same
+    stateless mapInPandas the batch op uses) and checked against
+    every earlier clip sharing a landmark, emitting one
+    (id_a, id_b, fp) MATCH EVENT per shared hash (id_a = the earlier
+    arrival). Consumers aggregate ``groupBy(id_a, id_b).count() >=
+    min_matches`` for the pair verdict — the count equals
+    audio_near_dups' n_matches when arrival order == id order and no
+    bucket overflows.
+
+    Shape: fingerprinting is a STATELESS projection; the only state
+    is per-fp — the bucket's id list, capped at ``max_bucket_size``
+    (the batch fallback drops oversize buckets whole, matching
+    _cap_buckets so its aggregated pair counts are oracle-identical;
+    the streaming path keeps the arrival-order prefix — the same
+    documented divergence as stream_minhash_dedup). An arrival
+    landing in a full bucket emits an OVERFLOW MARKER row
+    (id_a == id_b == its id, fp = -1) instead of vanishing silently.
+    State is one long per member. For unbounded crawls the batch
+    join over a persisted fingerprint store is the horizon-free twin
+    (audio.audio_dedup_incremental; near-dups never expire, so no
+    watermark applies)."""
+    import pandas as pd
+
+    from functime_spark.pipeline.audio import audio_fingerprints
+
+    fps = audio_fingerprints(media, decoder=decoder, **kernel_kwargs)
+
+    out_schema = "id_a bigint, id_b bigint, fp bigint"
+    state_schema = "ids array<bigint>"
+
+    def scan_bucket(fp, pdf, ids, cap, markers=False):
+        rows = []
+        for mid in pdf["media_id"]:
+            mid = int(mid)
+            if len(ids) < cap:
+                for pid in ids:
+                    rows.append((pid, mid, fp))
+                ids.append(mid)
+            elif markers:
+                rows.append((mid, mid, -1))
+        return rows
+
+    if media.isStreaming:
+
+        def update(key, pdfs, state):
+            fp = int(key[0])
+            ids = list(state.get[0]) if state.exists else []
+            rows = []
+            chunks = [p for p in pdfs if len(p)]
+            if chunks:
+                whole = pd.concat(chunks).sort_values("media_id")
+                rows = scan_bucket(
+                    fp, whole, ids, max_bucket_size, markers=True
+                )
+            state.update((ids,))
+            if rows:
+                yield pd.DataFrame(rows, columns=["id_a", "id_b", "fp"])
+
+        return fps.groupBy("fp").applyInPandasWithState(
+            update, out_schema, state_schema, "append", "NoTimeout"
+        )
+
+    def batch_bucket(pdf):
+        cols = ["id_a", "id_b", "fp"]
+        if len(pdf) > max_bucket_size:
+            return pd.DataFrame(columns=cols)
+        fp = int(pdf["fp"].iloc[0])
+        rows = scan_bucket(
+            fp, pdf.sort_values("media_id"), [], max_bucket_size
+        )
+        return pd.DataFrame(rows, columns=cols)
+
+    return fps.groupBy("fp").applyInPandas(batch_bucket, schema=out_schema)

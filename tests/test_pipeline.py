@@ -5331,3 +5331,42 @@ def test_audio_near_dups_offset_coherent(spark):
     assert out[(1, 3)][0] == -2 and out[(2, 3)][0] == -2
     for off, n in out.values():
         assert n >= 5
+
+
+def test_audio_dedup_incremental_store_roundtrip(spark, tmp_path):
+    """Incremental audio dedup: first batch -> store persisted to
+    parquet -> second batch checked against the loaded store without
+    re-decoding; new-vs-store pairs carry the new id first,
+    store-vs-store pairs never re-emit, and the updated store equals
+    store + new fingerprints."""
+    from functime_spark.pipeline.audio import audio_dedup_incremental
+
+    def media(rows):
+        return spark.createDataFrame(
+            [
+                (i, "audio", bytearray(_fp_wav_bytes(_fp_group_signal(g))), "{}")
+                for i, g in rows
+            ],
+            "media_id long, kind string, payload binary, meta string",
+        )
+
+    day1 = media([(1, 1), (2, 1), (3, 2)])
+    pairs1, store1 = audio_dedup_incremental(day1, None, decoder="wav")
+    assert {(r.id_a, r.id_b) for r in pairs1.collect()} == {(1, 2)}
+
+    path = str(tmp_path / "fp_store")
+    store1.write.parquet(path)
+    store = spark.read.parquet(path)
+
+    # day 2: one dup of group 1, one dup of group 2, one fresh group
+    day2 = media([(10, 1), (11, 2), (12, 4)])
+    pairs2, store2 = audio_dedup_incremental(day2, store, decoder="wav")
+    got = {(r.id_a, r.id_b) for r in pairs2.collect()}
+    # new-vs-new: none (all different groups); new-vs-store: 10 hits
+    # both group-1 clips, 11 hits the group-2 clip; (1,2) NOT re-emitted
+    assert got == {(10, 1), (10, 2), (11, 3)}
+    # store invariant: updated = store ∪ new fingerprints
+    from functime_spark.pipeline.audio import audio_fingerprints
+
+    want = store.count() + audio_fingerprints(day2, decoder="wav").count()
+    assert store2.count() == want

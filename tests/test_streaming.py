@@ -957,3 +957,96 @@ def test_exif_ops_run_on_stream(spark, tmp_path):
     }
     assert stream_exif == batch_exif
     assert stream_norm == batch_norm
+
+
+def test_stream_audio_dedup_matches_batch(spark, tmp_path):
+    """Streaming audio near-dup (r11): the file-source run's
+    aggregated match counts must equal audio_near_dups' n_matches
+    when arrival order == id order (earlier arrivals become id_a,
+    like the batch a.id < b.id join); the batch fallback agrees; a
+    full bucket emits overflow markers instead of dropping silently."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from functime_spark.pipeline.audio import audio_near_dups
+    from functime_spark.streaming import stream_audio_dedup
+
+    def wav(g):
+        u = (np.arange(1000) * (104729 + 2741 * g)) % 65536
+        v = np.where(u < 32768, u, u - 65536).astype("<i2")
+        bio = io.BytesIO()
+        with wave.open(bio, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(v.tobytes())
+        return bio.getvalue()
+
+    rows = [
+        (i, "audio", bytearray(wav(g)), "{}")
+        for i, g in [(1, 1), (2, 1), (3, 2), (4, 2), (5, 3)]
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta string"
+    )
+    batch = {
+        (r.id_a, r.id_b): r.n_matches
+        for r in audio_near_dups(media, decoder="wav").collect()
+    }
+    assert set(batch) == {(1, 2), (3, 4)}
+
+    path = str(tmp_path / "audio_media")
+    media.coalesce(1).write.parquet(path)
+    src = spark.readStream.schema(media.schema).parquet(path)
+    q = (
+        stream_audio_dedup(src, decoder="wav")
+        .writeStream.format("memory")
+        .queryName("audio_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    events = spark.table("audio_stream")
+    assert events.filter("fp < 0").count() == 0  # no overflow here
+    stream = {
+        (r.id_a, r.id_b): r.cnt
+        for r in events.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter("cnt >= 5")
+        .collect()
+    }
+    assert stream == batch
+
+    # batch fallback agrees with the batch operator too
+    fb = {
+        (r.id_a, r.id_b): r.cnt
+        for r in stream_audio_dedup(media, decoder="wav")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter("cnt >= 5")
+        .collect()
+    }
+    assert fb == batch
+
+    # cap=1: every bucket holds one id; later arrivals emit markers
+    marked = stream_audio_dedup(media, decoder="wav", max_bucket_size=1)
+    # batch fallback DROPS oversized buckets whole (oracle parity),
+    # so run the capped check through the streaming path
+    q2 = (
+        stream_audio_dedup(src, decoder="wav", max_bucket_size=1)
+        .writeStream.format("memory")
+        .queryName("audio_stream_capped")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    capped = spark.table("audio_stream_capped")
+    assert capped.filter("fp = -1 AND id_a = id_b").count() > 0
+    assert capped.filter("fp >= 0 AND id_a != id_b").count() == 0
+    assert marked is not None
