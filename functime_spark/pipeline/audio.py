@@ -20,7 +20,7 @@ from typing import Iterator
 
 import numpy as np
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -398,9 +398,10 @@ def audio_near_dups(
     and buckets past `max_bucket_size` drop first (_cap_buckets — a
     landmark shared by the whole corpus is silence/boilerplate, not
     evidence); the match count is one hash aggregate on (id_a, id_b
-    [, offset]) + for the coherent mode a (id_a, id_b)-keyed argmax
-    window that REUSES the aggregate's partitioning (no extra
-    exchange). Candidate pairs track shared-landmark counts, never
+    [, offset]); the coherent mode adds a second TINY aggregate on
+    (id_a, id_b) — an associative struct-MAX argmax whose map-side
+    partials shrink the extra shuffle to one row per pair per
+    partition. Candidate pairs track shared-landmark counts, never
     corpus**2."""
     from functime_spark.materialize import materialize
     from functime_spark.pipeline.dedup import _cap_buckets
@@ -432,15 +433,28 @@ def audio_near_dups(
         F.col("b.media_id").alias("id_b"),
         (F.col("a.t") - F.col("b.t")).alias("offset"),
     ).agg(F.count(F.lit(1)).alias("n_matches"))
-    w = Window.partitionBy("id_a", "id_b").orderBy(
-        F.desc("n_matches"), F.asc("offset")
-    )
+    # argmax as a lexicographic struct MAX (n DESC via max, offset ASC
+    # via negated tiebreak) — an associative aggregate, so the
+    # per-pair reduction combines map-side and the second shuffle
+    # carries at most one row per pair per partition (a row_number
+    # window here would re-shuffle ALL vote rows and sort them)
+    best = F.max(
+        F.struct(
+            F.col("n_matches"),
+            (-F.col("offset")).alias("noff"),
+            F.col("offset"),
+        )
+    ).alias("b")
     return (
-        votes.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        votes.groupBy("id_a", "id_b")
+        .agg(best)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("b.offset").alias("offset"),
+            F.col("b.n_matches").alias("n_matches"),
+        )
         .filter(F.col("n_matches") >= min_matches)
-        .select("id_a", "id_b", "offset", "n_matches")
     )
 
 
