@@ -168,6 +168,8 @@ def fit_unigram(
         key=lambda kv: (-kv[1], kv[0]),
     )[:seed_size]
     vocab = sorted(singles) + sorted(t for t, _ in multis)
+    if not vocab:  # empty/whitespace-only corpus: no pieces to learn
+        return []
     counts = dict(singles)
     counts.update(dict(multis))
     probs = _smooth(counts, vocab, alpha)

@@ -5370,3 +5370,18 @@ def test_audio_dedup_incremental_store_roundtrip(spark, tmp_path):
 
     want = store.count() + audio_fingerprints(day2, decoder="wav").count()
     assert store2.count() == want
+
+
+def test_unigram_fit_empty_corpus(spark):
+    """Empty / whitespace-only / all-null corpora fit to an empty
+    vocabulary instead of dividing by zero; tokenize under it falls
+    back to UNK singles."""
+    from functime_spark.pipeline.unigram import fit_unigram, unigram_tokenize
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    pieces = fit_unigram(docs, vocab_size=16, max_piece_len=3)
+    assert pieces == []
+    rows = {r["doc_id"]: r for r in unigram_tokenize(docs, pieces).collect()}
+    assert all(r["n_words"] == 0 for r in rows.values())

@@ -414,3 +414,48 @@ def test_translate_gbt_params_total_and_lossless():
         assert set(core) <= {"max_iter", "max_depth", "step_size", "num_trees"}
 
     check()
+
+
+@given(
+    word=st.text(alphabet="abc", min_size=1, max_size=9),
+    probs=st.dictionaries(
+        st.text(alphabet="abc", min_size=1, max_size=3),
+        st.floats(min_value=1e-6, max_value=0.5),
+        max_size=12,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_unigram_viterbi_is_optimal(word, probs):
+    """Property referee for the unigram Viterbi kernel: over random
+    piece tables and words, the DP's segmentation always (a) rebuilds
+    the word exactly and (b) attains the brute-force maximum product
+    over ALL segmentations into known pieces + UNK singles — with the
+    IEEE-exact left-to-right multiply the engine and the SQL oracle
+    both use."""
+    from functime_spark.pipeline.unigram import UNK_P, viterbi_pieces
+
+    def best_brute(w):
+        if not w:
+            return 1.0
+        best = -1.0
+        for l in range(1, min(3, len(w)) + 1):
+            p = probs.get(w[:l])
+            if p is None:
+                if l != 1:
+                    continue
+                p = UNK_P
+            cand = p * best_brute(w[l:])
+            if cand > best:
+                best = cand
+        return best
+
+    got = viterbi_pieces(word, probs, 3)
+    assert "".join(got) == word
+    score = 1.0
+    for piece in got:
+        score = score * probs.get(piece, UNK_P)
+    # brute force folds tail-first (suffix recursion); the DP folds
+    # prefix-first — compare within one ulp-scale tolerance
+    brute = best_brute(word)
+    assert score >= brute * (1 - 1e-12)
+    assert score <= brute * (1 + 1e-12)
