@@ -161,12 +161,22 @@ def fit_unigram(
     words = materialize(
         _word_counts(docs, text_col, max_words, max_word_len)
     )
-    seed_rows = _seed_counts(words, max_piece_len).collect()
-    singles = {r["tok"]: int(r["c"]) for r in seed_rows if len(r["tok"]) == 1}
-    multis = sorted(
-        ((r["tok"], int(r["c"])) for r in seed_rows if len(r["tok"]) > 1),
-        key=lambda kv: (-kv[1], kv[0]),
-    )[:seed_size]
+    # seed selection happens IN SPARK (TakeOrdered top-k + the tiny
+    # single-char slice) — the raw substring count table can be
+    # millions of rows on a real word table and must never reach the
+    # driver; only O(seed_size + alphabet) rows do.
+    seeds = materialize(_seed_counts(words, max_piece_len))
+    singles = {
+        r["tok"]: int(r["c"])
+        for r in seeds.filter(F.length("tok") == 1).collect()
+    }
+    multis = [
+        (r["tok"], int(r["c"]))
+        for r in seeds.filter(F.length("tok") > 1)
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(seed_size)
+        .collect()
+    ]
     vocab = sorted(singles) + sorted(t for t, _ in multis)
     if not vocab:  # empty/whitespace-only corpus: no pieces to learn
         return []
