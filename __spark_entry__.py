@@ -3098,6 +3098,95 @@ def q_media_audio_dups(spark, sf_dir):
     return out.select("id_a", "id_b", "n_matches").orderBy("id_a", "id_b")
 
 
+def _video_bbit(G, J, y, x):
+    # md5 parity — a linear congruential mix left the walk-bit space
+    # too structured (frame-hash collisions across classes); md5 makes
+    # all 27 frame classes distinct with min cross hamming 10 > the
+    # gate's max_hamming 6, so ONLY same-class frames ever match
+    import hashlib
+
+    h = hashlib.md5(f"{G}-{J}-{y}-{x}".encode()).hexdigest()
+    return int(h[0], 16) % 2
+
+
+def _video_frame_levels(G, J, y):
+    ls, s = [], 0
+    for x in range(9):
+        ls.append((x + s) % 3)
+        s += _video_bbit(G, J, y, x)
+    return ls
+
+
+def _video_dup_media(spark, sf_dir):
+    """Synthetic MJPEG-AVI frame for the video-dedup gate: the
+    doc_id % 17 subsample, group g = doc_id % 4 sharing a 6-frame
+    sequence, pad = doc_id % 3 LEADING extra frames (distinct 1000+pad
+    frame classes) so copies are time-shifted. Every frame is an 8x9
+    three-level pattern (30/128/226 gray) whose level walk l(x) =
+    (x + prefix_sum(mix_bit)) % 3 NEVER repeats a level between
+    horizontal neighbors — adjacent separations >= 98 vs measured
+    JPEG-round-trip noise <= 18, so each frame's dHash equals its
+    DESIGNED bits exactly (margin-verified) and the oracle computes
+    every hash analytically from the mix formula, no pixel decode."""
+    import numpy as np
+
+    from functime_spark.pipeline.mjpeg import encode_mjpeg_avi
+
+    def fr(G, J):
+        p = np.zeros((8, 9), dtype=np.uint8)
+        for y in range(8):
+            for x, l in enumerate(_video_frame_levels(G, J, y)):
+                p[y, x] = 30 + 98 * l
+        return p
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, kinds, payloads = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, pd_ = did % 4, did % 3
+                frames = [fr(1000 + pd_, k) for k in range(pd_)]
+                frames += [fr(g, j) for j in range(6)]
+                ids.append(did)
+                kinds.append("video")
+                payloads.append(
+                    encode_mjpeg_avi(frames, fps=10, quality=85)
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads}
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.filter(F.col("doc_id") % 17 == 0).mapInPandas(
+        build, schema="media_id long, kind string, payload binary"
+    )
+
+
+def q_media_video_dups(spark, sf_dir):
+    """Video near-duplicate pairs with frame-offset voting (r11) —
+    the video member of the dedup triad, value-verified END-TO-END
+    through a REAL container decode: video_near_dups walks each
+    MJPEG-AVI (RIFF chunks -> per-frame baseline-JPEG decode),
+    dHashes every frame, runs the banded hash join, keeps distinct
+    matched frame pairs within hamming 6, bins votes by frame offset
+    and keeps each pair's (count DESC, offset ASC) argmax with >= 4
+    aligned matches. The oracle never decodes a pixel: the designed
+    level-walk bits reproduce every frame's dHash exactly
+    (margin-verified construction, see _video_dup_media), so banding,
+    hamming, voting and the argmax all replay from the mix formula
+    over 64-row bit tables."""
+    _ensure_nanos_conf(spark)
+    from functime_spark.pipeline.multimodal import video_near_dups
+
+    media = _video_dup_media(spark, sf_dir)
+    out = video_near_dups(media, min_matches=4)
+    return out.select("id_a", "id_b", "offset", "n_matches").orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload → deterministic stub
     features via mapInPandas. The sha256-chained fake decoder emits
@@ -4130,6 +4219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_audio_dups_offset": q_media_audio_dups_offset,
             "media_audio_dups_incr": q_media_audio_dups_incr,
             "stream_audio": q_stream_audio,
+            "media_video_dups": q_media_video_dups,
             "media_curate_report": q_media_curate_report,
             "media_resize": q_media_resize,
             "media_gif_decode": q_media_gif_decode,
@@ -4192,6 +4282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_dups_offset",  # NEW: Wang offset-voting decision rule
         "media_audio_dups_incr",  # NEW: persisted fingerprint store
         "stream_audio",  # NEW: streaming constellation twin
+        "media_video_dups",  # NEW: video frame-offset dedup triad member
+        "media_dhash",  # CHANGED: dhash kernel extracted to _dhash_array
         "text_unigram_vocab",  # NEW: unigram-LM tokenizer fit replay
         "text_unigram_tokens",  # NEW: unigram tokenize + fertility hook
         "forecast_hw_mult",  # NEW: multiplicative Holt-Winters
@@ -4241,7 +4333,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feat_benford_correlation",
         "feat_binned_entropy",
         "feat_c3",
-        "feat_change_quantiles",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

@@ -2103,6 +2103,65 @@ def operator_oracles() -> dict:
         "ORDER BY id_a, id_b"
     )
 
+    # media_video_dups (r11): the video dedup triad member replayed
+    # with ZERO pixel decode — the gate's margin-verified level-walk
+    # construction makes every frame's dHash equal its DESIGNED bits,
+    # so the oracle works entirely on 64-row bit tables per frame
+    # class: mix bit b(G,J,y,x) -> prefix-sum level walk l = (x +
+    # sum(b over i<x)) % 3 -> dhash bit = lead(l) > l -> per-class-
+    # pair band comparison (a 16-bit band is shared iff its 16 bit
+    # positions all agree) + hamming = total bit mismatches ->
+    # candidate class pairs (shared band AND ham <= 6) -> frame-level
+    # offset votes -> (count DESC, offset ASC) argmax per doc pair,
+    # >= 4 filter. Frame classes: 4 groups x 6 real frames + the
+    # 1001/1002 leading-pad classes (pd extra frames, distinct per
+    # pad value).
+    o["media_video_dups"] = (
+        "WITH cls AS (SELECT g.g AS G, j.j AS J "
+        "FROM range(0, 4) g(g), range(0, 6) j(j) "
+        "UNION ALL SELECT 1001, 0 UNION ALL SELECT 1002, 0 "
+        "UNION ALL SELECT 1002, 1), "
+        "bb AS (SELECT c.G, c.J, y.y AS y, x.x AS x, "
+        "(strpos('0123456789abcdef', substr(md5(concat("
+        "CAST(c.G AS VARCHAR), '-', CAST(c.J AS VARCHAR), '-', "
+        "CAST(y.y AS VARCHAR), '-', CAST(x.x AS VARCHAR))), 1, 1)) "
+        "- 1) % 2 AS b "
+        "FROM cls c, range(0, 8) y(y), range(0, 9) x(x)), "
+        "lv AS (SELECT G, J, y, x, (x + COALESCE(SUM(b) OVER "
+        "(PARTITION BY G, J, y ORDER BY x ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND 1 PRECEDING), 0)) % 3 AS l FROM bb), "
+        "db AS (SELECT G, J, y, x, bit FROM (SELECT G, J, y, x, "
+        "CASE WHEN lead(l) OVER (PARTITION BY G, J, y ORDER BY x) > l "
+        "THEN 1 ELSE 0 END AS bit FROM lv) WHERE x < 8), "
+        "pos AS (SELECT G, J, y*8 + x AS p, bit FROM db), "
+        "bandcmp AS (SELECT a.G AS G1, a.J AS J1, b.G AS G2, "
+        "b.J AS J2, a.p // 16 AS bi, "
+        "SUM(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END) AS mism "
+        "FROM pos a JOIN pos b ON a.p = b.p GROUP BY 1, 2, 3, 4, 5), "
+        "cand AS (SELECT G1, J1, G2, J2 FROM (SELECT G1, J1, G2, J2, "
+        "SUM(mism) AS ham, MAX(CASE WHEN mism = 0 THEN 1 ELSE 0 END) "
+        "AS shared FROM bandcmp GROUP BY 1, 2, 3, 4) "
+        "WHERE shared = 1 AND ham <= 6), "
+        "docs2 AS (SELECT doc_id, doc_id % 4 AS g, doc_id % 3 AS pd "
+        "FROM documents WHERE doc_id % 17 = 0), "
+        "vf AS (SELECT d.doc_id, 1000 + d.pd AS G, "
+        "CAST(k.k AS INT) AS J, CAST(k.k AS INT) AS idx "
+        "FROM docs2 d, range(0, 2) k(k) WHERE k.k < d.pd "
+        "UNION ALL SELECT d.doc_id, d.g, CAST(j.j AS INT), "
+        "CAST(d.pd + j.j AS INT) FROM docs2 d, range(0, 6) j(j)), "
+        "votes AS (SELECT fa.doc_id AS id_a, fb.doc_id AS id_b, "
+        "fa.idx - fb.idx AS voff, COUNT(*) AS n_matches "
+        "FROM vf fa JOIN vf fb ON fa.doc_id < fb.doc_id "
+        "JOIN cand c ON c.G1 = fa.G AND c.J1 = fa.J "
+        "AND c.G2 = fb.G AND c.J2 = fb.J GROUP BY 1, 2, 3), "
+        "best AS (SELECT id_a, id_b, voff, n_matches, row_number() "
+        "OVER (PARTITION BY id_a, id_b ORDER BY n_matches DESC, voff) "
+        "AS rn FROM votes) "
+        "SELECT id_a, id_b, CAST(voff AS BIGINT) AS \"offset\", "
+        "n_matches FROM best WHERE rn = 1 AND n_matches >= 4 "
+        "ORDER BY id_a, id_b"
+    )
+
     o["media_curate_report"] = (
         f"WITH {_curate_surv} "
         "SELECT 'decode' AS stage, (SELECT COUNT(*) FROM base) AS rows_in, "

@@ -1318,6 +1318,30 @@ def extract_features_media(
     return media.mapInPandas(run, schema=schema)
 
 
+def _dhash_array(arr, hash_size: int = 8) -> int:
+    """The dHash kernel on a decoded array — one definition shared by
+    the image (dhash_media) and video (video_dhash) tiers: channel-sum
+    luminance, nearest-neighbor grid sample to (hash_size+1) x
+    hash_size, bit(y,x) = g[y][x+1] > g[y][x] packed row-major into a
+    signed 64-bit long."""
+    arr = np.asarray(arr)
+    if arr.ndim == 3:
+        arr = arr.astype(np.int64).sum(axis=2)
+    else:
+        arr = arr.astype(np.int64)
+    W, H = hash_size + 1, hash_size
+    h, w = arr.shape
+    rows = np.minimum((np.arange(H) * h) // H, h - 1)
+    cols = np.minimum((np.arange(W) * w) // W, w - 1)
+    g = arr[rows][:, cols]
+    bits = (g[:, 1:] > g[:, :-1]).ravel()
+    val = 0
+    for i in range(len(bits)):
+        if bits[i]:
+            val |= 1 << i
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
 def dhash_media(
     media: DataFrame, decoder="ppm", hash_size: int = 8
 ) -> DataFrame:
@@ -1341,24 +1365,8 @@ def dhash_media(
             "dhash_media needs a real decoder (the 'fake' stub has no "
             "pixels to hash)"
         )
-    W, H = hash_size + 1, hash_size
-
     def one(payload: bytes) -> int:
-        arr = np.asarray(fn(bytes(payload))["array"])
-        if arr.ndim == 3:
-            arr = arr.astype(np.int64).sum(axis=2)
-        else:
-            arr = arr.astype(np.int64)
-        h, w = arr.shape
-        rows = np.minimum((np.arange(H) * h) // H, h - 1)
-        cols = np.minimum((np.arange(W) * w) // W, w - 1)
-        g = arr[rows][:, cols]
-        bits = (g[:, 1:] > g[:, :-1]).ravel()
-        val = 0
-        for i in range(len(bits)):
-            if bits[i]:
-                val |= 1 << i
-        return val - (1 << 64) if val >= (1 << 63) else val
+        return _dhash_array(fn(bytes(payload))["array"], hash_size)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -1856,3 +1864,145 @@ def curate_media(
         rows, "stage string, rows_in long, rows_out long"
     )
     return curated, report
+
+
+# ---------------------------------------------------------------------------
+# Video near-duplicate detection (r11) — per-frame dHash sequences +
+# frame-offset voting: the video member of the dedup triad next to the
+# image tier (dhash_near_dups) and the audio constellation tier
+# (audio.audio_near_dups). Re-encoded / trimmed / re-muxed copies of a
+# clip keep their per-frame perceptual hashes, so aligned frame-hash
+# matches pile up at one temporal offset — the same decision rule the
+# audio tier uses (Wang-style vote argmax), with dHash as the frame
+# signature instead of spectral landmarks.
+# ---------------------------------------------------------------------------
+
+
+def video_dhash(
+    media: DataFrame, every_n: int = 1, hash_size: int = 8
+) -> DataFrame:
+    """(media_id, frame_idx, phash) per SAMPLED frame of each MJPEG-AVI
+    payload — one mapInPandas pass; only every `every_n`-th frame is
+    JPEG-decoded (decode_mjpeg_avi never touches skipped frames), and
+    `frame_idx` is the ORIGINAL container index (j * every_n) so
+    offsets stay in true frame units under sampling. Undecodable
+    payloads emit no rows (the curate_media drop contract)."""
+    from functime_spark.pipeline.mjpeg import decode_mjpeg_avi
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, idxs, hashes = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    d = decode_mjpeg_avi(bytes(payload), every_n=every_n)
+                except Exception:
+                    continue
+                for j, fr in enumerate(d["frames"]):
+                    ids.append(mid)
+                    idxs.append(j * every_n)
+                    hashes.append(_dhash_array(fr, hash_size))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "phash": hashes}
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_idx", LongType()),
+            StructField("phash", LongType()),
+        ]
+    )
+    return media.mapInPandas(run, schema=schema)
+
+
+def video_near_dups(
+    media: DataFrame,
+    every_n: int = 1,
+    hash_size: int = 8,
+    max_hamming: int = 6,
+    band_bits: int = 16,
+    max_bucket_size: int = 512,
+    min_matches: int = 3,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs with frame-offset voting: per-frame
+    dHash -> banded hash join (the image tier's LSH shape, frame rows
+    instead of image rows) -> distinct matched frame pairs within
+    `max_hamming` -> votes binned by frame offset idx_a - idx_b ->
+    each pair keeps its best offset (count DESC, offset ASC) and
+    passes with >= `min_matches` aligned frame matches. Returns
+    (id_a, id_b, offset, n_matches).
+
+    Scale shape: fingerprinting is row-local and sampling-aware
+    (`every_n` — a daily crawl hashes every Nth frame, never decodes
+    the rest); the only corpus-wide shuffle is the banded self-join
+    with per-bucket caps (_cap_buckets — a title-card frame hash
+    shared by half the corpus is boilerplate, not evidence); the vote
+    aggregate and the associative struct-MAX argmax both combine
+    map-side. Candidate pairs track shared-frame-hash counts, never
+    corpus**2."""
+    from functime_spark.materialize import materialize
+    from functime_spark.pipeline.dedup import _cap_buckets
+
+    sigs = materialize(video_dhash(media, every_n, hash_size))
+    n_bands = 64 // band_bits
+    banded = sigs.select(
+        "media_id",
+        "frame_idx",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("phash", i * band_bits).bitwiseAND(
+                        F.lit((1 << band_bits) - 1)
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    capped = _cap_buckets(banded, ["band", "band_val"], max_bucket_size)
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    matched = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.frame_idx").alias("fa"),
+            F.col("b.frame_idx").alias("fb"),
+        )
+        # a frame pair within hamming surfaces once per shared band —
+        # dedup BEFORE voting or multi-band matches overweight
+        .distinct()
+    )
+    votes = matched.groupBy(
+        "id_a", "id_b", (F.col("fa") - F.col("fb")).alias("offset")
+    ).agg(F.count(F.lit(1)).alias("n_matches"))
+    best = F.max(
+        F.struct(
+            F.col("n_matches"),
+            (-F.col("offset")).alias("noff"),
+            F.col("offset"),
+        )
+    ).alias("b")
+    return (
+        votes.groupBy("id_a", "id_b")
+        .agg(best)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("b.offset").alias("offset"),
+            F.col("b.n_matches").alias("n_matches"),
+        )
+        .filter(F.col("n_matches") >= min_matches)
+    )

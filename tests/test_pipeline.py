@@ -5385,3 +5385,64 @@ def test_unigram_fit_empty_corpus(spark):
     assert pieces == []
     rows = {r["doc_id"]: r for r in unigram_tokenize(docs, pieces).collect()}
     assert all(r["n_words"] == 0 for r in rows.values())
+
+
+def test_video_near_dups_offset_and_robustness(spark):
+    """Video dedup triad member end-to-end: an exact copy pairs at
+    offset 0 with all 8 frames matching; a 2-frame-trimmed copy at
+    offset 2 (original frame j+2 sits where the trimmed clip's j is);
+    a quality-50 re-encode still matches frame-for-frame (the
+    level-walk frames' >= 98 separations survive requantization); an
+    unrelated clip pairs with nothing (md5-mixed classes sit >= 10
+    hamming apart); corrupt payloads drop; every_n sampling keeps
+    offsets in ORIGINAL frame units."""
+    import hashlib
+
+    import numpy as np
+
+    from functime_spark.pipeline.mjpeg import encode_mjpeg_avi
+    from functime_spark.pipeline.multimodal import video_near_dups
+
+    def frame(G, J):
+        p = np.zeros((8, 9), dtype=np.uint8)
+        for y in range(8):
+            s = 0
+            for x in range(9):
+                p[y, x] = 30 + 98 * ((x + s) % 3)
+                h = hashlib.md5(f"{G}-{J}-{y}-{x}".encode()).hexdigest()
+                s += int(h[0], 16) % 2
+        return np.kron(p, np.ones((8, 8), dtype=np.uint8))
+
+    a = [frame(11, j) for j in range(8)]
+    b = [frame(22, j) for j in range(8)]
+    rows = [
+        (1, "video", bytearray(encode_mjpeg_avi(a, quality=85)), "{}"),
+        (2, "video", bytearray(encode_mjpeg_avi(a, quality=85)), "{}"),
+        (3, "video", bytearray(encode_mjpeg_avi(a[2:], quality=85)), "{}"),
+        (4, "video", bytearray(encode_mjpeg_avi(a, quality=50)), "{}"),
+        (5, "video", bytearray(encode_mjpeg_avi(b, quality=85)), "{}"),
+        (6, "video", bytearray(b"not an avi"), "{}"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta string"
+    )
+    got = {
+        (r.id_a, r.id_b): (r.offset, r.n_matches)
+        for r in video_near_dups(media, min_matches=4).collect()
+    }
+    dup_ids = {1, 2, 3, 4}
+    assert set(got) == {(i, j) for i in dup_ids for j in dup_ids if i < j}
+    assert got[(1, 2)] == (0, 8)
+    # original frame j+2 == trimmed frame j -> offset (j+2) - j = 2
+    assert got[(1, 3)] == (2, 6)
+    assert got[(1, 4)] == (0, 8)
+    assert got[(3, 4)] == (-2, 6)
+
+    # frame sampling: every_n=2 decodes half the frames but offsets
+    # stay in original units (sampled idx 0,2,4,6 on both sides)
+    sampled = {
+        (r.id_a, r.id_b): (r.offset, r.n_matches)
+        for r in video_near_dups(media, every_n=2, min_matches=2).collect()
+    }
+    assert sampled[(1, 2)] == (0, 4)
+    assert (1, 5) not in sampled
