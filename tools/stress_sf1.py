@@ -498,6 +498,139 @@ def main() -> None:
             "cross_base_pairs": int(cross),
         }
 
+    def run_video_fp():
+        # r11: the video dedup triad member at replica scale. Every
+        # copy of a base doc carries the same 4-frame MJPEG clip
+        # (md5-mixed level-walk frames keyed by (base, j) — classes
+        # sit far apart in hamming, so only same-base frames match).
+        # Exact invariants: frame-hash rows scale LINEARLY
+        # (rows(Nx) == N * rows(1x)); every base yields ALL C(N, 2)
+        # copy pairs with n_matches == 4 aligned at offset 0 —
+        # duplication**2 structure, never corpus**2; cross-base pairs
+        # are counted and expected 0 (recorded, not load-bearing).
+        import hashlib
+
+        import numpy as np
+
+        from functime_spark.pipeline.mjpeg import encode_mjpeg_avi
+        from functime_spark.pipeline.multimodal import (
+            video_dhash,
+            video_near_dups,
+        )
+
+        def frame(G, J):
+            p = np.zeros((8, 9), dtype=np.uint8)
+            for y in range(8):
+                s = 0
+                for x in range(9):
+                    p[y, x] = 30 + 98 * ((x + s) % 3)
+                    h = hashlib.md5(
+                        f"{G}-{J}-{y}-{x}".encode()
+                    ).hexdigest()
+                    s += int(h[0], 16) % 2
+            return np.kron(p, np.ones((4, 4), dtype=np.uint8))
+
+        def build(batches):
+            import pandas as pd
+
+            memo: dict = {}
+            for pdf in batches:
+                ids, kinds, payloads = [], [], []
+                for did, b in zip(pdf["doc_id"], pdf["base"]):
+                    b = int(b)
+                    pay = memo.get(b)
+                    if pay is None:
+                        pay = encode_mjpeg_avi(
+                            [frame(b, j) for j in range(4)], quality=85
+                        )
+                        memo[b] = pay
+                    ids.append(did)
+                    kinds.append("video")
+                    payloads.append(pay)
+                yield pd.DataFrame(
+                    {"media_id": ids, "kind": kinds, "payload": payloads}
+                )
+
+        def media_for(table):
+            return (
+                table.select(
+                    "doc_id", (F.col("doc_id") % 100000000).alias("base")
+                )
+                .filter(F.col("base") % 31 == 0)
+                .mapInPandas(
+                    build,
+                    schema="media_id long, kind string, payload binary",
+                )
+            )
+
+        base_docs = load_table(spark, SRC, "documents")
+        sig1 = video_dhash(media_for(base_docs))
+        n_sig_1x = sig1.count()
+        n_sig_nx = video_dhash(media_for(docs)).count()
+        assert n_sig_nx == COPIES * n_sig_1x, (n_sig_nx, COPIES, n_sig_1x)
+
+        # size the bucket cap from the 1x band-share profile so NO
+        # band bucket drops at replica scale (a bucket holds
+        # share x COPIES rows; the default 512 cap legitimately
+        # dropped 5 hot buckets whole at 100x — the boilerplate guard
+        # doing its job — which would break the exact invariant)
+        bands = sig1.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned("phash", i * 16).bitwiseAND(
+                            F.lit(65535)
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("band", "band_val")
+        )
+        mx_share = int(
+            bands.groupBy("band", "band_val")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+
+        pairs = video_near_dups(
+            media_for(docs),
+            min_matches=4,
+            max_bucket_size=(mx_share + 1) * COPIES,
+        )
+        same = (
+            pairs.filter(
+                F.col("id_a") % 100000000 == F.col("id_b") % 100000000
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("n_matches").alias("mn"),
+                F.max("n_matches").alias("mx"),
+                F.min("offset").alias("omn"),
+                F.max("offset").alias("omx"),
+                F.countDistinct(
+                    (F.col("id_a") % 100000000).alias("b")
+                ).alias("bases"),
+            )
+            .first()
+        )
+        n_bases = n_sig_1x // 4
+        want = n_bases * COPIES * (COPIES - 1) // 2
+        assert int(same["n"]) == want, (dict(same.asDict()), want)
+        assert int(same["mn"]) == int(same["mx"]) == 4
+        assert int(same["omn"]) == int(same["omx"]) == 0
+        cross = pairs.filter(
+            F.col("id_a") % 100000000 != F.col("id_b") % 100000000
+        ).count()
+        return {
+            "frame_sigs_1x": n_sig_1x,
+            "frame_sigs_nx": n_sig_nx,
+            "bases": n_bases,
+            "max_band_share_1x": mx_share,
+            "same_base_pairs": int(same["n"]),
+            "cross_base_pairs": int(cross),
+        }
+
     def run_unigram():
         # r11: the unigram tokenizer at replica scale. Training rides
         # the BOUNDED word table (max_words cap) regardless of corpus
@@ -555,6 +688,7 @@ def main() -> None:
     stage("retrieval_bm25_hybrid", run_retrieval)
     stage("pack_shards_shuffled", run_pack)
     stage("audio_fingerprint_dups", run_audio_fp)
+    stage("video_fingerprint_dups", run_video_fp)
     stage("unigram_tokenizer", run_unigram)
     out["total_sec"] = round(sum(s["sec"] for s in out["stages"].values()), 2)
     print(json.dumps(out))
