@@ -4274,8 +4274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Cohort ages going into r11 (computed from the artifact union):
     # 17 queries last verified in r5 (ALL retired below — the r5
     # cohort the r10 verdict asked to finish closes this round), 44 in
-    # r6 (the alphabetical front 16 fill the window: 17 new/changed +
-    # 17 r5 + 16 r6 = the ~50 truncation), everything else r7+.
+    # r6 (the alphabetical front 14 fill the window: 19 new/changed +
+    # 17 r5 + 14 r6 = the ~50 truncation), everything else r7+.
     never_verified_first = [
         # (a) new or changed in round 11
         "media_audio_dups",  # NEW: constellation fingerprint dedup
@@ -4332,7 +4332,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feat_autocorrelation",
         "feat_benford_correlation",
         "feat_binned_entropy",
-        "feat_c3",
     ]
     head = {k: q[k] for k in never_verified_first}
     return {**head, **{k: v for k, v in q.items() if k not in head}}
