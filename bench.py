@@ -22,6 +22,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
+# A/B iteration aid (r11 optimization round): time ONLY the named legs
+# and print a bare {"queries": ...} line. Never set by the driver —
+# the default (unset) path is byte-identical to the full suite.
+ONLY = {
+    s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
+}
 
 
 def _sf_from_dir(d: str) -> float:
@@ -60,6 +66,8 @@ def main() -> None:
         return round(statistics.median(samples), 3)
 
     def bench(name: str, fn) -> None:
+        if ONLY and name not in ONLY:
+            return
         legs.append((name, fn))
         timings[name] = _time_leg(fn)
 
@@ -422,6 +430,10 @@ def main() -> None:
         audio_near_dups(media, decoder="wav", min_matches=5).count()
 
     bench("audio_fingerprint_dups", _q20)
+
+    if ONLY:
+        print(json.dumps({"queries": timings, "sf": _sf_from_dir(SF_DIR)}))
+        return
 
     total = round(sum(timings.values()), 3)
     # the suite grew from 7 to 9 queries in round 4 (minhash_dedup,

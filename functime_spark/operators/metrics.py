@@ -118,6 +118,28 @@ def _naive_scale(y_train: DataFrame, sp: int, squared: bool):
     )
 
 
+def _naive_scale_both(y_train: DataFrame, sp: int):
+    """Per-entity in-sample naive MAE and MSE in ONE window + ONE
+    aggregate — score_forecast needs both (mase + rmsse), and two
+    separate _naive_scale calls cost two scans and two
+    Exchange+Sort+Window passes over y_train for arithmetic that
+    shares the same lag diff (r11 optimization: plan went from two
+    naive-scale subtrees to one; the groupBy reuses the window's
+    entity partitioning, so the branch is one exchange total)."""
+    e, t = y_train.columns[:2]
+    v = y_train.columns[-1]
+    w = Window.partitionBy(e).orderBy(t)
+    d = F.col(v) - F.lag(v, sp).over(w)
+    return (
+        y_train.select(F.col(e), d.alias("__d"))
+        .groupBy(e)
+        .agg(
+            F.avg(F.abs(F.col("__d"))).alias("__naive_abs"),
+            F.avg(F.col("__d") * F.col("__d")).alias("__naive_sq"),
+        )
+    )
+
+
 def mase(y_true, y_pred, y_train, sp: int = 1):
     e = y_true.columns[0]
     scale = _naive_scale(y_train, sp, squared=False)
@@ -247,12 +269,7 @@ def score_forecast(y_true, y_pred, y_train) -> DataFrame:
     executes a single shuffle.
     """
     j, e = _joined(y_true, y_pred)
-    scale_abs = _naive_scale(y_train, 1, squared=False).withColumnRenamed(
-        "__naive", "__naive_abs"
-    )
-    scale_sq = _naive_scale(y_train, 1, squared=True).withColumnRenamed(
-        "__naive", "__naive_sq"
-    )
+    scales = _naive_scale_both(y_train, 1)
     agg = j.groupBy(e).agg(
         _mae_expr().alias("mae"),
         _mse_expr().alias("mse"),
@@ -261,8 +278,7 @@ def score_forecast(y_true, y_pred, y_train) -> DataFrame:
         _underforecast_expr().alias("underforecast"),
     )
     return (
-        agg.join(F.broadcast(scale_abs), on=e, how="left")
-        .join(F.broadcast(scale_sq), on=e, how="left")
+        agg.join(F.broadcast(scales), on=e, how="left")
         .select(
             e,
             "mae",

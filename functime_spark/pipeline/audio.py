@@ -404,7 +404,7 @@ def audio_near_dups(
     partition. Candidate pairs track shared-landmark counts, never
     corpus**2."""
     from functime_spark.materialize import materialize
-    from functime_spark.pipeline.dedup import _cap_buckets
+    from functime_spark.pipeline.dedup import _bucket_pairs
 
     fps = materialize(
         audio_fingerprints(
@@ -412,12 +412,15 @@ def audio_near_dups(
             **kernel_kwargs,
         )
     )
-    capped = _cap_buckets(fps, ["fp"], max_bucket_size)
-    a, b = capped.alias("a"), capped.alias("b")
-    joined = a.join(
-        b,
-        (F.col("a.fp") == F.col("b.fp"))
-        & (F.col("a.media_id") < F.col("b.media_id")),
+    # r11: one-aggregate bucket pairs (dedup._bucket_pairs) — the old
+    # cap-window + fp self-join exchanged the fingerprint frame twice
+    # and paid a per-bucket count window; the aggregate applies the
+    # identical bucket wall. Offset mode's items carry the anchor
+    # frame, and the a.id < b.id filter drops same-clip pairs (one
+    # clip holds many (t, fp) rows per hash).
+    item_cols = ["media_id", "t"] if offset_coherent else ["media_id"]
+    joined = _bucket_pairs(fps, ["fp"], max_bucket_size, item_cols).filter(
+        F.col("a.media_id") < F.col("b.media_id")
     )
     if not offset_coherent:
         return (
@@ -492,7 +495,7 @@ def audio_dedup_incremental(
             f"first batch; got {type(store_fps).__name__}"
         )
     from functime_spark.materialize import materialize
-    from functime_spark.pipeline.dedup import _cap_buckets
+    from functime_spark.pipeline.dedup import _bucket_pairs, _cap_buckets
 
     # one decode+fingerprint pass over the new batch, pinned: feeds
     # both join sides and the updated store
@@ -500,13 +503,10 @@ def audio_dedup_incremental(
         audio_fingerprints(new_media, decoder=decoder, **kernel_kwargs)
     )
     capped_new = _cap_buckets(new_fps, ["fp"], max_bucket_size)
+    # new-vs-new via the one-aggregate bucket pairs (r11; identical
+    # per-bucket wall to the capped cross side below)
     nn = (
-        capped_new.alias("a")
-        .join(
-            capped_new.alias("b"),
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
+        _bucket_pairs(new_fps, ["fp"], max_bucket_size, ["media_id"])
         .groupBy(
             F.col("a.media_id").alias("id_a"),
             F.col("b.media_id").alias("id_b"),

@@ -57,10 +57,15 @@ def exact_dedup_priority(
     every listed one; ties break on min id, so the result is
     deterministic for any input order.
 
-    Same plan shape as `exact_dedup`: ONE hash aggregate on the
-    16-byte md5 key — the winner is a struct-min of (rank, id, source)
-    computed map-side, so the shuffle still carries one pre-aggregated
-    row per distinct text, not the copies."""
+    Same plan shape as `exact_dedup`: ONE exchange on the 16-byte md5
+    key — the winner is a struct-min of (rank, id, source) computed
+    map-side, so the shuffle still carries one pre-aggregated row per
+    distinct text, not the copies. The struct buffer makes this a
+    SortAggregate (examined r11): the hash-only alternative needs a
+    second aggregate exchange plus an id-keyed join back to re-attach
+    the winner's source string — three shuffles against one shuffle +
+    in-partition sorts, a worse trade at corpus scale (pinned by
+    test_plans.py: <= 1 exchange, 1 scan)."""
     pr = F.array(*[F.lit(p) for p in priority])
     pos = F.array_position(pr, F.col(source_col))
     rank = F.when(pos > 0, pos).otherwise(F.lit(len(priority) + 1)).cast("long")
@@ -98,6 +103,62 @@ def _hash64(col, seed=None, hash_fn: str = "xxhash64"):
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     s = col if seed is None else F.concat_ws(":", F.lit(str(seed)), col)
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+# XXH64 on one 8-byte block, vectorized in uint64 numpy — BIT-EXACT
+# to Spark's XxHash64Function.hashLong / hashInt (probed r11 against
+# F.xxhash64 across the long range; integer math, engine-independent).
+# Used by the minhash signature kernel to derive per-lane hashes
+# without n_hashes interpreted HOF sweeps.
+_XP1 = 0x9E3779B185EBCA87
+_XP2 = 0xC2B2AE3D27D4EB4F
+_XP3 = 0x165667B19E3779F9
+_XP4 = 0x85EBCA77C2B2AE63
+_XP5 = 0x27D4EB2F165667C5
+
+
+def _xxh64_long_vec(value, seed):
+    """uint64 ndarray XXH64 of an 8-byte block: hashLong(value, seed).
+    `value` and `seed` broadcast together (numpy rules)."""
+    import numpy as np
+
+    u = np.uint64
+    P1, P2, P3, P4, P5 = (u(_XP1), u(_XP2), u(_XP3), u(_XP4), u(_XP5))
+    h = seed + P5 + u(8)
+    k1 = value * P2
+    k1 = ((k1 << u(31)) | (k1 >> u(33))) * P1
+    h = h ^ k1
+    h = ((h << u(27)) | (h >> u(37))) * P1 + P4
+    h ^= h >> u(33)
+    h *= P2
+    h ^= h >> u(29)
+    h *= P3
+    h ^= h >> u(32)
+    return h
+
+
+def _xxh64_int_seeds(n: int):
+    """uint64 array of Spark's running hash after the INT literal lane
+    index: hashInt(i, 42) for i in 0..n-1 — the seed each lane's
+    hashLong chains from in xxhash64(lit(i), h)."""
+    import numpy as np
+
+    u = np.uint64
+    P1, P2, P3, P5 = (u(_XP1), u(_XP2), u(_XP3), u(_XP5))
+    err = np.seterr(over="ignore")
+    try:
+        i = np.arange(n, dtype=np.uint64)
+        h = u(42) + P5 + u(4)
+        h = h ^ ((i & u(0xFFFFFFFF)) * P1)
+        h = ((h << u(23)) | (h >> u(41))) * P2 + P3
+        h ^= h >> u(33)
+        h *= P2
+        h ^= h >> u(29)
+        h *= P3
+        h ^= h >> u(32)
+        return h
+    finally:
+        np.seterr(**err)
 
 
 def shingles(text_col, n: int = 3):
@@ -162,28 +223,59 @@ def minhash_signatures(
     # 5k docs went 85s -> ~1s.) Still a zero-shuffle projection.
     withsh = docs.select(F.col(id_col), sh.alias("__sh"))
     if hash_fn == "xxhash64":
-        # production fast path: UTF-8-hash each gram ONCE, then derive
-        # the n_hashes lanes by re-hashing the resulting 8-byte long
-        # with per-lane seeds — hash_i(s) = xxhash64(i, xxhash64(s)).
-        # Cuts per-gram work from n_hashes string sweeps to one string
-        # sweep + n_hashes single-block long hashes (measured 2.3x on
-        # the signature pass) with the same minwise-independence as
-        # seeded string hashing. No arithmetic that can overflow under
-        # ANSI. The md5 branch below keeps the seed-prefixed STRING
-        # hash byte-exactly replayable in the DuckDB oracles.
+        # production fast path: UTF-8-hash each gram ONCE in the JVM,
+        # then derive the n_hashes lanes by re-hashing the resulting
+        # 8-byte long with per-lane seeds — hash_i(s) =
+        # xxhash64(i, xxhash64(s)), the same minwise-independence as
+        # seeded string hashing. The md5 branch below keeps the
+        # seed-prefixed STRING hash byte-exactly replayable in the
+        # DuckDB oracles.
+        #
+        # r11: the n_hashes min-sweeps run as ONE Arrow-vectorized
+        # numpy kernel instead of n_hashes array_min(transform(...))
+        # expressions — higher-order functions are CodegenFallback
+        # (interpreted per element), and XXH64 on a single 8-byte
+        # block is pure uint64 arithmetic that numpy reproduces
+        # BIT-EXACTLY (probed against F.xxhash64 over the full long
+        # range, incl. the hashInt seed-chain for the lane literal;
+        # pinned by test_pipeline's kernel-vs-expression identity
+        # test). Integer min over the signed view matches array_min's
+        # signed comparison. Stateless per row — still stream-safe.
         withsh = withsh.select(
             F.col(id_col),
             F.transform(F.col("__sh"), lambda s: F.xxhash64(s)).alias("__hs"),
         )
-        sig = F.array(
-            *[
-                F.array_min(
-                    F.transform(F.col("__hs"), lambda h: F.xxhash64(F.lit(i), h))
-                )
-                for i in range(n_hashes)
-            ]
+        id_field = withsh.schema.fields[0]
+        out_schema = (
+            f"{id_field.name} {id_field.dataType.simpleString()}, "
+            "sig array<bigint>"
         )
-        return withsh.select(F.col(id_col), sig.alias("sig"))
+        lanes = _xxh64_int_seeds(n_hashes)
+
+        def run(batches):
+            import numpy as np
+            import pandas as pd
+
+            err = np.seterr(over="ignore")
+            try:
+                for pdf in batches:
+                    ids, sigs = [], []
+                    for did, hs in zip(pdf[id_field.name], pdf["__hs"]):
+                        ids.append(did)
+                        if hs is None or len(hs) == 0:
+                            sigs.append([None] * n_hashes)
+                            continue
+                        g = np.asarray(hs, dtype=np.int64).view(np.uint64)
+                        # (n_hashes, n_grams) lane hashes, signed min
+                        hv = _xxh64_long_vec(g[None, :], lanes[:, None])
+                        sigs.append(
+                            [int(x) for x in hv.view(np.int64).min(axis=1)]
+                        )
+                    yield pd.DataFrame({id_field.name: ids, "sig": sigs})
+            finally:
+                np.seterr(**err)
+
+        return withsh.mapInPandas(run, schema=out_schema)
 
     def _hasher(seed):
         # single-arg lambda: a 2-arg transform lambda would receive
@@ -197,6 +289,53 @@ def minhash_signatures(
         ]
     )
     return withsh.select(F.col(id_col), sig.alias("sig"))
+
+
+def _bucket_pairs(
+    banded: DataFrame,
+    keys: list,
+    max_bucket_size: int,
+    item_cols: list,
+) -> DataFrame:
+    """Same-bucket candidate pairs as ONE hash aggregate + row-local
+    pair explode (r11 optimization).
+
+    The previous shape — cap-window + self-join — executed the banded
+    projection on BOTH join sides and paid two Exchange+Sort passes
+    plus a per-bucket count window. Collecting each bucket once
+    (`collect_list` behind the same single exchange the window used)
+    and emitting the i<j pairs from the sorted in-row array keeps the
+    identical candidate set (buckets over `max_bucket_size` drop
+    exactly as _cap_buckets dropped them) for one exchange, no sort,
+    no join. Bucket size is capped, so the in-row pair fan-out is
+    bounded by max_bucket_size**2 — never corpus-shaped.
+
+    ``item_cols`` lead with the id column: `sort_array` orders the
+    bucket's item structs lexicographically, so positional i<j pairs
+    come out id-ordered (callers with non-unique ids per bucket — the
+    timed audio constellation rows — still filter a.id < b.id).
+    Returns one row per pair with struct columns ``a`` and ``b``."""
+    item = F.struct(*[F.col(c) for c in item_cols])
+    buckets = (
+        banded.groupBy(*keys)
+        .agg(F.sort_array(F.collect_list(item)).alias("__s"))
+        .filter(
+            (F.size("__s") >= 2) & (F.size("__s") <= max_bucket_size)
+        )
+    )
+    # pair fan-out as TWO Generate (explode) steps — posexplode the
+    # bucket, then explode each element's tail slice. A single nested
+    # transform/flatten expression produces the same pairs but runs
+    # through interpreted higher-order lambdas (in-session A/B over
+    # the 111k-row audio fp frame: 2.6 s nested-HOF vs 1.2 s
+    # double-Generate vs 1.4 s for the old cap-window self-join).
+    e1 = buckets.select("__s", F.posexplode("__s").alias("__i", "a"))
+    return e1.select(
+        "a",
+        F.explode(
+            F.slice("__s", F.col("__i") + 2, F.size("__s"))
+        ).alias("b"),
+    )
 
 
 def _cap_buckets(banded: DataFrame, keys: list, max_bucket_size: int) -> DataFrame:
@@ -257,23 +396,18 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Band the signature; docs sharing any band-hash are candidate
     near-duplicate pairs (id_a < id_b). Buckets larger than
-    `max_bucket_size` are dropped (see _cap_buckets)."""
+    `max_bucket_size` are dropped (same wall as _cap_buckets, applied
+    inside _bucket_pairs' single aggregate — r11: the cap-window +
+    self-join shape paid the banded projection and an Exchange+Sort
+    on both sides)."""
     banded = band_rows(sigs, id_col, bands, hash_fn)
-    banded = _cap_buckets(banded, ["band", "band_hash"], max_bucket_size)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
+    pairs = _bucket_pairs(
+        banded, ["band", "band_hash"], max_bucket_size, [id_col]
     )
+    return pairs.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    ).distinct()
 
 
 def lsh_tuning(n_hashes: int = 32, bands: int = 8) -> dict:
@@ -478,18 +612,15 @@ def simhash_near_dups(
             )
         ).alias("band", "band_val"),
     )
-    banded = _cap_buckets(banded, ["band", "band_val"], max_bucket_size)
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # r11: one-aggregate bucket pairs (see _bucket_pairs) — the sig
+    # long rides in the item struct, so the Hamming verify needs no
+    # join back to the signature frame
+    pairs = _bucket_pairs(
+        banded, ["band", "band_val"], max_bucket_size, [id_col, "simhash"]
+    )
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
+        pairs.select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             ham.alias("hamming"),
@@ -921,23 +1052,33 @@ def line_dedup(
         "__k",
         F.when(F.length(norm) >= min_line_chars, F.xxhash64(norm)),
     )
-    counts = (
-        lines.where(F.col("__k").isNotNull())
-        .groupBy("__k")
-        .agg(
-            F.count(F.lit(1)).alias("__cnt"),
-            F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__first"),
-        )
-    )
+    # r11: count-only hash aggregate in both modes — folding the
+    # keep_first winner in as min(struct(doc, pos)) downgraded the
+    # whole corpus-wide aggregate to SortAggregate (struct buffers are
+    # not hash-aggregable), i.e. two full sorts of the line stream.
+    eligible = lines.where(F.col("__k").isNotNull())
+    counts = eligible.groupBy("__k").agg(F.count(F.lit(1)).alias("__cnt"))
     joined = lines.join(counts, on="__k", how="left")
-    is_first = (F.col("__first")[id_col] == F.col(id_col)) & (
-        F.col("__first")["__pos"] == F.col("__pos")
-    )
-    keep = (
-        F.col("__k").isNull()
-        | (F.col("__cnt") < min_count)
-        | (F.lit(keep_first) & is_first)
-    )
+    keep = F.col("__k").isNull() | (F.col("__cnt") < min_count)
+    if keep_first:
+        # the winner table is a min(struct) aggregate over the
+        # DUPLICATED occurrences only (inner join with the dup keys
+        # clusters them by __k, so the small sort-based aggregate is
+        # co-partitioned and touches a fraction of the stream), then
+        # joins back on the same key. Non-dup rows see a null
+        # __first; their keep verdict comes from the disjuncts above.
+        dup_occ = eligible.join(
+            counts.where(F.col("__cnt") >= min_count).select("__k"),
+            on="__k",
+        )
+        firsts = dup_occ.groupBy("__k").agg(
+            F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__first")
+        )
+        joined = joined.join(firsts, on="__k", how="left")
+        is_first = (F.col("__first")[id_col] == F.col(id_col)) & (
+            F.col("__first")["__pos"] == F.col("__pos")
+        )
+        keep = keep | is_first
     marked = joined.select(
         F.col(id_col), "__pos", "__line", keep.alias("__keep")
     )
@@ -1020,22 +1161,35 @@ def scrub_duplicated_spans(
     exploded = base.select(
         F.col(id_col), F.posexplode(grams).alias("__pos", "__g")
     )
-    counts = exploded.groupBy("__g").agg(
-        F.count(F.lit(1)).alias("__cnt"),
-        F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__first"),
-    )
+    # r11: the gram occurrence count is a COUNT-ONLY hash aggregate in
+    # both modes. The previous form folded keep_first's winner into
+    # the same aggregate as min(struct(doc, pos)) — a struct buffer
+    # downgrades the whole aggregate to SortAggregate, i.e. two full
+    # sorts of the exploded gram stream (captured in
+    # plans/r11/span_dedup_keepfirst_before.txt).
+    counts = exploded.groupBy("__g").agg(F.count(F.lit(1)).alias("__cnt"))
     dup_occ = exploded.join(
-        counts.where(F.col("__cnt") >= min_count), on="__g"
+        counts.where(F.col("__cnt") >= min_count).select("__g"), on="__g"
     )
     if keep_first:
         # the global first (doc, pos) occurrence of each duplicated
         # gram is NOT a removal site — its tokens survive as the
-        # canonical copy
-        dup_occ = dup_occ.where(
-            ~(
-                (F.col("__first")[id_col] == F.col(id_col))
-                & (F.col("__first")["__pos"] == F.col("__pos"))
+        # canonical copy. The winner is a min(struct) WINDOW over the
+        # dup-occurrence subset only: the join already clustered
+        # dup_occ by gram, so the window costs one in-partition sort
+        # of the duplicated occurrences — never a sort (or second
+        # shuffle) of the full gram stream.
+        w = Window.partitionBy("__g")
+        first = F.min(F.struct(F.col(id_col), F.col("__pos"))).over(w)
+        dup_occ = (
+            dup_occ.withColumn("__first", first)
+            .where(
+                ~(
+                    (F.col("__first")[id_col] == F.col(id_col))
+                    & (F.col("__first")["__pos"] == F.col("__pos"))
+                )
             )
+            .drop("__first")
         )
     dup_starts = dup_occ.groupBy(id_col).agg(
         F.collect_set("__pos").alias("__dups")

@@ -1389,12 +1389,14 @@ def dhash_media(
 
 
 def _banded_phash(
-    sigs: DataFrame, band_bits: int, max_bucket_size: int
+    sigs: DataFrame, band_bits: int, max_bucket_size: int | None
 ) -> DataFrame:
     """(media_id, phash, band, band_val) LSH index rows from a
     (media_id, phash) signature frame, oversized buckets dropped —
     shared by dhash_near_dups and dhash_dedup_incremental (one
-    definition, no drift)."""
+    definition, no drift). ``max_bucket_size=None`` skips the cap
+    window for callers that apply the identical wall inside a
+    _bucket_pairs aggregate instead (r11)."""
     from functime_spark.pipeline.dedup import _cap_buckets
 
     n_bands = 64 // band_bits
@@ -1412,6 +1414,8 @@ def _banded_phash(
             )
         ).alias("band", "band_val"),
     )
+    if max_bucket_size is None:
+        return banded
     return _cap_buckets(banded, ["band", "band_val"], max_bucket_size)
 
 
@@ -1435,18 +1439,19 @@ def dhash_near_dups(
     from functime_spark.materialize import materialize
 
     sigs = materialize(sigs)
-    banded = _banded_phash(sigs, band_bits, max_bucket_size)
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # r11: one-aggregate bucket pairs (dedup._bucket_pairs) — the
+    # phash rides in the item struct, so the Hamming verify is a pure
+    # projection; the old cap-window + self-join shape banded and
+    # exchanged the signature frame twice
+    from functime_spark.pipeline.dedup import _bucket_pairs
+
+    banded = _banded_phash(sigs, band_bits, None)
+    pairs = _bucket_pairs(
+        banded, ["band", "band_val"], max_bucket_size, ["media_id", "phash"]
+    )
     ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .select(
+        pairs.select(
             F.col("a.media_id").alias("id_a"),
             F.col("b.media_id").alias("id_b"),
             ham.alias("hamming"),
@@ -1503,19 +1508,21 @@ def dhash_dedup_incremental(
     )
     banded_new = _banded_phash(new_sigs, band_bits, max_bucket_size)
     ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
-    nn = (
-        banded_new.alias("a")
-        .join(
-            banded_new.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .select(
-            F.col("a.media_id").alias("id_a"),
-            F.col("b.media_id").alias("id_b"),
-            ham.alias("hamming"),
-        )
+    # new-vs-new via the one-aggregate bucket pairs (r11; identical
+    # candidate wall — the aggregate caps buckets exactly as the
+    # banded_new window does for the cross join below)
+    from functime_spark.pipeline.dedup import _bucket_pairs
+
+    nn_pairs = _bucket_pairs(
+        _banded_phash(new_sigs, band_bits, None),
+        ["band", "band_val"],
+        max_bucket_size,
+        ["media_id", "phash"],
+    )
+    nn = nn_pairs.select(
+        F.col("a.media_id").alias("id_a"),
+        F.col("b.media_id").alias("id_b"),
+        ham.alias("hamming"),
     )
     if store_sigs is None:
         pairs = nn.distinct().filter(F.col("hamming") <= max_hamming)

@@ -15,6 +15,7 @@ import numpy as np
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 from functime_spark.materialize import materialize
 
 
@@ -154,14 +155,45 @@ class IVFIndex:
         return self
 
     def assign(self, emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
-        """Nearest-centroid cell id as ONE narrow projection.
+        """Nearest-centroid cell id, appended as ``__cell``.
 
-        Ties take the lowest cell index (array_position returns the
-        first match), matching the oracle's replay. Distance staging
-        shared with `assign_clusters` — see _staged_centroid_dists."""
-        staged = _staged_centroid_dists(emb, self.centroids, vec_col)
-        cell = (F.array_position("__dd", F.array_min("__dd")) - 1).cast("int")
-        return staged.withColumn("__cell", cell).drop("__dd")
+        r11: an Arrow-vectorized numpy kernel instead of the previous
+        higher-order-function expression — HOFs are CodegenFallback
+        (interpreted per element), and the n_cells x dim x n_rows
+        lambda walk measured 0.70 s for 2000x64 rows at 16 cells where
+        the batched kernel is milliseconds; the gap widens with cell
+        count, so this is the production path at 256-1024 cells too.
+        Arithmetic is BIT-IDENTICAL to the expression form (and the
+        oracle's SQL replay): per (row, cell) the squared distance
+        accumulates dim-by-dim in the same left-fold order
+        (((0+d0)+d1)+...), and ties take the lowest cell index
+        (np.argmin first-min == array_position-of-array_min). The
+        diagnostic `assign_clusters` keeps the JVM expression
+        (_staged_centroid_dists) — its plan is pinned Python-free."""
+        from typing import Iterator
+
+        import pandas as pd
+
+        C = np.asarray(self.centroids, dtype="float64")
+        in_fields = emb.schema.fields
+        out_schema = StructType(list(in_fields) + [StructField("__cell", IntegerType())])
+
+        def run(batches: Iterator) -> Iterator:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(
+                    [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+                )
+                acc = np.zeros((len(X), len(C)))
+                for j in range(C.shape[1]):
+                    d = X[:, j, None] - C[None, :, j]
+                    acc += d * d
+                out = pdf.copy()
+                out["__cell"] = np.argmin(acc, axis=1).astype("int32")
+                yield out
+
+        return emb.mapInPandas(run, schema=out_schema)
 
     def search(
         self,
@@ -278,33 +310,46 @@ class PQCodebook:
 
     def encode(self, emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
         """Append `__codes` (array<int>, one code per subspace): nearest
-        sub-centroid per subspace, first-min tie like numpy argmin."""
-        spark = emb.sparkSession
-        dsub = self.codebooks.shape[2]
-        cb = spark.createDataFrame(
-            [([[list(map(float, c)) for c in book] for book in self.codebooks],)],
-            "__cb array<array<array<double>>>",
-        )
-        v = F.col(vec_col).cast("array<double>")
+        sub-centroid per subspace, first-min tie like numpy argmin.
 
-        def code_for(mcol):
-            sub = F.slice(v, mcol * dsub + 1, dsub)
-            dd = F.transform(
-                F.element_at("__cb", (mcol + 1).cast("int")),
-                lambda cen: F.aggregate(
-                    F.zip_with(sub, cen, lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-            )
-            return (F.array_position(dd, F.array_min(dd)) - 1).cast("int")
+        r11: Arrow-vectorized numpy kernel (the IVFIndex.assign
+        rationale — the previous m x ksub x dsub higher-order-function
+        chain ran interpreted per element). Bit-identical arithmetic:
+        per (row, subspace, sub-centroid) the squared distance
+        accumulates dim-by-dim in the same left-fold order as the
+        expression form the oracle replays, and argmin keeps the
+        first-min tie."""
+        from typing import Iterator
 
-        codes = F.transform(F.sequence(F.lit(0), F.lit(self.m - 1)), code_for)
-        return (
-            emb.crossJoin(F.broadcast(cb))
-            .withColumn("__codes", codes)
-            .drop("__cb")
+        import pandas as pd
+
+        CB = np.asarray(self.codebooks, dtype="float64")  # (m, ksub, dsub)
+        mm, ksub, dsub = CB.shape
+        in_fields = emb.schema.fields
+        out_schema = StructType(
+            list(in_fields) + [StructField("__codes", ArrayType(IntegerType()))]
         )
+
+        def run(batches: Iterator) -> Iterator:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(
+                    [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+                )
+                codes = np.empty((len(X), mm), dtype="int32")
+                for m in range(mm):
+                    sub = X[:, m * dsub : (m + 1) * dsub]
+                    acc = np.zeros((len(X), ksub))
+                    for j in range(dsub):
+                        d = sub[:, j, None] - CB[m, None, :, j]
+                        acc += d * d
+                    codes[:, m] = np.argmin(acc, axis=1)
+                out = pdf.copy()
+                out["__codes"] = [row for row in codes]
+                yield out
+
+        return emb.mapInPandas(run, schema=out_schema)
 
     def adc_search(
         self,

@@ -5446,3 +5446,127 @@ def test_video_near_dups_offset_and_robustness(spark):
     }
     assert sampled[(1, 2)] == (0, 4)
     assert (1, 5) not in sampled
+
+
+# -- r11 optimization-round identity pins: Arrow kernels must emit the
+#    bit-exact values of the JVM expression forms they replaced --------
+
+
+def test_minhash_signature_kernel_matches_expressions(docs):
+    """The xxhash64 production path's Arrow lane kernel (r11) must be
+    bit-identical to the array_min(transform(xxhash64(lit(i), h)))
+    expression chain it replaced — XXH64 is pure integer math, so the
+    two engines must agree exactly, lane for lane."""
+    from functime_spark.pipeline.dedup import minhash_signatures, shingles
+
+    n_hashes = 8
+    new = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_signatures(docs, n_hashes=n_hashes).collect()
+    }
+    sh = shingles(F.col("text"), 3)
+    withsh = docs.select(F.col("doc_id"), sh.alias("__sh")).select(
+        F.col("doc_id"),
+        F.transform(F.col("__sh"), lambda s: F.xxhash64(s)).alias("__hs"),
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("__hs"), lambda h: F.xxhash64(F.lit(i), h))
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    old = {
+        r["doc_id"]: list(r["sig"])
+        for r in withsh.select(F.col("doc_id"), sig.alias("sig")).collect()
+    }
+    assert new == old
+
+
+def test_ivf_assign_and_pq_encode_kernels_match_expressions(emb):
+    """IVFIndex.assign / PQCodebook.encode Arrow kernels (r11) must
+    reproduce the HOF expression arithmetic exactly: same left-fold
+    distance accumulation, same first-min argmin ties."""
+    from functime_spark.pipeline.similarity import (
+        IVFIndex,
+        PQCodebook,
+        _staged_centroid_dists,
+    )
+
+    ivf = IVFIndex(n_cells=4, init="spread").fit(emb)
+    got = {
+        r["vec_id"]: r["__cell"] for r in ivf.assign(emb).collect()
+    }
+    staged = _staged_centroid_dists(emb, ivf.centroids, "embedding")
+    cell = (F.array_position("__dd", F.array_min("__dd")) - 1).cast("int")
+    want = {
+        r["vec_id"]: r["__cell"]
+        for r in staged.withColumn("__cell", cell).drop("__dd").collect()
+    }
+    assert got == want
+
+    pq = PQCodebook(n_subspaces=4, ksub=8, n_iter=2, init="spread").fit(emb)
+    got_codes = {
+        r["vec_id"]: list(r["__codes"]) for r in pq.encode(emb).collect()
+    }
+    # expression form, inline (the pre-r11 encode body)
+    spark = emb.sparkSession
+    dsub = pq.codebooks.shape[2]
+    cb = spark.createDataFrame(
+        [([[list(map(float, c)) for c in book] for book in pq.codebooks],)],
+        "__cb array<array<array<double>>>",
+    )
+    v = F.col("embedding").cast("array<double>")
+
+    def code_for(mcol):
+        sub = F.slice(v, mcol * dsub + 1, dsub)
+        dd = F.transform(
+            F.element_at("__cb", (mcol + 1).cast("int")),
+            lambda cen: F.aggregate(
+                F.zip_with(sub, cen, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return (F.array_position(dd, F.array_min(dd)) - 1).cast("int")
+
+    codes = F.transform(F.sequence(F.lit(0), F.lit(pq.m - 1)), code_for)
+    want_codes = {
+        r["vec_id"]: list(r["__codes"])
+        for r in emb.crossJoin(F.broadcast(cb))
+        .withColumn("__codes", codes)
+        .drop("__cb")
+        .collect()
+    }
+    assert got_codes == want_codes
+
+
+def test_bucket_pairs_matches_cap_window_self_join(spark):
+    """_bucket_pairs (r11) must emit exactly the candidate set of the
+    cap-window + self-join shape it replaced, including the bucket
+    wall semantics."""
+    from pyspark.sql import Window
+
+    from functime_spark.pipeline.dedup import _bucket_pairs, _cap_buckets
+
+    rows = [(i, i % 7) for i in range(60)] + [(100 + i, 99) for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, b long")
+    cap = 10  # the 12-member bucket 99 must drop entirely
+    got = {
+        (r["a"]["id"], r["b"]["id"])
+        for r in _bucket_pairs(df, ["b"], cap, ["id"]).collect()
+    }
+    capped = _cap_buckets(df, ["b"], cap)
+    j = capped.alias("x").join(
+        capped.alias("y"),
+        (F.col("x.b") == F.col("y.b")) & (F.col("x.id") < F.col("y.id")),
+    )
+    want = {
+        (r["xi"], r["yi"])
+        for r in j.select(
+            F.col("x.id").alias("xi"), F.col("y.id").alias("yi")
+        ).collect()
+    }
+    assert got == want
+    assert all(a < b for a, b in got)
