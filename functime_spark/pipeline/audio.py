@@ -403,14 +403,14 @@ def audio_near_dups(
     partials shrink the extra shuffle to one row per pair per
     partition. Candidate pairs track shared-landmark counts, never
     corpus**2."""
-    from functime_spark.materialize import materialize
     from functime_spark.pipeline.dedup import _bucket_pairs
 
-    fps = materialize(
-        audio_fingerprints(
-            media, decoder=decoder, with_time=offset_coherent,
-            **kernel_kwargs,
-        )
+    # r11: no lineage cut — the one-aggregate bucket-pairs shape
+    # consumes the fingerprint pass exactly once (the old fp self-join
+    # read it on both sides, which is what the materialize paid for)
+    fps = audio_fingerprints(
+        media, decoder=decoder, with_time=offset_coherent,
+        **kernel_kwargs,
     )
     # r11: one-aggregate bucket pairs (dedup._bucket_pairs) — the old
     # cap-window + fp self-join exchanged the fingerprint frame twice

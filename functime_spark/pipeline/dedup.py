@@ -448,10 +448,12 @@ def minhash_dedup(
     candidates → signature-similarity verify → (id_a, id_b, est_jaccard)."""
     sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_n, hash_fn)
     # one row per doc (n_hashes longs); the signature projection is
-    # shuffle-free but still the expensive pass (n_hashes hash sweeps
-    # over every doc's shingles). The self-join consumes sigs on BOTH
-    # sides plus the verify joins; materializing runs it once, not 4x.
-    sigs = materialize(sigs)
+    # shuffle-free but still the expensive pass (the shingle + hash
+    # sweep over every doc). The banding aggregate and the two verify
+    # joins all consume sigs; pinning runs it once, not 3x. r11: lazy
+    # — every consumer executes inside the caller's single action, so
+    # the first computation pins it without a separate job.
+    sigs = materialize(sigs, eager=False)
     cands = minhash_lsh_candidates(sigs, id_col, bands, hash_fn=hash_fn)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -513,8 +515,9 @@ def ngram_jaccard_pairs(
     # chain (and the corpus scan under it) materializes ONCE instead of
     # re-running per consumer (was 8 plan scans; localCheckpoint spills
     # to executor-local disk, the same durability class as a
-    # MEMORY_AND_DISK cache at cluster scale)
-    grams = materialize(grams)
+    # MEMORY_AND_DISK cache at cluster scale). r11: lazy — all three
+    # consumers run inside the caller's single action.
+    grams = materialize(grams, eager=False)
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = grams.select(F.col(id_col).alias("id_a"), "g")
     b = grams.select(F.col(id_col).alias("id_b"), "g")
@@ -594,9 +597,11 @@ def simhash_near_dups(
     """Candidate pairs sharing any 16-bit simhash band, verified by
     exact Hamming distance <= max_hamming. Buckets larger than
     `max_bucket_size` are dropped (see _cap_buckets)."""
-    # n_docs rows; materialize so the token explode + 64-bit-vote
-    # aggregate runs once, not once per self-join side
-    sigs = materialize(simhash(docs, text_col, id_col, hash_fn=hash_fn))
+    # r11: no lineage cut needed — the one-aggregate bucket-pairs
+    # shape consumes the signature projection exactly once (the old
+    # self-join read it on both sides, which is what the materialize
+    # paid for)
+    sigs = simhash(docs, text_col, id_col, hash_fn=hash_fn)
     n_bands = 64 // band_bits
     banded = sigs.select(
         F.col(id_col),

@@ -81,11 +81,14 @@ def fit_ngram_lm(
     # w2-join, bigram join, held-out reuse, quality_tiers' percentile
     # + projection lineages). Without a cut every branch re-aggregates
     # the training corpus — 5+ source scans measured. Vocab-bounded:
-    # pay once.
-    bi_full = materialize(bi_full)
+    # pay once. r11: LAZY checkpoints — the totals action below
+    # computes and pins the whole bi -> uni chain in ONE Spark job
+    # (eager=True paid one job per table for the same end state).
+    bi_full = materialize(bi_full, eager=False)
     uni = materialize(
         bi_full.groupBy(F.col("w2").alias("w"))
-        .agg(F.sum("c").cast("long").alias("c"))
+        .agg(F.sum("c").cast("long").alias("c")),
+        eager=False,
     )
     bi = bi_full.filter(F.col("w1").isNotNull())
     if min_count > 1:
@@ -221,17 +224,23 @@ def fit_ngram_lm3(
     triples = base.select(
         F.explode(_tri_arr_from(F.col("__ws"))).alias("t")
     ).select("t.w1", "t.w2", "t.w3")
+    # r11: lazy checkpoints — the totals action computes and pins the
+    # tri -> bi -> uni chain in ONE Spark job (three eager cuts paid
+    # three actions for the same pinned state)
     tri_full = materialize(
-        triples.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c"))
+        triples.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c")),
+        eager=False,
     )
     bi_full = materialize(
         tri_full.groupBy(
             F.col("w2").alias("wa"), F.col("w3").alias("wb")
-        ).agg(F.sum("c").cast("long").alias("c"))
+        ).agg(F.sum("c").cast("long").alias("c")),
+        eager=False,
     )
     uni = materialize(
         bi_full.groupBy(F.col("wb").alias("w"))
-        .agg(F.sum("c").cast("long").alias("c"))
+        .agg(F.sum("c").cast("long").alias("c")),
+        eager=False,
     )
     bi = bi_full.filter(F.col("wa").isNotNull())
     tri = tri_full.filter(F.col("w1").isNotNull())
@@ -393,7 +402,9 @@ def quality_tiers(
     # output projection; un-cut, the whole upstream scoring chain (LM
     # joins, source scans) runs twice. One row per doc, few columns —
     # cheap to pin, and the only way the two consumers see one scan.
-    scored = materialize(scored)
+    # r11: lazy — whichever consumer executes first (the broadcast
+    # cut-point build) computes and pins it; no separate action.
+    scored = materialize(scored, eager=False)
     cuts = [i / n_tiers for i in range(1, n_tiers)]
     if exact:
         pct = [

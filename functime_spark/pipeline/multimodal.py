@@ -1434,11 +1434,9 @@ def dhash_near_dups(
     within a few bits). Buckets past `max_bucket_size` drop (the
     _cap_buckets wall). Returns (id_a, id_b, hamming)."""
     sigs = dhash_media(media, decoder=decoder, hash_size=hash_size)
-    # n_media rows of (id, long) — pin so the decode+hash pass runs
-    # once, not once per self-join side
-    from functime_spark.materialize import materialize
-
-    sigs = materialize(sigs)
+    # r11: no lineage cut — the one-aggregate bucket-pairs shape
+    # consumes the decode+hash pass exactly once (the old self-join
+    # read it on both sides, which is what the materialize paid for)
     # r11: one-aggregate bucket pairs (dedup._bucket_pairs) — the
     # phash rides in the item struct, so the Hamming verify is a pure
     # projection; the old cap-window + self-join shape banded and

@@ -421,7 +421,12 @@ def ivf_pq_search(
     # for each — measured 3x the query latency at bench scale. The
     # slice is n_probe/n_cells of the corpus (the same bound that makes
     # the probe cheap), so pinning it is O(probed), never O(corpus).
-    probed = materialize(encoded.filter(F.col("__cell").isin(cells)))
+    # r11: lazy — the ADC/semi-join/refine consumers all execute
+    # inside the caller's single action; the first computation pins
+    # the slice without a separate checkpoint job
+    probed = materialize(
+        encoded.filter(F.col("__cell").isin(cells)), eager=False
+    )
     cand = pq.adc_search(probed, query_vec, k=refine * k, id_col=id_col)
     short = probed.join(cand.select(id_col), on=id_col, how="left_semi")
     return cosine_topk(short, query_vec, k=k, vec_col=vec_col, id_col=id_col)
@@ -773,7 +778,9 @@ def bm25_topk(
     # no payloads) so the postings pass over the corpus runs exactly
     # once across its two consumers — pinning the doc-level slice
     # instead would checkpoint full token arrays
-    tf = materialize(tf)
+    # r11: lazy — both consumers run inside the final TakeOrdered
+    # action; the first computation pins it, no separate job
+    tf = materialize(tf, eager=False)
     df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("__df"))
     term = (
         tf.join(

@@ -10,12 +10,13 @@ Scale design (the bpe.py discipline, distributed one step further):
 - ``fit_unigram``: ONE shuffle builds the word-frequency table (the
   same bounded top-``max_words`` table BPE trains on — unigram
   training rides word frequencies, not the raw corpus). Seed counts
-  are a pure expression explode + ONE hash aggregate. Each EM round
-  is: E-step = row-local Viterbi over the word table (Arrow-batched
-  mapInPandas, piece probs broadcast — no shuffle), M-step = ONE
-  hash aggregate on the piece key; only the O(vocab) count table
-  ever reaches the driver. Rounds are a small constant (2-4), so the
-  whole fit is O(em_rounds) shuffles regardless of corpus size.
+  are a pure expression explode + ONE hash aggregate, with only the
+  O(seed_size + alphabet) winners collected (one union action). The
+  hard-EM rounds then run driver-side over the collected word table
+  (r11): it is bounded at ``max_words`` rows by construction, so the
+  per-round Viterbi re-segmentation is local work on a small table —
+  the corpus itself is only ever touched by the single word-count
+  shuffle, regardless of em_rounds.
 - ``unigram_tokenize``: map-only — per-doc Viterbi with the broadcast
   piece table, memoized per distinct word within each Arrow batch.
 
@@ -155,7 +156,6 @@ def fit_unigram(
     hard-EM (Viterbi-path) expected counts; the final prune keeps
     single chars plus the best multi-char pieces up to
     ``vocab_size``, then re-smooths on the kept set."""
-    spark = docs.sparkSession
     from functime_spark.materialize import materialize
 
     words = materialize(
@@ -164,18 +164,26 @@ def fit_unigram(
     # seed selection happens IN SPARK (TakeOrdered top-k + the tiny
     # single-char slice) — the raw substring count table can be
     # millions of rows on a real word table and must never reach the
-    # driver; only O(seed_size + alphabet) rows do.
-    seeds = materialize(_seed_counts(words, max_piece_len))
+    # driver; only O(seed_size + alphabet) rows do. r11: the two
+    # slices collect as ONE union action (the substring aggregate's
+    # exchange is reused across both branches) instead of a
+    # materialize + two collects — per-action overhead dominated the
+    # fit at bench scale.
+    seeds = _seed_counts(words, max_piece_len)
+    seed_rows = (
+        seeds.filter(F.length("tok") == 1)
+        .unionAll(
+            seeds.filter(F.length("tok") > 1)
+            .orderBy(F.desc("c"), F.asc("tok"))
+            .limit(seed_size)
+        )
+        .collect()
+    )
     singles = {
-        r["tok"]: int(r["c"])
-        for r in seeds.filter(F.length("tok") == 1).collect()
+        r["tok"]: int(r["c"]) for r in seed_rows if len(r["tok"]) == 1
     }
     multis = [
-        (r["tok"], int(r["c"]))
-        for r in seeds.filter(F.length("tok") > 1)
-        .orderBy(F.desc("c"), F.asc("tok"))
-        .limit(seed_size)
-        .collect()
+        (r["tok"], int(r["c"])) for r in seed_rows if len(r["tok"]) > 1
     ]
     vocab = sorted(singles) + sorted(t for t, _ in multis)
     if not vocab:  # empty/whitespace-only corpus: no pieces to learn
@@ -184,28 +192,22 @@ def fit_unigram(
     counts.update(dict(multis))
     probs = _smooth(counts, vocab, alpha)
 
+    # r11: the hard-EM rounds run DRIVER-SIDE over the collected word
+    # table — it is bounded at max_words rows by construction (the
+    # whole point of training on word frequencies, not the corpus), so
+    # per-round Viterbi is O(max_words * max_word_len * max_piece_len)
+    # local work with the identical arithmetic the distributed E-step
+    # ran (same viterbi_pieces kernel, same integer M-step sums —
+    # summation of integers is order-free). The previous shape paid a
+    # mapInPandas + shuffle + collect Spark action per round to
+    # re-segment a table that already fits in one hand.
+    word_rows = [(str(r["word"]), int(r["cnt"])) for r in words.collect()]
     for _ in range(em_rounds):
-        bc = broadcast_value(spark, (dict(probs), max_piece_len))
-
-        def e_step(batches):
-            import pandas as pd
-
-            pr, mpl = bc.value
-            for pdf in batches:
-                toks, cs = [], []
-                for w, cnt in zip(pdf["word"], pdf["cnt"]):
-                    for piece in viterbi_pieces(str(w), pr, mpl):
-                        toks.append(piece)
-                        cs.append(int(cnt))
-                yield pd.DataFrame({"tok": toks, "c": cs})
-
-        agg = (
-            words.mapInPandas(e_step, schema="tok string, c long")
-            .groupBy("tok")
-            .agg(F.sum("c").alias("c"))
-            .collect()
-        )
-        counts = {r["tok"]: int(r["c"]) for r in agg}
+        new_counts: dict = {}
+        for w, cnt in word_rows:
+            for piece in viterbi_pieces(w, probs, max_piece_len):
+                new_counts[piece] = new_counts.get(piece, 0) + cnt
+        counts = new_counts
         probs = _smooth(counts, vocab, alpha)
 
     # prune: singles always kept; multis by (p DESC, tok ASC) — p is
