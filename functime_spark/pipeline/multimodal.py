@@ -1830,33 +1830,59 @@ def curate_media(
     from functime_spark.materialize import materialize
 
     # ONE decode pass over the caller's lineage emits survivors AND
-    # drop markers; materialize cuts the lineage so every count below
-    # and the caller's consumption never re-decode
-    decoded = materialize(media.mapInPandas(run, schema=decoded_schema))
-    n_in = decoded.count()
-    valid = decoded.where(F.col("width").isNotNull())
-    n_dec = valid.count()
-    sized = valid.where(
-        (F.col("width") >= min_width) & (F.col("height") >= min_height)
+    # drop markers; the lineage cut is LAZY (r11) — the fused
+    # attrition aggregate below computes and pins it, so every later
+    # consumer reads the pinned rows and nothing ever re-decodes
+    decoded = materialize(
+        media.mapInPandas(run, schema=decoded_schema), eager=False
     )
-    n_sized = sized.count()
+    # r11: ONE aggregate yields every attrition counter (the previous
+    # shape paid a separate count() action per stage — decode, size,
+    # exif — over the same pinned frame)
+    valid_pred = F.col("width").isNotNull()
+    sized_pred = valid_pred & (F.col("width") >= min_width) & (
+        F.col("height") >= min_height
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("__n_in"),
+        F.sum(valid_pred.cast("long")).alias("__n_dec"),
+        F.sum(sized_pred.cast("long")).alias("__n_sized"),
+    ]
+    if exif_where is not None:
+        # .where() accepts SQL strings; the fused aggregate needs a
+        # Column — normalize once, use everywhere below
+        if isinstance(exif_where, str):
+            exif_where = F.expr(exif_where)
+        aggs.append(
+            F.sum((sized_pred & exif_where).cast("long")).alias("__n_exif")
+        )
+    stats = decoded.agg(*aggs).first()
+    n_in = int(stats["__n_in"])
+    n_dec = int(stats["__n_dec"] or 0)
+    n_sized = int(stats["__n_sized"] or 0)
+    sized = decoded.where(sized_pred)
     exif_stage = None
     n_pre_dedup = n_sized
     if exif_where is not None:
         sized = sized.where(exif_where)
-        n_pre_dedup = sized.count()
+        n_pre_dedup = int(stats["__n_exif"] or 0)
         exif_stage = ("exif", n_sized, n_pre_dedup)
     if dedup:
-        # the exact_dedup shape: one md5-keyed min_by hash aggregate
-        # (map-side combine, no sort) carries each key's winning row
-        # through a single shuffle of the already-filtered survivors
-        cols = sized.columns
-        winner = (
+        # exact_dedup winner rule (min media_id per distinct payload),
+        # r11 shape: the key aggregate carries ONLY (md5, min id) —
+        # map-side combined, hash-based — and the winning rows attach
+        # by a media_id semi-join. The previous min_by(struct(*cols))
+        # aggregate hauled full payload rows through a SortAggregate
+        # (struct buffers are not hash-aggregable), sorting image
+        # bytes twice per shuffle; now payloads cross exactly one
+        # hash exchange and never enter an aggregation buffer.
+        keep_ids = (
             sized.groupBy(F.md5("payload").alias("__k"))
-            .agg(F.min_by(F.struct(*cols), "media_id").alias("__row"))
-            .select(*[F.col(f"__row.{c}").alias(c) for c in cols])
+            .agg(F.min("media_id").alias("media_id"))
+            .select("media_id")
         )
-        curated = materialize(winner)
+        winner = sized.join(keep_ids, on="media_id", how="left_semi")
+        curated = materialize(winner, eager=False)
     else:
         curated = sized
     n_out = curated.count()

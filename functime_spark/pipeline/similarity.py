@@ -15,7 +15,13 @@ import numpy as np
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
 from functime_spark.materialize import materialize
 
 
@@ -38,12 +44,59 @@ def cosine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Exact top-k by cosine against a literal query vector."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    v = F.col(vec_col).cast("array<double>")
-    cos = _dot(v, q) / (_norm(v) * _norm(q))
+    """Exact top-k by cosine against a literal query vector.
+
+    r11: the per-row cosine runs as an Arrow-vectorized numpy kernel
+    (the IVFIndex.assign rationale — the fold-expression form is
+    interpreted per element, and brute cosine is the per-row
+    bandwidth wall of the whole ANN tier). Bit-identical arithmetic:
+    dot and squared-norm accumulate dim-by-dim in the same left-fold
+    order as the expression form, cosine is the same
+    dot / (sqrt(norm_v) * norm_q) operation sequence, so the
+    TakeOrdered cut is unchanged. Top-k stays in Spark (TakeOrdered —
+    never a global sort)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    q = np.asarray(query_vec, dtype="float64")
+    nq = 0.0
+    for x in q:  # same scalar fold the literal expression evaluated
+        nq += x * x
+    nq = math.sqrt(nq)
+    id_field = emb.select(id_col).schema.fields[0]
+    out_schema = StructType(
+        [id_field, StructField("cosine", DoubleType())]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = pdf[vec_col]
+            mask = vecs.notna().to_numpy()
+            cos = np.full(len(pdf), np.nan)
+            if mask.any():
+                X = np.stack(
+                    [np.asarray(v, dtype="float64") for v in vecs[mask]]
+                )
+                dot = np.zeros(len(X))
+                nv = np.zeros(len(X))
+                for j in range(X.shape[1]):
+                    dot += X[:, j] * q[j]
+                    nv += X[:, j] * X[:, j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos[mask] = dot / (np.sqrt(nv) * nq)
+            res = pd.DataFrame(
+                {id_field.name: pdf[id_col], "cosine": cos}
+            )
+            if not mask.all():
+                res.loc[~mask, "cosine"] = None
+            yield res
+
     return (
-        emb.select(F.col(id_col), cos.alias("cosine"))
+        emb.select(id_col, vec_col)
+        .mapInPandas(run, schema=out_schema)
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
     )

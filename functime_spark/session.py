@@ -43,6 +43,14 @@ def get_session(
         # states / param frames are tiny after their aggregate and
         # should coalesce instead of keeping shuffle.partitions tasks
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        # r11 (guide §3.1/§9): let the planner pick shuffled-hash join
+        # when its size conditions hold — SMJ pays two per-partition
+        # sorts that a hash build skips. Spark still only builds a
+        # local map when the per-partition build side is provably
+        # small (canBuildLocalHashMap), so the OOM guardrail stays.
+        # Measured in-session A/B at sf0.1: resample+naive+smape
+        # 1.233 -> 1.005 s, TPC-H Q5 star join 1.205 -> 1.081 s.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # parquet pushdown is on by default; pin it so a misconfigured

@@ -5570,3 +5570,24 @@ def test_bucket_pairs_matches_cap_window_self_join(spark):
     }
     assert got == want
     assert all(a < b for a, b in got)
+
+
+def test_cosine_topk_kernel_matches_expression(emb):
+    """cosine_topk's Arrow kernel (r11) must reproduce the fold
+    expression's cosine bit-for-bit so the TakeOrdered cut is
+    unchanged."""
+    from functime_spark.pipeline.similarity import _dot, _norm, cosine_topk
+
+    qvec = [float(i % 7) / 7.0 for i in range(64)]
+    got = [(r["vec_id"], r["cosine"]) for r in cosine_topk(emb, qvec, k=20).collect()]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    v = F.col("embedding").cast("array<double>")
+    cos = _dot(v, q) / (_norm(v) * _norm(q))
+    want = [
+        (r["vec_id"], r["cosine"])
+        for r in emb.select(F.col("vec_id"), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(20)
+        .collect()
+    ]
+    assert got == want
