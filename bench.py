@@ -492,7 +492,11 @@ def main() -> None:
     # regression shows in both passes; load noise only inflates one).
     # If the re-run still drifts, the artifact goes out with a loud
     # note demanding a tools/ab_drift.py adjudication BEFORE commit.
-    PREV_R8_COMPARABLE = 13.033  # r9 judge clean-session re-run
+    # r10 judge clean-session re-run (VERDICT r10: 14.644 s, adjudicated
+    # within-noise vs the r9 13.033 s); the r11 host is an oversubscribed
+    # VM whose multi-core timings spike 1.5-3x under neighbor load, so
+    # the guard's re-time + per-leg min matters more than ever
+    PREV_R8_COMPARABLE = 14.644
     drift_note = None
     drift = abs(r8_comparable - PREV_R8_COMPARABLE) / PREV_R8_COMPARABLE
     if drift > 0.20:
@@ -575,6 +579,23 @@ def main() -> None:
                 # both 1.524). Machine-state noise; neither r6 change
                 # on the path is a regression.
                 "notes": {
+                    "r11_opt": "optimization round 1: every operator "
+                    "change was decided on INTERLEAVED A/B pairs (head "
+                    "vs pristine pre-round worktree, alternating "
+                    "processes, or in-session old-vs-new bodies) — this "
+                    "host is an oversubscribed VM with 1.5-3x ambient "
+                    "timing spikes, so lone process-level numbers are "
+                    "not evidence (OPTIMIZATION_r11.md records the "
+                    "pairs). Winning changes: bucket-pair candidate "
+                    "stage (1 exchange, no cap window/self-join), "
+                    "span/line dedup SortAggregate -> hash count + "
+                    "dup-subset winner, Arrow kernels for IVF "
+                    "assign/PQ encode/brute cosine/minhash lanes "
+                    "(bit-identical, pinned), lazy lineage cuts, "
+                    "driver-side unigram EM over the bounded word "
+                    "table, fused curate_media attrition aggregate + "
+                    "payload-free dedup winner, fused metrics naive "
+                    "scales, preferSortMergeJoin=false",
                     "r10_trees_drift": "trees_d2_fit_forecast measured "
                     "2.45-2.97 s in three r10 builder sessions vs the "
                     "r9 judge's 2.205 s; adjudicated NOISE via "

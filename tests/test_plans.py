@@ -140,17 +140,22 @@ def test_newton_polish_aggregate_is_native(events):
 
 @requires_local_checkpoint
 def test_dedup_signature_materialization_pins_scan_count(spark):
-    """MinHash/SimHash signature frames are localCheckpoint-ed, so the
-    final near-dup plan reads materialized blocks — zero source scans
-    (the shingle/token explode+aggregate corpus pass runs exactly once,
-    not once per self-join side)."""
+    """The expensive signature pass runs exactly ONCE per near-dup
+    call. minhash_dedup still pins its signatures (three consumers:
+    banding + both verify joins — the lazy checkpoint enters the plan
+    as an RDD scan, zero source scans). simhash_near_dups (r11) has a
+    SINGLE consumer since the one-aggregate bucket-pairs rewrite, so
+    it deliberately carries NO checkpoint: exactly one source scan,
+    the optimal shape (the old pin of zero scans existed to stop the
+    self-join from running the token-vote projection twice — that
+    self-join no longer exists)."""
     from functime_spark.pipeline.dedup import minhash_dedup, simhash_near_dups
     from functime_spark.plans.checks import count_file_scans
     from functime_spark.sources.tables import load_table
 
     docs = load_table(spark, SF_DIR, "documents")
     assert count_file_scans(minhash_dedup(docs)) == 0
-    assert count_file_scans(simhash_near_dups(docs)) == 0
+    assert count_file_scans(simhash_near_dups(docs)) == 1
 
 
 def test_text_scrub_ops_shuffle_free(spark):
