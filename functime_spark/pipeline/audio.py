@@ -147,12 +147,17 @@ def extract_audio_features(
     """One row of spectral features + MFCCs per clip, decoded through
     the multimodal decoder seam (default: the stdlib WAV codec; any
     registered/callable decoder returning {"array", "rate",
-    "channels"} rides the same path)."""
+    "channels"} rides the same path). Narrow batch inputs are
+    rebalanced ahead of the kernel (spread_for_cpu — no-op at real
+    scale; the MFCC pass is the most expensive per-clip kernel in the
+    audio tier, so a one-partition scan must not serialize it)."""
+    from functime_spark.pipeline._util import spread_for_cpu
     from functime_spark.pipeline.multimodal import _resolve_decoder
 
     fn = _resolve_decoder(decoder)
     if fn is None:
         raise ValueError("extract_audio_features needs a real decoder")
+    media = spread_for_cpu(media)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -323,14 +328,24 @@ def audio_fingerprints(
 ) -> DataFrame:
     """(media_id, fp) landmark rows (``with_time=True`` adds the
     anchor-frame column ``t`` for offset voting), one mapInPandas pass
-    — payloads decode where the bytes are, nothing shuffles.
-    Undecodable or empty clips emit no rows (the curate_media drop
-    contract: corrupt files are a fact of scraped corpora)."""
+    — payloads decode where the bytes are, nothing shuffles at real
+    scale. Undecodable or empty clips emit no rows (the curate_media
+    drop contract: corrupt files are a fact of scraped corpora).
+
+    r11 optimization: a NARROW batch input (single small file / one
+    row group — unsplittable, so one scan partition) is rebalanced
+    before the kernel; the spectral pass costs ~200 us/clip and would
+    otherwise run on one core of the whole cluster (guide §2.5). At
+    crawl scale the input parallelism already exceeds the cluster's
+    and the rebalance is a no-op (in-session A/B at sf0.1:
+    audio_near_dups 4.00 -> 3.17 s median, identical pair counts)."""
+    from functime_spark.pipeline._util import spread_for_cpu
     from functime_spark.pipeline.multimodal import _resolve_decoder
 
     fn = _resolve_decoder(decoder)
     if fn is None:
         raise ValueError("audio_fingerprints needs a real decoder")
+    media = spread_for_cpu(media)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -1149,6 +1149,16 @@ def scrub_duplicated_spans(
     x n_dup_spans) per doc worst case, bounded by document length,
     never by corpus size; the stitch count is one pass over the
     already-computed coverage flags."""
+    # r11 optimization: rebalance a narrow input before the gram
+    # projection — the per-doc k-gram hashing (split + k-window concat
+    # + xxhash64 per position) and the count aggregate's map-side
+    # combine are the operator's heaviest stage, and a single-row-group
+    # parquet source would run them on ONE core (guide §2.5; no-op at
+    # real scale). In-session A/B at sf0.1: keep_first leg 3.21 ->
+    # 2.34 s median. Per-doc rows stay single rows through the
+    # exchange, so every downstream value is unchanged (count keys,
+    # min-struct winner, row-local coverage).
+    docs = _spread_for_cpu(docs)
     # coalesce: null text would make size(__w) null and the downstream
     # sequence/zip_with chain null-poisoned (split itself never yields
     # an empty array, so null is the only exposure) — match the

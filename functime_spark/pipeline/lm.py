@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from functime_spark.materialize import materialize
+from functime_spark.pipeline._util import spread_for_cpu as _spread_for_cpu
 
 
 def _tok_arr(text_col):
@@ -63,8 +64,17 @@ def fit_ngram_lm(
 
     Returns {"uni": (token, c), "bi": (w1, w2, c), "n_tokens": long,
     "vocab": long}. The two scalars are driver-held (one tiny action
-    over the unigram aggregate)."""
-    base = train.select(_tok_arr(F.col(text_col)).alias("__ws"))
+    over the unigram aggregate).
+
+    r11 optimization: narrow train inputs rebalance before the
+    tokenization (spread_for_cpu — no-op at real scale): the pair
+    explode and the count aggregate's map-side combine are the fit's
+    whole cost, and a one-row-group parquet corpus would run them on
+    one core (guide §2.5). Count values are unchanged — integer sums
+    over the same keys."""
+    base = _spread_for_cpu(train).select(
+        _tok_arr(F.col(text_col)).alias("__ws")
+    )
     # ONE corpus tokenization pass: aggregate the (prev, cur) pair
     # stream — UNFILTERED, so every token appears exactly once as w2
     # (the first token pairs with w1=null) — and derive the unigram
@@ -131,6 +141,11 @@ def ngram_lm_score(
             F.lit(0.0).alias("cross_entropy"),
             F.lit(1.0).alias("perplexity"),
         )
+    # r11: rebalance narrow inputs before the scoring stream (same
+    # rationale as the fit; each doc stays ONE row through the
+    # exchange, so its token explode — and therefore the operand order
+    # of its per-doc log-prob average — is byte-identical)
+    docs = _spread_for_cpu(docs)
     stream = (
         docs.select(F.col(id_col), _tok_arr(F.col(text_col)).alias("__ws"))
         .select(F.col(id_col), F.explode(_pair_arr_from(F.col("__ws"))).alias("p"))
@@ -219,8 +234,11 @@ def fit_ngram_lm3(
 
     Scale shape: one hash aggregate over the triple stream with
     map-side combine; the two derivations run on the count table
-    (vocab-bounded), never the corpus."""
-    base = train.select(_tok_arr(F.col(text_col)).alias("__ws"))
+    (vocab-bounded), never the corpus. Narrow inputs rebalance before
+    the tokenization (r11, same rationale as fit_ngram_lm)."""
+    base = _spread_for_cpu(train).select(
+        _tok_arr(F.col(text_col)).alias("__ws")
+    )
     triples = base.select(
         F.explode(_tri_arr_from(F.col("__ws"))).alias("t")
     ).select("t.w1", "t.w2", "t.w3")
@@ -306,6 +324,9 @@ def ngram_lm3_score(
             F.lit(0.0).alias("cross_entropy"),
             F.lit(1.0).alias("perplexity"),
         )
+    # r11: rebalance narrow inputs before the scoring stream (same
+    # per-doc-order-preserving argument as ngram_lm_score)
+    docs = _spread_for_cpu(docs)
     stream = (
         docs.select(F.col(id_col), _tok_arr(F.col(text_col)).alias("__ws"))
         .select(
