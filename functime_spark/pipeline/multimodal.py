@@ -1419,6 +1419,30 @@ def _banded_phash(
     return _cap_buckets(banded, ["band", "band_val"], max_bucket_size)
 
 
+def _banded_phash_frames(sigs: DataFrame, band_bits: int) -> DataFrame:
+    """(media_id, frame_idx, phash, band, band_val) LSH index rows
+    from a PER-FRAME signature frame — the _banded_phash banding with
+    the frame index carried through (video_near_dups' offset voting
+    needs it on both pair sides). No cap window: the caller applies
+    the identical bucket wall inside its _bucket_pairs aggregate."""
+    n_bands = 64 // band_bits
+    return sigs.select(
+        "media_id",
+        "frame_idx",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("phash", i * band_bits).bitwiseAND(
+                        F.lit((1 << band_bits) - 1)
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+
+
 def dhash_near_dups(
     media: DataFrame,
     decoder="ppm",
@@ -1917,8 +1941,16 @@ def video_dhash(
     JPEG-decoded (decode_mjpeg_avi never touches skipped frames), and
     `frame_idx` is the ORIGINAL container index (j * every_n) so
     offsets stay in true frame units under sampling. Undecodable
-    payloads emit no rows (the curate_media drop contract)."""
+    payloads emit no rows (the curate_media drop contract).
+
+    r11 optimization: narrow batch inputs rebalance before the kernel
+    (spread_for_cpu — no-op at real scale): per-frame JPEG decode is
+    the most expensive per-row kernel in the repo, and a one-row-group
+    parquet source would serialize it onto one core (guide §2.5)."""
+    from functime_spark.pipeline._util import spread_for_cpu
     from functime_spark.pipeline.mjpeg import decode_mjpeg_avi
+
+    media = spread_for_cpu(media)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -1969,42 +2001,33 @@ def video_near_dups(
 
     Scale shape: fingerprinting is row-local and sampling-aware
     (`every_n` — a daily crawl hashes every Nth frame, never decodes
-    the rest); the only corpus-wide shuffle is the banded self-join
-    with per-bucket caps (_cap_buckets — a title-card frame hash
-    shared by half the corpus is boilerplate, not evidence); the vote
-    aggregate and the associative struct-MAX argmax both combine
-    map-side. Candidate pairs track shared-frame-hash counts, never
-    corpus**2."""
-    from functime_spark.materialize import materialize
-    from functime_spark.pipeline.dedup import _cap_buckets
+    the rest); the only corpus-wide shuffle is the banded candidate
+    stage with per-bucket caps (a title-card frame hash shared by
+    half the corpus is boilerplate, not evidence); the vote aggregate
+    and the associative struct-MAX argmax both combine map-side.
+    Candidate pairs track shared-frame-hash counts, never corpus**2.
 
-    sigs = materialize(video_dhash(media, every_n, hash_size))
-    n_bands = 64 // band_bits
-    banded = sigs.select(
-        "media_id",
-        "frame_idx",
-        "phash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("phash", i * band_bits).bitwiseAND(
-                        F.lit((1 << band_bits) - 1)
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("band", "band_val"),
-    )
-    capped = _cap_buckets(banded, ["band", "band_val"], max_bucket_size)
+    r11 optimization: the candidate stage is the one-aggregate
+    _bucket_pairs shape the minhash/simhash/dhash/audio tiers use —
+    the old _cap_buckets window + banded self-join exchanged the
+    frame-hash stream twice and paid a per-bucket count window; the
+    aggregate applies the identical bucket wall, phash/frame_idx ride
+    the item struct (the Hamming verify is a pure projection, no join
+    back), and the signature materialize is gone because the single
+    consumer reads the decode pass exactly once."""
+    from functime_spark.pipeline.dedup import _bucket_pairs
+
+    sigs = video_dhash(media, every_n, hash_size)
+    banded = _banded_phash_frames(sigs, band_bits)
     ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
     matched = (
-        capped.alias("a")
-        .join(
-            capped.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
+        _bucket_pairs(
+            banded,
+            ["band", "band_val"],
+            max_bucket_size,
+            ["media_id", "frame_idx", "phash"],
         )
+        .filter(F.col("a.media_id") < F.col("b.media_id"))
         .filter(ham <= max_hamming)
         .select(
             F.col("a.media_id").alias("id_a"),
