@@ -595,7 +595,10 @@ def main() -> None:
                     "driver-side unigram EM over the bounded word "
                     "table, fused curate_media attrition aggregate + "
                     "payload-free dedup winner, fused metrics naive "
-                    "scales, preferSortMergeJoin=false",
+                    "scales, narrow-input rebalance (spread_for_cpu) "
+                    "ahead of the span/LM/audio per-row kernels, video "
+                    "near-dups on the bucket-pairs candidate shape, "
+                    "preferSortMergeJoin=false",
                     "r10_trees_drift": "trees_d2_fit_forecast measured "
                     "2.45-2.97 s in three r10 builder sessions vs the "
                     "r9 judge's 2.205 s; adjudicated NOISE via "
