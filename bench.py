@@ -599,6 +599,18 @@ def main() -> None:
                     "ahead of the span/LM/audio per-row kernels, video "
                     "near-dups on the bucket-pairs candidate shape, "
                     "preferSortMergeJoin=false",
+                    "r11_drift": "end-of-round adjudication of the "
+                    "fired guard (r8 subtotal 16.4-17.6 s per-leg-min "
+                    "vs the r10 judge's calm-session 14.644 s) via "
+                    "tools/ab_drift.py — interleaved "
+                    "head-vs-pre-round-tree process pairs (3x, 5 reps "
+                    "each, one session): ann_topk 0.854/0.855/0.716 "
+                    "head vs 0.637/1.015/0.806 base and "
+                    "resample_naive_smape 1.439/1.905/1.439 vs "
+                    "1.295/1.893/1.390 fully overlap; minhash_dedup "
+                    "1.690/2.388/2.023 vs 2.459/2.310/2.392 reads "
+                    "head-FASTER (the r11 candidate-stage rewrite). "
+                    "Ambient host level, not a code regression",
                     "r10_trees_drift": "trees_d2_fit_forecast measured "
                     "2.45-2.97 s in three r10 builder sessions vs the "
                     "r9 judge's 2.205 s; adjudicated NOISE via "
