@@ -860,12 +860,14 @@ class boosted_trees_d2(Forecaster):
       Greenwald-Khanna trajectory is not replayable in SQL, while
       ``floor((x - lo) / ((hi - lo) / B))`` is pure IEEE-double
       arithmetic the DuckDB oracle reproduces bit-for-bit;
-    - each boosting round runs exactly TWO Spark actions: one fused
-      candidate pass for the root (all features ride a single
-      posexplode projection -> one hash aggregate over <= lags*B
-      rows) and one for both children (same pass keyed by side). The
-      old ``n_iter * 3 * lags`` per-feature ``.first()`` fan-out is
-      gone;
+    - each boosting round runs exactly ONE Spark action (r12; was two
+      in r6-r11, ``n_iter * 3 * lags`` before that): the root's fused
+      candidate pass (all features ride a single posexplode projection
+      -> one hash aggregate over <= lags*B rows) reduces to its argmax
+      IN-PLAN via an associative max(struct) with the identical
+      (gain DESC, feature ASC, bin ASC) order, is broadcast back onto
+      the binned frame to key the children's pass, and root + child
+      winners ride one collect;
     - every cumulative-sum window is PARTITIONED BY (side, feature)
       over <= max_bins rows — no global-ordered window anywhere in
       the fit (pinned by tests/test_plans.py);
@@ -998,31 +1000,75 @@ class boosted_trees_d2(Forecaster):
             )
         )
 
-    def _root_split(self, binned, bcols, resid):
-        """SSE-argmax over every (feature, bin) candidate — ONE action.
-        Returns (j, v, ml, mr) or None when no feature splits."""
-        scored = self._scored_candidates(binned, bcols, resid)
-        row = scored.orderBy(F.desc("gain"), F.asc("__f"), F.asc("__v")).first()
-        if row is None:
-            return None
-        return int(row["__f"]), int(row["__v"]), float(row["ml"]), float(row["mr"])
-
-    def _child_splits(self, binned, bcols, resid, rj, rv):
-        """Best split per root side — ONE action for both children
-        (row_number over a per-side window on the candidate frame).
-        Returns {side: (j, v, ml, mr)}; a side with no valid split is
-        absent (its leaf mean comes from the root row)."""
+    def _round_splits(self, binned, bcols, resid):
+        """Root argmax AND both children's argmaxes in ONE action
+        (r12, guide §5: the per-round two-action shape paid a full
+        scheduler/driver round-trip per action — ~0.5 s each at bench
+        scale, network latency on a real cluster). The root winner is
+        reduced IN-PLAN by an associative ``max(struct(gain, -f, -v))``
+        — the exact (gain DESC, feature ASC, bin ASC) order the old
+        ``orderBy().first()`` applied, so the selected split is
+        bit-identical and the DuckDB oracle replay still matches —
+        then broadcast back onto the binned frame to key the per-side
+        child pass; root and child winners ride one ``collect``.
+        Returns (root | None, {side: (j, v, ml, mr)}). Candidate
+        passes over the persisted binned frame are unchanged (one for
+        the root, one for the children — same two cache scans the
+        two-action shape paid); only the driver round-trips collapse.
+        Windows stay PARTITIONED; the broadcast carries one row."""
         from pyspark.sql import Window
 
-        side = F.when(bcols[rj] <= F.lit(int(rv)), 0).otherwise(1)
-        scored = self._scored_candidates(binned, bcols, resid, side_col=side)
+        scored = self._scored_candidates(binned, bcols, resid)
+        best = (
+            scored.agg(
+                F.max(
+                    F.struct(
+                        F.col("gain"),
+                        (-F.col("__f")).alias("__nf"),
+                        (-F.col("__v")).alias("__nv"),
+                        F.col("__f"),
+                        F.col("__v"),
+                        F.col("ml"),
+                        F.col("mr"),
+                    )
+                ).alias("b")
+            )
+            .select(
+                F.col("b.__f").alias("__rf"),
+                F.col("b.__v").alias("__rv"),
+                F.col("b.ml").alias("__rml"),
+                F.col("b.mr").alias("__rmr"),
+            )
+            .where(F.col("__rf").isNotNull())
+        )
+        withroot = binned.crossJoin(F.broadcast(best))
+        side = F.when(
+            F.element_at(F.array(*bcols), F.col("__rf") + 1)
+            <= F.col("__rv"),
+            0,
+        ).otherwise(1)
+        child_scored = self._scored_candidates(
+            withroot, bcols, resid, side_col=side
+        )
         rn = F.row_number().over(
             Window.partitionBy("__s").orderBy(
                 F.desc("gain"), F.asc("__f"), F.asc("__v")
             )
         )
-        rows = scored.withColumn("__rn", rn).filter(F.col("__rn") == 1).collect()
-        return {
+        children = (
+            child_scored.withColumn("__rn", rn)
+            .filter(F.col("__rn") == 1)
+            .select("__s", "__f", "__v", "ml", "mr")
+        )
+        root_row = best.select(
+            F.lit(-1).alias("__s"),
+            F.col("__rf").alias("__f"),
+            F.col("__rv").alias("__v"),
+            F.col("__rml").alias("ml"),
+            F.col("__rmr").alias("mr"),
+        )
+        rows = children.unionByName(root_row).collect()
+        out = {
             int(r["__s"]): (
                 int(r["__f"]),
                 int(r["__v"]),
@@ -1031,6 +1077,8 @@ class boosted_trees_d2(Forecaster):
             )
             for r in rows
         }
+        root = out.pop(-1, None)
+        return root, out
 
     def _fit(self, y: DataFrame, X: DataFrame | None = None):
         p = self.state["panel"]
@@ -1073,11 +1121,11 @@ class boosted_trees_d2(Forecaster):
         lr = float(self.learning_rate)
         for _ in range(self.n_iter):
             resid = F.col("__y") - self._tree_expr(trees, bcols)
-            root = self._root_split(binned, bcols, resid)
+            # r12: root + both children in ONE action per round
+            root, subs = self._round_splits(binned, bcols, resid)
             if root is None:
                 break
             rj, rv, ml, mr = root
-            subs = self._child_splits(binned, bcols, resid, rj, rv)
             children = []
             for s, fallback in ((0, ml), (1, mr)):
                 sub = subs.get(s)

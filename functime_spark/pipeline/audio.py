@@ -519,9 +519,16 @@ def audio_dedup_incremental(
     )
     capped_new = _cap_buckets(new_fps, ["fp"], max_bucket_size)
     # new-vs-new via the one-aggregate bucket pairs (r11; identical
-    # per-bucket wall to the capped cross side below)
+    # per-bucket wall to the capped cross side below). The id filter is
+    # REQUIRED, not redundant (r12 fix): one clip can contribute the
+    # same fp to a bucket more than once (periodic/tonal audio repeats
+    # (f1, f2, dt) across anchors), and the sorted item struct only
+    # guarantees a.id <= b.id — without the filter a repeated-hash clip
+    # self-reports as its own duplicate (audio_near_dups:437 keeps the
+    # identical filter for the identical reason).
     nn = (
         _bucket_pairs(new_fps, ["fp"], max_bucket_size, ["media_id"])
+        .filter(F.col("a.media_id") < F.col("b.media_id"))
         .groupBy(
             F.col("a.media_id").alias("id_a"),
             F.col("b.media_id").alias("id_b"),

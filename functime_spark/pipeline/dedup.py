@@ -314,10 +314,40 @@ def _bucket_pairs(
     bucket's item structs lexicographically, so positional i<j pairs
     come out id-ordered (callers with non-unique ids per bucket — the
     timed audio constellation rows — still filter a.id < b.id).
-    Returns one row per pair with struct columns ``a`` and ``b``."""
+    Returns one row per pair with struct columns ``a`` and ``b``.
+
+    r12 hardening (guide §5, VERDICT r11 item 3): the bucket wall now
+    applies BEFORE the collect — the r11 shape size-filtered the
+    collected array, so a corpus-hot key (title-card frame hash,
+    silence landmark, boilerplate band value) assembled its ENTIRE
+    bucket into one aggregation buffer before being discarded: a
+    single-task OOM at crawl scale, not a slow task. One explicit
+    repartition on the bucket key is shared (ReusedExchange) by a
+    count-only pre-aggregate (8-byte buffers) and the collect
+    aggregate, so the upstream decode/signature kernel still computes
+    ONCE and the stream still crosses exactly one corpus-sized
+    exchange; over-cap keys leave through an anti-join whose build
+    side is the (tiny) hot-key set, and the join preserves the
+    exchange's partitioning so the collect adds no shuffle (the join
+    is null-safe so a hot NULL-key bucket drops too, exactly as the
+    post-collect size filter dropped it). The post-collect size filter
+    stays as the semantic belt — byte-identical candidate set to the
+    r11 shape, pinned by the cap-window identity test."""
     item = F.struct(*[F.col(c) for c in item_cols])
+    part = banded.repartition(*[F.col(k) for k in keys])
+    hot = (
+        part.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket_size)
+        .select(*[F.col(k).alias(f"__hot_{k}") for k in keys])
+    )
+    cond = None
+    for k in keys:
+        c = part[k].eqNullSafe(hot[f"__hot_{k}"])
+        cond = c if cond is None else (cond & c)
+    pruned = part.join(hot, cond, "left_anti")
     buckets = (
-        banded.groupBy(*keys)
+        pruned.groupBy(*keys)
         .agg(F.sort_array(F.collect_list(item)).alias("__s"))
         .filter(
             (F.size("__s") >= 2) & (F.size("__s") <= max_bucket_size)

@@ -791,11 +791,13 @@ def test_boosted_trees_d2_binned_greedy(spark):
 
 
 def test_boosted_trees_d2_fit_is_two_actions_per_round(spark):
-    """The r6 scale fix pinned: (a) the whole fit runs 1 + 2*n_iter
-    collect-class actions (one stats aggregate, then per round ONE
-    fused root argmax + ONE fused children pass — no per-feature
-    .first() fan-out); (b) the candidate window is PARTITIONED (no
-    Exchange SinglePartition anywhere in the split-search plan)."""
+    """The r6 scale fix, tightened by r12: (a) the whole fit runs
+    1 + n_iter collect-class actions (one stats aggregate, then per
+    round ONE fused action covering the root argmax AND both children
+    — the root winner reduces in-plan and broadcasts back, no
+    per-feature .first() fan-out, no separate children action);
+    (b) the candidate window is PARTITIONED (no Exchange
+    SinglePartition anywhere in the split-search plan)."""
     import numpy as np
     from pyspark.sql import DataFrame
 
@@ -823,8 +825,8 @@ def test_boosted_trees_d2_fit_is_two_actions_per_round(spark):
     finally:
         DataFrame.collect = orig
     # first()/collect both route through DataFrame.collect; the fit
-    # budget is the stats aggregate + 2 actions per boosting round
-    assert counts["n"] <= 1 + 2 * n_iter
+    # budget is the stats aggregate + ONE action per boosting round
+    assert counts["n"] <= 1 + n_iter
 
     # plan pin: the fused candidate frame has only partitioned windows
     resid = (F.col("__y") - F.lit(fc.state["f0"]))
